@@ -1,0 +1,997 @@
+package graft.core
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import scala.collection.mutable.ArrayBuffer
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.{Duration => SDuration}
+
+import Lex.Bound
+import Stats.PartStats
+
+class StatsUnknownError(msg: String) extends RuntimeException(msg)
+class AppendError(msg: String) extends RuntimeException(msg)
+
+/** A partitioned dataset with driver-side per-partition statistics.
+  *
+  * The Spark-native rebuild of the reference engine's `Dataset`
+  * abstraction (padawan `dataset.py:59-124`): a lazy, ordered list of
+  * partitions, each materializable as a `DataFrame`, plus first-class
+  * metadata — designated index columns and per-partition row counts and
+  * null-first lexicographic index bounds. The metadata lives on the
+  * driver (exactly like the reference) and powers partition pruning,
+  * metadata-only reindexing, co-partitioned range joins, size-aware
+  * collation and sampling-based repartitioning BEFORE any Spark job
+  * launches. Row-level execution is delegated to Spark/Catalyst via
+  * [[toDF]] (the analogue of the reference delegating to polars).
+  *
+  * Knowledge is tri-state: sizes/bounds/schema may each be unknown
+  * ([[knownSizes]]/[[knownBounds]]/[[knownSchema]]); operators degrade
+  * gracefully and the ones that need stats throw [[StatsUnknownError]]
+  * with a pointer to [[reindex]].
+  *
+  * Scale design: a partition is addressed by a parquet file (or a lazy
+  * plan), so a 100 TB dataset is just a long file list + O(npartitions)
+  * driver metadata; stats collection is one single-pass job grouped by
+  * file; pruning is a driver-side filter over the file list that feeds
+  * Catalyst a smaller scan.
+  */
+final class PDataset private[core] (
+    val spark: SparkSession,
+    private[core] val parts: IndexedSeq[PDataset.Part],
+    val indexColumns: Seq[String],
+    private val sizesOpt: Option[IndexedSeq[Long]],
+    private val lbsOpt0: Option[IndexedSeq[Bound]],
+    private val ubsOpt0: Option[IndexedSeq[Bound]],
+    private val schemaOpt: Option[StructType],
+    /** Set by [[repartition]]: enables the single-shuffle write fast
+      * path (reference: `repartitioned_dataset.py:246-341`). */
+    private[core] val fastWritePlan: Option[PDataset.FastWritePlan] = None) {
+
+  import PDataset._
+
+  require(parts.nonEmpty || schemaOpt.isDefined,
+    "schema must be known when number of partitions is zero")
+  sizesOpt.foreach(s => require(s.length == parts.length, "sizes has the wrong length"))
+
+  // With no index columns, bounds are canonically empty tuples
+  // (reference: dataset.py:122-124).
+  private val lbsOpt: Option[IndexedSeq[Bound]] =
+    if (indexColumns.isEmpty) Some(Vector.fill(parts.length)(Lex.emptyBound))
+    else lbsOpt0
+  private val ubsOpt: Option[IndexedSeq[Bound]] =
+    if (indexColumns.isEmpty) Some(Vector.fill(parts.length)(Lex.emptyBound))
+    else ubsOpt0
+  locally {
+    lbsOpt.foreach { b =>
+      require(b.length == parts.length, "lower_bounds has the wrong length")
+      require(b.forall(_.length == indexColumns.length),
+        "all lower bounds must have the same length as index_columns")
+    }
+    ubsOpt.foreach { b =>
+      require(b.length == parts.length, "upper_bounds has the wrong length")
+      require(b.forall(_.length == indexColumns.length),
+        "all upper bounds must have the same length as index_columns")
+    }
+  }
+
+  // ---- metadata accessors ----
+
+  def npartitions: Int = parts.length
+  def knownSizes: Boolean = sizesOpt.isDefined
+  def knownBounds: Boolean = lbsOpt.isDefined && ubsOpt.isDefined
+  def knownSchema: Boolean = schemaOpt.isDefined
+  def sizes: Option[IndexedSeq[Long]] = sizesOpt
+  def lowerBounds: Option[IndexedSeq[Bound]] = lbsOpt
+  def upperBounds: Option[IndexedSeq[Bound]] = ubsOpt
+  def schemaOption: Option[StructType] = schemaOpt
+
+  /** The i-th partition as a DataFrame (negative indices from the end). */
+  def apply(i: Int): DataFrame = {
+    val idx = if (i < 0) parts.length + i else i
+    require(idx >= 0 && idx < parts.length, s"Partition index $i is out of range.")
+    partDF(parts(idx))
+  }
+
+  private def partDF(p: Part): DataFrame = p match {
+    case FilePart(file, filters) =>
+      var reader = spark.read
+      schemaOpt.foreach(s => reader = reader.schema(s))
+      filters.foldLeft(reader.parquet(file))(_.filter(_))
+    case LazyPart(thunk) => thunk()
+  }
+
+  private def partThunks: IndexedSeq[() => DataFrame] = {
+    val self = this
+    parts.map(p => () => self.partDF(p))
+  }
+
+  /** All partitions as one DataFrame, in partition order.
+    *
+    * Consecutive filter-free file partitions collapse into a single
+    * multi-file parquet relation so Catalyst sees one scan (predicate
+    * pushdown, rowgroup skipping and whole-stage codegen apply across
+    * the whole range) instead of an N-way union.
+    */
+  def toDF: DataFrame = {
+    if (parts.isEmpty)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), schemaOpt.get)
+    val pieces = ArrayBuffer.empty[DataFrame]
+    val run = ArrayBuffer.empty[String]
+    def flushRun(): Unit = if (run.nonEmpty) {
+      var reader = spark.read
+      schemaOpt.foreach(s => reader = reader.schema(s))
+      pieces += reader.parquet(run.toSeq: _*)
+      run.clear()
+    }
+    parts.foreach {
+      case FilePart(f, Nil) => run += f
+      case p                => flushRun(); pieces += partDF(p)
+    }
+    flushRun()
+    pieces.reduceLeft(_.union(_))
+  }
+
+  /** Alias for [[toDF]]; materialization happens at the next action
+    * (reference `collect` pulls to memory; Spark stays lazy). */
+  def collect(): DataFrame = toDF
+
+  // ---- disjointness ----
+
+  /** True if the partitions' index ranges are pairwise non-overlapping
+    * (strictly: sorted by (lb,ub), every ub < next lb). */
+  def isDisjoint: Boolean = {
+    if (parts.length <= 1 || indexColumns.isEmpty) return true
+    if (!knownBounds)
+      throw new StatsUnknownError(
+        "Bounds must be known to check disjointness. Try using reindex first.")
+    val order = Lex.sortPartitions(lbsOpt.get, ubsOpt.get)
+    val lbs = order.map(lbsOpt.get)
+    val ubs = order.map(ubsOpt.get)
+    (0 until order.length - 1).forall(i => Lex.lexCmp(ubs(i), lbs(i + 1)) < 0)
+  }
+
+  def assertDisjoint(): PDataset = {
+    if (!isDisjoint) throw new AssertionError("Partitions are not disjoint.")
+    this
+  }
+
+  // ---- reindex ----
+
+  /** Declare index columns and (optionally) compute per-partition stats.
+    *
+    * Metadata-only fast path when the new index is a prefix of the old
+    * (truncate stored bounds, zero I/O; reference
+    * `reindexed_dataset.py:34-44`). Otherwise one stats job: a single
+    * file-grouped pass for file-backed datasets, else one pass per
+    * partition (run concurrently). Empty partitions are dropped when
+    * stats are collected.
+    */
+  def reindex(
+      indexColumns: Seq[String] = null,
+      collectStats: Boolean = true): PDataset = {
+    val newCols = Option(indexColumns).getOrElse(this.indexColumns)
+    if (knownBounds && knownSizes && newCols == this.indexColumns) return this
+
+    // Prefix fast path: pure driver metadata.
+    if (knownBounds && knownSizes &&
+        newCols.length <= this.indexColumns.length &&
+        newCols == this.indexColumns.take(newCols.length)) {
+      val k = newCols.length
+      return new PDataset(spark, parts, newCols, sizesOpt,
+        Some(lbsOpt.get.map(_.take(k))), Some(ubsOpt.get.map(_.take(k))),
+        schemaOpt)
+    }
+
+    if (!collectStats)
+      return new PDataset(spark, parts, newCols, sizesOpt, None, None, schemaOpt)
+
+    val stats: IndexedSeq[PartStats] = allPlainFiles match {
+      case Some(files) =>
+        val byFile = Stats.forFiles(spark, files, newCols, schemaOpt)
+        files.map { f =>
+          byFile.getOrElse(PDataset.baseName(f), PartStats(0L, null, null))
+        }.toVector
+      case None => Stats.forParts(partThunks, newCols)
+    }
+    val keep = parts.indices.filter(i => stats(i).size > 0)
+    val schema = schemaOpt.orElse(
+      if (parts.nonEmpty) Some(this(0).schema) else None)
+    new PDataset(
+      spark,
+      keep.map(parts).toVector,
+      newCols,
+      Some(keep.map(i => stats(i).size).toVector),
+      Some(keep.map(i => stats(i).lb).toVector),
+      Some(keep.map(i => stats(i).ub).toVector),
+      schema)
+  }
+
+  /** All partitions that are plain single-file reads (no residual
+    * filters) — enables single-job stats and merged scans. */
+  private def allPlainFiles: Option[IndexedSeq[String]] = {
+    val fs = parts.collect { case FilePart(f, Nil) => f }
+    if (fs.length == parts.length) Some(fs.toVector) else None
+  }
+
+  // ---- slice ----
+
+  /** Range-slice on (a prefix of) the index columns.
+    *
+    * Driver-side: prune partitions whose [lb,ub] cannot overlap, keep
+    * sizes when the slice provably cuts nothing, tighten reported
+    * bounds. Per surviving partition a residual lexicographic filter is
+    * attached ONLY if its bound actually crosses the slice bound
+    * (reference `sliced_dataset.py:8-194`). `inclusive` is one of
+    * "none", "lower", "upper", "both".
+    */
+  def slice(
+      lb: Seq[Option[Any]] = null,
+      ub: Seq[Option[Any]] = null,
+      inclusive: String = "lower"): PDataset = {
+    if (!knownBounds)
+      throw new StatsUnknownError(
+        "Bounds must be known for slicing. Use reindex first.")
+    val (lowerInc, upperInc) = inclusive match {
+      case "none"  => (false, false)
+      case "lower" => (true, false)
+      case "upper" => (false, true)
+      case "both"  => (true, true)
+      case other => throw new IllegalArgumentException(
+        s"inclusive must be 'none', 'lower', 'upper' or 'both', got '$other'")
+    }
+    val lbOpt = Option(lb).map(_.toVector)
+    val ubOpt = Option(ub).map(_.toVector)
+    lbOpt.foreach(b => require(b.length <= indexColumns.length,
+      "Lower bound must be a tuple of the same length or shorter than index_columns"))
+    ubOpt.foreach(b => require(b.length <= indexColumns.length,
+      "Upper bound must be a tuple of the same length or shorter than index_columns"))
+
+    val oLbs = lbsOpt.get
+    val oUbs = ubsOpt.get
+
+    // (i) prune partitions by bound overlap — pure driver metadata.
+    var kept = parts.indices.toVector
+    lbOpt.foreach { b =>
+      val k = b.length
+      kept = kept.filter { p =>
+        val c = Lex.lexCmp(b, oUbs(p).take(k))
+        if (lowerInc) c <= 0 else c < 0
+      }
+    }
+    ubOpt.foreach { b =>
+      val k = b.length
+      kept = kept.filter { p =>
+        val c = Lex.lexCmp(oLbs(p).take(k), b)
+        if (upperInc) c <= 0 else c < 0
+      }
+    }
+
+    var newLbs = kept.map(oLbs)
+    var newUbs = kept.map(oUbs)
+
+    // (ii) keep sizes iff the slice provably cuts no kept partition.
+    val lbIrrelevant = lbOpt.forall { b =>
+      val k = b.length
+      newLbs.forall { pb =>
+        val c = Lex.lexCmp(b, pb.take(k))
+        if (lowerInc) c <= 0 else c < 0
+      }
+    }
+    val ubIrrelevant = ubOpt.forall { b =>
+      val k = b.length
+      newUbs.forall { pb =>
+        val c = Lex.lexCmp(pb.take(k), b)
+        if (upperInc) c <= 0 else c < 0
+      }
+    }
+    val newSizes: Option[IndexedSeq[Long]] =
+      if (lbIrrelevant && ubIrrelevant) sizesOpt.map(s => kept.map(s))
+      else None
+
+    // (iii) tighten reported bounds (intended symmetric tightening; the
+    // reference's block has a latent NameError for ub-only slices,
+    // sliced_dataset.py:116-120 — we implement the intent).
+    lbOpt.foreach { b =>
+      if (lowerInc && b.length == indexColumns.length)
+        newLbs = newLbs.map(pb => Lex.lexMax(pb, b))
+    }
+    ubOpt.foreach { b =>
+      if (upperInc && b.length == indexColumns.length)
+        newUbs = newUbs.map(pb => Lex.lexMin(pb, b))
+    }
+
+    // (iv) residual filter per partition only where its bound crosses
+    // the slice bound.
+    val newParts: IndexedSeq[Part] = kept.map { p =>
+      val filters = ArrayBuffer.empty[Column]
+      lbOpt.foreach { b =>
+        val k = b.length
+        val cols = this.indexColumns.take(k).map(col)
+        val partLb = oLbs(p).take(k)
+        if (lowerInc) {
+          if (Lex.lexCmp(partLb, b) < 0)
+            filters += LexColumns.columnsGeq(cols, b)
+        } else {
+          if (Lex.lexCmp(partLb, b) <= 0)
+            filters += LexColumns.columnsGt(cols, b)
+        }
+      }
+      ubOpt.foreach { b =>
+        val k = b.length
+        val cols = this.indexColumns.take(k).map(col)
+        val partUb = oUbs(p).take(k)
+        if (upperInc) {
+          if (Lex.lexCmp(b, partUb) < 0)
+            filters += LexColumns.columnsLeq(cols, b)
+        } else {
+          if (Lex.lexCmp(b, partUb) <= 0)
+            filters += LexColumns.columnsLt(cols, b)
+        }
+      }
+      parts(p) match {
+        case FilePart(f, fs) => FilePart(f, fs ++ filters.toList)
+        case lp: LazyPart =>
+          if (filters.isEmpty) lp
+          else {
+            val self = this
+            val preds = filters.toList
+            LazyPart(() => preds.foldLeft(self.partDF(lp))(_.filter(_)))
+          }
+      }
+    }
+
+    new PDataset(spark, newParts, this.indexColumns, newSizes,
+      Some(newLbs), Some(newUbs), schemaOpt)
+  }
+
+  // ---- map / rename ----
+
+  /** Apply a function to every partition (the reference's `map`, its
+    * user-function escape hatch: mapped_dataset.py:6-143). `preserves`
+    * in {"none","sizes","bounds","all"} declares which stats survive —
+    * an unchecked contract, exactly like the reference.
+    */
+  def mapPartitionsP(
+      func: DataFrame => DataFrame,
+      indexColumns: Seq[String] = null,
+      schema: StructType = null,
+      preserves: String = "none"): PDataset =
+    mapIndexed((df, _) => func(df), indexColumns, schema, preserves)
+
+  /** Like [[mapPartitionsP]] but the function also receives the
+    * partition index (the `extra_args` analogue). */
+  def mapIndexed(
+      func: (DataFrame, Int) => DataFrame,
+      indexColumns: Seq[String] = null,
+      schema: StructType = null,
+      preserves: String = "none"): PDataset = {
+    val preservesSizes = preserves == "all" || preserves == "sizes"
+    val preservesBounds = preserves == "all" || preserves == "bounds"
+    val newCols = Option(indexColumns).getOrElse(this.indexColumns)
+    if (preservesBounds && newCols != this.indexColumns &&
+        newCols != this.indexColumns.take(newCols.length))
+      throw new IllegalArgumentException(
+        "Index columns must be prefix-compatible when bounds are preserved.")
+    val k = newCols.length
+    val newSizes = if (preservesSizes) sizesOpt else None
+    val (newLbs, newUbs) =
+      if (preservesBounds && knownBounds)
+        (Some(lbsOpt.get.map(_.take(k))), Some(ubsOpt.get.map(_.take(k))))
+      else (None, None)
+    val self = this
+    val newParts = parts.zipWithIndex.map { case (p, i) =>
+      LazyPart(() => func(self.partDF(p), i)): Part
+    }
+    new PDataset(spark, newParts, newCols, newSizes, newLbs, newUbs,
+      Option(schema))
+  }
+
+  /** Rename columns; metadata (index columns, schema) renamed, bounds
+    * and sizes carried through untouched. */
+  def rename(mapping: Map[String, String]): PDataset = {
+    val newCols = this.indexColumns.map(c => mapping.getOrElse(c, c))
+    val newSchema = schemaOpt.map(s =>
+      StructType(s.fields.map(f => f.copy(name = mapping.getOrElse(f.name, f.name)))))
+    val self = this
+    val newParts = parts.map { p =>
+      LazyPart(() => self.partDF(p).withColumnsRenamed(mapping)): Part
+    }
+    new PDataset(spark, newParts, newCols, sizesOpt, lbsOpt, ubsOpt, newSchema)
+  }
+
+  // ---- collate ----
+
+  /** Greedily merge adjacent (index-sorted) partitions until each batch
+    * holds at least `rowsPerPartition` rows; never splits. Requires
+    * known stats. Pure driver planning + multi-file reads — no shuffle
+    * (reference: collated_dataset.py:7-92; we fix its documented
+    * precedence bug and require sizes AND bounds).
+    */
+  def collate(rowsPerPartition: Long): PDataset = {
+    if (!knownSizes || !knownBounds)
+      throw new StatsUnknownError(
+        "Stats must be known to use collate. Use reindex first.")
+    val order = Lex.sortPartitions(lbsOpt.get, ubsOpt.get)
+    val batches = ArrayBuffer.empty[Vector[Int]]
+    val bLbs = ArrayBuffer.empty[Bound]
+    val bUbs = ArrayBuffer.empty[Bound]
+    val bSizes = ArrayBuffer.empty[Long]
+    var cur = Vector.empty[Int]
+    var size = 0L
+    var lb: Bound = null
+    var ub: Bound = null
+    def flush(): Unit = {
+      batches += cur; bSizes += size; bLbs += lb; bUbs += ub
+      cur = Vector.empty; size = 0L; lb = null; ub = null
+    }
+    order.foreach { i =>
+      cur :+= i
+      size += sizesOpt.get(i)
+      if (lb == null) { lb = lbsOpt.get(i); ub = ubsOpt.get(i) }
+      else {
+        lb = Lex.lexMin(lb, lbsOpt.get(i))
+        ub = Lex.lexMax(ub, ubsOpt.get(i))
+      }
+      if (size >= rowsPerPartition) flush()
+    }
+    if (cur.nonEmpty) flush()
+
+    val self = this
+    val newParts: IndexedSeq[Part] = batches.map { batch =>
+      val members = batch.map(parts)
+      val plainFiles = members.collect { case FilePart(f, Nil) => f }
+      if (plainFiles.length == members.length && plainFiles.nonEmpty) {
+        // One multi-file scan per batch — single relation, no union.
+        LazyPart { () =>
+          var reader = spark.read
+          self.schemaOpt.foreach(s => reader = reader.schema(s))
+          reader.parquet(plainFiles: _*)
+        }: Part
+      } else
+        LazyPart(() =>
+          members.map(self.partDF).reduceLeft(_.union(_))): Part
+    }.toVector
+    new PDataset(spark, newParts, indexColumns, Some(bSizes.toVector),
+      Some(bLbs.toVector), Some(bUbs.toVector), schemaOpt)
+  }
+
+  // ---- repartition ----
+
+  /** Re-split into ~`rowsPerPartition`-row partitions.
+    *
+    * Index mode: per-partition seeded sampling of the index columns, a
+    * distributed `groupBy(index).count`, then driver-side cumulative
+    * division points — rows with equal index values land in the same
+    * partition (reference `repartitioned_dataset.py:91-153`; this is
+    * the same sampling idea Spark's RangePartitioner applies inside
+    * `repartitionByRange`). With `sampleFraction = 1` exact sizes and
+    * bounds are known without another pass. Row mode (no index
+    * columns): deterministic row-count splitting across existing
+    * partition boundaries (`get_row_divisions`,
+    * repartitioned_dataset.py:28-74).
+    *
+    * Follow with [[writeParquet]] to persist via the single-shuffle
+    * fast path.
+    */
+  def repartition(
+      rowsPerPartition: Long,
+      indexColumns: Seq[String] = null,
+      sampleFraction: Double = 1.0,
+      baseSeed: Long = 10L,
+      seedIncrement: Long = 10L): PDataset = {
+    if (parts.isEmpty) return this
+    val cols = Option(indexColumns).getOrElse(this.indexColumns)
+    if (cols.isEmpty) repartitionByRows(rowsPerPartition)
+    else repartitionByIndex(rowsPerPartition, cols, math.min(sampleFraction, 1.0),
+      baseSeed, seedIncrement)
+  }
+
+  private def repartitionByIndex(
+      rowsPerPartition: Long,
+      cols: Seq[String],
+      frac: Double,
+      baseSeed: Long,
+      seedIncrement: Long): PDataset = {
+    val base = if (this.indexColumns == cols) this else reindex(cols)
+    val samplesPerPartition = math.max(1L, (frac * rowsPerPartition).toLong)
+
+    // Distributed: (sample per partition) -> global groupBy(index).count.
+    // At frac = 1 this is a single shuffle over the whole dataset; the
+    // distinct-index histogram is what comes back to the driver.
+    val sampled: DataFrame =
+      if (frac >= 1.0) base.toDF.select(cols.map(col): _*)
+      else {
+        val pieces = base.parts.indices.map { i =>
+          base(i).select(cols.map(col): _*)
+            .sample(withReplacement = false, frac, baseSeed + i * seedIncrement)
+        }
+        pieces.reduceLeft(_.union(_))
+      }
+    val histo = sampled
+      .groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as("__size"))
+      .orderBy(cols.map(c => col(c).asc_nulls_first): _*)
+      .collect()
+
+    val n = cols.length
+    val values: IndexedSeq[(Bound, Long)] = histo.map { r =>
+      ((0 until n).map(j => Option(r.get(j))).toVector: Bound,
+        r.getLong(n))
+    }.toVector
+
+    // Driver: cumulative counts -> division points (lower bounds of the
+    // new partitions).
+    val partOf = ArrayBuffer.empty[Long]
+    var cum = 0L
+    values.foreach { case (_, c) => cum += c; partOf += cum / samplesPerPartition }
+    val groupLbs = ArrayBuffer.empty[Bound]
+    val groupUbs = ArrayBuffer.empty[Bound]
+    val groupSizes = ArrayBuffer.empty[Long]
+    var prev = -1L
+    values.indices.foreach { i =>
+      val g = partOf(i)
+      if (g != prev) {
+        groupLbs += values(i)._1; groupUbs += values(i)._1; groupSizes += 0L
+        prev = g
+      } else groupUbs(groupUbs.length - 1) = values(i)._1
+      groupSizes(groupSizes.length - 1) += values(i)._2
+    }
+    val divisions = groupLbs.toVector.tail
+    val exact = samplesPerPartition == rowsPerPartition
+    val nparts = divisions.length + 1
+
+    val sentinels: IndexedSeq[Option[Bound]] =
+      (None +: divisions.map(Some(_))) :+ None
+    val self = base
+    val newParts: IndexedSeq[Part] = (0 until nparts).map { i =>
+      val lo = sentinels(i)
+      val hi = sentinels(i + 1)
+      LazyPart(() =>
+        self.slice(lo.orNull, hi.orNull, inclusive = "lower").toDF): Part
+    }.toVector
+
+    new PDataset(
+      spark, newParts, cols,
+      if (exact) Some(groupSizes.toVector) else None,
+      if (exact) Some(groupLbs.toVector) else None,
+      if (exact) Some(groupUbs.toVector) else None,
+      base.schemaOpt,
+      fastWritePlan = Some(FastWritePlan(base, cols, divisions)))
+  }
+
+  /** Row-count mode: deterministic splitting by global row offset across
+    * the ordered parent partitions; no data movement at plan time. */
+  private def repartitionByRows(rowsPerPartition: Long): PDataset = {
+    val base = if (knownSizes) this else reindex()
+    val szs = base.sizesOpt.get
+    val total = szs.sum
+    val divisions = PDataset.getRowDivisions(szs, rowsPerPartition)
+    val nparts = divisions.length + 1
+    val newSizes = Vector.fill(divisions.length)(rowsPerPartition) :+
+      (total - rowsPerPartition * divisions.length)
+    val self = base
+    val newParts: IndexedSeq[Part] = (0 until nparts).map { i =>
+      val from = if (i == 0) (0, 0L) else divisions(i - 1)
+      val to = if (i == nparts - 1) (szs.length - 1, -1L) else divisions(i)
+      LazyPart(() => self.rowRange(from, to)): Part
+    }.toVector
+    new PDataset(spark, newParts, Seq.empty, Some(newSizes), None, None,
+      base.schemaOpt)
+  }
+
+  /** Rows [fromRow of partition fromPart, toRow of partition toPart);
+    * toRow = -1 means "end of the last partition". */
+  private def rowRange(from: (Int, Long), to: (Int, Long)): DataFrame = {
+    val (fromPart, fromRow) = from
+    val (toPart, toRow) = to
+    val pieces = (fromPart to toPart).map { p =>
+      val beg = if (p == fromPart) fromRow else 0L
+      val end = if (p == toPart && toRow >= 0) toRow else Long.MaxValue
+      val df = this(p)
+      if (beg == 0L && end == Long.MaxValue) df
+      else PDataset.sliceRows(df, beg, end)
+    }
+    pieces.reduceLeft(_.union(_))
+  }
+
+  // ---- join ----
+
+  /** Equi-join on the shared index columns. Both sides need known
+    * bounds and identical index columns; `how` in
+    * {"inner","left","full"}. Output partition i covers the half-open
+    * division [d_i, d_{i+1}) where the divisions are the sorted union
+    * of both sides' lower bounds; each side is partition-pruned to the
+    * division before Catalyst joins the (small, co-ranged) slices
+    * (reference: joined_dataset.py:7-85). Result stats are unknown,
+    * matching the reference.
+    */
+  def join(other: PDataset, how: String = "inner"): PDataset = {
+    if (!knownBounds)
+      throw new StatsUnknownError(
+        "Bounds of left dataset must be known. Try using reindex first.")
+    if (!other.knownBounds)
+      throw new StatsUnknownError(
+        "Bounds of right dataset must be known. Try using reindex first.")
+    if (this.indexColumns != other.indexColumns)
+      throw new IllegalArgumentException(
+        "Index columns of left and right dataset must be the same.")
+    if (!Seq("inner", "left", "full").contains(how))
+      throw new IllegalArgumentException(
+        "Only left, inner and full joins are supported.")
+
+    val divisions = (lbsOpt.get ++ other.lbsOpt.get).distinct
+      .sortBy(identity)(Lex.boundOrdering)
+
+    val mergedSchema: Option[StructType] =
+      (schemaOpt, other.schemaOpt) match {
+        case (Some(l), Some(r)) =>
+          val extra = r.fields.filterNot(f => this.indexColumns.contains(f.name))
+          extra.foreach { f =>
+            if (l.fieldNames.contains(f.name))
+              throw new IllegalArgumentException(
+                s"Duplicate column '${f.name}' in join.")
+          }
+          Some(StructType(l.fields ++ extra))
+        case _ => None
+      }
+
+    val sentinels: IndexedSeq[Option[Bound]] =
+      (None +: divisions.map(Some(_))) :+ None
+    val left = this
+    val idxCols = this.indexColumns
+    val newParts: IndexedSeq[Part] = (0 until divisions.length + 1).map { i =>
+      val lo = sentinels(i)
+      val hi = sentinels(i + 1)
+      LazyPart { () =>
+        val l = left.slice(lo.orNull, hi.orNull, inclusive = "lower").toDF
+        val r = other.slice(lo.orNull, hi.orNull, inclusive = "lower").toDF
+        l.join(r, idxCols, how)
+      }: Part
+    }.toVector
+    new PDataset(spark, newParts, idxCols, None, None, None, mergedSchema)
+  }
+
+  // ---- write ----
+
+  /** Persist as one `part##########.parquet` per non-empty partition
+    * plus the two sidecars; `append = true` extends an existing dataset
+    * (index columns must match). Returns the written dataset re-scanned.
+    *
+    * Fresh repartitioned datasets take a single-shuffle fast path: one
+    * job tags rows with their target partition, shuffles once, and the
+    * file sink writes every partition file in parallel (the Spark
+    * analogue of the reference's one-pass scatter writer,
+    * repartitioned_dataset.py:246-341).
+    */
+  def writeParquet(path: String, append: Boolean = false): PDataset = {
+    fastWritePlan match {
+      case Some(plan) if !append && plan.divisions.nonEmpty =>
+        fastWriteParquet(path, plan)
+      case _ => genericWriteParquet(path, append)
+    }
+  }
+
+  private def genericWriteParquet(path: String, append: Boolean): PDataset = {
+    val dir = Paths.get(path)
+    var prior: Option[Sidecar.Meta] = None
+    if (!append) {
+      if (Files.exists(dir)) Sidecar.deleteRecursively(dir)
+      Files.createDirectories(dir)
+    } else {
+      if (!Sidecar.exists(path))
+        throw new AppendError(s"Could not load metadata in '$path'.")
+      val m = Sidecar.load(spark, path)
+      if (m.indexColumns != this.indexColumns)
+        throw new AppendError(
+          s"Cannot append dataset with index columns ${this.indexColumns} " +
+            s"to dataset with index columns ${m.indexColumns}.")
+      prior = Some(m)
+    }
+    val offset = prior.map(_.maxPartitionIndex + 1).getOrElse(0L)
+
+    // 1. Write every partition (concurrent driver threads; Spark
+    //    schedules the per-partition jobs in parallel).
+    val fileNames =
+      parts.indices.map(i => Sidecar.partitionFileName(offset + i))
+    implicit val ec: ExecutionContext = PDataset.writeEc
+    val writes = parts.indices.map { i =>
+      Future {
+        Sidecar.writeSingleParquet(this(i), Paths.get(path, fileNames(i)).toString)
+      }
+    }
+    writes.foreach(Await.result(_, SDuration.Inf))
+
+    // 2. Stats: reuse known metadata, else ONE job over the written files.
+    val stats: IndexedSeq[PartStats] =
+      if (knownSizes && knownBounds)
+        parts.indices.map(i =>
+          PartStats(sizesOpt.get(i), lbsOpt.get(i), ubsOpt.get(i))).toVector
+      else {
+        val paths = fileNames.map(f => Paths.get(path, f).toString)
+        val byFile = Stats.forFiles(spark, paths, this.indexColumns, schemaOpt)
+        fileNames.map(f =>
+          byFile.getOrElse(f, PartStats(0L, emptyIdxBound, emptyIdxBound))).toVector
+      }
+
+    // 3. Drop empty partitions (file deleted, not listed in metadata).
+    val keep = parts.indices.filter(i => stats(i).size > 0)
+    parts.indices.filterNot(keep.contains).foreach { i =>
+      Files.deleteIfExists(Paths.get(path, fileNames(i)))
+    }
+    val schema = schemaOpt.getOrElse(
+      if (parts.nonEmpty) this(0).schema
+      else prior.map(_.schema).getOrElse(
+        throw new IllegalStateException("schema unknown for empty dataset")))
+
+    val allFiles = prior.map(_.files).getOrElse(Vector.empty) ++
+      keep.map(fileNames)
+    val allSizes = prior.map(_.sizes).getOrElse(Vector.empty) ++
+      keep.map(i => stats(i).size)
+    val allLbs = prior.map(_.lowerBounds).getOrElse(Vector.empty) ++
+      keep.map(i => Option(stats(i).lb).getOrElse(emptyIdxBound))
+    val allUbs = prior.map(_.upperBounds).getOrElse(Vector.empty) ++
+      keep.map(i => Option(stats(i).ub).getOrElse(emptyIdxBound))
+    Sidecar.write(spark, path, this.indexColumns, allFiles, allSizes,
+      allLbs, allUbs, offset + parts.length - 1, schema)
+    PDataset.scanParquet(spark, path)
+  }
+
+  private def emptyIdxBound: Bound = Vector.fill(indexColumns.length)(None)
+
+  /** One-shuffle scatter write: tag rows with their target partition id
+    * via the division when-chain, hash-repartition on it, and let the
+    * parquet sink write one file per partition in parallel. */
+  private def fastWriteParquet(path: String, plan: FastWritePlan): PDataset = {
+    val dir = Paths.get(path)
+    if (Files.exists(dir)) Sidecar.deleteRecursively(dir)
+    Files.createDirectories(dir)
+    val stage = Files.createTempDirectory(dir.toAbsolutePath.getParent,
+      ".graft-fastwrite-")
+    try {
+      val idx = plan.cols.map(col)
+      val tagged = plan.source.toDF.withColumn(
+        "__part", PDataset.partitionIndexExpr(idx, plan.divisions))
+      tagged
+        .repartition(parts.length, col("__part"))
+        .write
+        .partitionBy("__part")
+        .option("compression", "zstd")
+        .mode("overwrite")
+        .parquet(stage.toString)
+
+      // Move each __part=i file into its final partNNN.parquet slot.
+      val written = ArrayBuffer.empty[(Int, String)] // (partition idx, file)
+      (0 until parts.length).foreach { i =>
+        val sub = stage.resolve(s"__part=$i")
+        if (Files.isDirectory(sub)) {
+          val fs = Files.list(sub).filter(_.getFileName.toString.endsWith(".parquet"))
+            .toArray.map(_.asInstanceOf[java.nio.file.Path])
+          if (fs.nonEmpty) {
+            val name = Sidecar.partitionFileName(i)
+            if (fs.length == 1)
+              Files.move(fs(0), dir.resolve(name))
+            else {
+              // >1 file can only happen under speculative/retried tasks;
+              // merge by reading back (rare, small).
+              val merged = spark.read.parquet(fs.map(_.toString): _*)
+              Sidecar.writeSingleParquet(merged, dir.resolve(name).toString)
+            }
+            written += ((i, name))
+          }
+        }
+      }
+
+      // Stats: exact from planning when sampleFraction = 1, else one
+      // file-grouped job over what we just wrote.
+      val (sizesW, lbsW, ubsW) =
+        if (knownSizes && knownBounds) {
+          val keepIdx = written.map(_._1)
+          (keepIdx.map(sizesOpt.get), keepIdx.map(lbsOpt.get), keepIdx.map(ubsOpt.get))
+        } else {
+          val byFile = Stats.forFiles(spark,
+            written.map(w => dir.resolve(w._2).toString).toSeq,
+            plan.cols, plan.source.schemaOpt)
+          val sts = written.map(w => byFile(w._2))
+          (sts.map(_.size), sts.map(_.lb), sts.map(_.ub))
+        }
+      val schema = plan.source.schemaOpt.getOrElse(plan.source(0).schema)
+      val maxIdx = if (written.isEmpty) -1L else written.map(_._1).max.toLong
+      Sidecar.write(spark, path, plan.cols, written.map(_._2).toSeq,
+        sizesW.toSeq, lbsW.toSeq, ubsW.toSeq, maxIdx, schema)
+      PDataset.scanParquet(spark, path)
+    } finally Sidecar.deleteRecursively(stage)
+  }
+}
+
+object PDataset {
+
+  private[core] sealed trait Part
+  private[core] final case class FilePart(file: String, filters: List[Column])
+      extends Part
+  private[core] final case class LazyPart(thunk: () => DataFrame) extends Part
+
+  private[core] final case class FastWritePlan(
+      source: PDataset,
+      cols: Seq[String],
+      divisions: IndexedSeq[Bound])
+
+  private[core] lazy val writeEc: ExecutionContext =
+    ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(8,
+        r => { val t = new Thread(r, "graft-write"); t.setDaemon(true); t }))
+
+  /** Open a persisted dataset: load sidecar metadata if present (stats
+    * known before any job); else glob `*.parquet` (sorted) with unknown
+    * stats; a bare file becomes a single-partition dataset. */
+  def scanParquet(spark: SparkSession, path: String): PDataset = {
+    val p = Paths.get(path)
+    if (Files.isDirectory(p) && Sidecar.exists(path)) {
+      val m = Sidecar.load(spark, path)
+      new PDataset(
+        spark,
+        m.files.map(f => FilePart(p.resolve(f).toString, Nil): Part),
+        m.indexColumns,
+        Some(m.sizes),
+        Some(m.lowerBounds),
+        Some(m.upperBounds),
+        Some(m.schema))
+    } else if (Files.isDirectory(p)) {
+      val files = Files.list(p).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).sorted.toVector
+      if (files.isEmpty)
+        throw new java.io.FileNotFoundException(
+          s"No files matching pattern $path/*.parquet")
+      new PDataset(spark, files.map(f => FilePart(f, Nil): Part),
+        Seq.empty, None, None, None, None)
+    } else if (Files.isRegularFile(p)) {
+      new PDataset(spark, Vector(FilePart(path, Nil)),
+        Seq.empty, None, None, None, None)
+    } else
+      throw new java.io.FileNotFoundException(path)
+  }
+
+  /** Wrap a DataFrame as a single-partition dataset; size/bounds/schema
+    * computed eagerly (one pass), like the reference's `from_polars`. */
+  def fromDataFrame(
+      df: DataFrame,
+      indexColumns: Seq[String] = Seq.empty): PDataset = {
+    val st = Stats.forDF(df, indexColumns)
+    val lb = Option(st.lb).getOrElse(Lex.emptyBound)
+    val ub = Option(st.ub).getOrElse(Lex.emptyBound)
+    new PDataset(df.sparkSession, Vector(LazyPart(() => df)), indexColumns,
+      Some(Vector(st.size)), Some(Vector(lb)), Some(Vector(ub)),
+      Some(df.schema))
+  }
+
+  /** Concatenate datasets as partition lists — no data movement. All
+    * non-empty inputs must share index columns and schema. */
+  def concat(datasets: Seq[PDataset]): PDataset = {
+    val nonEmpty = datasets.filter(_.npartitions > 0)
+    if (nonEmpty.isEmpty) {
+      require(datasets.nonEmpty, "concat of no datasets")
+      return new PDataset(datasets.head.spark, Vector.empty, Seq.empty,
+        Some(Vector.empty), Some(Vector.empty), Some(Vector.empty),
+        Some(StructType(Nil)))
+    }
+    val idx = nonEmpty.head.indexColumns
+    require(nonEmpty.forall(_.indexColumns == idx),
+      "all concatenated datasets must have the same index columns")
+    val schemas = nonEmpty.map(_.schemaOption)
+    val schema =
+      if (schemas.forall(_.isDefined)) {
+        val s0 = schemas.head.get
+        require(schemas.forall(s => sameSchema(s.get, s0)),
+          "all concatenated datasets must have the same schema")
+        Some(s0)
+      } else None
+    def cat[A](xs: Seq[Option[IndexedSeq[A]]]): Option[IndexedSeq[A]] =
+      if (xs.forall(_.isDefined)) Some(xs.flatMap(_.get).toVector) else None
+    new PDataset(
+      nonEmpty.head.spark,
+      nonEmpty.flatMap(_.parts).toVector,
+      idx,
+      cat(nonEmpty.map(_.sizes)),
+      cat(nonEmpty.map(_.lowerBounds)),
+      cat(nonEmpty.map(_.upperBounds)),
+      schema)
+  }
+
+  private def sameSchema(a: StructType, b: StructType): Boolean =
+    a.fields.map(f => (f.name, f.dataType)).sameElements(
+      b.fields.map(f => (f.name, f.dataType)))
+
+  /** Standalone utility: scan a foreign parquet directory (files not
+    * written by this engine), compute per-file stats for the given index
+    * columns in ONE job, and write the sidecars in place. */
+  def writeMetadata(
+      spark: SparkSession,
+      path: String,
+      indexColumns: Seq[String]): Unit = {
+    val p = Paths.get(path)
+    val files = Files.list(p).toArray.map(_.toString)
+      .filter(f => f.endsWith(".parquet")).sorted.toVector
+    if (files.isEmpty)
+      throw new java.io.FileNotFoundException(
+        s"No files matching pattern $path/*.parquet")
+    val byFile = Stats.forFiles(spark, files, indexColumns, None)
+    val kept = files.map(baseNameOf).filter(byFile.contains)
+    val stats = kept.map(byFile)
+    val schema = spark.read.parquet(files.head).schema
+    Sidecar.write(spark, path, indexColumns, kept, stats.map(_.size),
+      stats.map(_.lb), stats.map(_.ub), kept.length - 1L, schema)
+  }
+
+  private def baseNameOf(f: String): String = {
+    val i = f.lastIndexOf('/')
+    if (i < 0) f else f.substring(i + 1)
+  }
+
+  /** `when`-chain assigning each row its target partition id from the
+    * division lower bounds (reference: repartitioned_dataset.py:14-25).
+    * Fine for O(100s) of divisions; a scale-out alternative is a range
+    * join against a broadcast divisions table. */
+  private[core] def partitionIndexExpr(
+      cols: Seq[Column],
+      divisions: IndexedSeq[Bound]): Column = {
+    if (divisions.isEmpty) lit(0)
+    else {
+      val first = when(LexColumns.columnsLt(cols, divisions(0)), lit(0))
+      val chained = divisions.zipWithIndex.drop(1).foldLeft(first) {
+        case (acc, (d, i)) => acc.when(LexColumns.columnsLt(cols, d), lit(i))
+      }
+      chained.otherwise(lit(divisions.length))
+    }
+  }
+
+  /** Row-mode division points: for each boundary at k*rowsPerPartition
+    * (0 < boundary < total rows), the (parent partition index, row
+    * offset within that partition) where the new partition starts. An
+    * exact boundary on a partition edge belongs to the LATEST partition
+    * starting there (empty parents skipped), matching the reference's
+    * sort + forward-fill construction (repartitioned_dataset.py:28-74).
+    */
+  private[graft] def getRowDivisions(
+      partitionSizes: Seq[Long],
+      rowsPerPartition: Long): IndexedSeq[(Int, Long)] = {
+    val szs = partitionSizes.toIndexedSeq
+    val total = szs.sum
+    val cumStart = szs.scanLeft(0L)(_ + _).toArray
+    val divisions = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    var b = rowsPerPartition
+    while (b < total) {
+      var i = java.util.Arrays.binarySearch(cumStart, b)
+      if (i < 0) i = -i - 2
+      else {
+        while (i + 1 < szs.length && cumStart(i + 1) == b) i += 1
+      }
+      val p = math.min(i, szs.length - 1)
+      divisions += ((p, b - cumStart(p)))
+      b += rowsPerPartition
+    }
+    divisions.toVector
+  }
+
+  /** Rows [beg, end) of a DataFrame in its current order (used by
+    * row-mode repartition; single narrow pass, no shuffle). */
+  private[core] def sliceRows(df: DataFrame, beg: Long, end: Long): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema
+    val sliced = df.coalesce(1).rdd.mapPartitions { it =>
+      var i = 0L
+      it.flatMap { r =>
+        val keep = i >= beg && i < end
+        i += 1L
+        if (keep) Iterator.single(r) else Iterator.empty
+      }
+    }
+    spark.createDataFrame(sliced, schema)
+  }
+
+  private[core] def baseName(f: String): String = baseNameOf(f)
+}

@@ -1,0 +1,152 @@
+package graft.core
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import Lex.Bound
+
+/** Sidecar metadata I/O for persisted datasets.
+  *
+  * A persisted dataset directory holds one `part##########.parquet` file
+  * per non-empty partition plus two sidecars (format per the reference
+  * engine, padawan `metadata.py:6-8`, `dataset.py:394-429`):
+  *   - `_padawan_metadata.json`: index_columns, files, sizes,
+  *     lower_bounds, upper_bounds, max_partition_index (typed JSON).
+  *   - `_padawan_schema`: a zero-row parquet file carrying the schema.
+  *
+  * The driver reads these before launching any Spark job, enabling
+  * file-level partition pruning on top of Spark's own parquet
+  * rowgroup-statistics skipping.
+  */
+object Sidecar {
+
+  val PartitionNumberDigits = 10
+  val MetadataFile = "_padawan_metadata.json"
+  val SchemaFile = "_padawan_schema"
+
+  def partitionFileName(i: Long): String =
+    s"part%0${PartitionNumberDigits}d.parquet".format(i)
+
+  final case class Meta(
+      files: IndexedSeq[String],
+      indexColumns: Seq[String],
+      sizes: IndexedSeq[Long],
+      lowerBounds: IndexedSeq[Bound],
+      upperBounds: IndexedSeq[Bound],
+      maxPartitionIndex: Long,
+      schema: StructType)
+
+  def metadataPath(dir: String): Path = Paths.get(dir, MetadataFile)
+
+  def exists(dir: String): Boolean =
+    Files.isRegularFile(metadataPath(dir)) &&
+      Files.isRegularFile(Paths.get(dir, SchemaFile))
+
+  // ---- load ----
+
+  def load(spark: SparkSession, dir: String): Meta = {
+    val text = Files.readString(metadataPath(dir))
+    val obj = TypedJson.parse(text).asInstanceOf[Map[String, Any]]
+    val schema = spark.read.parquet(Paths.get(dir, SchemaFile).toString).schema
+
+    val indexColumns =
+      obj("index_columns").asInstanceOf[Vector[Any]].map(_.toString)
+    val files = obj("files").asInstanceOf[Vector[Any]].map(_.toString)
+    val sizes = obj("sizes").asInstanceOf[Vector[Any]]
+      .map(v => v.asInstanceOf[Long])
+    val idxTypes = indexColumns.map(c => schema(c).dataType)
+    def bounds(key: String): IndexedSeq[Bound] =
+      obj(key).asInstanceOf[Vector[Any]].map { b =>
+        b.asInstanceOf[Vector[Any]].zipWithIndex.map { case (v, j) =>
+          Option(v).map(coerce(_, idxTypes(j)))
+        }: Bound
+      }
+    val lbs = bounds("lower_bounds")
+    val ubs = bounds("upper_bounds")
+    val maxIdx = obj("max_partition_index").asInstanceOf[Long]
+    require(files.length == sizes.length && files.length == lbs.length &&
+      files.length == ubs.length, s"inconsistent sidecar metadata in $dir")
+    Meta(files, indexColumns, sizes, lbs, ubs, maxIdx, schema)
+  }
+
+  /** Coerce a JSON-decoded bound value to the JVM type matching the
+    * column's Spark SQL type, so driver-side comparisons and `lit()`
+    * literals are exact.
+    */
+  private def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+    case (l: Long, IntegerType)   => l.toInt
+    case (l: Long, ShortType)     => l.toShort
+    case (l: Long, ByteType)      => l.toByte
+    case (l: Long, DoubleType)    => l.toDouble
+    case (l: Long, FloatType)     => l.toFloat
+    case (d: Double, FloatType)   => d.toFloat
+    case (l: Long, _: DecimalType) => new java.math.BigDecimal(l)
+    case (d: Double, _: DecimalType) => java.math.BigDecimal.valueOf(d)
+    case _                        => v
+  }
+
+  // ---- write ----
+
+  def write(
+      spark: SparkSession,
+      dir: String,
+      indexColumns: Seq[String],
+      files: Seq[String],
+      sizes: Seq[Long],
+      lowerBounds: Seq[Bound],
+      upperBounds: Seq[Bound],
+      maxPartitionIndex: Long,
+      schema: StructType): Unit = {
+    val meta = scala.collection.immutable.ListMap(
+      "index_columns" -> indexColumns,
+      "files" -> files,
+      "sizes" -> sizes,
+      "lower_bounds" -> lowerBounds.map(_.map(_.orNull)),
+      "upper_bounds" -> upperBounds.map(_.map(_.orNull)),
+      "max_partition_index" -> maxPartitionIndex
+    )
+    Files.writeString(metadataPath(dir), TypedJson.write(meta))
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), schema)
+    writeSingleParquet(empty, Paths.get(dir, SchemaFile).toString)
+  }
+
+  /** Write a DataFrame as ONE parquet file at exactly `target`.
+    *
+    * Spark's writer emits a directory; for sidecar-format compatibility we
+    * stage into a temp dir (single task via coalesce(1)) and move the lone
+    * part file into place. Used for the schema sidecar and per-partition
+    * data files; the repartition fast path uses a single partitionBy job
+    * instead (see PDataset.writeParquet).
+    */
+  def writeSingleParquet(
+      df: DataFrame,
+      target: String,
+      compression: String = "zstd"): Unit = {
+    val targetPath = Paths.get(target)
+    val tmp = Files.createTempDirectory(
+      targetPath.toAbsolutePath.getParent, ".spark-stage-")
+    val stageDir = tmp.resolve("out").toString
+    try {
+      df.coalesce(1).write
+        .option("compression", compression)
+        .mode("overwrite")
+        .parquet(stageDir)
+      val part = Files
+        .list(Paths.get(stageDir))
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst()
+        .orElseThrow(() =>
+          new IllegalStateException(s"no parquet part written in $stageDir"))
+      Files.move(part, targetPath, StandardCopyOption.REPLACE_EXISTING)
+    } finally deleteRecursively(tmp)
+  }
+
+  def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).forEach(deleteRecursively(_))
+    Files.deleteIfExists(p)
+  }
+}
