@@ -49,7 +49,7 @@ object Sidecar {
   def load(spark: SparkSession, dir: String): Meta = {
     val text = Files.readString(metadataPath(dir))
     val obj = TypedJson.parse(text).asInstanceOf[Map[String, Any]]
-    val schema = spark.read.parquet(Paths.get(dir, SchemaFile).toString).schema
+    val schema = readSchemaFile(spark, Paths.get(dir, SchemaFile))
 
     val indexColumns =
       obj("index_columns").asInstanceOf[Vector[Any]].map(_.toString)
@@ -71,6 +71,18 @@ object Sidecar {
     Meta(files, indexColumns, sizes, lbs, ubs, maxIdx, schema)
   }
 
+  /** Spark's file listing hides `_`-prefixed files (Hadoop metadata
+    * convention), so the `_padawan_schema` sidecar can't be read in
+    * place — stage a visibly-named copy and read that. */
+  private def readSchemaFile(spark: SparkSession, file: Path): StructType = {
+    val tmp = Files.createTempDirectory("graft-schema-")
+    try {
+      val copy = tmp.resolve("schema.parquet")
+      Files.copy(file, copy)
+      spark.read.parquet(copy.toString).schema
+    } finally deleteRecursively(tmp)
+  }
+
   /** Coerce a JSON-decoded bound value to the JVM type matching the
     * column's Spark SQL type, so driver-side comparisons and `lit()`
     * literals are exact.
@@ -84,6 +96,10 @@ object Sidecar {
     case (d: Double, FloatType)   => d.toFloat
     case (l: Long, _: DecimalType) => new java.math.BigDecimal(l)
     case (d: Double, _: DecimalType) => java.math.BigDecimal.valueOf(d)
+    // $datetime decodes to java.sql.Timestamp; NTZ columns surface as
+    // java.time.LocalDateTime (UTC wall-clock either way).
+    case (t: java.sql.Timestamp, TimestampNTZType) =>
+      t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime
     case _                        => v
   }
 

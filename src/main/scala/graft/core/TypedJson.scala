@@ -62,6 +62,10 @@ object TypedJson {
       val s =
         if (ldt.getNano == 0) ldt.format(DtFmt) else ldt.format(DtFmtMicros)
       sb.append("{\"$datetime\": "); writeString(sb, s); sb.append('}')
+    case ldt: LocalDateTime => // TimestampNTZType external value
+      val s =
+        if (ldt.getNano == 0) ldt.format(DtFmt) else ldt.format(DtFmtMicros)
+      sb.append("{\"$datetime\": "); writeString(sb, s); sb.append('}')
     case d: Date =>
       sb.append("{\"$date\": "); writeString(sb, d.toLocalDate.toString)
       sb.append('}')

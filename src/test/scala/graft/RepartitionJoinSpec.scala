@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Lex, PDataset}
+import Fixtures._
+
+/** M4+M5: repartition (index + row modes, fast write) and join
+  * (ports of tests/test_repartition.py and tests/test_join.py). */
+class RepartitionJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  lazy val dir: String = {
+    val d = tempDir("graft-repart")
+    writeDatetimeSample(spark, d)
+    d
+  }
+  def indexed: PDataset =
+    PDataset.scanParquet(spark, dir).reindex(datetimeIndexColumns)
+
+  test("index divisions match the reference unit vector") {
+    // tests/test_repartition.py:56-87: hour index, 24 rows/partition
+    val ds = indexed.reindex(Seq("hour"))
+    val rp = ds.repartition(24, Seq("hour"))
+    assert(rp.npartitions == 5)
+    assert(rp.sizes.get == Vector(22L, 24L, 24L, 24L, 4L))
+    assert(rp.lowerBounds.get ==
+      (Vector(None: Option[Any]) +: (5 until 24 by 6).map(h => b(hrs(h))).toVector))
+    assert(rp.upperBounds.get ==
+      ((4 until 24 by 6).map(h => b(hrs(h))).toVector :+ b(hrs(23))))
+    checkBoundsAndSizes(rp)
+    assertSameRows(rp.toDF, indexed.toDF)
+  }
+
+  test("repartition by full index keeps all rows, disjoint partitions") {
+    val rp = indexed.repartition(30)
+    assert(rp.isDisjoint)
+    assert(rp.sizes.get.sum == 98)
+    checkBoundsAndSizes(rp)
+    assertSameRows(rp.toDF, indexed.toDF)
+  }
+
+  test("repartition + writeParquet takes the one-shuffle fast path") {
+    val out = tempDir("graft-fastwrite") + "/ds.parquet"
+    val back = indexed.repartition(30).writeParquet(out)
+    assert(back.npartitions == indexed.repartition(30).npartitions)
+    assert(back.sizes.get.sum == 98)
+    assert(back.isDisjoint)
+    checkBoundsAndSizes(back)
+    assertSameRows(back.toDF, indexed.toDF)
+  }
+
+  test("row-mode repartition splits by row counts deterministically") {
+    val plain = PDataset.scanParquet(spark, dir).reindex(Seq.empty)
+    val rp = plain.repartition(40)
+    assert(rp.npartitions == 3)
+    assert(rp.sizes.get == Vector(40L, 40L, 18L))
+    assertSameRows(rp.toDF, indexed.toDF)
+    // each partition materializes with exactly its declared size
+    (0 until rp.npartitions).foreach { i =>
+      assert(rp(i).count() == rp.sizes.get(i))
+    }
+  }
+
+  test("sample_fraction < 1 leaves stats unknown but partitions correct") {
+    val rp = indexed.repartition(30, sampleFraction = 0.5)
+    assert(!rp.knownSizes)
+    assertSameRows(rp.toDF, indexed.toDF)
+  }
+
+  // ---- join (tests/test_join.py) ----
+
+  lazy val dateDir: String = {
+    val d = tempDir("graft-datesample")
+    writeDateSample(spark, d)
+    d
+  }
+
+  def leftDs: PDataset = indexed.reindex(Seq("date"))
+  def rightDs: PDataset =
+    PDataset.scanParquet(spark, dateDir).reindex(Seq("date"))
+
+  def oracle(how: String) = {
+    val l = indexed.toDF
+    val r = PDataset.scanParquet(spark, dateDir).toDF
+    l.join(r, Seq("date"), how)
+  }
+
+  test("inner join on index columns matches whole-frame join") {
+    val j = leftDs.join(rightDs, "inner")
+    assert(!j.knownSizes)
+    assertSameRows(j.toDF, oracle("inner"))
+  }
+
+  test("left join matches whole-frame join") {
+    assertSameRows(leftDs.join(rightDs, "left").toDF, oracle("left"))
+  }
+
+  test("full join matches whole-frame join") {
+    assertSameRows(leftDs.join(rightDs, "full").toDF, oracle("full"))
+  }
+
+  test("join rejects duplicate non-key columns and bad how") {
+    intercept[IllegalArgumentException](leftDs.join(leftDs, "inner"))
+    intercept[IllegalArgumentException](leftDs.join(rightDs, "cross"))
+  }
+
+  test("join requires matching index columns") {
+    intercept[IllegalArgumentException](
+      indexed.join(rightDs, "inner"))
+  }
+}
