@@ -1,13 +1,667 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.PDataset
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Events, Multimodal, Similarity}
+
+/** Driver contract — the declared operator surface with DuckDB oracles.
+  *
+  * Conventions that keep the hash-compare deterministic across engines:
+  * every query ends in an ORDER BY over a unique key (ties broken
+  * explicitly), double aggregates are rounded, and the oracle SQL casts
+  * result dtypes to match Spark's (year/length/size -> INT, integer
+  * sums -> BIGINT since DuckDB widens to HUGEINT).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def T(sfDir: String, t: String) = s"$sfDir/$t.parquet"
+  private def scan(s: SparkSession, sfDir: String, t: String): PDataset =
+    PDataset.scanParquet(s, T(sfDir, t))
+
+  /** The events table carries parquet TIMESTAMP(NANOS) which Spark's
+    * vectorized reader rejects; read nanos as long and convert to a
+    * microsecond-truncated NTZ timestamp (matching what engines with
+    * native us-timestamps see). */
+  private def eventsDF(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(T(d, "events"))
+      .withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  }
+  private def ldt(s: String): LocalDateTime = LocalDateTime.parse(s)
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).resolve("out").toString
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0: the M1
+    * end-to-end slice — scan, reindex, range-repartition, pruned slice. */
+  def entry(spark: SparkSession): DataFrame = {
+    val li = scan(spark, "/root/testdata/sf0.001", "lineitem")
+      .reindex(Seq("l_shipdate"))
+    li.repartition(1000)
+      .slice(Vector(Some(ldt("1996-01-01T00:00"))),
+        Vector(Some(ldt("1998-01-01T00:00"))))
+      .toDF
+  }
+
+  // ---- shared query fragments ----
+
+  /** Deterministic total order: sort by every column. The synthetic
+    * lineitem key (l_orderkey, l_linenumber) is NOT unique, so partial
+    * sort keys leave tie order engine-dependent. */
+  private def lineitemOrdered(df: DataFrame): DataFrame =
+    df.orderBy(df.columns.map(col).toSeq: _*)
+
+  private val lineitemOrderSql = "ORDER BY ALL"
+
+  private def statsRow(s: SparkSession, ds: PDataset): DataFrame = {
+    val n = ds.sizes.get.sum
+    val lb = ds.lowerBounds.get.map(_.head).min(graft.core.Lex.boundOrdering
+      .on[Option[Any]](v => Vector(v))).orNull
+    val ub = ds.upperBounds.get.map(_.head).max(graft.core.Lex.boundOrdering
+      .on[Option[Any]](v => Vector(v))).orNull
+    val schema = StructType(Seq(
+      StructField("n_rows", LongType),
+      StructField("lb", TimestampNTZType),
+      StructField("ub", TimestampNTZType)))
+    s.createDataFrame(java.util.Arrays.asList(Row(n, lb, ub)), schema)
+  }
+
+  // ---- query inventory ----
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- core engine: scan / stats / slice / repartition / collate --
+    "q_scan_collect" -> ((s, d) =>
+      lineitemOrdered(scan(s, d, "lineitem").toDF)),
+
+    "q_reindex_stats" -> ((s, d) =>
+      statsRow(s, scan(s, d, "lineitem").reindex(Seq("l_shipdate")))),
+
+    "q_slice" -> ((s, d) => {
+      val ds = scan(s, d, "lineitem").reindex(Seq("l_shipdate"))
+      val rows = math.max(1000L, ds.sizes.get.sum / 8)
+      lineitemOrdered(
+        ds.repartition(rows)
+          .slice(Vector(Some(ldt("1996-01-01T00:00"))),
+            Vector(Some(ldt("1998-01-01T00:00"))))
+          .toDF)
+    }),
+
+    "q_slice_inclusive" -> ((s, d) => {
+      val ds = scan(s, d, "lineitem").reindex(Seq("l_shipdate"))
+      lineitemOrdered(
+        ds.slice(Vector(Some(ldt("1996-06-01T00:00"))),
+          Vector(Some(ldt("1997-06-01T00:00"))), inclusive = "both").toDF)
+    }),
+
+    "q_repartition_roundtrip" -> ((s, d) => {
+      val ds = scan(s, d, "lineitem").reindex(Seq("l_shipdate"))
+      val rows = math.max(1000L, ds.sizes.get.sum / 8)
+      lineitemOrdered(ds.repartition(rows).assertDisjoint().toDF)
+    }),
+
+    "q_rowmode_repartition" -> ((s, d) => {
+      val ds = scan(s, d, "lineitem").reindex(Seq.empty)
+      val rows = math.max(1000L, ds.sizes.get.sum / 6)
+      lineitemOrdered(ds.repartition(rows).toDF)
+    }),
+
+    "q_collate" -> ((s, d) => {
+      val ds = scan(s, d, "lineitem").reindex(Seq("l_shipdate"))
+      val rows = math.max(500L, ds.sizes.get.sum / 16)
+      lineitemOrdered(ds.repartition(rows).collate(rows * 4).toDF)
+    }),
+
+    "q_concat" -> ((s, d) => {
+      val r = scan(s, d, "region")
+      PDataset.concat(Seq(r, r)).toDF.orderBy("r_regionkey", "r_name")
+    }),
+
+    "q_rename" -> ((s, d) =>
+      scan(s, d, "nation")
+        .rename(Map("n_nationkey" -> "nationkey", "n_name" -> "name",
+          "n_regionkey" -> "regionkey"))
+        .toDF.orderBy("nationkey")),
+
+    // revenue left unrounded on purpose: x*(1-d) is the same two IEEE
+    // ops in any engine (bit-identical), while round() at .5-boundary
+    // representations is not.
+    "q_map_partition" -> ((s, d) =>
+      scan(s, d, "lineitem")
+        .mapPartitionsP(df =>
+          df.filter(col("l_quantity") >= 25)
+            .withColumn("revenue",
+              col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .toDF.select("l_orderkey", "l_linenumber", "revenue")
+        .orderBy("l_orderkey", "l_linenumber", "revenue")),
+
+    "q_from_dataframe" -> ((s, d) =>
+      statsRow(s, PDataset.fromDataFrame(
+        s.read.parquet(T(d, "orders")), Seq("o_orderdate")))),
+
+    "q_write_roundtrip" -> ((s, d) => {
+      val ds = scan(s, d, "orders").reindex(Seq("o_orderdate"))
+      val rows = math.max(200L, ds.sizes.get.sum / 4)
+      val back = ds.repartition(rows).writeParquet(tmp("graft-q-write"))
+      back.toDF.orderBy("o_orderkey")
+    }),
+
+    "q_write_metadata" -> ((s, d) => {
+      val dir = tmp("graft-q-meta")
+      s.read.parquet(T(d, "orders")).repartition(4)
+        .write.parquet(dir)
+      PDataset.writeMetadata(s, dir, Seq("o_orderdate"))
+      statsRow(s, PDataset.scanParquet(s, dir))
+    }),
+
+    // -- joins through the co-partitioned range join --
+    "q_join_inner" -> ((s, d) => {
+      val li = scan(s, d, "lineitem").rename(Map("l_orderkey" -> "okey"))
+        .reindex(Seq("okey"))
+      val o = scan(s, d, "orders").rename(Map("o_orderkey" -> "okey"))
+        .reindex(Seq("okey"))
+      li.join(o, "inner").toDF
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "q_join_left" -> ((s, d) => {
+      val o = scan(s, d, "orders").rename(Map("o_orderkey" -> "okey"))
+        .reindex(Seq("okey"))
+      val li = scan(s, d, "lineitem").rename(Map("l_orderkey" -> "okey"))
+        .reindex(Seq("okey"))
+      o.join(li, "left").toDF
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), count(col("l_quantity")).as("n_matched"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q_join_full" -> ((s, d) => {
+      val li = scan(s, d, "lineitem").rename(Map("l_orderkey" -> "okey"))
+        .reindex(Seq("okey"))
+      val o = scan(s, d, "orders").rename(Map("o_orderkey" -> "okey"))
+        .reindex(Seq("okey"))
+      li.join(o, "full").toDF.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("only_orders"),
+        sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("only_lineitem"))
+    }),
+
+    // -- relational surface (the map/delegation layer) --
+    "q1_agg" -> ((s, d) =>
+      scan(s, d, "lineitem").toDF
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q_window_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"))
+      scan(s, d, "lineitem").toDF
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("l_returnflag", "rn", "l_orderkey", "l_linenumber",
+          "l_extendedprice")
+        .orderBy("l_returnflag", "rn")
+    }),
+
+    "q_window_running" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scan(s, d, "lineitem").toDF
+        .filter(col("l_suppkey") <= 3)
+        .withColumn("running_qty", round(sum("l_quantity").over(w), 2))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+
+    "q_distinct" -> ((s, d) =>
+      scan(s, d, "lineitem").toDF
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q_rollup" -> ((s, d) =>
+      scan(s, d, "lineitem").toDF
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    "q_cube" -> ((s, d) =>
+      scan(s, d, "lineitem").toDF
+        .cube("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    "q_intersect" -> ((s, d) =>
+      scan(s, d, "customer").toDF.select(col("c_nationkey").as("nationkey"))
+        .intersect(scan(s, d, "supplier").toDF
+          .select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")),
+
+    "q_except" -> ((s, d) =>
+      scan(s, d, "customer").toDF.select(col("c_nationkey").as("nationkey"))
+        .except(scan(s, d, "supplier").toDF
+          .select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")),
+
+    "q_scalar_fns" -> ((s, d) =>
+      scan(s, d, "orders").toDF.select(
+        col("o_orderkey"),
+        upper(col("o_orderstatus")).as("status_u"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        (col("o_totalprice") * 1.1).as("adj_price"),
+        length(col("o_orderpriority")).as("prio_len"),
+        concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("tag"))
+        .orderBy("o_orderkey")),
+
+    "q_topk" -> ((s, d) =>
+      scan(s, d, "lineitem").toDF
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"))
+        .limit(100)),
+
+    "q_sample_det" -> ((s, d) =>
+      lineitemOrdered(
+        scan(s, d, "lineitem").toDF.filter(col("l_orderkey") % 97 === 0))),
+
+    "q_tpch_q3" -> ((s, d) => {
+      val c = scan(s, d, "customer").toDF.filter(col("c_mktsegment") === "BUILDING")
+      val o = scan(s, d, "orders").toDF
+      val l = scan(s, d, "lineitem").toDF
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // -- event-time analytics --
+    "q_events_tumbling" -> ((s, d) =>
+      Events.tumblingCounts(eventsDF(s, d))
+        .orderBy("window_start", "event_type")),
+
+    "q_events_sessions" -> ((s, d) =>
+      Events.sessionStats(eventsDF(s, d), gapMinutes = 30)
+        .orderBy("user_id")),
+
+    // -- training-data pipeline: dedup --
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exactDedup(scan(s, d, "documents").toDF, "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashNearDupPairs(
+        scan(s, d, "documents").toDF.filter(col("doc_id") < 10000),
+        "doc_id", "text")
+        .orderBy("idA", "idB")),
+
+    "q_dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(
+        scan(s, d, "documents").toDF.filter(col("doc_id") < 2000),
+        "doc_id", "text")
+        .orderBy("idA", "idB")),
+
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashNearDupPairs(
+        scan(s, d, "documents").toDF.filter(col("doc_id") < 10000),
+        "doc_id", "text", maxDist = 3)
+        .orderBy("idA", "idB")),
+
+    "q_dedup_embedding" -> ((s, d) =>
+      Dedup.embeddingNearDupPairs(
+        scan(s, d, "embeddings").toDF.filter(col("vec_id") < 5000),
+        "vec_id", "embedding", threshold = 0.9)
+        .orderBy("idA", "idB")),
+
+    // -- text analysis --
+    "q_text_stats" -> ((s, d) =>
+      scan(s, d, "documents").toDF.select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_actual"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        round(TextFunctions.punctRatio(col("text")), 4).as("punct_ratio"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    "q_lang_id" -> ((s, d) =>
+      scan(s, d, "documents").toDF.select(
+        col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    "q_fingerprint" -> ((s, d) =>
+      scan(s, d, "documents").toDF.select(
+        col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // -- similarity search --
+    "q_embed_norm" -> ((s, d) =>
+      scan(s, d, "embeddings").toDF.select(
+        col("vec_id"),
+        round(Similarity.l2norm(col("embedding")), 3).as("norm"))
+        .orderBy("vec_id")),
+
+    "q_ann_brute" -> ((s, d) => {
+      val emb = scan(s, d, "embeddings").toDF
+      Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_ann_lsh" -> ((s, d) => {
+      val emb = scan(s, d, "embeddings").toDF
+      Similarity.lshTopK(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+        k = 5, dim = 64)
+        .orderBy("query_id", "rank")
+    }),
+
+    // -- multimodal plumbing (decode stubbed; see Multimodal) --
+    "q_multimodal" -> ((s, d) => {
+      val docs = scan(s, d, "documents").toDF
+      val withPayload = Multimodal.attachPayload(docs, "doc_id", "text")
+      Multimodal.decodeStub(withPayload, "doc_id")
+        .withColumn("mean_byte", round(col("mean_byte"), 4))
+        .orderBy("doc_id")
+    })
+  )
+
+  /** DuckDB-runnable oracles; omitted for ops whose defining hash
+    * family is engine-specific (simhash, LSH ANN) — those get the
+    * rows-only check plus exact ScalaTest cross-checks against their
+    * deterministic baselines. */
+  def oracleSql: Map[String, String] = {
+    val normT =
+      "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    def shingleCte(filter: String) = s"""
+      WITH docs AS (
+        SELECT doc_id, $normT AS t FROM documents $filter),
+      sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(1, greatest(len(t)-4, 1)+1),
+                 i -> substr(t, CAST(i AS INT), 5)))) AS s
+        FROM docs),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS "idA", b.doc_id AS "idB", count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      jac AS (
+        SELECT "idA", "idB",
+               round(i*1.0/(s1.n + s2.n - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes s1 ON "idA" = s1.doc_id
+        JOIN sizes s2 ON "idB" = s2.doc_id)
+      SELECT "idA", "idB", jaccard FROM jac
+      WHERE jaccard >= 0.85 ORDER BY "idA", "idB""""
+
+    Map(
+      "q_scan_collect" -> s"SELECT * FROM lineitem $lineitemOrderSql",
+      "q_reindex_stats" ->
+        "SELECT count(*) AS n_rows, min(l_shipdate) AS lb, max(l_shipdate) AS ub FROM lineitem",
+      "q_slice" ->
+        s"""SELECT * FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01' $lineitemOrderSql""",
+      "q_slice_inclusive" ->
+        s"""SELECT * FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-06-01'
+              AND l_shipdate <= TIMESTAMP '1997-06-01' $lineitemOrderSql""",
+      "q_repartition_roundtrip" -> s"SELECT * FROM lineitem $lineitemOrderSql",
+      "q_rowmode_repartition" -> s"SELECT * FROM lineitem $lineitemOrderSql",
+      "q_collate" -> s"SELECT * FROM lineitem $lineitemOrderSql",
+      "q_concat" ->
+        """SELECT * FROM (SELECT * FROM region UNION ALL SELECT * FROM region)
+           ORDER BY r_regionkey, r_name""",
+      "q_rename" ->
+        """SELECT n_nationkey AS nationkey, n_name AS name,
+                  n_regionkey AS regionkey
+           FROM nation ORDER BY nationkey""",
+      "q_map_partition" ->
+        """SELECT l_orderkey, l_linenumber,
+                  l_extendedprice * (1 - l_discount) AS revenue
+           FROM lineitem WHERE l_quantity >= 25
+           ORDER BY l_orderkey, l_linenumber, revenue""",
+      "q_from_dataframe" ->
+        "SELECT count(*) AS n_rows, min(o_orderdate) AS lb, max(o_orderdate) AS ub FROM orders",
+      "q_write_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
+      "q_write_metadata" ->
+        "SELECT count(*) AS n_rows, min(o_orderdate) AS lb, max(o_orderdate) AS ub FROM orders",
+      "q_join_inner" ->
+        """SELECT o_orderstatus, count(*) AS n,
+                  round(sum(l_extendedprice), 2) AS sum_price
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+      "q_join_left" ->
+        """SELECT o_orderpriority, count(*) AS n,
+                  CAST(count(l_quantity) AS BIGINT) AS n_matched
+           FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+           GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+      "q_join_full" ->
+        """SELECT count(*) AS n,
+                  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_orders,
+                  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_lineitem
+           FROM lineitem FULL JOIN orders ON l_orderkey = o_orderkey""",
+      "q1_agg" ->
+        """SELECT l_returnflag, l_linestatus,
+                  round(sum(l_quantity), 2) AS sum_qty,
+                  round(sum(l_extendedprice), 2) AS sum_price,
+                  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                  round(avg(l_quantity), 4) AS avg_qty,
+                  count(*) AS n
+           FROM lineitem GROUP BY l_returnflag, l_linestatus
+           ORDER BY l_returnflag, l_linestatus""",
+      "q_window_topk" ->
+        """SELECT l_returnflag, rn, l_orderkey, l_linenumber, l_extendedprice
+           FROM (
+             SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                    CAST(row_number() OVER (
+                      PARTITION BY l_returnflag
+                      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+                      AS INT) AS rn
+             FROM lineitem)
+           WHERE rn <= 3 ORDER BY l_returnflag, rn""",
+      "q_window_running" ->
+        """SELECT l_suppkey, l_orderkey, l_linenumber,
+                  round(sum(l_quantity) OVER (
+                    PARTITION BY l_suppkey
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                    AS running_qty
+           FROM lineitem WHERE l_suppkey <= 3
+           ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+      "q_distinct" ->
+        """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+           ORDER BY l_returnflag, l_linestatus""",
+      "q_rollup" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS n
+           FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+           ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+      "q_cube" ->
+        """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS qty
+           FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+           ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+      "q_intersect" ->
+        """SELECT c_nationkey AS nationkey FROM customer
+           INTERSECT
+           SELECT s_nationkey AS nationkey FROM supplier
+           ORDER BY nationkey""",
+      "q_except" ->
+        """SELECT c_nationkey AS nationkey FROM customer
+           EXCEPT
+           SELECT s_nationkey AS nationkey FROM supplier
+           ORDER BY nationkey""",
+      "q_scalar_fns" ->
+        """SELECT o_orderkey,
+                  upper(o_orderstatus) AS status_u,
+                  CAST(year(o_orderdate) AS INT) AS yr,
+                  CAST(month(o_orderdate) AS INT) AS mo,
+                  o_totalprice * 1.1 AS adj_price,
+                  CAST(len(o_orderpriority) AS INT) AS prio_len,
+                  concat(o_orderstatus, '-', o_orderpriority) AS tag
+           FROM orders ORDER BY o_orderkey""",
+      "q_topk" ->
+        """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""",
+      "q_sample_det" ->
+        s"SELECT * FROM lineitem WHERE l_orderkey % 97 = 0 $lineitemOrderSql",
+      "q_tpch_q3" ->
+        """SELECT o_orderkey,
+                  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+           WHERE c_mktsegment = 'BUILDING'
+           GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+      "q_events_tumbling" ->
+        """SELECT date_trunc('hour', ts) AS window_start, event_type,
+                  count(*) AS n, round(sum(value), 3) AS total_value
+           FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+      "q_events_sessions" ->
+        """WITH g AS (
+             SELECT user_id, ts, event_id,
+                    CASE WHEN lag(ts) OVER w IS NULL
+                           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                         THEN 1 ELSE 0 END AS new_session
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           sess AS (
+             SELECT user_id,
+                    sum(new_session) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS session_id
+             FROM g),
+           per AS (
+             SELECT user_id, session_id, count(*) AS n_ev
+             FROM sess GROUP BY user_id, session_id)
+           SELECT user_id, count(*) AS n_sessions,
+                  CAST(max(n_ev) AS BIGINT) AS max_session_events
+           FROM per GROUP BY user_id ORDER BY user_id""",
+      "q_dedup_exact" ->
+        """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id,
+                  count(*) AS copies
+           FROM documents GROUP BY md5(text) ORDER BY doc_id""",
+      "q_dedup_minhash" -> shingleCte("WHERE doc_id < 10000"),
+      "q_dedup_ngram" -> shingleCte("WHERE doc_id < 2000"),
+      "q_dedup_embedding" ->
+        """WITH scored AS (
+             SELECT a.vec_id AS "idA", b.vec_id AS "idB",
+                    round(
+                      list_sum(list_transform(range(1, 65),
+                        i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                             * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
+                      / (sqrt(list_sum(list_transform(a.embedding,
+                           x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                       * sqrt(list_sum(list_transform(b.embedding,
+                           x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 4)
+                      AS cosine
+             FROM embeddings a, embeddings b
+             WHERE a.vec_id < b.vec_id AND a.vec_id < 5000 AND b.vec_id < 5000)
+           SELECT "idA", "idB", cosine FROM scored
+           WHERE cosine >= 0.9 ORDER BY "idA", "idB"""",
+      "q_text_stats" ->
+        """SELECT doc_id,
+                  CAST(len(text) AS INT) AS n_chars_actual,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+                    AS n_tokens,
+                  round((len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                        * 1.0 / greatest(len(text), 1), 4) AS punct_ratio,
+                  round(least(len(text) / 400.0, 1.0)
+                        * (CASE WHEN len(text) * 1.0
+                                  / greatest(len(string_split_regex(trim(text), '\s+')), 1)
+                                BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END)
+                        * (CASE WHEN (len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                                  * 1.0 / greatest(len(text), 1) <= 0.1
+                                THEN 1.0 ELSE 0.5 END), 4) AS quality
+           FROM documents ORDER BY doc_id""",
+      "q_lang_id" ->
+        """WITH scored AS (
+             SELECT doc_id,
+                    len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\s+')),
+                        ['the','and','of','to','is','with','for','that'])) AS s_en,
+                    len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\s+')),
+                        ['der','die','das','und','ist','mit','für','nicht'])) AS s_de,
+                    len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\s+')),
+                        ['le','la','les','et','est','avec','pour','dans'])) AS s_fr,
+                    len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\s+')),
+                        ['el','los','las','es','con','para','por','una'])) AS s_es,
+                    len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\s+')),
+                        ['的','是','了','在','和','有','我','不'])) AS s_zh
+             FROM documents)
+           SELECT doc_id,
+                  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                       WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                       ELSE 'zh' END AS lang_pred
+           FROM scored ORDER BY doc_id""",
+      "q_fingerprint" ->
+        s"""SELECT doc_id, md5($normT) AS fp
+            FROM documents ORDER BY doc_id""",
+      "q_embed_norm" ->
+        """SELECT vec_id,
+                  round(sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 3) AS norm
+           FROM embeddings ORDER BY vec_id""",
+      "q_ann_brute" ->
+        """WITH scored AS (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    list_sum(list_transform(range(1, 65),
+                      i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)
+                           * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)))
+                    / (sqrt(list_sum(list_transform(q.embedding,
+                         x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                     * sqrt(list_sum(list_transform(c.embedding,
+                         x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+                      AS cosine
+             FROM embeddings q, embeddings c
+             WHERE q.vec_id < 10 AND c.vec_id != q.vec_id),
+           ranked AS (
+             SELECT query_id, neighbor_id, cosine,
+                    CAST(row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+             FROM scored)
+           SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank
+           FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+      "q_multimodal" ->
+        """SELECT doc_id,
+                  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                  round(list_sum(list_transform(range(1, len(text)+1),
+                          i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS DOUBLE)))
+                        / octet_length(encode(text)), 4) AS mean_byte,
+                  CAST(list_max(list_transform(range(1, len(text)+1),
+                          i -> ord(substr(text, CAST(i AS INT), 1)))) AS INT)
+                    AS max_byte,
+                  lower(hex(encode(substr(text, 1, 8)))) AS head_hex
+           FROM documents ORDER BY doc_id"""
+    )
+  }
 }

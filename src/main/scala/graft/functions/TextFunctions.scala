@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for large-scale training-data
+  * pipelines: normalization, tokenization, shingling, quality signals,
+  * language-ID scoring and fingerprinting.
+  *
+  * Everything here is composed from built-in (whole-stage-codegen'd)
+  * SQL functions — no UDFs — so the expressions stay inside Tungsten
+  * and push through Catalyst untouched; all are deterministic so the
+  * same logic is expressible as an ANSI-SQL oracle.
+  */
+object TextFunctions {
+
+  /** Lowercased, whitespace-collapsed, trimmed text. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Whitespace tokens of trimmed text (empty text -> [""], like the
+    * SQL split contract — callers filter if needed). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** A BPE-ish proxy token count: word-piece segments obtained by also
+    * splitting on letter/digit boundaries and punctuation. */
+  def subwordCount(c: Column): Column =
+    size(split(trim(c), "[\\s\\p{Punct}]+|(?<=\\p{L})(?=\\d)|(?<=\\d)(?=\\p{L})"))
+
+  /** Characters that are sentence punctuation. */
+  def punctCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[.,;:!?]", ""))
+
+  def punctRatio(c: Column): Column =
+    punctCount(c).cast("double") / greatest(length(c), lit(1)).cast("double")
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(c: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val toks = tokens(lower(c))
+    val sw = array(stopwords.map(lit): _*)
+    size(array_intersect(toks, sw)).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  val defaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "from")
+
+  /** Composite quality score in [0,1]: length signal x moderate
+    * punctuation x mean token length sanity. Deterministic arithmetic
+    * only, so it doubles as an oracle-checkable quality filter. */
+  def qualityScore(c: Column): Column = {
+    val len = length(c).cast("double")
+    val lenSignal = least(len / lit(400.0), lit(1.0))
+    val toks = tokenCount(c).cast("double")
+    val meanTokLen = len / greatest(toks, lit(1.0))
+    val tokSignal =
+      when(meanTokLen.between(3.0, 12.0), lit(1.0)).otherwise(lit(0.5))
+    val punctSignal =
+      when(punctRatio(c) <= 0.1, lit(1.0)).otherwise(lit(0.5))
+    round(lenSignal * tokSignal * punctSignal, 4)
+  }
+
+  /** Character k-gram shingles of the normalized text (distinct).
+    * Texts shorter than k yield one (short) shingle. */
+  def charShingles(c: Column, k: Int = 5): Column = {
+    val t = normText(c)
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
+        i => t.substr(i, lit(k))))
+  }
+
+  /** Word n-gram shingles (distinct), joined by a single space. */
+  def wordShingles(c: Column, n: Int = 3): Column = {
+    val toks = tokens(lower(c))
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Marker-based language-ID score: how many of the language's marker
+    * words occur as tokens. Pure token-set arithmetic = oracle-able. */
+  def langScore(c: Column, markers: Seq[String]): Column =
+    size(array_intersect(tokens(lower(c)), array(markers.map(lit): _*)))
+
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "with", "for", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit", "für", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "avec", "pour", "dans"),
+    "es" -> Seq("el", "los", "las", "es", "con", "para", "por", "una"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不"))
+
+  /** Predicted language = argmax of marker scores (ties broken by
+    * language code order), "und" when nothing matches. */
+  def langId(c: Column, markers: Map[String, Seq[String]] = langMarkers): Column = {
+    val ordered = markers.toSeq.sortBy(_._1)
+    val scored = ordered.map { case (code, ms) => (code, langScore(c, ms)) }
+    val best = scored.tail.foldLeft(greatest(scored.head._2, lit(0))) {
+      case (acc, (_, s)) => greatest(acc, s)
+    }
+    val pick = scored.foldRight(lit("und")) { case ((code, s), els) =>
+      when(s === best && best > 0, lit(code)).otherwise(els)
+    }
+    pick
+  }
+
+  /** Content fingerprint: md5 of the normalized text (identical in any
+    * ANSI SQL engine -> exact-dedup key and oracle-safe). */
+  def fingerprint(c: Column): Column = md5(normText(c))
+}

@@ -1,0 +1,243 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH near-dup, SimHash, n-gram Jaccard and embedding-cosine.
+  *
+  * Scale design notes (100 TB): every stage is a shuffle-bounded
+  * DataFrame op — shingling/signatures are narrow per-row transforms
+  * (whole-stage codegen, no UDFs except none at all), candidate
+  * generation is a groupBy on (band, bucket) whose fan-out is bounded
+  * by bucket size, and verification touches only candidate pairs, never
+  * the N^2 pair space. Exact dedup is a single hash aggregate.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per distinct key (content hash).
+    * One hash-partial + final aggregate; no window, no sort. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("copies"))
+
+  /** Deterministic MinHash permutation parameters, sized so that
+    * a*h32 + b stays well under 2^63 (ANSI-mode safe: no overflow). */
+  private def permParams(numPerms: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val rnd = new java.util.Random(seed)
+    val as = Array.fill(numPerms)((rnd.nextInt(1 << 30) | 1).toLong)
+    val bs = Array.fill(numPerms)(rnd.nextInt(Int.MaxValue).toLong)
+    (as, bs)
+  }
+
+  /** 32-bit element hashes for a shingle array (low bits of xxhash64).
+    * Materialize this ONCE (withColumn) before fanning out into the
+    * per-permutation transforms: Catalyst does not CSE an expression
+    * referenced inside k lambda bodies, so inlining it would recompute
+    * every shingle hash k times. */
+  def shingleHashes(shingles: Column): Column =
+    transform(shingles, s => xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL)))
+
+  /** MinHash signature (length numPerms) over a pre-hashed shingle
+    * array. h_i(S) = min over s of (a_i * h32(s) + b_i) — branch-free,
+    * codegen-friendly, no UDF, overflow-free under ANSI arithmetic. */
+  def minhashSignature(
+      hashes: Column,
+      numPerms: Int = 126,
+      seed: Long = 42L): Column = {
+    val (as, bs) = permParams(numPerms, seed)
+    val aCol = array(as.map(lit): _*)
+    val bCol = array(bs.map(lit): _*)
+    transform(
+      sequence(lit(0), lit(numPerms - 1)),
+      i =>
+        array_min(
+          transform(hashes, x => get(aCol, i) * x + get(bCol, i))))
+  }
+
+  /** Near-duplicate pairs via MinHash + banded LSH, verified with exact
+    * shingle-set Jaccard. Returns (idA, idB, jaccard) with idA < idB and
+    * jaccard >= threshold, exactly the pairs an exhaustive O(N^2) scan
+    * would emit (up to LSH recall, which the band/row parameters put at
+    * ~1 for the target similarity band).
+    *
+    * Plan shape: narrow signature computation -> explode bands (xB
+    * rows) -> self-join on (band, bucket hash) = one shuffle keyed by
+    * bucket -> distinct candidate pairs -> rejoin texts -> exact
+    * verify. No cross join anywhere.
+    */
+  def minhashNearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 5,
+      numPerms: Int = 126,
+      bands: Int = 21,
+      threshold: Double = 0.85,
+      seed: Long = 42L): DataFrame = {
+    require(numPerms % bands == 0, "numPerms must be divisible by bands")
+    val rows = numPerms / bands
+    // CollapseProject inlines withColumn aliases into lambda bodies, so
+    // an expression referenced inside a k-iteration higher-order
+    // function is recomputed k times at runtime. Exchange barriers
+    // (repartition) pin each stage's output: shingle hashes are
+    // computed once (not x numPerms), the signature once (not x bands)
+    // — and ReuseExchange shares the barrier across the self-join.
+    val withShingles = docs.select(
+      col(idCol).as("__id"),
+      TextFunctions.charShingles(col(textCol), shingleSize).as("__sh"))
+      .withColumn("__h", shingleHashes(col("__sh")))
+      .repartition(col("__id"))
+    val sig = withShingles
+      .select(col("__id"), minhashSignature(col("__h"), numPerms, seed).as("__sig"))
+      .repartition(col("__id"))
+    // Band buckets WITHOUT the shingle payload: the bucket join only
+    // shuffles (id, band, bucket) rows, never the arrays.
+    val banded = sig.select(
+      col("__id"),
+      posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("__sig"), b * rows + 1, lit(rows)))))
+        .as(Seq("__band", "__bucket")))
+
+    val candidates = banded.select(col("__id").as("idA"), col("__band"), col("__bucket"))
+      .join(banded.select(col("__id").as("idB"), col("__band"), col("__bucket")),
+        Seq("__band", "__bucket"))
+      .filter(col("idA") < col("idB"))
+      .select("idA", "idB")
+      .dropDuplicates("idA", "idB")
+
+    // Rejoin the (small) candidate set against the shingle arrays.
+    val shA = withShingles.select(col("__id").as("idA"), col("__sh").as("shA"))
+    val shB = withShingles.select(col("__id").as("idB"), col("__sh").as("shB"))
+    verifyJaccard(candidates.join(shA, "idA").join(shB, "idB"), threshold)
+  }
+
+  /** Exact Jaccard over candidate pairs carrying their shingle arrays. */
+  private def verifyJaccard(candidates: DataFrame, threshold: Double): DataFrame = {
+    candidates
+      .withColumn("__i", size(array_intersect(col("shA"), col("shB"))).cast("double"))
+      .withColumn("jaccard",
+        round(col("__i") /
+          ((size(col("shA")) + size(col("shB"))).cast("double") - col("__i")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), col("jaccard"))
+  }
+
+  /** Exhaustive n-gram Jaccard pairs (the oracle-shaped variant): an
+    * inverted-index join on shingles — shuffle keyed by shingle, never
+    * a cross join. Use for modest corpora or as the verifier behind
+    * LSH candidates at scale. */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 5,
+      threshold: Double = 0.85): DataFrame = {
+    val sh = docs.select(
+      col(idCol).as("__id"),
+      explode(TextFunctions.charShingles(col(textCol), shingleSize)).as("__s"))
+    val sizes = sh.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.__s") === col("b.__s") &&
+        col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("idA"), col("b.__id").as("idB"))
+      .agg(count(lit(1)).as("__i"))
+    inter
+      .join(sizes.withColumnRenamed("__id", "idA").withColumnRenamed("__n", "__na"), "idA")
+      .join(sizes.withColumnRenamed("__id", "idB").withColumnRenamed("__n", "__nb"), "idB")
+      .withColumn("jaccard",
+        round(col("__i").cast("double") /
+          (col("__na") + col("__nb") - col("__i")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("idA", "idB", "jaccard")
+  }
+
+  /** Token xxhash64 array for SimHash — materialize once (withColumn)
+    * before [[simhash64]], which references it 64 times. */
+  def tokenHashes(textCol: Column): Column =
+    transform(TextFunctions.tokens(lower(textCol)), t => xxhash64(t))
+
+  /** Per-bit set counts for SimHash over a pre-hashed token array
+    * (array of 64 ints). Materialize behind a barrier before packing. */
+  def simhashBitSums(hashes: Column): Column =
+    transform(
+      sequence(lit(0), lit(63)),
+      i =>
+        aggregate(hashes, lit(0),
+          (acc, h) =>
+            acc + call_function("shiftrightunsigned", h, i)
+              .bitwiseAND(lit(1L)).cast("int")))
+
+  /** Pack majority bits into the 64-bit SimHash fingerprint. */
+  def simhashPack(bitSums: Column, nTokens: Column): Column =
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, i) =>
+        acc.bitwiseOR(
+          when(get(bitSums, i) * 2 > nTokens,
+            call_function("shiftleft", lit(1L), i))
+            .otherwise(lit(0L))))
+
+  /** SimHash near-dup candidate pairs: hamming distance <= maxDist,
+    * blocked by 4 16-bit chunks (a pair within distance 3 must agree on
+    * at least one chunk — pigeonhole), so candidates come from an
+    * equi-join on (chunk index, chunk value), not a cross join. */
+  def simhashNearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    // Same exchange-barrier pattern as minhash: token hashes computed
+    // once (not x64 bits), bit sums once (not x64 in the pack loop).
+    val withSim = docs
+      .select(col(idCol).as("__id"), tokenHashes(col(textCol)).as("__th"))
+      .repartition(col("__id"))
+      .select(col("__id"), simhashBitSums(col("__th")).as("__bits"),
+        size(col("__th")).as("__n"))
+      .repartition(col("__id"))
+      .select(col("__id"), simhashPack(col("__bits"), col("__n")).as("__sim"))
+    val chunked = withSim.select(
+      col("__id"), col("__sim"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        i => call_function("shiftrightunsigned", col("__sim"), i * 16)
+          .bitwiseAND(lit(0xFFFFL))))
+        .as(Seq("__chunk", "__val")))
+    val l = chunked.select(col("__id").as("idA"), col("__sim").as("simA"),
+      col("__chunk"), col("__val"))
+    val r = chunked.select(col("__id").as("idB"), col("__sim").as("simB"),
+      col("__chunk"), col("__val"))
+    l.join(r, Seq("__chunk", "__val"))
+      .filter(col("idA") < col("idB"))
+      .dropDuplicates("idA", "idB")
+      .withColumn("hamming", bit_count(col("simA").bitwiseXOR(col("simB"))))
+      .filter(col("hamming") <= maxDist)
+      .select("idA", "idB", "hamming")
+  }
+
+  /** Embedding near-dup pairs: cosine >= threshold. Brute pair join for
+    * bounded corpora; at scale route through Similarity.lshBuckets to
+    * bound the pair space. */
+  def embeddingNearDupPairs(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val withNorm = embeddings.select(
+      col(idCol).as("__id"), col(vecCol).as("__v"),
+      Similarity.l2norm(col(vecCol)).as("__n"))
+    val a = withNorm.select(col("__id").as("idA"), col("__v").as("vA"),
+      col("__n").as("nA"))
+    val bdf = withNorm.select(col("__id").as("idB"), col("__v").as("vB"),
+      col("__n").as("nB"))
+    a.join(bdf, col("idA") < col("idB"))
+      .withColumn("cosine",
+        round(Similarity.dot(col("vA"), col("vB")) / (col("nA") * col("nB")), 4))
+      .filter(col("cosine") >= threshold)
+      .select("idA", "idB", "cosine")
+  }
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k (exact; the oracle). Scale path:
+  * random-hyperplane LSH bucketing — signatures are a narrow per-row
+  * transform, candidate generation an equi-join on (table, bucket),
+  * so the pair space is bounded by bucket occupancy instead of |Q|x|C|.
+  * All vector math is built-in higher-order functions (zip_with /
+  * aggregate) — codegen, no UDFs, no driver collect.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
+  /** Exact top-k cosine neighbors for each query vector (brute force).
+    * Queries and corpus are both (id, vec) frames; output
+    * (query_id, neighbor_id, cosine, rank). The query side is expected
+    * to be small; Catalyst broadcasts it automatically under AQE. */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      l2norm(col(vecCol)).as("cn"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("cosine", round(col("cosine"), 4))
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Random-hyperplane signature: bit i = sign(v . plane_i), packed into
+    * a long. Deterministic planes from the seed. */
+  def hyperplaneSignature(
+      vec: Column,
+      dim: Int,
+      nPlanes: Int = 16,
+      seed: Long = 7L): Column = {
+    val rnd = new java.util.Random(seed)
+    val planes = Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val pc = array(p.map(lit): _*)
+      when(dot(vec, pc) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN top-k via multi-probe hyperplane LSH: candidates share a
+    * signature in at least one of `tables` independent hash tables;
+    * exact cosine re-ranks within candidates. Recall < 1 by design —
+    * [[bruteForceTopK]] is the exact baseline. */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      nPlanes: Int = 12,
+      tables: Int = 4,
+      seed: Long = 7L): DataFrame = {
+    def signed(df: DataFrame, side: String): DataFrame = {
+      // one signature per table, exploded to (table, bucket)
+      val sigCols = (0 until tables).map(t =>
+        struct(lit(t).as("table"),
+          hyperplaneSignature(col(vecCol), dim, nPlanes, seed + t * 1013L)
+            .as("bucket")))
+      df.select(col(idCol).as(side), col(vecCol).as(side + "_v"),
+        l2norm(col(vecCol)).as(side + "_n"),
+        explode(array(sigCols: _*)).as("tb"))
+        .select(col(side), col(side + "_v"), col(side + "_n"),
+          col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    }
+    val q = signed(queries, "query_id")
+    val c = signed(corpus, "neighbor_id")
+    val cands = q.join(c, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine",
+        cosine(col("query_id_v"), col("neighbor_id_v"),
+          col("query_id_n"), col("neighbor_id_n")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cands
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("cosine", round(col("cosine"), 4))
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+}
