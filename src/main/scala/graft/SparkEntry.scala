@@ -313,26 +313,22 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     "q_dedup_minhash" -> ((s, d) =>
-      Dedup.minhashNearDupPairs(
-        scan(s, d, "documents").toDF.filter(col("doc_id") < 10000),
-        "doc_id", "text")
+      Dedup.minhashNearDupPairs(scan(s, d, "documents").toDF, "doc_id", "text")
         .orderBy("idA", "idB")),
 
     "q_dedup_ngram" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(
-        scan(s, d, "documents").toDF.filter(col("doc_id") < 2000),
-        "doc_id", "text")
+      Dedup.ngramJaccardPairs(scan(s, d, "documents").toDF, "doc_id", "text")
         .orderBy("idA", "idB")),
 
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashNearDupPairs(
-        scan(s, d, "documents").toDF.filter(col("doc_id") < 10000),
+        scan(s, d, "documents").toDF,
         "doc_id", "text", maxDist = 3)
         .orderBy("idA", "idB")),
 
     "q_dedup_embedding" -> ((s, d) =>
       Dedup.embeddingNearDupPairs(
-        scan(s, d, "embeddings").toDF.filter(col("vec_id") < 5000),
+        scan(s, d, "embeddings").toDF.filter(col("vec_id") < 2000),
         "vec_id", "embedding", threshold = 0.9)
         .orderBy("idA", "idB")),
 
@@ -397,14 +393,19 @@ object SparkEntry {
   def oracleSql: Map[String, String] = {
     val normT =
       "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    // Word-trigram shingles: list_slice(w, i, i+2) clamps at the end
+    // exactly like Spark's slice(toks, i, 3), so short docs agree too.
     def shingleCte(filter: String) = s"""
       WITH docs AS (
-        SELECT doc_id, $normT AS t FROM documents $filter),
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+        FROM documents $filter),
       sh AS (
         SELECT doc_id,
                unnest(list_distinct(list_transform(
-                 range(1, greatest(len(t)-4, 1)+1),
-                 i -> substr(t, CAST(i AS INT), 5)))) AS s
+                 range(1, greatest(len(w)-2, 1)+1),
+                 i -> array_to_string(
+                        list_slice(w, CAST(i AS INT), CAST(i AS INT)+2),
+                        ' ')))) AS s
         FROM docs),
       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       inter AS (
@@ -567,8 +568,8 @@ object SparkEntry {
         """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id,
                   count(*) AS copies
            FROM documents GROUP BY md5(text) ORDER BY doc_id""",
-      "q_dedup_minhash" -> shingleCte("WHERE doc_id < 10000"),
-      "q_dedup_ngram" -> shingleCte("WHERE doc_id < 2000"),
+      "q_dedup_minhash" -> shingleCte(""),
+      "q_dedup_ngram" -> shingleCte(""),
       "q_dedup_embedding" ->
         """WITH scored AS (
              SELECT a.vec_id AS "idA", b.vec_id AS "idB",
@@ -582,7 +583,7 @@ object SparkEntry {
                            x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 4)
                       AS cosine
              FROM embeddings a, embeddings b
-             WHERE a.vec_id < b.vec_id AND a.vec_id < 5000 AND b.vec_id < 5000)
+             WHERE a.vec_id < b.vec_id AND a.vec_id < 2000 AND b.vec_id < 2000)
            SELECT "idA", "idB", cosine FROM scored
            WHERE cosine >= 0.9 ORDER BY "idA", "idB"""",
       "q_text_stats" ->

@@ -41,9 +41,16 @@ object Dedup {
   def shingleHashes(shingles: Column): Column =
     transform(shingles, s => xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL)))
 
+  /** Prime modulus for the permutation family (first prime > 2^32).
+    * The mod is what makes h_i a (near-)permutation — an affine map
+    * alone is monotonic, which would make every minhash select the
+    * same globally-minimal element and destroy the signature. */
+  val MinhashPrime: Long = 4294967311L
+
   /** MinHash signature (length numPerms) over a pre-hashed shingle
-    * array. h_i(S) = min over s of (a_i * h32(s) + b_i) — branch-free,
-    * codegen-friendly, no UDF, overflow-free under ANSI arithmetic. */
+    * array. h_i(S) = min over s of ((a_i * h32(s) + b_i) mod p) —
+    * branch-free, codegen-friendly, no UDF, and overflow-free under
+    * ANSI arithmetic (a < 2^30, h32 < 2^32 so a*h+b < 2^62). */
   def minhashSignature(
       hashes: Column,
       numPerms: Int = 126,
@@ -55,7 +62,8 @@ object Dedup {
       sequence(lit(0), lit(numPerms - 1)),
       i =>
         array_min(
-          transform(hashes, x => get(aCol, i) * x + get(bCol, i))))
+          transform(hashes,
+            x => pmod(get(aCol, i) * x + get(bCol, i), lit(MinhashPrime)))))
   }
 
   /** Near-duplicate pairs via MinHash + banded LSH, verified with exact
@@ -73,7 +81,7 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      shingleSize: Int = 5,
+      shingler: Column => Column = TextFunctions.wordShingles(_, 3),
       numPerms: Int = 126,
       bands: Int = 21,
       threshold: Double = 0.85,
@@ -88,7 +96,7 @@ object Dedup {
     // — and ReuseExchange shares the barrier across the self-join.
     val withShingles = docs.select(
       col(idCol).as("__id"),
-      TextFunctions.charShingles(col(textCol), shingleSize).as("__sh"))
+      shingler(col(textCol)).as("__sh"))
       .withColumn("__h", shingleHashes(col("__sh")))
       .repartition(col("__id"))
     val sig = withShingles
@@ -135,11 +143,11 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      shingleSize: Int = 5,
+      shingler: Column => Column = TextFunctions.wordShingles(_, 3),
       threshold: Double = 0.85): DataFrame = {
     val sh = docs.select(
       col(idCol).as("__id"),
-      explode(TextFunctions.charShingles(col(textCol), shingleSize)).as("__s"))
+      explode(shingler(col(textCol))).as("__s"))
     val sizes = sh.groupBy("__id").agg(count(lit(1)).as("__n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.__s") === col("b.__s") &&
@@ -227,9 +235,11 @@ object Dedup {
       idCol: String,
       vecCol: String,
       threshold: Double): DataFrame = {
+    // Barrier: norms computed once per vector, not once per pair.
     val withNorm = embeddings.select(
       col(idCol).as("__id"), col(vecCol).as("__v"),
       Similarity.l2norm(col(vecCol)).as("__n"))
+      .repartition(col("__id"))
     val a = withNorm.select(col("__id").as("idA"), col("__v").as("vA"),
       col("__n").as("nA"))
     val bdf = withNorm.select(col("__id").as("idB"), col("__v").as("vB"),

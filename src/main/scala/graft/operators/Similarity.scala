@@ -16,14 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, accumulated in double. */
+  /** Dot product of two float-array columns, accumulated in double —
+    * a custom codegen'd Catalyst expression (tight primitive loop).
+    * Bit-identical to the left-to-right higher-order-function fold it
+    * replaces, but with no per-row array allocation and no interpreted
+    * lambda calls, which matters when a pair join evaluates it millions
+    * of times. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.vecDot(a, b)
 
   def l2norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+    graft.functions.VectorExpressions.vecNorm(a)
 
   def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / (na * nb)
@@ -38,10 +41,12 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
+    // Barriers: norms computed once per vector, not once per pair
+    // (CollapseProject would otherwise inline them above the join).
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      l2norm(col(vecCol)).as("qn"))
+      l2norm(col(vecCol)).as("qn")).repartition(col("query_id"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      l2norm(col(vecCol)).as("cn"))
+      l2norm(col(vecCol)).as("cn")).repartition(col("neighbor_id"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
     val w = Window.partitionBy(col("query_id"))
@@ -94,6 +99,7 @@ object Similarity {
         explode(array(sigCols: _*)).as("tb"))
         .select(col(side), col(side + "_v"), col(side + "_n"),
           col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+        .repartition(col(side))
     }
     val q = signed(queries, "query_id")
     val c = signed(corpus, "neighbor_id")

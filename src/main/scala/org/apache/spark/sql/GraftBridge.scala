@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark 4's `private[sql]` Column<->Expression converters,
+  * the supported pattern for libraries that add custom Catalyst
+  * expressions (the public `Column(expr)` constructor was removed when
+  * Column moved to the connect-agnostic api module).
+  */
+object GraftBridge {
+  def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
