@@ -370,9 +370,11 @@ object SparkEntry {
 
     "q_ann_lsh" -> ((s, d) => {
       val emb = scan(s, d, "embeddings").toDF
+      // few planes + many tables: this corpus is near-orthogonal, so
+      // fine buckets would have ~zero recall (see PipelineOpsSpec)
       Similarity.lshTopK(
         emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
-        k = 5, dim = 64)
+        k = 5, dim = 64, nPlanes = 4, tables = 8)
         .orderBy("query_id", "rank")
     }),
 

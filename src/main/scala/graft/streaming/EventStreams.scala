@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twins of the batch event analytics
+  * (graft.operators.Events): the same logical aggregations expressed
+  * as incremental queries with watermarks and keyed state.
+  *
+  * Design: `readStream` -> narrow transforms -> windowed agg /
+  * `flatMapGroupsWithState` -> any sink. At cluster scale the state
+  * store partitions by key (user_id) across executors; watermarks bound
+  * state size, so an unbounded stream runs in bounded memory.
+  */
+object EventStreams {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Open a file-based event stream (parquet files appearing in a
+    * directory — swap for kafka/rate sources unchanged). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling-window counts with a watermark: late events beyond
+    * `lateness` are dropped and window state is reclaimed. */
+  def tumblingCounts(
+      events: DataFrame,
+      size: String = "1 hour",
+      lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), size), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding-window variant (same state bounds). */
+  def slidingCounts(
+      events: DataFrame,
+      size: String = "1 hour",
+      slide: String = "30 minutes",
+      lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), size, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"), col("n"))
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionState(
+      sessionStart: Long, lastTs: Long, nEvents: Long)
+
+  final case class SessionSummary(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long)
+
+  /** Custom keyed state: emit a session summary when a user is idle
+    * longer than `gapMinutes` (event-time sessionization via
+    * flatMapGroupsWithState with event-time timeout). The streaming
+    * analogue of Events.sessionize. */
+  def sessionSummaries(
+      events: Dataset[Event],
+      gapMinutes: Int = 30): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def fn(
+        userId: Long,
+        rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[SessionSummary] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var out = List.empty[SessionSummary]
+      var st = state.getOption.orNull
+      if (state.hasTimedOut) {
+        if (st != null)
+          out ::= SessionSummary(userId, new Timestamp(st.sessionStart),
+            new Timestamp(st.lastTs), st.nEvents)
+        state.remove()
+        st = null
+      }
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        if (st == null) st = SessionState(t, t, 1L)
+        else if (t - st.lastTs > gapMs) {
+          out ::= SessionSummary(userId, new Timestamp(st.sessionStart),
+            new Timestamp(st.lastTs), st.nEvents)
+          st = SessionState(t, t, 1L)
+        } else st = st.copy(lastTs = math.max(st.lastTs, t),
+          nEvents = st.nEvents + 1L)
+      }
+      if (st != null) {
+        state.update(st)
+        state.setTimeoutTimestamp(st.lastTs + gapMs)
+      }
+      out.reverseIterator
+    }
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{TextFunctions, VectorExpressions}
+import graft.operators.{Dedup, Events, Multimodal, Similarity}
+
+/** Training-data pipeline operators: dedup family, similarity search,
+  * text analysis, events, multimodal plumbing, vec_dot expression. */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+  def docs: DataFrame = spark.read.parquet(s"$sf/documents.parquet")
+  def emb: DataFrame = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  // ---- vec_dot custom expression ----
+
+  test("vec_dot matches the higher-order-function fold bit-for-bit") {
+    val hof = emb.select(
+      aggregate(zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("d"))
+      .collect().map(_.getDouble(0))
+    val native = emb.select(
+      VectorExpressions.vecDot(col("embedding"), col("embedding")).as("d"))
+      .collect().map(_.getDouble(0))
+    hof.zip(native).foreach { case (a, b) =>
+      assert(java.lang.Double.doubleToLongBits(a) ==
+        java.lang.Double.doubleToLongBits(b))
+    }
+  }
+
+  test("vec_dot handles nulls and length mismatches") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(1.0f), Array(2.0f, 9.0f))).toDF("a", "b")
+    val got = df.select(VectorExpressions.vecDot(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    assert(got.toSeq == Seq(32.0, 2.0))
+    val withNull = spark.createDataFrame(
+      java.util.Arrays.asList(Row(null, Seq(1.0f))),
+      StructType(Seq(
+        StructField("a", ArrayType(FloatType)),
+        StructField("b", ArrayType(FloatType)))))
+    assert(withNull.select(VectorExpressions.vecDot(col("a"), col("b")))
+      .collect()(0).isNullAt(0))
+  }
+
+  // ---- dedup family ----
+
+  test("minhash LSH finds exactly the exhaustive jaccard pairs") {
+    val exhaustive = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .orderBy("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lsh = Dedup.minhashNearDupPairs(docs, "doc_id", "text")
+      .orderBy("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(exhaustive.nonEmpty, "fixture should contain planted near-dups")
+    assert(lsh.toSeq == exhaustive.toSeq)
+  }
+
+  test("minhash signature similarity tracks jaccard") {
+    val sh = docs.limit(50).select(col("doc_id"),
+      TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      .withColumn("h", Dedup.shingleHashes(col("sh")))
+      .withColumn("sig", Dedup.minhashSignature(col("h"), 126))
+    val rows = sh.select("doc_id", "sh", "sig").collect()
+    val byId = rows.map(r => (r.getLong(0),
+      (r.getSeq[String](1).toSet, r.getSeq[Long](2)))).toMap
+    for (Seq(x, y) <- byId.keys.toSeq.sorted.take(6).combinations(2)) {
+      val (shx, sigx) = byId(x); val (shy, sigy) = byId(y)
+      val jac = shx.intersect(shy).size.toDouble / shx.union(shy).size
+      val est = sigx.zip(sigy).count { case (a, b) => a == b } / 126.0
+      assert(math.abs(jac - est) < 0.25, s"pair ($x,$y): jac=$jac est=$est")
+    }
+  }
+
+  test("exact dedup keys by content hash") {
+    val doubled = docs.select(col("doc_id"), col("text"))
+      .union(docs.select(col("doc_id") + 1000000, col("text")))
+    val out = Dedup.exactDedup(doubled, "doc_id", "text")
+    assert(out.count() == docs.count()) // every text now has 2 copies
+    assert(out.agg(sum("copies")).collect()(0).getLong(0) == 2 * docs.count())
+  }
+
+  test("simhash hamming distance small for near-dups, large for others") {
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 6)
+    val nd = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.9)
+      .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = pairs.select("idA", "idB").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // most very-near dups should be within hamming 6 of each other
+    assert(nd.nonEmpty && (nd & found).size >= nd.size / 2,
+      s"simhash found ${(nd & found).size} of ${nd.size} strong pairs")
+  }
+
+  // ---- similarity search ----
+
+  test("LSH ANN recall vs brute force top-5") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // This corpus is near-orthogonal random vectors (best cosine ~0.48),
+    // so buckets must be coarse: few planes, many tables.
+    val approx = Similarity.lshTopK(queries, emb, "vec_id", "embedding", 5, 64,
+      nPlanes = 4, tables = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"LSH recall $recall too low") // approximate by design
+  }
+
+  test("cosine is symmetric and self-similarity is 1") {
+    val a = emb.filter(col("vec_id") === 0).select(col("embedding")).collect()(0)
+      .getSeq[Float](0)
+    val self = emb.filter(col("vec_id") === 0)
+      .select((VectorExpressions.vecDot(col("embedding"), col("embedding")) /
+        (Similarity.l2norm(col("embedding")) * Similarity.l2norm(col("embedding"))))
+        .as("c")).collect()(0).getDouble(0)
+    assert(math.abs(self - 1.0) < 1e-9)
+  }
+
+  // ---- text analysis ----
+
+  test("text functions: tokens, quality, langId, fingerprint") {
+    val df = Seq(
+      "The quick brown fox jumps over the lazy dog.",
+      "der hund und die katze sind nicht da",
+      "  spaced    out   ").toDF("text")
+    val out = df.select(
+      TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.langId(col("text")).as("lang"),
+      TextFunctions.fingerprint(col("text")).as("fp"),
+      TextFunctions.qualityScore(col("text")).as("q")).collect()
+    assert(out(0).getInt(0) == 9)
+    assert(out(0).getString(1) == "en")
+    assert(out(1).getString(1) == "de")
+    assert(out(2).getInt(0) == 2)
+    assert(out.forall(_.getString(2).length == 32))
+    assert(out.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
+
+  test("word shingles respect boundaries") {
+    val out = Seq("a b c d", "a b", "x").toDF("t")
+      .select(TextFunctions.wordShingles(col("t"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(out(0) == List("a b c", "b c d"))
+    assert(out(1) == List("a b"))
+    assert(out(2) == List("x"))
+  }
+
+  // ---- multimodal plumbing ----
+
+  test("multimodal payload roundtrip with stub decode") {
+    val withPayload = Multimodal.attachPayload(docs.limit(20), "doc_id", "text")
+    assert(withPayload.schema("payload").dataType == BinaryType)
+    val feats = Multimodal.decodeStub(withPayload, "doc_id")
+    val row = feats.orderBy("doc_id").collect()(0)
+    val txt = docs.orderBy("doc_id").collect()(0).getAs[String]("text")
+    assert(row.getAs[Int]("n_bytes") == txt.getBytes("UTF-8").length)
+    assert(row.getAs[Double]("mean_byte") > 0)
+    assert(row.getAs[String]("head_hex").length == 16)
+  }
+
+  // ---- events (batch) ----
+
+  test("sessionization counts sessions per user deterministically") {
+    val ev = Seq(
+      (1L, ts("2024-01-01T10:00:00"), 7L, "click", 1.0, ""),
+      (2L, ts("2024-01-01T10:10:00"), 7L, "click", 1.0, ""),
+      (3L, ts("2024-01-01T11:30:00"), 7L, "view", 1.0, ""),
+      (4L, ts("2024-01-01T10:00:00"), 8L, "view", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.sessionStats(ev, 30).orderBy("user_id").collect()
+    assert(out(0).getLong(0) == 7L && out(0).getLong(1) == 2L)
+    assert(out(1).getLong(0) == 8L && out(1).getLong(1) == 1L)
+  }
+
+  private def ts(s: String) =
+    java.sql.Timestamp.from(java.time.Instant.parse(s + "Z"))
+}

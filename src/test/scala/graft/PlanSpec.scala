@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.PDataset
+import Fixtures._
+
+/** Physical-plan assertions: the operators must not only be correct
+  * but produce the plans you'd want at 100 TB — pruned scans, pushed
+  * filters, partial aggregation, broadcast for small sides, and
+  * whole-stage codegen over the hot expressions. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val sf = "/root/testdata/sf0.001"
+
+  lazy val persisted: PDataset = {
+    val out = tempDir("graft-plan") + "/li.parquet"
+    PDataset.scanParquet(spark, s"$sf/lineitem.parquet")
+      .reindex(Seq("l_shipdate"))
+      .repartition(800)
+      .writeParquet(out)
+  }
+
+  test("slice reads only overlapping partition files (driver pruning)") {
+    val total = persisted.npartitions
+    val lo = persisted.lowerBounds.get(2)
+    val sliced = persisted.slice(lo, null)
+    val filesRead = sliced.toDF.select(input_file_name()).distinct().count()
+    assert(filesRead == total - 2, s"read $filesRead files of $total")
+    assert(sliced.npartitions == total - 2)
+  }
+
+  test("slice residual filter is pushed down to the parquet scan") {
+    val lo = persisted.lowerBounds.get(1)
+    val mid: Seq[Option[Any]] = Vector(Some(
+      lo.head.get.asInstanceOf[java.time.LocalDateTime].plusDays(3)))
+    val sliced = persisted.slice(mid, null)
+    val plan = sliced.toDF.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"expected pushed >= filter in:\n$plan")
+  }
+
+  test("interior partitions carry no residual filter (metadata elision)") {
+    // slicing exactly on a partition boundary: no Filter node at all
+    val lo = persisted.lowerBounds.get(1)
+    val sliced = persisted.slice(lo, null)
+    val plan = sliced.toDF.queryExecution.executedPlan.toString
+    assert(!plan.contains("+- Filter") && !plan.contains(") Filter") &&
+      plan.contains("PushedFilters: []"),
+      s"expected filter-free plan:\n$plan")
+  }
+
+  test("aggregation plans partial (map-side) + final HashAggregate") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag").agg(sum("l_quantity"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum"), plan)
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+  }
+
+  test("star join broadcasts the small dimension side") {
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val j = o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").count()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("column pruning reaches the scan (ReadSchema subset)") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity").filter(col("l_quantity") > 30)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      plan)
+  }
+
+  test("vec_dot participates in whole-stage codegen") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val df = emb.select(graft.functions.VectorExpressions
+      .vecDot(col("embedding"), col("embedding")).as("d"))
+    df.collect() // materialize so codegen spans are decided
+    val plan = df.queryExecution.executedPlan.toString
+    // codegen spans render as "*(n) Project [... vec_dot ...]"
+    assert("""\*\(\d+\) Project \[vec_dot""".r.findFirstIn(plan).isDefined,
+      plan)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+
+/** Structured Streaming: file source -> watermarked windowed agg /
+  * stateful sessionization -> memory sink, driven synchronously and
+  * cross-checked against the batch twins. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Events with ts as TimestampType (micros) staged into a stream dir. */
+  lazy val streamDir: String = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    ev.coalesce(2).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  def batchEvents = spark.read.parquet(streamDir)
+
+  test("streaming tumbling counts equal the batch aggregation") {
+    val q = EventStreams
+      .tumblingCounts(EventStreams.readEventStream(spark, streamDir))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_tumbling").start()
+    try {
+      q.processAllAvailable()
+      // append mode only emits closed windows; re-run after watermark
+      // passes by just comparing the complete-mode equivalent:
+    } finally q.stop()
+
+    val qc = EventStreams
+      .tumblingCounts(EventStreams.readEventStream(spark, streamDir))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("stream_tumbling_c").start()
+    try {
+      qc.processAllAvailable()
+      val streamed = spark.table("stream_tumbling_c")
+        .orderBy("window_start", "event_type").collect()
+      val batch = batchEvents
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy("window_start", "event_type").collect()
+      assert(streamed.length == batch.length && streamed.length > 0)
+      streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+    } finally qc.stop()
+  }
+
+  test("stateful sessionization emits closed sessions") {
+    val events = batchEvents
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Event]
+    // batch twin for expected session count (closed sessions only --
+    // the final open session per user is withheld until timeout)
+    val batchSessions = graft.operators.Events
+      .sessionStats(batchEvents, 30)
+      .agg(sum("n_sessions")).collect()(0).getLong(0)
+
+    val streamIn = EventStreams.readEventStream(spark, streamDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Event]
+    val q = EventStreams.sessionSummaries(streamIn, 30)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_sessions").start()
+    try {
+      q.processAllAvailable()
+      val emitted = spark.table("stream_sessions").count()
+      val users = batchEvents.select("user_id").distinct().count()
+      // all sessions except at most one open session per user
+      assert(emitted >= batchSessions - users && emitted <= batchSessions,
+        s"emitted $emitted of $batchSessions sessions ($users users)")
+    } finally q.stop()
+  }
+}
