@@ -73,14 +73,12 @@ object TextFunctions {
         i => t.substr(i, lit(k))))
   }
 
-  /** Word n-gram shingles (distinct), joined by a single space. */
-  def wordShingles(c: Column, n: Int = 3): Column = {
-    val toks = tokens(lower(c))
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
+  /** Word n-gram shingles (distinct, first-occurrence order), joined by
+    * a single space. Implemented as a custom expression — the
+    * equivalent `array_distinct(transform(..., slice/concat_ws))` tree
+    * evaluates interpreted at ~0.8 ms/row (see ShingleExpressions). */
+  def wordShingles(c: Column, n: Int = 3): Column =
+    ShingleExpressions.wordShingles(c, n)
 
   /** Marker-based language-ID score: how many of the language's marker
     * words occur as tokens. Pure token-set arithmetic = oracle-able. */

@@ -49,22 +49,17 @@ object Dedup {
 
   /** MinHash signature (length numPerms) over a pre-hashed shingle
     * array. h_i(S) = min over s of ((a_i * h32(s) + b_i) mod p) —
-    * branch-free, codegen-friendly, no UDF, and overflow-free under
-    * ANSI arithmetic (a < 2^30, h32 < 2^32 so a*h+b < 2^62). */
+    * overflow-free under ANSI arithmetic (a < 2^30, h32 < 2^32 so
+    * a*h+b < 2^62). Implemented as a custom codegen expression
+    * (graft.functions.MinHashSigExpr): the equivalent nested
+    * `transform`/`array_min` pipeline evaluates interpreted and
+    * recomputes its child per permutation. */
   def minhashSignature(
       hashes: Column,
       numPerms: Int = 126,
-      seed: Long = 42L): Column = {
-    val (as, bs) = permParams(numPerms, seed)
-    val aCol = array(as.map(lit): _*)
-    val bCol = array(bs.map(lit): _*)
-    transform(
-      sequence(lit(0), lit(numPerms - 1)),
-      i =>
-        array_min(
-          transform(hashes,
-            x => pmod(get(aCol, i) * x + get(bCol, i), lit(MinhashPrime)))))
-  }
+      seed: Long = 42L): Column =
+    graft.functions.SketchExpressions.minhashSig(
+      hashes, numPerms, seed, MinhashPrime)
 
   /** Near-duplicate pairs via MinHash + banded LSH, verified with exact
     * shingle-set Jaccard. Returns (idA, idB, jaccard) with idA < idB and
@@ -88,19 +83,16 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     require(numPerms % bands == 0, "numPerms must be divisible by bands")
     val rows = numPerms / bands
-    // CollapseProject inlines withColumn aliases into lambda bodies, so
-    // an expression referenced inside a k-iteration higher-order
-    // function is recomputed k times at runtime. Exchange barriers
-    // (repartition) pin each stage's output: shingle hashes are
-    // computed once (not x numPerms), the signature once (not x bands)
-    // — and ReuseExchange shares the barrier across the self-join.
     val withShingles = docs.select(
       col(idCol).as("__id"),
       shingler(col(textCol)).as("__sh"))
-      .withColumn("__h", shingleHashes(col("__sh")))
-      .repartition(col("__id"))
+    // One exchange barrier after the signature: the band explode
+    // references __sig in a 21-iteration lambda, and CollapseProject
+    // would otherwise inline (= recompute) it per band. The signature
+    // itself is a single codegen expression evaluating its child once.
     val sig = withShingles
-      .select(col("__id"), minhashSignature(col("__h"), numPerms, seed).as("__sig"))
+      .select(col("__id"),
+        minhashSignature(shingleHashes(col("__sh")), numPerms, seed).as("__sig"))
       .repartition(col("__id"))
     // Band buckets WITHOUT the shingle payload: the bucket join only
     // shuffles (id, band, bucket) rows, never the arrays.
@@ -135,33 +127,46 @@ object Dedup {
       .select(col("idA"), col("idB"), col("jaccard"))
   }
 
-  /** Exhaustive n-gram Jaccard pairs (the oracle-shaped variant): an
-    * inverted-index join on shingles — shuffle keyed by shingle, never
-    * a cross join. Use for modest corpora or as the verifier behind
-    * LSH candidates at scale. */
+  /** EXACT n-gram Jaccard pairs via prefix filtering (the PPJoin
+    * principle): under a global canonical shingle order (ascending
+    * document frequency, then value), two sets with |A∩B| >= ceil(t|A|)
+    * must share an element within their prefixes of length
+    * |X| - ceil(t|X|) + 1 — pigeonhole, no recall loss. Only prefixes
+    * (the ~ (1-t) rarest shingles per doc) are indexed, so the
+    * inverted-index join never touches stop-shingle buckets; exact
+    * Jaccard is then verified on candidate pairs only. Same result set
+    * as an exhaustive O(N^2) scan, shuffle-bounded at 100 TB scale. */
   def ngramJaccardPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       shingler: Column => Column = TextFunctions.wordShingles(_, 3),
       threshold: Double = 0.85): DataFrame = {
-    val sh = docs.select(
-      col(idCol).as("__id"),
-      explode(shingler(col(textCol))).as("__s"))
-    val sizes = sh.groupBy("__id").agg(count(lit(1)).as("__n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.__s") === col("b.__s") &&
-        col("a.__id") < col("b.__id"))
-      .groupBy(col("a.__id").as("idA"), col("b.__id").as("idB"))
-      .agg(count(lit(1)).as("__i"))
-    inter
-      .join(sizes.withColumnRenamed("__id", "idA").withColumnRenamed("__n", "__na"), "idA")
-      .join(sizes.withColumnRenamed("__id", "idB").withColumnRenamed("__n", "__nb"), "idB")
-      .withColumn("jaccard",
-        round(col("__i").cast("double") /
-          (col("__na") + col("__nb") - col("__i")).cast("double"), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("idA", "idB", "jaccard")
+    import org.apache.spark.sql.expressions.Window
+    val withShingles = docs.select(
+      col(idCol).as("__id"), shingler(col(textCol)).as("__sh"))
+      .repartition(col("__id"))
+    // __n comes from the (distinct) shingle array itself — no second
+    // window pass; dfreq is small and broadcast, so the only shuffles
+    // are the df aggregate and the per-doc rarity sort.
+    val sh = withShingles.select(col("__id"), size(col("__sh")).as("__n"),
+      explode(col("__sh")).as("__s"))
+    val dfreq = sh.groupBy("__s").agg(count(lit(1)).as("__df"))
+    val byRarity = Window.partitionBy(col("__id"))
+      .orderBy(col("__df"), col("__s"))
+    val prefix = sh
+      .join(broadcast(dfreq), "__s")
+      .withColumn("__rn", row_number().over(byRarity))
+      .filter(col("__rn") <= col("__n") - ceil(col("__n") * threshold) + 1)
+      .select("__id", "__s")
+    val candidates = prefix.select(col("__id").as("idA"), col("__s"))
+      .join(prefix.select(col("__id").as("idB"), col("__s")), "__s")
+      .filter(col("idA") < col("idB"))
+      .select("idA", "idB")
+      .dropDuplicates("idA", "idB")
+    val shA = withShingles.select(col("__id").as("idA"), col("__sh").as("shA"))
+    val shB = withShingles.select(col("__id").as("idB"), col("__sh").as("shB"))
+    verifyJaccard(candidates.join(shA, "idA").join(shB, "idB"), threshold)
   }
 
   /** Token xxhash64 array for SimHash — materialize once (withColumn)
@@ -169,27 +174,11 @@ object Dedup {
   def tokenHashes(textCol: Column): Column =
     transform(TextFunctions.tokens(lower(textCol)), t => xxhash64(t))
 
-  /** Per-bit set counts for SimHash over a pre-hashed token array
-    * (array of 64 ints). Materialize behind a barrier before packing. */
-  def simhashBitSums(hashes: Column): Column =
-    transform(
-      sequence(lit(0), lit(63)),
-      i =>
-        aggregate(hashes, lit(0),
-          (acc, h) =>
-            acc + call_function("shiftrightunsigned", h, i)
-              .bitwiseAND(lit(1L)).cast("int")))
-
-  /** Pack majority bits into the 64-bit SimHash fingerprint. */
-  def simhashPack(bitSums: Column, nTokens: Column): Column =
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, i) =>
-        acc.bitwiseOR(
-          when(get(bitSums, i) * 2 > nTokens,
-            call_function("shiftleft", lit(1L), i))
-            .otherwise(lit(0L))))
+  /** 64-bit SimHash fingerprint over a pre-hashed token array: bit i
+    * set iff more than half the tokens have bit i set (codegen
+    * expression — see graft.functions.SimHash64Expr). */
+  def simhash64(hashes: Column): Column =
+    graft.functions.SketchExpressions.simhash64(hashes)
 
   /** SimHash near-dup candidate pairs: hamming distance <= maxDist,
     * blocked by 4 16-bit chunks (a pair within distance 3 must agree on
@@ -200,15 +189,12 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxDist: Int = 3): DataFrame = {
-    // Same exchange-barrier pattern as minhash: token hashes computed
-    // once (not x64 bits), bit sums once (not x64 in the pack loop).
+    // The codegen expression evaluates its token-hash child once; the
+    // barrier pins __sim before the 4-chunk explode references it.
     val withSim = docs
-      .select(col(idCol).as("__id"), tokenHashes(col(textCol)).as("__th"))
+      .select(col(idCol).as("__id"),
+        simhash64(tokenHashes(col(textCol))).as("__sim"))
       .repartition(col("__id"))
-      .select(col("__id"), simhashBitSums(col("__th")).as("__bits"),
-        size(col("__th")).as("__n"))
-      .repartition(col("__id"))
-      .select(col("__id"), simhashPack(col("__bits"), col("__n")).as("__sim"))
     val chunked = withSim.select(
       col("__id"), col("__sim"),
       posexplode(transform(sequence(lit(0), lit(3)),
