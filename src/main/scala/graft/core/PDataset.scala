@@ -98,10 +98,11 @@ final class PDataset private[core] (
   }
 
   private def partDF(p: Part): DataFrame = p match {
-    case FilePart(file, filters) =>
-      var reader = spark.read
+    case FilePart(file, filters, fmt) =>
+      var reader = spark.read.format(fmt)
       schemaOpt.foreach(s => reader = reader.schema(s))
-      filters.foldLeft(reader.parquet(file))(_.filter(_))
+      if (fmt == "csv") reader = reader.option("header", "true")
+      filters.foldLeft(reader.load(file))(_.filter(_))
     case LazyPart(thunk) => thunk()
   }
 
@@ -123,15 +124,20 @@ final class PDataset private[core] (
         java.util.Collections.emptyList[Row](), schemaOpt.get)
     val pieces = ArrayBuffer.empty[DataFrame]
     val run = ArrayBuffer.empty[String]
+    var runFmt = "parquet"
     def flushRun(): Unit = if (run.nonEmpty) {
-      var reader = spark.read
+      var reader = spark.read.format(runFmt)
       schemaOpt.foreach(s => reader = reader.schema(s))
-      pieces += reader.parquet(run.toSeq: _*)
+      if (runFmt == "csv") reader = reader.option("header", "true")
+      pieces += reader.load(run.toSeq: _*)
       run.clear()
     }
     parts.foreach {
-      case FilePart(f, Nil) => run += f
-      case p                => flushRun(); pieces += partDF(p)
+      case FilePart(f, Nil, fmt) =>
+        if (run.nonEmpty && fmt != runFmt) flushRun()
+        runFmt = fmt
+        run += f
+      case p => flushRun(); pieces += partDF(p)
     }
     flushRun()
     pieces.reduceLeft(_.union(_))
@@ -192,8 +198,8 @@ final class PDataset private[core] (
       return new PDataset(spark, parts, newCols, sizesOpt, None, None, schemaOpt)
 
     val stats: IndexedSeq[PartStats] = allPlainFiles match {
-      case Some(files) =>
-        val byFile = Stats.forFiles(spark, files, newCols, schemaOpt)
+      case Some((files, fmt)) =>
+        val byFile = Stats.forFiles(spark, files, newCols, schemaOpt, fmt)
         files.map { f =>
           byFile.getOrElse(PDataset.baseName(f), PartStats(0L, null, null))
         }.toVector
@@ -214,9 +220,11 @@ final class PDataset private[core] (
 
   /** All partitions that are plain single-file reads (no residual
     * filters) — enables single-job stats and merged scans. */
-  private def allPlainFiles: Option[IndexedSeq[String]] = {
-    val fs = parts.collect { case FilePart(f, Nil) => f }
-    if (fs.length == parts.length) Some(fs.toVector) else None
+  private def allPlainFiles: Option[(IndexedSeq[String], String)] = {
+    val fs = parts.collect { case FilePart(f, Nil, fmt) => (f, fmt) }
+    if (fs.length == parts.length && fs.map(_._2).distinct.length <= 1)
+      Some((fs.map(_._1).toVector, fs.headOption.map(_._2).getOrElse("parquet")))
+    else None
   }
 
   // ---- slice ----
@@ -335,7 +343,7 @@ final class PDataset private[core] (
         }
       }
       parts(p) match {
-        case FilePart(f, fs) => FilePart(f, fs ++ filters.toList)
+        case FilePart(f, fs, fmt) => FilePart(f, fs ++ filters.toList, fmt)
         case lp: LazyPart =>
           if (filters.isEmpty) lp
           else {
@@ -445,7 +453,7 @@ final class PDataset private[core] (
     val self = this
     val newParts: IndexedSeq[Part] = batches.map { batch =>
       val members = batch.map(parts)
-      val plainFiles = members.collect { case FilePart(f, Nil) => f }
+      val plainFiles = members.collect { case FilePart(f, Nil, "parquet") => f }
       if (plainFiles.length == members.length && plainFiles.nonEmpty) {
         // One multi-file scan per batch — single relation, no union.
         LazyPart { () =>
@@ -812,8 +820,8 @@ final class PDataset private[core] (
 object PDataset {
 
   private[core] sealed trait Part
-  private[core] final case class FilePart(file: String, filters: List[Column])
-      extends Part
+  private[core] final case class FilePart(file: String, filters: List[Column],
+      fmt: String = "parquet") extends Part
   private[core] final case class LazyPart(thunk: () => DataFrame) extends Part
 
   private[core] final case class FastWritePlan(
@@ -854,6 +862,40 @@ object PDataset {
         Seq.empty, None, None, None, None)
     } else
       throw new java.io.FileNotFoundException(path)
+  }
+
+  /** Open a directory of CSV files (or a bare file), one partition per
+    * file — the same wrapper (and the same pruning/stats machinery) as
+    * [[scanParquet]] over a different leaf format. A schema keeps
+    * per-partition typing deterministic; pass null to infer once. */
+  def scanCsv(spark: SparkSession, path: String, schema: StructType = null): PDataset =
+    scanFlat(spark, path, "csv", Option(schema))
+
+  /** JSON-lines variant of [[scanCsv]]. */
+  def scanJson(spark: SparkSession, path: String, schema: StructType = null): PDataset =
+    scanFlat(spark, path, "json", Option(schema))
+
+  private def scanFlat(
+      spark: SparkSession,
+      path: String,
+      fmt: String,
+      schemaOpt: Option[StructType]): PDataset = {
+    val p = Paths.get(path)
+    val files: IndexedSeq[String] =
+      if (Files.isDirectory(p))
+        Files.list(p).toArray.map(_.toString)
+          .filter(_.endsWith("." + fmt)).sorted.toVector
+      else if (Files.isRegularFile(p)) Vector(path)
+      else throw new java.io.FileNotFoundException(path)
+    if (files.isEmpty)
+      throw new java.io.FileNotFoundException(s"No files matching $path/*.$fmt")
+    val schema = schemaOpt.getOrElse {
+      var reader = spark.read.format(fmt).option("inferSchema", "true")
+      if (fmt == "csv") reader = reader.option("header", "true")
+      reader.load(files: _*).schema
+    }
+    new PDataset(spark, files.map(f => FilePart(f, Nil, fmt): Part),
+      Seq.empty, None, None, None, Some(schema))
   }
 
   /** Wrap a DataFrame as a single-partition dataset; size/bounds/schema

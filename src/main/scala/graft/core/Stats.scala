@@ -67,12 +67,14 @@ object Stats {
       spark: SparkSession,
       files: Seq[String],
       indexCols: Seq[String],
-      schemaHint: Option[StructType]): Map[String, PartStats] = {
+      schemaHint: Option[StructType],
+      format: String = "parquet"): Map[String, PartStats] = {
     if (files.isEmpty) return Map.empty
     val n = indexCols.length
-    var reader = spark.read
+    var reader = spark.read.format(format)
     schemaHint.foreach(s => reader = reader.schema(s))
-    val df = reader.parquet(files: _*)
+    if (format == "csv") reader = reader.option("header", "true")
+    val df = reader.load(files: _*)
     val projected =
       if (indexCols.isEmpty) df.select(input_file_name().as("__graft_file"))
       else df.select(

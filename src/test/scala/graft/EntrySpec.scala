@@ -1,0 +1,20 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver's smoke contract: entry returns rows > 0 on sf0.001. */
+class EntrySpec extends AnyFunSuite {
+  test("SparkEntry.entry returns rows") {
+    val n = SparkEntry.entry(TestSpark.spark).count()
+    assert(n > 0, s"entry returned $n rows")
+  }
+
+  test("every query has either an oracle or a documented rows-only gap") {
+    val qs = SparkEntry.queries.keySet
+    val oracles = SparkEntry.oracleSql.keySet
+    assert(oracles.subsetOf(qs), s"orphan oracles: ${oracles -- qs}")
+    val rowsOnly = qs -- oracles
+    // engine-specific hash families: exact SQL replication impossible
+    assert(rowsOnly == Set("q_dedup_simhash", "q_ann_lsh"), rowsOnly.toString)
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL surface of the custom expressions. */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = TestSpark.spark
+    GraftExtensions.register(s)
+    s
+  }
+
+  test("vec_dot is callable from SQL") {
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .collect()(0).getDouble(0)
+    assert(r == 32.0)
+  }
+
+  test("word_shingles and minhash_sig compose in SQL") {
+    val r = spark.sql(
+      """SELECT minhash_sig(
+           transform(word_shingles('a b c d e', 3),
+             s -> xxhash64(s) & 4294967295),
+           8, 42) AS sig""").collect()(0).getSeq[Long](0)
+    assert(r.length == 8 && r.forall(_ >= 0))
+  }
+
+  test("simhash64 from SQL") {
+    val r = spark.sql(
+      """SELECT simhash64(transform(split('a b c', ' '), t -> xxhash64(t)))
+         AS h""").collect()(0).getLong(0)
+    val r2 = spark.sql(
+      """SELECT simhash64(transform(split('a b c', ' '), t -> xxhash64(t)))
+         AS h""").collect()(0).getLong(0)
+    assert(r == r2)
+  }
+}
