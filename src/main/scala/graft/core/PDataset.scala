@@ -550,6 +550,14 @@ final class PDataset private[core] (
       } else groupUbs(groupUbs.length - 1) = values(i)._1
       groupSizes(groupSizes.length - 1) += values(i)._2
     }
+    // All-empty data (e.g. every row filtered upstream): one partition
+    // covering the full range, stats unknown.
+    if (groupLbs.isEmpty) {
+      val self = base
+      return new PDataset(spark,
+        Vector(LazyPart(() => self.toDF): Part), cols,
+        None, None, None, base.schemaOpt)
+    }
     val divisions = groupLbs.toVector.tail
     val exact = samplesPerPartition == rowsPerPartition
     val nparts = divisions.length + 1

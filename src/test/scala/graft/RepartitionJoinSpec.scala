@@ -63,6 +63,25 @@ class RepartitionJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("repartition of an all-empty (but partitioned) dataset survives") {
+    val empty = indexed.mapPartitionsP(df => df.filter(lit(false)),
+      preserves = "none").reindex(Seq("hour"), collectStats = false)
+    // bounds unknown -> declare via a no-stats reindex, then repartition
+    val filtered = indexed.slice(b(dt("2030-01-01")), null) // prunes all
+    assert(filtered.npartitions == 0)
+    val rp = filtered // 0-partition dataset: repartition is identity
+      .repartition(10)
+    assert(rp.npartitions == 0)
+  }
+
+  test("repartition when every row is filtered upstream gives one empty partition") {
+    val noRows = indexed.mapPartitionsP(df => df.filter(lit(false)),
+      preserves = "bounds")
+    val rp = noRows.repartition(10, Seq("hour"))
+    assert(rp.npartitions == 1)
+    assert(rp.toDF.count() == 0)
+  }
+
   test("sample_fraction < 1 leaves stats unknown but partitions correct") {
     val rp = indexed.repartition(30, sampleFraction = 0.5)
     assert(!rp.knownSizes)
