@@ -110,10 +110,15 @@ object Dedup {
       .select("idA", "idB")
       .dropDuplicates("idA", "idB")
 
-    // Rejoin the (small) candidate set against the shingle arrays.
+    // Rejoin the candidate set against the shingle arrays; the per-doc
+    // array table is the small, broadcastable side (candidates can be
+    // large), so hint broadcast to avoid sorting candidate pairs with
+    // array payloads through an SMJ.
     val shA = withShingles.select(col("__id").as("idA"), col("__sh").as("shA"))
     val shB = withShingles.select(col("__id").as("idB"), col("__sh").as("shB"))
-    verifyJaccard(candidates.join(shA, "idA").join(shB, "idB"), threshold)
+    verifyJaccard(
+      candidates.join(broadcast(shA), "idA").join(broadcast(shB), "idB"),
+      threshold)
   }
 
   /** Exact Jaccard over candidate pairs carrying their shingle arrays. */
@@ -166,7 +171,9 @@ object Dedup {
       .dropDuplicates("idA", "idB")
     val shA = withShingles.select(col("__id").as("idA"), col("__sh").as("shA"))
     val shB = withShingles.select(col("__id").as("idB"), col("__sh").as("shB"))
-    verifyJaccard(candidates.join(shA, "idA").join(shB, "idB"), threshold)
+    verifyJaccard(
+      candidates.join(broadcast(shA), "idA").join(broadcast(shB), "idB"),
+      threshold)
   }
 
   /** Token xxhash64 array for SimHash — materialize once (withColumn)
