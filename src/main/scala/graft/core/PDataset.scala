@@ -201,7 +201,7 @@ final class PDataset private[core] (
       case Some((files, fmt)) =>
         val byFile = Stats.forFiles(spark, files, newCols, schemaOpt, fmt)
         files.map { f =>
-          byFile.getOrElse(PDataset.baseName(f), PartStats(0L, null, null))
+          byFile.getOrElse(Stats.normalizePath(f), PartStats(0L, null, null))
         }.toVector
       case None => Stats.forParts(partThunks, newCols)
     }
@@ -731,8 +731,9 @@ final class PDataset private[core] (
       else {
         val paths = fileNames.map(f => Paths.get(path, f).toString)
         val byFile = Stats.forFiles(spark, paths, this.indexColumns, schemaOpt)
-        fileNames.map(f =>
-          byFile.getOrElse(f, PartStats(0L, emptyIdxBound, emptyIdxBound))).toVector
+        paths.map(p =>
+          byFile.getOrElse(Stats.normalizePath(p),
+            PartStats(0L, emptyIdxBound, emptyIdxBound))).toVector
       }
 
     // 3. Drop empty partitions (file deleted, not listed in metadata).
@@ -813,7 +814,8 @@ final class PDataset private[core] (
           val byFile = Stats.forFiles(spark,
             written.map(w => dir.resolve(w._2).toString).toSeq,
             plan.cols, plan.source.schemaOpt)
-          val sts = written.map(w => byFile(w._2))
+          val sts = written.map(w =>
+            byFile(Stats.normalizePath(dir.resolve(w._2).toString)))
           (sts.map(_.size), sts.map(_.lb), sts.map(_.ub))
         }
       val schema = plan.source.schemaOpt.getOrElse(plan.source(0).schema)
@@ -970,8 +972,9 @@ object PDataset {
       throw new java.io.FileNotFoundException(
         s"No files matching pattern $path/*.parquet")
     val byFile = Stats.forFiles(spark, files, indexColumns, None)
-    val kept = files.map(baseNameOf).filter(byFile.contains)
-    val stats = kept.map(byFile)
+    val keptFull = files.filter(f => byFile.contains(Stats.normalizePath(f)))
+    val kept = keptFull.map(baseNameOf)
+    val stats = keptFull.map(f => byFile(Stats.normalizePath(f)))
     val schema = spark.read.parquet(files.head).schema
     Sidecar.write(spark, path, indexColumns, kept, stats.map(_.size),
       stats.map(_.lb), stats.map(_.ub), kept.length - 1L, schema)

@@ -60,8 +60,10 @@ object Stats {
 
   /** Stats for many parquet files in ONE job: read them as a single
     * relation, track running stats per file inside each task, reduce on
-    * the driver. Keyed by file basename (callers operate within one
-    * directory). Files yielding no rows are absent from the result.
+    * the driver. Keyed by NORMALIZED FULL PATH (see [[normalizePath]]) —
+    * basenames collide after `concat` of two persisted datasets, whose
+    * part files share names across directories. Files yielding no rows
+    * are absent from the result.
     */
   def forFiles(
       spark: SparkSession,
@@ -81,10 +83,12 @@ object Stats {
         (input_file_name().as("__graft_file") +: indexCols.map(col)): _*)
     val partial = projected.rdd
       .mapPartitions { it =>
+        // Accumulate by the raw input_file_name string (one canonical
+        // form per file within a job); normalize once on the driver.
         val acc = mutable.HashMap.empty[String, (Long, Bound, Bound)]
         while (it.hasNext) {
           val row = it.next()
-          val fname = baseName(row.getString(0))
+          val fname = row.getString(0)
           val b: Bound =
             if (n == 0) Lex.emptyBound
             else (0 until n).map(j => Option(row.get(j + 1))).toVector
@@ -98,7 +102,8 @@ object Stats {
       }
       .collect()
     val merged = mutable.HashMap.empty[String, (Long, Bound, Bound)]
-    partial.foreach { case (f, (c, mn, mx)) =>
+    partial.foreach { case (raw, (c, mn, mx)) =>
+      val f = normalizePath(raw)
       merged.get(f) match {
         case None => merged.update(f, (c, mn, mx))
         case Some((c0, mn0, mx0)) =>
@@ -108,9 +113,20 @@ object Stats {
     merged.map { case (f, (c, mn, mx)) => f -> PartStats(c, mn, mx) }.toMap
   }
 
-  private def baseName(uriOrPath: String): String = {
-    val p = uriOrPath.lastIndexOf('/')
-    if (p < 0) uriOrPath else uriOrPath.substring(p + 1)
+  /** Canonical key for a file: plain absolute filesystem path.
+    * `input_file_name()` yields a full, possibly percent-encoded URI
+    * (`file:///a/b%20c.parquet`) while driver-side callers hold plain
+    * paths (`/a/b c.parquet`) — both normalize to the same key. */
+  def normalizePath(pathOrUri: String): String = {
+    val raw =
+      if (pathOrUri.startsWith("file:") || pathOrUri.contains("://"))
+        try {
+          val u = new java.net.URI(pathOrUri)
+          Option(u.getPath).getOrElse(pathOrUri)
+        } catch { case _: java.net.URISyntaxException => pathOrUri }
+      else pathOrUri
+    try java.nio.file.Paths.get(raw).toAbsolutePath.normalize.toString
+    catch { case _: java.nio.file.InvalidPathException => raw }
   }
 
   /** Run per-partition stats jobs concurrently (Spark schedules

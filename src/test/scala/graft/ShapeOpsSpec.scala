@@ -40,6 +40,20 @@ class ShapeOpsSpec extends AnyFunSuite {
     assert(cc.toDF.count() == 196)
   }
 
+  test("reindex after concat of same-named files keys stats by full path") {
+    // Two persisted datasets share part-file basenames; the file-grouped
+    // stats job must not merge rows from dirA/part0 and dirB/part0.
+    val dirA = tempDir("graft-concat-a"); writeDatetimeSample(spark, dirA)
+    val dirB = tempDir("graft-concat-b"); writeDatetimeSample(spark, dirB)
+    val cc = PDataset.concat(Seq(
+      PDataset.scanParquet(spark, dirA),
+      PDataset.scanParquet(spark, dirB)))
+    val ds = cc.reindex(datetimeIndexColumns)
+    assert(ds.sizes.get == (datetimeSizes ++ datetimeSizes))
+    assert(ds.sizes.get.sum == 196L)
+    checkBoundsAndSizes(ds)
+  }
+
   test("concat rejects mismatched index columns") {
     intercept[IllegalArgumentException](
       PDataset.concat(Seq(indexed, indexed.reindex(Seq("date", "hour")))))
