@@ -110,15 +110,23 @@ object Dedup {
       .select("idA", "idB")
       .dropDuplicates("idA", "idB")
 
-    // Rejoin the candidate set against the shingle arrays; the per-doc
-    // array table is the small, broadcastable side (candidates can be
-    // large), so hint broadcast to avoid sorting candidate pairs with
-    // array payloads through an SMJ.
+    verifyJaccard(rejoinShingles(candidates, withShingles), threshold)
+  }
+
+  /** Rejoin candidate pairs with both documents' shingle arrays via
+    * shuffle-hash joins keyed on id. The hint keeps the array payloads
+    * out of an SMJ sort (the point of the join strategy) WITHOUT
+    * broadcasting the unbounded per-document table — at corpus scale
+    * the doc->shingles frame is many GB, so a broadcast would OOM the
+    * driver; a hash join shuffled on id stays executor-bounded. */
+  private def rejoinShingles(
+      candidates: DataFrame,
+      withShingles: DataFrame): DataFrame = {
     val shA = withShingles.select(col("__id").as("idA"), col("__sh").as("shA"))
     val shB = withShingles.select(col("__id").as("idB"), col("__sh").as("shB"))
-    verifyJaccard(
-      candidates.join(broadcast(shA), "idA").join(broadcast(shB), "idB"),
-      threshold)
+    candidates
+      .join(shA.hint("shuffle_hash"), "idA")
+      .join(shB.hint("shuffle_hash"), "idB")
   }
 
   /** Exact Jaccard over candidate pairs carrying their shingle arrays. */
@@ -152,15 +160,17 @@ object Dedup {
       col(idCol).as("__id"), shingler(col(textCol)).as("__sh"))
       .repartition(col("__id"))
     // __n comes from the (distinct) shingle array itself — no second
-    // window pass; dfreq is small and broadcast, so the only shuffles
-    // are the df aggregate and the per-doc rarity sort.
+    // window pass. The document-frequency rank joins back shuffled on
+    // the shingle value: dfreq has one row per DISTINCT shingle, which
+    // at corpus scale is an unbounded many-GB table — broadcasting it
+    // would OOM; an equi-join on __s shuffles both sides by shingle.
     val sh = withShingles.select(col("__id"), size(col("__sh")).as("__n"),
       explode(col("__sh")).as("__s"))
     val dfreq = sh.groupBy("__s").agg(count(lit(1)).as("__df"))
     val byRarity = Window.partitionBy(col("__id"))
       .orderBy(col("__df"), col("__s"))
     val prefix = sh
-      .join(broadcast(dfreq), "__s")
+      .join(dfreq.hint("shuffle_hash"), "__s")
       .withColumn("__rn", row_number().over(byRarity))
       .filter(col("__rn") <= col("__n") - ceil(col("__n") * threshold) + 1)
       .select("__id", "__s")
@@ -169,17 +179,25 @@ object Dedup {
       .filter(col("idA") < col("idB"))
       .select("idA", "idB")
       .dropDuplicates("idA", "idB")
-    val shA = withShingles.select(col("__id").as("idA"), col("__sh").as("shA"))
-    val shB = withShingles.select(col("__id").as("idB"), col("__sh").as("shB"))
-    verifyJaccard(
-      candidates.join(broadcast(shA), "idA").join(broadcast(shB), "idB"),
-      threshold)
+    verifyJaccard(rejoinShingles(candidates, withShingles), threshold)
   }
 
-  /** Token xxhash64 array for SimHash — materialize once (withColumn)
+  /** First 64 bits of md5(s), as a signed long. The bit pattern equals
+    * DuckDB's `('0x' || substr(md5(s), 1, 16))::UBIGINT`, which makes
+    * every fingerprint built on it SQL-derivable by the oracle (xxhash64
+    * is Spark-only). Two 32-bit halves via conv keep ANSI arithmetic
+    * overflow-free; shiftleft/bitwiseOR reassemble the exact bits. */
+  def md5Hash64(s: Column): Column = {
+    val hex = md5(s)
+    val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")
+    shiftleft(hi, 32).bitwiseOR(lo)
+  }
+
+  /** Token hash array for SimHash — materialize once (withColumn)
     * before [[simhash64]], which references it 64 times. */
   def tokenHashes(textCol: Column): Column =
-    transform(TextFunctions.tokens(lower(textCol)), t => xxhash64(t))
+    transform(TextFunctions.tokens(lower(textCol)), t => md5Hash64(t))
 
   /** 64-bit SimHash fingerprint over a pre-hashed token array: bit i
     * set iff more than half the tokens have bit i set (codegen
@@ -220,15 +238,66 @@ object Dedup {
       .select("idA", "idB", "hamming")
   }
 
-  /** Embedding near-dup pairs: cosine >= threshold. Brute pair join for
-    * bounded corpora; at scale route through Similarity.lshBuckets to
-    * bound the pair space. */
+  /** Embedding near-dup pairs: cosine >= threshold, candidates from
+    * hyperplane-LSH bucketing (the same scheme as
+    * [[Similarity.lshTopK]]), verified with exact cosine — the pair
+    * space is bounded by bucket occupancy instead of N^2/2, so the
+    * plan is two equi-joins, never a nested-loop pair join.
+    *
+    * Recall: a plane splits a cosine-0.9 pair with p = acos(.9)/pi
+    * ~ .144, so a pair agrees on one 6-plane table with p ~ .39 and
+    * 16 independent tables miss it with p ~ (1-.39)^16 < 4e-4 —
+    * effectively exhaustive at the target band (spec-checked against
+    * the brute-force scan on planted near-dups). */
   def embeddingNearDupPairs(
       embeddings: DataFrame,
       idCol: String,
       vecCol: String,
+      threshold: Double,
+      dim: Int = 64,
+      nPlanes: Int = 6,
+      tables: Int = 16,
+      seed: Long = 7L): DataFrame = {
+    // Barrier: norms + signatures computed once per vector, not per pair.
+    val withNorm = embeddings.select(
+      col(idCol).as("__id"), col(vecCol).as("__v"),
+      Similarity.l2norm(col(vecCol)).as("__n"))
+      .repartition(col("__id"))
+    // (table, bucket) keys only — the vector payload never enters the
+    // candidate shuffle.
+    val sigCols = (0 until tables).map(t =>
+      struct(lit(t).as("t"),
+        Similarity.hyperplaneSignature(col("__v"), dim, nPlanes,
+          seed + t * 1013L).as("b")))
+    val banded = withNorm
+      .select(col("__id"), explode(array(sigCols: _*)).as("tb"))
+      .select(col("__id"), col("tb.t").as("__t"), col("tb.b").as("__b"))
+    val candidates = banded.select(col("__id").as("idA"), col("__t"), col("__b"))
+      .join(banded.select(col("__id").as("idB"), col("__t"), col("__b")),
+        Seq("__t", "__b"))
+      .filter(col("idA") < col("idB"))
+      .select("idA", "idB")
+      .dropDuplicates("idA", "idB")
+    val a = withNorm.select(col("__id").as("idA"), col("__v").as("vA"),
+      col("__n").as("nA"))
+    val bdf = withNorm.select(col("__id").as("idB"), col("__v").as("vB"),
+      col("__n").as("nB"))
+    candidates
+      .join(a.hint("shuffle_hash"), "idA")
+      .join(bdf.hint("shuffle_hash"), "idB")
+      .withColumn("cosine",
+        round(Similarity.dot(col("vA"), col("vB")) / (col("nA") * col("nB")), 4))
+      .filter(col("cosine") >= threshold)
+      .select("idA", "idB", "cosine")
+  }
+
+  /** Exact brute-force reference for [[embeddingNearDupPairs]] —
+    * all-pairs by construction; test/oracle use only. */
+  def embeddingNearDupPairsBrute(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
       threshold: Double): DataFrame = {
-    // Barrier: norms computed once per vector, not once per pair.
     val withNorm = embeddings.select(
       col(idCol).as("__id"), col(vecCol).as("__v"),
       Similarity.l2norm(col(vecCol)).as("__n"))

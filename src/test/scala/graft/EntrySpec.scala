@@ -9,12 +9,10 @@ class EntrySpec extends AnyFunSuite {
     assert(n > 0, s"entry returned $n rows")
   }
 
-  test("every query has either an oracle or a documented rows-only gap") {
+  test("every query has an oracle") {
     val qs = SparkEntry.queries.keySet
     val oracles = SparkEntry.oracleSql.keySet
     assert(oracles.subsetOf(qs), s"orphan oracles: ${oracles -- qs}")
-    val rowsOnly = qs -- oracles
-    // engine-specific hash families: exact SQL replication impossible
-    assert(rowsOnly == Set("q_dedup_simhash", "q_ann_lsh"), rowsOnly.toString)
+    assert(qs == oracles, s"rows-only queries: ${qs -- oracles}")
   }
 }

@@ -97,6 +97,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"simhash found ${(nd & found).size} of ${nd.size} strong pairs")
   }
 
+  test("LSH-bucketed embedding dedup matches the exhaustive pair scan") {
+    // Plant near-dups: a scaled copy of each vector has cosine exactly 1
+    // with its original; random cross pairs stay near-orthogonal.
+    val base = emb.filter(col("vec_id") < 100).select("vec_id", "embedding")
+    val perturbed = base.select((col("vec_id") + 1000).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+    val all = base.unionByName(perturbed)
+    def pairs(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = pairs(
+      Dedup.embeddingNearDupPairsBrute(all, "vec_id", "embedding", 0.9))
+    val lsh = pairs(
+      Dedup.embeddingNearDupPairs(all, "vec_id", "embedding", 0.9))
+    assert(brute.size >= 100, s"expected >=100 planted pairs, got ${brute.size}")
+    assert(lsh == brute,
+      s"missed: ${(brute -- lsh).take(5)}; extra: ${(lsh -- brute).take(5)}")
+  }
+
   // ---- similarity search ----
 
   test("LSH ANN recall vs brute force top-5") {

@@ -80,6 +80,23 @@ class PlanSpec extends AnyFunSuite {
       plan)
   }
 
+  test("embedding dedup plans bucketed equi-joins, never a pair nested-loop") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = graft.operators.Dedup
+      .embeddingNearDupPairs(emb, "vec_id", "embedding", 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("dedup verification rejoins are shuffled hash joins, not broadcasts") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.operators.Dedup
+      .minhashNearDupPairs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan)
+  }
+
   test("vec_dot participates in whole-stage codegen") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val df = emb.select(graft.functions.VectorExpressions
