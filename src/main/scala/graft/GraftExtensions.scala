@@ -30,8 +30,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  private def intArg(args: Seq[Expression], i: Int, default: Int): Int =
-    if (args.length > i) args(i).eval().asInstanceOf[Number].intValue()
+  private def foldableArg(
+      args: Seq[Expression], i: Int, fn: String, what: String): Any = {
+    val e = args(i)
+    if (!e.foldable)
+      throw new org.apache.spark.sql.AnalysisException(
+        "DATATYPE_MISMATCH.NON_FOLDABLE_INPUT",
+        Map(
+          "sqlExpr" -> s"$fn(...)",
+          "inputName" -> s"`$what`",
+          "inputType" -> "integer literal",
+          "inputExpr" -> e.sql))
+    e.eval()
+  }
+
+  private def intArg(
+      args: Seq[Expression], i: Int, default: Int,
+      fn: String, what: String): Int =
+    if (args.length > i)
+      foldableArg(args, i, fn, what).asInstanceOf[Number].intValue()
+    else default
+
+  /** Long-typed constant argument — `Number.intValue()` would silently
+    * truncate a BIGINT literal (e.g. a seed > 2^31) to 32 bits and
+    * select a different permutation family than the DataFrame API. */
+  private def longArg(
+      args: Seq[Expression], i: Int, default: Long,
+      fn: String, what: String): Long =
+    if (args.length > i)
+      foldableArg(args, i, fn, what).asInstanceOf[Number].longValue()
     else default
 
   val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
@@ -39,11 +66,14 @@ object GraftExtensions {
       (args: Seq[Expression]) => FloatVecDot(args(0), args(1))),
     ("word_shingles", "word_shingles(text, n) - distinct word n-gram shingles",
       (args: Seq[Expression]) =>
-        WordShinglesExpr(args.head, intArg(args, 1, 3))),
+        WordShinglesExpr(args.head,
+          intArg(args, 1, 3, "word_shingles", "n"))),
     ("minhash_sig", "minhash_sig(hashes, numPerms, seed) - MinHash signature",
       (args: Seq[Expression]) =>
-        MinHashSigExpr(args.head, intArg(args, 1, 126),
-          intArg(args, 2, 42).toLong, Dedup.MinhashPrime)),
+        MinHashSigExpr(args.head,
+          intArg(args, 1, 126, "minhash_sig", "numPerms"),
+          longArg(args, 2, 42L, "minhash_sig", "seed"),
+          Dedup.MinhashPrime)),
     ("simhash64", "simhash64(hashes) - 64-bit SimHash fingerprint",
       (args: Seq[Expression]) => SimHash64Expr(args.head)))
 

@@ -50,7 +50,12 @@ final class PDataset private[core] (
     private val schemaOpt: Option[StructType],
     /** Set by [[repartition]]: enables the single-shuffle write fast
       * path (reference: `repartitioned_dataset.py:246-341`). */
-    private[core] val fastWritePlan: Option[PDataset.FastWritePlan] = None) {
+    private[core] val fastWritePlan: Option[PDataset.FastWritePlan] = None,
+    /** Set by [[join]]: a whole-frame plan equivalent to the union of
+      * all partitions that [[toDF]] prefers — one Catalyst join node
+      * instead of O(npartitions) unioned per-division joins, whose plan
+      * size would bottleneck the driver at thousands of divisions. */
+    private[core] val wholeFrameOpt: Option[() => DataFrame] = None) {
 
   import PDataset._
 
@@ -118,7 +123,12 @@ final class PDataset private[core] (
     * pushdown, rowgroup skipping and whole-stage codegen apply across
     * the whole range) instead of an N-way union.
     */
-  def toDF: DataFrame = {
+  def toDF: DataFrame = wholeFrameOpt match {
+    case Some(whole) => whole()
+    case None => toDFUnion
+  }
+
+  private def toDFUnion: DataFrame = {
     if (parts.isEmpty)
       return spark.createDataFrame(
         java.util.Collections.emptyList[Row](), schemaOpt.get)
@@ -479,7 +489,10 @@ final class PDataset private[core] (
     * partition (reference `repartitioned_dataset.py:91-153`; this is
     * the same sampling idea Spark's RangePartitioner applies inside
     * `repartitionByRange`). With `sampleFraction = 1` exact sizes and
-    * bounds are known without another pass. Row mode (no index
+    * bounds are known without another pass — unless the distinct-index
+    * cardinality exceeds [[PDataset.maxHistogramEntries]], in which
+    * case planning auto-degrades to bounded sampling (stats unknown)
+    * rather than collecting an unbounded histogram. Row mode (no index
     * columns): deterministic row-count splitting across existing
     * partition boundaries (`get_row_divisions`,
     * repartitioned_dataset.py:28-74).
@@ -503,10 +516,34 @@ final class PDataset private[core] (
   private def repartitionByIndex(
       rowsPerPartition: Long,
       cols: Seq[String],
-      frac: Double,
+      fracRequested: Double,
       baseSeed: Long,
       seedIncrement: Long): PDataset = {
     val base = if (this.indexColumns == cols) this else reindex(cols)
+
+    // Guard the driver-side histogram: at frac = 1 its row count is the
+    // number of DISTINCT index tuples, which on a high-cardinality
+    // index at 100 TB would OOM the driver. Free fast path: when the
+    // driver-known row count is already under the bound, the histogram
+    // is too — no extra job. Otherwise one approx_count_distinct pass
+    // decides; above the bound, degrade to seeded sampling with the
+    // fraction sized so the SAMPLED histogram stays bounded (stats
+    // become unknown, exactly as for caller-requested sampling).
+    val totalRows: Option[Long] = base.sizes.map(_.sum)
+    val frac: Double =
+      if (fracRequested < 1.0) fracRequested
+      else if (totalRows.exists(_ <= PDataset.maxHistogramEntries)) fracRequested
+      else {
+        val est = base.toDF
+          .select(approx_count_distinct(xxhash64(cols.map(col): _*)).as("n"))
+          .collect()(0).getLong(0)
+        if (est <= PDataset.maxHistogramEntries) fracRequested
+        else {
+          val denom = math.max(totalRows.getOrElse(est), 1L)
+          math.min(1.0, math.max(
+            PDataset.maxHistogramEntries.toDouble / denom, 1e-6))
+        }
+      }
     val samplesPerPartition = math.max(1L, (frac * rowsPerPartition).toLong)
 
     // Distributed: (sample per partition) -> global groupBy(index).count.
@@ -582,7 +619,14 @@ final class PDataset private[core] (
   }
 
   /** Row-count mode: deterministic splitting by global row offset across
-    * the ordered parent partitions; no data movement at plan time. */
+    * the ordered parent partitions; no data movement at plan time.
+    *
+    * Boundary parents are sliced with [[RowSlicer]]: per-Spark-task row
+    * offsets come from ONE lightweight count job per parent (memoized
+    * across all new partitions — several new partitions usually cut the
+    * same parent), after which slicing is a narrow, fully parallel
+    * filter that skips non-overlapping tasks without reading them.
+    * No `coalesce(1)`, no single-task stage, no global counter. */
   private def repartitionByRows(rowsPerPartition: Long): PDataset = {
     val base = if (knownSizes) this else reindex()
     val szs = base.sizesOpt.get
@@ -592,10 +636,11 @@ final class PDataset private[core] (
     val newSizes = Vector.fill(divisions.length)(rowsPerPartition) :+
       (total - rowsPerPartition * divisions.length)
     val self = base
+    val slicer = new RowSlicer(base)
     val newParts: IndexedSeq[Part] = (0 until nparts).map { i =>
       val from = if (i == 0) (0, 0L) else divisions(i - 1)
       val to = if (i == nparts - 1) (szs.length - 1, -1L) else divisions(i)
-      LazyPart(() => self.rowRange(from, to)): Part
+      LazyPart(() => self.rowRange(from, to, slicer)): Part
     }.toVector
     new PDataset(spark, newParts, Seq.empty, Some(newSizes), None, None,
       base.schemaOpt)
@@ -603,15 +648,17 @@ final class PDataset private[core] (
 
   /** Rows [fromRow of partition fromPart, toRow of partition toPart);
     * toRow = -1 means "end of the last partition". */
-  private def rowRange(from: (Int, Long), to: (Int, Long)): DataFrame = {
+  private def rowRange(
+      from: (Int, Long),
+      to: (Int, Long),
+      slicer: RowSlicer): DataFrame = {
     val (fromPart, fromRow) = from
     val (toPart, toRow) = to
     val pieces = (fromPart to toPart).map { p =>
       val beg = if (p == fromPart) fromRow else 0L
       val end = if (p == toPart && toRow >= 0) toRow else Long.MaxValue
-      val df = this(p)
-      if (beg == 0L && end == Long.MaxValue) df
-      else PDataset.sliceRows(df, beg, end)
+      if (beg == 0L && end == Long.MaxValue) this(p)
+      else slicer.slice(p, beg, end)
     }
     pieces.reduceLeft(_.union(_))
   }
@@ -626,6 +673,15 @@ final class PDataset private[core] (
     * division before Catalyst joins the (small, co-ranged) slices
     * (reference: joined_dataset.py:7-85). Result stats are unknown,
     * matching the reference.
+    *
+    * [[toDF]] on the result does NOT union the per-division joins: it
+    * plans ONE Catalyst join over the whole frames — identical rows
+    * for any division count (rows with equal index tuples always share
+    * a division, and unmatched rows surface exactly once in theirs),
+    * but a constant-size plan where the union's grows O(npartitions)
+    * (thousands of join nodes at 100 TB division counts would
+    * bottleneck driver planning). Per-division semantics stay
+    * available through `ds(i)`.
     */
   def join(other: PDataset, how: String = "inner"): PDataset = {
     if (!knownBounds)
@@ -670,7 +726,9 @@ final class PDataset private[core] (
         l.join(r, idxCols, how)
       }: Part
     }.toVector
-    new PDataset(spark, newParts, idxCols, None, None, None, mergedSchema)
+    val whole = () => left.toDF.join(other.toDF, idxCols, how)
+    new PDataset(spark, newParts, idxCols, None, None, None, mergedSchema,
+      wholeFrameOpt = Some(whole))
   }
 
   // ---- write ----
@@ -827,7 +885,59 @@ final class PDataset private[core] (
   }
 }
 
+/** Parallel row-range slicing of one parent partition (the zipWithIndex
+  * pattern): a single lightweight job counts rows per Spark task, after
+  * which any [beg, end) row range is a narrow, fully parallel filter —
+  * each task knows its global start offset, tasks outside the range
+  * emit nothing without iterating, and in-range tasks skip/take by
+  * local offset. The (rdd, offsets) pair is memoized per parent so the
+  * several new partitions that cut the same parent (and concurrent
+  * writers) pay the count job once.
+  */
+private[core] final class RowSlicer(base: PDataset) {
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    Int, (org.apache.spark.rdd.RDD[Row], Array[Long])]
+
+  /** (rdd, cumulative per-task start offsets; length nTasks+1). */
+  private def indexed(p: Int): (org.apache.spark.rdd.RDD[Row], Array[Long]) =
+    memo.computeIfAbsent(p, _ => {
+      val rdd = base(p).rdd
+      val counts = rdd
+        .mapPartitionsWithIndex { (i, it) =>
+          var n = 0L
+          while (it.hasNext) { it.next(); n += 1 }
+          Iterator.single((i, n))
+        }
+        .collect().sortBy(_._1).map(_._2)
+      (rdd, counts.scanLeft(0L)(_ + _))
+    })
+
+  /** Rows [beg, end) of parent partition p, in its row order. */
+  def slice(p: Int, beg: Long, end: Long): DataFrame = {
+    val (rdd, starts) = indexed(p)
+    val schema = base.schemaOption.getOrElse(base(p).schema)
+    val sliced = rdd.mapPartitionsWithIndex { (i, it) =>
+      val off = starts(i)
+      val nxt = starts(i + 1)
+      if (nxt <= beg || off >= end) Iterator.empty
+      else {
+        var toSkip = math.max(0L, beg - off)
+        while (toSkip > 0L && it.hasNext) { it.next(); toSkip -= 1L }
+        val toTake = math.min(end, nxt) - math.max(beg, off)
+        it.take(math.min(toTake, Int.MaxValue.toLong).toInt)
+      }
+    }
+    base.spark.createDataFrame(sliced, schema)
+  }
+}
+
 object PDataset {
+
+  /** Upper bound on driver-collected histogram entries in index-mode
+    * repartitioning; above it, exact planning auto-degrades to seeded
+    * sampling (see repartitionByIndex). ~1M bound tuples is low tens
+    * of MB of driver heap. Package-visible for tests. */
+  private[graft] var maxHistogramEntries: Long = 1L << 20
 
   private[core] sealed trait Part
   private[core] final case class FilePart(file: String, filters: List[Column],
@@ -921,15 +1031,34 @@ object PDataset {
       Some(df.schema))
   }
 
+  /** [[concat]] accepting an empty list: with no datasets to borrow a
+    * session from, the session comes as an argument and the result is
+    * the reference's 0-partition, empty-schema dataset
+    * (concatenated_dataset.py:21-33) — which later concats filter out,
+    * so `concat(Seq(ds, concat(spark, Nil)))` equals `ds`. */
+  def concat(spark: SparkSession, datasets: Seq[PDataset]): PDataset =
+    if (datasets.isEmpty)
+      new PDataset(spark, Vector.empty, Seq.empty,
+        Some(Vector.empty), Some(Vector.empty), Some(Vector.empty),
+        Some(StructType(Nil)))
+    else concat(datasets)
+
   /** Concatenate datasets as partition lists — no data movement. All
-    * non-empty inputs must share index columns and schema. */
+    * non-empty inputs must share index columns and schema. Empty
+    * inputs are dropped first (their index columns and schema don't
+    * constrain the result, concatenated_dataset.py:21); an all-empty
+    * input list carries the head's schema and index columns forward so
+    * toDF/write still see the right (empty) frame. */
   def concat(datasets: Seq[PDataset]): PDataset = {
     val nonEmpty = datasets.filter(_.npartitions > 0)
     if (nonEmpty.isEmpty) {
-      require(datasets.nonEmpty, "concat of no datasets")
-      return new PDataset(datasets.head.spark, Vector.empty, Seq.empty,
+      require(datasets.nonEmpty,
+        "concat of an empty dataset list needs a session: " +
+          "use concat(spark, datasets)")
+      val head = datasets.head
+      return new PDataset(head.spark, Vector.empty, head.indexColumns,
         Some(Vector.empty), Some(Vector.empty), Some(Vector.empty),
-        Some(StructType(Nil)))
+        head.schemaOption.orElse(Some(StructType(Nil))))
     }
     val idx = nonEmpty.head.indexColumns
     require(nonEmpty.forall(_.indexColumns == idx),
@@ -1028,22 +1157,6 @@ object PDataset {
       b += rowsPerPartition
     }
     divisions.toVector
-  }
-
-  /** Rows [beg, end) of a DataFrame in its current order (used by
-    * row-mode repartition; single narrow pass, no shuffle). */
-  private[core] def sliceRows(df: DataFrame, beg: Long, end: Long): DataFrame = {
-    val spark = df.sparkSession
-    val schema = df.schema
-    val sliced = df.coalesce(1).rdd.mapPartitions { it =>
-      var i = 0L
-      it.flatMap { r =>
-        val keep = i >= beg && i < end
-        i += 1L
-        if (keep) Iterator.single(r) else Iterator.empty
-      }
-    }
-    spark.createDataFrame(sliced, schema)
   }
 
   private[core] def baseName(f: String): String = baseNameOf(f)

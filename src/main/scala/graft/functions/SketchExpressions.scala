@@ -145,6 +145,110 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 }
 
+/** All hyperplane-LSH bucket signatures of a float/double vector in one
+  * pass: output[t] packs sign bits of the vector against planes
+  * [t*nPlanes, (t+1)*nPlanes) — bit p set iff dot(v, plane) > 0, the
+  * exact arithmetic of the `when(vec_dot(v, lit_plane) > 0, 1L << p)`
+  * tree it replaces (double accumulation in ascending index order,
+  * null elements as 0), but as ONE tight generated loop instead of
+  * tables x nPlanes separate expression trees whose codegen size grows
+  * with the table count. */
+case class HyperplaneSigsExpr(
+    child: Expression,
+    planes: Array[Array[Double]],
+    nPlanes: Int) extends UnaryExpression {
+
+  require(planes.nonEmpty && planes.length % nPlanes == 0,
+    "planes count must be a positive multiple of nPlanes")
+  private def tables: Int = planes.length / nPlanes
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.FloatType, _) |
+           ArrayType(org.apache.spark.sql.types.DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_sigs needs array<float|double>, got $other")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType ==
+      org.apache.spark.sql.types.FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val fl = isFloat
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var p = 0
+      while (p < nPlanes) {
+        val pl = planes(t * nPlanes + p)
+        var acc = 0.0
+        val m = math.min(n, pl.length)
+        var i = 0
+        while (i < m) {
+          val xv =
+            if (v.isNullAt(i)) 0.0
+            else if (fl) v.getFloat(i).toDouble else v.getDouble(i)
+          acc += xv * pl(i)
+          i += 1
+        }
+        if (acc > 0) sig |= (1L << p)
+        p += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("out")
+      val n = ctx.freshName("n")
+      val t = ctx.freshName("t")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val pl = ctx.freshName("pl")
+      val acc = ctx.freshName("acc")
+      val sig = ctx.freshName("sig")
+      s"""
+        long[] $out = new long[$tables];
+        int $n = $c.numElements();
+        for (int $t = 0; $t < $tables; $t++) {
+          long $sig = 0L;
+          for (int $p = 0; $p < $nPlanes; $p++) {
+            double[] $pl = $planesRef[$t * $nPlanes + $p];
+            double $acc = 0.0;
+            int $m = java.lang.Math.min($n, $pl.length);
+            for (int $i = 0; $i < $m; $i++) {
+              double xv = $c.isNullAt($i) ? 0.0 : (double) $c.$get($i);
+              $acc += xv * $pl[$i];
+            }
+            if ($acc > 0) $sig |= (1L << $p);
+          }
+          $out[$t] = $sig;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneSigsExpr =
+    copy(child = c)
+  override def prettyName: String = "hyperplane_sigs"
+}
+
 object SketchExpressions {
   def minhashSig(hashes: Column, numPerms: Int, seed: Long, prime: Long): Column =
     GraftBridge.toColumn(
@@ -152,4 +256,9 @@ object SketchExpressions {
 
   def simhash64(hashes: Column): Column =
     GraftBridge.toColumn(SimHash64Expr(GraftBridge.toExpression(hashes)))
+
+  def hyperplaneSigs(
+      vec: Column, planes: Array[Array[Double]], nPlanes: Int): Column =
+    GraftBridge.toColumn(
+      HyperplaneSigsExpr(GraftBridge.toExpression(vec), planes, nPlanes))
 }

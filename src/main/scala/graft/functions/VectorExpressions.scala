@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, NumericType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, NumericType, ShortType}
 
 /** Native vector arithmetic over `array<float>` / `array<double>`
   * embedding columns.
@@ -60,9 +60,13 @@ case class FloatVecDot(left: Expression, right: Expression)
   }
 
   private def numAt(a: ArrayData, i: Int, t: NumericType): Double = t match {
-    case FloatType  => a.getFloat(i).toDouble
-    case DoubleType => a.getDouble(i)
-    case other      => a.get(i, other).asInstanceOf[Number].doubleValue()
+    case FloatType      => a.getFloat(i).toDouble
+    case DoubleType     => a.getDouble(i)
+    case IntegerType    => a.getInt(i).toDouble
+    case LongType       => a.getLong(i).toDouble
+    case ShortType      => a.getShort(i).toDouble
+    case ByteType       => a.getByte(i).toDouble
+    case d: DecimalType => a.getDecimal(i, d.precision, d.scale).toDouble
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -85,11 +89,20 @@ case class FloatVecDot(left: Expression, right: Expression)
     })
   }
 
+  /** Typed ArrayData accessor (the primitive getters widen under the
+    * template's `(double)` cast; Decimal converts explicitly) — covers
+    * every NumericType admitted by checkInputDataTypes, so the
+    * generated Java always compiles. */
   private def genGet(t: NumericType): String => String = t match {
-    case FloatType  => i => s"getFloat($i)"
-    case DoubleType => i => s"getDouble($i)"
-    case other =>
-      i => s"getAs($i)" // not reached for supported embedding types
+    case FloatType      => i => s"getFloat($i)"
+    case DoubleType     => i => s"getDouble($i)"
+    case IntegerType    => i => s"getInt($i)"
+    case LongType       => i => s"getLong($i)"
+    case ShortType      => i => s"getShort($i)"
+    case ByteType       => i => s"getByte($i)"
+    case d: DecimalType =>
+      i => s"getDecimal($i, ${d.precision}, ${d.scale})" +
+        ".toJavaBigDecimal().doubleValue()"
   }
 
   override protected def withNewChildrenInternal(

@@ -264,14 +264,12 @@ object Dedup {
       Similarity.l2norm(col(vecCol)).as("__n"))
       .repartition(col("__id"))
     // (table, bucket) keys only — the vector payload never enters the
-    // candidate shuffle.
-    val sigCols = (0 until tables).map(t =>
-      struct(lit(t).as("t"),
-        Similarity.hyperplaneSignature(col("__v"), dim, nPlanes,
-          seed + t * 1013L).as("b")))
-    val banded = withNorm
-      .select(col("__id"), explode(array(sigCols: _*)).as("tb"))
-      .select(col("__id"), col("tb.t").as("__t"), col("tb.b").as("__b"))
+    // candidate shuffle; all table signatures come from one codegen
+    // kernel pass over the vector.
+    val banded = withNorm.select(col("__id"),
+      posexplode(
+        Similarity.hyperplaneSigs(col("__v"), dim, nPlanes, tables, seed))
+        .as(Seq("__t", "__b")))
     val candidates = banded.select(col("__id").as("idA"), col("__t"), col("__b"))
       .join(banded.select(col("__id").as("idB"), col("__t"), col("__b")),
         Seq("__t", "__b"))

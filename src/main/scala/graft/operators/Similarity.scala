@@ -59,20 +59,43 @@ object Similarity {
   }
 
   /** Random-hyperplane signature: bit i = sign(v . plane_i), packed into
-    * a long. Deterministic planes from the seed. */
+    * a long. Deterministic planes from the seed. The definitional
+    * (composed-expression) form; hot paths use [[hyperplaneSigs]],
+    * which computes the identical values for all tables in one kernel. */
   def hyperplaneSignature(
       vec: Column,
       dim: Int,
       nPlanes: Int = 16,
       seed: Long = 7L): Column = {
-    val rnd = new java.util.Random(seed)
-    val planes = Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+    val planes = planesFor(dim, nPlanes, 1, seed)
     val bits = planes.zipWithIndex.map { case (p, i) =>
       val pc = array(p.map(lit): _*)
       when(dot(vec, pc) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  /** Deterministic Gaussian planes for `tables` independent hash
+    * tables: table t draws nPlanes x dim values from seed + t * 1013
+    * (bit-compatible with per-table [[hyperplaneSignature]] calls). */
+  private[graft] def planesFor(
+      dim: Int, nPlanes: Int, tables: Int, seed: Long): Array[Array[Double]] =
+    (0 until tables).iterator.flatMap { t =>
+      val rnd = new java.util.Random(seed + t * 1013L)
+      Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+    }.toArray
+
+  /** All `tables` bucket signatures of a vector as one array<long> —
+    * a single codegen kernel (graft.functions.HyperplaneSigsExpr)
+    * rather than tables x nPlanes composed expression trees. */
+  def hyperplaneSigs(
+      vec: Column,
+      dim: Int,
+      nPlanes: Int,
+      tables: Int,
+      seed: Long = 7L): Column =
+    graft.functions.SketchExpressions.hyperplaneSigs(
+      vec, planesFor(dim, nPlanes, tables, seed), nPlanes)
 
   /** ANN top-k via multi-probe hyperplane LSH: candidates share a
     * signature in at least one of `tables` independent hash tables;
@@ -89,16 +112,12 @@ object Similarity {
       tables: Int = 4,
       seed: Long = 7L): DataFrame = {
     def signed(df: DataFrame, side: String): DataFrame = {
-      // one signature per table, exploded to (table, bucket)
-      val sigCols = (0 until tables).map(t =>
-        struct(lit(t).as("table"),
-          hyperplaneSignature(col(vecCol), dim, nPlanes, seed + t * 1013L)
-            .as("bucket")))
+      // all per-table signatures in one kernel, exploded to
+      // (table, bucket)
       df.select(col(idCol).as(side), col(vecCol).as(side + "_v"),
         l2norm(col(vecCol)).as(side + "_n"),
-        explode(array(sigCols: _*)).as("tb"))
-        .select(col(side), col(side + "_v"), col(side + "_n"),
-          col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+        posexplode(hyperplaneSigs(col(vecCol), dim, nPlanes, tables, seed))
+          .as(Seq("table", "bucket")))
         .repartition(col(side))
     }
     val q = signed(queries, "query_id")

@@ -11,6 +11,16 @@ object GraftBridge {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Force-compile an expression's generated code (throws on janino
+    * failure instead of Spark's silent interpreted fallback) and
+    * evaluate it against one row of literal inputs — lets specs assert
+    * that doGenCode emits valid Java for every admitted input type. */
+  def compileAndEval(e: Expression): Any = {
+    val proj = org.apache.spark.sql.catalyst.expressions.codegen
+      .GenerateMutableProjection.generate(Seq(e), Nil)
+    proj(org.apache.spark.sql.catalyst.InternalRow.empty).get(0, e.dataType)
+  }
+
   /** Register a function builder on an EXISTING session (the
     * `withExtensions` path only applies at session construction). */
   def registerFunction(

@@ -26,6 +26,34 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.length == 8 && r.forall(_ >= 0))
   }
 
+  test("minhash_sig bigint seed is not truncated to 32 bits") {
+    import org.apache.spark.sql.functions.{col, lit, transform, xxhash64}
+    val seed = (1L << 40) + 42L // intValue() would truncate this to 42
+    val sql = spark.sql(
+      s"SELECT minhash_sig(array(xxhash64('a'), xxhash64('b')), 8, ${seed}L) AS s")
+      .collect()(0).getSeq[Long](0)
+    val df = spark.range(1).select(
+      graft.functions.SketchExpressions.minhashSig(
+        transform(org.apache.spark.sql.functions.array(lit("a"), lit("b")),
+          t => xxhash64(t)),
+        8, seed, graft.operators.Dedup.MinhashPrime).as("s"))
+      .collect()(0).getSeq[Long](0)
+    assert(sql == df)
+    val truncated = spark.sql(
+      "SELECT minhash_sig(array(xxhash64('a'), xxhash64('b')), 8, 42) AS s")
+      .collect()(0).getSeq[Long](0)
+    assert(sql != truncated, "bigint seed collapsed to its low 32 bits")
+  }
+
+  test("non-constant scalar args raise a clear analysis error") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        """SELECT word_shingles(t, n)
+           FROM VALUES ('a b c', 2) AS v(t, n)""").collect()
+    }
+    assert(e.getMessage.contains("foldable"), e.getMessage)
+  }
+
   test("simhash64 from SQL") {
     val r = spark.sql(
       """SELECT simhash64(transform(split('a b c', ' '), t -> xxhash64(t)))

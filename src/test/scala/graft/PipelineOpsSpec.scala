@@ -51,6 +51,26 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect()(0).isNullAt(0))
   }
 
+  test("vec_dot generates valid code for every numeric element type") {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    // GenerateMutableProjection throws on invalid generated Java (no
+    // silent interpreted fallback), so this proves each typed accessor
+    // compiles — the old getAs-based branch failed janino for int/long.
+    def dot(a: Expression, b: Expression): Double =
+      GraftBridge.compileAndEval(graft.functions.FloatVecDot(a, b))
+        .asInstanceOf[Double]
+    assert(dot(Literal.create(Array(1, 2, 3)), Literal.create(Array(4, 5, 6))) == 32.0)
+    assert(dot(Literal.create(Array(1L, 2L)), Literal.create(Array(3L, 4L))) == 11.0)
+    assert(dot(Literal.create(Array[Short](1, 2)),
+      Literal.create(Array[Short](2, 2))) == 6.0)
+    assert(dot(Literal.create(Seq(1.toByte)), Literal.create(Seq(5.toByte))) == 5.0)
+    assert(dot(Literal.create(Array(BigDecimal(1.5), BigDecimal(2.0))),
+      Literal.create(Array(BigDecimal(2.0), BigDecimal(3.0)))) == 9.0)
+    assert(dot(Literal.create(Array(1.5f, 2f)), Literal.create(Array(2f, 1f))) == 5.0)
+    assert(dot(Literal.create(Array(1.5, 2.0)), Literal.create(Array(2.0, 1.0))) == 5.0)
+  }
+
   // ---- dedup family ----
 
   test("minhash LSH finds exactly the exhaustive jaccard pairs") {
@@ -113,6 +133,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(brute.size >= 100, s"expected >=100 planted pairs, got ${brute.size}")
     assert(lsh == brute,
       s"missed: ${(brute -- lsh).take(5)}; extra: ${(lsh -- brute).take(5)}")
+  }
+
+  test("hyperplane_sigs kernel matches per-table composed signatures") {
+    val sigs = emb.limit(40).select(col("vec_id"),
+      Similarity.hyperplaneSigs(col("embedding"), 64, 6, 4, seed = 7L).as("ks"),
+      array((0 until 4).map(t =>
+        Similarity.hyperplaneSignature(col("embedding"), 64, 6, 7L + t * 1013L))
+        : _*).as("cs"))
+      .collect()
+    sigs.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"vec ${r.getLong(0)}: kernel != composed")
+    }
   }
 
   // ---- similarity search ----

@@ -63,6 +63,25 @@ class RepartitionJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("row-mode slicing stays parallel (no single-task coalesce)") {
+    val df = spark.range(0, 1000, 1, 8).select(col("id"))
+    val ds = PDataset.fromDataFrame(df).repartition(300)
+    assert(ds.npartitions == 4)
+    assert(ds.sizes.get == Vector(300L, 300L, 300L, 100L))
+    // boundary slices keep the parent's 8-task layout, not coalesce(1)
+    (0 until ds.npartitions).foreach { i =>
+      assert(ds(i).rdd.getNumPartitions == 8,
+        s"partition $i collapsed to a single task")
+    }
+    // global row order respected: partition i holds ids [300i, 300i+size)
+    (0 until ds.npartitions).foreach { i =>
+      val ids = ds(i).collect().map(_.getLong(0)).toSet
+      val lo = 300L * i
+      assert(ids == (lo until math.min(lo + 300L, 1000L)).toSet,
+        s"partition $i has wrong rows")
+    }
+  }
+
   test("repartition of an all-empty (but partitioned) dataset survives") {
     val empty = indexed.mapPartitionsP(df => df.filter(lit(false)),
       preserves = "none").reindex(Seq("hour"), collectStats = false)
@@ -80,6 +99,20 @@ class RepartitionJoinSpec extends AnyFunSuite {
     val rp = noRows.repartition(10, Seq("hour"))
     assert(rp.npartitions == 1)
     assert(rp.toDF.count() == 0)
+  }
+
+  test("high-cardinality index auto-degrades to bounded sampling") {
+    val old = PDataset.maxHistogramEntries
+    try {
+      PDataset.maxHistogramEntries = 32L
+      // "t" is near-unique (96 distinct + nulls) > 32: the exact path
+      // would collect one histogram row per distinct value; the guard
+      // must switch to sampling (stats unknown) and stay correct.
+      val rp = PDataset.scanParquet(spark, dir).reindex(Seq("t"))
+        .repartition(30)
+      assert(!rp.knownSizes, "expected degraded (sampling) planning")
+      assertSameRows(rp.toDF, indexed.toDF)
+    } finally PDataset.maxHistogramEntries = old
   }
 
   test("sample_fraction < 1 leaves stats unknown but partitions correct") {
@@ -106,18 +139,34 @@ class RepartitionJoinSpec extends AnyFunSuite {
     l.join(r, Seq("date"), how)
   }
 
+  /** Union of the per-division partitions — the division machinery
+    * itself, bypassing the whole-frame toDF fast path. */
+  def unionOfDivisions(j: PDataset) =
+    (0 until j.npartitions).map(j(_)).reduceLeft(_.union(_))
+
   test("inner join on index columns matches whole-frame join") {
     val j = leftDs.join(rightDs, "inner")
     assert(!j.knownSizes)
     assertSameRows(j.toDF, oracle("inner"))
+    assertSameRows(unionOfDivisions(j), oracle("inner"))
   }
 
   test("left join matches whole-frame join") {
-    assertSameRows(leftDs.join(rightDs, "left").toDF, oracle("left"))
+    val j = leftDs.join(rightDs, "left")
+    assertSameRows(j.toDF, oracle("left"))
+    assertSameRows(unionOfDivisions(j), oracle("left"))
   }
 
   test("full join matches whole-frame join") {
-    assertSameRows(leftDs.join(rightDs, "full").toDF, oracle("full"))
+    val j = leftDs.join(rightDs, "full")
+    assertSameRows(j.toDF, oracle("full"))
+    assertSameRows(unionOfDivisions(j), oracle("full"))
+  }
+
+  test("joined toDF plans a single join node, not per-division unions") {
+    val plan = leftDs.join(rightDs, "inner").toDF
+      .queryExecution.optimizedPlan.toString
+    assert("Join ".r.findAllIn(plan).length == 1, plan)
   }
 
   test("join rejects duplicate non-key columns and bad how") {

@@ -54,6 +54,33 @@ class ShapeOpsSpec extends AnyFunSuite {
     checkBoundsAndSizes(ds)
   }
 
+  test("concat of an empty list yields the 0-partition dataset") {
+    // reference: padawan.concat([]) (concatenated_dataset.py:21-33,
+    // tests/test_concat.py:27-39); it is transparent in later concats.
+    val empty = PDataset.concat(spark, Seq.empty)
+    assert(empty.npartitions == 0)
+    assert(empty.indexColumns.isEmpty)
+    assert(empty.sizes.get.isEmpty)
+    val ds = indexed
+    val cc = PDataset.concat(Seq(ds, empty))
+    assert(cc.npartitions == ds.npartitions)
+    assert(cc.sizes.get == ds.sizes.get)
+    assert(cc.lowerBounds.get == ds.lowerBounds.get)
+    assert(cc.toDF.count() == 98)
+  }
+
+  test("concat of only-empty datasets keeps the head's schema and index") {
+    val ds = indexed
+    val none = ds.slice(b(dt("2030-01-01")), null) // prunes every partition
+    assert(none.npartitions == 0)
+    val cc = PDataset.concat(Seq(none, none))
+    assert(cc.npartitions == 0)
+    assert(cc.indexColumns == ds.indexColumns)
+    assert(cc.schemaOption.get == ds.schemaOption.get)
+    assert(cc.toDF.columns.toSeq == ds.toDF.columns.toSeq)
+    assert(cc.toDF.count() == 0)
+  }
+
   test("concat rejects mismatched index columns") {
     intercept[IllegalArgumentException](
       PDataset.concat(Seq(indexed, indexed.reindex(Seq("date", "hour")))))
