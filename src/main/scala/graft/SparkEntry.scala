@@ -72,6 +72,20 @@ object SparkEntry {
     s.createDataFrame(java.util.Arrays.asList(Row(n, lb, ub)), schema)
   }
 
+  /** recall@5 of an approximate top-k result vs its exact baseline,
+    * as one (n_queries, recall_at_5) row. */
+  private def recallContract(approx: DataFrame, brute: DataFrame): DataFrame = {
+    val hits = brute.select("query_id", "neighbor_id")
+      .join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    brute.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(coalesce(col("hits"), lit(0L)).as("hits"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg(col("hits").cast("double") / 5.0), 4).as("recall_at_5"))
+  }
+
   // ---- query inventory ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -338,6 +352,7 @@ object SparkEntry {
         col("doc_id"),
         length(col("text")).as("n_chars_actual"),
         TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.subwordCount(col("text")).as("n_subwords"),
         round(TextFunctions.punctRatio(col("text")), 4).as("punct_ratio"),
         TextFunctions.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
@@ -368,27 +383,29 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // Recall contract: LSH is approximate by design, so no SQL engine
-    // can reproduce its rows — instead Spark grades its own recall@5
-    // against the exact brute-force baseline and emits the (seeded,
-    // deterministic) result as one row; the oracle is that constant.
+    // Recall contracts: approximate indexes (LSH, IVF) cannot be
+    // reproduced by a SQL engine by design — instead Spark grades its
+    // own recall@5 against the exact brute-force baseline and emits
+    // the (seeded, deterministic) result as one row; the oracle is
+    // that constant.
     "q_ann_lsh" -> ((s, d) => {
       val emb = scan(s, d, "embeddings").toDF
       val q = emb.filter(col("vec_id") < 10)
       // few planes + many tables: this corpus is near-orthogonal, so
       // fine buckets would have ~zero recall (see PipelineOpsSpec)
-      val lsh = Similarity.lshTopK(q, emb, "vec_id", "embedding",
-        k = 5, dim = 64, nPlanes = 4, tables = 8)
-      val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5)
-      val hits = brute.select("query_id", "neighbor_id")
-        .join(lsh.select("query_id", "neighbor_id"),
-          Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as("hits"))
-      brute.select("query_id").distinct()
-        .join(hits, Seq("query_id"), "left")
-        .select(coalesce(col("hits"), lit(0L)).as("hits"))
-        .agg(count(lit(1)).as("n_queries"),
-          round(avg(col("hits").cast("double") / 5.0), 4).as("recall_at_5"))
+      recallContract(
+        Similarity.lshTopK(q, emb, "vec_id", "embedding",
+          k = 5, dim = 64, nPlanes = 4, tables = 8),
+        Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5))
+    }),
+
+    "q_ann_ivf" -> ((s, d) => {
+      val emb = scan(s, d, "embeddings").toDF
+      val q = emb.filter(col("vec_id") < 10)
+      recallContract(
+        Similarity.ivfTopK(q, emb, "vec_id", "embedding",
+          k = 5, dim = 64, nlist = 16, nprobe = 4),
+        Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5))
     }),
 
     // -- multimodal plumbing (decode stubbed; see Multimodal) --
@@ -621,6 +638,8 @@ object SparkEntry {
       // seeded planes, fixed data); measured once at sf0.01.
       "q_ann_lsh" ->
         "SELECT CAST(10 AS BIGINT) AS n_queries, 0.78 AS recall_at_5",
+      "q_ann_ivf" ->
+        "SELECT CAST(10 AS BIGINT) AS n_queries, 0.48 AS recall_at_5",
       "q_dedup_embedding" ->
         """WITH scored AS (
              SELECT a.vec_id AS "idA", b.vec_id AS "idB",
@@ -642,6 +661,8 @@ object SparkEntry {
                   CAST(len(text) AS INT) AS n_chars_actual,
                   CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
                     AS n_tokens,
+                  CAST(len(regexp_extract_all(text, '[\p{L}]+|[0-9]+')) AS INT)
+                    AS n_subwords,
                   round((len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')))
                         * 1.0 / greatest(len(text), 1), 4) AS punct_ratio,
                   round(least(len(text) / 400.0, 1.0)

@@ -24,10 +24,13 @@ object TextFunctions {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
-  /** A BPE-ish proxy token count: word-piece segments obtained by also
-    * splitting on letter/digit boundaries and punctuation. */
+  /** A BPE-ish proxy token count: maximal letter runs and digit runs
+    * are separate word pieces ("abc123 def" -> 3), punctuation and
+    * whitespace delimit. Defined as a count of RE2-compatible matches
+    * (no lookarounds) so any ANSI engine with regexp_extract_all
+    * rederives it exactly. */
   def subwordCount(c: Column): Column =
-    size(split(trim(c), "[\\s\\p{Punct}]+|(?<=\\p{L})(?=\\d)|(?<=\\d)(?=\\p{L})"))
+    size(regexp_extract_all(c, lit("[\\p{L}]+|[0-9]+"), lit(0)))
 
   /** Characters that are sentence punctuation. */
   def punctCount(c: Column): Column =

@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, NumericType, ShortType}
 
 /** Native vector arithmetic over `array<float>` / `array<double>`
@@ -112,7 +112,144 @@ case class FloatVecDot(left: Expression, right: Expression)
   override def prettyName: String = "vec_dot"
 }
 
+/** The `nprobe` nearest centroid indices of a float/double vector by
+  * squared L2 distance (ascending; ties by lower index) — the IVF
+  * assignment/probe kernel. One generated loop over
+  * nlist x dim + selection over nlist, instead of nlist composed
+  * distance expression trees.
+  *
+  * Null elements count as 0; shorter vectors compare on the common
+  * prefix with the centroid's tail contributing its own squared mass
+  * (i.e. missing vector components are 0).
+  */
+case class NearestCentroidsExpr(
+    child: Expression,
+    centroids: Array[Array[Double]],
+    nprobe: Int) extends UnaryExpression {
+
+  require(centroids.nonEmpty && nprobe >= 1 && nprobe <= centroids.length,
+    "need 1 <= nprobe <= number of centroids")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroids needs array<float|double>, got $other")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** Selection of the nprobe smallest distances: repeated argmin with
+    * used-marking — O(nlist * nprobe), branch-free enough for small
+    * nlist (IVF lists are tens to thousands). */
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val fl = isFloat
+    val nlist = centroids.length
+    val dist = new Array[Double](nlist)
+    var c = 0
+    while (c < nlist) {
+      val ct = centroids(c)
+      var acc = 0.0
+      var i = 0
+      while (i < ct.length) {
+        val xv =
+          if (i >= n || v.isNullAt(i)) 0.0
+          else if (fl) v.getFloat(i).toDouble else v.getDouble(i)
+        val d = xv - ct(i)
+        acc += d * d
+        i += 1
+      }
+      dist(c) = acc
+      c += 1
+    }
+    val out = new Array[Int](nprobe)
+    val used = new Array[Boolean](nlist)
+    var p = 0
+    while (p < nprobe) {
+      var best = -1
+      var bd = Double.PositiveInfinity
+      var j = 0
+      while (j < nlist) {
+        if (!used(j) && (best < 0 || dist(j) < bd)) { bd = dist(j); best = j }
+        j += 1
+      }
+      used(best) = true
+      out(p) = best
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCentroids", centroids, "double[][]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    val nlist = centroids.length
+    nullSafeCodeGen(ctx, ev, in => {
+      val n = ctx.freshName("n")
+      val dist = ctx.freshName("dist")
+      val used = ctx.freshName("used")
+      val out = ctx.freshName("out")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val j = ctx.freshName("j")
+      val ct = ctx.freshName("ct")
+      val acc = ctx.freshName("acc")
+      val best = ctx.freshName("best")
+      val bd = ctx.freshName("bd")
+      s"""
+        int $n = $in.numElements();
+        double[] $dist = new double[$nlist];
+        for (int $c = 0; $c < $nlist; $c++) {
+          double[] $ct = $cRef[$c];
+          double $acc = 0.0;
+          for (int $i = 0; $i < $ct.length; $i++) {
+            double xv = ($i >= $n || $in.isNullAt($i))
+              ? 0.0 : (double) $in.$get($i);
+            double d = xv - $ct[$i];
+            $acc += d * d;
+          }
+          $dist[$c] = $acc;
+        }
+        int[] $out = new int[$nprobe];
+        boolean[] $used = new boolean[$nlist];
+        for (int $p = 0; $p < $nprobe; $p++) {
+          int $best = -1;
+          double $bd = Double.POSITIVE_INFINITY;
+          for (int $j = 0; $j < $nlist; $j++) {
+            if (!$used[$j] && ($best < 0 || $dist[$j] < $bd)) {
+              $bd = $dist[$j]; $best = $j;
+            }
+          }
+          $used[$best] = true;
+          $out[$p] = $best;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroidsExpr =
+    copy(child = c)
+  override def prettyName: String = "nearest_centroids"
+}
+
 object VectorExpressions {
+  /** Top-nprobe nearest centroid indices (squared L2, ascending). */
+  def nearestCentroids(
+      vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    GraftBridge.toColumn(NearestCentroidsExpr(
+      GraftBridge.toExpression(vec), centroids, nprobe))
+
   /** Dot product of two numeric-array columns (codegen, double acc). */
   def vecDot(a: Column, b: Column): Column =
     GraftBridge.toColumn(FloatVecDot(

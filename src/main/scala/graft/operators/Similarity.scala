@@ -97,6 +97,107 @@ object Similarity {
     graft.functions.SketchExpressions.hyperplaneSigs(
       vec, planesFor(dim, nPlanes, tables, seed), nPlanes)
 
+  /** Deterministic IVF centroid training: seeded init (the nlist
+    * corpus vectors with smallest xxhash64(id, seed)) followed by
+    * `iters` Lloyd rounds, each one distributed pass — assign every
+    * (sampled) vector to its nearest centroid with the
+    * NearestCentroidsExpr kernel, then per-cell per-dimension means
+    * via posexplode + groupBy. Only nlist x dim doubles ever reach the
+    * driver. At corpus scale pass trainFraction < 1: k-means needs a
+    * sample, not the corpus. Cells that lose all members keep their
+    * previous centroid. */
+  def trainCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nlist: Int,
+      iters: Int = 3,
+      seed: Long = 11L,
+      trainFraction: Double = 1.0): Array[Array[Double]] = {
+    val train =
+      (if (trainFraction < 1.0)
+        corpus.sample(withReplacement = false, trainFraction, seed)
+      else corpus)
+        .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    var cents: Array[Array[Double]] = train
+      .orderBy(xxhash64(col("__id"), lit(seed)), col("__id"))
+      .limit(nlist)
+      .select(col("__v"))
+      .collect()
+      .map(_.getSeq[Number](0).toArray.map(x =>
+        if (x == null) 0.0 else x.doubleValue()))
+    require(cents.nonEmpty, "IVF training needs a non-empty corpus")
+    (0 until iters).foreach { _ =>
+      val c = cents
+      val means = train
+        .select(
+          element_at(graft.functions.VectorExpressions
+            .nearestCentroids(col("__v"), c, 1), 1).as("__c"),
+          posexplode(col("__v")).as(Seq("__i", "__x")))
+        .groupBy("__c", "__i")
+        .agg(avg(col("__x").cast("double")).as("__m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** ANN top-k via IVF (inverted-file) search: the corpus partitions
+    * into `nlist` Voronoi cells around trained centroids; each vector
+    * is assigned to its cell once (narrow kernel pass), each query
+    * probes only its `nprobe` nearest cells, and exact cosine re-ranks
+    * within the probed cells — the scanned fraction is ~nprobe/nlist
+    * of the corpus instead of all of it, and the candidate join is an
+    * equi-join on the cell id (no pair explosion, no dedup needed:
+    * cells are disjoint and probes distinct). Recall < 1 by design —
+    * [[bruteForceTopK]] is the exact baseline. */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      iters: Int = 3,
+      seed: Long = 11L,
+      trainFraction: Double = 1.0): DataFrame = {
+    val cents = trainCentroids(
+      corpus, idCol, vecCol, dim, nlist, iters, seed, trainFraction)
+    def nc(n: Int) =
+      graft.functions.VectorExpressions.nearestCentroids(col("__v0"), cents, n)
+    // Barriers: cell assignment + norm computed once per vector.
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__v0"))
+      .select(col("neighbor_id"), col("__v0").as("cv"),
+        l2norm(col("__v0")).as("cn"),
+        element_at(nc(1), 1).as("__cell"))
+      .repartition(col("neighbor_id"))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__v0"))
+      .select(col("query_id"), col("__v0").as("qv"),
+        l2norm(col("__v0")).as("qn"),
+        explode(nc(nprobe)).as("__cell"))
+      .repartition(col("query_id"))
+    val cands = q.join(c, Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cands
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("cosine", round(col("cosine"), 4))
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** ANN top-k via multi-probe hyperplane LSH: candidates share a
     * signature in at least one of `tables` independent hash tables;
     * exact cosine re-ranks within candidates. Recall < 1 by design —

@@ -165,6 +165,53 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"LSH recall $recall too low") // approximate by design
   }
 
+  test("nearest_centroids kernel matches a driver-side reference") {
+    val cents = Array(
+      Array.fill(64)(0.5), Array.fill(64)(-0.5), Array.fill(64)(0.0),
+      Array.tabulate(64)(i => if (i % 2 == 0) 1.0 else -1.0))
+    val rows = emb.limit(30).select(col("vec_id"),
+      graft.functions.VectorExpressions
+        .nearestCentroids(col("embedding"), cents, 4).as("nc"),
+      col("embedding")).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](2).toArray
+      val want = cents.indices
+        .map(c => (cents(c).indices.map { i =>
+          val x = if (i < v.length) v(i).toDouble else 0.0
+          val d = x - cents(c)(i); d * d
+        }.sum, c))
+        .sortBy(identity).map(_._2)
+      assert(r.getSeq[Int](1) == want,
+        s"vec ${r.getLong(0)}: ${r.getSeq[Int](1)} != $want")
+    }
+  }
+
+  test("nearest_centroids generates valid code for float and double arrays") {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val cents = Array(Array(0.0, 0.0), Array(1.0, 1.0))
+    def nc(a: Any) = GraftBridge.compileAndEval(
+      graft.functions.NearestCentroidsExpr(Literal.create(a), cents, 2))
+      .asInstanceOf[ArrayData].toIntArray.toSeq
+    assert(nc(Array(0.1f, 0.1f)) == Seq(0, 1))
+    assert(nc(Array(0.9, 0.9)) == Seq(1, 0))
+  }
+
+  test("IVF finds planted nearest neighbors (recall@1 on near-dup pairs)") {
+    val base = emb.filter(col("vec_id") < 100).select("vec_id", "embedding")
+    val perturbed = base.select((col("vec_id") + 1000).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+    val corpus = base.unionByName(perturbed)
+    val top1 = Similarity.ivfTopK(base, corpus, "vec_id", "embedding",
+      k = 1, dim = 64, nlist = 8, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // each original's exact nearest neighbor is its scaled copy
+    val found = top1.count { case (q, n) => n == q + 1000 }
+    assert(top1.length == 100, s"expected 100 query rows, got ${top1.length}")
+    assert(found >= 95, s"IVF found only $found/100 planted neighbors")
+  }
+
   test("cosine is symmetric and self-similarity is 1") {
     val a = emb.filter(col("vec_id") === 0).select(col("embedding")).collect()(0)
       .getSeq[Float](0)
