@@ -312,6 +312,47 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // -- beyond-parity join surface: semi/anti + temporal joins --
+    "q_join_semi" -> ((s, d) =>
+      scan(s, d, "customer").toDF
+        .join(scan(s, d, "orders").toDF,
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+
+    "q_join_anti" -> ((s, d) =>
+      scan(s, d, "customer").toDF
+        .join(scan(s, d, "orders").toDF,
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+
+    "q_asof_join" -> ((s, d) => {
+      val ev = eventsDF(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("value").as("last_purchase_value"),
+          col("event_id").as("last_purchase_event"))
+      graft.operators.TemporalJoins.asofJoin(
+        ev.select("event_id", "user_id", "ts", "event_type"),
+        purchases, Seq("user_id"), "ts")
+        .select("event_id", "user_id", "event_type",
+          "last_purchase_value", "last_purchase_event")
+        .orderBy("event_id")
+    }),
+
+    "q_range_join" -> ((s, d) => {
+      val ev = eventsDF(s, d)
+      val outages = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
+      graft.operators.TemporalJoins.rangeJoin(
+        ev.select("event_id", "user_id", "ts"),
+        "ts", outages, "w_start", "w_end", Seq("user_id"),
+        bucketWidthMicros = 600L * 1000000L)
+        .groupBy("user_id")
+        .agg(count_distinct(col("event_id")).as("n_affected"))
+        .orderBy("user_id")
+    }),
+
     // -- event-time analytics --
     "q_events_tumbling" -> ((s, d) =>
       Events.tumblingCounts(eventsDF(s, d))
@@ -572,6 +613,31 @@ object SparkEntry {
            JOIN lineitem ON o_orderkey = l_orderkey
            WHERE c_mktsegment = 'BUILDING'
            GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+      "q_join_semi" ->
+        """SELECT c_custkey, c_name FROM customer
+           WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           ORDER BY c_custkey""",
+      "q_join_anti" ->
+        """SELECT c_custkey, c_name FROM customer
+           WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           ORDER BY c_custkey""",
+      "q_asof_join" ->
+        """SELECT e.event_id, e.user_id, e.event_type,
+                  p.value AS last_purchase_value,
+                  p.event_id AS last_purchase_event
+           FROM events e
+           ASOF LEFT JOIN (
+             SELECT user_id, ts, value, event_id FROM events
+             WHERE event_type = 'purchase') p
+             ON e.user_id = p.user_id AND e.ts >= p.ts
+           ORDER BY e.event_id""",
+      "q_range_join" ->
+        """SELECT e.user_id,
+                  count(DISTINCT e.event_id) AS n_affected
+           FROM events e JOIN events x
+             ON e.user_id = x.user_id AND x.event_type = 'error'
+            AND e.ts >= x.ts AND e.ts <= x.ts + INTERVAL 10 MINUTE
+           GROUP BY e.user_id ORDER BY e.user_id""",
       "q_events_tumbling" ->
         """SELECT date_trunc('hour', ts) AS window_start, event_type,
                   count(*) AS n, round(sum(value), 3) AS total_value

@@ -173,10 +173,26 @@ object Dedup {
       .join(dfreq.hint("shuffle_hash"), "__s")
       .withColumn("__rn", row_number().over(byRarity))
       .filter(col("__rn") <= col("__n") - ceil(col("__n") * threshold) + 1)
-      .select("__id", "__s")
-    val candidates = prefix.select(col("__id").as("idA"), col("__s"))
-      .join(prefix.select(col("__id").as("idB"), col("__s")), "__s")
+      .select("__id", "__s", "__n", "__rn")
+    // PPJoin+ candidate filters, both conservative (a 1e-9 slack keeps
+    // FP rounding from dropping boundary-exact true pairs; extra
+    // survivors are caught by the exact verify):
+    //  - length: jaccard >= t forces min(n)/max(n) >= t;
+    //  - positional: overlap <= 1 + min(suffix lengths past the match),
+    //    and jaccard >= t forces overlap >= t/(1+t) * (nA+nB). A pair
+    //    generated by several prefix matches passes via its earliest
+    //    (loosest-bound) match, so filtering before dedup is lossless.
+    val posNeed = threshold / (1.0 + threshold)
+    val pa = prefix.select(col("__id").as("idA"), col("__s"),
+      col("__n").as("nA"), col("__rn").as("rA"))
+    val pb = prefix.select(col("__id").as("idB"), col("__s"),
+      col("__n").as("nB"), col("__rn").as("rB"))
+    val candidates = pa.join(pb, "__s")
       .filter(col("idA") < col("idB"))
+      .filter(least(col("nA"), col("nB")).cast("double") >=
+        greatest(col("nA"), col("nB")) * threshold - 1e-9)
+      .filter(lit(1.0) + least(col("nA") - col("rA"), col("nB") - col("rB")) >=
+        (col("nA") + col("nB")) * posNeed - 1e-9)
       .select("idA", "idB")
       .dropDuplicates("idA", "idB")
     verifyJaccard(rejoinShingles(candidates, withShingles), threshold)
