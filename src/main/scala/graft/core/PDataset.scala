@@ -132,6 +132,37 @@ final class PDataset private[core] (
     if (parts.isEmpty)
       return spark.createDataFrame(
         java.util.Collections.emptyList[Row](), schemaOpt.get)
+
+    // Single-relation fast path: every partition is a plain file of one
+    // format. Catalyst sees ONE scan over the whole dataset (one
+    // whole-stage-codegen span, one pushdown site, no union) instead of
+    // up to three relations. Slice-attached residual filters apply as a
+    // global conjunction: a filter is elided exactly on the partitions
+    // whose rows all satisfy it, so AND-ing every attached filter over
+    // all partitions is row-equivalent to per-partition application.
+    // With bounds + schema known the relation's file listing is served
+    // by the sidecar-aware GraftFileIndex, so pushed data filters on
+    // the leading index column prune FILES inside Catalyst too.
+    val fps = parts.collect { case fp: FilePart => fp }
+    if (fps.length == parts.length && fps.map(_.fmt).distinct.length == 1) {
+      val fmt = fps.head.fmt
+      val base: DataFrame =
+        if (fmt == "parquet" && knownBounds && knownSchema &&
+            indexColumns.nonEmpty)
+          org.apache.spark.sql.GraftRelations.sidecarParquetDF(
+            spark, fps.map(_.file), schemaOpt.get, indexColumns.head,
+            lbsOpt.get.map(_.headOption.flatten),
+            ubsOpt.get.map(_.headOption.flatten))
+        else {
+          var reader = spark.read.format(fmt)
+          schemaOpt.foreach(s => reader = reader.schema(s))
+          if (fmt == "csv") reader = reader.option("header", "true")
+          reader.load(fps.map(_.file): _*)
+        }
+      val filters = fps.flatMap(_.filters).distinctBy(_.toString)
+      return filters.foldLeft(base)(_.filter(_))
+    }
+
     val pieces = ArrayBuffer.empty[DataFrame]
     val run = ArrayBuffer.empty[String]
     var runFmt = "parquet"

@@ -97,6 +97,40 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("ShuffledHashJoin"), plan)
   }
 
+  test("sliced toDF is one relation served by the sidecar file index") {
+    val lo = persisted.lowerBounds.get(2)
+    val plan = persisted.slice(lo, null).toDF
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GraftFileIndex"), plan)
+    assert(!plan.contains("Union"), plan)
+  }
+
+  test("sidecar file index prunes files from pushed Catalyst filters") {
+    import org.apache.spark.sql.GraftFileIndex
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, GreaterThanOrEqual, IsNull, LessThan, Literal}
+    import org.apache.spark.sql.types.LongType
+    val paths = (0 until 4).map(i =>
+      (new org.apache.hadoop.fs.Path(s"file:/tmp/p$i.parquet"), 100L))
+    // files: [null..5], [10..20], [30..40], all-null
+    val lbs = Vector(None, Some(10L), Some(30L), None)
+    val ubs = Vector(Some(5L), Some(20L), Some(40L), None)
+    val idx = new GraftFileIndex(paths.toVector, "k", lbs, ubs)
+    val k = AttributeReference("k", LongType)()
+    def kept(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      idx.listFiles(Nil, Seq(e)).head.files
+        .map(_.getPath.getName).toSet
+    assert(kept(GreaterThanOrEqual(k, Literal(15L))) ==
+      Set("p1.parquet", "p2.parquet"))
+    assert(kept(LessThan(k, Literal(10L))) == Set("p0.parquet"))
+    assert(kept(EqualTo(k, Literal(35L))) == Set("p2.parquet"))
+    assert(kept(IsNull(k)) == Set("p0.parquet", "p3.parquet"))
+    // reversed orientation: lit <= attr
+    assert(kept(org.apache.spark.sql.catalyst.expressions
+      .LessThanOrEqual(Literal(30L), k)) == Set("p2.parquet"))
+    // unanalyzable filter keeps everything
+    assert(kept(IsNull(AttributeReference("other", LongType)())).size == 4)
+  }
+
   test("vec_dot participates in whole-stage codegen") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val df = emb.select(graft.functions.VectorExpressions
