@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions
+
+/** Streaming twins of the training-data document pipeline
+  * (graft.operators.Dedup / graft.functions.TextFunctions): exact
+  * dedup and quality filtering over an unbounded document stream.
+  *
+  * The scalar pieces (content hash, quality score, language id) are
+  * the SAME codegen expressions as the batch path — narrow transforms
+  * are streaming-transparent. The stateful piece (dedup) uses
+  * dropDuplicatesWithinWatermark so the seen-hash state is evicted as
+  * the watermark advances: an unbounded stream dedups in bounded
+  * state, with the standard trade that a duplicate arriving more than
+  * `lateness` after its first copy can pass through.
+  */
+object DocumentStreams {
+
+  val documentSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType),
+    StructField("ingest_ts", TimestampType)))
+
+  /** Open a file-based document stream (parquet files appearing in a
+    * directory; swap for kafka unchanged). Expects an `ingest_ts`
+    * event-time column — the dedup watermark anchors on arrival time. */
+  def readDocumentStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(documentSchema).parquet(dir)
+
+  /** Streaming exact dedup: first arrival of each content fingerprint
+    * wins; duplicates within `lateness` of the first copy are dropped
+    * with state bounded by the watermark. */
+  def dedupByContent(
+      docs: DataFrame,
+      tsCol: String = "ingest_ts",
+      lateness: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", TextFunctions.fingerprint(col("text")))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Streaming quality gate: the batch quality score as a narrow
+    * streaming filter, with the score and language id attached. */
+  def qualityFilter(docs: DataFrame, minQuality: Double): DataFrame =
+    docs
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .withColumn("lang_pred", TextFunctions.langId(col("text")))
+      .filter(col("quality") >= minQuality)
+}

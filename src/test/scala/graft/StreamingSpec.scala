@@ -56,6 +56,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally qc.stop()
   }
 
+  /** Documents staged with duplicates: every text appears twice under
+    * different doc_ids, the copy one minute later. */
+  lazy val docStreamDir: String = {
+    val dir = Files.createTempDirectory("graft-docstream").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("ingest_ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    val copies = docs
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("ingest_ts", col("ingest_ts") + expr("INTERVAL 1 MINUTE"))
+    docs.unionByName(copies).coalesce(2).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming dedup keeps one copy per content hash in bounded state") {
+    val distinctTexts = spark.read.parquet(docStreamDir)
+      .select("text").distinct().count()
+    val q = graft.streaming.DocumentStreams
+      .dedupByContent(
+        graft.streaming.DocumentStreams.readDocumentStream(spark, docStreamDir))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_dedup").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("stream_dedup")
+      assert(out.count() == distinctTexts,
+        s"${out.count()} rows != $distinctTexts distinct texts")
+      assert(out.select("content_hash").distinct().count() == distinctTexts)
+    } finally q.stop()
+  }
+
+  test("streaming quality gate matches the batch filter") {
+    val q = graft.streaming.DocumentStreams
+      .qualityFilter(
+        graft.streaming.DocumentStreams.readDocumentStream(spark, docStreamDir),
+        minQuality = 0.5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_quality").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_quality").count()
+      val batch = spark.read.parquet(docStreamDir)
+        .filter(graft.functions.TextFunctions
+          .qualityScore(col("text")) >= 0.5).count()
+      assert(streamed == batch && batch > 0,
+        s"streamed $streamed != batch $batch")
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions") {
     val events = batchEvents
       .select("event_id", "ts", "user_id", "event_type", "value")
