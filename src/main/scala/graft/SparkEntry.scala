@@ -456,6 +456,15 @@ object SparkEntry {
       Multimodal.decodeStub(withPayload, "doc_id")
         .withColumn("mean_byte", round(col("mean_byte"), 4))
         .orderBy("doc_id")
+    }),
+
+    "q_multimodal_frames" -> ((s, d) => {
+      val docs = scan(s, d, "documents").toDF
+      Multimodal.frameSample(
+        Multimodal.attachPayload(docs, "doc_id", "text"),
+        "doc_id", frameBytes = 32, stride = 4)
+        .select("doc_id", "frame_idx", "frame_bytes", "head_hex")
+        .orderBy("doc_id", "frame_idx")
     })
   )
 
@@ -800,7 +809,22 @@ object SparkEntry {
                           i -> ord(substr(text, CAST(i AS INT), 1)))) AS INT)
                     AS max_byte,
                   lower(hex(encode(substr(text, 1, 8)))) AS head_hex
-           FROM documents ORDER BY doc_id"""
+           FROM documents ORDER BY doc_id""",
+      // DuckDB cannot substring a BLOB, so the byte slicing rederives
+      // on the hex encoding (2 chars per byte: frame = 64 hex chars).
+      "q_multimodal_frames" ->
+        """WITH b AS (
+             SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents),
+           f AS (
+             SELECT doc_id, hx,
+                    unnest(range(0,
+                      CAST(ceil(len(hx) / 64.0) AS BIGINT), 4)) AS fi
+             FROM b)
+           SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+                  CAST(len(substr(hx, CAST(fi*64+1 AS BIGINT), 64)) / 2
+                    AS INT) AS frame_bytes,
+                  substr(hx, CAST(fi*64+1 AS BIGINT), 8) AS head_hex
+           FROM f ORDER BY doc_id, frame_idx"""
     )
   }
 }

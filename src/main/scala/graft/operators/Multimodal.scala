@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -57,6 +57,38 @@ object Multimodal {
       }
     }
     spark.createDataFrame(out, outSchema)
+  }
+
+  /** Frame sampling plumbing: split the payload into fixed-width byte
+    * frames and keep every `stride`-th — the decode-independent half
+    * of video/audio frame extraction, entirely as codegen built-ins
+    * (one narrow explode, fan-out bounded by payload size / frame /
+    * stride). A real codec swaps byte slicing for time-indexed decode;
+    * the schema contract (id, frame_idx, frame payload + stats) and
+    * partition layout stay. */
+  def frameSample(
+      df: DataFrame,
+      idCol: String,
+      frameBytes: Int = 32,
+      stride: Int = 4): DataFrame = {
+    require(frameBytes > 0 && stride > 0,
+      "frameBytes and stride must be positive")
+    val nFrames =
+      ceil(octet_length(col("payload")).cast("double") / frameBytes)
+        .cast("int")
+    def frameAt(i: Column, len: Int) =
+      col("payload").substr(i * frameBytes + 1, lit(len))
+    df.select(col(idCol), col("payload"), nFrames.as("__nf"))
+      .withColumn("frame_idx",
+        explode(when(col("__nf") > 0,
+          sequence(lit(0), col("__nf") - 1, lit(stride)))
+          .otherwise(array().cast("array<int>"))))
+      .select(
+        col(idCol),
+        col("frame_idx"),
+        octet_length(frameAt(col("frame_idx"), frameBytes)).as("frame_bytes"),
+        lower(hex(frameAt(col("frame_idx"), 4))).as("head_hex"),
+        frameAt(col("frame_idx"), frameBytes).as("frame"))
   }
 
   /** The seam a real decoder replaces. Deterministic byte stats. */

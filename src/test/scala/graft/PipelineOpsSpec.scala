@@ -264,6 +264,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(row.getAs[String]("head_hex").length == 16)
   }
 
+  test("frame sampling slices payload bytes deterministically") {
+    val df = Seq((1L, "abcdefghij"), (2L, "")).toDF("doc_id", "text")
+    val frames = Multimodal.frameSample(
+      Multimodal.attachPayload(df, "doc_id", "text"),
+      "doc_id", frameBytes = 4, stride = 2)
+      .orderBy("doc_id", "frame_idx").collect()
+    // 10 bytes -> frames [abcd][efgh][ij]; stride 2 keeps idx 0 and 2
+    assert(frames.length == 2)
+    assert(frames(0).getAs[Int]("frame_idx") == 0 &&
+      new String(frames(0).getAs[Array[Byte]]("frame")) == "abcd" &&
+      frames(0).getAs[Int]("frame_bytes") == 4)
+    assert(frames(1).getAs[Int]("frame_idx") == 2 &&
+      new String(frames(1).getAs[Array[Byte]]("frame")) == "ij" &&
+      frames(1).getAs[Int]("frame_bytes") == 2)
+    assert(frames(0).getAs[String]("head_hex") == "61626364")
+  }
+
   // ---- events (batch) ----
 
   test("sessionization counts sessions per user deterministically") {
