@@ -358,6 +358,10 @@ object SparkEntry {
       Events.tumblingCounts(eventsDF(s, d))
         .orderBy("window_start", "event_type")),
 
+    "q_events_sliding" -> ((s, d) =>
+      Events.slidingCounts(eventsDF(s, d))
+        .orderBy("window_start", "event_type")),
+
     "q_events_sessions" -> ((s, d) =>
       Events.sessionStats(eventsDF(s, d), gapMinutes = 30)
         .orderBy("user_id")),
@@ -651,6 +655,25 @@ object SparkEntry {
         """SELECT date_trunc('hour', ts) AS window_start, event_type,
                   count(*) AS n, round(sum(value), 3) AS total_value
            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+      // Sliding windows via explicit window index arithmetic: event at
+      // epoch e belongs to windows k*slide <= e < k*slide + size, i.e.
+      // k in [floor((e-size)/slide)+1, floor(e/slide)] — integer
+      // truncation of e is safe because floor((x)/n) = floor(floor(x)/n)
+      // for integer n > 0.
+      "q_events_sliding" ->
+        """WITH ev AS (
+             SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e, event_type
+             FROM events),
+           w AS (
+             SELECT event_type,
+                    unnest(range(
+                      CAST(floor((e - 3600.0) / 1800.0) + 1 AS BIGINT),
+                      CAST(floor(e / 1800.0) + 1 AS BIGINT))) AS k
+             FROM ev)
+           SELECT make_timestamp(k * 1800 * 1000000) AS window_start,
+                  make_timestamp((k * 1800 + 3600) * 1000000) AS window_end,
+                  event_type, count(*) AS n
+           FROM w GROUP BY 1, 2, 3 ORDER BY 1, 3""",
       "q_events_sessions" ->
         """WITH g AS (
              SELECT user_id, ts, event_id,

@@ -115,11 +115,14 @@ object Similarity {
       iters: Int = 3,
       seed: Long = 11L,
       trainFraction: Double = 1.0): Array[Array[Double]] = {
+    // The training sample is re-traversed once per Lloyd round: cache
+    // it rather than re-scanning the corpus each iteration.
     val train =
       (if (trainFraction < 1.0)
         corpus.sample(withReplacement = false, trainFraction, seed)
       else corpus)
         .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+        .persist()
     var cents: Array[Array[Double]] = train
       .orderBy(xxhash64(col("__id"), lit(seed)), col("__id"))
       .limit(nlist)
@@ -144,6 +147,7 @@ object Similarity {
       }
       cents = next
     }
+    train.unpersist()
     cents
   }
 
