@@ -107,7 +107,7 @@ final class PDataset private[core] (
       var reader = spark.read.format(fmt)
       schemaOpt.foreach(s => reader = reader.schema(s))
       if (fmt == "csv") reader = reader.option("header", "true")
-      filters.foldLeft(reader.load(file))(_.filter(_))
+      filters.foldLeft(reader.load(file))((df, f) => df.filter(f.toColumn))
     case LazyPart(thunk) => thunk()
   }
 
@@ -137,30 +137,42 @@ final class PDataset private[core] (
     // format. Catalyst sees ONE scan over the whole dataset (one
     // whole-stage-codegen span, one pushdown site, no union) instead of
     // up to three relations. Slice-attached residual filters apply as a
-    // global conjunction: a filter is elided exactly on the partitions
-    // whose rows all satisfy it, so AND-ing every attached filter over
-    // all partitions is row-equivalent to per-partition application.
-    // With bounds + schema known the relation's file listing is served
-    // by the sidecar-aware GraftFileIndex, so pushed data filters on
-    // the leading index column prune FILES inside Catalyst too.
+    // global conjunction ONLY when that is provably row-equivalent:
+    // each filter must hold on every partition that doesn't carry it,
+    // checked driver-side against the partition bounds (the same
+    // lexCmp criterion slice uses for elision). This is automatic for
+    // a dataset sliced in place, and correctly REJECTED when e.g.
+    // concat mixed a sliced dataset's filtered parts with another
+    // dataset's unfiltered parts. With bounds + schema known the
+    // relation's file listing is served by the sidecar-aware
+    // GraftFileIndex, so pushed data filters on the leading index
+    // column prune FILES inside Catalyst too.
     val fps = parts.collect { case fp: FilePart => fp }
     if (fps.length == parts.length && fps.map(_.fmt).distinct.length == 1) {
       val fmt = fps.head.fmt
-      val base: DataFrame =
-        if (fmt == "parquet" && knownBounds && knownSchema &&
-            indexColumns.nonEmpty)
-          org.apache.spark.sql.GraftRelations.sidecarParquetDF(
-            spark, fps.map(_.file), schemaOpt.get, indexColumns.head,
-            lbsOpt.get.map(_.headOption.flatten),
-            ubsOpt.get.map(_.headOption.flatten))
-        else {
-          var reader = spark.read.format(fmt)
-          schemaOpt.foreach(s => reader = reader.schema(s))
-          if (fmt == "csv") reader = reader.option("header", "true")
-          reader.load(fps.map(_.file): _*)
-        }
-      val filters = fps.flatMap(_.filters).distinctBy(_.toString)
-      return filters.foldLeft(base)(_.filter(_))
+      val allFilters = fps.flatMap(_.filters).distinctBy(_.signature)
+      val globallySafe =
+        allFilters.isEmpty || (knownBounds && fps.indices.forall { i =>
+          val own = fps(i).filters.map(_.signature).toSet
+          allFilters.forall(f => own.contains(f.signature) ||
+            f.satisfiedBy(lbsOpt.get(i), ubsOpt.get(i)))
+        })
+      if (globallySafe) {
+        val base: DataFrame =
+          if (fmt == "parquet" && knownBounds && knownSchema &&
+              indexColumns.nonEmpty)
+            org.apache.spark.sql.GraftRelations.sidecarParquetDF(
+              spark, fps.map(_.file), schemaOpt.get, indexColumns.head,
+              lbsOpt.get.map(_.headOption.flatten),
+              ubsOpt.get.map(_.headOption.flatten))
+          else {
+            var reader = spark.read.format(fmt)
+            schemaOpt.foreach(s => reader = reader.schema(s))
+            if (fmt == "csv") reader = reader.option("header", "true")
+            reader.load(fps.map(_.file): _*)
+          }
+        return allFilters.foldLeft(base)((df, f) => df.filter(f.toColumn))
+      }
     }
 
     val pieces = ArrayBuffer.empty[DataFrame]
@@ -358,29 +370,29 @@ final class PDataset private[core] (
     // (iv) residual filter per partition only where its bound crosses
     // the slice bound.
     val newParts: IndexedSeq[Part] = kept.map { p =>
-      val filters = ArrayBuffer.empty[Column]
+      val filters = ArrayBuffer.empty[SliceFilter]
       lbOpt.foreach { b =>
         val k = b.length
-        val cols = this.indexColumns.take(k).map(col)
+        val cols = this.indexColumns.take(k)
         val partLb = oLbs(p).take(k)
         if (lowerInc) {
           if (Lex.lexCmp(partLb, b) < 0)
-            filters += LexColumns.columnsGeq(cols, b)
+            filters += SliceFilter(cols, b, "geq")
         } else {
           if (Lex.lexCmp(partLb, b) <= 0)
-            filters += LexColumns.columnsGt(cols, b)
+            filters += SliceFilter(cols, b, "gt")
         }
       }
       ubOpt.foreach { b =>
         val k = b.length
-        val cols = this.indexColumns.take(k).map(col)
+        val cols = this.indexColumns.take(k)
         val partUb = oUbs(p).take(k)
         if (upperInc) {
           if (Lex.lexCmp(b, partUb) < 0)
-            filters += LexColumns.columnsLeq(cols, b)
+            filters += SliceFilter(cols, b, "leq")
         } else {
           if (Lex.lexCmp(b, partUb) <= 0)
-            filters += LexColumns.columnsLt(cols, b)
+            filters += SliceFilter(cols, b, "lt")
         }
       }
       parts(p) match {
@@ -389,7 +401,7 @@ final class PDataset private[core] (
           if (filters.isEmpty) lp
           else {
             val self = this
-            val preds = filters.toList
+            val preds = filters.toList.map(_.toColumn)
             LazyPart(() => preds.foldLeft(self.partDF(lp))(_.filter(_)))
           }
       }
@@ -962,6 +974,42 @@ private[core] final class RowSlicer(base: PDataset) {
   }
 }
 
+/** A residual slice filter as a driver-inspectable descriptor (not an
+  * opaque Column): kind in {geq, gt, leq, lt} over the k-prefix of the
+  * index columns vs a bound tuple. Keeping the bound lets toDF decide
+  * — with pure driver metadata — whether the filter provably holds on
+  * partitions that don't carry it (the same lexCmp criterion slice
+  * uses for elision), which is what licenses planning one relation
+  * with a global filter conjunction. */
+private[core] final case class SliceFilter(
+    cols: Seq[String], bound: Bound, kind: String) {
+
+  def toColumn: Column = {
+    val cs = cols.map(col)
+    kind match {
+      case "geq" => LexColumns.columnsGeq(cs, bound)
+      case "gt"  => LexColumns.columnsGt(cs, bound)
+      case "leq" => LexColumns.columnsLeq(cs, bound)
+      case "lt"  => LexColumns.columnsLt(cs, bound)
+    }
+  }
+
+  def signature: String = s"$kind:${cols.mkString(",")}:$bound"
+
+  /** Every row of a partition with lex bounds [plb, pub] provably
+    * satisfies this filter (prefix-lex monotonicity: the k-prefix of
+    * any row lies within the k-prefixes of the partition bounds). */
+  def satisfiedBy(plb: Bound, pub: Bound): Boolean = {
+    val k = bound.length
+    kind match {
+      case "geq" => Lex.lexCmp(plb.take(k), bound) >= 0
+      case "gt"  => Lex.lexCmp(plb.take(k), bound) > 0
+      case "leq" => Lex.lexCmp(pub.take(k), bound) <= 0
+      case "lt"  => Lex.lexCmp(pub.take(k), bound) < 0
+    }
+  }
+}
+
 object PDataset {
 
   /** Upper bound on driver-collected histogram entries in index-mode
@@ -971,8 +1019,8 @@ object PDataset {
   private[graft] var maxHistogramEntries: Long = 1L << 20
 
   private[core] sealed trait Part
-  private[core] final case class FilePart(file: String, filters: List[Column],
-      fmt: String = "parquet") extends Part
+  private[core] final case class FilePart(file: String,
+      filters: List[SliceFilter], fmt: String = "parquet") extends Part
   private[core] final case class LazyPart(thunk: () => DataFrame) extends Part
 
   private[core] final case class FastWritePlan(

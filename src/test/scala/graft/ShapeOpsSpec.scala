@@ -81,6 +81,19 @@ class ShapeOpsSpec extends AnyFunSuite {
     assert(cc.toDF.count() == 0)
   }
 
+  test("concat of sliced and full datasets keeps every row of the full side") {
+    // The sliced side carries a residual boundary filter; the single-
+    // relation toDF fast path must NOT apply it to the full side's
+    // partitions (global safety check against partition bounds).
+    val ds = indexed
+    val sliced = ds.slice(Vector(Some(dt("2022-01-02")), Some(hrs(12))), null)
+    val slicedCount = sliced.toDF.count()
+    assert(slicedCount > 0 && slicedCount < 98)
+    val cc = PDataset.concat(Seq(sliced, ds))
+    assert(cc.toDF.count() == slicedCount + 98,
+      s"expected ${slicedCount + 98} rows, got ${cc.toDF.count()}")
+  }
+
   test("concat rejects mismatched index columns") {
     intercept[IllegalArgumentException](
       PDataset.concat(Seq(indexed, indexed.reindex(Seq("date", "hour")))))
