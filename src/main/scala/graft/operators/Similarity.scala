@@ -174,6 +174,9 @@ object Similarity {
       trainFraction: Double = 1.0): DataFrame = {
     val cents = trainCentroids(
       corpus, idCol, vecCol, dim, nlist, iters, seed, trainFraction)
+    // A corpus smaller than nlist trains fewer centroids; probe at
+    // most all of them.
+    val probes = math.min(nprobe, cents.length)
     def nc(n: Int) =
       graft.functions.VectorExpressions.nearestCentroids(col("__v0"), cents, n)
     // Barriers: cell assignment + norm computed once per vector.
@@ -187,7 +190,7 @@ object Similarity {
       .select(col(idCol).as("query_id"), col(vecCol).as("__v0"))
       .select(col("query_id"), col("__v0").as("qv"),
         l2norm(col("__v0")).as("qn"),
-        explode(nc(nprobe)).as("__cell"))
+        explode(nc(probes)).as("__cell"))
       .repartition(col("query_id"))
     val cands = q.join(c, Seq("__cell"))
       .filter(col("query_id") =!= col("neighbor_id"))

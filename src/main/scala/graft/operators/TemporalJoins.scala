@@ -33,7 +33,10 @@ object TemporalJoins {
     *
     * Right rows with null timestamps are dropped. The right side
     * should be unique per (keys, ts) — with duplicates, which row
-    * wins is tie-broken by window order and not guaranteed.
+    * wins is tie-broken by window order and not guaranteed. NULL keys
+    * group together (a null-key left row sees null-key right rows),
+    * unlike an SQL equi-join where nulls never match — filter null
+    * keys first if SQL semantics are needed.
     */
   def asofJoin(
       left: DataFrame,
@@ -51,6 +54,10 @@ object TemporalJoins {
     require(dup.isEmpty,
       s"payload columns ${dup.mkString(", ")} collide with left columns; " +
         "rename the right side first")
+    val reserved = Seq("__src", "__r", "__m")
+      .filter((left.columns ++ right.columns).contains)
+    require(reserved.isEmpty,
+      s"columns ${reserved.mkString(", ")} are reserved by asofJoin")
 
     val r2 = right
       .filter(col(tsCol).isNotNull)
