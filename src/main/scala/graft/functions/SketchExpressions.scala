@@ -249,7 +249,88 @@ case class HyperplaneSigsExpr(
   override def prettyName: String = "hyperplane_sigs"
 }
 
+/** Per-element 64-bit hashes of a string array in one pass — replaces
+  * `transform(arr, t => hash(t))` trees whose lambda body evaluates
+  * interpreted per element (per-token md5/conv through the expression
+  * interpreter was the dominant cost of the simhash pipeline).
+  *
+  * algo:
+  *  - "xxh64_32": Spark's `xxhash64(elem)` (seed 42) masked to 32
+  *    bits — the MinHash element hash.
+  *  - "md5_64": first 64 bits of `md5(elem)` big-endian — the SimHash
+  *    token hash, bit-identical to [[graft.operators.Dedup.md5Hash64]]
+  *    and DuckDB's `('0x' || substr(md5(t), 1, 16))::UBIGINT`.
+  *
+  * Elements must be non-null (both producers — tokens, shingles —
+  * guarantee it); a null element hashes to 0.
+  */
+case class StringArrayHash64Expr(child: Expression, algo: String)
+    extends UnaryExpression {
+
+  require(algo == "xxh64_32" || algo == "md5_64", s"unknown algo '$algo'")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"string_array_hash64 needs array<string>, got $other")
+    }
+
+  @transient private lazy val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** The shared kernel: called once per row from both interpreted eval
+    * and generated code (one virtual call, loop in compiled Scala). */
+  def hashArray(input: ArrayData): ArrayData = {
+    val n = input.numElements()
+    val out = new Array[Long](n)
+    val xx = algo == "xxh64_32"
+    val md = if (xx) null else md5Local.get()
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (input.isNullAt(i)) 0L
+        else if (xx)
+          org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUTF8String(input.getUTF8String(i), 42L) & 0xFFFFFFFFL
+        else {
+          md.reset()
+          val d = md.digest(input.getUTF8String(i).getBytes)
+          java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+        }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    hashArray(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenHasher", this,
+      classOf[StringArrayHash64Expr].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.hashArray($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): StringArrayHash64Expr =
+    copy(child = c)
+  override def prettyName: String = "string_array_hash64"
+}
+
 object SketchExpressions {
+  def stringArrayHash64(arr: Column, algo: String): Column =
+    GraftBridge.toColumn(
+      StringArrayHash64Expr(GraftBridge.toExpression(arr), algo))
+
   def minhashSig(hashes: Column, numPerms: Int, seed: Long, prime: Long): Column =
     GraftBridge.toColumn(
       MinHashSigExpr(GraftBridge.toExpression(hashes), numPerms, seed, prime))

@@ -33,13 +33,14 @@ object Dedup {
     (as, bs)
   }
 
-  /** 32-bit element hashes for a shingle array (low bits of xxhash64).
-    * Materialize this ONCE (withColumn) before fanning out into the
-    * per-permutation transforms: Catalyst does not CSE an expression
-    * referenced inside k lambda bodies, so inlining it would recompute
-    * every shingle hash k times. */
+  /** 32-bit element hashes for a shingle array (low bits of xxhash64,
+    * seed 42 — bit-identical to
+    * `transform(sh, s => xxhash64(s) & 0xFFFFFFFF)`, but hashed in one
+    * codegen kernel pass instead of an interpreted per-element
+    * lambda). Materialize ONCE (withColumn) before fanning out into
+    * the per-permutation transforms. */
   def shingleHashes(shingles: Column): Column =
-    transform(shingles, s => xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL)))
+    graft.functions.SketchExpressions.stringArrayHash64(shingles, "xxh64_32")
 
   /** Prime modulus for the permutation family (first prime > 2^32).
     * The mod is what makes h_i a (near-)permutation — an affine map
@@ -210,10 +211,13 @@ object Dedup {
     shiftleft(hi, 32).bitwiseOR(lo)
   }
 
-  /** Token hash array for SimHash — materialize once (withColumn)
-    * before [[simhash64]], which references it 64 times. */
+  /** Token hash array for SimHash — the md5-prefix hash of every
+    * token in one kernel pass (bit-identical to
+    * `transform(tokens, t => md5Hash64(t))`). Materialize once
+    * (withColumn) before [[simhash64]], which references it 64 times. */
   def tokenHashes(textCol: Column): Column =
-    transform(TextFunctions.tokens(lower(textCol)), t => md5Hash64(t))
+    graft.functions.SketchExpressions.stringArrayHash64(
+      TextFunctions.tokens(lower(textCol)), "md5_64")
 
   /** 64-bit SimHash fingerprint over a pre-hashed token array: bit i
     * set iff more than half the tokens have bit i set (codegen

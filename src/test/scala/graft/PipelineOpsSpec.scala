@@ -71,6 +71,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(dot(Literal.create(Array(1.5, 2.0)), Literal.create(Array(2.0, 1.0))) == 5.0)
   }
 
+  test("string_array_hash64 kernel matches the HOF hash trees bit-for-bit") {
+    val sh = TextFunctions.wordShingles(col("text"), 3)
+    val tk = TextFunctions.tokens(lower(col("text")))
+    val rows = docs.limit(50).select(
+      Dedup.shingleHashes(sh).as("k_xx"),
+      transform(sh, s => xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL))).as("h_xx"),
+      Dedup.tokenHashes(col("text")).as("k_md5"),
+      transform(tk, t => Dedup.md5Hash64(t)).as("h_md5"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), "xxh64_32 mismatch")
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3), "md5_64 mismatch")
+    }
+  }
+
   // ---- dedup family ----
 
   test("minhash LSH finds exactly the exhaustive jaccard pairs") {
