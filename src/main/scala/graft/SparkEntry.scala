@@ -414,6 +414,21 @@ object SparkEntry {
         TextFunctions.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    "q_fingerprint_winnow" -> ((s, d) =>
+      scan(s, d, "documents").toDF.select(
+        col("doc_id"),
+        explode(TextFunctions.winnowFingerprints(col("text"))).as("fp"))
+        .orderBy("doc_id", "fp")),
+
+    "q_percentiles" -> ((s, d) =>
+      scan(s, d, "lineitem").toDF
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.95)"), 4).as("p95_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+        .orderBy("l_returnflag")),
+
     // -- similarity search --
     "q_embed_norm" -> ((s, d) =>
       scan(s, d, "embeddings").toDF.select(
@@ -796,6 +811,40 @@ object SparkEntry {
       "q_fingerprint" ->
         s"""SELECT doc_id, md5($normT) AS fp
             FROM documents ORDER BY doc_id""",
+      // Winnowing rederivation: positional char 5-grams, 62-bit
+      // md5-prefix rolling hashes (>> 2 keeps signed/unsigned min
+      // order identical), min per 4-window, distinct + sort.
+      "q_fingerprint_winnow" ->
+        """WITH d AS (
+             SELECT doc_id,
+                    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+             FROM documents),
+           g AS (
+             SELECT doc_id,
+                    list_transform(range(1, greatest(len(t) - 4, 1) + 1),
+                      i -> substr(t, CAST(i AS INT), 5)) AS cs
+             FROM d),
+           h AS (
+             SELECT doc_id,
+                    list_transform(cs,
+                      s -> (('0x' || substr(md5(s), 1, 16))::UBIGINT >> 2))
+                      AS hs
+             FROM g),
+           wn AS (
+             SELECT doc_id,
+                    list_sort(list_distinct(list_transform(
+                      range(1, greatest(len(hs) - 3, 1) + 1),
+                      j -> list_min(list_slice(hs, CAST(j AS INT),
+                                               CAST(j AS INT) + 3))))) AS fps
+             FROM h)
+           SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp
+           FROM wn ORDER BY doc_id, fp""",
+      "q_percentiles" ->
+        """SELECT l_returnflag,
+                  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+                  round(quantile_cont(l_quantity, 0.95), 4) AS p95_qty,
+                  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
       "q_embed_norm" ->
         """SELECT vec_id,
                   round(sqrt(list_sum(list_transform(embedding,

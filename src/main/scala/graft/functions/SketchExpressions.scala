@@ -260,6 +260,9 @@ case class HyperplaneSigsExpr(
   *  - "md5_64": first 64 bits of `md5(elem)` big-endian — the SimHash
   *    token hash, bit-identical to [[graft.operators.Dedup.md5Hash64]]
   *    and DuckDB's `('0x' || substr(md5(t), 1, 16))::UBIGINT`.
+  *  - "md5_62": the md5 prefix logically shifted right by 2 — always
+  *    non-negative, so signed (Spark) and unsigned (DuckDB) orderings
+  *    agree; used where hash ORDER matters (winnowing min-selection).
   *
   * Elements must be non-null (both producers — tokens, shingles —
   * guarantee it); a null element hashes to 0.
@@ -267,7 +270,8 @@ case class HyperplaneSigsExpr(
 case class StringArrayHash64Expr(child: Expression, algo: String)
     extends UnaryExpression {
 
-  require(algo == "xxh64_32" || algo == "md5_64", s"unknown algo '$algo'")
+  require(Seq("xxh64_32", "md5_64", "md5_62").contains(algo),
+    s"unknown algo '$algo'")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -293,6 +297,7 @@ case class StringArrayHash64Expr(child: Expression, algo: String)
     val n = input.numElements()
     val out = new Array[Long](n)
     val xx = algo == "xxh64_32"
+    val shift = if (algo == "md5_62") 2 else 0
     val md = if (xx) null else md5Local.get()
     var i = 0
     while (i < n) {
@@ -304,7 +309,7 @@ case class StringArrayHash64Expr(child: Expression, algo: String)
         else {
           md.reset()
           val d = md.digest(input.getUTF8String(i).getBytes)
-          java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+          java.nio.ByteBuffer.wrap(d, 0, 8).getLong >>> shift
         }
       i += 1
     }
@@ -326,7 +331,63 @@ case class StringArrayHash64Expr(child: Expression, algo: String)
   override def prettyName: String = "string_array_hash64"
 }
 
+/** Winnowing selection over a rolling-hash array: the minimum of every
+  * w-gram window, deduplicated and sorted — one pass over the array.
+  * As a single expression the hash-array child evaluates exactly once;
+  * the equivalent `transform(windows, j => array_min(slice(hs, j, w)))`
+  * tree re-evaluates `hs` per window after CollapseProject inlines it
+  * into the lambda (O(n^2) hashing per row). */
+case class WinnowMinsExpr(child: Expression, w: Int) extends UnaryExpression {
+
+  require(w >= 1, "window size must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val out = new java.util.TreeSet[java.lang.Long]()
+    if (n > 0) {
+      val nw = math.max(n - w + 1, 1)
+      var j = 0
+      while (j < nw) {
+        var mn = Long.MaxValue
+        var i = j
+        val end = math.min(j + w, n)
+        while (i < end) {
+          val v = hs.getLong(i)
+          if (v < mn) mn = v
+          i += 1
+        }
+        out.add(mn)
+        j += 1
+      }
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnower", this,
+      classOf[WinnowMinsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)" +
+        s" $ref.nullSafeEval($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): WinnowMinsExpr =
+    copy(child = c)
+  override def prettyName: String = "winnow_mins"
+}
+
 object SketchExpressions {
+  def winnowMins(hashes: Column, w: Int): Column =
+    GraftBridge.toColumn(
+      WinnowMinsExpr(GraftBridge.toExpression(hashes), w))
+
   def stringArrayHash64(arr: Column, algo: String): Column =
     GraftBridge.toColumn(
       StringArrayHash64Expr(GraftBridge.toExpression(arr), algo))

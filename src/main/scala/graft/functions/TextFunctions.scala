@@ -112,4 +112,26 @@ object TextFunctions {
   /** Content fingerprint: md5 of the normalized text (identical in any
     * ANSI SQL engine -> exact-dedup key and oracle-safe). */
   def fingerprint(c: Column): Column = md5(normText(c))
+
+  /** Positional character k-grams of the normalized text (every
+    * position, duplicates kept — the rolling-window input winnowing
+    * needs, unlike the distinct [[charShingles]]). */
+  def charGrams(c: Column, k: Int = 5): Column = {
+    val t = normText(c)
+    transform(
+      sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
+      i => t.substr(i, lit(k)))
+  }
+
+  /** Winnowing document fingerprints (the MOSS scheme): rolling-hash
+    * every character k-gram (md5-prefix, one kernel pass), then keep
+    * the minimum hash of each w-gram window — any shared substring of
+    * length >= k + w - 1 between two documents is guaranteed to share
+    * a fingerprint, while only ~2/(w+1) of positions are kept. Output
+    * is the sorted distinct fingerprint set. Hashes are 62-bit
+    * (md5 prefix >>> 2) so the min-selection order is engine-agnostic
+    * and the whole pipeline rederives in ANSI SQL. */
+  def winnowFingerprints(c: Column, k: Int = 5, w: Int = 4): Column =
+    SketchExpressions.winnowMins(
+      SketchExpressions.stringArrayHash64(charGrams(c, k), "md5_62"), w)
 }

@@ -279,6 +279,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(row.getAs[String]("head_hex").length == 16)
   }
 
+  test("winnowing fingerprints overlap iff documents share long substrings") {
+    val shared = "the quick brown fox jumps over the lazy dog again"
+    val df = Seq(
+      ("A prefix text here. " + shared, 1L),
+      (shared + " and a different suffix entirely", 2L),
+      ("completely unrelated content with other words inside", 3L))
+      .toDF("text", "id")
+      .select(col("id"),
+        TextFunctions.winnowFingerprints(col("text")).as("fps"))
+    val byId = df.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSet)).toMap
+    // winnowing guarantee: a shared substring of length >= k + w - 1
+    // (here 8 chars; `shared` is far longer) shares a fingerprint
+    assert((byId(1L) & byId(2L)).nonEmpty, "shared substring not detected")
+    assert((byId(1L) & byId(3L)).size < byId(1L).size / 4,
+      "unrelated docs overlap too much")
+    // deterministic and sorted
+    val again = Seq(("A prefix text here. " + shared, 1L)).toDF("text", "id")
+      .select(TextFunctions.winnowFingerprints(col("text"))).collect()(0)
+      .getSeq[Long](0)
+    assert(again == again.sorted && again.toSet == byId(1L))
+  }
+
   test("frame sampling slices payload bytes deterministically") {
     val df = Seq((1L, "abcdefghij"), (2L, "")).toDF("doc_id", "text")
     val frames = Multimodal.frameSample(
