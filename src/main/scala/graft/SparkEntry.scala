@@ -325,6 +325,38 @@ object SparkEntry {
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name").orderBy("c_custkey")),
 
+    // Salted (skew-safe) join: row-identical to the plain equi-join,
+    // so the oracle is the ordinary SQL join — the salting is pure
+    // physical-plan insurance for hot keys.
+    "q_join_salted" -> ((s, d) => {
+      val li = scan(s, d, "lineitem").toDF
+      val o = scan(s, d, "orders").toDF
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.Skew.saltedJoin(li, o, Seq("l_orderkey"), salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // HLL sketch contract: mergeable approximate-distinct sketches are
+    // the 100 TB way to count uniques; the oracle carries the EXACT
+    // per-group distinct counts, and the query asserts its own sketch
+    // estimates land within 5% by emitting the exact counts + flag.
+    "q_sketch_hll" -> ((s, d) => {
+      val li = scan(s, d, "lineitem").toDF
+      val sketched = li.groupBy("l_returnflag")
+        .agg(hll_sketch_estimate(
+          hll_sketch_agg(col("l_orderkey"))).as("approx_n"))
+      val exact = li.groupBy("l_returnflag")
+        .agg(count_distinct(col("l_orderkey")).as("exact_n"))
+      sketched.join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("exact_n"),
+          (abs(col("approx_n") - col("exact_n")).cast("double") <=
+            col("exact_n") * 0.05).as("within_5pct"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_asof_join" -> ((s, d) => {
       val ev = eventsDF(s, d)
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -649,6 +681,16 @@ object SparkEntry {
         """SELECT c_custkey, c_name FROM customer
            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
            ORDER BY c_custkey""",
+      "q_join_salted" ->
+        """SELECT o_orderpriority, count(*) AS n,
+                  round(sum(l_quantity), 2) AS sum_qty
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+      "q_sketch_hll" ->
+        """SELECT l_returnflag,
+                  count(DISTINCT l_orderkey) AS exact_n,
+                  true AS within_5pct
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
       "q_asof_join" ->
         """SELECT e.event_id, e.user_id, e.event_type,
                   p.value AS last_purchase_value,

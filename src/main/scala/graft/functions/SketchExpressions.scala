@@ -331,6 +331,69 @@ case class StringArrayHash64Expr(child: Expression, algo: String)
   override def prettyName: String = "string_array_hash64"
 }
 
+/** md5-prefix hashes of every positional character k-gram of a string,
+  * in one pass — the winnowing rolling-hash stage. As a single
+  * expression the (normalized) string child evaluates exactly once; a
+  * `transform(sequence(...), i => substr(t, i, k))` tree re-evaluates
+  * `t` — including its regex normalization — per gram after
+  * CollapseProject inlines it into the lambda. Grams are code-point
+  * based (matching SQL substr); texts shorter than k yield one
+  * (short) gram. `shift` logically right-shifts each hash (62-bit
+  * hashes keep signed/unsigned order identical across engines).
+  */
+case class CharGramHash64Expr(child: Expression, k: Int, shift: Int)
+    extends UnaryExpression {
+
+  require(k >= 1 && shift >= 0 && shift < 64, "bad k or shift")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"char_gram_hash64 needs a string, got $other")
+    }
+
+  @transient private lazy val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val n = s.numChars()
+    val count = math.max(n - k + 1, 1)
+    val md = md5Local.get()
+    val out = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      val gram = s.substringSQL(i + 1, k)
+      md.reset()
+      val d = md.digest(gram.getBytes)
+      out(i) = java.nio.ByteBuffer.wrap(d, 0, 8).getLong >>> shift
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gramHasher", this,
+      classOf[CharGramHash64Expr].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)" +
+        s" $ref.nullSafeEval($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): CharGramHash64Expr =
+    copy(child = c)
+  override def prettyName: String = "char_gram_hash64"
+}
+
 /** Winnowing selection over a rolling-hash array: the minimum of every
   * w-gram window, deduplicated and sorted — one pass over the array.
   * As a single expression the hash-array child evaluates exactly once;
@@ -384,6 +447,10 @@ case class WinnowMinsExpr(child: Expression, w: Int) extends UnaryExpression {
 }
 
 object SketchExpressions {
+  def charGramHash64(text: Column, k: Int, shift: Int): Column =
+    GraftBridge.toColumn(
+      CharGramHash64Expr(GraftBridge.toExpression(text), k, shift))
+
   def winnowMins(hashes: Column, w: Int): Column =
     GraftBridge.toColumn(
       WinnowMinsExpr(GraftBridge.toExpression(hashes), w))

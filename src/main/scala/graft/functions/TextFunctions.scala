@@ -133,5 +133,5 @@ object TextFunctions {
     * and the whole pipeline rederives in ANSI SQL. */
   def winnowFingerprints(c: Column, k: Int = 5, w: Int = 4): Column =
     SketchExpressions.winnowMins(
-      SketchExpressions.stringArrayHash64(charGrams(c, k), "md5_62"), w)
+      SketchExpressions.charGramHash64(normText(c), k, shift = 2), w)
 }

@@ -279,6 +279,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(row.getAs[String]("head_hex").length == 16)
   }
 
+  test("char_gram_hash64 kernel matches the composed gram+hash pipeline") {
+    import graft.functions.SketchExpressions
+    val rows = docs.limit(20).select(
+      SketchExpressions.charGramHash64(
+        TextFunctions.normText(col("text")), 5, 2).as("kernel"),
+      SketchExpressions.stringArrayHash64(
+        TextFunctions.charGrams(col("text"), 5), "md5_62").as("composed"))
+      .collect()
+    rows.foreach(r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), "gram hash mismatch"))
+  }
+
   test("winnowing fingerprints overlap iff documents share long substrings") {
     val shared = "the quick brown fox jumps over the lazy dog again"
     val df = Seq(

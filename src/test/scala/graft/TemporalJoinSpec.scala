@@ -88,6 +88,24 @@ class TemporalJoinSpec extends AnyFunSuite {
       ("mid", "wide")))
   }
 
+  test("salted join is row-identical to the plain equi-join") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val salted = graft.operators.Skew
+      .saltedJoin(li, o, Seq("l_orderkey"), salts = 4)
+    val plain = li.join(o, Seq("l_orderkey"))
+    Fixtures.assertSameRows(salted, plain)
+    // left join keeps unmatched left rows exactly once
+    val lSalted = graft.operators.Skew
+      .saltedJoin(li, o.filter(col("l_orderkey") % 2 === 0),
+        Seq("l_orderkey"), salts = 4, how = "left")
+    val lPlain = li.join(o.filter(col("l_orderkey") % 2 === 0),
+      Seq("l_orderkey"), "left")
+    Fixtures.assertSameRows(lSalted, lPlain)
+  }
+
   test("range join differential vs plain theta join on events sample") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
