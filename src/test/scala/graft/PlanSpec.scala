@@ -105,6 +105,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Union"), plan)
   }
 
+  test("user filter on the index column prunes files end-to-end") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // filter at the lower bound of the LAST partition: only that file
+    // may contain satisfying rows, and the scan must plan only it.
+    val lastLb = persisted.lowerBounds.get.last.head.get
+      .asInstanceOf[java.time.LocalDateTime]
+    val df = persisted.toDF.filter(col("l_shipdate") >= lit(lastLb))
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(df.queryExecution.executedPlan)
+    assert(scan.nonEmpty, df.queryExecution.executedPlan.toString)
+    val numFiles = scan.map(_.metrics("numFiles").value).sum
+    assert(numFiles == 1,
+      s"expected 1 file scanned of ${persisted.npartitions}, got $numFiles")
+  }
+
   test("sidecar file index prunes files from pushed Catalyst filters") {
     import org.apache.spark.sql.GraftFileIndex
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, GreaterThanOrEqual, IsNull, LessThan, Literal}
