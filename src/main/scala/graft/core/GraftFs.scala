@@ -1,0 +1,118 @@
+package graft.core
+
+import java.io.FileNotFoundException
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Hadoop-`FileSystem` facade for the engine's metadata and staging I/O.
+  *
+  * Every dataset path — scan roots, sidecar files, staged single-file
+  * writes — resolves through `org.apache.hadoop.fs.FileSystem`, so a
+  * dataset can live on any filesystem Spark itself can reach (local
+  * disk, HDFS, S3A, ABFS, GCS), not only `java.nio` local paths. Plain
+  * local paths (`/a/b`) keep their exact old behavior via Hadoop's
+  * local-FS implementation; URIs (`hdfs://nn/ds`, `s3a://bucket/ds`,
+  * `file:/a/b`) route to the implementation registered in the Spark
+  * session's Hadoop configuration.
+  *
+  * The reference engine is explicitly single-node over a local
+  * filesystem (padawan `docs/index.rst:45-47`); this layer is what its
+  * design needs to hold at the 100 TB / object-store scale.
+  */
+object GraftFs {
+
+  def conf(spark: SparkSession): Configuration =
+    spark.sparkContext.hadoopConfiguration
+
+  /** Resolve a path string to its (FileSystem, Path). The path string is
+    * preserved as written (no forced qualification), so local callers
+    * see unchanged `/a/b`-style names. */
+  def resolve(spark: SparkSession, pathStr: String): (FileSystem, Path) = {
+    val p = new Path(pathStr)
+    (p.getFileSystem(conf(spark)), p)
+  }
+
+  def statusOf(fs: FileSystem, p: Path): Option[FileStatus] =
+    try Some(fs.getFileStatus(p))
+    catch { case _: FileNotFoundException => None }
+
+  def isDir(fs: FileSystem, p: Path): Boolean =
+    statusOf(fs, p).exists(_.isDirectory)
+
+  def isFile(fs: FileSystem, p: Path): Boolean =
+    statusOf(fs, p).exists(_.isFile)
+
+  /** Immediate children of `dir` whose name passes `keep`, as full path
+    * strings sorted by name — ONE listing RPC for the whole directory. */
+  def listFiles(fs: FileSystem, dir: Path)(
+      keep: String => Boolean): IndexedSeq[String] =
+    fs.listStatus(dir).iterator
+      .filter(st => keep(st.getPath.getName))
+      .map(_.getPath.toString)
+      .toVector
+      .sorted
+
+  /** Child FileStatuses of `dir` (one RPC); empty if `dir` is absent. */
+  def listStatuses(fs: FileSystem, dir: Path): IndexedSeq[FileStatus] =
+    try fs.listStatus(dir).toVector
+    catch { case _: FileNotFoundException => Vector.empty }
+
+  def readString(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  def writeString(fs: FileSystem, p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def deleteRecursive(fs: FileSystem, p: Path): Unit =
+    if (fs.exists(p)) { fs.delete(p, true); () }
+
+  def mkdirs(fs: FileSystem, p: Path): Unit = { fs.mkdirs(p); () }
+
+  /** Move `src` onto `target`, replacing it. Hadoop `rename` does not
+    * overwrite, so delete the target first (both are same-FS paths). */
+  def moveOverwrite(fs: FileSystem, src: Path, target: Path): Unit = {
+    if (fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(src, target))
+      throw new java.io.IOException(s"rename $src -> $target failed")
+  }
+
+  /** A fresh uniquely-named staging dir under `parent` (same FS as the
+    * final destination so the finishing `rename` is atomic-ish and never
+    * a cross-FS copy). Caller deletes it recursively when done. */
+  def mkStageDir(fs: FileSystem, parent: Path, prefix: String): Path = {
+    val p = new Path(parent, prefix + java.util.UUID.randomUUID().toString)
+    fs.mkdirs(p)
+    p
+  }
+
+  /** Byte length per file path, batched: ONE `listStatus` per distinct
+    * parent directory instead of one RPC per file (at 10^5 files on an
+    * object store, per-file `getFileStatus` is the driver bottleneck).
+    * Falls back to a direct status probe for files a listing missed. */
+  def fileSizes(
+      cnf: Configuration, files: Seq[String]): IndexedSeq[(Path, Long)] = {
+    val paths = files.map(new Path(_)).toVector
+    val byLen = scala.collection.mutable.HashMap.empty[Path, Long]
+    paths.groupBy(_.getParent).foreach { case (parent, _) =>
+      if (parent != null) {
+        val fs = parent.getFileSystem(cnf)
+        try fs.listStatus(parent).foreach(st => byLen(st.getPath) = st.getLen)
+        catch { case _: FileNotFoundException => }
+      }
+    }
+    paths.map { p =>
+      val fs = p.getFileSystem(cnf)
+      val qp = fs.makeQualified(p)
+      (qp, byLen.getOrElse(qp, fs.getFileStatus(p).getLen))
+    }
+  }
+}

@@ -1,6 +1,6 @@
 package graft.core
 
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.fs.{Path => HPath}
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -795,13 +795,13 @@ final class PDataset private[core] (
   }
 
   private def genericWriteParquet(path: String, append: Boolean): PDataset = {
-    val dir = Paths.get(path)
+    val (fs, dir) = GraftFs.resolve(spark, path)
     var prior: Option[Sidecar.Meta] = None
     if (!append) {
-      if (Files.exists(dir)) Sidecar.deleteRecursively(dir)
-      Files.createDirectories(dir)
+      GraftFs.deleteRecursive(fs, dir)
+      GraftFs.mkdirs(fs, dir)
     } else {
-      if (!Sidecar.exists(path))
+      if (!Sidecar.exists(spark, path))
         throw new AppendError(s"Could not load metadata in '$path'.")
       val m = Sidecar.load(spark, path)
       if (m.indexColumns != this.indexColumns)
@@ -819,7 +819,7 @@ final class PDataset private[core] (
     implicit val ec: ExecutionContext = PDataset.writeEc
     val writes = parts.indices.map { i =>
       Future {
-        Sidecar.writeSingleParquet(this(i), Paths.get(path, fileNames(i)).toString)
+        Sidecar.writeSingleParquet(this(i), new HPath(dir, fileNames(i)).toString)
       }
     }
     writes.foreach(Await.result(_, SDuration.Inf))
@@ -830,7 +830,7 @@ final class PDataset private[core] (
         parts.indices.map(i =>
           PartStats(sizesOpt.get(i), lbsOpt.get(i), ubsOpt.get(i))).toVector
       else {
-        val paths = fileNames.map(f => Paths.get(path, f).toString)
+        val paths = fileNames.map(f => new HPath(dir, f).toString)
         val byFile = Stats.forFiles(spark, paths, this.indexColumns, schemaOpt)
         paths.map(p =>
           byFile.getOrElse(Stats.normalizePath(p),
@@ -840,7 +840,7 @@ final class PDataset private[core] (
     // 3. Drop empty partitions (file deleted, not listed in metadata).
     val keep = parts.indices.filter(i => stats(i).size > 0)
     parts.indices.filterNot(keep.contains).foreach { i =>
-      Files.deleteIfExists(Paths.get(path, fileNames(i)))
+      fs.delete(new HPath(dir, fileNames(i)), false)
     }
     val schema = schemaOpt.getOrElse(
       if (parts.nonEmpty) this(0).schema
@@ -866,11 +866,11 @@ final class PDataset private[core] (
     * via the division when-chain, hash-repartition on it, and let the
     * parquet sink write one file per partition in parallel. */
   private def fastWriteParquet(path: String, plan: FastWritePlan): PDataset = {
-    val dir = Paths.get(path)
-    if (Files.exists(dir)) Sidecar.deleteRecursively(dir)
-    Files.createDirectories(dir)
-    val stage = Files.createTempDirectory(dir.toAbsolutePath.getParent,
-      ".graft-fastwrite-")
+    val (fs, dir) = GraftFs.resolve(spark, path)
+    GraftFs.deleteRecursive(fs, dir)
+    GraftFs.mkdirs(fs, dir)
+    val stageParent = Option(dir.getParent).getOrElse(dir)
+    val stage = GraftFs.mkStageDir(fs, stageParent, ".graft-fastwrite-")
     try {
       val idx = plan.cols.map(col)
       val tagged = plan.source.toDF.withColumn(
@@ -883,25 +883,24 @@ final class PDataset private[core] (
         .mode("overwrite")
         .parquet(stage.toString)
 
-      // Move each __part=i file into its final partNNN.parquet slot.
+      // Move each __part=i file into its final partNNN.parquet slot
+      // (same-FS renames — never a copy).
       val written = ArrayBuffer.empty[(Int, String)] // (partition idx, file)
       (0 until parts.length).foreach { i =>
-        val sub = stage.resolve(s"__part=$i")
-        if (Files.isDirectory(sub)) {
-          val fs = Files.list(sub).filter(_.getFileName.toString.endsWith(".parquet"))
-            .toArray.map(_.asInstanceOf[java.nio.file.Path])
-          if (fs.nonEmpty) {
-            val name = Sidecar.partitionFileName(i)
-            if (fs.length == 1)
-              Files.move(fs(0), dir.resolve(name))
-            else {
-              // >1 file can only happen under speculative/retried tasks;
-              // merge by reading back (rare, small).
-              val merged = spark.read.parquet(fs.map(_.toString): _*)
-              Sidecar.writeSingleParquet(merged, dir.resolve(name).toString)
-            }
-            written += ((i, name))
+        val sub = new HPath(stage, s"__part=$i")
+        val partFiles = GraftFs.listStatuses(fs, sub)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        if (partFiles.nonEmpty) {
+          val name = Sidecar.partitionFileName(i)
+          if (partFiles.length == 1)
+            GraftFs.moveOverwrite(fs, partFiles(0).getPath, new HPath(dir, name))
+          else {
+            // >1 file can only happen under speculative/retried tasks;
+            // merge by reading back (rare, small).
+            val merged = spark.read.parquet(partFiles.map(_.getPath.toString): _*)
+            Sidecar.writeSingleParquet(merged, new HPath(dir, name).toString)
           }
+          written += ((i, name))
         }
       }
 
@@ -913,10 +912,10 @@ final class PDataset private[core] (
           (keepIdx.map(sizesOpt.get), keepIdx.map(lbsOpt.get), keepIdx.map(ubsOpt.get))
         } else {
           val byFile = Stats.forFiles(spark,
-            written.map(w => dir.resolve(w._2).toString).toSeq,
+            written.map(w => new HPath(dir, w._2).toString).toSeq,
             plan.cols, plan.source.schemaOpt)
           val sts = written.map(w =>
-            byFile(Stats.normalizePath(dir.resolve(w._2).toString)))
+            byFile(Stats.normalizePath(new HPath(dir, w._2).toString)))
           (sts.map(_.size), sts.map(_.lb), sts.map(_.ub))
         }
       val schema = plan.source.schemaOpt.getOrElse(plan.source(0).schema)
@@ -924,7 +923,7 @@ final class PDataset private[core] (
       Sidecar.write(spark, path, plan.cols, written.map(_._2).toSeq,
         sizesW.toSeq, lbsW.toSeq, ubsW.toSeq, maxIdx, schema)
       PDataset.scanParquet(spark, path)
-    } finally Sidecar.deleteRecursively(stage)
+    } finally GraftFs.deleteRecursive(fs, stage)
   }
 }
 
@@ -1035,32 +1034,34 @@ object PDataset {
 
   /** Open a persisted dataset: load sidecar metadata if present (stats
     * known before any job); else glob `*.parquet` (sorted) with unknown
-    * stats; a bare file becomes a single-partition dataset. */
+    * stats; a bare file becomes a single-partition dataset. The path may
+    * be local, `file:`, or any Hadoop-served URI (HDFS/S3A/...). */
   def scanParquet(spark: SparkSession, path: String): PDataset = {
-    val p = Paths.get(path)
-    if (Files.isDirectory(p) && Sidecar.exists(path)) {
-      val m = Sidecar.load(spark, path)
-      new PDataset(
-        spark,
-        m.files.map(f => FilePart(p.resolve(f).toString, Nil): Part),
-        m.indexColumns,
-        Some(m.sizes),
-        Some(m.lowerBounds),
-        Some(m.upperBounds),
-        Some(m.schema))
-    } else if (Files.isDirectory(p)) {
-      val files = Files.list(p).toArray.map(_.toString)
-        .filter(_.endsWith(".parquet")).sorted.toVector
-      if (files.isEmpty)
-        throw new java.io.FileNotFoundException(
-          s"No files matching pattern $path/*.parquet")
-      new PDataset(spark, files.map(f => FilePart(f, Nil): Part),
-        Seq.empty, None, None, None, None)
-    } else if (Files.isRegularFile(p)) {
-      new PDataset(spark, Vector(FilePart(path, Nil)),
-        Seq.empty, None, None, None, None)
-    } else
-      throw new java.io.FileNotFoundException(path)
+    val (fs, p) = GraftFs.resolve(spark, path)
+    GraftFs.statusOf(fs, p) match {
+      case Some(st) if st.isDirectory && Sidecar.exists(spark, path) =>
+        val m = Sidecar.load(spark, path)
+        new PDataset(
+          spark,
+          m.files.map(f => FilePart(new HPath(p, f).toString, Nil): Part),
+          m.indexColumns,
+          Some(m.sizes),
+          Some(m.lowerBounds),
+          Some(m.upperBounds),
+          Some(m.schema))
+      case Some(st) if st.isDirectory =>
+        val files = GraftFs.listFiles(fs, p)(_.endsWith(".parquet"))
+        if (files.isEmpty)
+          throw new java.io.FileNotFoundException(
+            s"No files matching pattern $path/*.parquet")
+        new PDataset(spark, files.map(f => FilePart(f, Nil): Part),
+          Seq.empty, None, None, None, None)
+      case Some(_) =>
+        new PDataset(spark, Vector(FilePart(path, Nil)),
+          Seq.empty, None, None, None, None)
+      case None =>
+        throw new java.io.FileNotFoundException(path)
+    }
   }
 
   /** Open a directory of CSV files (or a bare file), one partition per
@@ -1079,12 +1080,11 @@ object PDataset {
       path: String,
       fmt: String,
       schemaOpt: Option[StructType]): PDataset = {
-    val p = Paths.get(path)
+    val (fs, p) = GraftFs.resolve(spark, path)
     val files: IndexedSeq[String] =
-      if (Files.isDirectory(p))
-        Files.list(p).toArray.map(_.toString)
-          .filter(_.endsWith("." + fmt)).sorted.toVector
-      else if (Files.isRegularFile(p)) Vector(path)
+      if (GraftFs.isDir(fs, p))
+        GraftFs.listFiles(fs, p)(_.endsWith("." + fmt))
+      else if (GraftFs.isFile(fs, p)) Vector(path)
       else throw new java.io.FileNotFoundException(path)
     if (files.isEmpty)
       throw new java.io.FileNotFoundException(s"No files matching $path/*.$fmt")
@@ -1173,9 +1173,8 @@ object PDataset {
       spark: SparkSession,
       path: String,
       indexColumns: Seq[String]): Unit = {
-    val p = Paths.get(path)
-    val files = Files.list(p).toArray.map(_.toString)
-      .filter(f => f.endsWith(".parquet")).sorted.toVector
+    val (fs, p) = GraftFs.resolve(spark, path)
+    val files = GraftFs.listFiles(fs, p)(_.endsWith(".parquet"))
     if (files.isEmpty)
       throw new java.io.FileNotFoundException(
         s"No files matching pattern $path/*.parquet")

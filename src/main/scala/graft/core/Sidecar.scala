@@ -1,6 +1,6 @@
 package graft.core
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
@@ -19,6 +19,9 @@ import Lex.Bound
   * The driver reads these before launching any Spark job, enabling
   * file-level partition pruning on top of Spark's own parquet
   * rowgroup-statistics skipping.
+  *
+  * All paths route through Hadoop's `FileSystem` (see [[GraftFs]]), so a
+  * dataset directory may live on local disk, HDFS, or an object store.
   */
 object Sidecar {
 
@@ -29,27 +32,21 @@ object Sidecar {
   def partitionFileName(i: Long): String =
     s"part%0${PartitionNumberDigits}d.parquet".format(i)
 
-  final case class Meta(
-      files: IndexedSeq[String],
-      indexColumns: Seq[String],
-      sizes: IndexedSeq[Long],
-      lowerBounds: IndexedSeq[Bound],
-      upperBounds: IndexedSeq[Bound],
-      maxPartitionIndex: Long,
-      schema: StructType)
+  def metadataPath(dir: String): Path = new Path(dir, MetadataFile)
 
-  def metadataPath(dir: String): Path = Paths.get(dir, MetadataFile)
-
-  def exists(dir: String): Boolean =
-    Files.isRegularFile(metadataPath(dir)) &&
-      Files.isRegularFile(Paths.get(dir, SchemaFile))
+  def exists(spark: SparkSession, dir: String): Boolean = {
+    val (fs, _) = GraftFs.resolve(spark, dir)
+    GraftFs.isFile(fs, metadataPath(dir)) &&
+      GraftFs.isFile(fs, new Path(dir, SchemaFile))
+  }
 
   // ---- load ----
 
   def load(spark: SparkSession, dir: String): Meta = {
-    val text = Files.readString(metadataPath(dir))
+    val (fs, _) = GraftFs.resolve(spark, dir)
+    val text = GraftFs.readString(fs, metadataPath(dir))
     val obj = TypedJson.parse(text).asInstanceOf[Map[String, Any]]
-    val schema = readSchemaFile(spark, Paths.get(dir, SchemaFile))
+    val schema = readSchemaFile(spark, fs, new Path(dir, SchemaFile))
 
     val indexColumns =
       obj("index_columns").asInstanceOf[Vector[Any]].map(_.toString)
@@ -71,14 +68,27 @@ object Sidecar {
     Meta(files, indexColumns, sizes, lbs, ubs, maxIdx, schema)
   }
 
+  final case class Meta(
+      files: IndexedSeq[String],
+      indexColumns: Seq[String],
+      sizes: IndexedSeq[Long],
+      lowerBounds: IndexedSeq[Bound],
+      upperBounds: IndexedSeq[Bound],
+      maxPartitionIndex: Long,
+      schema: StructType)
+
   /** Spark's file listing hides `_`-prefixed files (Hadoop metadata
     * convention), so the `_padawan_schema` sidecar can't be read in
-    * place — stage a visibly-named copy and read that. */
-  private def readSchemaFile(spark: SparkSession, file: Path): StructType = {
-    val tmp = Files.createTempDirectory("graft-schema-")
+    * place — stage a visibly-named LOCAL copy (streamed through the
+    * source FileSystem, so remote sidecars work too) and read that. */
+  private def readSchemaFile(
+      spark: SparkSession, fs: FileSystem, file: Path): StructType = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-schema-")
     try {
       val copy = tmp.resolve("schema.parquet")
-      Files.copy(file, copy)
+      val in = fs.open(file)
+      try java.nio.file.Files.copy(in, copy)
+      finally in.close()
       spark.read.parquet(copy.toString).schema
     } finally deleteRecursively(tmp)
   }
@@ -123,46 +133,50 @@ object Sidecar {
       "upper_bounds" -> upperBounds.map(_.map(_.orNull)),
       "max_partition_index" -> maxPartitionIndex
     )
-    Files.writeString(metadataPath(dir), TypedJson.write(meta))
+    val (fs, _) = GraftFs.resolve(spark, dir)
+    GraftFs.writeString(fs, metadataPath(dir), TypedJson.write(meta))
     val empty = spark.createDataFrame(
       java.util.Collections.emptyList[Row](), schema)
-    writeSingleParquet(empty, Paths.get(dir, SchemaFile).toString)
+    writeSingleParquet(empty, new Path(dir, SchemaFile).toString)
   }
 
   /** Write a DataFrame as ONE parquet file at exactly `target`.
     *
     * Spark's writer emits a directory; for sidecar-format compatibility we
-    * stage into a temp dir (single task via coalesce(1)) and move the lone
-    * part file into place. Used for the schema sidecar and per-partition
-    * data files; the repartition fast path uses a single partitionBy job
-    * instead (see PDataset.writeParquet).
+    * stage into a same-FS temp dir (single task via coalesce(1)) and move
+    * the lone part file into place — a same-filesystem `rename`, never a
+    * copy. Used for the schema sidecar and per-partition data files; the
+    * repartition fast path uses a single partitionBy job instead (see
+    * PDataset.writeParquet).
     */
   def writeSingleParquet(
       df: DataFrame,
       target: String,
       compression: String = "zstd"): Unit = {
-    val targetPath = Paths.get(target)
-    val tmp = Files.createTempDirectory(
-      targetPath.toAbsolutePath.getParent, ".spark-stage-")
-    val stageDir = tmp.resolve("out").toString
+    val spark = df.sparkSession
+    val (fs, targetPath) = GraftFs.resolve(spark, target)
+    val parent = Option(targetPath.getParent).getOrElse(new Path("."))
+    val stage = GraftFs.mkStageDir(fs, parent, ".spark-stage-")
     try {
+      val stageDir = new Path(stage, "out")
       df.coalesce(1).write
         .option("compression", compression)
         .mode("overwrite")
-        .parquet(stageDir)
-      val part = Files
-        .list(Paths.get(stageDir))
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .findFirst()
-        .orElseThrow(() =>
-          new IllegalStateException(s"no parquet part written in $stageDir"))
-      Files.move(part, targetPath, StandardCopyOption.REPLACE_EXISTING)
-    } finally deleteRecursively(tmp)
+        .parquet(stageDir.toString)
+      val part = GraftFs.listStatuses(fs, stageDir)
+        .find(_.getPath.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          s"no parquet part written in $stageDir"))
+      GraftFs.moveOverwrite(fs, part.getPath, targetPath)
+    } finally GraftFs.deleteRecursive(fs, stage)
   }
 
-  def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).forEach(deleteRecursively(_))
-    Files.deleteIfExists(p)
+  /** Local-only recursive delete for driver-side temp scaffolding (test
+    * fixtures, the staged schema copy). Dataset paths use
+    * [[GraftFs.deleteRecursive]]. */
+  def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p))
+      java.nio.file.Files.list(p).forEach(deleteRecursively(_))
+    java.nio.file.Files.deleteIfExists(p)
   }
 }

@@ -113,20 +113,33 @@ object Stats {
     merged.map { case (f, (c, mn, mx)) => f -> PartStats(c, mn, mx) }.toMap
   }
 
-  /** Canonical key for a file: plain absolute filesystem path.
-    * `input_file_name()` yields a full, possibly percent-encoded URI
-    * (`file:///a/b%20c.parquet`) while driver-side callers hold plain
-    * paths (`/a/b c.parquet`) — both normalize to the same key. */
+  /** Canonical key for a file: `scheme://authority/absolute/path` (for
+    * the local FS, `file:` + absolute path). `input_file_name()` yields
+    * a full, possibly percent-encoded URI (`file:///a/b%20c.parquet`)
+    * while driver-side callers hold plain paths (`/a/b c.parquet`) —
+    * both normalize to the same key. Scheme and authority are KEPT:
+    * `s3a://a/x/part0` and `s3a://b/x/part0` are different files and
+    * must not collide to one stats entry; `toAbsolutePath` (driver CWD)
+    * applies only to scheme-less local paths. */
   def normalizePath(pathOrUri: String): String = {
-    val raw =
-      if (pathOrUri.startsWith("file:") || pathOrUri.contains("://"))
-        try {
-          val u = new java.net.URI(pathOrUri)
-          Option(u.getPath).getOrElse(pathOrUri)
-        } catch { case _: java.net.URISyntaxException => pathOrUri }
-      else pathOrUri
-    try java.nio.file.Paths.get(raw).toAbsolutePath.normalize.toString
-    catch { case _: java.nio.file.InvalidPathException => raw }
+    def local(raw: String): String =
+      "file:" + (
+        try java.nio.file.Paths.get(raw).toAbsolutePath.normalize.toString
+        catch { case _: java.nio.file.InvalidPathException => raw })
+    val uriOpt =
+      if (pathOrUri.contains(":/"))
+        try Option(new java.net.URI(pathOrUri)).filter(_.getScheme != null)
+        catch { case _: java.net.URISyntaxException => None }
+      else None
+    uriOpt match {
+      case Some(u) if u.getScheme == "file" =>
+        local(Option(u.getPath).getOrElse(pathOrUri))
+      case Some(u) =>
+        val auth = Option(u.getAuthority).getOrElse("")
+        val path = Option(u.normalize().getPath).getOrElse("")
+        s"${u.getScheme}://$auth$path"
+      case None => local(pathOrUri)
+    }
   }
 
   /** Run per-partition stats jobs concurrently (Spark schedules

@@ -135,10 +135,10 @@ object GraftRelations {
       lbs: IndexedSeq[Option[Any]],
       ubs: IndexedSeq[Option[Any]]): DataFrame = {
     val ss = spark.asInstanceOf[classic.SparkSession]
-    val withSizes = files.map { f =>
-      val p = java.nio.file.Paths.get(f)
-      (new Path(p.toUri), java.nio.file.Files.size(p))
-    }
+    // Byte lengths via Hadoop FileSystem, one listing per parent dir —
+    // works for local, HDFS and object-store datasets alike.
+    val withSizes = graft.core.GraftFs.fileSizes(
+      spark.sparkContext.hadoopConfiguration, files)
     val index = new GraftFileIndex(withSizes, leadingIndexCol, lbs, ubs)
     val rel = HadoopFsRelation(
       index,
