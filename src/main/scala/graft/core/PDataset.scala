@@ -863,8 +863,8 @@ final class PDataset private[core] (
   private def emptyIdxBound: Bound = Vector.fill(indexColumns.length)(None)
 
   /** One-shuffle scatter write: tag rows with their target partition id
-    * via the division when-chain, hash-repartition on it, and let the
-    * parquet sink write one file per partition in parallel. */
+    * via the O(log d) division router, hash-repartition on it, and let
+    * the parquet sink write one file per partition in parallel. */
   private def fastWriteParquet(path: String, plan: FastWritePlan): PDataset = {
     val (fs, dir) = GraftFs.resolve(spark, path)
     GraftFs.deleteRecursive(fs, dir)
@@ -1192,11 +1192,30 @@ object PDataset {
     if (i < 0) f else f.substring(i + 1)
   }
 
-  /** `when`-chain assigning each row its target partition id from the
-    * division lower bounds (reference: repartitioned_dataset.py:14-25).
-    * Fine for O(100s) of divisions; a scale-out alternative is a range
-    * join against a broadcast divisions table. */
-  private[core] def partitionIndexExpr(
+  /** Target partition id from the division lower bounds (reference:
+    * repartitioned_dataset.py:14-25 — first bound the row is
+    * lex-less-than, else the last partition).
+    *
+    * Sorted divisions (the only kind [[repartition]] produces) route
+    * through [[DivisionRouterExpr]]: O(log d) binary search per row
+    * against a task-broadcast bounds array, constant plan size. The
+    * O(d) `when`-chain survives only as the fallback for unsorted
+    * bounds — where first-match order is semantic — and as the
+    * differential-test twin. */
+  private[graft] def partitionIndexExpr(
+      cols: Seq[Column],
+      divisions: IndexedSeq[Bound]): Column = {
+    if (divisions.isEmpty) lit(0)
+    else if (divisionsSorted(divisions)) DivisionRouter.route(cols, divisions)
+    else partitionIndexWhenChain(cols, divisions)
+  }
+
+  private[graft] def divisionsSorted(divisions: IndexedSeq[Bound]): Boolean =
+    divisions.indices.drop(1).forall(i =>
+      Lex.lexCmp(divisions(i - 1), divisions(i)) <= 0)
+
+  /** The original O(d) `when`-chain over [[LexColumns.columnsLt]]. */
+  private[graft] def partitionIndexWhenChain(
       cols: Seq[Column],
       divisions: IndexedSeq[Bound]): Column = {
     if (divisions.isEmpty) lit(0)
