@@ -73,8 +73,12 @@ object SparkEntry {
   }
 
   /** recall@5 of an approximate top-k result vs its exact baseline,
-    * as one (n_queries, recall_at_5) row. */
-  private def recallContract(approx: DataFrame, brute: DataFrame): DataFrame = {
+    * thresholded to one (n_queries, recall_floor_met) row — the same
+    * scale-robust contract shape as q_sketch_hll. A literal recall
+    * value would be scale-factor-specific (bucket occupancy changes
+    * with corpus size); the floor holds at every verification SF. */
+  private def recallContract(
+      approx: DataFrame, brute: DataFrame, floor: Double): DataFrame = {
     val hits = brute.select("query_id", "neighbor_id")
       .join(approx.select("query_id", "neighbor_id"),
         Seq("query_id", "neighbor_id"), "left_semi")
@@ -83,7 +87,8 @@ object SparkEntry {
       .join(hits, Seq("query_id"), "left")
       .select(coalesce(col("hits"), lit(0L)).as("hits"))
       .agg(count(lit(1)).as("n_queries"),
-        round(avg(col("hits").cast("double") / 5.0), 4).as("recall_at_5"))
+        (avg(col("hits").cast("double") / 5.0) >= lit(floor))
+          .as("recall_floor_met"))
   }
 
   // ---- query inventory ----
@@ -485,19 +490,23 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") < 10)
       // few planes + many tables: this corpus is near-orthogonal, so
       // fine buckets would have ~zero recall (see PipelineOpsSpec)
+      // Measured recall@5: 0.78 at sf0.01, 0.60 at sf0.1 — floor 0.5.
       recallContract(
         Similarity.lshTopK(q, emb, "vec_id", "embedding",
           k = 5, dim = 64, nPlanes = 4, tables = 8),
-        Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5))
+        Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5),
+        floor = 0.5)
     }),
 
     "q_ann_ivf" -> ((s, d) => {
       val emb = scan(s, d, "embeddings").toDF
       val q = emb.filter(col("vec_id") < 10)
+      // Measured recall@5: 0.48 at both sf0.01 and sf0.1 — floor 0.4.
       recallContract(
         Similarity.ivfTopK(q, emb, "vec_id", "embedding",
           k = 5, dim = 64, nlist = 16, nprobe = 4),
-        Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5))
+        Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5),
+        floor = 0.4)
     }),
 
     // -- multimodal plumbing (decode stubbed; see Multimodal) --
@@ -789,12 +798,14 @@ object SparkEntry {
            FROM sim a JOIN sim b ON a.doc_id < b.doc_id
            WHERE bit_count(xor(a.sim, b.sim)) <= 3
            ORDER BY "idA", "idB"""",
-      // Constant emitted by the Spark-side recall grader (deterministic:
-      // seeded planes, fixed data); measured once at sf0.01.
+      // Thresholded contract from the Spark-side recall grader
+      // (deterministic: seeded planes, fixed data): recall@5 must meet
+      // a floor that holds at EVERY verification scale factor, so the
+      // oracle row is SF-independent.
       "q_ann_lsh" ->
-        "SELECT CAST(10 AS BIGINT) AS n_queries, 0.78 AS recall_at_5",
+        "SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_floor_met",
       "q_ann_ivf" ->
-        "SELECT CAST(10 AS BIGINT) AS n_queries, 0.48 AS recall_at_5",
+        "SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_floor_met",
       "q_dedup_embedding" ->
         """WITH scored AS (
              SELECT a.vec_id AS "idA", b.vec_id AS "idB",
