@@ -97,15 +97,25 @@ object Similarity {
     graft.functions.SketchExpressions.hyperplaneSigs(
       vec, planesFor(dim, nPlanes, tables, seed), nPlanes)
 
-  /** Deterministic IVF centroid training: seeded init (the nlist
-    * corpus vectors with smallest xxhash64(id, seed)) followed by
-    * `iters` Lloyd rounds, each one distributed pass — assign every
-    * (sampled) vector to its nearest centroid with the
-    * NearestCentroidsExpr kernel, then per-cell per-dimension means
-    * via posexplode + groupBy. Only nlist x dim doubles ever reach the
-    * driver. At corpus scale pass trainFraction < 1: k-means needs a
-    * sample, not the corpus. Cells that lose all members keep their
-    * previous centroid. */
+  /** Deterministic IVF centroid training in ONE Spark job: a
+    * hash-ranked bounded sample (the `maxTrainVectors` corpus vectors
+    * with smallest xxhash64(id, seed) — at most maxTrainVectors x dim
+    * doubles ever reach the driver) is collected once, then seeded
+    * Forgy init (the nlist smallest-hash vectors) and all `iters`
+    * Lloyd rounds run driver-side over that sample in a tight loop.
+    *
+    * k-means needs a SAMPLE, not the corpus — this is the standard
+    * IVF training shape: at 100 TB, `trainFraction` thins the scan
+    * before the TakeOrdered selection and the driver cost stays
+    * bounded by the cap regardless of corpus size, while the previous
+    * design's per-iteration distributed passes (init job + iters
+    * shuffle jobs over a cached sample) paid scheduling and codegen
+    * for data that was driver-bounded all along.
+    *
+    * Assignment ties break to the lowest centroid index and empty
+    * cells keep their previous centroid, mirroring
+    * [[graft.functions.VectorExpressions.nearestCentroids]] so search
+    * and training agree on cell geometry. */
   def trainCentroids(
       corpus: DataFrame,
       idCol: String,
@@ -114,40 +124,63 @@ object Similarity {
       nlist: Int,
       iters: Int = 3,
       seed: Long = 11L,
-      trainFraction: Double = 1.0): Array[Array[Double]] = {
-    // The training sample is re-traversed once per Lloyd round: cache
-    // it rather than re-scanning the corpus each iteration.
-    val train =
+      trainFraction: Double = 1.0,
+      maxTrainVectors: Int = 16384): Array[Array[Double]] = {
+    val sample =
       (if (trainFraction < 1.0)
         corpus.sample(withReplacement = false, trainFraction, seed)
       else corpus)
         .select(col(idCol).as("__id"), col(vecCol).as("__v"))
-        .persist()
-    var cents: Array[Array[Double]] = train
-      .orderBy(xxhash64(col("__id"), lit(seed)), col("__id"))
-      .limit(nlist)
-      .select(col("__v"))
-      .collect()
-      .map(_.getSeq[Number](0).toArray.map(x =>
-        if (x == null) 0.0 else x.doubleValue()))
-    require(cents.nonEmpty, "IVF training needs a non-empty corpus")
-    (0 until iters).foreach { _ =>
-      val c = cents
-      val means = train
-        .select(
-          element_at(graft.functions.VectorExpressions
-            .nearestCentroids(col("__v"), c, 1), 1).as("__c"),
-          posexplode(col("__v")).as(Seq("__i", "__x")))
-        .groupBy("__c", "__i")
-        .agg(avg(col("__x").cast("double")).as("__m"))
+        .orderBy(xxhash64(col("__id"), lit(seed)), col("__id"))
+        .limit(maxTrainVectors)
+        .select(col("__v"))
         .collect()
+    val vecs: Array[Array[Double]] = sample.map(_.getSeq[Number](0)
+      .toArray.map(x => if (x == null) 0.0 else x.doubleValue()))
+    require(vecs.nonEmpty, "IVF training needs a non-empty corpus")
+    var cents: Array[Array[Double]] = vecs.take(nlist).map(_.clone())
+    (0 until iters).foreach { _ =>
+      val k = cents.length
+      val sums = Array.ofDim[Double](k, cents(0).length)
+      val counts = new Array[Long](k)
+      vecs.foreach { v =>
+        // Nearest centroid by squared L2; missing components are 0.
+        var best = 0
+        var bd = Double.PositiveInfinity
+        var c = 0
+        while (c < k) {
+          val ct = cents(c)
+          var acc = 0.0
+          var i = 0
+          while (i < ct.length) {
+            val xv = if (i < v.length) v(i) else 0.0
+            val d = xv - ct(i)
+            acc += d * d
+            i += 1
+          }
+          if (acc < bd) { bd = acc; best = c }
+          c += 1
+        }
+        val s = sums(best)
+        var i = 0
+        val n = math.min(v.length, s.length)
+        while (i < n) { s(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
       val next = cents.map(_.clone())
-      means.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < next(c).length) {
+            next(c)(i) = sums(c)(i) / counts(c)
+            i += 1
+          }
+        }
+        c += 1
       }
       cents = next
     }
-    train.unpersist()
     cents
   }
 
