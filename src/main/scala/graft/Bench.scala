@@ -1,9 +1,17 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+
+  /** Execute the full plan and consume every row via the noop sink.
+    * `count()` would let the optimizer drop a final orderBy (aggregates
+    * don't need order), leaving sort cost systematically unmeasured. */
+  private def consume(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -13,12 +21,19 @@ object Bench {
     // Untimed warmup: the first action pays one-time JVM/codegen/
     // scheduler setup (~3-4 s) that would otherwise be attributed to
     // whichever query happens to run first.
-    try SparkEntry.queries("q1_agg")(spark, sfDir).count()
+    try consume(SparkEntry.queries("q1_agg")(spark, sfDir))
     catch { case _: Throwable => }
+    // Per-query median of `runs` in-process runs: single-run timings
+    // on a contended box produced phantom 5-10x outliers round over
+    // round; the median is stable to ~5% back-to-back.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (0 until runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { consume(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      }
+      val ok = times.filter(_ >= 0).sorted
+      name -> (if (ok.isEmpty) -1.0 else ok(ok.length / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
