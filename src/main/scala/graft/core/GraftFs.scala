@@ -77,9 +77,25 @@ object GraftFs {
 
   def mkdirs(fs: FileSystem, p: Path): Unit = { fs.mkdirs(p); () }
 
-  /** Move `src` onto `target`, replacing it. Hadoop `rename` does not
-    * overwrite, so delete the target first (both are same-FS paths). */
+  /** Move `src` onto `target`, replacing it (both are same-FS paths).
+    *
+    * Prefers `FileContext.rename(..., Options.Rename.OVERWRITE)`, which
+    * on POSIX-backed filesystems is one atomic rename(2) — no window in
+    * which the target is deleted but its replacement not yet in place.
+    * Filesystems without an `AbstractFileSystem` binding (no
+    * FileContext) fall back to delete-then-rename; callers who must
+    * never lose the target (sidecar metadata) write the replacement to
+    * a same-directory temp name first, so even the fallback's window
+    * only ever exposes a fully-written replacement. */
   def moveOverwrite(fs: FileSystem, src: Path, target: Path): Unit = {
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, fs.getConf)
+      fc.rename(src, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      return
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException => ()
+    }
     if (fs.exists(target)) fs.delete(target, false)
     if (!fs.rename(src, target))
       throw new java.io.IOException(s"rename $src -> $target failed")

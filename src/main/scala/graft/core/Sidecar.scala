@@ -134,7 +134,18 @@ object Sidecar {
       "max_partition_index" -> maxPartitionIndex
     )
     val (fs, _) = GraftFs.resolve(spark, dir)
-    GraftFs.writeString(fs, metadataPath(dir), TypedJson.write(meta))
+    // Write-to-temp-then-rename: an existing dataset's metadata is
+    // never truncated in place — a crash mid-write leaves the old
+    // sidecar intact, and the rename only ever installs a fully
+    // written replacement (atomic where the FS supports it).
+    val tmp = new Path(dir,
+      s".$MetadataFile.tmp-${java.util.UUID.randomUUID().toString}")
+    try {
+      GraftFs.writeString(fs, tmp, TypedJson.write(meta))
+      GraftFs.moveOverwrite(fs, tmp, metadataPath(dir))
+    } finally {
+      if (fs.exists(tmp)) fs.delete(tmp, false)
+    }
     val empty = spark.createDataFrame(
       java.util.Collections.emptyList[Row](), schema)
     writeSingleParquet(empty, new Path(dir, SchemaFile).toString)
