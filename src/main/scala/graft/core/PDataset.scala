@@ -811,36 +811,61 @@ final class PDataset private[core] (
       prior = Some(m)
     }
     val offset = prior.map(_.maxPartitionIndex + 1).getOrElse(0L)
-
-    // 1. Write every partition (concurrent driver threads; Spark
-    //    schedules the per-partition jobs in parallel).
     val fileNames =
       parts.indices.map(i => Sidecar.partitionFileName(offset + i))
-    implicit val ec: ExecutionContext = PDataset.writeEc
-    val writes = parts.indices.map { i =>
-      Future {
-        Sidecar.writeSingleParquet(this(i), new HPath(dir, fileNames(i)).toString)
-      }
+
+    // 1. Write every partition, as (partition index, file name) pairs
+    //    actually written. A wide file-backed dataset rewrites in ONE
+    //    tagged-shuffle job (per-partition jobs are a driver-side job
+    //    storm at 10^4-10^5 partitions); otherwise concurrent driver
+    //    threads issue the per-partition jobs in parallel.
+    val written: IndexedSeq[(Int, String)] = scatterSourceFiles match {
+      case Some(srcFiles) =>
+        val stageParent = Option(dir.getParent).getOrElse(dir)
+        val stage = GraftFs.mkStageDir(fs, stageParent, ".graft-scatter-")
+        try {
+          var reader = spark.read.format("parquet")
+          schemaOpt.foreach(s => reader = reader.schema(s))
+          val ord = new FileOrdinal(srcFiles.zipWithIndex.map {
+            case (f, i) => Stats.normalizePath(f) -> i
+          }.toMap)
+          val tagged = reader.load(srcFiles: _*).withColumn("__part",
+            FileOrdinalExpr.ordinal(input_file_name(), ord))
+          scatterPartFiles(tagged, parts.length, fs, dir, stage, fileNames)
+        } finally GraftFs.deleteRecursive(fs, stage)
+      case None =>
+        implicit val ec: ExecutionContext = PDataset.writeEc
+        val writes = parts.indices.map { i =>
+          Future {
+            Sidecar.writeSingleParquet(
+              this(i), new HPath(dir, fileNames(i)).toString)
+          }
+        }
+        writes.foreach(Await.result(_, SDuration.Inf))
+        parts.indices.map(i => (i, fileNames(i)))
     }
-    writes.foreach(Await.result(_, SDuration.Inf))
 
     // 2. Stats: reuse known metadata, else ONE job over the written files.
-    val stats: IndexedSeq[PartStats] =
+    val statsByIdx: Map[Int, PartStats] =
       if (knownSizes && knownBounds)
         parts.indices.map(i =>
-          PartStats(sizesOpt.get(i), lbsOpt.get(i), ubsOpt.get(i))).toVector
+          i -> PartStats(sizesOpt.get(i), lbsOpt.get(i), ubsOpt.get(i))).toMap
       else {
-        val paths = fileNames.map(f => new HPath(dir, f).toString)
+        val paths = written.map { case (_, f) => new HPath(dir, f).toString }
         val byFile = Stats.forFiles(spark, paths, this.indexColumns, schemaOpt)
-        paths.map(p =>
-          byFile.getOrElse(Stats.normalizePath(p),
-            PartStats(0L, emptyIdxBound, emptyIdxBound))).toVector
+        written.map { case (i, f) =>
+          i -> byFile.getOrElse(
+            Stats.normalizePath(new HPath(dir, f).toString),
+            PartStats(0L, emptyIdxBound, emptyIdxBound))
+        }.toMap
       }
 
-    // 3. Drop empty partitions (file deleted, not listed in metadata).
-    val keep = parts.indices.filter(i => stats(i).size > 0)
-    parts.indices.filterNot(keep.contains).foreach { i =>
-      fs.delete(new HPath(dir, fileNames(i)), false)
+    // 3. Drop empty partitions (file deleted if present, not listed in
+    //    metadata; the scatter path never materializes them at all).
+    val nameOfIdx = written.toMap
+    val keep = written.map(_._1).filter(i => statsByIdx(i).size > 0)
+    written.map(_._1).filterNot(keep.contains).foreach { i =>
+      fs.delete(new HPath(dir, nameOfIdx(i)), false)
     }
     val schema = schemaOpt.getOrElse(
       if (parts.nonEmpty) this(0).schema
@@ -848,16 +873,30 @@ final class PDataset private[core] (
         throw new IllegalStateException("schema unknown for empty dataset")))
 
     val allFiles = prior.map(_.files).getOrElse(Vector.empty) ++
-      keep.map(fileNames)
+      keep.map(nameOfIdx)
     val allSizes = prior.map(_.sizes).getOrElse(Vector.empty) ++
-      keep.map(i => stats(i).size)
+      keep.map(i => statsByIdx(i).size)
     val allLbs = prior.map(_.lowerBounds).getOrElse(Vector.empty) ++
-      keep.map(i => Option(stats(i).lb).getOrElse(emptyIdxBound))
+      keep.map(i => Option(statsByIdx(i).lb).getOrElse(emptyIdxBound))
     val allUbs = prior.map(_.upperBounds).getOrElse(Vector.empty) ++
-      keep.map(i => Option(stats(i).ub).getOrElse(emptyIdxBound))
+      keep.map(i => Option(statsByIdx(i).ub).getOrElse(emptyIdxBound))
     Sidecar.write(spark, path, this.indexColumns, allFiles, allSizes,
       allLbs, allUbs, offset + parts.length - 1, schema)
     PDataset.scanParquet(spark, path)
+  }
+
+  /** The source files for a one-job scatter rewrite, if this dataset
+    * qualifies: at least [[PDataset.scatterWriteThreshold]] partitions,
+    * every partition a filter-free parquet file, no file repeated
+    * (repeats would collapse two partitions onto one ordinal). */
+  private def scatterSourceFiles: Option[IndexedSeq[String]] = {
+    if (parts.length < PDataset.scatterWriteThreshold) None
+    else {
+      val files = parts.collect { case FilePart(f, Nil, "parquet") => f }
+      if (files.length == parts.length &&
+          files.distinct.length == files.length) Some(files)
+      else None
+    }
   }
 
   private def emptyIdxBound: Bound = Vector.fill(indexColumns.length)(None)
@@ -875,34 +914,8 @@ final class PDataset private[core] (
       val idx = plan.cols.map(col)
       val tagged = plan.source.toDF.withColumn(
         "__part", PDataset.partitionIndexExpr(idx, plan.divisions))
-      tagged
-        .repartition(parts.length, col("__part"))
-        .write
-        .partitionBy("__part")
-        .option("compression", "zstd")
-        .mode("overwrite")
-        .parquet(stage.toString)
-
-      // Move each __part=i file into its final partNNN.parquet slot
-      // (same-FS renames — never a copy).
-      val written = ArrayBuffer.empty[(Int, String)] // (partition idx, file)
-      (0 until parts.length).foreach { i =>
-        val sub = new HPath(stage, s"__part=$i")
-        val partFiles = GraftFs.listStatuses(fs, sub)
-          .filter(_.getPath.getName.endsWith(".parquet"))
-        if (partFiles.nonEmpty) {
-          val name = Sidecar.partitionFileName(i)
-          if (partFiles.length == 1)
-            GraftFs.moveOverwrite(fs, partFiles(0).getPath, new HPath(dir, name))
-          else {
-            // >1 file can only happen under speculative/retried tasks;
-            // merge by reading back (rare, small).
-            val merged = spark.read.parquet(partFiles.map(_.getPath.toString): _*)
-            Sidecar.writeSingleParquet(merged, new HPath(dir, name).toString)
-          }
-          written += ((i, name))
-        }
-      }
+      val written = scatterPartFiles(tagged, parts.length, fs, dir, stage,
+        i => Sidecar.partitionFileName(i))
 
       // Stats: exact from planning when sampleFraction = 1, else one
       // file-grouped job over what we just wrote.
@@ -924,6 +937,48 @@ final class PDataset private[core] (
         sizesW.toSeq, lbsW.toSeq, ubsW.toSeq, maxIdx, schema)
       PDataset.scanParquet(spark, path)
     } finally GraftFs.deleteRecursive(fs, stage)
+  }
+
+  /** One-shuffle scatter core shared by the repartition fast path and
+    * the wide file-backed generic rewrite: shuffle `tagged` (carries an
+    * int column `__part`) once, let the parquet sink write every
+    * partition under `stage` in parallel, then move each part's lone
+    * file into `dir`/nameOf(i) — same-FS renames, never a copy.
+    * Returns the (partition index, file name) pairs actually written
+    * (empty partitions produce no file). */
+  private def scatterPartFiles(
+      tagged: DataFrame,
+      nparts: Int,
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: HPath,
+      stage: HPath,
+      nameOf: Int => String): IndexedSeq[(Int, String)] = {
+    tagged
+      .repartition(nparts, col("__part"))
+      .write
+      .partitionBy("__part")
+      .option("compression", "zstd")
+      .mode("overwrite")
+      .parquet(stage.toString)
+    val written = ArrayBuffer.empty[(Int, String)]
+    (0 until nparts).foreach { i =>
+      val sub = new HPath(stage, s"__part=$i")
+      val partFiles = GraftFs.listStatuses(fs, sub)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      if (partFiles.nonEmpty) {
+        val name = nameOf(i)
+        if (partFiles.length == 1)
+          GraftFs.moveOverwrite(fs, partFiles(0).getPath, new HPath(dir, name))
+        else {
+          // >1 file can only happen under speculative/retried tasks;
+          // merge by reading back (rare, small).
+          val merged = spark.read.parquet(partFiles.map(_.getPath.toString): _*)
+          Sidecar.writeSingleParquet(merged, new HPath(dir, name).toString)
+        }
+        written += ((i, name))
+      }
+    }
+    written.toVector
   }
 }
 
@@ -1026,6 +1081,13 @@ object PDataset {
       source: PDataset,
       cols: Seq[String],
       divisions: IndexedSeq[Bound])
+
+  /** Partition count at or above which a file-backed generic write
+    * batches into one tagged-shuffle job instead of one job per
+    * partition: per-partition jobs are shuffle-free and fine at tens
+    * of partitions, a driver-side job storm at 10^4. Var so specs can
+    * exercise the scatter path on small fixtures. */
+  private[graft] var scatterWriteThreshold: Int = 32
 
   private[core] lazy val writeEc: ExecutionContext =
     ExecutionContext.fromExecutorService(
