@@ -3,7 +3,9 @@ package org.apache.spark.sql
 import org.apache.hadoop.fs.{FileStatus, Path}
 
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or, StartsWith}
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.StructType
@@ -78,8 +80,40 @@ final class GraftFileIndex(
       Some(files.indices.filter(i => lbs(i).isEmpty).toSet)
     case IsNotNull(a: AttributeReference) if isLead(a) =>
       Some(files.indices.filter(i => ubs(i).nonEmpty).toSet)
+    // IN-list: union of the per-value equality keep sets. A null list
+    // element never matches (three-valued IN), so it prunes freely.
+    case In(a: AttributeReference, list)
+        if isLead(a) && list.forall(_.isInstanceOf[Literal]) =>
+      Some(list.collect {
+        case Literal(v, dt) if v != null =>
+          eqKeep(CatalystTypeConverters.convertToScala(v, dt))
+      }.foldLeft(Set.empty[Int])(_ union _))
+    // Optimizer-converted large IN-lists carry internal values.
+    case InSet(a: AttributeReference, hset) if isLead(a) =>
+      Some(hset.filter(_ != null).map(v =>
+        eqKeep(CatalystTypeConverters.convertToScala(v, a.dataType)))
+        .foldLeft(Set.empty[Int])(_ union _))
+    // Prefix match on a string index: matching strings form the range
+    // [p, sup) where sup is the least string above every p-prefixed
+    // one, so string bounds make prefix pruning sound: a file may
+    // match iff ub >= p and lb < sup (lb < p or lb itself p-prefixed).
+    case StartsWith(a: AttributeReference, Literal(p: UTF8String, StringType))
+        if isLead(a) && a.dataType == StringType =>
+      val prefix = p.toString
+      Some(files.indices.filter { i =>
+        ubs(i).exists(u => Lex.valueCmp(u, prefix) >= 0) &&
+          lbs(i).forall(lb => Lex.valueCmp(lb, prefix) < 0 ||
+            lb.toString.startsWith(prefix))
+      }.toSet)
     case _ => None
   }
+
+  /** Files whose [lb, ub] may contain exactly `ext` (non-null). */
+  private def eqKeep(ext: Any): Set[Int] =
+    files.indices.filter { i =>
+      ubs(i).exists(u => Lex.valueCmp(u, ext) >= 0) &&
+        lbs(i).forall(lb => Lex.valueCmp(lb, ext) <= 0)
+    }.toSet
 
   private def isLead(e: Expression): Boolean = e match {
     case a: AttributeReference => a.name == leadingIndexCol

@@ -153,6 +153,71 @@ class PlanSpec extends AnyFunSuite {
     assert(kept(IsNull(AttributeReference("other", LongType)())).size == 4)
   }
 
+  test("sidecar file index prunes IN-lists and string prefixes") {
+    import org.apache.spark.sql.GraftFileIndex
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In, InSet, Literal, StartsWith}
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val paths = (0 until 4).map(i =>
+      (new org.apache.hadoop.fs.Path(s"file:/tmp/p$i.parquet"), 100L))
+    // numeric files: [null..5], [10..20], [30..40], all-null
+    val idx = new GraftFileIndex(paths.toVector, "k",
+      Vector(None, Some(10L), Some(30L), None),
+      Vector(Some(5L), Some(20L), Some(40L), None))
+    val k = AttributeReference("k", LongType)()
+    def kept(ix: GraftFileIndex)(
+        e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      ix.listFiles(Nil, Seq(e)).head.files.map(_.getPath.getName).toSet
+    assert(kept(idx)(In(k, Seq(Literal(5L), Literal(35L)))) ==
+      Set("p0.parquet", "p2.parquet"))
+    // null IN-list elements never match and prune freely
+    assert(kept(idx)(In(k, Seq(Literal.create(null, LongType), Literal(5L))))
+      == Set("p0.parquet"))
+    assert(kept(idx)(InSet(k, Set[Any](15L, 35L))) ==
+      Set("p1.parquet", "p2.parquet"))
+    // an IN-list with a non-literal element keeps everything
+    assert(kept(idx)(In(k, Seq(Literal(5L), k))).size == 4)
+
+    // string files: [apple..banana], [cat..dog], [dove..fox], all-null
+    val sIdx = new GraftFileIndex(paths.toVector, "s",
+      Vector(Some("apple"), Some("cat"), Some("dove"), None),
+      Vector(Some("banana"), Some("dog"), Some("fox"), None))
+    val s = AttributeReference("s", StringType)()
+    assert(kept(sIdx)(StartsWith(s, Literal("d"))) ==
+      Set("p1.parquet", "p2.parquet"))
+    assert(kept(sIdx)(StartsWith(s, Literal("do"))) ==
+      Set("p1.parquet", "p2.parquet"))
+    assert(kept(sIdx)(StartsWith(s, Literal("app"))) == Set("p0.parquet"))
+    assert(kept(sIdx)(StartsWith(s, Literal("z"))) == Set.empty)
+  }
+
+  test("IN-list on the index column prunes planned files end-to-end") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val lbs = persisted.lowerBounds.get
+    val ubs = persisted.upperBounds.get
+    val vals = Seq(lbs(1).head.get, lbs.last.head.get)
+      .map(_.asInstanceOf[java.time.LocalDateTime])
+    // Driver-side expectation: files whose [lb, ub] contains any value.
+    val expected = lbs.indices.count { i =>
+      vals.exists(v =>
+        graft.core.Lex.valueCmp(ubs(i).head.get, v) >= 0 &&
+          graft.core.Lex.valueCmp(lbs(i).head.get, v) <= 0)
+    }
+    assert(expected < persisted.npartitions, "fixture gives no pruning")
+    val df = persisted.toDF.filter(col("l_shipdate").isin(vals.map(lit): _*))
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val numFiles = scans(df.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    assert(numFiles == expected,
+      s"expected $expected files planned of ${persisted.npartitions}, got $numFiles")
+  }
+
   test("vec_dot participates in whole-stage codegen") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val df = emb.select(graft.functions.VectorExpressions
