@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVecDot, MinHashSigExpr, SimHash64Expr, WordShinglesExpr}
-import graft.operators.Dedup
+import graft.functions.{CharGramHash64Expr, FloatVecDot, HyperplaneSigsExpr, MinHashSigExpr, SimHash64Expr, StringArrayHash64Expr, WinnowMinsExpr, WordShinglesExpr}
+import graft.operators.{Dedup, Similarity}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so `spark.sql` users get the
@@ -16,7 +16,10 @@ import graft.operators.Dedup
   *   spark.sql("SELECT vec_dot(a.embedding, b.embedding) ...")
   *
   * Functions: vec_dot(a, b), word_shingles(text, n),
-  * minhash_sig(hashes, numPerms, seed), simhash64(hashes).
+  * minhash_sig(hashes, numPerms, seed), simhash64(hashes),
+  * hyperplane_sigs(vec, dim, nPlanes, tables, seed),
+  * char_gram_hash64(text, k, shift), winnow_mins(hashes, w),
+  * string_array_hash64(tokens, algo).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -61,6 +64,17 @@ object GraftExtensions {
       foldableArg(args, i, fn, what).asInstanceOf[Number].longValue()
     else default
 
+  private def stringArg(
+      args: Seq[Expression], i: Int, default: String,
+      fn: String, what: String): String =
+    if (args.length > i) foldableArg(args, i, fn, what) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case s: String => s
+      case other => throw new IllegalArgumentException(
+        s"$fn: `$what` must be a string literal, got $other")
+    }
+    else default
+
   val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("vec_dot", "vec_dot(a, b) - dot product of two numeric arrays",
       (args: Seq[Expression]) => FloatVecDot(args(0), args(1))),
@@ -75,7 +89,38 @@ object GraftExtensions {
           longArg(args, 2, 42L, "minhash_sig", "seed"),
           Dedup.MinhashPrime)),
     ("simhash64", "simhash64(hashes) - 64-bit SimHash fingerprint",
-      (args: Seq[Expression]) => SimHash64Expr(args.head)))
+      (args: Seq[Expression]) => SimHash64Expr(args.head)),
+    ("hyperplane_sigs",
+      "hyperplane_sigs(vec, dim, nPlanes, tables, seed) - per-table " +
+        "hyperplane-LSH bucket signatures of a numeric vector",
+      (args: Seq[Expression]) => {
+        val nPlanes = intArg(args, 2, 4, "hyperplane_sigs", "nPlanes")
+        HyperplaneSigsExpr(args.head,
+          Similarity.planesFor(
+            intArg(args, 1, 64, "hyperplane_sigs", "dim"),
+            nPlanes,
+            intArg(args, 3, 8, "hyperplane_sigs", "tables"),
+            longArg(args, 4, 7L, "hyperplane_sigs", "seed")),
+          nPlanes)
+      }),
+    ("char_gram_hash64",
+      "char_gram_hash64(text, k, shift) - md5-prefix hash of every " +
+        "positional character k-gram (winnowing rolling-hash stage)",
+      (args: Seq[Expression]) =>
+        CharGramHash64Expr(args.head,
+          intArg(args, 1, 5, "char_gram_hash64", "k"),
+          intArg(args, 2, 2, "char_gram_hash64", "shift"))),
+    ("winnow_mins",
+      "winnow_mins(hashes, w) - winnowing selection: per-window minima " +
+        "of a hash array, deduplicated and sorted",
+      (args: Seq[Expression]) =>
+        WinnowMinsExpr(args.head, intArg(args, 1, 4, "winnow_mins", "w"))),
+    ("string_array_hash64",
+      "string_array_hash64(tokens, algo) - 64-bit hash per array element " +
+        "(algo: xxh64_32 | md5_64 | md5_62)",
+      (args: Seq[Expression]) =>
+        StringArrayHash64Expr(args.head,
+          stringArg(args, 1, "xxh64_32", "string_array_hash64", "algo"))))
 
   /** Register on an already-constructed session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -362,6 +362,28 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Approx-percentile contract (the q_sketch_hll pattern): mergeable
+    // percentile sketches are the 100 TB way to rank — the oracle
+    // carries the EXACT quantiles and the query asserts its own
+    // approx_percentile estimates land within 1% of them.
+    "q_sketch_percentile" -> ((s, d) => {
+      val li = scan(s, d, "lineitem").toDF
+      val approx = li.groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.95)), lit(10000)).as("ap"))
+      val exact = li.groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("ex"))
+      approx.join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ex"), 1), 2).as("p50_exact"),
+          round(element_at(col("ex"), 2), 2).as("p95_exact"),
+          (abs(element_at(col("ap"), 1) - element_at(col("ex"), 1)) <=
+            element_at(col("ex"), 1) * 0.01 &&
+           abs(element_at(col("ap"), 2) - element_at(col("ex"), 2)) <=
+            element_at(col("ex"), 2) * 0.01).as("within_1pct"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_asof_join" -> ((s, d) => {
       val ev = eventsDF(s, d)
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -699,6 +721,12 @@ object SparkEntry {
         """SELECT l_returnflag,
                   count(DISTINCT l_orderkey) AS exact_n,
                   true AS within_5pct
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+      "q_sketch_percentile" ->
+        """SELECT l_returnflag,
+                  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact,
+                  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_exact,
+                  true AS within_1pct
            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
       "q_asof_join" ->
         """SELECT e.event_id, e.user_id, e.event_type,

@@ -54,6 +54,50 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("foldable"), e.getMessage)
   }
 
+  test("hyperplane_sigs from SQL matches the DataFrame kernel") {
+    import org.apache.spark.sql.functions.{array, lit}
+    val vec = Seq(0.3f, -1.2f, 0.8f, 2.5f)
+    val sql = spark.sql(
+      s"SELECT hyperplane_sigs(array(${vec.mkString("F,")}F), 4, 4, 8, 7L) AS s")
+      .collect()(0).getSeq[Long](0)
+    val df = spark.range(1).select(
+      graft.operators.Similarity.hyperplaneSigs(
+        array(vec.map(lit): _*), dim = 4, nPlanes = 4, tables = 8).as("s"))
+      .collect()(0).getSeq[Long](0)
+    assert(sql == df && sql.length == 8)
+  }
+
+  test("char_gram_hash64 and winnow_mins compose in SQL") {
+    val sql = spark.sql(
+      "SELECT winnow_mins(char_gram_hash64('abcdefgh', 3, 2), 4) AS w")
+      .collect()(0).getSeq[Long](0)
+    val df = spark.range(1).select(
+      graft.functions.SketchExpressions.winnowMins(
+        graft.functions.SketchExpressions.charGramHash64(
+          org.apache.spark.sql.functions.lit("abcdefgh"), 3, 2), 4).as("w"))
+      .collect()(0).getSeq[Long](0)
+    assert(sql == df && sql.nonEmpty)
+    assert(sql == sql.sorted && sql.distinct == sql, "winnow output is sorted distinct")
+  }
+
+  test("string_array_hash64 from SQL matches the DataFrame kernel per algo") {
+    import org.apache.spark.sql.functions.{array, lit}
+    Seq("xxh64_32", "md5_64", "md5_62").foreach { algo =>
+      val sql = spark.sql(
+        s"SELECT string_array_hash64(array('a', 'bc'), '$algo') AS h")
+        .collect()(0).getSeq[Long](0)
+      val df = spark.range(1).select(
+        graft.functions.SketchExpressions.stringArrayHash64(
+          array(lit("a"), lit("bc")), algo).as("h"))
+        .collect()(0).getSeq[Long](0)
+      assert(sql == df && sql.length == 2, s"algo $algo")
+    }
+    val e = intercept[Exception] {
+      spark.sql("SELECT string_array_hash64(array('a'), 'nope')").collect()
+    }
+    assert(e.getMessage.contains("unknown algo"), e.getMessage)
+  }
+
   test("simhash64 from SQL") {
     val r = spark.sql(
       """SELECT simhash64(transform(split('a b c', ' '), t -> xxhash64(t)))
