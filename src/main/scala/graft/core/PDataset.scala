@@ -760,16 +760,41 @@ final class PDataset private[core] (
       (None +: divisions.map(Some(_))) :+ None
     val left = this
     val idxCols = this.indexColumns
+    // Schema-safe division slice: a fully-pruned slice of a
+    // schema-unknown dataset still yields a TYPED empty frame (schema
+    // lazily from the first source partition — no job runs).
+    def sliceDF(ds: PDataset, lo: Option[Bound], hi: Option[Bound]): DataFrame = {
+      val sl = ds.slice(lo.orNull, hi.orNull, inclusive = "lower")
+      if (sl.npartitions == 0 && !sl.knownSchema && ds.npartitions > 0)
+        ds(0).limit(0)
+      else sl.toDF
+    }
     val newParts: IndexedSeq[Part] = (0 until divisions.length + 1).map { i =>
       val lo = sentinels(i)
       val hi = sentinels(i + 1)
       LazyPart { () =>
-        val l = left.slice(lo.orNull, hi.orNull, inclusive = "lower").toDF
-        val r = other.slice(lo.orNull, hi.orNull, inclusive = "lower").toDF
-        l.join(r, idxCols, how)
+        sliceDF(left, lo, hi).join(sliceDF(other, lo, hi), idxCols, how)
       }: Part
     }.toVector
-    val whole = () => left.toDF.join(other.toDF, idxCols, how)
+    // Whole-frame plan: the division slices are co-partitioned by
+    // construction, so up to divisionJoinMaxDivisions the join plans
+    // SHUFFLE-FREE as a custom division-join node (plan size O(d));
+    // beyond that — or when the shape doesn't qualify — fall back to
+    // one Catalyst join, whose Exchange costs less than O(10^4)-node
+    // driver planning would.
+    val whole = () => {
+      val custom =
+        if (divisions.length + 1 <= PDataset.divisionJoinMaxDivisions) {
+          val slices = (0 until divisions.length + 1).map { i =>
+            val lo = sentinels(i)
+            val hi = sentinels(i + 1)
+            (sliceDF(left, lo, hi), sliceDF(other, lo, hi))
+          }
+          graft.plans.DivisionJoin.frame(
+            spark, slices.map(_._1), slices.map(_._2), idxCols, how)
+        } else None
+      custom.getOrElse(left.toDF.join(other.toDF, idxCols, how))
+    }
     new PDataset(spark, newParts, idxCols, None, None, None, mergedSchema,
       wholeFrameOpt = Some(whole))
   }
@@ -1081,6 +1106,12 @@ object PDataset {
       source: PDataset,
       cols: Seq[String],
       divisions: IndexedSeq[Bound])
+
+  /** Division count up to which [[join]]'s whole-frame plan uses the
+    * shuffle-free division-join node (plan size O(divisions)); above
+    * it the constant-size Catalyst join with its Exchange wins on
+    * driver planning time. Var so specs can force either path. */
+  private[graft] var divisionJoinMaxDivisions: Int = 256
 
   /** Partition count at or above which a file-backed generic write
     * batches into one tagged-shuffle job instead of one job per

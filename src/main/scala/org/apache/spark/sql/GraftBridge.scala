@@ -21,6 +21,13 @@ object GraftBridge {
     proj(org.apache.spark.sql.catalyst.InternalRow.empty).get(0, e.dataType)
   }
 
+  /** Wrap a resolved logical plan as a DataFrame (the `Dataset.ofRows`
+    * entry point is `private[sql]`). */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Register a function builder on an EXISTING session (the
     * `withExtensions` path only applies at session construction). */
   def registerFunction(

@@ -163,10 +163,25 @@ class RepartitionJoinSpec extends AnyFunSuite {
     assertSameRows(unionOfDivisions(j), oracle("full"))
   }
 
-  test("joined toDF plans a single join node, not per-division unions") {
-    val plan = leftDs.join(rightDs, "inner").toDF
-      .queryExecution.optimizedPlan.toString
-    assert("Join ".r.findAllIn(plan).length == 1, plan)
+  test("joined toDF plans one shuffle-free division join, no Exchange") {
+    val df = leftDs.join(rightDs, "inner").toDF
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("DivisionJoin"), optimized)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("DivisionJoin"), physical)
+    assert(!physical.contains("Exchange"),
+      s"division join must not shuffle:\n$physical")
+  }
+
+  test("above the division cap the join falls back to one Catalyst join") {
+    val old = PDataset.divisionJoinMaxDivisions
+    PDataset.divisionJoinMaxDivisions = 0
+    try {
+      val df = leftDs.join(rightDs, "inner").toDF
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert("Join ".r.findAllIn(plan).length == 1, plan)
+      assertSameRows(df, oracle("inner"))
+    } finally PDataset.divisionJoinMaxDivisions = old
   }
 
   test("join rejects duplicate non-key columns and bad how") {
