@@ -362,6 +362,52 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // PQ compresses each vector to m per-subspace centroid codes and
+    // scans codes, not floats; recall graded against the exact L2
+    // baseline with the same thresholded contract as LSH/IVF.
+    "q_ann_pq" -> ((s, d) => {
+      val emb = scan(s, d, "embeddings").toDF
+      val q = emb.filter(col("vec_id") < 10)
+      // Measured recall@5: 0.34 at both sf0.01 and sf0.1 (random
+      // near-orthogonal vectors are PQ's worst case) — floor 0.25.
+      recallContract(
+        Similarity.pqTopK(q, emb, "vec_id", "embedding",
+          k = 5, dim = 64, m = 16, ksub = 32),
+        Similarity.bruteForceL2TopK(q, emb, "vec_id", "embedding", k = 5),
+        floor = 0.25)
+    }),
+
+    // BM25 relevance over the documents corpus for a fixed query —
+    // the retrieval scorer a training-data pipeline runs at corpus
+    // scale. Exact DuckDB rederivation (same formula, same rounding).
+    "q_bm25" -> ((s, d) => {
+      val docs = scan(s, d, "documents").toDF
+      val terms = Seq("spark", "join", "window")
+      val k1 = 1.2
+      val b = 0.75
+      val toks = docs.select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .filter(col("term").isin(terms: _*))
+      val dl = docs.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("double").as("dl"))
+      val stats = dl.agg(avg(col("dl")).as("avgdl"),
+        count(lit(1)).cast("double").as("n"))
+      val tf = toks.groupBy("doc_id", "term")
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val dfreq = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      tf.join(broadcast(dfreq), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .withColumn("w", col("idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+        .groupBy("doc_id").agg(round(sum(col("w")), 4).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(100)
+    }),
+
     // Approx-percentile contract (the q_sketch_hll pattern): mergeable
     // percentile sketches are the 100 TB way to rank — the oracle
     // carries the EXACT quantiles and the query asserts its own
@@ -722,6 +768,40 @@ object SparkEntry {
                   count(DISTINCT l_orderkey) AS exact_n,
                   true AS within_5pct
            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+      "q_ann_pq" ->
+        "SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_floor_met",
+      "q_bm25" ->
+        """WITH p AS (
+             SELECT doc_id,
+                    string_split_regex(lower(trim(text)), '\s+') AS w,
+                    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS dl
+             FROM documents),
+           stats AS (
+             SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n FROM p),
+           toks AS (
+             SELECT doc_id, unnest(w) AS term FROM p
+             WHERE true),
+           ft AS (
+             SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+             FROM toks WHERE term IN ('spark', 'join', 'window')
+             GROUP BY doc_id, term),
+           dfreq AS (
+             SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+             FROM toks WHERE term IN ('spark', 'join', 'window')
+             GROUP BY term),
+           scored AS (
+             SELECT ft.doc_id,
+                    sum(ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+                        * ft.tf * (1.2 + 1)
+                        / (ft.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / s.avgdl)))
+                      AS score
+             FROM ft
+             JOIN dfreq USING (term)
+             JOIN p ON ft.doc_id = p.doc_id
+             CROSS JOIN stats s
+             GROUP BY ft.doc_id)
+           SELECT doc_id, round(score, 4) AS bm25 FROM scored
+           ORDER BY bm25 DESC, doc_id LIMIT 100""",
       "q_sketch_percentile" ->
         """SELECT l_returnflag,
                   round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact,

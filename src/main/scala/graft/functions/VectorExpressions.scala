@@ -243,7 +243,91 @@ case class NearestCentroidsExpr(
   override def prettyName: String = "nearest_centroids"
 }
 
+/** Asymmetric-distance computation for product quantization: the
+  * squared L2 distance between a raw query vector and a PQ-encoded
+  * corpus vector, via its per-subspace centroid codes —
+  * sum_s ||q[s*d..(s+1)*d) - codebook[s][code_s]||^2. One codebook
+  * lookup + d subtractions per subspace instead of touching the full
+  * corpus vector: the reason a PQ index scans 8-byte codes, not
+  * 256-byte floats, at 100 TB.
+  *
+  * Null elements count as 0; out-of-range codes throw (an encoding
+  * bug, not a data condition).
+  */
+case class PqAdcExpr(
+    left: Expression,   // query vector: array<float|double>
+    right: Expression,  // codes: array<int>, length m
+    codebooks: Array[Array[Array[Double]]]) extends BinaryExpression {
+
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "need m non-empty codebooks")
+
+  private def m: Int = codebooks.length
+  private def dsub: Int = codebooks(0)(0).length
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_adc needs (array<float|double>, array<int>), got $other")
+    }
+
+  private def isFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(q: Any, c: Any): Any =
+    adc(q.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+
+  /** Shared by eval and the generated code (house pattern: one
+    * reference-object call, loop stays in JVM-compiled scala). */
+  def adc(q: ArrayData, codes: ArrayData): Double = {
+    val fl = isFloat
+    val n = q.numElements()
+    var acc = 0.0
+    var s = 0
+    val mm = math.min(m, codes.numElements())
+    while (s < mm) {
+      val book = codebooks(s)
+      val code = codes.getInt(s)
+      val ct = book(code)
+      var j = 0
+      while (j < dsub) {
+        val i = s * dsub + j
+        val qv =
+          if (i >= n || q.isNullAt(i)) 0.0
+          else if (fl) q.getFloat(i).toDouble else q.getDouble(i)
+        val d = qv - ct(j)
+        acc += d * d
+        j += 1
+      }
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdc", this, classOf[PqAdcExpr].getName)
+    nullSafeCodeGen(ctx, ev, (q, c) => s"${ev.value} = $ref.adc($q, $c);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "pq_adc"
+}
+
 object VectorExpressions {
+  /** Squared-L2 ADC distance of a raw query vector against PQ codes. */
+  def pqAdc(query: Column, codes: Column,
+      codebooks: Array[Array[Array[Double]]]): Column =
+    GraftBridge.toColumn(PqAdcExpr(
+      GraftBridge.toExpression(query), GraftBridge.toExpression(codes),
+      codebooks))
   /** Top-nprobe nearest centroid indices (squared L2, ascending). */
   def nearestCentroids(
       vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column =

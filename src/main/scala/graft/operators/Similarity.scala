@@ -126,6 +126,20 @@ object Similarity {
       seed: Long = 11L,
       trainFraction: Double = 1.0,
       maxTrainVectors: Int = 16384): Array[Array[Double]] = {
+    val vecs = sampledVectors(
+      corpus, idCol, vecCol, seed, trainFraction, maxTrainVectors)
+    lloyd(vecs, nlist, iters)
+  }
+
+  /** ONE bounded Spark job: the `maxTrainVectors` corpus vectors with
+    * smallest xxhash64(id, seed), as driver-side double arrays. */
+  private def sampledVectors(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      seed: Long,
+      trainFraction: Double,
+      maxTrainVectors: Int): Array[Array[Double]] = {
     val sample =
       (if (trainFraction < 1.0)
         corpus.sample(withReplacement = false, trainFraction, seed)
@@ -137,7 +151,17 @@ object Similarity {
         .collect()
     val vecs: Array[Array[Double]] = sample.map(_.getSeq[Number](0)
       .toArray.map(x => if (x == null) 0.0 else x.doubleValue()))
-    require(vecs.nonEmpty, "IVF training needs a non-empty corpus")
+    require(vecs.nonEmpty, "vector-index training needs a non-empty corpus")
+    vecs
+  }
+
+  /** Driver-side Lloyd with Forgy init (first `nlist` sample vectors).
+    * Assignment ties break to the lowest centroid index and empty
+    * cells keep their previous centroid, mirroring the search kernel. */
+  private def lloyd(
+      vecs: Array[Array[Double]],
+      nlist: Int,
+      iters: Int): Array[Array[Double]] = {
     var cents: Array[Array[Double]] = vecs.take(nlist).map(_.clone())
     (0 until iters).foreach { _ =>
       val k = cents.length
@@ -182,6 +206,104 @@ object Similarity {
       cents = next
     }
     cents
+  }
+
+  /** Product-quantization codebooks: the vector space splits into `m`
+    * subspaces of dim/m dimensions; each gets its own `ksub`-centroid
+    * Lloyd codebook, all trained from ONE bounded sample collect. A PQ
+    * code is then m small ints (m bytes at ksub=256, m nibbles at 16)
+    * instead of dim floats — the compressed-scan ANN representation. */
+  def trainPqCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      ksub: Int,
+      iters: Int = 3,
+      seed: Long = 11L,
+      trainFraction: Double = 1.0,
+      maxTrainVectors: Int = 16384): Array[Array[Array[Double]]] = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val vecs = sampledVectors(
+      corpus, idCol, vecCol, seed, trainFraction, maxTrainVectors)
+    (0 until m).map { s =>
+      lloyd(vecs.map(v =>
+        (0 until dsub).map(j =>
+          if (s * dsub + j < v.length) v(s * dsub + j) else 0.0).toArray),
+        ksub, iters)
+    }.toArray
+  }
+
+  /** ANN top-k via product quantization: corpus vectors compress to m
+    * per-subspace centroid codes (one narrow kernel pass); each query
+    * scans ALL codes with the asymmetric distance (codebook lookups,
+    * PqAdcExpr) instead of the raw vectors — the scan touches m ints
+    * per corpus row rather than dim floats, the 100 TB trade. Exact
+    * squared-L2 re-ranking is deliberately absent: recall < 1 by
+    * design, [[bruteForceL2TopK]] is the exact baseline. */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 3,
+      seed: Long = 11L,
+      trainFraction: Double = 1.0,
+      maxTrainVectors: Int = 16384): DataFrame = {
+    val books = trainPqCodebooks(corpus, idCol, vecCol, dim, m, ksub,
+      iters, seed, trainFraction, maxTrainVectors)
+    val dsub = dim / m
+    def codeCols(v: Column): Column = array((0 until m).map { s =>
+      element_at(graft.functions.VectorExpressions.nearestCentroids(
+        slice(v, s * dsub + 1, dsub), books(s), 1), 1)
+    }: _*)
+    val enc = corpus.select(col(idCol).as("neighbor_id"),
+      codeCols(col(vecCol)).as("__codes"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val scored = enc.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__dist", graft.functions.VectorExpressions.pqAdc(
+        col("__qv"), col("__codes"), books))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__dist").asc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Exact squared-L2 top-k (||a-b||^2 = |a|^2 + |b|^2 - 2 a.b via the
+    * codegen dot kernel) — the baseline [[pqTopK]]'s recall contract
+    * grades against. */
+  def bruteForceL2TopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    import graft.functions.VectorExpressions.vecDot
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"),
+      vecDot(col(vecCol), col(vecCol)).as("__cn2"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"),
+      vecDot(col(vecCol), col(vecCol)).as("__qn2"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__dist",
+        col("__qn2") + col("__cn2") - lit(2.0) * vecDot(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__dist").asc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
   }
 
   /** ANN top-k via IVF (inverted-file) search: the corpus partitions

@@ -239,6 +239,46 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   // ---- text analysis ----
 
+  test("pq_adc kernel: zero at the encoded centroid, codegen compiles") {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+    // two subspaces of dim 2, two centroids each
+    val books: Array[Array[Array[Double]]] = Array(
+      Array(Array(0.0, 0.0), Array(1.0, 1.0)),
+      Array(Array(2.0, 2.0), Array(3.0, 3.0)))
+    val q = Literal.create(Array(1.0, 1.0, 2.0, 2.0), ArrayType(DoubleType))
+    val codes = Literal(new GenericArrayData(Array(1, 0)),
+      ArrayType(IntegerType, containsNull = false))
+    val zero = GraftBridge.compileAndEval(
+      graft.functions.PqAdcExpr(q, codes, books)).asInstanceOf[Double]
+    assert(zero == 0.0)
+    // distance to the other code pair: (1,1)->(0,0) is 2, (2,2)->(3,3) is 2
+    val codes2 = Literal(new GenericArrayData(Array(0, 1)),
+      ArrayType(IntegerType, containsNull = false))
+    val far = GraftBridge.compileAndEval(
+      graft.functions.PqAdcExpr(q, codes2, books)).asInstanceOf[Double]
+    assert(far == 4.0)
+  }
+
+  test("pqTopK is deterministic and beats random recall vs the L2 baseline") {
+    val q = emb.filter(col("vec_id") < 5)
+    val approx = Similarity.pqTopK(q, emb, "vec_id", "embedding",
+      k = 5, dim = 64, m = 16, ksub = 32)
+    val again = Similarity.pqTopK(q, emb, "vec_id", "embedding",
+      k = 5, dim = 64, m = 16, ksub = 32)
+    val a1 = approx.orderBy("query_id", "rank").collect().toSeq
+    assert(a1 == again.orderBy("query_id", "rank").collect().toSeq)
+    val brute = Similarity.bruteForceL2TopK(q, emb, "vec_id", "embedding", 5)
+    val hits = brute.select("query_id", "neighbor_id")
+      .join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi").count()
+    // corpus 200 at sf0.001: random recall@5 would be ~5/200
+    assert(hits >= 5, s"recall too low: $hits/25")
+    assert(a1.size == 25)
+  }
+
   test("text functions: tokens, quality, langId, fingerprint") {
     val df = Seq(
       "The quick brown fox jumps over the lazy dog.",
