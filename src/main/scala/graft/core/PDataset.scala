@@ -777,14 +777,19 @@ final class PDataset private[core] (
       }: Part
     }.toVector
     // Whole-frame plan: the division slices are co-partitioned by
-    // construction, so up to divisionJoinMaxDivisions the join plans
-    // SHUFFLE-FREE as a custom division-join node (plan size O(d));
-    // beyond that — or when the shape doesn't qualify — fall back to
-    // one Catalyst join, whose Exchange costs less than O(10^4)-node
-    // driver planning would.
+    // construction, so the join can plan SHUFFLE-FREE as a custom
+    // division-join node (plan size O(d)). Each division executes as
+    // ONE task, so the node wins only when divisions can saturate the
+    // cluster — below ~defaultParallelism/2 the Catalyst join's full
+    // shuffle parallelism beats avoiding the Exchange, and above
+    // divisionJoinMaxDivisions its O(d) plan would cost more driver
+    // time than the shuffle. At production division counts (far above
+    // core counts, far below 10^4) the gate passes.
     val whole = () => {
+      val nDiv = divisions.length + 1
       val custom =
-        if (divisions.length + 1 <= PDataset.divisionJoinMaxDivisions) {
+        if (nDiv <= PDataset.divisionJoinMaxDivisions &&
+            nDiv >= PDataset.divisionJoinMinDivisions(spark)) {
           val slices = (0 until divisions.length + 1).map { i =>
             val lo = sentinels(i)
             val hi = sentinels(i + 1)
@@ -1112,6 +1117,15 @@ object PDataset {
     * it the constant-size Catalyst join with its Exchange wins on
     * driver planning time. Var so specs can force either path. */
   private[graft] var divisionJoinMaxDivisions: Int = 256
+
+  /** Minimum division count for the division join: one task per
+    * division means fewer divisions than ~half the cluster's slots
+    * under-utilizes it vs a full-parallelism shuffle join. Override
+    * makes specs machine-independent. */
+  private[graft] var divisionJoinMinOverride: Option[Int] = None
+  private[graft] def divisionJoinMinDivisions(spark: SparkSession): Int =
+    divisionJoinMinOverride.getOrElse(
+      math.max(2, spark.sparkContext.defaultParallelism / 2))
 
   /** Partition count at or above which a file-backed generic write
     * batches into one tagged-shuffle job instead of one job per

@@ -321,6 +321,87 @@ case class PqAdcExpr(
   override def prettyName: String = "pq_adc"
 }
 
+/** PQ encoding in ONE pass: every subspace's nearest-centroid code for
+  * a vector, as array<int> of length m. The composed alternative —
+  * m `slice` + `nearest_centroids` expression pairs — allocates m
+  * subarrays per row and re-enters codegen m times; this kernel reads
+  * each vector element exactly once. */
+case class PqEncodeExpr(
+    child: Expression,
+    codebooks: Array[Array[Array[Double]]]) extends UnaryExpression {
+
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "need m non-empty codebooks")
+
+  private def m: Int = codebooks.length
+  private def dsub: Int = codebooks(0)(0).length
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode needs array<float|double>, got $other")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any =
+    encode(input.asInstanceOf[ArrayData])
+
+  /** Shared by eval and the generated code. Ties break to the lowest
+    * centroid index (matching NearestCentroidsExpr); missing vector
+    * components are 0. */
+  def encode(v: ArrayData): ArrayData = {
+    val fl = isFloat
+    val n = v.numElements()
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val book = codebooks(s)
+      var best = 0
+      var bd = Double.PositiveInfinity
+      var c = 0
+      while (c < book.length) {
+        val ct = book(c)
+        var acc = 0.0
+        var j = 0
+        while (j < dsub) {
+          val i = s * dsub + j
+          val xv =
+            if (i >= n || v.isNullAt(i)) 0.0
+            else if (fl) v.getFloat(i).toDouble else v.getDouble(i)
+          val d = xv - ct(j)
+          acc += d * d
+          j += 1
+        }
+        if (acc < bd) { bd = acc; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncoder", this, classOf[PqEncodeExpr].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)" +
+        s" $ref.encode($v);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqEncodeExpr =
+    copy(child = c)
+  override def prettyName: String = "pq_encode"
+}
+
 object VectorExpressions {
   /** Squared-L2 ADC distance of a raw query vector against PQ codes. */
   def pqAdc(query: Column, codes: Column,
@@ -328,6 +409,11 @@ object VectorExpressions {
     GraftBridge.toColumn(PqAdcExpr(
       GraftBridge.toExpression(query), GraftBridge.toExpression(codes),
       codebooks))
+
+  /** All m per-subspace PQ codes of a vector in one kernel pass. */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    GraftBridge.toColumn(PqEncodeExpr(
+      GraftBridge.toExpression(vec), codebooks))
   /** Top-nprobe nearest centroid indices (squared L2, ascending). */
   def nearestCentroids(
       vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column =

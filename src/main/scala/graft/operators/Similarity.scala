@@ -258,13 +258,9 @@ object Similarity {
       maxTrainVectors: Int = 16384): DataFrame = {
     val books = trainPqCodebooks(corpus, idCol, vecCol, dim, m, ksub,
       iters, seed, trainFraction, maxTrainVectors)
-    val dsub = dim / m
-    def codeCols(v: Column): Column = array((0 until m).map { s =>
-      element_at(graft.functions.VectorExpressions.nearestCentroids(
-        slice(v, s * dsub + 1, dsub), books(s), 1), 1)
-    }: _*)
     val enc = corpus.select(col(idCol).as("neighbor_id"),
-      codeCols(col(vecCol)).as("__codes"))
+      graft.functions.VectorExpressions.pqEncode(col(vecCol), books)
+        .as("__codes"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val scored = enc.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -15,6 +15,7 @@ class DivisionJoinPruningSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   test("projection above a multi-division renamed join stays aligned") {
+    PDataset.divisionJoinMinOverride = Some(2)
     val dir = tempDir("divprune")
     writeDatetimeSample(spark, dir)
     val dateDir = tempDir("divprune-date")
@@ -38,5 +39,6 @@ class DivisionJoinPruningSpec extends AnyFunSuite {
         .orderBy(col("a").asc_nulls_first, col("x").asc_nulls_first).collect()
       assert(got.toSeq == oracle.toSeq, s"how=$how")
     }
+    PDataset.divisionJoinMinOverride = None
   }
 }

@@ -14,6 +14,7 @@ class JoinRenamedKeySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   test("join on a renamed key survives alias removal and aggregates") {
+    PDataset.divisionJoinMinOverride = Some(2)
     val d = "/root/testdata/sf0.001"
     val li = PDataset.scanParquet(spark, s"$d/lineitem.parquet")
       .rename(Map("l_orderkey" -> "okey")).reindex(Seq("okey"))
@@ -33,5 +34,6 @@ class JoinRenamedKeySpec extends AnyFunSuite {
       .orderBy("o_orderstatus")
       .collect()
     assert(out.toSeq == want.toSeq)
+    PDataset.divisionJoinMinOverride = None
   }
 }

@@ -164,13 +164,16 @@ class RepartitionJoinSpec extends AnyFunSuite {
   }
 
   test("joined toDF plans one shuffle-free division join, no Exchange") {
-    val df = leftDs.join(rightDs, "inner").toDF
-    val optimized = df.queryExecution.optimizedPlan.toString
-    assert(optimized.contains("DivisionJoin"), optimized)
-    val physical = df.queryExecution.executedPlan.toString
-    assert(physical.contains("DivisionJoin"), physical)
-    assert(!physical.contains("Exchange"),
-      s"division join must not shuffle:\n$physical")
+    PDataset.divisionJoinMinOverride = Some(2)
+    try {
+      val df = leftDs.join(rightDs, "inner").toDF
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("DivisionJoin"), optimized)
+      val physical = df.queryExecution.executedPlan.toString
+      assert(physical.contains("DivisionJoin"), physical)
+      assert(!physical.contains("Exchange"),
+        s"division join must not shuffle:\n$physical")
+    } finally PDataset.divisionJoinMinOverride = None
   }
 
   test("above the division cap the join falls back to one Catalyst join") {
