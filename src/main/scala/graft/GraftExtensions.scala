@@ -22,13 +22,18 @@ import graft.operators.{Dedup, Similarity}
   * string_array_hash64(tokens, algo).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, usage, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", null, name, usage, ""),
         builder))
     }
+    // The shuffle-free division join's planner strategy (PDataset.join
+    // also installs it lazily via experimental.extraStrategies for
+    // sessions built without extensions).
+    ext.injectPlannerStrategy(_ => graft.plans.DivisionJoinStrategy)
+  }
 }
 
 object GraftExtensions {
