@@ -484,6 +484,15 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(scan(s, d, "documents").toDF, "doc_id", "text")
         .orderBy("idA", "idB")),
 
+    // Pairwise near-dup hits become keep/drop decisions here:
+    // connected components over the pair graph, canonical survivor =
+    // the component's min doc id.
+    "q_dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(
+        scan(s, d, "documents").toDF, "doc_id", "text")
+      Dedup.nearDupClusters(pairs).orderBy("doc_id")
+    }),
+
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashNearDupPairs(
         scan(s, d, "documents").toDF,
@@ -875,6 +884,48 @@ object SparkEntry {
            FROM documents GROUP BY md5(text) ORDER BY doc_id""",
       "q_dedup_minhash" -> shingleCte(""),
       "q_dedup_ngram" -> shingleCte(""),
+      // Same pair derivation as shingleCte, then connected components
+      // as a recursive reachability closure with min-id labels.
+      "q_dedup_clusters" -> """
+        WITH RECURSIVE docs AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   range(1, greatest(len(w)-2, 1)+1),
+                   i -> array_to_string(
+                          list_slice(w, CAST(i AS INT), CAST(i AS INT)+2),
+                          ' ')))) AS s
+          FROM docs),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT ida, idb
+          FROM inter
+          JOIN sizes s1 ON ida = s1.doc_id
+          JOIN sizes s2 ON idb = s2.doc_id
+          WHERE round(i*1.0/(s1.n + s2.n - i), 4) >= 0.85),
+        edges AS (
+          SELECT ida AS a, idb AS b FROM pairs
+          UNION
+          SELECT idb AS a, ida AS b FROM pairs),
+        reach AS (
+          SELECT a AS src, a AS node FROM (SELECT DISTINCT a FROM edges)
+          UNION
+          SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+        lab AS (
+          SELECT src AS doc_id, min(node) AS cluster_id
+          FROM reach GROUP BY src),
+        szs AS (
+          SELECT cluster_id, count(*) AS cluster_size
+          FROM lab GROUP BY cluster_id)
+        SELECT l.doc_id, l.cluster_id, s.cluster_size
+        FROM lab l JOIN szs s USING (cluster_id)
+        ORDER BY l.doc_id""",
       // Full SimHash rederivation: md5-prefix token hash (bit-identical
       // to Spark's Dedup.md5Hash64), per-bit majority vote, 64-bit
       // fingerprint via bit_or, exhaustive pair scan (the 4-chunk

@@ -204,6 +204,63 @@ object Dedup {
     * every fingerprint built on it SQL-derivable by the oracle (xxhash64
     * is Spark-only). Two 32-bit halves via conv keep ANSI arithmetic
     * overflow-free; shiftleft/bitwiseOR reassemble the exact bits. */
+  /** Connected components over an undirected near-dup pair graph —
+    * the step that turns pairwise dedup into keep/drop decisions:
+    * every document in a component gets the component's minimum id as
+    * its `cluster_id` (the canonical survivor), plus the component
+    * size.
+    *
+    * Iterative min-label propagation: labels start at the vertex id;
+    * each round every vertex takes the min of its own and its
+    * neighbors' labels; converges in O(component diameter) rounds.
+    * Near-dup components are small by construction (they're bounded
+    * by the near-dup radius), so the loop ends after a handful of
+    * one-shuffle rounds; `maxIters` is a hard stop against
+    * pathological chains. Each round is a shuffle on the edge list —
+    * no driver-side graph, no vertex collect, the standard
+    * Spark-native CC shape at corpus scale. Returns one row per
+    * vertex that appears in at least one pair. */
+  def nearDupClusters(
+      pairs: DataFrame,
+      idACol: String = "idA",
+      idBCol: String = "idB",
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idACol).as("a"), col(idBCol).as("b"))
+      .union(pairs.select(col(idBCol).as("a"), col(idACol).as("b")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("label").as("blab")),
+          Seq("b"))
+        .groupBy("a").agg(min(col("blab")).as("nmin"))
+        .withColumnRenamed("a", "id")
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label"))
+        .persist()
+      changed = next
+        .join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old"))
+        .count()
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    val sizes = labels.groupBy("label")
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"))
+  }
+
   def md5Hash64(s: Column): Column = {
     val hex = md5(s)
     val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")

@@ -279,6 +279,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a1.size == 25)
   }
 
+  test("nearDupClusters labels components with their min id") {
+    // chain 1-2-3, pair 10-11, triangle 20-21-22 (one redundant edge)
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("idA", "idB")
+    val got = Dedup.nearDupClusters(pairs)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L),
+      (20L, 20L, 3L), (21L, 20L, 3L), (22L, 20L, 3L)))
+  }
+
   test("text functions: tokens, quality, langId, fingerprint") {
     val df = Seq(
       "The quick brown fox jumps over the lazy dog.",
