@@ -191,6 +191,24 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // Same join through the shuffle-free division-join node: both
+    // sides repartition to ~24 index partitions, so the division
+    // count clears the parallelism gate at any scale factor and the
+    // custom co-partitioned path is what the oracle checks.
+    "q_join_division" -> ((s, d) => {
+      val li0 = scan(s, d, "lineitem").rename(Map("l_orderkey" -> "okey"))
+        .reindex(Seq("okey"))
+      val li = li0.repartition(math.max(1L, li0.sizes.get.sum / 24))
+      val o0 = scan(s, d, "orders").rename(Map("o_orderkey" -> "okey"))
+        .reindex(Seq("okey"))
+      val o = o0.repartition(math.max(1L, o0.sizes.get.sum / 24))
+      li.join(o, "inner").toDF
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     "q_join_left" -> ((s, d) => {
       val o = scan(s, d, "orders").rename(Map("o_orderkey" -> "okey"))
         .reindex(Seq("okey"))
@@ -678,6 +696,11 @@ object SparkEntry {
                   round(sum(l_extendedprice), 2) AS sum_price
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+      "q_join_division" ->
+        """SELECT o_orderpriority, count(*) AS n,
+                  round(sum(l_extendedprice), 2) AS sum_price
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY o_orderpriority ORDER BY o_orderpriority""",
       "q_join_left" ->
         """SELECT o_orderpriority, count(*) AS n,
                   CAST(count(l_quantity) AS BIGINT) AS n_matched
