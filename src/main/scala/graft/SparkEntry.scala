@@ -191,22 +191,26 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
-    // Same join through the shuffle-free division-join node: both
-    // sides repartition to ~24 index partitions, so the division
-    // count clears the parallelism gate at any scale factor and the
-    // custom co-partitioned path is what the oracle checks.
+    // Join through the shuffle-free division-join node, in its
+    // at-scale shape: both sides PERSISTED as ~24-partition datasets
+    // (one fast write each), so every division slice prunes to its
+    // own file through the sidecar index — the division count clears
+    // the parallelism gate at any scale factor and the custom
+    // co-partitioned path is what the oracle checks.
     "q_join_division" -> ((s, d) => {
-      val li0 = scan(s, d, "lineitem").rename(Map("l_orderkey" -> "okey"))
-        .reindex(Seq("okey"))
-      val li = li0.repartition(math.max(1L, li0.sizes.get.sum / 24))
-      val o0 = scan(s, d, "orders").rename(Map("o_orderkey" -> "okey"))
-        .reindex(Seq("okey"))
+      val o0 = scan(s, d, "orders").rename(Map("o_custkey" -> "ckey"))
+        .reindex(Seq("ckey"))
       val o = o0.repartition(math.max(1L, o0.sizes.get.sum / 24))
-      li.join(o, "inner").toDF
-        .groupBy("o_orderpriority")
+        .writeParquet(tmp("graft-q-jd-orders"))
+      val c0 = scan(s, d, "customer").rename(Map("c_custkey" -> "ckey"))
+        .reindex(Seq("ckey"))
+      val c = c0.repartition(math.max(1L, c0.sizes.get.sum / 24))
+        .writeParquet(tmp("graft-q-jd-customer"))
+      o.join(c, "inner").toDF
+        .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"),
-          round(sum(col("l_extendedprice")), 2).as("sum_price"))
-        .orderBy("o_orderpriority")
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy("c_mktsegment")
     }),
 
     "q_join_left" -> ((s, d) => {
@@ -697,10 +701,10 @@ object SparkEntry {
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            GROUP BY o_orderstatus ORDER BY o_orderstatus""",
       "q_join_division" ->
-        """SELECT o_orderpriority, count(*) AS n,
-                  round(sum(l_extendedprice), 2) AS sum_price
-           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-           GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        """SELECT c_mktsegment, count(*) AS n,
+                  round(sum(o_totalprice), 2) AS sum_price
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_mktsegment ORDER BY c_mktsegment""",
       "q_join_left" ->
         """SELECT o_orderpriority, count(*) AS n,
                   CAST(count(l_quantity) AS BIGINT) AS n_matched
