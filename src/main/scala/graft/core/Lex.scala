@@ -35,11 +35,39 @@ object Lex {
       java.lang.Long.compare(a.longValue(), b.longValue())
     case (a: java.lang.Number, b: java.lang.Number) =>
       java.lang.Double.compare(a.doubleValue(), b.doubleValue())
+    // Strings compare in CODE POINT order (== UTF-8 byte order), the
+    // order Spark's binary-collation comparisons and the reference's
+    // polars byte comparisons use. Plain String.compareTo (UTF-16 code
+    // units) would sort supplementary-plane characters BELOW
+    // U+E000..U+FFFF, making driver-side bounds disagree with the
+    // engine evaluating the very filters those bounds prune for.
+    case (a: String, b: String) => codePointCmp(a, b)
     case (a: Comparable[_], b) =>
       a.asInstanceOf[Comparable[Any]].compareTo(b)
     case _ =>
       throw new IllegalArgumentException(
         s"Cannot compare bound values of type ${x.getClass} and ${y.getClass}")
+  }
+
+  /** UTF-16 chars reordered to code-point order: BMP below surrogates.
+    * [0, D7FF] stays; [E000, FFFF] -> [D800, F7FF]; surrogates
+    * [D800, DFFF] -> [F800, FFFF] (a surrogate means a code point
+    * >= U+10000, which must sort above every BMP character). */
+  private def cpKey(c: Char): Int =
+    if (c < 0xD800) c
+    else if (c >= 0xE000) c - 0x800
+    else c + 0x2000
+
+  private def codePointCmp(a: String, b: String): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ca = a.charAt(i)
+      val cb = b.charAt(i)
+      if (ca != cb) return Integer.compare(cpKey(ca), cpKey(cb))
+      i += 1
+    }
+    Integer.compare(a.length, b.length)
   }
 
   private def isIntegral(n: java.lang.Number): Boolean = n match {

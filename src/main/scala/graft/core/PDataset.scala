@@ -894,7 +894,8 @@ final class PDataset private[core] (
     //    metadata; the scatter path never materializes them at all).
     val nameOfIdx = written.toMap
     val keep = written.map(_._1).filter(i => statsByIdx(i).size > 0)
-    written.map(_._1).filterNot(keep.contains).foreach { i =>
+    val keepSet = keep.toSet // Seq.contains would be O(n^2) at 10^5 parts
+    written.map(_._1).filterNot(keepSet).foreach { i =>
       fs.delete(new HPath(dir, nameOfIdx(i)), false)
     }
     val schema = schemaOpt.getOrElse(
@@ -918,15 +919,21 @@ final class PDataset private[core] (
   /** The source files for a one-job scatter rewrite, if this dataset
     * qualifies: at least [[PDataset.scatterWriteThreshold]] partitions,
     * every partition a filter-free parquet file, no file repeated
-    * (repeats would collapse two partitions onto one ordinal). */
+    * (repeats would collapse two partitions onto one ordinal), and
+    * every file at most one input split. The split bound preserves
+    * intra-partition row order: a whole file read by ONE map task
+    * lands in its target reduce partition in file order, while a
+    * multi-split file's blocks would interleave nondeterministically —
+    * the per-partition fallback keeps exact order for those. */
   private def scatterSourceFiles: Option[IndexedSeq[String]] = {
-    if (parts.length < PDataset.scatterWriteThreshold) None
-    else {
-      val files = parts.collect { case FilePart(f, Nil, "parquet") => f }
-      if (files.length == parts.length &&
-          files.distinct.length == files.length) Some(files)
-      else None
-    }
+    if (parts.length < PDataset.scatterWriteThreshold) return None
+    val files = parts.collect { case FilePart(f, Nil, "parquet") => f }
+    if (files.length != parts.length ||
+        files.distinct.length != files.length) return None
+    val maxSplit =
+      org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
+    val sizes = GraftFs.fileSizes(GraftFs.conf(spark), files)
+    if (sizes.forall(_._2 <= maxSplit)) Some(files) else None
   }
 
   private def emptyIdxBound: Bound = Vector.fill(indexColumns.length)(None)

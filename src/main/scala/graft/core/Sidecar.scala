@@ -144,7 +144,12 @@ object Sidecar {
       GraftFs.writeString(fs, tmp, TypedJson.write(meta))
       GraftFs.moveOverwrite(fs, tmp, metadataPath(dir))
     } finally {
-      if (fs.exists(tmp)) fs.delete(tmp, false)
+      // Clean a leftover temp ONLY while a metadata file exists at the
+      // target: if the fallback rename deleted the old file and then
+      // failed, the fully-written temp is the lone surviving copy —
+      // deleting it would destroy both generations at once.
+      if (fs.exists(tmp) && GraftFs.isFile(fs, metadataPath(dir)))
+        fs.delete(tmp, false)
     }
     val empty = spark.createDataFrame(
       java.util.Collections.emptyList[Row](), schema)

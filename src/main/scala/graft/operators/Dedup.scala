@@ -210,16 +210,16 @@ object Dedup {
     * its `cluster_id` (the canonical survivor), plus the component
     * size.
     *
-    * Iterative min-label propagation: labels start at the vertex id;
-    * each round every vertex takes the min of its own and its
-    * neighbors' labels; converges in O(component diameter) rounds.
-    * Near-dup components are small by construction (they're bounded
-    * by the near-dup radius), so the loop ends after a handful of
-    * one-shuffle rounds; `maxIters` is a hard stop against
-    * pathological chains. Each round is a shuffle on the edge list —
-    * no driver-side graph, no vertex collect, the standard
-    * Spark-native CC shape at corpus scale. Returns one row per
-    * vertex that appears in at least one pair. */
+    * Iterative min-label propagation WITH pointer jumping: each round
+    * a vertex takes the min of its own, its neighbors', and its
+    * label's label — the shortcut halves the remaining distance to
+    * the component minimum, so convergence is O(log diameter) rounds
+    * (20 rounds covers diameters past 10^6; the loop throws rather
+    * than silently return partial labels if it ever fails to
+    * converge). Each round is a bounded number of shuffles on the
+    * edge list — no driver-side graph, no vertex collect, the
+    * standard Spark-native CC shape at corpus scale. Returns one row
+    * per vertex that appears in at least one pair. */
   def nearDupClusters(
       pairs: DataFrame,
       idACol: String = "idA",
@@ -240,9 +240,16 @@ object Dedup {
           Seq("b"))
         .groupBy("a").agg(min(col("blab")).as("nmin"))
         .withColumnRenamed("a", "id")
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val propagated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label"))
+      // Pointer jumping: label <- min(label, label(label)).
+      val next = propagated.join(
+          propagated.select(col("id").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("ll"), col("label")))
             .as("label"))
         .persist()
       changed = next
@@ -253,10 +260,16 @@ object Dedup {
       labels = next
       it += 1
     }
+    require(changed == 0,
+      s"nearDupClusters did not converge in $maxIters rounds")
     edges.unpersist()
-    val sizes = labels.groupBy("label")
+    // Pin the converged labels off the iteration lineage, then release
+    // the loop's cache — callers hold only the checkpointed frame.
+    val finalLabels = labels.localCheckpoint(true)
+    labels.unpersist()
+    val sizes = finalLabels.groupBy("label")
       .agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, Seq("label"))
+    finalLabels.join(sizes, Seq("label"))
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),
         col("cluster_size"))
   }

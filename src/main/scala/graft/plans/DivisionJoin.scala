@@ -30,8 +30,9 @@ import org.apache.spark.sql.types.DataType
   *
   * Memory contract: one right-side DIVISION (not the whole dataset)
   * is built into a hash table per task — the same bound the reference
-  * engine's per-division joins hold, and the caller orders sides so
-  * the right is the smaller dataset.
+  * engine's per-division joins hold. The node does NOT reorder sides;
+  * callers of `PDataset.join` should put the smaller dataset on the
+  * right (the build side).
   */
 case class DivisionJoinPlan(
     joinType: JoinType,
@@ -191,10 +192,21 @@ object DivisionJoinExec {
     val outTypes: Array[DataType] =
       lKeyOrds.map(lTypes) ++ lRestOrds.map(lTypes) ++ rRestOrds.map(rTypes)
     val outProj = UnsafeProjection.create(outTypes)
-    val lKeyProj = UnsafeProjection.create(
-      lKeyOrds.map(o => BoundReference(o, lTypes(o), nullable = true)))
-    val rKeyProj = UnsafeProjection.create(
-      rKeyOrds.map(o => BoundReference(o, rTypes(o), nullable = true)))
+    // Key bytes must match Catalyst's join-key semantics: -0.0 == 0.0
+    // and NaN == NaN for float/double keys (the whole-frame fallback
+    // normalizes via NormalizeFloatingNumbers; raw sign bits would
+    // make results depend on which path the gate picked).
+    def keyExpr(o: Int, t: Array[DataType]): org.apache.spark.sql.catalyst.expressions.Expression = {
+      val ref = BoundReference(o, t(o), nullable = true)
+      t(o) match {
+        case org.apache.spark.sql.types.FloatType |
+             org.apache.spark.sql.types.DoubleType =>
+          org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero(ref)
+        case _ => ref
+      }
+    }
+    val lKeyProj = UnsafeProjection.create(lKeyOrds.map(keyExpr(_, lTypes)))
+    val rKeyProj = UnsafeProjection.create(rKeyOrds.map(keyExpr(_, rTypes)))
 
     def hasNullKey(row: InternalRow, ords: Array[Int]): Boolean = {
       var i = 0

@@ -16,6 +16,7 @@ class DivisionJoinPruningSpec extends AnyFunSuite {
 
   test("projection above a multi-division renamed join stays aligned") {
     PDataset.divisionJoinMinOverride = Some(2)
+    try {
     val dir = tempDir("divprune")
     writeDatetimeSample(spark, dir)
     val dateDir = tempDir("divprune-date")
@@ -39,6 +40,19 @@ class DivisionJoinPruningSpec extends AnyFunSuite {
         .orderBy(col("a").asc_nulls_first, col("x").asc_nulls_first).collect()
       assert(got.toSeq == oracle.toSeq, s"how=$how")
     }
-    PDataset.divisionJoinMinOverride = None
+    } finally PDataset.divisionJoinMinOverride = None
+  }
+
+  test("division join normalizes -0.0 and NaN double keys like Catalyst") {
+    import spark.implicits._
+    val l = Seq((0.0d, "pos"), (Double.NaN, "nan")).toDF("k", "lv")
+    val r = Seq((-0.0d, 1L), (Double.NaN, 2L)).toDF("k", "rv")
+    val j = graft.plans.DivisionJoin
+      .frame(spark, Vector(l), Vector(r), Seq("k"), "inner").get
+      .orderBy("rv").collect()
+    // Catalyst semantics: -0.0 == 0.0 and NaN == NaN in join keys.
+    assert(j.length == 2)
+    assert(j(0).getString(1) == "pos" && j(0).getLong(2) == 1L)
+    assert(j(1).getString(1) == "nan" && j(1).getLong(2) == 2L)
   }
 }

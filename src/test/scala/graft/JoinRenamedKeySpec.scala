@@ -15,6 +15,7 @@ class JoinRenamedKeySpec extends AnyFunSuite {
 
   test("join on a renamed key survives alias removal and aggregates") {
     PDataset.divisionJoinMinOverride = Some(2)
+    try {
     val d = "/root/testdata/sf0.001"
     val li = PDataset.scanParquet(spark, s"$d/lineitem.parquet")
       .rename(Map("l_orderkey" -> "okey")).reindex(Seq("okey"))
@@ -34,6 +35,6 @@ class JoinRenamedKeySpec extends AnyFunSuite {
       .orderBy("o_orderstatus")
       .collect()
     assert(out.toSeq == want.toSeq)
-    PDataset.divisionJoinMinOverride = None
+    } finally PDataset.divisionJoinMinOverride = None
   }
 }

@@ -31,6 +31,19 @@ class KernelSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Lex.lexCmp(b(1L), b(1L, 2L)))
   }
 
+  test("string bounds compare in code-point (UTF-8 byte) order") {
+    // U+FFFD is a BMP char; U+1F600 (surrogate pair) is a higher code
+    // point. Java String.compareTo would order them the other way
+    // (high surrogate 0xD83D < 0xFFFD), disagreeing with the order
+    // Spark evaluates string predicates in.
+    assert("�".compareTo("😀") > 0) // the UTF-16 trap
+    assert(Lex.valueCmp("�", "😀") < 0)
+    assert(Lex.valueCmp("😀", "�") > 0)
+    assert(Lex.valueCmp("a", "b") < 0)
+    assert(Lex.valueCmp("ab", "a") > 0)
+    assert(Lex.valueCmp("a", "a") == 0)
+  }
+
   test("sortPartitions orders by (lb, ub)") {
     val lbs = Vector(b(3L), b(1L), Vector(None: Option[Any]), b(1L))
     val ubs = Vector(b(4L), b(2L), b(0L), b(1L))
