@@ -109,6 +109,8 @@ final class PDataset private[core] (
       if (fmt == "csv") reader = reader.option("header", "true")
       filters.foldLeft(reader.load(file))((df, f) => df.filter(f.toColumn))
     case LazyPart(thunk) => thunk()
+    case SlicePart(src, lo, hi) =>
+      src.slice(lo.orNull, hi.orNull, inclusive = "lower").toDF
   }
 
   private def partThunks: IndexedSeq[() => DataFrame] = {
@@ -125,7 +127,38 @@ final class PDataset private[core] (
     */
   def toDF: DataFrame = wholeFrameOpt match {
     case Some(whole) => whole()
-    case None => toDFUnion
+    case None => contiguousSliceRun match {
+      // The union of contiguous division slices [lo,d1)∪[d1,d2)∪…∪[dk,hi)
+      // IS the single slice [lo, hi) of the source: plan ONE pruned scan
+      // of it instead of one scan per division. (toDF is row-multiset
+      // semantics — like the written-dataset fast path, whose split
+      // packing already reorders files — so division order need not be
+      // re-established with a shuffle.)
+      case Some((src, lo, hi, _)) =>
+        src.slice(lo.orNull, hi.orNull, inclusive = "lower").toDF
+      case None => toDFUnion
+    }
+  }
+
+  /** If every partition is a [[PDataset.SlicePart]] of the SAME source
+    * and the ranges chain contiguously (each hi == the next lo, inner
+    * boundaries all finite), the whole frame equals one slice of that
+    * source. Returns (source, first lo, last hi, inner boundaries).
+    * The finiteness requirement on inner boundaries is what rejects
+    * e.g. a concat of two full repartitions of one source (None==None
+    * junctions), whose union is NOT a single slice. */
+  private[core] def contiguousSliceRun
+      : Option[(PDataset, Option[Bound], Option[Bound], IndexedSeq[Bound])] = {
+    if (parts.isEmpty) return None
+    val sps = parts.collect { case sp: SlicePart => sp }
+    if (sps.length != parts.length) return None
+    val src = sps.head.src
+    if (!sps.forall(_.src eq src)) return None
+    val chained = (0 until sps.length - 1).forall { i =>
+      sps(i).hi.isDefined && sps(i).hi == sps(i + 1).lo
+    }
+    if (!chained) return None
+    Some((src, sps.head.lo, sps.last.hi, sps.tail.map(_.lo.get)))
   }
 
   private def toDFUnion: DataFrame = {
@@ -397,6 +430,25 @@ final class PDataset private[core] (
       }
       parts(p) match {
         case FilePart(f, fs, fmt) => FilePart(f, fs ++ filters.toList, fmt)
+        case sp: SlicePart =>
+          // A lower-inclusive range filter intersects a SlicePart's
+          // [lo, hi) range directly (geq b tightens lo to b — attach
+          // implies b above the part's stats lb hence above lo; lt u
+          // symmetrically tightens hi), keeping the part
+          // driver-inspectable so contiguous-run planning survives
+          // slicing. Other inclusivities (gt/leq) fall back to an
+          // opaque filtered part.
+          if (filters.isEmpty) sp
+          else if (filters.forall(f => f.kind == "geq" || f.kind == "lt")) {
+            filters.foldLeft(sp) { (acc, f) =>
+              if (f.kind == "geq") acc.copy(lo = Some(f.bound))
+              else acc.copy(hi = Some(f.bound))
+            }
+          } else {
+            val self = this
+            val preds = filters.toList.map(_.toColumn)
+            LazyPart(() => preds.foldLeft(self.partDF(sp))(_.filter(_)))
+          }
         case lp: LazyPart =>
           if (filters.isEmpty) lp
           else {
@@ -506,8 +558,18 @@ final class PDataset private[core] (
     val self = this
     val newParts: IndexedSeq[Part] = batches.map { batch =>
       val members = batch.map(parts)
+      val slices = members.collect { case sp: SlicePart => sp }
       val plainFiles = members.collect { case FilePart(f, Nil, "parquet") => f }
-      if (plainFiles.length == members.length && plainFiles.nonEmpty) {
+      if (slices.length == members.length && slices.nonEmpty &&
+          slices.forall(_.src eq slices.head.src) &&
+          (0 until slices.length - 1).forall(i =>
+            slices(i).hi.isDefined && slices(i).hi == slices(i + 1).lo)) {
+        // Adjacent division slices of one source merge into a single
+        // range slice — one scan per batch, and the whole collated
+        // dataset stays a contiguous run (one-scan toDF, one-shuffle
+        // write).
+        SlicePart(slices.head.src, slices.head.lo, slices.last.hi): Part
+      } else if (plainFiles.length == members.length && plainFiles.nonEmpty) {
         // One multi-file scan per batch — single relation, no union.
         LazyPart { () =>
           var reader = spark.read
@@ -644,12 +706,11 @@ final class PDataset private[core] (
 
     val sentinels: IndexedSeq[Option[Bound]] =
       (None +: divisions.map(Some(_))) :+ None
-    val self = base
+    // Driver-inspectable division slices: contiguous SliceParts, so
+    // toDF/collate/write can plan over the run as ONE slice of base
+    // instead of per-division re-scans.
     val newParts: IndexedSeq[Part] = (0 until nparts).map { i =>
-      val lo = sentinels(i)
-      val hi = sentinels(i + 1)
-      LazyPart(() =>
-        self.slice(lo.orNull, hi.orNull, inclusive = "lower").toDF): Part
+      SlicePart(base, sentinels(i), sentinels(i + 1)): Part
     }.toVector
 
     new PDataset(
@@ -685,8 +746,11 @@ final class PDataset private[core] (
       val to = if (i == nparts - 1) (szs.length - 1, -1L) else divisions(i)
       LazyPart(() => self.rowRange(from, to, slicer)): Part
     }.toVector
+    // The row ranges tile the parent exactly, so the whole frame IS the
+    // parent — one scan, no RowSlicer re-execution (toDF is row-multiset
+    // semantics; per-partition row addressing stays on the slicer).
     new PDataset(spark, newParts, Seq.empty, Some(newSizes), None, None,
-      base.schemaOpt)
+      base.schemaOpt, wholeFrameOpt = Some(() => base.toDF))
   }
 
   /** Rows [fromRow of partition fromPart, toRow of partition toPart);
@@ -817,12 +881,29 @@ final class PDataset private[core] (
     * repartitioned_dataset.py:246-341).
     */
   def writeParquet(path: String, append: Boolean = false): PDataset = {
-    fastWritePlan match {
-      case Some(plan) if !append && plan.divisions.nonEmpty =>
-        fastWriteParquet(path, plan)
+    fastWritePlan.orElse(derivedWritePlan) match {
+      case Some(plan) if plan.divisions.nonEmpty =>
+        fastWriteParquet(path, plan, append)
       case _ => genericWriteParquet(path, append)
     }
   }
+
+  /** A write plan recovered from the partition structure: a contiguous
+    * run of division slices (what [[collate]] and lower-inclusive
+    * [[slice]]s of a repartitioned dataset preserve) writes through the
+    * same one-shuffle scatter as a fresh repartition. The run's bounds
+    * live in the source's index coordinates, so the source must still
+    * carry this dataset's index columns (a prefix-[[reindex]] would
+    * desynchronize the router's columns from the division arity). */
+  private def derivedWritePlan: Option[FastWritePlan] =
+    contiguousSliceRun.collect {
+      case (src, lo, hi, divs)
+          if divs.nonEmpty && src.indexColumns == this.indexColumns =>
+        val source =
+          if (lo.isEmpty && hi.isEmpty) src
+          else src.slice(lo.orNull, hi.orNull, inclusive = "lower")
+        FastWritePlan(source, this.indexColumns, divs)
+    }
 
   private def genericWriteParquet(path: String, append: Boolean): PDataset = {
     val (fs, dir) = GraftFs.resolve(spark, path)
@@ -940,11 +1021,28 @@ final class PDataset private[core] (
 
   /** One-shuffle scatter write: tag rows with their target partition id
     * via the O(log d) division router, hash-repartition on it, and let
-    * the parquet sink write one file per partition in parallel. */
-  private def fastWriteParquet(path: String, plan: FastWritePlan): PDataset = {
+    * the parquet sink write one file per partition in parallel. With
+    * `append = true` the same single job extends an existing dataset:
+    * new files are numbered past the prior max partition index and the
+    * sidecar metadata is merged (index columns must match). */
+  private def fastWriteParquet(
+      path: String, plan: FastWritePlan, append: Boolean): PDataset = {
     val (fs, dir) = GraftFs.resolve(spark, path)
-    GraftFs.deleteRecursive(fs, dir)
-    GraftFs.mkdirs(fs, dir)
+    var prior: Option[Sidecar.Meta] = None
+    if (!append) {
+      GraftFs.deleteRecursive(fs, dir)
+      GraftFs.mkdirs(fs, dir)
+    } else {
+      if (!Sidecar.exists(spark, path))
+        throw new AppendError(s"Could not load metadata in '$path'.")
+      val m = Sidecar.load(spark, path)
+      if (m.indexColumns != this.indexColumns)
+        throw new AppendError(
+          s"Cannot append dataset with index columns ${this.indexColumns} " +
+            s"to dataset with index columns ${m.indexColumns}.")
+      prior = Some(m)
+    }
+    val offset = prior.map(_.maxPartitionIndex + 1).getOrElse(0L)
     val stageParent = Option(dir.getParent).getOrElse(dir)
     val stage = GraftFs.mkStageDir(fs, stageParent, ".graft-fastwrite-")
     try {
@@ -952,7 +1050,7 @@ final class PDataset private[core] (
       val tagged = plan.source.toDF.withColumn(
         "__part", PDataset.partitionIndexExpr(idx, plan.divisions))
       val written = scatterPartFiles(tagged, parts.length, fs, dir, stage,
-        i => Sidecar.partitionFileName(i))
+        i => Sidecar.partitionFileName(offset + i))
 
       // Stats: exact from planning when sampleFraction = 1, else one
       // file-grouped job over what we just wrote.
@@ -969,9 +1067,16 @@ final class PDataset private[core] (
           (sts.map(_.size), sts.map(_.lb), sts.map(_.ub))
         }
       val schema = plan.source.schemaOpt.getOrElse(plan.source(0).schema)
-      val maxIdx = if (written.isEmpty) -1L else written.map(_._1).max.toLong
-      Sidecar.write(spark, path, plan.cols, written.map(_._2).toSeq,
-        sizesW.toSeq, lbsW.toSeq, ubsW.toSeq, maxIdx, schema)
+      val maxIdx =
+        if (written.isEmpty) offset - 1
+        else offset + written.map(_._1).max.toLong
+      val allFiles = prior.map(_.files).getOrElse(Vector.empty) ++
+        written.map(_._2)
+      val allSizes = prior.map(_.sizes).getOrElse(Vector.empty) ++ sizesW
+      val allLbs = prior.map(_.lowerBounds).getOrElse(Vector.empty) ++ lbsW
+      val allUbs = prior.map(_.upperBounds).getOrElse(Vector.empty) ++ ubsW
+      Sidecar.write(spark, path, plan.cols, allFiles, allSizes,
+        allLbs, allUbs, maxIdx, schema)
       PDataset.scanParquet(spark, path)
     } finally GraftFs.deleteRecursive(fs, stage)
   }
@@ -1113,6 +1218,16 @@ object PDataset {
   private[core] final case class FilePart(file: String,
       filters: List[SliceFilter], fmt: String = "parquet") extends Part
   private[core] final case class LazyPart(thunk: () => DataFrame) extends Part
+  /** A partition that is a lower-inclusive index range [lo, hi) of a
+    * SOURCE dataset (None = unbounded). Unlike an opaque [[LazyPart]]
+    * thunk, the range is driver-inspectable: a run of contiguous
+    * SliceParts over one source (what [[repartition]] produces, and
+    * what [[collate]]/[[slice]] preserve) is provably equal to ONE
+    * slice of that source, so [[toDF]] plans a single pruned scan and
+    * [[writeParquet]] a single tagged shuffle instead of re-scanning
+    * the source once per division. */
+  private[core] final case class SlicePart(src: PDataset,
+      lo: Option[Bound], hi: Option[Bound]) extends Part
 
   private[core] final case class FastWritePlan(
       source: PDataset,

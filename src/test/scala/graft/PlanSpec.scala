@@ -218,6 +218,49 @@ class PlanSpec extends AnyFunSuite {
       s"expected $expected files planned of ${persisted.npartitions}, got $numFiles")
   }
 
+  test("unwritten repartition plans ONE source scan for toDF/collate/slice") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scanCount(df: org.apache.spark.sql.DataFrame): Int = {
+      def go(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+        case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+        case _: FileSourceScanExec => 1
+        case other => other.children.map(go).sum
+      }
+      go(df.queryExecution.executedPlan)
+    }
+    val ds = PDataset.scanParquet(spark, s"$sf/lineitem.parquet")
+      .reindex(Seq("l_shipdate"))
+    val total = ds.sizes.get.sum
+    val rp = ds.repartition(total / 8)
+    assert(rp.npartitions >= 6, s"fixture gives ${rp.npartitions} divisions")
+
+    // toDF: the contiguous division slices collapse to one slice of the
+    // source — a single relation, not one scan (or union branch) per
+    // division.
+    val whole = rp.toDF
+    assert(scanCount(whole) == 1, whole.queryExecution.executedPlan.toString)
+    assert(!whole.queryExecution.executedPlan.toString.contains("Union"))
+    assert(whole.count() == total)
+
+    // collate: merged batches stay a contiguous run — still one scan.
+    val coll = rp.collate(total / 3)
+    assert(coll.npartitions >= 2 && coll.npartitions < rp.npartitions)
+    val collDF = coll.toDF
+    assert(scanCount(collDF) == 1, collDF.queryExecution.executedPlan.toString)
+    assert(collDF.count() == total)
+
+    // slice: bound tightening keeps SliceParts inspectable — one scan
+    // with the range filter applied, rows matching a direct filter.
+    val mid = rp.lowerBounds.get(2)
+    val slDF = rp.slice(mid, null).toDF
+    assert(scanCount(slDF) == 1, slDF.queryExecution.executedPlan.toString)
+    val expect = ds.toDF.filter(
+      col("l_shipdate") >= lit(mid.head.get
+        .asInstanceOf[java.time.LocalDateTime])).count()
+    assert(slDF.count() == expect)
+  }
+
   test("vec_dot participates in whole-stage codegen") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val df = emb.select(graft.functions.VectorExpressions

@@ -72,6 +72,43 @@ class ScatterWriteSpec extends AnyFunSuite {
     } finally PDataset.scatterWriteThreshold = old
   }
 
+  test("collated and sliced unwritten repartitions write via one scatter job") {
+    val src = tempDir("scatter-run-src")
+    writeDatetimeSample(spark, src)
+    val base = PDataset.scanParquet(spark, src).reindex(datetimeIndexColumns)
+    // collate of an unwritten repartition: merged contiguous SliceParts
+    // recover a FastWritePlan — one tagged shuffle, not one job/batch.
+    val coll = base.repartition(8).collate(16)
+    assert(coll.npartitions >= 4)
+    val (out, jobs) = countJobs(coll.writeParquet(tempDir("scatter-run-out") + "/c"))
+    assert(jobs <= 6, s"expected O(1) jobs for the collated write, saw $jobs")
+    checkBoundsAndSizes(out)
+    assertSameRows(out.toDF, base.toDF)
+
+    // a lower-inclusive slice preserves the run too (sizes become
+    // unknown, so one stats job joins the scatter job).
+    val sliced = base.repartition(8).slice(lb = datetimeLowerBounds(1))
+    val (sOut, sJobs) =
+      countJobs(sliced.writeParquet(tempDir("scatter-run-out") + "/s"))
+    assert(sJobs <= 7, s"expected O(1) jobs for the sliced write, saw $sJobs")
+    checkBoundsAndSizes(sOut)
+    assertSameRows(sOut.toDF, sliced.toDF)
+  }
+
+  test("append through the repartition fast path extends the dataset") {
+    val src = tempDir("scatter-fastapp-src")
+    writeDatetimeSample(spark, src)
+    val base = PDataset.scanParquet(spark, src).reindex(datetimeIndexColumns)
+    val rp = base.repartition(8)
+    val target = tempDir("scatter-fastapp-out") + "/ds"
+    rp.writeParquet(target)
+    val (appended, jobs) = countJobs(rp.writeParquet(target, append = true))
+    assert(jobs <= 6, s"expected O(1) jobs for the fast append, saw $jobs")
+    assert(appended.toDF.count() == 196)
+    assert(appended.npartitions == 2 * rp.npartitions)
+    checkBoundsAndSizes(appended)
+  }
+
   test("sliced or repeated file partitions fall back to per-partition writes") {
     val src = tempDir("scatter-fallback-src")
     writeDatetimeSample(spark, src)
