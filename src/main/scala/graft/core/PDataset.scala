@@ -55,7 +55,11 @@ final class PDataset private[core] (
       * all partitions that [[toDF]] prefers — one Catalyst join node
       * instead of O(npartitions) unioned per-division joins, whose plan
       * size would bottleneck the driver at thousands of divisions. */
-    private[core] val wholeFrameOpt: Option[() => DataFrame] = None) {
+    private[core] val wholeFrameOpt: Option[() => DataFrame] = None,
+    /** Set by row-mode [[repartition]]: enables the two-pass scatter
+      * write (count per scan task, then one tagged shuffle) instead of
+      * per-output-partition RowSlicer re-execution. */
+    private[core] val rowWritePlan: Option[PDataset.RowWritePlan] = None) {
 
   import PDataset._
 
@@ -748,9 +752,11 @@ final class PDataset private[core] (
     }.toVector
     // The row ranges tile the parent exactly, so the whole frame IS the
     // parent — one scan, no RowSlicer re-execution (toDF is row-multiset
-    // semantics; per-partition row addressing stays on the slicer).
+    // semantics; per-partition row addressing stays on the slicer), and
+    // writes take the two-pass scatter instead of per-partition slicing.
     new PDataset(spark, newParts, Seq.empty, Some(newSizes), None, None,
-      base.schemaOpt, wholeFrameOpt = Some(() => base.toDF))
+      base.schemaOpt, wholeFrameOpt = Some(() => base.toDF),
+      rowWritePlan = Some(RowWritePlan(base, rowsPerPartition)))
   }
 
   /** Rows [fromRow of partition fromPart, toRow of partition toPart);
@@ -884,7 +890,34 @@ final class PDataset private[core] (
     fastWritePlan.orElse(derivedWritePlan) match {
       case Some(plan) if plan.divisions.nonEmpty =>
         fastWriteParquet(path, plan, append)
-      case _ => genericWriteParquet(path, append)
+      case _ => rowWritePlan match {
+        case Some(plan) if parts.length > 1 =>
+          rowScatterWriteParquet(path, plan, append)
+        case _ => genericWriteParquet(path, append)
+      }
+    }
+  }
+
+  /** Prepare the target directory for a write; Some(prior metadata)
+    * when appending (index columns validated against this dataset). */
+  private def prepareWriteTarget(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: HPath,
+      path: String,
+      append: Boolean): Option[Sidecar.Meta] = {
+    if (!append) {
+      GraftFs.deleteRecursive(fs, dir)
+      GraftFs.mkdirs(fs, dir)
+      None
+    } else {
+      if (!Sidecar.exists(spark, path))
+        throw new AppendError(s"Could not load metadata in '$path'.")
+      val m = Sidecar.load(spark, path)
+      if (m.indexColumns != this.indexColumns)
+        throw new AppendError(
+          s"Cannot append dataset with index columns ${this.indexColumns} " +
+            s"to dataset with index columns ${m.indexColumns}.")
+      Some(m)
     }
   }
 
@@ -907,20 +940,7 @@ final class PDataset private[core] (
 
   private def genericWriteParquet(path: String, append: Boolean): PDataset = {
     val (fs, dir) = GraftFs.resolve(spark, path)
-    var prior: Option[Sidecar.Meta] = None
-    if (!append) {
-      GraftFs.deleteRecursive(fs, dir)
-      GraftFs.mkdirs(fs, dir)
-    } else {
-      if (!Sidecar.exists(spark, path))
-        throw new AppendError(s"Could not load metadata in '$path'.")
-      val m = Sidecar.load(spark, path)
-      if (m.indexColumns != this.indexColumns)
-        throw new AppendError(
-          s"Cannot append dataset with index columns ${this.indexColumns} " +
-            s"to dataset with index columns ${m.indexColumns}.")
-      prior = Some(m)
-    }
+    val prior = prepareWriteTarget(fs, dir, path, append)
     val offset = prior.map(_.maxPartitionIndex + 1).getOrElse(0L)
     val fileNames =
       parts.indices.map(i => Sidecar.partitionFileName(offset + i))
@@ -1028,20 +1048,7 @@ final class PDataset private[core] (
   private def fastWriteParquet(
       path: String, plan: FastWritePlan, append: Boolean): PDataset = {
     val (fs, dir) = GraftFs.resolve(spark, path)
-    var prior: Option[Sidecar.Meta] = None
-    if (!append) {
-      GraftFs.deleteRecursive(fs, dir)
-      GraftFs.mkdirs(fs, dir)
-    } else {
-      if (!Sidecar.exists(spark, path))
-        throw new AppendError(s"Could not load metadata in '$path'.")
-      val m = Sidecar.load(spark, path)
-      if (m.indexColumns != this.indexColumns)
-        throw new AppendError(
-          s"Cannot append dataset with index columns ${this.indexColumns} " +
-            s"to dataset with index columns ${m.indexColumns}.")
-      prior = Some(m)
-    }
+    val prior = prepareWriteTarget(fs, dir, path, append)
     val offset = prior.map(_.maxPartitionIndex + 1).getOrElse(0L)
     val stageParent = Option(dir.getParent).getOrElse(dir)
     val stage = GraftFs.mkStageDir(fs, stageParent, ".graft-fastwrite-")
@@ -1081,22 +1088,93 @@ final class PDataset private[core] (
     } finally GraftFs.deleteRecursive(fs, stage)
   }
 
+  /** Two-pass scatter write for row-mode repartitions: pass 1 counts
+    * rows per scan task (column-pruned — a metadata-cheap scan), the
+    * driver prefix-sums them into per-task global offsets, pass 2 tags
+    * every row with its global ordinal (task offset + the local ordinal
+    * carried by `monotonically_increasing_id`) hence its target
+    * partition, and the shared one-shuffle scatter writes all files,
+    * restoring row order per partition by sorting on the ordinal. O(1)
+    * jobs and 2 source passes for ANY output partition count, where
+    * per-partition RowSlicer writes cost one source pass per output
+    * partition. Both passes plan the same per-partition union (never
+    * the merged whole-frame relation, whose split packing reorders
+    * files), so task numbering and in-task row order agree between
+    * them for deterministic sources. */
+  private def rowScatterWriteParquet(
+      path: String, plan: RowWritePlan, append: Boolean): PDataset = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val (fs, dir) = GraftFs.resolve(spark, path)
+    val prior = prepareWriteTarget(fs, dir, path, append)
+    val offset = prior.map(_.maxPartitionIndex + 1).getOrElse(0L)
+    val stageParent = Option(dir.getParent).getOrElse(dir)
+    val stage = GraftFs.mkStageDir(fs, stageParent, ".graft-rowscatter-")
+    try {
+      val base = plan.base
+      val u = base.parts.indices.map(i => base(i)).reduceLeft(_.union(_))
+      val counts = u.select(spark_partition_id().as("__pid"))
+        .groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val starts = counts.map(_._2).scanLeft(0L)(_ + _)
+      val startRows: Seq[Row] =
+        counts.map(_._1).zip(starts).map { case (pid, s) => Row(pid, s) }.toSeq
+      val startsDF = spark.createDataFrame(
+        java.util.Arrays.asList(startRows: _*),
+        StructType(Seq(StructField("__pid", IntegerType, nullable = false),
+          StructField("__start", LongType, nullable = false))))
+      val tagged = u
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__mono", monotonically_increasing_id())
+        .join(broadcast(startsDF), "__pid")
+        // local ordinal = the low 33 bits of monotonically_increasing_id
+        .withColumn("__ord",
+          col("__start") + col("__mono").bitwiseAND(lit((1L << 33) - 1)))
+        .withColumn("__part",
+          expr(s"__ord div ${plan.rowsPerPartition}").cast(IntegerType))
+        .drop("__pid", "__mono", "__start")
+      val written = scatterPartFiles(tagged, parts.length, fs, dir, stage,
+        i => Sidecar.partitionFileName(offset + i), orderCol = Some("__ord"))
+
+      // Row-mode stats are exact from planning: sizes by construction,
+      // bounds are the empty tuples of an index-less dataset.
+      val keepIdx = written.map(_._1)
+      val schema = base.schemaOpt.getOrElse(base(0).schema)
+      val maxIdx =
+        if (written.isEmpty) offset - 1
+        else offset + written.map(_._1).max.toLong
+      Sidecar.write(spark, path, Seq.empty,
+        prior.map(_.files).getOrElse(Vector.empty) ++ written.map(_._2),
+        prior.map(_.sizes).getOrElse(Vector.empty) ++ keepIdx.map(sizesOpt.get),
+        prior.map(_.lowerBounds).getOrElse(Vector.empty) ++
+          keepIdx.map(_ => Lex.emptyBound),
+        prior.map(_.upperBounds).getOrElse(Vector.empty) ++
+          keepIdx.map(_ => Lex.emptyBound),
+        maxIdx, schema)
+      PDataset.scanParquet(spark, path)
+    } finally GraftFs.deleteRecursive(fs, stage)
+  }
+
   /** One-shuffle scatter core shared by the repartition fast path and
     * the wide file-backed generic rewrite: shuffle `tagged` (carries an
     * int column `__part`) once, let the parquet sink write every
     * partition under `stage` in parallel, then move each part's lone
     * file into `dir`/nameOf(i) — same-FS renames, never a copy.
     * Returns the (partition index, file name) pairs actually written
-    * (empty partitions produce no file). */
+    * (empty partitions produce no file). With `orderCol` set, rows are
+    * restored to that column's order within each target partition
+    * before the sink (and the column is dropped from the output). */
   private def scatterPartFiles(
       tagged: DataFrame,
       nparts: Int,
       fs: org.apache.hadoop.fs.FileSystem,
       dir: HPath,
       stage: HPath,
-      nameOf: Int => String): IndexedSeq[(Int, String)] = {
-    tagged
-      .repartition(nparts, col("__part"))
+      nameOf: Int => String,
+      orderCol: Option[String] = None): IndexedSeq[(Int, String)] = {
+    val shuffled = tagged.repartition(nparts, col("__part"))
+    val ordered = orderCol.fold(shuffled)(c =>
+      shuffled.sortWithinPartitions(col(c)).drop(c))
+    ordered
       .write
       .partitionBy("__part")
       .option("compression", "zstd")
@@ -1233,6 +1311,10 @@ object PDataset {
       source: PDataset,
       cols: Seq[String],
       divisions: IndexedSeq[Bound])
+
+  private[core] final case class RowWritePlan(
+      base: PDataset,
+      rowsPerPartition: Long)
 
   /** Division count up to which [[join]]'s whole-frame plan uses the
     * shuffle-free division-join node (plan size O(divisions)); above

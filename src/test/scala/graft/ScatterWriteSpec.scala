@@ -109,6 +109,30 @@ class ScatterWriteSpec extends AnyFunSuite {
     checkBoundsAndSizes(appended)
   }
 
+  test("row-mode repartition writes via the two-pass scatter, preserving row order") {
+    val src = tempDir("scatter-row-src")
+    writeDatetimeSample(spark, src)
+    val base = PDataset.scanParquet(spark, src).reindex(Seq.empty)
+    val rp = base.repartition(17) // 98 rows -> 6 partitions of 17/.../13
+    assert(rp.npartitions == 6)
+    val target = tempDir("scatter-row-out") + "/ds"
+    val (out, jobs) = countJobs(rp.writeParquet(target))
+    // one count pass + one offsets broadcast + one tagged shuffle +
+    // sidecar bookkeeping — not one slicer pass per output partition
+    // (the fallback costs a count job per parent plus a write job per
+    // output partition: 11+ here).
+    assert(jobs <= 7, s"expected O(1) jobs for the row-mode write, saw $jobs")
+    assert(out.npartitions == 6)
+    assert(out.sizes.get == Vector(17L, 17L, 17L, 17L, 17L, 13L))
+    // global row order must be preserved: partition i holds rows
+    // [17i, 17(i+1)) of the parent in parent order (column a is the
+    // original row number minus 2).
+    val allA = (0 until out.npartitions).flatMap(i =>
+      out(i).select("a").collect().map(_.getLong(0)))
+    assert(allA == (-2L until 96L), s"row order not preserved: $allA")
+    assertSameRows(out.toDF, base.toDF)
+  }
+
   test("sliced or repeated file partitions fall back to per-partition writes") {
     val src = tempDir("scatter-fallback-src")
     writeDatetimeSample(spark, src)
