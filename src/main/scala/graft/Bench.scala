@@ -8,6 +8,14 @@ object Bench {
   private def consume(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** This JVM's cumulative process CPU seconds (-1 if unavailable). */
+  private def procCpuSec: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        os.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -25,20 +33,36 @@ object Bench {
     catch { case _: Throwable => }
     // Per-query median of `runs` in-process runs: single-run timings
     // on a contended box produced phantom 5-10x outliers round over
-    // round; the median is stable to ~5% back-to-back.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // round; the median is stable to ~5% back-to-back. Every raw run
+    // is also emitted (`runs`), plus bench wall vs process-CPU time,
+    // so a run recorded under machine contention (wall >> cpu despite
+    // 32 local cores) is self-diagnosing from the artifact alone.
+    val wall0 = System.nanoTime()
+    val cpu0 = procCpuSec
+    val allRuns = SparkEntry.queries.map { case (name, fn) =>
       val times = (0 until runs).map { _ =>
         val t0 = System.nanoTime()
         try { consume(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       }
+      name -> times
+    }
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    val cpuSec = if (cpu0 < 0) -1.0 else procCpuSec - cpu0
+    val results = allRuns.map { case (name, times) =>
       val ok = times.filter(_ >= 0).sorted
       name -> (if (ok.isEmpty) -1.0 else ok(ok.length / 2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Locale-pinned: a comma decimal separator would corrupt the JSON.
+    def f(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
+    val rs = allRuns.map { case (k, ts) =>
+      s"\"" + k + "\":" + ts.map(f).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$rs,"wall_sec":${f(wallSec)},"proc_cpu_sec":${f(cpuSec)},"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
