@@ -865,8 +865,28 @@ final class PDataset private[core] (
             val hi = sentinels(i + 1)
             (sliceDF(left, lo, hi), sliceDF(other, lo, hi))
           }
-          graft.plans.DivisionJoin.frame(
-            spark, slices.map(_._1), slices.map(_._2), idxCols, how)
+          // The node builds its RIGHT side per division, so when both
+          // sizes are known and the left is smaller, run the (inner or
+          // full — both side-symmetric) join with the sides swapped and
+          // restore the public column order with a projection. A left
+          // join keeps build = right: the node has no RightOuter form.
+          val swap = (how == "inner" || how == "full") &&
+            left.sizesOpt.isDefined && other.sizesOpt.isDefined &&
+            left.schemaOpt.isDefined && other.schemaOpt.isDefined &&
+            left.sizesOpt.get.sum < other.sizesOpt.get.sum
+          if (swap)
+            graft.plans.DivisionJoin.frame(
+              spark, slices.map(_._2), slices.map(_._1), idxCols, how)
+              .map { df =>
+                val lRest = left.schemaOpt.get.fieldNames.toSeq
+                  .filterNot(idxCols.contains)
+                val rRest = other.schemaOpt.get.fieldNames.toSeq
+                  .filterNot(idxCols.contains)
+                df.select((idxCols ++ lRest ++ rRest).map(col): _*)
+              }
+          else
+            graft.plans.DivisionJoin.frame(
+              spark, slices.map(_._1), slices.map(_._2), idxCols, how)
         } else None
       custom.getOrElse(left.toDF.join(other.toDF, idxCols, how))
     }

@@ -176,6 +176,34 @@ class RepartitionJoinSpec extends AnyFunSuite {
     } finally PDataset.divisionJoinMinOverride = None
   }
 
+  test("division join builds the smaller side when sizes are known") {
+    PDataset.divisionJoinMinOverride = Some(2)
+    try {
+      // left (4 rows) is smaller than right (98 rows): the whole-frame
+      // plan must swap so the small side lands on the node's build
+      // (last nDiv children), while the public column order stays the
+      // left-join USING order.
+      val df = rightDs.join(leftDs, "inner").toDF
+      val execs = df.queryExecution.executedPlan.collect {
+        case e: graft.plans.DivisionJoinExec => e
+      }
+      assert(execs.nonEmpty, df.queryExecution.executedPlan.toString)
+      val e = execs.head
+      val buildCols = e.children.drop(e.nDiv).flatMap(_.output.map(_.name)).toSet
+      assert(buildCols.contains("x"),
+        s"expected the 4-row side on build, saw columns $buildCols")
+      assert(df.columns.toSeq == Seq("date", "x", "t", "hour", "a"))
+      val want = PDataset.scanParquet(spark, dateDir).toDF
+        .join(indexed.toDF, Seq("date"), "inner")
+      assertSameRows(df, want)
+      // full joins are side-symmetric too and may swap
+      val full = rightDs.join(leftDs, "full").toDF
+      val wantFull = PDataset.scanParquet(spark, dateDir).toDF
+        .join(indexed.toDF, Seq("date"), "full")
+      assertSameRows(full, wantFull)
+    } finally PDataset.divisionJoinMinOverride = None
+  }
+
   test("above the division cap the join falls back to one Catalyst join") {
     val old = PDataset.divisionJoinMaxDivisions
     PDataset.divisionJoinMaxDivisions = 0
