@@ -199,9 +199,8 @@ final class PDataset private[core] (
           if (fmt == "parquet" && knownBounds && knownSchema &&
               indexColumns.nonEmpty)
             org.apache.spark.sql.GraftRelations.sidecarParquetDF(
-              spark, fps.map(_.file), schemaOpt.get, indexColumns.head,
-              lbsOpt.get.map(_.headOption.flatten),
-              ubsOpt.get.map(_.headOption.flatten))
+              spark, fps.map(_.file), schemaOpt.get, indexColumns,
+              lbsOpt.get, ubsOpt.get)
           else {
             var reader = spark.read.format(fmt)
             schemaOpt.foreach(s => reader = reader.schema(s))

@@ -11,31 +11,48 @@ import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.StructType
 
 import graft.core.Lex
+import graft.core.Lex.Bound
 
 /** A [[FileIndex]] serving the file listing from the engine's
   * driver-side sidecar metadata, so FILE-level pruning happens inside
-  * Catalyst: any pushed data filter on the leading index column
-  * eliminates files whose [lb, ub] bound interval cannot contain a
-  * satisfying row — before the scan plans splits, on top of (not
-  * instead of) the engine's own driver-side pruning in `slice`. A
-  * user who writes `ds.toDF.filter($"ts" >= x)` gets the same file
-  * skipping `ds.slice(...)` would give.
+  * Catalyst: any pushed data filter on the index columns eliminates
+  * files whose lex-tuple bound interval cannot contain a satisfying
+  * row — before the scan plans splits, on top of (not instead of) the
+  * engine's own driver-side pruning in `slice`. A user who writes
+  * `ds.toDF.filter($"ts" >= x)` gets the same file skipping
+  * `ds.slice(...)` would give.
   *
   * Bound semantics mirror the sidecar (null-first lex order, padawan
-  * `ordering.py:69-95`): a None upper bound means the file is all-null
-  * in the leading column; a None lower bound means it may contain
-  * nulls. Comparisons never match null rows, IS NULL matches only
-  * possibly-null files. Pruning is conservative: any filter shape it
-  * doesn't recognize keeps every file.
+  * `ordering.py:69-95`). On the LEADING column the tuple bounds always
+  * yield a scalar range: a None upper bound means the file is all-null
+  * in that column; a None lower bound means it may contain nulls. On
+  * the SECOND column a scalar range is derivable when the leading
+  * column is constant across the file (lb1 == ub1 — common after a
+  * repartition on a low-cardinality leading column), and one-sided
+  * when a conjunct pins the leading column to exactly a file's edge
+  * value (c1 = lb1 implies c2 >= lb2; c1 = ub1 implies c2 <= ub2).
+  * Comparisons never match null rows, IS NULL matches only
+  * possibly-null files. Pruning is conservative: any filter shape or
+  * column whose range isn't derivable keeps every file.
   */
 final class GraftFileIndex(
     files: IndexedSeq[(Path, Long)],
-    leadingIndexCol: String,
-    lbs: IndexedSeq[Option[Any]],
-    ubs: IndexedSeq[Option[Any]]) extends FileIndex {
+    indexCols: Seq[String],
+    lbs: IndexedSeq[Bound],
+    ubs: IndexedSeq[Bound]) extends FileIndex {
+
+  /** Single-column convenience form (scalar bounds on the leading
+    * index column only). */
+  def this(
+      files: IndexedSeq[(Path, Long)],
+      leadingIndexCol: String,
+      lbs: IndexedSeq[Option[Any]],
+      ubs: IndexedSeq[Option[Any]]) =
+    this(files, Seq(leadingIndexCol),
+      lbs.map(Vector(_): Bound), ubs.map(Vector(_): Bound))
 
   require(files.length == lbs.length && files.length == ubs.length,
-    "one (lb, ub) pair per file required")
+    "one (lb, ub) tuple pair per file required")
 
   private val statuses: IndexedSeq[FileStatus] = files.map { case (p, len) =>
     new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L, p)
@@ -49,104 +66,177 @@ final class GraftFileIndex(
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    // Cross-conjunct context: an equality pinning the LEADING column
+    // lets second-column constraints prune files whose tuple bounds
+    // start or end exactly at that value.
+    val leadEq: Option[Any] = dataFilters.flatMap(conjuncts).collectFirst {
+      case EqualTo(a: AttributeReference, l: Literal)
+          if posOf(a) == 0 && l.value != null =>
+        CatalystTypeConverters.convertToScala(l.value, l.dataType)
+      case EqualTo(l: Literal, a: AttributeReference)
+          if posOf(a) == 0 && l.value != null =>
+        CatalystTypeConverters.convertToScala(l.value, l.dataType)
+    }
     val keep = dataFilters.foldLeft(files.indices.toSet) { (acc, f) =>
-      keepSet(f).fold(acc)(acc.intersect)
+      keepSet(f, leadEq).fold(acc)(acc.intersect)
     }
     Seq(PartitionDirectory(InternalRow.empty,
       statuses.indices.filter(keep).map(statuses).toArray))
   }
 
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** The derivable scalar range of column `c` in file `i`: each side is
+    * None when unknown/unbounded, Some(None) for the SQL-null extreme
+    * (null-first: a null upper bound means every row is null), and
+    * Some(Some(v)) for a known value. */
+  private final case class ColRange(
+      lb: Option[Option[Any]], ub: Option[Option[Any]])
+
+  private def colRange(i: Int, c: Int, leadEq: Option[Any]): Option[ColRange] =
+    if (c == 0)
+      Some(ColRange(Some(lbs(i).headOption.flatten),
+        Some(ubs(i).headOption.flatten)))
+    else if (c == 1 && lbs(i).length >= 2 && ubs(i).length >= 2) {
+      val l1 = lbs(i)(0); val u1 = ubs(i)(0)
+      val l2 = lbs(i)(1); val u2 = ubs(i)(1)
+      if (Lex.nullableCmp(l1, u1) == 0)
+        Some(ColRange(Some(l2), Some(u2))) // constant leading column
+      else leadEq match {
+        case Some(v) if Lex.nullableCmp(Some(v), l1) == 0 =>
+          Some(ColRange(Some(l2), None)) // rows at the tuple lower edge
+        case Some(v) if Lex.nullableCmp(Some(v), u1) == 0 =>
+          Some(ColRange(None, Some(u2))) // rows at the tuple upper edge
+        case _ => None
+      }
+    } else None
+
   /** File indices that may satisfy `e`; None = cannot analyze (keep
     * all). Conjunction intersects, disjunction unions. */
-  private def keepSet(e: Expression): Option[Set[Int]] = e match {
+  private def keepSet(e: Expression, leadEq: Option[Any]): Option[Set[Int]] = e match {
     case And(l, r) =>
-      (keepSet(l), keepSet(r)) match {
+      (keepSet(l, leadEq), keepSet(r, leadEq)) match {
         case (Some(a), Some(b)) => Some(a.intersect(b))
         case (a, b)             => a.orElse(b)
       }
     case Or(l, r) =>
-      for (a <- keepSet(l); b <- keepSet(r)) yield a.union(b)
-    case GreaterThanOrEqual(a: AttributeReference, l: Literal) => cmpSet(a, l, ">=")
-    case GreaterThanOrEqual(l: Literal, a: AttributeReference) => cmpSet(a, l, "<=")
-    case GreaterThan(a: AttributeReference, l: Literal) => cmpSet(a, l, ">")
-    case GreaterThan(l: Literal, a: AttributeReference) => cmpSet(a, l, "<")
-    case LessThanOrEqual(a: AttributeReference, l: Literal) => cmpSet(a, l, "<=")
-    case LessThanOrEqual(l: Literal, a: AttributeReference) => cmpSet(a, l, ">=")
-    case LessThan(a: AttributeReference, l: Literal) => cmpSet(a, l, "<")
-    case LessThan(l: Literal, a: AttributeReference) => cmpSet(a, l, ">")
-    case EqualTo(a: AttributeReference, l: Literal) => cmpSet(a, l, "=")
-    case EqualTo(l: Literal, a: AttributeReference) => cmpSet(a, l, "=")
-    case IsNull(a: AttributeReference) if isLead(a) =>
-      Some(files.indices.filter(i => lbs(i).isEmpty).toSet)
-    case IsNotNull(a: AttributeReference) if isLead(a) =>
-      Some(files.indices.filter(i => ubs(i).nonEmpty).toSet)
+      for (a <- keepSet(l, leadEq); b <- keepSet(r, leadEq)) yield a.union(b)
+    case GreaterThanOrEqual(a: AttributeReference, l: Literal) => cmpSet(a, l, ">=", leadEq)
+    case GreaterThanOrEqual(l: Literal, a: AttributeReference) => cmpSet(a, l, "<=", leadEq)
+    case GreaterThan(a: AttributeReference, l: Literal) => cmpSet(a, l, ">", leadEq)
+    case GreaterThan(l: Literal, a: AttributeReference) => cmpSet(a, l, "<", leadEq)
+    case LessThanOrEqual(a: AttributeReference, l: Literal) => cmpSet(a, l, "<=", leadEq)
+    case LessThanOrEqual(l: Literal, a: AttributeReference) => cmpSet(a, l, ">=", leadEq)
+    case LessThan(a: AttributeReference, l: Literal) => cmpSet(a, l, "<", leadEq)
+    case LessThan(l: Literal, a: AttributeReference) => cmpSet(a, l, ">", leadEq)
+    case EqualTo(a: AttributeReference, l: Literal) => cmpSet(a, l, "=", leadEq)
+    case EqualTo(l: Literal, a: AttributeReference) => cmpSet(a, l, "=", leadEq)
+    case IsNull(a: AttributeReference) if posOf(a) >= 0 =>
+      val c = posOf(a)
+      Some(files.indices.filter { i =>
+        // a file may hold a null iff its known lower bound is null
+        colRange(i, c, leadEq).forall(_.lb.forall(_.isEmpty))
+      }.toSet)
+    case IsNotNull(a: AttributeReference) if posOf(a) >= 0 =>
+      val c = posOf(a)
+      Some(files.indices.filter { i =>
+        // a file may hold a non-null iff its known upper bound is non-null
+        colRange(i, c, leadEq).forall(_.ub.forall(_.nonEmpty))
+      }.toSet)
     // IN-list: union of the per-value equality keep sets. A null list
     // element never matches (three-valued IN), so it prunes freely.
     case In(a: AttributeReference, list)
-        if isLead(a) && list.forall(_.isInstanceOf[Literal]) =>
+        if posOf(a) >= 0 && list.forall(_.isInstanceOf[Literal]) =>
+      val c = posOf(a)
       Some(list.collect {
         case Literal(v, dt) if v != null =>
-          eqKeep(CatalystTypeConverters.convertToScala(v, dt))
+          eqKeep(CatalystTypeConverters.convertToScala(v, dt), c, leadEq)
       }.foldLeft(Set.empty[Int])(_ union _))
     // Optimizer-converted large IN-lists carry internal values.
-    case InSet(a: AttributeReference, hset) if isLead(a) =>
+    case InSet(a: AttributeReference, hset) if posOf(a) >= 0 =>
+      val c = posOf(a)
       Some(hset.filter(_ != null).map(v =>
-        eqKeep(CatalystTypeConverters.convertToScala(v, a.dataType)))
+        eqKeep(CatalystTypeConverters.convertToScala(v, a.dataType), c, leadEq))
         .foldLeft(Set.empty[Int])(_ union _))
     // Prefix match on a string index: matching strings form the range
     // [p, sup) where sup is the least string above every p-prefixed
     // one, so string bounds make prefix pruning sound: a file may
     // match iff ub >= p and lb < sup (lb < p or lb itself p-prefixed).
     case StartsWith(a: AttributeReference, Literal(p: UTF8String, StringType))
-        if isLead(a) && a.dataType == StringType =>
+        if posOf(a) >= 0 && a.dataType == StringType =>
+      val c = posOf(a)
       val prefix = p.toString
       Some(files.indices.filter { i =>
-        ubs(i).exists(u => Lex.valueCmp(u, prefix) >= 0) &&
-          lbs(i).forall(lb => Lex.valueCmp(lb, prefix) < 0 ||
-            lb.toString.startsWith(prefix))
+        colRange(i, c, leadEq).forall { r =>
+          mayGeq(r, prefix, strict = false) &&
+            r.lb.forall(_.forall(lb => Lex.valueCmp(lb, prefix) < 0 ||
+              lb.toString.startsWith(prefix)))
+        }
       }.toSet)
     case _ => None
   }
 
-  /** Files whose [lb, ub] may contain exactly `ext` (non-null). */
-  private def eqKeep(ext: Any): Set[Int] =
+  /** Files whose column-`c` range may contain exactly `ext` (non-null). */
+  private def eqKeep(ext: Any, c: Int, leadEq: Option[Any]): Set[Int] =
     files.indices.filter { i =>
-      ubs(i).exists(u => Lex.valueCmp(u, ext) >= 0) &&
-        lbs(i).forall(lb => Lex.valueCmp(lb, ext) <= 0)
+      colRange(i, c, leadEq).forall(r =>
+        mayGeq(r, ext, strict = false) && mayLeq(r, ext, strict = false))
     }.toSet
 
-  private def isLead(e: Expression): Boolean = e match {
-    case a: AttributeReference => a.name == leadingIndexCol
-    case _ => false
+  private def posOf(e: Expression): Int = e match {
+    case a: AttributeReference =>
+      val p = indexCols.indexOf(a.name)
+      if (p <= 1) p else -1 // ranges derivable for the first two only
+    case _ => -1
   }
 
-  /** Files whose non-null value range [lb', ub] may contain a value
-    * `op` the literal, where lb' is unknown-small when the stored lb
-    * is null (the file mixes nulls and values). All-null files (ub
-    * null) never satisfy a comparison. */
+  /** The file may contain a non-null value >(=) ext: needs a known,
+    * non-null upper bound failing the test to prune (an unknown side
+    * keeps; a null upper bound means the column is all null). */
+  private def mayGeq(r: ColRange, ext: Any, strict: Boolean): Boolean =
+    r.ub match {
+      case None => true
+      case Some(None) => false
+      case Some(Some(u)) =>
+        if (strict) Lex.valueCmp(u, ext) > 0 else Lex.valueCmp(u, ext) >= 0
+    }
+
+  /** The file may contain a non-null value <(=) ext: the column must
+    * not be all-null, and a known non-null lower bound must pass (a
+    * null lower bound leaves the least non-null value unknown). */
+  private def mayLeq(r: ColRange, ext: Any, strict: Boolean): Boolean =
+    r.ub != Some(None) && (r.lb match {
+      case None => true
+      case Some(None) => true
+      case Some(Some(l)) =>
+        if (strict) Lex.valueCmp(l, ext) < 0 else Lex.valueCmp(l, ext) <= 0
+    })
+
+  /** Files whose column-`c` non-null value range may contain a value
+    * `op` the literal. All-null columns never satisfy a comparison. */
   private def cmpSet(
-      attr: Expression, lit: Expression, op: String): Option[Set[Int]] =
+      attr: Expression, lit: Expression, op: String,
+      leadEq: Option[Any]): Option[Set[Int]] =
     (attr, lit) match {
       case (a: AttributeReference, l: Literal)
-          if isLead(a) && l.value != null =>
+          if posOf(a) >= 0 && l.value != null =>
+        val c = posOf(a)
         val ext = CatalystTypeConverters.convertToScala(l.value, l.dataType)
-        def geqish(strict: Boolean) = files.indices.filter { i =>
-          ubs(i).exists(u =>
-            if (strict) Lex.valueCmp(u, ext) > 0 else Lex.valueCmp(u, ext) >= 0)
-        }
-        def leqish(strict: Boolean) = files.indices.filter { i =>
-          ubs(i).nonEmpty && lbs(i).forall(lb =>
-            if (strict) Lex.valueCmp(lb, ext) < 0 else Lex.valueCmp(lb, ext) <= 0)
-        }
-        val kept = op match {
-          case ">=" => geqish(strict = false)
-          case ">"  => geqish(strict = true)
-          case "<=" => leqish(strict = false)
-          case "<"  => leqish(strict = true)
-          case "="  => geqish(strict = false).toSet
-            .intersect(leqish(strict = false).toSet).toIndexedSeq
-        }
-        Some(kept.toSet)
+        Some(files.indices.filter { i =>
+          colRange(i, c, leadEq).forall { r =>
+            op match {
+              case ">=" => mayGeq(r, ext, strict = false)
+              case ">"  => mayGeq(r, ext, strict = true)
+              case "<=" => mayLeq(r, ext, strict = false)
+              case "<"  => mayLeq(r, ext, strict = true)
+              case "="  => mayGeq(r, ext, strict = false) &&
+                mayLeq(r, ext, strict = false)
+            }
+          }
+        }.toSet)
       case _ => None
     }
 
@@ -159,21 +249,21 @@ final class GraftFileIndex(
 object GraftRelations {
   /** One parquet relation over the given files with the listing (and
     * in-Catalyst file pruning) served by [[GraftFileIndex]] from
-    * sidecar bounds — no directory listing, schema from the sidecar
-    * (no footer reads at plan time). */
+    * sidecar lex-tuple bounds — no directory listing, schema from the
+    * sidecar (no footer reads at plan time). */
   def sidecarParquetDF(
       spark: SparkSession,
       files: IndexedSeq[String],
       schema: StructType,
-      leadingIndexCol: String,
-      lbs: IndexedSeq[Option[Any]],
-      ubs: IndexedSeq[Option[Any]]): DataFrame = {
+      indexCols: Seq[String],
+      lbs: IndexedSeq[Bound],
+      ubs: IndexedSeq[Bound]): DataFrame = {
     val ss = spark.asInstanceOf[classic.SparkSession]
     // Byte lengths via Hadoop FileSystem, one listing per parent dir —
     // works for local, HDFS and object-store datasets alike.
     val withSizes = graft.core.GraftFs.fileSizes(
       spark.sparkContext.hadoopConfiguration, files)
-    val index = new GraftFileIndex(withSizes, leadingIndexCol, lbs, ubs)
+    val index = new GraftFileIndex(withSizes, indexCols, lbs, ubs)
     val rel = HadoopFsRelation(
       index,
       partitionSchema = StructType(Nil),

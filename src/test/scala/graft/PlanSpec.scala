@@ -190,6 +190,95 @@ class PlanSpec extends AnyFunSuite {
     assert(kept(sIdx)(StartsWith(s, Literal("z"))) == Set.empty)
   }
 
+  test("two-column conjunctions prune files via lex-tuple bounds") {
+    import org.apache.spark.sql.GraftFileIndex
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, GreaterThanOrEqual, IsNotNull, LessThan, Literal}
+    import org.apache.spark.sql.types.LongType
+    val paths = (0 until 4).map(i =>
+      (new org.apache.hadoop.fs.Path(s"file:/tmp/p$i.parquet"), 100L))
+    // tuple bounds on (k, m):
+    //   p0: [(1, 10) .. (1, 20)]  constant leading -> m in [10, 20]
+    //   p1: [(1, 30) .. (2,  5)]  leading varies
+    //   p2: [(2, 10) .. (2, 90)]  constant leading -> m in [10, 90]
+    //   p3: [(3, null) .. (3, null)] constant leading, m all null
+    def bb(a: Any, m: Any): graft.core.Lex.Bound =
+      Vector(Option(a), Option(m))
+    val idx = new GraftFileIndex(paths.toVector, Seq("k", "m"),
+      Vector(bb(1L, 10L), bb(1L, 30L), bb(2L, 10L), bb(3L, null)),
+      Vector(bb(1L, 20L), bb(2L, 5L), bb(2L, 90L), bb(3L, null)))
+    val k = AttributeReference("k", LongType)()
+    val m = AttributeReference("m", LongType)()
+    def kept(es: org.apache.spark.sql.catalyst.expressions.Expression*) =
+      idx.listFiles(Nil, es).head.files.map(_.getPath.getName).toSet
+    // constant-leading files expose a second-column range
+    assert(kept(GreaterThanOrEqual(m, Literal(25L))) ==
+      Set("p1.parquet", "p2.parquet"))
+    assert(kept(LessThan(m, Literal(10L))) == Set("p1.parquet"))
+    // conjunction: k-range and m-range intersect
+    assert(kept(And(EqualTo(k, Literal(2L)), GreaterThanOrEqual(m, Literal(25L))))
+      == Set("p2.parquet"))
+    // leading equality at a tuple EDGE bounds m one-sidedly: k=1 hits
+    // p1's lower edge (1, 30), so m >= 30 there; m < 25 eliminates it
+    assert(kept(And(EqualTo(k, Literal(1L)), LessThan(m, Literal(25L))))
+      == Set("p0.parquet"))
+    // all-null second column never satisfies a comparison, IS NOT NULL
+    // prunes it once the leading column is constant
+    assert(kept(IsNotNull(m)) == Set("p0.parquet", "p1.parquet", "p2.parquet"))
+  }
+
+  test("two-column predicate prunes planned files end-to-end") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val out = tempDir("graft-plan2") + "/li2.parquet"
+    val two = PDataset.scanParquet(spark, s"$sf/lineitem.parquet")
+      .reindex(Seq("l_returnflag", "l_shipdate"))
+      .repartition(700)
+      .writeParquet(out)
+    assert(two.npartitions >= 6)
+    // pick a (flag, date) cut inside one flag's file run
+    val flags = two.lowerBounds.get.map(_.head.get.asInstanceOf[String])
+    val flag = flags.groupBy(identity).maxBy(_._2.length)._1
+    val flagIdx = two.lowerBounds.get.indices.filter(i =>
+      flags(i) == flag && two.upperBounds.get(i).head.get == flag)
+    assert(flagIdx.length >= 2, s"fixture gives no constant-$flag files")
+    val cutDate = two.lowerBounds.get(flagIdx.last)(1).get
+      .asInstanceOf[java.time.LocalDateTime]
+    // driver-side expectation mirroring the index's rule
+    val expected = two.lowerBounds.get.indices.count { i =>
+      val l = two.lowerBounds.get(i); val u = two.upperBounds.get(i)
+      val kOk = graft.core.Lex.nullableCmp(l.head, Some(flag)) <= 0 &&
+        graft.core.Lex.nullableCmp(Some(flag), u.head) <= 0
+      val mDerivable = graft.core.Lex.nullableCmp(l.head, u.head) == 0 ||
+        graft.core.Lex.nullableCmp(Some(flag), l.head) == 0 ||
+        graft.core.Lex.nullableCmp(Some(flag), u.head) == 0
+      val mOk = !mDerivable || {
+        val ub2 = if (graft.core.Lex.nullableCmp(l.head, u.head) == 0 ||
+          graft.core.Lex.nullableCmp(Some(flag), u.head) == 0) u(1) else None
+        ub2.isEmpty || graft.core.Lex.valueCmp(ub2.get, cutDate) >= 0
+      }
+      kOk && mOk
+    }
+    assert(expected < two.npartitions, "fixture gives no two-column pruning")
+    val df = two.toDF.filter(col("l_returnflag") === flag &&
+      col("l_shipdate") >= lit(cutDate))
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val numFiles = scans(df.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    assert(numFiles == expected,
+      s"expected $expected files planned of ${two.npartitions}, got $numFiles")
+    // correctness unchanged: matches a plain filter over the raw table
+    val want = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_returnflag") === flag && col("l_shipdate") >= lit(cutDate))
+      .count()
+    assert(df.count() == want)
+  }
+
   test("IN-list on the index column prunes planned files end-to-end") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
