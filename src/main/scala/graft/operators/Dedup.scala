@@ -229,35 +229,37 @@ object Dedup {
       .union(pairs.select(col(idBCol).as("a"), col(idACol).as("b")))
       .distinct()
       .persist()
-    var labels = edges.select(col("a").as("id")).distinct()
+    var cached = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist()
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
+      val labels = cached.select("id", "label")
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("label").as("blab")),
           Seq("b"))
         .groupBy("a").agg(min(col("blab")).as("nmin"))
         .withColumnRenamed("a", "id")
+      // The round's incoming label rides along as `old`, so the
+      // convergence check below needs no re-join against the previous
+      // labels — ONE job per round materializes the new labels and
+      // counts the changes in the same pass.
       val propagated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label")))
             .as("label"))
       // Pointer jumping: label <- min(label, label(label)).
       val next = propagated.join(
           propagated.select(col("id").as("label"), col("label").as("ll")),
           Seq("label"), "left")
-        .select(col("id"),
+        .select(col("id"), col("old"),
           least(col("label"), coalesce(col("ll"), col("label")))
             .as("label"))
         .persist()
-      changed = next
-        .join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old"))
-        .count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("label") =!= col("old")).count()
+      cached.unpersist()
+      cached = next
       it += 1
     }
     require(changed == 0,
@@ -265,8 +267,8 @@ object Dedup {
     edges.unpersist()
     // Pin the converged labels off the iteration lineage, then release
     // the loop's cache — callers hold only the checkpointed frame.
-    val finalLabels = labels.localCheckpoint(true)
-    labels.unpersist()
+    val finalLabels = cached.select("id", "label").localCheckpoint(true)
+    cached.unpersist()
     val sizes = finalLabels.groupBy("label")
       .agg(count(lit(1)).as("cluster_size"))
     finalLabels.join(sizes, Seq("label"))

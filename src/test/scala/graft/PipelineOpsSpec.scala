@@ -295,6 +295,37 @@ class PipelineOpsSpec extends AnyFunSuite {
       (20L, 20L, 3L), (21L, 20L, 3L), (22L, 20L, 3L)))
   }
 
+  test("nearDupClusters runs one job per propagation round") {
+    // 6-chain: pointer jumping converges in a handful of rounds; each
+    // round must cost exactly one job (materialize + change count in
+    // the same pass — no separate diff join against the old labels).
+    val pairs = (1L to 5L).map(i => (i, i + 1)).toDF("idA", "idB")
+    // Count ACTIONS (SQL executions), not Spark jobs: AQE legitimately
+    // splits one action into a job per materialized stage.
+    val n = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        event match {
+          case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            n.incrementAndGet()
+          case _ => ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val got =
+      try {
+        val out = Dedup.nearDupClusters(pairs).collect()
+        Thread.sleep(1500) // listener events post asynchronously
+        out
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(got.length == 6)
+    assert(got.forall(r => r.getLong(1) == 1L && r.getLong(2) == 6L))
+    // one count per round + the checkpoint + the final collect —
+    // single digits, vs 2x with a per-round diff-join materialization
+    assert(n.get <= 9, s"expected one action per round, saw ${n.get}")
+  }
+
   test("text functions: tokens, quality, langId, fingerprint") {
     val df = Seq(
       "The quick brown fox jumps over the lazy dog.",
