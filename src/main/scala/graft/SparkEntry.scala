@@ -608,6 +608,20 @@ object SparkEntry {
         floor = 0.4)
     }),
 
+    "q_ann_ivfpq" -> ((s, d) => {
+      val emb = scan(s, d, "embeddings").toDF
+      val q = emb.filter(col("vec_id") < 10)
+      // Composed IVF-PQ: probed cells only (equi-join on cell id) AND
+      // compressed code scan. Measured recall@5: 0.30 at sf0.01, 0.20
+      // at sf0.1 (cell pruning stacks on PQ's quantization loss on
+      // near-orthogonal random vectors) — floor 0.15.
+      recallContract(
+        Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
+          k = 5, dim = 64, nlist = 16, nprobe = 4, m = 16, ksub = 32),
+        Similarity.bruteForceL2TopK(q, emb, "vec_id", "embedding", k = 5),
+        floor = 0.15)
+    }),
+
     // -- multimodal plumbing (decode stubbed; see Multimodal) --
     "q_multimodal" -> ((s, d) => {
       val docs = scan(s, d, "documents").toDF
@@ -991,6 +1005,8 @@ object SparkEntry {
       "q_ann_lsh" ->
         "SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_floor_met",
       "q_ann_ivf" ->
+        "SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_floor_met",
+      "q_ann_ivfpq" ->
         "SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_floor_met",
       "q_dedup_embedding" ->
         """WITH scored AS (

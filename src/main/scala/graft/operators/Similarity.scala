@@ -356,6 +356,64 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** ANN top-k via IVF-PQ — the composed index and the actual 100 TB
+    * shape: the corpus partitions into `nlist` Voronoi cells AND
+    * compresses to m-int PQ codes (both from ONE bounded training
+    * sample each); a query probes only its `nprobe` nearest cells via
+    * an equi-join on the cell id — never a cross join — and scans just
+    * those cells' CODES with the asymmetric distance. Scan cost is
+    * ~(nprobe/nlist) x m ints per corpus row, versus all-cells m ints
+    * for [[pqTopK]] and probed-cells dim floats for [[ivfTopK]].
+    * Recall < 1 by design; [[bruteForceL2TopK]] is the exact baseline. */
+  def ivfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 3,
+      seed: Long = 11L,
+      trainFraction: Double = 1.0,
+      maxTrainVectors: Int = 16384): DataFrame = {
+    val cents = trainCentroids(corpus, idCol, vecCol, dim, nlist, iters,
+      seed, trainFraction, maxTrainVectors)
+    val books = trainPqCodebooks(corpus, idCol, vecCol, dim, m, ksub,
+      iters, seed, trainFraction, maxTrainVectors)
+    val probes = math.min(nprobe, cents.length)
+    def nc(n: Int) =
+      graft.functions.VectorExpressions.nearestCentroids(col("__v0"), cents, n)
+    // Barriers: cell assignment + PQ encoding computed once per vector
+    // (CollapseProject would otherwise recompute the kernels above the
+    // join).
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__v0"))
+      .select(col("neighbor_id"),
+        element_at(nc(1), 1).as("__cell"),
+        graft.functions.VectorExpressions.pqEncode(col("__v0"), books)
+          .as("__codes"))
+      .repartition(col("neighbor_id"))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__v0"))
+      .select(col("query_id"), col("__v0").as("__qv"),
+        explode(nc(probes)).as("__cell"))
+      .repartition(col("query_id"))
+    val cands = q.join(c, Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__dist", graft.functions.VectorExpressions.pqAdc(
+        col("__qv"), col("__codes"), books))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__dist").asc, col("neighbor_id"))
+    cands
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   /** ANN top-k via multi-probe hyperplane LSH: candidates share a
     * signature in at least one of `tables` independent hash tables;
     * exact cosine re-ranks within candidates. Recall < 1 by design —

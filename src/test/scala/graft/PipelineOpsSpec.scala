@@ -279,6 +279,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a1.size == 25)
   }
 
+  test("ivfPqTopK: deterministic, beats random recall, equi-join plan") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    def run() = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
+      k = 5, dim = 64, nlist = 8, nprobe = 3, m = 16, ksub = 16)
+    val approx = run()
+    // deterministic end to end (seeded training, tie-broken ranks)
+    assert(approx.orderBy("query_id", "rank").collect().toSeq ==
+      run().orderBy("query_id", "rank").collect().toSeq)
+    // candidates come from an equi-join on the cell id — never a
+    // cross join or nested-loop over all (query, corpus) pairs
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // recall beats random by an order of magnitude (corpus 200 at
+    // sf0.001: random recall@5 ~ 5/200)
+    val brute = Similarity.bruteForceL2TopK(q, emb, "vec_id", "embedding", 5)
+    val hits = brute.select("query_id", "neighbor_id")
+      .join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi").count()
+    assert(hits >= 3, s"recall too low: $hits/25")
+  }
+
   test("nearDupClusters labels components with their min id") {
     // chain 1-2-3, pair 10-11, triangle 20-21-22 (one redundant edge)
     val pairs = Seq(
