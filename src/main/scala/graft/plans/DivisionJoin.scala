@@ -30,9 +30,14 @@ import org.apache.spark.sql.types.DataType
   *
   * Memory contract: one right-side DIVISION (not the whole dataset)
   * is built into a hash table per task — the same bound the reference
-  * engine's per-division joins hold. The node does NOT reorder sides;
-  * callers of `PDataset.join` should put the smaller dataset on the
-  * right (the build side).
+  * engine's per-division joins hold — and a division whose build side
+  * exceeds `DivisionJoinExec.buildSpillThresholdBytes` falls back to a
+  * Grace-style spill join (both sides hash-partition to disk on the
+  * key, buckets join in memory one at a time), so a skewed division
+  * degrades to disk instead of OOMing the executor. The node does NOT
+  * reorder sides; callers of `PDataset.join` should put the smaller
+  * dataset on the right (the build side) — `PDataset.join` swaps
+  * size-known inner/full joins itself.
   */
 case class DivisionJoinPlan(
     joinType: JoinType,
@@ -160,6 +165,15 @@ case class DivisionJoinExec(
 
 object DivisionJoinExec {
 
+  /** Byte bound on one division's in-memory build table; past it the
+    * task falls back to the Grace-style spill join (bounded memory per
+    * key-hash bucket). Var so specs can force the spill path on tiny
+    * fixtures. */
+  private[graft] var buildSpillThresholdBytes: Long = 256L << 20
+
+  /** How many divisions took the spill path (test observability). */
+  private[graft] val spillCount = new java.util.concurrent.atomic.AtomicLong
+
   private final class Entry(val rows: scala.collection.mutable.ArrayBuffer[InternalRow]) {
     var matched: Boolean = false
   }
@@ -217,25 +231,6 @@ object DivisionJoinExec {
       false
     }
 
-    // Build phase: one right DIVISION in memory, the contract the
-    // reference's per-division in-memory joins hold too.
-    val map = new java.util.HashMap[UnsafeRow, Entry]()
-    val nullKeyRight = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-    while (rIt.hasNext) {
-      val r = rIt.next()
-      if (hasNullKey(r, rKeyOrds)) {
-        if (joinType == FullOuter) nullKeyRight += r.copy()
-      } else {
-        val k = rKeyProj(r).copy()
-        var e = map.get(k)
-        if (e == null) {
-          e = new Entry(scala.collection.mutable.ArrayBuffer.empty)
-          map.put(k, e)
-        }
-        e.rows += r.copy()
-      }
-    }
-
     val vals = new Array[Any](width)
     def emit(l: InternalRow, r: InternalRow): InternalRow = {
       var o = 0
@@ -261,32 +256,188 @@ object DivisionJoinExec {
       outProj(new GenericInternalRow(vals.clone()))
     }
 
-    val probed: Iterator[InternalRow] = lIt.flatMap { l =>
-      if (hasNullKey(l, lKeyOrds)) {
-        if (joinType == Inner) Iterator.empty
-        else Iterator.single(emit(l, null))
-      } else {
-        val e = map.get(lKeyProj(l))
-        if (e == null) {
+    /** Probe `probe` against build table `m`, then (full outer) the
+      * unmatched build rows and `nullRight`; the tail is deferred
+      * until the probe is fully consumed so matched flags are final. */
+    def memJoin(
+        m: java.util.HashMap[UnsafeRow, Entry],
+        nullRight: Iterable[InternalRow],
+        probe: Iterator[InternalRow]): Iterator[InternalRow] = {
+      val probed: Iterator[InternalRow] = probe.flatMap { l =>
+        if (hasNullKey(l, lKeyOrds)) {
           if (joinType == Inner) Iterator.empty
           else Iterator.single(emit(l, null))
         } else {
-          e.matched = true
-          e.rows.iterator.map(r => emit(l, r))
+          val e = m.get(lKeyProj(l))
+          if (e == null) {
+            if (joinType == Inner) Iterator.empty
+            else Iterator.single(emit(l, null))
+          } else {
+            e.matched = true
+            e.rows.iterator.map(r => emit(l, r))
+          }
+        }
+      }
+      val tail: Iterator[InternalRow] =
+        if (joinType != FullOuter) Iterator.empty
+        else Iterator.single(()).flatMap { _ =>
+          import scala.jdk.CollectionConverters._
+          m.values.iterator.asScala.filterNot(_.matched)
+            .flatMap(_.rows.iterator.map(r => emit(null, r))) ++
+            nullRight.iterator.map(r => emit(null, r))
+        }
+      probed ++ tail
+    }
+
+    def putBuild(m: java.util.HashMap[UnsafeRow, Entry],
+        k: UnsafeRow, r: InternalRow): Unit = {
+      var e = m.get(k)
+      if (e == null) {
+        e = new Entry(scala.collection.mutable.ArrayBuffer.empty)
+        m.put(k, e)
+      }
+      e.rows += r
+    }
+
+    def rowBytes(r: InternalRow): Long = r match {
+      case u: UnsafeRow => u.getSizeInBytes.toLong
+      case o => 32L + 16L * o.numFields
+    }
+
+    // Build phase: one right DIVISION in memory — the contract the
+    // reference's per-division in-memory joins hold too — but byte-
+    // tracked: a division whose build side exceeds the spill threshold
+    // falls back to the Grace-style disk join below instead of OOMing
+    // the executor.
+    val maxBytes = buildSpillThresholdBytes
+    val map = new java.util.HashMap[UnsafeRow, Entry]()
+    val nullKeyRight = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var buildBytes = 0L
+    var overflow = false
+    while (rIt.hasNext && !overflow) {
+      val r = rIt.next()
+      if (hasNullKey(r, rKeyOrds)) {
+        if (joinType == FullOuter) {
+          val rc = r.copy()
+          nullKeyRight += rc
+          buildBytes += rowBytes(rc)
+        }
+      } else {
+        val k = rKeyProj(r).copy()
+        val rc = r.copy()
+        putBuild(map, k, rc)
+        buildBytes += k.getSizeInBytes + rowBytes(rc)
+      }
+      if (buildBytes > maxBytes) overflow = true
+    }
+    if (!overflow) return memJoin(map, nullKeyRight, lIt)
+
+    // ---- Grace-style spill join ----
+    // Both sides hash-partition on the key into nPart disk buckets
+    // (the partial in-memory build is drained to disk first); each
+    // bucket then joins in memory at ~1/nPart of the division — the
+    // per-task memory bound is max(bucket build) instead of the whole
+    // division. Null-key rows bypass the buckets: outer left rows and
+    // full-outer right rows go to dedicated files and emit padded.
+    spillCount.incrementAndGet()
+    val nPart = 64
+    val dir = java.nio.file.Files.createTempDirectory("graft-divjoin-spill")
+      .toFile
+    val ctx = org.apache.spark.TaskContext.get()
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(deleteRec))
+      f.delete(); ()
+    }
+    if (ctx != null)
+      ctx.addTaskCompletionListener[Unit](_ => deleteRec(dir))
+    val writeBuf = new Array[Byte](8192)
+    val lRowProj = UnsafeProjection.create(lTypes)
+    val rRowProj = UnsafeProjection.create(rTypes)
+    def open(name: String) = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(new java.io.File(dir, name))))
+    def writeRow(out: java.io.DataOutputStream, row: InternalRow,
+        proj: UnsafeProjection): Unit = {
+      val u = row match {
+        case u: UnsafeRow => u
+        case o => proj(o)
+      }
+      out.writeInt(u.getSizeInBytes)
+      u.writeToStream(out, writeBuf)
+    }
+    def bucketOf(k: UnsafeRow): Int = (k.hashCode & 0x7fffffff) % nPart
+
+    // 1. drain the partial build + the rest of the right side to disk
+    val bOut = Array.tabulate(nPart)(p => open(s"b$p"))
+    val nullROut = if (joinType == FullOuter) open("nullr") else null
+    map.forEach { (k, e) =>
+      val p = bucketOf(k)
+      e.rows.foreach(writeRow(bOut(p), _, rRowProj))
+    }
+    map.clear()
+    nullKeyRight.foreach(writeRow(nullROut, _, rRowProj))
+    nullKeyRight.clear()
+    while (rIt.hasNext) {
+      val r = rIt.next()
+      if (hasNullKey(r, rKeyOrds)) {
+        if (joinType == FullOuter) writeRow(nullROut, r, rRowProj)
+      } else writeRow(bOut(bucketOf(rKeyProj(r))), r, rRowProj)
+    }
+    bOut.foreach(_.close())
+    if (nullROut != null) nullROut.close()
+
+    // 2. spill the probe side by bucket (null keys to their own file)
+    val pOut = Array.tabulate(nPart)(p => open(s"p$p"))
+    val nullLOut = if (joinType != Inner) open("nulll") else null
+    while (lIt.hasNext) {
+      val l = lIt.next()
+      if (hasNullKey(l, lKeyOrds)) {
+        if (joinType != Inner) writeRow(nullLOut, l, lRowProj)
+      } else writeRow(pOut(bucketOf(lKeyProj(l))), l, lRowProj)
+    }
+    pOut.foreach(_.close())
+    if (nullLOut != null) nullLOut.close()
+
+    def readRows(name: String, nFields: Int): Iterator[UnsafeRow] = {
+      val f = new java.io.File(dir, name)
+      if (!f.exists() || f.length() == 0) return Iterator.empty
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(new java.io.FileInputStream(f)))
+      var remaining = f.length()
+      new Iterator[UnsafeRow] {
+        override def hasNext: Boolean = {
+          val more = remaining > 0
+          if (!more) in.close()
+          more
+        }
+        override def next(): UnsafeRow = {
+          val len = in.readInt()
+          val bytes = new Array[Byte](len)
+          in.readFully(bytes)
+          remaining -= 4L + len
+          val row = new UnsafeRow(nFields)
+          row.pointTo(bytes, len)
+          row
         }
       }
     }
-    // Full-outer tail: deferred until the probe is fully consumed so
-    // the matched flags are final.
-    val tail: Iterator[InternalRow] =
-      if (joinType != FullOuter) Iterator.empty
-      else Iterator.single(()).flatMap { _ =>
-        import scala.jdk.CollectionConverters._
-        map.values.iterator.asScala.filterNot(_.matched)
-          .flatMap(_.rows.iterator.map(r => emit(null, r))) ++
-          nullKeyRight.iterator.map(r => emit(null, r))
+
+    // 3. join bucket by bucket: one bucket's build table in memory at
+    // a time, each bucket's full-outer tail emitted via memJoin.
+    val buckets = (0 until nPart).iterator.flatMap { p =>
+      val m = new java.util.HashMap[UnsafeRow, Entry]()
+      readRows(s"b$p", rTypes.length).foreach { r =>
+        putBuild(m, rKeyProj(r).copy(), r)
       }
-    probed ++ tail
+      memJoin(m, Nil, readRows(s"p$p", lTypes.length))
+    }
+    val nullLeftEmits =
+      if (joinType == Inner) Iterator.empty
+      else readRows("nulll", lTypes.length).map(l => emit(l, null))
+    val nullRightEmits =
+      if (joinType != FullOuter) Iterator.empty
+      else readRows("nullr", rTypes.length).map(r => emit(null, r))
+    buckets ++ nullLeftEmits ++ nullRightEmits
   }
 }
 

@@ -204,6 +204,33 @@ class RepartitionJoinSpec extends AnyFunSuite {
     } finally PDataset.divisionJoinMinOverride = None
   }
 
+  test("oversized division build side spills and stays correct") {
+    import graft.plans.DivisionJoinExec
+    PDataset.divisionJoinMinOverride = Some(2)
+    val oldThreshold = DivisionJoinExec.buildSpillThresholdBytes
+    // a few hundred bytes: every division's build side overflows, so
+    // the whole join (null keys included) runs through the Grace path
+    DivisionJoinExec.buildSpillThresholdBytes = 300L
+    try {
+      // equal-size sides (98 rows each, renamed to avoid duplicate
+      // columns) so the size-aware swap cannot shrink the build side;
+      // the null-date row exercises the spilled null-key files too
+      val renames = Map("t" -> "t2", "hour" -> "hour2", "a" -> "a2")
+      Seq("inner", "left", "full").foreach { how =>
+        DivisionJoinExec.spillCount.set(0L)
+        val df = leftDs.join(leftDs.rename(renames), how).toDF
+        val want = indexed.toDF.join(
+          indexed.toDF.withColumnsRenamed(renames), Seq("date"), how)
+        assertSameRows(df, want)
+        assert(DivisionJoinExec.spillCount.get > 0,
+          s"$how: expected the spill path to engage")
+      }
+    } finally {
+      DivisionJoinExec.buildSpillThresholdBytes = oldThreshold
+      PDataset.divisionJoinMinOverride = None
+    }
+  }
+
   test("above the division cap the join falls back to one Catalyst join") {
     val old = PDataset.divisionJoinMaxDivisions
     PDataset.divisionJoinMaxDivisions = 0
