@@ -515,6 +515,14 @@ object SparkEntry {
       Dedup.nearDupClusters(pairs).orderBy("doc_id")
     }),
 
+    // end-to-end dedup: pairs -> components -> canonical survivors
+    "q_dedup_corpus" -> ((s, d) => {
+      val docs = scan(s, d, "documents").toDF
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      Dedup.dedupCorpus(docs, "doc_id", pairs)
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    }),
+
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashNearDupPairs(
         scan(s, d, "documents").toDF,
@@ -536,6 +544,21 @@ object SparkEntry {
         TextFunctions.subwordCount(col("text")).as("n_subwords"),
         round(TextFunctions.punctRatio(col("text")), 4).as("punct_ratio"),
         TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    "q_quality_filter" -> ((s, d) =>
+      scan(s, d, "documents").toDF.select(
+        col("doc_id"),
+        graft.functions.TextFunctions.qualityFilterReason(col("text"))
+          .as("reason"))
+        .withColumn("keep", col("reason") === "ok")
+        .orderBy("doc_id")),
+
+    "q_sample_stratified" -> ((s, d) =>
+      graft.operators.Sampling.stratifiedSample(
+        scan(s, d, "documents").toDF, "lang", "doc_id",
+        Map("en" -> 0.5, "zh" -> 0.25), defaultFraction = 0.1)
+        .select("doc_id", "lang")
         .orderBy("doc_id")),
 
     "q_lang_id" -> ((s, d) =>
@@ -676,6 +699,45 @@ object SparkEntry {
         JOIN sizes s2 ON "idB" = s2.doc_id)
       SELECT "idA", "idB", jaccard FROM jac
       WHERE jaccard >= 0.85 ORDER BY "idA", "idB""""
+
+    // Connected-component labels (recursive reachability closure,
+    // min-id canonical) over the 0.85-jaccard trigram pair graph —
+    // shared by q_dedup_clusters and q_dedup_corpus. Plain (non-
+    // interpolated) literal so \s+ survives.
+    val clusterLabCte = """
+        WITH RECURSIVE docs AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   range(1, greatest(len(w)-2, 1)+1),
+                   i -> array_to_string(
+                          list_slice(w, CAST(i AS INT), CAST(i AS INT)+2),
+                          ' ')))) AS s
+          FROM docs),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT ida, idb
+          FROM inter
+          JOIN sizes s1 ON ida = s1.doc_id
+          JOIN sizes s2 ON idb = s2.doc_id
+          WHERE round(i*1.0/(s1.n + s2.n - i), 4) >= 0.85),
+        edges AS (
+          SELECT ida AS a, idb AS b FROM pairs
+          UNION
+          SELECT idb AS a, ida AS b FROM pairs),
+        reach AS (
+          SELECT a AS src, a AS node FROM (SELECT DISTINCT a FROM edges)
+          UNION
+          SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+        lab AS (
+          SELECT src AS doc_id, min(node) AS cluster_id
+          FROM reach GROUP BY src)"""
 
     Map(
       "q_scan_collect" -> s"SELECT * FROM lineitem $lineitemOrderSql",
@@ -926,47 +988,22 @@ object SparkEntry {
       "q_dedup_minhash" -> shingleCte(""),
       "q_dedup_ngram" -> shingleCte(""),
       // Same pair derivation as shingleCte, then connected components
-      // as a recursive reachability closure with min-id labels.
-      "q_dedup_clusters" -> """
-        WITH RECURSIVE docs AS (
-          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
-          FROM documents),
-        sh AS (
-          SELECT doc_id,
-                 unnest(list_distinct(list_transform(
-                   range(1, greatest(len(w)-2, 1)+1),
-                   i -> array_to_string(
-                          list_slice(w, CAST(i AS INT), CAST(i AS INT)+2),
-                          ' ')))) AS s
-          FROM docs),
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (
-          SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
-          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
-        pairs AS (
-          SELECT ida, idb
-          FROM inter
-          JOIN sizes s1 ON ida = s1.doc_id
-          JOIN sizes s2 ON idb = s2.doc_id
-          WHERE round(i*1.0/(s1.n + s2.n - i), 4) >= 0.85),
-        edges AS (
-          SELECT ida AS a, idb AS b FROM pairs
-          UNION
-          SELECT idb AS a, ida AS b FROM pairs),
-        reach AS (
-          SELECT a AS src, a AS node FROM (SELECT DISTINCT a FROM edges)
-          UNION
-          SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
-        lab AS (
-          SELECT src AS doc_id, min(node) AS cluster_id
-          FROM reach GROUP BY src),
+      // as a recursive reachability closure with min-id labels — the
+      // CTE through `lab` is shared with q_dedup_corpus.
+      "q_dedup_clusters" -> s"""$clusterLabCte,
         szs AS (
           SELECT cluster_id, count(*) AS cluster_size
           FROM lab GROUP BY cluster_id)
         SELECT l.doc_id, l.cluster_id, s.cluster_size
         FROM lab l JOIN szs s USING (cluster_id)
         ORDER BY l.doc_id""",
+      // end-to-end dedup: survivors = corpus minus non-canonical
+      // cluster members
+      "q_dedup_corpus" -> s"""$clusterLabCte
+        SELECT doc_id, n_chars FROM documents
+        WHERE doc_id NOT IN
+          (SELECT doc_id FROM lab WHERE doc_id != cluster_id)
+        ORDER BY doc_id""",
       // Full SimHash rederivation: md5-prefix token hash (bit-identical
       // to Spark's Dedup.md5Hash64), per-bit majority vote, 64-bit
       // fingerprint via bit_or, exhaustive pair scan (the 4-chunk
@@ -1008,6 +1045,38 @@ object SparkEntry {
         "SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_floor_met",
       "q_ann_ivfpq" ->
         "SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_floor_met",
+      // first-match quality rules, each ANSI/RE2-rederivable
+      "q_quality_filter" ->
+        """WITH t AS (
+             SELECT doc_id,
+                    len(string_split_regex(trim(text), '\s+')) AS toks,
+                    len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                      / greatest(len(text), 1) AS alpha,
+                    len(list_distinct(
+                        string_split_regex(trim(lower(text)), '\s+'))) * 1.0
+                      / greatest(
+                          len(string_split_regex(trim(lower(text)), '\s+')),
+                          1) AS dr
+             FROM documents),
+           r AS (
+             SELECT doc_id,
+                    CASE WHEN toks < 5 THEN 'too_short'
+                         WHEN alpha < 0.5 THEN 'low_alpha'
+                         WHEN dr < 0.3 THEN 'repetitive'
+                         ELSE 'ok' END AS reason
+             FROM t)
+           SELECT doc_id, reason, reason = 'ok' AS keep
+           FROM r ORDER BY doc_id""",
+      // md5-derived uniform fraction vs per-stratum target — the
+      // keep decision is bit-identical across engines
+      "q_sample_stratified" ->
+        """SELECT doc_id, lang FROM documents
+           WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                   / 4294967296.0
+                 < CASE lang WHEN 'en' THEN 0.5
+                             WHEN 'zh' THEN 0.25
+                             ELSE 0.1 END
+           ORDER BY doc_id""",
       "q_dedup_embedding" ->
         """WITH scored AS (
              SELECT a.vec_id AS "idA", b.vec_id AS "idB",

@@ -51,6 +51,27 @@ object TextFunctions {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "that", "for", "on", "with", "as", "at", "by", "from")
 
+  /** Gopher-style keep/drop with a FIRST-MATCH reason — the composite
+    * filter a pretraining pipeline applies before dedup. Every rule is
+    * RE2/ANSI-derivable, so any engine rederives the exact decision:
+    * "too_short" (< minTokens whitespace tokens), "low_alpha" (letters
+    * under half the characters), "repetitive" (distinct lowercase
+    * tokens under 30% of tokens), else "ok". */
+  def qualityFilterReason(c: Column, minTokens: Int = 5): Column = {
+    val toks = tokenCount(c)
+    val alphaRatio =
+      length(regexp_replace(c, "[^A-Za-z]", "")).cast("double") /
+        greatest(length(c), lit(1)).cast("double")
+    val lowerToks = tokens(lower(c))
+    val distinctRatio =
+      size(array_distinct(lowerToks)).cast("double") /
+        greatest(size(lowerToks), lit(1)).cast("double")
+    when(toks < minTokens, lit("too_short"))
+      .when(alphaRatio < 0.5, lit("low_alpha"))
+      .when(distinctRatio < 0.3, lit("repetitive"))
+      .otherwise(lit("ok"))
+  }
+
   /** Composite quality score in [0,1]: length signal x moderate
     * punctuation x mean token length sanity. Deterministic arithmetic
     * only, so it doubles as an oracle-checkable quality filter. */

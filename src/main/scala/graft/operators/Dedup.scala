@@ -276,6 +276,24 @@ object Dedup {
         col("cluster_size"))
   }
 
+  /** End-to-end near-dup removal: candidate pairs -> connected
+    * components -> keep each component's canonical (minimum-id)
+    * member, drop the rest; unpaired documents pass through. The drop
+    * list holds only non-canonical cluster members (bounded by the
+    * dup rate, << corpus), so at scale the anti-join broadcasts while
+    * the corpus streams through untouched. */
+  def dedupCorpus(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      idACol: String = "idA",
+      idBCol: String = "idB"): DataFrame = {
+    val drop = nearDupClusters(pairs, idACol, idBCol)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   def md5Hash64(s: Column): Column = {
     val hex = md5(s)
     val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling for training-data
+  * pipelines.
+  *
+  * The keep/drop decision is a pure function of the row's id (an
+  * md5-derived uniform fraction), so it is reproducible across runs,
+  * engines and partitionings — unlike `DataFrame.sample`, whose output
+  * depends on partition layout. Each row decides independently in one
+  * narrow scan: no shuffle, no per-stratum groupBy, which is the only
+  * shape that survives 100 TB (a true exact quota would need a global
+  * count/sort per stratum; at corpus scale the hash fraction's
+  * concentration makes the realized rate indistinguishable from the
+  * target).
+  */
+object Sampling {
+
+  /** Uniform [0, 1) fraction derived from the first 32 md5 bits of the
+    * id's decimal string — md5 (not xxhash64) so the same decision is
+    * reproducible in any engine with md5 (reference: the DuckDB
+    * oracle rederives it exactly). */
+  def hashFraction(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
+  /** Uniform deterministic sample: keep iff hashFraction(id) < p. */
+  def deterministicSample(df: DataFrame, idCol: String, p: Double): DataFrame =
+    df.filter(hashFraction(col(idCol)) < lit(p))
+
+  /** Stratified deterministic sample: each stratum keeps its own
+    * fraction (e.g. per-language quotas when balancing a multilingual
+    * corpus); strata not listed keep `defaultFraction`. */
+  def stratifiedSample(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double): DataFrame = {
+    val frac = fractions.foldLeft(lit(defaultFraction): Column) {
+      case (acc, (stratum, p)) =>
+        when(col(stratumCol) === lit(stratum), lit(p)).otherwise(acc)
+    }
+    df.filter(hashFraction(col(idCol)) < frac)
+  }
+}

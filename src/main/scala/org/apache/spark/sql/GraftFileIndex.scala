@@ -26,11 +26,11 @@ import graft.core.Lex.Bound
   * `ordering.py:69-95`). On the LEADING column the tuple bounds always
   * yield a scalar range: a None upper bound means the file is all-null
   * in that column; a None lower bound means it may contain nulls. On
-  * the SECOND column a scalar range is derivable when the leading
-  * column is constant across the file (lb1 == ub1 — common after a
-  * repartition on a low-cardinality leading column), and one-sided
-  * when a conjunct pins the leading column to exactly a file's edge
-  * value (c1 = lb1 implies c2 >= lb2; c1 = ub1 implies c2 <= ub2).
+  * a LATER column c a scalar range is derivable when every preceding
+  * column is constant across the file (common after a repartition on
+  * a low-cardinality prefix), and one-sided on column 1 when a
+  * conjunct pins the leading column to exactly a file's edge value
+  * (c1 = lb1 implies c2 >= lb2; c1 = ub1 implies c2 <= ub2).
   * Comparisons never match null rows, IS NULL matches only
   * possibly-null files. Pruning is conservative: any filter shape or
   * column whose range isn't derivable keeps every file.
@@ -100,18 +100,26 @@ final class GraftFileIndex(
     if (c == 0)
       Some(ColRange(Some(lbs(i).headOption.flatten),
         Some(ubs(i).headOption.flatten)))
-    else if (c == 1 && lbs(i).length >= 2 && ubs(i).length >= 2) {
-      val l1 = lbs(i)(0); val u1 = ubs(i)(0)
-      val l2 = lbs(i)(1); val u2 = ubs(i)(1)
-      if (Lex.nullableCmp(l1, u1) == 0)
-        Some(ColRange(Some(l2), Some(u2))) // constant leading column
-      else leadEq match {
-        case Some(v) if Lex.nullableCmp(Some(v), l1) == 0 =>
-          Some(ColRange(Some(l2), None)) // rows at the tuple lower edge
-        case Some(v) if Lex.nullableCmp(Some(v), u1) == 0 =>
-          Some(ColRange(None, Some(u2))) // rows at the tuple upper edge
-        case _ => None
-      }
+    else if (c < lbs(i).length && c < ubs(i).length) {
+      // Column c has a derivable scalar range when every PRECEDING
+      // column is constant across the file (lex order then defers to
+      // column c on both bound tuples).
+      val constPrefix = (0 until c).forall(j =>
+        Lex.nullableCmp(lbs(i)(j), ubs(i)(j)) == 0)
+      if (constPrefix)
+        Some(ColRange(Some(lbs(i)(c)), Some(ubs(i)(c))))
+      else if (c == 1) {
+        // One varying leading column: an equality pinning it to
+        // exactly a tuple edge still bounds column 1 one-sidedly.
+        val l1 = lbs(i)(0); val u1 = ubs(i)(0)
+        leadEq match {
+          case Some(v) if Lex.nullableCmp(Some(v), l1) == 0 =>
+            Some(ColRange(Some(lbs(i)(1)), None)) // tuple lower edge
+          case Some(v) if Lex.nullableCmp(Some(v), u1) == 0 =>
+            Some(ColRange(None, Some(ubs(i)(1)))) // tuple upper edge
+          case _ => None
+        }
+      } else None
     } else None
 
   /** File indices that may satisfy `e`; None = cannot analyze (keep
@@ -187,9 +195,7 @@ final class GraftFileIndex(
     }.toSet
 
   private def posOf(e: Expression): Int = e match {
-    case a: AttributeReference =>
-      val p = indexCols.indexOf(a.name)
-      if (p <= 1) p else -1 // ranges derivable for the first two only
+    case a: AttributeReference => indexCols.indexOf(a.name)
     case _ => -1
   }
 
