@@ -210,7 +210,11 @@ object Dedup {
     * its `cluster_id` (the canonical survivor), plus the component
     * size.
     *
-    * Iterative min-label propagation WITH pointer jumping: each round
+    * Two execution shapes behind one contract. The pair graph is
+    * bounded by the dup rate, not the corpus, so up to
+    * `maxDriverEdges` edges a single collect + driver union-find
+    * answers in O(edges α) with no shuffle rounds at all. Past the
+    * bound, iterative min-label propagation WITH pointer jumping: each round
     * a vertex takes the min of its own, its neighbors', and its
     * label's label — the shortcut halves the remaining distance to
     * the component minimum, so convergence is O(log diameter) rounds
@@ -224,11 +228,26 @@ object Dedup {
       pairs: DataFrame,
       idACol: String = "idA",
       idBCol: String = "idB",
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20,
+      maxDriverEdges: Long = 1L << 20): DataFrame = {
     val edges = pairs.select(col(idACol).as("a"), col(idBCol).as("b"))
       .union(pairs.select(col(idBCol).as("a"), col(idACol).as("b")))
       .distinct()
       .persist()
+    // The pair graph is bounded by the DUP RATE, not the corpus: even
+    // at 100 TB it is usually tiny relative to the documents table. Up
+    // to maxDriverEdges (1M edges = ~16 MB of ids) union-find on the
+    // driver replaces O(log diameter) shuffle rounds with one collect
+    // — the broadcast-join principle applied to connected components.
+    // Past the bound, the distributed min-label/pointer-jumping loop
+    // below is the scale path.
+    val nEdges = edges.count()
+    if (nEdges <= maxDriverEdges) {
+      val idType = pairs.schema(pairs.schema.fieldIndex(idACol)).dataType
+      val edgeRows = edges.collect()
+      edges.unpersist()
+      return driverUnionFind(pairs.sparkSession, edgeRows, idType)
+    }
     var cached = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist()
@@ -274,6 +293,50 @@ object Dedup {
     finalLabels.join(sizes, Seq("label"))
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),
         col("cluster_size"))
+  }
+
+  /** Driver-side union-find with path compression over a collected,
+    * bounded edge list (both directions present; harmless). Labels are
+    * each component's minimum id under the same ordering the
+    * distributed path's `min` aggregate uses. */
+  private def driverUnionFind(
+      spark: org.apache.spark.sql.SparkSession,
+      edgeRows: Array[org.apache.spark.sql.Row],
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edgeRows.foreach { row =>
+      val a = row.get(0); val b = row.get(1)
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(ra) = rb
+    }
+    val nodes = parent.keys.toArray
+    val label = scala.collection.mutable.HashMap.empty[Any, Any]
+    val size = scala.collection.mutable.HashMap.empty[Any, Long]
+    nodes.foreach { n =>
+      val r = find(n)
+      val cur = label.get(r)
+      if (cur.isEmpty || graft.core.Lex.valueCmp(n, cur.get) < 0) label(r) = n
+      size(r) = size.getOrElse(r, 0L) + 1
+    }
+    val out = nodes.map { n =>
+      val r = find(n)
+      org.apache.spark.sql.Row(n, label(r), size(r))
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", idType),
+      StructField("cluster_id", idType),
+      StructField("cluster_size", LongType, nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), schema)
   }
 
   /** End-to-end near-dup removal: candidate pairs -> connected

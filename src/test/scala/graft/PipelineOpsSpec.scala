@@ -308,14 +308,18 @@ class PipelineOpsSpec extends AnyFunSuite {
       (1L, 2L), (2L, 3L),
       (10L, 11L),
       (20L, 21L), (21L, 22L), (20L, 22L)).toDF("idA", "idB")
-    val got = Dedup.nearDupClusters(pairs)
+    val want = Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L),
+      (20L, 20L, 3L), (21L, 20L, 3L), (22L, 20L, 3L))
+    def run(cap: Long) = Dedup.nearDupClusters(pairs, maxDriverEdges = cap)
       .orderBy("doc_id")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(got.toSeq == Seq(
-      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
-      (10L, 10L, 2L), (11L, 10L, 2L),
-      (20L, 20L, 3L), (21L, 20L, 3L), (22L, 20L, 3L)))
+      .toSeq
+    // driver union-find fast path and distributed loop agree exactly
+    assert(run(1L << 20) == want)
+    assert(run(0L) == want)
   }
 
   test("nearDupClusters runs one job per propagation round") {
@@ -338,15 +342,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     spark.sparkContext.addSparkListener(listener)
     val got =
       try {
-        val out = Dedup.nearDupClusters(pairs).collect()
+        // maxDriverEdges = 0 forces the distributed loop (the driver
+        // union-find fast path would short-circuit this tiny graph)
+        val out = Dedup.nearDupClusters(pairs, maxDriverEdges = 0).collect()
         Thread.sleep(1500) // listener events post asynchronously
         out
       } finally spark.sparkContext.removeSparkListener(listener)
     assert(got.length == 6)
     assert(got.forall(r => r.getLong(1) == 1L && r.getLong(2) == 6L))
-    // one count per round + the checkpoint + the final collect —
-    // single digits, vs 2x with a per-round diff-join materialization
-    assert(n.get <= 9, s"expected one action per round, saw ${n.get}")
+    // edge count + one count per round + the checkpoint + the final
+    // collect — single digits, vs 2x with a per-round diff-join
+    // materialization
+    assert(n.get <= 10, s"expected one action per round, saw ${n.get}")
   }
 
   test("text functions: tokens, quality, langId, fingerprint") {
