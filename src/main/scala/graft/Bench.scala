@@ -39,7 +39,15 @@ object Bench {
     // 32 local cores) is self-diagnosing from the artifact alone.
     val wall0 = System.nanoTime()
     val cpu0 = procCpuSec
-    val allRuns = SparkEntry.queries.map { case (name, fn) =>
+    // Local iteration: SPARK_GRAFT_ONLY=q_a,q_b limits the run (same
+    // contract as Verify); unset = the full inventory.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    val allRuns = selected.map { case (name, fn) =>
       val times = (0 until runs).map { _ =>
         val t0 = System.nanoTime()
         try { consume(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
