@@ -91,6 +91,20 @@ class FsSpec extends AnyFunSuite {
     assertSameRows(back.toDF, ds.toDF)
   }
 
+  test("row-mode scatter write round-trips through a file: URI") {
+    val src = tempDir("fs-rowscatter-src")
+    writeDatetimeSample(spark, src)
+    val ds = PDataset.scanParquet(spark, src).reindex(Seq.empty)
+    val target = "file:" + tempDir("fs-rowscatter") + "/out"
+    val out = ds.repartition(17).writeParquet(target)
+    assert(out.npartitions == 6)
+    assert(out.sizes.get.sum == 98)
+    assertSameRows(out.toDF, ds.toDF)
+    val back = PDataset.scanParquet(spark, target)
+    assert(back.knownSizes)
+    assertSameRows(back.toDF, ds.toDF)
+  }
+
   test("generic write, append, and writeMetadata through file: URIs") {
     val src = tempDir("fs-generic-src")
     writeDatetimeSample(spark, src)

@@ -133,6 +133,24 @@ class ScatterWriteSpec extends AnyFunSuite {
     assertSameRows(out.toDF, base.toDF)
   }
 
+  test("row-mode scatter append continues numbering and row order") {
+    val src = tempDir("scatter-rowapp-src")
+    writeDatetimeSample(spark, src)
+    val base = PDataset.scanParquet(spark, src).reindex(Seq.empty)
+    val rp = base.repartition(17)
+    val target = tempDir("scatter-rowapp-out") + "/ds"
+    rp.writeParquet(target)
+    val appended = rp.writeParquet(target, append = true)
+    assert(appended.toDF.count() == 196)
+    assert(appended.npartitions == 12)
+    assert(appended.sizes.get == Vector.fill(2)(
+      Vector(17L, 17L, 17L, 17L, 17L, 13L)).flatten)
+    // second copy preserves global row order too
+    val secondA = (6 until 12).flatMap(i =>
+      appended(i).select("a").collect().map(_.getLong(0)))
+    assert(secondA == (-2L until 96L), s"appended row order: $secondA")
+  }
+
   test("sliced or repeated file partitions fall back to per-partition writes") {
     val src = tempDir("scatter-fallback-src")
     writeDatetimeSample(spark, src)
