@@ -847,21 +847,30 @@ final class PDataset private[core] (
     }.toVector
     // Whole-frame plan: the division slices are co-partitioned by
     // construction, so the join can plan SHUFFLE-FREE as a custom
-    // division-join node (plan size O(d)). Each division executes as
-    // ONE task, so the node wins only when divisions can saturate the
-    // cluster — below ~defaultParallelism/2 the Catalyst join's full
-    // shuffle parallelism beats avoiding the Exchange, and above
-    // divisionJoinMaxDivisions its O(d) plan would cost more driver
-    // time than the shuffle. At production division counts (far above
-    // core counts, far below 10^4) the gate passes.
+    // division-join node. Each range executes as ONE task, so the node
+    // wins only when ranges can saturate the cluster — below
+    // ~defaultParallelism/2 the Catalyst join's full shuffle
+    // parallelism beats avoiding the Exchange. Above
+    // divisionJoinMaxDivisions the plan does NOT fall back: adjacent
+    // divisions merge into at most that many contiguous RANGE slices
+    // (rows with equal keys share a division, hence a range), keeping
+    // plan size O(task cap) at ANY division count; the per-task build
+    // grows with the merged range and is protected by the join's
+    // spill path.
     val whole = () => {
       val nDiv = divisions.length + 1
+      val maxD = PDataset.divisionJoinMaxDivisions
+      val minD = PDataset.divisionJoinMinDivisions(spark)
       val custom =
-        if (nDiv <= PDataset.divisionJoinMaxDivisions &&
-            nDiv >= PDataset.divisionJoinMinDivisions(spark)) {
-          val slices = (0 until divisions.length + 1).map { i =>
-            val lo = sentinels(i)
-            val hi = sentinels(i + 1)
+        if (nDiv >= minD && maxD >= minD) {
+          val g = math.min(nDiv, maxD)
+          val merged: IndexedSeq[Option[Bound]] =
+            if (g == nDiv) sentinels
+            else (None +: (1 until g).map(j =>
+              Some(divisions((j.toLong * nDiv / g).toInt - 1)))) :+ None
+          val slices = (0 until g).map { i =>
+            val lo = merged(i)
+            val hi = merged(i + 1)
             (sliceDF(left, lo, hi), sliceDF(other, lo, hi))
           }
           // The node builds its RIGHT side per division, so when both
@@ -1335,10 +1344,12 @@ object PDataset {
       base: PDataset,
       rowsPerPartition: Long)
 
-  /** Division count up to which [[join]]'s whole-frame plan uses the
-    * shuffle-free division-join node (plan size O(divisions)); above
-    * it the constant-size Catalyst join with its Exchange wins on
-    * driver planning time. Var so specs can force either path. */
+  /** Task cap for [[join]]'s shuffle-free division-join plan: above
+    * this many divisions, adjacent divisions merge into this many
+    * contiguous range slices (one task each), so plan size stays
+    * bounded at any division count. Setting it below the minimum
+    * divisions disables the custom node entirely (Catalyst fallback).
+    * Var so specs can force either path. */
   private[graft] var divisionJoinMaxDivisions: Int = 256
 
   /** Minimum division count for the division join: one task per

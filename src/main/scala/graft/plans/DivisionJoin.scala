@@ -20,13 +20,14 @@ import org.apache.spark.sql.types.DataType
   * but planned inside Catalyst so each division's scan keeps file
   * pruning, pushed filters and codegen.
   *
-  * The logical node carries 2n children (n left division slices, then
-  * n right division slices); the physical node zips each pair into one
-  * single-partition RDD and unions the results. Plan size is O(n), so
-  * [[graft.core.PDataset.join]] uses this path up to
-  * `divisionJoinMaxDivisions` divisions and falls back to the
-  * constant-plan-size Catalyst whole-frame join beyond it (at 10^4+
-  * divisions, driver planning time dominates what the shuffle costs).
+  * The logical node carries 2n children (n left range slices, then n
+  * right range slices); the physical node zips each pair into one
+  * single-partition RDD and unions the results. Plan size is O(n);
+  * [[graft.core.PDataset.join]] bounds n by merging adjacent
+  * divisions into at most `divisionJoinMaxDivisions` contiguous range
+  * slices, so the node serves ANY division count with a bounded plan
+  * (per-task builds grow with the merged range — the spill fallback
+  * below bounds their memory).
   *
   * Memory contract: one right-side DIVISION (not the whole dataset)
   * is built into a hash table per task — the same bound the reference

@@ -231,7 +231,30 @@ class RepartitionJoinSpec extends AnyFunSuite {
     }
   }
 
-  test("above the division cap the join falls back to one Catalyst join") {
+  test("above the task cap adjacent divisions merge into bounded range slices") {
+    import graft.plans.DivisionJoinExec
+    val oldMax = PDataset.divisionJoinMaxDivisions
+    PDataset.divisionJoinMinOverride = Some(2)
+    PDataset.divisionJoinMaxDivisions = 3
+    try {
+      Seq("inner", "left", "full").foreach { how =>
+        val df = leftDs.join(rightDs, how).toDF
+        val execs = df.queryExecution.executedPlan.collect {
+          case e: DivisionJoinExec => e
+        }
+        assert(execs.nonEmpty, s"$how: expected the custom node")
+        assert(execs.head.nDiv == 3,
+          s"$how: expected 3 merged ranges, got ${execs.head.nDiv}")
+        assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+        assertSameRows(df, oracle(how))
+      }
+    } finally {
+      PDataset.divisionJoinMaxDivisions = oldMax
+      PDataset.divisionJoinMinOverride = None
+    }
+  }
+
+  test("a task cap below the minimum disables the custom node (Catalyst join)") {
     val old = PDataset.divisionJoinMaxDivisions
     PDataset.divisionJoinMaxDivisions = 0
     try {
