@@ -523,6 +523,19 @@ object SparkEntry {
         .select("doc_id", "n_chars").orderBy("doc_id")
     }),
 
+    // Benchmark decontamination: corpus docs sharing any word 4-gram
+    // with the held-out set (doc_id % 97 == 0 plays the eval set).
+    // The benchmark's distinct-shingle set broadcasts; the corpus is
+    // one narrow scan.
+    "q_decontaminate" -> ((s, d) => {
+      val docs = scan(s, d, "documents").toDF
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", shingleWords = 4)
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashNearDupPairs(
         scan(s, d, "documents").toDF,
@@ -987,6 +1000,34 @@ object SparkEntry {
            FROM documents GROUP BY md5(text) ORDER BY doc_id""",
       "q_dedup_minhash" -> shingleCte(""),
       "q_dedup_ngram" -> shingleCte(""),
+      // Word 4-gram overlap between the corpus (doc_id % 97 != 0) and
+      // the held-out set (doc_id % 97 == 0); same clamped-slice
+      // construction as shingleCte, n=4.
+      "q_decontaminate" -> """
+        WITH corp AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+          FROM documents WHERE doc_id % 97 <> 0),
+        bench AS (
+          SELECT string_split_regex(trim(lower(text)), '\s+') AS w
+          FROM documents WHERE doc_id % 97 = 0),
+        bsh AS (
+          SELECT DISTINCT unnest(list_distinct(list_transform(
+                 range(1, greatest(len(w)-3, 1)+1),
+                 i -> array_to_string(
+                        list_slice(w, CAST(i AS INT), CAST(i AS INT)+3),
+                        ' ')))) AS s
+          FROM bench),
+        csh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   range(1, greatest(len(w)-3, 1)+1),
+                   i -> array_to_string(
+                          list_slice(w, CAST(i AS INT), CAST(i AS INT)+3),
+                          ' ')))) AS s
+          FROM corp)
+        SELECT c.doc_id, count(*) AS hits
+        FROM csh c JOIN bsh b ON c.s = b.s
+        GROUP BY c.doc_id ORDER BY c.doc_id""",
       // Same pair derivation as shingleCte, then connected components
       // as a recursive reachability closure with min-id labels — the
       // CTE through `lab` is shared with q_dedup_corpus.

@@ -357,6 +357,35 @@ object Dedup {
     docs.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Benchmark decontamination: per corpus document, the number of
+    * distinct word n-grams it shares with ANY benchmark/eval document
+    * (only contaminated docs — hits > 0 — are returned). Standard
+    * train/test-overlap screening for LLM training corpora.
+    *
+    * Scale design: the benchmark side reduces to its DISTINCT shingle
+    * set — bounded by eval-set size, orders of magnitude below the
+    * corpus — and is broadcast, so the corpus side is ONE narrow scan
+    * (shingle kernel + explode + broadcast semi-probe + partial
+    * count); the 100 TB corpus is never shuffled on text. The
+    * contaminated result is bounded by the overlap rate, so the
+    * follow-up anti-join against the corpus broadcasts too (same
+    * shape as [[dedupCorpus]]'s drop list). */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWords: Int = 5): DataFrame = {
+    val sh = TextFunctions.wordShingles(_: Column, shingleWords)
+    val benchShingles = benchmark
+      .select(explode(sh(col(textCol))).as("__s")).distinct()
+    corpus
+      .select(col(idCol), explode(sh(col(textCol))).as("__s"))
+      .join(broadcast(benchShingles), "__s")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("hits"))
+  }
+
   def md5Hash64(s: Column): Column = {
     val hex = md5(s)
     val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")

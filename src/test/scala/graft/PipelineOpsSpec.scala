@@ -121,6 +121,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.agg(sum("copies")).collect()(0).getLong(0) == 2 * docs.count())
   }
 
+  test("decontaminate counts distinct shared n-grams, clamps short docs") {
+    val corpus = Seq(
+      (1L, "x a b c d e y"), // contains "a b c d e" only
+      (2L, "no overlap here at all whatsoever"),
+      (3L, "a b c d e f g"), // "a b c d e" and "b c d e f"
+      (4L, "a b")) // shorter than n: one clamped shingle
+      .toDF("doc_id", "text")
+    val bench = Seq("a b c d e f", "a b").toDF("text")
+      .withColumn("doc_id", lit(0L))
+    val out = Dedup.decontaminate(corpus, bench, "doc_id", "text",
+      shingleWords = 5)
+    assert(out.orderBy("doc_id").as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 1L), (3L, 2L), (4L, 1L)))
+    // the benchmark shingle set must be the BROADCAST side
+    val hasBroadcast = out.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin")
+    assert(hasBroadcast, "benchmark shingles should broadcast")
+  }
+
   test("simhash hamming distance small for near-dups, large for others") {
     val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 6)
     val nd = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.9)
