@@ -70,7 +70,13 @@ object Bench {
       s"\"" + k + "\":" + ts.map(f).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$rs,"wall_sec":${f(wallSec)},"proc_cpu_sec":${f(cpuSec)},"cpus":$cpus,"sf":"$sfDir"}""")
+    // Two lines, diagnostic first, canonical LAST: consumers that keep
+    // only the final ~2KB of the log (or the last JSON-looking line)
+    // must still see one complete, compact {"metric":...} line. The
+    // per-run arrays push a single combined line past that window, so
+    // they ride on their own preceding line.
+    println(s"""{"metric":"runs_detail","runs":$rs,"wall_sec":${f(wallSec)},"proc_cpu_sec":${f(cpuSec)}}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
