@@ -285,6 +285,15 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // Pivot with explicit value list: no extra distinct-values job,
+    // one partial-agg shuffle — same plan shape as a plain groupBy.
+    "q_pivot" -> ((s, d) =>
+      scan(s, d, "lineitem").toDF
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum("l_quantity"), 2))
+        .orderBy("l_returnflag")),
+
     "q_cube" -> ((s, d) =>
       scan(s, d, "lineitem").toDF
         .cube("l_returnflag", "l_linestatus")
@@ -580,6 +589,49 @@ object SparkEntry {
         TextFunctions.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
+    // Concatenate-and-chunk sequence packing: every document's global
+    // token offset (distributed two-pass prefix sum — no global sort,
+    // no single-partition window) and the 512-token training
+    // sequences it spans. bucketSize=500 forces the multi-bucket
+    // path at every SF; offsets are bucketing-independent.
+    "q_pack_sequences" -> ((s, d) => {
+      val docs = scan(s, d, "documents").toDF.select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Packing.packSequences(
+        docs, "doc_id", "n_tokens", seqLen = 512, bucketSize = 500)
+        .select("doc_id", "n_tokens", "tok_offset",
+          "seq_first", "seq_last", "n_seqs")
+        .orderBy("doc_id")
+    }),
+
+    // PII scrub before publishing a corpus: deterministic synthetic
+    // PII is appended per doc (both engines compute the same dirty
+    // input), then redacted + counted in one narrow scan.
+    "q_pii_redact" -> ((s, d) => {
+      val dirty = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com ip 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0.1 tel 555-867-5309"))
+      scan(s, d, "documents").toDF.select(
+        col("doc_id"),
+        md5(TextFunctions.redactPii(dirty)).as("red_md5"),
+        TextFunctions.piiCount(dirty).as("n_pii"))
+        .orderBy("doc_id")
+    }),
+
+    // Decontamination with a broadcast Bloom prefilter + exact
+    // verify join — the benchmark-too-big-to-broadcast shape; result
+    // is bit-identical to q_decontaminate (shared oracle).
+    "q_decontaminate_bloom" -> ((s, d) => {
+      val docs = scan(s, d, "documents").toDF
+      Dedup.decontaminateBloom(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", shingleWords = 4)
+        .orderBy("doc_id")
+    }),
+
     "q_fingerprint" -> ((s, d) =>
       scan(s, d, "documents").toDF.select(
         col("doc_id"),
@@ -713,6 +765,32 @@ object SparkEntry {
       SELECT "idA", "idB", jaccard FROM jac
       WHERE jaccard >= 0.85 ORDER BY "idA", "idB""""
 
+    val decontaminateOracle = """
+        WITH corp AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+          FROM documents WHERE doc_id % 97 <> 0),
+        bench AS (
+          SELECT string_split_regex(trim(lower(text)), '\s+') AS w
+          FROM documents WHERE doc_id % 97 = 0),
+        bsh AS (
+          SELECT DISTINCT unnest(list_distinct(list_transform(
+                 range(1, greatest(len(w)-3, 1)+1),
+                 i -> array_to_string(
+                        list_slice(w, CAST(i AS INT), CAST(i AS INT)+3),
+                        ' ')))) AS s
+          FROM bench),
+        csh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   range(1, greatest(len(w)-3, 1)+1),
+                   i -> array_to_string(
+                          list_slice(w, CAST(i AS INT), CAST(i AS INT)+3),
+                          ' ')))) AS s
+          FROM corp)
+        SELECT c.doc_id, count(*) AS hits
+        FROM csh c JOIN bsh b ON c.s = b.s
+        GROUP BY c.doc_id ORDER BY c.doc_id"""
+
     // Connected-component labels (recursive reachability closure,
     // min-id canonical) over the 0.85-jaccard trigram pair graph —
     // shared by q_dedup_clusters and q_dedup_corpus. Plain (non-
@@ -839,6 +917,13 @@ object SparkEntry {
         """SELECT l_returnflag, l_linestatus, count(*) AS n
            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+      "q_pivot" ->
+        """SELECT l_returnflag,
+                  round(sum(CASE WHEN l_linestatus = 'F'
+                                 THEN l_quantity END), 2) AS "F",
+                  round(sum(CASE WHEN l_linestatus = 'O'
+                                 THEN l_quantity END), 2) AS "O"
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
       "q_cube" ->
         """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS qty
            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -1002,32 +1087,10 @@ object SparkEntry {
       "q_dedup_ngram" -> shingleCte(""),
       // Word 4-gram overlap between the corpus (doc_id % 97 != 0) and
       // the held-out set (doc_id % 97 == 0); same clamped-slice
-      // construction as shingleCte, n=4.
-      "q_decontaminate" -> """
-        WITH corp AS (
-          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
-          FROM documents WHERE doc_id % 97 <> 0),
-        bench AS (
-          SELECT string_split_regex(trim(lower(text)), '\s+') AS w
-          FROM documents WHERE doc_id % 97 = 0),
-        bsh AS (
-          SELECT DISTINCT unnest(list_distinct(list_transform(
-                 range(1, greatest(len(w)-3, 1)+1),
-                 i -> array_to_string(
-                        list_slice(w, CAST(i AS INT), CAST(i AS INT)+3),
-                        ' ')))) AS s
-          FROM bench),
-        csh AS (
-          SELECT doc_id,
-                 unnest(list_distinct(list_transform(
-                   range(1, greatest(len(w)-3, 1)+1),
-                   i -> array_to_string(
-                          list_slice(w, CAST(i AS INT), CAST(i AS INT)+3),
-                          ' ')))) AS s
-          FROM corp)
-        SELECT c.doc_id, count(*) AS hits
-        FROM csh c JOIN bsh b ON c.s = b.s
-        GROUP BY c.doc_id ORDER BY c.doc_id""",
+      // construction as shingleCte, n=4. The Bloom-prefiltered
+      // variant verifies candidates exactly, so it shares the oracle.
+      "q_decontaminate" -> decontaminateOracle,
+      "q_decontaminate_bloom" -> decontaminateOracle,
       // Same pair derivation as shingleCte, then connected components
       // as a recursive reachability closure with min-id labels — the
       // CTE through `lab` is shared with q_dedup_corpus.
@@ -1176,6 +1239,43 @@ object SparkEntry {
       "q_fingerprint" ->
         s"""SELECT doc_id, md5($normT) AS fp
             FROM documents ORDER BY doc_id""",
+      // Packing rederivation: the distributed two-pass prefix sum
+      // must equal the plain global running total.
+      "q_pack_sequences" ->
+        """WITH t AS (
+             SELECT doc_id,
+                    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                      AS n_tokens
+             FROM documents),
+           o AS (
+             SELECT doc_id, n_tokens,
+                    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS BIGINT) AS tok_offset
+             FROM t)
+           SELECT doc_id, n_tokens, tok_offset,
+                  tok_offset // 512 AS seq_first,
+                  (tok_offset + greatest(n_tokens, 1) - 1) // 512 AS seq_last,
+                  (tok_offset + greatest(n_tokens, 1) - 1) // 512
+                    - tok_offset // 512 + 1 AS n_seqs
+           FROM o ORDER BY doc_id""",
+      "q_pii_redact" ->
+        """WITH t AS (
+             SELECT doc_id,
+                    text || ' contact user' || doc_id || '@example.com ip 10.'
+                         || (doc_id % 256) || '.0.1 tel 555-867-5309' AS dirty
+             FROM documents)
+           SELECT doc_id,
+                  md5(regexp_replace(regexp_replace(regexp_replace(dirty,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g'),
+                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                        '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'))
+                    AS red_md5,
+                  CAST(len(regexp_extract_all(dirty,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b|\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))
+                       AS INT) AS n_pii
+           FROM t ORDER BY doc_id""",
       // Winnowing rederivation: positional char 5-grams, 62-bit
       // md5-prefix rolling hashes (>> 2 keeps signed/unsigned min
       // order identical), min per 4-window, distinct + sort.

@@ -155,4 +155,26 @@ object TextFunctions {
   def winnowFingerprints(c: Column, k: Int = 5, w: Int = 4): Column =
     SketchExpressions.winnowMins(
       SketchExpressions.charGramHash64(normText(c), k, shift = 2), w)
+
+  /** PII patterns, RE2-compatible (no lookarounds/backrefs) so the
+    * same redaction rederives in any RE2/Java-regex engine. Alternation
+    * order matters for counting: emails first so an address's numeric
+    * host part is not double-counted as an IP. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** Redact emails / IPv4s / phone-shaped numbers to typed tags — the
+    * scrub a pretraining pipeline runs before publishing a corpus.
+    * One narrow scan, no shuffle. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+
+  /** How many PII spans [[redactPii]] would replace. */
+  def piiCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(s"$emailRe|$ipv4Re|$phoneRe"), lit(0)))
 }

@@ -386,6 +386,54 @@ object Dedup {
       .agg(count(lit(1)).as("hits"))
   }
 
+  /** Decontamination for benchmark sets too large to broadcast
+    * exactly: broadcast only a Bloom filter of the benchmark shingles
+    * (~1.2 bytes/item at fpp=1%, independent of corpus size),
+    * pre-filter the corpus's exploded shingles to Bloom candidates in
+    * the scan stage, then verify the survivors with an exact shuffle
+    * join. A false positive costs only verify work on one shingle —
+    * the output is bit-identical to [[decontaminate]], so the two
+    * share an oracle.
+    *
+    * The membership test is Spark's own `BloomFilterMightContain`
+    * (the runtime-filter expression, codegen'd) over `xxhash64` of
+    * the shingle, against a filter built by the distributed
+    * `stat.bloomFilter` aggregate — both sides speak
+    * `BloomFilterImpl.putLong`/`mightContainLong`. */
+  def decontaminateBloom(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWords: Int = 5,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    val sh = TextFunctions.wordShingles(_: Column, shingleWords)
+    val benchShingles = benchmark
+      .select(explode(sh(col(textCol))).as("__s")).distinct()
+    // Two bounded jobs over the SMALL side: size the filter, build it.
+    val n = math.max(benchShingles.count(), 1L)
+    val bf = benchShingles.select(xxhash64(col("__s")).as("__h"))
+      .stat.bloomFilter("__h", n, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    def mightContain(v: Column): Column =
+      GraftBridge.toColumn(BloomFilterMightContain(
+        Literal(bytes, BinaryType),
+        GraftBridge.toExpression(xxhash64(v))))
+    corpus
+      .select(col(idCol), explode(sh(col(textCol))).as("__s"))
+      .filter(mightContain(col("__s")))
+      .join(benchShingles, "__s") // exact verify on candidates only
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("hits"))
+  }
+
   def md5Hash64(s: Column): Column = {
     val hex = md5(s)
     val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")

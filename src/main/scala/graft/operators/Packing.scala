@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM pretraining: concatenate a corpus in a
+  * deterministic document order and split it into fixed-length token
+  * sequences (the standard "pack then chunk at context boundaries"
+  * layout), assigning every document its global token offset and the
+  * range of training sequences it lands in.
+  *
+  * The global prefix sum is computed distributed, the classic
+  * two-pass way (reference semantics: a plain running total over the
+  * id order — e.g. numpy cumsum in single-node pipelines):
+  *
+  *  1. one narrow pass aggregates per-bucket token totals (map-side
+  *     combine shuffles only one row per bucket),
+  *  2. the per-bucket totals — bounded by `maxBuckets`, NOT by data
+  *     size — are cumsum'd on the driver into per-bucket base
+  *     offsets and broadcast back,
+  *  3. one shuffle clusters rows by bucket, where a within-bucket
+  *     window adds the local running total to the bucket base.
+  *
+  * Total cost at any scale: two scans, one data shuffle (by bucket),
+  * one broadcast of #buckets rows. No global sort, no single-partition
+  * window — the two shapes that stop working past a few hundred GB.
+  *
+  * Contract: `idCol` values are unique and non-null, and the bucket
+  * function is monotone non-decreasing in id (the default
+  * `id / bucketSize` is, for non-negative integer ids), so that
+  * "bucket order then id order" equals global id order. Offsets are
+  * independent of `bucketSize`; it only balances the shuffle.
+  */
+object Packing {
+
+  /** Rows + `offsetCol`: total tokens in all ids strictly before this
+    * one. Pure function of (id order, token counts) — bucketing does
+    * not affect the result. */
+  def tokenOffsets(
+      df: DataFrame,
+      idCol: String,
+      nTokCol: String,
+      offsetCol: String = "tok_offset",
+      bucketSize: Long = 1L << 20,
+      maxBuckets: Int = 1 << 22): DataFrame = {
+    val spark = df.sparkSession
+    // `div`, not `/`: the Column `/` operator is double division,
+    // which drifts for ids past 2^53.
+    val bkt = expr(s"CAST(`$idCol` AS BIGINT) div $bucketSize")
+    val tagged = df.withColumn("__bkt", bkt)
+    // Pass 1: per-bucket totals (tiny result), cumsum'd on the driver.
+    val totals = tagged.groupBy("__bkt")
+      .agg(sum(col(nTokCol).cast("long")).as("__tot"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    require(totals.length <= maxBuckets,
+      s"${totals.length} buckets exceeds maxBuckets=$maxBuckets; " +
+        "raise bucketSize so the driver-side cumsum stays bounded")
+    var acc = 0L
+    val bases = totals.map { case (b, tot) =>
+      val base = acc; acc += tot; (b, base)
+    }
+    val baseDf = spark.createDataFrame(bases.toSeq)
+      .toDF("__bkt", "__base")
+    // Pass 2: bucket-local running total + broadcast bucket base.
+    val w = Window.partitionBy("__bkt").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tagged
+      .join(broadcast(baseDf), "__bkt")
+      .withColumn(offsetCol,
+        col("__base") +
+          coalesce(sum(col(nTokCol).cast("long")).over(w), lit(0L)))
+      .drop("__bkt", "__base")
+  }
+
+  /** Pack into training sequences of `seqLen` tokens: each document
+    * spans `[tok_offset, tok_offset + n_tokens)` of the concatenated
+    * token stream, so it contributes to sequences
+    * `[seq_first, seq_last]` (documents longer than `seqLen` span
+    * several; zero-token documents are pinned to the sequence at
+    * their offset). */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      nTokCol: String,
+      seqLen: Int,
+      bucketSize: Long = 1L << 20): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val withOff =
+      tokenOffsets(df, idCol, nTokCol, bucketSize = bucketSize)
+    val nt = col(nTokCol).cast("long")
+    withOff
+      .withColumn("__end", col("tok_offset") + greatest(nt, lit(1L)) - 1)
+      .withColumn("seq_first", expr(s"tok_offset div $seqLen"))
+      .withColumn("seq_last", expr(s"__end div $seqLen"))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+      .drop("__end")
+  }
+}
