@@ -285,6 +285,22 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // Z-order clustered layout: write lineitem clustered on
+    // (l_partkey, l_suppkey), read back through the per-file stats
+    // index, and run a two-sided range scan — files prune on BOTH
+    // columns at plan time (LayoutSpec counts them). The answer is
+    // layout-independent, so plain SQL is the oracle.
+    "q_zorder" -> ((s, d) => {
+      val dir = tmp("graft-q-zorder")
+      graft.operators.Layout.zorderWrite(
+        scan(s, d, "lineitem").toDF
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity"),
+        dir, Seq("l_partkey", "l_suppkey"), targetFiles = 16, bits = 8)
+      graft.operators.Layout.zorderRead(s, dir)
+        .filter(col("l_partkey") <= 100 && col("l_suppkey") <= 10)
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+    }),
+
     // Pivot with explicit value list: no extra distinct-values job,
     // one partial-agg shuffle — same plan shape as a plain groupBy.
     "q_pivot" -> ((s, d) =>
@@ -917,6 +933,9 @@ object SparkEntry {
         """SELECT l_returnflag, l_linestatus, count(*) AS n
            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+      "q_zorder" ->
+        """SELECT count(*) AS n, round(sum(l_quantity), 2) AS qty
+           FROM lineitem WHERE l_partkey <= 100 AND l_suppkey <= 10""",
       "q_pivot" ->
         """SELECT l_returnflag,
                   round(sum(CASE WHEN l_linestatus = 'F'

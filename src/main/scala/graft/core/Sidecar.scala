@@ -97,7 +97,7 @@ object Sidecar {
     * column's Spark SQL type, so driver-side comparisons and `lit()`
     * literals are exact.
     */
-  private def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+  private[graft] def coerce(v: Any, dt: DataType): Any = (v, dt) match {
     case (l: Long, IntegerType)   => l.toInt
     case (l: Long, ShortType)     => l.toShort
     case (l: Long, ByteType)      => l.toByte

@@ -39,7 +39,8 @@ final class GraftFileIndex(
     files: IndexedSeq[(Path, Long)],
     indexCols: Seq[String],
     lbs: IndexedSeq[Bound],
-    ubs: IndexedSeq[Bound]) extends FileIndex {
+    ubs: IndexedSeq[Bound],
+    independentStats: Boolean = false) extends FileIndex {
 
   /** Single-column convenience form (scalar bounds on the leading
     * index column only). */
@@ -97,7 +98,18 @@ final class GraftFileIndex(
       lb: Option[Option[Any]], ub: Option[Option[Any]])
 
   private def colRange(i: Int, c: Int, leadEq: Option[Any]): Option[ColRange] =
-    if (c == 0)
+    if (independentStats) {
+      // Independent per-column min/max mode (multi-dimensional
+      // layouts, e.g. z-order, where no lex division structure
+      // exists): lbs(i)(c)/ubs(i)(c) are the file's own scalar
+      // bounds for column c — every column prunes, no prefix
+      // condition. Encoding matches the lex ColRange semantics:
+      // lb None = file may contain nulls (least non-null unknown),
+      // ub None = all-null column.
+      if (c < lbs(i).length && c < ubs(i).length)
+        Some(ColRange(Some(lbs(i)(c)), Some(ubs(i)(c))))
+      else None
+    } else if (c == 0)
       Some(ColRange(Some(lbs(i).headOption.flatten),
         Some(ubs(i).headOption.flatten)))
     else if (c < lbs(i).length && c < ubs(i).length) {
@@ -270,6 +282,32 @@ object GraftRelations {
     val withSizes = graft.core.GraftFs.fileSizes(
       spark.sparkContext.hadoopConfiguration, files)
     val index = new GraftFileIndex(withSizes, indexCols, lbs, ubs)
+    relationDF(ss, index, schema)
+  }
+
+  /** Relation over files carrying INDEPENDENT per-column min/max
+    * stats (one scalar bound pair per column per file, no lex
+    * structure) — the read side of multi-dimensional clustering: a
+    * pushed filter on ANY stats column prunes files at plan time. */
+  def independentStatsParquetDF(
+      spark: SparkSession,
+      files: IndexedSeq[String],
+      schema: StructType,
+      statsCols: Seq[String],
+      lbs: IndexedSeq[Bound],
+      ubs: IndexedSeq[Bound]): DataFrame = {
+    val ss = spark.asInstanceOf[classic.SparkSession]
+    val withSizes = graft.core.GraftFs.fileSizes(
+      spark.sparkContext.hadoopConfiguration, files)
+    val index =
+      new GraftFileIndex(withSizes, statsCols, lbs, ubs, independentStats = true)
+    relationDF(ss, index, schema)
+  }
+
+  private def relationDF(
+      ss: classic.SparkSession,
+      index: GraftFileIndex,
+      schema: StructType): DataFrame = {
     val rel = HadoopFsRelation(
       index,
       partitionSchema = StructType(Nil),

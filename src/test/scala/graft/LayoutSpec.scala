@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Layout
+
+/** Z-order clustering: interleave correctness, write/read roundtrip,
+  * and plan-time file pruning on BOTH clustered columns. */
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("interleave spreads bits of each column to its stride") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L), (5L, 2L))
+      .toDF("a", "b")
+    val got = df.select(
+      Layout.interleave(Seq(col("a"), col("b")), bits = 4).as("z"))
+      .collect().map(_.getLong(0))
+    def ref(a: Long, b: Long): Long =
+      (0 until 4).map { j =>
+        (((a >> j) & 1L) << (2 * j)) | (((b >> j) & 1L) << (2 * j + 1))
+      }.reduce(_ | _)
+    val want = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L), (5L, 2L))
+      .map { case (a, b) => ref(a, b) }
+    assert(got.toSeq == want)
+  }
+
+  test("bucketOf is monotone and spans the bucket range") {
+    val cuts = Array(10.0, 20.0, 30.0)
+    val df = Seq(5L, 10L, 15L, 25L, 99L).toDF("v")
+    val got = df.select(Layout.bucketOf(col("v"), cuts).as("b"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(0, 1, 1, 2, 3))
+  }
+
+  val dir: String = java.nio.file.Files
+    .createTempDirectory("graft-layout-spec").resolve("z").toString
+
+  lazy val written: Unit = {
+    val li = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    Layout.zorderWrite(li, dir, Seq("l_partkey", "l_suppkey"),
+      targetFiles = 8, bits = 6)
+  }
+
+  test("zorder roundtrip preserves the dataset exactly") {
+    written
+    val li = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val back = Layout.zorderRead(spark, dir)
+    assert(back.count() == li.count())
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
+  }
+
+  test("range predicates on EITHER clustered column prune files") {
+    written
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scans)
+      }
+      scans(df.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+    }
+    val all = scannedFiles(Layout.zorderRead(spark, dir))
+    assert(all >= 4, s"want >=4 files for a meaningful pruning test, got $all")
+    // A tight two-sided box must scan strictly fewer files than the
+    // full table — on BOTH columns, which a lex layout cannot do.
+    val byA = scannedFiles(Layout.zorderRead(spark, dir)
+      .filter(col("l_partkey") <= 10))
+    val byB = scannedFiles(Layout.zorderRead(spark, dir)
+      .filter(col("l_suppkey") <= 1))
+    assert(byA < all, s"l_partkey range did not prune: $byA of $all")
+    assert(byB < all, s"l_suppkey range did not prune: $byB of $all")
+    // and the results stay correct vs the unpruned scan
+    val want = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .filter(col("l_partkey") <= 10).count()
+    val got = Layout.zorderRead(spark, dir)
+      .filter(col("l_partkey") <= 10).count()
+    assert(got == want)
+  }
+
+  test("stats survive null values soundly") {
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 1L), (2L, null), (3L, 3L), (4L, 4L), (5L, 5L), (6L, 6L),
+      (7L, 7L), (8L, 8L))
+      .toDF("a", "b")
+    val d2 = java.nio.file.Files
+      .createTempDirectory("graft-layout-null").resolve("z").toString
+    Layout.zorderWrite(df, d2, Seq("a", "b"), targetFiles = 4, bits = 3)
+    val back = Layout.zorderRead(spark, d2)
+    assert(back.filter(col("b").isNull).count() == 1)
+    assert(back.filter(col("b") === 3L).count() == 1)
+    assert(back.count() == 8)
+  }
+}
