@@ -608,14 +608,14 @@ object SparkEntry {
     // Concatenate-and-chunk sequence packing: every document's global
     // token offset (distributed two-pass prefix sum — no global sort,
     // no single-partition window) and the 512-token training
-    // sequences it spans. bucketSize=500 forces the multi-bucket
-    // path at every SF; offsets are bucketing-independent.
+    // sequences it spans. buckets=16 forces the multi-bucket
+    // quantile path at every SF; offsets are bucketing-independent.
     "q_pack_sequences" -> ((s, d) => {
       val docs = scan(s, d, "documents").toDF.select(
         col("doc_id"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
       graft.operators.Packing.packSequences(
-        docs, "doc_id", "n_tokens", seqLen = 512, bucketSize = 500)
+        docs, "doc_id", "n_tokens", seqLen = 512, buckets = 16)
         .select("doc_id", "n_tokens", "tok_offset",
           "seq_first", "seq_last", "n_seqs")
         .orderBy("doc_id")

@@ -14,23 +14,29 @@ import org.apache.spark.sql.functions._
   * two-pass way (reference semantics: a plain running total over the
   * id order — e.g. numpy cumsum in single-node pipelines):
   *
-  *  1. one narrow pass aggregates per-bucket token totals (map-side
-  *     combine shuffles only one row per bucket),
-  *  2. the per-bucket totals — bounded by `maxBuckets`, NOT by data
-  *     size — are cumsum'd on the driver into per-bucket base
-  *     offsets and broadcast back,
+  *  1. one `approxQuantile` pass over the id column places at most
+  *     `buckets - 1` cut points, so the id space is bucketed evenly
+  *     for ANY id distribution — dense row numbers and sparse 63-bit
+  *     content hashes alike — with the bucket count bounded by
+  *     construction, not by the id range;
+  *  2. one narrow pass aggregates per-bucket token totals (map-side
+  *     combine shuffles only one row per bucket), which are cumsum'd
+  *     on the driver — a collect of at most `buckets` rows — into
+  *     per-bucket base offsets and broadcast back;
   *  3. one shuffle clusters rows by bucket, where a within-bucket
   *     window adds the local running total to the bucket base.
   *
-  * Total cost at any scale: two scans, one data shuffle (by bucket),
-  * one broadcast of #buckets rows. No global sort, no single-partition
-  * window — the two shapes that stop working past a few hundred GB.
+  * Total cost at any scale: three scans (quantile sketch, totals,
+  * final), one data shuffle (by bucket), one broadcast of #buckets
+  * rows. No global sort, no single-partition window — the two shapes
+  * that stop working past a few hundred GB.
   *
-  * Contract: `idCol` values are unique and non-null, and the bucket
-  * function is monotone non-decreasing in id (the default
-  * `id / bucketSize` is, for non-negative integer ids), so that
-  * "bucket order then id order" equals global id order. Offsets are
-  * independent of `bucketSize`; it only balances the shuffle.
+  * Contract: `idCol` is numeric, unique and non-null. Bucketing by
+  * binary search over quantile cuts of `CAST(id AS DOUBLE)` is
+  * monotone non-decreasing in id (long→double is order-preserving up
+  * to ties, and tied doubles land in one bucket), so "bucket order
+  * then id order" equals global id order. Offsets are independent of
+  * `buckets`; it only balances the shuffle.
   */
 object Packing {
 
@@ -42,29 +48,37 @@ object Packing {
       idCol: String,
       nTokCol: String,
       offsetCol: String = "tok_offset",
-      bucketSize: Long = 1L << 20,
-      maxBuckets: Int = 1 << 22): DataFrame = {
+      buckets: Int = 1 << 10,
+      relErr: Double = 1e-4): DataFrame = {
+    require(buckets >= 1 && buckets <= (1 << 16),
+      s"buckets must be in [1, 65536], got $buckets " +
+        "(the driver cumsum and the broadcast are #buckets rows)")
     val spark = df.sparkSession
-    // `div`, not `/`: the Column `/` operator is double division,
-    // which drifts for ids past 2^53.
-    val bkt = expr(s"CAST(`$idCol` AS BIGINT) div $bucketSize")
+    // Quantile-derived cut points: ~equal ROW counts per bucket
+    // regardless of how ids are distributed over their range.
+    val cuts: Array[Double] =
+      if (buckets == 1) Array.empty
+      else df.stat.approxQuantile(
+        idCol, (1 until buckets).map(_.toDouble / buckets).toArray, relErr)
+        .distinct.sorted
+    val bkt: Column =
+      if (cuts.isEmpty) lit(0)
+      else Layout.bucketOf(col(idCol), cuts)
     val tagged = df.withColumn("__bkt", bkt)
-    // Pass 1: per-bucket totals (tiny result), cumsum'd on the driver.
+    // Pass 2: per-bucket totals (≤ `buckets` rows), cumsum'd on the
+    // driver.
     val totals = tagged.groupBy("__bkt")
       .agg(sum(col(nTokCol).cast("long")).as("__tot"))
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+      .map(r => (r.getInt(0), r.getLong(1)))
       .sortBy(_._1)
-    require(totals.length <= maxBuckets,
-      s"${totals.length} buckets exceeds maxBuckets=$maxBuckets; " +
-        "raise bucketSize so the driver-side cumsum stays bounded")
     var acc = 0L
     val bases = totals.map { case (b, tot) =>
       val base = acc; acc += tot; (b, base)
     }
     val baseDf = spark.createDataFrame(bases.toSeq)
       .toDF("__bkt", "__base")
-    // Pass 2: bucket-local running total + broadcast bucket base.
+    // Pass 3: bucket-local running total + broadcast bucket base.
     val w = Window.partitionBy("__bkt").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     tagged
@@ -86,10 +100,10 @@ object Packing {
       idCol: String,
       nTokCol: String,
       seqLen: Int,
-      bucketSize: Long = 1L << 20): DataFrame = {
+      buckets: Int = 1 << 10): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     val withOff =
-      tokenOffsets(df, idCol, nTokCol, bucketSize = bucketSize)
+      tokenOffsets(df, idCol, nTokCol, buckets = buckets)
     val nt = col(nTokCol).cast("long")
     withOff
       .withColumn("__end", col("tok_offset") + greatest(nt, lit(1L)) - 1)

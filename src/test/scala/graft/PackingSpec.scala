@@ -28,29 +28,59 @@ class PackingSpec extends AnyFunSuite {
   test("tokenOffsets equals the global running total, any bucketing") {
     val data = (0L until 100L).map(i => (i, (i * 7 + 3) % 29)).toDF("id", "nt")
     val want = globalOffsets(data)
-    for (bucketSize <- Seq(1L, 7L, 64L, 1L << 20)) {
+    for (buckets <- Seq(1, 7, 64, 1 << 10)) {
       val got = Packing.tokenOffsets(data, "id", "nt",
-        bucketSize = bucketSize)
+        buckets = buckets)
         .select("id", "tok_offset")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == want, s"bucketSize=$bucketSize")
+      assert(got == want, s"buckets=$buckets")
     }
   }
 
-  test("tokenOffsets: sparse, non-contiguous ids and empty buckets") {
+  test("tokenOffsets: sparse, non-contiguous ids") {
     val data = Seq((5L, 10L), (1000000L, 3L), (99L, 0L), (7L, 1L))
       .toDF("id", "nt")
     val want = globalOffsets(data)
-    val got = Packing.tokenOffsets(data, "id", "nt", bucketSize = 10)
+    val got = Packing.tokenOffsets(data, "id", "nt", buckets = 10)
       .select("id", "tok_offset")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == want)
   }
 
+  test("tokenOffsets: sparse 63-bit hashed ids, buckets ≪ id range") {
+    // The id shape a real pretraining pipeline uses: content-hash doc
+    // ids scattered over [0, 2^60). The old `id div bucketSize`
+    // bucketing needed ~2^40 buckets here; quantile cuts bound the
+    // bucket count (and the driver cumsum) by construction.
+    val ids = (0 until 500).map { i =>
+      // deterministic 60-bit spread (golden-ratio multiply, masked)
+      (i.toLong * 0x9E3779B97F4A7C15L) & ((1L << 60) - 1)
+    }
+    assert(ids.distinct.length == ids.length)
+    assert(ids.max > (1L << 55)) // genuinely sparse
+    val data = ids.zipWithIndex
+      .map { case (id, i) => (id, (i * 13 + 1).toLong % 37) }
+      .toDF("id", "nt")
+    val want = globalOffsets(data)
+    for (buckets <- Seq(3, 32, 1 << 16)) {
+      val got = Packing.tokenOffsets(data, "id", "nt", buckets = buckets)
+        .select("id", "tok_offset")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"buckets=$buckets")
+    }
+  }
+
+  test("tokenOffsets rejects an unbounded driver cumsum") {
+    val data = Seq((1L, 2L)).toDF("id", "nt")
+    intercept[IllegalArgumentException] {
+      Packing.tokenOffsets(data, "id", "nt", buckets = (1 << 16) + 1)
+    }
+  }
+
   test("packSequences spans are consistent and cover the stream") {
     val data = (0L until 50L).map(i => (i, (i * 13 + 1) % 700)).toDF("id", "nt")
     val rows = Packing.packSequences(data, "id", "nt", seqLen = 256,
-      bucketSize = 8)
+      buckets = 8)
       .select("id", "nt", "tok_offset", "seq_first", "seq_last", "n_seqs")
       .collect().sortBy(_.getLong(0))
     var expectedOff = 0L
