@@ -70,12 +70,26 @@ object Bench {
       s"\"" + k + "\":" + ts.map(f).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // Two lines, diagnostic first, canonical LAST: consumers that keep
-    // only the final ~2KB of the log (or the last JSON-looking line)
-    // must still see one complete, compact {"metric":...} line. The
-    // per-run arrays push a single combined line past that window, so
-    // they ride on their own preceding line.
-    println(s"""{"metric":"runs_detail","runs":$rs,"wall_sec":${f(wallSec)},"proc_cpu_sec":${f(cpuSec)}}""")
+    // The full per-run detail goes to a FILE: log-tail truncation was
+    // cutting the stdout runs_detail line to a handful of queries,
+    // defeating its purpose (making contended runs self-diagnosing
+    // from the artifact alone). Stdout keeps the same two lines,
+    // diagnostic first, canonical LAST: consumers that keep only the
+    // final ~2KB of the log (or the last JSON-looking line) must
+    // still see one complete, compact {"metric":...} line.
+    val detail =
+      s"""{"metric":"runs_detail","runs":$rs,"wall_sec":${f(wallSec)},"proc_cpu_sec":${f(cpuSec)}}"""
+    val runsFile = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_RUNS_FILE", "target/bench_runs.json"))
+    try {
+      Option(runsFile.getParent)
+        .foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(runsFile,
+        (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"bench: could not write $runsFile: $e")
+    }
+    println(detail)
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
