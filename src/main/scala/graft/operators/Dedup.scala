@@ -411,8 +411,14 @@ object Dedup {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.types.BinaryType
     val sh = TextFunctions.wordShingles(_: Column, shingleWords)
+    // Cached: the shingle set is read three times (size the filter,
+    // build it, verify join) — one shuffle computes it, the other two
+    // consumers hit the cache. MEMORY_AND_DISK (the default) keeps an
+    // oversized benchmark off the OOM path; the entry stays cached for
+    // the returned (lazy) plan's verify join and is evicted LRU.
     val benchShingles = benchmark
       .select(explode(sh(col(textCol))).as("__s")).distinct()
+      .cache()
     // Two bounded jobs over the SMALL side: size the filter, build it.
     val n = math.max(benchShingles.count(), 1L)
     val bf = benchShingles.select(xxhash64(col("__s")).as("__h"))

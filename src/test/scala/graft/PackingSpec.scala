@@ -134,6 +134,26 @@ class PackingSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
   }
 
+  test("decontaminateBloom evaluates the benchmark side once") {
+    // The shingle set feeds three consumers (count, bloom build,
+    // verify join); the cache must make the benchmark scan happen
+    // exactly once. Instrument the source with an accumulator that
+    // counts row evaluations.
+    val acc = spark.sparkContext.longAccumulator("benchEvals")
+    val benchRows = docs.filter(col("doc_id") % 97 === 0)
+      .select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val bench = benchRows.toDS()
+      .map { t => acc.add(1); t }
+      .toDF("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val out = Dedup.decontaminateBloom(corpus, bench, "doc_id", "text", 4)
+    out.collect() // runs the verify join (third consumer)
+    assert(acc.value == benchRows.length.toLong,
+      s"benchmark side evaluated ${acc.value} row-evals for " +
+        s"${benchRows.length} rows — expected exactly one pass")
+  }
+
   test("decontaminateBloom plan carries the might_contain prefilter") {
     val corpus = docs.filter(col("doc_id") % 97 =!= 0)
     val bench = docs.filter(col("doc_id") % 97 === 0)
