@@ -89,6 +89,83 @@ class LayoutSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    scans(df.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+  }
+
+  test("zorderAppend lands increments in the existing bucket space") {
+    val li = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val batch1 = li.filter(col("l_orderkey") % 2 === 0)
+    val batch2 = li.filter(col("l_orderkey") % 2 =!= 0)
+    val d = java.nio.file.Files
+      .createTempDirectory("graft-layout-append").resolve("z").toString
+    Layout.zorderWrite(batch1, d, Seq("l_partkey", "l_suppkey"),
+      targetFiles = 8, bits = 6)
+    Layout.zorderAppend(batch2, d, targetFiles = 4)
+    // roundtrip exact across old + new files
+    val back = Layout.zorderRead(spark, d)
+    assert(back.count() == li.count())
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
+    // pruning still effective across BOTH generations and BOTH columns
+    val all = scannedFiles(back)
+    assert(all >= 10, s"append should add files, got $all")
+    val byA = scannedFiles(Layout.zorderRead(spark, d)
+      .filter(col("l_partkey") <= 10))
+    val byB = scannedFiles(Layout.zorderRead(spark, d)
+      .filter(col("l_suppkey") <= 1))
+    assert(byA < all, s"l_partkey range did not prune: $byA of $all")
+    assert(byB < all, s"l_suppkey range did not prune: $byB of $all")
+    val want = li.filter(col("l_partkey") <= 10).count()
+    assert(Layout.zorderRead(spark, d)
+      .filter(col("l_partkey") <= 10).count() == want)
+  }
+
+  test("zorderRead takes the schema from the sidecar, not a footer") {
+    // Replace the glob-first data file with a schema-NARROWER parquet
+    // (only column `a`): a footer-inferred schema would silently
+    // define the relation as 1-column; the sidecar schema must win,
+    // with the narrow file's missing column read as null.
+    val df = (1L to 80L).map(i => (i, i * 10)).toDF("a", "b")
+    val d = java.nio.file.Files
+      .createTempDirectory("graft-layout-schema").resolve("z").toString
+    Layout.zorderWrite(df, d, Seq("a", "b"), targetFiles = 4, bits = 3)
+    val dirPath = new java.io.File(d)
+    val first = dirPath.listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")
+        && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getName).sorted.head
+    val tmpD = java.nio.file.Files
+      .createTempDirectory("graft-layout-schema-narrow").toString
+    Seq(-1L).toDF("a").coalesce(1).write.mode("overwrite").parquet(tmpD)
+    val part = new java.io.File(tmpD).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(dirPath, first).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // drop the local-FS checksum shadow of the replaced file
+    new java.io.File(dirPath, s".$first.crc").delete()
+    val back = Layout.zorderRead(spark, d)
+    assert(back.schema.fieldNames.toSeq == Seq("a", "b"))
+    // No filter: the replaced file's sidecar stats are deliberately
+    // stale, so a pushed predicate would prune it — the point here is
+    // only that the RELATION schema comes from the sidecar and the
+    // narrow file's missing column reads as null.
+    val rows = back.collect()
+    assert(rows.exists(r => r.getLong(0) == -1L && r.isNullAt(1)))
+  }
+
   test("stats survive null values soundly") {
     val df = Seq[(java.lang.Long, java.lang.Long)](
       (1L, 1L), (2L, null), (3L, 3L), (4L, 4L), (5L, 5L), (6L, 6L),
