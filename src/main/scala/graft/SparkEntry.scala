@@ -592,6 +592,20 @@ object SparkEntry {
         .withColumn("keep", col("reason") === "ok")
         .orderBy("doc_id")),
 
+    // Gopher-style repetition gates: duplicate-line char fraction,
+    // top-trigram share, repeated-trigram ratio — one kernel pass,
+    // aliased once so the three extractions don't re-run it.
+    "q_quality_repetition" -> ((s, d) =>
+      scan(s, d, "documents").toDF
+        .withColumn("__r",
+          TextFunctions.repetitionStats(col("text"), 3))
+        .select(
+          col("doc_id"),
+          col("__r").getItem(0).as("dup_line_frac"),
+          col("__r").getItem(1).as("top_ngram_frac"),
+          col("__r").getItem(2).as("dup_ngram_frac"))
+        .orderBy("doc_id")),
+
     "q_sample_stratified" -> ((s, d) =>
       graft.operators.Sampling.stratifiedSample(
         scan(s, d, "documents").toDF, "lang", "doc_id",
@@ -1190,6 +1204,45 @@ object SparkEntry {
              FROM t)
            SELECT doc_id, reason, reason = 'ok' AS keep
            FROM r ORDER BY doc_id""",
+      // Repetition signals: exact-line groups (char-weighted, len =
+      // code points in both engines) + the clamped-slice trigram
+      // construction with duplicates KEPT; every fraction is a
+      // quotient of exact integers, so IEEE division bit-matches.
+      "q_quality_repetition" ->
+        """WITH lines AS (
+             SELECT doc_id, unnest(string_split(text, chr(10))) AS ln
+             FROM documents),
+           lc AS (
+             SELECT doc_id, ln, count(*) AS c, len(ln) AS w
+             FROM lines GROUP BY doc_id, ln),
+           lf AS (
+             SELECT doc_id,
+                    CAST(sum(CASE WHEN c > 1 THEN w * c ELSE 0 END) AS DOUBLE)
+                      / CAST(greatest(sum(w * c), 1) AS DOUBLE)
+                      AS dup_line_frac
+             FROM lc GROUP BY doc_id),
+           docs AS (
+             SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+             FROM documents),
+           grams AS (
+             SELECT doc_id,
+                    unnest(list_transform(
+                      range(1, greatest(len(w)-2, 1)+1),
+                      i -> array_to_string(
+                             list_slice(w, CAST(i AS INT), CAST(i AS INT)+2),
+                             ' '))) AS g
+             FROM docs),
+           gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+           ng AS (
+             SELECT doc_id,
+                    CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+                      AS top_ngram_frac,
+                    CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+                      AS dup_ngram_frac
+             FROM gc GROUP BY doc_id)
+           SELECT l.doc_id, l.dup_line_frac, n.top_ngram_frac, n.dup_ngram_frac
+           FROM lf l JOIN ng n ON l.doc_id = n.doc_id
+           ORDER BY l.doc_id""",
       // md5-derived uniform fraction vs per-stratum target — the
       // keep decision is bit-identical across engines
       "q_sample_stratified" ->

@@ -72,6 +72,16 @@ object TextFunctions {
       .otherwise(lit("ok"))
   }
 
+  /** Gopher-style repetition signals in one kernel pass:
+    * `array(dup_line_frac, top_ngram_frac, dup_ngram_frac)` — the
+    * char-weighted duplicate-line fraction, the most-frequent word
+    * n-gram's share of occurrences, and the repeated-occurrence
+    * n-gram ratio. Alias the array once (withColumn) and extract the
+    * three elements in a later projection; see
+    * [[RepetitionStatsExpr]] for the exact-rederivation contract. */
+  def repetitionStats(c: Column, n: Int = 3): Column =
+    RepetitionExpressions.repetitionStats(c, n)
+
   /** Composite quality score in [0,1]: length signal x moderate
     * punctuation x mean token length sanity. Deterministic arithmetic
     * only, so it doubles as an oracle-checkable quality filter. */

@@ -140,6 +140,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(hasBroadcast, "benchmark shingles should broadcast")
   }
 
+  test("repetitionStats: hand-computed fractions, edge cases") {
+    def stats(t: String): (Double, Double, Double) = {
+      val r = Seq(t).toDF("t")
+        .select(TextFunctions.repetitionStats(col("t"), 2).as("r"))
+        .collect().head.getSeq[Double](0)
+      (r(0), r(1), r(2))
+    }
+    // lines: "a b","a b","c" -> dup chars 6 of 7; bigrams of
+    // [a,b,a,b,c]: "a b","b a","a b","b c" -> top 2/4, dup (4-3)/4
+    assert(stats("a b\na b\nc") == (6.0 / 7.0, 0.5, 0.25))
+    // no repetition anywhere
+    assert(stats("x y z") == (0.0, 1.0 / 2.0, 0.0))
+    // empty text: one empty line (0 chars), one empty token-gram
+    assert(stats("") == (0.0, 1.0, 0.0))
+    // char-weighting uses code points (multi-byte chars count once)
+    assert(stats("ééé\nééé\nz")._1 == 6.0 / 7.0)
+    // interpreted and codegen paths agree on real docs
+    val onDocs = docs.limit(50)
+      .select(TextFunctions.repetitionStats(col("text"), 3).as("r"))
+      .collect()
+    assert(onDocs.forall { row =>
+      val r = row.getSeq[Double](0)
+      r.forall(v => v >= 0.0 && v <= 1.0)
+    })
+    // the aliased kernel must survive as ONE evaluation — CollapseProject
+    // must not inline a non-cheap alias into its three extractions
+    val plan = docs
+      .withColumn("__r", TextFunctions.repetitionStats(col("text"), 3))
+      .select(col("doc_id"),
+        col("__r").getItem(0).as("a"),
+        col("__r").getItem(1).as("b"),
+        col("__r").getItem(2).as("c"))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.sliding("repetition_stats".length).count(
+      _ == "repetition_stats") == 1, plan)
+  }
+
   test("simhash hamming distance small for near-dups, large for others") {
     val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 6)
     val nd = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.9)
