@@ -26,11 +26,13 @@ import graft.core.Lex.Bound
   * `ordering.py:69-95`). On the LEADING column the tuple bounds always
   * yield a scalar range: a None upper bound means the file is all-null
   * in that column; a None lower bound means it may contain nulls. On
-  * a LATER column c a scalar range is derivable when every preceding
-  * column is constant across the file (common after a repartition on
-  * a low-cardinality prefix), and one-sided on column 1 when a
-  * conjunct pins the leading column to exactly a file's edge value
-  * (c1 = lb1 implies c2 >= lb2; c1 = ub1 implies c2 <= ub2).
+  * a LATER column c, bounds derive from the lex tuples through an
+  * arbitrary-depth prefix: each side (lower/upper) of column c is
+  * known when every preceding column stays ON that edge of the tuple,
+  * either because the column is constant across the file (common
+  * after a repartition on a low-cardinality prefix) or because a
+  * top-level equality conjunct pins it to exactly the edge value —
+  * so a conjunction (c1 = a, c2 = b, c3 range) prunes by all three.
   * Comparisons never match null rows, IS NULL matches only
   * possibly-null files. Pruning is conservative: any filter shape or
   * column whose range isn't derivable keeps every file.
@@ -67,19 +69,20 @@ final class GraftFileIndex(
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    // Cross-conjunct context: an equality pinning the LEADING column
-    // lets second-column constraints prune files whose tuple bounds
-    // start or end exactly at that value.
-    val leadEq: Option[Any] = dataFilters.flatMap(conjuncts).collectFirst {
+    // Cross-conjunct context: top-level equalities pinning index
+    // columns let LATER-column constraints prune files whose tuple
+    // bounds start or end exactly at the pinned prefix (equalities
+    // inside an Or are branch-local and deliberately not collected).
+    val eqs: Map[Int, Any] = dataFilters.flatMap(conjuncts).collect {
       case EqualTo(a: AttributeReference, l: Literal)
-          if posOf(a) == 0 && l.value != null =>
-        CatalystTypeConverters.convertToScala(l.value, l.dataType)
+          if posOf(a) >= 0 && l.value != null =>
+        posOf(a) -> CatalystTypeConverters.convertToScala(l.value, l.dataType)
       case EqualTo(l: Literal, a: AttributeReference)
-          if posOf(a) == 0 && l.value != null =>
-        CatalystTypeConverters.convertToScala(l.value, l.dataType)
-    }
+          if posOf(a) >= 0 && l.value != null =>
+        posOf(a) -> CatalystTypeConverters.convertToScala(l.value, l.dataType)
+    }.reverse.toMap // first pin per column wins
     val keep = dataFilters.foldLeft(files.indices.toSet) { (acc, f) =>
-      keepSet(f, leadEq).fold(acc)(acc.intersect)
+      keepSet(f, eqs).fold(acc)(acc.intersect)
     }
     Seq(PartitionDirectory(InternalRow.empty,
       statuses.indices.filter(keep).map(statuses).toArray))
@@ -97,7 +100,7 @@ final class GraftFileIndex(
   private final case class ColRange(
       lb: Option[Option[Any]], ub: Option[Option[Any]])
 
-  private def colRange(i: Int, c: Int, leadEq: Option[Any]): Option[ColRange] =
+  private def colRange(i: Int, c: Int, eqs: Map[Int, Any]): Option[ColRange] =
     if (independentStats) {
       // Independent per-column min/max mode (multi-dimensional
       // layouts, e.g. z-order, where no lex division structure
@@ -113,58 +116,70 @@ final class GraftFileIndex(
       Some(ColRange(Some(lbs(i).headOption.flatten),
         Some(ubs(i).headOption.flatten)))
     else if (c < lbs(i).length && c < ubs(i).length) {
-      // Column c has a derivable scalar range when every PRECEDING
-      // column is constant across the file (lex order then defers to
-      // column c on both bound tuples).
-      val constPrefix = (0 until c).forall(j =>
-        Lex.nullableCmp(lbs(i)(j), ubs(i)(j)) == 0)
-      if (constPrefix)
-        Some(ColRange(Some(lbs(i)(c)), Some(ubs(i)(c))))
-      else if (c == 1) {
-        // One varying leading column: an equality pinning it to
-        // exactly a tuple edge still bounds column 1 one-sidedly.
-        val l1 = lbs(i)(0); val u1 = ubs(i)(0)
-        leadEq match {
-          case Some(v) if Lex.nullableCmp(Some(v), l1) == 0 =>
-            Some(ColRange(Some(lbs(i)(1)), None)) // tuple lower edge
-          case Some(v) if Lex.nullableCmp(Some(v), u1) == 0 =>
-            Some(ColRange(None, Some(ubs(i)(1)))) // tuple upper edge
-          case _ => None
-        }
-      } else None
+      // Column c's scalar bounds derive from the lex-tuple bounds when
+      // every row under the pushed equalities sits ON a bound tuple's
+      // prefix. Track both edges through the prefix:
+      //   atLb(j): considered rows have r_m == lb_m for all m <= j
+      //     (then lex row >= lb defers past j, so r_{j+1} >= lb_{j+1});
+      //   atUb(j): symmetrically for the upper tuple.
+      // Position j stays on an edge if a conjunct pins it to exactly
+      // that edge value, or if the column is constant across the file
+      // — which itself needs BOTH edges held so far (r_j >= lb_j from
+      // atLb needs matching r_j <= ub_j = lb_j from atUb to collapse).
+      // This subsumes the old one-level rules: a constant prefix keeps
+      // both edges; an equality at a tuple edge keeps that edge only,
+      // bounding column c one-sidedly.
+      var atLb = true
+      var atUb = true
+      var j = 0
+      while (j < c && (atLb || atUb)) {
+        val lbj = lbs(i)(j); val ubj = ubs(i)(j)
+        val const = Lex.nullableCmp(lbj, ubj) == 0
+        val pin = eqs.get(j)
+        val pinLb = pin.exists(v => Lex.nullableCmp(Some(v), lbj) == 0)
+        val pinUb = pin.exists(v => Lex.nullableCmp(Some(v), ubj) == 0)
+        val nextLb = atLb && (pinLb || (atUb && const))
+        val nextUb = atUb && (pinUb || (atLb && const))
+        atLb = nextLb; atUb = nextUb
+        j += 1
+      }
+      if (atLb && atUb) Some(ColRange(Some(lbs(i)(c)), Some(ubs(i)(c))))
+      else if (atLb) Some(ColRange(Some(lbs(i)(c)), None))
+      else if (atUb) Some(ColRange(None, Some(ubs(i)(c))))
+      else None
     } else None
 
   /** File indices that may satisfy `e`; None = cannot analyze (keep
     * all). Conjunction intersects, disjunction unions. */
-  private def keepSet(e: Expression, leadEq: Option[Any]): Option[Set[Int]] = e match {
+  private def keepSet(e: Expression, eqs: Map[Int, Any]): Option[Set[Int]] = e match {
     case And(l, r) =>
-      (keepSet(l, leadEq), keepSet(r, leadEq)) match {
+      (keepSet(l, eqs), keepSet(r, eqs)) match {
         case (Some(a), Some(b)) => Some(a.intersect(b))
         case (a, b)             => a.orElse(b)
       }
     case Or(l, r) =>
-      for (a <- keepSet(l, leadEq); b <- keepSet(r, leadEq)) yield a.union(b)
-    case GreaterThanOrEqual(a: AttributeReference, l: Literal) => cmpSet(a, l, ">=", leadEq)
-    case GreaterThanOrEqual(l: Literal, a: AttributeReference) => cmpSet(a, l, "<=", leadEq)
-    case GreaterThan(a: AttributeReference, l: Literal) => cmpSet(a, l, ">", leadEq)
-    case GreaterThan(l: Literal, a: AttributeReference) => cmpSet(a, l, "<", leadEq)
-    case LessThanOrEqual(a: AttributeReference, l: Literal) => cmpSet(a, l, "<=", leadEq)
-    case LessThanOrEqual(l: Literal, a: AttributeReference) => cmpSet(a, l, ">=", leadEq)
-    case LessThan(a: AttributeReference, l: Literal) => cmpSet(a, l, "<", leadEq)
-    case LessThan(l: Literal, a: AttributeReference) => cmpSet(a, l, ">", leadEq)
-    case EqualTo(a: AttributeReference, l: Literal) => cmpSet(a, l, "=", leadEq)
-    case EqualTo(l: Literal, a: AttributeReference) => cmpSet(a, l, "=", leadEq)
+      for (a <- keepSet(l, eqs); b <- keepSet(r, eqs)) yield a.union(b)
+    case GreaterThanOrEqual(a: AttributeReference, l: Literal) => cmpSet(a, l, ">=", eqs)
+    case GreaterThanOrEqual(l: Literal, a: AttributeReference) => cmpSet(a, l, "<=", eqs)
+    case GreaterThan(a: AttributeReference, l: Literal) => cmpSet(a, l, ">", eqs)
+    case GreaterThan(l: Literal, a: AttributeReference) => cmpSet(a, l, "<", eqs)
+    case LessThanOrEqual(a: AttributeReference, l: Literal) => cmpSet(a, l, "<=", eqs)
+    case LessThanOrEqual(l: Literal, a: AttributeReference) => cmpSet(a, l, ">=", eqs)
+    case LessThan(a: AttributeReference, l: Literal) => cmpSet(a, l, "<", eqs)
+    case LessThan(l: Literal, a: AttributeReference) => cmpSet(a, l, ">", eqs)
+    case EqualTo(a: AttributeReference, l: Literal) => cmpSet(a, l, "=", eqs)
+    case EqualTo(l: Literal, a: AttributeReference) => cmpSet(a, l, "=", eqs)
     case IsNull(a: AttributeReference) if posOf(a) >= 0 =>
       val c = posOf(a)
       Some(files.indices.filter { i =>
         // a file may hold a null iff its known lower bound is null
-        colRange(i, c, leadEq).forall(_.lb.forall(_.isEmpty))
+        colRange(i, c, eqs).forall(_.lb.forall(_.isEmpty))
       }.toSet)
     case IsNotNull(a: AttributeReference) if posOf(a) >= 0 =>
       val c = posOf(a)
       Some(files.indices.filter { i =>
         // a file may hold a non-null iff its known upper bound is non-null
-        colRange(i, c, leadEq).forall(_.ub.forall(_.nonEmpty))
+        colRange(i, c, eqs).forall(_.ub.forall(_.nonEmpty))
       }.toSet)
     // IN-list: union of the per-value equality keep sets. A null list
     // element never matches (three-valued IN), so it prunes freely.
@@ -173,13 +188,13 @@ final class GraftFileIndex(
       val c = posOf(a)
       Some(list.collect {
         case Literal(v, dt) if v != null =>
-          eqKeep(CatalystTypeConverters.convertToScala(v, dt), c, leadEq)
+          eqKeep(CatalystTypeConverters.convertToScala(v, dt), c, eqs)
       }.foldLeft(Set.empty[Int])(_ union _))
     // Optimizer-converted large IN-lists carry internal values.
     case InSet(a: AttributeReference, hset) if posOf(a) >= 0 =>
       val c = posOf(a)
       Some(hset.filter(_ != null).map(v =>
-        eqKeep(CatalystTypeConverters.convertToScala(v, a.dataType), c, leadEq))
+        eqKeep(CatalystTypeConverters.convertToScala(v, a.dataType), c, eqs))
         .foldLeft(Set.empty[Int])(_ union _))
     // Prefix match on a string index: matching strings form the range
     // [p, sup) where sup is the least string above every p-prefixed
@@ -190,7 +205,7 @@ final class GraftFileIndex(
       val c = posOf(a)
       val prefix = p.toString
       Some(files.indices.filter { i =>
-        colRange(i, c, leadEq).forall { r =>
+        colRange(i, c, eqs).forall { r =>
           mayGeq(r, prefix, strict = false) &&
             r.lb.forall(_.forall(lb => Lex.valueCmp(lb, prefix) < 0 ||
               lb.toString.startsWith(prefix)))
@@ -200,9 +215,9 @@ final class GraftFileIndex(
   }
 
   /** Files whose column-`c` range may contain exactly `ext` (non-null). */
-  private def eqKeep(ext: Any, c: Int, leadEq: Option[Any]): Set[Int] =
+  private def eqKeep(ext: Any, c: Int, eqs: Map[Int, Any]): Set[Int] =
     files.indices.filter { i =>
-      colRange(i, c, leadEq).forall(r =>
+      colRange(i, c, eqs).forall(r =>
         mayGeq(r, ext, strict = false) && mayLeq(r, ext, strict = false))
     }.toSet
 
@@ -237,14 +252,14 @@ final class GraftFileIndex(
     * `op` the literal. All-null columns never satisfy a comparison. */
   private def cmpSet(
       attr: Expression, lit: Expression, op: String,
-      leadEq: Option[Any]): Option[Set[Int]] =
+      eqs: Map[Int, Any]): Option[Set[Int]] =
     (attr, lit) match {
       case (a: AttributeReference, l: Literal)
           if posOf(a) >= 0 && l.value != null =>
         val c = posOf(a)
         val ext = CatalystTypeConverters.convertToScala(l.value, l.dataType)
         Some(files.indices.filter { i =>
-          colRange(i, c, leadEq).forall { r =>
+          colRange(i, c, eqs).forall { r =>
             op match {
               case ">=" => mayGeq(r, ext, strict = false)
               case ">"  => mayGeq(r, ext, strict = true)

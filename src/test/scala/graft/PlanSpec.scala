@@ -226,6 +226,45 @@ class PlanSpec extends AnyFunSuite {
     assert(kept(IsNotNull(m)) == Set("p0.parquet", "p1.parquet", "p2.parquet"))
   }
 
+  test("equality-prefix conjunctions prune by the THIRD lex column") {
+    import org.apache.spark.sql.GraftFileIndex
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, GreaterThanOrEqual, LessThan, Literal}
+    import org.apache.spark.sql.types.LongType
+    val paths = (0 until 4).map(i =>
+      (new org.apache.hadoop.fs.Path(s"file:/tmp/p$i.parquet"), 100L))
+    def bb(a: Any, b: Any, c: Any): graft.core.Lex.Bound =
+      Vector(Option(a), Option(b), Option(c))
+    // tuple bounds on (k, m, n):
+    //   p0: [(1,1,10) .. (1,1,20)]  const (k,m) -> n in [10,20]
+    //   p1: [(1,2,30) .. (1,2,40)]  const (k,m) -> n in [30,40]
+    //   p2: [(1,2,50) .. (2,1, 5)]  k varies: n derivable only via pins
+    //   p3: [(2,1,10) .. (2,1,90)]  const (k,m) -> n in [10,90]
+    val idx = new GraftFileIndex(paths.toVector, Seq("k", "m", "n"),
+      Vector(bb(1L, 1L, 10L), bb(1L, 2L, 30L), bb(1L, 2L, 50L), bb(2L, 1L, 10L)),
+      Vector(bb(1L, 1L, 20L), bb(1L, 2L, 40L), bb(2L, 1L, 5L), bb(2L, 1L, 90L)))
+    val k = AttributeReference("k", LongType)()
+    val m = AttributeReference("m", LongType)()
+    val n = AttributeReference("n", LongType)()
+    def kept(es: org.apache.spark.sql.catalyst.expressions.Expression*) =
+      idx.listFiles(Nil, es).head.files.map(_.getPath.getName).toSet
+    // constant two-column prefixes expose third-column ranges
+    assert(kept(GreaterThanOrEqual(n, Literal(45L))) ==
+      Set("p2.parquet", "p3.parquet"))
+    // (k=1, m=2): p0 drops on m; p2's LOWER edge matches the pin, so
+    // n >= 50 there — n < 45 keeps only p1
+    assert(kept(And(And(EqualTo(k, Literal(1L)), EqualTo(m, Literal(2L))),
+      LessThan(n, Literal(45L)))) == Set("p1.parquet"))
+    // (k=2, m=1): p2's UPPER edge matches, so n <= 5 there; n >= 8
+    // keeps only p3
+    assert(kept(And(And(EqualTo(k, Literal(2L)), EqualTo(m, Literal(1L))),
+      GreaterThanOrEqual(n, Literal(8L)))) == Set("p3.parquet"))
+    // without a pin on the VARYING leading column, later columns of
+    // p2 derive nothing — it is kept conservatively while the
+    // const-prefix files prune by their own ranges
+    assert(kept(And(EqualTo(m, Literal(2L)),
+      GreaterThanOrEqual(n, Literal(45L)))) == Set("p2.parquet"))
+  }
+
   test("two-column predicate prunes planned files end-to-end") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
