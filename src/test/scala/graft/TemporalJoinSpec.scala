@@ -106,6 +106,29 @@ class TemporalJoinSpec extends AnyFunSuite {
     Fixtures.assertSameRows(lSalted, lPlain)
   }
 
+  test("salted right and full joins are row-identical to the plain joins") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+      .filter(col("l_orderkey") % 3 === 0) // leave right-only keys
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val rSalted = graft.operators.Skew
+      .saltedJoin(li, o, Seq("l_orderkey"), salts = 4, how = "right")
+    val rPlain = li.join(o, Seq("l_orderkey"), "right")
+    assert(rSalted.columns.toSeq == rPlain.columns.toSeq)
+    Fixtures.assertSameRows(rSalted, rPlain)
+    val fSalted = graft.operators.Skew
+      .saltedJoin(li, o, Seq("l_orderkey"), salts = 4, how = "full")
+    val fPlain = li.join(o, Seq("l_orderkey"), "full")
+    assert(fSalted.columns.toSeq == fPlain.columns.toSeq)
+    Fixtures.assertSameRows(fSalted, fPlain)
+    // unmatched rows on BOTH sides survive exactly once
+    assert(fSalted.filter(col("l_quantity").isNull).count() ==
+      fPlain.filter(col("l_quantity").isNull).count())
+    assert(fSalted.filter(col("o_orderpriority").isNull).count() ==
+      fPlain.filter(col("o_orderpriority").isNull).count())
+  }
+
   test("range join differential vs plain theta join on events sample") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
