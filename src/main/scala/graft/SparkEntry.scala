@@ -178,6 +178,20 @@ object SparkEntry {
       statsRow(s, PDataset.scanParquet(s, dir))
     }),
 
+    // SQL-surface access: the engine's written format opened through
+    // the registered `graft` short name — sidecar-served listing +
+    // plan-time file pruning for plain spark.read/SQL users.
+    "q_graft_source" -> ((s, d) => {
+      val dir = tmp("graft-q-src")
+      val ds = scan(s, d, "orders").reindex(Seq("o_orderdate"))
+      ds.repartition(math.max(200L, ds.sizes.get.sum / 4))
+        .writeParquet(dir)
+      s.read.format("graft").load(dir)
+        .filter(col("o_orderdate") >= lit(ldt("1996-01-01T00:00")))
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // -- joins through the co-partitioned range join --
     "q_join_inner" -> ((s, d) => {
       val li = scan(s, d, "lineitem").rename(Map("l_orderkey" -> "okey"))
@@ -890,6 +904,10 @@ object SparkEntry {
       "q_from_dataframe" ->
         "SELECT count(*) AS n_rows, min(o_orderdate) AS lb, max(o_orderdate) AS ub FROM orders",
       "q_write_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
+      "q_graft_source" ->
+        """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           ORDER BY o_orderkey""",
       "q_write_metadata" ->
         "SELECT count(*) AS n_rows, min(o_orderdate) AS lb, max(o_orderdate) AS ub FROM orders",
       "q_join_inner" ->

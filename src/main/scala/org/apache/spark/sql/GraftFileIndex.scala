@@ -319,6 +319,29 @@ object GraftRelations {
     relationDF(ss, index, schema)
   }
 
+  /** The [[HadoopFsRelation]] for a sidecar-carrying dataset
+    * directory — the relation behind `spark.read.format("graft")`:
+    * file listing, schema and lex-tuple bounds all from the sidecar
+    * (no directory listing, no footer reads), pruning inside
+    * Catalyst. */
+  def sidecarRelation(
+      spark: SparkSession, dir: String): HadoopFsRelation = {
+    val m = graft.core.Sidecar.load(spark, dir)
+    val p = new Path(dir)
+    val files = m.files.map(f => new Path(p, f).toString).toIndexedSeq
+    val withSizes = graft.core.GraftFs.fileSizes(
+      spark.sparkContext.hadoopConfiguration, files)
+    val index = new GraftFileIndex(
+      withSizes, m.indexColumns, m.lowerBounds, m.upperBounds)
+    HadoopFsRelation(
+      index,
+      partitionSchema = StructType(Nil),
+      dataSchema = m.schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat(),
+      options = Map.empty)(spark.asInstanceOf[classic.SparkSession])
+  }
+
   private def relationDF(
       ss: classic.SparkSession,
       index: GraftFileIndex,

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.PDataset
+import Fixtures._
+
+/** `spark.read.format("graft")`: the registered short name over a
+  * sidecar-carrying dataset directory — correct rows, sidecar schema,
+  * plan-time file pruning, and plain-SQL access. */
+class GraftSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val sf = "/root/testdata/sf0.001"
+
+  lazy val dir: String = {
+    val out = tempDir("graft-source-spec") + "/li.parquet"
+    PDataset.scanParquet(spark, s"$sf/lineitem.parquet")
+      .reindex(Seq("l_shipdate"))
+      .repartition(800)
+      .writeParquet(out)
+    out
+  }
+
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    scans(df.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+  }
+
+  test("format(\"graft\") reads the dataset with the sidecar schema") {
+    val got = spark.read.format("graft").load(dir)
+    val want = PDataset.scanParquet(spark, dir)
+    assert(got.schema == want.schemaOption.get)
+    assertSameRows(got, want.toDF)
+  }
+
+  test("pushed filters on the index column prune planned files") {
+    val ds = PDataset.scanParquet(spark, dir)
+    val total = ds.npartitions
+    assert(total >= 4)
+    val lastLb = ds.lowerBounds.get.last.head.get
+      .asInstanceOf[java.time.LocalDateTime]
+    val pruned = spark.read.format("graft").load(dir)
+      .filter(col("l_shipdate") >= lit(lastLb))
+    assert(scannedFiles(pruned) == 1,
+      s"expected 1 of $total files planned")
+    // correctness: equal to the unpruned filter
+    val want = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_shipdate") >= lit(lastLb)).count()
+    assert(pruned.count() == want)
+  }
+
+  test("plain SQL over a graft view") {
+    spark.read.format("graft").load(dir).createOrReplaceTempView("li_graft")
+    val n = spark.sql("SELECT count(*) AS n FROM li_graft").collect()(0).getLong(0)
+    val want = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(n == want)
+  }
+
+  test("a directory without a sidecar is rejected with guidance") {
+    val plain = tempDir("graft-source-plain")
+    spark.range(10).write.mode("overwrite").parquet(plain)
+    val e = intercept[Exception] {
+      spark.read.format("graft").load(plain).collect()
+    }
+    assert(e.getMessage != null)
+  }
+}
