@@ -1,7 +1,10 @@
 package graft.sources
 
-import org.apache.spark.sql.{GraftRelations, SQLContext}
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.{DataFrame, GraftRelations, SQLContext, SaveMode}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+
+import graft.core.{GraftFs, PDataset}
 
 /** `spark.read.format("graft").load(dir)` — plain-SQL access to a
   * sidecar-carrying dataset directory (the engine's write format:
@@ -14,8 +17,19 @@ import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationP
   * same skipping `PDataset.slice` gives, without touching the
   * engine API. Registered under the short name `graft` via the
   * standard `DataSourceRegister` service file.
+  *
+  * The write side —
+  * `df.write.format("graft").option("index", "c1,c2").save(dir)` —
+  * range-partitions on the index columns (one shuffle; `files`
+  * option pins the file count), sorts within partitions for tight
+  * rowgroup stats, writes parquet, and computes the sidecar in ONE
+  * stats job, so the directory reopens with pruning by any reader.
+  * Append recomputes the sidecar over all files (per-file bounds
+  * may then overlap across generations — pruning stays sound, it
+  * is per file).
   */
-final class GraftSource extends RelationProvider with DataSourceRegister {
+final class GraftSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -27,5 +41,35 @@ final class GraftSource extends RelationProvider with DataSourceRegister {
         "the graft source requires a path: " +
           "spark.read.format(\"graft\").load(<dataset dir>)"))
     GraftRelations.sidecarRelation(sqlContext.sparkSession, path)
+  }
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "the graft source requires a path: " +
+          "df.write.format(\"graft\").option(\"index\", \"c1,c2\").save(<dir>)"))
+    val index = parameters.get("index")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(throw new IllegalArgumentException(
+        "the graft sink requires option 'index': comma-separated " +
+          "columns the dataset is range-clustered and pruned on"))
+    val spark = sqlContext.sparkSession
+    val (fs, p) = GraftFs.resolve(spark, path)
+    val exists = GraftFs.statusOf(fs, p).isDefined
+    if (mode == SaveMode.Ignore && exists)
+      return createRelation(sqlContext, parameters)
+    val keys = index.map(col)
+    val shaped = parameters.get("files").map(_.toInt) match {
+      case Some(n) => data.repartitionByRange(n, keys: _*)
+      case None => data.repartitionByRange(keys: _*)
+    }
+    shaped.sortWithinPartitions(keys: _*)
+      .write.mode(mode).parquet(path)
+    PDataset.writeMetadata(spark, path, index)
+    createRelation(sqlContext, parameters)
   }
 }

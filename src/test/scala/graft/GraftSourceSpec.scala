@@ -67,6 +67,39 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(n == want)
   }
 
+  test("write.format(\"graft\") produces a pruning-capable dataset") {
+    val out = tempDir("graft-source-write") + "/o.parquet"
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    orders.write.format("graft")
+      .option("index", "o_orderdate").option("files", "6")
+      .save(out)
+    // reopens through BOTH surfaces with identical rows
+    val viaSource = spark.read.format("graft").load(out)
+    val viaEngine = PDataset.scanParquet(spark, out)
+    assert(viaEngine.npartitions == 6)
+    assert(viaEngine.indexColumns == Seq("o_orderdate"))
+    assertSameRows(viaSource, orders)
+    // range clustering makes the index column prune
+    val lastLb = viaEngine.lowerBounds.get.last.head.get
+      .asInstanceOf[java.time.LocalDateTime]
+    val pruned = viaSource.filter(col("o_orderdate") >= lit(lastLb))
+    assert(scannedFiles(pruned) < 6)
+    // append keeps the sidecar consistent (all rows, both generations)
+    val extra = orders.limit(100)
+    extra.write.format("graft").mode("append")
+      .option("index", "o_orderdate").option("files", "2").save(out)
+    val appended = spark.read.format("graft").load(out)
+    assert(appended.count() == orders.count() + 100)
+  }
+
+  test("graft sink demands the index option") {
+    val out = tempDir("graft-source-noindex") + "/x.parquet"
+    val e = intercept[IllegalArgumentException] {
+      spark.range(5).toDF("v").write.format("graft").save(out)
+    }
+    assert(e.getMessage.contains("index"))
+  }
+
   test("a directory without a sidecar is rejected with guidance") {
     val plain = tempDir("graft-source-plain")
     spark.range(10).write.mode("overwrite").parquet(plain)
