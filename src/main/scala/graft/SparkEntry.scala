@@ -192,6 +192,49 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // -- in-place table maintenance (compact / delete / upsert) --
+    // Each writes a many-small-files dataset, runs the maintenance op
+    // in place, and reads the result back; the answer is
+    // layout-independent, so plain SQL over the source table is the
+    // oracle. The point of the ops is WHAT THEY DON'T TOUCH:
+    // compaction reads only sub-target files, deleteRange drops
+    // fully-covered files without reading them and rewrites at most
+    // the two boundary files, upsert rewrites only the partitions its
+    // keys route to (MaintenanceSpec pins those file-level contracts).
+    "q_compact" -> ((s, d) => {
+      val dir = tmp("graft-q-compact")
+      val ds = scan(s, d, "orders").reindex(Seq("o_orderkey"))
+      val rows = math.max(50L, ds.sizes.get.sum / 40)
+      ds.repartition(rows).writeParquet(dir)
+      graft.operators.Maintenance.compact(s, dir, targetRows = rows * 8)
+      PDataset.scanParquet(s, dir).toDF.orderBy("o_orderkey")
+    }),
+
+    "q_delete_range" -> ((s, d) => {
+      val dir = tmp("graft-q-del")
+      val ds = scan(s, d, "orders").reindex(Seq("o_orderkey"))
+      ds.repartition(math.max(50L, ds.sizes.get.sum / 20)).writeParquet(dir)
+      graft.operators.Maintenance.deleteRange(s, dir,
+        lb = Vector(Some(1000L)), ub = Vector(Some(5000L)),
+        inclusive = "lower")
+      PDataset.scanParquet(s, dir).toDF.orderBy("o_orderkey")
+    }),
+
+    "q_upsert" -> ((s, d) => {
+      val dir = tmp("graft-q-upsert")
+      val ds = scan(s, d, "orders").reindex(Seq("o_orderkey"))
+      ds.repartition(math.max(50L, ds.sizes.get.sum / 20)).writeParquet(dir)
+      val orders = s.read.parquet(T(d, "orders"))
+      val upd = orders.filter(col("o_orderkey") % 701 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val ins = orders.filter(col("o_orderkey") % 997 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+        .withColumn("o_orderpriority", lit("NEW"))
+      graft.operators.Maintenance.upsert(s, dir, upd.unionByName(ins))
+      PDataset.scanParquet(s, dir).toDF.orderBy("o_orderkey")
+    }),
+
     // -- joins through the co-partitioned range join --
     "q_join_inner" -> ((s, d) => {
       val li = scan(s, d, "lineitem").rename(Map("l_orderkey" -> "okey"))
@@ -364,6 +407,18 @@ object SparkEntry {
     "q_sample_det" -> ((s, d) =>
       lineitemOrdered(
         scan(s, d, "lineitem").toDF.filter(col("l_orderkey") % 97 === 0))),
+
+    // Exact-k deterministic sample: order by an md5-derived key and
+    // take k. Plans as TakeOrderedAndProject (per-partition top-k +
+    // driver merge of k rows per partition) — no global sort, no
+    // full shuffle, so the same query shape holds at any corpus
+    // size. The md5 key makes the chosen set a pure function of row
+    // ids: reproducible across runs, engines and partitionings.
+    "q_sample_exact_k" -> ((s, d) =>
+      scan(s, d, "orders").toDF
+        .orderBy(md5(col("o_orderkey").cast("string")))
+        .limit(500)
+        .orderBy("o_orderkey")),
 
     "q_tpch_q3" -> ((s, d) => {
       val c = scan(s, d, "customer").toDF.filter(col("c_mktsegment") === "BUILDING")
@@ -904,6 +959,25 @@ object SparkEntry {
       "q_from_dataframe" ->
         "SELECT count(*) AS n_rows, min(o_orderdate) AS lb, max(o_orderdate) AS ub FROM orders",
       "q_write_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
+      "q_compact" -> "SELECT * FROM orders ORDER BY o_orderkey",
+      "q_delete_range" ->
+        """SELECT * FROM orders
+           WHERE NOT (o_orderkey >= 1000 AND o_orderkey < 5000)
+           ORDER BY o_orderkey""",
+      "q_upsert" ->
+        """WITH upd AS (
+             SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                    o_totalprice * 2 AS o_totalprice, o_orderdate,
+                    o_orderpriority
+             FROM orders WHERE o_orderkey % 701 = 0
+             UNION ALL
+             SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus,
+                    o_totalprice, o_orderdate, 'NEW' AS o_orderpriority
+             FROM orders WHERE o_orderkey % 997 = 0)
+           SELECT * FROM orders
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+           UNION ALL SELECT * FROM upd
+           ORDER BY o_orderkey""",
       "q_graft_source" ->
         """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
@@ -1003,6 +1077,11 @@ object SparkEntry {
            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""",
       "q_sample_det" ->
         s"SELECT * FROM lineitem WHERE l_orderkey % 97 = 0 $lineitemOrderSql",
+      "q_sample_exact_k" ->
+        """SELECT * FROM (
+             SELECT * FROM orders
+             ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT 500)
+           ORDER BY o_orderkey""",
       "q_tpch_q3" ->
         """SELECT o_orderkey,
                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -1182,15 +1182,9 @@ final class PDataset private[core] (
     } finally GraftFs.deleteRecursive(fs, stage)
   }
 
-  /** One-shuffle scatter core shared by the repartition fast path and
-    * the wide file-backed generic rewrite: shuffle `tagged` (carries an
-    * int column `__part`) once, let the parquet sink write every
-    * partition under `stage` in parallel, then move each part's lone
-    * file into `dir`/nameOf(i) — same-FS renames, never a copy.
-    * Returns the (partition index, file name) pairs actually written
-    * (empty partitions produce no file). With `orderCol` set, rows are
-    * restored to that column's order within each target partition
-    * before the sink (and the column is dropped from the output). */
+  /** One-shuffle scatter core (see [[ScatterWrite.partFiles]]) used by
+    * the repartition fast path, the row-mode write and the wide
+    * file-backed generic rewrite. */
   private def scatterPartFiles(
       tagged: DataFrame,
       nparts: Int,
@@ -1198,36 +1192,9 @@ final class PDataset private[core] (
       dir: HPath,
       stage: HPath,
       nameOf: Int => String,
-      orderCol: Option[String] = None): IndexedSeq[(Int, String)] = {
-    val shuffled = tagged.repartition(nparts, col("__part"))
-    val ordered = orderCol.fold(shuffled)(c =>
-      shuffled.sortWithinPartitions(col(c)).drop(c))
-    ordered
-      .write
-      .partitionBy("__part")
-      .option("compression", "zstd")
-      .mode("overwrite")
-      .parquet(stage.toString)
-    val written = ArrayBuffer.empty[(Int, String)]
-    (0 until nparts).foreach { i =>
-      val sub = new HPath(stage, s"__part=$i")
-      val partFiles = GraftFs.listStatuses(fs, sub)
-        .filter(_.getPath.getName.endsWith(".parquet"))
-      if (partFiles.nonEmpty) {
-        val name = nameOf(i)
-        if (partFiles.length == 1)
-          GraftFs.moveOverwrite(fs, partFiles(0).getPath, new HPath(dir, name))
-        else {
-          // >1 file can only happen under speculative/retried tasks;
-          // merge by reading back (rare, small).
-          val merged = spark.read.parquet(partFiles.map(_.getPath.toString): _*)
-          Sidecar.writeSingleParquet(merged, new HPath(dir, name).toString)
-        }
-        written += ((i, name))
-      }
-    }
-    written.toVector
-  }
+      orderCol: Option[String] = None): IndexedSeq[(Int, String)] =
+    ScatterWrite.partFiles(
+      spark, tagged, nparts, fs, dir, stage, nameOf, orderCol.toSeq)
 }
 
 /** Parallel row-range slicing of one parent partition (the zipWithIndex
@@ -1368,7 +1335,7 @@ object PDataset {
     * exercise the scatter path on small fixtures. */
   private[graft] var scatterWriteThreshold: Int = 32
 
-  private[core] lazy val writeEc: ExecutionContext =
+  private[graft] lazy val writeEc: ExecutionContext =
     ExecutionContext.fromExecutorService(
       java.util.concurrent.Executors.newFixedThreadPool(8,
         r => { val t = new Thread(r, "graft-write"); t.setDaemon(true); t }))

@@ -1,0 +1,69 @@
+package graft.core
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import scala.collection.mutable.ArrayBuffer
+
+/** One-shuffle scatter write shared by [[PDataset.writeParquet]]'s
+  * fast/generic/row paths and the table-maintenance rewrites
+  * ([[graft.operators.Maintenance]]): shuffle a tagged frame once,
+  * let the parquet sink write every partition in parallel, then move
+  * each part's lone file into place — same-FS renames, never a copy.
+  */
+private[graft] object ScatterWrite {
+
+  /** Shuffle `tagged` (carries an int column `__part`) once and write
+    * one file per non-empty partition under `dir` as nameOf(i).
+    * Returns the (partition index, file name) pairs actually written.
+    * With `orderCols` set, rows are restored to that ordering within
+    * each target partition before the sink; `dropOrderCols` controls
+    * whether those columns are synthetic (dropped from the output) or
+    * data columns (kept).
+    */
+  def partFiles(
+      spark: SparkSession,
+      tagged: DataFrame,
+      nparts: Int,
+      fs: FileSystem,
+      dir: HPath,
+      stage: HPath,
+      nameOf: Int => String,
+      orderCols: Seq[String] = Nil,
+      dropOrderCols: Boolean = true): IndexedSeq[(Int, String)] = {
+    val shuffled = tagged.repartition(nparts, col("__part"))
+    val ordered =
+      if (orderCols.isEmpty) shuffled
+      else {
+        val s = shuffled.sortWithinPartitions(orderCols.map(col): _*)
+        if (dropOrderCols) s.drop(orderCols: _*) else s
+      }
+    ordered
+      .write
+      .partitionBy("__part")
+      .option("compression", "zstd")
+      .mode("overwrite")
+      .parquet(stage.toString)
+    val written = ArrayBuffer.empty[(Int, String)]
+    (0 until nparts).foreach { i =>
+      val sub = new HPath(stage, s"__part=$i")
+      val partFiles = GraftFs.listStatuses(fs, sub)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      if (partFiles.nonEmpty) {
+        val name = nameOf(i)
+        if (partFiles.length == 1)
+          GraftFs.moveOverwrite(fs, partFiles(0).getPath, new HPath(dir, name))
+        else {
+          // >1 file can only happen under speculative/retried tasks;
+          // merge by reading back (rare, small).
+          val merged = spark.read.parquet(partFiles.map(_.getPath.toString): _*)
+          Sidecar.writeSingleParquet(merged, new HPath(dir, name).toString)
+        }
+        written += ((i, name))
+      }
+    }
+    written.toVector
+  }
+}

@@ -1,0 +1,421 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{Path => HPath}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.{Duration => SDuration}
+
+import graft.core.{DivisionRouter, FileOrdinal, FileOrdinalExpr, GraftFs,
+  Lex, LexColumns, PDataset, ScatterWrite, Sidecar, Stats}
+import graft.core.Lex.Bound
+
+/** In-place table maintenance for persisted sidecar datasets — the
+  * operations a continuously-ingested 100 TB table needs so that
+  * keeping it healthy never means rewriting it:
+  *
+  *   - [[compact]]: bin-pack adjacent small partition files into
+  *     target-sized ones. Only the small files are read; a table
+  *     where 1% of files are ingest dribble rewrites 1% of its bytes.
+  *   - [[deleteRange]]: delete an index range. Files fully inside the
+  *     range are dropped WITHOUT being read; for a contiguous range
+  *     over disjoint sorted partitions at most the two boundary files
+  *     are rewritten, regardless of table size.
+  *   - [[upsert]]: merge updates keyed by the index columns. Update
+  *     rows are routed to their partition via the O(log n) division
+  *     router; only partitions that receive updates are rewritten —
+  *     updating 0.1% of keys rewrites ~0.1% of files.
+  *
+  * All three follow the sidecar's crash-safety discipline: new
+  * content is written under fresh partition file names (numbered past
+  * `max_partition_index`), the metadata swap is atomic (temp +
+  * rename, see [[Sidecar.write]]), and replaced files are deleted
+  * only after the new sidecar is installed — a crash at any point
+  * leaves a readable dataset (at worst with orphaned un-referenced
+  * files).
+  *
+  * The reference engine has no in-place maintenance (a padawan
+  * dataset is rewritten wholesale via `repartition` +
+  * `write_parquet`); these operators exist because at 100 TB
+  * "rewrite the table" stops being an option.
+  */
+object Maintenance {
+
+  /** What a maintenance pass did, for observability and specs.
+    * `untouched` files were neither read nor rewritten. */
+  final case class Report(
+      rewritten: Int,
+      dropped: Int,
+      merged: Int,
+      created: Int,
+      untouched: Int)
+
+  // ---- compact ----
+
+  /** Bin-pack adjacent partition files into ~`targetRows`-row files.
+    *
+    * Greedy run packing over the sidecar's row counts (pure driver
+    * metadata — no job to plan the compaction): consecutive files
+    * whose combined count fits `targetRows` merge into one new file;
+    * runs of length one (including any file already at or above
+    * target) are left untouched. Partition order, and therefore the
+    * dataset's bound structure, is preserved: a merged file's bounds
+    * are the lex-min/max of its members' bounds, exact from metadata
+    * — no stats job.
+    *
+    * Merged files are written either as one tagged-shuffle job (when
+    * every member file is a single input split — the common case,
+    * since members are small by selection) or as parallel per-group
+    * driver jobs. Intra-partition row order is preserved in both
+    * paths (members concatenate in partition order).
+    */
+  def compact(
+      spark: SparkSession,
+      dir: String,
+      targetRows: Long): Report = {
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val m = Sidecar.load(spark, dir)
+    val groups: Vector[Vector[Int]] = {
+      val out = Vector.newBuilder[Vector[Int]]
+      var run = Vector.empty[Int]
+      var sum = 0L
+      m.files.indices.foreach { i =>
+        val s = m.sizes(i)
+        if (run.nonEmpty && sum + s > targetRows) {
+          out += run; run = Vector.empty; sum = 0L
+        }
+        run = run :+ i
+        sum += s
+      }
+      if (run.nonEmpty) out += run
+      out.result()
+    }
+    val merges = groups.filter(_.length >= 2)
+    if (merges.isEmpty)
+      return Report(0, 0, 0, 0, m.files.length)
+
+    val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    def pathOf(p: Int): String = new HPath(dirPath, m.files(p)).toString
+    val newNameOfGroup: Map[Int, String] = merges.indices.map(g =>
+      g -> Sidecar.partitionFileName(m.maxPartitionIndex + 1 + g)).toMap
+    val memberFiles = merges.flatten.map(pathOf)
+
+    val maxSplit =
+      org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
+    val singleSplit = GraftFs.fileSizes(GraftFs.conf(spark), memberFiles)
+      .forall(_._2 <= maxSplit)
+    if (singleSplit && merges.length >= PDataset.scatterWriteThreshold) {
+      // One job for ALL groups: tag each row with its group ordinal
+      // (file → group, a driver-built map riding along as one
+      // reference object) and a global order key (member rank within
+      // the run × the task-local row ordinal — exact because each
+      // member is one split, hence one task), shuffle once, sink all
+      // merged files in parallel.
+      val groupOf = new FileOrdinal(merges.zipWithIndex.flatMap {
+        case (g, gi) => g.map(p => Stats.normalizePath(pathOf(p)) -> gi)
+      }.toMap)
+      val rankOf = new FileOrdinal(merges.flatten.zipWithIndex.map {
+        case (p, r) => Stats.normalizePath(pathOf(p)) -> r
+      }.toMap)
+      val stage = GraftFs.mkStageDir(fs,
+        Option(dirPath.getParent).getOrElse(dirPath), ".graft-compact-")
+      try {
+        val tagged = spark.read.schema(m.schema).parquet(memberFiles: _*)
+          .withColumn("__part",
+            FileOrdinalExpr.ordinal(input_file_name(), groupOf))
+          .withColumn("__ord",
+            shiftleft(FileOrdinalExpr.ordinal(input_file_name(), rankOf)
+              .cast("long"), 33) +
+              monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+        ScatterWrite.partFiles(spark, tagged, merges.length, fs, dirPath,
+          stage, i => newNameOfGroup(i), orderCols = Seq("__ord"))
+      } finally GraftFs.deleteRecursive(fs, stage)
+    } else {
+      implicit val ec: ExecutionContext = PDataset.writeEc
+      val writes = merges.zipWithIndex.map { case (g, gi) =>
+        Future {
+          val df = g.map(p => spark.read.schema(m.schema).parquet(pathOf(p)))
+            .reduceLeft(_.union(_))
+          Sidecar.writeSingleParquet(
+            df, new HPath(dirPath, newNameOfGroup(gi)).toString)
+        }
+      }
+      writes.foreach(Await.result(_, SDuration.Inf))
+    }
+
+    // New sidecar in partition order: singleton runs keep their
+    // entry; merged runs collapse to one exact-from-metadata entry.
+    var gi = -1
+    val entries = groups.map { g =>
+      if (g.length == 1) {
+        val p = g.head
+        (m.files(p), m.sizes(p), m.lowerBounds(p), m.upperBounds(p))
+      } else {
+        gi += 1
+        (newNameOfGroup(gi),
+          g.map(m.sizes).sum,
+          g.map(m.lowerBounds).min(Lex.boundOrdering),
+          g.map(m.upperBounds).max(Lex.boundOrdering))
+      }
+    }
+    Sidecar.write(spark, dir, m.indexColumns, entries.map(_._1),
+      entries.map(_._2), entries.map(_._3), entries.map(_._4),
+      m.maxPartitionIndex + merges.length, m.schema)
+    merges.flatten.foreach(p => fs.delete(new HPath(dirPath, m.files(p)), false))
+    Report(rewritten = 0, dropped = 0, merged = merges.map(_.length).sum,
+      created = merges.length, untouched = groups.count(_.length == 1))
+  }
+
+  // ---- delete range ----
+
+  /** Delete every row whose index prefix lies in the given lex range
+    * (the destructive complement of [[PDataset.slice]]: the rows a
+    * `slice(lb, ub, inclusive)` would KEEP are removed). Bounds may
+    * be prefixes of the index tuple; `null` means unbounded on that
+    * side; `inclusive` in {"none","lower","upper","both"} as in
+    * slice.
+    *
+    * Classification is pure driver metadata: a file whose bounds sit
+    * entirely inside the range is dropped without being read; a file
+    * disjoint from the range is untouched; only straddling files are
+    * rewritten (with exact stats recomputed for just those files, one
+    * job). For a contiguous range over disjoint sorted partitions
+    * that is at most TWO files regardless of table size.
+    */
+  def deleteRange(
+      spark: SparkSession,
+      dir: String,
+      lb: Seq[Option[Any]] = null,
+      ub: Seq[Option[Any]] = null,
+      inclusive: String = "lower"): Report = {
+    val m = Sidecar.load(spark, dir)
+    require(m.indexColumns.nonEmpty,
+      "deleteRange needs index columns; write the dataset reindexed first")
+    val (lowerInc, upperInc) = inclusive match {
+      case "none"  => (false, false)
+      case "lower" => (true, false)
+      case "upper" => (false, true)
+      case "both"  => (true, true)
+      case other => throw new IllegalArgumentException(
+        s"inclusive must be 'none', 'lower', 'upper' or 'both', got '$other'")
+    }
+    val lbOpt = Option(lb).map(_.toVector)
+    val ubOpt = Option(ub).map(_.toVector)
+    require(lbOpt.isDefined || ubOpt.isDefined,
+      "deleteRange with both bounds null would delete every row; " +
+        "refusing (delete the dataset directory instead)")
+    (lbOpt.toSeq ++ ubOpt.toSeq).foreach(b =>
+      require(b.length <= m.indexColumns.length && b.nonEmpty,
+        "bounds must be non-empty prefixes of the index columns"))
+
+    // Same prefix-bound tests as slice, inverted: a row is IN the
+    // delete range iff its k-prefix passes the lower test and the
+    // upper test. lexCmp on the file's own prefix bounds decides
+    // each file wholly where possible.
+    def fileAllIn(i: Int): Boolean =
+      lbOpt.forall { b =>
+        val c = Lex.lexCmp(m.lowerBounds(i).take(b.length), b)
+        if (lowerInc) c >= 0 else c > 0
+      } && ubOpt.forall { b =>
+        val c = Lex.lexCmp(m.upperBounds(i).take(b.length), b)
+        if (upperInc) c <= 0 else c < 0
+      }
+    def fileNoneIn(i: Int): Boolean =
+      lbOpt.exists { b =>
+        val c = Lex.lexCmp(m.upperBounds(i).take(b.length), b)
+        if (lowerInc) c < 0 else c <= 0
+      } || ubOpt.exists { b =>
+        val c = Lex.lexCmp(m.lowerBounds(i).take(b.length), b)
+        if (upperInc) c > 0 else c >= 0
+      }
+
+    val dropPos = m.files.indices.filter(fileAllIn)
+    val rewritePos = m.files.indices.filterNot(fileAllIn).filter(i => !fileNoneIn(i))
+    val (fs, dirPath) = GraftFs.resolve(spark, dir)
+
+    if (dropPos.isEmpty && rewritePos.isEmpty)
+      return Report(0, 0, 0, 0, m.files.length)
+
+    // Survivor predicate: NOT(in-range) under the engine's null
+    // semantics — a null-keyed row is in range only when the range
+    // test itself says so (null sorts first); a three-valued NULL
+    // from the lex predicate means "not in range", so it must
+    // SURVIVE: coalesce to false before negating.
+    val inRange: Column = {
+      val low = lbOpt.fold(lit(true)) { b =>
+        val cs = m.indexColumns.take(b.length).map(col)
+        if (lowerInc) LexColumns.columnsGeq(cs, b)
+        else LexColumns.columnsGt(cs, b)
+      }
+      val high = ubOpt.fold(lit(true)) { b =>
+        val cs = m.indexColumns.take(b.length).map(col)
+        if (upperInc) LexColumns.columnsLeq(cs, b)
+        else LexColumns.columnsLt(cs, b)
+      }
+      low && high
+    }
+    val survives = !coalesce(inRange, lit(false))
+
+    val newNameOf: Map[Int, String] = rewritePos.zipWithIndex.map {
+      case (p, j) => p -> Sidecar.partitionFileName(m.maxPartitionIndex + 1 + j)
+    }.toMap
+    implicit val ec: ExecutionContext = PDataset.writeEc
+    val writes = rewritePos.map { p =>
+      Future {
+        Sidecar.writeSingleParquet(
+          spark.read.schema(m.schema)
+            .parquet(new HPath(dirPath, m.files(p)).toString)
+            .filter(survives),
+          new HPath(dirPath, newNameOf(p)).toString)
+      }
+    }
+    writes.foreach(Await.result(_, SDuration.Inf))
+
+    // Exact stats for just the rewritten files (one job); a rewrite
+    // that emptied out (possible only with duplicate boundary keys)
+    // is dropped like a fully-covered file.
+    val statsByPath = Stats.forFiles(spark,
+      rewritePos.map(p => new HPath(dirPath, newNameOf(p)).toString),
+      m.indexColumns, Some(m.schema))
+    val dropSet = dropPos.toSet
+    val emptied = scala.collection.mutable.Set.empty[Int]
+    val entries = m.files.indices.flatMap { p =>
+      if (dropSet(p)) None
+      else if (newNameOf.contains(p)) {
+        val full = Stats.normalizePath(
+          new HPath(dirPath, newNameOf(p)).toString)
+        statsByPath.get(full) match {
+          case Some(st) => Some((newNameOf(p), st.size, st.lb, st.ub))
+          case None => emptied += p; None
+        }
+      } else Some((m.files(p), m.sizes(p), m.lowerBounds(p), m.upperBounds(p)))
+    }
+    Sidecar.write(spark, dir, m.indexColumns, entries.map(_._1),
+      entries.map(_._2), entries.map(_._3), entries.map(_._4),
+      m.maxPartitionIndex + rewritePos.length, m.schema)
+    dropPos.foreach(p => fs.delete(new HPath(dirPath, m.files(p)), false))
+    rewritePos.foreach(p => fs.delete(new HPath(dirPath, m.files(p)), false))
+    emptied.foreach(p => fs.delete(new HPath(dirPath, newNameOf(p)), false))
+    Report(rewritten = rewritePos.length, dropped = dropPos.length,
+      merged = 0, created = rewritePos.length - emptied.size,
+      untouched = m.files.length - dropPos.length - rewritePos.length)
+  }
+
+  // ---- upsert ----
+
+  /** Merge `updates` into the dataset by exact index-tuple key: a row
+    * whose key exists replaces the stored row; a new key is inserted
+    * into the partition whose division its key routes to (keys below
+    * the first partition's bound go to partition 0, keys above the
+    * last bound extend the last partition). Update keys must be
+    * unique and non-null; partition bounds must be sorted and
+    * disjoint (write via `reindex` + `repartition` first).
+    *
+    * Scale shape: one small validation aggregate over `updates`, one
+    * distinct-partitions job (≤ #files rows on the driver), then ONE
+    * rewrite job over only the affected files ∪ updates — a
+    * key-window shuffle to resolve replacements and the shared
+    * one-shuffle scatter to sink every rewritten partition in
+    * parallel (content index-sorted). Untouched partitions are never
+    * read.
+    */
+  def upsert(
+      spark: SparkSession,
+      dir: String,
+      updates: DataFrame): Report = {
+    val m = Sidecar.load(spark, dir)
+    require(m.indexColumns.nonEmpty,
+      "upsert needs index columns; write the dataset reindexed first")
+    require(m.files.nonEmpty, "cannot upsert into an empty dataset")
+    val keyCols = m.indexColumns.toSeq
+    val dataCols = m.schema.fieldNames.toSeq
+    require(dataCols.forall(c => updates.columns.contains(c)),
+      s"updates must carry every dataset column ${dataCols.mkString(", ")}")
+    (0 until m.files.length - 1).foreach { i =>
+      require(Lex.lexCmp(m.upperBounds(i), m.lowerBounds(i + 1)) < 0,
+        "upsert requires sorted, disjoint partition bounds " +
+          s"(violated between partitions $i and ${i + 1}); repartition first")
+    }
+
+    val upd = updates.select(dataCols.map(col): _*)
+    // One validation pass: unique, non-null keys.
+    val v = upd.agg(
+      count(lit(1)).as("n"),
+      count_distinct(struct(keyCols.map(col): _*)).as("d"),
+      sum(when(keyCols.map(col(_).isNull).reduce(_ || _), 1L)
+        .otherwise(0L)).as("nulls")).head()
+    require(v.getLong(2) == 0L, "update keys must be non-null")
+    require(v.getLong(0) == v.getLong(1),
+      s"update keys must be unique (${v.getLong(0)} rows, " +
+        s"${v.getLong(1)} distinct keys)")
+    if (v.getLong(0) == 0L)
+      return Report(0, 0, 0, 0, m.files.length)
+
+    // Route each update to its partition: first lower bound the key
+    // is lex-below, over the interior cut points (= partition lower
+    // bounds past the first) — O(log n) per row, codegen.
+    val routed = upd.withColumn("__part",
+      DivisionRouter.route(keyCols.map(col), m.lowerBounds.drop(1)))
+    val affected = routed.select("__part").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val affectedSet = affected.toSet
+
+    val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    def pathOf(p: Int): String = new HPath(dirPath, m.files(p)).toString
+    val newNameOf: Map[Int, String] = affected.zipWithIndex.map {
+      case (p, j) => p -> Sidecar.partitionFileName(m.maxPartitionIndex + 1 + j)
+    }.toMap
+
+    // Old rows of affected partitions, tagged with their position.
+    val partOf = new FileOrdinal(affected.map(p =>
+      Stats.normalizePath(pathOf(p)) -> p).toMap)
+    val old = spark.read.schema(m.schema)
+      .parquet(affected.map(pathOf).toIndexedSeq: _*)
+      .withColumn("__part", FileOrdinalExpr.ordinal(input_file_name(), partOf))
+
+    // Updates win per key: a stored row is dropped iff its key has an
+    // update (ALL duplicates of a matched key are replaced by the one
+    // update row). One shuffle by key, then the scatter shuffle by
+    // partition; rewritten partitions come out index-sorted.
+    val both = old.withColumn("__isupd", lit(0))
+      .unionByName(routed.withColumn("__isupd", lit(1)))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    val resolved = both
+      .withColumn("__hasupd", max(col("__isupd")).over(w))
+      .filter(col("__isupd") === 1 || col("__hasupd") === 0)
+      .drop("__isupd", "__hasupd")
+
+    val stage = GraftFs.mkStageDir(fs,
+      Option(dirPath.getParent).getOrElse(dirPath), ".graft-upsert-")
+    val written =
+      try ScatterWrite.partFiles(spark, resolved, m.files.length, fs,
+        dirPath, stage, i => newNameOf(i),
+        orderCols = keyCols, dropOrderCols = false)
+      finally GraftFs.deleteRecursive(fs, stage)
+    require(written.map(_._1).toSet == affectedSet,
+      s"upsert scatter wrote ${written.length} partitions, " +
+        s"expected ${affected.length}")
+
+    // Exact stats for just the rewritten files (one job).
+    val statsByPath = Stats.forFiles(spark,
+      affected.map(p => new HPath(dirPath, newNameOf(p)).toString).toIndexedSeq,
+      m.indexColumns, Some(m.schema))
+    val entries = m.files.indices.map { p =>
+      if (affectedSet(p)) {
+        val st = statsByPath(Stats.normalizePath(
+          new HPath(dirPath, newNameOf(p)).toString))
+        (newNameOf(p), st.size, st.lb, st.ub)
+      } else (m.files(p), m.sizes(p), m.lowerBounds(p), m.upperBounds(p))
+    }
+    Sidecar.write(spark, dir, m.indexColumns, entries.map(_._1),
+      entries.map(_._2), entries.map(_._3), entries.map(_._4),
+      m.maxPartitionIndex + affected.length, m.schema)
+    affected.foreach(p => fs.delete(new HPath(dirPath, m.files(p)), false))
+    Report(rewritten = affected.length, dropped = 0, merged = 0,
+      created = affected.length,
+      untouched = m.files.length - affected.length)
+  }
+}

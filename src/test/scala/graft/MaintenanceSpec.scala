@@ -1,0 +1,231 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{PDataset, Sidecar}
+import graft.operators.Maintenance
+import Fixtures._
+
+/** In-place table maintenance: compaction bin-packs only small files,
+  * range delete drops covered files without reading them, upsert
+  * rewrites only the partitions its keys route to — each leaving a
+  * consistent sidecar (exact bounds/sizes) and untouched files
+  * byte-identical on disk.
+  */
+class MaintenanceSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** n rows keyed k = lo until lo+n — reproducible without reading
+    * any file, so expectations survive in-place rewrites. */
+  private def keyedDF(lo: Long, n: Long): DataFrame =
+    spark.range(lo, lo + n).select(
+      col("id").as("k"),
+      (col("id") % 7).cast("int").as("grp"),
+      concat(lit("v"), col("id")).as("payload"))
+
+  /** Persist keyedDF(0, n) as EXACTLY n/rowsPerFile files of
+    * consecutive key ranges (explicit per-range partitions — the
+    * repartition sampler would place approximate boundaries). */
+  private def writeKeyed(dir: String, n: Int, rowsPerFile: Int): PDataset = {
+    val parts = (0 until n by rowsPerFile).map { lo =>
+      PDataset.fromDataFrame(
+        keyedDF(lo.toLong, math.min(rowsPerFile, n - lo).toLong), Seq("k"))
+    }
+    PDataset.concat(parts).writeParquet(dir)
+  }
+
+  private def fileState(dir: String): Map[String, Long] = {
+    val m = Sidecar.load(spark, dir)
+    m.files.map { f =>
+      f -> Files.getLastModifiedTime(Paths.get(dir, f)).toMillis
+    }.toMap
+  }
+
+  // ---- compact ----
+
+  test("compact bin-packs adjacent small files, preserving content and bounds") {
+    val dir = tempDir("maint-compact") + "/ds"
+    val before = writeKeyed(dir, 600, 30) // 20 files of 30 rows
+    assert(before.npartitions == 20)
+
+    val report = Maintenance.compact(spark, dir, targetRows = 100)
+    // 30-row files pack 3 per 100-row target: 6 groups of 3 + [540,600).
+    assert(report.created == 7, report.toString)
+    assert(report.merged == 20, report.toString)
+
+    val after = PDataset.scanParquet(spark, dir)
+    assert(after.npartitions == report.created)
+    checkBoundsAndSizes(after)
+    assert(after.isDisjoint)
+    assertSameRows(after.toDF, keyedDF(0, 600))
+  }
+
+  test("compact leaves files at or above target untouched on disk") {
+    val dir = tempDir("maint-compact-mixed") + "/ds"
+    // 4 files of 100 rows, then append dribble: 5 files of 10 rows.
+    writeKeyed(dir, 400, 100)
+    val big = fileState(dir).keySet
+    val dribbleParts = (400 until 450 by 10).map(lo =>
+      PDataset.fromDataFrame(keyedDF(lo.toLong, 10L), Seq("k")))
+    PDataset.concat(dribbleParts).writeParquet(dir, append = true)
+    val stateBefore = fileState(dir)
+    assert(stateBefore.size == 9)
+
+    val report = Maintenance.compact(spark, dir, targetRows = 100)
+    assert(report.untouched == 4 && report.merged == 5 && report.created == 1,
+      report.toString)
+    val stateAfter = fileState(dir)
+    big.foreach { f =>
+      assert(stateAfter(f) == stateBefore(f), s"big file $f was rewritten")
+    }
+    val after = PDataset.scanParquet(spark, dir)
+    checkBoundsAndSizes(after)
+    assert(after.sizes.get.sum == 450)
+    assertSameRows(after.toDF, keyedDF(0, 450))
+  }
+
+  test("compact merges through the one-job scatter path when wide") {
+    val dir = tempDir("maint-compact-wide") + "/ds"
+    val before = writeKeyed(dir, 480, 10) // 48 small files
+    assert(before.npartitions == 48)
+    val old = PDataset.scatterWriteThreshold
+    PDataset.scatterWriteThreshold = 4
+    try {
+      val report = Maintenance.compact(spark, dir, targetRows = 60)
+      assert(report.created == 8 && report.merged == 48, report.toString)
+    } finally PDataset.scatterWriteThreshold = old
+    val after = PDataset.scanParquet(spark, dir)
+    checkBoundsAndSizes(after)
+    assert(after.isDisjoint)
+    assertSameRows(after.toDF, keyedDF(0, 480))
+  }
+
+  // ---- deleteRange ----
+
+  test("deleteRange drops covered files, rewrites only boundary files") {
+    val dir = tempDir("maint-del") + "/ds"
+    val before = writeKeyed(dir, 600, 30) // files [0,29], [30,59], ...
+    assert(before.npartitions == 20)
+    val stateBefore = fileState(dir)
+    // [45, 255): covers files 2..7 fully, straddles files 1 and 8.
+    val report = Maintenance.deleteRange(spark, dir,
+      lb = Vector(Some(45L)), ub = Vector(Some(255L)), inclusive = "lower")
+    assert(report.dropped == 6, report.toString)
+    assert(report.rewritten == 2, report.toString)
+    assert(report.untouched == 12, report.toString)
+
+    val after = PDataset.scanParquet(spark, dir)
+    checkBoundsAndSizes(after)
+    assert(after.isDisjoint)
+    assertSameRows(after.toDF,
+      keyedDF(0, 600).filter(!(col("k") >= 45 && col("k") < 255)))
+    // untouched files byte-stable
+    val stateAfter = fileState(dir)
+    stateAfter.keySet.intersect(stateBefore.keySet).foreach { f =>
+      assert(stateAfter(f) == stateBefore(f), s"untouched $f was rewritten")
+    }
+  }
+
+  test("deleteRange honors inclusivity and unbounded sides") {
+    val dir = tempDir("maint-del-inc") + "/ds"
+    writeKeyed(dir, 100, 25)
+    // delete (40, 60] -> 41..60 gone
+    Maintenance.deleteRange(spark, dir,
+      lb = Vector(Some(40L)), ub = Vector(Some(60L)), inclusive = "upper")
+    val after1 = PDataset.scanParquet(spark, dir)
+    assertSameRows(after1.toDF,
+      keyedDF(0, 100).filter(!(col("k") > 40 && col("k") <= 60)))
+    // unbounded below: delete everything up to 20 (exclusive)
+    Maintenance.deleteRange(spark, dir, ub = Vector(Some(20L)),
+      inclusive = "none")
+    val after2 = PDataset.scanParquet(spark, dir)
+    assert(after2.toDF.agg(min("k")).head().getLong(0) == 20L)
+    checkBoundsAndSizes(after2)
+  }
+
+  test("deleteRange keeps null-keyed rows when the range is bounded") {
+    val dir = tempDir("maint-del-null") + "/ds"
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("payload", StringType)))
+    val rows = (0L until 20L).map(i => Row(i, s"v$i")) :+ Row(null, "vnull")
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+    PDataset.fromDataFrame(df, Seq("k"))
+      .writeParquet(dir)
+    Maintenance.deleteRange(spark, dir,
+      lb = Vector(Some(5L)), ub = Vector(Some(15L)), inclusive = "lower")
+    val kept = PDataset.scanParquet(spark, dir).toDF
+    assert(kept.count() == 21 - 10)
+    assert(kept.filter(col("k").isNull).count() == 1,
+      "null-keyed row must survive a bounded delete")
+  }
+
+  // ---- upsert ----
+
+  test("upsert replaces matched keys, inserts new ones, rewrites only routed files") {
+    val dir = tempDir("maint-upsert") + "/ds"
+    val before = writeKeyed(dir, 600, 30) // 20 files
+    assert(before.npartitions == 20)
+    val stateBefore = fileState(dir)
+
+    // updates: 4 existing keys in file 1, 2 in file 10, plus a new
+    // key past the end (routes to the last file).
+    val updates = Seq(
+      (31L, 1, "UPDATED-31"), (40L, 1, "UPDATED-40"), (59L, 1, "UPDATED-59"),
+      (45L, 9, "UPDATED-45"),
+      (300L, 6, "UPDATED-300"), (329L, 0, "UPDATED-329"),
+      (1000L, 9, "NEW-1000"))
+      .toDF("k", "grp", "payload")
+    val report = Maintenance.upsert(spark, dir, updates)
+    assert(report.rewritten == 3, report.toString) // files 1, 10, 19
+    assert(report.untouched == 17, report.toString)
+
+    val after = PDataset.scanParquet(spark, dir)
+    checkBoundsAndSizes(after)
+    assert(after.isDisjoint)
+    val expected = keyedDF(0, 600)
+      .join(updates.select(col("k")), Seq("k"), "left_anti")
+      .unionByName(updates)
+    assertSameRows(after.toDF, expected)
+
+    val stateAfter = fileState(dir)
+    stateAfter.keySet.intersect(stateBefore.keySet).foreach { f =>
+      assert(stateAfter(f) == stateBefore(f), s"untouched $f was rewritten")
+    }
+  }
+
+  test("upsert routes keys below the first bound to partition 0") {
+    val dir = tempDir("maint-upsert-low") + "/ds"
+    val parts = (10 until 110 by 25).map(lo =>
+      PDataset.fromDataFrame(keyedDF(lo.toLong, 25L), Seq("k")))
+    PDataset.concat(parts).writeParquet(dir)
+    val updates = Seq((1L, 0, "NEW-1")).toDF("k", "grp", "payload")
+    val report = Maintenance.upsert(spark, dir, updates)
+    assert(report.rewritten == 1, report.toString)
+    val after = PDataset.scanParquet(spark, dir)
+    checkBoundsAndSizes(after)
+    assert(after.lowerBounds.get.head == Vector(Some(1L)))
+    assert(after.toDF.count() == 101)
+  }
+
+  test("upsert rejects duplicate and null keys") {
+    val dir = tempDir("maint-upsert-bad") + "/ds"
+    writeKeyed(dir, 100, 50)
+    val dup = Seq((1L, 0, "a"), (1L, 0, "b")).toDF("k", "grp", "payload")
+    assertThrows[IllegalArgumentException] {
+      Maintenance.upsert(spark, dir, dup)
+    }
+    val withNull = Seq((Option(5L), 0, "a"), (Option.empty[Long], 0, "b"))
+      .toDF("k", "grp", "payload")
+    assertThrows[IllegalArgumentException] {
+      Maintenance.upsert(spark, dir, withNull)
+    }
+  }
+}
