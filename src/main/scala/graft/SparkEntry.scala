@@ -235,6 +235,21 @@ object SparkEntry {
       PDataset.scanParquet(s, dir).toDF.orderBy("o_orderkey")
     }),
 
+    // Per-file Bloom data skipping: orders indexed (hence pruned) on
+    // o_orderdate, bloom-built on the NON-index o_custkey; a point
+    // lookup on o_custkey plans only the files whose filter fires
+    // (BloomIndexSpec counts planned files). The answer is
+    // layout-independent — plain SQL is the oracle.
+    "q_bloom_lookup" -> ((s, d) => {
+      val dir = tmp("graft-q-bloom")
+      val ds = scan(s, d, "orders").reindex(Seq("o_orderdate"))
+      ds.repartition(math.max(200L, ds.sizes.get.sum / 20)).writeParquet(dir)
+      graft.core.BloomIndex.build(s, dir, Seq("o_custkey"))
+      s.read.format("graft").load(dir)
+        .filter(col("o_custkey") === 42L)
+        .orderBy("o_orderkey")
+    }),
+
     // -- joins through the co-partitioned range join --
     "q_join_inner" -> ((s, d) => {
       val li = scan(s, d, "lineitem").rename(Map("l_orderkey" -> "okey"))
@@ -960,6 +975,8 @@ object SparkEntry {
         "SELECT count(*) AS n_rows, min(o_orderdate) AS lb, max(o_orderdate) AS ub FROM orders",
       "q_write_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
       "q_compact" -> "SELECT * FROM orders ORDER BY o_orderkey",
+      "q_bloom_lookup" ->
+        "SELECT * FROM orders WHERE o_custkey = 42 ORDER BY o_orderkey",
       "q_delete_range" ->
         """SELECT * FROM orders
            WHERE NOT (o_orderkey >= 1000 AND o_orderkey < 5000)

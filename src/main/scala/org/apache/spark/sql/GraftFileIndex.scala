@@ -42,7 +42,10 @@ final class GraftFileIndex(
     indexCols: Seq[String],
     lbs: IndexedSeq[Bound],
     ubs: IndexedSeq[Bound],
-    independentStats: Boolean = false) extends FileIndex {
+    independentStats: Boolean = false,
+    blooms: Map[String, IndexedSeq[Option[
+      org.apache.spark.util.sketch.BloomFilter]]] = Map.empty)
+    extends FileIndex {
 
   /** Single-column convenience form (scalar bounds on the leading
     * index column only). */
@@ -167,8 +170,10 @@ final class GraftFileIndex(
     case LessThanOrEqual(l: Literal, a: AttributeReference) => cmpSet(a, l, ">=", eqs)
     case LessThan(a: AttributeReference, l: Literal) => cmpSet(a, l, "<", eqs)
     case LessThan(l: Literal, a: AttributeReference) => cmpSet(a, l, ">", eqs)
-    case EqualTo(a: AttributeReference, l: Literal) => cmpSet(a, l, "=", eqs)
-    case EqualTo(l: Literal, a: AttributeReference) => cmpSet(a, l, "=", eqs)
+    case EqualTo(a: AttributeReference, l: Literal) =>
+      intersectOpt(cmpSet(a, l, "=", eqs), bloomKeep(a, l))
+    case EqualTo(l: Literal, a: AttributeReference) =>
+      intersectOpt(cmpSet(a, l, "=", eqs), bloomKeep(a, l))
     case IsNull(a: AttributeReference) if posOf(a) >= 0 =>
       val c = posOf(a)
       Some(files.indices.filter { i =>
@@ -181,20 +186,22 @@ final class GraftFileIndex(
         // a file may hold a non-null iff its known upper bound is non-null
         colRange(i, c, eqs).forall(_.ub.forall(_.nonEmpty))
       }.toSet)
-    // IN-list: union of the per-value equality keep sets. A null list
-    // element never matches (three-valued IN), so it prunes freely.
+    // IN-list: union of the per-value equality keep sets (each value
+    // combining lex bounds and the Bloom sidecar). A null list element
+    // never matches (three-valued IN), so it prunes freely.
     case In(a: AttributeReference, list)
-        if posOf(a) >= 0 && list.forall(_.isInstanceOf[Literal]) =>
-      val c = posOf(a)
+        if (posOf(a) >= 0 || blooms.contains(a.name)) &&
+          list.forall(_.isInstanceOf[Literal]) =>
       Some(list.collect {
         case Literal(v, dt) if v != null =>
-          eqKeep(CatalystTypeConverters.convertToScala(v, dt), c, eqs)
+          valueKeep(a, CatalystTypeConverters.convertToScala(v, dt), eqs).get
       }.foldLeft(Set.empty[Int])(_ union _))
     // Optimizer-converted large IN-lists carry internal values.
-    case InSet(a: AttributeReference, hset) if posOf(a) >= 0 =>
-      val c = posOf(a)
+    case InSet(a: AttributeReference, hset)
+        if posOf(a) >= 0 || blooms.contains(a.name) =>
       Some(hset.filter(_ != null).map(v =>
-        eqKeep(CatalystTypeConverters.convertToScala(v, a.dataType), c, eqs))
+        valueKeep(a,
+          CatalystTypeConverters.convertToScala(v, a.dataType), eqs).get)
         .foldLeft(Set.empty[Int])(_ union _))
     // Prefix match on a string index: matching strings form the range
     // [p, sup) where sup is the least string above every p-prefixed
@@ -220,6 +227,50 @@ final class GraftFileIndex(
       colRange(i, c, eqs).forall(r =>
         mayGeq(r, ext, strict = false) && mayLeq(r, ext, strict = false))
     }.toSet
+
+  /** Intersect two optional keep sets; None = "cannot analyze" keeps
+    * everything, so it defers to the other side. */
+  private def intersectOpt(
+      a: Option[Set[Int]], b: Option[Set[Int]]): Option[Set[Int]] =
+    (a, b) match {
+      case (Some(x), Some(y)) => Some(x.intersect(y))
+      case _ => a.orElse(b)
+    }
+
+  /** Bloom-sidecar keep set for `col = ext`: files whose filter says
+    * the value might be present (files without a filter — e.g.
+    * appended after the bloom build — are always kept). None when the
+    * column carries no blooms or the value type is not bloom-typed. */
+  private def bloomValueKeep(name: String, ext: Any): Option[Set[Int]] =
+    blooms.get(name).flatMap { per =>
+      val test: Option[org.apache.spark.util.sketch.BloomFilter => Boolean] =
+        ext match {
+          case l: Long   => Some(_.mightContainLong(l))
+          case i: Int    => Some(_.mightContainLong(i.toLong))
+          case s: Short  => Some(_.mightContainLong(s.toLong))
+          case b: Byte   => Some(_.mightContainLong(b.toLong))
+          case s: String => Some(_.mightContainString(s))
+          case _ => None
+        }
+      test.map(t => files.indices.filter(i => per(i).forall(t)).toSet)
+    }
+
+  private def bloomKeep(attr: Expression, lit: Expression): Option[Set[Int]] =
+    (attr, lit) match {
+      case (a: AttributeReference, l: Literal)
+          if l.value != null && blooms.contains(a.name) =>
+        bloomValueKeep(a.name,
+          CatalystTypeConverters.convertToScala(l.value, l.dataType))
+      case _ => None
+    }
+
+  /** Keep set for `col = ext`, combining the lex/stats bounds (when
+    * the column has them) and the Bloom sidecar (when indexed). */
+  private def valueKeep(
+      a: AttributeReference, ext: Any, eqs: Map[Int, Any]): Option[Set[Int]] = {
+    val range = if (posOf(a) >= 0) Some(eqKeep(ext, posOf(a), eqs)) else None
+    intersectOpt(range, bloomValueKeep(a.name, ext))
+  }
 
   private def posOf(e: Expression): Int = e match {
     case a: AttributeReference => indexCols.indexOf(a.name)
@@ -296,7 +347,10 @@ object GraftRelations {
     // works for local, HDFS and object-store datasets alike.
     val withSizes = graft.core.GraftFs.fileSizes(
       spark.sparkContext.hadoopConfiguration, files)
-    val index = new GraftFileIndex(withSizes, indexCols, lbs, ubs)
+    // A `_graft_bloom` sidecar next to the files (cached, one stat
+    // call) adds point-lookup pruning on its columns.
+    val index = new GraftFileIndex(withSizes, indexCols, lbs, ubs,
+      blooms = graft.core.BloomIndex.forFiles(spark, files))
     relationDF(ss, index, schema)
   }
 
@@ -323,7 +377,9 @@ object GraftRelations {
     * directory — the relation behind `spark.read.format("graft")`:
     * file listing, schema and lex-tuple bounds all from the sidecar
     * (no directory listing, no footer reads), pruning inside
-    * Catalyst. */
+    * Catalyst. When a `_graft_bloom` sidecar exists (see
+    * [[graft.core.BloomIndex]]), pushed `=`/`IN` predicates on its
+    * columns additionally prune through the per-file Bloom filters. */
   def sidecarRelation(
       spark: SparkSession, dir: String): HadoopFsRelation = {
     val m = graft.core.Sidecar.load(spark, dir)
@@ -332,7 +388,8 @@ object GraftRelations {
     val withSizes = graft.core.GraftFs.fileSizes(
       spark.sparkContext.hadoopConfiguration, files)
     val index = new GraftFileIndex(
-      withSizes, m.indexColumns, m.lowerBounds, m.upperBounds)
+      withSizes, m.indexColumns, m.lowerBounds, m.upperBounds,
+      blooms = graft.core.BloomIndex.forFiles(spark, files))
     HadoopFsRelation(
       index,
       partitionSchema = StructType(Nil),
