@@ -235,6 +235,21 @@ object SparkEntry {
       PDataset.scanParquet(s, dir).toDF.orderBy("o_orderkey")
     }),
 
+    // Time travel: upsert with retain archives the outgoing
+    // generation; reading version 0 returns the pre-upsert table
+    // bit-for-bit (full engine surface over the old file listing).
+    "q_time_travel" -> ((s, d) => {
+      val dir = tmp("graft-q-ttravel")
+      val ds = scan(s, d, "orders").reindex(Seq("o_orderkey"))
+      ds.repartition(math.max(50L, ds.sizes.get.sum / 20)).writeParquet(dir)
+      val upd = s.read.parquet(T(d, "orders"))
+        .filter(col("o_orderkey") % 701 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 3)
+      graft.operators.Maintenance.upsert(s, dir, upd, retain = true)
+      graft.operators.Maintenance.scanVersion(s, dir, 0)
+        .toDF.orderBy("o_orderkey")
+    }),
+
     // Per-file Bloom data skipping: orders indexed (hence pruned) on
     // o_orderdate, bloom-built on the NON-index o_custkey; a point
     // lookup on o_custkey plans only the files whose filter fires
@@ -977,6 +992,7 @@ object SparkEntry {
       "q_compact" -> "SELECT * FROM orders ORDER BY o_orderkey",
       "q_bloom_lookup" ->
         "SELECT * FROM orders WHERE o_custkey = 42 ORDER BY o_orderkey",
+      "q_time_travel" -> "SELECT * FROM orders ORDER BY o_orderkey",
       "q_delete_range" ->
         """SELECT * FROM orders
            WHERE NOT (o_orderkey >= 1000 AND o_orderkey < 5000)

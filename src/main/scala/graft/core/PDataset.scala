@@ -1348,15 +1348,7 @@ object PDataset {
     val (fs, p) = GraftFs.resolve(spark, path)
     GraftFs.statusOf(fs, p) match {
       case Some(st) if st.isDirectory && Sidecar.exists(spark, path) =>
-        val m = Sidecar.load(spark, path)
-        new PDataset(
-          spark,
-          m.files.map(f => FilePart(new HPath(p, f).toString, Nil): Part),
-          m.indexColumns,
-          Some(m.sizes),
-          Some(m.lowerBounds),
-          Some(m.upperBounds),
-          Some(m.schema))
+        fromSidecarMeta(spark, path, Sidecar.load(spark, path))
       case Some(st) if st.isDirectory =>
         val files = GraftFs.listFiles(fs, p)(_.endsWith(".parquet"))
         if (files.isEmpty)
@@ -1370,6 +1362,22 @@ object PDataset {
       case None =>
         throw new java.io.FileNotFoundException(path)
     }
+  }
+
+  /** A dataset over an explicit sidecar [[Sidecar.Meta]] — the current
+    * generation (what [[scanParquet]] loads) or an archived one (time
+    * travel via `Maintenance.scanVersion`). */
+  def fromSidecarMeta(
+      spark: SparkSession, dir: String, m: Sidecar.Meta): PDataset = {
+    val (_, p) = GraftFs.resolve(spark, dir)
+    new PDataset(
+      spark,
+      m.files.map(f => FilePart(new HPath(p, f).toString, Nil): Part),
+      m.indexColumns,
+      Some(m.sizes),
+      Some(m.lowerBounds),
+      Some(m.upperBounds),
+      Some(m.schema))
   }
 
   /** Open a directory of CSV files (or a bare file), one partition per

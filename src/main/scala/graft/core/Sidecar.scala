@@ -42,9 +42,16 @@ object Sidecar {
 
   // ---- load ----
 
-  def load(spark: SparkSession, dir: String): Meta = {
+  def load(spark: SparkSession, dir: String): Meta =
+    loadFile(spark, dir, metadataPath(dir))
+
+  /** Load a specific metadata file of the dataset at `dir` — the
+    * current sidecar or an archived generation (time travel; see
+    * [[graft.operators.Maintenance]]). The schema sidecar is shared
+    * across generations (maintenance never changes the schema). */
+  def loadFile(spark: SparkSession, dir: String, metaFile: Path): Meta = {
     val (fs, _) = GraftFs.resolve(spark, dir)
-    val text = GraftFs.readString(fs, metadataPath(dir))
+    val text = GraftFs.readString(fs, metaFile)
     val obj = TypedJson.parse(text).asInstanceOf[Map[String, Any]]
     val schema = readSchemaFile(spark, fs, new Path(dir, SchemaFile))
 

@@ -35,7 +35,9 @@ import graft.core.Lex.Bound
   * rename, see [[Sidecar.write]]), and replaced files are deleted
   * only after the new sidecar is installed — a crash at any point
   * leaves a readable dataset (at worst with orphaned un-referenced
-  * files).
+  * files). With `retain = true` an op instead archives the outgoing
+  * metadata as a readable generation — time travel via
+  * [[scanVersion]], storage reclaim via [[vacuum]].
   *
   * The reference engine has no in-place maintenance (a padawan
   * dataset is rewritten wholesale via `repartition` +
@@ -52,6 +54,84 @@ object Maintenance {
       merged: Int,
       created: Int,
       untouched: Int)
+
+  // ---- versioning (time travel) ----
+  //
+  // Every maintenance op installs new content under FRESH file names
+  // and swaps the metadata atomically, so keeping the previous
+  // generation readable costs nothing but storage: with
+  // `retain = true` the op archives the outgoing metadata under
+  // `_graft_history/v{N}.json` and skips the file deletions.
+  // [[scanVersion]] opens an archived generation (same format, same
+  // pruning); [[vacuum]] deletes the history and every data file the
+  // CURRENT generation doesn't reference. At 100 TB the storage story
+  // is explicit: each retained generation holds only the files it
+  // doesn't share with its neighbors (an upsert of 0.1% of partitions
+  // retains ~0.1% extra bytes), and vacuum is one driver-side listing
+  // diff — no data job.
+
+  val HistoryDir = "_graft_history"
+
+  private def versionFile(dirPath: HPath, n: Int): HPath =
+    new HPath(new HPath(dirPath, HistoryDir), f"v$n%010d.json")
+
+  /** Archived generation numbers at `dir`, ascending (empty when the
+    * dataset has no history). */
+  def versions(spark: SparkSession, dir: String): Seq[Int] = {
+    val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    val h = new HPath(dirPath, HistoryDir)
+    if (!GraftFs.isDir(fs, h)) return Seq.empty
+    GraftFs.listStatuses(fs, h)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toInt
+      }
+      .sorted.toSeq
+  }
+
+  /** Open archived generation `version` of the dataset at `dir` —
+    * the full engine surface (pruned slices, joins, toDF) over the
+    * old file listing. Requires the generation to not have been
+    * [[vacuum]]ed. */
+  def scanVersion(spark: SparkSession, dir: String, version: Int): PDataset = {
+    val (_, dirPath) = GraftFs.resolve(spark, dir)
+    PDataset.fromSidecarMeta(spark, dir,
+      Sidecar.loadFile(spark, dir, versionFile(dirPath, version)))
+  }
+
+  /** Copy the CURRENT metadata into the history before a swap;
+    * returns the archived version number. */
+  private def archiveCurrent(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: HPath): Int = {
+    val next = versions(spark, dirPath.toString).lastOption.map(_ + 1)
+      .getOrElse(0)
+    GraftFs.mkdirs(fs, new HPath(dirPath, HistoryDir))
+    GraftFs.writeString(fs, versionFile(dirPath, next),
+      GraftFs.readString(fs, Sidecar.metadataPath(dirPath.toString)))
+    next
+  }
+
+  /** Drop all archived generations and delete every data file the
+    * current generation doesn't reference. Driver-side metadata diff
+    * only — no Spark job. Returns the number of files deleted. */
+  def vacuum(spark: SparkSession, dir: String): Int = {
+    val m = Sidecar.load(spark, dir)
+    val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    val keep = m.files.toSet
+    val stale = GraftFs.listStatuses(fs, dirPath)
+      .filter(_.isFile)
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.endsWith(".parquet") && !n.startsWith("_") &&
+          !n.startsWith(".") && !keep.contains(n)
+      }
+    stale.foreach(fs.delete(_, false))
+    GraftFs.deleteRecursive(fs, new HPath(dirPath, HistoryDir))
+    stale.length
+  }
 
   // ---- compact ----
 
@@ -75,7 +155,8 @@ object Maintenance {
   def compact(
       spark: SparkSession,
       dir: String,
-      targetRows: Long): Report = {
+      targetRows: Long,
+      retain: Boolean = false): Report = {
     require(targetRows > 0, s"targetRows must be positive, got $targetRows")
     val m = Sidecar.load(spark, dir)
     val groups: Vector[Vector[Int]] = {
@@ -161,10 +242,13 @@ object Maintenance {
           g.map(m.upperBounds).max(Lex.boundOrdering))
       }
     }
+    if (retain) archiveCurrent(spark, fs, dirPath)
     Sidecar.write(spark, dir, m.indexColumns, entries.map(_._1),
       entries.map(_._2), entries.map(_._3), entries.map(_._4),
       m.maxPartitionIndex + merges.length, m.schema)
-    merges.flatten.foreach(p => fs.delete(new HPath(dirPath, m.files(p)), false))
+    if (!retain)
+      merges.flatten.foreach(p =>
+        fs.delete(new HPath(dirPath, m.files(p)), false))
     Report(rewritten = 0, dropped = 0, merged = merges.map(_.length).sum,
       created = merges.length, untouched = groups.count(_.length == 1))
   }
@@ -190,7 +274,8 @@ object Maintenance {
       dir: String,
       lb: Seq[Option[Any]] = null,
       ub: Seq[Option[Any]] = null,
-      inclusive: String = "lower"): Report = {
+      inclusive: String = "lower",
+      retain: Boolean = false): Report = {
     val m = Sidecar.load(spark, dir)
     require(m.indexColumns.nonEmpty,
       "deleteRange needs index columns; write the dataset reindexed first")
@@ -293,11 +378,15 @@ object Maintenance {
         }
       } else Some((m.files(p), m.sizes(p), m.lowerBounds(p), m.upperBounds(p)))
     }
+    if (retain) archiveCurrent(spark, fs, dirPath)
     Sidecar.write(spark, dir, m.indexColumns, entries.map(_._1),
       entries.map(_._2), entries.map(_._3), entries.map(_._4),
       m.maxPartitionIndex + rewritePos.length, m.schema)
-    dropPos.foreach(p => fs.delete(new HPath(dirPath, m.files(p)), false))
-    rewritePos.foreach(p => fs.delete(new HPath(dirPath, m.files(p)), false))
+    if (!retain) {
+      dropPos.foreach(p => fs.delete(new HPath(dirPath, m.files(p)), false))
+      rewritePos.foreach(p => fs.delete(new HPath(dirPath, m.files(p)), false))
+    }
+    // An emptied rewrite is referenced by NO generation — always clean.
     emptied.foreach(p => fs.delete(new HPath(dirPath, newNameOf(p)), false))
     Report(rewritten = rewritePos.length, dropped = dropPos.length,
       merged = 0, created = rewritePos.length - emptied.size,
@@ -325,7 +414,8 @@ object Maintenance {
   def upsert(
       spark: SparkSession,
       dir: String,
-      updates: DataFrame): Report = {
+      updates: DataFrame,
+      retain: Boolean = false): Report = {
     val m = Sidecar.load(spark, dir)
     require(m.indexColumns.nonEmpty,
       "upsert needs index columns; write the dataset reindexed first")
@@ -410,10 +500,12 @@ object Maintenance {
         (newNameOf(p), st.size, st.lb, st.ub)
       } else (m.files(p), m.sizes(p), m.lowerBounds(p), m.upperBounds(p))
     }
+    if (retain) archiveCurrent(spark, fs, dirPath)
     Sidecar.write(spark, dir, m.indexColumns, entries.map(_._1),
       entries.map(_._2), entries.map(_._3), entries.map(_._4),
       m.maxPartitionIndex + affected.length, m.schema)
-    affected.foreach(p => fs.delete(new HPath(dirPath, m.files(p)), false))
+    if (!retain)
+      affected.foreach(p => fs.delete(new HPath(dirPath, m.files(p)), false))
     Report(rewritten = affected.length, dropped = 0, merged = 0,
       created = affected.length,
       untouched = m.files.length - affected.length)

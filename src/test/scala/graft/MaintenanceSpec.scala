@@ -215,6 +215,54 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(after.toDF.count() == 101)
   }
 
+  // ---- versioning / time travel ----
+
+  test("retain archives generations; scanVersion reads them; vacuum reclaims") {
+    val dir = tempDir("maint-history") + "/ds"
+    writeKeyed(dir, 200, 25) // 8 files
+    assert(Maintenance.versions(spark, dir).isEmpty)
+
+    // generation 0: pre-upsert
+    val updates = Seq((30L, 2, "UPDATED-30")).toDF("k", "grp", "payload")
+    Maintenance.upsert(spark, dir, updates, retain = true)
+    assert(Maintenance.versions(spark, dir) == Seq(0))
+
+    // generation 1: pre-delete
+    Maintenance.deleteRange(spark, dir,
+      lb = Vector(Some(100L)), ub = Vector(Some(150L)),
+      inclusive = "lower", retain = true)
+    assert(Maintenance.versions(spark, dir) == Seq(0, 1))
+
+    // current: upserted AND deleted
+    val cur = PDataset.scanParquet(spark, dir)
+    assert(cur.toDF.count() == 150)
+    assert(cur.toDF.filter(col("payload") === "UPDATED-30").count() == 1)
+    // v1: upserted, not yet deleted
+    val v1 = Maintenance.scanVersion(spark, dir, 1)
+    checkBoundsAndSizes(v1)
+    assert(v1.toDF.count() == 200)
+    assert(v1.toDF.filter(col("payload") === "UPDATED-30").count() == 1)
+    // v0: the original content, full engine surface (pruned slice)
+    val v0 = Maintenance.scanVersion(spark, dir, 0)
+    assertSameRows(v0.toDF, keyedDF(0, 200))
+    assert(v0.slice(Vector(Some(30L)), Vector(Some(31L))).toDF
+      .select("payload").head().getString(0) == "v30")
+
+    // vacuum drops the history and every unreferenced file
+    val removed = Maintenance.vacuum(spark, dir)
+    assert(removed >= 3, s"expected >=3 stale files, removed $removed")
+    assert(Maintenance.versions(spark, dir).isEmpty)
+    val after = PDataset.scanParquet(spark, dir)
+    assert(after.toDF.count() == 150)
+    checkBoundsAndSizes(after)
+    // on-disk parquet files == exactly the current listing
+    val listed = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("_"))
+      .map(_.getName).toSet
+    assert(listed == graft.core.Sidecar.load(spark, dir).files.toSet)
+  }
+
   test("upsert rejects duplicate and null keys") {
     val dir = tempDir("maint-upsert-bad") + "/ds"
     writeKeyed(dir, 100, 50)
