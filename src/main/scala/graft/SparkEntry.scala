@@ -450,6 +450,19 @@ object SparkEntry {
         .limit(500)
         .orderBy("o_orderkey")),
 
+    // Heavy hitters without a whole-domain groupBy: Misra-Gries
+    // candidates (≤ capacity counters per task, tree-merged) + exact
+    // recount of candidates only. minCount sits above the sketch
+    // error bound n/capacity by construction, so the answer is EXACT
+    // — the plain GROUP BY ... HAVING is the oracle.
+    "q_heavy_hitters" -> ((s, d) => {
+      val li = scan(s, d, "lineitem").toDF
+      val n = li.count()
+      val minCount = math.max(30L, math.ceil(2.0 * n / 4096).toLong)
+      graft.operators.Frequency.heavyHitters(li, "l_partkey", minCount)
+        .orderBy(col("n").desc, col("l_partkey"))
+    }),
+
     "q_tpch_q3" -> ((s, d) => {
       val c = scan(s, d, "customer").toDF.filter(col("c_mktsegment") === "BUILDING")
       val o = scan(s, d, "orders").toDF
@@ -1115,6 +1128,12 @@ object SparkEntry {
              SELECT * FROM orders
              ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT 500)
            ORDER BY o_orderkey""",
+      "q_heavy_hitters" ->
+        """SELECT l_partkey, count(*) AS n FROM lineitem
+           GROUP BY l_partkey
+           HAVING count(*) >= GREATEST(30,
+             CEIL(2.0 * (SELECT count(*) FROM lineitem) / 4096))
+           ORDER BY n DESC, l_partkey""",
       "q_tpch_q3" ->
         """SELECT o_orderkey,
                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
