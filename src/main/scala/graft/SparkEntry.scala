@@ -450,6 +450,27 @@ object SparkEntry {
         .limit(500)
         .orderBy("o_orderkey")),
 
+    // Per-source quota cap: at most 10 documents per source, chosen
+    // by md5 order of doc_id — deterministic across engines, so the
+    // same QUALIFY-style SQL is an exact oracle. One shuffle on the
+    // group key.
+    "q_quota_cap" -> ((s, d) =>
+      graft.operators.Sampling.quotaCap(
+        s.read.parquet(T(d, "documents")), "source", "doc_id", 10)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")),
+
+    // Context-window chunking: overlapping 200-char chunks (50
+    // overlap), offsets preserved. Narrow explode, no shuffle; DuckDB
+    // rederives with generate_series + substr.
+    "q_chunk" -> ((s, d) =>
+      graft.operators.Chunking.chunk(
+        s.read.parquet(T(d, "documents")), "text",
+        chunkChars = 200, overlap = 50)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_start"),
+          col("chunk"))
+        .orderBy("doc_id", "chunk_id")),
+
     // Heavy hitters without a whole-domain groupBy: Misra-Gries
     // candidates (≤ capacity counters per task, tree-merged) + exact
     // recount of candidates only. minCount sits above the sketch
@@ -1128,6 +1149,22 @@ object SparkEntry {
              SELECT * FROM orders
              ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT 500)
            ORDER BY o_orderkey""",
+      "q_quota_cap" ->
+        """SELECT doc_id, source, lang FROM (
+             SELECT doc_id, source, lang, row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             FROM documents) WHERE rn <= 10
+           ORDER BY doc_id""",
+      "q_chunk" ->
+        """SELECT doc_id, CAST((s - 1) // 150 AS INT) AS chunk_id,
+                  CAST(s - 1 AS INT) AS chunk_start,
+                  substr(text, CAST(s AS BIGINT), 200) AS chunk
+           FROM (SELECT doc_id, text,
+                        unnest(range(1, GREATEST(length(text), 1) + 1, 150))
+                          AS s
+                 FROM documents)
+           ORDER BY doc_id, chunk_id""",
       "q_heavy_hitters" ->
         """SELECT l_partkey, count(*) AS n FROM lineitem
            GROUP BY l_partkey

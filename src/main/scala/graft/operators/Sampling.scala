@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, engine-portable sampling for training-data
@@ -29,6 +30,26 @@ object Sampling {
   /** Uniform deterministic sample: keep iff hashFraction(id) < p. */
   def deterministicSample(df: DataFrame, idCol: String, p: Double): DataFrame =
     df.filter(hashFraction(col(idCol)) < lit(p))
+
+  /** Per-group quota cap: keep at most `maxPerGroup` rows per value
+    * of `groupCol` (e.g. cap documents per domain so no source
+    * dominates the corpus), chosen deterministically by md5 order of
+    * the id — reproducible across runs, engines and partitionings,
+    * unlike "first N seen". One shuffle on the group key; groups at
+    * or under quota pass through whole. (For a pathological single
+    * mega-group the window sort is that group's cost — cap such
+    * sources upstream or pre-filter by [[deterministicSample]].) */
+  def quotaCap(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      maxPerGroup: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerGroup)
+      .drop("__rn")
+  }
 
   /** Stratified deterministic sample: each stratum keeps its own
     * fraction (e.g. per-language quotas when balancing a multilingual

@@ -53,4 +53,32 @@ object DocumentStreams {
       .withColumn("quality", TextFunctions.qualityScore(col("text")))
       .withColumn("lang_pred", TextFunctions.langId(col("text")))
       .filter(col("quality") >= minQuality)
+
+  /** Continuously apply a keyed stream to a persisted dataset: each
+    * micro-batch [[graft.operators.Maintenance.upsert]]s by the
+    * dataset's own index key, so only the partitions that receive
+    * keys are rewritten — a CDC-style apply whose per-batch cost
+    * scales with the batch, not the table. Batch-local duplicate
+    * keys collapse to one row first (upsert requires unique keys);
+    * the checkpoint gives exactly-once batch application on restart
+    * (an upsert replays idempotently: re-applying the same keys
+    * rewrites the same partitions to the same content). */
+  def upsertSink(
+      docs: DataFrame,
+      targetDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val keys = graft.core.Sidecar.load(spark, targetDir).indexColumns
+        val unique = batch.dropDuplicates(keys.toSeq)
+        if (!unique.isEmpty) {
+          graft.operators.Maintenance.upsert(spark, targetDir, unique.toDF())
+          ()
+        }
+      }
+      .start()
+  }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{TextFunctions, VectorExpressions}
-import graft.operators.{Dedup, Events, Multimodal, Similarity}
+import graft.operators.{Chunking, Dedup, Events, Multimodal, Sampling, Similarity}
 
 /** Training-data pipeline operators: dedup family, similarity search,
   * text analysis, events, multimodal plumbing, vec_dot expression. */
@@ -17,6 +17,47 @@ class PipelineOpsSpec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.001"
   def docs: DataFrame = spark.read.parquet(s"$sf/documents.parquet")
   def emb: DataFrame = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  // ---- chunking / quota cap ----
+
+  test("chunking reassembles the original text and respects bounds") {
+    val out = Chunking.chunk(docs, "text", chunkChars = 100, overlap = 20)
+      .select("doc_id", "chunk_id", "chunk_start", "chunk")
+      .collect()
+      .groupBy(_.getLong(0))
+    val original = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == original.keySet, "no document may be dropped")
+    out.foreach { case (id, chunks) =>
+      val sorted = chunks.sortBy(_.getInt(1))
+      // chunk k starts at k*step; stripping the overlap from every
+      // chunk after the first reassembles the document exactly
+      val rebuilt = sorted.head.getString(3) +
+        sorted.tail.map(_.getString(3).drop(20)).mkString
+      assert(rebuilt == original(id), s"doc $id reassembly mismatch")
+      sorted.foreach { c =>
+        assert(c.getString(3).length <= 100)
+        assert(c.getInt(2) == c.getInt(1) * 80)
+      }
+    }
+  }
+
+  test("quotaCap keeps at most N per group, deterministically") {
+    val capped = Sampling.quotaCap(docs, "source", "doc_id", 5)
+    val counts = capped.groupBy("source").count().collect()
+    assert(counts.forall(_.getLong(1) <= 5))
+    // groups under quota pass through whole
+    val small = docs.groupBy("source").count()
+      .filter(col("count") <= 5).collect().map(_.getString(0)).toSet
+    counts.filter(r => small(r.getString(0))).foreach { r =>
+      val full = docs.filter(col("source") === r.getString(0)).count()
+      assert(r.getLong(1) == full)
+    }
+    // deterministic: same ids on a different partitioning
+    val again = Sampling.quotaCap(docs.repartition(13), "source", "doc_id", 5)
+    assert(capped.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
 
   // ---- vec_dot custom expression ----
 

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.EventStreams
+import Fixtures.checkBoundsAndSizes
 
 /** Structured Streaming: file source -> watermarked windowed agg /
   * stateful sessionization -> memory sink, driven synchronously and
@@ -84,6 +85,44 @@ class StreamingSpec extends AnyFunSuite {
         s"${out.count()} rows != $distinctTexts distinct texts")
       assert(out.select("content_hash").distinct().count() == distinctTexts)
     } finally q.stop()
+  }
+
+  test("streaming upsert sink applies micro-batches to a persisted dataset") {
+    import graft.core.PDataset
+    import graft.operators.Maintenance
+
+    // Target: documents keyed by doc_id, 5 partition files.
+    val target = Files.createTempDirectory("graft-upsert-sink").toString + "/ds"
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val baseCount = base.count()
+    PDataset.fromDataFrame(base, Seq("doc_id"))
+      .repartition(math.max(1L, baseCount / 5))
+      .writeParquet(target)
+
+    // Stream: 30 updated docs (doc_id < 30, rewritten text) and 10
+    // brand-new ids, one of them duplicated within the batch.
+    val updates = base.filter(col("doc_id") < 30)
+      .withColumn("text", concat(lit("UPDATED "), col("text")))
+    val fresh = base.filter(col("doc_id") < 10)
+      .withColumn("doc_id", col("doc_id") + 5000000L)
+    val dup = fresh.filter(col("doc_id") === 5000000L)
+    val streamSrc = Files.createTempDirectory("graft-upsert-src").toString
+    updates.unionByName(fresh).unionByName(dup)
+      .coalesce(1).write.mode("overwrite").parquet(streamSrc)
+
+    val checkpoint = Files.createTempDirectory("graft-upsert-ckpt").toString
+    val stream = spark.readStream.schema(base.schema).parquet(streamSrc)
+    val q = graft.streaming.DocumentStreams
+      .upsertSink(stream, target, checkpoint)
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val after = PDataset.scanParquet(spark, target)
+    checkBoundsAndSizes(after)
+    assert(after.toDF.count() == baseCount + 10)
+    assert(after.toDF.filter(col("text").startsWith("UPDATED ")).count() == 30)
+    assert(after.toDF.filter(col("doc_id") >= 5000000L).count() == 10)
+    assert(Maintenance.versions(spark, target).isEmpty)
   }
 
   test("streaming quality gate matches the batch filter") {
