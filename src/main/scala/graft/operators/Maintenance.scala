@@ -89,15 +89,30 @@ object Maintenance {
       .sorted.toSeq
   }
 
+  /** The sidecar metadata of archived generation `version` (also the
+    * hook behind `spark.read.format("graft").option("version", n)`). */
+  def versionMeta(
+      spark: SparkSession, dir: String, version: Int): Sidecar.Meta = {
+    val (_, dirPath) = GraftFs.resolve(spark, dir)
+    Sidecar.loadFile(spark, dir, versionFile(dirPath, version))
+  }
+
   /** Open archived generation `version` of the dataset at `dir` —
     * the full engine surface (pruned slices, joins, toDF) over the
     * old file listing. Requires the generation to not have been
     * [[vacuum]]ed. */
-  def scanVersion(spark: SparkSession, dir: String, version: Int): PDataset = {
-    val (_, dirPath) = GraftFs.resolve(spark, dir)
-    PDataset.fromSidecarMeta(spark, dir,
-      Sidecar.loadFile(spark, dir, versionFile(dirPath, version)))
-  }
+  def scanVersion(spark: SparkSession, dir: String, version: Int): PDataset =
+    PDataset.fromSidecarMeta(spark, dir, versionMeta(spark, dir, version))
+
+  /** Keep the Bloom sidecar effective across maintenance: when one
+    * exists, extend it to the files this op just created (one job
+    * over ONLY those files — [[graft.core.BloomIndex.update]] builds
+    * missing entries and leaves the rest alone). Without this,
+    * rewritten partitions would silently stop pruning (sound, but
+    * the index decays with every upsert). */
+  private def refreshBloom(spark: SparkSession, dir: String): Unit =
+    if (graft.core.BloomIndex.exists(spark, dir))
+      graft.core.BloomIndex.update(spark, dir)
 
   /** Copy the CURRENT metadata into the history before a swap;
     * returns the archived version number. */
@@ -249,6 +264,7 @@ object Maintenance {
     if (!retain)
       merges.flatten.foreach(p =>
         fs.delete(new HPath(dirPath, m.files(p)), false))
+    refreshBloom(spark, dir)
     Report(rewritten = 0, dropped = 0, merged = merges.map(_.length).sum,
       created = merges.length, untouched = groups.count(_.length == 1))
   }
@@ -388,6 +404,7 @@ object Maintenance {
     }
     // An emptied rewrite is referenced by NO generation — always clean.
     emptied.foreach(p => fs.delete(new HPath(dirPath, newNameOf(p)), false))
+    refreshBloom(spark, dir)
     Report(rewritten = rewritePos.length, dropped = dropPos.length,
       merged = 0, created = rewritePos.length - emptied.size,
       untouched = m.files.length - dropPos.length - rewritePos.length)
@@ -506,6 +523,7 @@ object Maintenance {
       m.maxPartitionIndex + affected.length, m.schema)
     if (!retain)
       affected.foreach(p => fs.delete(new HPath(dirPath, m.files(p)), false))
+    refreshBloom(spark, dir)
     Report(rewritten = affected.length, dropped = 0, merged = 0,
       created = affected.length,
       untouched = m.files.length - affected.length)

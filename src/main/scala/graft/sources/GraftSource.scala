@@ -40,7 +40,14 @@ final class GraftSource extends RelationProvider
       throw new IllegalArgumentException(
         "the graft source requires a path: " +
           "spark.read.format(\"graft\").load(<dataset dir>)"))
-    GraftRelations.sidecarRelation(sqlContext.sparkSession, path)
+    val spark = sqlContext.sparkSession
+    // option("version", n): read an archived generation (time
+    // travel over retained maintenance history).
+    parameters.get("version") match {
+      case Some(v) => GraftRelations.sidecarRelationFor(spark, path,
+        graft.operators.Maintenance.versionMeta(spark, path, v.toInt))
+      case None => GraftRelations.sidecarRelation(spark, path)
+    }
   }
 
   override def createRelation(

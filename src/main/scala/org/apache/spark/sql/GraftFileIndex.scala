@@ -381,8 +381,16 @@ object GraftRelations {
     * [[graft.core.BloomIndex]]), pushed `=`/`IN` predicates on its
     * columns additionally prune through the per-file Bloom filters. */
   def sidecarRelation(
-      spark: SparkSession, dir: String): HadoopFsRelation = {
-    val m = graft.core.Sidecar.load(spark, dir)
+      spark: SparkSession, dir: String): HadoopFsRelation =
+    sidecarRelationFor(spark, dir, graft.core.Sidecar.load(spark, dir))
+
+  /** [[sidecarRelation]] over an explicit metadata generation — the
+    * relation behind `format("graft").option("version", n)`. Bloom
+    * entries stay valid for archived generations because partition
+    * files are immutable (rewrites get fresh names). */
+  def sidecarRelationFor(
+      spark: SparkSession, dir: String,
+      m: graft.core.Sidecar.Meta): HadoopFsRelation = {
     val p = new Path(dir)
     val files = m.files.map(f => new Path(p, f).toString).toIndexedSeq
     val withSizes = graft.core.GraftFs.fileSizes(

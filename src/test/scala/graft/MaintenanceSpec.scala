@@ -263,6 +263,50 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(listed == graft.core.Sidecar.load(spark, dir).files.toSet)
   }
 
+  test("format(\"graft\").option(\"version\", n) reads an archived generation") {
+    val dir = tempDir("maint-sql-ttravel") + "/ds"
+    writeKeyed(dir, 100, 25)
+    val updates = Seq((10L, 3, "UPDATED-10")).toDF("k", "grp", "payload")
+    Maintenance.upsert(spark, dir, updates, retain = true)
+    val v0 = spark.read.format("graft").option("version", "0").load(dir)
+    assertSameRows(v0, keyedDF(0, 100))
+    val cur = spark.read.format("graft").load(dir)
+    assert(cur.filter(col("payload") === "UPDATED-10").count() == 1)
+  }
+
+  test("maintenance refreshes an existing bloom sidecar for new files") {
+    val dir = tempDir("maint-bloom") + "/ds"
+    writeKeyed(dir, 400, 50) // 8 files, payload unique per row
+    graft.core.BloomIndex.build(spark, dir, Seq("payload"), fpp = 0.001)
+
+    val updates = Seq((75L, 5, "p-REWRITTEN")).toDF("k", "grp", "payload")
+    Maintenance.upsert(spark, dir, updates) // rewrites file 1 only
+
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      df.collect()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scans)
+      }
+      scans(df.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+    }
+    // a lookup into the REWRITTEN partition still prunes: the op
+    // extended the bloom sidecar to the new file
+    val q = spark.read.format("graft").load(dir)
+      .filter(col("payload") === "p-REWRITTEN")
+    assert(q.count() == 1)
+    assert(scannedFiles(q) <= 2, "rewritten file must carry a fresh filter")
+    val q2 = spark.read.format("graft").load(dir)
+      .filter(col("payload") === "v399")
+    assert(q2.count() == 1)
+    assert(scannedFiles(q2) <= 2, "untouched filters must keep working")
+  }
+
   test("upsert rejects duplicate and null keys") {
     val dir = tempDir("maint-upsert-bad") + "/ds"
     writeKeyed(dir, 100, 50)
