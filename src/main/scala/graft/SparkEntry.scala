@@ -360,6 +360,39 @@ object SparkEntry {
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     }),
 
+    "q_window_lag" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      scan(s, d, "orders").toDF
+        .filter(col("o_custkey") <= 20)
+        .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+        .withColumn("next_key", lead("o_orderkey", 1).over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .select("o_custkey", "o_orderkey", "prev_price", "next_key",
+          "quartile")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // GROUPING SETS through the same partial-agg expand as
+    // rollup/cube; explicit sets keep the expand factor at 2.
+    "q_grouping_sets" -> ((s, d) => {
+      val li = scan(s, d, "lineitem").toDF
+      li.createOrReplaceTempView("li_gs")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+                      round(sum(l_quantity), 2) AS qty
+               FROM li_gs
+               GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+               ORDER BY l_returnflag ASC NULLS FIRST,
+                        l_linestatus ASC NULLS FIRST""")
+    }),
+
+    "q_except_all" -> ((s, d) =>
+      scan(s, d, "customer").toDF.select(col("c_nationkey").as("nationkey"))
+        .exceptAll(scan(s, d, "supplier").toDF
+          .select(col("s_nationkey").as("nationkey")))
+        .groupBy("nationkey").agg(count(lit(1)).as("n"))
+        .orderBy("nationkey")),
+
     "q_distinct" -> ((s, d) =>
       scan(s, d, "lineitem").toDF
         .select("l_returnflag", "l_linestatus").distinct()
@@ -1090,6 +1123,27 @@ object SparkEntry {
                       AS INT) AS rn
              FROM lineitem)
            WHERE rn <= 3 ORDER BY l_returnflag, rn""",
+      "q_window_lag" ->
+        """SELECT o_custkey, o_orderkey,
+                  lag(o_totalprice, 1) OVER w AS prev_price,
+                  lead(o_orderkey, 1) OVER w AS next_key,
+                  CAST(ntile(4) OVER w AS INT) AS quartile
+           FROM orders WHERE o_custkey <= 20
+           WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+           ORDER BY o_custkey, o_orderkey""",
+      "q_grouping_sets" ->
+        """SELECT l_returnflag, l_linestatus,
+                  round(sum(l_quantity), 2) AS qty
+           FROM lineitem
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+           ORDER BY l_returnflag ASC NULLS FIRST,
+                    l_linestatus ASC NULLS FIRST""",
+      "q_except_all" ->
+        """SELECT nationkey, count(*) AS n FROM (
+             SELECT c_nationkey AS nationkey FROM customer
+             EXCEPT ALL
+             SELECT s_nationkey FROM supplier)
+           GROUP BY nationkey ORDER BY nationkey""",
       "q_window_running" ->
         """SELECT l_suppkey, l_orderkey, l_linenumber,
                   round(sum(l_quantity) OVER (

@@ -71,6 +71,30 @@ object Quickstart {
     println(s"join partitions=${joined.npartitions}, " +
       s"rows=${joined.toDF.count()}")
 
+    // 8. Table maintenance in place on a keyed dataset: delete an
+    //    index range (covered files dropped unread), one-row keyed
+    //    upsert (only its routed partition rewritten) with the
+    //    outgoing generation retained, then time travel and vacuum.
+    import graft.operators.Maintenance
+    val ordsDir = java.nio.file.Files.createTempDirectory("graft-quickstart-")
+      .resolve("orders_by_key").toString
+    PDataset.scanParquet(spark, s"$sfDir/orders.parquet")
+      .reindex(Seq("o_orderkey")).repartition(200).writeParquet(ordsDir)
+    val del = Maintenance.deleteRange(spark, ordsDir,
+      lb = Vector(Some(100L)), ub = Vector(Some(300L)))
+    println(s"deleteRange([100, 300)): dropped=${del.dropped} " +
+      s"rewritten=${del.rewritten} untouched=${del.untouched}")
+    val one = PDataset.scanParquet(spark, ordsDir).toDF
+      .orderBy("o_orderkey").limit(1)
+      .withColumn("o_orderpriority", lit("0-UPSERTED"))
+    val ups = Maintenance.upsert(spark, ordsDir, one, retain = true)
+    println(s"upsert(1 row, retain): rewritten=${ups.rewritten} " +
+      s"untouched=${ups.untouched}; versions=${Maintenance.versions(spark, ordsDir)}")
+    val old = Maintenance.scanVersion(spark, ordsDir, 0)
+    println(s"time travel v0: rows=${old.toDF.count()} (current=" +
+      s"${PDataset.scanParquet(spark, ordsDir).toDF.count()})")
+    println(s"vacuum: removed ${Maintenance.vacuum(spark, ordsDir)} stale file(s)")
+
     spark.stop()
   }
 }
