@@ -504,6 +504,14 @@ object SparkEntry {
           col("chunk"))
         .orderBy("doc_id", "chunk_id")),
 
+    // Document rarity vs the corpus's own unigram counts — exact
+    // integer aggregates (engine-portable), from which float quality
+    // scores derive.
+    "q_token_rarity" -> ((s, d) =>
+      graft.operators.Rarity.tokenRarity(
+        s.read.parquet(T(d, "documents")), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Heavy hitters without a whole-domain groupBy: Misra-Gries
     // candidates (≤ capacity counters per task, tree-merged) + exact
     // recount of candidates only. minCount sits above the sketch
@@ -1219,6 +1227,17 @@ object SparkEntry {
                           AS s
                  FROM documents)
            ORDER BY doc_id, chunk_id""",
+      "q_token_rarity" ->
+        """WITH toks AS (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents),
+           nz AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+           counts AS (SELECT tok, count(*) AS tok_n FROM nz GROUP BY tok)
+           SELECT doc_id, count(*) AS n_tokens,
+                  CAST(sum(tok_n) AS BIGINT) AS sum_tok_freq,
+                  min(tok_n) AS min_tok_freq
+           FROM nz JOIN counts USING (tok)
+           GROUP BY doc_id ORDER BY doc_id""",
       "q_heavy_hitters" ->
         """SELECT l_partkey, count(*) AS n FROM lineitem
            GROUP BY l_partkey

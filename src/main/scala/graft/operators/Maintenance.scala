@@ -104,6 +104,29 @@ object Maintenance {
   def scanVersion(spark: SparkSession, dir: String, version: Int): PDataset =
     PDataset.fromSidecarMeta(spark, dir, versionMeta(spark, dir, version))
 
+  /** Fingerprint of the metadata file (mtime, length) taken right
+    * after an op loads it; [[guardUnchanged]] re-checks it
+    * immediately before the swap and aborts the op if another writer
+    * got there first. Best-effort conflict DETECTION, not a CAS —
+    * true optimistic concurrency needs a coordination service the
+    * filesystem can't provide — but it turns the common overlapping-
+    * maintenance mistake from silent lost updates into a loud error
+    * (both generations' files are still on disk; re-run the op). */
+  private def metaFingerprint(
+      spark: SparkSession, dirPath: HPath): (Long, Long) = {
+    val (fs, _) = GraftFs.resolve(spark, dirPath.toString)
+    val st = fs.getFileStatus(Sidecar.metadataPath(dirPath.toString))
+    (st.getModificationTime, st.getLen)
+  }
+
+  private def guardUnchanged(
+      spark: SparkSession, dirPath: HPath, loaded: (Long, Long)): Unit = {
+    if (metaFingerprint(spark, dirPath) != loaded)
+      throw new java.util.ConcurrentModificationException(
+        s"dataset at $dirPath changed while this maintenance op ran; " +
+          "no changes were installed — reload and re-run")
+  }
+
   /** Keep the Bloom sidecar effective across maintenance: when one
     * exists, extend it to the files this op just created (one job
     * over ONLY those files — [[graft.core.BloomIndex.update]] builds
@@ -194,6 +217,7 @@ object Maintenance {
       return Report(0, 0, 0, 0, m.files.length)
 
     val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    val loadedFp = metaFingerprint(spark, dirPath)
     def pathOf(p: Int): String = new HPath(dirPath, m.files(p)).toString
     val newNameOfGroup: Map[Int, String] = merges.indices.map(g =>
       g -> Sidecar.partitionFileName(m.maxPartitionIndex + 1 + g)).toMap
@@ -257,6 +281,7 @@ object Maintenance {
           g.map(m.upperBounds).max(Lex.boundOrdering))
       }
     }
+    guardUnchanged(spark, dirPath, loadedFp)
     if (retain) archiveCurrent(spark, fs, dirPath)
     Sidecar.write(spark, dir, m.indexColumns, entries.map(_._1),
       entries.map(_._2), entries.map(_._3), entries.map(_._4),
@@ -336,6 +361,7 @@ object Maintenance {
     val dropPos = m.files.indices.filter(fileAllIn)
     val rewritePos = m.files.indices.filterNot(fileAllIn).filter(i => !fileNoneIn(i))
     val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    val loadedFp = metaFingerprint(spark, dirPath)
 
     if (dropPos.isEmpty && rewritePos.isEmpty)
       return Report(0, 0, 0, 0, m.files.length)
@@ -394,6 +420,7 @@ object Maintenance {
         }
       } else Some((m.files(p), m.sizes(p), m.lowerBounds(p), m.upperBounds(p)))
     }
+    guardUnchanged(spark, dirPath, loadedFp)
     if (retain) archiveCurrent(spark, fs, dirPath)
     Sidecar.write(spark, dir, m.indexColumns, entries.map(_._1),
       entries.map(_._2), entries.map(_._3), entries.map(_._4),
@@ -471,6 +498,7 @@ object Maintenance {
     val affectedSet = affected.toSet
 
     val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    val loadedFp = metaFingerprint(spark, dirPath)
     def pathOf(p: Int): String = new HPath(dirPath, m.files(p)).toString
     val newNameOf: Map[Int, String] = affected.zipWithIndex.map {
       case (p, j) => p -> Sidecar.partitionFileName(m.maxPartitionIndex + 1 + j)
@@ -517,6 +545,7 @@ object Maintenance {
         (newNameOf(p), st.size, st.lb, st.ub)
       } else (m.files(p), m.sizes(p), m.lowerBounds(p), m.upperBounds(p))
     }
+    guardUnchanged(spark, dirPath, loadedFp)
     if (retain) archiveCurrent(spark, fs, dirPath)
     Sidecar.write(spark, dir, m.indexColumns, entries.map(_._1),
       entries.map(_._2), entries.map(_._3), entries.map(_._4),

@@ -307,6 +307,30 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(scannedFiles(q2) <= 2, "untouched filters must keep working")
   }
 
+  test("a concurrent sidecar swap aborts the op before installing anything") {
+    val dir = tempDir("maint-conflict") + "/ds"
+    writeKeyed(dir, 100, 25)
+    // Sneak a competing writer in between load and swap: upsert's
+    // validation aggregate evaluates the updates DataFrame, so a
+    // mapPartitions hook running inside it touches the sidecar
+    // behind the op's back (what a concurrent commit would do).
+    val updates = Seq((10L, 3, "UPDATED-10")).toDF("k", "grp", "payload")
+    val hooked = updates.mapPartitions { it =>
+      val meta = Paths.get(dir, "_padawan_metadata.json")
+      Files.setLastModifiedTime(meta,
+        java.nio.file.attribute.FileTime.fromMillis(
+          Files.getLastModifiedTime(meta).toMillis + 60000))
+      it
+    }(updates.encoder)
+    assertThrows[java.util.ConcurrentModificationException] {
+      Maintenance.upsert(spark, dir, hooked)
+    }
+    // the op installed nothing
+    val after = PDataset.scanParquet(spark, dir)
+    assert(after.toDF.count() == 100)
+    assert(after.toDF.filter(col("payload") === "UPDATED-10").count() == 0)
+  }
+
   test("upsert rejects duplicate and null keys") {
     val dir = tempDir("maint-upsert-bad") + "/ds"
     writeKeyed(dir, 100, 50)
