@@ -23,6 +23,28 @@ class PlanSpec extends AnyFunSuite {
       .writeParquet(out)
   }
 
+  test("quotaCap plans a map-side group limit before the shuffle") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.operators.Sampling.quotaCap(docs, "source", "doc_id", 5)
+      .queryExecution.executedPlan.toString
+    // Spark's WindowGroupLimit caps each group at N per TASK before
+    // the exchange — without it every row shuffles just to be
+    // discarded by the rank filter.
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected a partial WindowGroupLimit, got:\n$plan")
+  }
+
+  test("heavy-hitter recount broadcasts the candidate set") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val df = graft.operators.Frequency.heavyHitters(
+      li, "l_partkey", minCount = 10L, capacity = 4096)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"candidates (≤ capacity) must broadcast, got:\n$plan")
+    assert(plan.contains("HashAggregate"), "recount must hash-aggregate")
+  }
+
   test("slice reads only overlapping partition files (driver pruning)") {
     val total = persisted.npartitions
     val lo = persisted.lowerBounds.get(2)
