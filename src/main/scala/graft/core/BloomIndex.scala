@@ -71,31 +71,46 @@ object BloomIndex {
     val (_, dirPath) = GraftFs.resolve(spark, dir)
     val paths = m.files.map(f => new HPath(dirPath, f).toString)
     writeEntries(spark, dirPath,
-      buildEntries(spark, m, paths, m.sizes, cols, fpp))
+      buildEntries(spark, m, paths, m.sizes, cols, fpp)
+        .map { case (k, v) => k -> (v, fpp) })
   }
 
   /** Extend an existing Bloom sidecar to files that have no entry yet
     * (e.g. appended since the last build): builds filters for ONLY
     * those files and merges them into the sidecar. `cols` defaults to
-    * the columns already indexed. */
+    * the columns already indexed and `fpp` to the sidecar's stored
+    * rate (so maintenance refreshes keep the original precision).
+    * Entries for files no longer on disk are dropped — the sidecar
+    * tracks the live dataset (current + retained generations), it
+    * doesn't grow with history. */
   def update(
       spark: SparkSession,
       dir: String,
       cols: Seq[String] = Seq.empty,
-      fpp: Double = 0.01): Unit = {
+      fpp: Option[Double] = None): Unit = {
     val (fs, dirPath) = GraftFs.resolve(spark, dir)
     val existing = readEntries(spark, fs, dirPath)
     val theCols =
       if (cols.nonEmpty) cols else existing.keys.map(_._2).toSeq.distinct
-    val m = validate(spark, dir, theCols, fpp)
+    val theFpp = fpp.orElse(existing.values.headOption.map(_._2))
+      .getOrElse(0.01)
+    val m = validate(spark, dir, theCols, theFpp)
+    val onDisk = GraftFs.listStatuses(fs, dirPath)
+      .filter(_.isFile).map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_") &&
+        !n.startsWith(".")).toSet
+    val pruned = existing.filter { case ((f, _), _) => onDisk.contains(f) }
     val missing = m.files.zip(m.sizes).filter { case (f, _) =>
-      theCols.exists(c => !existing.contains((f, c)))
+      theCols.exists(c => !pruned.contains((f, c)))
     }
-    if (missing.isEmpty) return
-    val fresh = buildEntries(spark, m,
-      missing.map(f => new HPath(dirPath, f._1).toString),
-      missing.map(_._2), theCols, fpp)
-    writeEntries(spark, dirPath, existing ++ fresh)
+    if (missing.isEmpty && pruned.size == existing.size) return
+    val fresh =
+      if (missing.isEmpty) Map.empty[(String, String), Array[Byte]]
+      else buildEntries(spark, m,
+        missing.map(f => new HPath(dirPath, f._1).toString),
+        missing.map(_._2), theCols, theFpp)
+    writeEntries(spark, dirPath,
+      pruned ++ fresh.map { case (k, v) => k -> (v, theFpp) })
   }
 
   private def validate(
@@ -180,14 +195,15 @@ object BloomIndex {
   private val entrySchema = StructType(Seq(
     StructField("file", StringType, nullable = false),
     StructField("col", StringType, nullable = false),
-    StructField("bloom", BinaryType, nullable = false)))
+    StructField("bloom", BinaryType, nullable = false),
+    StructField("fpp", DoubleType, nullable = false)))
 
   private def writeEntries(
       spark: SparkSession,
       dirPath: HPath,
-      entries: Map[(String, String), Array[Byte]]): Unit = {
-    val outRows: Seq[Row] = entries.toSeq.map { case ((f, c), bytes) =>
-      Row(f, c, bytes)
+      entries: Map[(String, String), (Array[Byte], Double)]): Unit = {
+    val outRows: Seq[Row] = entries.toSeq.map {
+      case ((f, c), (bytes, fpp)) => Row(f, c, bytes, fpp)
     }
     Sidecar.writeSingleParquet(
       spark.createDataFrame(java.util.Arrays.asList(outRows: _*), entrySchema),
@@ -195,14 +211,14 @@ object BloomIndex {
     cache.clear()
   }
 
-  /** Raw sidecar entries keyed (file base name, column); empty when
-    * no sidecar exists. Spark's listing hides `_`-prefixed files, so
-    * stage a visible local copy (same discipline as the schema
-    * sidecar). */
+  /** Raw sidecar entries keyed (file base name, column), with each
+    * entry's build fpp; empty when no sidecar exists. Spark's listing
+    * hides `_`-prefixed files, so stage a visible local copy (same
+    * discipline as the schema sidecar). */
   private def readEntries(
       spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
-      dirPath: HPath): Map[(String, String), Array[Byte]] = {
+      dirPath: HPath): Map[(String, String), (Array[Byte], Double)] = {
     val file = new HPath(dirPath, BloomFile)
     if (!GraftFs.isFile(fs, file)) return Map.empty
     val tmp = java.nio.file.Files.createTempDirectory("graft-bloom-")
@@ -213,7 +229,8 @@ object BloomIndex {
       finally in.close()
       spark.read.parquet(copy.toString)
         .collect()
-        .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Array[Byte]](2))
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getAs[Array[Byte]](2), r.getDouble(3))))
         .toMap
     } finally Sidecar.deleteRecursively(tmp)
   }
@@ -242,8 +259,8 @@ object BloomIndex {
     val key = (dirPath.toString, status.getModificationTime, status.getLen)
     if (cache.size > 8) cache.clear()
     val entries = cache.computeIfAbsent(key, _ =>
-      readEntries(spark, fs, dirPath).map { case (k, v) =>
-        k -> deserialize(v)
+      readEntries(spark, fs, dirPath).map { case (k, (bytes, _)) =>
+        k -> deserialize(bytes)
       })
     val names = files.map(f => new HPath(f).getName).toIndexedSeq
     entries.keys.map(_._2).toSeq.distinct.map { c =>

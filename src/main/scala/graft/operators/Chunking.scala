@@ -35,6 +35,6 @@ object Chunking {
           greatest(length(col(textCol)) - 1, lit(0)), lit(step))))
       .withColumn("chunk_id", (col("chunk_start") / step).cast("int"))
       .withColumn("chunk",
-        expr(s"substr($textCol, chunk_start + 1, $chunkChars)"))
+        col(textCol).substr(col("chunk_start") + lit(1), lit(chunkChars)))
   }
 }

@@ -38,6 +38,8 @@ object Frequency {
     require(capacity > 0, "capacity must be positive")
     val spark = df.sparkSession
     val (cands, total) = mgCandidates(df, keyCol, capacity)
+    if (total == 0L)
+      return df.limit(0).groupBy(keyCol).agg(count(lit(1)).as("n"))
     require(minCount.toDouble > total.toDouble / capacity,
       s"minCount=$minCount is within the sketch error bound " +
         s"(n/capacity = $total/$capacity = ${total / capacity}); " +
@@ -81,9 +83,12 @@ object Frequency {
         }
         Iterator.single((m, n))
       }
-    val (merged, total) = partials.treeReduce { case ((a, na), (b, nb)) =>
-      (mgMerge(a, b, capacity), na + nb)
-    }
+    // treeAggregate (not treeReduce): the zero value makes an empty
+    // or zero-partition input a legal empty summary, not a crash.
+    val (merged, total) = partials.treeAggregate(
+      (mutable.HashMap.empty[Any, Long], 0L))(
+      { case ((a, na), (b, nb)) => (mgMerge(a, b, capacity), na + nb) },
+      { case ((a, na), (b, nb)) => (mgMerge(a, b, capacity), na + nb) })
     (merged.keys.toSeq, total)
   }
 

@@ -153,19 +153,32 @@ object Maintenance {
 
   /** Drop all archived generations and delete every data file the
     * current generation doesn't reference. Driver-side metadata diff
-    * only — no Spark job. Returns the number of files deleted. */
+    * only — no Spark job. Returns the number of files deleted.
+    *
+    * Concurrency: the same best-effort discipline as the maintenance
+    * ops — the metadata fingerprint is re-checked right before the
+    * delete loop (a generation swap mid-vacuum aborts loudly), and
+    * only unreferenced files OLDER than the current metadata commit
+    * are deleted: a fresh part file is what an in-flight op stages
+    * before its swap, so age, not reference, is what proves a file
+    * orphaned. */
   def vacuum(spark: SparkSession, dir: String): Int = {
-    val m = Sidecar.load(spark, dir)
     val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    val loadedFp = metaFingerprint(spark, dirPath)
+    val m = Sidecar.load(spark, dir)
+    val metaMtime =
+      fs.getFileStatus(Sidecar.metadataPath(dir)).getModificationTime
     val keep = m.files.toSet
     val stale = GraftFs.listStatuses(fs, dirPath)
       .filter(_.isFile)
-      .map(_.getPath)
-      .filter { p =>
-        val n = p.getName
+      .filter { st =>
+        val n = st.getPath.getName
         n.endsWith(".parquet") && !n.startsWith("_") &&
-          !n.startsWith(".") && !keep.contains(n)
+          !n.startsWith(".") && !keep.contains(n) &&
+          st.getModificationTime < metaMtime
       }
+      .map(_.getPath)
+    guardUnchanged(spark, dirPath, loadedFp)
     stale.foreach(fs.delete(_, false))
     GraftFs.deleteRecursive(fs, new HPath(dirPath, HistoryDir))
     stale.length
@@ -461,6 +474,11 @@ object Maintenance {
       updates: DataFrame,
       retain: Boolean = false): Report = {
     val m = Sidecar.load(spark, dir)
+    // Fingerprint immediately after load: every Spark job below gives
+    // a concurrent writer time to commit, and the guard before the
+    // swap must compare against what THIS op planned from.
+    val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    val loadedFp = metaFingerprint(spark, dirPath)
     require(m.indexColumns.nonEmpty,
       "upsert needs index columns; write the dataset reindexed first")
     require(m.files.nonEmpty, "cannot upsert into an empty dataset")
@@ -474,19 +492,38 @@ object Maintenance {
           s"(violated between partitions $i and ${i + 1}); repartition first")
     }
 
-    val upd = updates.select(dataCols.map(col): _*)
-    // One validation pass: unique, non-null keys.
+    // Persisted: the updates plan is evaluated by the validation
+    // aggregate, the routing distinct AND the final scatter —
+    // caching pins one evaluation (and one result for
+    // non-deterministic inputs like samples).
+    val upd = updates.select(dataCols.map(col): _*).persist()
+    try upsertPersisted(spark, dir, m, upd, retain, fs, dirPath, loadedFp)
+    finally { upd.unpersist(); () }
+  }
+
+  private def upsertPersisted(
+      spark: SparkSession,
+      dir: String,
+      m: Sidecar.Meta,
+      upd: DataFrame,
+      retain: Boolean,
+      fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: HPath,
+      loadedFp: (Long, Long)): Report = {
+    val keyCols = m.indexColumns.toSeq
+    // One validation pass: unique, non-null keys (n checked first —
+    // the null-count aggregate is NULL over zero rows).
     val v = upd.agg(
       count(lit(1)).as("n"),
       count_distinct(struct(keyCols.map(col): _*)).as("d"),
       sum(when(keyCols.map(col(_).isNull).reduce(_ || _), 1L)
         .otherwise(0L)).as("nulls")).head()
+    if (v.getLong(0) == 0L)
+      return Report(0, 0, 0, 0, m.files.length)
     require(v.getLong(2) == 0L, "update keys must be non-null")
     require(v.getLong(0) == v.getLong(1),
       s"update keys must be unique (${v.getLong(0)} rows, " +
         s"${v.getLong(1)} distinct keys)")
-    if (v.getLong(0) == 0L)
-      return Report(0, 0, 0, 0, m.files.length)
 
     // Route each update to its partition: first lower bound the key
     // is lex-below, over the interior cut points (= partition lower
@@ -496,9 +533,6 @@ object Maintenance {
     val affected = routed.select("__part").distinct()
       .collect().map(_.getInt(0)).sorted
     val affectedSet = affected.toSet
-
-    val (fs, dirPath) = GraftFs.resolve(spark, dir)
-    val loadedFp = metaFingerprint(spark, dirPath)
     def pathOf(p: Int): String = new HPath(dirPath, m.files(p)).toString
     val newNameOf: Map[Int, String] = affected.zipWithIndex.map {
       case (p, j) => p -> Sidecar.partitionFileName(m.maxPartitionIndex + 1 + j)

@@ -32,19 +32,6 @@ class BloomIndexSpec extends AnyFunSuite {
     out
   }
 
-  private def scannedFiles(df: DataFrame): Long = {
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    df.collect()
-    def scans(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(scans)
-    }
-    scans(df.queryExecution.executedPlan)
-      .map(_.metrics("numFiles").value).sum
-  }
 
   test("string equality on a bloom column plans ~1 of 20 files") {
     val q = spark.read.format("graft").load(dir)
@@ -104,7 +91,7 @@ class BloomIndexSpec extends AnyFunSuite {
     val extra = spark.range(400L, 500L).select(
       col("id").as("k"), concat(lit("d"), col("id")).as("doc"))
     PDataset.fromDataFrame(extra, Seq("k")).writeParquet(out, append = true)
-    BloomIndex.update(spark, out, fpp = 0.001)
+    BloomIndex.update(spark, out, fpp = Some(0.001))
     val q = spark.read.format("graft").load(out)
       .filter(col("doc") === "d450")
     assert(q.count() == 1)

@@ -132,6 +132,23 @@ object Fixtures {
     }
   }
 
+  /** Files actually planned by `df`'s scan(s) — the numFiles metric
+    * summed over every FileSourceScanExec (AQE unwrapped). Runs the
+    * query; use to assert plan-time file pruning. */
+  def scannedFiles(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    scans(df.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+  }
+
   /** Deterministic whole-frame comparison: both frames sorted by all
     * columns, then row-by-row equality on external values. */
   def assertSameRows(got: DataFrame, want: DataFrame): Unit = {

@@ -23,19 +23,6 @@ class GraftSourceSpec extends AnyFunSuite {
     out
   }
 
-  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    df.collect()
-    def scans(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(scans)
-    }
-    scans(df.queryExecution.executedPlan)
-      .map(_.metrics("numFiles").value).sum
-  }
 
   test("format(\"graft\") reads the dataset with the sidecar schema") {
     val got = spark.read.format("graft").load(dir)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Layout
+import Fixtures.scannedFiles
 
 /** Z-order clustering: interleave correctness, write/read roundtrip,
   * and plan-time file pruning on BOTH clustered columns. */
@@ -57,19 +58,6 @@ class LayoutSpec extends AnyFunSuite {
 
   test("range predicates on EITHER clustered column prune files") {
     written
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
-      df.collect()
-      def scans(p: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[FileSourceScanExec] = p match {
-        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-        case f: FileSourceScanExec => Seq(f)
-        case other => other.children.flatMap(scans)
-      }
-      scans(df.queryExecution.executedPlan)
-        .map(_.metrics("numFiles").value).sum
-    }
     val all = scannedFiles(Layout.zorderRead(spark, dir))
     assert(all >= 4, s"want >=4 files for a meaningful pruning test, got $all")
     // A tight two-sided box must scan strictly fewer files than the
@@ -89,19 +77,6 @@ class LayoutSpec extends AnyFunSuite {
     assert(got == want)
   }
 
-  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    df.collect()
-    def scans(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(scans)
-    }
-    scans(df.queryExecution.executedPlan)
-      .map(_.metrics("numFiles").value).sum
-  }
 
   test("zorderAppend lands increments in the existing bucket space") {
     val li = spark.read

@@ -282,19 +282,6 @@ class MaintenanceSpec extends AnyFunSuite {
     val updates = Seq((75L, 5, "p-REWRITTEN")).toDF("k", "grp", "payload")
     Maintenance.upsert(spark, dir, updates) // rewrites file 1 only
 
-    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
-      import org.apache.spark.sql.execution.FileSourceScanExec
-      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-      df.collect()
-      def scans(p: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[FileSourceScanExec] = p match {
-        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-        case f: FileSourceScanExec => Seq(f)
-        case other => other.children.flatMap(scans)
-      }
-      scans(df.queryExecution.executedPlan)
-        .map(_.metrics("numFiles").value).sum
-    }
     // a lookup into the REWRITTEN partition still prunes: the op
     // extended the bloom sidecar to the new file
     val q = spark.read.format("graft").load(dir)
