@@ -44,6 +44,36 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Stream-stream inner join with bounded state: match events of
+    * `leftType` to events of `rightType` by user within
+    * `within` of each other (e.g. click → purchase attribution).
+    * Both sides carry watermarks and the join condition bounds the
+    * event-time distance, so each side's state evicts as the other
+    * side's watermark advances — the only join shape that runs
+    * unbounded streams in bounded memory. Late rows beyond
+    * `lateness` drop like any watermarked op. */
+  def correlate(
+      events: DataFrame,
+      leftType: String,
+      rightType: String,
+      within: String = "30 minutes",
+      lateness: String = "1 hour"): DataFrame = {
+    val left = events.filter(col("event_type") === leftType)
+      .select(col("user_id").as("l_user"), col("ts").as("l_ts"),
+        col("event_id").as("l_event"), col("value").as("l_value"))
+      .withWatermark("l_ts", lateness)
+    val right = events.filter(col("event_type") === rightType)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_id").as("r_event"), col("value").as("r_value"))
+      .withWatermark("r_ts", lateness)
+    left.join(right,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+      .select(col("l_user").as("user_id"), col("l_event"), col("r_event"),
+        col("l_ts"), col("r_ts"), col("r_value"))
+  }
+
   /** Sliding-window variant (same state bounds). */
   def slidingCounts(
       events: DataFrame,

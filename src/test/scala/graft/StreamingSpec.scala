@@ -57,6 +57,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally qc.stop()
   }
 
+  test("stream-stream correlation join matches the batch join") {
+    val q = EventStreams
+      .correlate(EventStreams.readEventStream(spark, streamDir),
+        leftType = "click", rightType = "purchase")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_corr").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_corr").count()
+      val ev = batchEvents
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("l_user"), col("ts").as("l_ts"),
+          col("event_id").as("l_event"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+          col("event_id").as("r_event"))
+      val batch = l.join(r,
+        col("l_user") === col("r_user") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr("INTERVAL 30 minutes")).count()
+      assert(streamed == batch, s"streamed $streamed != batch $batch")
+      assert(batch > 0, "fixture must produce at least one correlated pair")
+    } finally q.stop()
+  }
+
   /** Documents staged with duplicates: every text appears twice under
     * different doc_ids, the copy one minute later. */
   lazy val docStreamDir: String = {
