@@ -107,7 +107,56 @@ class MaintenanceSpec extends AnyFunSuite {
     assertSameRows(after.toDF, keyedDF(0, 480))
   }
 
+  test("compact works on an index-less (row-mode) dataset") {
+    val dir = tempDir("maint-compact-rowmode") + "/ds"
+    val parts = (0 until 200 by 20).map(lo =>
+      PDataset.fromDataFrame(keyedDF(lo.toLong, 20L)))
+    PDataset.concat(parts).writeParquet(dir) // 10 files, no index
+    val report = Maintenance.compact(spark, dir, targetRows = 60)
+    // greedy: 3 groups of 3 files merge; the trailing file stays alone
+    assert(report.created == 3 && report.merged == 9, report.toString)
+    assert(report.untouched == 1, report.toString)
+    val after = PDataset.scanParquet(spark, dir)
+    assert(after.indexColumns.isEmpty)
+    assert(after.sizes.get.sum == 200)
+    assertSameRows(after.toDF, keyedDF(0, 200))
+  }
+
   // ---- deleteRange ----
+
+  test("deleteRange prunes by a prefix of a multi-column index") {
+    val dir = tempDir("maint-del-prefix") + "/ds"
+    // index (grp, k): 6 files of one grp each, 50 rows per grp
+    val parts = (0 until 6).map { g =>
+      PDataset.fromDataFrame(
+        spark.range(g * 50L, (g + 1) * 50L).select(
+          lit(g).as("grp"), col("id").as("k"),
+          concat(lit("v"), col("id")).as("payload")),
+        Seq("grp", "k"))
+    }
+    PDataset.concat(parts).writeParquet(dir)
+    val stateBefore = fileState(dir)
+    // one-column prefix bound [2, 4): whole grp-2 and grp-3 files
+    // drop unread, everything else untouched
+    val report = Maintenance.deleteRange(spark, dir,
+      lb = Vector(Some(2)), ub = Vector(Some(4)), inclusive = "lower")
+    assert(report.dropped == 2 && report.rewritten == 0 &&
+      report.untouched == 4, report.toString)
+    val after = PDataset.scanParquet(spark, dir)
+    checkBoundsAndSizes(after)
+    assert(after.toDF.count() == 200)
+    assert(after.toDF.filter(col("grp") >= 2 && col("grp") < 4).count() == 0)
+    val stateAfter = fileState(dir)
+    stateAfter.keySet.foreach { f =>
+      assert(stateAfter(f) == stateBefore(f), s"untouched $f was rewritten")
+    }
+    // full-tuple bound: straddles grp 0's file
+    val r2 = Maintenance.deleteRange(spark, dir,
+      lb = Vector(Some(0), Some(10L)), ub = Vector(Some(0), Some(20L)),
+      inclusive = "lower")
+    assert(r2.rewritten == 1 && r2.dropped == 0, r2.toString)
+    assert(PDataset.scanParquet(spark, dir).toDF.count() == 190)
+  }
 
   test("deleteRange drops covered files, rewrites only boundary files") {
     val dir = tempDir("maint-del") + "/ds"

@@ -42,6 +42,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("chunking reassembly holds for adversarial strings (unicode, empty, short)") {
+    val texts = Seq(
+      "", "a", "é", "日本語のテキスト" * 40, "a b  c\nd\te" * 30,
+      "🙂🙃" * 25, "x" * 99, "y" * 100, "z" * 101,
+      (0 until 300).map(i => ('a' + i % 26).toChar).mkString)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // the engine (like SQL substr) counts CODE POINTS; String.drop
+    // counts UTF-16 units, so strip overlaps code-point-wise
+    def dropCp(s: String, n: Int): String = {
+      val cp = s.codePointCount(0, s.length)
+      s.substring(s.offsetByCodePoints(0, math.min(n, cp)))
+    }
+    for ((chunkChars, overlap) <- Seq((100, 20), (7, 3), (1, 0), (50, 49))) {
+      val out = Chunking.chunk(df, "text", chunkChars, overlap)
+        .select("doc_id", "chunk_id", "chunk")
+        .collect().groupBy(_.getLong(0))
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val chunks = out(i.toLong).sortBy(_.getInt(1)).map(_.getString(2))
+        val rebuilt = chunks.head + chunks.tail.map(dropCp(_, overlap)).mkString
+        assert(rebuilt == t,
+          s"doc $i failed at chunkChars=$chunkChars overlap=$overlap")
+      }
+    }
+  }
+
   test("quotaCap keeps at most N per group, deterministically") {
     val capped = Sampling.quotaCap(docs, "source", "doc_id", 5)
     val counts = capped.groupBy("source").count().collect()
