@@ -192,6 +192,17 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // ORC source through the same per-file partition machinery as
+    // parquet/CSV/JSON: typed scan, stats, pruned slice.
+    "q_scan_orc" -> ((s, d) => {
+      val dir = tmp("graft-q-orc")
+      s.read.parquet(T(d, "orders")).repartition(4)
+        .write.mode("overwrite").orc(dir)
+      PDataset.scanOrc(s, dir).reindex(Seq("o_orderkey"))
+        .slice(Vector(Some(1000L)), Vector(Some(5000L)))
+        .toDF.orderBy("o_orderkey")
+    }),
+
     // -- in-place table maintenance (compact / delete / upsert) --
     // Each writes a many-small-files dataset, runs the maintenance op
     // in place, and reads the result back; the answer is
@@ -1065,6 +1076,10 @@ object SparkEntry {
         "SELECT count(*) AS n_rows, min(o_orderdate) AS lb, max(o_orderdate) AS ub FROM orders",
       "q_write_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
       "q_compact" -> "SELECT * FROM orders ORDER BY o_orderkey",
+      "q_scan_orc" ->
+        """SELECT * FROM orders
+           WHERE o_orderkey >= 1000 AND o_orderkey < 5000
+           ORDER BY o_orderkey""",
       "q_bloom_lookup" ->
         "SELECT * FROM orders WHERE o_custkey = 42 ORDER BY o_orderkey",
       "q_time_travel" -> "SELECT * FROM orders ORDER BY o_orderkey",

@@ -1391,6 +1391,12 @@ object PDataset {
   def scanJson(spark: SparkSession, path: String, schema: StructType = null): PDataset =
     scanFlat(spark, path, "json", Option(schema))
 
+  /** ORC variant of [[scanCsv]] (Spark's built-in columnar ORC
+    * source — typed, so no schema is needed; pass one to skip the
+    * footer-read inference pass). */
+  def scanOrc(spark: SparkSession, path: String, schema: StructType = null): PDataset =
+    scanFlat(spark, path, "orc", Option(schema))
+
   private def scanFlat(
       spark: SparkSession,
       path: String,

@@ -46,6 +46,30 @@ class FlatSourceSpec extends AnyFunSuite {
     assert(sliced.toDF.count() == want.count())
   }
 
+  test("scanOrc: typed columnar source, pruned slicing, exact roundtrip") {
+    val d = tempDir("graft-orc")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    (0 until 4).foreach { i =>
+      val stage = tempDir("orc-stage")
+      orders.filter(pmod(col("o_orderkey"), lit(4)) === i)
+        .coalesce(1).write.mode("overwrite").orc(stage)
+      val f = java.nio.file.Files.list(Paths.get(stage)).toArray
+        .map(_.toString).filter(_.endsWith(".orc")).head
+      java.nio.file.Files.move(Paths.get(f), Paths.get(d, s"part$i.orc"))
+    }
+    val ds = PDataset.scanOrc(spark, d)
+    assert(ds.npartitions == 4)
+    val indexed = ds.reindex(Seq("o_orderkey"))
+    assert(indexed.sizes.get.sum == 1500)
+    checkBoundsAndSizes(indexed)
+    val sliced = indexed.slice(Vector(Some(200L)), Vector(Some(900L)))
+    assertSameRows(sliced.toDF,
+      orders.filter(col("o_orderkey") >= 200 && col("o_orderkey") < 900))
+    // ORC keeps types (unlike CSV): the timestamp column survives
+    assert(indexed.schemaOption.get("o_orderdate").dataType ==
+      orders.schema("o_orderdate").dataType)
+  }
+
   test("scanJson: same machinery over json-lines") {
     val d = tempDir("graft-json")
     val nation = spark.read.parquet(s"$sf/nation.parquet")

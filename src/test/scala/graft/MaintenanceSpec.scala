@@ -343,6 +343,51 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(scannedFiles(q2) <= 2, "untouched filters must keep working")
   }
 
+  test("vacuum spares unreferenced files newer than the metadata commit") {
+    val dir = tempDir("maint-vacuum-mtime") + "/ds"
+    writeKeyed(dir, 100, 50)
+    // an in-flight op's staged file: unreferenced but NEWER than the
+    // last metadata commit
+    val meta = Paths.get(dir, "_padawan_metadata.json")
+    val staged = Paths.get(dir, "part9999999999.parquet")
+    Files.write(staged, Array[Byte](1, 2, 3))
+    Files.setLastModifiedTime(staged,
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(meta).toMillis + 60000))
+    // a genuinely stale orphan: older than the commit
+    val orphan = Paths.get(dir, "part9999999998.parquet")
+    Files.write(orphan, Array[Byte](1, 2, 3))
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(meta).toMillis - 60000))
+    val removed = Maintenance.vacuum(spark, dir)
+    assert(removed == 1, s"only the pre-commit orphan may go, removed $removed")
+    assert(!Files.exists(orphan))
+    assert(Files.exists(staged), "a file staged after the commit must survive")
+    Files.delete(staged)
+  }
+
+  test("maintenance ops work over file: URIs (Hadoop FS facade)") {
+    val local = tempDir("maint-uri") + "/ds"
+    val dir = "file:" + local
+    writeKeyed(dir, 100, 25)
+    val del = Maintenance.deleteRange(spark, dir,
+      lb = Vector(Some(25L)), ub = Vector(Some(50L)), inclusive = "lower")
+    assert(del.dropped == 1 && del.rewritten == 0, del.toString)
+    val updates = Seq((10L, 3, "UPDATED-10")).toDF("k", "grp", "payload")
+    Maintenance.upsert(spark, dir, updates, retain = true)
+    assert(Maintenance.versions(spark, dir) == Seq(0))
+    val cur = PDataset.scanParquet(spark, dir)
+    checkBoundsAndSizes(cur)
+    assert(cur.toDF.count() == 75)
+    assert(Maintenance.scanVersion(spark, dir, 0).toDF.count() == 75)
+    Maintenance.vacuum(spark, dir)
+    assert(Maintenance.versions(spark, dir).isEmpty)
+    val compacted = Maintenance.compact(spark, dir, targetRows = 100)
+    assert(compacted.created == 1, compacted.toString)
+    assert(PDataset.scanParquet(spark, dir).toDF.count() == 75)
+  }
+
   test("a concurrent sidecar swap aborts the op before installing anything") {
     val dir = tempDir("maint-conflict") + "/ds"
     writeKeyed(dir, 100, 25)
