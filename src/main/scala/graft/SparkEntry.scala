@@ -536,6 +536,29 @@ object SparkEntry {
         .orderBy(col("n").desc, col("l_partkey"))
     }),
 
+    // TPC-H Q5 shape: a six-table star join. The three small
+    // dimensions broadcast (no shuffle); the customer⋈orders⋈lineitem
+    // spine shuffles on its keys with partial aggregation — the plan
+    // a 100 TB fact table needs (PlanSpec pins dimension broadcasts).
+    "q_tpch_q5" -> ((s, d) => {
+      val c = scan(s, d, "customer").toDF
+      val o = scan(s, d, "orders").toDF
+      val l = scan(s, d, "lineitem").toDF
+      val su = scan(s, d, "supplier").toDF
+      val n = scan(s, d, "nation").toDF
+      val r = scan(s, d, "region").toDF.filter(col("r_name") === "ASIA")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     "q_tpch_q3" -> ((s, d) => {
       val c = scan(s, d, "customer").toDF.filter(col("c_mktsegment") === "BUILDING")
       val o = scan(s, d, "orders").toDF
@@ -1259,6 +1282,18 @@ object SparkEntry {
            HAVING count(*) >= GREATEST(30,
              CEIL(2.0 * (SELECT count(*) FROM lineitem) / 4096))
            ORDER BY n DESC, l_partkey""",
+      "q_tpch_q5" ->
+        """SELECT n_name,
+                  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey
+                        AND c_nationkey = s_nationkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'ASIA'
+           GROUP BY n_name ORDER BY revenue DESC, n_name""",
       "q_tpch_q3" ->
         """SELECT o_orderkey,
                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

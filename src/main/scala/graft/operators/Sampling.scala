@@ -35,10 +35,12 @@ object Sampling {
     * of `groupCol` (e.g. cap documents per domain so no source
     * dominates the corpus), chosen deterministically by md5 order of
     * the id — reproducible across runs, engines and partitionings,
-    * unlike "first N seen". One shuffle on the group key; groups at
-    * or under quota pass through whole. (For a pathological single
-    * mega-group the window sort is that group's cost — cap such
-    * sources upstream or pre-filter by [[deterministicSample]].) */
+    * unlike "first N seen". One shuffle on the group key, and the
+    * plan is skew-safe by construction: Spark's WindowGroupLimit
+    * caps every group at `maxPerGroup` rows PER MAP TASK before the
+    * exchange (PlanSpec pins it), so even a mega-group ships at most
+    * maxPerGroup × tasks rows — never its full size. Groups at or
+    * under quota pass through whole. */
   def quotaCap(
       df: DataFrame,
       groupCol: String,
