@@ -539,7 +539,8 @@ object SparkEntry {
     // TPC-H Q5 shape: a six-table star join. The three small
     // dimensions broadcast (no shuffle); the customer⋈orders⋈lineitem
     // spine shuffles on its keys with partial aggregation — the plan
-    // a 100 TB fact table needs (PlanSpec pins dimension broadcasts).
+    // a 100 TB fact table needs (PlanSpec pins the dimension
+    // broadcasts and the partial aggregate for this query).
     "q_tpch_q5" -> ((s, d) => {
       val c = scan(s, d, "customer").toDF
       val o = scan(s, d, "orders").toDF

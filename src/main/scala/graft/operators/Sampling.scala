@@ -35,12 +35,16 @@ object Sampling {
     * of `groupCol` (e.g. cap documents per domain so no source
     * dominates the corpus), chosen deterministically by md5 order of
     * the id — reproducible across runs, engines and partitionings,
-    * unlike "first N seen". One shuffle on the group key, and the
-    * plan is skew-safe by construction: Spark's WindowGroupLimit
-    * caps every group at `maxPerGroup` rows PER MAP TASK before the
-    * exchange (PlanSpec pins it), so even a mega-group ships at most
-    * maxPerGroup × tasks rows — never its full size. Groups at or
-    * under quota pass through whole. */
+    * unlike "first N seen". One shuffle on the group key. For
+    * `maxPerGroup` at or under
+    * `spark.sql.optimizer.windowGroupLimitThreshold` (default 1000)
+    * Spark plans a WindowGroupLimit that caps every group at
+    * maxPerGroup rows PER MAP TASK before the exchange (PlanSpec
+    * pins it), so even a mega-group ships at most maxPerGroup ×
+    * tasks rows; above that threshold the optimization doesn't fire
+    * and a mega-group sorts in full on one reducer — raise the
+    * threshold alongside very large quotas. Groups at or under quota
+    * pass through whole. */
   def quotaCap(
       df: DataFrame,
       groupCol: String,

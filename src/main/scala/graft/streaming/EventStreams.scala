@@ -44,13 +44,14 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
-  /** Stream-stream inner join with bounded state: match events of
-    * `leftType` to events of `rightType` by user within
-    * `within` of each other (e.g. click → purchase attribution).
-    * Both sides carry watermarks and the join condition bounds the
-    * event-time distance, so each side's state evicts as the other
-    * side's watermark advances — the only join shape that runs
-    * unbounded streams in bounded memory. Late rows beyond
+  /** Stream-stream inner join with bounded state: match each
+    * `leftType` event to the `rightType` events of the same user
+    * occurring AT OR AFTER it, within `within` (directional —
+    * click → purchase attribution; a purchase before the click never
+    * matches). Both sides carry watermarks and the join condition
+    * bounds the event-time distance, so each side's state evicts as
+    * the other side's watermark advances — the only join shape that
+    * runs unbounded streams in bounded memory. Late rows beyond
     * `lateness` drop like any watermarked op. */
   def correlate(
       events: DataFrame,
@@ -60,7 +61,7 @@ object EventStreams {
       lateness: String = "1 hour"): DataFrame = {
     val left = events.filter(col("event_type") === leftType)
       .select(col("user_id").as("l_user"), col("ts").as("l_ts"),
-        col("event_id").as("l_event"), col("value").as("l_value"))
+        col("event_id").as("l_event"))
       .withWatermark("l_ts", lateness)
     val right = events.filter(col("event_type") === rightType)
       .select(col("user_id").as("r_user"), col("ts").as("r_ts"),

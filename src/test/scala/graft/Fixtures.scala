@@ -132,6 +132,26 @@ object Fixtures {
     }
   }
 
+  /** Write `df` as exactly ONE `fmt` file at destDir/name (staged
+    * single-task write, lone part file moved into place) — builds
+    * multi-file flat-source fixtures without Spark's directory
+    * layout. */
+  def stageSingleFile(
+      df: DataFrame, destDir: String, name: String, fmt: String): Unit = {
+    val stage = tempDir(s"$fmt-stage")
+    var w = df.coalesce(1).write.mode("overwrite")
+    if (fmt == "csv") w = w.option("header", "true")
+    w.format(fmt).save(stage)
+    val part = {
+      val s = java.nio.file.Files.list(Paths.get(stage))
+      try s.toArray.map(_.toString).filter(_.endsWith("." + fmt)).head
+      finally s.close()
+    }
+    Files.createDirectories(Paths.get(destDir))
+    Files.move(Paths.get(part), Paths.get(destDir, name))
+    ()
+  }
+
   /** Files actually planned by `df`'s scan(s) — the numFiles metric
     * summed over every FileSourceScanExec (AQE unwrapped). Runs the
     * query; use to assert plan-time file pruning. */

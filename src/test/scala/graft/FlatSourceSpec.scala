@@ -20,13 +20,8 @@ class FlatSourceSpec extends AnyFunSuite {
     val li = spark.read.parquet(s"$sf/orders.parquet")
       .withColumn("o_orderdate", date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
     (0 until 4).foreach { i =>
-      val part = li.filter(pmod(col("o_orderkey"), lit(4)) === i)
-      val stage = tempDir("csv-stage")
-      part.coalesce(1).write.option("header", "true")
-        .mode("overwrite").csv(stage)
-      val f = java.nio.file.Files.list(Paths.get(stage)).toArray
-        .map(_.toString).filter(_.endsWith(".csv")).head
-      java.nio.file.Files.move(Paths.get(f), Paths.get(d, s"part$i.csv"))
+      stageSingleFile(li.filter(pmod(col("o_orderkey"), lit(4)) === i),
+        d, s"part$i.csv", "csv")
     }
     d
   }
@@ -50,12 +45,8 @@ class FlatSourceSpec extends AnyFunSuite {
     val d = tempDir("graft-orc")
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     (0 until 4).foreach { i =>
-      val stage = tempDir("orc-stage")
-      orders.filter(pmod(col("o_orderkey"), lit(4)) === i)
-        .coalesce(1).write.mode("overwrite").orc(stage)
-      val f = java.nio.file.Files.list(Paths.get(stage)).toArray
-        .map(_.toString).filter(_.endsWith(".orc")).head
-      java.nio.file.Files.move(Paths.get(f), Paths.get(d, s"part$i.orc"))
+      stageSingleFile(orders.filter(pmod(col("o_orderkey"), lit(4)) === i),
+        d, s"part$i.orc", "orc")
     }
     val ds = PDataset.scanOrc(spark, d)
     assert(ds.npartitions == 4)
@@ -74,12 +65,8 @@ class FlatSourceSpec extends AnyFunSuite {
     val d = tempDir("graft-json")
     val nation = spark.read.parquet(s"$sf/nation.parquet")
     (0 until 2).foreach { i =>
-      val stage = tempDir("json-stage")
-      nation.filter(pmod(col("n_nationkey"), lit(2)) === i)
-        .coalesce(1).write.mode("overwrite").json(stage)
-      val f = java.nio.file.Files.list(Paths.get(stage)).toArray
-        .map(_.toString).filter(_.endsWith(".json")).head
-      java.nio.file.Files.move(Paths.get(f), Paths.get(d, s"part$i.json"))
+      stageSingleFile(nation.filter(pmod(col("n_nationkey"), lit(2)) === i),
+        d, s"part$i.json", "json")
     }
     val ds = PDataset.scanJson(spark, d).reindex(Seq("n_nationkey"))
     assert(ds.npartitions == 2)

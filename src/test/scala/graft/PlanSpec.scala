@@ -45,6 +45,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), "recount must hash-aggregate")
   }
 
+  test("TPC-H Q5 star join broadcasts its dimensions and partial-aggregates") {
+    val df = SparkEntry.queries("q_tpch_q5")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // supplier/nation/region (at least) must come in as broadcasts;
+    // the final group-by must have a map-side partial.
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 3,
+      s"expected >=3 broadcast dimension joins:\n$plan")
+    assert(plan.contains("partial_"), "expected a partial aggregate")
+  }
+
   test("slice reads only overlapping partition files (driver pruning)") {
     val total = persisted.npartitions
     val lo = persisted.lowerBounds.get(2)
