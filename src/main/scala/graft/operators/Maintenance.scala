@@ -210,13 +210,44 @@ object Maintenance {
       retain: Boolean = false): Report = {
     require(targetRows > 0, s"targetRows must be positive, got $targetRows")
     val m = Sidecar.load(spark, dir)
+    compactGroups(spark, dir, m, m.sizes, targetRows, retain)
+  }
+
+  /** [[compact]] targeting FILE BYTES instead of rows — the measure
+    * that actually governs scan-task sizing (a 128 MB–1 GB target per
+    * file at warehouse scale). Weights come from one driver-side FS
+    * listing; the packing, write paths and crash discipline are
+    * identical to the row-targeted form. Prefer this when schemas are
+    * wide or compression varies across files. */
+  def compactBytes(
+      spark: SparkSession,
+      dir: String,
+      targetBytes: Long,
+      retain: Boolean = false): Report = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val m = Sidecar.load(spark, dir)
+    val (_, dirPath) = GraftFs.resolve(spark, dir)
+    val paths = m.files.map(f => new HPath(dirPath, f).toString)
+    // fileSizes preserves input order — weights align positionally
+    compactGroups(spark, dir, m,
+      GraftFs.fileSizes(GraftFs.conf(spark), paths).map(_._2),
+      targetBytes, retain)
+  }
+
+  private def compactGroups(
+      spark: SparkSession,
+      dir: String,
+      m: Sidecar.Meta,
+      weights: IndexedSeq[Long],
+      target: Long,
+      retain: Boolean): Report = {
     val groups: Vector[Vector[Int]] = {
       val out = Vector.newBuilder[Vector[Int]]
       var run = Vector.empty[Int]
       var sum = 0L
       m.files.indices.foreach { i =>
-        val s = m.sizes(i)
-        if (run.nonEmpty && sum + s > targetRows) {
+        val s = weights(i)
+        if (run.nonEmpty && sum + s > target) {
           out += run; run = Vector.empty; sum = 0L
         }
         run = run :+ i

@@ -122,6 +122,23 @@ class MaintenanceSpec extends AnyFunSuite {
     assertSameRows(after.toDF, keyedDF(0, 200))
   }
 
+  test("compactBytes packs by on-disk size and keeps content exact") {
+    val dir = tempDir("maint-compact-bytes") + "/ds"
+    writeKeyed(dir, 200, 20) // 10 small files
+    val m0 = Sidecar.load(spark, dir)
+    // tiny target: nothing merges (every run flushes as a singleton)
+    val none = Maintenance.compactBytes(spark, dir, targetBytes = 1L)
+    assert(none.created == 0 && none.untouched == 10, none.toString)
+    // huge target: everything merges into one file
+    val all = Maintenance.compactBytes(spark, dir, targetBytes = 1L << 30)
+    assert(all.created == 1 && all.merged == 10, all.toString)
+    val after = PDataset.scanParquet(spark, dir)
+    assert(after.npartitions == 1)
+    checkBoundsAndSizes(after)
+    assertSameRows(after.toDF, keyedDF(0, 200))
+    assert(m0.indexColumns == after.indexColumns)
+  }
+
   // ---- deleteRange ----
 
   test("deleteRange prunes by a prefix of a multi-column index") {
