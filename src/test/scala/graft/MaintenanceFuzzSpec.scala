@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.PDataset
+import graft.operators.Maintenance
+import Fixtures._
+
+/** Model-based randomized test of the maintenance subsystem: a
+  * fixed-seed sequence of upserts, range deletes, compactions,
+  * appends and vacuums runs against one dataset while a driver-side
+  * map tracks the expected content; after EVERY step the dataset
+  * must match the model exactly and keep its invariants (exact
+  * bounds/sizes, disjoint partitions). Sequences of interleaved ops
+  * reach states no hand-written case does — e.g. compacting files
+  * created by an upsert that followed a delete.
+  */
+class MaintenanceFuzzSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("random op sequences preserve content and invariants (fixed seed)") {
+    val rnd = new scala.util.Random(20260813L)
+    val dir = tempDir("maint-fuzz") + "/ds"
+
+    // model: key -> payload
+    val model = scala.collection.mutable.TreeMap.empty[Long, String]
+    def rowsOf(keys: Seq[Long], tag: String) =
+      keys.map(k => (k, (k % 7).toInt, s"$tag-$k")).toDF("k", "grp", "payload")
+
+    // seed dataset: keys 0..999, 10 files
+    val init = (0L until 1000L).map(k => (k, s"v$k"))
+    init.foreach { case (k, v) => model(k) = v }
+    val parts = (0 until 1000 by 100).map { lo =>
+      PDataset.fromDataFrame(
+        spark.range(lo.toLong, lo + 100L).select(
+          col("id").as("k"), (col("id") % 7).cast("int").as("grp"),
+          concat(lit("v"), col("id")).as("payload")), Seq("k"))
+    }
+    PDataset.concat(parts).writeParquet(dir)
+    var nextFresh = 1000000L
+
+    def check(step: String): Unit = {
+      val ds = PDataset.scanParquet(spark, dir)
+      checkBoundsAndSizes(ds)
+      assert(ds.isDisjoint, s"$step: partitions overlap")
+      val got = ds.toDF.select("k", "payload").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+      val want = model.toSeq
+      assert(got.length == want.length,
+        s"$step: ${got.length} rows != model ${want.length}")
+      got.zip(want).foreach { case (g, w) =>
+        assert(g == w, s"$step: $g != $w")
+      }
+    }
+
+    (0 until 18).foreach { step =>
+      val op = rnd.nextInt(10)
+      val label =
+        if (op < 3) { // upsert: mix of existing and fresh keys
+          val existing = model.keys.toVector
+          val upd = Seq.fill(1 + rnd.nextInt(30))(
+            existing(rnd.nextInt(existing.length))).distinct
+          val fresh = (0 until rnd.nextInt(5)).map { _ =>
+            nextFresh += 1; nextFresh
+          }
+          val keys = upd ++ fresh
+          keys.foreach(k => model(k) = s"u$step-$k")
+          Maintenance.upsert(spark, dir, rowsOf(keys, s"u$step"),
+            retain = rnd.nextBoolean())
+          s"upsert($step, ${keys.length} keys)"
+        } else if (op < 6) { // delete a random range
+          // keep the dataset comfortably non-empty: upsert requires
+          // at least one partition to route into
+          val keys = model.keys.toVector
+          if (keys.length < 300) "skip"
+          else {
+            val a = keys(rnd.nextInt(keys.length))
+            val b = a + 1 + rnd.nextInt(200)
+            model.rangeImpl(Some(a), Some(b)).keys.toVector
+              .foreach(model.remove)
+            Maintenance.deleteRange(spark, dir,
+              lb = Vector(Some(a)), ub = Vector(Some(b)),
+              inclusive = "lower", retain = rnd.nextBoolean())
+            s"delete($step, [$a,$b))"
+          }
+        } else if (op < 8) { // compact (rows or bytes)
+          if (rnd.nextBoolean())
+            Maintenance.compact(spark, dir, 150L + rnd.nextInt(400))
+          else
+            Maintenance.compactBytes(spark, dir, 4096L * (1 + rnd.nextInt(8)))
+          s"compact($step)"
+        } else if (op == 8) { // append beyond the current max key
+          val base = (model.keys.lastOption.getOrElse(0L) + 1).max(nextFresh)
+          val n = 20 + rnd.nextInt(50)
+          (base until base + n).foreach(k => model(k) = s"a$step-$k")
+          nextFresh = base + n
+          PDataset.fromDataFrame(
+            rowsOf((base until base + n), s"a$step"), Seq("k"))
+            .writeParquet(dir, append = true)
+          s"append($step, $n rows)"
+        } else { // vacuum
+          Maintenance.vacuum(spark, dir)
+          s"vacuum($step)"
+        }
+      if (label != "skip") check(label)
+    }
+    // final vacuum leaves exactly the referenced files on disk
+    Maintenance.vacuum(spark, dir)
+    check("final vacuum")
+  }
+}
