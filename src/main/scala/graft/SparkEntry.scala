@@ -246,6 +246,22 @@ object SparkEntry {
       PDataset.scanParquet(s, dir).toDF.orderBy("o_orderkey")
     }),
 
+    // Metadata-only schema evolution: addColumns rewrites ONLY the
+    // schema sidecar (old files null-fill at read), then an upsert
+    // lands values for the new column in just its routed partitions.
+    "q_schema_evolution" -> ((s, d) => {
+      val dir = tmp("graft-q-schema")
+      val ds = scan(s, d, "orders").reindex(Seq("o_orderkey"))
+      ds.repartition(math.max(50L, ds.sizes.get.sum / 20)).writeParquet(dir)
+      graft.operators.Maintenance.addColumns(s, dir,
+        StructField("o_flag", StringType))
+      val upd = s.read.parquet(T(d, "orders"))
+        .filter(col("o_orderkey") % 701 === 0)
+        .withColumn("o_flag", lit("FLAGGED"))
+      graft.operators.Maintenance.upsert(s, dir, upd)
+      PDataset.scanParquet(s, dir).toDF.orderBy("o_orderkey")
+    }),
+
     // Time travel: upsert with retain archives the outgoing
     // generation; reading version 0 returns the pre-upsert table
     // bit-for-bit (full engine surface over the old file listing).
@@ -1107,6 +1123,11 @@ object SparkEntry {
       "q_bloom_lookup" ->
         "SELECT * FROM orders WHERE o_custkey = 42 ORDER BY o_orderkey",
       "q_time_travel" -> "SELECT * FROM orders ORDER BY o_orderkey",
+      "q_schema_evolution" ->
+        """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, o_orderpriority,
+                  CASE WHEN o_orderkey % 701 = 0 THEN 'FLAGGED' END AS o_flag
+           FROM orders ORDER BY o_orderkey""",
       "q_delete_range" ->
         """SELECT * FROM orders
            WHERE NOT (o_orderkey >= 1000 AND o_orderkey < 5000)

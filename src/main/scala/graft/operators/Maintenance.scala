@@ -184,6 +184,58 @@ object Maintenance {
     stale.length
   }
 
+  // ---- schema evolution ----
+
+  /** Add nullable columns — METADATA-ONLY, zero data I/O at any
+    * table size. Every read path (engine scans, `format("graft")`,
+    * maintenance rewrites) serves the sidecar schema to the parquet
+    * reader, which null-fills columns absent from a file's footer,
+    * so existing files need no rewrite: old rows read as null, and
+    * subsequent appends/upserts may carry values. Archived
+    * generations share the schema sidecar and null-fill the same
+    * way. */
+  def addColumns(
+      spark: SparkSession,
+      dir: String,
+      columns: org.apache.spark.sql.types.StructField*): Unit = {
+    require(columns.nonEmpty, "at least one column to add")
+    val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    val loadedFp = metaFingerprint(spark, dirPath)
+    val m = Sidecar.load(spark, dir)
+    columns.foreach(f => require(!m.schema.fieldNames.contains(f.name),
+      s"column ${f.name} already exists"))
+    val widened = org.apache.spark.sql.types.StructType(
+      m.schema.fields ++ columns.map(_.copy(nullable = true)))
+    guardUnchanged(spark, dirPath, loadedFp)
+    Sidecar.write(spark, dir, m.indexColumns, m.files, m.sizes,
+      m.lowerBounds, m.upperBounds, m.maxPartitionIndex, widened)
+  }
+
+  /** Drop non-index columns — also metadata-only: the narrowed
+    * sidecar schema hides the columns from every reader; the bytes
+    * in existing files are reclaimed lazily as maintenance rewrites
+    * touch them. */
+  def dropColumns(
+      spark: SparkSession,
+      dir: String,
+      names: String*): Unit = {
+    require(names.nonEmpty, "at least one column to drop")
+    val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    val loadedFp = metaFingerprint(spark, dirPath)
+    val m = Sidecar.load(spark, dir)
+    names.foreach { n =>
+      require(m.schema.fieldNames.contains(n), s"no such column: $n")
+      require(!m.indexColumns.contains(n),
+        s"cannot drop index column $n (reindex first)")
+    }
+    val dropped = names.toSet
+    val narrowed = org.apache.spark.sql.types.StructType(
+      m.schema.fields.filterNot(f => dropped.contains(f.name)))
+    guardUnchanged(spark, dirPath, loadedFp)
+    Sidecar.write(spark, dir, m.indexColumns, m.files, m.sizes,
+      m.lowerBounds, m.upperBounds, m.maxPartitionIndex, narrowed)
+  }
+
   // ---- compact ----
 
   /** Bin-pack adjacent partition files into ~`targetRows`-row files.

@@ -233,6 +233,45 @@ class MaintenanceSpec extends AnyFunSuite {
       "null-keyed row must survive a bounded delete")
   }
 
+  // ---- schema evolution ----
+
+  test("addColumns/dropColumns are metadata-only and compose with upsert") {
+    val dir = tempDir("maint-schema") + "/ds"
+    writeKeyed(dir, 100, 25)
+    val stateBefore = fileState(dir)
+
+    Maintenance.addColumns(spark, dir,
+      StructField("flag", StringType), StructField("score", DoubleType))
+    // zero data I/O: every part file byte-identical
+    val stateAfter = fileState(dir)
+    assert(stateAfter == stateBefore, "addColumns must not touch data files")
+    val widened = PDataset.scanParquet(spark, dir)
+    assert(widened.schemaOption.get.fieldNames.toSeq ==
+      Seq("k", "grp", "payload", "flag", "score"))
+    assert(widened.toDF.filter(col("flag").isNull).count() == 100)
+
+    // new rows can carry values for the new columns
+    val upd = Seq((10L, 3, "UPDATED-10", "FLAGGED", 0.5))
+      .toDF("k", "grp", "payload", "flag", "score")
+    Maintenance.upsert(spark, dir, upd)
+    val after = PDataset.scanParquet(spark, dir).toDF
+    assert(after.filter(col("flag") === "FLAGGED").count() == 1)
+    assert(after.filter(col("flag").isNull).count() == 99)
+    // the rewritten partition reads merged old (null) and new values
+    checkBoundsAndSizes(PDataset.scanParquet(spark, dir))
+
+    // drop hides a column everywhere, including old generations
+    Maintenance.dropColumns(spark, dir, "score")
+    val narrowed = PDataset.scanParquet(spark, dir)
+    assert(narrowed.schemaOption.get.fieldNames.toSeq ==
+      Seq("k", "grp", "payload", "flag"))
+    assert(narrowed.toDF.count() == 100)
+    // index columns are protected
+    assertThrows[IllegalArgumentException] {
+      Maintenance.dropColumns(spark, dir, "k")
+    }
+  }
+
   // ---- upsert ----
 
   test("upsert replaces matched keys, inserts new ones, rewrites only routed files") {
