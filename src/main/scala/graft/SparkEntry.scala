@@ -531,6 +531,14 @@ object SparkEntry {
           col("chunk"))
         .orderBy("doc_id", "chunk_id")),
 
+    // One-pass column profile (ANALYZE TABLE): every column's count/
+    // nulls/distinct/min/max in a single scan. exact=true here for
+    // the oracle; production uses the HLL variant.
+    "q_profile" -> ((s, d) =>
+      graft.operators.Profile.describe(
+        s.read.parquet(T(d, "documents")), exact = true)
+        .orderBy("column")),
+
     // Document rarity vs the corpus's own unigram counts — exact
     // integer aggregates (engine-portable), from which float quality
     // scores derive.
@@ -1287,6 +1295,16 @@ object SparkEntry {
                           AS s
                  FROM documents)
            ORDER BY doc_id, chunk_id""",
+      "q_profile" -> {
+        def one(c: String) =
+          s"""SELECT '$c' AS "column", count(*) AS n_rows,
+                     count(*) - count($c) AS n_nulls,
+                     count(DISTINCT $c) AS n_distinct,
+                     CAST(min($c) AS VARCHAR) AS min_value,
+                     CAST(max($c) AS VARCHAR) AS max_value FROM documents"""
+        Seq("doc_id", "lang", "n_chars", "source", "text")
+          .map(one).mkString("", " UNION ALL ", """ ORDER BY "column"""")
+      },
       "q_token_rarity" ->
         """WITH toks AS (
              SELECT doc_id, unnest(string_split(text, ' ')) AS tok

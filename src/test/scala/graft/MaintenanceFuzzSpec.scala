@@ -101,9 +101,14 @@ class MaintenanceFuzzSpec extends AnyFunSuite {
             rowsOf((base until base + n), s"a$step"), Seq("k"))
             .writeParquet(dir, append = true)
           s"append($step, $n rows)"
-        } else { // vacuum
+        } else if (rnd.nextBoolean()) { // vacuum
           Maintenance.vacuum(spark, dir)
           s"vacuum($step)"
+        } else { // metadata-only schema evolution round-trip
+          import org.apache.spark.sql.types.{LongType, StructField}
+          Maintenance.addColumns(spark, dir, StructField(s"x$step", LongType))
+          Maintenance.dropColumns(spark, dir, s"x$step")
+          s"schema($step)"
         }
       if (label != "skip") check(label)
     }
