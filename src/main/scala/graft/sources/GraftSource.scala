@@ -77,6 +77,12 @@ final class GraftSource extends RelationProvider
     shaped.sortWithinPartitions(keys: _*)
       .write.mode(mode).parquet(path)
     PDataset.writeMetadata(spark, path, index)
+    // option("bloom", "c1,c2"): per-file point-lookup filters for
+    // non-index columns, built right after the sidecar (one job).
+    parameters.get("bloom").foreach { cols =>
+      graft.core.BloomIndex.build(spark, path,
+        cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    }
     createRelation(sqlContext, parameters)
   }
 }

@@ -54,6 +54,20 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(n == want)
   }
 
+  test("sink option(\"bloom\", ...) adds point-lookup file skipping") {
+    val out = tempDir("graft-source-bloom") + "/o.parquet"
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    orders.write.format("graft")
+      .option("index", "o_orderdate").option("files", "8")
+      .option("bloom", "o_orderkey")
+      .save(out)
+    assert(graft.core.BloomIndex.exists(spark, out))
+    val q = spark.read.format("graft").load(out)
+      .filter(col("o_orderkey") === 700L) // non-index point lookup
+    assert(q.count() == 1)
+    assert(scannedFiles(q) <= 2, "bloom built by the sink must prune")
+  }
+
   test("write.format(\"graft\") produces a pruning-capable dataset") {
     val out = tempDir("graft-source-write") + "/o.parquet"
     val orders = spark.read.parquet(s"$sf/orders.parquet")
