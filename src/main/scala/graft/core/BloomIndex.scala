@@ -190,6 +190,24 @@ object BloomIndex {
     }.toMap
   }
 
+  /** Remove every entry for the given columns (no-op without a
+    * sidecar); the sidecar file is deleted when no entries remain.
+    * Called by schema evolution so dropping a bloom-indexed column
+    * doesn't leave the index referencing a ghost column (which would
+    * fail every later maintenance refresh). */
+  private[graft] def dropColumnEntries(
+      spark: SparkSession, dir: String, names: Set[String]): Unit = {
+    val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    if (!GraftFs.isFile(fs, new HPath(dirPath, BloomFile))) return
+    val existing = readEntries(spark, fs, dirPath)
+    val kept = existing.filter { case ((_, c), _) => !names.contains(c) }
+    if (kept.size == existing.size) return
+    if (kept.isEmpty) {
+      fs.delete(new HPath(dirPath, BloomFile), false)
+      cache.clear()
+    } else writeEntries(spark, dirPath, kept)
+  }
+
   // ---- sidecar I/O ----
 
   private val entrySchema = StructType(Seq(

@@ -945,6 +945,26 @@ final class PDataset private[core] (
         throw new AppendError(
           s"Cannot append dataset with index columns ${this.indexColumns} " +
             s"to dataset with index columns ${m.indexColumns}.")
+      // Schema compatibility under metadata-only evolution: the
+      // TARGET's sidecar schema stays authoritative. An appender may
+      // omit evolved columns (its files null-fill at read) but may
+      // not carry unknown columns or conflicting types — silently
+      // adopting the appender's schema would revert an addColumns or
+      // resurrect a dropColumns.
+      schemaOpt.foreach { s =>
+        s.fields.foreach { f =>
+          m.schema.fields.find(_.name == f.name) match {
+            case None => throw new AppendError(
+              s"Appended column ${f.name} does not exist in the target " +
+                "dataset; run Maintenance.addColumns first.")
+            case Some(tf) if tf.dataType != f.dataType =>
+              throw new AppendError(
+                s"Appended column ${f.name}: ${f.dataType.simpleString} " +
+                  s"conflicts with the target's ${tf.dataType.simpleString}.")
+            case _ => ()
+          }
+        }
+      }
       Some(m)
     }
   }
@@ -1027,10 +1047,12 @@ final class PDataset private[core] (
     written.map(_._1).filterNot(keepSet).foreach { i =>
       fs.delete(new HPath(dir, nameOfIdx(i)), false)
     }
-    val schema = schemaOpt.getOrElse(
-      if (parts.nonEmpty) this(0).schema
-      else prior.map(_.schema).getOrElse(
-        throw new IllegalStateException("schema unknown for empty dataset")))
+    // On append the PRIOR (possibly evolved) schema stays
+    // authoritative; prepareWriteTarget already proved compatibility.
+    val schema = prior.map(_.schema).getOrElse(
+      schemaOpt.getOrElse(
+        if (parts.nonEmpty) this(0).schema
+        else throw new IllegalStateException("schema unknown for empty dataset")))
 
     val allFiles = prior.map(_.files).getOrElse(Vector.empty) ++
       keep.map(nameOfIdx)
@@ -1101,7 +1123,8 @@ final class PDataset private[core] (
             byFile(Stats.normalizePath(new HPath(dir, w._2).toString)))
           (sts.map(_.size), sts.map(_.lb), sts.map(_.ub))
         }
-      val schema = plan.source.schemaOpt.getOrElse(plan.source(0).schema)
+      val schema = prior.map(_.schema).getOrElse(
+        plan.source.schemaOpt.getOrElse(plan.source(0).schema))
       val maxIdx =
         if (written.isEmpty) offset - 1
         else offset + written.map(_._1).max.toLong
@@ -1166,7 +1189,8 @@ final class PDataset private[core] (
       // Row-mode stats are exact from planning: sizes by construction,
       // bounds are the empty tuples of an index-less dataset.
       val keepIdx = written.map(_._1)
-      val schema = base.schemaOpt.getOrElse(base(0).schema)
+      val schema = prior.map(_.schema).getOrElse(
+        base.schemaOpt.getOrElse(base(0).schema))
       val maxIdx =
         if (written.isEmpty) offset - 1
         else offset + written.map(_._1).max.toLong
@@ -1504,7 +1528,12 @@ object PDataset {
     val keptFull = files.filter(f => byFile.contains(Stats.normalizePath(f)))
     val kept = keptFull.map(baseNameOf)
     val stats = keptFull.map(f => byFile(Stats.normalizePath(f)))
-    val schema = spark.read.parquet(files.head).schema
+    // A prior sidecar's (possibly evolved) schema stays authoritative
+    // — re-deriving from one file's footer would revert an
+    // addColumns/dropColumns whose columns that file doesn't carry.
+    val schema =
+      if (Sidecar.exists(spark, path)) Sidecar.load(spark, path).schema
+      else spark.read.parquet(files.head).schema
     Sidecar.write(spark, path, indexColumns, kept, stats.map(_.size),
       stats.map(_.lb), stats.map(_.ub), kept.length - 1L, schema)
   }

@@ -47,8 +47,11 @@ object Sidecar {
 
   /** Load a specific metadata file of the dataset at `dir` — the
     * current sidecar or an archived generation (time travel; see
-    * [[graft.operators.Maintenance]]). The schema sidecar is shared
-    * across generations (maintenance never changes the schema). */
+    * [[graft.operators.Maintenance]]). The schema sidecar is SHARED
+    * across generations and always reflects the LATEST schema:
+    * metadata-only evolution (add/drop columns) applies retroactively
+    * to archived generations too — old files null-fill added columns
+    * and hide dropped ones, the same as in the current generation. */
   def loadFile(spark: SparkSession, dir: String, metaFile: Path): Meta = {
     val (fs, _) = GraftFs.resolve(spark, dir)
     val text = GraftFs.readString(fs, metaFile)

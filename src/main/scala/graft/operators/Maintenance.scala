@@ -193,16 +193,28 @@ object Maintenance {
     * so existing files need no rewrite: old rows read as null, and
     * subsequent appends/upserts may carry values. Archived
     * generations share the schema sidecar and null-fill the same
-    * way. */
+    * way.
+    *
+    * CONTRACT: null-fill applies only to columns absent from a
+    * file's FOOTER. Re-adding a name that [[dropColumns]] previously
+    * hid resurrects the stored values in old files (and a different
+    * type fails their reads) — there is no column-mapping layer, so
+    * use a fresh name, or rewrite the files (repartition +
+    * writeParquet) before reusing one. */
   def addColumns(
       spark: SparkSession,
       dir: String,
       columns: org.apache.spark.sql.types.StructField*): Unit = {
     require(columns.nonEmpty, "at least one column to add")
+    val newNames = columns.map(_.name.toLowerCase)
+    require(newNames.distinct.length == newNames.length,
+      "duplicate names among the added columns")
     val (fs, dirPath) = GraftFs.resolve(spark, dir)
     val loadedFp = metaFingerprint(spark, dirPath)
     val m = Sidecar.load(spark, dir)
-    columns.foreach(f => require(!m.schema.fieldNames.contains(f.name),
+    // case-insensitive, matching Spark's default resolution
+    columns.foreach(f => require(
+      !m.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
       s"column ${f.name} already exists"))
     val widened = org.apache.spark.sql.types.StructType(
       m.schema.fields ++ columns.map(_.copy(nullable = true)))
@@ -234,6 +246,9 @@ object Maintenance {
     guardUnchanged(spark, dirPath, loadedFp)
     Sidecar.write(spark, dir, m.indexColumns, m.files, m.sizes,
       m.lowerBounds, m.upperBounds, m.maxPartitionIndex, narrowed)
+    // a bloom index on a dropped column must go with it, or every
+    // later maintenance refresh would fail on the ghost column
+    graft.core.BloomIndex.dropColumnEntries(spark, dir, dropped)
   }
 
   // ---- compact ----

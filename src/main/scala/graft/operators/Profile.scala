@@ -20,26 +20,28 @@ object Profile {
 
   def describe(df: DataFrame, exact: Boolean = false): DataFrame = {
     val cols = df.columns.toSeq
-    val aggs = cols.flatMap { c =>
+    // columns resolved via df(...) and aliased by ORDINAL: names with
+    // dots/backticks profile like any other
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        count(col(c)).as(s"__cnt_$c"),
-        (if (exact) count_distinct(col(c))
-         else approx_count_distinct(col(c))).as(s"__ndv_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
+        count(df(c)).as(s"__cnt_$i"),
+        (if (exact) count_distinct(df(c))
+         else approx_count_distinct(df(c))).as(s"__ndv_$i"),
+        min(df(c)).cast("string").as(s"__min_$i"),
+        max(df(c)).cast("string").as(s"__max_$i"))
     }
     val total = count(lit(1)).as("__total")
     val row = df.agg(total, aggs: _*)
     // one row in -> |cols| rows out: a tiny driver-side reshape of
     // the single aggregate row, not a per-column job
-    val stacked = cols.map { c =>
+    val stacked = cols.zipWithIndex.map { case (c, i) =>
       struct(
         lit(c).as("column"),
         col("__total").as("n_rows"),
-        (col("__total") - col(s"__cnt_$c")).as("n_nulls"),
-        col(s"__ndv_$c").as("n_distinct"),
-        col(s"__min_$c").as("min_value"),
-        col(s"__max_$c").as("max_value"))
+        (col("__total") - col(s"__cnt_$i")).as("n_nulls"),
+        col(s"__ndv_$i").as("n_distinct"),
+        col(s"__min_$i").as("min_value"),
+        col(s"__max_$i").as("max_value"))
     }
     row.select(explode(array(stacked: _*)).as("p")).select("p.*")
   }

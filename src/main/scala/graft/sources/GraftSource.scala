@@ -69,6 +69,13 @@ final class GraftSource extends RelationProvider
     val exists = GraftFs.statusOf(fs, p).isDefined
     if (mode == SaveMode.Ignore && exists)
       return createRelation(sqlContext, parameters)
+    // Fail fast on a bad bloom option BEFORE the expensive write.
+    val bloomCols = parameters.get("bloom")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    bloomCols.foreach { c =>
+      require(data.columns.contains(c), s"bloom option: no such column $c")
+    }
     val keys = index.map(col)
     val shaped = parameters.get("files").map(_.toInt) match {
       case Some(n) => data.repartitionByRange(n, keys: _*)
@@ -79,10 +86,8 @@ final class GraftSource extends RelationProvider
     PDataset.writeMetadata(spark, path, index)
     // option("bloom", "c1,c2"): per-file point-lookup filters for
     // non-index columns, built right after the sidecar (one job).
-    parameters.get("bloom").foreach { cols =>
-      graft.core.BloomIndex.build(spark, path,
-        cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    }
+    if (bloomCols.nonEmpty)
+      graft.core.BloomIndex.build(spark, path, bloomCols)
     createRelation(sqlContext, parameters)
   }
 }

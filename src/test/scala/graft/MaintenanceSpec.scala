@@ -272,6 +272,53 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("append preserves an evolved schema instead of reverting it") {
+    val dir = tempDir("maint-schema-append") + "/ds"
+    writeKeyed(dir, 100, 50)
+    Maintenance.addColumns(spark, dir, StructField("flag", StringType))
+    val upd = Seq((10L, 3, "UPDATED-10", "FLAGGED"))
+      .toDF("k", "grp", "payload", "flag")
+    Maintenance.upsert(spark, dir, upd)
+
+    // an appender WITHOUT the evolved column must not revert it
+    PDataset.fromDataFrame(keyedDF(100, 50), Seq("k"))
+      .writeParquet(dir, append = true)
+    val after = PDataset.scanParquet(spark, dir)
+    assert(after.schemaOption.get.fieldNames.contains("flag"),
+      "append reverted the evolved schema")
+    assert(after.toDF.filter(col("flag") === "FLAGGED").count() == 1,
+      "evolved values lost after append")
+    assert(after.toDF.count() == 150)
+
+    // an appender with an UNKNOWN column is rejected loudly
+    val alien = spark.range(200L, 210L).select(
+      col("id").as("k"), (col("id") % 7).cast("int").as("grp"),
+      concat(lit("v"), col("id")).as("payload"),
+      lit("x").as("flag"), lit(1.0).as("mystery"))
+    assertThrows[graft.core.AppendError] {
+      PDataset.fromDataFrame(alien, Seq("k")).writeParquet(dir, append = true)
+    }
+    // a dropped column stays dropped across writeMetadata-based appends
+    Maintenance.dropColumns(spark, dir, "flag")
+    PDataset.writeMetadata(spark, dir, Seq("k"))
+    assert(!PDataset.scanParquet(spark, dir)
+      .schemaOption.get.fieldNames.contains("flag"),
+      "writeMetadata resurrected a dropped column")
+  }
+
+  test("dropColumns removes the column's bloom entries") {
+    val dir = tempDir("maint-schema-bloom") + "/ds"
+    writeKeyed(dir, 100, 50)
+    graft.core.BloomIndex.build(spark, dir, Seq("payload", "grp"))
+    Maintenance.dropColumns(spark, dir, "payload")
+    // a later maintenance op must not trip over the ghost column
+    val updates = Seq((10L, 3)).toDF("k", "grp")
+    Maintenance.upsert(spark, dir, updates)
+    val after = PDataset.scanParquet(spark, dir).toDF
+    assert(after.columns.toSeq == Seq("k", "grp"))
+    assert(after.count() == 100)
+  }
+
   // ---- upsert ----
 
   test("upsert replaces matched keys, inserts new ones, rewrites only routed files") {
