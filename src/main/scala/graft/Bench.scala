@@ -71,26 +71,30 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // The full per-run detail goes to a FILE: log-tail truncation was
-    // cutting the stdout runs_detail line to a handful of queries,
-    // defeating its purpose (making contended runs self-diagnosing
-    // from the artifact alone). Stdout keeps the same two lines,
-    // diagnostic first, canonical LAST: consumers that keep only the
-    // final ~2KB of the log (or the last JSON-looking line) must
-    // still see one complete, compact {"metric":...} line.
+    // cutting long stdout JSON lines (round 7 lost the canonical total
+    // itself once the per-query dict grew past the driver's log-tail
+    // budget). Stdout now ends with a SHORT canonical line that can
+    // never be clipped: per-query medians ride on the penultimate
+    // line, and the final {"metric":"total"} line carries only
+    // total/cpus/sf — consumers that keep just the last ~2KB of the
+    // log (or the last JSON-looking line) always see it whole.
     val detail =
       s"""{"metric":"runs_detail","runs":$rs,"wall_sec":${f(wallSec)},"proc_cpu_sec":${f(cpuSec)}}"""
+    val medians = s"""{"metric":"queries","queries":$qs}"""
     val runsFile = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_RUNS_FILE", "target/bench_runs.json"))
     try {
       Option(runsFile.getParent)
         .foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(runsFile,
-        (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (detail + "\n" + medians + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: java.io.IOException =>
       System.err.println(s"bench: could not write $runsFile: $e")
     }
     println(detail)
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"cpus":$cpus,"sf":"$sfDir"}""")
+    println(medians)
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

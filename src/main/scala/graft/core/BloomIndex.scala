@@ -54,7 +54,7 @@ object BloomIndex {
     GraftFs.isFile(fs, new HPath(dir, BloomFile))
   }
 
-  private def supported(dt: DataType): Boolean = dt match {
+  private[graft] def supported(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | StringType => true
     case _ => false
   }

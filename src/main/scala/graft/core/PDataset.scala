@@ -1531,12 +1531,28 @@ object PDataset {
     // A prior sidecar's (possibly evolved) schema stays authoritative
     // — re-deriving from one file's footer would revert an
     // addColumns/dropColumns whose columns that file doesn't carry.
-    val schema =
-      if (Sidecar.exists(spark, path)) Sidecar.load(spark, path).schema
-      else spark.read.parquet(files.head).schema
+    val prior =
+      if (Sidecar.exists(spark, path)) Some(Sidecar.load(spark, path))
+      else None
+    val schema = prior.map(_.schema)
+      .getOrElse(spark.read.parquet(files.head).schema)
+    // max_partition_index is a name-allocation high-water mark, not a
+    // file count: maintenance ops (compact/deleteRange) legitimately
+    // leave live partNNNN indices above the file count, and resetting
+    // the counter to kept.length-1 would let a later append re-allocate
+    // a LIVE file's name and clobber it. Never move the counter
+    // backwards past any name actually on disk or previously issued.
+    val maxNamed = kept
+      .collect { case PartNamePattern(n) => n.toLong }
+      .foldLeft(-1L)(math.max)
+    val maxIdx = math.max(
+      prior.map(_.maxPartitionIndex).getOrElse(-1L),
+      math.max(maxNamed, kept.length - 1L))
     Sidecar.write(spark, path, indexColumns, kept, stats.map(_.size),
-      stats.map(_.lb), stats.map(_.ub), kept.length - 1L, schema)
+      stats.map(_.lb), stats.map(_.ub), maxIdx, schema)
   }
+
+  private val PartNamePattern = """part(\d+)\.parquet""".r
 
   private def baseNameOf(f: String): String = {
     val i = f.lastIndexOf('/')

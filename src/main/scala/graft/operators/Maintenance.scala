@@ -83,11 +83,14 @@ object Maintenance {
     if (!GraftFs.isDir(fs, h)) return Seq.empty
     GraftFs.listStatuses(fs, h)
       .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
-        n.stripPrefix("v").stripSuffix(".json").toInt
-      }
+      // digits-only: a stray editor backup or temp file in the history
+      // dir must not turn every versions()/archive call into a
+      // NumberFormatException
+      .collect { case VersionFilePattern(n) => n.toInt }
       .sorted.toSeq
   }
+
+  private val VersionFilePattern = """v(\d+)\.json""".r
 
   /** The sidecar metadata of archived generation `version` (also the
     * hook behind `spark.read.format("graft").option("version", n)`). */
@@ -276,8 +279,11 @@ object Maintenance {
       targetRows: Long,
       retain: Boolean = false): Report = {
     require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    val loadedFp = metaFingerprint(spark, dirPath)
     val m = Sidecar.load(spark, dir)
-    compactGroups(spark, dir, m, m.sizes, targetRows, retain)
+    compactGroups(spark, dir, m, m.sizes, targetRows, retain,
+      fs, dirPath, loadedFp)
   }
 
   /** [[compact]] targeting FILE BYTES instead of rows — the measure
@@ -292,13 +298,17 @@ object Maintenance {
       targetBytes: Long,
       retain: Boolean = false): Report = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    // Fingerprint BEFORE the file-size listing below: a concurrent
+    // commit landing in that window must trip the pre-swap guard, not
+    // slide under it (matching upsert's discipline).
+    val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    val loadedFp = metaFingerprint(spark, dirPath)
     val m = Sidecar.load(spark, dir)
-    val (_, dirPath) = GraftFs.resolve(spark, dir)
     val paths = m.files.map(f => new HPath(dirPath, f).toString)
     // fileSizes preserves input order — weights align positionally
     compactGroups(spark, dir, m,
       GraftFs.fileSizes(GraftFs.conf(spark), paths).map(_._2),
-      targetBytes, retain)
+      targetBytes, retain, fs, dirPath, loadedFp)
   }
 
   private def compactGroups(
@@ -307,7 +317,10 @@ object Maintenance {
       m: Sidecar.Meta,
       weights: IndexedSeq[Long],
       target: Long,
-      retain: Boolean): Report = {
+      retain: Boolean,
+      fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: HPath,
+      loadedFp: (Long, Long)): Report = {
     val groups: Vector[Vector[Int]] = {
       val out = Vector.newBuilder[Vector[Int]]
       var run = Vector.empty[Int]
@@ -327,8 +340,6 @@ object Maintenance {
     if (merges.isEmpty)
       return Report(0, 0, 0, 0, m.files.length)
 
-    val (fs, dirPath) = GraftFs.resolve(spark, dir)
-    val loadedFp = metaFingerprint(spark, dirPath)
     def pathOf(p: Int): String = new HPath(dirPath, m.files(p)).toString
     val newNameOfGroup: Map[Int, String] = merges.indices.map(g =>
       g -> Sidecar.partitionFileName(m.maxPartitionIndex + 1 + g)).toMap
@@ -428,6 +439,11 @@ object Maintenance {
       ub: Seq[Option[Any]] = null,
       inclusive: String = "lower",
       retain: Boolean = false): Report = {
+    // Fingerprint immediately after load (upsert's discipline): the
+    // guard before the swap must compare against what THIS op planned
+    // from, not whatever a concurrent writer installed mid-plan.
+    val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    val loadedFp = metaFingerprint(spark, dirPath)
     val m = Sidecar.load(spark, dir)
     require(m.indexColumns.nonEmpty,
       "deleteRange needs index columns; write the dataset reindexed first")
@@ -471,8 +487,6 @@ object Maintenance {
 
     val dropPos = m.files.indices.filter(fileAllIn)
     val rewritePos = m.files.indices.filterNot(fileAllIn).filter(i => !fileNoneIn(i))
-    val (fs, dirPath) = GraftFs.resolve(spark, dir)
-    val loadedFp = metaFingerprint(spark, dirPath)
 
     if (dropPos.isEmpty && rewritePos.isEmpty)
       return Report(0, 0, 0, 0, m.files.length)

@@ -1,10 +1,12 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{Path => HPath}
+
 import org.apache.spark.sql.{DataFrame, GraftRelations, SQLContext, SaveMode}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
 
-import graft.core.{GraftFs, PDataset}
+import graft.core.{BloomIndex, GraftFs, PDataset, Sidecar, Stats}
 
 /** `spark.read.format("graft").load(dir)` — plain-SQL access to a
   * sidecar-carrying dataset directory (the engine's write format:
@@ -24,9 +26,13 @@ import graft.core.{GraftFs, PDataset}
   * option pins the file count), sorts within partitions for tight
   * rowgroup stats, writes parquet, and computes the sidecar in ONE
   * stats job, so the directory reopens with pruning by any reader.
-  * Append recomputes the sidecar over all files (per-file bounds
-  * may then overlap across generations — pruning stays sound, it
-  * is per file).
+  *
+  * Append is O(delta), not O(table): only the newly written files
+  * are statted, their entries merge into the existing sidecar (whose
+  * possibly-evolved schema stays authoritative), and an existing
+  * Bloom sidecar is extended via [[BloomIndex.update]] — pre-existing
+  * data files are never re-read. Per-file bounds may then overlap
+  * across append generations; pruning stays sound, it is per file.
   */
 final class GraftSource extends RelationProvider
     with CreatableRelationProvider with DataSourceRegister {
@@ -69,25 +75,97 @@ final class GraftSource extends RelationProvider
     val exists = GraftFs.statusOf(fs, p).isDefined
     if (mode == SaveMode.Ignore && exists)
       return createRelation(sqlContext, parameters)
-    // Fail fast on a bad bloom option BEFORE the expensive write.
+    // Fail fast on a bad bloom option BEFORE the expensive write —
+    // both a missing column and an unsupported TYPE (BloomIndex.build
+    // would otherwise reject a double/timestamp column only after the
+    // full dataset write completed).
     val bloomCols = parameters.get("bloom")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
     bloomCols.foreach { c =>
       require(data.columns.contains(c), s"bloom option: no such column $c")
+      require(BloomIndex.supported(data.schema(c).dataType),
+        "bloom option: supports integral and string columns; " +
+          s"$c is ${data.schema(c).dataType.simpleString}")
     }
+    // An append onto an existing sidecar dataset validates against —
+    // and then merges into — that sidecar, instead of re-deriving
+    // metadata over the whole table.
+    val appendTo: Option[Sidecar.Meta] =
+      if (mode == SaveMode.Append && Sidecar.exists(spark, path)) {
+        val m = Sidecar.load(spark, path)
+        require(m.indexColumns == index,
+          s"cannot append with index columns ${index.mkString(",")} to a " +
+            s"dataset indexed on ${m.indexColumns.mkString(",")}")
+        // Same compatibility contract as PDataset.prepareWriteTarget:
+        // the target's (possibly evolved) sidecar schema stays
+        // authoritative. Unknown columns would be silently hidden by
+        // the sidecar (reading as dropped data) and type conflicts
+        // would fail or corrupt reads later — reject both up front.
+        data.schema.fields.foreach { f =>
+          m.schema.fields.find(_.name == f.name) match {
+            case None => throw new IllegalArgumentException(
+              s"appended column ${f.name} does not exist in the target " +
+                "dataset; run Maintenance.addColumns first")
+            case Some(tf) if tf.dataType != f.dataType =>
+              throw new IllegalArgumentException(
+                s"appended column ${f.name}: ${f.dataType.simpleString} " +
+                  s"conflicts with the target's ${tf.dataType.simpleString}")
+            case _ => ()
+          }
+        }
+        Some(m)
+      } else None
+
     val keys = index.map(col)
     val shaped = parameters.get("files").map(_.toInt) match {
       case Some(n) => data.repartitionByRange(n, keys: _*)
       case None => data.repartitionByRange(keys: _*)
     }
-    shaped.sortWithinPartitions(keys: _*)
-      .write.mode(mode).parquet(path)
-    PDataset.writeMetadata(spark, path, index)
-    // option("bloom", "c1,c2"): per-file point-lookup filters for
-    // non-index columns, built right after the sidecar (one job).
-    if (bloomCols.nonEmpty)
-      graft.core.BloomIndex.build(spark, path, bloomCols)
+    def dataFileNames(): Set[String] =
+      GraftFs.listStatuses(fs, p).filter(_.isFile)
+        .map(_.getPath.getName)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("_") &&
+          !n.startsWith("."))
+        .toSet
+
+    appendTo match {
+      case Some(m) =>
+        // Incremental append: diff the listing around the write, stat
+        // ONLY the new files (one job over the delta), merge entries.
+        val before = dataFileNames()
+        shaped.sortWithinPartitions(keys: _*)
+          .write.mode(SaveMode.Append).parquet(path)
+        val added = (dataFileNames() -- before).toIndexedSeq.sorted
+        val addedPaths = added.map(n => new HPath(p, n).toString)
+        val byFile = Stats.forFiles(spark, addedPaths, index, Some(m.schema))
+        val kept = addedPaths.filter(f =>
+          byFile.contains(Stats.normalizePath(f)))
+        val names = kept.map(f => new HPath(f).getName)
+        val stats = kept.map(f => byFile(Stats.normalizePath(f)))
+        // max_partition_index is a name-allocation high-water mark —
+        // never move it backwards (see PDataset.writeMetadata).
+        val maxIdx = math.max(m.maxPartitionIndex,
+          m.files.length + names.length - 1L)
+        Sidecar.write(spark, path, index,
+          m.files ++ names, m.sizes ++ stats.map(_.size),
+          m.lowerBounds ++ stats.map(_.lb),
+          m.upperBounds ++ stats.map(_.ub), maxIdx, m.schema)
+        // Extend an existing Bloom sidecar to just the new files; a
+        // first-time bloom option on append still builds from scratch.
+        if (BloomIndex.exists(spark, path))
+          BloomIndex.update(spark, path, bloomCols)
+        else if (bloomCols.nonEmpty)
+          BloomIndex.build(spark, path, bloomCols)
+      case None =>
+        shaped.sortWithinPartitions(keys: _*)
+          .write.mode(mode).parquet(path)
+        PDataset.writeMetadata(spark, path, index)
+        // option("bloom", "c1,c2"): per-file point-lookup filters for
+        // non-index columns, built right after the sidecar (one job).
+        if (bloomCols.nonEmpty)
+          BloomIndex.build(spark, path, bloomCols)
+    }
     createRelation(sqlContext, parameters)
   }
 }

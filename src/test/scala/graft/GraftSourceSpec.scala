@@ -93,6 +93,108 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(appended.count() == orders.count() + 100)
   }
 
+  test("sink append is O(delta): pre-existing files are not re-read") {
+    val out = tempDir("graft-source-incr") + "/o.parquet"
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    orders.write.format("graft")
+      .option("index", "o_orderdate").option("files", "8").save(out)
+    val total = orders.count()
+    // Local rows (no file input) so every record READ during the
+    // append is attributable to graft: the delta write's stats job.
+    val localRows = orders.limit(100).collect()
+    val extra = spark.createDataFrame(
+      java.util.Arrays.asList(localRows: _*), orders.schema)
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        read.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      extra.write.format("graft").mode("append")
+        .option("index", "o_orderdate").option("files", "1").save(out)
+      Thread.sleep(1500) // listener events post asynchronously
+    } finally spark.sparkContext.removeSparkListener(l)
+    // Old behavior re-statted the WHOLE table (>= 15000 records at
+    // this sf); the incremental path stats only the ~100 new rows.
+    assert(read.get < 2000,
+      s"append read ${read.get} records; expected only the delta")
+    val appended = spark.read.format("graft").load(out)
+    assert(appended.count() == total + 100)
+    // merged sidecar still serves engine reads with sane metadata
+    val ds = PDataset.scanParquet(spark, out)
+    assert(ds.npartitions == 9)
+    assert(ds.sizes.get.sum == total + 100)
+  }
+
+  test("sink append validates schema against the target sidecar") {
+    val out = tempDir("graft-source-appcheck") + "/o.parquet"
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    orders.limit(500).write.format("graft")
+      .option("index", "o_orderdate").option("files", "2").save(out)
+    // unknown column: would be silently hidden by the sidecar schema
+    val extraCol = orders.limit(10).withColumn("bonus", lit(1))
+    val e1 = intercept[IllegalArgumentException] {
+      extraCol.write.format("graft").mode("append")
+        .option("index", "o_orderdate").save(out)
+    }
+    assert(e1.getMessage.contains("does not exist"))
+    // conflicting type: would corrupt/fail later reads
+    val badType = orders.limit(10)
+      .withColumn("o_orderkey", col("o_orderkey").cast("string"))
+    val e2 = intercept[IllegalArgumentException] {
+      badType.write.format("graft").mode("append")
+        .option("index", "o_orderdate").save(out)
+    }
+    assert(e2.getMessage.contains("conflicts"))
+    // mismatched index columns are rejected too
+    val e3 = intercept[IllegalArgumentException] {
+      orders.limit(10).write.format("graft").mode("append")
+        .option("index", "o_custkey").save(out)
+    }
+    assert(e3.getMessage.contains("index columns"))
+    // nothing was installed: the dataset still reads whole
+    assert(spark.read.format("graft").load(out).count() == 500)
+  }
+
+  test("bloom option rejects unsupported column types before the write") {
+    val out = tempDir("graft-source-badbloom") + "/o.parquet"
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val e = intercept[IllegalArgumentException] {
+      orders.write.format("graft")
+        .option("index", "o_orderdate")
+        .option("bloom", "o_totalprice") // double: unsupported
+        .save(out)
+    }
+    assert(e.getMessage.contains("integral and string"))
+    // fail-fast: the expensive write never ran
+    val (fs, p) = graft.core.GraftFs.resolve(spark, out)
+    assert(graft.core.GraftFs.statusOf(fs, p).isEmpty)
+  }
+
+  test("sink append extends an existing bloom index incrementally") {
+    val out = tempDir("graft-source-bloomapp") + "/o.parquet"
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    orders.write.format("graft")
+      .option("index", "o_orderdate").option("files", "8")
+      .option("bloom", "o_orderkey")
+      .save(out)
+    val probe = orders.orderBy(col("o_orderkey").desc).limit(1)
+      .collect()(0).getAs[Long]("o_orderkey")
+    val extra = spark.createDataFrame(
+      java.util.Arrays.asList(orders.limit(50).collect(): _*), orders.schema)
+    extra.write.format("graft").mode("append")
+      .option("index", "o_orderdate").option("files", "1").save(out)
+    assert(graft.core.BloomIndex.exists(spark, out))
+    // the appended generation is covered: a point lookup on a key that
+    // lives ONLY in generation files still prunes and still answers
+    val q = spark.read.format("graft").load(out)
+      .filter(col("o_orderkey") === probe)
+    assert(q.count() >= 1)
+    assert(scannedFiles(q) <= 3, "bloom must keep pruning after append")
+  }
+
   test("graft sink demands the index option") {
     val out = tempDir("graft-source-noindex") + "/x.parquet"
     val e = intercept[IllegalArgumentException] {

@@ -515,6 +515,37 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(after.toDF.filter(col("payload") === "UPDATED-10").count() == 0)
   }
 
+  test("writeMetadata never lowers the partition-name high-water mark") {
+    val dir = tempDir("maint-hwm") + "/ds"
+    writeKeyed(dir, 300, 30) // 10 files -> maxPartitionIndex 9
+    // compaction replaces small files with fresh names PAST the old
+    // counter: file count shrinks, live name indices don't.
+    Maintenance.compact(spark, dir, targetRows = 100)
+    val m1 = Sidecar.load(spark, dir)
+    assert(m1.files.length < 10)
+    assert(m1.maxPartitionIndex >= m1.files.length,
+      "precondition: live index exceeds file count after compact")
+    // A foreign writeMetadata over the maintained dir (the old reset
+    // to kept.length-1) must NOT re-issue a live file's name: the
+    // counter stays at or above every name on disk.
+    PDataset.writeMetadata(spark, dir, Seq("k"))
+    val m2 = Sidecar.load(spark, dir)
+    assert(m2.maxPartitionIndex >= m1.maxPartitionIndex,
+      s"high-water mark went backwards: ${m2.maxPartitionIndex}")
+    // no name at or below the counter is ever re-issued, so the
+    // counter must sit at or above every live partNNNN on disk (the
+    // old reset to kept.length-1 put it BELOW them — a later op's
+    // fresh name could then clobber a live, referenced file)
+    val liveMax = m2.files
+      .collect { case s if s.startsWith("part") && s.endsWith(".parquet") =>
+        s.stripPrefix("part").stripSuffix(".parquet").toLong
+      }.max
+    assert(m2.maxPartitionIndex >= liveMax,
+      s"counter ${m2.maxPartitionIndex} below live name index $liveMax")
+    // content still reads whole
+    assertSameRows(PDataset.scanParquet(spark, dir).toDF, keyedDF(0, 300))
+  }
+
   test("upsert rejects duplicate and null keys") {
     val dir = tempDir("maint-upsert-bad") + "/ds"
     writeKeyed(dir, 100, 50)
