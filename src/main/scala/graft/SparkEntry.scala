@@ -959,6 +959,23 @@ object SparkEntry {
         floor = 0.4)
     }),
 
+    // Persisted index: train ONCE into a graft-sidecar directory
+    // (cells range-clustered, centroids in a JSON sidecar), then
+    // query WITHOUT retraining — the production many-batches shape.
+    // Same seeded training as q_ann_ivf, so the same recall floor.
+    "q_ann_ivf_indexed" -> ((s, d) => {
+      val dir = tmp("graft-q-ivfidx")
+      val emb = scan(s, d, "embeddings").toDF
+      val q = emb.filter(col("vec_id") < 10)
+      graft.operators.VectorIndex.build(s, emb, "vec_id", "embedding",
+        dir, dim = 64, nlist = 16)
+      recallContract(
+        graft.operators.VectorIndex.topK(s, q, dir, "vec_id", "embedding",
+          k = 5, nprobe = 4),
+        Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5),
+        floor = 0.4)
+    }),
+
     "q_ann_ivfpq" -> ((s, d) => {
       val emb = scan(s, d, "embeddings").toDF
       val q = emb.filter(col("vec_id") < 10)
@@ -1530,6 +1547,8 @@ object SparkEntry {
       "q_ann_ivf" ->
         "SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_floor_met",
       "q_ann_ivfpq" ->
+        "SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_floor_met",
+      "q_ann_ivf_indexed" ->
         "SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_floor_met",
       // first-match quality rules, each ANSI/RE2-rederivable
       "q_quality_filter" ->

@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{Path => HPath}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{GraftFs, TypedJson}
+
+/** A PERSISTED IVF(-PQ) vector index: train once, query many times.
+  *
+  * [[Similarity.ivfTopK]] / [[Similarity.ivfPqTopK]] retrain their
+  * centroids and codebooks on every call — fine for one-shot
+  * analytics, wrong for the production shape where one 100 TB corpus
+  * serves thousands of query batches. [[build]] runs the bounded
+  * training ONCE and persists the whole index as a self-describing
+  * directory:
+  *
+  *   - cell assignments as a graft dataset range-clustered on the
+  *     cell id (`cell, id, vec, norm[, codes]`), written through the
+  *     `format("graft")` sink so the sidecar carries per-file cell
+  *     bounds — a probe's `cell IN (...)` filter prunes whole FILES
+  *     at plan time, the on-disk analogue of "scan only the probed
+  *     cells";
+  *   - centroids + PQ codebooks (KBs: nlist x dim + m x ksub x dim/m
+  *     doubles) in a `_graft_ivf` JSON sidecar the query path reads
+  *     driver-side — no Spark job, no retraining, ever.
+  *
+  * [[topK]] (exact-vector cosine re-rank) and [[pqTopK]] (asymmetric
+  * distance over the stored codes) then match the one-shot operators'
+  * results bit-for-bit when built with the same parameters, because
+  * training is the same deterministic seeded procedure — only WHEN it
+  * runs changes. Scale shape per query batch: one driver JSON read,
+  * one bounded distinct-cells collect (≤ nlist ints by construction),
+  * one pruned scan of the probed cells, one equi-join on cell id.
+  */
+object VectorIndex {
+
+  val IndexFile = "_graft_ivf"
+
+  /** Driver-side index metadata: the trained geometry. */
+  final case class Meta(
+      dim: Int,
+      nlist: Int,
+      centroids: Array[Array[Double]],
+      m: Int,
+      ksub: Int,
+      codebooks: Option[Array[Array[Array[Double]]]])
+
+  /** Train and persist the index for `corpus` at `dir`. With
+    * `pq = Some((m, ksub))` the stored rows also carry PQ codes and
+    * the sidecar the codebooks, enabling [[pqTopK]]. `files` pins the
+    * assignment dataset's file count (default: one file per ~4 cells,
+    * at least 2 — cells stay contiguous on disk either way). */
+  def build(
+      spark: SparkSession,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      dim: Int,
+      nlist: Int = 16,
+      iters: Int = 3,
+      seed: Long = 11L,
+      trainFraction: Double = 1.0,
+      maxTrainVectors: Int = 16384,
+      pq: Option[(Int, Int)] = None,
+      files: Option[Int] = None): Meta = {
+    val cents = Similarity.trainCentroids(corpus, idCol, vecCol, dim,
+      nlist, iters, seed, trainFraction, maxTrainVectors)
+    val books = pq.map { case (m, ksub) =>
+      Similarity.trainPqCodebooks(corpus, idCol, vecCol, dim, m, ksub,
+        iters, seed, trainFraction, maxTrainVectors)
+    }
+    val nc1 = graft.functions.VectorExpressions
+      .nearestCentroids(col("vec"), cents, 1)
+    val base = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .select(element_at(nc1, 1).as("cell"), col("id"), col("vec"),
+        Similarity.l2norm(col("vec")).as("norm"))
+    val assigned = books match {
+      case Some(b) => base.withColumn("codes",
+        graft.functions.VectorExpressions.pqEncode(col("vec"), b))
+      case None => base
+    }
+    val nFiles = files.getOrElse(math.max(2, cents.length / 4))
+    assigned.write.format("graft").mode("overwrite")
+      .option("index", "cell").option("files", nFiles.toString)
+      .save(dir)
+    val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    val meta = scala.collection.immutable.ListMap(
+      "dim" -> dim,
+      "nlist" -> cents.length,
+      "centroids" -> cents.map(_.toVector).toVector,
+      "m" -> pq.map(_._1).getOrElse(0),
+      "ksub" -> pq.map(_._2).getOrElse(0),
+      "codebooks" -> books.map(_.map(_.map(_.toVector).toVector).toVector)
+        .getOrElse(Vector.empty))
+    GraftFs.writeString(fs, new HPath(dirPath, IndexFile),
+      TypedJson.write(meta))
+    Meta(dim, cents.length, cents, pq.map(_._1).getOrElse(0),
+      pq.map(_._2).getOrElse(0), books)
+  }
+
+  /** Load the trained geometry — one driver-side JSON read, no job. */
+  def load(spark: SparkSession, dir: String): Meta = {
+    val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    val obj = TypedJson.parse(
+      GraftFs.readString(fs, new HPath(dirPath, IndexFile)))
+      .asInstanceOf[Map[String, Any]]
+    def num(v: Any): Double = v.asInstanceOf[Number].doubleValue()
+    def int(k: String): Int = obj(k).asInstanceOf[Number].intValue()
+    val cents = obj("centroids").asInstanceOf[Vector[Any]]
+      .map(_.asInstanceOf[Vector[Any]].map(num).toArray).toArray
+    val rawBooks = obj("codebooks").asInstanceOf[Vector[Any]]
+    val books =
+      if (rawBooks.isEmpty) None
+      else Some(rawBooks.map(_.asInstanceOf[Vector[Any]]
+        .map(_.asInstanceOf[Vector[Any]].map(num).toArray).toArray).toArray)
+    Meta(int("dim"), int("nlist"), cents, int("m"), int("ksub"), books)
+  }
+
+  /** The probed (query_id, qv, cell) frame plus the bounded distinct
+    * cell list (≤ nlist values by construction — cells are centroid
+    * ordinals, so this collect is index-parameter-bounded at any
+    * corpus or query scale). */
+  private def probed(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      meta: Meta,
+      nprobe: Int): (DataFrame, Array[Int]) = {
+    val probes = math.min(nprobe, meta.centroids.length)
+    val nc = graft.functions.VectorExpressions
+      .nearestCentroids(col("__v0"), meta.centroids, probes)
+    // Barrier select: norm + cell assignment computed once per query
+    // vector, not once per candidate pair (CollapseProject).
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__v0"))
+      .select(col("query_id"), col("__v0"),
+        Similarity.l2norm(col("__v0")).as("__qn"),
+        explode(nc).as("cell"))
+      .repartition(col("query_id"))
+    val cells = q.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    (q, cells)
+  }
+
+  /** Query the persisted index: exact cosine re-rank within the
+    * probed cells (the stored-vector analogue of
+    * [[Similarity.ivfTopK]] — identical output for an index built
+    * with the same parameters). NO training runs here: centroids come
+    * from the sidecar, candidates from a file-pruned scan of the
+    * probed cells. */
+  def topK(
+      spark: SparkSession,
+      queries: DataFrame,
+      dir: String,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val meta = load(spark, dir)
+    val (q, cells) = probed(queries, idCol, vecCol, meta, nprobe)
+    // The IN filter on the sidecar's index column prunes files whose
+    // cell range misses every probed cell — plan-time skipping.
+    val c = spark.read.format("graft").load(dir)
+      .filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
+      .select(col("cell"), col("id").as("neighbor_id"),
+        col("vec").as("cv"), col("norm").as("cn"))
+    val cands = q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", Similarity.cosine(
+        col("__v0"), col("cv"), col("__qn"), col("cn")))
+    rank(cands, k)
+      .withColumn("cosine", round(col("cosine"), 4))
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Query the persisted index via the compressed codes: asymmetric
+    * distance over the probed cells' stored PQ codes (the persisted
+    * analogue of [[Similarity.ivfPqTopK]]). Requires the index to
+    * have been built with `pq = Some((m, ksub))`. */
+  def pqTopK(
+      spark: SparkSession,
+      queries: DataFrame,
+      dir: String,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val meta = load(spark, dir)
+    val books = meta.codebooks.getOrElse(throw new IllegalArgumentException(
+      s"index at $dir was built without PQ codes; " +
+        "build(..., pq = Some((m, ksub))) first"))
+    val (q, cells) = probed(queries, idCol, vecCol, meta, nprobe)
+    val c = spark.read.format("graft").load(dir)
+      .filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
+      .select(col("cell"), col("id").as("neighbor_id"), col("codes"))
+    val cands = q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__dist", graft.functions.VectorExpressions.pqAdc(
+        col("__v0"), col("codes"), books))
+      .withColumn("cosine", -col("__dist")) // rank() orders desc
+    rank(cands, k).select("query_id", "neighbor_id", "rank")
+  }
+
+  private def rank(cands: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

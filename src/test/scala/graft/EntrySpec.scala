@@ -15,4 +15,12 @@ class EntrySpec extends AnyFunSuite {
     assert(oracles.subsetOf(qs), s"orphan oracles: ${oracles -- qs}")
     assert(qs == oracles, s"rows-only queries: ${qs -- oracles}")
   }
+
+  test("declared query count is pinned (update deliberately)") {
+    // Deliberate pin: adding a query means bumping this number in the
+    // same commit, so prose references never silently drift again.
+    assert(SparkEntry.queries.size == 88,
+      s"declared queries: ${SparkEntry.queries.size}; update this pin " +
+        "alongside any inventory change")
+  }
 }
