@@ -107,6 +107,39 @@ object Maintenance {
   def scanVersion(spark: SparkSession, dir: String, version: Int): PDataset =
     PDataset.fromSidecarMeta(spark, dir, versionMeta(spark, dir, version))
 
+  /** The sidecar metadata that was CURRENT at `tsMillis`, resolved
+    * from `_graft_history` modification times: an archived `vN.json`'s
+    * mtime is the instant the NEXT generation replaced it, so vN was
+    * live on [m(N-1), m(N)) and the current metadata from the last
+    * archive onward. A timestamp at or after the newest archive (or
+    * any timestamp on a dataset with no history) resolves to the
+    * current generation; one before the oldest archive resolves to
+    * the oldest snapshot still on record. */
+  def metaAsOf(
+      spark: SparkSession, dir: String, tsMillis: Long): Sidecar.Meta = {
+    val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    val h = new HPath(dirPath, HistoryDir)
+    val archived: Seq[(Int, Long)] =
+      if (!GraftFs.isDir(fs, h)) Seq.empty
+      else GraftFs.listStatuses(fs, h)
+        .flatMap(st => st.getPath.getName match {
+          case VersionFilePattern(n) => Some(n.toInt -> st.getModificationTime)
+          case _ => None
+        })
+        .sortBy(_._1).toSeq
+    archived.find(_._2 > tsMillis) match {
+      case Some((v, _)) => versionMeta(spark, dir, v)
+      case None => Sidecar.load(spark, dir)
+    }
+  }
+
+  /** Time travel by timestamp: the dataset as it was at `tsMillis`
+    * (see [[metaAsOf]] for resolution semantics; also the hook behind
+    * `spark.read.format("graft").option("asOfTimestamp", ts)`). */
+  def scanVersionAsOf(
+      spark: SparkSession, dir: String, tsMillis: Long): PDataset =
+    PDataset.fromSidecarMeta(spark, dir, metaAsOf(spark, dir, tsMillis))
+
   /** Fingerprint of the metadata file (mtime, length) taken right
     * after an op loads it; [[guardUnchanged]] re-checks it
     * immediately before the swap and aborts the op if another writer
@@ -154,9 +187,19 @@ object Maintenance {
     next
   }
 
-  /** Drop all archived generations and delete every data file the
-    * current generation doesn't reference. Driver-side metadata diff
-    * only — no Spark job. Returns the number of files deleted.
+  /** Drop archived generations and delete every data file no kept
+    * generation references. Driver-side metadata diff only — no Spark
+    * job. Returns the number of data files deleted.
+    *
+    * Retention policy (union of both knobs; the defaults drop ALL
+    * history, the original full vacuum):
+    *   - `retainLast = n` keeps the n most recently archived
+    *     generations readable via [[scanVersion]]/[[scanVersionAsOf]];
+    *   - `olderThan = Some(tsMillis)` keeps every generation archived
+    *     at or after that instant.
+    * Kept generations keep their data files; at 100 TB each retained
+    * generation holds only the files it doesn't share with its
+    * neighbors, so the storage bill is the churn, not a full copy.
     *
     * Concurrency: the same best-effort discipline as the maintenance
     * ops — the metadata fingerprint is re-checked right before the
@@ -165,25 +208,49 @@ object Maintenance {
     * are deleted: a fresh part file is what an in-flight op stages
     * before its swap, so age, not reference, is what proves a file
     * orphaned. */
-  def vacuum(spark: SparkSession, dir: String): Int = {
+  def vacuum(
+      spark: SparkSession,
+      dir: String,
+      retainLast: Int = 0,
+      olderThan: Option[Long] = None): Int = {
+    require(retainLast >= 0, s"retainLast must be >= 0, got $retainLast")
     val (fs, dirPath) = GraftFs.resolve(spark, dir)
     val loadedFp = metaFingerprint(spark, dirPath)
     val m = Sidecar.load(spark, dir)
     val metaMtime =
       fs.getFileStatus(Sidecar.metadataPath(dir)).getModificationTime
-    val keep = m.files.toSet
+    val h = new HPath(dirPath, HistoryDir)
+    val archived: Seq[(Int, Long)] =
+      if (!GraftFs.isDir(fs, h)) Seq.empty
+      else GraftFs.listStatuses(fs, h)
+        .flatMap(st => st.getPath.getName match {
+          case VersionFilePattern(n) => Some(n.toInt -> st.getModificationTime)
+          case _ => None
+        })
+        .sortBy(_._1).toSeq
+    val keepVersions: Set[Int] =
+      (archived.takeRight(retainLast).map(_._1) ++
+        olderThan.toSeq.flatMap(ts =>
+          archived.filter(_._2 >= ts).map(_._1))).toSet
+    // Every file any KEPT generation still references survives.
+    val referenced = m.files.toSet ++ keepVersions.iterator
+      .flatMap(v => versionMeta(spark, dir, v).files)
     val stale = GraftFs.listStatuses(fs, dirPath)
       .filter(_.isFile)
       .filter { st =>
         val n = st.getPath.getName
         n.endsWith(".parquet") && !n.startsWith("_") &&
-          !n.startsWith(".") && !keep.contains(n) &&
+          !n.startsWith(".") && !referenced.contains(n) &&
           st.getModificationTime < metaMtime
       }
       .map(_.getPath)
     guardUnchanged(spark, dirPath, loadedFp)
     stale.foreach(fs.delete(_, false))
-    GraftFs.deleteRecursive(fs, new HPath(dirPath, HistoryDir))
+    if (keepVersions.isEmpty)
+      GraftFs.deleteRecursive(fs, h)
+    else
+      archived.filterNot(a => keepVersions.contains(a._1))
+        .foreach(a => fs.delete(versionFile(dirPath, a._1), false))
     stale.length
   }
 

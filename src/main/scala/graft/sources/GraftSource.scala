@@ -47,14 +47,31 @@ final class GraftSource extends RelationProvider
         "the graft source requires a path: " +
           "spark.read.format(\"graft\").load(<dataset dir>)"))
     val spark = sqlContext.sparkSession
-    // option("version", n): read an archived generation (time
-    // travel over retained maintenance history).
-    parameters.get("version") match {
-      case Some(v) => GraftRelations.sidecarRelationFor(spark, path,
+    // option("version", n): read an archived generation;
+    // option("asOfTimestamp", <epoch millis | ISO-8601 instant>):
+    // the generation that was current at that instant (time travel
+    // over retained maintenance history).
+    (parameters.get("version"), parameters.get("asOfTimestamp")) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "options 'version' and 'asOfTimestamp' are mutually exclusive")
+      case (Some(v), None) => GraftRelations.sidecarRelationFor(spark, path,
         graft.operators.Maintenance.versionMeta(spark, path, v.toInt))
-      case None => GraftRelations.sidecarRelation(spark, path)
+      case (None, Some(t)) => GraftRelations.sidecarRelationFor(spark, path,
+        graft.operators.Maintenance.metaAsOf(spark, path, parseTs(t)))
+      case (None, None) => GraftRelations.sidecarRelation(spark, path)
     }
   }
+
+  /** Epoch millis, or an ISO-8601 instant / local datetime (UTC). */
+  private def parseTs(t: String): Long =
+    t.toLongOption.getOrElse {
+      try java.time.Instant.parse(t).toEpochMilli
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          java.time.LocalDateTime.parse(t)
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      }
+    }
 
   override def createRelation(
       sqlContext: SQLContext,

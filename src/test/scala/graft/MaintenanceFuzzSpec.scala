@@ -101,9 +101,16 @@ class MaintenanceFuzzSpec extends AnyFunSuite {
             rowsOf((base until base + n), s"a$step"), Seq("k"))
             .writeParquet(dir, append = true)
           s"append($step, $n rows)"
-        } else if (rnd.nextBoolean()) { // vacuum
-          Maintenance.vacuum(spark, dir)
-          s"vacuum($step)"
+        } else if (rnd.nextBoolean()) { // vacuum, sometimes retaining
+          val retain = rnd.nextInt(3)
+          Maintenance.vacuum(spark, dir, retainLast = retain)
+          val left = Maintenance.versions(spark, dir)
+          assert(left.length <= retain, s"vacuum kept ${left.length}")
+          // every retained generation must still be fully readable
+          left.foreach { v =>
+            Maintenance.scanVersion(spark, dir, v).toDF.count()
+          }
+          s"vacuum($step, retain=$retain)"
         } else { // metadata-only schema evolution round-trip
           import org.apache.spark.sql.types.{LongType, StructField}
           Maintenance.addColumns(spark, dir, StructField(s"x$step", LongType))

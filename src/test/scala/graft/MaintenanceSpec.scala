@@ -515,6 +515,59 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(after.toDF.filter(col("payload") === "UPDATED-10").count() == 0)
   }
 
+  test("vacuum retention keeps generations readable; asOf resolves by time") {
+    val dir = tempDir("maint-retention") + "/ds"
+    writeKeyed(dir, 400, 50) // original content: keys 0..399
+    val t0 = System.currentTimeMillis()
+    Thread.sleep(1100) // mtime granularity can be coarse on some FS
+    // inserts 400..409; archives the ORIGINAL as v0
+    Maintenance.upsert(spark, dir, keyedDF(400, 10), retain = true)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(1100)
+    // deletes [100,150); archives the 410-row generation as v1
+    Maintenance.deleteRange(spark, dir,
+      lb = Vector(Some(100L)), ub = Vector(Some(150L)),
+      inclusive = "lower", retain = true)
+    val t2 = System.currentTimeMillis()
+    Thread.sleep(1100)
+    // updates payloads of keys 0..4; archives the 360-row gen as v2
+    Maintenance.upsert(spark, dir,
+      keyedDF(0, 5).withColumn("payload", concat(lit("u"), col("k"))),
+      retain = true)
+    assert(Maintenance.versions(spark, dir) == Seq(0, 1, 2))
+
+    // timestamp time travel: each instant resolves to the generation
+    // that was live THEN (vN.json's mtime = when vN was replaced)
+    assert(Maintenance.scanVersionAsOf(spark, dir, t0).toDF.count() == 400)
+    assert(Maintenance.scanVersionAsOf(spark, dir, t1).toDF.count() == 410)
+    assert(Maintenance.scanVersionAsOf(spark, dir, t2).toDF.count() == 360)
+    val now = System.currentTimeMillis()
+    val cur = Maintenance.scanVersionAsOf(spark, dir, now).toDF
+    assert(cur.count() == 360)
+    assert(cur.filter(col("payload") === "u0").count() == 1)
+    // same resolution through the SQL surface
+    assert(spark.read.format("graft")
+      .option("asOfTimestamp", t1.toString).load(dir).count() == 410)
+
+    // retainLast=2 drops only v0 (and the files ONLY v0 referenced);
+    // v1/v2 stay fully readable
+    Maintenance.vacuum(spark, dir, retainLast = 2)
+    assert(Maintenance.versions(spark, dir) == Seq(1, 2))
+    assert(Maintenance.scanVersion(spark, dir, 1).toDF.count() == 410)
+    assert(Maintenance.scanVersion(spark, dir, 2).toDF.count() == 360)
+    // olderThan keeps generations archived at/after the cutoff: only
+    // v2 (archived after t2) survives
+    Maintenance.vacuum(spark, dir, olderThan = Some(t2))
+    assert(Maintenance.versions(spark, dir) == Seq(2))
+    assert(Maintenance.scanVersion(spark, dir, 2).toDF.count() == 360)
+    // full vacuum drops the rest; the current generation is untouched
+    Maintenance.vacuum(spark, dir)
+    assert(Maintenance.versions(spark, dir).isEmpty)
+    val after = PDataset.scanParquet(spark, dir)
+    checkBoundsAndSizes(after)
+    assert(after.toDF.count() == 360)
+  }
+
   test("writeMetadata never lowers the partition-name high-water mark") {
     val dir = tempDir("maint-hwm") + "/ds"
     writeKeyed(dir, 300, 30) // 10 files -> maxPartitionIndex 9
