@@ -176,6 +176,30 @@ class RepartitionJoinSpec extends AnyFunSuite {
     } finally PDataset.divisionJoinMinOverride = None
   }
 
+  test("division join shape survives AQE re-planning (final plan)") {
+    // The whole suite runs with spark.sql.adaptive.enabled=true, but
+    // pre-execution executedPlan pins only see AQE's INITIAL plan;
+    // this pin executes the query and asserts the FINAL adaptive plan
+    // — what a real cluster runs — still shows the custom node and no
+    // injected Exchange.
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    PDataset.divisionJoinMinOverride = Some(2)
+    try {
+      val df = leftDs.join(rightDs, "inner").toDF
+      df.collect()
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val finalPlan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val s = finalPlan.toString
+      assert(s.contains("DivisionJoin"),
+        s"final AQE plan lost the division join:\n$s")
+      assert(!s.contains("Exchange"),
+        s"AQE re-planning injected a shuffle:\n$s")
+    } finally PDataset.divisionJoinMinOverride = None
+  }
+
   test("division join builds the smaller side when sizes are known") {
     PDataset.divisionJoinMinOverride = Some(2)
     try {

@@ -32,6 +32,14 @@ class ScatterWriteSpec extends AnyFunSuite {
     (out, n.get)
   }
 
+  test("job-count pins run under AQE (the real-cluster config)") {
+    // The O(1)-jobs assertions below count REAL jobs at execution
+    // time, so they only prove the scatter survives adaptive
+    // re-planning while AQE is actually on — pin the config so a
+    // TestSpark change can't silently weaken every pin in this suite.
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+  }
+
   test("wide file-backed generic write issues O(1) jobs and round-trips") {
     val src = tempDir("scatter-src")
     writeDatetimeSample(spark, src)
