@@ -637,6 +637,31 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // TPC-H Q18 shape (large-volume customers): a HAVING-filtered
+    // aggregate over the fact spine feeds an IN-subquery — expressed
+    // as a LEFT SEMI join so the big-orders key set never widens the
+    // row, then the customer dim broadcasts onto the shuffled
+    // orders⋈lineitem spine and re-aggregates. TopK via
+    // TakeOrderedAndProject, not a global sort.
+    "q_tpch_q18" -> ((s, d) => {
+      val c = scan(s, d, "customer").toDF
+      val o = scan(s, d, "orders").toDF
+      val l = scan(s, d, "lineitem").toDF
+      val big = l.groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("q"))
+        .filter(col("q") > 300)
+        .select(col("l_orderkey").as("bigkey"))
+      o.join(big, col("o_orderkey") === col("bigkey"), "left_semi")
+        .join(c, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+          "o_totalprice")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"),
+          col("o_orderkey"))
+        .limit(100)
+    }),
+
     "q_tpch_q3" -> ((s, d) => {
       val c = scan(s, d, "customer").toDF.filter(col("c_mktsegment") === "BUILDING")
       val o = scan(s, d, "orders").toDF
@@ -1405,6 +1430,18 @@ object SparkEntry {
            JOIN region ON n_regionkey = r_regionkey
            WHERE r_name = 'ASIA'
            GROUP BY n_name ORDER BY revenue DESC, n_name""",
+      "q_tpch_q18" ->
+        """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                  round(sum(l_quantity), 2) AS sum_qty
+           FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+           WHERE o_orderkey IN (
+             SELECT l_orderkey FROM lineitem
+             GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+           GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+           ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+           LIMIT 100""",
       "q_tpch_q3" ->
         """SELECT o_orderkey,
                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -56,6 +56,23 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_"), "expected a partial aggregate")
   }
 
+  test("TPC-H Q18 semi-filters the spine, broadcasts it, and top-Ks") {
+    val df = SparkEntry.queries("q_tpch_q18")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // The HAVING-filtered big-order key set is tiny at any SF, so the
+    // semi join (and everything downstream of it) must broadcast
+    // rather than shuffle the customer/lineitem sides.
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected broadcast semi join on big-order keys:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"expected the semi-filtered spine to broadcast onward:\n$plan")
+    // ORDER BY + LIMIT 100 must be a top-K, never a global sort.
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject:\n$plan")
+    assert(plan.contains("partial_sum"), "expected map-side partial agg")
+  }
+
   test("slice reads only overlapping partition files (driver pruning)") {
     val total = persisted.npartitions
     val lo = persisted.lowerBounds.get(2)
