@@ -321,6 +321,26 @@ object SparkEntry {
         .toDF.orderBy("o_orderkey")
     }),
 
+    // Change-data feed between generations: upsert with retain
+    // archives v0, then changes(0) multiset-diffs ONLY the files
+    // present in exactly one generation — rows a rewrite carried
+    // over unchanged cancel, so the feed is the true row-level delta
+    // read from O(delta) files, however big the table.
+    "q_changes" -> ((s, d) => {
+      val dir = mutableCopy("ordkey20", d)(ordersByKey20(s, d))
+      val orders = s.read.parquet(T(d, "orders"))
+      val upd = orders.filter(col("o_orderkey") % 701 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val ins = orders.filter(col("o_orderkey") % 997 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+        .withColumn("o_orderpriority", lit("NEW"))
+      graft.operators.Maintenance.upsert(
+        s, dir, upd.unionByName(ins), retain = true)
+      graft.operators.Maintenance.changes(s, dir, 0)
+        .orderBy("o_orderkey", "change_type")
+    }),
+
     // Per-file Bloom data skipping: orders indexed (hence pruned) on
     // o_orderdate, bloom-built on the NON-index o_custkey; a point
     // lookup on o_custkey plans only the files whose filter fires
@@ -1250,6 +1270,21 @@ object SparkEntry {
            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
            UNION ALL SELECT * FROM upd
            ORDER BY o_orderkey""",
+      "q_changes" ->
+        """WITH upd AS (
+             SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                    o_totalprice * 2 AS o_totalprice, o_orderdate,
+                    o_orderpriority
+             FROM orders WHERE o_orderkey % 701 = 0),
+           ins AS (
+             SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+                    o_orderstatus, o_totalprice, o_orderdate,
+                    'NEW' AS o_orderpriority
+             FROM orders WHERE o_orderkey % 997 = 0)
+           SELECT *, 'insert' AS change_type FROM upd
+           UNION ALL SELECT *, 'insert' FROM ins
+           UNION ALL SELECT *, 'delete' FROM orders WHERE o_orderkey % 701 = 0
+           ORDER BY o_orderkey, change_type""",
       "q_graft_source" ->
         """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
            WHERE o_orderdate >= TIMESTAMP '1996-01-01'

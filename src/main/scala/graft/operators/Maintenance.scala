@@ -140,6 +140,86 @@ object Maintenance {
       spark: SparkSession, dir: String, tsMillis: Long): PDataset =
     PDataset.fromSidecarMeta(spark, dir, metaAsOf(spark, dir, tsMillis))
 
+  /** Change-data feed between two retained generations: every row
+    * inserted or deleted going from `fromVersion` to `toVersion`
+    * (`None` = the current generation), tagged with a `change_type`
+    * column (`"insert"` / `"delete"`; an update surfaces as the
+    * delete of its old row plus the insert of its new one).
+    *
+    * Maintenance ops never modify a data file in place — new content
+    * always lands under fresh names — so a file shared by both
+    * generations is byte-identical and its rows cannot differ. Only
+    * the files PRESENT IN EXACTLY ONE generation are read — each
+    * once — and the multiset diff is a single signed-count aggregate
+    * (new rows +1, old rows -1, grouped on every column) shuffling
+    * only those delta rows: an upsert that touched 0.1% of a 100 TB
+    * table yields a feed job over ~0.1% of it, however big the table
+    * is. Rows a rewrite carried over unchanged (compaction, the
+    * unaffected neighbors in an upserted partition) cancel to a zero
+    * count and drop out.
+    *
+    * Columns follow the NEWER generation's schema; rows read from the
+    * older one null-fill columns added since (mirroring read-time
+    * null-fill of schema evolution), and columns dropped since are
+    * dropped from the old rows before diffing. */
+  def changes(
+      spark: SparkSession,
+      dir: String,
+      fromVersion: Int,
+      toVersion: Option[Int] = None): DataFrame = {
+    val fromMeta = versionMeta(spark, dir, fromVersion)
+    val toMeta = toVersion match {
+      case Some(v) => versionMeta(spark, dir, v)
+      case None => Sidecar.load(spark, dir)
+    }
+    val fromSet = fromMeta.files.toSet
+    val toSet = toMeta.files.toSet
+    val oldDf = alignTo(
+      subsetDf(spark, dir, fromMeta, f => !toSet(f)), toMeta.schema)
+    val newDf = subsetDf(spark, dir, toMeta, f => !fromSet(f))
+    val dataCols = toMeta.schema.fieldNames.toIndexedSeq.map(col)
+    // EXCEPT ALL both ways, in ONE pass: +1 per new row, -1 per old
+    // row, grouped null-safe on every column (the same equality
+    // EXCEPT ALL uses); a nonzero count is |count| inserts or
+    // deletes, a zero count is a row the rewrite carried over.
+    newDf.withColumn("__delta", lit(1L))
+      .unionByName(oldDf.withColumn("__delta", lit(-1L)))
+      .groupBy(dataCols: _*)
+      .agg(sum("__delta").as("__delta"))
+      .filter(col("__delta") =!= 0L)
+      .select(dataCols
+        :+ when(col("__delta") > 0, lit("insert")).otherwise(lit("delete"))
+          .as("change_type")
+        :+ explode(sequence(lit(1L), abs(col("__delta")))).as("__i"): _*)
+      .drop("__i")
+  }
+
+  /** The rows of `m`'s files selected by `keep`, as one DataFrame
+    * (schema-correct and empty when no file matches). */
+  private def subsetDf(
+      spark: SparkSession,
+      dir: String,
+      m: Sidecar.Meta,
+      keep: String => Boolean): DataFrame = {
+    val idx = m.files.indices.filter(i => keep(m.files(i)))
+    if (idx.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    else
+      PDataset.fromSidecarMeta(spark, dir, Sidecar.Meta(
+        idx.map(m.files), m.indexColumns, idx.map(m.sizes),
+        idx.map(m.lowerBounds), idx.map(m.upperBounds),
+        m.maxPartitionIndex, m.schema)).toDF
+  }
+
+  /** Project `df` onto exactly `schema`'s columns: missing ones
+    * null-fill at their declared type, extra ones drop. */
+  private def alignTo(df: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    df.select(schema.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+
   /** Fingerprint of the metadata file (mtime, length) taken right
     * after an op loads it; [[guardUnchanged]] re-checks it
     * immediately before the swap and aborts the op if another writer

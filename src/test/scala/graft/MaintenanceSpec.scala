@@ -599,6 +599,78 @@ class MaintenanceSpec extends AnyFunSuite {
     assertSameRows(PDataset.scanParquet(spark, dir).toDF, keyedDF(0, 300))
   }
 
+  test("changes feeds the row-level delta, reading only delta files") {
+    val dir = tempDir("maint-changes") + "/ds"
+    writeKeyed(dir, 600, 100) // 6 files of consecutive 100-key ranges
+    val upd = keyedDF(250, 2).withColumn("payload", lit("NEW"))
+    Maintenance.upsert(spark, dir, upd, retain = true)
+
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        read.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(l)
+    val ch =
+      try {
+        val rows = Maintenance.changes(spark, dir, 0).collect()
+        Thread.sleep(1500) // listener events post asynchronously
+        rows
+      } finally spark.sparkContext.removeSparkListener(l)
+
+    // Two updated keys: each surfaces as its old row's delete plus its
+    // new row's insert; the 98 carried-over neighbors cancel.
+    assert(ch.length == 4, ch.mkString("\n"))
+    val byType = ch.groupBy(_.getAs[String]("change_type"))
+    assert(byType("delete").map(r => (r.getAs[Long]("k"),
+      r.getAs[String]("payload"))).sorted.toSeq ==
+      Seq(250L -> "v250", 251L -> "v251"))
+    assert(byType("insert").map(r => (r.getAs[Long]("k"),
+      r.getAs[String]("payload"))).sorted.toSeq ==
+      Seq(250L -> "NEW", 251L -> "NEW"))
+    // Only the one rewritten 100-row file and its replacement are
+    // read — never the other 500 rows.
+    assert(read.get <= 220, s"read ${read.get} input rows of a 600-row " +
+      "table; changes must read only the delta files")
+  }
+
+  test("changes between two archived generations isolates one delta") {
+    val dir = tempDir("maint-changes-v") + "/ds"
+    writeKeyed(dir, 300, 100)
+    Maintenance.upsert(spark, dir,
+      keyedDF(10, 1).withColumn("payload", lit("first")), retain = true)
+    Maintenance.upsert(spark, dir,
+      keyedDF(210, 1).withColumn("payload", lit("second")), retain = true)
+    // v0 -> v1 sees only the first upsert's delta.
+    val ch01 = Maintenance.changes(spark, dir, 0, Some(1)).collect()
+    assert(ch01.map(r => (r.getAs[String]("change_type"),
+      r.getAs[Long]("k"), r.getAs[String]("payload"))).sorted.toSeq ==
+      Seq(("delete", 10L, "v10"), ("insert", 10L, "first")))
+    // v0 -> current sees both.
+    assert(Maintenance.changes(spark, dir, 0).count() == 4)
+    // A pure rewrite (compaction) changes no rows: empty feed.
+    Maintenance.compact(spark, dir, targetRows = 1000, retain = true)
+    assert(Maintenance.changes(spark, dir, 2).count() == 0)
+  }
+
+  test("changes null-fills columns added since the older generation") {
+    val dir = tempDir("maint-changes-evo") + "/ds"
+    writeKeyed(dir, 200, 100)
+    Maintenance.upsert(spark, dir,
+      keyedDF(20, 1).withColumn("payload", lit("pre")), retain = true)
+    Maintenance.addColumns(spark, dir, StructField("flag", StringType))
+    Maintenance.upsert(spark, dir,
+      keyedDF(20, 1).withColumn("payload", lit("post"))
+        .withColumn("flag", lit("F")), retain = true)
+    val ch = Maintenance.changes(spark, dir, 1)
+    assert(ch.columns.toSeq ==
+      Seq("k", "grp", "payload", "flag", "change_type"))
+    assert(ch.collect().map(r => (r.getAs[String]("change_type"),
+      r.getAs[String]("payload"), r.getAs[String]("flag"))).sorted.toSeq ==
+      Seq(("delete", "pre", null), ("insert", "post", "F")))
+  }
+
   test("upsert rejects duplicate and null keys") {
     val dir = tempDir("maint-upsert-bad") + "/ds"
     writeKeyed(dir, 100, 50)
