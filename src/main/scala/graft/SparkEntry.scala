@@ -944,6 +944,27 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // Temperature-flattened language mixture (alpha = 0.5): one
+    // broadcast count aggregate + the narrow hash-fraction filter;
+    // sqrt keeps the per-language fraction bit-identical across
+    // engines. (Flattens on lang — the synthetic corpus' skewed
+    // column; source is uniform so it would be a no-op.)
+    "q_mixture_temperature" -> ((s, d) =>
+      graft.operators.Sampling.mixtureByTemperature(
+        scan(s, d, "documents").toDF, "lang", "doc_id", alpha = 0.5)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")),
+
+    // Deterministic shard assignment: reproducible corpus shuffle
+    // into 8 training shards (shard + in-shard position are a pure
+    // function of the seed and the doc id).
+    "q_shard_assign" -> ((s, d) =>
+      graft.operators.Sampling.shardAssign(
+        scan(s, d, "documents").toDF, "doc_id", numShards = 8,
+        seed = "epoch1")
+        .select("doc_id", "shard", "shard_pos")
+        .orderBy("doc_id")),
+
     "q_lang_id" -> ((s, d) =>
       scan(s, d, "documents").toDF.select(
         col("doc_id"),
@@ -1747,6 +1768,30 @@ object SparkEntry {
                              WHEN 'zh' THEN 0.25
                              ELSE 0.1 END
            ORDER BY doc_id""",
+      "q_mixture_temperature" ->
+        """WITH c AS (SELECT lang, count(*) AS n
+                      FROM documents GROUP BY lang),
+                m AS (SELECT min(n) AS nmin FROM c)
+           SELECT doc_id, source, lang
+           FROM documents JOIN c USING (lang), m
+           WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                   / 4294967296.0
+                 < sqrt(CAST(nmin AS DOUBLE) / n)
+           ORDER BY doc_id""",
+      "q_shard_assign" ->
+        """WITH h AS (
+             SELECT doc_id,
+                    md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS hx
+             FROM documents),
+           s AS (
+             SELECT doc_id, hx,
+                    CAST(('0x' || substr(hx, 1, 8))::UBIGINT % 8 AS INT)
+                      AS shard
+             FROM h)
+           SELECT doc_id, shard,
+                  row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id)
+                    AS shard_pos
+           FROM s ORDER BY doc_id""",
       "q_dedup_embedding" ->
         """WITH scored AS (
              SELECT a.vec_id AS "idA", b.vec_id AS "idB",

@@ -57,6 +57,66 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Temperature-flattened source mixture: downsample each source so
+    * the corpus' source distribution follows `n^alpha` — the standard
+    * flattening for multi-source/multilingual training mixes.
+    * Per-source keep fraction `f_s = (n_min / n_s)^(1-alpha)`:
+    * `alpha = 1` keeps the natural mix untouched, `alpha = 0`
+    * equalizes every source down to the smallest, values between
+    * interpolate (the expected kept size per source is
+    * `n_s^alpha * n_min^(1-alpha)`).
+    *
+    * Plan: one count aggregate (rows = #sources, broadcast back) and
+    * the usual narrow hash-fraction filter — no driver collect, no
+    * extra shuffle of the data. `alpha = 0.5` computes the fraction
+    * with `sqrt`, which IEEE 754 rounds exactly, so the keep decision
+    * is bit-reproducible across engines (the DuckDB oracle rederives
+    * it); other alphas go through `pow`, whose last-ulp rounding is
+    * libm-specific. */
+  def mixtureByTemperature(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0,1], got $alpha")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+    val nmin = counts.agg(min(col("__n")).as("__nmin"))
+    val ratio = col("__nmin").cast("double") / col("__n").cast("double")
+    val frac = if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha)
+    df.join(broadcast(counts), sourceCol)
+      .crossJoin(broadcast(nmin))
+      .filter(hashFraction(col(idCol)) < frac)
+      .drop("__n", "__nmin")
+  }
+
+  /** Deterministic shard assignment: a reproducible global shuffle of
+    * the corpus into `numShards` training shards. The shard is the
+    * first 32 md5 bits of `"seed:id"` mod `numShards`; the position
+    * is the rank of that same hash within the shard (ties broken by
+    * id) — a pure function of (seed, id), so re-runs, re-partitioning
+    * and other engines produce the same shards in the same order, and
+    * changing the seed is a fresh epoch-level reshuffle.
+    *
+    * One shuffle on the shard id; each shard ranks on one reducer, so
+    * pick `numShards` to make a shard file-sized (thousands of shards
+    * at corpus scale) — which is exactly the layout written out as
+    * one output file per shard. */
+  def shardAssign(
+      df: DataFrame,
+      idCol: String,
+      numShards: Int,
+      seed: String): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val h = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("shard",
+        pmod(conv(substring(col("__h"), 1, 8), 16, 10).cast("long"),
+          lit(numShards.toLong)).cast("int"))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
+
   /** Stratified deterministic sample: each stratum keeps its own
     * fraction (e.g. per-language quotas when balancing a multilingual
     * corpus); strata not listed keep `defaultFraction`. */

@@ -85,6 +85,68 @@ class PipelineOpsSpec extends AnyFunSuite {
       again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("mixtureByTemperature flattens toward the smallest source") {
+    val natural = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nmin = natural.values.min
+    val smallest = natural.minBy(_._2)._1
+
+    // alpha = 1: the natural mix, untouched.
+    assert(Sampling.mixtureByTemperature(docs, "source", "doc_id", 1.0)
+      .count() == docs.count())
+
+    // alpha = 0: every source equalizes toward n_min; the smallest
+    // keeps everything (fraction exactly 1).
+    val flat = Sampling.mixtureByTemperature(docs, "source", "doc_id", 0.0)
+    val flatCounts = flat.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(flatCounts(smallest) == nmin)
+    flatCounts.foreach { case (src, n) =>
+      val expect = nmin.toDouble
+      assert(math.abs(n - expect) <= 6 * math.sqrt(expect) + 1,
+        s"$src kept $n, expected ~$expect of ${natural(src)}")
+    }
+
+    // alpha ordering: hotter (smaller alpha) never keeps more.
+    val half = Sampling.mixtureByTemperature(docs, "source", "doc_id", 0.5)
+    val halfCounts = half.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    halfCounts.foreach { case (src, n) =>
+      assert(n >= flatCounts.getOrElse(src, 0L) && n <= natural(src))
+    }
+
+    // kept set is a pure function of ids: partitioning-independent
+    val again = Sampling.mixtureByTemperature(
+      docs.repartition(13), "source", "doc_id", 0.5)
+    assert(half.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("shardAssign is a deterministic permutation into dense shards") {
+    val n = docs.count()
+    val sharded = Sampling.shardAssign(docs, "doc_id", 8, "epoch1")
+    val rows = sharded.select("doc_id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.length == n)
+    assert(rows.forall { case (_, s, _) => s >= 0 && s < 8 })
+    // positions within a shard are exactly 1..count — no gaps, no ties
+    rows.groupBy(_._2).foreach { case (s, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq,
+        s"shard $s positions not dense")
+    }
+    // reruns and repartitionings reproduce the identical assignment
+    val again = Sampling.shardAssign(docs.repartition(13), "doc_id", 8,
+      "epoch1").select("doc_id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // a new seed is a genuinely different shuffle
+    val other = Sampling.shardAssign(docs, "doc_id", 8, "epoch2")
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val moved = rows.count { case (id, s, _) => other(id) != s }
+    assert(moved > n / 2, s"only $moved of $n docs moved shard on reseed")
+  }
+
   // ---- vec_dot custom expression ----
 
   test("vec_dot matches the higher-order-function fold bit-for-bit") {

@@ -34,6 +34,20 @@ class PlanSpec extends AnyFunSuite {
       s"expected a partial WindowGroupLimit, got:\n$plan")
   }
 
+  test("mixture sampling broadcasts counts; the corpus never shuffles") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.operators.Sampling.mixtureByTemperature(
+      docs, "lang", "doc_id", 0.5)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-source counts must broadcast onto the corpus:\n$plan")
+    // Only the tiny count aggregate may exchange — the corpus rows
+    // flow scan -> broadcast join -> filter with no shuffle.
+    assert(!plan.contains("Exchange hashpartitioning(doc_id"),
+      s"corpus rows must not shuffle:\n$plan")
+  }
+
   test("heavy-hitter recount broadcasts the candidate set") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val df = graft.operators.Frequency.heavyHitters(
