@@ -56,6 +56,24 @@ class MaintenanceFuzzSpec extends AnyFunSuite {
       }
     }
 
+    // After a retained op, the change feed from the just-archived
+    // generation must equal the model diff exactly (and be empty for
+    // a pure rewrite like compaction).
+    def checkFeed(before: Map[Long, String], step: String): Unit = {
+      val v = Maintenance.versions(spark, dir).max
+      val feed = Maintenance.changes(spark, dir, v)
+        .select("k", "payload", "change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      val after = model.toMap
+      val want =
+        before.toSet.diff(after.toSet)
+          .map { case (k, p) => (k, p, "delete") } ++
+        after.toSet.diff(before.toSet)
+          .map { case (k, p) => (k, p, "insert") }
+      assert(feed == want,
+        s"$step: feed diff; extra=${feed.diff(want)} missing=${want.diff(feed)}")
+    }
+
     (0 until 18).foreach { step =>
       val op = rnd.nextInt(10)
       val label =
@@ -67,9 +85,12 @@ class MaintenanceFuzzSpec extends AnyFunSuite {
             nextFresh += 1; nextFresh
           }
           val keys = upd ++ fresh
+          val retain = rnd.nextBoolean()
+          val before = model.toMap
           keys.foreach(k => model(k) = s"u$step-$k")
           Maintenance.upsert(spark, dir, rowsOf(keys, s"u$step"),
-            retain = rnd.nextBoolean())
+            retain = retain)
+          if (retain) checkFeed(before, s"upsert-feed($step)")
           s"upsert($step, ${keys.length} keys)"
         } else if (op < 6) { // delete a random range
           // keep the dataset comfortably non-empty: upsert requires
@@ -79,18 +100,26 @@ class MaintenanceFuzzSpec extends AnyFunSuite {
           else {
             val a = keys(rnd.nextInt(keys.length))
             val b = a + 1 + rnd.nextInt(200)
+            val retain = rnd.nextBoolean()
+            val before = model.toMap
             model.rangeImpl(Some(a), Some(b)).keys.toVector
               .foreach(model.remove)
             Maintenance.deleteRange(spark, dir,
               lb = Vector(Some(a)), ub = Vector(Some(b)),
-              inclusive = "lower", retain = rnd.nextBoolean())
+              inclusive = "lower", retain = retain)
+            if (retain) checkFeed(before, s"delete-feed($step)")
             s"delete($step, [$a,$b))"
           }
         } else if (op < 8) { // compact (rows or bytes)
+          val retain = rnd.nextBoolean()
           if (rnd.nextBoolean())
-            Maintenance.compact(spark, dir, 150L + rnd.nextInt(400))
+            Maintenance.compact(spark, dir, 150L + rnd.nextInt(400),
+              retain = retain)
           else
-            Maintenance.compactBytes(spark, dir, 4096L * (1 + rnd.nextInt(8)))
+            Maintenance.compactBytes(spark, dir, 4096L * (1 + rnd.nextInt(8)),
+              retain = retain)
+          // a compaction changes no rows: the feed must be empty
+          if (retain) checkFeed(model.toMap, s"compact-feed($step)")
           s"compact($step)"
         } else if (op == 8) { // append beyond the current max key
           val base = (model.keys.lastOption.getOrElse(0L) + 1).max(nextFresh)
