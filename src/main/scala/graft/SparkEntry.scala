@@ -682,6 +682,26 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    // scalar subquery (avg quantity per part) decorrelates into a
+    // per-part aggregate joined back. The brand filter broadcasts
+    // onto lineitem FIRST, so both the aggregate and the probe side
+    // scan only the brand's rows — never all of lineitem twice.
+    // l_quantity is integral, so the avg is an exact integer/count
+    // division and the 20% threshold is bit-identical across engines.
+    "q_tpch_q17" -> ((s, d) => {
+      val p = scan(s, d, "part").toDF
+        .filter(col("p_brand") === "Brand#13").select("p_partkey")
+      val l = scan(s, d, "lineitem").toDF
+      val lp = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val lim = lp.groupBy("p_partkey")
+        .agg((avg("l_quantity") * 0.2).as("lim"))
+        .withColumnRenamed("p_partkey", "lim_partkey")
+      lp.join(broadcast(lim), col("p_partkey") === col("lim_partkey"))
+        .filter(col("l_quantity") < col("lim"))
+        .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
+    }),
+
     "q_tpch_q3" -> ((s, d) => {
       val c = scan(s, d, "customer").toDF.filter(col("c_mktsegment") === "BUILDING")
       val o = scan(s, d, "orders").toDF
@@ -1498,6 +1518,13 @@ object SparkEntry {
            GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
            ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
            LIMIT 100""",
+      "q_tpch_q17" ->
+        """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+           FROM lineitem JOIN part ON p_partkey = l_partkey
+           WHERE p_brand = 'Brand#13'
+             AND l_quantity < (
+               SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+               WHERE l2.l_partkey = p_partkey)""",
       "q_tpch_q3" ->
         """SELECT o_orderkey,
                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

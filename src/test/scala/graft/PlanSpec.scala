@@ -70,6 +70,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_"), "expected a partial aggregate")
   }
 
+  test("TPC-H Q17 broadcasts the brand part list and the per-part limits") {
+    val df = SparkEntry.queries("q_tpch_q17")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // The brand's part keys and the per-part 20%-of-avg limits are
+    // both tiny: they broadcast onto lineitem, which never shuffles.
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"expected brand filter + limits to broadcast:\n$plan")
+    assert(plan.contains("partial_avg"), "expected map-side partial avg")
+  }
+
   test("TPC-H Q18 semi-filters the spine, broadcasts it, and top-Ks") {
     val df = SparkEntry.queries("q_tpch_q18")(spark, sf)
     df.collect()
