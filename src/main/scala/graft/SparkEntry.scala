@@ -281,6 +281,30 @@ object SparkEntry {
       PDataset.scanParquet(s, dir).toDF.orderBy("o_orderkey")
     }),
 
+    // Point-delete by key: scattered erasure keys rewrite only the
+    // files they route to (emptied files drop from the sidecar).
+    "q_delete_keys" -> ((s, d) => {
+      val dir = mutableCopy("ordkey20", d)(ordersByKey20(s, d))
+      val keys = s.read.parquet(T(d, "orders"))
+        .filter(col("o_orderkey") % 401 === 0).select("o_orderkey")
+      graft.operators.Maintenance.deleteKeys(s, dir, keys)
+      PDataset.scanParquet(s, dir).toDF.orderBy("o_orderkey")
+    }),
+
+    // CDC-apply in one commit: replace/insert + point-delete with a
+    // single sidecar swap (each affected partition rewritten once).
+    "q_merge" -> ((s, d) => {
+      val dir = mutableCopy("ordkey20", d)(ordersByKey20(s, d))
+      val orders = s.read.parquet(T(d, "orders"))
+      val upd = orders.filter(col("o_orderkey") % 701 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val dels = orders
+        .filter(col("o_orderkey") % 997 === 0 && col("o_orderkey") =!= 0)
+        .select("o_orderkey")
+      graft.operators.Maintenance.merge(s, dir, upd, dels)
+      PDataset.scanParquet(s, dir).toDF.orderBy("o_orderkey")
+    }),
+
     "q_upsert" -> ((s, d) => {
       val dir = mutableCopy("ordkey20", d)(ordersByKey20(s, d))
       val orders = s.read.parquet(T(d, "orders"))
@@ -1296,6 +1320,17 @@ object SparkEntry {
       "q_delete_range" ->
         """SELECT * FROM orders
            WHERE NOT (o_orderkey >= 1000 AND o_orderkey < 5000)
+           ORDER BY o_orderkey""",
+      "q_delete_keys" ->
+        """SELECT * FROM orders WHERE o_orderkey % 401 <> 0
+           ORDER BY o_orderkey""",
+      "q_merge" ->
+        """SELECT o_orderkey, o_custkey, o_orderstatus,
+                  CASE WHEN o_orderkey % 701 = 0 THEN o_totalprice * 2
+                       ELSE o_totalprice END AS o_totalprice,
+                  o_orderdate, o_orderpriority
+           FROM orders
+           WHERE o_orderkey % 997 <> 0 OR o_orderkey = 0
            ORDER BY o_orderkey""",
       "q_upsert" ->
         """WITH upd AS (

@@ -731,7 +731,47 @@ object Maintenance {
       spark: SparkSession,
       dir: String,
       updates: DataFrame,
-      retain: Boolean = false): Report = {
+      retain: Boolean = false): Report =
+    mergeImpl(spark, dir, Some(updates), None, retain)
+
+  /** Point-delete by exact index-tuple key: every stored row whose
+    * key appears in `keys` (a frame carrying at least the index
+    * columns) is removed; only the partitions those keys route to
+    * are rewritten, and a partition emptied by the delete is dropped
+    * from the sidecar. The targeted-erasure complement of
+    * [[deleteRange]]: scattered keys (a GDPR erasure list, a
+    * revoked-license id set) rewrite one file per hit instead of a
+    * covering range. Keys must be non-null; keys matching nothing
+    * still force their routed partition's (content-identical)
+    * rewrite. */
+  def deleteKeys(
+      spark: SparkSession,
+      dir: String,
+      keys: DataFrame,
+      retain: Boolean = false): Report =
+    mergeImpl(spark, dir, None, Some(keys), retain)
+
+  /** [[upsert]] and [[deleteKeys]] in ONE commit — the CDC-apply
+    * primitive: replace/insert `updates`, remove `deletes`, swap the
+    * sidecar once. A key may not appear in both. The combined op
+    * reads and rewrites each affected partition once even when a
+    * partition receives updates AND deletes, and downstream readers
+    * never observe the half-applied state two separate commits would
+    * expose. */
+  def merge(
+      spark: SparkSession,
+      dir: String,
+      updates: DataFrame,
+      deletes: DataFrame,
+      retain: Boolean = false): Report =
+    mergeImpl(spark, dir, Some(updates), Some(deletes), retain)
+
+  private def mergeImpl(
+      spark: SparkSession,
+      dir: String,
+      updatesOpt: Option[DataFrame],
+      deletesOpt: Option[DataFrame],
+      retain: Boolean): Report = {
     val m = Sidecar.load(spark, dir)
     // Fingerprint immediately after load: every Spark job below gives
     // a concurrent writer time to commit, and the guard before the
@@ -739,57 +779,95 @@ object Maintenance {
     val (fs, dirPath) = GraftFs.resolve(spark, dir)
     val loadedFp = metaFingerprint(spark, dirPath)
     require(m.indexColumns.nonEmpty,
-      "upsert needs index columns; write the dataset reindexed first")
-    require(m.files.nonEmpty, "cannot upsert into an empty dataset")
+      "keyed maintenance needs index columns; write the dataset " +
+        "reindexed first")
+    require(m.files.nonEmpty, "cannot merge into an empty dataset")
     val keyCols = m.indexColumns.toSeq
     val dataCols = m.schema.fieldNames.toSeq
-    require(dataCols.forall(c => updates.columns.contains(c)),
-      s"updates must carry every dataset column ${dataCols.mkString(", ")}")
+    updatesOpt.foreach(u =>
+      require(dataCols.forall(c => u.columns.contains(c)),
+        s"updates must carry every dataset column ${dataCols.mkString(", ")}"))
+    deletesOpt.foreach(dk =>
+      require(keyCols.forall(c => dk.columns.contains(c)),
+        s"delete keys must carry the index columns ${keyCols.mkString(", ")}"))
     (0 until m.files.length - 1).foreach { i =>
       require(Lex.lexCmp(m.upperBounds(i), m.lowerBounds(i + 1)) < 0,
-        "upsert requires sorted, disjoint partition bounds " +
+        "keyed maintenance requires sorted, disjoint partition bounds " +
           s"(violated between partitions $i and ${i + 1}); repartition first")
     }
 
-    // Persisted: the updates plan is evaluated by the validation
+    // Persisted: each input plan is evaluated by the validation
     // aggregate, the routing distinct AND the final scatter —
     // caching pins one evaluation (and one result for
     // non-deterministic inputs like samples).
-    val upd = updates.select(dataCols.map(col): _*).persist()
-    try upsertPersisted(spark, dir, m, upd, retain, fs, dirPath, loadedFp)
-    finally { upd.unpersist(); () }
+    val upd = updatesOpt.map(_.select(dataCols.map(col): _*).persist())
+    val del = deletesOpt.map(_.select(keyCols.map(col): _*).persist())
+    try mergePersisted(spark, dir, m, upd, del, retain, fs, dirPath, loadedFp)
+    finally { upd.foreach(_.unpersist()); del.foreach(_.unpersist()); () }
   }
 
-  private def upsertPersisted(
+  private def mergePersisted(
       spark: SparkSession,
       dir: String,
       m: Sidecar.Meta,
-      upd: DataFrame,
+      updOpt: Option[DataFrame],
+      delOpt: Option[DataFrame],
       retain: Boolean,
       fs: org.apache.hadoop.fs.FileSystem,
       dirPath: HPath,
       loadedFp: (Long, Long)): Report = {
     val keyCols = m.indexColumns.toSeq
-    // One validation pass: unique, non-null keys (n checked first —
-    // the null-count aggregate is NULL over zero rows).
-    val v = upd.agg(
-      count(lit(1)).as("n"),
-      count_distinct(struct(keyCols.map(col): _*)).as("d"),
-      sum(when(keyCols.map(col(_).isNull).reduce(_ || _), 1L)
-        .otherwise(0L)).as("nulls")).head()
-    if (v.getLong(0) == 0L)
+    val dataCols = m.schema.fieldNames.toSeq
+    val keyIsNull = keyCols.map(col(_).isNull).reduce(_ || _)
+    // One validation pass per input: unique, non-null update keys;
+    // non-null delete keys (duplicates are harmless — deleting twice
+    // is deleting once). n is checked first — the null-count
+    // aggregate is NULL over zero rows.
+    val nUpd = updOpt.map { upd =>
+      val v = upd.agg(
+        count(lit(1)).as("n"),
+        count_distinct(struct(keyCols.map(col): _*)).as("d"),
+        sum(when(keyIsNull, 1L).otherwise(0L)).as("nulls")).head()
+      if (v.getLong(0) > 0L) {
+        require(v.getLong(2) == 0L, "update keys must be non-null")
+        require(v.getLong(0) == v.getLong(1),
+          s"update keys must be unique (${v.getLong(0)} rows, " +
+            s"${v.getLong(1)} distinct keys)")
+      }
+      v.getLong(0)
+    }.getOrElse(0L)
+    val nDel = delOpt.map { dk =>
+      val v = dk.agg(count(lit(1)).as("n"),
+        sum(when(keyIsNull, 1L).otherwise(0L)).as("nulls")).head()
+      if (v.getLong(0) > 0L)
+        require(v.getLong(1) == 0L, "delete keys must be non-null")
+      v.getLong(0)
+    }.getOrElse(0L)
+    if (nUpd == 0L && nDel == 0L)
       return Report(0, 0, 0, 0, m.files.length)
-    require(v.getLong(2) == 0L, "update keys must be non-null")
-    require(v.getLong(0) == v.getLong(1),
-      s"update keys must be unique (${v.getLong(0)} rows, " +
-        s"${v.getLong(1)} distinct keys)")
+    if (nUpd > 0L && nDel > 0L)
+      require(updOpt.get.join(delOpt.get, keyCols, "left_semi").count() == 0L,
+        "a key may not appear in both updates and deletes")
 
-    // Route each update to its partition: first lower bound the key
-    // is lex-below, over the interior cut points (= partition lower
-    // bounds past the first) — O(log n) per row, codegen.
-    val routed = upd.withColumn("__part",
+    // Route each input row to its partition: first lower bound the
+    // key is lex-below, over the interior cut points (= partition
+    // lower bounds past the first) — O(log n) per row, codegen.
+    // Update rows carry __op = 1, delete markers __op = 2 (data
+    // columns null-filled so the union lines up), old rows __op = 0.
+    def route(df: DataFrame): DataFrame = df.withColumn("__part",
       DivisionRouter.route(keyCols.map(col), m.lowerBounds.drop(1)))
-    val affected = routed.select("__part").distinct()
+    val updRouted = updOpt.filter(_ => nUpd > 0)
+      .map(u => route(u).withColumn("__op", lit(1)))
+    val delRouted = delOpt.filter(_ => nDel > 0)
+      .map { dk =>
+        val filled = dk.select(dataCols.map { c =>
+          if (keyCols.contains(c)) col(c)
+          else lit(null).cast(m.schema(c).dataType).as(c)
+        }: _*)
+        route(filled).withColumn("__op", lit(2))
+      }
+    val incoming = (updRouted.toSeq ++ delRouted.toSeq).reduce(_ unionByName _)
+    val affected = incoming.select("__part").distinct()
       .collect().map(_.getInt(0)).sorted
     val affectedSet = affected.toSet
     def pathOf(p: Int): String = new HPath(dirPath, m.files(p)).toString
@@ -804,17 +882,15 @@ object Maintenance {
       .parquet(affected.map(pathOf).toIndexedSeq: _*)
       .withColumn("__part", FileOrdinalExpr.ordinal(input_file_name(), partOf))
 
-    // Updates win per key: a stored row is dropped iff its key has an
-    // update (ALL duplicates of a matched key are replaced by the one
-    // update row). One shuffle by key, then the scatter shuffle by
-    // partition; rewritten partitions come out index-sorted.
-    val both = old.withColumn("__isupd", lit(0))
-      .unionByName(routed.withColumn("__isupd", lit(1)))
+    // Per key (one window shuffle): an update replaces ALL stored
+    // duplicates of its key, a delete marker removes them, untouched
+    // keys pass through; markers themselves never land.
+    val both = old.withColumn("__op", lit(0)).unionByName(incoming)
     val w = Window.partitionBy(keyCols.map(col): _*)
     val resolved = both
-      .withColumn("__hasupd", max(col("__isupd")).over(w))
-      .filter(col("__isupd") === 1 || col("__hasupd") === 0)
-      .drop("__isupd", "__hasupd")
+      .withColumn("__max", max(col("__op")).over(w))
+      .filter(col("__op") === 1 || (col("__op") === 0 && col("__max") === 0))
+      .drop("__op", "__max")
 
     val stage = GraftFs.mkStageDir(fs,
       Option(dirPath.getParent).getOrElse(dirPath), ".graft-upsert-")
@@ -823,20 +899,31 @@ object Maintenance {
         dirPath, stage, i => newNameOf(i),
         orderCols = keyCols, dropOrderCols = false)
       finally GraftFs.deleteRecursive(fs, stage)
-    require(written.map(_._1).toSet == affectedSet,
+    val writtenSet = written.map(_._1).toSet
+    require(writtenSet.subsetOf(affectedSet),
+      s"merge scatter wrote unexpected partitions ${writtenSet -- affectedSet}")
+    // A partition every row of which was deleted writes nothing and
+    // drops from the sidecar (possible only when deletes are present).
+    require(nDel > 0 || writtenSet == affectedSet,
       s"upsert scatter wrote ${written.length} partitions, " +
         s"expected ${affected.length}")
+    val droppedPos = affected.filterNot(writtenSet)
 
     // Exact stats for just the rewritten files (one job).
-    val statsByPath = Stats.forFiles(spark,
-      affected.map(p => new HPath(dirPath, newNameOf(p)).toString).toIndexedSeq,
-      m.indexColumns, Some(m.schema))
-    val entries = m.files.indices.map { p =>
-      if (affectedSet(p)) {
+    val statsByPath =
+      if (writtenSet.isEmpty) Map.empty[String, Stats.PartStats]
+      else Stats.forFiles(spark,
+        affected.filter(writtenSet)
+          .map(p => new HPath(dirPath, newNameOf(p)).toString).toIndexedSeq,
+        m.indexColumns, Some(m.schema))
+    val entries = m.files.indices.flatMap { p =>
+      if (!affectedSet(p))
+        Some((m.files(p), m.sizes(p), m.lowerBounds(p), m.upperBounds(p)))
+      else if (writtenSet(p)) {
         val st = statsByPath(Stats.normalizePath(
           new HPath(dirPath, newNameOf(p)).toString))
-        (newNameOf(p), st.size, st.lb, st.ub)
-      } else (m.files(p), m.sizes(p), m.lowerBounds(p), m.upperBounds(p))
+        Some((newNameOf(p), st.size, st.lb, st.ub))
+      } else None
     }
     guardUnchanged(spark, dirPath, loadedFp)
     if (retain) archiveCurrent(spark, fs, dirPath)
@@ -846,8 +933,8 @@ object Maintenance {
     if (!retain)
       affected.foreach(p => fs.delete(new HPath(dirPath, m.files(p)), false))
     refreshBloom(spark, dir)
-    Report(rewritten = affected.length, dropped = 0, merged = 0,
-      created = affected.length,
+    Report(rewritten = written.length, dropped = droppedPos.length,
+      merged = 0, created = written.length,
       untouched = m.files.length - affected.length)
   }
 }

@@ -74,9 +74,39 @@ class MaintenanceFuzzSpec extends AnyFunSuite {
         s"$step: feed diff; extra=${feed.diff(want)} missing=${want.diff(feed)}")
     }
 
-    (0 until 18).foreach { step =>
-      val op = rnd.nextInt(10)
+    (0 until 22).foreach { step =>
+      val op = rnd.nextInt(12)
       val label =
+        if (op == 10) { // point-delete scattered keys
+          val keys = model.keys.toVector
+          if (keys.length < 300) "skip"
+          else {
+            val picked = Seq.fill(1 + rnd.nextInt(20))(
+              keys(rnd.nextInt(keys.length))).distinct
+            val retain = rnd.nextBoolean()
+            val before = model.toMap
+            picked.foreach(model.remove)
+            Maintenance.deleteKeys(spark, dir, picked.toDF("k"),
+              retain = retain)
+            if (retain) checkFeed(before, s"delkeys-feed($step)")
+            s"delkeys($step, ${picked.length} keys)"
+          }
+        } else if (op == 11) { // combined merge: updates + deletes
+          val keys = model.keys.toVector
+          if (keys.length < 300) "skip"
+          else {
+            val shuffled = rnd.shuffle(keys).take(25)
+            val (updK, delK) = shuffled.splitAt(10 + rnd.nextInt(10))
+            val retain = rnd.nextBoolean()
+            val before = model.toMap
+            updK.foreach(k => model(k) = s"m$step-$k")
+            delK.foreach(model.remove)
+            Maintenance.merge(spark, dir, rowsOf(updK, s"m$step"),
+              delK.toDF("k"), retain = retain)
+            if (retain) checkFeed(before, s"merge-feed($step)")
+            s"merge($step, ${updK.length}u/${delK.length}d)"
+          }
+        } else
         if (op < 3) { // upsert: mix of existing and fresh keys
           val existing = model.keys.toVector
           val upd = Seq.fill(1 + rnd.nextInt(30))(

@@ -599,6 +599,75 @@ class MaintenanceSpec extends AnyFunSuite {
     assertSameRows(PDataset.scanParquet(spark, dir).toDF, keyedDF(0, 300))
   }
 
+  test("deleteKeys removes scattered keys, dropping emptied partitions") {
+    val dir = tempDir("maint-delkeys") + "/ds"
+    writeKeyed(dir, 500, 100) // 5 files
+    val before = fileState(dir)
+    // scattered keys in files 0 and 2, plus ALL of file 4's keys
+    val keys = (Seq(7L, 13L, 205L) ++ (400L until 500L))
+      .toDF("k")
+    val report = Maintenance.deleteKeys(spark, dir, keys)
+    assert(report.rewritten == 2, report.toString) // files 0 and 2
+    assert(report.dropped == 1, report.toString) // file 4 emptied
+    assert(report.untouched == 2, report.toString)
+    val after = PDataset.scanParquet(spark, dir)
+    assert(after.npartitions == 4)
+    checkBoundsAndSizes(after)
+    assert(after.isDisjoint)
+    val want = keyedDF(0, 500)
+      .filter(!col("k").isin(7L, 13L) && col("k") =!= 205L &&
+        col("k") < 400L)
+    assertSameRows(after.toDF, want)
+    // untouched files byte-identical on disk
+    val kept = fileState(dir)
+    before.filter { case (f, _) => kept.contains(f) }.foreach {
+      case (f, mtime) => assert(kept(f) == mtime, s"$f was rewritten")
+    }
+  }
+
+  test("deleteKeys of absent keys leaves content unchanged") {
+    val dir = tempDir("maint-delkeys-miss") + "/ds"
+    writeKeyed(dir, 200, 100)
+    val report = Maintenance.deleteKeys(spark, dir,
+      Seq(5000L, 6000L).toDF("k"))
+    // absent keys still route somewhere: content-identical rewrite
+    assert(report.dropped == 0)
+    assertSameRows(PDataset.scanParquet(spark, dir).toDF, keyedDF(0, 200))
+    // and an empty key frame is a no-op entirely
+    val r2 = Maintenance.deleteKeys(spark, dir,
+      Seq.empty[Long].toDF("k"))
+    assert(r2.rewritten == 0 && r2.untouched == 2)
+  }
+
+  test("merge applies updates and deletes in one commit") {
+    val dir = tempDir("maint-merge") + "/ds"
+    writeKeyed(dir, 300, 100)
+    val upd = keyedDF(50, 1).withColumn("payload", lit("UP"))
+      .unionByName(keyedDF(900, 1).withColumn("payload", lit("INS")))
+    val dels = Seq(51L, 250L).toDF("k")
+    // overlapping key rejected loudly
+    assertThrows[IllegalArgumentException] {
+      Maintenance.merge(spark, dir, upd, Seq(50L).toDF("k"))
+    }
+    val report = Maintenance.merge(spark, dir, upd, dels, retain = true)
+    // file 0 gets updates AND a delete in its single rewrite; file 2
+    // gets a delete and the appended insert routes there too.
+    assert(report.rewritten == 2, report.toString)
+    val got = PDataset.scanParquet(spark, dir).toDF
+      .select("k", "payload").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(50L) == "UP" && got(900L) == "INS")
+    assert(!got.contains(51L) && !got.contains(250L))
+    assert(got.size == 300 - 2 + 1)
+    // the change feed of the merge is exactly its row-level effect
+    val v = Maintenance.versions(spark, dir).max
+    val feed = Maintenance.changes(spark, dir, v)
+      .select("k", "change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed == Set(50L -> "delete", 50L -> "insert",
+      51L -> "delete", 250L -> "delete", 900L -> "insert"))
+  }
+
   test("changes feeds the row-level delta, reading only delta files") {
     val dir = tempDir("maint-changes") + "/ds"
     writeKeyed(dir, 600, 100) // 6 files of consecutive 100-key ranges
