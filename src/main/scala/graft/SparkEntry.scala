@@ -365,6 +365,40 @@ object SparkEntry {
         .orderBy("o_orderkey", "change_type")
     }),
 
+    // Incrementally-maintained aggregate view: build once, mutate the
+    // source with retained ops, refresh off the change feed (O(view +
+    // delta), the source is never rescanned), read the view. The
+    // measure column is integral-valued so incremental double sums
+    // are exact and the plain GROUP BY oracle matches bit-for-bit.
+    "q_incremental_view" -> ((s, d) => {
+      val dir = mutableCopy("ordqty20", d) { out =>
+        val df = s.read.parquet(T(d, "orders"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_orderkey") % 50).cast("double").as("o_qty"))
+        val ds = PDataset.fromDataFrame(df, Seq("o_orderkey"))
+        ds.repartition(math.max(50L, ds.sizes.get.sum / 20))
+          .writeParquet(out)
+      }
+      val viewDir = dir + "_view"
+      graft.operators.IncrementalAgg.build(
+        s, dir, viewDir, Seq("o_custkey"), Seq("o_qty"))
+      val orders = s.read.parquet(T(d, "orders"))
+      val upd = orders.filter(col("o_orderkey") % 701 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_orderkey") % 7).cast("double").as("o_qty"))
+      val ins = orders.filter(col("o_orderkey") % 997 === 0)
+        .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+          col("o_custkey"), lit(3.0).as("o_qty"))
+      graft.operators.Maintenance.upsert(
+        s, dir, upd.unionByName(ins), retain = true)
+      val dels = orders
+        .filter(col("o_orderkey") % 401 === 0 && col("o_orderkey") =!= 0)
+        .select("o_orderkey")
+      graft.operators.Maintenance.deleteKeys(s, dir, dels, retain = true)
+      graft.operators.IncrementalAgg.refresh(s, viewDir)
+      PDataset.scanParquet(s, viewDir).toDF.orderBy("o_custkey")
+    }),
+
     // Per-file Bloom data skipping: orders indexed (hence pruned) on
     // o_orderdate, bloom-built on the NON-index o_custkey; a point
     // lookup on o_custkey plans only the files whose filter fires
@@ -1321,6 +1355,19 @@ object SparkEntry {
         """SELECT * FROM orders
            WHERE NOT (o_orderkey >= 1000 AND o_orderkey < 5000)
            ORDER BY o_orderkey""",
+      "q_incremental_view" ->
+        """WITH src AS (
+             SELECT o_orderkey, o_custkey,
+                    CASE WHEN o_orderkey % 701 = 0
+                         THEN CAST(o_orderkey % 7 AS DOUBLE)
+                         ELSE CAST(o_orderkey % 50 AS DOUBLE) END AS o_qty
+             FROM orders
+             WHERE o_orderkey % 401 <> 0 OR o_orderkey = 0
+             UNION ALL
+             SELECT o_orderkey + 1000000000, o_custkey, 3.0
+             FROM orders WHERE o_orderkey % 997 = 0)
+           SELECT o_custkey, count(*) AS n, sum(o_qty) AS o_qty_sum
+           FROM src GROUP BY o_custkey ORDER BY o_custkey""",
       "q_delete_keys" ->
         """SELECT * FROM orders WHERE o_orderkey % 401 <> 0
            ORDER BY o_orderkey""",

@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{Path => HPath}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{GraftFs, PDataset, TypedJson}
+
+/** Incrementally-maintained aggregate view (count + per-column sums,
+  * grouped on key columns) over a versioned graft dataset — the
+  * materialized-view pattern that makes "per-customer totals over a
+  * 100 TB fact table" a sub-second read and a delta-sized refresh:
+  *
+  *   - [[build]] computes the full aggregate once and persists it as
+  *     a graft dataset indexed on the group columns, recording the
+  *     source generation it summarizes in a `_graft_view.json`
+  *     sidecar.
+  *   - [[refresh]] pulls the change feed ([[Maintenance.changes]])
+  *     from the recorded generation to the source's current state,
+  *     aggregates the delta with signed counts (insert +1 / delete
+  *     -1, sums likewise), and merges it into the view in ONE commit
+  *     via [[Maintenance.merge]] — groups whose count reaches zero
+  *     are point-deleted. Cost is O(view + delta): the source is
+  *     read only through the feed (just the files present in exactly
+  *     one generation), never rescanned.
+  *
+  * Counts and sums re-derive exactly under insert/delete deltas
+  * (avg = sum/count at read time); order-sensitive aggregates (min/
+  * max over deletes) would need a rebuild and are out of scope.
+  * Contract: every source mutation between refreshes must be a
+  * maintenance op run with `retain = true` (otherwise the outgoing
+  * generation is not archived and the feed cannot see it — refresh
+  * fails loudly when the recorded generation is missing), and group
+  * columns must be non-null (they key the view's index).
+  */
+object IncrementalAgg {
+
+  val MetaFile = "_graft_view.json"
+
+  final case class ViewMeta(
+      srcDir: String,
+      groupCols: Seq[String],
+      sumCols: Seq[String],
+      baseVersion: Int,
+      baseMetaHash: String)
+
+  private def sumName(c: String): String = s"${c}_sum"
+
+  private def fullAgg(
+      src: DataFrame, groupCols: Seq[String], sumCols: Seq[String]): DataFrame =
+    src.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sumCols.map(c => sum(col(c)).as(sumName(c))): _*)
+
+  /** The generation number the source's CURRENT state will receive
+    * when the next retained op archives it. */
+  private def nextVersion(spark: SparkSession, srcDir: String): Int =
+    Maintenance.versions(spark, srcDir).lastOption.map(_ + 1).getOrElse(0)
+
+  private def metaPath(spark: SparkSession, viewDir: String): HPath = {
+    val (_, p) = GraftFs.resolve(spark, viewDir)
+    new HPath(p, MetaFile)
+  }
+
+  private def writeMeta(
+      spark: SparkSession, viewDir: String, m: ViewMeta): Unit = {
+    val (fs, _) = GraftFs.resolve(spark, viewDir)
+    GraftFs.writeString(fs, metaPath(spark, viewDir), TypedJson.write(Map(
+      "src" -> m.srcDir, "group" -> m.groupCols.toVector,
+      "sums" -> m.sumCols.toVector, "base" -> m.baseVersion.toLong,
+      "base_meta_md5" -> m.baseMetaHash)))
+  }
+
+  /** The view's recorded spec + source generation. */
+  def viewMeta(spark: SparkSession, viewDir: String): ViewMeta = {
+    val (fs, _) = GraftFs.resolve(spark, viewDir)
+    val o = TypedJson.parse(GraftFs.readString(fs, metaPath(spark, viewDir)))
+      .asInstanceOf[Map[String, Any]]
+    ViewMeta(
+      o("src").toString,
+      o("group").asInstanceOf[Vector[Any]].map(_.toString),
+      o("sums").asInstanceOf[Vector[Any]].map(_.toString),
+      o("base").asInstanceOf[Long].toInt,
+      o("base_meta_md5").toString)
+  }
+
+  /** md5 of the source's CURRENT sidecar metadata — the content
+    * identity the view is bound to. Version numbers alone cannot
+    * detect an unretained mutation (a later retained op would archive
+    * the WRONG content under the expected number); the hash can. */
+  private def srcMetaHash(spark: SparkSession, srcDir: String): String =
+    md5hex(GraftFs.readString(GraftFs.resolve(spark, srcDir)._1,
+      graft.core.Sidecar.metadataPath(srcDir)))
+
+  private def archivedMetaHash(
+      spark: SparkSession, srcDir: String, v: Int): Option[String] = {
+    val (fs, p) = GraftFs.resolve(spark, srcDir)
+    val f = Maintenance.versionFile(p, v)
+    if (GraftFs.isFile(fs, f)) Some(md5hex(GraftFs.readString(fs, f)))
+    else None
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** Full build: aggregate the source once and persist the view as a
+    * graft dataset indexed on `groupCols` (so refreshes route and
+    * rewrite only the partitions whose groups changed). */
+  def build(
+      spark: SparkSession,
+      srcDir: String,
+      viewDir: String,
+      groupCols: Seq[String],
+      sumCols: Seq[String],
+      rowsPerFile: Long = 1 << 20): Unit = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val src = PDataset.scanParquet(spark, srcDir).toDF
+    val agg = fullAgg(src, groupCols, sumCols)
+    PDataset.fromDataFrame(agg, groupCols)
+      .repartition(rowsPerFile)
+      .writeParquet(viewDir)
+    writeMeta(spark, viewDir,
+      ViewMeta(srcDir, groupCols, sumCols, nextVersion(spark, srcDir),
+        srcMetaHash(spark, srcDir)))
+  }
+
+  /** Catch the view up to the source's current generation. Returns
+    * the number of groups touched (updated + deleted); 0 means the
+    * source had no retained changes since the last refresh. */
+  def refresh(spark: SparkSession, viewDir: String): Long = {
+    val m = viewMeta(spark, viewDir)
+    val cur = nextVersion(spark, m.srcDir)
+    def stale(where: String): Nothing = throw new IllegalArgumentException(
+      s"the view's base generation (${m.baseVersion}) $where at " +
+        s"${m.srcDir} — refresh needs every source mutation since the " +
+        "last refresh to run with retain = true (and vacuum to keep " +
+        "the base generation); rebuild the view")
+    if (cur == m.baseVersion) {
+      // No archives since the last sync — which is EITHER an untouched
+      // source (fine) or an unretained mutation (the view would
+      // silently go stale): the content hash tells them apart.
+      if (srcMetaHash(spark, m.srcDir) != m.baseMetaHash)
+        stale("no longer matches the source's current state")
+      return 0L
+    }
+    // The archived generation numbered baseVersion must be the exact
+    // metadata the view summarized — an unretained mutation followed
+    // by a retained op would archive DIFFERENT content under the
+    // expected number.
+    if (!archivedMetaHash(spark, m.srcDir, m.baseVersion)
+        .contains(m.baseMetaHash))
+      stale("is missing or does not match what the view summarized")
+    // Capture the target state's identity BEFORE reading the feed so
+    // a concurrent source commit can't be recorded as synced.
+    val curHash = srcMetaHash(spark, m.srcDir)
+    val groupCols = m.groupCols
+    val sign = when(col("change_type") === "insert", lit(1L))
+      .otherwise(lit(-1L))
+    val feed = Maintenance.changes(spark, m.srcDir, m.baseVersion)
+    val delta = feed.groupBy(groupCols.map(col): _*).agg(
+      sum(sign).as("__dn"),
+      m.sumCols.map(c =>
+        sum(sign.cast("double") * col(c)).as(s"__d_${c}")): _*)
+      .persist()
+    try {
+      val view = PDataset.scanParquet(spark, viewDir).toDF
+      // Existing rows of affected groups only: the view scans once
+      // through a broadcast semi join; untouched groups never move.
+      val affectedOld = view.join(
+        broadcast(delta.select(groupCols.map(col): _*)),
+        groupCols, "left_semi")
+      val merged = affectedOld.join(delta, groupCols.toSeq, "full")
+        .select(
+          groupCols.map(col) ++
+            Seq((coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
+              .as("n")) ++
+            m.sumCols.map(c =>
+              (coalesce(col(sumName(c)), lit(0.0)) +
+                coalesce(col(s"__d_${c}"), lit(0.0))).as(sumName(c))): _*)
+        .persist()
+      try {
+        val updates = merged.filter(col("n") > 0L)
+        val deletes = merged.filter(col("n") === 0L)
+          .select(groupCols.map(col): _*)
+        val touched = merged.count()
+        Maintenance.merge(spark, viewDir, updates, deletes)
+        writeMeta(spark, viewDir,
+          m.copy(baseVersion = cur, baseMetaHash = curHash))
+        touched
+      } finally { merged.unpersist(); () }
+    } finally { delta.unpersist(); () }
+  }
+}

@@ -72,7 +72,7 @@ object Maintenance {
 
   val HistoryDir = "_graft_history"
 
-  private def versionFile(dirPath: HPath, n: Int): HPath =
+  private[operators] def versionFile(dirPath: HPath, n: Int): HPath =
     new HPath(new HPath(dirPath, HistoryDir), f"v$n%010d.json")
 
   /** Archived generation numbers at `dir`, ascending (empty when the
@@ -854,8 +854,11 @@ object Maintenance {
     // lower bounds past the first) — O(log n) per row, codegen.
     // Update rows carry __op = 1, delete markers __op = 2 (data
     // columns null-filled so the union lines up), old rows __op = 0.
+    // A single-partition dataset has no interior cut points — every
+    // key routes to partition 0 (the router requires >= 1 bound).
     def route(df: DataFrame): DataFrame = df.withColumn("__part",
-      DivisionRouter.route(keyCols.map(col), m.lowerBounds.drop(1)))
+      if (m.files.length == 1) lit(0)
+      else DivisionRouter.route(keyCols.map(col), m.lowerBounds.drop(1)))
     val updRouted = updOpt.filter(_ => nUpd > 0)
       .map(u => route(u).withColumn("__op", lit(1)))
     val delRouted = delOpt.filter(_ => nDel > 0)

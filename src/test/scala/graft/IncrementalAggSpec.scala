@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.PDataset
+import graft.operators.{IncrementalAgg, Maintenance}
+import Fixtures._
+
+/** Incrementally-maintained aggregate view: refresh must equal a full
+  * rebuild after any retained source mutation, read only the delta
+  * from the source, and remove groups whose count reaches zero. */
+class IncrementalAggSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** keys lo until lo+n: grp cycles 0..9, qty = k % 13 (integral, so
+    * incremental double sums are exact). */
+  private def srcDF(lo: Long, n: Long, tag: String): DataFrame =
+    spark.range(lo, lo + n).select(
+      col("id").as("k"),
+      (col("id") % 10).as("grp"),
+      (col("id") % 13).cast("double").as("qty"),
+      concat(lit(tag), col("id")).as("payload"))
+
+  private def writeSrc(dir: String, n: Int): Unit = {
+    val parts = (0 until n by 100).map { lo =>
+      PDataset.fromDataFrame(srcDF(lo.toLong,
+        math.min(100, n - lo).toLong, "v"), Seq("k"))
+    }
+    PDataset.concat(parts).writeParquet(dir)
+  }
+
+  private def expect(dir: String): Seq[(Long, Long, Double)] =
+    PDataset.scanParquet(spark, dir).toDF
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum("qty").as("qty_sum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+
+  private def got(viewDir: String): Seq[(Long, Long, Double)] =
+    PDataset.scanParquet(spark, viewDir).toDF
+      .collect().map(r => (r.getAs[Long]("grp"), r.getAs[Long]("n"),
+        r.getAs[Double]("qty_sum")))
+      .sortBy(_._1).toSeq
+
+  test("refresh after retained mutations equals a full rebuild") {
+    val root = tempDir("incragg")
+    val src = root + "/src"
+    val view = root + "/view"
+    writeSrc(src, 600)
+    IncrementalAgg.build(spark, src, view, Seq("grp"), Seq("qty"))
+    assert(got(view) == expect(src))
+
+    // retained upsert: updates + inserts
+    Maintenance.upsert(spark, src,
+      srcDF(250, 3, "u").withColumn("qty", lit(99.0))
+        .unionByName(srcDF(5000, 4, "i")), retain = true)
+    // retained point-delete
+    Maintenance.deleteKeys(spark, src,
+      Seq(10L, 11L, 305L).toDF("k"), retain = true)
+    val touched = IncrementalAgg.refresh(spark, view)
+    assert(touched > 0)
+    assert(got(view) == expect(src))
+
+    // idempotent: a second refresh with no new generations is a no-op
+    assert(IncrementalAgg.refresh(spark, view) == 0L)
+    assert(got(view) == expect(src))
+  }
+
+  test("refresh reads only the source delta, never rescans the source") {
+    val root = tempDir("incragg-io")
+    val src = root + "/src"
+    val view = root + "/view"
+    writeSrc(src, 1000) // 10 files of 100 rows
+    IncrementalAgg.build(spark, src, view, Seq("grp"), Seq("qty"))
+    Maintenance.upsert(spark, src,
+      srcDF(450, 2, "u").withColumn("qty", lit(7.0)), retain = true)
+
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        read.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      IncrementalAgg.refresh(spark, view)
+      Thread.sleep(1500) // listener events post asynchronously
+    } finally spark.sparkContext.removeSparkListener(l)
+    // Feed: one 100-row source file + its replacement. View: 10
+    // groups, re-read across the semi join and the merge rewrite.
+    // A source rescan would add 1000+ rows on its own.
+    assert(read.get < 600,
+      s"refresh read ${read.get} input rows; must be O(view + delta)")
+    assert(got(view) == expect(src))
+  }
+
+  test("groups emptied by deletes are removed from the view") {
+    val root = tempDir("incragg-del")
+    val src = root + "/src"
+    val view = root + "/view"
+    writeSrc(src, 200)
+    IncrementalAgg.build(spark, src, view, Seq("grp"), Seq("qty"))
+    // wipe out every row of grp 3 (keys k % 10 == 3)
+    val keys = (0L until 200L).filter(_ % 10 == 3)
+    Maintenance.deleteKeys(spark, src, keys.toDF("k"), retain = true)
+    IncrementalAgg.refresh(spark, view)
+    val groups = got(view).map(_._1)
+    assert(!groups.contains(3L), s"grp 3 still in view: $groups")
+    assert(got(view) == expect(src))
+  }
+
+  test("refresh fails loudly when the base generation was not retained") {
+    val root = tempDir("incragg-loud")
+    val src = root + "/src"
+    val view = root + "/view"
+    writeSrc(src, 200)
+    IncrementalAgg.build(spark, src, view, Seq("grp"), Seq("qty"))
+    // an UNretained mutation alone: no archive moved, but the source
+    // no longer matches what the view summarized — a silent no-op
+    // refresh would leave the view stale forever
+    Maintenance.upsert(spark, src,
+      srcDF(10, 1, "u").withColumn("qty", lit(1.0)))
+    assertThrows[IllegalArgumentException] {
+      IncrementalAgg.refresh(spark, view)
+    }
+    // a retained op on top archives the WRONG content under the
+    // expected generation number — the content hash still catches it
+    Maintenance.upsert(spark, src,
+      srcDF(20, 1, "u").withColumn("qty", lit(2.0)), retain = true)
+    assertThrows[IllegalArgumentException] {
+      IncrementalAgg.refresh(spark, view)
+    }
+  }
+}
