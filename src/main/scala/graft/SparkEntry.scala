@@ -399,6 +399,30 @@ object SparkEntry {
       PDataset.scanParquet(s, viewDir).toDF.orderBy("o_custkey")
     }),
 
+    // Materialized-view rewrite: with the view registered, this
+    // source aggregate is transparently answered from the view (the
+    // ViewRewriteSpec pins that the plan scans the view, not the
+    // source; here the oracle pins that the answer is still right).
+    "q_view_rewrite" -> ((s, d) => {
+      val src = fixture("ordqtysrc", d) { out =>
+        val df = s.read.parquet(T(d, "orders"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_orderkey") % 50).cast("double").as("o_qty"))
+        val ds = PDataset.fromDataFrame(df, Seq("o_orderkey"))
+        ds.repartition(math.max(50L, ds.sizes.get.sum / 20))
+          .writeParquet(out)
+      }
+      val view = fixture("ordqtyview", d) { out =>
+        graft.operators.IncrementalAgg.build(
+          s, src, out, Seq("o_custkey"), Seq("o_qty"))
+      }
+      graft.plans.ViewRewrite.register(s, view)
+      s.read.format("graft").load(src)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), sum("o_qty").as("o_qty_sum"))
+        .orderBy("o_custkey")
+    }),
+
     // Per-file Bloom data skipping: orders indexed (hence pruned) on
     // o_orderdate, bloom-built on the NON-index o_custkey; a point
     // lookup on o_custkey plans only the files whose filter fires
@@ -1355,6 +1379,10 @@ object SparkEntry {
         """SELECT * FROM orders
            WHERE NOT (o_orderkey >= 1000 AND o_orderkey < 5000)
            ORDER BY o_orderkey""",
+      "q_view_rewrite" ->
+        """SELECT o_custkey, count(*) AS n,
+                  sum(CAST(o_orderkey % 50 AS DOUBLE)) AS o_qty_sum
+           FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
       "q_incremental_view" ->
         """WITH src AS (
              SELECT o_orderkey, o_custkey,

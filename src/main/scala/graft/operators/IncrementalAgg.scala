@@ -47,11 +47,15 @@ object IncrementalAgg {
 
   private def sumName(c: String): String = s"${c}_sum"
 
+  // Sums are stored as double regardless of the source column's type:
+  // refresh's signed deltas are double, so the view schema must be
+  // stable across builds and refreshes (integral-valued sums stay
+  // exact in double up to 2^53).
   private def fullAgg(
       src: DataFrame, groupCols: Seq[String], sumCols: Seq[String]): DataFrame =
     src.groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).as("n"),
-      sumCols.map(c => sum(col(c)).as(sumName(c))): _*)
+      sumCols.map(c => sum(col(c).cast("double")).as(sumName(c))): _*)
 
   /** The generation number the source's CURRENT state will receive
     * when the next retained op archives it. */
@@ -84,6 +88,16 @@ object IncrementalAgg {
       o("base").asInstanceOf[Long].toInt,
       o("base_meta_md5").toString)
   }
+
+  /** Whether the view reflects the source's CURRENT state — true iff
+    * the source sidecar's content hash equals the one recorded at the
+    * last build/refresh. The gate [[graft.plans.ViewRewrite]] checks
+    * before substituting the view for a source aggregate. */
+  def isFresh(spark: SparkSession, viewDir: String): Boolean =
+    try {
+      val m = viewMeta(spark, viewDir)
+      srcMetaHash(spark, m.srcDir) == m.baseMetaHash
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   /** md5 of the source's CURRENT sidecar metadata — the content
     * identity the view is bound to. Version numbers alone cannot

@@ -1,0 +1,146 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
+  Cast, Expression, ExprId, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{
+  AggregateExpression, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan,
+  Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+  LogicalRelation}
+
+import graft.core.{Sidecar, Stats}
+import graft.operators.IncrementalAgg
+
+/** Opt-in materialized-view rewrite: an `Aggregate` whose child scans
+  * the view's source dataset (its exact CURRENT file set) and whose
+  * shape the view can answer — grouping on any subset of the view's
+  * group columns, aggregates limited to `count(*)` / `sum(col)` over
+  * the view's sum columns — is rewritten to aggregate the view
+  * instead: `count(*)` becomes `sum(n)`, `sum(col)` becomes
+  * `sum(col_sum)`. A 100 TB fact scan turns into a view-sized read
+  * with identical results.
+  *
+  * Soundness gates, all checked per invocation:
+  *   - the view must be fresh ([[IncrementalAgg.isFresh]] — source
+  *     sidecar content hash equals the one recorded at last refresh);
+  *     a stale view silently declines, it never rewrites wrong.
+  *   - the scanned file set must equal the source's current sidecar
+  *     listing exactly, so a time-travel scan of an OLD generation
+  *     (same directory, different files) is never rewritten.
+  *   - aggregates must be plain (no DISTINCT, no FILTER), and
+  *     `count` must be `count(*)`/`count(1)` — `count(col)` skips
+  *     null measures, which the view does not track.
+  *
+  * Register on a session via [[ViewRewrite.register]] (appends to
+  * `spark.experimental.extraOptimizations`, the user-rule batch that
+  * runs after the main optimizer). The rewrite re-aggregates the view
+  * (one tiny shuffle) even for an exact grouping match — one code
+  * path answers rollups and exact matches alike, and Catalyst's AQE
+  * collapses the small aggregate.
+  */
+class ViewRewrite(spark: SparkSession, val viewDir: String)
+    extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val meta =
+      try Some(IncrementalAgg.viewMeta(spark, viewDir))
+      catch { case scala.util.control.NonFatal(_) => None }
+    meta match {
+      case Some(m) if IncrementalAgg.isFresh(spark, viewDir) =>
+        val srcFiles =
+          try currentFiles(m.srcDir)
+          catch { case scala.util.control.NonFatal(_) => return plan }
+        plan.transformUp {
+          case agg: Aggregate if scansExactly(agg.child, srcFiles) =>
+            rewrite(agg, m).getOrElse(agg)
+        }
+      case _ => plan
+    }
+  }
+
+  /** The source's current file listing, normalized for comparison
+    * with `FileIndex.inputFiles` (which may carry a `file:` scheme). */
+  private def currentFiles(srcDir: String): Set[String] = {
+    val m = Sidecar.load(spark, srcDir)
+    val p = new org.apache.hadoop.fs.Path(srcDir)
+    m.files.map(f =>
+      Stats.normalizePath(new org.apache.hadoop.fs.Path(p, f).toString))
+      .toSet
+  }
+
+  /** The aggregate's child is a bare (or column-pruning-projected)
+    * file scan over EXACTLY the source's current files. */
+  private def scansExactly(p: LogicalPlan, srcFiles: Set[String]): Boolean =
+    p match {
+      case Project(projs, child)
+          if projs.forall(_.isInstanceOf[AttributeReference]) =>
+        scansExactly(child, srcFiles)
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: HadoopFsRelation =>
+            val scanned =
+              fs.location.inputFiles.map(Stats.normalizePath).toSet
+            scanned.nonEmpty && scanned == srcFiles
+          case _ => false
+        }
+      case _ => false
+    }
+
+  private def rewrite(
+      agg: Aggregate, m: IncrementalAgg.ViewMeta): Option[LogicalPlan] = {
+    val groupNames = m.groupCols.toSet
+    val sumNames = m.sumCols.toSet
+    // Grouping: attributes only, each one of the view's group columns.
+    val groupAttrs = agg.groupingExpressions.map {
+      case a: AttributeReference if groupNames(a.name) => a
+      case _ => return None
+    }
+    val viewPlan = graft.core.PDataset.scanParquet(spark, viewDir)
+      .toDF.queryExecution.analyzed
+    val viewAttr = viewPlan.output.map(a => a.name -> a).toMap
+    def viewSum(name: String): Expression =
+      AggregateExpression(Sum(viewAttr(name)), Complete, isDistinct = false)
+    def retyped(e: Expression, want: org.apache.spark.sql.types.DataType) =
+      if (e.dataType == want) e else Cast(e, want)
+
+    val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: AttributeReference if groupNames(a.name) =>
+        Alias(viewAttr(a.name), a.name)(exprId = a.exprId)
+      case al @ Alias(a: AttributeReference, name) if groupNames(a.name) =>
+        Alias(viewAttr(a.name), name)(exprId = al.exprId)
+      case al @ Alias(
+          AggregateExpression(fn, Complete, false, None, _), name) =>
+        fn match {
+          case Count(Seq(Literal(1, _))) =>
+            Alias(retyped(viewSum("n"), al.dataType), name)(exprId = al.exprId)
+          case Sum(a: AttributeReference, _) if sumNames(a.name) =>
+            Alias(retyped(viewSum(s"${a.name}_sum"), al.dataType),
+              name)(exprId = al.exprId)
+          case _ => return None
+        }
+      case _ => return None
+    }
+    Some(Aggregate(groupAttrs.map(a => viewAttr(a.name)), newAggExprs,
+      viewPlan))
+  }
+}
+
+object ViewRewrite {
+
+  /** Make every matching aggregate on this session read `viewDir`
+    * instead of its source (when fresh — see class doc).
+    * Idempotent: registering the same view twice is a no-op. */
+  def register(spark: SparkSession, viewDir: String): Unit = {
+    import org.apache.spark.sql.classic
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    val already = exp.extraOptimizations.exists {
+      case v: ViewRewrite => v.viewDir == viewDir
+      case _ => false
+    }
+    if (!already)
+      exp.extraOptimizations ++= Seq(new ViewRewrite(spark, viewDir))
+  }
+}

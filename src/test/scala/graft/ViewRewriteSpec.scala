@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.PDataset
+import graft.operators.{IncrementalAgg, Maintenance}
+import graft.plans.ViewRewrite
+import Fixtures._
+
+/** Materialized-view rewrite: matching aggregates read the view, the
+  * results stay identical, and every soundness gate (staleness,
+  * time travel, non-rewritable shapes) declines rather than rewrites
+  * wrong. */
+class ViewRewriteSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def srcDF(lo: Long, n: Long): DataFrame =
+    spark.range(lo, lo + n).select(
+      col("id").as("k"),
+      (col("id") % 10).as("grp"),
+      (col("id") % 4).as("bucket"),
+      (col("id") % 13).cast("double").as("qty"))
+
+  private lazy val dirs: (String, String) = {
+    val root = tempDir("view-rewrite")
+    val src = root + "/src"
+    val view = root + "/view"
+    val parts = (0 until 800 by 100).map(lo =>
+      PDataset.fromDataFrame(srcDF(lo.toLong, 100L), Seq("k")))
+    PDataset.concat(parts).writeParquet(src)
+    IncrementalAgg.build(spark, src, view,
+      Seq("grp", "bucket"), Seq("qty"))
+    ViewRewrite.register(spark, view)
+    (src, view)
+  }
+
+  private def scannedFiles(df: DataFrame): Set[String] = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val files = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.toSeq
+    }.flatten.toSet
+    assert(files.nonEmpty, s"no file scans in plan:\n$plan")
+    files
+  }
+
+  test("exact-grouping aggregate reads the view, results identical") {
+    val (src, view) = dirs
+    val q = spark.read.format("graft").load(src)
+      .groupBy("grp", "bucket")
+      .agg(count(lit(1)).as("n_rows"), sum("qty").as("total"))
+    val files = scannedFiles(q)
+    assert(files.nonEmpty && files.forall(_.contains("/view")),
+      s"expected a view-only scan, got:\n${files.mkString("\n")}")
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3))).sortBy(t => (t._1, t._2))
+    val want = srcDF(0, 800).groupBy("grp", "bucket")
+      .agg(count(lit(1)).as("n_rows"), sum("qty").as("total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3))).sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("rollup onto a grouping subset re-aggregates the view") {
+    val (src, view) = dirs
+    val q = spark.read.format("graft").load(src)
+      .groupBy("grp").agg(count(lit(1)).as("n_rows"))
+    assert(scannedFiles(q).forall(_.contains("/view")))
+    val got = q.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L until 10L).map(_ -> 80L).toMap)
+  }
+
+  test("plain parquet reads of the source directory also rewrite") {
+    val (src, _) = dirs
+    val q = spark.read.parquet(src).groupBy("grp")
+      .agg(sum("qty").as("total"))
+    assert(scannedFiles(q).forall(_.contains("/view")))
+    val want = srcDF(0, 800).groupBy("grp").agg(sum("qty").as("total"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      == want)
+  }
+
+  test("shapes the view cannot answer are left alone") {
+    val (src, _) = dirs
+    // count(col) skips nulls; avg/distinct/other groupings untracked
+    val q1 = spark.read.format("graft").load(src)
+      .groupBy("grp").agg(count(col("qty")))
+    assert(scannedFiles(q1).forall(_.contains("/src")))
+    val q2 = spark.read.format("graft").load(src)
+      .groupBy("k").agg(sum("qty"))
+    assert(scannedFiles(q2).forall(_.contains("/src")))
+    val q3 = spark.read.format("graft").load(src)
+      .groupBy("grp").agg(sum_distinct(col("qty")))
+    assert(scannedFiles(q3).forall(_.contains("/src")))
+    // a filtered scan is not the whole source
+    val q4 = spark.read.format("graft").load(src).filter(col("k") < 100)
+      .groupBy("grp").agg(count(lit(1)))
+    assert(scannedFiles(q4).forall(_.contains("/src")))
+  }
+
+  test("stale view declines; refresh restores the rewrite") {
+    val (src, view) = dirs
+    // force dependence on prior fixtures having run
+    spark.read.format("graft").load(src).count()
+    Maintenance.upsert(spark, src,
+      srcDF(100, 1).withColumn("qty", lit(100.0)), retain = true)
+    val q = () => spark.read.format("graft").load(src)
+      .groupBy("grp").agg(sum("qty").as("total"))
+    assert(scannedFiles(q()).forall(_.contains("/src")),
+      "stale view must not be used")
+    // correctness while stale comes from the source
+    val live = q().collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    IncrementalAgg.refresh(spark, view)
+    assert(scannedFiles(q()).forall(_.contains("/view")),
+      "refreshed view must be used again")
+    assert(q().collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      == live)
+  }
+
+  test("time-travel scans of an old generation never rewrite") {
+    val (src, _) = dirs
+    // dirs' source may have been mutated by the staleness test; any
+    // archived generation's file set differs from the current one
+    val versions = Maintenance.versions(spark, src)
+    assume(versions.nonEmpty)
+    val q = spark.read.format("graft")
+      .option("version", versions.head.toString).load(src)
+      .groupBy("grp").agg(count(lit(1)))
+    assert(scannedFiles(q).forall(_.contains("/src")),
+      "an old generation must aggregate its own files")
+  }
+}
