@@ -33,6 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // also installs it lazily via experimental.extraStrategies for
     // sessions built without extensions).
     ext.injectPlannerStrategy(_ => graft.plans.DivisionJoinStrategy)
+    // Metadata-only count(*) over graft relations (also installed
+    // lazily whenever a graft relation is created).
+    ext.injectOptimizerRule(_ => graft.plans.MetadataCount)
   }
 }
 

@@ -96,6 +96,19 @@ object SparkEntry {
     ds.repartition(math.max(50L, ds.sizes.get.sum / 20)).writeParquet(out)
   }
 
+  /** Build-once graft dataset: orders (key, custkey, derived integral
+    * o_qty) indexed on o_orderkey — shared by the view-rewrite and
+    * metadata-count queries. */
+  private def ordQtySrc(s: SparkSession, d: String): String =
+    fixture("ordqtysrc", d) { out =>
+      val df = s.read.parquet(T(d, "orders"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_orderkey") % 50).cast("double").as("o_qty"))
+      val ds = PDataset.fromDataFrame(df, Seq("o_orderkey"))
+      ds.repartition(math.max(50L, ds.sizes.get.sum / 20))
+        .writeParquet(out)
+    }
+
   // ---- shared query fragments ----
 
   /** Deterministic total order: sort by every column. The synthetic
@@ -404,14 +417,7 @@ object SparkEntry {
     // ViewRewriteSpec pins that the plan scans the view, not the
     // source; here the oracle pins that the answer is still right).
     "q_view_rewrite" -> ((s, d) => {
-      val src = fixture("ordqtysrc", d) { out =>
-        val df = s.read.parquet(T(d, "orders"))
-          .select(col("o_orderkey"), col("o_custkey"),
-            (col("o_orderkey") % 50).cast("double").as("o_qty"))
-        val ds = PDataset.fromDataFrame(df, Seq("o_orderkey"))
-        ds.repartition(math.max(50L, ds.sizes.get.sum / 20))
-          .writeParquet(out)
-      }
+      val src = ordQtySrc(s, d)
       val view = fixture("ordqtyview", d) { out =>
         graft.operators.IncrementalAgg.build(
           s, src, out, Seq("o_custkey"), Seq("o_qty"))
@@ -422,6 +428,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("o_qty").as("o_qty_sum"))
         .orderBy("o_custkey")
     }),
+
+    // Metadata-only count(*): answered from sidecar row counts — a
+    // LocalTableScan, zero files read at any table size
+    // (MetadataCountSpec pins the plan; the oracle pins the value).
+    "q_metadata_count" -> ((s, d) =>
+      s.read.format("graft").load(ordQtySrc(s, d))
+        .agg(count(lit(1)).as("n"))),
 
     // Per-file Bloom data skipping: orders indexed (hence pruned) on
     // o_orderdate, bloom-built on the NON-index o_custkey; a point
@@ -1379,6 +1392,7 @@ object SparkEntry {
         """SELECT * FROM orders
            WHERE NOT (o_orderkey >= 1000 AND o_orderkey < 5000)
            ORDER BY o_orderkey""",
+      "q_metadata_count" -> "SELECT count(*) AS n FROM orders",
       "q_view_rewrite" ->
         """SELECT o_custkey, count(*) AS n,
                   sum(CAST(o_orderkey % 50 AS DOUBLE)) AS o_qty_sum

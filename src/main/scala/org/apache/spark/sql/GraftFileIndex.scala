@@ -44,7 +44,11 @@ final class GraftFileIndex(
     ubs: IndexedSeq[Bound],
     independentStats: Boolean = false,
     blooms: Map[String, IndexedSeq[Option[
-      org.apache.spark.util.sketch.BloomFilter]]] = Map.empty)
+      org.apache.spark.util.sketch.BloomFilter]]] = Map.empty,
+    // Exact per-file ROW counts from the sidecar (files are byte
+    // sizes): lets `graft.plans.MetadataCount` answer unfiltered
+    // count(*) without touching a single file.
+    val rowCounts: Option[IndexedSeq[Long]] = None)
     extends FileIndex {
 
   /** Single-column convenience form (scalar bounds on the leading
@@ -391,13 +395,17 @@ object GraftRelations {
   def sidecarRelationFor(
       spark: SparkSession, dir: String,
       m: graft.core.Sidecar.Meta): HadoopFsRelation = {
+    // Creating a graft relation arms the metadata-only count(*) rule
+    // for this session (idempotent, see MetadataCount).
+    graft.plans.MetadataCount.ensureRule(spark)
     val p = new Path(dir)
     val files = m.files.map(f => new Path(p, f).toString).toIndexedSeq
     val withSizes = graft.core.GraftFs.fileSizes(
       spark.sparkContext.hadoopConfiguration, files)
     val index = new GraftFileIndex(
       withSizes, m.indexColumns, m.lowerBounds, m.upperBounds,
-      blooms = graft.core.BloomIndex.forFiles(spark, files))
+      blooms = graft.core.BloomIndex.forFiles(spark, files),
+      rowCounts = Some(m.sizes))
     HadoopFsRelation(
       index,
       partitionSchema = StructType(Nil),
