@@ -152,18 +152,21 @@ object IncrementalAgg {
         s"${m.srcDir} — refresh needs every source mutation since the " +
         "last refresh to run with retain = true (and vacuum to keep " +
         "the base generation); rebuild the view")
-    if (cur == m.baseVersion) {
-      // No archives since the last sync — which is EITHER an untouched
-      // source (fine) or an unretained mutation (the view would
-      // silently go stale): the content hash tells them apart.
-      if (srcMetaHash(spark, m.srcDir) != m.baseMetaHash)
-        stale("no longer matches the source's current state")
+    // Sync detection is HASH-first: generation numbering restarts
+    // when vacuum clears the history, so "already synced" means the
+    // source's current metadata is byte-identical to what the view
+    // last summarized — renumber the recorded base if needed and
+    // no-op. (An unretained mutation changes the hash, so it can
+    // never masquerade as synced.)
+    if (srcMetaHash(spark, m.srcDir) == m.baseMetaHash) {
+      if (cur != m.baseVersion)
+        writeMeta(spark, viewDir, m.copy(baseVersion = cur))
       return 0L
     }
-    // The archived generation numbered baseVersion must be the exact
-    // metadata the view summarized — an unretained mutation followed
-    // by a retained op would archive DIFFERENT content under the
-    // expected number.
+    // Out of sync: the archived generation numbered baseVersion must
+    // be the exact metadata the view summarized — an unretained
+    // mutation followed by a retained op would archive DIFFERENT
+    // content under the expected number.
     if (!archivedMetaHash(spark, m.srcDir, m.baseVersion)
         .contains(m.baseMetaHash))
       stale("is missing or does not match what the view summarized")

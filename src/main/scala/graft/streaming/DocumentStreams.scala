@@ -81,4 +81,40 @@ object DocumentStreams {
       }
       .start()
   }
+
+  /** [[upsertSink]] that also keeps incrementally-maintained
+    * aggregate views ([[graft.operators.IncrementalAgg]]) in sync:
+    * each micro-batch upserts WITH `retain = true` (so the outgoing
+    * generation is archived for the change feed), refreshes every
+    * view off that feed, and — only once every view caught up —
+    * vacuums the per-batch history away. Per-batch cost stays
+    * O(batch + views' delta): the table is never rescanned, the
+    * views never rebuilt. If a refresh fails the history is kept, so
+    * the next batch's refresh still sees the missed generations
+    * instead of the views going silently stale. */
+  def upsertSinkWithViews(
+      docs: DataFrame,
+      targetDir: String,
+      checkpointDir: String,
+      viewDirs: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery = {
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val keys = graft.core.Sidecar.load(spark, targetDir).indexColumns
+        val unique = batch.dropDuplicates(keys.toSeq)
+        if (!unique.isEmpty) {
+          graft.operators.Maintenance.upsert(spark, targetDir,
+            unique.toDF(), retain = true)
+          viewDirs.foreach(v => graft.operators.IncrementalAgg
+            .refresh(spark, v))
+          // every view is synced to the current generation — the
+          // archived intermediates have served their purpose
+          val _ = graft.operators.Maintenance.vacuum(spark, targetDir)
+          ()
+        }
+      }
+      .start()
+  }
 }

@@ -150,6 +150,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(Maintenance.versions(spark, target).isEmpty)
   }
 
+  test("view-maintaining sink keeps the aggregate synced per batch") {
+    import graft.core.PDataset
+    import graft.operators.{IncrementalAgg, Maintenance}
+
+    val root = Files.createTempDirectory("graft-viewsink").toString
+    val target = root + "/ds"
+    val view = root + "/view"
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("double").as("chars"))
+    PDataset.fromDataFrame(base, Seq("doc_id"))
+      .repartition(math.max(1L, base.count() / 5))
+      .writeParquet(target)
+    IncrementalAgg.build(spark, target, view, Seq("lang"), Seq("chars"))
+
+    // Stream: re-langed updates plus fresh ids (integral chars keep
+    // the incremental sums exact against the full-rebuild check).
+    val updates = base.filter(col("doc_id") < 25)
+      .withColumn("lang", lit("xx")).withColumn("chars", lit(640.0))
+    val fresh = base.filter(col("doc_id") < 15)
+      .withColumn("doc_id", col("doc_id") + 9000000L)
+    val streamSrc = Files.createTempDirectory("graft-viewsink-src").toString
+    updates.unionByName(fresh)
+      .coalesce(1).write.mode("overwrite").parquet(streamSrc)
+
+    val checkpoint = Files.createTempDirectory("graft-viewsink-ckpt").toString
+    val stream = spark.readStream.schema(base.schema).parquet(streamSrc)
+    val q = graft.streaming.DocumentStreams
+      .upsertSinkWithViews(stream, target, checkpoint, Seq(view))
+    try q.processAllAvailable()
+    finally q.stop()
+
+    // the view equals a fresh full aggregate of the mutated table
+    val want = PDataset.scanParquet(spark, target).toDF
+      .groupBy("lang").agg(count(lit(1)).as("n"),
+        sum("chars").as("chars_sum"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val got = PDataset.scanParquet(spark, view).toDF
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("n"),
+        r.getAs[Double]("chars_sum"))).sortBy(_._1).toSeq
+    assert(got == want)
+    assert(got.exists(_._1 == "xx"))
+    // per-batch history vacuumed once the views caught up; the view
+    // is fresh so a direct refresh is a no-op
+    assert(Maintenance.versions(spark, target).isEmpty)
+    assert(IncrementalAgg.refresh(spark, view) == 0L)
+  }
+
   test("streaming quality gate matches the batch filter") {
     val q = graft.streaming.DocumentStreams
       .qualityFilter(
