@@ -50,15 +50,35 @@ final class GraftSource extends RelationProvider
     // option("version", n): read an archived generation;
     // option("asOfTimestamp", <epoch millis | ISO-8601 instant>):
     // the generation that was current at that instant (time travel
-    // over retained maintenance history).
-    (parameters.get("version"), parameters.get("asOfTimestamp")) match {
-      case (Some(_), Some(_)) => throw new IllegalArgumentException(
-        "options 'version' and 'asOfTimestamp' are mutually exclusive")
-      case (Some(v), None) => GraftRelations.sidecarRelationFor(spark, path,
-        graft.operators.Maintenance.versionMeta(spark, path, v.toInt))
-      case (None, Some(t)) => GraftRelations.sidecarRelationFor(spark, path,
-        graft.operators.Maintenance.metaAsOf(spark, path, parseTs(t)))
-      case (None, None) => GraftRelations.sidecarRelation(spark, path)
+    // over retained maintenance history);
+    // option("changesFrom", n) [+ option("changesTo", m)]: the
+    // row-level change feed between two retained generations
+    // (insert/delete rows tagged by `change_type`; to = current when
+    // omitted) — Maintenance.changes for plain-SQL users.
+    val exclusive = Seq("version", "asOfTimestamp", "changesFrom")
+      .filter(parameters.contains)
+    if (exclusive.length > 1) throw new IllegalArgumentException(
+      s"options ${exclusive.mkString("'", "', '", "'")} are mutually " +
+        "exclusive")
+    (parameters.get("version"), parameters.get("asOfTimestamp"),
+      parameters.get("changesFrom")) match {
+      case (Some(v), None, None) =>
+        GraftRelations.sidecarRelationFor(spark, path,
+          graft.operators.Maintenance.versionMeta(spark, path, v.toInt))
+      case (None, Some(t), None) =>
+        GraftRelations.sidecarRelationFor(spark, path,
+          graft.operators.Maintenance.metaAsOf(spark, path, parseTs(t)))
+      case (None, None, Some(from)) =>
+        val sqlc = sqlContext
+        val df = graft.operators.Maintenance.changes(spark, path,
+          from.toInt, parameters.get("changesTo").map(_.toInt))
+        new BaseRelation with org.apache.spark.sql.sources.TableScan {
+          override val sqlContext: SQLContext = sqlc
+          override val schema = df.schema
+          override def buildScan(): org.apache.spark.rdd.RDD[
+            org.apache.spark.sql.Row] = df.rdd
+        }
+      case _ => GraftRelations.sidecarRelation(spark, path)
     }
   }
 

@@ -195,6 +195,32 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(scannedFiles(q) <= 3, "bloom must keep pruning after append")
   }
 
+  test("option(\"changesFrom\") serves the change feed to SQL users") {
+    import spark.implicits._
+    import graft.operators.Maintenance
+    val out = tempDir("graft-source-cdc") + "/ds"
+    val base = (0L until 300L).map(k => (k, s"v$k")).toDF("k", "payload")
+    PDataset.fromDataFrame(base, Seq("k")).repartition(100).writeParquet(out)
+    Maintenance.upsert(spark, out,
+      Seq((42L, "NEW"), (9000L, "INS")).toDF("k", "payload"), retain = true)
+
+    val feed = spark.read.format("graft").option("changesFrom", "0").load(out)
+    val got = feed.select("k", "payload", "change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((42L, "v42", "delete"), (42L, "NEW", "insert"),
+      (9000L, "INS", "insert")))
+    // plain SQL over a temp view works too
+    feed.createOrReplaceTempView("cdc_feed")
+    assert(spark.sql(
+      "SELECT count(*) FROM cdc_feed WHERE change_type = 'insert'")
+      .head().getLong(0) == 2L)
+    // exclusive with time travel options
+    assertThrows[IllegalArgumentException] {
+      spark.read.format("graft").option("changesFrom", "0")
+        .option("version", "0").load(out).collect()
+    }
+  }
+
   test("graft sink demands the index option") {
     val out = tempDir("graft-source-noindex") + "/x.parquet"
     val e = intercept[IllegalArgumentException] {
