@@ -166,12 +166,36 @@ object Maintenance {
       spark: SparkSession,
       dir: String,
       fromVersion: Int,
-      toVersion: Option[Int] = None): DataFrame = {
-    val fromMeta = versionMeta(spark, dir, fromVersion)
-    val toMeta = toVersion match {
-      case Some(v) => versionMeta(spark, dir, v)
-      case None => Sidecar.load(spark, dir)
-    }
+      toVersion: Option[Int] = None): DataFrame =
+    changesBetween(spark, dir,
+      versionMeta(spark, dir, fromVersion),
+      toVersion match {
+        case Some(v) => versionMeta(spark, dir, v)
+        case None => Sidecar.load(spark, dir)
+      })
+
+  /** [[changes]] with the endpoints resolved by TIMESTAMP (epoch
+    * millis) through the retained history's mtimes — "what changed
+    * since last night's run" without tracking generation numbers
+    * (`None` = the current generation); resolution semantics as
+    * [[metaAsOf]]. */
+  def changesAsOf(
+      spark: SparkSession,
+      dir: String,
+      fromTsMillis: Long,
+      toTsMillis: Option[Long] = None): DataFrame =
+    changesBetween(spark, dir,
+      metaAsOf(spark, dir, fromTsMillis),
+      toTsMillis match {
+        case Some(t) => metaAsOf(spark, dir, t)
+        case None => Sidecar.load(spark, dir)
+      })
+
+  private def changesBetween(
+      spark: SparkSession,
+      dir: String,
+      fromMeta: Sidecar.Meta,
+      toMeta: Sidecar.Meta): DataFrame = {
     val fromSet = fromMeta.files.toSet
     val toSet = toMeta.files.toSet
     val oldDf = alignTo(

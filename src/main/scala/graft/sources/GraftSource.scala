@@ -55,29 +55,37 @@ final class GraftSource extends RelationProvider
     // row-level change feed between two retained generations
     // (insert/delete rows tagged by `change_type`; to = current when
     // omitted) — Maintenance.changes for plain-SQL users.
-    val exclusive = Seq("version", "asOfTimestamp", "changesFrom")
-      .filter(parameters.contains)
+    val exclusive = Seq("version", "asOfTimestamp", "changesFrom",
+      "changesFromTimestamp").filter(parameters.contains)
     if (exclusive.length > 1) throw new IllegalArgumentException(
       s"options ${exclusive.mkString("'", "', '", "'")} are mutually " +
         "exclusive")
-    (parameters.get("version"), parameters.get("asOfTimestamp"),
-      parameters.get("changesFrom")) match {
-      case (Some(v), None, None) =>
+    def feedRelation(df: org.apache.spark.sql.DataFrame): BaseRelation = {
+      val sqlc = sqlContext
+      new BaseRelation with org.apache.spark.sql.sources.TableScan {
+        override val sqlContext: SQLContext = sqlc
+        override val schema = df.schema
+        override def buildScan(): org.apache.spark.rdd.RDD[
+          org.apache.spark.sql.Row] = df.rdd
+      }
+    }
+    exclusive.headOption match {
+      case Some("version") =>
         GraftRelations.sidecarRelationFor(spark, path,
-          graft.operators.Maintenance.versionMeta(spark, path, v.toInt))
-      case (None, Some(t), None) =>
+          graft.operators.Maintenance.versionMeta(spark, path,
+            parameters("version").toInt))
+      case Some("asOfTimestamp") =>
         GraftRelations.sidecarRelationFor(spark, path,
-          graft.operators.Maintenance.metaAsOf(spark, path, parseTs(t)))
-      case (None, None, Some(from)) =>
-        val sqlc = sqlContext
-        val df = graft.operators.Maintenance.changes(spark, path,
-          from.toInt, parameters.get("changesTo").map(_.toInt))
-        new BaseRelation with org.apache.spark.sql.sources.TableScan {
-          override val sqlContext: SQLContext = sqlc
-          override val schema = df.schema
-          override def buildScan(): org.apache.spark.rdd.RDD[
-            org.apache.spark.sql.Row] = df.rdd
-        }
+          graft.operators.Maintenance.metaAsOf(spark, path,
+            parseTs(parameters("asOfTimestamp"))))
+      case Some("changesFrom") =>
+        feedRelation(graft.operators.Maintenance.changes(spark, path,
+          parameters("changesFrom").toInt,
+          parameters.get("changesTo").map(_.toInt)))
+      case Some("changesFromTimestamp") =>
+        feedRelation(graft.operators.Maintenance.changesAsOf(spark, path,
+          parseTs(parameters("changesFromTimestamp")),
+          parameters.get("changesToTimestamp").map(parseTs)))
       case _ => GraftRelations.sidecarRelation(spark, path)
     }
   }

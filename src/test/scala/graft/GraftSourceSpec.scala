@@ -219,6 +219,16 @@ class GraftSourceSpec extends AnyFunSuite {
       spark.read.format("graft").option("changesFrom", "0")
         .option("version", "0").load(out).collect()
     }
+    // timestamp endpoints: epoch resolves to the oldest snapshot
+    // (same feed), "now" to the current generation (empty feed)
+    val byTs = spark.read.format("graft")
+      .option("changesFromTimestamp", "0").load(out)
+      .select("k", "payload", "change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(byTs == got)
+    val now = System.currentTimeMillis() + 60000L
+    assert(spark.read.format("graft")
+      .option("changesFromTimestamp", now.toString).load(out).count() == 0L)
   }
 
   test("graft sink demands the index option") {
