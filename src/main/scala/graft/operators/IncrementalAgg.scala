@@ -42,20 +42,28 @@ object IncrementalAgg {
       srcDir: String,
       groupCols: Seq[String],
       sumCols: Seq[String],
+      minMaxCols: Seq[String],
       baseVersion: Int,
       baseMetaHash: String)
 
   private def sumName(c: String): String = s"${c}_sum"
+  private def minName(c: String): String = s"${c}_min"
+  private def maxName(c: String): String = s"${c}_max"
 
   // Sums are stored as double regardless of the source column's type:
   // refresh's signed deltas are double, so the view schema must be
   // stable across builds and refreshes (integral-valued sums stay
-  // exact in double up to 2^53).
+  // exact in double up to 2^53). Min/max keep the source type.
   private def fullAgg(
-      src: DataFrame, groupCols: Seq[String], sumCols: Seq[String]): DataFrame =
+      src: DataFrame,
+      groupCols: Seq[String],
+      sumCols: Seq[String],
+      minMaxCols: Seq[String]): DataFrame =
     src.groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).as("n"),
-      sumCols.map(c => sum(col(c).cast("double")).as(sumName(c))): _*)
+      sumCols.map(c => sum(col(c).cast("double")).as(sumName(c))) ++
+        minMaxCols.flatMap(c => Seq(
+          min(col(c)).as(minName(c)), max(col(c)).as(maxName(c)))): _*)
 
   /** The generation number the source's CURRENT state will receive
     * when the next retained op archives it. */
@@ -72,7 +80,8 @@ object IncrementalAgg {
     val (fs, _) = GraftFs.resolve(spark, viewDir)
     GraftFs.writeString(fs, metaPath(spark, viewDir), TypedJson.write(Map(
       "src" -> m.srcDir, "group" -> m.groupCols.toVector,
-      "sums" -> m.sumCols.toVector, "base" -> m.baseVersion.toLong,
+      "sums" -> m.sumCols.toVector,
+      "minmax" -> m.minMaxCols.toVector, "base" -> m.baseVersion.toLong,
       "base_meta_md5" -> m.baseMetaHash)))
   }
 
@@ -85,6 +94,8 @@ object IncrementalAgg {
       o("src").toString,
       o("group").asInstanceOf[Vector[Any]].map(_.toString),
       o("sums").asInstanceOf[Vector[Any]].map(_.toString),
+      o.getOrElse("minmax", Vector.empty[Any])
+        .asInstanceOf[Vector[Any]].map(_.toString),
       o("base").asInstanceOf[Long].toInt,
       o("base_meta_md5").toString)
   }
@@ -122,23 +133,27 @@ object IncrementalAgg {
 
   /** Full build: aggregate the source once and persist the view as a
     * graft dataset indexed on `groupCols` (so refreshes route and
-    * rewrite only the partitions whose groups changed). */
+    * rewrite only the partitions whose groups changed).
+    * `minMaxCols` adds `<c>_min`/`<c>_max` columns — maintainable
+    * only for INSERT-ONLY deltas (a delete might remove the current
+    * extremum; refresh fails loudly and asks for a rebuild then). */
   def build(
       spark: SparkSession,
       srcDir: String,
       viewDir: String,
       groupCols: Seq[String],
       sumCols: Seq[String],
+      minMaxCols: Seq[String] = Nil,
       rowsPerFile: Long = 1 << 20): Unit = {
     require(groupCols.nonEmpty, "need at least one group column")
     val src = PDataset.scanParquet(spark, srcDir).toDF
-    val agg = fullAgg(src, groupCols, sumCols)
+    val agg = fullAgg(src, groupCols, sumCols, minMaxCols)
     PDataset.fromDataFrame(agg, groupCols)
       .repartition(rowsPerFile)
       .writeParquet(viewDir)
     writeMeta(spark, viewDir,
-      ViewMeta(srcDir, groupCols, sumCols, nextVersion(spark, srcDir),
-        srcMetaHash(spark, srcDir)))
+      ViewMeta(srcDir, groupCols, sumCols, minMaxCols,
+        nextVersion(spark, srcDir), srcMetaHash(spark, srcDir)))
   }
 
   /** Catch the view up to the source's current generation. Returns
@@ -180,9 +195,25 @@ object IncrementalAgg {
     val delta = feed.groupBy(groupCols.map(col): _*).agg(
       sum(sign).as("__dn"),
       m.sumCols.map(c =>
-        sum(sign.cast("double") * col(c)).as(s"__d_${c}")): _*)
+        sum(sign.cast("double") * col(c)).as(s"__d_${c}")) ++
+        (if (m.minMaxCols.isEmpty) Nil
+         else Seq(sum(when(col("change_type") === "delete", 1L)
+           .otherwise(0L)).as("__dels")) ++
+           m.minMaxCols.flatMap(c => Seq(
+             min(col(c)).as(s"__dmin_${c}"),
+             max(col(c)).as(s"__dmax_${c}")))): _*)
       .persist()
     try {
+      // Min/max only merge under insert-only deltas: a delete might
+      // have removed the current extremum, which no incremental
+      // update can recover — rebuild instead of going quietly wrong.
+      if (m.minMaxCols.nonEmpty &&
+          !delta.filter(col("__dels") > 0L).isEmpty)
+        throw new IllegalArgumentException(
+          s"the view at $viewDir tracks min/max columns " +
+            s"(${m.minMaxCols.mkString(", ")}) but the source delta " +
+            "contains deletes/updates — min/max cannot be maintained " +
+            "incrementally under deletes; rebuild the view")
       val view = PDataset.scanParquet(spark, viewDir).toDF
       // Existing rows of affected groups only: the view scans once
       // through a broadcast semi join; untouched groups never move.
@@ -196,7 +227,10 @@ object IncrementalAgg {
               .as("n")) ++
             m.sumCols.map(c =>
               (coalesce(col(sumName(c)), lit(0.0)) +
-                coalesce(col(s"__d_${c}"), lit(0.0))).as(sumName(c))): _*)
+                coalesce(col(s"__d_${c}"), lit(0.0))).as(sumName(c))) ++
+            m.minMaxCols.flatMap(c => Seq(
+              least(col(minName(c)), col(s"__dmin_${c}")).as(minName(c)),
+              greatest(col(maxName(c)), col(s"__dmax_${c}")).as(maxName(c)))): _*)
         .persist()
       try {
         val updates = merged.filter(col("n") > 0L)

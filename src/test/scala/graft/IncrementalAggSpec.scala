@@ -112,6 +112,37 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(got(view) == expect(src))
   }
 
+  test("min/max columns maintain under insert-only deltas, refuse deletes") {
+    val root = tempDir("incragg-minmax")
+    val src = root + "/src"
+    val view = root + "/view"
+    writeSrc(src, 300)
+    IncrementalAgg.build(spark, src, view, Seq("grp"), Seq("qty"),
+      minMaxCols = Seq("qty"))
+    // insert-only delta: fresh keys only
+    Maintenance.upsert(spark, src,
+      srcDF(7000, 5, "i").withColumn("qty", lit(99.0)), retain = true)
+    assert(IncrementalAgg.refresh(spark, view) > 0)
+    val want = PDataset.scanParquet(spark, src).toDF
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum("qty").as("qty_sum"),
+        min("qty").as("qty_min"), max("qty").as("qty_max"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+    val got = PDataset.scanParquet(spark, view).toDF
+      .collect().map(r => (r.getAs[Long]("grp"), r.getAs[Long]("n"),
+        r.getAs[Double]("qty_sum"), r.getAs[Double]("qty_min"),
+        r.getAs[Double]("qty_max"))).sortBy(_._1).toSeq
+    assert(got == want)
+    assert(got.exists(_._5 == 99.0))
+    // a delta containing an update (delete+insert) refuses loudly
+    Maintenance.upsert(spark, src,
+      srcDF(10, 1, "u").withColumn("qty", lit(1.0)), retain = true)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalAgg.refresh(spark, view)
+    }
+    assert(e.getMessage.contains("min/max"))
+  }
+
   test("refresh fails loudly when the base generation was not retained") {
     val root = tempDir("incragg-loud")
     val src = root + "/src"
