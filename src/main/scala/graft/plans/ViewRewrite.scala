@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
   Cast, Expression, ExprId, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Complete, Count, Sum}
+  AggregateExpression, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan,
   Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -93,6 +93,7 @@ class ViewRewrite(spark: SparkSession, val viewDir: String)
       agg: Aggregate, m: IncrementalAgg.ViewMeta): Option[LogicalPlan] = {
     val groupNames = m.groupCols.toSet
     val sumNames = m.sumCols.toSet
+    val minMaxNames = m.minMaxCols.toSet
     // Grouping: attributes only, each one of the view's group columns.
     val groupAttrs = agg.groupingExpressions.map {
       case a: AttributeReference if groupNames(a.name) => a
@@ -103,6 +104,10 @@ class ViewRewrite(spark: SparkSession, val viewDir: String)
     val viewAttr = viewPlan.output.map(a => a.name -> a).toMap
     def viewSum(name: String): Expression =
       AggregateExpression(Sum(viewAttr(name)), Complete, isDistinct = false)
+    def viewMin(name: String): Expression =
+      AggregateExpression(Min(viewAttr(name)), Complete, isDistinct = false)
+    def viewMax(name: String): Expression =
+      AggregateExpression(Max(viewAttr(name)), Complete, isDistinct = false)
     def retyped(e: Expression, want: org.apache.spark.sql.types.DataType) =
       if (e.dataType == want) e else Cast(e, want)
 
@@ -118,6 +123,14 @@ class ViewRewrite(spark: SparkSession, val viewDir: String)
             Alias(retyped(viewSum("n"), al.dataType), name)(exprId = al.exprId)
           case Sum(a: AttributeReference, _) if sumNames(a.name) =>
             Alias(retyped(viewSum(s"${a.name}_sum"), al.dataType),
+              name)(exprId = al.exprId)
+          // min-of-mins / max-of-maxes are exact for any delta the
+          // view accepted (insert-only — refresh enforces it)
+          case Min(a: AttributeReference) if minMaxNames(a.name) =>
+            Alias(retyped(viewMin(s"${a.name}_min"), al.dataType),
+              name)(exprId = al.exprId)
+          case Max(a: AttributeReference) if minMaxNames(a.name) =>
+            Alias(retyped(viewMax(s"${a.name}_max"), al.dataType),
               name)(exprId = al.exprId)
           case _ => return None
         }

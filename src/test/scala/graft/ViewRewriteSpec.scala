@@ -89,6 +89,35 @@ class ViewRewriteSpec extends AnyFunSuite {
       == want)
   }
 
+  test("min/max answer from a min/max-tracking view; others decline") {
+    val root = tempDir("view-rewrite-mm")
+    val src = root + "/src"
+    val view = root + "/view"
+    val parts = (0 until 400 by 100).map(lo =>
+      PDataset.fromDataFrame(srcDF(lo.toLong, 100L), Seq("k")))
+    PDataset.concat(parts).writeParquet(src)
+    IncrementalAgg.build(spark, src, view, Seq("grp"), Seq("qty"),
+      minMaxCols = Seq("qty"))
+    ViewRewrite.register(spark, view)
+    val q = spark.read.format("graft").load(src)
+      .groupBy("grp").agg(min("qty").as("lo"), max("qty").as("hi"),
+        count(lit(1)).as("n"))
+    assert(scannedFiles(q).forall(_.contains("/view")))
+    val want = srcDF(0, 400).groupBy("grp")
+      .agg(min("qty").as("lo"), max("qty").as("hi"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(q.collect().map(r => (r.getLong(0), r.getDouble(1),
+      r.getDouble(2), r.getLong(3))).sortBy(_._1).toSeq == want)
+    // a view NOT tracking min/max declines the same shape: the main
+    // fixture's view has no minMaxCols
+    val (mainSrc, _) = dirs
+    val q2 = spark.read.format("graft").load(mainSrc)
+      .groupBy("grp").agg(min("qty"))
+    assert(scannedFiles(q2).forall(_.contains("/src")))
+  }
+
   test("shapes the view cannot answer are left alone") {
     val (src, _) = dirs
     // count(col) skips nulls; avg/distinct/other groupings untracked
