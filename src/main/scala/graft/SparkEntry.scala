@@ -1408,7 +1408,8 @@ object SparkEntry {
              UNION ALL
              SELECT o_orderkey + 1000000000, o_custkey, 3.0
              FROM orders WHERE o_orderkey % 997 = 0)
-           SELECT o_custkey, count(*) AS n, sum(o_qty) AS o_qty_sum
+           SELECT o_custkey, count(*) AS n, sum(o_qty) AS o_qty_sum,
+                  count(o_qty) AS o_qty_nn
            FROM src GROUP BY o_custkey ORDER BY o_custkey""",
       "q_delete_keys" ->
         """SELECT * FROM orders WHERE o_orderkey % 401 <> 0

@@ -47,13 +47,17 @@ object IncrementalAgg {
       baseMetaHash: String)
 
   private def sumName(c: String): String = s"${c}_sum"
+  private def nnName(c: String): String = s"${c}_nn"
   private def minName(c: String): String = s"${c}_min"
   private def maxName(c: String): String = s"${c}_max"
 
   // Sums are stored as double regardless of the source column's type:
   // refresh's signed deltas are double, so the view schema must be
   // stable across builds and refreshes (integral-valued sums stay
-  // exact in double up to 2^53). Min/max keep the source type.
+  // exact in double up to 2^53). Each sum column also records its
+  // NON-NULL count (`<c>_nn`) so `avg(c) = <c>_sum / <c>_nn` holds
+  // exactly even when the measure has nulls (the row count `n`
+  // counts null measures too). Min/max keep the source type.
   private def fullAgg(
       src: DataFrame,
       groupCols: Seq[String],
@@ -61,7 +65,9 @@ object IncrementalAgg {
       minMaxCols: Seq[String]): DataFrame =
     src.groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).as("n"),
-      sumCols.map(c => sum(col(c).cast("double")).as(sumName(c))) ++
+      sumCols.flatMap(c => Seq(
+        sum(col(c).cast("double")).as(sumName(c)),
+        count(col(c)).as(nnName(c)))) ++
         minMaxCols.flatMap(c => Seq(
           min(col(c)).as(minName(c)), max(col(c)).as(maxName(c)))): _*)
 
@@ -194,8 +200,10 @@ object IncrementalAgg {
     val feed = Maintenance.changes(spark, m.srcDir, m.baseVersion)
     val delta = feed.groupBy(groupCols.map(col): _*).agg(
       sum(sign).as("__dn"),
-      m.sumCols.map(c =>
-        sum(sign.cast("double") * col(c)).as(s"__d_${c}")) ++
+      m.sumCols.flatMap(c => Seq(
+        sum(sign.cast("double") * col(c)).as(s"__d_${c}"),
+        sum(when(col(c).isNotNull, sign).otherwise(lit(0L)))
+          .as(s"__dnn_${c}"))) ++
         (if (m.minMaxCols.isEmpty) Nil
          else Seq(sum(when(col("change_type") === "delete", 1L)
            .otherwise(0L)).as("__dels")) ++
@@ -225,9 +233,11 @@ object IncrementalAgg {
           groupCols.map(col) ++
             Seq((coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
               .as("n")) ++
-            m.sumCols.map(c =>
+            m.sumCols.flatMap(c => Seq(
               (coalesce(col(sumName(c)), lit(0.0)) +
-                coalesce(col(s"__d_${c}"), lit(0.0))).as(sumName(c))) ++
+                coalesce(col(s"__d_${c}"), lit(0.0))).as(sumName(c)),
+              (coalesce(col(nnName(c)), lit(0L)) +
+                coalesce(col(s"__dnn_${c}"), lit(0L))).as(nnName(c)))) ++
             m.minMaxCols.flatMap(c => Seq(
               least(col(minName(c)), col(s"__dmin_${c}")).as(minName(c)),
               greatest(col(maxName(c)), col(s"__dmax_${c}")).as(maxName(c)))): _*)

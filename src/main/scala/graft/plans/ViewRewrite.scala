@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
   Cast, Expression, ExprId, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Complete, Count, Max, Min, Sum}
+  AggregateExpression, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan,
   Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -124,6 +124,19 @@ class ViewRewrite(spark: SparkSession, val viewDir: String)
           case Sum(a: AttributeReference, _) if sumNames(a.name) =>
             Alias(retyped(viewSum(s"${a.name}_sum"), al.dataType),
               name)(exprId = al.exprId)
+          // avg(c) = sum of partial sums / sum of NON-NULL counts —
+          // the view tracks <c>_nn precisely so null measures divide
+          // correctly (`n` would overcount them). An all-null group
+          // yields null like avg would, not an ANSI division error.
+          case Average(a: AttributeReference, _) if sumNames(a.name) =>
+            import org.apache.spark.sql.catalyst.expressions.{Divide,
+              EqualTo, If}
+            import org.apache.spark.sql.types.DoubleType
+            val nn = viewSum(s"${a.name}_nn")
+            val safeAvg = If(EqualTo(nn, Literal(0L)),
+              Literal(null, DoubleType),
+              Divide(viewSum(s"${a.name}_sum"), Cast(nn, DoubleType)))
+            Alias(retyped(safeAvg, al.dataType), name)(exprId = al.exprId)
           // min-of-mins / max-of-maxes are exact for any delta the
           // view accepted (insert-only — refresh enforces it)
           case Min(a: AttributeReference) if minMaxNames(a.name) =>

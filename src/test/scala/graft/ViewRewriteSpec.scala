@@ -89,6 +89,38 @@ class ViewRewriteSpec extends AnyFunSuite {
       == want)
   }
 
+  test("avg answers from the view's sum and non-null count — nulls exact") {
+    val root = tempDir("view-rewrite-avg")
+    val src = root + "/src"
+    val view = root + "/view"
+    // every 5th measure is NULL: avg must divide by the non-null
+    // count, so a view tracking only `n` could not answer this
+    val df = spark.range(0, 500).select(
+      col("id").as("k"), (col("id") % 10).as("grp"),
+      when(col("id") % 5 === 0, lit(null).cast("double"))
+        .otherwise((col("id") % 13).cast("double")).as("qty"))
+    PDataset.fromDataFrame(df, Seq("k")).repartition(100).writeParquet(src)
+    IncrementalAgg.build(spark, src, view, Seq("grp"), Seq("qty"))
+    ViewRewrite.register(spark, view)
+    val q = spark.read.format("graft").load(src)
+      .groupBy("grp").agg(avg("qty").as("a"))
+    assert(scannedFiles(q).forall(_.contains("/view")))
+    // groups 0 and 5 are ALL-null (their members are multiples of 5):
+    // the rewrite must yield null exactly like avg, not divide by 0
+    def vals(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val want = vals(df.groupBy("grp").agg(avg("qty").as("a")).collect())
+    val got = vals(q.collect())
+    assert(got.keySet == want.keySet)
+    assert(want(0L).isEmpty && got(0L).isEmpty, "all-null group must avg null")
+    got.foreach {
+      case (g, Some(v)) =>
+        assert(math.abs(v - want(g).get) < 1e-12, s"grp $g: $v vs ${want(g)}")
+      case (g, None) => assert(want(g).isEmpty, s"grp $g: null vs ${want(g)}")
+    }
+  }
+
   test("min/max answer from a min/max-tracking view; others decline") {
     val root = tempDir("view-rewrite-mm")
     val src = root + "/src"
