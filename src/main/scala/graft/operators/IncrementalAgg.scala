@@ -120,7 +120,7 @@ object IncrementalAgg {
     * identity the view is bound to. Version numbers alone cannot
     * detect an unretained mutation (a later retained op would archive
     * the WRONG content under the expected number); the hash can. */
-  private def srcMetaHash(spark: SparkSession, srcDir: String): String =
+  private[graft] def srcMetaHash(spark: SparkSession, srcDir: String): String =
     md5hex(GraftFs.readString(GraftFs.resolve(spark, srcDir)._1,
       graft.core.Sidecar.metadataPath(srcDir)))
 

@@ -46,29 +46,81 @@ class ViewRewrite(spark: SparkSession, val viewDir: String)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val meta =
-      try Some(IncrementalAgg.viewMeta(spark, viewDir))
+      try Some(cachedViewMeta())
       catch { case scala.util.control.NonFatal(_) => None }
     meta match {
-      case Some(m) if IncrementalAgg.isFresh(spark, viewDir) =>
-        val srcFiles =
-          try currentFiles(m.srcDir)
-          catch { case scala.util.control.NonFatal(_) => return plan }
-        plan.transformUp {
-          case agg: Aggregate if scansExactly(agg.child, srcFiles) =>
-            rewrite(agg, m).getOrElse(agg)
+      case Some(m) =>
+        val freshFiles =
+          try {
+            if (cachedSrcHash(m.srcDir) == m.baseMetaHash)
+              Some(currentFiles(m.srcDir))
+            else None
+          } catch { case scala.util.control.NonFatal(_) => None }
+        freshFiles match {
+          case Some(srcFiles) => plan.transformUp {
+            case agg: Aggregate if scansExactly(agg.child, srcFiles) =>
+              rewrite(agg, m).getOrElse(agg)
+          }
+          case None => plan
         }
       case _ => plan
     }
   }
 
+  // The rule runs on EVERY query plan of the session: cache the view
+  // meta and the source's normalized file set behind (mtime, length)
+  // fingerprints of their metadata files, so steady state is two
+  // driver stat calls per plan, not JSON reads.
+  private var metaCache: Option[((Long, Long), IncrementalAgg.ViewMeta)] =
+    None
+  private var filesCache: Option[((Long, Long), Set[String])] = None
+  private var hashCache: Option[((Long, Long), String)] = None
+
+  private def cachedSrcHash(srcDir: String): String = synchronized {
+    val fp = fingerprint(Sidecar.metadataPath(srcDir))
+    hashCache match {
+      case Some((`fp`, h)) => h
+      case _ =>
+        val h = IncrementalAgg.srcMetaHash(spark, srcDir)
+        hashCache = Some((fp, h))
+        h
+    }
+  }
+
+  private def fingerprint(path: org.apache.hadoop.fs.Path): (Long, Long) = {
+    val (fs, _) = graft.core.GraftFs.resolve(spark, path.toString)
+    val st = fs.getFileStatus(path)
+    (st.getModificationTime, st.getLen)
+  }
+
+  private def cachedViewMeta(): IncrementalAgg.ViewMeta = synchronized {
+    val p = new org.apache.hadoop.fs.Path(viewDir,
+      IncrementalAgg.MetaFile)
+    val fp = fingerprint(p)
+    metaCache match {
+      case Some((`fp`, m)) => m
+      case _ =>
+        val m = IncrementalAgg.viewMeta(spark, viewDir)
+        metaCache = Some((fp, m))
+        m
+    }
+  }
+
   /** The source's current file listing, normalized for comparison
     * with `FileIndex.inputFiles` (which may carry a `file:` scheme). */
-  private def currentFiles(srcDir: String): Set[String] = {
-    val m = Sidecar.load(spark, srcDir)
-    val p = new org.apache.hadoop.fs.Path(srcDir)
-    m.files.map(f =>
-      Stats.normalizePath(new org.apache.hadoop.fs.Path(p, f).toString))
-      .toSet
+  private def currentFiles(srcDir: String): Set[String] = synchronized {
+    val fp = fingerprint(Sidecar.metadataPath(srcDir))
+    filesCache match {
+      case Some((`fp`, s)) => s
+      case _ =>
+        val m = Sidecar.load(spark, srcDir)
+        val p = new org.apache.hadoop.fs.Path(srcDir)
+        val s = m.files.map(f =>
+          Stats.normalizePath(new org.apache.hadoop.fs.Path(p, f).toString))
+          .toSet
+        filesCache = Some((fp, s))
+        s
+    }
   }
 
   /** The aggregate's child is a bare (or column-pruning-projected)
