@@ -58,8 +58,12 @@ class ViewRewrite(spark: SparkSession, val viewDir: String)
           } catch { case scala.util.control.NonFatal(_) => None }
         freshFiles match {
           case Some(srcFiles) => plan.transformUp {
-            case agg: Aggregate if scansExactly(agg.child, srcFiles) =>
-              rewrite(agg, m).getOrElse(agg)
+            case agg: Aggregate =>
+              matchScan(agg.child, srcFiles, m.groupCols.toSet) match {
+                case Some(filterOpt) =>
+                  rewrite(agg, m, filterOpt).getOrElse(agg)
+                case None => agg
+              }
           }
           case None => plan
         }
@@ -123,26 +127,41 @@ class ViewRewrite(spark: SparkSession, val viewDir: String)
     }
   }
 
-  /** The aggregate's child is a bare (or column-pruning-projected)
-    * file scan over EXACTLY the source's current files. */
-  private def scansExactly(p: LogicalPlan, srcFiles: Set[String]): Boolean =
+  /** The aggregate's child is a (possibly column-pruning-projected)
+    * file scan over EXACTLY the source's current files, optionally
+    * under ONE deterministic filter touching only the view's group
+    * columns — such a filter partitions whole groups, so it pushes
+    * through onto the view untouched. Returns the filter (None =
+    * bare scan) when the shape matches. */
+  private def matchScan(
+      p: LogicalPlan,
+      srcFiles: Set[String],
+      groupNames: Set[String],
+      filterSeen: Option[Expression] = None): Option[Option[Expression]] =
     p match {
       case Project(projs, child)
           if projs.forall(_.isInstanceOf[AttributeReference]) =>
-        scansExactly(child, srcFiles)
+        matchScan(child, srcFiles, groupNames, filterSeen)
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child)
+          if filterSeen.isEmpty && cond.deterministic &&
+            cond.references.forall(a => groupNames(a.name)) =>
+        matchScan(child, srcFiles, groupNames, Some(cond))
       case lr: LogicalRelation =>
         lr.relation match {
           case fs: HadoopFsRelation =>
             val scanned =
               fs.location.inputFiles.map(Stats.normalizePath).toSet
-            scanned.nonEmpty && scanned == srcFiles
-          case _ => false
+            if (scanned.nonEmpty && scanned == srcFiles) Some(filterSeen)
+            else None
+          case _ => None
         }
-      case _ => false
+      case _ => None
     }
 
   private def rewrite(
-      agg: Aggregate, m: IncrementalAgg.ViewMeta): Option[LogicalPlan] = {
+      agg: Aggregate,
+      m: IncrementalAgg.ViewMeta,
+      srcFilter: Option[Expression]): Option[LogicalPlan] = {
     val groupNames = m.groupCols.toSet
     val sumNames = m.sumCols.toSet
     val minMaxNames = m.minMaxCols.toSet
@@ -201,8 +220,18 @@ class ViewRewrite(spark: SparkSession, val viewDir: String)
         }
       case _ => return None
     }
+    // A group-column filter partitions whole groups: apply it to the
+    // view's rows verbatim (attributes remapped by name).
+    val child = srcFilter match {
+      case Some(cond) =>
+        org.apache.spark.sql.catalyst.plans.logical.Filter(
+          cond.transform {
+            case a: AttributeReference => viewAttr(a.name)
+          }, viewPlan)
+      case None => viewPlan
+    }
     Some(Aggregate(groupAttrs.map(a => viewAttr(a.name)), newAggExprs,
-      viewPlan))
+      child))
   }
 }
 

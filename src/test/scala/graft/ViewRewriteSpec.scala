@@ -150,6 +150,21 @@ class ViewRewriteSpec extends AnyFunSuite {
     assert(scannedFiles(q2).forall(_.contains("/src")))
   }
 
+  test("a filter on group columns pushes through onto the view") {
+    val (src, _) = dirs
+    val q = spark.read.format("graft").load(src)
+      .filter(col("grp") < 5 && col("bucket") =!= 2)
+      .groupBy("grp", "bucket").agg(count(lit(1)).as("n_rows"))
+    assert(scannedFiles(q).forall(_.contains("/view")))
+    val want = srcDF(0, 800)
+      .filter(col("grp") < 5 && col("bucket") =!= 2)
+      .groupBy("grp", "bucket").agg(count(lit(1)).as("n_rows"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2))).sortBy(t => (t._1, t._2)).toSeq == want)
+  }
+
   test("shapes the view cannot answer are left alone") {
     val (src, _) = dirs
     // count(col) skips nulls; avg/distinct/other groupings untracked
@@ -162,7 +177,8 @@ class ViewRewriteSpec extends AnyFunSuite {
     val q3 = spark.read.format("graft").load(src)
       .groupBy("grp").agg(sum_distinct(col("qty")))
     assert(scannedFiles(q3).forall(_.contains("/src")))
-    // a filtered scan is not the whole source
+    // a filter on a NON-group column reaches into groups: the view
+    // cannot answer it
     val q4 = spark.read.format("graft").load(src).filter(col("k") < 100)
       .groupBy("grp").agg(count(lit(1)))
     assert(scannedFiles(q4).forall(_.contains("/src")))
