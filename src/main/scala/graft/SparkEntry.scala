@@ -436,6 +436,19 @@ object SparkEntry {
       s.read.format("graft").load(ordQtySrc(s, d))
         .agg(count(lit(1)).as("n"))),
 
+    // RESTORE: roll back to the archived pre-upsert generation — a
+    // metadata-only swap (zero data I/O at any table size); the scan
+    // afterwards is bit-for-bit the original table.
+    "q_restore" -> ((s, d) => {
+      val dir = mutableCopy("ordkey20", d)(ordersByKey20(s, d))
+      val upd = s.read.parquet(T(d, "orders"))
+        .filter(col("o_orderkey") % 701 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 5)
+      graft.operators.Maintenance.upsert(s, dir, upd, retain = true)
+      graft.operators.Maintenance.restore(s, dir, 0)
+      PDataset.scanParquet(s, dir).toDF.orderBy("o_orderkey")
+    }),
+
     // Per-file Bloom data skipping: orders indexed (hence pruned) on
     // o_orderdate, bloom-built on the NON-index o_custkey; a point
     // lookup on o_custkey plans only the files whose filter fires
@@ -1411,6 +1424,7 @@ object SparkEntry {
            SELECT o_custkey, count(*) AS n, sum(o_qty) AS o_qty_sum,
                   count(o_qty) AS o_qty_nn
            FROM src GROUP BY o_custkey ORDER BY o_custkey""",
+      "q_restore" -> "SELECT * FROM orders ORDER BY o_orderkey",
       "q_delete_keys" ->
         """SELECT * FROM orders WHERE o_orderkey % 401 <> 0
            ORDER BY o_orderkey""",

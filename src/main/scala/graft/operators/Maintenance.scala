@@ -140,6 +140,30 @@ object Maintenance {
       spark: SparkSession, dir: String, tsMillis: Long): PDataset =
     PDataset.fromSidecarMeta(spark, dir, metaAsOf(spark, dir, tsMillis))
 
+  /** Roll the dataset BACK to archived generation `version`. The
+    * outgoing current generation is archived first, so a restore is
+    * itself undoable (and its change feed is readable). Data files
+    * are immutable and retained generations keep theirs on disk, so
+    * restore is a metadata-only swap — zero data I/O at any table
+    * size. The partition-name counter only ever ratchets up (a
+    * restored listing must not recycle names newer generations
+    * used), and the current (possibly evolved) schema stays
+    * authoritative, exactly as it is when reading the archived
+    * generation directly. */
+  def restore(spark: SparkSession, dir: String, version: Int): Unit = {
+    val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    val cur = Sidecar.load(spark, dir)
+    val loadedFp = metaFingerprint(spark, dirPath)
+    val target = versionMeta(spark, dir, version)
+    guardUnchanged(spark, dirPath, loadedFp)
+    archiveCurrent(spark, fs, dirPath)
+    Sidecar.write(spark, dir, target.indexColumns, target.files,
+      target.sizes, target.lowerBounds, target.upperBounds,
+      math.max(target.maxPartitionIndex, cur.maxPartitionIndex),
+      target.schema)
+    refreshBloom(spark, dir)
+  }
+
   /** Change-data feed between two retained generations: every row
     * inserted or deleted going from `fromVersion` to `toVersion`
     * (`None` = the current generation), tagged with a `change_type`

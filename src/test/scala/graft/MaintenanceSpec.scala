@@ -668,6 +668,37 @@ class MaintenanceSpec extends AnyFunSuite {
       51L -> "delete", 250L -> "delete", 900L -> "insert"))
   }
 
+  test("restore rolls back to an archived generation, and is undoable") {
+    val dir = tempDir("maint-restore") + "/ds"
+    writeKeyed(dir, 300, 100)
+    val before = fileState(dir)
+    Maintenance.upsert(spark, dir,
+      keyedDF(50, 2).withColumn("payload", lit("MUT")), retain = true)
+    Maintenance.deleteKeys(spark, dir, Seq(250L).toDF("k"), retain = true)
+
+    Maintenance.restore(spark, dir, 0) // back to the pristine table
+    val restored = PDataset.scanParquet(spark, dir)
+    checkBoundsAndSizes(restored)
+    assertSameRows(restored.toDF, keyedDF(0, 300))
+    // metadata-only: the original files are back, byte-identical
+    fileState(dir).foreach { case (f, mtime) =>
+      assert(before(f) == mtime, s"$f was rewritten by restore")
+    }
+    // the pre-restore state was archived: restoring THAT undoes it
+    val vPre = Maintenance.versions(spark, dir).max
+    Maintenance.restore(spark, dir, vPre)
+    val redone = PDataset.scanParquet(spark, dir).toDF
+      .select("k", "payload").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(redone(50L) == "MUT" && !redone.contains(250L))
+    // the name counter never went backwards: new writes stay unique
+    Maintenance.upsert(spark, dir,
+      keyedDF(10, 1).withColumn("payload", lit("post")))
+    assertSameRows(
+      PDataset.scanParquet(spark, dir).toDF.filter(col("k") === 10L),
+      keyedDF(10, 1).withColumn("payload", lit("post")))
+  }
+
   test("changes feeds the row-level delta, reading only delta files") {
     val dir = tempDir("maint-changes") + "/ds"
     writeKeyed(dir, 600, 100) // 6 files of consecutive 100-key ranges
