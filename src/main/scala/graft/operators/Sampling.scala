@@ -117,6 +117,24 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Materialize [[shardAssign]]: write the corpus as `numShards`
+    * training shards under `dir/shard=N/`, each shard ONE parquet
+    * file with rows in their deterministic in-shard order — the
+    * layout a training loader consumes directly, reproducible
+    * end-to-end from (seed, ids). One shuffle on the shard id; each
+    * shard sorts and writes in its own task, so size `numShards` to
+    * file-sized shards. */
+  def writeShards(
+      df: DataFrame,
+      idCol: String,
+      numShards: Int,
+      seed: String,
+      dir: String): Unit =
+    shardAssign(df, idCol, numShards, seed)
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("shard_pos"))
+      .write.partitionBy("shard").mode("overwrite").parquet(dir)
+
   /** Stratified deterministic sample: each stratum keeps its own
     * fraction (e.g. per-language quotas when balancing a multilingual
     * corpus); strata not listed keep `defaultFraction`. */

@@ -147,6 +147,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(moved > n / 2, s"only $moved of $n docs moved shard on reseed")
   }
 
+  test("writeShards lands one ordered file per shard, reproducibly") {
+    val dir = Fixtures.tempDir("shards-out") + "/shards"
+    Sampling.writeShards(docs, "doc_id", 4, "epoch1", dir)
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.length == 4)
+    shardDirs.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+        s"${d.getName} must hold exactly one shard file")
+    }
+    // reading a shard file directly yields rows already in shard_pos
+    // order (the order a training loader consumes)
+    val s0 = spark.read.parquet(s"$dir/shard=0")
+    val pos = s0.select("shard_pos").collect().map(_.getLong(0))
+    assert(pos.toSeq == pos.sorted.toSeq && pos.head == 1L)
+    // nothing lost, nothing duplicated
+    val all = spark.read.parquet(dir)
+    assert(all.count() == docs.count())
+    assert(all.select("doc_id").distinct().count() == docs.count())
+    // the assignment on disk is exactly shardAssign's
+    val assigned = Sampling.shardAssign(docs, "doc_id", 4, "epoch1")
+      .select("doc_id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val onDisk = all.select("doc_id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(onDisk == assigned)
+  }
+
   // ---- vec_dot custom expression ----
 
   test("vec_dot matches the higher-order-function fold bit-for-bit") {
