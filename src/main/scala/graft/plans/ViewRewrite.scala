@@ -222,7 +222,7 @@ class ViewRewrite(spark: SparkSession, val viewDir: String)
     }
     // A group-column filter partitions whole groups: apply it to the
     // view's rows verbatim (attributes remapped by name).
-    val child = srcFilter match {
+    val filtered = srcFilter match {
       case Some(cond) =>
         org.apache.spark.sql.catalyst.plans.logical.Filter(
           cond.transform {
@@ -230,8 +230,17 @@ class ViewRewrite(spark: SparkSession, val viewDir: String)
           }, viewPlan)
       case None => viewPlan
     }
+    // The optimizer's column-pruning batch already ran (this is a
+    // user rule), so narrow the view scan explicitly: a Project of
+    // just the referenced view columns lets FileSourceStrategy's
+    // PhysicalOperation prune the parquet read schema.
+    val needed =
+      (org.apache.spark.sql.catalyst.expressions.AttributeSet(
+        groupAttrs.map(a => viewAttr(a.name))) ++
+        org.apache.spark.sql.catalyst.expressions.AttributeSet(
+          newAggExprs.flatMap(_.references))).toSeq
     Some(Aggregate(groupAttrs.map(a => viewAttr(a.name)), newAggExprs,
-      child))
+      Project(needed, filtered)))
   }
 }
 

@@ -148,6 +148,21 @@ class ViewRewriteSpec extends AnyFunSuite {
     val q2 = spark.read.format("graft").load(mainSrc)
       .groupBy("grp").agg(min("qty"))
     assert(scannedFiles(q2).forall(_.contains("/src")))
+    // a count-only query on the min/max view reads ONLY grp and n:
+    // the rewrite narrows the scan so unused view columns never load
+    val q3 = spark.read.format("graft").load(src)
+      .groupBy("grp").agg(count(lit(1)).as("n_rows"))
+    assert(scannedFiles(q3).forall(_.contains("/view")))
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val p3 = (q3.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val readCols = p3.output.map(_.name).toSet
+    assert(readCols == Set("grp", "n"),
+      s"view scan must prune to grp,n — read $readCols")
   }
 
   test("a filter on group columns pushes through onto the view") {
