@@ -810,6 +810,41 @@ object SparkEntry {
         .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
     }),
 
+    // TPC-H Q21 shape (suppliers who alone held up multi-supplier
+    // orders; "late" adapted to shipdate > orderdate + 60 days since
+    // the synthetic lineitem has no receipt/commit dates). The two
+    // correlated EXISTS / NOT EXISTS decorrelate into ONE pass:
+    // lineitem is scanned once into a per-(order, supplier) lateness
+    // aggregate (map-side partial), then a window over the order
+    // counts suppliers and late suppliers — a late supplier waits
+    // alone iff nsupp >= 2 and nlate == 1. TopK via
+    // TakeOrderedAndProject; the supplier dim broadcasts.
+    "q_tpch_q21" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sup = scan(s, d, "supplier").toDF
+      val o = scan(s, d, "orders").toDF
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val l = scan(s, d, "lineitem").toDF
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+      val perSupp = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(max(when(
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          1).otherwise(0)).as("supp_late"))
+      val w = Window.partitionBy("l_orderkey")
+      perSupp
+        .withColumn("nsupp", count(lit(1)).over(w))
+        .withColumn("nlate", sum("supp_late").over(w))
+        .filter(col("supp_late") === 1 &&
+          col("nsupp") >= 2 && col("nlate") === 1)
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
     "q_tpch_q3" -> ((s, d) => {
       val c = scan(s, d, "customer").toDF.filter(col("c_mktsegment") === "BUILDING")
       val o = scan(s, d, "orders").toDF
@@ -1664,6 +1699,24 @@ object SparkEntry {
              AND l_quantity < (
                SELECT 0.2 * avg(l_quantity) FROM lineitem l2
                WHERE l2.l_partkey = p_partkey)""",
+      "q_tpch_q21" ->
+        """SELECT s_name, count(*) AS numwait FROM (
+             SELECT DISTINCT l1.l_suppkey, l1.l_orderkey
+             FROM lineitem l1 JOIN orders ON o_orderkey = l1.l_orderkey
+             WHERE o_orderstatus = 'F'
+               AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+               AND EXISTS (
+                 SELECT 1 FROM lineitem l2
+                 WHERE l2.l_orderkey = l1.l_orderkey
+                   AND l2.l_suppkey <> l1.l_suppkey)
+               AND NOT EXISTS (
+                 SELECT 1 FROM lineitem l3
+                 JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                 WHERE l3.l_orderkey = l1.l_orderkey
+                   AND l3.l_suppkey <> l1.l_suppkey
+                   AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+           ) w JOIN supplier ON s_suppkey = l_suppkey
+           GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
       "q_tpch_q3" ->
         """SELECT o_orderkey,
                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -81,6 +81,24 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_avg"), "expected map-side partial avg")
   }
 
+  test("TPC-H Q21 decorrelates both EXISTS into one lineitem pass") {
+    val df = SparkEntry.queries("q_tpch_q21")(spark, sf)
+    df.collect()
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    // The EXISTS / NOT EXISTS pair would scan lineitem three times
+    // correlated, twice naively decorrelated; the per-(order,
+    // supplier) aggregate + window shape scans it ONCE.
+    assert("lineitem".r.findAllIn(plan).length == 1,
+      s"expected exactly one lineitem scan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject:\n$plan")
+    assert(plan.contains("partial_max"), "expected map-side partial agg")
+  }
+
   test("TPC-H Q18 semi-filters the spine, broadcasts it, and top-Ks") {
     val df = SparkEntry.queries("q_tpch_q18")(spark, sf)
     df.collect()
