@@ -1128,6 +1128,17 @@ object SparkEntry {
         .select("doc_id", "shard", "shard_pos")
         .orderBy("doc_id")),
 
+    // Deterministic train/valid/test split: seeded md5 fraction vs
+    // cumulative weights (dyadic here, so the cuts are bit-exact
+    // across engines); membership is a pure function of (seed, id).
+    "q_split_assign" -> ((s, d) =>
+      graft.operators.Sampling.splitAssign(
+        scan(s, d, "documents").toDF, "doc_id",
+        Seq("train" -> 0.75, "valid" -> 0.125, "test" -> 0.125),
+        seed = "split1")
+        .select("doc_id", "split")
+        .orderBy("doc_id")),
+
     "q_lang_id" -> ((s, d) =>
       scan(s, d, "documents").toDF.select(
         col("doc_id"),
@@ -1986,6 +1997,17 @@ object SparkEntry {
                  < CASE lang WHEN 'en' THEN 0.5
                              WHEN 'zh' THEN 0.25
                              ELSE 0.1 END
+           ORDER BY doc_id""",
+      "q_split_assign" ->
+        """SELECT doc_id,
+                  CASE WHEN f < 0.75 THEN 'train'
+                       WHEN f < 0.875 THEN 'valid'
+                       ELSE 'test' END AS split
+           FROM (SELECT doc_id,
+                        ('0x' || substr(md5('split1:' ||
+                           CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                          / 4294967296.0 AS f
+                 FROM documents)
            ORDER BY doc_id""",
       "q_mixture_temperature" ->
         """WITH c AS (SELECT lang, count(*) AS n

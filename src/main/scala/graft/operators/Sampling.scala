@@ -117,6 +117,32 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Deterministic train/validation/test split: each row lands in
+    * exactly one named split, chosen by where its seeded md5 fraction
+    * falls among the cumulative (normalized) weights — a pure
+    * function of (seed, id), so membership is stable across runs,
+    * partitionings and engines, and changing the seed redraws the
+    * split. One narrow scan, no shuffle; realized sizes concentrate
+    * on the weights at corpus scale. */
+  def splitAssign(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      seed: String): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "splits need positive weights")
+    val total = splits.map(_._2).sum
+    val cuts = splits.map(_._2 / total).scanLeft(0.0)(_ + _).tail
+    val f = hashFraction(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    // last split catches the remainder so float edges can't drop rows
+    val assign = splits.init.zip(cuts.init).reverse.foldLeft(
+      lit(splits.last._1): Column) {
+      case (acc, ((name, _), cut)) => when(f < lit(cut), lit(name))
+        .otherwise(acc)
+    }
+    df.withColumn("split", assign)
+  }
+
   /** Materialize [[shardAssign]]: write the corpus as `numShards`
     * training shards under `dir/shard=N/`, each shard ONE parquet
     * file with rows in their deterministic in-shard order — the

@@ -147,6 +147,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(moved > n / 2, s"only $moved of $n docs moved shard on reseed")
   }
 
+  test("splitAssign covers every row, stable across runs, redrawn by seed") {
+    val splits = Seq("train" -> 0.75, "valid" -> 0.125, "test" -> 0.125)
+    val assigned = Sampling.splitAssign(docs, "doc_id", splits, "s1")
+    val byName = assigned.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count()
+    assert(byName.values.sum == n, "every row lands in exactly one split")
+    assert(byName.keySet.subsetOf(Set("train", "valid", "test")))
+    // realized sizes concentrate on the weights
+    assert(math.abs(byName("train") - 0.75 * n) <= 6 * math.sqrt(n) + 1)
+    // membership is partitioning-independent
+    val again = Sampling.splitAssign(docs.repartition(13), "doc_id",
+      splits, "s1").select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assigned.select("doc_id", "split").collect().foreach { r =>
+      assert(again(r.getLong(0)) == r.getString(1))
+    }
+    // a new seed is a genuinely different draw
+    val other = Sampling.splitAssign(docs, "doc_id", splits, "s2")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val moved = assigned.select("doc_id", "split").collect()
+      .count(r => other(r.getLong(0)) != r.getString(1))
+    assert(moved > n / 10, s"only $moved of $n rows moved on reseed")
+  }
+
   test("writeShards lands one ordered file per shard, reproducibly") {
     val dir = Fixtures.tempDir("shards-out") + "/shards"
     Sampling.writeShards(docs, "doc_id", 4, "epoch1", dir)
