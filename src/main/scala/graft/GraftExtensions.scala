@@ -33,9 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // also installs it lazily via experimental.extraStrategies for
     // sessions built without extensions).
     ext.injectPlannerStrategy(_ => graft.plans.DivisionJoinStrategy)
-    // Metadata-only count(*) over graft relations (also installed
-    // lazily whenever a graft relation is created).
-    ext.injectOptimizerRule(_ => graft.plans.MetadataCount)
+    // Metadata-only count(*) is NOT injected here: it only ever
+    // matches graft relations, and creating one installs it via
+    // MetadataCount.ensureRule — injecting a second copy would run
+    // the transform twice on every plan (ensureRule's
+    // extraOptimizations.contains can't see an injected copy).
   }
 }
 

@@ -96,11 +96,11 @@ object SparkEntry {
     ds.repartition(math.max(50L, ds.sizes.get.sum / 20)).writeParquet(out)
   }
 
-  /** Build-once graft dataset: orders (key, custkey, derived integral
-    * o_qty) indexed on o_orderkey — shared by the view-rewrite and
-    * metadata-count queries. */
-  private def ordQtySrc(s: SparkSession, d: String): String =
-    fixture("ordqtysrc", d) { out =>
+  /** Orders (key, custkey, derived integral o_qty) indexed on
+    * o_orderkey in ~20 files — the builder behind [[ordQtySrc]] and
+    * the incremental-view query's mutable copy. */
+  private def ordersQty20(s: SparkSession, d: String): String => Unit =
+    out => {
       val df = s.read.parquet(T(d, "orders"))
         .select(col("o_orderkey"), col("o_custkey"),
           (col("o_orderkey") % 50).cast("double").as("o_qty"))
@@ -108,6 +108,11 @@ object SparkEntry {
       ds.repartition(math.max(50L, ds.sizes.get.sum / 20))
         .writeParquet(out)
     }
+
+  /** Build-once graft dataset off [[ordersQty20]] — shared by the
+    * view-rewrite and metadata-count queries. */
+  private def ordQtySrc(s: SparkSession, d: String): String =
+    fixture("ordqtysrc", d)(ordersQty20(s, d))
 
   // ---- shared query fragments ----
 
@@ -309,10 +314,15 @@ object SparkEntry {
     "q_merge" -> ((s, d) => {
       val dir = mutableCopy("ordkey20", d)(ordersByKey20(s, d))
       val orders = s.read.parquet(T(d, "orders"))
-      val upd = orders.filter(col("o_orderkey") % 701 === 0)
+      val delPred =
+        col("o_orderkey") % 997 === 0 && col("o_orderkey") =!= 0
+      // merge rejects a key on both sides; keys divisible by both 701
+      // and 997 exist at SF >= 1 (lcm 698897), so the update side
+      // excludes the delete set — the oracle is unaffected because
+      // every excluded key is deleted from the output anyway.
+      val upd = orders.filter(col("o_orderkey") % 701 === 0 && !delPred)
         .withColumn("o_totalprice", col("o_totalprice") * 2)
-      val dels = orders
-        .filter(col("o_orderkey") % 997 === 0 && col("o_orderkey") =!= 0)
+      val dels = orders.filter(delPred)
         .select("o_orderkey")
       graft.operators.Maintenance.merge(s, dir, upd, dels)
       PDataset.scanParquet(s, dir).toDF.orderBy("o_orderkey")
@@ -384,14 +394,7 @@ object SparkEntry {
     // measure column is integral-valued so incremental double sums
     // are exact and the plain GROUP BY oracle matches bit-for-bit.
     "q_incremental_view" -> ((s, d) => {
-      val dir = mutableCopy("ordqty20", d) { out =>
-        val df = s.read.parquet(T(d, "orders"))
-          .select(col("o_orderkey"), col("o_custkey"),
-            (col("o_orderkey") % 50).cast("double").as("o_qty"))
-        val ds = PDataset.fromDataFrame(df, Seq("o_orderkey"))
-        ds.repartition(math.max(50L, ds.sizes.get.sum / 20))
-          .writeParquet(out)
-      }
+      val dir = mutableCopy("ordqtysrc", d)(ordersQty20(s, d))
       val viewDir = dir + "_view"
       graft.operators.IncrementalAgg.build(
         s, dir, viewDir, Seq("o_custkey"), Seq("o_qty"))

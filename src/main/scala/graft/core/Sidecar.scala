@@ -54,7 +54,15 @@ object Sidecar {
     * and hide dropped ones, the same as in the current generation. */
   def loadFile(spark: SparkSession, dir: String, metaFile: Path): Meta = {
     val (fs, _) = GraftFs.resolve(spark, dir)
-    val text = GraftFs.readString(fs, metaFile)
+    parseMeta(spark, dir, GraftFs.readString(fs, metaFile))
+  }
+
+  /** Parse a metadata document already read from disk — callers that
+    * need the Meta AND the exact bytes it came from (content-hash
+    * snapshots) read once and parse here, leaving no window for a
+    * concurrent swap between read and parse. */
+  def parseMeta(spark: SparkSession, dir: String, text: String): Meta = {
+    val (fs, _) = GraftFs.resolve(spark, dir)
     val obj = TypedJson.parse(text).asInstanceOf[Map[String, Any]]
     val schema = readSchemaFile(spark, fs, new Path(dir, SchemaFile))
 

@@ -124,6 +124,20 @@ object IncrementalAgg {
     md5hex(GraftFs.readString(GraftFs.resolve(spark, srcDir)._1,
       graft.core.Sidecar.metadataPath(srcDir)))
 
+  /** One ATOMIC read of the source's current sidecar: the parsed
+    * metadata and the hash of the very bytes it was parsed from.
+    * build/refresh scan and diff through this Meta, so the state the
+    * view absorbs and the identity it records can never disagree —
+    * a concurrent commit shifts the whole refresh to "before" or
+    * "after" itself instead of splitting it. */
+  private def srcSnapshot(
+      spark: SparkSession, srcDir: String): (graft.core.Sidecar.Meta, String) = {
+    val (fs, _) = GraftFs.resolve(spark, srcDir)
+    val text = GraftFs.readString(fs,
+      graft.core.Sidecar.metadataPath(srcDir))
+    (graft.core.Sidecar.parseMeta(spark, srcDir, text), md5hex(text))
+  }
+
   private def archivedMetaHash(
       spark: SparkSession, srcDir: String, v: Int): Option[String] = {
     val (fs, p) = GraftFs.resolve(spark, srcDir)
@@ -152,14 +166,19 @@ object IncrementalAgg {
       minMaxCols: Seq[String] = Nil,
       rowsPerFile: Long = 1 << 20): Unit = {
     require(groupCols.nonEmpty, "need at least one group column")
-    val src = PDataset.scanParquet(spark, srcDir).toDF
+    // Snapshot the source's identity FIRST and aggregate exactly that
+    // state: a commit landing mid-build then archives our snapshot
+    // under the recorded number (refresh picks its delta up), instead
+    // of the view recording a state it never summarized.
+    val (srcMeta, srcHash) = srcSnapshot(spark, srcDir)
+    val base = nextVersion(spark, srcDir)
+    val src = PDataset.fromSidecarMeta(spark, srcDir, srcMeta).toDF
     val agg = fullAgg(src, groupCols, sumCols, minMaxCols)
     PDataset.fromDataFrame(agg, groupCols)
       .repartition(rowsPerFile)
       .writeParquet(viewDir)
     writeMeta(spark, viewDir,
-      ViewMeta(srcDir, groupCols, sumCols, minMaxCols,
-        nextVersion(spark, srcDir), srcMetaHash(spark, srcDir)))
+      ViewMeta(srcDir, groupCols, sumCols, minMaxCols, base, srcHash))
   }
 
   /** Catch the view up to the source's current generation. Returns
@@ -167,6 +186,12 @@ object IncrementalAgg {
     * source had no retained changes since the last refresh. */
   def refresh(spark: SparkSession, viewDir: String): Long = {
     val m = viewMeta(spark, viewDir)
+    // ONE atomic read of the source's current state: the Meta the
+    // feed diffs against IS the bytes curHash identifies, so a
+    // concurrent commit lands wholly before this snapshot (its delta
+    // is absorbed AND recorded) or wholly after (picked up next
+    // refresh) — never half.
+    val (curMeta, curHash) = srcSnapshot(spark, m.srcDir)
     val cur = nextVersion(spark, m.srcDir)
     def stale(where: String): Nothing = throw new IllegalArgumentException(
       s"the view's base generation (${m.baseVersion}) $where at " +
@@ -179,25 +204,33 @@ object IncrementalAgg {
     // last summarized — renumber the recorded base if needed and
     // no-op. (An unretained mutation changes the hash, so it can
     // never masquerade as synced.)
-    if (srcMetaHash(spark, m.srcDir) == m.baseMetaHash) {
+    if (curHash == m.baseMetaHash) {
       if (cur != m.baseVersion)
         writeMeta(spark, viewDir, m.copy(baseVersion = cur))
       return 0L
     }
-    // Out of sync: the archived generation numbered baseVersion must
-    // be the exact metadata the view summarized — an unretained
-    // mutation followed by a retained op would archive DIFFERENT
-    // content under the expected number.
-    if (!archivedMetaHash(spark, m.srcDir, m.baseVersion)
-        .contains(m.baseMetaHash))
-      stale("is missing or does not match what the view summarized")
-    // Capture the target state's identity BEFORE reading the feed so
-    // a concurrent source commit can't be recorded as synced.
-    val curHash = srcMetaHash(spark, m.srcDir)
+    // Out of sync: resolve the base generation BY CONTENT. The
+    // recorded number is only advisory — vacuum clears the history
+    // and the next retained op renumbers from v0 (the steady state of
+    // the streaming upsert-with-views sink), so when the recorded
+    // number is missing or holds different bytes, scan the history
+    // newest-first for the generation whose content matches what the
+    // view summarized. No match = a mutation went unretained (or
+    // vacuum dropped the base) — fail loudly rather than go stale.
+    val baseV: Int =
+      if (archivedMetaHash(spark, m.srcDir, m.baseVersion)
+          .contains(m.baseMetaHash)) m.baseVersion
+      else Maintenance.versions(spark, m.srcDir).reverseIterator
+        .find(v => archivedMetaHash(spark, m.srcDir, v)
+          .contains(m.baseMetaHash))
+        .getOrElse(stale(
+          "is missing and no archived generation matches what the " +
+            "view summarized"))
     val groupCols = m.groupCols
     val sign = when(col("change_type") === "insert", lit(1L))
       .otherwise(lit(-1L))
-    val feed = Maintenance.changes(spark, m.srcDir, m.baseVersion)
+    val feed = Maintenance.changesBetween(spark, m.srcDir,
+      Maintenance.versionMeta(spark, m.srcDir, baseV), curMeta)
     val delta = feed.groupBy(groupCols.map(col): _*).agg(
       sum(sign).as("__dn"),
       m.sumCols.flatMap(c => Seq(

@@ -92,6 +92,21 @@ object Maintenance {
 
   private val VersionFilePattern = """v(\d+)\.json""".r
 
+  /** Archived (version, mtime) pairs at `dirPath`, version-ascending —
+    * the one listing metaAsOf and vacuum both resolve history from. */
+  private def archivedWithMtimes(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: HPath): Seq[(Int, Long)] = {
+    val h = new HPath(dirPath, HistoryDir)
+    if (!GraftFs.isDir(fs, h)) Seq.empty
+    else GraftFs.listStatuses(fs, h)
+      .flatMap(st => st.getPath.getName match {
+        case VersionFilePattern(n) => Some(n.toInt -> st.getModificationTime)
+        case _ => None
+      })
+      .sortBy(_._1).toSeq
+  }
+
   /** The sidecar metadata of archived generation `version` (also the
     * hook behind `spark.read.format("graft").option("version", n)`). */
   def versionMeta(
@@ -118,15 +133,7 @@ object Maintenance {
   def metaAsOf(
       spark: SparkSession, dir: String, tsMillis: Long): Sidecar.Meta = {
     val (fs, dirPath) = GraftFs.resolve(spark, dir)
-    val h = new HPath(dirPath, HistoryDir)
-    val archived: Seq[(Int, Long)] =
-      if (!GraftFs.isDir(fs, h)) Seq.empty
-      else GraftFs.listStatuses(fs, h)
-        .flatMap(st => st.getPath.getName match {
-          case VersionFilePattern(n) => Some(n.toInt -> st.getModificationTime)
-          case _ => None
-        })
-        .sortBy(_._1).toSeq
+    val archived = archivedWithMtimes(fs, dirPath)
     archived.find(_._2 > tsMillis) match {
       case Some((v, _)) => versionMeta(spark, dir, v)
       case None => Sidecar.load(spark, dir)
@@ -215,7 +222,7 @@ object Maintenance {
         case None => Sidecar.load(spark, dir)
       })
 
-  private def changesBetween(
+  private[operators] def changesBetween(
       spark: SparkSession,
       dir: String,
       fromMeta: Sidecar.Meta,
@@ -348,14 +355,7 @@ object Maintenance {
     val metaMtime =
       fs.getFileStatus(Sidecar.metadataPath(dir)).getModificationTime
     val h = new HPath(dirPath, HistoryDir)
-    val archived: Seq[(Int, Long)] =
-      if (!GraftFs.isDir(fs, h)) Seq.empty
-      else GraftFs.listStatuses(fs, h)
-        .flatMap(st => st.getPath.getName match {
-          case VersionFilePattern(n) => Some(n.toInt -> st.getModificationTime)
-          case _ => None
-        })
-        .sortBy(_._1).toSeq
+    val archived = archivedWithMtimes(fs, dirPath)
     val keepVersions: Set[Int] =
       (archived.takeRight(retainLast).map(_._1) ++
         olderThan.toSeq.flatMap(ts =>

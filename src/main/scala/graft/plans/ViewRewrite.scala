@@ -83,7 +83,7 @@ class ViewRewrite(spark: SparkSession, val viewDir: String)
   private def cachedSrcHash(srcDir: String): String = synchronized {
     val fp = fingerprint(Sidecar.metadataPath(srcDir))
     hashCache match {
-      case Some((`fp`, h)) => h
+      case Some((`fp`, h)) if !recent(fp) => h
       case _ =>
         val h = IncrementalAgg.srcMetaHash(spark, srcDir)
         hashCache = Some((fp, h))
@@ -97,12 +97,22 @@ class ViewRewrite(spark: SparkSession, val viewDir: String)
     (st.getModificationTime, st.getLen)
   }
 
+  // Freshness gates CORRECTNESS here, so the (mtime, length)
+  // fingerprint is not trusted while the file's mtime is within the
+  // filesystem's timestamp granularity of now: two rewrites inside
+  // one granularity tick with equal byte length would collide on the
+  // fingerprint and serve a pre-mutation hash. Once the mtime is old,
+  // any new write necessarily bumps it.
+  private val MtimeGranularityMs = 2000L
+  private def recent(fp: (Long, Long)): Boolean =
+    System.currentTimeMillis() - fp._1 < MtimeGranularityMs
+
   private def cachedViewMeta(): IncrementalAgg.ViewMeta = synchronized {
     val p = new org.apache.hadoop.fs.Path(viewDir,
       IncrementalAgg.MetaFile)
     val fp = fingerprint(p)
     metaCache match {
-      case Some((`fp`, m)) => m
+      case Some((`fp`, m)) if !recent(fp) => m
       case _ =>
         val m = IncrementalAgg.viewMeta(spark, viewDir)
         metaCache = Some((fp, m))
@@ -115,7 +125,7 @@ class ViewRewrite(spark: SparkSession, val viewDir: String)
   private def currentFiles(srcDir: String): Set[String] = synchronized {
     val fp = fingerprint(Sidecar.metadataPath(srcDir))
     filesCache match {
-      case Some((`fp`, s)) => s
+      case Some((`fp`, s)) if !recent(fp) => s
       case _ =>
         val m = Sidecar.load(spark, srcDir)
         val p = new org.apache.hadoop.fs.Path(srcDir)
@@ -190,8 +200,12 @@ class ViewRewrite(spark: SparkSession, val viewDir: String)
       case al @ Alias(
           AggregateExpression(fn, Complete, false, None, _), name) =>
         fn match {
+          // coalesce to 0: a global (no GROUP BY) count over an
+          // EMPTY view must be 0 like count(*) is, not sum's NULL
           case Count(Seq(Literal(1, _))) =>
-            Alias(retyped(viewSum("n"), al.dataType), name)(exprId = al.exprId)
+            import org.apache.spark.sql.catalyst.expressions.Coalesce
+            Alias(retyped(Coalesce(Seq(viewSum("n"), Literal(0L))),
+              al.dataType), name)(exprId = al.exprId)
           case Sum(a: AttributeReference, _) if sumNames(a.name) =>
             Alias(retyped(viewSum(s"${a.name}_sum"), al.dataType),
               name)(exprId = al.exprId)

@@ -60,6 +60,17 @@ final class GraftSource extends RelationProvider
     if (exclusive.length > 1) throw new IllegalArgumentException(
       s"options ${exclusive.mkString("'", "', '", "'")} are mutually " +
         "exclusive")
+    // An upper endpoint without its matching lower endpoint would be
+    // silently dropped below (returning the full table or a feed to
+    // the current generation) — reject instead of returning
+    // plausible-looking wrong rows.
+    Seq("changesTo" -> "changesFrom",
+      "changesToTimestamp" -> "changesFromTimestamp").foreach {
+      case (to, from) =>
+        if (parameters.contains(to) && !parameters.contains(from))
+          throw new IllegalArgumentException(
+            s"option '$to' requires option '$from'")
+    }
     def feedRelation(df: org.apache.spark.sql.DataFrame): BaseRelation = {
       val sqlc = sqlContext
       new BaseRelation with org.apache.spark.sql.sources.TableScan {

@@ -229,6 +229,15 @@ class GraftSourceSpec extends AnyFunSuite {
     val now = System.currentTimeMillis() + 60000L
     assert(spark.read.format("graft")
       .option("changesFromTimestamp", now.toString).load(out).count() == 0L)
+    // an upper endpoint without its matching lower endpoint would be
+    // silently ignored — rejected instead
+    assertThrows[IllegalArgumentException] {
+      spark.read.format("graft").option("changesTo", "1").load(out)
+    }
+    assertThrows[IllegalArgumentException] {
+      spark.read.format("graft").option("changesFrom", "0")
+        .option("changesToTimestamp", now.toString).load(out)
+    }
   }
 
   test("graft sink demands the index option") {

@@ -165,4 +165,27 @@ class IncrementalAggSpec extends AnyFunSuite {
       IncrementalAgg.refresh(spark, view)
     }
   }
+
+  test("refresh survives vacuum renumbering the history") {
+    val root = tempDir("incragg-renum")
+    val src = root + "/src"
+    val view = root + "/view"
+    writeSrc(src, 300)
+    IncrementalAgg.build(spark, src, view, Seq("grp"), Seq("qty"))
+    Maintenance.upsert(spark, src,
+      srcDF(5, 3, "u").withColumn("qty", lit(4.0)), retain = true)
+    assert(IncrementalAgg.refresh(spark, view) > 0L)
+    // vacuum clears the history; the NEXT retained op renumbers its
+    // archive from v0 while the view's recorded base stays at the
+    // pre-vacuum number — refresh must resolve the base by content
+    val _ = Maintenance.vacuum(spark, src)
+    assert(Maintenance.versions(spark, src).isEmpty)
+    Maintenance.upsert(spark, src,
+      srcDF(50, 4, "w").withColumn("qty", lit(7.0)), retain = true)
+    assert(Maintenance.versions(spark, src) == Seq(0))
+    assert(IncrementalAgg.refresh(spark, view) > 0L)
+    assert(got(view) == expect(src))
+    // synced again: a further refresh is a no-op
+    assert(IncrementalAgg.refresh(spark, view) == 0L)
+  }
 }

@@ -179,8 +179,17 @@ class StreamingSpec extends AnyFunSuite {
     val stream = spark.readStream.schema(base.schema).parquet(streamSrc)
     val q = graft.streaming.DocumentStreams
       .upsertSinkWithViews(stream, target, checkpoint, Seq(view))
-    try q.processAllAvailable()
-    finally q.stop()
+    try {
+      q.processAllAvailable()
+      // A SECOND micro-batch after the first batch's vacuum cleared
+      // the history: generation numbering restarts at v0, so this
+      // pins that refresh resolves the view's base generation by
+      // CONTENT, not by the recorded (now-renumbered) version.
+      base.filter(col("doc_id") >= 25 && col("doc_id") < 40)
+        .withColumn("lang", lit("yy")).withColumn("chars", lit(320.0))
+        .coalesce(1).write.mode("append").parquet(streamSrc)
+      q.processAllAvailable()
+    } finally q.stop()
 
     // the view equals a fresh full aggregate of the mutated table
     val want = PDataset.scanParquet(spark, target).toDF
@@ -192,7 +201,7 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("n"),
         r.getAs[Double]("chars_sum"))).sortBy(_._1).toSeq
     assert(got == want)
-    assert(got.exists(_._1 == "xx"))
+    assert(got.exists(_._1 == "xx") && got.exists(_._1 == "yy"))
     // per-batch history vacuumed once the views caught up; the view
     // is fresh so a direct refresh is a no-op
     assert(Maintenance.versions(spark, target).isEmpty)

@@ -180,6 +180,20 @@ class ViewRewriteSpec extends AnyFunSuite {
       r.getLong(2))).sortBy(t => (t._1, t._2)).toSeq == want)
   }
 
+  test("global count over a no-rows rewrite is 0, not sum's NULL") {
+    val (src, _) = dirs
+    // a group-column filter matching NOTHING: the rewritten global
+    // count aggregates an empty view subset — count semantics demand
+    // 0 where a bare sum(n) would produce NULL
+    val q = spark.read.format("graft").load(src)
+      .filter(col("grp") < 0)
+      .agg(count(lit(1)).as("n_rows"))
+    assert(scannedFiles(q).forall(_.contains("/view")))
+    val rows = q.collect()
+    assert(rows.length == 1 && !rows.head.isNullAt(0) &&
+      rows.head.getLong(0) == 0L)
+  }
+
   test("shapes the view cannot answer are left alone") {
     val (src, _) = dirs
     // count(col) skips nulls; avg/distinct/other groupings untracked
