@@ -166,6 +166,45 @@ class IncrementalAggSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized retained mutations with interleaved vacuums stay exact") {
+    val root = tempDir("incragg-rand")
+    val src = root + "/src"
+    val view = root + "/view"
+    writeSrc(src, 400)
+    IncrementalAgg.build(spark, src, view, Seq("grp"), Seq("qty"))
+    // Fixed-seed random walk over the op space the streaming sink
+    // exercises in production: retained upserts (update + insert mix)
+    // and point deletes accumulate across refreshes, and vacuum —
+    // run only while the view is synced, the sink's discipline —
+    // renumbers the history under the view's recorded base. Every
+    // refresh must land exactly on a full rebuild of the source.
+    val rnd = new scala.util.Random(20260813L)
+    for (step <- 1 to 10) {
+      rnd.nextInt(3) match {
+        case 0 =>
+          val lo = rnd.nextInt(500).toLong
+          Maintenance.upsert(spark, src,
+            srcDF(lo, 1L + rnd.nextInt(20), s"s$step")
+              .withColumn("qty", lit(rnd.nextInt(9).toDouble)),
+            retain = true)
+        case 1 =>
+          val lo = rnd.nextInt(400).toLong
+          Maintenance.deleteKeys(spark, src,
+            spark.range(lo, lo + 1 + rnd.nextInt(10))
+              .select(col("id").as("k")),
+            retain = true)
+        case _ => () // let mutations accumulate before the next refresh
+      }
+      if (rnd.nextBoolean() || step == 10) {
+        IncrementalAgg.refresh(spark, view)
+        assert(got(view) == expect(src), s"diverged at step $step")
+        if (rnd.nextBoolean()) {
+          val _ = Maintenance.vacuum(spark, src)
+        }
+      }
+    }
+  }
+
   test("refresh survives vacuum renumbering the history") {
     val root = tempDir("incragg-renum")
     val src = root + "/src"
