@@ -768,6 +768,28 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // TPC-H Q4 shape (order-priority checking): the correlated
+    // EXISTS — here with a NON-equi correlated predicate (a line
+    // shipped > 60 days after its order's date) — is a LEFT SEMI
+    // join carrying the extra condition, so lineitem never widens
+    // the row and each order is counted once however many late
+    // lines it has. The date window filters orders BEFORE the join,
+    // so the shuffled semi-join probe side is ~4% of orders.
+    "q_tpch_q4" -> ((s, d) => {
+      val o = scan(s, d, "orders").toDF
+        .filter(col("o_orderdate") >= lit(ldt("1996-01-01T00:00")) &&
+          col("o_orderdate") < lit(ldt("1996-04-01T00:00")))
+      val l = scan(s, d, "lineitem").toDF
+        .select("l_orderkey", "l_shipdate")
+      o.join(l, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
     // TPC-H Q18 shape (large-volume customers): a HAVING-filtered
     // aggregate over the fact spine feeds an IN-subquery — expressed
     // as a LEFT SEMI join so the big-orders key set never widens the
@@ -1694,6 +1716,16 @@ object SparkEntry {
            JOIN region ON n_regionkey = r_regionkey
            WHERE r_name = 'ASIA'
            GROUP BY n_name ORDER BY revenue DESC, n_name""",
+      "q_tpch_q4" ->
+        """SELECT o_orderpriority, count(*) AS order_count
+           FROM orders o
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1996-04-01'
+             AND EXISTS (
+               SELECT 1 FROM lineitem l
+               WHERE l.l_orderkey = o.o_orderkey
+                 AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+           GROUP BY o_orderpriority ORDER BY o_orderpriority""",
       "q_tpch_q18" ->
         """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
                   round(sum(l_quantity), 2) AS sum_qty

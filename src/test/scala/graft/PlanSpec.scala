@@ -99,6 +99,21 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_max"), "expected map-side partial agg")
   }
 
+  test("TPC-H Q4 plans one semi join, no nested loop for the non-equi leg") {
+    val df = SparkEntry.queries("q_tpch_q4")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // The correlated EXISTS has an equi key (orderkey) plus a
+    // non-equi date condition: the condition must ride ON the hash
+    // semi join, never degrade to BroadcastNestedLoopJoin.
+    assert(plan.contains("LeftSemi"), s"expected a semi join:\n$plan")
+    assert(!plan.contains("NestedLoop"),
+      s"non-equi leg degraded to a nested loop:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), " +
+      "GreaterThanOrEqual(o_orderdate") || plan.contains("GreaterThanOrEqual"),
+      s"expected the date window pushed to the orders scan:\n$plan")
+  }
+
   test("TPC-H Q18 semi-filters the spine, broadcasts it, and top-Ks") {
     val df = SparkEntry.queries("q_tpch_q18")(spark, sf)
     df.collect()
