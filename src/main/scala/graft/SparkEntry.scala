@@ -790,6 +790,35 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // TPC-H Q10 shape (returned-item revenue): the quarter window
+    // filters orders and the returnflag filters lineitem BEFORE the
+    // spine join, nation broadcasts onto the customer side, and the
+    // per-customer revenue ranking is a TakeOrderedAndProject top-20
+    // (never a global sort). Group keys include the unique customer
+    // key, so the order is fully deterministic.
+    "q_tpch_q10" -> ((s, d) => {
+      val c = scan(s, d, "customer").toDF
+      val o = scan(s, d, "orders").toDF
+        .filter(col("o_orderdate") >= lit(ldt("1996-01-01T00:00")) &&
+          col("o_orderdate") < lit(ldt("1996-04-01T00:00")))
+      val l = scan(s, d, "lineitem").toDF
+        .filter(col("l_returnflag") === "R")
+      val n = scan(s, d, "nation").toDF
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        // prices and discounts are cent-exact: summing integer
+        // (cents × discount-percent) keeps the revenue EXACT, so the
+        // top-20 boundary can never flip on float accumulation order
+        .agg((sum(round(col("l_extendedprice") * 100).cast("long") *
+            round((lit(1) - col("l_discount")) * 100).cast("long")) /
+          lit(10000.0)).as("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // TPC-H Q18 shape (large-volume customers): a HAVING-filtered
     // aggregate over the fact spine feeds an IN-subquery — expressed
     // as a LEFT SEMI join so the big-orders key set never widens the
@@ -1726,6 +1755,21 @@ object SparkEntry {
                WHERE l.l_orderkey = o.o_orderkey
                  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
            GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+      "q_tpch_q10" ->
+        """SELECT c_custkey, c_name,
+                  sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      CAST(round((1 - l_discount) * 100) AS BIGINT))
+                    / 10000.0 AS revenue,
+                  c_acctbal, n_name
+           FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+           JOIN nation ON c_nationkey = n_nationkey
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1996-04-01'
+             AND l_returnflag = 'R'
+           GROUP BY c_custkey, c_name, c_acctbal, n_name
+           ORDER BY revenue DESC, c_custkey LIMIT 20""",
       "q_tpch_q18" ->
         """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
                   round(sum(l_quantity), 2) AS sum_qty

@@ -114,6 +114,16 @@ class PlanSpec extends AnyFunSuite {
       s"expected the date window pushed to the orders scan:\n$plan")
   }
 
+  test("TPC-H Q10 broadcasts nation and top-20s without a global sort") {
+    val df = SparkEntry.queries("q_tpch_q10")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected top-K, not a global sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the nation dim broadcast:\n$plan")
+  }
+
   test("TPC-H Q18 semi-filters the spine, broadcasts it, and top-Ks") {
     val df = SparkEntry.queries("q_tpch_q18")(spark, sf)
     df.collect()
