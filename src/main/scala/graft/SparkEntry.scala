@@ -790,6 +790,23 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // TPC-H Q14 shape (promo revenue): conditional aggregation — the
+    // promo and total revenues come out of ONE pass over the joined
+    // month of lineitem, never two scans. Exact integer cents (see
+    // Q10) make the ratio bit-identical across engines.
+    "q_tpch_q14" -> ((s, d) => {
+      val l = scan(s, d, "lineitem").toDF
+        .filter(col("l_shipdate") >= lit(ldt("1996-01-01T00:00")) &&
+          col("l_shipdate") < lit(ldt("1996-02-01T00:00")))
+      val p = scan(s, d, "part").toDF.select("p_partkey", "p_type")
+      val cents = round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+          sum(when(col("p_type") === "PROMO", cents).otherwise(0L)) /
+          sum(cents)).as("promo_revenue_pct"))
+    }),
+
     // TPC-H Q10 shape (returned-item revenue): the quarter window
     // filters orders and the returnflag filters lineitem BEFORE the
     // spine join, nation broadcasts onto the customer side, and the
@@ -1755,6 +1772,18 @@ object SparkEntry {
                WHERE l.l_orderkey = o.o_orderkey
                  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
            GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+      "q_tpch_q14" ->
+        """SELECT 100.0 *
+                  sum(CASE WHEN p_type = 'PROMO'
+                      THEN CAST(round(l_extendedprice * 100) AS BIGINT) *
+                           CAST(round((1 - l_discount) * 100) AS BIGINT)
+                      ELSE 0 END) /
+                  sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      CAST(round((1 - l_discount) * 100) AS BIGINT))
+                    AS promo_revenue_pct
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-02-01'""",
       "q_tpch_q10" ->
         """SELECT c_custkey, c_name,
                   sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
