@@ -266,11 +266,19 @@ object IncrementalAgg {
           groupCols.map(col) ++
             Seq((coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
               .as("n")) ++
-            m.sumCols.flatMap(c => Seq(
-              (coalesce(col(sumName(c)), lit(0.0)) +
-                coalesce(col(s"__d_${c}"), lit(0.0))).as(sumName(c)),
-              (coalesce(col(nnName(c)), lit(0L)) +
-                coalesce(col(s"__dnn_${c}"), lit(0L))).as(nnName(c)))) ++
+            m.sumCols.flatMap { c =>
+              val nn = coalesce(col(nnName(c)), lit(0L)) +
+                coalesce(col(s"__dnn_${c}"), lit(0L))
+              val sm = coalesce(col(sumName(c)), lit(0.0)) +
+                coalesce(col(s"__d_${c}"), lit(0.0))
+              // SQL sum over zero non-null values is NULL, and build
+              // stores exactly that for an all-null group — so refresh
+              // must too, or a refreshed group would read 0.0 where
+              // the source aggregate (and the sum rewrite) says NULL.
+              Seq(when(nn === 0L, lit(null).cast("double"))
+                .otherwise(sm).as(sumName(c)),
+                nn.as(nnName(c)))
+            } ++
             m.minMaxCols.flatMap(c => Seq(
               least(col(minName(c)), col(s"__dmin_${c}")).as(minName(c)),
               greatest(col(maxName(c)), col(s"__dmax_${c}")).as(maxName(c)))): _*)

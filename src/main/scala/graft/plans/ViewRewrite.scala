@@ -17,11 +17,13 @@ import graft.operators.IncrementalAgg
 /** Opt-in materialized-view rewrite: an `Aggregate` whose child scans
   * the view's source dataset (its exact CURRENT file set) and whose
   * shape the view can answer — grouping on any subset of the view's
-  * group columns, aggregates limited to `count(*)` / `sum(col)` over
-  * the view's sum columns — is rewritten to aggregate the view
-  * instead: `count(*)` becomes `sum(n)`, `sum(col)` becomes
-  * `sum(col_sum)`. A 100 TB fact scan turns into a view-sized read
-  * with identical results.
+  * group columns, aggregates limited to `count(*)` / `count(col)` /
+  * `sum(col)` / `avg(col)` over the view's sum columns (plus
+  * `min`/`max` over its min/max columns) — is rewritten to aggregate
+  * the view instead: `count(*)` becomes `sum(n)`, `count(col)`
+  * becomes `sum(col_nn)`, `sum(col)` becomes `sum(col_sum)`. A
+  * 100 TB fact scan turns into a view-sized read with identical
+  * results.
   *
   * Soundness gates, all checked per invocation:
   *   - the view must be fresh ([[IncrementalAgg.isFresh]] — source
@@ -30,9 +32,11 @@ import graft.operators.IncrementalAgg
   *   - the scanned file set must equal the source's current sidecar
   *     listing exactly, so a time-travel scan of an OLD generation
   *     (same directory, different files) is never rewritten.
-  *   - aggregates must be plain (no DISTINCT, no FILTER), and
-  *     `count` must be `count(*)`/`count(1)` — `count(col)` skips
-  *     null measures, which the view does not track.
+  *   - aggregates must be plain (no DISTINCT, no FILTER).
+  *     `count(col)` over a sum column answers from the view's
+  *     per-measure non-null counts (`<c>_nn`); a decimal-typed
+  *     `sum`/`avg` declines (the view's partial sums are doubles —
+  *     rewriting would silently round where the scan is exact).
   *
   * Register on a session via [[ViewRewrite.register]] (appends to
   * `spark.experimental.extraOptimizations`, the user-rule batch that
@@ -86,7 +90,10 @@ class ViewRewrite(spark: SparkSession, val viewDir: String)
       case Some((`fp`, h)) if !recent(fp) => h
       case _ =>
         val h = IncrementalAgg.srcMetaHash(spark, srcDir)
-        hashCache = Some((fp, h))
+        // Only post-granularity reads are memoized: a write landing
+        // in the same mtime tick with equal length would otherwise
+        // permanently pin the pre-mutation value under this fp.
+        if (!recent(fp)) hashCache = Some((fp, h))
         h
     }
   }
@@ -115,7 +122,7 @@ class ViewRewrite(spark: SparkSession, val viewDir: String)
       case Some((`fp`, m)) if !recent(fp) => m
       case _ =>
         val m = IncrementalAgg.viewMeta(spark, viewDir)
-        metaCache = Some((fp, m))
+        if (!recent(fp)) metaCache = Some((fp, m))
         m
     }
   }
@@ -132,17 +139,19 @@ class ViewRewrite(spark: SparkSession, val viewDir: String)
         val s = m.files.map(f =>
           Stats.normalizePath(new org.apache.hadoop.fs.Path(p, f).toString))
           .toSet
-        filesCache = Some((fp, s))
+        if (!recent(fp)) filesCache = Some((fp, s))
         s
     }
   }
 
   /** The aggregate's child is a (possibly column-pruning-projected)
     * file scan over EXACTLY the source's current files, optionally
-    * under ONE deterministic filter touching only the view's group
-    * columns — such a filter partitions whole groups, so it pushes
-    * through onto the view untouched. Returns the filter (None =
-    * bare scan) when the shape matches. */
+    * under deterministic filters touching only the view's group
+    * columns — such filters partition whole groups, so they push
+    * through onto the view untouched. Stacked Filter nodes (which
+    * the optimizer usually, but not always, collapses before user
+    * rules run) fold conjunctively. Returns the combined filter
+    * (None = bare scan) when the shape matches. */
   private def matchScan(
       p: LogicalPlan,
       srcFiles: Set[String],
@@ -153,9 +162,12 @@ class ViewRewrite(spark: SparkSession, val viewDir: String)
           if projs.forall(_.isInstanceOf[AttributeReference]) =>
         matchScan(child, srcFiles, groupNames, filterSeen)
       case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child)
-          if filterSeen.isEmpty && cond.deterministic &&
+          if cond.deterministic &&
             cond.references.forall(a => groupNames(a.name)) =>
-        matchScan(child, srcFiles, groupNames, Some(cond))
+        val folded = filterSeen
+          .map(org.apache.spark.sql.catalyst.expressions.And(_, cond))
+          .orElse(Some(cond))
+        matchScan(child, srcFiles, groupNames, folded)
       case lr: LogicalRelation =>
         lr.relation match {
           case fs: HadoopFsRelation =>
@@ -191,6 +203,8 @@ class ViewRewrite(spark: SparkSession, val viewDir: String)
       AggregateExpression(Max(viewAttr(name)), Complete, isDistinct = false)
     def retyped(e: Expression, want: org.apache.spark.sql.types.DataType) =
       if (e.dataType == want) e else Cast(e, want)
+    def decimalTyped(t: org.apache.spark.sql.types.DataType) =
+      t.isInstanceOf[org.apache.spark.sql.types.DecimalType]
 
     val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
       case a: AttributeReference if groupNames(a.name) =>
@@ -206,14 +220,25 @@ class ViewRewrite(spark: SparkSession, val viewDir: String)
             import org.apache.spark.sql.catalyst.expressions.Coalesce
             Alias(retyped(Coalesce(Seq(viewSum("n"), Literal(0L))),
               al.dataType), name)(exprId = al.exprId)
-          case Sum(a: AttributeReference, _) if sumNames(a.name) =>
+          // count(col) IS the view's per-measure non-null count:
+          // count(c) = coalesce(sum(<c>_nn), 0) exactly.
+          case Count(Seq(a: AttributeReference)) if sumNames(a.name) =>
+            import org.apache.spark.sql.catalyst.expressions.Coalesce
+            Alias(retyped(Coalesce(Seq(viewSum(s"${a.name}_nn"),
+              Literal(0L))), al.dataType), name)(exprId = al.exprId)
+          // The view's partial sums are doubles; a decimal-typed sum
+          // (the one result type where the source scan is exact past
+          // double precision) must not be silently double-rounded.
+          case Sum(a: AttributeReference, _)
+              if sumNames(a.name) && !decimalTyped(al.dataType) =>
             Alias(retyped(viewSum(s"${a.name}_sum"), al.dataType),
               name)(exprId = al.exprId)
           // avg(c) = sum of partial sums / sum of NON-NULL counts —
           // the view tracks <c>_nn precisely so null measures divide
           // correctly (`n` would overcount them). An all-null group
           // yields null like avg would, not an ANSI division error.
-          case Average(a: AttributeReference, _) if sumNames(a.name) =>
+          case Average(a: AttributeReference, _)
+              if sumNames(a.name) && !decimalTyped(al.dataType) =>
             import org.apache.spark.sql.catalyst.expressions.{Divide,
               EqualTo, If}
             import org.apache.spark.sql.types.DoubleType

@@ -112,6 +112,47 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(got(view) == expect(src))
   }
 
+  test("a refreshed all-null group stores NULL sum, matching build") {
+    val root = tempDir("incragg-nullsum")
+    val src = root + "/src"
+    val view = root + "/view"
+    // grp 0's qty is ALL NULL; build stores sum = NULL for it (SQL
+    // sum over zero non-null values). A refresh that touches grp 0
+    // must preserve that, not coalesce to 0.0 (ADVICE r8 medium).
+    val df = spark.range(0, 200).select(
+      col("id").as("k"), (col("id") % 10).as("grp"),
+      when(col("id") % 10 === 0, lit(null).cast("double"))
+        .otherwise((col("id") % 13).cast("double")).as("qty"),
+      concat(lit("v"), col("id")).as("payload"))
+    PDataset.fromDataFrame(df, Seq("k")).writeParquet(src)
+    IncrementalAgg.build(spark, src, view, Seq("grp"), Seq("qty"))
+    def sums(): Map[Long, Option[Double]] =
+      PDataset.scanParquet(spark, view).toDF.collect()
+        .map(r => r.getAs[Long]("grp") ->
+          (if (r.isNullAt(r.fieldIndex("qty_sum"))) None
+           else Some(r.getAs[Double]("qty_sum")))).toMap
+    assert(sums()(0L).isEmpty, "build must store NULL for an all-null group")
+    // delete one of grp 0's (all-null) rows: the refresh merges the
+    // group and must keep its sum NULL while the count drops by one
+    Maintenance.deleteKeys(spark, src, Seq(10L).toDF("k"), retain = true)
+    assert(IncrementalAgg.refresh(spark, view) > 0L)
+    assert(sums()(0L).isEmpty,
+      "refresh must keep an all-null group's sum NULL, not 0.0")
+    val n0 = PDataset.scanParquet(spark, view).toDF
+      .filter(col("grp") === 0L).select("n").collect().head.getLong(0)
+    assert(n0 == 19L)
+    // and every group (null and not) matches a full source aggregate
+    val want = PDataset.scanParquet(spark, src).toDF
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum("qty").as("qty_sum"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val gotAll = PDataset.scanParquet(spark, view).toDF.collect()
+      .map(r => r.getAs[Long]("grp") -> (r.getAs[Long]("n"),
+        if (r.isNullAt(r.fieldIndex("qty_sum"))) None
+        else Some(r.getAs[Double]("qty_sum")))).toMap
+    assert(gotAll == want)
+  }
+
   test("min/max columns maintain under insert-only deltas, refuse deletes") {
     val root = tempDir("incragg-minmax")
     val src = root + "/src"

@@ -121,6 +121,65 @@ class ViewRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("count(col) answers from the view's non-null counts — nulls exact") {
+    val root = tempDir("view-rewrite-cnt")
+    val src = root + "/src"
+    val view = root + "/view"
+    // every 5th measure is NULL: count(qty) must skip exactly those,
+    // which is the view's <qty>_nn — n (row count) would overcount
+    val df = spark.range(0, 500).select(
+      col("id").as("k"), (col("id") % 10).as("grp"),
+      when(col("id") % 5 === 0, lit(null).cast("double"))
+        .otherwise((col("id") % 13).cast("double")).as("qty"))
+    PDataset.fromDataFrame(df, Seq("k")).repartition(100).writeParquet(src)
+    IncrementalAgg.build(spark, src, view, Seq("grp"), Seq("qty"))
+    ViewRewrite.register(spark, view)
+    val q = spark.read.format("graft").load(src)
+      .groupBy("grp").agg(count(col("qty")).as("c"),
+        count(lit(1)).as("n_rows"))
+    assert(scannedFiles(q).forall(_.contains("/view")))
+    val want = df.groupBy("grp").agg(count(col("qty")).as("c"),
+      count(lit(1)).as("n_rows"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2))).sortBy(_._1).toSeq == want)
+    // groups 0 and 5 are all-null: count(qty) = 0 there, n_rows = 50
+    assert(want.exists(t => t._1 == 0L && t._2 == 0L && t._3 == 50L))
+    // and a GLOBAL count(col) under a no-rows filter is 0, not NULL
+    val g = spark.read.format("graft").load(src)
+      .filter(col("grp") < 0).agg(count(col("qty")).as("c"))
+    assert(scannedFiles(g).forall(_.contains("/view")))
+    val rows = g.collect()
+    assert(rows.length == 1 && !rows.head.isNullAt(0) &&
+      rows.head.getLong(0) == 0L)
+  }
+
+  test("decimal-typed sum and avg decline — doubles would round") {
+    val root = tempDir("view-rewrite-dec")
+    val src = root + "/src"
+    val view = root + "/view"
+    val df = spark.range(0, 300).select(
+      col("id").as("k"), (col("id") % 10).as("grp"),
+      col("id").cast("decimal(20,2)").as("qty"))
+    PDataset.fromDataFrame(df, Seq("k")).writeParquet(src)
+    IncrementalAgg.build(spark, src, view, Seq("grp"), Seq("qty"))
+    ViewRewrite.register(spark, view)
+    // sum(decimal) / avg(decimal) have decimal result types: the view
+    // stores double partials, so the rewrite must decline rather than
+    // silently round — the plan keeps scanning the source
+    val q1 = spark.read.format("graft").load(src)
+      .groupBy("grp").agg(sum("qty").as("s"))
+    assert(scannedFiles(q1).forall(_.contains("/src")))
+    val q2 = spark.read.format("graft").load(src)
+      .groupBy("grp").agg(avg("qty").as("a"))
+    assert(scannedFiles(q2).forall(_.contains("/src")))
+    // count(col) carries no decimal hazard: it still fires
+    val q3 = spark.read.format("graft").load(src)
+      .groupBy("grp").agg(count(col("qty")).as("c"))
+    assert(scannedFiles(q3).forall(_.contains("/view")))
+  }
+
   test("min/max answer from a min/max-tracking view; others decline") {
     val root = tempDir("view-rewrite-mm")
     val src = root + "/src"
@@ -180,6 +239,39 @@ class ViewRewriteSpec extends AnyFunSuite {
       r.getLong(2))).sortBy(t => (t._1, t._2)).toSeq == want)
   }
 
+  test("stacked group-column filters fold conjunctively and fire") {
+    val (src, view) = dirs
+    // The optimizer usually collapses adjacent Filters before user
+    // rules run — apply the rule straight to the ANALYZED plan, where
+    // the two .filter calls are still distinct nodes, to pin that
+    // matchScan folds them instead of declining on the second one.
+    val q = spark.read.format("graft").load(src)
+      .filter(col("grp") < 5).filter(col("bucket") =!= 2)
+      .groupBy("grp", "bucket").agg(count(lit(1)).as("n_rows"))
+    val analyzed = q.queryExecution.analyzed
+    val stacked = analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }
+    assert(stacked.length == 2, s"fixture must stack two Filters:\n$analyzed")
+    val rewritten = new graft.plans.ViewRewrite(spark, view)(analyzed)
+    val scans = rewritten.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.toSeq
+    }.flatten
+    assert(scans.nonEmpty && scans.forall(_.contains("/view")),
+      s"stacked filters must still rewrite to the view:\n$rewritten")
+    // and both predicates survive: the rewritten plan keeps a Filter
+    // referencing both group columns
+    val conds = rewritten.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.references.map(_.name).toSet
+    }
+    assert(conds.exists(_ == Set("grp", "bucket")),
+      s"folded filter must keep both predicates, saw $conds")
+  }
+
   test("global count over a no-rows rewrite is 0, not sum's NULL") {
     val (src, _) = dirs
     // a group-column filter matching NOTHING: the rewritten global
@@ -196,9 +288,9 @@ class ViewRewriteSpec extends AnyFunSuite {
 
   test("shapes the view cannot answer are left alone") {
     val (src, _) = dirs
-    // count(col) skips nulls; avg/distinct/other groupings untracked
+    // count over an UNtracked column; distinct; untracked groupings
     val q1 = spark.read.format("graft").load(src)
-      .groupBy("grp").agg(count(col("qty")))
+      .groupBy("grp").agg(count(col("k")))
     assert(scannedFiles(q1).forall(_.contains("/src")))
     val q2 = spark.read.format("graft").load(src)
       .groupBy("k").agg(sum("qty"))
