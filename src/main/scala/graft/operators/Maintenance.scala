@@ -283,14 +283,14 @@ object Maintenance {
     * filesystem can't provide — but it turns the common overlapping-
     * maintenance mistake from silent lost updates into a loud error
     * (both generations' files are still on disk; re-run the op). */
-  private def metaFingerprint(
+  private[graft] def metaFingerprint(
       spark: SparkSession, dirPath: HPath): (Long, Long) = {
     val (fs, _) = GraftFs.resolve(spark, dirPath.toString)
     val st = fs.getFileStatus(Sidecar.metadataPath(dirPath.toString))
     (st.getModificationTime, st.getLen)
   }
 
-  private def guardUnchanged(
+  private[graft] def guardUnchanged(
       spark: SparkSession, dirPath: HPath, loaded: (Long, Long)): Unit = {
     if (metaFingerprint(spark, dirPath) != loaded)
       throw new java.util.ConcurrentModificationException(

@@ -101,14 +101,30 @@ final class GraftSource extends RelationProvider
     }
   }
 
-  /** Epoch millis, or an ISO-8601 instant / local datetime (UTC). */
+  /** Epoch millis, or an ISO-8601 instant / local datetime / date
+    * (local forms read as UTC). Anything else names the accepted
+    * forms instead of escaping as a bare parse exception. */
   private def parseTs(t: String): Long =
     t.toLongOption.getOrElse {
       try java.time.Instant.parse(t).toEpochMilli
       catch {
         case _: java.time.format.DateTimeParseException =>
-          java.time.LocalDateTime.parse(t)
+          try java.time.LocalDateTime.parse(t)
             .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              try java.time.LocalDate.parse(t).atStartOfDay()
+                .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+              catch {
+                case _: java.time.format.DateTimeParseException =>
+                  throw new IllegalArgumentException(
+                    s"cannot parse timestamp option value '$t'; accepted " +
+                      "forms: epoch millis (1723500000000), ISO-8601 " +
+                      "instant (2026-08-13T00:00:00Z), ISO local " +
+                      "datetime read as UTC (2026-08-13T00:00:00), or " +
+                      "ISO date read as UTC midnight (2026-08-13)")
+              }
+          }
       }
     }
 
@@ -147,9 +163,16 @@ final class GraftSource extends RelationProvider
     // An append onto an existing sidecar dataset validates against —
     // and then merges into — that sidecar, instead of re-deriving
     // metadata over the whole table.
-    val appendTo: Option[Sidecar.Meta] =
+    val appendTo: Option[(Sidecar.Meta, (Long, Long))] =
       if (mode == SaveMode.Append && Sidecar.exists(spark, path)) {
         val m = Sidecar.load(spark, path)
+        // Fingerprint the sidecar the moment it is loaded: the append
+        // re-checks it right before installing the merged listing, so
+        // a maintenance commit landing during the (long) write window
+        // aborts loudly instead of being overwritten from this stale
+        // base — the same optimistic-concurrency discipline every
+        // Maintenance op follows.
+        val fp = graft.operators.Maintenance.metaFingerprint(spark, p)
         require(m.indexColumns == index,
           s"cannot append with index columns ${index.mkString(",")} to a " +
             s"dataset indexed on ${m.indexColumns.mkString(",")}")
@@ -170,7 +193,7 @@ final class GraftSource extends RelationProvider
             case _ => ()
           }
         }
-        Some(m)
+        Some((m, fp))
       } else None
 
     val keys = index.map(col)
@@ -186,7 +209,7 @@ final class GraftSource extends RelationProvider
         .toSet
 
     appendTo match {
-      case Some(m) =>
+      case Some((m, loadedFp)) =>
         // Incremental append: diff the listing around the write, stat
         // ONLY the new files (one job over the delta), merge entries.
         val before = dataFileNames()
@@ -203,6 +226,7 @@ final class GraftSource extends RelationProvider
         // never move it backwards (see PDataset.writeMetadata).
         val maxIdx = math.max(m.maxPartitionIndex,
           m.files.length + names.length - 1L)
+        graft.operators.Maintenance.guardUnchanged(spark, p, loadedFp)
         Sidecar.write(spark, path, index,
           m.files ++ names, m.sizes ++ stats.map(_.size),
           m.lowerBounds ++ stats.map(_.lb),

@@ -240,6 +240,58 @@ class GraftSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("sink append aborts when a concurrent writer commits mid-write") {
+    import spark.implicits._
+    val out = tempDir("graft-source-race") + "/ds"
+    val base = (0L until 300L).map(k => (k, s"v$k")).toDF("k", "payload")
+    PDataset.fromDataFrame(base, Seq("k")).repartition(100).writeParquet(out)
+    // A UDF evaluated INSIDE the append's write job plays the
+    // concurrent writer: it bumps the sidecar's length (valid JSON —
+    // trailing whitespace) after the append loaded it but before the
+    // merged listing is installed. local[*] executors share the JVM
+    // and filesystem, so this lands exactly in the guard's window.
+    val metaFile = s"$out/_padawan_metadata.json"
+    val trip = udf { k: Long =>
+      val fos = new java.io.FileOutputStream(metaFile, true)
+      try fos.write(' ') finally fos.close()
+      // the raw append bypasses Hadoop's LocalFileSystem checksum
+      // bookkeeping — drop the stale .crc so later reads verify
+      val _ = new java.io.File(s"$out/._padawan_metadata.json.crc").delete()
+      k
+    }
+    val extra = spark.range(1000L, 1010L)
+      .select(trip(col("id")).as("k"), concat(lit("x"), col("id")).as("payload"))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      extra.write.format("graft").mode("append")
+        .option("index", "k").option("files", "1").save(out)
+    }
+    assert(e.getMessage.contains("changed while"))
+    // nothing was installed: the stale merge did NOT overwrite the
+    // (concurrently advanced) sidecar — the dataset reads whole
+    assert(spark.read.format("graft").load(out).count() == 300L)
+  }
+
+  test("timestamp options accept dates and reject junk with guidance") {
+    import spark.implicits._
+    val out = tempDir("graft-source-ts") + "/ds"
+    val base = (0L until 50L).map(k => (k, s"v$k")).toDF("k", "payload")
+    PDataset.fromDataFrame(base, Seq("k")).writeParquet(out)
+    graft.operators.Maintenance.upsert(spark, out,
+      Seq((9000L, "INS")).toDF("k", "payload"), retain = true)
+    // a plain ISO date now parses (as UTC midnight): far future = the
+    // current generation
+    assert(spark.read.format("graft")
+      .option("asOfTimestamp", "2100-01-01").load(out).count() == 51L)
+    // junk names the option's accepted forms instead of escaping as a
+    // bare DateTimeParseException
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft")
+        .option("asOfTimestamp", "not-a-timestamp").load(out)
+    }
+    assert(e.getMessage.contains("accepted"))
+    assert(e.getMessage.contains("epoch millis"))
+  }
+
   test("graft sink demands the index option") {
     val out = tempDir("graft-source-noindex") + "/x.parquet"
     val e = intercept[IllegalArgumentException] {
