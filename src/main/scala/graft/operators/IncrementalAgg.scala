@@ -26,8 +26,12 @@ import graft.core.{GraftFs, PDataset, TypedJson}
   *     one generation), never rescanned.
   *
   * Counts and sums re-derive exactly under insert/delete deltas
-  * (avg = sum/count at read time); order-sensitive aggregates (min/
-  * max over deletes) would need a rebuild and are out of scope.
+  * (avg = sum/count at read time). Min/max merge incrementally under
+  * insert-only deltas; a delta containing deletes triggers a
+  * targeted REPAIR — min/max recomputed for only the delta's groups
+  * via one semi-join scan of the source (IN-prefiltered when the
+  * group list is small, so a group-clustered source prunes) — never
+  * a full rebuild.
   * Contract: every source mutation between refreshes must be a
   * maintenance op run with `retain = true` (otherwise the outgoing
   * generation is not archived and the feed cannot see it — refresh
@@ -37,6 +41,12 @@ import graft.core.{GraftFs, PDataset, TypedJson}
 object IncrementalAgg {
 
   val MetaFile = "_graft_view.json"
+
+  /** Delta-group count up to which the min/max repair inlines the
+    * group values as a pushed-down IN prefilter (file / row-group
+    * pruning on a group-clustered source); larger deltas repair
+    * through the broadcast semi join alone. */
+  val MaxInlineRepairGroups = 1024L
 
   final case class ViewMeta(
       srcDir: String,
@@ -154,9 +164,10 @@ object IncrementalAgg {
   /** Full build: aggregate the source once and persist the view as a
     * graft dataset indexed on `groupCols` (so refreshes route and
     * rewrite only the partitions whose groups changed).
-    * `minMaxCols` adds `<c>_min`/`<c>_max` columns — maintainable
-    * only for INSERT-ONLY deltas (a delete might remove the current
-    * extremum; refresh fails loudly and asks for a rebuild then). */
+    * `minMaxCols` adds `<c>_min`/`<c>_max` columns — merged
+    * incrementally for insert-only deltas, repaired per affected
+    * group (one targeted source scan) when a delta contains
+    * deletes. */
   def build(
       spark: SparkSession,
       srcDir: String,
@@ -245,23 +256,59 @@ object IncrementalAgg {
              max(col(c)).as(s"__dmax_${c}")))): _*)
       .persist()
     try {
-      // Min/max only merge under insert-only deltas: a delete might
-      // have removed the current extremum, which no incremental
-      // update can recover — rebuild instead of going quietly wrong.
-      if (m.minMaxCols.nonEmpty &&
-          !delta.filter(col("__dels") > 0L).isEmpty)
-        throw new IllegalArgumentException(
-          s"the view at $viewDir tracks min/max columns " +
-            s"(${m.minMaxCols.mkString(", ")}) but the source delta " +
-            "contains deletes/updates — min/max cannot be maintained " +
-            "incrementally under deletes; rebuild the view")
+      // Min/max only MERGE under insert-only deltas: a delete might
+      // have removed the current extremum, which least/greatest over
+      // the old view row cannot recover. Instead of refusing the
+      // refresh, repair by recomputing min/max for ONLY the delta's
+      // groups from the source snapshot — one semi-join scan
+      // restricted (when the group list is small enough to inline)
+      // by a pushed-down IN filter, so a source clustered on the
+      // group columns reads just the affected files/row groups. The
+      // common mostly-insert workload stays O(delta + affected
+      // groups); untouched groups never rescan.
+      val needRepair = m.minMaxCols.nonEmpty &&
+        !delta.filter(col("__dels") > 0L).isEmpty
+      val repair: Option[DataFrame] =
+        if (!needRepair) None
+        else {
+          val src = PDataset.fromSidecarMeta(spark, m.srcDir, curMeta)
+            .toDF.select((groupCols ++ m.minMaxCols).map(col): _*)
+          val groupsDf = delta.select(groupCols.map(col): _*)
+          // The per-column IN prefilter is a SUPERSET of the delta's
+          // group tuples (it decomposes a tuple set column-wise); the
+          // broadcast semi join after it stays authoritative. Bounded:
+          // only inlined when the delta touches few groups.
+          val prefiltered =
+            if (delta.count() > MaxInlineRepairGroups) src
+            else try {
+              val rows = groupsDf.collect()
+              groupCols.zipWithIndex.foldLeft(src) { case (d, (g, i)) =>
+                val vals = rows.map(_.get(i)).distinct.toSeq
+                d.filter(col(g).isin(vals: _*))
+              }
+            } catch { case scala.util.control.NonFatal(_) => src }
+          Some(prefiltered
+            .join(broadcast(groupsDf), groupCols.toSeq, "left_semi")
+            .groupBy(groupCols.map(col): _*)
+            .agg(min(col(m.minMaxCols.head)).as(s"__rmin_${m.minMaxCols.head}"),
+              (Seq(max(col(m.minMaxCols.head))
+                .as(s"__rmax_${m.minMaxCols.head}")) ++
+                m.minMaxCols.tail.flatMap(c => Seq(
+                  min(col(c)).as(s"__rmin_${c}"),
+                  max(col(c)).as(s"__rmax_${c}")))): _*))
+        }
       val view = PDataset.scanParquet(spark, viewDir).toDF
       // Existing rows of affected groups only: the view scans once
       // through a broadcast semi join; untouched groups never move.
       val affectedOld = view.join(
         broadcast(delta.select(groupCols.map(col): _*)),
         groupCols, "left_semi")
-      val merged = affectedOld.join(delta, groupCols.toSeq, "full")
+      val joined = affectedOld.join(delta, groupCols.toSeq, "full")
+      val withRepair = repair match {
+        case Some(r) => joined.join(r, groupCols.toSeq, "left")
+        case None => joined
+      }
+      val merged = withRepair
         .select(
           groupCols.map(col) ++
             Seq((coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
@@ -279,9 +326,16 @@ object IncrementalAgg {
                 .otherwise(sm).as(sumName(c)),
                 nn.as(nnName(c)))
             } ++
-            m.minMaxCols.flatMap(c => Seq(
-              least(col(minName(c)), col(s"__dmin_${c}")).as(minName(c)),
-              greatest(col(maxName(c)), col(s"__dmax_${c}")).as(maxName(c)))): _*)
+            m.minMaxCols.flatMap(c =>
+              if (needRepair) Seq(
+                // exact current extremes from the repair scan; a
+                // fully-deleted group has no repair row (nulls), but
+                // its n reaches 0 and the row is point-deleted below
+                col(s"__rmin_${c}").as(minName(c)),
+                col(s"__rmax_${c}").as(maxName(c)))
+              else Seq(
+                least(col(minName(c)), col(s"__dmin_${c}")).as(minName(c)),
+                greatest(col(maxName(c)), col(s"__dmax_${c}")).as(maxName(c)))): _*)
         .persist()
       try {
         val updates = merged.filter(col("n") > 0L)

@@ -153,7 +153,7 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(gotAll == want)
   }
 
-  test("min/max columns maintain under insert-only deltas, refuse deletes") {
+  test("min/max columns maintain under insert-only deltas, repair deletes") {
     val root = tempDir("incragg-minmax")
     val src = root + "/src"
     val view = root + "/view"
@@ -175,13 +175,72 @@ class IncrementalAggSpec extends AnyFunSuite {
         r.getAs[Double]("qty_max"))).sortBy(_._1).toSeq
     assert(got == want)
     assert(got.exists(_._5 == 99.0))
-    // a delta containing an update (delete+insert) refuses loudly
-    Maintenance.upsert(spark, src,
-      srcDF(10, 1, "u").withColumn("qty", lit(1.0)), retain = true)
-    val e = intercept[IllegalArgumentException] {
-      IncrementalAgg.refresh(spark, view)
+    // a delta containing a DELETE removes grp 0's extremum (k=7000,
+    // qty 99): least/greatest merging could never lower the stored
+    // max — the targeted repair recomputes it from the source
+    Maintenance.deleteKeys(spark, src, Seq(7000L).toDF("k"), retain = true)
+    assert(IncrementalAgg.refresh(spark, view) > 0)
+    val want2 = PDataset.scanParquet(spark, src).toDF
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum("qty").as("qty_sum"),
+        min("qty").as("qty_min"), max("qty").as("qty_max"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+    val got2 = PDataset.scanParquet(spark, view).toDF
+      .collect().map(r => (r.getAs[Long]("grp"), r.getAs[Long]("n"),
+        r.getAs[Double]("qty_sum"), r.getAs[Double]("qty_min"),
+        r.getAs[Double]("qty_max"))).sortBy(_._1).toSeq
+    assert(got2 == want2)
+    val g0 = got2.find(_._1 == 0L).get
+    assert(g0._5 == 12.0, s"grp 0 max must drop from 99 to 12, got ${g0._5}")
+  }
+
+  test("min/max delete repair rescans only the affected groups") {
+    val root = tempDir("incragg-repair-io")
+    val src = root + "/src"
+    val view = root + "/view"
+    // BLOCKED groups (grp = k / 100) in 100-row files: each file holds
+    // exactly one group, so the repair's inlined IN prefilter lets
+    // parquet row-group stats skip every unaffected file.
+    val df = spark.range(0, 2000).select(
+      col("id").as("k"), (col("id") / 100).cast("long").as("grp"),
+      col("id").cast("double").as("qty"),
+      concat(lit("v"), col("id")).as("payload"))
+    PDataset.fromDataFrame(df, Seq("k")).repartition(100).writeParquet(src)
+    IncrementalAgg.build(spark, src, view, Seq("grp"), Seq("qty"),
+      minMaxCols = Seq("qty"))
+    // delete grp 3's maximum (k = 399): only grp 3 needs repair
+    Maintenance.deleteKeys(spark, src, Seq(399L).toDF("k"), retain = true)
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        read.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
     }
-    assert(e.getMessage.contains("min/max"))
+    spark.sparkContext.addSparkListener(l)
+    try {
+      assert(IncrementalAgg.refresh(spark, view) > 0)
+      org.apache.spark.GraftTestBridge.drainListeners(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(l)
+    // feed (~200: the replaced file before/after) + view (20 groups)
+    // + repair (~100 rows of grp 3's file — NOT the 2000-row source;
+    // a full repair rescan would blow straight past the bound)
+    assert(read.get < 1000,
+      s"delete repair read ${read.get} rows; must stay O(delta + group)")
+    val got = PDataset.scanParquet(spark, view).toDF
+      .filter(col("grp") === 3L).collect().map(r =>
+        (r.getAs[Long]("n"), r.getAs[Double]("qty_min"),
+          r.getAs[Double]("qty_max"))).toSeq
+    assert(got == Seq((99L, 300.0, 398.0)),
+      s"grp 3 must repair to max 398 after deleting 399, got $got")
+    // and the whole view equals a rebuild
+    val want = PDataset.scanParquet(spark, src).toDF
+      .groupBy("grp").agg(min("qty").as("mn"), max("qty").as("mx"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val gotAll = PDataset.scanParquet(spark, view).toDF
+      .collect().map(r => (r.getAs[Long]("grp"), r.getAs[Double]("qty_min"),
+        r.getAs[Double]("qty_max"))).sortBy(_._1).toSeq
+    assert(gotAll == want)
   }
 
   test("refresh fails loudly when the base generation was not retained") {
@@ -212,7 +271,20 @@ class IncrementalAggSpec extends AnyFunSuite {
     val src = root + "/src"
     val view = root + "/view"
     writeSrc(src, 400)
-    IncrementalAgg.build(spark, src, view, Seq("grp"), Seq("qty"))
+    // min/max included: the walk's random deletes exercise the
+    // targeted repair path on every delete-containing refresh
+    IncrementalAgg.build(spark, src, view, Seq("grp"), Seq("qty"),
+      minMaxCols = Seq("qty"))
+    def mmExpect(): Seq[(Long, Double, Double)] =
+      PDataset.scanParquet(spark, src).toDF
+        .groupBy("grp").agg(min("qty").as("mn"), max("qty").as("mx"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    def mmGot(): Seq[(Long, Double, Double)] =
+      PDataset.scanParquet(spark, view).toDF
+        .collect().map(r => (r.getAs[Long]("grp"),
+          r.getAs[Double]("qty_min"), r.getAs[Double]("qty_max")))
+        .sortBy(_._1).toSeq
     // Fixed-seed random walk over the op space the streaming sink
     // exercises in production: retained upserts (update + insert mix)
     // and point deletes accumulate across refreshes, and vacuum —
@@ -239,6 +311,7 @@ class IncrementalAggSpec extends AnyFunSuite {
       if (rnd.nextBoolean() || step == 10) {
         IncrementalAgg.refresh(spark, view)
         assert(got(view) == expect(src), s"diverged at step $step")
+        assert(mmGot() == mmExpect(), s"min/max diverged at step $step")
         if (rnd.nextBoolean()) {
           val _ = Maintenance.vacuum(spark, src)
         }
