@@ -114,7 +114,7 @@ class GraftSourceSpec extends AnyFunSuite {
     try {
       extra.write.format("graft").mode("append")
         .option("index", "o_orderdate").option("files", "1").save(out)
-      Thread.sleep(1500) // listener events post asynchronously
+      org.apache.spark.GraftTestBridge.drainListeners(spark.sparkContext)
     } finally spark.sparkContext.removeSparkListener(l)
     // Old behavior re-statted the WHOLE table (>= 15000 records at
     // this sf); the incremental path stats only the ~100 new rows.

@@ -87,7 +87,7 @@ class IncrementalAggSpec extends AnyFunSuite {
     spark.sparkContext.addSparkListener(l)
     try {
       IncrementalAgg.refresh(spark, view)
-      Thread.sleep(1500) // listener events post asynchronously
+      org.apache.spark.GraftTestBridge.drainListeners(spark.sparkContext)
     } finally spark.sparkContext.removeSparkListener(l)
     // Feed: one 100-row source file + its replacement. View: 10
     // groups, re-read across the semi join and the merge rewrite.

@@ -715,7 +715,7 @@ class MaintenanceSpec extends AnyFunSuite {
     val ch =
       try {
         val rows = Maintenance.changes(spark, dir, 0).collect()
-        Thread.sleep(1500) // listener events post asynchronously
+        org.apache.spark.GraftTestBridge.drainListeners(spark.sparkContext)
         rows
       } finally spark.sparkContext.removeSparkListener(l)
 

@@ -584,7 +584,7 @@ class PipelineOpsSpec extends AnyFunSuite {
         // maxDriverEdges = 0 forces the distributed loop (the driver
         // union-find fast path would short-circuit this tiny graph)
         val out = Dedup.nearDupClusters(pairs, maxDriverEdges = 0).collect()
-        Thread.sleep(1500) // listener events post asynchronously
+        org.apache.spark.GraftTestBridge.drainListeners(spark.sparkContext)
         out
       } finally spark.sparkContext.removeSparkListener(listener)
     assert(got.length == 6)

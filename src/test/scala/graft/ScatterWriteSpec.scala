@@ -26,7 +26,7 @@ class ScatterWriteSpec extends AnyFunSuite {
       try body
       finally {
         // Listener events post asynchronously; drain before reading.
-        Thread.sleep(1500)
+        org.apache.spark.GraftTestBridge.drainListeners(spark.sparkContext)
         spark.sparkContext.removeSparkListener(l)
       }
     (out, n.get)

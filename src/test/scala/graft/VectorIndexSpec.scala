@@ -37,7 +37,7 @@ class VectorIndexSpec extends AnyFunSuite {
     val out =
       try body
       finally {
-        Thread.sleep(1500) // listener events post asynchronously
+        org.apache.spark.GraftTestBridge.drainListeners(spark.sparkContext)
         spark.sparkContext.removeSparkListener(l)
       }
     (out, n.get)
