@@ -1341,6 +1341,29 @@ object SparkEntry {
         floor = 0.4)
     }),
 
+    // Growing-corpus path of the persisted index: build on 80% of the
+    // corpus, absorb the rest via addVectors (frozen geometry, zero
+    // retraining, incremental append), query against the WHOLE corpus
+    // brute-force truth — added vectors must be as findable as built
+    // ones. The index dir mutates, so each run appends to a fresh
+    // copy of the build-once fixture.
+    "q_ann_index_add" -> ((s, d) => {
+      val emb = scan(s, d, "embeddings").toDF
+      val dir = mutableCopy("ivfaddbase", d) { out =>
+        graft.operators.VectorIndex.build(s,
+          emb.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding",
+          out, dim = 64, nlist = 16)
+      }
+      graft.operators.VectorIndex.addVectors(s,
+        emb.filter(col("vec_id") % 5 === 0), "vec_id", "embedding", dir)
+      val q = emb.filter(col("vec_id") < 10)
+      recallContract(
+        graft.operators.VectorIndex.topK(s, q, dir, "vec_id", "embedding",
+          k = 5, nprobe = 4),
+        Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5),
+        floor = 0.4)
+    }),
+
     "q_ann_ivfpq" -> ((s, d) => {
       val emb = scan(s, d, "embeddings").toDF
       val q = emb.filter(col("vec_id") < 10)
@@ -2034,6 +2057,8 @@ object SparkEntry {
       "q_ann_ivfpq" ->
         "SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_floor_met",
       "q_ann_ivf_indexed" ->
+        "SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_floor_met",
+      "q_ann_index_add" ->
         "SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_floor_met",
       // first-match quality rules, each ANSI/RE2-rederivable
       "q_quality_filter" ->

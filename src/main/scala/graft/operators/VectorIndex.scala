@@ -33,19 +33,31 @@ import graft.core.{GraftFs, TypedJson}
   * runs changes. Scale shape per query batch: one driver JSON read,
   * one bounded distinct-cells collect (≤ nlist ints by construction),
   * one pruned scan of the probed cells, one equi-join on cell id.
+  *
+  * A GROWING corpus absorbs through [[addVectors]]: new vectors are
+  * assigned to the frozen cells / encoded with the frozen codebooks
+  * and appended incrementally — no retraining, no rewrite, and no
+  * read of pre-existing index files. The optional `corpusDir`
+  * identity lets queries warn when the corpus moved on without an
+  * add ([[corpusDrift]]).
   */
 object VectorIndex {
 
   val IndexFile = "_graft_ivf"
 
-  /** Driver-side index metadata: the trained geometry. */
+  /** Driver-side index metadata: the trained geometry, plus (when a
+    * corpus directory was named at build/add time) the identity of
+    * the corpus content the index has absorbed — queries against an
+    * index whose corpus moved on can then at least warn. */
   final case class Meta(
       dim: Int,
       nlist: Int,
       centroids: Array[Array[Double]],
       m: Int,
       ksub: Int,
-      codebooks: Option[Array[Array[Array[Double]]]])
+      codebooks: Option[Array[Array[Array[Double]]]],
+      corpusDir: Option[String] = None,
+      corpusHash: Option[String] = None)
 
   /** Train and persist the index for `corpus` at `dir`. With
     * `pq = Some((m, ksub))` the stored rows also carry PQ codes and
@@ -65,42 +77,141 @@ object VectorIndex {
       trainFraction: Double = 1.0,
       maxTrainVectors: Int = 16384,
       pq: Option[(Int, Int)] = None,
-      files: Option[Int] = None): Meta = {
+      files: Option[Int] = None,
+      corpusDir: Option[String] = None): Meta = {
     val cents = Similarity.trainCentroids(corpus, idCol, vecCol, dim,
       nlist, iters, seed, trainFraction, maxTrainVectors)
     val books = pq.map { case (m, ksub) =>
       Similarity.trainPqCodebooks(corpus, idCol, vecCol, dim, m, ksub,
         iters, seed, trainFraction, maxTrainVectors)
     }
-    val nc1 = graft.functions.VectorExpressions
-      .nearestCentroids(col("vec"), cents, 1)
-    val base = corpus
-      .select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .select(element_at(nc1, 1).as("cell"), col("id"), col("vec"),
-        Similarity.l2norm(col("vec")).as("norm"))
-    val assigned = books match {
-      case Some(b) => base.withColumn("codes",
-        graft.functions.VectorExpressions.pqEncode(col("vec"), b))
-      case None => base
-    }
+    val assigned = assign(corpus, idCol, vecCol, cents, books)
     val nFiles = files.getOrElse(math.max(2, cents.length / 4))
     assigned.write.format("graft").mode("overwrite")
       .option("index", "cell").option("files", nFiles.toString)
       .save(dir)
-    val (fs, dirPath) = GraftFs.resolve(spark, dir)
-    val meta = scala.collection.immutable.ListMap(
-      "dim" -> dim,
-      "nlist" -> cents.length,
-      "centroids" -> cents.map(_.toVector).toVector,
-      "m" -> pq.map(_._1).getOrElse(0),
-      "ksub" -> pq.map(_._2).getOrElse(0),
-      "codebooks" -> books.map(_.map(_.map(_.toVector).toVector).toVector)
-        .getOrElse(Vector.empty))
-    GraftFs.writeString(fs, new HPath(dirPath, IndexFile),
-      TypedJson.write(meta))
-    Meta(dim, cents.length, cents, pq.map(_._1).getOrElse(0),
-      pq.map(_._2).getOrElse(0), books)
+    val meta = Meta(dim, cents.length, cents, pq.map(_._1).getOrElse(0),
+      pq.map(_._2).getOrElse(0), books,
+      corpusDir, corpusDir.map(corpusFingerprint(spark, _)))
+    writeIndexMeta(spark, dir, meta)
+    meta
   }
+
+  /** Cell-assign (and PQ-encode, when built with codes) through the
+    * STORED geometry — shared by [[build]] and [[addVectors]], so an
+    * appended batch lands exactly as the same rows would have at
+    * build time. */
+  private def assign(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[Array[Double]],
+      books: Option[Array[Array[Array[Double]]]]): DataFrame = {
+    val nc1 = graft.functions.VectorExpressions
+      .nearestCentroids(col("vec"), cents, 1)
+    val base = vectors
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .select(element_at(nc1, 1).as("cell"), col("id"), col("vec"),
+        Similarity.l2norm(col("vec")).as("norm"))
+    books match {
+      case Some(b) => base.withColumn("codes",
+        graft.functions.VectorExpressions.pqEncode(col("vec"), b))
+      case None => base
+    }
+  }
+
+  private def writeIndexMeta(
+      spark: SparkSession, dir: String, meta: Meta): Unit = {
+    val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    val obj = scala.collection.immutable.ListMap(
+      "dim" -> meta.dim,
+      "nlist" -> meta.nlist,
+      "centroids" -> meta.centroids.map(_.toVector).toVector,
+      "m" -> meta.m,
+      "ksub" -> meta.ksub,
+      "codebooks" -> meta.codebooks
+        .map(_.map(_.map(_.toVector).toVector).toVector)
+        .getOrElse(Vector.empty),
+      "corpus_dir" -> meta.corpusDir.getOrElse(""),
+      "corpus_md5" -> meta.corpusHash.getOrElse(""))
+    GraftFs.writeString(fs, new HPath(dirPath, IndexFile),
+      TypedJson.write(obj))
+  }
+
+  /** Absorb NEW vectors into an existing persisted index with ZERO
+    * retraining and ZERO rewriting: the stored centroids assign
+    * cells, the stored codebooks (if any) encode PQ codes, and the
+    * rows land through the incremental `format("graft")` append — so
+    * only the new files are written and statted; pre-existing index
+    * files are never read. This is the growing-corpus path the
+    * persisted index exists for: cell geometry is frozen at build
+    * time (exactly like a FAISS IVF add), so recall degrades only as
+    * far as the corpus distribution drifts from the trained
+    * centroids — rebuild when it does. Caller contract: `newVectors`
+    * ids are not already in the index (the index does not dedup).
+    * Passing `corpusDir` re-records the corpus content identity. */
+  def addVectors(
+      spark: SparkSession,
+      newVectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      files: Option[Int] = None,
+      corpusDir: Option[String] = None): Meta = {
+    val meta = load(spark, dir)
+    val assigned = assign(newVectors, idCol, vecCol, meta.centroids,
+      meta.codebooks)
+    val nFiles = files.getOrElse(math.max(1, meta.nlist / 8))
+    assigned.write.format("graft").mode("append")
+      .option("index", "cell").option("files", nFiles.toString)
+      .save(dir)
+    val dirOpt = corpusDir.orElse(meta.corpusDir)
+    val updated = meta.copy(corpusDir = dirOpt,
+      corpusHash = dirOpt.map(corpusFingerprint(spark, _)))
+    writeIndexMeta(spark, dir, updated)
+    updated
+  }
+
+  /** Content identity of a corpus directory: the sidecar's bytes when
+    * it is a graft dataset (exact — every commit rewrites them), else
+    * the sorted (name, length, mtime) listing of its files. */
+  def corpusFingerprint(spark: SparkSession, dir: String): String = {
+    val text =
+      if (graft.core.Sidecar.exists(spark, dir))
+        GraftFs.readString(GraftFs.resolve(spark, dir)._1,
+          graft.core.Sidecar.metadataPath(dir))
+      else {
+        val (fs, p) = GraftFs.resolve(spark, dir)
+        GraftFs.listStatuses(fs, p).filter(_.isFile)
+          .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+          .sorted.mkString("\n")
+      }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Whether the recorded corpus has changed since the index last
+    * absorbed vectors: `Some(true)` = the index is missing vectors
+    * (or covering deleted ones); `None` = no corpus identity was
+    * recorded at build/add time. Queries warn on drift but still
+    * answer — the index is sound for the content it holds. */
+  def corpusDrift(spark: SparkSession, dir: String): Option[Boolean] = {
+    val meta = load(spark, dir)
+    for (d <- meta.corpusDir; h <- meta.corpusHash)
+      yield corpusFingerprint(spark, d) != h
+  }
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  private def warnOnDrift(spark: SparkSession, dir: String): Unit =
+    try {
+      if (corpusDrift(spark, dir).contains(true))
+        log.warn(s"vector index at $dir was built from a corpus that " +
+          "has since changed — results may be missing recently added " +
+          "vectors; run VectorIndex.addVectors for the new rows (or " +
+          "rebuild if the distribution drifted)")
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Load the trained geometry — one driver-side JSON read, no job. */
   def load(spark: SparkSession, dir: String): Meta = {
@@ -117,7 +228,10 @@ object VectorIndex {
       if (rawBooks.isEmpty) None
       else Some(rawBooks.map(_.asInstanceOf[Vector[Any]]
         .map(_.asInstanceOf[Vector[Any]].map(num).toArray).toArray).toArray)
-    Meta(int("dim"), int("nlist"), cents, int("m"), int("ksub"), books)
+    def optStr(k: String): Option[String] =
+      obj.get(k).map(_.toString).filter(_.nonEmpty)
+    Meta(int("dim"), int("nlist"), cents, int("m"), int("ksub"), books,
+      optStr("corpus_dir"), optStr("corpus_md5"))
   }
 
   /** The probed (query_id, qv, cell) frame plus the bounded distinct
@@ -161,6 +275,7 @@ object VectorIndex {
       k: Int,
       nprobe: Int = 4): DataFrame = {
     val meta = load(spark, dir)
+    warnOnDrift(spark, dir)
     val (q, cells) = probed(queries, idCol, vecCol, meta, nprobe)
     // The IN filter on the sidecar's index column prunes files whose
     // cell range misses every probed cell — plan-time skipping.
@@ -190,6 +305,7 @@ object VectorIndex {
       k: Int,
       nprobe: Int = 4): DataFrame = {
     val meta = load(spark, dir)
+    warnOnDrift(spark, dir)
     val books = meta.codebooks.getOrElse(throw new IllegalArgumentException(
       s"index at $dir was built without PQ codes; " +
         "build(..., pq = Some((m, ksub))) first"))

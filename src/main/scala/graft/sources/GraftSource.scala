@@ -186,7 +186,8 @@ final class GraftSource extends RelationProvider
             case None => throw new IllegalArgumentException(
               s"appended column ${f.name} does not exist in the target " +
                 "dataset; run Maintenance.addColumns first")
-            case Some(tf) if tf.dataType != f.dataType =>
+            case Some(tf) if !org.apache.spark.sql.GraftBridge
+                .sameTypeIgnoreNullability(tf.dataType, f.dataType) =>
               throw new IllegalArgumentException(
                 s"appended column ${f.name}: ${f.dataType.simpleString} " +
                   s"conflicts with the target's ${tf.dataType.simpleString}")

@@ -28,6 +28,14 @@ object GraftBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Type equality modulo nullability at every nesting level (the
+    * `private[sql]` `DataType.sameType`): schema compatibility checks
+    * must not reject `array<int>` against `array<int>` over an
+    * element-nullability bit the parquet roundtrip flips anyway. */
+  def sameTypeIgnoreNullability(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean = a.sameType(b)
+
   /** Register a function builder on an EXISTING session (the
     * `withExtensions` path only applies at session construction). */
   def registerFunction(

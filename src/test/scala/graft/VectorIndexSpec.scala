@@ -92,6 +92,89 @@ class VectorIndexSpec extends AnyFunSuite {
       "a single-cell probe must scan fewer files than the full index")
   }
 
+  test("addVectors absorbs new vectors with no training and no rewrite") {
+    val dir = tempDir("vecidx-add") + "/idx"
+    val old = emb.filter(col("vec_id") < 400)
+    VectorIndex.build(spark, old, "vec_id", "embedding", dir,
+      dim = 64, nlist = 16, pq = Some((16, 32)))
+    val before = VectorIndex.load(spark, dir)
+    // the delta arrives as LOCAL rows so every record READ during the
+    // add is attributable to graft: training would rescan the old
+    // corpus (sample collect + Lloyd) and a non-incremental append
+    // would re-stat the old files — either blows the bound
+    val newRows = emb.filter(col("vec_id") >= 400).collect()
+    val delta = spark.createDataFrame(
+      java.util.Arrays.asList(newRows: _*), emb.schema)
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        read.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(l)
+    val (after, addJobs) =
+      try countJobs(VectorIndex.addVectors(
+        spark, delta, "vec_id", "embedding", dir))
+      finally {
+        org.apache.spark.GraftTestBridge.drainListeners(spark.sparkContext)
+        spark.sparkContext.removeSparkListener(l)
+      }
+    assert(read.get < 600,
+      s"addVectors read ${read.get} records; must touch only the delta " +
+        "(training or an O(table) append would rescan the 400-row corpus)")
+    // the append pipeline itself costs ~7 jobs (range sampling, the
+    // write, the delta stats job, sidecar bookkeeping); k-means +
+    // PQ training add a sample collect plus 2 jobs per Lloyd
+    // iteration on top — the bound excludes any training
+    assert(addJobs <= 8,
+      s"addVectors ran $addJobs jobs; expected just the delta append " +
+        "(training adds a sample collect + per-iteration jobs on top)")
+    // geometry is FROZEN: centroids and codebooks byte-identical
+    assert(after.centroids.flatten.toSeq == before.centroids.flatten.toSeq)
+    assert(after.codebooks.get.flatten.flatten.toSeq ==
+      before.codebooks.get.flatten.flatten.toSeq)
+    // every vector present exactly once, cells from the stored centroids
+    val rows = spark.read.format("graft").load(dir)
+    assert(rows.count() == emb.count())
+    // a probe placed AT a new vector finds it: cosine 1 top neighbor
+    // (query_id offset so self-exclusion does not drop it)
+    val probe = emb.filter(col("vec_id") === 450)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val hit = VectorIndex.topK(spark, probe, dir,
+      "vec_id", "embedding", k = 1, nprobe = 2).collect()
+    assert(hit.length == 1 && hit.head.getAs[Long]("neighbor_id") == 450L,
+      s"nearest neighbor of new vector 450 must be itself, got " +
+        s"${hit.toSeq}")
+    assert(hit.head.getAs[Double]("cosine") == 1.0)
+    // and through the PQ path: codes extended with the stored books
+    val pqHit = VectorIndex.pqTopK(spark, probe, dir,
+      "vec_id", "embedding", k = 1, nprobe = 2).collect()
+    assert(pqHit.length == 1 &&
+      pqHit.head.getAs[Long]("neighbor_id") == 450L)
+  }
+
+  test("corpus identity: queries can detect an index missing vectors") {
+    val root = tempDir("vecidx-drift")
+    val corpus = root + "/corpus"
+    val dir = root + "/idx"
+    emb.filter(col("vec_id") < 300).write.parquet(corpus)
+    VectorIndex.build(spark, spark.read.parquet(corpus), "vec_id",
+      "embedding", dir, dim = 64, nlist = 8,
+      corpusDir = Some(corpus))
+    assert(VectorIndex.corpusDrift(spark, dir).contains(false))
+    // the corpus grows without an addVectors: drift turns true
+    emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+      .write.mode("append").parquet(corpus)
+    assert(VectorIndex.corpusDrift(spark, dir).contains(true))
+    // absorbing the new rows (and re-recording) clears it
+    VectorIndex.addVectors(spark,
+      spark.read.parquet(corpus).filter(col("vec_id") >= 300),
+      "vec_id", "embedding", dir, corpusDir = Some(corpus))
+    assert(VectorIndex.corpusDrift(spark, dir).contains(false))
+    // an index built without a corpusDir has nothing to compare
+    assert(VectorIndex.corpusDrift(spark, ivfDir).isEmpty)
+  }
+
   test("pqTopK demands a PQ-built index") {
     val dir = tempDir("vecidx-nopq") + "/idx"
     VectorIndex.build(spark, emb, "vec_id", "embedding", dir,
