@@ -192,6 +192,23 @@ object IncrementalAgg {
       ViewMeta(srcDir, groupCols, sumCols, minMaxCols, base, srcHash))
   }
 
+  /** Re-bind a MOVED or COPIED view to its source's new location.
+    * The new directory must hold byte-identical sidecar content to
+    * what the view last summarized (content-hash checked), so
+    * retargeting never changes what the view means — only where its
+    * source lives. The relocation story for datasets copied between
+    * stores or promoted between environments. */
+  def retarget(
+      spark: SparkSession, viewDir: String, newSrcDir: String): Unit = {
+    val m = viewMeta(spark, viewDir)
+    if (m.srcDir == newSrcDir) return
+    require(srcMetaHash(spark, newSrcDir) == m.baseMetaHash,
+      s"cannot retarget the view at $viewDir to $newSrcDir: that " +
+        "directory's sidecar content differs from what the view " +
+        "summarized — refresh against the original source, or rebuild")
+    writeMeta(spark, viewDir, m.copy(srcDir = newSrcDir))
+  }
+
   /** Catch the view up to the source's current generation. Returns
     * the number of groups touched (updated + deleted); 0 means the
     * source had no retained changes since the last refresh. */

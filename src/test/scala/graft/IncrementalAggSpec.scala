@@ -243,6 +243,45 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(gotAll == want)
   }
 
+  test("retarget re-binds a copied view; content mismatch refuses") {
+    val root = tempDir("incragg-retarget")
+    writeSrc(root + "/src", 300)
+    IncrementalAgg.build(spark, root + "/src", root + "/view",
+      Seq("grp"), Seq("qty"))
+    // copy the whole pair (the relocation/promotion story)
+    val dst = java.nio.file.Paths.get(root + "/copy")
+    val s0 = java.nio.file.Paths.get(root)
+    val walk = java.nio.file.Files.walk(s0)
+    try walk.filter(p => p.startsWith(s0.resolve("src")) ||
+        p.startsWith(s0.resolve("view"))).forEach { p =>
+      val t = dst.resolve(s0.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else {
+        java.nio.file.Files.createDirectories(t.getParent)
+        java.nio.file.Files.copy(p, t); ()
+      }
+    } finally walk.close()
+    val cSrc = root + "/copy/src"
+    val cView = root + "/copy/view"
+    IncrementalAgg.retarget(spark, cView, cSrc)
+    assert(IncrementalAgg.viewMeta(spark, cView).srcDir == cSrc)
+    // the re-bound copy refreshes against ITS source, original untouched
+    Maintenance.upsert(spark, cSrc,
+      srcDF(9000, 3, "c").withColumn("qty", lit(5.0)), retain = true)
+    assert(IncrementalAgg.refresh(spark, cView) > 0L)
+    assert(got(cView) == expect(cSrc))
+    assert(got(root + "/view") == expect(root + "/src"))
+    // retargeting to a directory with DIFFERENT content refuses: the
+    // original source has since diverged from what the copy summarized
+    val other = root + "/other"
+    writeSrc(other, 200)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalAgg.retarget(spark, root + "/view", other)
+    }
+    assert(e.getMessage.contains("differs"))
+  }
+
   test("refresh fails loudly when the base generation was not retained") {
     val root = tempDir("incragg-loud")
     val src = root + "/src"
