@@ -926,6 +926,65 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // TPC-H Q13 shape (customer order-count distribution): the
+    // classic outer-join-then-count — customers with no (qualifying)
+    // orders MUST appear with c_count 0, so the priority exclusion
+    // lives in the JOIN CONDITION, never a WHERE (a WHERE would drop
+    // the very customers the distribution exists to count). The
+    // first aggregate reuses the join's hash partitioning on the
+    // customer key (zero extra shuffle); the second aggregate is
+    // over ≤ a few hundred distinct counts. count(o_orderkey)
+    // counts non-null only, so unmatched left rows land in bucket 0.
+    "q_tpch_q13" -> ((s, d) => {
+      val c = scan(s, d, "customer").toDF.select("c_custkey")
+      val o = scan(s, d, "orders").toDF
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q20 shape (dominant suppliers of small parts; partsupp
+    // availability adapted to shipment share since the synthetic
+    // schema has no partsupp): the nested IN-over-an-aggregate-
+    // threshold chain — part names → lineitem semi, the correlated
+    // per-(supplier, part) vs per-part totals, nation → supplier
+    // semi — decorrelates into ONE lineitem pass: the part filter
+    // broadcasts as a semi join BEFORE the aggregate, the per-part
+    // total comes from a window over the per-pair aggregate (never a
+    // second scan), and both supplier-side reductions are semi
+    // joins, so nothing widens and there is no nested loop.
+    "q_tpch_q20" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = scan(s, d, "part").toDF
+        .filter(col("p_name").startsWith("small")).select("p_partkey")
+      val l = scan(s, d, "lineitem").toDF
+        .filter(col("l_shipdate") >= lit(ldt("1996-01-01T00:00")) &&
+          col("l_shipdate") < lit(ldt("1997-01-01T00:00")))
+        .select("l_suppkey", "l_partkey", "l_quantity")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"),
+          "left_semi")
+      val pairs = l.groupBy("l_suppkey", "l_partkey")
+        .agg(sum("l_quantity").as("q96"))
+      val dominant = pairs
+        .withColumn("qt",
+          sum("q96").over(Window.partitionBy("l_partkey")))
+        .filter(col("q96") > lit(0.5) * col("qt"))
+        .select("l_suppkey")
+      val natSup = scan(s, d, "supplier").toDF
+        .join(broadcast(scan(s, d, "nation").toDF
+            .filter(col("n_regionkey") === 1)),
+          col("s_nationkey") === col("n_nationkey"), "left_semi")
+      natSup.join(dominant, col("s_suppkey") === col("l_suppkey"),
+          "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    }),
+
     "q_tpch_q3" -> ((s, d) => {
       val c = scan(s, d, "customer").toDF.filter(col("c_mktsegment") === "BUILDING")
       val o = scan(s, d, "orders").toDF
@@ -1869,6 +1928,38 @@ object SparkEntry {
                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
            ) w JOIN supplier ON s_suppkey = l_suppkey
            GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+      "q_tpch_q13" ->
+        """SELECT c_count, count(*) AS custdist FROM (
+             SELECT c_custkey, count(o_orderkey) AS c_count
+             FROM customer LEFT OUTER JOIN orders
+               ON c_custkey = o_custkey
+              AND o_orderpriority <> '1-URGENT'
+             GROUP BY c_custkey)
+           GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+      "q_tpch_q20" ->
+        """SELECT s_suppkey, s_name FROM supplier
+           WHERE s_suppkey IN (
+             SELECT pa.l_suppkey FROM
+               (SELECT l_suppkey, l_partkey, sum(l_quantity) AS q96
+                FROM lineitem
+                WHERE l_partkey IN (
+                    SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+                  AND l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+                GROUP BY l_suppkey, l_partkey) pa
+             JOIN
+               (SELECT l_partkey, sum(l_quantity) AS qt
+                FROM lineitem
+                WHERE l_partkey IN (
+                    SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+                  AND l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+                GROUP BY l_partkey) pt
+             ON pa.l_partkey = pt.l_partkey
+             WHERE pa.q96 > 0.5 * pt.qt)
+           AND s_nationkey IN (
+             SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+           ORDER BY s_suppkey""",
       "q_tpch_q3" ->
         """SELECT o_orderkey,
                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

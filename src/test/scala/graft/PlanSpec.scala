@@ -141,6 +141,44 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_sum"), "expected map-side partial agg")
   }
 
+  test("TPC-H Q13 outer-joins then counts, with no nested loop") {
+    val df = SparkEntry.queries("q_tpch_q13")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // The priority exclusion rides the JOIN CONDITION, so customers
+    // with only urgent orders still appear (c_count 0): the plan must
+    // keep a genuine LEFT OUTER join feeding the count aggregate —
+    // never rewrite it to inner — and both aggregates must have
+    // map-side partials.
+    assert(plan.contains("LeftOuter"),
+      s"expected a left outer join:\n$plan")
+    assert(!plan.contains("NestedLoop"),
+      s"outer join degraded to a nested loop:\n$plan")
+    assert("partial_count".r.findAllIn(plan).length >= 2,
+      s"expected map-side partials for both aggregates:\n$plan")
+  }
+
+  test("TPC-H Q20 chains semi joins over one lineitem pass") {
+    val df = SparkEntry.queries("q_tpch_q20")(spark, sf)
+    df.collect()
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    // The per-part total comes from a window over the per-pair
+    // aggregate, never a second fact scan; the part-name, dominance,
+    // and nation reductions are all semi joins (nothing widens, no
+    // nested loop).
+    assert("lineitem".r.findAllIn(plan).length == 1,
+      s"expected exactly one lineitem scan:\n$plan")
+    assert("LeftSemi".r.findAllIn(plan).length >= 3,
+      s"expected three chained semi joins:\n$plan")
+    assert(!plan.contains("NestedLoop"),
+      s"subquery degraded to a nested loop:\n$plan")
+    assert(plan.contains("Window"), s"expected the per-part window:\n$plan")
+  }
+
   test("slice reads only overlapping partition files (driver pruning)") {
     val total = persisted.npartitions
     val lo = persisted.lowerBounds.get(2)
