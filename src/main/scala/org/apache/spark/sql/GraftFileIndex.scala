@@ -396,8 +396,10 @@ object GraftRelations {
       spark: SparkSession, dir: String,
       m: graft.core.Sidecar.Meta): HadoopFsRelation = {
     // Creating a graft relation arms the metadata-only count(*) rule
-    // for this session (idempotent, see MetadataCount).
+    // and the conf-driven view rewrite (`SET spark.graft.views=...`)
+    // for this session (both idempotent).
     graft.plans.MetadataCount.ensureRule(spark)
+    graft.plans.ConfViewRewrites.ensure(spark)
     val p = new Path(dir)
     val files = m.files.map(f => new Path(p, f).toString).toIndexedSeq
     val withSizes = graft.core.GraftFs.fileSizes(

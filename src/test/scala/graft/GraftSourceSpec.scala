@@ -54,6 +54,67 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(n == want)
   }
 
+  test("SET spark.graft.views answers plain SQL aggregates from the view") {
+    val root = tempDir("graft-conf-view")
+    val src = root + "/src"
+    val view = root + "/view"
+    spark.range(0, 600).select(
+      col("id").as("k"), (col("id") % 10).as("grp"),
+      (col("id") % 13).cast("double").as("qty"))
+      .write.format("graft").option("index", "k").save(src)
+    graft.operators.IncrementalAgg.build(
+      spark, src, view, Seq("grp"), Seq("qty"))
+    // no Scala registration: the table and the routing conf are both
+    // plain SQL (the rule installs on graft relation creation)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW conf_view_src " +
+      s"USING graft OPTIONS (path '$src')")
+    spark.conf.set(graft.plans.ConfViewRewrites.Key, view)
+    try {
+      val q = spark.sql(
+        "SELECT grp, count(*) AS n, sum(qty) AS s FROM conf_view_src " +
+          "GROUP BY grp")
+      val got = q.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      // the plan must read the VIEW's files, never the source's
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.{
+        AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      // AQE buries scans inside leaf QueryStageExec nodes: traverse
+      // through stages, or a grouped query shows zero file scans.
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case s: QueryStageExec => scans(s.plan)
+        case r: ReusedExchangeExec => scans(r.child)
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scans)
+      }
+      val files = scans(q.queryExecution.executedPlan)
+        .flatMap(_.relation.location.inputFiles)
+      assert(files.nonEmpty && files.forall(_.contains("/view")),
+        s"expected the SQL aggregate answered from the view, scanned:\n" +
+          files.mkString("\n"))
+      val want = spark.read.parquet(src)
+        .groupBy("grp").agg(count(lit(1)).as("n"), sum("qty").as("s"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      assert(got == want)
+      // unsetting the conf restores the source scan
+      spark.conf.unset(graft.plans.ConfViewRewrites.Key)
+      val q2 = spark.sql(
+        "SELECT grp, sum(qty) AS s FROM conf_view_src GROUP BY grp")
+      q2.collect()
+      val files2 = scans(q2.queryExecution.executedPlan)
+        .flatMap(_.relation.location.inputFiles)
+      assert(files2.forall(_.contains("/src")),
+        s"expected the source scan back after RESET, got:\n" +
+          files2.mkString("\n"))
+    } finally spark.conf.unset(graft.plans.ConfViewRewrites.Key)
+  }
+
   test("sink option(\"bloom\", ...) adds point-lookup file skipping") {
     val out = tempDir("graft-source-bloom") + "/o.parquet"
     val orders = spark.read.parquet(s"$sf/orders.parquet")
