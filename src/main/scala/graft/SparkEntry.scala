@@ -985,6 +985,169 @@ object SparkEntry {
         .orderBy("s_suppkey")
     }),
 
+    // TPC-H Q6 shape (forecast revenue change): the canonical
+    // scan-filter-aggregate — every predicate (date window, discount
+    // band, quantity cap) must reach the parquet scan as a pushed
+    // filter, and the whole query is one partial+final aggregate
+    // with no shuffle of data rows. Exact integer cents (price ×
+    // discount-percent) keep the sum bit-identical across engines.
+    "q_tpch_q6" -> ((s, d) =>
+      scan(s, d, "lineitem").toDF
+        .filter(col("l_shipdate") >= lit(ldt("1996-01-01T00:00")) &&
+          col("l_shipdate") < lit(ldt("1997-01-01T00:00")) &&
+          col("l_discount") >= 0.02 && col("l_discount") <= 0.04 &&
+          col("l_quantity") < 24)
+        .agg((sum(round(col("l_extendedprice") * 100).cast("long") *
+            round(col("l_discount") * 100).cast("long")) / lit(10000.0))
+          .as("revenue"))),
+
+    // TPC-H Q7 shape (volume shipping between two nations): the
+    // nation pair filters BOTH dimension sides before the fact join —
+    // supplier⋈nation and customer⋈nation broadcast-reduce to the two
+    // nations (~8% of each side), so lineitem is cut by a broadcast
+    // semi-equi join before the orders shuffle, and the asymmetric
+    // pair condition ((A,B) or (B,A)) rides the final join output.
+    "q_tpch_q7" -> ((s, d) => {
+      val nations = Seq("NATION_1", "NATION_2")
+      val n1 = scan(s, d, "nation").toDF
+        .filter(col("n_name").isin(nations: _*))
+        .select(col("n_nationkey").as("n1key"),
+          col("n_name").as("supp_nation"))
+      val n2 = scan(s, d, "nation").toDF
+        .filter(col("n_name").isin(nations: _*))
+        .select(col("n_nationkey").as("n2key"),
+          col("n_name").as("cust_nation"))
+      val sup = scan(s, d, "supplier").toDF
+        .join(broadcast(n1), col("s_nationkey") === col("n1key"))
+        .select("s_suppkey", "supp_nation")
+      val cust = scan(s, d, "customer").toDF
+        .join(broadcast(n2), col("c_nationkey") === col("n2key"))
+        .select("c_custkey", "cust_nation")
+      val l = scan(s, d, "lineitem").toDF
+        .filter(col("l_shipdate") >= lit(ldt("1995-01-01T00:00")) &&
+          col("l_shipdate") < lit(ldt("1997-01-01T00:00")))
+      val o = scan(s, d, "orders").toDF.select("o_orderkey", "o_custkey")
+      l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg((sum(round(col("l_extendedprice") * 100).cast("long") *
+            round((lit(1) - col("l_discount")) * 100).cast("long")) /
+          lit(10000.0)).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q15 shape (top supplier): the revenue view is used twice
+    // (per-supplier revenues, and their maximum). The maximum is a
+    // one-row broadcast cross join — NEVER a global single-partition
+    // window, which would funnel every supplier through one task at
+    // scale. Exact integer cents make the max-equality tie-safe.
+    "q_tpch_q15" -> ((s, d) => {
+      def revenue = scan(s, d, "lineitem").toDF
+        .filter(col("l_shipdate") >= lit(ldt("1996-01-01T00:00")) &&
+          col("l_shipdate") < lit(ldt("1996-04-01T00:00")))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+          round((lit(1) - col("l_discount")) * 100).cast("long"))
+          .as("total_cents"))
+      val mx = revenue.agg(max("total_cents").as("mx"))
+      scan(s, d, "supplier").toDF
+        .join(revenue, col("s_suppkey") === col("supplier_no"))
+        .crossJoin(broadcast(mx))
+        .filter(col("total_cents") === col("mx"))
+        .select(col("s_suppkey"), col("s_name"),
+          (col("total_cents") / lit(10000.0)).as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q16 shape (supplier relationship count): the NOT IN
+    // exclusion is a broadcast ANTI join (the excluded supplier set
+    // is tiny), the part attribute filter broadcasts onto lineitem,
+    // and count(DISTINCT supplier) runs as Spark's two-phase
+    // distinct aggregate — partial per-partition dedup before the
+    // shuffle, never a row-per-duplicate shuffle.
+    "q_tpch_q16" -> ((s, d) => {
+      val excl = scan(s, d, "supplier").toDF
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      val p = scan(s, d, "part").toDF
+        .filter(col("p_brand") =!= "Brand#13" &&
+          col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      scan(s, d, "lineitem").toDF.select("l_partkey", "l_suppkey")
+        .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"),
+          col("p_type"), col("p_size"))
+    }),
+
+    // TPC-H Q19 shape (discounted revenue, disjunctive predicate):
+    // the OR-of-ANDs join. The equi key (partkey) carries the hash
+    // join; the disjunction rides as the join residual. Each side is
+    // ALSO pre-filtered with the union of its disjunct ranges
+    // (brand∈{12,23,34} ∧ size≤15 on part; 1≤qty≤30 on lineitem) —
+    // the implied-predicate extraction that keeps the probe stream
+    // small — and the plan must never degrade to a nested loop.
+    "q_tpch_q19" -> ((s, d) => {
+      val p = scan(s, d, "part").toDF
+        .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34") &&
+          col("p_size") >= 1 && col("p_size") <= 15)
+        .select("p_partkey", "p_brand", "p_size")
+      val l = scan(s, d, "lineitem").toDF
+        .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+        .select("l_partkey", "l_quantity", "l_extendedprice",
+          "l_discount")
+      val leg1 = col("p_brand") === "Brand#12" &&
+        col("p_size") <= 5 && col("l_quantity") <= 11
+      val leg2 = col("p_brand") === "Brand#23" &&
+        col("p_size") <= 10 &&
+        col("l_quantity") >= 10 && col("l_quantity") <= 20
+      val leg3 = col("p_brand") === "Brand#34" &&
+        col("l_quantity") >= 20
+      l.join(broadcast(p),
+          col("l_partkey") === col("p_partkey") && (leg1 || leg2 || leg3))
+        .agg((sum(round(col("l_extendedprice") * 100).cast("long") *
+            round((lit(1) - col("l_discount")) * 100).cast("long")) /
+          lit(10000.0)).as("revenue"))
+    }),
+
+    // TPC-H Q22 shape (global sales opportunity): customers above
+    // the positive-balance average with no RECENT orders (the
+    // original's 7-year dormancy window — every synthetic customer
+    // has SOME order). The scalar average broadcasts as a one-row
+    // (sum, count) pair and the comparison is exact integer
+    // cross-multiplication (cents × count > total-cents), so no
+    // float-average boundary row can flip between engines; the
+    // dormancy test is an ANTI join against the date-filtered
+    // orders, shuffled on the customer key.
+    "q_tpch_q22" -> ((s, d) => {
+      val cust = scan(s, d, "customer").toDF
+        .filter(col("c_nationkey") <= 7)
+        .select(col("c_custkey"), col("c_nationkey"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      val pos = cust.filter(col("bal_cents") > 0)
+        .agg(sum("bal_cents").as("pos_sum"),
+          count(lit(1)).as("pos_cnt"))
+      val recent = scan(s, d, "orders").toDF
+        .filter(col("o_orderdate") >= lit(ldt("2000-01-01T00:00")))
+        .select("o_custkey")
+      cust.crossJoin(broadcast(pos))
+        .filter(col("bal_cents") * col("pos_cnt") > col("pos_sum"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          (sum("bal_cents") / lit(100.0)).as("totacctbal"))
+        .orderBy("cntrycode")
+    }),
+
     "q_tpch_q3" -> ((s, d) => {
       val c = scan(s, d, "customer").toDF.filter(col("c_mktsegment") === "BUILDING")
       val o = scan(s, d, "orders").toDF
@@ -1960,6 +2123,89 @@ object SparkEntry {
            AND s_nationkey IN (
              SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
            ORDER BY s_suppkey""",
+      "q_tpch_q6" ->
+        """SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      CAST(round(l_discount * 100) AS BIGINT)) / 10000.0
+                    AS revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01'
+             AND l_discount >= 0.02 AND l_discount <= 0.04
+             AND l_quantity < 24""",
+      "q_tpch_q7" ->
+        """SELECT supp_nation, cust_nation, l_year,
+                  sum(volume) / 10000.0 AS revenue
+           FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                        CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                        CAST(round(l_extendedprice * 100) AS BIGINT) *
+                        CAST(round((1 - l_discount) * 100) AS BIGINT)
+                          AS volume
+                 FROM supplier
+                 JOIN lineitem ON s_suppkey = l_suppkey
+                 JOIN orders ON o_orderkey = l_orderkey
+                 JOIN customer ON c_custkey = o_custkey
+                 JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                 JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                 WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+                   AND l_shipdate >= TIMESTAMP '1995-01-01'
+                   AND l_shipdate < TIMESTAMP '1997-01-01')
+           GROUP BY supp_nation, cust_nation, l_year
+           ORDER BY supp_nation, cust_nation, l_year""",
+      "q_tpch_q15" ->
+        """WITH revenue AS (
+             SELECT l_suppkey AS supplier_no,
+                    sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                        CAST(round((1 - l_discount) * 100) AS BIGINT))
+                      AS total_cents
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+               AND l_shipdate < TIMESTAMP '1996-04-01'
+             GROUP BY l_suppkey)
+           SELECT s_suppkey, s_name, total_cents / 10000.0 AS total_revenue
+           FROM supplier JOIN revenue ON s_suppkey = supplier_no
+           WHERE total_cents = (SELECT max(total_cents) FROM revenue)
+           ORDER BY s_suppkey""",
+      "q_tpch_q16" ->
+        """SELECT p_brand, p_type, p_size,
+                  count(DISTINCT l_suppkey) AS supplier_cnt
+           FROM lineitem JOIN part ON p_partkey = l_partkey
+           WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+             AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+             AND l_suppkey NOT IN (
+               SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+           GROUP BY p_brand, p_type, p_size
+           ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+      "q_tpch_q19" ->
+        """SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      CAST(round((1 - l_discount) * 100) AS BIGINT))
+                    / 10000.0 AS revenue
+           FROM lineitem JOIN part ON p_partkey = l_partkey
+           WHERE (p_brand = 'Brand#12' AND p_size >= 1 AND p_size <= 5
+                  AND l_quantity >= 1 AND l_quantity <= 11)
+              OR (p_brand = 'Brand#23' AND p_size >= 1 AND p_size <= 10
+                  AND l_quantity >= 10 AND l_quantity <= 20)
+              OR (p_brand = 'Brand#34' AND p_size >= 1 AND p_size <= 15
+                  AND l_quantity >= 20 AND l_quantity <= 30)""",
+      "q_tpch_q22" ->
+        """WITH pos AS (
+             SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s,
+                    count(*) AS c
+             FROM customer WHERE c_acctbal > 0.0 AND c_nationkey <= 7)
+           SELECT cntrycode, count(*) AS numcust,
+                  sum(bal_cents) / 100.0 AS totacctbal
+           FROM (SELECT c_nationkey AS cntrycode,
+                        CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+                        c_custkey
+                 FROM customer
+                 WHERE c_nationkey <= 7
+                   AND CAST(round(c_acctbal * 100) AS BIGINT) *
+                       (SELECT c FROM pos) > (SELECT s FROM pos)
+                   AND NOT EXISTS (
+                     SELECT 1 FROM orders
+                     WHERE o_custkey = c_custkey
+                       AND o_orderdate >= TIMESTAMP '2000-01-01'))
+           GROUP BY cntrycode ORDER BY cntrycode""",
       "q_tpch_q3" ->
         """SELECT o_orderkey,
                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

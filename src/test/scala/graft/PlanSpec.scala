@@ -179,6 +179,69 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Window"), s"expected the per-part window:\n$plan")
   }
 
+  test("TPC-H Q6 pushes every predicate to the scan") {
+    val df = SparkEntry.queries("q_tpch_q6")(spark, sf)
+    // Inspect BEFORE execution: AQE materializes stages into leaf
+    // nodes that hide the scan from tree traversal. The plan STRING
+    // also truncates long PushedFilters lists, so read the scan
+    // node's untruncated metadata.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val inner = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val plan = inner.toString
+    val pushed = inner.collectWithSubqueries {
+      case f: FileSourceScanExec => f.metadata("PushedFilters")
+    }.mkString
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate") &&
+      pushed.contains("GreaterThanOrEqual(l_discount") &&
+      pushed.contains("LessThan(l_quantity"),
+      s"expected date/discount/quantity filters pushed, got: $pushed")
+    assert(plan.contains("partial_sum"), "expected map-side partial sum")
+  }
+
+  test("TPC-H Q7 broadcast-reduces both dimension sides before the fact join") {
+    val df = SparkEntry.queries("q_tpch_q7")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // supplier⋈nation and customer⋈nation collapse to broadcasts; the
+    // nation-pair reduction must cut lineitem via a broadcast join
+    // BEFORE the orders shuffle, never after.
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 3,
+      s"expected nation-filtered dims broadcast onto the fact side:\n$plan")
+    assert(!plan.contains("NestedLoop"),
+      s"pair condition degraded to a nested loop:\n$plan")
+  }
+
+  test("TPC-H Q16 anti-joins the exclusion set and two-phases the distinct") {
+    val df = SparkEntry.queries("q_tpch_q16")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti") && plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast anti join for NOT IN:\n$plan")
+    // count(DISTINCT supplier) must partial-dedup before the shuffle
+    // (two-phase distinct aggregate), not ship every duplicate row.
+    assert("HashAggregate".r.findAllIn(plan).length >= 3,
+      s"expected the two-phase distinct aggregate:\n$plan")
+  }
+
+  test("TPC-H Q19 keeps the disjunction as a hash-join residual") {
+    val df = SparkEntry.queries("q_tpch_q19")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // Equi key on the hash join, OR-of-ANDs as its residual; the
+    // union-of-ranges prefilters must reach both scans.
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast hash join on partkey:\n$plan")
+    assert(!plan.contains("NestedLoop"),
+      s"disjunctive join degraded to a nested loop:\n$plan")
+    assert(plan.contains("In(p_brand") ||
+      plan.contains("PushedFilters: [IsNotNull(p_brand"),
+      s"expected the brand prefilter pushed to the part scan:\n$plan")
+  }
+
   test("slice reads only overlapping partition files (driver pruning)") {
     val total = persisted.npartitions
     val lo = persisted.lowerBounds.get(2)
