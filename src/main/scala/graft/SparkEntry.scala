@@ -1148,6 +1148,161 @@ object SparkEntry {
         .orderBy("cntrycode")
     }),
 
+    // TPC-H Q2 shape (min-cost supplier per part; supply cost adapted
+    // to supplier account balance — no partsupp in the synthetic
+    // schema): the correlated min subquery decorrelates into a
+    // per-part aggregate joined back on (partkey, min) equality. The
+    // candidate set is reduced FIRST (part attribute filter + region
+    // suppliers, both broadcast), so the min and the probe run over
+    // the same small pre-joined set — the fact table contributes only
+    // the distinct (part, supplier) relationship.
+    "q_tpch_q2" -> ((s, d) => {
+      val shipped = scan(s, d, "lineitem").toDF
+        .select("l_partkey", "l_suppkey").distinct()
+      val rsupp = scan(s, d, "supplier").toDF
+        .join(broadcast(scan(s, d, "nation").toDF
+            .filter(col("n_regionkey") === 1)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val p = scan(s, d, "part").toDF
+        .filter(col("p_size") <= 3 && col("p_type") === "SMALL")
+        .select("p_partkey", "p_brand")
+      val scored = shipped
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(rsupp), col("l_suppkey") === col("s_suppkey"))
+      val minb = scored.groupBy(col("p_partkey").as("mk"))
+        .agg(min("s_acctbal").as("min_bal"))
+      scored.join(minb, col("p_partkey") === col("mk") &&
+          col("s_acctbal") === col("min_bal"))
+        .select("p_partkey", "p_brand", "s_name", "s_acctbal", "n_name")
+        .orderBy(col("s_acctbal"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q8 shape (national market share): the share is two
+    // conditional sums out of ONE pass over the filtered join — never
+    // two scans — and the ratio divides exact integer cents, rounded
+    // once at the end. Part-type and region filters broadcast-reduce
+    // the fact stream before the orders shuffle.
+    "q_tpch_q8" -> ((s, d) => {
+      val cents = round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")
+      val p = scan(s, d, "part").toDF
+        .filter(col("p_type") === "ECONOMY").select("p_partkey")
+      val supN = scan(s, d, "supplier").toDF
+        .join(broadcast(scan(s, d, "nation").toDF
+            .select(col("n_nationkey").as("snk"),
+              col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("snk"))
+        .select("s_suppkey", "supp_nation")
+      val custAmerica = scan(s, d, "customer").toDF
+        .join(broadcast(scan(s, d, "nation").toDF
+            .join(broadcast(scan(s, d, "region").toDF
+                .filter(col("r_name") === "AMERICA")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey").as("cnk"))),
+          col("c_nationkey") === col("cnk"))
+        .select("c_custkey")
+      val o = scan(s, d, "orders").toDF
+        .filter(col("o_orderdate") >= lit(ldt("1995-01-01T00:00")) &&
+          col("o_orderdate") < lit(ldt("1997-01-01T00:00")))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      scan(s, d, "lineitem").toDF
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(custAmerica, col("o_custkey") === col("c_custkey"),
+          "left_semi")
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", cents)
+            .otherwise(0L)) * lit(1.0) / sum(cents), 6)
+          .as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q9 shape (product-type profit; supply cost adapted to a
+    // deterministic 60% of retail price — no partsupp): profit per
+    // line is exact integer arithmetic at the same 1e-4 scale as the
+    // revenue cents, so the grouped sums are bit-identical across
+    // engines. The name filter broadcasts onto lineitem; supplier
+    // nation broadcasts; only the orders join shuffles.
+    "q_tpch_q9" -> ((s, d) => {
+      val revCents = round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")
+      val costCents = round(col("p_retailprice") * 100).cast("long") *
+        round(col("l_quantity")).cast("long") * lit(60L)
+      val p = scan(s, d, "part").toDF
+        .filter(col("p_name").contains("red"))
+        .select("p_partkey", "p_retailprice")
+      val supN = scan(s, d, "supplier").toDF
+        .join(broadcast(scan(s, d, "nation").toDF
+            .select(col("n_nationkey").as("snk"), col("n_name"))),
+          col("s_nationkey") === col("snk"))
+        .select("s_suppkey", "n_name")
+      val o = scan(s, d, "orders").toDF
+        .select("o_orderkey", "o_orderdate")
+      scan(s, d, "lineitem").toDF
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg((sum(revCents - costCents) / lit(10000.0)).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q11 shape (important stock; partsupp value adapted to
+    // shipped volume of two nations' suppliers): group sums compared
+    // against a fraction of their own grand total. The threshold is
+    // a one-row broadcast, and the 0.2% fraction compares by exact
+    // integer cross-multiplication (value × 500 > total) — no float
+    // threshold can flip a boundary part between engines. The
+    // grouped view is aggregated ONCE and reused for both sides.
+    "q_tpch_q11" -> ((s, d) => {
+      val cents = round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")
+      val supN = scan(s, d, "supplier").toDF
+        .join(broadcast(scan(s, d, "nation").toDF
+            .filter(col("n_name").isin("NATION_3", "NATION_4"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      def v = scan(s, d, "lineitem").toDF
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"),
+          "left_semi")
+        .groupBy("l_partkey")
+        .agg(sum(cents).as("value_cents"))
+      val total = v.agg(sum("value_cents").as("total_cents"))
+      v.crossJoin(broadcast(total))
+        .filter(col("value_cents") * 500 > col("total_cents"))
+        .select(col("l_partkey"),
+          (col("value_cents") / lit(10000.0)).as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
+
+    // TPC-H Q12 shape (late-line priority accounting; shipmode
+    // adapted to linestatus — the synthetic lineitem has no
+    // l_shipmode): both priority classes come out of ONE pass as
+    // conditional counts; the year window pushes to the lineitem
+    // scan and the lateness test (shipdate vs its own order's date)
+    // is a post-join filter on the orderkey equi join.
+    "q_tpch_q12" -> ((s, d) => {
+      val o = scan(s, d, "orders").toDF
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      scan(s, d, "lineitem").toDF
+        .filter(col("l_shipdate") >= lit(ldt("1996-01-01T00:00")) &&
+          col("l_shipdate") < lit(ldt("1997-01-01T00:00")))
+        .select("l_orderkey", "l_linestatus", "l_shipdate")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+
     "q_tpch_q3" -> ((s, d) => {
       val c = scan(s, d, "customer").toDF.filter(col("c_mktsegment") === "BUILDING")
       val o = scan(s, d, "orders").toDF
@@ -2123,6 +2278,89 @@ object SparkEntry {
            AND s_nationkey IN (
              SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
            ORDER BY s_suppkey""",
+      "q_tpch_q2" ->
+        """WITH shipped AS (
+             SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+           rsupp AS (
+             SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier
+             JOIN nation ON s_nationkey = n_nationkey
+             WHERE n_regionkey = 1)
+           SELECT p_partkey, p_brand, s_name, s_acctbal, n_name
+           FROM part
+           JOIN shipped ON p_partkey = l_partkey
+           JOIN rsupp ON l_suppkey = s_suppkey
+           WHERE p_size <= 3 AND p_type = 'SMALL'
+             AND s_acctbal = (
+               SELECT min(s2.s_acctbal) FROM shipped sh2
+               JOIN rsupp s2 ON sh2.l_suppkey = s2.s_suppkey
+               WHERE sh2.l_partkey = p_partkey)
+           ORDER BY s_acctbal, s_name, p_partkey LIMIT 100""",
+      "q_tpch_q8" ->
+        """SELECT o_year,
+                  round(sum(CASE WHEN supp_nation = 'NATION_3'
+                            THEN volume ELSE 0 END) * 1.0 / sum(volume), 6)
+                    AS mkt_share
+           FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                        CAST(round(l_extendedprice * 100) AS BIGINT) *
+                        CAST(round((1 - l_discount) * 100) AS BIGINT)
+                          AS volume,
+                        n2.n_name AS supp_nation
+                 FROM part
+                 JOIN lineitem ON p_partkey = l_partkey
+                 JOIN supplier ON s_suppkey = l_suppkey
+                 JOIN orders ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+                 JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                 JOIN region ON n1.n_regionkey = r_regionkey
+                 JOIN nation n2 ON s_nationkey = n2.n_nationkey
+                 WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+                   AND o_orderdate >= TIMESTAMP '1995-01-01'
+                   AND o_orderdate < TIMESTAMP '1997-01-01')
+           GROUP BY o_year ORDER BY o_year""",
+      "q_tpch_q9" ->
+        """SELECT nation, o_year, sum(amount) / 10000.0 AS sum_profit
+           FROM (SELECT n_name AS nation,
+                        CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                        CAST(round(l_extendedprice * 100) AS BIGINT) *
+                        CAST(round((1 - l_discount) * 100) AS BIGINT) -
+                        CAST(round(p_retailprice * 100) AS BIGINT) *
+                        CAST(round(l_quantity) AS BIGINT) * 60 AS amount
+                 FROM part
+                 JOIN lineitem ON p_partkey = l_partkey
+                 JOIN supplier ON s_suppkey = l_suppkey
+                 JOIN orders ON l_orderkey = o_orderkey
+                 JOIN nation ON s_nationkey = n_nationkey
+                 WHERE p_name LIKE '%red%')
+           GROUP BY nation, o_year ORDER BY nation, o_year DESC""",
+      "q_tpch_q11" ->
+        """WITH v AS (
+             SELECT l_partkey,
+                    sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                        CAST(round((1 - l_discount) * 100) AS BIGINT))
+                      AS value_cents
+             FROM lineitem
+             WHERE l_suppkey IN (
+               SELECT s_suppkey FROM supplier
+               JOIN nation ON s_nationkey = n_nationkey
+               WHERE n_name IN ('NATION_3', 'NATION_4'))
+             GROUP BY l_partkey)
+           SELECT l_partkey, value_cents / 10000.0 AS value
+           FROM v
+           WHERE value_cents * 500 > (SELECT sum(value_cents) FROM v)
+           ORDER BY value DESC, l_partkey""",
+      "q_tpch_q12" ->
+        """SELECT l_linestatus,
+                  CAST(sum(CASE WHEN o_orderpriority IN
+                       ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS high_line_count,
+                  CAST(sum(CASE WHEN o_orderpriority NOT IN
+                       ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS low_line_count
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+             AND l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01'
+           GROUP BY l_linestatus ORDER BY l_linestatus""",
       "q_tpch_q6" ->
         """SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
                       CAST(round(l_discount * 100) AS BIGINT)) / 10000.0

@@ -242,6 +242,34 @@ class PlanSpec extends AnyFunSuite {
       s"expected the brand prefilter pushed to the part scan:\n$plan")
   }
 
+  test("TPC-H Q2 decorrelates the min into a join-back, no nested loop") {
+    val df = SparkEntry.queries("q_tpch_q2")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min"),
+      s"expected the correlated min as a per-part aggregate:\n$plan")
+    assert(!plan.contains("NestedLoop"),
+      s"min subquery degraded to a nested loop:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected top-100 via TakeOrderedAndProject:\n$plan")
+  }
+
+  test("TPC-H Q8 computes the market share in one conditional-agg pass") {
+    val df = SparkEntry.queries("q_tpch_q8")(spark, sf)
+    df.collect()
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    // Numerator and denominator come from ONE scan of lineitem;
+    // part/supplier/nation/region reductions broadcast.
+    assert("lineitem".r.findAllIn(plan).length == 1,
+      s"expected exactly one lineitem scan:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 3,
+      s"expected broadcast dimension reductions:\n$plan")
+  }
+
   test("slice reads only overlapping partition files (driver pruning)") {
     val total = persisted.npartitions
     val lo = persisted.lowerBounds.get(2)
