@@ -408,8 +408,16 @@ object SparkEntry {
       val dir = root + "/src"
       val viewDir = root + "/view"
       graft.operators.IncrementalAgg.retarget(s, viewDir, dir)
+      // CDC-shaped delta: updates and deletes are CLUSTERED key
+      // bands and inserts land past the end of the index range, so
+      // the retained upsert/delete rewrite only the overlapping
+      // files and the feed diffs only those — the engine's
+      // affected-file pruning under test. (The uniform-spread
+      // worst case, where every file overlaps the delta, is what
+      // q_upsert / q_delete_keys measure.)
       val orders = s.read.parquet(T(d, "orders"))
-      val upd = orders.filter(col("o_orderkey") % 701 === 0)
+      val upd = orders
+        .filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 1400)
         .select(col("o_orderkey"), col("o_custkey"),
           (col("o_orderkey") % 7).cast("double").as("o_qty"))
       val ins = orders.filter(col("o_orderkey") % 997 === 0)
@@ -418,7 +426,7 @@ object SparkEntry {
       graft.operators.Maintenance.upsert(
         s, dir, upd.unionByName(ins), retain = true)
       val dels = orders
-        .filter(col("o_orderkey") % 401 === 0 && col("o_orderkey") =!= 0)
+        .filter(col("o_orderkey") >= 100 && col("o_orderkey") < 300)
         .select("o_orderkey")
       graft.operators.Maintenance.deleteKeys(s, dir, dels, retain = true)
       graft.operators.IncrementalAgg.refresh(s, viewDir)
@@ -1940,11 +1948,11 @@ object SparkEntry {
       "q_incremental_view" ->
         """WITH src AS (
              SELECT o_orderkey, o_custkey,
-                    CASE WHEN o_orderkey % 701 = 0
+                    CASE WHEN o_orderkey >= 1000 AND o_orderkey < 1400
                          THEN CAST(o_orderkey % 7 AS DOUBLE)
                          ELSE CAST(o_orderkey % 50 AS DOUBLE) END AS o_qty
              FROM orders
-             WHERE o_orderkey % 401 <> 0 OR o_orderkey = 0
+             WHERE o_orderkey < 100 OR o_orderkey >= 300
              UNION ALL
              SELECT o_orderkey + 1000000000, o_custkey, 3.0
              FROM orders WHERE o_orderkey % 997 = 0)
