@@ -447,6 +447,46 @@ object SparkEntry {
       PDataset.scanParquet(s, viewDir).toDF.orderBy("o_custkey")
     }),
 
+    // Incremental distinct-count view: per-group HLL sketches merge
+    // under the insert-only delta (no source rescan), and the result
+    // row carries whether each group's estimate lands within
+    // tolerance of the exact distinct count — a DETERMINISTIC
+    // boolean (sketches are deterministic), so the plain-SQL oracle
+    // pins it TRUE alongside the exact row counts.
+    "q_distinct_view" -> ((s, d) => {
+      val root = mutableCopy("ordpriopair", d) { out =>
+        val df = s.read.parquet(T(d, "orders"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_orderkey") % 50).cast("double").as("o_qty"),
+            col("o_orderpriority"))
+        val ds = PDataset.fromDataFrame(df, Seq("o_orderkey"))
+        ds.repartition(math.max(50L, ds.sizes.get.sum / 20))
+          .writeParquet(out + "/src")
+        graft.operators.IncrementalAgg.build(
+          s, out + "/src", out + "/view", Seq("o_custkey"),
+          Seq("o_qty"), Nil, Seq("o_orderpriority"))
+      }
+      val dir = root + "/src"
+      val viewDir = root + "/view"
+      graft.operators.IncrementalAgg.retarget(s, viewDir, dir)
+      val ins = s.read.parquet(T(d, "orders"))
+        .filter(col("o_orderkey") % 997 === 0)
+        .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+          col("o_custkey"), lit(3.0).as("o_qty"),
+          lit("X-NEW").as("o_orderpriority"))
+      graft.operators.Maintenance.upsert(s, dir, ins, retain = true)
+      graft.operators.IncrementalAgg.refresh(s, viewDir)
+      val est = graft.operators.IncrementalAgg.distinctEstimates(s, viewDir)
+      val exact = PDataset.scanParquet(s, dir).toDF
+        .groupBy("o_custkey")
+        .agg(countDistinct("o_orderpriority").as("xd"))
+      est.join(exact, "o_custkey")
+        .select(col("o_custkey"), col("n"),
+          (abs(col("o_orderpriority_nd") - col("xd")) <=
+            greatest(lit(2.0), col("xd") * 0.1)).as("nd_ok"))
+        .orderBy("o_custkey")
+    }),
+
     // Materialized-view rewrite: with the view registered, this
     // source aggregate is transparently answered from the view (the
     // ViewRewriteSpec pins that the plan scans the view, not the
@@ -1978,6 +2018,13 @@ object SparkEntry {
              FROM orders WHERE o_orderkey % 997 = 0)
            SELECT o_custkey, count(*) AS n, sum(o_qty) AS o_qty_sum,
                   count(o_qty) AS o_qty_nn
+           FROM src GROUP BY o_custkey ORDER BY o_custkey""",
+      "q_distinct_view" ->
+        """WITH src AS (
+             SELECT o_custkey FROM orders
+             UNION ALL
+             SELECT o_custkey FROM orders WHERE o_orderkey % 997 = 0)
+           SELECT o_custkey, count(*) AS n, TRUE AS nd_ok
            FROM src GROUP BY o_custkey ORDER BY o_custkey""",
       "q_restore" -> "SELECT * FROM orders ORDER BY o_orderkey",
       "q_delete_keys" ->

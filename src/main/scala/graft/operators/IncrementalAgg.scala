@@ -27,11 +27,12 @@ import graft.core.{GraftFs, PDataset, TypedJson}
   *
   * Counts and sums re-derive exactly under insert/delete deltas
   * (avg = sum/count at read time). Min/max merge incrementally under
-  * insert-only deltas; a delta containing deletes triggers a
-  * targeted REPAIR — min/max recomputed for only the delta's groups
-  * via one semi-join scan of the source (IN-prefiltered when the
-  * group list is small, so a group-clustered source prunes) — never
-  * a full rebuild.
+  * insert-only deltas, and distinct-count sketches (`distinctCols`:
+  * per-group Datasketches HLL, `hll_union`-merged) likewise; a delta
+  * containing deletes triggers a targeted REPAIR — min/max and
+  * sketches recomputed for only the delta's groups via one semi-join
+  * scan of the source (IN-prefiltered when the group list is small,
+  * so a group-clustered source prunes) — never a full rebuild.
   * Contract: every source mutation between refreshes must be a
   * maintenance op run with `retain = true` (otherwise the outgoing
   * generation is not archived and the feed cannot see it — refresh
@@ -53,6 +54,7 @@ object IncrementalAgg {
       groupCols: Seq[String],
       sumCols: Seq[String],
       minMaxCols: Seq[String],
+      distinctCols: Seq[String],
       baseVersion: Int,
       baseMetaHash: String)
 
@@ -60,6 +62,7 @@ object IncrementalAgg {
   private def nnName(c: String): String = s"${c}_nn"
   private def minName(c: String): String = s"${c}_min"
   private def maxName(c: String): String = s"${c}_max"
+  private def hllName(c: String): String = s"${c}_hll"
 
   // Sums are stored as double regardless of the source column's type:
   // refresh's signed deltas are double, so the view schema must be
@@ -72,14 +75,17 @@ object IncrementalAgg {
       src: DataFrame,
       groupCols: Seq[String],
       sumCols: Seq[String],
-      minMaxCols: Seq[String]): DataFrame =
+      minMaxCols: Seq[String],
+      distinctCols: Seq[String]): DataFrame =
     src.groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).as("n"),
       sumCols.flatMap(c => Seq(
         sum(col(c).cast("double")).as(sumName(c)),
         count(col(c)).as(nnName(c)))) ++
         minMaxCols.flatMap(c => Seq(
-          min(col(c)).as(minName(c)), max(col(c)).as(maxName(c)))): _*)
+          min(col(c)).as(minName(c)), max(col(c)).as(maxName(c)))) ++
+        distinctCols.map(c =>
+          hll_sketch_agg(col(c)).as(hllName(c))): _*)
 
   /** The generation number the source's CURRENT state will receive
     * when the next retained op archives it. */
@@ -97,7 +103,9 @@ object IncrementalAgg {
     GraftFs.writeString(fs, metaPath(spark, viewDir), TypedJson.write(Map(
       "src" -> m.srcDir, "group" -> m.groupCols.toVector,
       "sums" -> m.sumCols.toVector,
-      "minmax" -> m.minMaxCols.toVector, "base" -> m.baseVersion.toLong,
+      "minmax" -> m.minMaxCols.toVector,
+      "distinct" -> m.distinctCols.toVector,
+      "base" -> m.baseVersion.toLong,
       "base_meta_md5" -> m.baseMetaHash)))
   }
 
@@ -111,6 +119,8 @@ object IncrementalAgg {
       o("group").asInstanceOf[Vector[Any]].map(_.toString),
       o("sums").asInstanceOf[Vector[Any]].map(_.toString),
       o.getOrElse("minmax", Vector.empty[Any])
+        .asInstanceOf[Vector[Any]].map(_.toString),
+      o.getOrElse("distinct", Vector.empty[Any])
         .asInstanceOf[Vector[Any]].map(_.toString),
       o("base").asInstanceOf[Long].toInt,
       o("base_meta_md5").toString)
@@ -168,6 +178,12 @@ object IncrementalAgg {
     * incrementally for insert-only deltas, repaired per affected
     * group (one targeted source scan) when a delta contains
     * deletes. */
+  /** `distinctCols` adds `<c>_hll` columns: per-group Datasketches
+    * HLL sketches of the column's values. Sketches MERGE under
+    * insert-only deltas (`hll_union`) and are recomputed through the
+    * same targeted repair scan as min/max when a delta contains
+    * deletes (a sketch cannot retract a value). Read estimates with
+    * [[distinctEstimates]] or `hll_sketch_estimate` directly. */
   def build(
       spark: SparkSession,
       srcDir: String,
@@ -175,6 +191,7 @@ object IncrementalAgg {
       groupCols: Seq[String],
       sumCols: Seq[String],
       minMaxCols: Seq[String] = Nil,
+      distinctCols: Seq[String] = Nil,
       rowsPerFile: Long = 1 << 20): Unit = {
     require(groupCols.nonEmpty, "need at least one group column")
     // Snapshot the source's identity FIRST and aggregate exactly that
@@ -184,12 +201,24 @@ object IncrementalAgg {
     val (srcMeta, srcHash) = srcSnapshot(spark, srcDir)
     val base = nextVersion(spark, srcDir)
     val src = PDataset.fromSidecarMeta(spark, srcDir, srcMeta).toDF
-    val agg = fullAgg(src, groupCols, sumCols, minMaxCols)
+    val agg = fullAgg(src, groupCols, sumCols, minMaxCols, distinctCols)
     PDataset.fromDataFrame(agg, groupCols)
       .repartition(rowsPerFile)
       .writeParquet(viewDir)
     writeMeta(spark, viewDir,
-      ViewMeta(srcDir, groupCols, sumCols, minMaxCols, base, srcHash))
+      ViewMeta(srcDir, groupCols, sumCols, minMaxCols, distinctCols,
+        base, srcHash))
+  }
+
+  /** The view with each `<c>_hll` sketch column replaced by its
+    * distinct-value estimate (`<c>_nd`, long). */
+  def distinctEstimates(spark: SparkSession, viewDir: String): DataFrame = {
+    val m = viewMeta(spark, viewDir)
+    m.distinctCols.foldLeft(PDataset.scanParquet(spark, viewDir).toDF) {
+      (df, c) => df
+        .withColumn(s"${c}_nd", hll_sketch_estimate(col(hllName(c))))
+        .drop(hllName(c))
+    }
   }
 
   /** Re-bind a MOVED or COPIED view to its source's new location.
@@ -259,18 +288,27 @@ object IncrementalAgg {
       .otherwise(lit(-1L))
     val feed = Maintenance.changesBetween(spark, m.srcDir,
       Maintenance.versionMeta(spark, m.srcDir, baseV), curMeta)
+    // Columns whose per-group state cannot RETRACT a deleted value:
+    // a delta containing deletes repairs them from the source instead
+    // of merging.
+    val nonRetractable = m.minMaxCols ++ m.distinctCols
     val delta = feed.groupBy(groupCols.map(col): _*).agg(
       sum(sign).as("__dn"),
       m.sumCols.flatMap(c => Seq(
         sum(sign.cast("double") * col(c)).as(s"__d_${c}"),
         sum(when(col(c).isNotNull, sign).otherwise(lit(0L)))
           .as(s"__dnn_${c}"))) ++
-        (if (m.minMaxCols.isEmpty) Nil
+        (if (nonRetractable.isEmpty) Nil
          else Seq(sum(when(col("change_type") === "delete", 1L)
-           .otherwise(0L)).as("__dels")) ++
-           m.minMaxCols.flatMap(c => Seq(
-             min(col(c)).as(s"__dmin_${c}"),
-             max(col(c)).as(s"__dmax_${c}")))): _*)
+           .otherwise(0L)).as("__dels"))) ++
+        m.minMaxCols.flatMap(c => Seq(
+          min(col(c)).as(s"__dmin_${c}"),
+          max(col(c)).as(s"__dmax_${c}"))) ++
+        // Sketch of the INSERTED values only: deletes contribute
+        // nothing here (they trigger repair instead).
+        m.distinctCols.map(c => hll_sketch_agg(
+          when(col("change_type") === "insert", col(c)))
+          .as(s"__dhll_${c}")): _*)
       .persist()
     try {
       // Min/max only MERGE under insert-only deltas: a delete might
@@ -283,13 +321,13 @@ object IncrementalAgg {
       // group columns reads just the affected files/row groups. The
       // common mostly-insert workload stays O(delta + affected
       // groups); untouched groups never rescan.
-      val needRepair = m.minMaxCols.nonEmpty &&
+      val needRepair = nonRetractable.nonEmpty &&
         !delta.filter(col("__dels") > 0L).isEmpty
       val repair: Option[DataFrame] =
         if (!needRepair) None
         else {
           val src = PDataset.fromSidecarMeta(spark, m.srcDir, curMeta)
-            .toDF.select((groupCols ++ m.minMaxCols).map(col): _*)
+            .toDF.select((groupCols ++ nonRetractable).map(col): _*)
           val groupsDf = delta.select(groupCols.map(col): _*)
           // The per-column IN prefilter is a SUPERSET of the delta's
           // group tuples (it decomposes a tuple set column-wise); the
@@ -304,15 +342,16 @@ object IncrementalAgg {
                 d.filter(col(g).isin(vals: _*))
               }
             } catch { case scala.util.control.NonFatal(_) => src }
+          val repairExprs =
+            m.minMaxCols.flatMap(c => Seq(
+              min(col(c)).as(s"__rmin_${c}"),
+              max(col(c)).as(s"__rmax_${c}"))) ++
+              m.distinctCols.map(c =>
+                hll_sketch_agg(col(c)).as(s"__rhll_${c}"))
           Some(prefiltered
             .join(broadcast(groupsDf), groupCols.toSeq, "left_semi")
             .groupBy(groupCols.map(col): _*)
-            .agg(min(col(m.minMaxCols.head)).as(s"__rmin_${m.minMaxCols.head}"),
-              (Seq(max(col(m.minMaxCols.head))
-                .as(s"__rmax_${m.minMaxCols.head}")) ++
-                m.minMaxCols.tail.flatMap(c => Seq(
-                  min(col(c)).as(s"__rmin_${c}"),
-                  max(col(c)).as(s"__rmax_${c}")))): _*))
+            .agg(repairExprs.head, repairExprs.tail: _*))
         }
       val view = PDataset.scanParquet(spark, viewDir).toDF
       // Existing rows of affected groups only: the view scans once
@@ -352,7 +391,16 @@ object IncrementalAgg {
                 col(s"__rmax_${c}").as(maxName(c)))
               else Seq(
                 least(col(minName(c)), col(s"__dmin_${c}")).as(minName(c)),
-                greatest(col(maxName(c)), col(s"__dmax_${c}")).as(maxName(c)))): _*)
+                greatest(col(maxName(c)), col(s"__dmax_${c}")).as(maxName(c)))) ++
+            m.distinctCols.map(c =>
+              if (needRepair) col(s"__rhll_${c}").as(hllName(c))
+              else {
+                // union of the old and delta sketches; either side may
+                // be null (brand-new group / no inserted values)
+                val old = col(hllName(c)); val dl = col(s"__dhll_${c}")
+                when(old.isNull, dl).when(dl.isNull, old)
+                  .otherwise(hll_union(old, dl)).as(hllName(c))
+              }): _*)
         .persist()
       try {
         val updates = merged.filter(col("n") > 0L)

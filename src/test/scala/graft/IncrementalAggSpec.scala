@@ -243,6 +243,48 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(gotAll == want)
   }
 
+  test("distinct sketches merge on inserts and repair on deletes") {
+    val root = tempDir("incragg-distinct")
+    val src = root + "/src"
+    val view = root + "/view"
+    writeSrc(src, 600)
+    IncrementalAgg.build(spark, src, view, Seq("grp"), Seq("qty"),
+      minMaxCols = Nil, distinctCols = Seq("payload"))
+    def est(): Map[Long, Double] =
+      IncrementalAgg.distinctEstimates(spark, view)
+        .select("grp", "payload_nd").collect()
+        .map(r => r.getLong(0) -> r.getLong(1).toDouble).toMap
+    def exact(): Map[Long, Long] =
+      PDataset.scanParquet(spark, src).toDF
+        .groupBy("grp").agg(countDistinct("payload").as("nd"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def check(where: String): Unit = {
+      val (e, x) = (est(), exact())
+      assert(e.keySet == x.keySet, s"$where: group sets differ")
+      for ((g, nd) <- e)
+        assert(math.abs(nd - x(g)) <= math.max(2.0, 0.1 * x(g)),
+          s"$where: grp $g estimate $nd vs exact ${x(g)}")
+    }
+    check("after build")
+    // insert-only delta (brand-new keys): sketches MERGE — no source
+    // rescan — and track the new values
+    Maintenance.upsert(spark, src,
+      srcDF(7000, 40, "new"), retain = true)
+    assert(IncrementalAgg.refresh(spark, view) > 0L)
+    check("after insert-only refresh")
+    // a delta with deletes (update rewrites = delete+insert, plus
+    // point deletes) repairs the affected groups' sketches
+    Maintenance.upsert(spark, src,
+      srcDF(100, 5, "upd2").withColumn("payload", lit("rewritten")),
+      retain = true)
+    Maintenance.deleteKeys(spark, src,
+      spark.range(200, 230).select(col("id").as("k")), retain = true)
+    assert(IncrementalAgg.refresh(spark, view) > 0L)
+    check("after delete-containing refresh")
+    // counts stay EXACT throughout
+    assert(got(view) == expect(src))
+  }
+
   test("retarget re-binds a copied view; content mismatch refuses") {
     val root = tempDir("incragg-retarget")
     writeSrc(root + "/src", 300)
