@@ -514,6 +514,20 @@ object SparkEntry {
     // RESTORE: roll back to the archived pre-upsert generation — a
     // metadata-only swap (zero data I/O at any table size); the scan
     // afterwards is bit-for-bit the original table.
+    // Merge-on-read delete (deletion vectors): the same scattered
+    // key set as q_delete_keys — which rewrites one file per hit —
+    // marks row positions in a KB-scale overlay commit instead, and
+    // the merge-on-read scan anti-joins the broadcast vectors. Zero
+    // data files rewritten at any table size.
+    "q_delete_dv" -> ((s, d) => {
+      val dir = mutableCopy("ordkey20", d)(ordersByKey20(s, d))
+      val keys = s.read.parquet(T(d, "orders"))
+        .filter(col("o_orderkey") % 401 === 0 && col("o_orderkey") =!= 0)
+        .select("o_orderkey")
+      graft.operators.DeletionVectors.deleteKeys(s, dir, keys)
+      graft.operators.DeletionVectors.scan(s, dir).orderBy("o_orderkey")
+    }),
+
     "q_restore" -> ((s, d) => {
       // The history builds once; each run copies it and times the
       // operator under test — RESTORE (a metadata-only generation
@@ -2029,6 +2043,10 @@ object SparkEntry {
       "q_restore" -> "SELECT * FROM orders ORDER BY o_orderkey",
       "q_delete_keys" ->
         """SELECT * FROM orders WHERE o_orderkey % 401 <> 0
+           ORDER BY o_orderkey""",
+      "q_delete_dv" ->
+        """SELECT * FROM orders
+           WHERE o_orderkey % 401 <> 0 OR o_orderkey = 0
            ORDER BY o_orderkey""",
       "q_merge" ->
         """SELECT o_orderkey, o_custkey, o_orderstatus,

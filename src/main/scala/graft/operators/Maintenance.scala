@@ -158,6 +158,7 @@ object Maintenance {
     * authoritative, exactly as it is when reading the archived
     * generation directly. */
   def restore(spark: SparkSession, dir: String, version: Int): Unit = {
+    DeletionVectors.requireNone(spark, dir, "restore")
     val (fs, dirPath) = GraftFs.resolve(spark, dir)
     val cur = Sidecar.load(spark, dir)
     val loadedFp = metaFingerprint(spark, dirPath)
@@ -310,7 +311,7 @@ object Maintenance {
 
   /** Copy the CURRENT metadata into the history before a swap;
     * returns the archived version number. */
-  private def archiveCurrent(
+  private[operators] def archiveCurrent(
       spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
       dirPath: HPath): Int = {
@@ -430,6 +431,7 @@ object Maintenance {
       dir: String,
       names: String*): Unit = {
     require(names.nonEmpty, "at least one column to drop")
+    DeletionVectors.requireNone(spark, dir, "dropColumns")
     val (fs, dirPath) = GraftFs.resolve(spark, dir)
     val loadedFp = metaFingerprint(spark, dirPath)
     val m = Sidecar.load(spark, dir)
@@ -474,6 +476,7 @@ object Maintenance {
       targetRows: Long,
       retain: Boolean = false): Report = {
     require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    DeletionVectors.requireNone(spark, dir, "compact")
     val (fs, dirPath) = GraftFs.resolve(spark, dir)
     val loadedFp = metaFingerprint(spark, dirPath)
     val m = Sidecar.load(spark, dir)
@@ -493,6 +496,7 @@ object Maintenance {
       targetBytes: Long,
       retain: Boolean = false): Report = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    DeletionVectors.requireNone(spark, dir, "compactBytes")
     // Fingerprint BEFORE the file-size listing below: a concurrent
     // commit landing in that window must trip the pre-swap guard, not
     // slide under it (matching upsert's discipline).
@@ -634,6 +638,7 @@ object Maintenance {
       ub: Seq[Option[Any]] = null,
       inclusive: String = "lower",
       retain: Boolean = false): Report = {
+    DeletionVectors.requireNone(spark, dir, "deleteRange")
     // Fingerprint immediately after load (upsert's discipline): the
     // guard before the swap must compare against what THIS op planned
     // from, not whatever a concurrent writer installed mid-plan.
@@ -820,6 +825,7 @@ object Maintenance {
       updatesOpt: Option[DataFrame],
       deletesOpt: Option[DataFrame],
       retain: Boolean): Report = {
+    DeletionVectors.requireNone(spark, dir, "keyed maintenance")
     val m = Sidecar.load(spark, dir)
     // Fingerprint immediately after load: every Spark job below gives
     // a concurrent writer time to commit, and the guard before the

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{GraftFs, PDataset}
+import graft.operators.{DeletionVectors, Maintenance}
+import Fixtures._
+
+/** Merge-on-read deletes: marking writes no data file, the overlay
+  * scan equals a rewrite-based delete, rewriting ops refuse while
+  * vectors are pending, and materialize folds them in exactly. */
+class DeletionVectorsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def srcDF(n: Long): DataFrame =
+    spark.range(0L, n).select(
+      col("id").as("k"),
+      (col("id") % 10).as("grp"),
+      concat(lit("p"), col("id")).as("payload"))
+
+  private def writeSrc(dir: String, n: Int): Unit = {
+    val parts = (0 until n by 100).map { lo =>
+      PDataset.fromDataFrame(
+        srcDF(math.min(100, n - lo).toLong)
+          .withColumn("k", col("k") + lo), Seq("k"))
+    }
+    PDataset.concat(parts).writeParquet(dir)
+  }
+
+  private def dataFiles(dir: String): Map[String, Long] = {
+    val (fs, p) = GraftFs.resolve(spark, dir)
+    fs.listStatus(p).filter(_.isFile)
+      .filterNot(_.getPath.getName.startsWith("_"))
+      .map(st => st.getPath.getName -> st.getLen).toMap
+  }
+
+  test("deleteKeys marks rows without touching any data file") {
+    val dir = tempDir("dv-mark") + "/t"
+    writeSrc(dir, 600)
+    val before = dataFiles(dir)
+    val keys = spark.range(0, 600).filter(col("id") % 7 === 0)
+      .select(col("id").as("k"))
+    val rep = DeletionVectors.deleteKeys(spark, dir, keys)
+    assert(rep.marked == 86, s"marked ${rep.marked}")
+    assert(dataFiles(dir) == before,
+      "a deletion-vector delete must not touch data files")
+    // merge-on-read hides them; the plain scan still sees them
+    assert(DeletionVectors.scan(spark, dir).count() == 600 - 86)
+    assert(PDataset.scanParquet(spark, dir).toDF.count() == 600)
+    // a second commit accumulates
+    DeletionVectors.deleteKeys(spark, dir,
+      Seq(1L, 2L).toDF("k"))
+    assert(DeletionVectors.scan(spark, dir).count() == 600 - 86 - 2)
+  }
+
+  test("merge-on-read scan equals a rewrite-based delete") {
+    val root = tempDir("dv-parity")
+    writeSrc(root + "/a", 500)
+    writeSrc(root + "/b", 500)
+    val keys = spark.range(0, 500)
+      .filter(col("id") % 11 === 3).select(col("id").as("k"))
+    DeletionVectors.deleteKeys(spark, root + "/a", keys)
+    Maintenance.deleteKeys(spark, root + "/b", keys)
+    assertSameRows(DeletionVectors.scan(spark, root + "/a"),
+      PDataset.scanParquet(spark, root + "/b").toDF)
+  }
+
+  test("deleteKeys reads only the files its keys route to") {
+    val dir = tempDir("dv-pruned") + "/t"
+    writeSrc(dir, 1000) // 10 files of 100 rows
+    // keys confined to one partition's range
+    val keys = spark.range(210, 240).select(col("id").as("k"))
+    var read = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        read += e.taskMetrics.inputMetrics.recordsRead
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      DeletionVectors.deleteKeys(spark, dir, keys)
+      org.apache.spark.GraftTestBridge.drainListeners(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // one routed partition (100 rows) + the key frame (30) + the DV
+    // read-back; far under the 1000-row table
+    assert(read < 300, s"expected a pruned scan, read $read records")
+  }
+
+  test("rewriting maintenance ops refuse while vectors are pending") {
+    val dir = tempDir("dv-guard") + "/t"
+    writeSrc(dir, 300)
+    DeletionVectors.deleteKeys(spark, dir, Seq(5L).toDF("k"))
+    val ops: Seq[(String, () => Any)] = Seq(
+      "upsert" -> (() => Maintenance.upsert(spark, dir,
+        srcDF(1).withColumn("k", lit(9999L)))),
+      "deleteKeys" -> (() => Maintenance.deleteKeys(spark, dir,
+        Seq(6L).toDF("k"))),
+      "deleteRange" -> (() => Maintenance.deleteRange(spark, dir,
+        Seq(Some(0L)), Seq(Some(10L)))),
+      "compact" -> (() => Maintenance.compact(spark, dir, 1000)),
+      "dropColumns" -> (() => Maintenance.dropColumns(spark, dir,
+        "payload")))
+    for ((name, op) <- ops) {
+      val e = intercept[IllegalStateException](op())
+      assert(e.getMessage.contains("materialize"), s"$name: $e")
+    }
+    // metadata-only addColumns stays allowed
+    Maintenance.addColumns(spark, dir,
+      org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.StringType))
+  }
+
+  test("materialize folds the vectors in and re-enables maintenance") {
+    val dir = tempDir("dv-mat") + "/t"
+    writeSrc(dir, 600) // 6 files
+    val keys = spark.range(100, 130).select(col("id").as("k"))
+    DeletionVectors.deleteKeys(spark, dir, keys)
+    val want = DeletionVectors.scan(spark, dir).collect()
+      .map(_.toString).sorted
+    val before = dataFiles(dir)
+    val rep = DeletionVectors.materialize(spark, dir)
+    // only the one affected file rewritten; overlay gone
+    assert(rep.rewritten == 1 && rep.untouched == 5, s"$rep")
+    assert(!DeletionVectors.exists(spark, dir))
+    val after = dataFiles(dir)
+    assert((before.keySet -- after.keySet).size == 1,
+      "exactly one file replaced")
+    val got = PDataset.scanParquet(spark, dir).toDF.collect()
+      .map(_.toString).sorted
+    assert(got.toSeq == want.toSeq)
+    // maintenance works again
+    Maintenance.upsert(spark, dir,
+      srcDF(1).withColumn("k", lit(9999L)))
+    assert(PDataset.scanParquet(spark, dir).toDF.count() == 571)
+  }
+
+  test("a fully-marked file is dropped by materialize") {
+    val dir = tempDir("dv-dropall") + "/t"
+    writeSrc(dir, 300) // 3 files of 100
+    DeletionVectors.deleteKeys(spark, dir,
+      spark.range(100, 200).select(col("id").as("k")))
+    val rep = DeletionVectors.materialize(spark, dir)
+    assert(rep.dropped == 1 && rep.rewritten == 0, s"$rep")
+    assert(PDataset.scanParquet(spark, dir).toDF.count() == 200)
+    assert(PDataset.scanParquet(spark, dir).npartitions == 2)
+  }
+}
