@@ -525,6 +525,8 @@ object SparkEntry {
         .filter(col("o_orderkey") % 401 === 0 && col("o_orderkey") =!= 0)
         .select("o_orderkey")
       graft.operators.DeletionVectors.deleteKeys(s, dir, keys)
+      graft.operators.DeletionVectors.deleteWhere(s, dir,
+        col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 13 === 0)
       graft.operators.DeletionVectors.scan(s, dir).orderBy("o_orderkey")
     }),
 
@@ -2046,7 +2048,9 @@ object SparkEntry {
            ORDER BY o_orderkey""",
       "q_delete_dv" ->
         """SELECT * FROM orders
-           WHERE o_orderkey % 401 <> 0 OR o_orderkey = 0
+           WHERE (o_orderkey % 401 <> 0 OR o_orderkey = 0)
+             AND NOT (o_orderpriority = '1-URGENT'
+                      AND o_orderkey % 13 = 0)
            ORDER BY o_orderkey""",
       "q_merge" ->
         """SELECT o_orderkey, o_custkey, o_orderstatus,

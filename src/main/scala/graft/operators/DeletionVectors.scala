@@ -36,6 +36,14 @@ import graft.core.{DivisionRouter, FileOrdinal, FileOrdinalExpr, GraftFs,
   * vectors hold the DELETED row positions only, so the broadcast is
   * proportional to pending deletes, not table size — materialize
   * when it grows past broadcast comfort.
+  *
+  * Composition with views and the change feed: marking changes no
+  * generation, so incremental views stay fresh and keep summarizing
+  * the BASE table (the overlay is an explicit read path).
+  * `materialize(retain = true)` archives the outgoing generation like
+  * any retained mutation — the change feed then carries the marked
+  * rows as deletes and [[IncrementalAgg.refresh]] absorbs them
+  * normally.
   */
 object DeletionVectors {
 
@@ -116,6 +124,31 @@ object DeletionVectors {
         .head()
       Report(agg.getLong(0), agg.getLong(1).toInt)
     } finally { k.unpersist(); () }
+  }
+
+  /** Mark every stored row matching `predicate` as deleted — no data
+    * file is rewritten. The predicate pushes down to the parquet
+    * scan (row-group pruning applies), and only files that produce
+    * hits enter the overlay. */
+  def deleteWhere(
+      spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column): Report = {
+    val m = Sidecar.load(spark, dir)
+    val (_, dirPath) = GraftFs.resolve(spark, dir)
+    val paths = m.files.map(f => new HPath(dirPath, f).toString)
+    val hits = spark.read.schema(m.schema)
+      .parquet(paths.toIndexedSeq: _*)
+      .withColumn("__file", fileNameOf(col("_metadata.file_path")))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .filter(predicate)
+      .select(col("__file").as("file"), col("__pos").as("pos"))
+    val commit = new HPath(dvDir(dirPath),
+      s"dv-${System.currentTimeMillis()}-${java.util.UUID.randomUUID()}")
+    hits.write.option("compression", "zstd").parquet(commit.toString)
+    val agg = spark.read.parquet(commit.toString)
+      .agg(count(lit(1)).as("n"), count_distinct(col("file")).as("f"))
+      .head()
+    Report(agg.getLong(0), agg.getLong(1).toInt)
   }
 
   /** The merge-on-read scan: dataset rows minus every marked

@@ -90,6 +90,23 @@ class DeletionVectorsSpec extends AnyFunSuite {
     assert(read < 300, s"expected a pruned scan, read $read records")
   }
 
+  test("deleteWhere marks by predicate; scan and materialize agree") {
+    val dir = tempDir("dv-where") + "/t"
+    writeSrc(dir, 500)
+    val rep = DeletionVectors.deleteWhere(spark, dir,
+      col("grp") === 3 && col("k") < 250)
+    assert(rep.marked == 25, s"$rep")
+    // reconstruct the fixture's content (grp/payload derive from the
+    // within-block id) and apply the same predicate logically
+    val full = (0 until 500 by 100)
+      .map(lo => srcDF(100).withColumn("k", col("k") + lo))
+      .reduce(_ unionByName _)
+    val want = full.filter(!(col("grp") === 3 && col("k") < 250))
+    assertSameRows(DeletionVectors.scan(spark, dir), want)
+    DeletionVectors.materialize(spark, dir)
+    assertSameRows(PDataset.scanParquet(spark, dir).toDF, want)
+  }
+
   test("rewriting maintenance ops refuse while vectors are pending") {
     val dir = tempDir("dv-guard") + "/t"
     writeSrc(dir, 300)
@@ -136,6 +153,31 @@ class DeletionVectorsSpec extends AnyFunSuite {
     Maintenance.upsert(spark, dir,
       srcDF(1).withColumn("k", lit(9999L)))
     assert(PDataset.scanParquet(spark, dir).toDF.count() == 571)
+  }
+
+  test("materialize(retain) feeds DV deletes to an incremental view") {
+    val root = tempDir("dv-view")
+    val src = root + "/src"
+    writeSrc(src, 600)
+    graft.operators.IncrementalAgg.build(spark, src, root + "/view",
+      Seq("grp"), Nil)
+    // marking alone changes NO generation: the view stays fresh and
+    // keeps summarizing the base table (vectors are a read overlay)
+    DeletionVectors.deleteKeys(spark, src,
+      spark.range(0, 60).select(col("id").as("k")))
+    assert(graft.operators.IncrementalAgg.isFresh(spark, root + "/view"))
+    // folding them in WITH retain produces a feed generation the view
+    // absorbs like any other retained mutation
+    DeletionVectors.materialize(spark, src, retain = true)
+    assert(!graft.operators.IncrementalAgg.isFresh(spark, root + "/view"))
+    assert(graft.operators.IncrementalAgg.refresh(spark, root + "/view") > 0L)
+    val got = PDataset.scanParquet(spark, root + "/view").toDF
+      .select("grp", "n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = PDataset.scanParquet(spark, src).toDF
+      .groupBy("grp").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
   }
 
   test("a fully-marked file is dropped by materialize") {
