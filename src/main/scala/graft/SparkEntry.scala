@@ -527,7 +527,10 @@ object SparkEntry {
       graft.operators.DeletionVectors.deleteKeys(s, dir, keys)
       graft.operators.DeletionVectors.deleteWhere(s, dir,
         col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 13 === 0)
-      graft.operators.DeletionVectors.scan(s, dir).orderBy("o_orderkey")
+      // Read back through the SQL surface: format("graft") applies
+      // pending vectors transparently (same rows as DeletionVectors
+      // .scan — the oracle pins it).
+      s.read.format("graft").load(dir).orderBy("o_orderkey")
     }),
 
     "q_restore" -> ((s, d) => {

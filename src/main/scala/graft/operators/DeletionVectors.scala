@@ -21,9 +21,11 @@ import graft.core.{DivisionRouter, FileOrdinal, FileOrdinalExpr, GraftFs,
   *     data files are touched.
   *   - [[scan]] is the merge-on-read read: the dataset anti-joined
   *     against the broadcast deletion vectors on (file, position).
-  *     Plain readers (and the graft relation) see the UNDELETED base
-  *     — deletion vectors are an explicit, opt-in read overlay until
-  *     materialized.
+  *     `spark.read.format("graft")` applies pending vectors
+  *     TRANSPARENTLY (SQL readers never see deleted rows;
+  *     `option("ignoreDeletionVectors", true)` opts back into the
+  *     base). The engine-native `PDataset.scanParquet` stays the raw
+  *     base read — maintenance internals depend on it.
   *   - [[materialize]] folds the vectors in: affected files are
   *     rewritten without their marked rows in ONE sidecar commit
   *     (untouched files never move), and the overlay is removed.

@@ -2,9 +2,9 @@ package graft.sources
 
 import org.apache.hadoop.fs.{Path => HPath}
 
-import org.apache.spark.sql.{DataFrame, GraftRelations, SQLContext, SaveMode}
-import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.{Column, DataFrame, GraftRelations, Row, SQLContext, SaveMode}
+import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.sources._
 
 import graft.core.{BloomIndex, GraftFs, PDataset, Sidecar, Stats}
 
@@ -97,7 +97,94 @@ final class GraftSource extends RelationProvider
         feedRelation(graft.operators.Maintenance.changesAsOf(spark, path,
           parseTs(parameters("changesFromTimestamp")),
           parameters.get("changesToTimestamp").map(parseTs)))
-      case _ => GraftRelations.sidecarRelation(spark, path)
+      case _ =>
+        // Pending deletion vectors are part of the table's current
+        // state: the plain-SQL read applies them transparently (the
+        // Delta/Iceberg-v2 contract — readers never see deleted
+        // rows), at the cost of the metadata-count / view-rewrite
+        // shortcuts, which bind to the base relation and so decline
+        // while vectors pend. option("ignoreDeletionVectors", true)
+        // opts back into the raw base scan. Snapshot reads (version /
+        // asOfTimestamp) address committed generations; marking is
+        // not a generation, so vectors apply to current-state reads
+        // only.
+        val ignoreDv = parameters.get("ignoreDeletionVectors")
+          .exists(_.toBoolean)
+        if (!ignoreDv &&
+            graft.operators.DeletionVectors.exists(spark, path))
+          dvRelation(sqlContext, path)
+        else GraftRelations.sidecarRelation(spark, path)
+    }
+  }
+
+  /** Merge-on-read relation: [[graft.operators.DeletionVectors.scan]]
+    * behind the V1 source API. Every pushed filter is re-checked by
+    * Spark above this scan (`unhandledFilters` returns all of them),
+    * so the best-effort translation below is purely an inner-plan
+    * prefilter — it reaches the parquet scan underneath the anti
+    * join, where sidecar file pruning and row-group skipping fire. */
+  private def dvRelation(
+      sqlContext: SQLContext, path: String): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val tableSchema = Sidecar.load(spark, path).schema
+    val sqlc = sqlContext
+    new BaseRelation with PrunedFilteredScan {
+      override val sqlContext: SQLContext = sqlc
+      override val schema: org.apache.spark.sql.types.StructType =
+        tableSchema
+      override def unhandledFilters(
+          filters: Array[Filter]): Array[Filter] = filters
+      override def buildScan(
+          requiredColumns: Array[String],
+          filters: Array[Filter]): org.apache.spark.rdd.RDD[Row] = {
+        val base = graft.operators.DeletionVectors.scan(spark, path)
+        val filtered = filters.flatMap(translateFilter)
+          .foldLeft(base)(_ filter _)
+        val projected =
+          if (requiredColumns.isEmpty) filtered.select()
+          else filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
+        projected.rdd
+      }
+    }
+  }
+
+  /** Strict translation (both sides of And/Or, full Not operand, or
+    * nothing) keeps every emitted Column row-equivalent to its source
+    * Filter — required because a Not over a weakened conjunct would
+    * DROP rows the filter keeps. Nested-field names (dotted) and
+    * unknown filter shapes translate to None; Spark re-applies the
+    * originals above the scan either way. */
+  private def translateFilter(f: Filter): Option[Column] = {
+    def top(a: String): Option[Column] =
+      if (a.contains(".")) None else Some(col(a))
+    def l(v: Any): Option[Column] =
+      scala.util.Try(lit(v)).toOption
+    f match {
+      case EqualTo(a, v) => for { c <- top(a); w <- l(v) } yield c === w
+      case EqualNullSafe(a, v) => for { c <- top(a); w <- l(v) } yield c <=> w
+      case GreaterThan(a, v) => for { c <- top(a); w <- l(v) } yield c > w
+      case GreaterThanOrEqual(a, v) =>
+        for { c <- top(a); w <- l(v) } yield c >= w
+      case LessThan(a, v) => for { c <- top(a); w <- l(v) } yield c < w
+      case LessThanOrEqual(a, v) =>
+        for { c <- top(a); w <- l(v) } yield c <= w
+      case In(a, vs) => for {
+        c <- top(a)
+        ws <- scala.util.Try(vs.toIndexedSeq.map(lit)).toOption
+      } yield c.isin(ws: _*)
+      case IsNull(a) => top(a).map(_.isNull)
+      case IsNotNull(a) => top(a).map(_.isNotNull)
+      case StringStartsWith(a, v) => top(a).map(_.startsWith(v))
+      case StringEndsWith(a, v) => top(a).map(_.endsWith(v))
+      case StringContains(a, v) => top(a).map(_.contains(v))
+      case And(x, y) => for {
+        a <- translateFilter(x); b <- translateFilter(y)
+      } yield a && b
+      case Or(x, y) => for {
+        a <- translateFilter(x); b <- translateFilter(y)
+      } yield a || b
+      case Not(x) => translateFilter(x).map(not)
+      case _ => None
     }
   }
 

@@ -107,6 +107,54 @@ class DeletionVectorsSpec extends AnyFunSuite {
     assertSameRows(PDataset.scanParquet(spark, dir).toDF, want)
   }
 
+  test("format(\"graft\") applies pending vectors transparently") {
+    val dir = tempDir("dv-sql") + "/t"
+    writeSrc(dir, 500)
+    DeletionVectors.deleteKeys(spark, dir,
+      spark.range(0, 500).filter(col("id") % 9 === 1)
+        .select(col("id").as("k")))
+    val sqlRead = spark.read.format("graft").load(dir)
+    assertSameRows(sqlRead, DeletionVectors.scan(spark, dir))
+    // count(*) through the SQL surface must NOT be sidecar-answered
+    // while vectors pend (the metadata shortcut binds to the base
+    // relation and declines here)
+    assert(sqlRead.agg(count(lit(1))).head().getLong(0) == 500 - 56)
+    // the escape hatch serves the raw base
+    assert(spark.read.format("graft")
+      .option("ignoreDeletionVectors", "true").load(dir)
+      .count() == 500)
+    // materialize folds in; the SQL read flips back to the plain
+    // pruned relation with identical rows
+    DeletionVectors.materialize(spark, dir)
+    assert(spark.read.format("graft").load(dir).count() == 500 - 56)
+  }
+
+  test("pushed filters still prune files under a pending-vector read") {
+    val dir = tempDir("dv-sqlprune") + "/t"
+    writeSrc(dir, 1000) // 10 files of 100 rows, indexed on k
+    DeletionVectors.deleteKeys(spark, dir,
+      spark.range(300, 320).select(col("id").as("k")))
+    var read = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        read += e.taskMetrics.inputMetrics.recordsRead
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val got = try {
+      val rows = spark.read.format("graft").load(dir)
+        .filter(col("k") >= 510 && col("k") < 540)
+        .select("k", "payload").collect()
+      org.apache.spark.GraftTestBridge.drainListeners(spark.sparkContext)
+      rows
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(got.length == 30)
+    // the k-range prefilter reaches the base scan inside the anti
+    // join: one 100-row file (+ the KB-scale vector read), not the
+    // 1000-row table
+    assert(read < 300, s"expected a pruned scan, read $read records")
+  }
+
   test("rewriting maintenance ops refuse while vectors are pending") {
     val dir = tempDir("dv-guard") + "/t"
     writeSrc(dir, 300)
