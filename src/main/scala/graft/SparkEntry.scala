@@ -533,6 +533,27 @@ object SparkEntry {
       s.read.format("graft").load(dir).orderBy("o_orderkey")
     }),
 
+    // Table history (DESCRIBE HISTORY): one row per readable
+    // generation, answered driver-side from the KB-scale archived
+    // metadata — zero data files read at any table size (the
+    // MaintenanceSpec pins records-read == 0). replaced_at is
+    // wall-clock, so the query projects the deterministic columns
+    // and the oracle derives each generation's row count from the
+    // same mutation arithmetic.
+    "q_history" -> ((s, d) => {
+      val dir = mutableCopy("ordkey20", d)(ordersByKey20(s, d))
+      val orders = s.read.parquet(T(d, "orders"))
+      val ins = orders.filter(col("o_orderkey") % 997 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+      graft.operators.Maintenance.upsert(s, dir, ins, retain = true)
+      val dels = orders
+        .filter(col("o_orderkey") % 401 === 0 && col("o_orderkey") =!= 0)
+        .select("o_orderkey")
+      graft.operators.Maintenance.deleteKeys(s, dir, dels, retain = true)
+      s.read.format("graft").option("history", "true").load(dir)
+        .select("version", "is_current", "n_rows").orderBy("version")
+    }),
+
     "q_restore" -> ((s, d) => {
       // The history builds once; each run copies it and times the
       // operator under test — RESTORE (a metadata-only generation
@@ -2046,6 +2067,20 @@ object SparkEntry {
            SELECT o_custkey, count(*) AS n, TRUE AS nd_ok
            FROM src GROUP BY o_custkey ORDER BY o_custkey""",
       "q_restore" -> "SELECT * FROM orders ORDER BY o_orderkey",
+      "q_history" ->
+        """WITH b AS (SELECT count(*) AS c FROM orders),
+                i AS (SELECT count(*) AS c FROM orders
+                      WHERE o_orderkey % 997 = 0),
+                d AS (SELECT count(*) AS c FROM orders
+                      WHERE o_orderkey % 401 = 0 AND o_orderkey <> 0)
+           SELECT 0 AS version, FALSE AS is_current,
+                  (SELECT c FROM b) AS n_rows
+           UNION ALL
+           SELECT 1, FALSE, (SELECT c FROM b) + (SELECT c FROM i)
+           UNION ALL
+           SELECT 2, TRUE,
+                  (SELECT c FROM b) + (SELECT c FROM i) - (SELECT c FROM d)
+           ORDER BY version""",
       "q_delete_keys" ->
         """SELECT * FROM orders WHERE o_orderkey % 401 <> 0
            ORDER BY o_orderkey""",

@@ -107,6 +107,46 @@ object Maintenance {
       .sortBy(_._1).toSeq
   }
 
+  /** One row per readable generation, version-ascending with the
+    * current generation last: version, is_current, replaced_at (the
+    * instant the NEXT generation superseded it — the same mtime
+    * semantics [[metaAsOf]] resolves by; null for the current
+    * generation), n_files, n_rows, index_columns. DESCRIBE HISTORY
+    * for graft datasets, and the hook behind
+    * `spark.read.format("graft").option("history", true)`.
+    *
+    * Driver-side only: reads the KB-scale archived metadata files,
+    * never a data file — O(retained generations) at any table size. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    val archived = archivedWithMtimes(fs, dirPath)
+    val cur = Sidecar.load(spark, dir)
+    val curVersion = archived.lastOption.map(_._1 + 1).getOrElse(0)
+    val rows: Seq[org.apache.spark.sql.Row] = archived.map {
+      case (v, mtime) =>
+        val m = versionMeta(spark, dir, v)
+        org.apache.spark.sql.Row(v, false,
+          java.time.Instant.ofEpochMilli(mtime), m.files.length,
+          m.sizes.sum, m.indexColumns.mkString(","))
+    } :+ org.apache.spark.sql.Row(curVersion, true, null,
+      cur.files.length, cur.sizes.sum, cur.indexColumns.mkString(","))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("version",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("is_current",
+        org.apache.spark.sql.types.BooleanType, nullable = false),
+      org.apache.spark.sql.types.StructField("replaced_at",
+        org.apache.spark.sql.types.TimestampType, nullable = true),
+      org.apache.spark.sql.types.StructField("n_files",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("index_columns",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
   /** The sidecar metadata of archived generation `version` (also the
     * hook behind `spark.read.format("graft").option("version", n)`). */
   def versionMeta(

@@ -55,8 +55,10 @@ final class GraftSource extends RelationProvider
     // row-level change feed between two retained generations
     // (insert/delete rows tagged by `change_type`; to = current when
     // omitted) — Maintenance.changes for plain-SQL users.
+    // option("history", true): one row per readable generation
+    // (DESCRIBE HISTORY) — Maintenance.history for plain-SQL users.
     val exclusive = Seq("version", "asOfTimestamp", "changesFrom",
-      "changesFromTimestamp").filter(parameters.contains)
+      "changesFromTimestamp", "history").filter(parameters.contains)
     if (exclusive.length > 1) throw new IllegalArgumentException(
       s"options ${exclusive.mkString("'", "', '", "'")} are mutually " +
         "exclusive")
@@ -93,6 +95,8 @@ final class GraftSource extends RelationProvider
         feedRelation(graft.operators.Maintenance.changes(spark, path,
           parameters("changesFrom").toInt,
           parameters.get("changesTo").map(_.toInt)))
+      case Some("history") if parameters("history").toBoolean =>
+        feedRelation(graft.operators.Maintenance.history(spark, path))
       case Some("changesFromTimestamp") =>
         feedRelation(graft.operators.Maintenance.changesAsOf(spark, path,
           parseTs(parameters("changesFromTimestamp")),

@@ -699,6 +699,44 @@ class MaintenanceSpec extends AnyFunSuite {
       keyedDF(10, 1).withColumn("payload", lit("post")))
   }
 
+  test("history lists every readable generation, metadata-only") {
+    val dir = tempDir("maint-history") + "/ds"
+    writeKeyed(dir, 300, 100)
+    // no history yet: one current row, version 0
+    val h0 = Maintenance.history(spark, dir).collect()
+    assert(h0.length == 1 && h0(0).getInt(0) == 0 && h0(0).getBoolean(1))
+    assert(h0(0).getLong(4) == 300)
+
+    Maintenance.upsert(spark, dir,
+      keyedDF(300, 20), retain = true) // +20 inserts -> v0 archived
+    Maintenance.deleteKeys(spark, dir,
+      spark.range(0, 10).select(col("id").as("k")),
+      retain = true) // -10 -> v1 archived
+    var read = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        read += e.taskMetrics.inputMetrics.recordsRead
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val h = try {
+      val rows = spark.read.format("graft").option("history", "true")
+        .load(dir).orderBy("version").collect()
+      org.apache.spark.GraftTestBridge.drainListeners(spark.sparkContext)
+      rows
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(h.map(r => (r.getInt(0), r.getBoolean(1), r.getLong(4)))
+      .toSeq == Seq((0, false, 300L), (1, false, 320L), (2, true, 310L)))
+    // replaced_at carries the metaAsOf mtime for archived gens only
+    assert(h.take(2).forall(!_.isNullAt(2)) && h(2).isNullAt(2))
+    assert(read == 0, s"history must not read data files, read $read")
+    // a restore keeps ratcheting: current version only ever grows
+    Maintenance.restore(spark, dir, 0)
+    val afterRestore = Maintenance.history(spark, dir).collect()
+    assert(afterRestore.last.getInt(0) == 3 &&
+      afterRestore.last.getLong(4) == 300)
+  }
+
   test("changes feeds the row-level delta, reading only delta files") {
     val dir = tempDir("maint-changes") + "/ds"
     writeKeyed(dir, 600, 100) // 6 files of consecutive 100-key ranges
