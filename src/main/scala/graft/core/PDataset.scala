@@ -915,6 +915,10 @@ final class PDataset private[core] (
     * repartitioned_dataset.py:246-341).
     */
   def writeParquet(path: String, append: Boolean = false): PDataset = {
+    // CHECK constraints recorded on an append target guard the rows
+    // being added — one aggregate pass over THIS dataset (the delta).
+    if (append)
+      graft.operators.Constraints.enforce(spark, path, toDF, "append")
     fastWritePlan.orElse(derivedWritePlan) match {
       case Some(plan) if plan.divisions.nonEmpty =>
         fastWriteParquet(path, plan, append)

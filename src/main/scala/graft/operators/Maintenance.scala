@@ -472,6 +472,7 @@ object Maintenance {
       names: String*): Unit = {
     require(names.nonEmpty, "at least one column to drop")
     DeletionVectors.requireNone(spark, dir, "dropColumns")
+    Constraints.requireUnreferenced(spark, dir, names)
     val (fs, dirPath) = GraftFs.resolve(spark, dir)
     val loadedFp = metaFingerprint(spark, dirPath)
     val m = Sidecar.load(spark, dir)
@@ -881,6 +882,10 @@ object Maintenance {
     updatesOpt.foreach(u =>
       require(dataCols.forall(c => u.columns.contains(c)),
         s"updates must carry every dataset column ${dataCols.mkString(", ")}"))
+    // CHECK constraints guard the rows being written; deletes cannot
+    // violate a CHECK. One aggregate pass over the delta only.
+    updatesOpt.foreach(u =>
+      Constraints.enforce(spark, dir, u, "upsert/merge"))
     deletesOpt.foreach(dk =>
       require(keyCols.forall(c => dk.columns.contains(c)),
         s"delete keys must carry the index columns ${keyCols.mkString(", ")}"))

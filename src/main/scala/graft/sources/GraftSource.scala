@@ -288,6 +288,16 @@ final class GraftSource extends RelationProvider
         Some((m, fp))
       } else None
 
+    // CHECK constraints recorded on the target guard the rows being
+    // written — one aggregate pass over the incoming delta. An
+    // Overwrite replaces the data but KEEPS the table's constraints
+    // (the Delta contract), so they are captured before the write
+    // deletes the directory and re-saved after.
+    val constraints = graft.operators.Constraints.list(spark, path)
+    if (constraints.nonEmpty)
+      graft.operators.Constraints.enforce(spark, path, data,
+        s"write (${mode.toString.toLowerCase})")
+
     val keys = index.map(col)
     val shaped = parameters.get("files").map(_.toInt) match {
       case Some(n) => data.repartitionByRange(n, keys: _*)
@@ -338,6 +348,9 @@ final class GraftSource extends RelationProvider
         if (bloomCols.nonEmpty)
           BloomIndex.build(spark, path, bloomCols)
     }
+    if (constraints.nonEmpty &&
+        graft.operators.Constraints.list(spark, path).isEmpty)
+      graft.operators.Constraints.install(spark, path, constraints)
     createRelation(sqlContext, parameters)
   }
 }
