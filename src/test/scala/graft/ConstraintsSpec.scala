@@ -41,7 +41,9 @@ class ConstraintsSpec extends AnyFunSuite {
     val e = intercept[Constraints.Violation] {
       Constraints.add(spark, dir, "big", "price > 50")
     }
-    assert(e.getMessage.contains("250 existing"))
+    // ANSI CHECK price > 50 is violated by price <= 50: values 0..50
+    // inclusive = 51 values, 5 cycles of id % 100 over 500 ids = 255.
+    assert(e.getMessage.contains("255 existing"))
     // duplicate name and unparseable expression both refuse eagerly
     intercept[IllegalArgumentException] {
       Constraints.add(spark, dir, "price_nonneg", "price >= 0")
@@ -137,11 +139,18 @@ class ConstraintsSpec extends AnyFunSuite {
     val cand = Seq(
       (1L, -1.0, "cA"), (2L, 2.0, "xB"), (3L, -9.0, null),
       (4L, 4.0, "cC")).toDF("k", "price", "cat")
-    var jobs = 0
+    // AQE-safe "one aggregate pass" pin: raw job counts vary with AQE
+    // stage materialization, so count SQL executions instead — one for
+    // the candidate aggregate (.head), one for collecting the local
+    // result frame.
+    var sqlExecs = 0
     val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(
-          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs += 1
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          sqlExecs += 1
+        case _ => ()
+      }
     }
     spark.sparkContext.addSparkListener(listener)
     val got = try {
@@ -153,6 +162,8 @@ class ConstraintsSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
     // NULL cat passes cat_prefix; both negative prices violate
     assert(got == Seq("cat_prefix" -> 1L, "price_nonneg" -> 2L))
-    assert(jobs <= 2, s"audit should be one aggregate pass, ran $jobs jobs")
+    assert(sqlExecs <= 2,
+      s"audit should be one aggregate pass over the candidate plus the " +
+        s"local result collect, ran $sqlExecs SQL executions")
   }
 }
