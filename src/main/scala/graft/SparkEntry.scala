@@ -24,15 +24,21 @@ object SparkEntry {
   private def scan(s: SparkSession, sfDir: String, t: String): PDataset =
     PDataset.scanParquet(s, T(sfDir, t))
 
-  /** The events table carries parquet TIMESTAMP(NANOS) which Spark's
-    * vectorized reader rejects; read nanos as long and convert to a
-    * microsecond-truncated NTZ timestamp (matching what engines with
-    * native us-timestamps see). */
+  /** The events table's `ts` encoding has varied across generator
+    * versions: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects — read as long via the legacy conf and truncate)
+    * vs native TIMESTAMP(MICROS). Adapt to whichever the file
+    * declares; either way the query sees a microsecond NTZ timestamp
+    * (matching what engines with native us-timestamps see). */
   private def eventsDF(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(T(d, "events"))
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val raw = s.read.parquet(T(d, "events"))
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+      case _ => col("ts").cast("timestamp_ntz")
+    }
+    raw.withColumn("ts", ts)
   }
   private def ldt(s: String): LocalDateTime = LocalDateTime.parse(s)
   private def tmp(prefix: String): String =

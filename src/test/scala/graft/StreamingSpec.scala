@@ -19,8 +19,13 @@ class StreamingSpec extends AnyFunSuite {
   lazy val streamDir: String = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = Files.createTempDirectory("graft-stream").toString
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
+    val ev = raw.withColumn("ts", ts)
     ev.coalesce(2).write.mode("overwrite").parquet(dir)
     dir
   }

@@ -131,9 +131,13 @@ class TemporalJoinSpec extends AnyFunSuite {
 
   test("range join differential vs plain theta join on events sample") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .select(col("event_id"), col("user_id"),
-        timestamp_micros(expr("ts div 1000")).as("ts"))
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val tsCol = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
+    val ev = raw.select(col("event_id"), col("user_id"), tsCol.as("ts"))
     val iv = ev.filter(col("event_id") % 7 === 0)
       .select(col("user_id"), col("ts").as("s"),
         (col("ts") + expr("INTERVAL 5 MINUTES")).as("e"),
