@@ -33,10 +33,15 @@ object Bench {
     catch { case _: Throwable => }
     // Per-query median of `runs` in-process runs: single-run timings
     // on a contended box produced phantom 5-10x outliers round over
-    // round; the median is stable to ~5% back-to-back. Every raw run
-    // is also emitted (`runs`), plus bench wall vs process-CPU time,
-    // so a run recorded under machine contention (wall >> cpu despite
-    // 32 local cores) is self-diagnosing from the artifact alone.
+    // round; the median is stable to ~5% back-to-back. Repetitions are
+    // INTERLEAVED round-robin (the full query list once per round, not
+    // N consecutive runs per query): a multi-minute contention window
+    // on the box then inflates at most one round of every query — the
+    // median and min survive — instead of wholesale corrupting every
+    // repetition of the adjacent block of queries (the r7/r9 artifact
+    // failure mode). Every raw run is also emitted (`runs`), plus
+    // bench wall vs process-CPU time, so a contended run (wall >> cpu
+    // despite 32 local cores) is self-diagnosing from the artifact.
     val wall0 = System.nanoTime()
     val cpu0 = procCpuSec
     // Local iteration: SPARK_GRAFT_ONLY=q_a,q_b limits the run (same
@@ -47,29 +52,43 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
-    val allRuns = selected.map { case (name, fn) =>
-      val times = (0 until runs).map { _ =>
-        val t0 = System.nanoTime()
+    val order = selected.keys.toIndexedSeq
+    val timings = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    for (_ <- 0 until runs; name <- order) {
+      val fn = selected(name)
+      val t0 = System.nanoTime()
+      val sec =
         try { consume(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
-      }
-      name -> times
+      timings(name) = timings.getOrElse(name, Vector.empty) :+ sec
     }
+    val allRuns = order.map(n => n -> timings(n))
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val cpuSec = if (cpu0 < 0) -1.0 else procCpuSec - cpu0
     val results = allRuns.map { case (name, times) =>
       val ok = times.filter(_ >= 0).sorted
       name -> (if (ok.isEmpty) -1.0 else ok(ok.length / 2))
-    }
+    }.toMap
+    // Per-query MIN alongside the median: on a machine with transient
+    // contention the min is the best estimate of intrinsic cost; a
+    // large median/min ratio flags the specific queries that absorbed
+    // a contention window.
+    val mins = allRuns.map { case (name, times) =>
+      val ok = times.filter(_ >= 0)
+      name -> (if (ok.isEmpty) -1.0 else ok.min)
+    }.toMap
     // Locale-pinned: a comma decimal separator would corrupt the JSON.
     def f(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
+    val qs = order.map(k => s"\"" + k + "\":" + f(results(k)))
+      .mkString("{", ",", "}")
+    val qmins = order.map(k => s"\"" + k + "\":" + f(mins(k)))
       .mkString("{", ",", "}")
     val rs = allRuns.map { case (k, ts) =>
       s"\"" + k + "\":" + ts.map(f).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val totalMin = if (mins.nonEmpty) mins.values.filter(_ >= 0).sum else 0.0
     // The full per-run detail goes to a FILE: log-tail truncation was
     // cutting long stdout JSON lines (round 7 lost the canonical total
     // itself once the per-query dict grew past the driver's log-tail
@@ -79,7 +98,7 @@ object Bench {
     // total/cpus/sf — consumers that keep just the last ~2KB of the
     // log (or the last JSON-looking line) always see it whole.
     val detail =
-      s"""{"metric":"runs_detail","runs":$rs,"wall_sec":${f(wallSec)},"proc_cpu_sec":${f(cpuSec)}}"""
+      s"""{"metric":"runs_detail","runs":$rs,"mins":$qmins,"total_min":${f(totalMin)},"wall_sec":${f(wallSec)},"proc_cpu_sec":${f(cpuSec)}}"""
     val medians = s"""{"metric":"queries","queries":$qs}"""
     val runsFile = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_RUNS_FILE", "target/bench_runs.json"))
