@@ -560,6 +560,32 @@ object SparkEntry {
         .select("version", "is_current", "n_rows").orderBy("version")
     }),
 
+    // CHECK constraints: the write-path guard run as a dry-run —
+    // per-constraint violation counts of a candidate delta, all
+    // constraints in ONE aggregate job (Constraints.audit). The
+    // fixture table (rows satisfying all three checks) records them
+    // via the public add() (each a single counting scan); the delta
+    // is an unfiltered lineitem slice, so the per-constraint counts
+    // are plain SQL over the same rows — the oracle. c_flag_qty's
+    // CASE yields NULL for non-'A' rows, pinning the ANSI
+    // TRUE-or-NULL-passes semantics in both engines.
+    "q_constraint" -> ((s, d) => {
+      val dir = fixture("constraints", d) { out =>
+        val li = s.read.parquet(T(d, "lineitem"))
+          .filter(col("l_discount") <= 0.05 && col("l_quantity") < 45)
+        PDataset.fromDataFrame(li, Seq("l_orderkey")).writeParquet(out)
+        graft.operators.Constraints.add(
+          s, out, "c_discount", "l_discount <= 0.05")
+        graft.operators.Constraints.add(
+          s, out, "c_quantity", "l_quantity < 45")
+        graft.operators.Constraints.add(s, out, "c_flag_qty",
+          "CASE WHEN l_returnflag = 'A' THEN l_quantity <= 49 END")
+      }
+      val delta = s.read.parquet(T(d, "lineitem"))
+        .filter(col("l_orderkey") % 11 === 0)
+      graft.operators.Constraints.audit(s, dir, delta).orderBy("name")
+    }),
+
     "q_restore" -> ((s, d) => {
       // The history builds once; each run copies it and times the
       // operator under test — RESTORE (a metadata-only generation
@@ -2087,6 +2113,27 @@ object SparkEntry {
            SELECT 2, TRUE,
                   (SELECT c FROM b) + (SELECT c FROM i) - (SELECT c FROM d)
            ORDER BY version""",
+      "q_constraint" ->
+        """WITH delta AS (
+             SELECT * FROM lineitem WHERE l_orderkey % 11 = 0)
+           SELECT name, n_bad FROM (
+             SELECT 'c_discount' AS name,
+                    count(CASE WHEN NOT coalesce(l_discount <= 0.05, TRUE)
+                               THEN 1 END) AS n_bad
+             FROM delta
+             UNION ALL
+             SELECT 'c_flag_qty',
+                    count(CASE WHEN NOT coalesce(
+                        CASE WHEN l_returnflag = 'A'
+                             THEN l_quantity <= 49 END, TRUE)
+                               THEN 1 END)
+             FROM delta
+             UNION ALL
+             SELECT 'c_quantity',
+                    count(CASE WHEN NOT coalesce(l_quantity < 45, TRUE)
+                               THEN 1 END)
+             FROM delta)
+           ORDER BY name""",
       "q_delete_keys" ->
         """SELECT * FROM orders WHERE o_orderkey % 401 <> 0
            ORDER BY o_orderkey""",

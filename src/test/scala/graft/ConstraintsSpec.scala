@@ -142,13 +142,14 @@ class ConstraintsSpec extends AnyFunSuite {
     // AQE-safe "one aggregate pass" pin: raw job counts vary with AQE
     // stage materialization, so count SQL executions instead — one for
     // the candidate aggregate (.head), one for collecting the local
-    // result frame.
-    var sqlExecs = 0
+    // result frame. Atomic: incremented on the listener-bus thread,
+    // read on the test thread after the drain.
+    val sqlExecs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onOtherEvent(
           e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
         case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
-          sqlExecs += 1
+          sqlExecs.incrementAndGet(); ()
         case _ => ()
       }
     }
@@ -162,8 +163,8 @@ class ConstraintsSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
     // NULL cat passes cat_prefix; both negative prices violate
     assert(got == Seq("cat_prefix" -> 1L, "price_nonneg" -> 2L))
-    assert(sqlExecs <= 2,
+    assert(sqlExecs.get() <= 2,
       s"audit should be one aggregate pass over the candidate plus the " +
-        s"local result collect, ran $sqlExecs SQL executions")
+        s"local result collect, ran ${sqlExecs.get()} SQL executions")
   }
 }
