@@ -84,6 +84,88 @@ object DeletionVectors {
   private def fileNameOf(c: org.apache.spark.sql.Column) =
     element_at(split(c, "/"), -1)
 
+  /** Conservative sidecar file pruning for [[deleteWhere]]: comparison
+    * conjuncts on the FIRST index column (the common shape — that is
+    * what the table is clustered on) intersect with each file's
+    * first-column [lb, ub] from the sidecar, so a range-bounded
+    * predicate scans only the overlapping files instead of the whole
+    * table. Anything not provably prunable keeps the file: unrelated
+    * conjuncts derive nothing, OR short-circuits to "keep all", and a
+    * type mismatch between a literal and the stored bound falls back
+    * to keep (the later parquet scan still row-group-prunes). */
+  private[operators] def pruneByPredicate(
+      m: Sidecar.Meta,
+      pred: org.apache.spark.sql.catalyst.expressions.Expression):
+      IndexedSeq[Int] = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    val all = m.files.indices
+    val first = m.indexColumns.headOption.map(_.toLowerCase)
+      .getOrElse(return all)
+    def attrName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+        Some(a.nameParts.head.toLowerCase)
+      case a: AttributeReference => Some(a.name.toLowerCase)
+      case _ => None
+    }
+    def litVal(e: Expression): Option[Any] = e match {
+      case l: Literal if l.value != null => scala.util.Try(
+        CatalystTypeConverters.createToScalaConverter(l.dataType)(l.value))
+        .toOption
+      case _ => None
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    // (value, inclusive) constraints the first index column must meet
+    val lowers = scala.collection.mutable.ArrayBuffer.empty[(Any, Boolean)]
+    val uppers = scala.collection.mutable.ArrayBuffer.empty[(Any, Boolean)]
+    def harvest(a: Expression, v: Expression,
+        lo: Option[Boolean], hi: Option[Boolean]): Unit =
+      if (attrName(a).contains(first)) litVal(v).foreach { value =>
+        lo.foreach(inc => lowers += ((value, inc)))
+        hi.foreach(inc => uppers += ((value, inc)))
+      }
+    // Each comparison harvests both directions: harvest() is a no-op
+    // unless its first argument is the clustered column and its second
+    // a literal, so `attr > lit` yields a lower bound and `lit > attr`
+    // an upper bound from the same case.
+    conjuncts(pred).foreach {
+      case GreaterThan(l, r) =>
+        harvest(l, r, Some(false), None); harvest(r, l, None, Some(false))
+      case GreaterThanOrEqual(l, r) =>
+        harvest(l, r, Some(true), None); harvest(r, l, None, Some(true))
+      case LessThan(l, r) =>
+        harvest(l, r, None, Some(false)); harvest(r, l, Some(false), None)
+      case LessThanOrEqual(l, r) =>
+        harvest(l, r, None, Some(true)); harvest(r, l, Some(true), None)
+      case EqualTo(l, r) =>
+        harvest(l, r, Some(true), Some(true))
+        harvest(r, l, Some(true), Some(true))
+      case _ => ()
+    }
+    if (lowers.isEmpty && uppers.isEmpty) return all
+    all.filter { p =>
+      val flo = m.lowerBounds(p).headOption.flatten
+      val fhi = m.upperBounds(p).headOption.flatten
+      // fhi None with a comparison constraint present: every value is
+      // NULL, no comparison can match — prune.
+      val aboveLowers = lowers.forall { case (v, inc) =>
+        fhi.exists(x => scala.util.Try(graft.core.Lex.valueCmp(x, v))
+          .map(c => if (inc) c >= 0 else c > 0).getOrElse(true))
+      }
+      val belowUppers = uppers.forall { case (v, inc) =>
+        // flo None (nulls present) never proves the whole file above v
+        flo.forall(x => scala.util.Try(graft.core.Lex.valueCmp(x, v))
+          .map(c => if (inc) c <= 0 else c < 0).getOrElse(true))
+      }
+      val allNullPrunable = fhi.isEmpty && (lowers.nonEmpty || uppers.nonEmpty)
+      !allNullPrunable && aboveLowers && belowUppers
+    }
+  }
+
   /** Mark every stored row whose index-tuple key appears in `keys` as
     * deleted — no data file is rewritten. Returns the number of
     * marked row positions and how many files they live in. */
@@ -129,15 +211,21 @@ object DeletionVectors {
   }
 
   /** Mark every stored row matching `predicate` as deleted — no data
-    * file is rewritten. The predicate pushes down to the parquet
-    * scan (row-group pruning applies), and only files that produce
-    * hits enter the overlay. */
+    * file is rewritten. Files whose sidecar bounds cannot overlap a
+    * comparison on the first index column are skipped before the scan
+    * ([[pruneByPredicate]] — at 100 TB the file listing itself is the
+    * cost); within the surviving files the predicate pushes down to
+    * the parquet scan (row-group pruning applies), and only files
+    * that produce hits enter the overlay. */
   def deleteWhere(
       spark: SparkSession, dir: String,
       predicate: org.apache.spark.sql.Column): Report = {
     val m = Sidecar.load(spark, dir)
     val (_, dirPath) = GraftFs.resolve(spark, dir)
-    val paths = m.files.map(f => new HPath(dirPath, f).toString)
+    val kept = pruneByPredicate(m,
+      org.apache.spark.sql.GraftBridge.toExpression(predicate))
+    if (kept.isEmpty) return Report(0L, 0)
+    val paths = kept.map(p => new HPath(dirPath, m.files(p)).toString)
     val hits = spark.read.schema(m.schema)
       .parquet(paths.toIndexedSeq: _*)
       .withColumn("__file", fileNameOf(col("_metadata.file_path")))

@@ -90,6 +90,33 @@ class DeletionVectorsSpec extends AnyFunSuite {
     assert(read < 300, s"expected a pruned scan, read $read records")
   }
 
+  test("deleteWhere reads only files overlapping an index-column range") {
+    val dir = tempDir("dv-where-pruned") + "/t"
+    writeSrc(dir, 1000) // 10 files of 100 rows, clustered on k
+    var read = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        read += e.taskMetrics.inputMetrics.recordsRead
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val rep = try {
+      val r = DeletionVectors.deleteWhere(spark, dir,
+        col("k") >= 210 && col("k") < 240 && col("grp") =!= 5)
+      org.apache.spark.GraftTestBridge.drainListeners(spark.sparkContext)
+      r
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // k in [210, 240) is 30 rows, minus the three with grp == 5
+    assert(rep.marked == 27 && rep.affectedFiles == 1, s"$rep")
+    // only the one overlapping 100-row file + the small DV read-back;
+    // an unpruned scan would read all 1000
+    assert(read < 300, s"expected a bounds-pruned scan, read $read records")
+    assert(DeletionVectors.scan(spark, dir).count() == 1000 - 27)
+    // a provably non-overlapping range touches nothing at all
+    assert(DeletionVectors.deleteWhere(spark, dir, col("k") >= 5000)
+      == DeletionVectors.Report(0L, 0))
+  }
+
   test("deleteWhere marks by predicate; scan and materialize agree") {
     val dir = tempDir("dv-where") + "/t"
     writeSrc(dir, 500)
