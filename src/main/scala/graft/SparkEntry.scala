@@ -1397,7 +1397,10 @@ object SparkEntry {
     // a one-row broadcast, and the 0.2% fraction compares by exact
     // integer cross-multiplication (value × 500 > total) — no float
     // threshold can flip a boundary part between engines. The
-    // grouped view is aggregated ONCE and reused for both sides.
+    // grouped view is a val, so both consumers share ONE analyzed
+    // subtree (same expression ids) and the per-part aggregate's
+    // shuffle is structurally reused (ReusedExchange — pinned in
+    // PlanSpec) instead of recomputed for the total.
     "q_tpch_q11" -> ((s, d) => {
       val cents = round(col("l_extendedprice") * 100).cast("long") *
         round((lit(1) - col("l_discount")) * 100).cast("long")
@@ -1406,7 +1409,7 @@ object SparkEntry {
             .filter(col("n_name").isin("NATION_3", "NATION_4"))),
           col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey")
-      def v = scan(s, d, "lineitem").toDF
+      val v = scan(s, d, "lineitem").toDF
         .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"),
           "left_semi")
         .groupBy("l_partkey")

@@ -270,6 +270,25 @@ class PlanSpec extends AnyFunSuite {
       s"expected broadcast dimension reductions:\n$plan")
   }
 
+  test("TPC-H Q11 reuses the per-part aggregate's shuffle for the total") {
+    val df = SparkEntry.queries("q_tpch_q11")(spark, sf)
+    df.collect()
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    // The grouped view is a val shared by the total and the filter:
+    // its aggregation shuffle must appear once and be structurally
+    // reused, not recomputed — i.e. one lineitem scan, one
+    // ReusedExchange (or reused stage under AQE).
+    assert("lineitem".r.findAllIn(plan).length == 1,
+      s"expected exactly one lineitem scan:\n$plan")
+    assert(plan.contains("ReusedExchange") ||
+      plan.contains("ReusedQueryStage") || plan.contains("StageReuse"),
+      s"expected the per-part aggregate exchange to be reused:\n$plan")
+  }
+
   test("slice reads only overlapping partition files (driver pruning)") {
     val total = persisted.npartitions
     val lo = persisted.lowerBounds.get(2)
