@@ -251,6 +251,31 @@ final class GraftSource extends RelationProvider
         "bloom option: supports integral and string columns; " +
           s"$c is ${data.schema(c).dataType.simpleString}")
     }
+    // Compatibility contract for appends, re-checked on every OCC
+    // retry (same as PDataset.prepareWriteTarget): the target's
+    // (possibly evolved) sidecar schema stays authoritative. Unknown
+    // columns would be silently hidden by the sidecar (reading as
+    // dropped data) and type conflicts would fail or corrupt reads
+    // later — reject both up front.
+    def validateAppendCompat(m: Sidecar.Meta): Unit = {
+      require(m.indexColumns == index,
+        s"cannot append with index columns ${index.mkString(",")} to a " +
+          s"dataset indexed on ${m.indexColumns.mkString(",")}")
+      data.schema.fields.foreach { f =>
+        m.schema.fields.find(_.name == f.name) match {
+          case None => throw new IllegalArgumentException(
+            s"appended column ${f.name} does not exist in the target " +
+              "dataset; run Maintenance.addColumns first")
+          case Some(tf) if !org.apache.spark.sql.GraftBridge
+              .sameTypeIgnoreNullability(tf.dataType, f.dataType) =>
+            throw new IllegalArgumentException(
+              s"appended column ${f.name}: ${f.dataType.simpleString} " +
+                s"conflicts with the target's ${tf.dataType.simpleString}")
+          case _ => ()
+        }
+      }
+    }
+
     // An append onto an existing sidecar dataset validates against —
     // and then merges into — that sidecar, instead of re-deriving
     // metadata over the whole table.
@@ -260,31 +285,12 @@ final class GraftSource extends RelationProvider
         // Fingerprint the sidecar the moment it is loaded: the append
         // re-checks it right before installing the merged listing, so
         // a maintenance commit landing during the (long) write window
-        // aborts loudly instead of being overwritten from this stale
+        // is detected instead of being overwritten from this stale
         // base — the same optimistic-concurrency discipline every
-        // Maintenance op follows.
+        // Maintenance op follows (plus a bounded self-heal: see the
+        // retry loop at the install site).
         val fp = graft.operators.Maintenance.metaFingerprint(spark, p)
-        require(m.indexColumns == index,
-          s"cannot append with index columns ${index.mkString(",")} to a " +
-            s"dataset indexed on ${m.indexColumns.mkString(",")}")
-        // Same compatibility contract as PDataset.prepareWriteTarget:
-        // the target's (possibly evolved) sidecar schema stays
-        // authoritative. Unknown columns would be silently hidden by
-        // the sidecar (reading as dropped data) and type conflicts
-        // would fail or corrupt reads later — reject both up front.
-        data.schema.fields.foreach { f =>
-          m.schema.fields.find(_.name == f.name) match {
-            case None => throw new IllegalArgumentException(
-              s"appended column ${f.name} does not exist in the target " +
-                "dataset; run Maintenance.addColumns first")
-            case Some(tf) if !org.apache.spark.sql.GraftBridge
-                .sameTypeIgnoreNullability(tf.dataType, f.dataType) =>
-              throw new IllegalArgumentException(
-                s"appended column ${f.name}: ${f.dataType.simpleString} " +
-                  s"conflicts with the target's ${tf.dataType.simpleString}")
-            case _ => ()
-          }
-        }
+        validateAppendCompat(m)
         Some((m, fp))
       } else None
 
@@ -311,28 +317,65 @@ final class GraftSource extends RelationProvider
         .toSet
 
     appendTo match {
-      case Some((m, loadedFp)) =>
+      case Some((m0, fp0)) =>
         // Incremental append: diff the listing around the write, stat
         // ONLY the new files (one job over the delta), merge entries.
         val before = dataFileNames()
         shaped.sortWithinPartitions(keys: _*)
           .write.mode(SaveMode.Append).parquet(path)
         val added = (dataFileNames() -- before).toIndexedSeq.sorted
-        val addedPaths = added.map(n => new HPath(p, n).toString)
-        val byFile = Stats.forFiles(spark, addedPaths, index, Some(m.schema))
-        val kept = addedPaths.filter(f =>
-          byFile.contains(Stats.normalizePath(f)))
-        val names = kept.map(f => new HPath(f).getName)
-        val stats = kept.map(f => byFile(Stats.normalizePath(f)))
-        // max_partition_index is a name-allocation high-water mark —
-        // never move it backwards (see PDataset.writeMetadata).
-        val maxIdx = math.max(m.maxPartitionIndex,
-          m.files.length + names.length - 1L)
-        graft.operators.Maintenance.guardUnchanged(spark, p, loadedFp)
-        Sidecar.write(spark, path, index,
-          m.files ++ names, m.sizes ++ stats.map(_.size),
-          m.lowerBounds ++ stats.map(_.lb),
-          m.upperBounds ++ stats.map(_.ub), maxIdx, m.schema)
+        // Bounded OCC retry: a maintenance commit (compact, upsert,
+        // another append) landing during the write window changes the
+        // sidecar fingerprint. The expensive part — the data write —
+        // is already durable and a conflicting op never touches
+        // unregistered files, so instead of aborting the whole job:
+        // reload the sidecar, re-validate index/schema compatibility,
+        // re-stat and re-merge ONLY this write's files against the
+        // NEW listing, and try the install again. The listing-diff
+        // names are filtered against the reloaded sidecar so files a
+        // concurrent op just registered (e.g. compact outputs) are
+        // never double-registered. Attempts are bounded; a table
+        // churning faster than five delta-sized stat jobs is a
+        // pipeline bug worth surfacing.
+        var m = m0
+        var fp = fp0
+        var attempts = 0
+        var installed = false
+        while (!installed) {
+          val addedPaths = added.filterNot(m.files.contains)
+            .map(n => new HPath(p, n).toString)
+          val byFile =
+            Stats.forFiles(spark, addedPaths, index, Some(m.schema))
+          val kept = addedPaths.filter(f =>
+            byFile.contains(Stats.normalizePath(f)))
+          val names = kept.map(f => new HPath(f).getName)
+          val stats = kept.map(f => byFile(Stats.normalizePath(f)))
+          // max_partition_index is a name-allocation high-water mark —
+          // never move it backwards (see PDataset.writeMetadata).
+          val maxIdx = math.max(m.maxPartitionIndex,
+            m.files.length + names.length - 1L)
+          try {
+            graft.operators.Maintenance.guardUnchanged(spark, p, fp)
+            Sidecar.write(spark, path, index,
+              m.files ++ names, m.sizes ++ stats.map(_.size),
+              m.lowerBounds ++ stats.map(_.lb),
+              m.upperBounds ++ stats.map(_.ub), maxIdx, m.schema)
+            installed = true
+          } catch {
+            case e: java.util.ConcurrentModificationException =>
+              attempts += 1
+              if (attempts >= 5) throw new
+                  java.util.ConcurrentModificationException(
+                s"append to $path lost the sidecar-install race " +
+                  s"$attempts times; the written data files " +
+                  s"(${added.mkString(", ")}) are on disk but " +
+                  "UNREGISTERED — re-run Maintenance or writeMetadata " +
+                  s"to recover (${e.getMessage})")
+              m = Sidecar.load(spark, path)
+              fp = graft.operators.Maintenance.metaFingerprint(spark, p)
+              validateAppendCompat(m)
+          }
+        }
         // Extend an existing Bloom sidecar to just the new files; a
         // first-time bloom option on append still builds from scratch.
         if (BloomIndex.exists(spark, path))

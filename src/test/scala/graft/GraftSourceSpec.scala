@@ -4,7 +4,16 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.PDataset
+import graft.operators.Maintenance
 import Fixtures._
+
+/** Static latches for the concurrent-compact append test: the blocked
+  * write task and the test thread rendezvous through them (same JVM
+  * in local mode). */
+object AppendRaceGate {
+  val started = new java.util.concurrent.CountDownLatch(1)
+  val gate = new java.util.concurrent.CountDownLatch(1)
+}
 
 /** `spark.read.format("graft")`: the registered short name over a
   * sidecar-carrying dataset directory — correct rows, sidecar schema,
@@ -301,7 +310,7 @@ class GraftSourceSpec extends AnyFunSuite {
     }
   }
 
-  test("sink append aborts when a concurrent writer commits mid-write") {
+  test("sink append self-heals when a concurrent writer commits mid-write") {
     import spark.implicits._
     val out = tempDir("graft-source-race") + "/ds"
     val base = (0L until 300L).map(k => (k, s"v$k")).toDF("k", "payload")
@@ -311,6 +320,9 @@ class GraftSourceSpec extends AnyFunSuite {
     // trailing whitespace) after the append loaded it but before the
     // merged listing is installed. local[*] executors share the JVM
     // and filesystem, so this lands exactly in the guard's window.
+    // The OCC retry then reloads the (advanced) sidecar, re-merges
+    // this write's files against it, and installs — the append LANDS
+    // instead of aborting, without re-running the data write.
     val metaFile = s"$out/_padawan_metadata.json"
     val trip = udf { k: Long =>
       val fos = new java.io.FileOutputStream(metaFile, true)
@@ -322,14 +334,66 @@ class GraftSourceSpec extends AnyFunSuite {
     }
     val extra = spark.range(1000L, 1010L)
       .select(trip(col("id")).as("k"), concat(lit("x"), col("id")).as("payload"))
-    val e = intercept[java.util.ConcurrentModificationException] {
+    extra.write.format("graft").mode("append")
+      .option("index", "k").option("files", "1").save(out)
+    val got = spark.read.format("graft").load(out)
+    assert(got.count() == 310L)
+    assert(got.filter(col("k") >= 1000L).count() == 10L)
+    // every data file on disk is registered: the retry merged THIS
+    // write's files once — no orphans from a re-run, no double entry
+    val m = graft.core.Sidecar.load(spark, out)
+    assert(m.files.length == m.files.distinct.length)
+    val (fs, p) = graft.core.GraftFs.resolve(spark, out)
+    val onDisk = fs.listStatus(p).filter(_.isFile).map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_") &&
+        !n.startsWith(".")).toSet
+    assert(onDisk == m.files.toSet,
+      s"disk/sidecar mismatch: ${onDisk.diff(m.files.toSet)} orphaned")
+  }
+
+  test("sink append lands past a concurrent compact (bounded OCC retry)") {
+    import spark.implicits._
+    val out = tempDir("graft-source-occ") + "/ds"
+    val base = (0L until 300L).map(k => (k, s"v$k")).toDF("k", "payload")
+    PDataset.fromDataFrame(base, Seq("k")).repartition(50).writeParquet(out)
+    // The appended frame's first evaluated row signals the main
+    // thread and then blocks, holding the append's write window open
+    // while a REAL compact commits underneath it; the gate then
+    // releases and the append's install must detect the moved
+    // fingerprint, re-merge against the compacted listing, and land.
+    val block = udf { k: Long =>
+      AppendRaceGate.started.countDown()
+      AppendRaceGate.gate.await(60, java.util.concurrent.TimeUnit.SECONDS)
+      k
+    }
+    val extra = spark.range(1000L, 1010L)
+      .select(block(col("id")).as("k"),
+        concat(lit("x"), col("id")).as("payload"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fut = Future {
       extra.write.format("graft").mode("append")
         .option("index", "k").option("files", "1").save(out)
     }
-    assert(e.getMessage.contains("changed while"))
-    // nothing was installed: the stale merge did NOT overwrite the
-    // (concurrently advanced) sidecar — the dataset reads whole
-    assert(spark.read.format("graft").load(out).count() == 300L)
+    assert(AppendRaceGate.started.await(
+      60, java.util.concurrent.TimeUnit.SECONDS), "append never started")
+    val rep = Maintenance.compact(spark, out, targetRows = 300)
+    assert(rep.merged > 0, s"compact was a no-op: $rep")
+    AppendRaceGate.gate.countDown()
+    Await.result(fut, 120.seconds)
+    val got = spark.read.format("graft").load(out)
+    assert(got.count() == 310L)
+    assert(got.filter(col("k") >= 1000L).count() == 10L)
+    // the compacted files and the appended file coexist in the
+    // listing; nothing on disk is orphaned (the data write ran once)
+    val m = graft.core.Sidecar.load(spark, out)
+    val (fs, p) = graft.core.GraftFs.resolve(spark, out)
+    val onDisk = fs.listStatus(p).filter(_.isFile).map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_") &&
+        !n.startsWith(".")).toSet
+    assert(onDisk == m.files.toSet,
+      s"disk/sidecar mismatch: ${onDisk.diff(m.files.toSet)} orphaned")
   }
 
   test("timestamp options accept dates and reject junk with guidance") {
