@@ -92,6 +92,14 @@ object Constraints {
   def drop(spark: SparkSession, dir: String, name: String): Unit =
     save(spark, dir, list(spark, dir) - name)
 
+  /** The table's constraints as a DataFrame (name, expression),
+    * name-ascending — the plain-SQL listing behind
+    * `spark.read.format("graft").option("constraints", true)`. */
+  def show(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    list(spark, dir).toSeq.sortBy(_._1).toDF("name", "expression")
+  }
+
   /** rows where the CHECK is FALSE (TRUE and NULL both pass) */
   private def violationCount(c: Column): Column =
     count(when(not(coalesce(c, lit(true))), 1))

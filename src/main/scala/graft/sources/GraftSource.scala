@@ -57,8 +57,12 @@ final class GraftSource extends RelationProvider
     // omitted) — Maintenance.changes for plain-SQL users.
     // option("history", true): one row per readable generation
     // (DESCRIBE HISTORY) — Maintenance.history for plain-SQL users.
+    // option("constraints", true): the table's CHECK constraints as
+    // (name, expression) rows — the SHOW-CONSTRAINTS counterpart of
+    // the sink's option("constraint.<name>", "<expr>") DDL surface.
     val exclusive = Seq("version", "asOfTimestamp", "changesFrom",
-      "changesFromTimestamp", "history").filter(parameters.contains)
+      "changesFromTimestamp", "history", "constraints")
+      .filter(parameters.contains)
     if (exclusive.length > 1) throw new IllegalArgumentException(
       s"options ${exclusive.mkString("'", "', '", "'")} are mutually " +
         "exclusive")
@@ -97,6 +101,8 @@ final class GraftSource extends RelationProvider
           parameters.get("changesTo").map(_.toInt)))
       case Some("history") if parameters("history").toBoolean =>
         feedRelation(graft.operators.Maintenance.history(spark, path))
+      case Some("constraints") if parameters("constraints").toBoolean =>
+        feedRelation(graft.operators.Constraints.show(spark, path))
       case Some("changesFromTimestamp") =>
         feedRelation(graft.operators.Maintenance.changesAsOf(spark, path,
           parseTs(parameters("changesFromTimestamp")),
@@ -394,6 +400,35 @@ final class GraftSource extends RelationProvider
     if (constraints.nonEmpty &&
         graft.operators.Constraints.list(spark, path).isEmpty)
       graft.operators.Constraints.install(spark, path, constraints)
+    // SQL DDL surface for CHECK constraints: one write option per
+    // constraint, option("constraint.<name>", "<boolean sql expr>")
+    // — the ALTER TABLE ADD CONSTRAINT analogue for plain-SQL
+    // pipelines. Declarations apply AFTER the write lands, so each
+    // add() validates the complete resulting table (including this
+    // write's rows) in one counting scan; a violated declaration
+    // refuses loudly and is NOT recorded. Re-declaring an existing
+    // constraint verbatim is an idempotent no-op (pipelines repeat
+    // their write options every run); declaring a recorded name with
+    // a DIFFERENT expression is rejected. Constraints recorded by an
+    // EARLIER write guard this write's delta up front through the
+    // usual enforce pass — nothing lands when the delta violates.
+    val declared = parameters.toSeq.collect {
+      case (k, v) if k.toLowerCase.startsWith("constraint.") &&
+          k.length > "constraint.".length =>
+        k.substring("constraint.".length) -> v
+    }.sortBy(_._1)
+    if (declared.nonEmpty) {
+      val recorded = graft.operators.Constraints.list(spark, path)
+      declared.foreach { case (n, e) =>
+        recorded.get(n) match {
+          case Some(cur) if cur == e => () // idempotent re-declare
+          case Some(cur) => throw new IllegalArgumentException(
+            s"constraint $n is already recorded as '$cur'; drop it " +
+              s"before re-declaring it as '$e'")
+          case None => graft.operators.Constraints.add(spark, path, n, e)
+        }
+      }
+    }
     createRelation(sqlContext, parameters)
   }
 }

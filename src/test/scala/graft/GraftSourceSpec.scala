@@ -396,6 +396,48 @@ class GraftSourceSpec extends AnyFunSuite {
       s"disk/sidecar mismatch: ${onDisk.diff(m.files.toSet)} orphaned")
   }
 
+  test("constraints land and trip purely through the SQL surface") {
+    import spark.implicits._
+    val out = tempDir("graft-source-ddl") + "/ds"
+    val base = (1L to 100L).map(k => (k, k * 2.0)).toDF("k", "price")
+    // declare at write time: the ALTER TABLE ADD CONSTRAINT analogue
+    base.write.format("graft").option("index", "k")
+      .option("constraint.price_pos", "price > 0").save(out)
+    // visible through the read surface (SHOW CONSTRAINTS analogue)
+    val cs = spark.read.format("graft")
+      .option("constraints", "true").load(out)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSeq
+    assert(cs == Seq("price_pos" -> "price > 0"), cs.toString)
+    // a violating append trips the recorded constraint BEFORE any
+    // data lands
+    val e = intercept[graft.operators.Constraints.Violation] {
+      Seq((200L, -1.0)).toDF("k", "price").write.format("graft")
+        .mode("append").option("index", "k").save(out)
+    }
+    assert(e.getMessage.contains("price_pos"))
+    assert(spark.read.format("graft").load(out).count() == 100L)
+    // a conforming append re-declaring the same constraint is
+    // idempotent and lands
+    Seq((200L, 5.0)).toDF("k", "price").write.format("graft")
+      .mode("append").option("index", "k")
+      .option("constraint.price_pos", "price > 0").save(out)
+    assert(spark.read.format("graft").load(out).count() == 101L)
+    // declaring a recorded name with a different expression is
+    // rejected; a violated NEW declaration refuses and is not recorded
+    assertThrows[IllegalArgumentException] {
+      Seq((201L, 5.0)).toDF("k", "price").write.format("graft")
+        .mode("append").option("index", "k")
+        .option("constraint.price_pos", "price > 1").save(out)
+    }
+    assertThrows[graft.operators.Constraints.Violation] {
+      Seq((202L, 5.0)).toDF("k", "price").write.format("graft")
+        .mode("append").option("index", "k")
+        .option("constraint.price_cap", "price < 100").save(out)
+    }
+    assert(spark.read.format("graft").option("constraints", "true")
+      .load(out).collect().map(_.getString(0)).toSeq == Seq("price_pos"))
+  }
+
   test("timestamp options accept dates and reject junk with guidance") {
     import spark.implicits._
     val out = tempDir("graft-source-ts") + "/ds"
