@@ -560,6 +560,29 @@ object SparkEntry {
         .select("version", "is_current", "n_rows").orderBy("version")
     }),
 
+    // Column-stats data skipping: per-file min/max on a NON-index
+    // column (`_graft_colstats.json`) prune planned files for range
+    // predicates the lex index can't serve — the Delta/Iceberg
+    // column-stats pattern. The fixture derives o_v = o_orderkey * 3
+    // so the stats column correlates with the clustering and the
+    // range genuinely prunes (ColumnStatsSpec pins planned-file
+    // counts); the oracle recomputes the same filter in plain SQL, so
+    // any wrong pruning (dropped rows) breaks the hash.
+    "q_colstats" -> ((s, d) => {
+      val dir = fixture("colstats", d) { out =>
+        val ord = s.read.parquet(T(d, "orders"))
+          .withColumn("o_v", col("o_orderkey") * 3)
+        val ds = PDataset.fromDataFrame(ord, Seq("o_orderkey"))
+        ds.repartition(math.max(1000L, ds.sizes.get.sum / 24))
+          .writeParquet(out)
+        graft.core.ColumnStats.build(s, out, Seq("o_v", "o_totalprice"))
+      }
+      s.read.format("graft").load(dir)
+        .filter(col("o_v") >= 6000L && col("o_v") < 9000L)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // CHECK constraints: the write-path guard run as a dry-run —
     // per-constraint violation counts of a candidate delta, all
     // constraints in ONE aggregate job (Constraints.audit). The
@@ -2116,6 +2139,11 @@ object SparkEntry {
            SELECT 2, TRUE,
                   (SELECT c FROM b) + (SELECT c FROM i) - (SELECT c FROM d)
            ORDER BY version""",
+      "q_colstats" ->
+        """SELECT o_orderkey, o_custkey, o_totalprice
+           FROM orders
+           WHERE o_orderkey * 3 >= 6000 AND o_orderkey * 3 < 9000
+           ORDER BY o_orderkey""",
       "q_constraint" ->
         """WITH delta AS (
              SELECT * FROM lineitem WHERE l_orderkey % 11 = 0)

@@ -1,0 +1,194 @@
+package graft.core
+
+import org.apache.hadoop.fs.{Path => HPath}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-file min/max/null-count statistics for NON-index columns — the
+  * Delta/Iceberg column-stats pattern, as an optional `_graft_colstats
+  * .json` sidecar next to the data (KB-scale: #files × #columns
+  * scalar pairs). The sidecar's lex-tuple bounds prune on the index
+  * columns and `_graft_bloom` handles point lookups; this closes the
+  * remaining gap — RANGE predicates on any other stats-tracked column
+  * prune whole files at plan time through [[org.apache.spark.sql
+  * .GraftFileIndex]]'s independent-range path (`spark.read
+  * .format("graft")` picks the sidecar up automatically, like Bloom).
+  *
+  * Soundness under maintenance: entries are keyed by file NAME and
+  * every rewrite allocates fresh names, so a stale entry can never
+  * describe new content — a file without an entry is simply
+  * unprunable until [[update]] stats it (one pass over ONLY the
+  * missing files). Maintenance ops refresh the sidecar the same way
+  * they extend Bloom filters.
+  *
+  * Null encoding matches the independent-stats ColRange semantics
+  * (null-first order, [[graft.operators.Layout]] uses the same): a
+  * file with any null in the column records lb = null-extreme (its
+  * least NON-null value is unknown to comparisons), and an all-null
+  * column records ub = null-extreme (no comparison can match).
+  */
+object ColumnStats {
+
+  val FileName = "_graft_colstats.json"
+
+  /** Per column name: per file (aligned with the caller's file list)
+    * an optional (lb, ub) independent range; None = no entry (keep). */
+  type Stats = Map[String, IndexedSeq[Option[(Option[Any], Option[Any])]]]
+
+  private def statsPath(spark: SparkSession, dir: String): HPath = {
+    val (_, dirPath) = GraftFs.resolve(spark, dir)
+    new HPath(dirPath, FileName)
+  }
+
+  def exists(spark: SparkSession, dir: String): Boolean = {
+    val (fs, _) = GraftFs.resolve(spark, dir)
+    GraftFs.statusOf(fs, statsPath(spark, dir)).exists(_.isFile)
+  }
+
+  /** Comparison-prunable and JSON-roundtrippable column types. */
+  private[graft] def supported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+        DoubleType | StringType | DateType | TimestampType |
+        TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** Record min/max/null stats for `cols` over every file in the
+    * table's sidecar listing — ONE narrow aggregation pass (reads only
+    * `cols`), #files result rows on the driver. Replaces any existing
+    * stats sidecar (columns are re-chosen, not merged). */
+  def build(spark: SparkSession, dir: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "column stats need at least one column")
+    val m = Sidecar.load(spark, dir)
+    cols.foreach { c =>
+      val f = m.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"stats option: no such column $c"))
+      require(supported(f.dataType),
+        "stats option: supports numeric, string, date and timestamp " +
+          s"columns; $c is ${f.dataType.simpleString}")
+    }
+    val (_, dirPath) = GraftFs.resolve(spark, dir)
+    val entries = fileEntries(spark,
+      m.files.map(f => new HPath(dirPath, f).toString), cols, m.schema)
+    save(spark, dir, cols, entries)
+  }
+
+  /** Extend the recorded stats to files the sidecar lists but the
+    * stats file does not (appends, maintenance rewrites) — one pass
+    * over ONLY those files — and drop entries for files no longer
+    * listed. No-op without a stats sidecar. */
+  def update(spark: SparkSession, dir: String): Unit = {
+    if (!exists(spark, dir)) return
+    val (cols, recorded) = load(spark, dir)
+    val m = Sidecar.load(spark, dir)
+    val listed = m.files.toSet
+    val kept = recorded.filter(e => listed(e("name").toString))
+    val have = kept.map(_("name").toString).toSet
+    val missing = m.files.filterNot(have)
+    val (_, dirPath) = GraftFs.resolve(spark, dir)
+    val fresh = fileEntries(spark,
+      missing.map(f => new HPath(dirPath, f).toString), cols, m.schema)
+    save(spark, dir, cols, (kept ++ fresh).sortBy(_("name").toString))
+  }
+
+  /** The stats for `files` (full paths, one shared parent dir),
+    * aligned per file — the read-side hook [[org.apache.spark.sql
+    * .GraftRelations]] calls when planning a graft relation. Empty
+    * when no stats sidecar exists. Cached on (dir, mtime, len) like
+    * the Bloom sidecar. */
+  def forFiles(
+      spark: SparkSession, files: Seq[String],
+      schema: StructType): Stats = {
+    if (files.isEmpty) return Map.empty
+    val parents = files.map(f =>
+      Option(new HPath(f).getParent).map(_.toString).getOrElse("")).distinct
+    if (parents.length != 1) return Map.empty
+    val dir = parents.head
+    val (fs, _) = GraftFs.resolve(spark, dir)
+    val status = GraftFs.statusOf(fs, statsPath(spark, dir))
+      .getOrElse(return Map.empty)
+    if (!status.isFile) return Map.empty
+    val key = (dir, status.getModificationTime, status.getLen)
+    if (cache.size > 8) cache.clear()
+    val (cols, entries) =
+      cache.computeIfAbsent(key, _ => load(spark, dir))
+    val byName = entries.map(e => e("name").toString -> e).toMap
+    val names = files.map(f => new HPath(f).getName).toIndexedSeq
+    cols.zipWithIndex.map { case (c, ci) =>
+      val dt = schema.fields.find(_.name == c).map(_.dataType)
+      c -> names.map { n =>
+        for {
+          e <- byName.get(n)
+          t <- dt
+        } yield rangeOf(e, ci, t)
+      }
+    }.toMap
+  }
+
+  /** (lb, ub) of column `ci` in one decoded file entry, in the
+    * independent ColRange encoding (see class doc for nulls). */
+  private def rangeOf(
+      e: Map[String, Any], ci: Int, dt: DataType):
+      (Option[Any], Option[Any]) = {
+    val s = e("stats").asInstanceOf[Seq[Any]](ci)
+      .asInstanceOf[Map[String, Any]]
+    val lb =
+      if (s("nulls").asInstanceOf[Long] > 0L) None
+      else Option(s("min")).map(Sidecar.coerce(_, dt))
+    val ub = Option(s("max")).map(Sidecar.coerce(_, dt))
+    (lb, ub)
+  }
+
+  /** One narrow stats pass over just `files`: per file, per column
+    * (min, max, nulls) — same shape [[graft.operators.Layout]] records
+    * for z-order layouts. */
+  private def fileEntries(
+      spark: SparkSession, files: Seq[String], cols: Seq[String],
+      schema: StructType): Seq[Map[String, Any]] = {
+    if (files.isEmpty) return Seq.empty
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
+    }
+    spark.read.schema(schema).parquet(files: _*)
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .sortBy(_.getString(0))
+      .map { r =>
+        val per = cols.indices.map { i =>
+          Map(
+            "min" -> r.get(1 + i * 3), "max" -> r.get(2 + i * 3),
+            "nulls" -> r.getLong(3 + i * 3))
+        }
+        Map("name" -> new HPath(r.getString(0)).getName, "stats" -> per)
+      }.toSeq
+  }
+
+  private def save(
+      spark: SparkSession, dir: String, cols: Seq[String],
+      entries: Seq[Map[String, Any]]): Unit = {
+    val (fs, _) = GraftFs.resolve(spark, dir)
+    GraftFs.writeString(fs, statsPath(spark, dir), TypedJson.write(
+      scala.collection.immutable.ListMap(
+        "cols" -> cols, "files" -> entries)))
+  }
+
+  private def load(
+      spark: SparkSession, dir: String):
+      (Seq[String], Seq[Map[String, Any]]) = {
+    val (fs, _) = GraftFs.resolve(spark, dir)
+    val meta = TypedJson.parse(
+      GraftFs.readString(fs, statsPath(spark, dir)))
+      .asInstanceOf[Map[String, Any]]
+    (meta("cols").asInstanceOf[Seq[Any]].map(_.toString),
+      meta("files").asInstanceOf[Seq[Any]]
+        .map(_.asInstanceOf[Map[String, Any]]))
+  }
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), (Seq[String], Seq[Map[String, Any]])]
+}

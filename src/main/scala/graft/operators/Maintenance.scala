@@ -339,15 +339,19 @@ object Maintenance {
           "no changes were installed — reload and re-run")
   }
 
-  /** Keep the Bloom sidecar effective across maintenance: when one
-    * exists, extend it to the files this op just created (one job
-    * over ONLY those files — [[graft.core.BloomIndex.update]] builds
-    * missing entries and leaves the rest alone). Without this,
-    * rewritten partitions would silently stop pruning (sound, but
-    * the index decays with every upsert). */
-  private def refreshBloom(spark: SparkSession, dir: String): Unit =
+  /** Keep the Bloom and column-stats sidecars effective across
+    * maintenance: when one exists, extend it to the files this op
+    * just created (one job over ONLY those files —
+    * [[graft.core.BloomIndex.update]] / [[graft.core.ColumnStats
+    * .update]] build missing entries and leave the rest alone).
+    * Without this, rewritten partitions would silently stop pruning
+    * (sound, but the index decays with every upsert). */
+  private def refreshBloom(spark: SparkSession, dir: String): Unit = {
     if (graft.core.BloomIndex.exists(spark, dir))
       graft.core.BloomIndex.update(spark, dir)
+    if (graft.core.ColumnStats.exists(spark, dir))
+      graft.core.ColumnStats.update(spark, dir)
+  }
 
   /** Copy the CURRENT metadata into the history before a swap;
     * returns the archived version number. */

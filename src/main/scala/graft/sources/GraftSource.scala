@@ -257,6 +257,18 @@ final class GraftSource extends RelationProvider
         "bloom option: supports integral and string columns; " +
           s"$c is ${data.schema(c).dataType.simpleString}")
     }
+    // option("stats", "c1,c2"): per-file min/max range pruning on
+    // NON-index columns (graft.core.ColumnStats) — validated before
+    // the write like the bloom option.
+    val statsCols = parameters.get("stats")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    statsCols.foreach { c =>
+      require(data.columns.contains(c), s"stats option: no such column $c")
+      require(graft.core.ColumnStats.supported(data.schema(c).dataType),
+        "stats option: supports numeric, string, date and timestamp " +
+          s"columns; $c is ${data.schema(c).dataType.simpleString}")
+    }
     // Compatibility contract for appends, re-checked on every OCC
     // retry (same as PDataset.prepareWriteTarget): the target's
     // (possibly evolved) sidecar schema stays authoritative. Unknown
@@ -388,6 +400,11 @@ final class GraftSource extends RelationProvider
           BloomIndex.update(spark, path, bloomCols)
         else if (bloomCols.nonEmpty)
           BloomIndex.build(spark, path, bloomCols)
+        // Same lifecycle for the column-stats sidecar.
+        if (graft.core.ColumnStats.exists(spark, path))
+          graft.core.ColumnStats.update(spark, path)
+        else if (statsCols.nonEmpty)
+          graft.core.ColumnStats.build(spark, path, statsCols)
       case None =>
         shaped.sortWithinPartitions(keys: _*)
           .write.mode(mode).parquet(path)
@@ -396,6 +413,8 @@ final class GraftSource extends RelationProvider
         // non-index columns, built right after the sidecar (one job).
         if (bloomCols.nonEmpty)
           BloomIndex.build(spark, path, bloomCols)
+        if (statsCols.nonEmpty)
+          graft.core.ColumnStats.build(spark, path, statsCols)
     }
     if (constraints.nonEmpty &&
         graft.operators.Constraints.list(spark, path).isEmpty)

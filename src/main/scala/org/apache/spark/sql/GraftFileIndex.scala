@@ -48,8 +48,18 @@ final class GraftFileIndex(
     // Exact per-file ROW counts from the sidecar (files are byte
     // sizes): lets `graft.plans.MetadataCount` answer unfiltered
     // count(*) without touching a single file.
-    val rowCounts: Option[IndexedSeq[Long]] = None)
+    val rowCounts: Option[IndexedSeq[Long]] = None,
+    // Independent per-file (lb, ub) ranges for NON-index columns from
+    // the `_graft_colstats.json` sidecar (graft.core.ColumnStats):
+    // per column name, one optional range per file — None = no entry
+    // (file appended/rewritten after the stats build; unprunable).
+    // Same null encoding as independentStats mode.
+    extraStats: Map[String,
+      IndexedSeq[Option[(Option[Any], Option[Any])]]] = Map.empty)
     extends FileIndex {
+
+  private val extraCols: IndexedSeq[String] =
+    extraStats.keys.toIndexedSeq.sorted.filterNot(indexCols.contains)
 
   /** Single-column convenience form (scalar bounds on the leading
     * index column only). */
@@ -108,7 +118,12 @@ final class GraftFileIndex(
       lb: Option[Option[Any]], ub: Option[Option[Any]])
 
   private def colRange(i: Int, c: Int, eqs: Map[Int, Any]): Option[ColRange] =
-    if (independentStats) {
+    if (c >= indexCols.length)
+      // stats-sidecar column: independent per-file range; files
+      // without an entry (None) stay unprunable
+      extraStats(extraCols(c - indexCols.length))(i)
+        .map { case (lb, ub) => ColRange(Some(lb), Some(ub)) }
+    else if (independentStats) {
       // Independent per-column min/max mode (multi-dimensional
       // layouts, e.g. z-order, where no lex division structure
       // exists): lbs(i)(c)/ubs(i)(c) are the file's own scalar
@@ -277,7 +292,13 @@ final class GraftFileIndex(
   }
 
   private def posOf(e: Expression): Int = e match {
-    case a: AttributeReference => indexCols.indexOf(a.name)
+    case a: AttributeReference =>
+      val p = indexCols.indexOf(a.name)
+      if (p >= 0) p
+      else {
+        val x = extraCols.indexOf(a.name)
+        if (x >= 0) indexCols.length + x else -1
+      }
     case _ => -1
   }
 
@@ -352,9 +373,12 @@ object GraftRelations {
     val withSizes = graft.core.GraftFs.fileSizes(
       spark.sparkContext.hadoopConfiguration, files)
     // A `_graft_bloom` sidecar next to the files (cached, one stat
-    // call) adds point-lookup pruning on its columns.
+    // call) adds point-lookup pruning on its columns; a
+    // `_graft_colstats.json` sidecar adds independent range pruning
+    // on its (non-index) columns.
     val index = new GraftFileIndex(withSizes, indexCols, lbs, ubs,
-      blooms = graft.core.BloomIndex.forFiles(spark, files))
+      blooms = graft.core.BloomIndex.forFiles(spark, files),
+      extraStats = graft.core.ColumnStats.forFiles(spark, files, schema))
     relationDF(ss, index, schema)
   }
 
@@ -407,7 +431,8 @@ object GraftRelations {
     val index = new GraftFileIndex(
       withSizes, m.indexColumns, m.lowerBounds, m.upperBounds,
       blooms = graft.core.BloomIndex.forFiles(spark, files),
-      rowCounts = Some(m.sizes))
+      rowCounts = Some(m.sizes),
+      extraStats = graft.core.ColumnStats.forFiles(spark, files, m.schema))
     HadoopFsRelation(
       index,
       partitionSchema = StructType(Nil),

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{ColumnStats, PDataset}
+import graft.operators.Maintenance
+import Fixtures._
+
+/** `_graft_colstats.json`: per-file min/max stats on non-index
+  * columns prune planned files through the SQL surface, survive
+  * appends and maintenance via update, and never prune wrongly for
+  * files without an entry. */
+class ColumnStatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** 10 files clustered on k; `v` correlates with k (v = 10k) so its
+    * per-file ranges are disjoint, `noise` does not. */
+  private def writeSrc(dir: String, n: Int): Unit = {
+    val df = spark.range(0L, n).select(
+      col("id").as("k"),
+      (col("id") * 10).as("v"),
+      (col("id") % 7).cast("double").as("noise"),
+      concat(lit("p"), col("id")).as("payload"))
+    PDataset.fromDataFrame(df, Seq("k")).repartition(n / 10L).writeParquet(dir)
+  }
+
+  test("range filters on a stats column prune planned files") {
+    val dir = tempDir("colstats-prune") + "/t"
+    writeSrc(dir, 1000)
+    ColumnStats.build(spark, dir, Seq("v", "noise"))
+    // v in [2100, 2400): only the file holding k in [210, 240) can match
+    val pruned = spark.read.format("graft").load(dir)
+      .filter(col("v") >= 2100L && col("v") < 2400L)
+    assert(scannedFiles(pruned) == 1, "expected 1 of 10 files planned")
+    assert(pruned.count() == 30L)
+    // a filter on a non-correlated stats column keeps every file
+    // (ranges overlap) — no wrong pruning
+    val wide = spark.read.format("graft").load(dir)
+      .filter(col("noise") === 3.0)
+    assert(scannedFiles(wide) == 10)
+    assert(wide.count() === spark.range(0, 1000).filter(col("id") % 7 === 3)
+      .count())
+    // equality point lookup on the stats column
+    val point = spark.read.format("graft").load(dir)
+      .filter(col("v") === 5550L)
+    assert(scannedFiles(point) == 1)
+    assert(point.count() == 1L)
+  }
+
+  test("sink option(\"stats\") builds; appends extend incrementally") {
+    val dir = tempDir("colstats-sink") + "/t"
+    spark.range(0L, 500L)
+      .select(col("id").as("k"), (col("id") * 10).as("v"))
+      .write.format("graft").option("index", "k").option("files", "5")
+      .option("stats", "v").save(dir)
+    assert(ColumnStats.exists(spark, dir))
+    val q1 = spark.read.format("graft").load(dir)
+      .filter(col("v") >= 4000L)
+    assert(scannedFiles(q1) == 1)
+    // append lands new files and the sink extends the stats to them
+    spark.range(500L, 600L)
+      .select(col("id").as("k"), (col("id") * 10).as("v"))
+      .write.format("graft").mode("append")
+      .option("index", "k").option("files", "1").save(dir)
+    val q2 = spark.read.format("graft").load(dir)
+      .filter(col("v") >= 5000L)
+    assert(scannedFiles(q2) == 1, "appended file should carry stats")
+    assert(q2.count() == 100L)
+    assert(spark.read.format("graft").load(dir).count() == 600L)
+  }
+
+  test("files without an entry are kept, and update repairs pruning") {
+    val dir = tempDir("colstats-stale") + "/t"
+    writeSrc(dir, 600)
+    ColumnStats.build(spark, dir, Seq("v"))
+    // a maintenance rewrite allocates fresh names; refreshBloom-style
+    // upkeep re-stats them inside the op
+    Maintenance.upsert(spark, dir,
+      spark.range(100L, 130L).select(
+        col("id").as("k"), lit(999999L).as("v"),
+        lit(0.0).as("noise"), lit("u").as("payload")))
+    // correctness first: the rewritten rows are visible through the
+    // stats-pruned read (the upserted files' NEW ranges include them)
+    val hot = spark.read.format("graft").load(dir)
+      .filter(col("v") === 999999L)
+    assert(hot.count() == 30L)
+    // pruning still fires: the two rewritten files now span up to the
+    // sentinel (kept for any upper range), but the rest prune — this
+    // range overlaps 2 original files + the 2 rewritten ones at most
+    val cold = spark.read.format("graft").load(dir)
+      .filter(col("v") >= 2100L && col("v") < 2400L)
+    assert(cold.count() == 30L)
+    assert(scannedFiles(cold) <= 4,
+      "stats upkeep should keep range pruning effective after upsert")
+    // a range fully inside the first (untouched) file reads only it
+    val first = spark.read.format("graft").load(dir)
+      .filter(col("v") < 500L)
+    assert(first.count() == 50L)
+    assert(scannedFiles(first) == 1)
+  }
+
+  test("null handling: IS NULL keeps only possibly-null files") {
+    val dir = tempDir("colstats-null") + "/t"
+    val df = spark.range(0L, 300L).select(
+      col("id").as("k"),
+      when(col("id") < 100, lit(null).cast("long"))
+        .otherwise(col("id") * 10).as("v"))
+    PDataset.fromDataFrame(df, Seq("k")).repartition(100).writeParquet(dir)
+    ColumnStats.build(spark, dir, Seq("v"))
+    // the index splits 300 rows into 4 files (99/100/100/1 rows), so
+    // the first TWO carry nulls (k=99 lands in file 1)
+    val nulls = spark.read.format("graft").load(dir)
+      .filter(col("v").isNull)
+    assert(scannedFiles(nulls) <= 2, "only null-carrying files")
+    assert(nulls.count() == 100L)
+    // comparisons never match nulls: the all-null file is pruned even
+    // though its (null) range cannot be compared
+    val cmp = spark.read.format("graft").load(dir)
+      .filter(col("v") < 1500L)
+    assert(scannedFiles(cmp) == 1)
+    assert(cmp.count() == 50L)
+  }
+
+  test("unsupported types and unknown columns are rejected up front") {
+    val dir = tempDir("colstats-reject") + "/t"
+    val df = spark.range(0L, 50L).select(
+      col("id").as("k"), array(col("id")).as("arr"))
+    PDataset.fromDataFrame(df, Seq("k")).writeParquet(dir)
+    assertThrows[IllegalArgumentException] {
+      ColumnStats.build(spark, dir, Seq("nope"))
+    }
+    assertThrows[IllegalArgumentException] {
+      ColumnStats.build(spark, dir, Seq("arr"))
+    }
+  }
+}
