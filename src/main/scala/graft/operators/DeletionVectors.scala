@@ -85,24 +85,44 @@ object DeletionVectors {
     element_at(split(c, "/"), -1)
 
   /** Conservative sidecar file pruning for [[deleteWhere]]: comparison
-    * conjuncts on the FIRST index column (the common shape — that is
-    * what the table is clustered on) intersect with each file's
-    * first-column [lb, ub] from the sidecar, so a range-bounded
-    * predicate scans only the overlapping files instead of the whole
-    * table. Anything not provably prunable keeps the file: unrelated
-    * conjuncts derive nothing, OR short-circuits to "keep all", and a
-    * type mismatch between a literal and the stored bound falls back
-    * to keep (the later parquet scan still row-group-prunes). */
+    * conjuncts on the FIRST index column (the clustered column — the
+    * common shape) intersect with each file's first-column [lb, ub]
+    * from the sidecar, and conjuncts on any `_graft_colstats.json`
+    * column intersect with that file's recorded independent range —
+    * so a range-bounded predicate scans only the overlapping files
+    * instead of the whole table. Anything not provably prunable keeps
+    * the file: unrelated conjuncts derive nothing, OR short-circuits
+    * to "keep all", a stats-less file has no range (keep), and a type
+    * mismatch between a literal and a stored bound falls back to keep
+    * (the later parquet scan still row-group-prunes). Both range
+    * sources share the null-first encoding: lb None = nulls present
+    * (least non-null unknown), ub None = all-null (no comparison can
+    * match — prune). */
   private[operators] def pruneByPredicate(
       m: Sidecar.Meta,
-      pred: org.apache.spark.sql.catalyst.expressions.Expression):
+      pred: org.apache.spark.sql.catalyst.expressions.Expression,
+      stats: graft.core.ColumnStats.Stats = Map.empty):
       IndexedSeq[Int] = {
     import org.apache.spark.sql.catalyst.CatalystTypeConverters
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions._
     val all = m.files.indices
-    val first = m.indexColumns.headOption.map(_.toLowerCase)
-      .getOrElse(return all)
+    // Per prunable column (lowercased): file -> its known (lb, ub),
+    // or None when the file carries no range for it. The index column
+    // wins a name collision with a stats column.
+    val rangeOf: Map[String, Int => Option[(Option[Any], Option[Any])]] = {
+      val st = stats.map { case (c, per) =>
+        c.toLowerCase -> ((p: Int) => per(p))
+      }
+      val idx = m.indexColumns.headOption.map { c =>
+        c.toLowerCase -> ((p: Int) => Some((
+          m.lowerBounds(p).headOption.flatten,
+          m.upperBounds(p).headOption.flatten)): Option[(Option[Any],
+            Option[Any])])
+      }
+      st ++ idx
+    }
+    if (rangeOf.isEmpty) return all
     def attrName(e: Expression): Option[String] = e match {
       case a: UnresolvedAttribute if a.nameParts.length == 1 =>
         Some(a.nameParts.head.toLowerCase)
@@ -119,17 +139,21 @@ object DeletionVectors {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
     }
-    // (value, inclusive) constraints the first index column must meet
-    val lowers = scala.collection.mutable.ArrayBuffer.empty[(Any, Boolean)]
-    val uppers = scala.collection.mutable.ArrayBuffer.empty[(Any, Boolean)]
+    // per column: (value, inclusive) constraints its values must meet
+    val lowers = scala.collection.mutable.Map
+      .empty[String, List[(Any, Boolean)]].withDefaultValue(Nil)
+    val uppers = scala.collection.mutable.Map
+      .empty[String, List[(Any, Boolean)]].withDefaultValue(Nil)
     def harvest(a: Expression, v: Expression,
         lo: Option[Boolean], hi: Option[Boolean]): Unit =
-      if (attrName(a).contains(first)) litVal(v).foreach { value =>
-        lo.foreach(inc => lowers += ((value, inc)))
-        hi.foreach(inc => uppers += ((value, inc)))
+      attrName(a).filter(rangeOf.contains).foreach { c =>
+        litVal(v).foreach { value =>
+          lo.foreach(inc => lowers(c) = (value, inc) :: lowers(c))
+          hi.foreach(inc => uppers(c) = (value, inc) :: uppers(c))
+        }
       }
     // Each comparison harvests both directions: harvest() is a no-op
-    // unless its first argument is the clustered column and its second
+    // unless its first argument is a prunable column and its second
     // a literal, so `attr > lit` yields a lower bound and `lit > attr`
     // an upper bound from the same case.
     conjuncts(pred).foreach {
@@ -146,23 +170,27 @@ object DeletionVectors {
         harvest(r, l, Some(true), Some(true))
       case _ => ()
     }
-    if (lowers.isEmpty && uppers.isEmpty) return all
+    val constrained = (lowers.keySet ++ uppers.keySet).toSeq.sorted
+    if (constrained.isEmpty) return all
     all.filter { p =>
-      val flo = m.lowerBounds(p).headOption.flatten
-      val fhi = m.upperBounds(p).headOption.flatten
-      // fhi None with a comparison constraint present: every value is
-      // NULL, no comparison can match — prune.
-      val aboveLowers = lowers.forall { case (v, inc) =>
-        fhi.exists(x => scala.util.Try(graft.core.Lex.valueCmp(x, v))
-          .map(c => if (inc) c >= 0 else c > 0).getOrElse(true))
+      constrained.forall { c =>
+        rangeOf(c)(p) match {
+          case None => true // no range recorded for this file: keep
+          case Some((flo, fhi)) =>
+            val aboveLowers = lowers(c).forall { case (v, inc) =>
+              fhi.exists(x => scala.util.Try(graft.core.Lex.valueCmp(x, v))
+                .map(cc => if (inc) cc >= 0 else cc > 0).getOrElse(true))
+            }
+            val belowUppers = uppers(c).forall { case (v, inc) =>
+              // flo None (nulls present) never proves the file above v
+              flo.forall(x => scala.util.Try(graft.core.Lex.valueCmp(x, v))
+                .map(cc => if (inc) cc <= 0 else cc < 0).getOrElse(true))
+            }
+            // fhi None with a comparison present: all values NULL, no
+            // comparison can match — prune.
+            fhi.nonEmpty && aboveLowers && belowUppers
+        }
       }
-      val belowUppers = uppers.forall { case (v, inc) =>
-        // flo None (nulls present) never proves the whole file above v
-        flo.forall(x => scala.util.Try(graft.core.Lex.valueCmp(x, v))
-          .map(c => if (inc) c <= 0 else c < 0).getOrElse(true))
-      }
-      val allNullPrunable = fhi.isEmpty && (lowers.nonEmpty || uppers.nonEmpty)
-      !allNullPrunable && aboveLowers && belowUppers
     }
   }
 
@@ -222,8 +250,10 @@ object DeletionVectors {
       predicate: org.apache.spark.sql.Column): Report = {
     val m = Sidecar.load(spark, dir)
     val (_, dirPath) = GraftFs.resolve(spark, dir)
+    val stats = graft.core.ColumnStats.forFiles(spark,
+      m.files.map(f => new HPath(dirPath, f).toString), m.schema)
     val kept = pruneByPredicate(m,
-      org.apache.spark.sql.GraftBridge.toExpression(predicate))
+      org.apache.spark.sql.GraftBridge.toExpression(predicate), stats)
     if (kept.isEmpty) return Report(0L, 0)
     val paths = kept.map(p => new HPath(dirPath, m.files(p)).toString)
     val hits = spark.read.schema(m.schema)

@@ -124,6 +124,32 @@ class ColumnStatsSpec extends AnyFunSuite {
     assert(cmp.count() == 50L)
   }
 
+  test("deleteWhere prunes by column stats on a non-index column") {
+    val dir = tempDir("colstats-dv") + "/t"
+    writeSrc(dir, 1000) // 10 files; v = 10k correlates with the index
+    ColumnStats.build(spark, dir, Seq("v"))
+    var read = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        read += e.taskMetrics.inputMetrics.recordsRead
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val rep = try {
+      val r = graft.operators.DeletionVectors.deleteWhere(spark, dir,
+        col("v") >= 2100L && col("v") < 2400L && col("noise") =!= 5.0)
+      org.apache.spark.GraftTestBridge.drainListeners(spark.sparkContext)
+      r
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // v in [2100, 2400) is k in [210, 240): 30 rows minus those with
+    // k % 7 == 5 (215, 222, 229, 236)
+    assert(rep.marked == 26 && rep.affectedFiles == 1, s"$rep")
+    assert(read < 300,
+      s"expected a stats-pruned deleteWhere scan, read $read records")
+    assert(graft.operators.DeletionVectors.scan(spark, dir).count()
+      == 1000 - 26)
+  }
+
   test("unsupported types and unknown columns are rejected up front") {
     val dir = tempDir("colstats-reject") + "/t"
     val df = spark.range(0L, 50L).select(
