@@ -360,6 +360,9 @@ object DeletionVectors {
       if (!retain)
         affected.foreach(p => fs.delete(new HPath(dirPath, m.files(p)), false))
       GraftFs.deleteRecursive(fs, dvDir(dirPath))
+      // the rewritten files got fresh names: extend the Bloom /
+      // column-stats sidecars to them like every maintenance op
+      Maintenance.refreshBloom(spark, dir)
       Maintenance.Report(rewritten = written.length,
         dropped = affected.length - written.length, merged = 0,
         created = written.length,

@@ -346,7 +346,7 @@ object Maintenance {
     * .update]] build missing entries and leave the rest alone).
     * Without this, rewritten partitions would silently stop pruning
     * (sound, but the index decays with every upsert). */
-  private def refreshBloom(spark: SparkSession, dir: String): Unit = {
+  private[operators] def refreshBloom(spark: SparkSession, dir: String): Unit = {
     if (graft.core.BloomIndex.exists(spark, dir))
       graft.core.BloomIndex.update(spark, dir)
     if (graft.core.ColumnStats.exists(spark, dir))

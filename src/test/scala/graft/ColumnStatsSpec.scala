@@ -150,6 +150,21 @@ class ColumnStatsSpec extends AnyFunSuite {
       == 1000 - 26)
   }
 
+  test("materialize re-stats the files it rewrites") {
+    val dir = tempDir("colstats-mat") + "/t"
+    writeSrc(dir, 600)
+    ColumnStats.build(spark, dir, Seq("v"))
+    graft.operators.DeletionVectors.deleteWhere(spark, dir,
+      col("v") >= 2100L && col("v") < 2400L)
+    graft.operators.DeletionVectors.materialize(spark, dir)
+    // the rewritten file carries fresh stats: a range inside it still
+    // plans one file, and the deleted band is gone
+    val q = spark.read.format("graft").load(dir)
+      .filter(col("v") >= 2000L && col("v") < 2500L)
+    assert(scannedFiles(q) <= 2)
+    assert(q.count() == 50L - 30L) // [2000,2500) minus deleted [2100,2400)
+  }
+
   test("unsupported types and unknown columns are rejected up front") {
     val dir = tempDir("colstats-reject") + "/t"
     val df = spark.range(0L, 50L).select(
