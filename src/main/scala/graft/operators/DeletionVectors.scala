@@ -168,6 +168,25 @@ object DeletionVectors {
       case EqualTo(l, r) =>
         harvest(l, r, Some(true), Some(true))
         harvest(r, l, Some(true), Some(true))
+      // IN-list: its convex hull [min, max] is a sound interval (any
+      // matching row equals some non-null element, so it lies within
+      // the hull); null elements never match and drop out. The
+      // classic clustered-erasure shape `WHERE k IN (...)` then scans
+      // only the covering files.
+      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        attrName(a).filter(rangeOf.contains).foreach { c =>
+          val nonNull = vs.collect { case l: Literal if l.value != null => l }
+          val vals = nonNull.flatMap(litVal)
+          // every non-null element must convert, or the hull is not a
+          // proven cover; null elements never match and drop out
+          if (vals.nonEmpty && vals.length == nonNull.length)
+            scala.util.Try(
+              vals.sortWith(graft.core.Lex.valueCmp(_, _) < 0)).foreach {
+              sv =>
+                lowers(c) = (sv.head, true) :: lowers(c)
+                uppers(c) = (sv.last, true) :: uppers(c)
+            }
+        }
       case _ => ()
     }
     val constrained = (lowers.keySet ++ uppers.keySet).toSeq.sorted

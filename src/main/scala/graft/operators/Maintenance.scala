@@ -387,7 +387,12 @@ object Maintenance {
     * only unreferenced files OLDER than the current metadata commit
     * are deleted: a fresh part file is what an in-flight op stages
     * before its swap, so age, not reference, is what proves a file
-    * orphaned. */
+    * orphaned. The residual three-actor window — an append's files
+    * land, ANOTHER op commits (advancing the metadata mtime past
+    * them), and a vacuum runs before the append installs — is the
+    * filesystem-OCC limit shared with every lakehouse vacuum; like
+    * Delta's retention check, don't schedule vacuum concurrently with
+    * writers you can't see. */
   def vacuum(
       spark: SparkSession,
       dir: String,

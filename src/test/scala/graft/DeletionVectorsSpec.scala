@@ -117,6 +117,29 @@ class DeletionVectorsSpec extends AnyFunSuite {
       == DeletionVectors.Report(0L, 0))
   }
 
+  test("deleteWhere prunes an IN-list via its convex hull") {
+    val dir = tempDir("dv-in-pruned") + "/t"
+    writeSrc(dir, 1000) // 10 files of 100 rows, clustered on k
+    var read = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        read += e.taskMetrics.inputMetrics.recordsRead
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val rep = try {
+      // the classic clustered-erasure shape: ids inside one band
+      val r = DeletionVectors.deleteWhere(spark, dir,
+        col("k").isin(421L, 437L, 455L, 480L))
+      org.apache.spark.GraftTestBridge.drainListeners(spark.sparkContext)
+      r
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(rep.marked == 4 && rep.affectedFiles == 1, s"$rep")
+    // hull [421, 480] covers only the [400, 500) file
+    assert(read < 300, s"expected a hull-pruned scan, read $read records")
+    assert(DeletionVectors.scan(spark, dir).count() == 996)
+  }
+
   test("deleteWhere marks by predicate; scan and materialize agree") {
     val dir = tempDir("dv-where") + "/t"
     writeSrc(dir, 500)
