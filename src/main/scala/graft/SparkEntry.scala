@@ -44,6 +44,19 @@ object SparkEntry {
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).resolve("out").toString
 
+  /** Orders with a derived clustered column `o_v = o_orderkey * 3`,
+    * column stats on (o_v, o_totalprice) — shared by q_colstats and
+    * q_metadata_minmax. */
+  private def colstatsFixture(s: SparkSession, d: String): String =
+    fixture("colstats", d) { out =>
+      val ord = s.read.parquet(T(d, "orders"))
+        .withColumn("o_v", col("o_orderkey") * 3)
+      val ds = PDataset.fromDataFrame(ord, Seq("o_orderkey"))
+      ds.repartition(math.max(1000L, ds.sizes.get.sum / 24))
+        .writeParquet(out)
+      graft.core.ColumnStats.build(s, out, Seq("o_v", "o_totalprice"))
+    }
+
   /** Build-once fixture directory, keyed by (name, sf dir): the bench
     * times each query several times in one process, and rebuilding a
     * persisted input on every run measured fixture construction, not
@@ -575,19 +588,24 @@ object SparkEntry {
     // counts); the oracle recomputes the same filter in plain SQL, so
     // any wrong pruning (dropped rows) breaks the hash.
     "q_colstats" -> ((s, d) => {
-      val dir = fixture("colstats", d) { out =>
-        val ord = s.read.parquet(T(d, "orders"))
-          .withColumn("o_v", col("o_orderkey") * 3)
-        val ds = PDataset.fromDataFrame(ord, Seq("o_orderkey"))
-        ds.repartition(math.max(1000L, ds.sizes.get.sum / 24))
-          .writeParquet(out)
-        graft.core.ColumnStats.build(s, out, Seq("o_v", "o_totalprice"))
-      }
-      s.read.format("graft").load(dir)
+      s.read.format("graft").load(colstatsFixture(s, d))
         .filter(col("o_v") >= 6000L && col("o_v") < 9000L)
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
     }),
+
+    // Metadata-only min/max/count(col): with complete column-stats
+    // coverage an ungrouped aggregate folds driver-side from the
+    // sidecars — zero files read at any table size
+    // (MetadataCountSpec pins the LocalTableScan plan and the
+    // decline-on-incomplete-coverage case; the oracle pins values).
+    // count(o_totalprice) counts a DOUBLE column from recorded null
+    // counts; min/max stay on the exact integer column.
+    "q_metadata_minmax" -> ((s, d) =>
+      s.read.format("graft").load(colstatsFixture(s, d)).agg(
+        min(col("o_v")).as("v_min"), max(col("o_v")).as("v_max"),
+        count(col("o_totalprice")).as("price_n"),
+        count(lit(1)).as("n"))),
 
     // CHECK constraints: the write-path guard run as a dry-run —
     // per-constraint violation counts of a candidate delta, all
@@ -2150,6 +2168,12 @@ object SparkEntry {
            FROM orders
            WHERE o_orderkey * 3 >= 6000 AND o_orderkey * 3 < 9000
            ORDER BY o_orderkey""",
+      "q_metadata_minmax" ->
+        """SELECT min(o_orderkey * 3) AS v_min,
+                  max(o_orderkey * 3) AS v_max,
+                  count(o_totalprice) AS price_n,
+                  count(*) AS n
+           FROM orders""",
       "q_constraint" ->
         """WITH delta AS (
              SELECT * FROM lineitem WHERE l_orderkey % 11 = 0)

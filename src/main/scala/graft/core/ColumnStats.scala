@@ -37,6 +37,13 @@ object ColumnStats {
     * an optional (lb, ub) independent range; None = no entry (keep). */
   type Stats = Map[String, IndexedSeq[Option[(Option[Any], Option[Any])]]]
 
+  /** Per column name: per file an optional (min, max, nulls) raw
+    * entry — min/max over the file's NON-null values (None when every
+    * row is null), plus the exact null count. Unlike [[Stats]] this
+    * keeps the non-null minimum of a null-carrying file, so
+    * metadata-only min/max/count(col) aggregates can answer exactly. */
+  type Raw = Map[String, IndexedSeq[Option[(Option[Any], Option[Any], Long)]]]
+
   private def statsPath(spark: SparkSession, dir: String): HPath = {
     val (_, dirPath) = GraftFs.resolve(spark, dir)
     new HPath(dirPath, FileName)
@@ -101,7 +108,26 @@ object ColumnStats {
     * the Bloom sidecar. */
   def forFiles(
       spark: SparkSession, files: Seq[String],
-      schema: StructType): Stats = {
+      schema: StructType): Stats =
+    pruning(rawForFiles(spark, files, schema))
+
+  /** Raw stats folded to the pruning encoding: a null-carrying file's
+    * least value is the null extreme (lb None); an all-null column
+    * has ub None. */
+  def pruning(raw: Raw): Stats =
+    raw.map { case (c, per) =>
+      c -> per.map(_.map { case (mn, mx, nulls) =>
+        (if (nulls > 0L) None else mn, mx)
+      })
+    }
+
+  /** The raw (min, max, nulls) stats for `files` (full paths, one
+    * shared parent dir), aligned per file. Empty when no stats
+    * sidecar exists. Cached on (dir, mtime, len) like the Bloom
+    * sidecar. */
+  def rawForFiles(
+      spark: SparkSession, files: Seq[String],
+      schema: StructType): Raw = {
     if (files.isEmpty) return Map.empty
     val parents = files.map(f =>
       Option(new HPath(f).getParent).map(_.toString).getOrElse("")).distinct
@@ -123,23 +149,20 @@ object ColumnStats {
         for {
           e <- byName.get(n)
           t <- dt
-        } yield rangeOf(e, ci, t)
+        } yield rawOf(e, ci, t)
       }
     }.toMap
   }
 
-  /** (lb, ub) of column `ci` in one decoded file entry, in the
-    * independent ColRange encoding (see class doc for nulls). */
-  private def rangeOf(
+  /** (min, max, nulls) of column `ci` in one decoded file entry. */
+  private def rawOf(
       e: Map[String, Any], ci: Int, dt: DataType):
-      (Option[Any], Option[Any]) = {
+      (Option[Any], Option[Any], Long) = {
     val s = e("stats").asInstanceOf[Seq[Any]](ci)
       .asInstanceOf[Map[String, Any]]
-    val lb =
-      if (s("nulls").asInstanceOf[Long] > 0L) None
-      else Option(s("min")).map(Sidecar.coerce(_, dt))
-    val ub = Option(s("max")).map(Sidecar.coerce(_, dt))
-    (lb, ub)
+    (Option(s("min")).map(Sidecar.coerce(_, dt)),
+      Option(s("max")).map(Sidecar.coerce(_, dt)),
+      s("nulls").asInstanceOf[Long])
   }
 
   /** One narrow stats pass over just `files`: per file, per column

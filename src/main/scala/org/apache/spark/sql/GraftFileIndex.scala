@@ -55,7 +55,13 @@ final class GraftFileIndex(
     // (file appended/rewritten after the stats build; unprunable).
     // Same null encoding as independentStats mode.
     extraStats: Map[String,
-      IndexedSeq[Option[(Option[Any], Option[Any])]]] = Map.empty)
+      IndexedSeq[Option[(Option[Any], Option[Any])]]] = Map.empty,
+    // Raw (min, max, nulls) per stats column per file — keeps the
+    // non-null minimum of null-carrying files, which the pruning
+    // encoding above folds away. `graft.plans.MetadataCount` answers
+    // ungrouped min/max/count(col) from this with zero files read
+    // when every file carries an entry.
+    val rawColStats: graft.core.ColumnStats.Raw = Map.empty)
     extends FileIndex {
 
   private val extraCols: IndexedSeq[String] =
@@ -428,11 +434,13 @@ object GraftRelations {
     val files = m.files.map(f => new Path(p, f).toString).toIndexedSeq
     val withSizes = graft.core.GraftFs.fileSizes(
       spark.sparkContext.hadoopConfiguration, files)
+    val raw = graft.core.ColumnStats.rawForFiles(spark, files, m.schema)
     val index = new GraftFileIndex(
       withSizes, m.indexColumns, m.lowerBounds, m.upperBounds,
       blooms = graft.core.BloomIndex.forFiles(spark, files),
       rowCounts = Some(m.sizes),
-      extraStats = graft.core.ColumnStats.forFiles(spark, files, m.schema))
+      extraStats = graft.core.ColumnStats.pruning(raw),
+      rawColStats = raw)
     HadoopFsRelation(
       index,
       partitionSchema = StructType(Nil),

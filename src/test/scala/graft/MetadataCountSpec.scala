@@ -62,15 +62,46 @@ class MetadataCountSpec extends AnyFunSuite {
     assert(planOf(cur).contains("LocalTableScan"), planOf(cur))
   }
 
-  test("filtered, grouped, and count(col) shapes take the normal path") {
+  test("filtered, grouped, and stats-less count(col) take the normal path") {
     val rel = spark.read.format("graft").load(dir)
     val filtered = rel.filter(col("k") < 100).agg(count(lit(1)))
     assert(!planOf(filtered).contains("LocalTableScan"))
     assert(filtered.collect().head.getLong(0) == 97L) // 3 keys deleted
     val grouped = rel.groupBy("grp").agg(count(lit(1)))
     assert(!planOf(grouped).contains("LocalTableScan"))
+    // grp carries no column stats here, so count(col) must scan
     val countCol = rel.agg(count(col("grp")))
     assert(!planOf(countCol).contains("LocalTableScan"))
     assert(countCol.collect().head.getLong(0) == 597L)
+  }
+
+  test("min/max/count(col) answer from column stats with zero reads") {
+    val d = tempDir("metaminmax") + "/ds"
+    val df = spark.range(0L, 500L).select(
+      col("id").as("k"),
+      when(col("id") % 5 === 0, lit(null).cast("long"))
+        .otherwise(col("id") * 3).as("v"),
+      concat(lit("s"), lpad(col("id").cast("string"), 4, "0")).as("s"))
+    PDataset.fromDataFrame(df, Seq("k")).repartition(100).writeParquet(d)
+    graft.core.ColumnStats.build(spark, d, Seq("v", "s"))
+    val q = spark.read.format("graft").load(d).agg(
+      min(col("v")).as("v_min"), max(col("v")).as("v_max"),
+      count(col("v")).as("v_n"), max(col("s")).as("s_max"),
+      count(lit(1)).as("n"))
+    val r = q.collect().head
+    // min/max ignore the nulls (multiples of 3 except 0: min is 3)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1497L)
+    assert(r.getLong(2) == 400L && r.getString(3) == "s0499")
+    assert(r.getLong(4) == 500L)
+    assert(planOf(q).contains("LocalTableScan"), planOf(q))
+    // an engine-native append records no stats entry for its new
+    // file: coverage is incomplete and the rule declines rather than
+    // answer from stale metadata
+    val more = spark.range(500L, 510L).select(
+      col("id").as("k"), (col("id") * 3).as("v"), lit("zzz").as("s"))
+    PDataset.fromDataFrame(more, Seq("k")).writeParquet(d, append = true)
+    val q2 = spark.read.format("graft").load(d).agg(max(col("v")))
+    assert(!planOf(q2).contains("LocalTableScan"))
+    assert(q2.collect().head.getLong(0) == 1527L)
   }
 }
