@@ -198,9 +198,14 @@ final class PDataset private[core] (
         val base: DataFrame =
           if (fmt == "parquet" && knownBounds && knownSchema &&
               indexColumns.nonEmpty)
+            // Exact per-file row counts ride along when known (a
+            // slice that may have cut rows clears them): ungrouped
+            // count(*)/min/max over the bare toDF then fold from
+            // metadata; residual filters sit ABOVE the relation, so
+            // the metadata rule declines those plans by shape.
             org.apache.spark.sql.GraftRelations.sidecarParquetDF(
               spark, fps.map(_.file), schemaOpt.get, indexColumns,
-              lbsOpt.get, ubsOpt.get)
+              lbsOpt.get, ubsOpt.get, rowCounts = sizesOpt)
           else {
             var reader = spark.read.format(fmt)
             schemaOpt.foreach(s => reader = reader.schema(s))

@@ -372,7 +372,8 @@ object GraftRelations {
       schema: StructType,
       indexCols: Seq[String],
       lbs: IndexedSeq[Bound],
-      ubs: IndexedSeq[Bound]): DataFrame = {
+      ubs: IndexedSeq[Bound],
+      rowCounts: Option[IndexedSeq[Long]] = None): DataFrame = {
     val ss = spark.asInstanceOf[classic.SparkSession]
     // Byte lengths via Hadoop FileSystem, one listing per parent dir —
     // works for local, HDFS and object-store datasets alike.
@@ -381,10 +382,13 @@ object GraftRelations {
     // A `_graft_bloom` sidecar next to the files (cached, one stat
     // call) adds point-lookup pruning on its columns; a
     // `_graft_colstats.json` sidecar adds independent range pruning
-    // on its (non-index) columns.
+    // on its (non-index) columns plus metadata-only min/max/count.
+    val raw = graft.core.ColumnStats.rawForFiles(spark, files, schema)
     val index = new GraftFileIndex(withSizes, indexCols, lbs, ubs,
       blooms = graft.core.BloomIndex.forFiles(spark, files),
-      extraStats = graft.core.ColumnStats.forFiles(spark, files, schema))
+      rowCounts = rowCounts,
+      extraStats = graft.core.ColumnStats.pruning(raw),
+      rawColStats = raw)
     relationDF(ss, index, schema)
   }
 
