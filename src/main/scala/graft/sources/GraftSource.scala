@@ -312,6 +312,16 @@ final class GraftSource extends RelationProvider
         Some((m, fp))
       } else None
 
+    // option("dropConstraint", "name1,name2") — the DROP CONSTRAINT
+    // analogue; idempotent like Constraints.drop. Applied BEFORE the
+    // write-path enforcement (dropping the guard and writing data it
+    // would have tripped is one write) and before this write's
+    // declarations (drop + re-declare with a new expression works in
+    // one write).
+    parameters.get("dropConstraint").foreach { names =>
+      names.split(",").map(_.trim).filter(_.nonEmpty)
+        .foreach(graft.operators.Constraints.drop(spark, path, _))
+    }
     // CHECK constraints recorded on the target guard the rows being
     // written — one aggregate pass over the incoming delta. An
     // Overwrite replaces the data but KEEPS the table's constraints

@@ -436,6 +436,15 @@ class GraftSourceSpec extends AnyFunSuite {
     }
     assert(spark.read.format("graft").option("constraints", "true")
       .load(out).collect().map(_.getString(0)).toSeq == Seq("price_pos"))
+    // DROP CONSTRAINT analogue: dropping the guard and writing data
+    // it would have tripped is one write
+    Seq((300L, -7.0)).toDF("k", "price").write.format("graft")
+      .mode("append").option("index", "k")
+      .option("dropConstraint", "price_pos").save(out)
+    assert(spark.read.format("graft").load(out)
+      .filter(col("price") < 0).count() == 1L)
+    assert(spark.read.format("graft").option("constraints", "true")
+      .load(out).count() == 0L)
   }
 
   test("timestamp options accept dates and reject junk with guidance") {
