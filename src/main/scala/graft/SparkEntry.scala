@@ -604,6 +604,7 @@ object SparkEntry {
     "q_metadata_minmax" -> ((s, d) =>
       s.read.format("graft").load(colstatsFixture(s, d)).agg(
         min(col("o_v")).as("v_min"), max(col("o_v")).as("v_max"),
+        sum(col("o_v")).as("v_sum"),
         count(col("o_totalprice")).as("price_n"),
         count(lit(1)).as("n"))),
 
@@ -2171,6 +2172,7 @@ object SparkEntry {
       "q_metadata_minmax" ->
         """SELECT min(o_orderkey * 3) AS v_min,
                   max(o_orderkey * 3) AS v_max,
+                  CAST(sum(o_orderkey * 3) AS BIGINT) AS v_sum,
                   count(o_totalprice) AS price_n,
                   count(*) AS n
            FROM orders""",

@@ -37,12 +37,20 @@ object ColumnStats {
     * an optional (lb, ub) independent range; None = no entry (keep). */
   type Stats = Map[String, IndexedSeq[Option[(Option[Any], Option[Any])]]]
 
-  /** Per column name: per file an optional (min, max, nulls) raw
-    * entry — min/max over the file's NON-null values (None when every
-    * row is null), plus the exact null count. Unlike [[Stats]] this
-    * keeps the non-null minimum of a null-carrying file, so
-    * metadata-only min/max/count(col) aggregates can answer exactly. */
-  type Raw = Map[String, IndexedSeq[Option[(Option[Any], Option[Any], Long)]]]
+  /** One file's raw stats for one column: min/max over the NON-null
+    * values (None when every row is null), the exact null count, and
+    * — for integral columns — the exact sum (outer None = not
+    * recorded, e.g. a non-integral column or a pre-sum stats file;
+    * inner None = all rows null, the SQL sum of nothing). Unlike
+    * [[Stats]] this keeps the non-null minimum of a null-carrying
+    * file, so metadata-only min/max/count(col)/sum(col) aggregates
+    * can answer exactly. */
+  final case class FileColStats(
+      min: Option[Any], max: Option[Any], nulls: Long,
+      sum: Option[Option[Long]])
+
+  /** Per column name: one optional raw entry per file. */
+  type Raw = Map[String, IndexedSeq[Option[FileColStats]]]
 
   private def statsPath(spark: SparkSession, dir: String): HPath = {
     val (_, dirPath) = GraftFs.resolve(spark, dir)
@@ -116,9 +124,8 @@ object ColumnStats {
     * has ub None. */
   def pruning(raw: Raw): Stats =
     raw.map { case (c, per) =>
-      c -> per.map(_.map { case (mn, mx, nulls) =>
-        (if (nulls > 0L) None else mn, mx)
-      })
+      c -> per.map(_.map(s =>
+        (if (s.nulls > 0L) None else s.min, s.max)))
     }
 
   /** The raw (min, max, nulls) stats for `files` (full paths, one
@@ -154,27 +161,43 @@ object ColumnStats {
     }.toMap
   }
 
-  /** (min, max, nulls) of column `ci` in one decoded file entry. */
+  /** The raw stats of column `ci` in one decoded file entry. */
   private def rawOf(
-      e: Map[String, Any], ci: Int, dt: DataType):
-      (Option[Any], Option[Any], Long) = {
+      e: Map[String, Any], ci: Int, dt: DataType): FileColStats = {
     val s = e("stats").asInstanceOf[Seq[Any]](ci)
       .asInstanceOf[Map[String, Any]]
-    (Option(s("min")).map(Sidecar.coerce(_, dt)),
+    FileColStats(
+      Option(s("min")).map(Sidecar.coerce(_, dt)),
       Option(s("max")).map(Sidecar.coerce(_, dt)),
-      s("nulls").asInstanceOf[Long])
+      s("nulls").asInstanceOf[Long],
+      // "sum" present (possibly null = all-null file) only for
+      // integral columns written by sum-aware builds
+      s.get("sum").map(v => Option(v).map(_.asInstanceOf[Long])))
+  }
+
+  private def integral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
   }
 
   /** One narrow stats pass over just `files`: per file, per column
-    * (min, max, nulls) — same shape [[graft.operators.Layout]] records
-    * for z-order layouts. */
+    * (min, max, nulls[, sum]) — same shape [[graft.operators.Layout]]
+    * records for z-order layouts, plus the exact per-file sum for
+    * integral columns (long addition is associative even when it
+    * wraps, so a driver-side fold of per-file sums is bit-identical
+    * to the engine's own sum — recorded so metadata-only `sum(col)`
+    * can answer without reading a file). */
   private def fileEntries(
       spark: SparkSession, files: Seq[String], cols: Seq[String],
       schema: StructType): Seq[Map[String, Any]] = {
     if (files.isEmpty) return Seq.empty
-    val aggs = cols.flatMap { c =>
+    val summed = cols.map(c =>
+      schema.fields.find(_.name == c).exists(f => integral(f.dataType)))
+    val aggs = cols.zip(summed).flatMap { case (c, withSum) =>
       Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        (if (withSum) sum(col(c).cast("long")) else lit(null))
+          .as(s"__sum_$c"))
     }
     spark.read.schema(schema).parquet(files: _*)
       .groupBy(input_file_name().as("__file"))
@@ -183,9 +206,10 @@ object ColumnStats {
       .sortBy(_.getString(0))
       .map { r =>
         val per = cols.indices.map { i =>
-          Map(
-            "min" -> r.get(1 + i * 3), "max" -> r.get(2 + i * 3),
-            "nulls" -> r.getLong(3 + i * 3))
+          val base = Map(
+            "min" -> r.get(1 + i * 4), "max" -> r.get(2 + i * 4),
+            "nulls" -> r.getLong(3 + i * 4))
+          if (summed(i)) base + ("sum" -> r.get(4 + i * 4)) else base
         }
         Map("name" -> new HPath(r.getString(0)).getName, "stats" -> per)
       }.toSeq

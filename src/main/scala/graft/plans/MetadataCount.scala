@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
   Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Complete, Count, Max, Min}
+  AggregateExpression, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation,
   LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -20,7 +20,11 @@ import graft.core.Lex
   * sidecar records per-file (min, max, nulls) for chosen columns, so
   * an unfiltered, ungrouped aggregate mixing `count(*)`, and —
   * when every listed file carries a stats entry for the column —
-  * `count(col)` / `min(col)` / `max(col)`, is a driver-side fold:
+  * `count(col)` / `min(col)` / `max(col)` / integral `sum(col)`
+  * (per-file sums recorded by sum-aware builds, under the BUILD
+  * session's eval mode; LEGACY reads fold with the same wrapping
+  * arithmetic, ANSI reads fold overflow-checked and decline to the
+  * engine on overflow), is a driver-side fold:
   * zero files read, zero tasks, at any table size. The relation's
   * [[GraftFileIndex]] carries both, so archived generations (time
   * travel) answer from THEIR sidecar just the same.
@@ -42,6 +46,8 @@ object MetadataCount extends Rule[LogicalPlan] {
   private final case class CountCol(a: AttributeReference) extends MetaAgg
   private final case class MinCol(a: AttributeReference) extends MetaAgg
   private final case class MaxCol(a: AttributeReference) extends MetaAgg
+  private final case class SumCol(
+      a: AttributeReference, ansi: Boolean) extends MetaAgg
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(Nil, aggExprs, child, _) if aggExprs.nonEmpty =>
@@ -70,6 +76,16 @@ object MetadataCount extends Rule[LogicalPlan] {
     case Alias(AggregateExpression(
       Max(a: AttributeReference), Complete, false, None, _), _) =>
       Some(MaxCol(a))
+    // LEGACY folds with the same wrapping arithmetic the engine uses;
+    // ANSI (Spark 4's default) folds overflow-CHECKED and declines on
+    // overflow, handing the query back to the engine to raise its own
+    // ARITHMETIC_OVERFLOW. TRY (null-on-overflow) declines outright.
+    case Alias(AggregateExpression(
+      s @ Sum(a: AttributeReference, _), Complete, false, None, _), _)
+        if s.evalContext.evalMode !=
+          org.apache.spark.sql.catalyst.expressions.EvalMode.TRY =>
+      Some(SumCol(a, ansi = s.evalContext.evalMode ==
+        org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI))
     case _ => None
   }
 
@@ -78,14 +94,26 @@ object MetadataCount extends Rule[LogicalPlan] {
   private def answer(g: GraftFileIndex, m: MetaAgg): Option[Any] = m match {
     case CountStar => g.rowCounts.map(_.sum)
     case CountCol(a) => completeStats(g, a).flatMap { per =>
-      g.rowCounts.map(_.sum - per.map(_._3).sum)
+      g.rowCounts.map(_.sum - per.map(_.nulls).sum)
     }
     case MinCol(a) => completeStats(g, a).map { per =>
-      fold(per.flatMap(_._1), a)
+      fold(per.flatMap(_.min), a)
     }
     case MaxCol(a) => completeStats(g, a).map { per =>
-      fold(per.flatMap(_._2), a, max = true)
+      fold(per.flatMap(_.max), a, max = true)
     }
+    case SumCol(a, ansi) => completeStats(g, a)
+      // every file must carry a RECORDED sum (integral column, stats
+      // built by a sum-aware version); all-null files contribute no
+      // term, an all-null table sums to NULL
+      .filter(_.forall(_.sum.isDefined))
+      .flatMap { per =>
+        val terms = per.flatMap(_.sum.get)
+        if (terms.isEmpty) Some(null)
+        else if (!ansi) Some(Long.box(terms.sum))
+        else scala.util.Try(
+          Long.box(terms.reduce(Math.addExact(_, _)))).toOption
+      }
   }
 
   /** The column's raw stats when EVERY file carries an entry (a file
@@ -93,7 +121,7 @@ object MetadataCount extends Rule[LogicalPlan] {
     * totally orders without engine-specific NaN handling. */
   private def completeStats(
       g: GraftFileIndex, a: AttributeReference):
-      Option[IndexedSeq[(Option[Any], Option[Any], Long)]] = {
+      Option[IndexedSeq[graft.core.ColumnStats.FileColStats]] = {
     a.dataType match {
       case org.apache.spark.sql.types.FloatType |
           org.apache.spark.sql.types.DoubleType => return None

@@ -87,12 +87,14 @@ class MetadataCountSpec extends AnyFunSuite {
     val q = spark.read.format("graft").load(d).agg(
       min(col("v")).as("v_min"), max(col("v")).as("v_max"),
       count(col("v")).as("v_n"), max(col("s")).as("s_max"),
-      count(lit(1)).as("n"))
+      sum(col("v")).as("v_sum"), count(lit(1)).as("n"))
     val r = q.collect().head
     // min/max ignore the nulls (multiples of 3 except 0: min is 3)
     assert(r.getLong(0) == 3L && r.getLong(1) == 1497L)
     assert(r.getLong(2) == 400L && r.getString(3) == "s0499")
-    assert(r.getLong(4) == 500L)
+    // sum over non-null v: 3 * (sum of ids not divisible by 5)
+    assert(r.getLong(4) == 3L * (0L until 500L).filter(_ % 5 != 0).sum)
+    assert(r.getLong(5) == 500L)
     assert(planOf(q).contains("LocalTableScan"), planOf(q))
     // an engine-native append records no stats entry for its new
     // file: coverage is incomplete and the rule declines rather than
