@@ -29,6 +29,12 @@ import graft.core.Lex
   * [[GraftFileIndex]] carries both, so archived generations (time
   * travel) answer from THEIR sidecar just the same.
   *
+  * `avg` deliberately declines even over covered integral columns:
+  * the engine accumulates a DOUBLE buffer row by row (order-dependent
+  * rounding), which a fold of exact per-file integer sums cannot
+  * reproduce bit-exactly — and a metadata answer must be
+  * indistinguishable from the scan it replaces.
+  *
   * Semantics match the engines they replace: min/max ignore nulls
   * (the stats store the non-null extrema; an all-null file
   * contributes nothing, an all-null table yields NULL), `count(col)`
