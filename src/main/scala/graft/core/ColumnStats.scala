@@ -109,6 +109,26 @@ object ColumnStats {
     save(spark, dir, cols, (kept ++ fresh).sortBy(_("name").toString))
   }
 
+  /** Remove dropped columns' entries from the stats sidecar (schema
+    * evolution): a stale entry would describe a later re-added
+    * column's OLD data — an IS NULL prune could then wrongly drop
+    * files whose re-added column is all null — and a later [[update]]
+    * would fail statting a ghost column. Deletes the sidecar when no
+    * recorded column survives. */
+  def dropColumnEntries(
+      spark: SparkSession, dir: String, cols: Set[String]): Unit = {
+    if (!exists(spark, dir)) return
+    val (recorded, entries) = load(spark, dir)
+    val keepIdx = recorded.zipWithIndex.filterNot(kv => cols(kv._1))
+    if (keepIdx.length == recorded.length) return
+    val (fs, _) = GraftFs.resolve(spark, dir)
+    if (keepIdx.isEmpty) { fs.delete(statsPath(spark, dir), false); () }
+    else save(spark, dir, keepIdx.map(_._1), entries.map { e =>
+      val per = e("stats").asInstanceOf[Seq[Any]]
+      e + ("stats" -> keepIdx.map(kv => per(kv._2)))
+    })
+  }
+
   /** The stats for `files` (full paths, one shared parent dir),
     * aligned per file — the read-side hook [[org.apache.spark.sql
     * .GraftRelations]] calls when planning a graft relation. Empty

@@ -496,9 +496,11 @@ object Maintenance {
     guardUnchanged(spark, dirPath, loadedFp)
     Sidecar.write(spark, dir, m.indexColumns, m.files, m.sizes,
       m.lowerBounds, m.upperBounds, m.maxPartitionIndex, narrowed)
-    // a bloom index on a dropped column must go with it, or every
-    // later maintenance refresh would fail on the ghost column
+    // a bloom index or column stats on a dropped column must go with
+    // it: later maintenance refreshes would fail on the ghost column,
+    // and stale stats would mis-describe a re-added namesake
     graft.core.BloomIndex.dropColumnEntries(spark, dir, dropped)
+    graft.core.ColumnStats.dropColumnEntries(spark, dir, dropped)
   }
 
   // ---- compact ----

@@ -165,6 +165,24 @@ class ColumnStatsSpec extends AnyFunSuite {
     assert(q.count() == 50L - 30L) // [2000,2500) minus deleted [2100,2400)
   }
 
+  test("dropColumns removes stats entries so later refreshes survive") {
+    val dir = tempDir("colstats-drop") + "/t"
+    writeSrc(dir, 300)
+    ColumnStats.build(spark, dir, Seq("v", "noise"))
+    Maintenance.dropColumns(spark, dir, "v")
+    // every later maintenance op re-stats its new files through
+    // ColumnStats.update — a ghost 'v' entry would make that stats
+    // pass throw on the missing column
+    Maintenance.upsert(spark, dir, spark.range(100L, 130L).select(
+      col("id").as("k"), lit(9.0).as("noise"),
+      lit("u").as("payload")))
+    assert(spark.read.format("graft").load(dir)
+      .filter(col("noise") === 9.0).count() == 30L)
+    // dropping the last recorded column removes the sidecar entirely
+    Maintenance.dropColumns(spark, dir, "noise")
+    assert(!ColumnStats.exists(spark, dir))
+  }
+
   test("unsupported types and unknown columns are rejected up front") {
     val dir = tempDir("colstats-reject") + "/t"
     val df = spark.range(0L, 50L).select(
