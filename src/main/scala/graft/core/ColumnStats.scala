@@ -40,14 +40,18 @@ object ColumnStats {
   /** One file's raw stats for one column: min/max over the NON-null
     * values (None when every row is null), the exact null count, and
     * — for integral columns — the exact sum (outer None = not
-    * recorded, e.g. a non-integral column or a pre-sum stats file;
-    * inner None = all rows null, the SQL sum of nothing). Unlike
-    * [[Stats]] this keeps the non-null minimum of a null-carrying
-    * file, so metadata-only min/max/count(col)/sum(col) aggregates
-    * can answer exactly. */
+    * recorded, e.g. a non-integral column, a pre-sum stats file, or a
+    * file whose per-file sum overflowed Long; inner None = all rows
+    * null, the SQL sum of nothing). `sumExact` is true only for sums
+    * recorded by a try_sum-based build (never wrapped, any eval
+    * mode); sums from older builds may have wrapped under a LEGACY
+    * session, so an ANSI read must not fold them. Unlike [[Stats]]
+    * this keeps the non-null minimum of a null-carrying file, so
+    * metadata-only min/max/count(col)/sum(col) aggregates can answer
+    * exactly. */
   final case class FileColStats(
       min: Option[Any], max: Option[Any], nulls: Long,
-      sum: Option[Option[Long]])
+      sum: Option[Option[Long]], sumExact: Boolean = false)
 
   /** Per column name: one optional raw entry per file. */
   type Raw = Map[String, IndexedSeq[Option[FileColStats]]]
@@ -97,7 +101,14 @@ object ColumnStats {
     * listed. No-op without a stats sidecar. */
   def update(spark: SparkSession, dir: String): Unit = {
     if (!exists(spark, dir)) return
-    val (cols, recorded) = load(spark, dir)
+    val (_, cols, recorded) = loadSafe(spark, dir).getOrElse {
+      // a corrupt stats sidecar (e.g. written by a pre-$float build
+      // over NaN data) is derived metadata: self-heal by deleting it
+      // rather than failing every later maintenance op
+      val (fs, _) = GraftFs.resolve(spark, dir)
+      fs.delete(statsPath(spark, dir), false)
+      return
+    }
     val m = Sidecar.load(spark, dir)
     val listed = m.files.toSet
     val kept = recorded.filter(e => listed(e("name").toString))
@@ -118,7 +129,11 @@ object ColumnStats {
   def dropColumnEntries(
       spark: SparkSession, dir: String, cols: Set[String]): Unit = {
     if (!exists(spark, dir)) return
-    val (recorded, entries) = load(spark, dir)
+    val (_, recorded, entries) = loadSafe(spark, dir).getOrElse {
+      val (fs, _) = GraftFs.resolve(spark, dir)
+      fs.delete(statsPath(spark, dir), false)
+      return
+    }
     val keepIdx = recorded.zipWithIndex.filterNot(kv => cols(kv._1))
     if (keepIdx.length == recorded.length) return
     val (fs, _) = GraftFs.resolve(spark, dir)
@@ -165,14 +180,19 @@ object ColumnStats {
       .getOrElse(return Map.empty)
     if (!status.isFile) return Map.empty
     val key = (dir, status.getModificationTime, status.getLen)
-    if (cache.size > 8) cache.clear()
-    val (cols, entries) =
-      cache.computeIfAbsent(key, _ => load(spark, dir))
+    val (ver, cols, entries) = cached(spark, dir, key)
+      .getOrElse(return Map.empty) // corrupt sidecar: degrade to no stats
     val byName = entries.map(e => e("name").toString -> e).toMap
     val names = files.map(f => new HPath(f).getName).toIndexedSeq
     cols.zipWithIndex.map { case (c, ci) =>
       val dt = schema.fields.find(_.name == c).map(_.dataType)
-      c -> names.map { n =>
+      // decimals in pre-v2 sidecars round-tripped through Double — a
+      // >15-significant-digit bound may have shifted, so treat the
+      // column as having no entries (unprunable, folds decline)
+      // rather than prune/answer from a possibly-shifted value
+      if (ver < 2 && dt.exists(_.isInstanceOf[DecimalType]))
+        c -> names.map(_ => None)
+      else c -> names.map { n =>
         for {
           e <- byName.get(n)
           t <- dt
@@ -180,6 +200,28 @@ object ColumnStats {
       }
     }.toMap
   }
+
+  /** LRU-cached sidecar parse keyed on (dir, mtime, len); None = the
+    * sidecar failed to parse (reads degrade to "no stats" instead of
+    * failing — the next maintenance op's [[update]] deletes it). */
+  private def cached(
+      spark: SparkSession, dir: String, key: (String, Long, Long)):
+      Option[(Long, Seq[String], Seq[Map[String, Any]])] =
+    cache.synchronized {
+      Option(cache.get(key)).orElse {
+        cacheLoads.incrementAndGet()
+        try {
+          val v = load(spark, dir)
+          cache.put(key, v)
+          Some(v)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            log.warn(s"ignoring unreadable column-stats sidecar in " +
+              s"$dir: ${e.getMessage}")
+            None
+        }
+      }
+    }
 
   /** The raw stats of column `ci` in one decoded file entry. */
   private def rawOf(
@@ -192,7 +234,8 @@ object ColumnStats {
       s("nulls").asInstanceOf[Long],
       // "sum" present (possibly null = all-null file) only for
       // integral columns written by sum-aware builds
-      s.get("sum").map(v => Option(v).map(_.asInstanceOf[Long])))
+      s.get("sum").map(v => Option(v).map(_.asInstanceOf[Long])),
+      s.get("sumx").contains(true))
   }
 
   private def integral(dt: DataType): Boolean = dt match {
@@ -206,8 +249,12 @@ object ColumnStats {
     * integral columns (long addition is associative even when it
     * wraps, so a driver-side fold of per-file sums is bit-identical
     * to the engine's own sum — recorded so metadata-only `sum(col)`
-    * can answer without reading a file). */
-  private def fileEntries(
+    * can answer without reading a file). Sums go through `try_sum`
+    * (null-on-overflow in EVERY eval mode), so a recorded sum never
+    * wrapped — it is exact ("sumx") — and one pathological >2^63
+    * file degrades to "sum unrecorded" for that file instead of
+    * killing the whole build under ANSI. */
+  private[graft] def fileEntries(
       spark: SparkSession, files: Seq[String], cols: Seq[String],
       schema: StructType): Seq[Map[String, Any]] = {
     if (files.isEmpty) return Seq.empty
@@ -216,24 +263,57 @@ object ColumnStats {
     val aggs = cols.zip(summed).flatMap { case (c, withSum) =>
       Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-        (if (withSum) sum(col(c).cast("long")) else lit(null))
+        (if (withSum) try_sum(col(c).cast("long")) else lit(null))
           .as(s"__sum_$c"))
     }
-    spark.read.schema(schema).parquet(files: _*)
+    val statted = spark.read.schema(schema).parquet(files: _*)
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
-      .sortBy(_.getString(0))
       .map { r =>
         val per = cols.indices.map { i =>
-          val base = Map(
-            "min" -> r.get(1 + i * 4), "max" -> r.get(2 + i * 4),
+          val mn = r.get(1 + i * 4)
+          val base = Map[String, Any](
+            "min" -> mn, "max" -> r.get(2 + i * 4),
             "nulls" -> r.getLong(3 + i * 4))
-          if (summed(i)) base + ("sum" -> r.get(4 + i * 4)) else base
+          if (!summed(i)) base
+          else {
+            val sm = r.get(4 + i * 4)
+            // try_sum null with non-null rows present = overflow:
+            // omit the sum (metadata sum declines for the table)
+            // rather than record a wrapped value
+            if (sm == null && mn != null) base
+            else base ++ Map[String, Any]("sum" -> sm, "sumx" -> true)
+          }
         }
-        Map("name" -> new HPath(r.getString(0)).getName, "stats" -> per)
+        Map[String, Any](
+          "name" -> new HPath(r.getString(0)).getName, "stats" -> per)
       }.toSeq
+    // a zero-row parquet file produces no aggregation row: emit an
+    // explicit empty entry (min=max=null, nulls=0 — prunes every
+    // comparison AND every IS NULL, which is vacuously sound) so
+    // stats coverage is complete and update() stops re-submitting a
+    // stats job for it on every later maintenance op
+    val have = statted.map(_("name").toString).toSet
+    val empties = files.map(f => new HPath(f).getName)
+      .filterNot(have).map { n =>
+        Map[String, Any]("name" -> n, "stats" -> cols.indices.map { i =>
+          val base = Map[String, Any](
+            "min" -> null, "max" -> null, "nulls" -> 0L)
+          if (summed(i))
+            base ++ Map[String, Any]("sum" -> null, "sumx" -> true)
+          else base
+        })
+      }
+    (statted ++ empties).sortBy(_("name").toString)
   }
+
+  /** Codec version 2: non-finite doubles as `{"$float": ...}`,
+    * decimals as exact `{"$decimal": ...}` strings, try_sum-exact
+    * sums ("sumx"), zero-row-file entries. Pre-v2 sidecars (no "v"
+    * key) decode but their DecimalType columns are treated as
+    * entry-less on read. */
+  private val CodecVersion = 2L
 
   private def save(
       spark: SparkSession, dir: String, cols: Seq[String],
@@ -241,21 +321,48 @@ object ColumnStats {
     val (fs, _) = GraftFs.resolve(spark, dir)
     GraftFs.writeString(fs, statsPath(spark, dir), TypedJson.write(
       scala.collection.immutable.ListMap(
-        "cols" -> cols, "files" -> entries)))
+        "v" -> CodecVersion, "cols" -> cols, "files" -> entries)))
   }
 
   private def load(
       spark: SparkSession, dir: String):
-      (Seq[String], Seq[Map[String, Any]]) = {
+      (Long, Seq[String], Seq[Map[String, Any]]) = {
     val (fs, _) = GraftFs.resolve(spark, dir)
     val meta = TypedJson.parse(
       GraftFs.readString(fs, statsPath(spark, dir)))
       .asInstanceOf[Map[String, Any]]
-    (meta("cols").asInstanceOf[Seq[Any]].map(_.toString),
+    (meta.get("v").map(_.asInstanceOf[Long]).getOrElse(1L),
+      meta("cols").asInstanceOf[Seq[Any]].map(_.toString),
       meta("files").asInstanceOf[Seq[Any]]
         .map(_.asInstanceOf[Map[String, Any]]))
   }
 
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, Long), (Seq[String], Seq[Map[String, Any]])]
+  private def loadSafe(
+      spark: SparkSession, dir: String):
+      Option[(Long, Seq[String], Seq[Map[String, Any]])] =
+    try Some(load(spark, dir))
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        log.warn(s"ignoring unreadable column-stats sidecar in " +
+          s"$dir: ${e.getMessage}")
+        None
+    }
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Parse-once LRU over sidecars keyed on (dir, mtime, len) — many
+    * tables read in one session each keep their slot instead of the
+    * old clear-all-at-9 flush. Access-ordered; eldest evicted past
+    * [[MaxCached]]. */
+  private val MaxCached = 64
+  private[graft] val cacheLoads =
+    new java.util.concurrent.atomic.AtomicLong
+  private val cache = new java.util.LinkedHashMap[
+      (String, Long, Long), (Long, Seq[String], Seq[Map[String, Any]])](
+      16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(String, Long, Long),
+          (Long, Seq[String], Seq[Map[String, Any]])]): Boolean =
+      size() > MaxCached
+  }
 }

@@ -28,6 +28,16 @@ object Lex {
 
   /** Compare two non-null scalars of the same SQL type. */
   def valueCmp(x: Any, y: Any): Int = (x, y) match {
+    // Decimals compare EXACTLY (compareTo), never through doubleValue:
+    // a >15-significant-digit DecimalType bound rounds under double
+    // comparison, which would make driver-side pruning disagree with
+    // the engine evaluating the very filters those bounds prune for.
+    case (a: java.math.BigDecimal, b: java.math.BigDecimal) =>
+      a.compareTo(b)
+    case (a: java.math.BigDecimal, b: java.lang.Number) if isIntegral(b) =>
+      a.compareTo(java.math.BigDecimal.valueOf(b.longValue()))
+    case (a: java.lang.Number, b: java.math.BigDecimal) if isIntegral(a) =>
+      java.math.BigDecimal.valueOf(a.longValue()).compareTo(b)
     // Numeric widening: index values may surface as different JVM numeric
     // classes after casts; compare numerically when both are numbers.
     case (a: java.lang.Number, b: java.lang.Number)

@@ -17,6 +17,18 @@ import scala.jdk.CollectionConverters._
   *   - `{"$date": "2022-01-01"}`                 -> DateType value
   *   - `{"$timedelta": "<days>d<secs>s<usecs>u"}`-> DayTimeIntervalType value
   *
+  * Two graft extensions keep NUMERIC bounds exact where bare JSON
+  * numbers cannot:
+  *   - `{"$float": "NaN"|"Infinity"|"-Infinity"}` -> non-finite Double.
+  *     The bare tokens `NaN`/`Infinity` are not JSON — emitting them
+  *     (as a naive `toString` would) corrupts the whole sidecar for
+  *     every later reader.
+  *   - `{"$decimal": "<plain string>"}` -> java.math.BigDecimal,
+  *     decoded via the string constructor. A bare JSON number would
+  *     round-trip through Double (or wrap past Long) and silently
+  *     shift a >15-significant-digit DecimalType bound — unsound for
+  *     pruning.
+  *
   * Timestamps are encoded as UTC wall-clock (the engine pins the session
   * time zone to UTC). Durations are normalized the way Python's timedelta
   * is: days may be negative, seconds in [0, 86400), microseconds in
@@ -51,7 +63,12 @@ object TypedJson {
     case b: Byte     => sb.append(b.toInt)
     case f: Float    => writeDouble(sb, f.toDouble)
     case d: Double   => writeDouble(sb, d)
-    case d: java.math.BigDecimal => sb.append(d.toPlainString)
+    case d: java.math.BigDecimal =>
+      sb.append("{\"$decimal\": "); writeString(sb, d.toPlainString)
+      sb.append('}')
+    case d: scala.math.BigDecimal =>
+      sb.append("{\"$decimal\": ")
+      writeString(sb, d.underlying.toPlainString); sb.append('}')
     case ts: Timestamp =>
       val ldt = ts.toInstant.atZone(ZoneOffset.UTC).toLocalDateTime
       val s =
@@ -105,7 +122,9 @@ object TypedJson {
   }
 
   private def writeDouble(sb: StringBuilder, d: Double): Unit =
-    if (d == d.toLong.toDouble && math.abs(d) < 1e15)
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) {
+      sb.append("{\"$float\": "); writeString(sb, d.toString); sb.append('}')
+    } else if (d == d.toLong.toDouble && math.abs(d) < 1e15)
       sb.append(d.toLong).append(".0")
     else sb.append(d)
 
@@ -146,6 +165,16 @@ object TypedJson {
             val ldt = LocalDateTime.parse(v.asText())
             Timestamp.from(ldt.atZone(ZoneOffset.UTC).toInstant)
           case "$date" => Date.valueOf(LocalDate.parse(v.asText()))
+          case "$float" =>
+            v.asText() match {
+              case "NaN"       => Double.NaN
+              case "Infinity"  => Double.PositiveInfinity
+              case "-Infinity" => Double.NegativeInfinity
+              case other =>
+                throw new DecodingError(
+                  s"Expecting non-finite float token but got '$other'")
+            }
+          case "$decimal" => new java.math.BigDecimal(v.asText())
           case "$timedelta" =>
             v.asText() match {
               case TimedeltaRe(d, s, u) =>

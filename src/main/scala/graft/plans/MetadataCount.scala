@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
-  Literal, NamedExpression}
+  ExprId, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation,
@@ -21,10 +21,12 @@ import graft.core.Lex
   * an unfiltered, ungrouped aggregate mixing `count(*)`, and —
   * when every listed file carries a stats entry for the column —
   * `count(col)` / `min(col)` / `max(col)` / integral `sum(col)`
-  * (per-file sums recorded by sum-aware builds, under the BUILD
-  * session's eval mode; LEGACY reads fold with the same wrapping
-  * arithmetic, ANSI reads fold overflow-checked and decline to the
-  * engine on overflow), is a driver-side fold:
+  * (per-file sums recorded by try_sum-based builds are EXACT in any
+  * build eval mode; LEGACY reads fold with wrapping arithmetic —
+  * bit-identical to the engine's wrap — while ANSI reads fold
+  * overflow-checked, decline to the engine on overflow, and refuse
+  * pre-exactness sums that may have wrapped at build time), is a
+  * driver-side fold:
   * zero files read, zero tasks, at any table size. The relation's
   * [[GraftFileIndex]] carries both, so archived generations (time
   * travel) answer from THEIR sidecar just the same.
@@ -39,10 +41,11 @@ import graft.core.Lex
   * (the stats store the non-null extrema; an all-null file
   * contributes nothing, an all-null table yields NULL), `count(col)`
   * is rows minus recorded nulls. Fires only on `Aggregate(no
-  * grouping, only those shapes, bare scan)`: any Filter between
-  * aggregate and scan, DISTINCT, a FILTER clause, a column without
-  * complete stats coverage, or a float/double column (stats can't
-  * order NaN the way the engine does) declines. Installed lazily
+  * grouping, only those shapes, scan below column-forwarding
+  * projections)`: any Filter between aggregate and scan, DISTINCT, a
+  * FILTER clause, a computed projection, a column without complete
+  * stats coverage, or float/double `min`/`max` (count/sum need no
+  * ordering and fold fine) declines. Installed lazily
   * whenever a graft relation is created (idempotent), and via
   * `GraftExtensions` for extension-built sessions. */
 object MetadataCount extends Rule[LogicalPlan] {
@@ -60,8 +63,8 @@ object MetadataCount extends Rule[LogicalPlan] {
       val classified = aggExprs.map(classify)
       if (classified.exists(_.isEmpty)) agg
       else graftIndex(child) match {
-        case Some(g) =>
-          val answers = classified.map(_.get).map(answer(g, _))
+        case Some((g, names)) =>
+          val answers = classified.map(_.get).map(answer(g, names, _))
           if (answers.exists(_.isEmpty)) agg
           else LocalRelation(agg.output,
             Seq(InternalRow.fromSeq(answers.map(_.get))))
@@ -96,23 +99,33 @@ object MetadataCount extends Rule[LogicalPlan] {
   }
 
   /** The metadata answer as an INTERNAL value (None = not answerable
-    * from metadata; the aggregate stays). */
-  private def answer(g: GraftFileIndex, m: MetaAgg): Option[Any] = m match {
+    * from metadata; the aggregate stays). `names` maps each attribute
+    * the aggregate may reference (possibly through alias-only
+    * projections) to its underlying relation column name. */
+  private def answer(
+      g: GraftFileIndex, names: Map[ExprId, String],
+      m: MetaAgg): Option[Any] = m match {
     case CountStar => g.rowCounts.map(_.sum)
-    case CountCol(a) => completeStats(g, a).flatMap { per =>
+    // count ignores ordering entirely (it needs only null counts), so
+    // float/double columns fold here even though min/max decline
+    case CountCol(a) => completeStats(g, names, a).flatMap { per =>
       g.rowCounts.map(_.sum - per.map(_.nulls).sum)
     }
-    case MinCol(a) => completeStats(g, a).map { per =>
-      fold(per.flatMap(_.min), a)
-    }
-    case MaxCol(a) => completeStats(g, a).map { per =>
-      fold(per.flatMap(_.max), a, max = true)
-    }
-    case SumCol(a, ansi) => completeStats(g, a)
+    case MinCol(a) if exactlyOrdered(a.dataType) =>
+      completeStats(g, names, a).map(per => fold(per.flatMap(_.min), a))
+    case MaxCol(a) if exactlyOrdered(a.dataType) =>
+      completeStats(g, names, a).map(per =>
+        fold(per.flatMap(_.max), a, max = true))
+    case SumCol(a, ansi) => completeStats(g, names, a)
       // every file must carry a RECORDED sum (integral column, stats
       // built by a sum-aware version); all-null files contribute no
-      // term, an all-null table sums to NULL
-      .filter(_.forall(_.sum.isDefined))
+      // term, an all-null table sums to NULL. An ANSI read further
+      // requires EXACT sums (try_sum builds): a pre-exactness sum may
+      // have wrapped under a LEGACY build session, and folding it
+      // overflow-checked would silently return the wrapped value
+      // where the engine's own scan raises ARITHMETIC_OVERFLOW.
+      .filter(per => per.forall(_.sum.isDefined) &&
+        (!ansi || per.forall(_.sumExact)))
       .flatMap { per =>
         val terms = per.flatMap(_.sum.get)
         if (terms.isEmpty) Some(null)
@@ -120,23 +133,30 @@ object MetadataCount extends Rule[LogicalPlan] {
         else scala.util.Try(
           Long.box(terms.reduce(Math.addExact(_, _)))).toOption
       }
+    case _ => None
+  }
+
+  /** min/max decline on float/double: the recorded per-file extrema
+    * follow Spark's NaN-greatest SQL ordering, but codegen min/max
+    * over raw primitives treat -0.0 == 0.0 (first-seen wins), so a
+    * driver fold cannot promise the bit-exact value the scan would
+    * produce. count/sum are unaffected. */
+  private def exactlyOrdered(dt: org.apache.spark.sql.types.DataType)
+      : Boolean = dt match {
+    case org.apache.spark.sql.types.FloatType |
+        org.apache.spark.sql.types.DoubleType => false
+    case _ => true
   }
 
   /** The column's raw stats when EVERY file carries an entry (a file
-    * appended after the stats build has none — decline) and the type
-    * totally orders without engine-specific NaN handling. */
+    * appended after the stats build has none — decline). */
   private def completeStats(
-      g: GraftFileIndex, a: AttributeReference):
-      Option[IndexedSeq[graft.core.ColumnStats.FileColStats]] = {
-    a.dataType match {
-      case org.apache.spark.sql.types.FloatType |
-          org.apache.spark.sql.types.DoubleType => return None
-      case _ => ()
-    }
-    g.rawColStats.get(a.name)
+      g: GraftFileIndex, names: Map[ExprId, String],
+      a: AttributeReference):
+      Option[IndexedSeq[graft.core.ColumnStats.FileColStats]] =
+    names.get(a.exprId).flatMap(g.rawColStats.get)
       .filter(per => per.nonEmpty && per.forall(_.isDefined))
       .map(_.map(_.get))
-  }
 
   private def fold(
       vals: Seq[Any], a: AttributeReference, max: Boolean = false): Any =
@@ -149,21 +169,38 @@ object MetadataCount extends Rule[LogicalPlan] {
       CatalystTypeConverters.createToCatalystConverter(a.dataType)(ext)
     }
 
-  private def graftIndex(p: LogicalPlan): Option[GraftFileIndex] = p match {
-    case Project(projs, child)
-        if projs.forall(_.isInstanceOf[AttributeReference]) =>
-      graftIndex(child)
-    case lr: LogicalRelation =>
-      lr.relation match {
-        case fs: HadoopFsRelation =>
-          fs.location match {
-            case g: GraftFileIndex => Some(g)
+  /** The scan's [[GraftFileIndex]] plus a map from each visible
+    * attribute to its underlying relation column name — walking
+    * through projections that only FORWARD columns (bare attributes
+    * or aliases of attributes, e.g. `select($"v".as("x"))`). Any
+    * computed projection, or any other node, declines. */
+  private def graftIndex(
+      p: LogicalPlan): Option[(GraftFileIndex, Map[ExprId, String])] =
+    p match {
+      case Project(projs, child) =>
+        graftIndex(child).flatMap { case (g, below) =>
+          val mapped = projs.map {
+            case a: AttributeReference =>
+              below.get(a.exprId).map(a.exprId -> _)
+            case al @ Alias(a: AttributeReference, _) =>
+              below.get(a.exprId).map(al.exprId -> _)
             case _ => None
           }
-        case _ => None
-      }
-    case _ => None
-  }
+          if (mapped.exists(_.isEmpty)) None
+          else Some((g, mapped.flatten.toMap))
+        }
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location match {
+              case g: GraftFileIndex =>
+                Some((g, lr.output.map(a => a.exprId -> a.name).toMap))
+              case _ => None
+            }
+          case _ => None
+        }
+      case _ => None
+    }
 
   /** Install on the session's optimizer (idempotent). */
   def ensureRule(spark: SparkSession): Unit = {

@@ -183,6 +183,101 @@ class ColumnStatsSpec extends AnyFunSuite {
     assert(!ColumnStats.exists(spark, dir))
   }
 
+  test("NaN/Infinity double columns build valid stats and never drop rows") {
+    val dir = tempDir("colstats-nan") + "/t"
+    // all three non-finite specials land in the FIRST file (k<100)
+    val df = spark.range(0L, 400L).select(
+      col("id").as("k"),
+      when(col("id") === 42, lit(Double.NaN))
+        .when(col("id") === 57, lit(Double.PositiveInfinity))
+        .when(col("id") === 73, lit(Double.NegativeInfinity))
+        .otherwise(col("id").cast("double")).as("x"))
+    PDataset.fromDataFrame(df, Seq("k")).repartition(100).writeParquet(dir)
+    // pre-fix this corrupted the sidecar (bare NaN token) and every
+    // later read threw; now it round-trips through {"$float": ...}
+    ColumnStats.build(spark, dir, Seq("x"))
+    val rel = spark.read.format("graft").load(dir)
+    // Spark orders NaN greatest (above +Infinity): x > 395 matches
+    // 396..399 plus the NaN and +Infinity rows — the special file
+    // (max = NaN) must stay planned
+    assert(rel.filter(col("x") > 395.0).count() == 6L)
+    // the special file (min = -Inf, max = NaN) is kept for ANY range;
+    // untouched files still prune
+    val hi = rel.filter(col("x") >= 250.0 && col("x") < 290.0)
+    assert(hi.count() == 40L)
+    assert(scannedFiles(hi) <= 2, "special file + the matching file")
+    // -Infinity sorts least: a low range must keep its file
+    assert(rel.filter(col("x") < -1e100).count() == 1L)
+  }
+
+  test("a corrupt stats sidecar degrades reads and self-heals on update") {
+    val dir = tempDir("colstats-corrupt") + "/t"
+    writeSrc(dir, 300)
+    ColumnStats.build(spark, dir, Seq("v"))
+    // simulate a pre-$float build over NaN data: unparseable JSON
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_colstats.json")
+    val (fs, _) = graft.core.GraftFs.resolve(spark, dir)
+    graft.core.GraftFs.writeString(fs, p, "{\"cols\": [NaN")
+    // reads degrade to "no stats" instead of throwing
+    val q = spark.read.format("graft").load(dir)
+      .filter(col("v") >= 100L && col("v") < 200L)
+    assert(q.count() == 10L)
+    // the next maintenance op's stats upkeep deletes the corrupt
+    // sidecar instead of failing the op
+    Maintenance.upsert(spark, dir, spark.range(0L, 5L).select(
+      col("id").as("k"), lit(7L).as("v"), lit(0.0).as("noise"),
+      lit("u").as("payload")))
+    assert(!ColumnStats.exists(spark, dir))
+    assert(spark.read.format("graft").load(dir)
+      .filter(col("v") === 7L).count() == 5L)
+  }
+
+  test("high-precision decimal stats prune exactly, not through doubles") {
+    val dir = tempDir("colstats-dec") + "/t"
+    // 20-significant-digit decimals: adjacent values are
+    // indistinguishable as doubles, so double-rounded bounds would
+    // prune the matching file away
+    val df = spark.range(0L, 400L).select(
+      col("id").as("k"),
+      (lit(new java.math.BigDecimal("98765432109876543210"))
+        .cast("decimal(38,0)") +
+        col("id").cast("decimal(38,0)")).as("d"))
+    PDataset.fromDataFrame(df, Seq("k")).repartition(100).writeParquet(dir)
+    ColumnStats.build(spark, dir, Seq("d"))
+    val target = new java.math.BigDecimal("98765432109876543335") // k=125
+    val q = spark.read.format("graft").load(dir)
+      .filter(col("d") === lit(target).cast("decimal(38,0)"))
+    assert(q.count() == 1L, "exact decimal pruning must keep the match")
+    assert(scannedFiles(q) == 1)
+  }
+
+  test("zero-row files get explicit entries — coverage stays complete") {
+    val d = tempDir("colstats-zero")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    spark.range(0L, 50L).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .coalesce(1).write.parquet(d + "/full")
+    spark.range(0L, 0L).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .coalesce(1).write.parquet(d + "/empty")
+    def one(sub: String): String = {
+      val dir = new java.io.File(d, sub)
+      dir.listFiles().map(_.toString).filter(_.endsWith(".parquet")).head
+    }
+    val entries = ColumnStats.fileEntries(
+      spark, Seq(one("full"), one("empty")), Seq("v"), schema)
+    assert(entries.length == 2,
+      "the zero-row file must get an explicit entry, not vanish")
+    val empty = entries.find(
+      _("name").toString == new java.io.File(one("empty")).getName).get
+    val st = empty("stats").asInstanceOf[Seq[Any]].head
+      .asInstanceOf[Map[String, Any]]
+    assert(st("min") == null && st("max") == null && st("nulls") == 0L)
+    assert(st.contains("sum") && st("sum") == null)
+  }
+
   test("unsupported types and unknown columns are rejected up front") {
     val dir = tempDir("colstats-reject") + "/t"
     val df = spark.range(0L, 50L).select(

@@ -70,6 +70,34 @@ class KernelSpec extends AnyFunSuite {
     assert(text.contains("-1d82800s0u"))
   }
 
+  test("typed JSON keeps non-finite doubles and decimals exact") {
+    // bare NaN/Infinity tokens are not JSON; the $float wrapper keeps
+    // the document parseable for every later sidecar reader
+    val nf = Map("nan" -> Double.NaN, "inf" -> Double.PositiveInfinity,
+      "ninf" -> Double.NegativeInfinity, "f" -> Float.NaN)
+    val back = TypedJson.parse(TypedJson.write(nf))
+      .asInstanceOf[Map[String, Any]]
+    assert(back("nan").asInstanceOf[Double].isNaN)
+    assert(back("inf") == Double.PositiveInfinity)
+    assert(back("ninf") == Double.NegativeInfinity)
+    assert(back("f").asInstanceOf[Double].isNaN)
+    // >15-significant-digit decimals shift under a Double round-trip;
+    // the $decimal wrapper round-trips the plain string exactly
+    val big = new java.math.BigDecimal("98765432109876543210.123456789")
+    val dec = TypedJson.parse(TypedJson.write(Map("d" -> big)))
+      .asInstanceOf[Map[String, Any]]
+    assert(dec("d").asInstanceOf[java.math.BigDecimal]
+      .compareTo(big) == 0)
+    // and driver-side bound comparison is compareTo, not doubleValue:
+    // these two differ only past double precision
+    val a = new java.math.BigDecimal("98765432109876543210")
+    val b2 = new java.math.BigDecimal("98765432109876543211")
+    assert(a.doubleValue() == b2.doubleValue()) // double can't tell
+    assert(Lex.valueCmp(a, b2) < 0 && Lex.valueCmp(b2, a) > 0)
+    assert(Lex.valueCmp(a, java.lang.Long.valueOf(5L)) > 0)
+    assert(Lex.valueCmp(java.lang.Long.valueOf(5L), a) < 0)
+  }
+
   test("typed JSON accepts python-isoformat datetimes") {
     val v = TypedJson.parse("""{"$datetime": "2022-01-01T23:00:00.500000"}""")
     assert(v == java.sql.Timestamp.from(

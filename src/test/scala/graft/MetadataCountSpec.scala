@@ -106,4 +106,96 @@ class MetadataCountSpec extends AnyFunSuite {
     assert(!planOf(q2).contains("LocalTableScan"))
     assert(q2.collect().head.getLong(0) == 1527L)
   }
+
+  private lazy val dblDir: String = {
+    val d = tempDir("metadouble") + "/ds"
+    val df = spark.range(0L, 300L).select(
+      col("id").as("k"),
+      when(col("id") % 4 === 0, lit(null).cast("double"))
+        .otherwise(col("id").cast("double") / 8.0).as("x"),
+      (col("id") * 5).as("v"))
+    graft.core.PDataset.fromDataFrame(df, Seq("k"))
+      .repartition(100).writeParquet(d)
+    graft.core.ColumnStats.build(spark, d, Seq("x", "v"))
+    d
+  }
+
+  test("count(double_col) folds from null counts; min/max on it decline") {
+    // count needs NO ordering — NaN semantics are irrelevant — so a
+    // double column with complete stats coverage answers metadata-only
+    val q = spark.read.format("graft").load(dblDir)
+      .agg(count(col("x")).as("x_n"), count(lit(1)).as("n"))
+    val r = q.collect().head
+    assert(r.getLong(0) == 225L && r.getLong(1) == 300L)
+    assert(planOf(q).contains("LocalTableScan") &&
+      !planOf(q).contains("FileScan"), planOf(q))
+    // min/max over float/double keep declining (codegen -0.0 vs SQL
+    // NaN ordering can differ from a driver fold)
+    val mm = spark.read.format("graft").load(dblDir).agg(min(col("x")))
+    assert(!planOf(mm).contains("LocalTableScan"))
+    assert(mm.collect().head.getDouble(0) == 1.0 / 8.0)
+  }
+
+  test("alias-only projections fold; computed projections decline") {
+    val base = spark.read.format("graft").load(dblDir)
+    val aliased = base.select(col("v").as("w"), col("k"))
+      .agg(max(col("w")).as("w_max"), count(col("w")).as("w_n"))
+    val r = aliased.collect().head
+    assert(r.getLong(0) == 299L * 5 && r.getLong(1) == 300L)
+    assert(planOf(aliased).contains("LocalTableScan"), planOf(aliased))
+    // a computed projection must take the scan path — the stats
+    // describe v, not v+1
+    val computed = base.select((col("v") + 1).as("w")).agg(max(col("w")))
+    assert(!planOf(computed).contains("LocalTableScan"))
+    assert(computed.collect().head.getLong(0) == 299L * 5 + 1)
+  }
+
+  test("ANSI sum declines pre-exactness sidecars, count/min/max still fold") {
+    val d = tempDir("metalegacy") + "/ds"
+    val df = spark.range(0L, 200L).select(
+      col("id").as("k"), (col("id") * 7).as("v"))
+    graft.core.PDataset.fromDataFrame(df, Seq("k"))
+      .repartition(100).writeParquet(d)
+    graft.core.ColumnStats.build(spark, d, Seq("v"))
+    // strip the exactness markers + codec version: the sidecar now
+    // looks like a pre-try_sum build whose sums may have wrapped
+    // under a LEGACY session
+    val p = new org.apache.hadoop.fs.Path(d, "_graft_colstats.json")
+    val (fs, _) = graft.core.GraftFs.resolve(spark, d)
+    val txt = graft.core.GraftFs.readString(fs, p)
+      .replace("\"sumx\": true, ", "").replace(", \"sumx\": true", "")
+      .replace("\"v\": 2, ", "")
+    graft.core.GraftFs.writeString(fs, p, txt)
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    val s = spark.read.format("graft").load(d).agg(sum(col("v")))
+    assert(!planOf(s).contains("LocalTableScan"),
+      "ANSI must not fold sums that may have wrapped at build time")
+    assert(s.collect().head.getLong(0) == 7L * (0L until 200L).sum)
+    val rest = spark.read.format("graft").load(d).agg(
+      min(col("v")), max(col("v")), count(col("v")))
+    assert(planOf(rest).contains("LocalTableScan"), planOf(rest))
+    val rr = rest.collect().head
+    assert(rr.getLong(0) == 0L && rr.getLong(1) == 199L * 7 &&
+      rr.getLong(2) == 200L)
+  }
+
+  test("high-precision decimal min/max fold to the exact engine value") {
+    val d = tempDir("metadec") + "/ds"
+    val df = spark.range(0L, 120L).select(
+      col("id").as("k"),
+      (lit(new java.math.BigDecimal("98765432109876543210"))
+        .cast("decimal(38,0)") +
+        col("id").cast("decimal(38,0)")).as("d"))
+    graft.core.PDataset.fromDataFrame(df, Seq("k"))
+      .repartition(40).writeParquet(d)
+    graft.core.ColumnStats.build(spark, d, Seq("d"))
+    val q = spark.read.format("graft").load(d)
+      .agg(min(col("d")).as("d_min"), max(col("d")).as("d_max"))
+    val r = q.collect().head
+    assert(planOf(q).contains("LocalTableScan"), planOf(q))
+    assert(r.getDecimal(0).compareTo(
+      new java.math.BigDecimal("98765432109876543210")) == 0)
+    assert(r.getDecimal(1).compareTo(
+      new java.math.BigDecimal("98765432109876543329")) == 0)
+  }
 }
