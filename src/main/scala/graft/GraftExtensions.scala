@@ -33,6 +33,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // also installs it lazily via experimental.extraStrategies for
     // sessions built without extensions).
     ext.injectPlannerStrategy(_ => graft.plans.DivisionJoinStrategy)
+    // DV-pending `format("graft")` reads: splice the native
+    // merge-on-read plan (broadcast anti join over the vectorized
+    // sidecar scan) in place of the V1 relation during analysis, so
+    // the outer query optimizes through it — pushed filters reach the
+    // columnar parquet scan and GraftFileIndex file pruning fires.
+    // Sessions without extensions keep the relation's own
+    // InternalRow fallback (see graft.sources.DvPendingRelation).
+    ext.injectResolutionRule(s => new graft.sources.DvScanSubstitution(s))
     // Metadata-only count(*) is NOT injected here: it only ever
     // matches graft relations, and creating one installs it via
     // MetadataCount.ensureRule — injecting a second copy would run

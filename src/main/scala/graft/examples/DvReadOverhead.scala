@@ -12,13 +12,15 @@ import graft.operators.DeletionVectors
   * Three read paths over the same table (orders with ~1.5% of rows
   * marked deleted):
   *
-  *   1. `format("graft")` while vectors pend — the V1
-  *      `PrunedFilteredScan` exits through `.rdd`, forcing an
-  *      InternalRow -> Row conversion above the anti join;
+  *   1. `format("graft")` while vectors pend — since round 12 the
+  *      extensions rule splices the native merge-on-read plan in
+  *      during analysis, so this should track path 2 (before, the V1
+  *      `PrunedFilteredScan` exited through `.rdd`, paying an
+  *      InternalRow -> Row conversion above the anti join);
   *   2. `DeletionVectors.scan` — the same merge-on-read anti join as
-  *      a plain DataFrame (no V1 exit, stays columnar/codegen);
+  *      a plain DataFrame;
   *   3. `format("graft")` after materialize — the vectors folded in,
-  *      back to the native vectorized parquet relation.
+  *      back to the plain vectorized parquet relation.
   *
   * Usage: sbt "runMain graft.examples.DvReadOverhead [sfDir] [reps]"
   */
@@ -27,6 +29,7 @@ object DvReadOverhead {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(1).map(_.toInt).getOrElse(5)
     val spark = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions)
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -59,7 +62,7 @@ object DvReadOverhead {
     }
 
     consume(spark.read.parquet(s"$sfDir/orders.parquet")) // warmup
-    val v1 = time("pending DV, format(\"graft\") [V1]") {
+    val sql = time("pending DV, format(\"graft\")") {
       consume(spark.read.format("graft").load(dir))
     }
     val native = time("pending DV, DeletionVectors.scan") {
@@ -69,8 +72,8 @@ object DvReadOverhead {
     val folded = time("after materialize, format(\"graft\")") {
       consume(spark.read.format("graft").load(dir))
     }
-    println(f"V1 row-conversion overhead vs native anti join: " +
-      f"${v1 / native}%.2fx; vs materialized columnar: ${v1 / folded}%.2fx")
+    println(f"format(\"graft\") DV read vs native anti join: " +
+      f"${sql / native}%.2fx; vs materialized columnar: ${sql / folded}%.2fx")
     spark.stop()
   }
 }

@@ -84,133 +84,39 @@ object DeletionVectors {
   private def fileNameOf(c: org.apache.spark.sql.Column) =
     element_at(split(c, "/"), -1)
 
-  /** Conservative sidecar file pruning for [[deleteWhere]]: comparison
-    * conjuncts on the FIRST index column (the clustered column — the
-    * common shape) intersect with each file's first-column [lb, ub]
-    * from the sidecar, and conjuncts on any `_graft_colstats.json`
-    * column intersect with that file's recorded independent range —
-    * so a range-bounded predicate scans only the overlapping files
-    * instead of the whole table. Anything not provably prunable keeps
-    * the file: unrelated conjuncts derive nothing, OR short-circuits
-    * to "keep all", a stats-less file has no range (keep), and a type
-    * mismatch between a literal and a stored bound falls back to keep
-    * (the later parquet scan still row-group-prunes). Both range
-    * sources share the null-first encoding: lb None = nulls present
-    * (least non-null unknown), ub None = all-null (no comparison can
-    * match — prune). */
+  /** Sidecar file pruning for [[deleteWhere]]: the SAME
+    * [[org.apache.spark.sql.GraftFileIndex]] walk the read path uses,
+    * so the delete side prunes exactly as well as a read with the
+    * same predicate — full lex-tuple bounds on every index column
+    * (equality prefixes unlock deeper columns: `k1 = x AND k2
+    * BETWEEN a AND b` prunes by both), independent
+    * `_graft_colstats.json` ranges on non-index columns, per-value
+    * IN handling, and `_graft_bloom` point-lookup filters. The
+    * predicate is resolved/coerced against the table schema first (a
+    * bare `lit(5)` against a BIGINT column gets the cast the read
+    * path's pushed filters have), and anything not provably prunable
+    * keeps the file — [[org.apache.spark.sql.GraftFileIndex]] is
+    * conservative by construction. */
   private[operators] def pruneByPredicate(
+      spark: SparkSession,
+      dirPath: HPath,
       m: Sidecar.Meta,
-      pred: org.apache.spark.sql.catalyst.expressions.Expression,
-      stats: graft.core.ColumnStats.Stats = Map.empty):
-      IndexedSeq[Int] = {
-    import org.apache.spark.sql.catalyst.CatalystTypeConverters
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.catalyst.expressions._
-    val all = m.files.indices
-    // Per prunable column (lowercased): file -> its known (lb, ub),
-    // or None when the file carries no range for it. The index column
-    // wins a name collision with a stats column.
-    val rangeOf: Map[String, Int => Option[(Option[Any], Option[Any])]] = {
-      val st = stats.map { case (c, per) =>
-        c.toLowerCase -> ((p: Int) => per(p))
-      }
-      val idx = m.indexColumns.headOption.map { c =>
-        c.toLowerCase -> ((p: Int) => Some((
-          m.lowerBounds(p).headOption.flatten,
-          m.upperBounds(p).headOption.flatten)): Option[(Option[Any],
-            Option[Any])])
-      }
-      st ++ idx
-    }
-    if (rangeOf.isEmpty) return all
-    def attrName(e: Expression): Option[String] = e match {
-      case a: UnresolvedAttribute if a.nameParts.length == 1 =>
-        Some(a.nameParts.head.toLowerCase)
-      case a: AttributeReference => Some(a.name.toLowerCase)
-      case _ => None
-    }
-    def litVal(e: Expression): Option[Any] = e match {
-      case l: Literal if l.value != null => scala.util.Try(
-        CatalystTypeConverters.createToScalaConverter(l.dataType)(l.value))
-        .toOption
-      case _ => None
-    }
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case x => Seq(x)
-    }
-    // per column: (value, inclusive) constraints its values must meet
-    val lowers = scala.collection.mutable.Map
-      .empty[String, List[(Any, Boolean)]].withDefaultValue(Nil)
-    val uppers = scala.collection.mutable.Map
-      .empty[String, List[(Any, Boolean)]].withDefaultValue(Nil)
-    def harvest(a: Expression, v: Expression,
-        lo: Option[Boolean], hi: Option[Boolean]): Unit =
-      attrName(a).filter(rangeOf.contains).foreach { c =>
-        litVal(v).foreach { value =>
-          lo.foreach(inc => lowers(c) = (value, inc) :: lowers(c))
-          hi.foreach(inc => uppers(c) = (value, inc) :: uppers(c))
-        }
-      }
-    // Each comparison harvests both directions: harvest() is a no-op
-    // unless its first argument is a prunable column and its second
-    // a literal, so `attr > lit` yields a lower bound and `lit > attr`
-    // an upper bound from the same case.
-    conjuncts(pred).foreach {
-      case GreaterThan(l, r) =>
-        harvest(l, r, Some(false), None); harvest(r, l, None, Some(false))
-      case GreaterThanOrEqual(l, r) =>
-        harvest(l, r, Some(true), None); harvest(r, l, None, Some(true))
-      case LessThan(l, r) =>
-        harvest(l, r, None, Some(false)); harvest(r, l, Some(false), None)
-      case LessThanOrEqual(l, r) =>
-        harvest(l, r, None, Some(true)); harvest(r, l, Some(true), None)
-      case EqualTo(l, r) =>
-        harvest(l, r, Some(true), Some(true))
-        harvest(r, l, Some(true), Some(true))
-      // IN-list: its convex hull [min, max] is a sound interval (any
-      // matching row equals some non-null element, so it lies within
-      // the hull); null elements never match and drop out. The
-      // classic clustered-erasure shape `WHERE k IN (...)` then scans
-      // only the covering files.
-      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
-        attrName(a).filter(rangeOf.contains).foreach { c =>
-          val nonNull = vs.collect { case l: Literal if l.value != null => l }
-          val vals = nonNull.flatMap(litVal)
-          // every non-null element must convert, or the hull is not a
-          // proven cover; null elements never match and drop out
-          if (vals.nonEmpty && vals.length == nonNull.length)
-            scala.util.Try(
-              vals.sortWith(graft.core.Lex.valueCmp(_, _) < 0)).foreach {
-              sv =>
-                lowers(c) = (sv.head, true) :: lowers(c)
-                uppers(c) = (sv.last, true) :: uppers(c)
-            }
-        }
-      case _ => ()
-    }
-    val constrained = (lowers.keySet ++ uppers.keySet).toSeq.sorted
-    if (constrained.isEmpty) return all
-    all.filter { p =>
-      constrained.forall { c =>
-        rangeOf(c)(p) match {
-          case None => true // no range recorded for this file: keep
-          case Some((flo, fhi)) =>
-            val aboveLowers = lowers(c).forall { case (v, inc) =>
-              fhi.exists(x => scala.util.Try(graft.core.Lex.valueCmp(x, v))
-                .map(cc => if (inc) cc >= 0 else cc > 0).getOrElse(true))
-            }
-            val belowUppers = uppers(c).forall { case (v, inc) =>
-              // flo None (nulls present) never proves the file above v
-              flo.forall(x => scala.util.Try(graft.core.Lex.valueCmp(x, v))
-                .map(cc => if (inc) cc <= 0 else cc < 0).getOrElse(true))
-            }
-            // fhi None with a comparison present: all values NULL, no
-            // comparison can match — prune.
-            fhi.nonEmpty && aboveLowers && belowUppers
-        }
-      }
-    }
+      predicate: org.apache.spark.sql.Column): IndexedSeq[Int] = {
+    if (m.files.isEmpty) return IndexedSeq.empty
+    // Resolve + type-coerce the predicate the way analysis would for
+    // a real read (over a zero-row frame — driver-only, no job).
+    val cond = org.apache.spark.sql.GraftBridge.analyzedCondition(
+      spark, m.schema, predicate)
+    val files = m.files.map(f => new HPath(dirPath, f).toString)
+    val raw = graft.core.ColumnStats.rawForFiles(spark, files, m.schema)
+    val index = new org.apache.spark.sql.GraftFileIndex(
+      files.map(f => (new HPath(f), 0L)),
+      m.indexColumns, m.lowerBounds, m.upperBounds,
+      blooms = graft.core.BloomIndex.forFiles(spark, files),
+      extraStats = graft.core.ColumnStats.pruning(raw))
+    val kept = index.listFiles(Nil, Seq(cond))
+      .flatMap(_.files.map(_.getPath.getName)).toSet
+    m.files.indices.filter(i => kept(m.files(i)))
   }
 
   /** Mark every stored row whose index-tuple key appears in `keys` as
@@ -258,21 +164,19 @@ object DeletionVectors {
   }
 
   /** Mark every stored row matching `predicate` as deleted — no data
-    * file is rewritten. Files whose sidecar bounds cannot overlap a
-    * comparison on the first index column are skipped before the scan
-    * ([[pruneByPredicate]] — at 100 TB the file listing itself is the
-    * cost); within the surviving files the predicate pushes down to
-    * the parquet scan (row-group pruning applies), and only files
-    * that produce hits enter the overlay. */
+    * file is rewritten. Files the read path could prove predicate-free
+    * are skipped before the scan ([[pruneByPredicate]] reuses the
+    * read side's GraftFileIndex walk: lex bounds on every index
+    * column, colstats ranges, blooms — at 100 TB the file listing
+    * itself is the cost); within the surviving files the predicate
+    * pushes down to the parquet scan (row-group pruning applies),
+    * and only files that produce hits enter the overlay. */
   def deleteWhere(
       spark: SparkSession, dir: String,
       predicate: org.apache.spark.sql.Column): Report = {
     val m = Sidecar.load(spark, dir)
     val (_, dirPath) = GraftFs.resolve(spark, dir)
-    val stats = graft.core.ColumnStats.forFiles(spark,
-      m.files.map(f => new HPath(dirPath, f).toString), m.schema)
-    val kept = pruneByPredicate(m,
-      org.apache.spark.sql.GraftBridge.toExpression(predicate), stats)
+    val kept = pruneByPredicate(spark, dirPath, m, predicate)
     if (kept.isEmpty) return Report(0L, 0)
     val paths = kept.map(p => new HPath(dirPath, m.files(p)).toString)
     val hits = spark.read.schema(m.schema)

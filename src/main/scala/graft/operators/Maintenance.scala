@@ -72,7 +72,7 @@ object Maintenance {
 
   val HistoryDir = "_graft_history"
 
-  private[operators] def versionFile(dirPath: HPath, n: Int): HPath =
+  private[graft] def versionFile(dirPath: HPath, n: Int): HPath =
     new HPath(new HPath(dirPath, HistoryDir), f"v$n%010d.json")
 
   /** Archived generation numbers at `dir`, ascending (empty when the
@@ -263,7 +263,7 @@ object Maintenance {
         case None => Sidecar.load(spark, dir)
       })
 
-  private[operators] def changesBetween(
+  private[graft] def changesBetween(
       spark: SparkSession,
       dir: String,
       fromMeta: Sidecar.Meta,

@@ -35,9 +35,47 @@ import graft.core.{BloomIndex, GraftFs, PDataset, Sidecar, Stats}
   * across append generations; pruning stays sound, it is per file.
   */
 final class GraftSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  // ---- streaming: the change feed as a micro-batch source ----
+  // `spark.readStream.format("graft").load(dir)` emits each retained
+  // generation's insert/delete delta (offsets = generation numbers);
+  // see graft.streaming.ChangeFeedSource for the contract.
+
+  private def streamPath(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "the graft streaming source requires a path: " +
+        "spark.readStream.format(\"graft\").load(<dataset dir>)"))
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      providerName: String,
+      parameters: Map[String, String]):
+      (String, org.apache.spark.sql.types.StructType) = {
+    val path = streamPath(parameters)
+    ("graft", graft.streaming.ChangeFeedSource.feedSchema(
+      Sidecar.load(sqlContext.sparkSession, path).schema))
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      providerName: String,
+      parameters: Map[String, String]):
+      org.apache.spark.sql.execution.streaming.Source = {
+    val spark = sqlContext.sparkSession
+    val path = streamPath(parameters)
+    new graft.streaming.ChangeFeedSource(spark, path,
+      schema.getOrElse(graft.streaming.ChangeFeedSource.feedSchema(
+        Sidecar.load(spark, path).schema)),
+      graft.streaming.ChangeFeedSource.resolveStart(
+        spark, path, parameters))
+  }
 
   override def createRelation(
       sqlContext: SQLContext,
@@ -127,75 +165,17 @@ final class GraftSource extends RelationProvider
     }
   }
 
-  /** Merge-on-read relation: [[graft.operators.DeletionVectors.scan]]
-    * behind the V1 source API. Every pushed filter is re-checked by
-    * Spark above this scan (`unhandledFilters` returns all of them),
-    * so the best-effort translation below is purely an inner-plan
-    * prefilter — it reaches the parquet scan underneath the anti
-    * join, where sidecar file pruning and row-group skipping fire. */
+  /** Merge-on-read relation: [[DvPendingRelation]]. With
+    * [[graft.GraftExtensions]] installed its LogicalRelation is
+    * spliced out during analysis for the native anti-join plan
+    * (vectorized scan, pushed-filter file pruning); without, the V1
+    * fallback still exits through `toRdd` as InternalRows (no
+    * row-conversion tax). */
   private def dvRelation(
       sqlContext: SQLContext, path: String): BaseRelation = {
     val spark = sqlContext.sparkSession
-    val tableSchema = Sidecar.load(spark, path).schema
-    val sqlc = sqlContext
-    new BaseRelation with PrunedFilteredScan {
-      override val sqlContext: SQLContext = sqlc
-      override val schema: org.apache.spark.sql.types.StructType =
-        tableSchema
-      override def unhandledFilters(
-          filters: Array[Filter]): Array[Filter] = filters
-      override def buildScan(
-          requiredColumns: Array[String],
-          filters: Array[Filter]): org.apache.spark.rdd.RDD[Row] = {
-        val base = graft.operators.DeletionVectors.scan(spark, path)
-        val filtered = filters.flatMap(translateFilter)
-          .foldLeft(base)(_ filter _)
-        val projected =
-          if (requiredColumns.isEmpty) filtered.select()
-          else filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
-        projected.rdd
-      }
-    }
-  }
-
-  /** Strict translation (both sides of And/Or, full Not operand, or
-    * nothing) keeps every emitted Column row-equivalent to its source
-    * Filter — required because a Not over a weakened conjunct would
-    * DROP rows the filter keeps. Nested-field names (dotted) and
-    * unknown filter shapes translate to None; Spark re-applies the
-    * originals above the scan either way. */
-  private def translateFilter(f: Filter): Option[Column] = {
-    def top(a: String): Option[Column] =
-      if (a.contains(".")) None else Some(col(a))
-    def l(v: Any): Option[Column] =
-      scala.util.Try(lit(v)).toOption
-    f match {
-      case EqualTo(a, v) => for { c <- top(a); w <- l(v) } yield c === w
-      case EqualNullSafe(a, v) => for { c <- top(a); w <- l(v) } yield c <=> w
-      case GreaterThan(a, v) => for { c <- top(a); w <- l(v) } yield c > w
-      case GreaterThanOrEqual(a, v) =>
-        for { c <- top(a); w <- l(v) } yield c >= w
-      case LessThan(a, v) => for { c <- top(a); w <- l(v) } yield c < w
-      case LessThanOrEqual(a, v) =>
-        for { c <- top(a); w <- l(v) } yield c <= w
-      case In(a, vs) => for {
-        c <- top(a)
-        ws <- scala.util.Try(vs.toIndexedSeq.map(lit)).toOption
-      } yield c.isin(ws: _*)
-      case IsNull(a) => top(a).map(_.isNull)
-      case IsNotNull(a) => top(a).map(_.isNotNull)
-      case StringStartsWith(a, v) => top(a).map(_.startsWith(v))
-      case StringEndsWith(a, v) => top(a).map(_.endsWith(v))
-      case StringContains(a, v) => top(a).map(_.contains(v))
-      case And(x, y) => for {
-        a <- translateFilter(x); b <- translateFilter(y)
-      } yield a && b
-      case Or(x, y) => for {
-        a <- translateFilter(x); b <- translateFilter(y)
-      } yield a || b
-      case Not(x) => translateFilter(x).map(not)
-      case _ => None
-    }
+    new DvPendingRelation(spark, path,
+      Sidecar.load(spark, path).schema, sqlContext)
   }
 
   /** Epoch millis, or an ISO-8601 instant / local datetime / date
@@ -224,6 +204,7 @@ final class GraftSource extends RelationProvider
           }
       }
     }
+
 
   override def createRelation(
       sqlContext: SQLContext,
@@ -459,5 +440,47 @@ final class GraftSource extends RelationProvider
       }
     }
     createRelation(sqlContext, parameters)
+  }
+}
+
+object GraftSource {
+  /** Strict translation (both sides of And/Or, full Not operand, or
+    * nothing) keeps every emitted Column row-equivalent to its source
+    * Filter — required because a Not over a weakened conjunct would
+    * DROP rows the filter keeps. Nested-field names (dotted) and
+    * unknown filter shapes translate to None; Spark re-applies the
+    * originals above the scan either way. */
+  private[sources] def translateFilter(f: Filter): Option[Column] = {
+    def top(a: String): Option[Column] =
+      if (a.contains(".")) None else Some(col(a))
+    def l(v: Any): Option[Column] =
+      scala.util.Try(lit(v)).toOption
+    f match {
+      case EqualTo(a, v) => for { c <- top(a); w <- l(v) } yield c === w
+      case EqualNullSafe(a, v) => for { c <- top(a); w <- l(v) } yield c <=> w
+      case GreaterThan(a, v) => for { c <- top(a); w <- l(v) } yield c > w
+      case GreaterThanOrEqual(a, v) =>
+        for { c <- top(a); w <- l(v) } yield c >= w
+      case LessThan(a, v) => for { c <- top(a); w <- l(v) } yield c < w
+      case LessThanOrEqual(a, v) =>
+        for { c <- top(a); w <- l(v) } yield c <= w
+      case In(a, vs) => for {
+        c <- top(a)
+        ws <- scala.util.Try(vs.toIndexedSeq.map(lit)).toOption
+      } yield c.isin(ws: _*)
+      case IsNull(a) => top(a).map(_.isNull)
+      case IsNotNull(a) => top(a).map(_.isNotNull)
+      case StringStartsWith(a, v) => top(a).map(_.startsWith(v))
+      case StringEndsWith(a, v) => top(a).map(_.endsWith(v))
+      case StringContains(a, v) => top(a).map(_.contains(v))
+      case And(x, y) => for {
+        a <- translateFilter(x); b <- translateFilter(y)
+      } yield a && b
+      case Or(x, y) => for {
+        a <- translateFilter(x); b <- translateFilter(y)
+      } yield a || b
+      case Not(x) => translateFilter(x).map(not)
+      case _ => None
+    }
   }
 }

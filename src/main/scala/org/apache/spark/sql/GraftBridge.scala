@@ -28,6 +28,52 @@ object GraftBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** The analyzed logical plan behind a DataFrame (`queryExecution`
+    * is `classic`-side in Spark 4). */
+  def planOf(df: DataFrame):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  /** Execute a DataFrame as its InternalRow RDD (`toRdd`) — the
+    * no-conversion exit for V1 relations with `needConversion=false`:
+    * the inner plan stays columnar/codegen and rows cross the source
+    * boundary without the InternalRow -> Row -> InternalRow trip. */
+  def toInternalRdd(df: DataFrame): org.apache.spark.rdd.RDD[
+      org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd
+
+  /** Resolve + type-coerce a Column predicate against a schema — the
+    * analyzed condition a real read's `filter` would push, with
+    * literals cast to the column types (so driver-side pruning
+    * compares like-typed values). Analysis over a zero-row local
+    * relation: no job, no files. */
+  def analyzedCondition(
+      spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      predicate: Column):
+      org.apache.spark.sql.catalyst.expressions.Expression = {
+    val empty = org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+      org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema))
+    val analyzed = ofRows(spark, empty).filter(predicate)
+      .asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+    analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition
+    }.getOrElse(throw new IllegalStateException(
+      s"no filter condition in analyzed plan:\n$analyzed"))
+  }
+
+  /** A DataFrame over pre-computed InternalRows marked
+    * `isStreaming = true` — what a V1 streaming `Source.getBatch`
+    * must return (MicroBatchExecution asserts the flag). The same
+    * `internalCreateDataFrame` exit the built-in Kafka source uses. */
+  def streamingDataFrame(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
   /** Type equality modulo nullability at every nesting level (the
     * `private[sql]` `DataType.sameType`): schema compatibility checks
     * must not reject `array<int>` against `array<int>` over an

@@ -140,6 +140,44 @@ class DeletionVectorsSpec extends AnyFunSuite {
     assert(DeletionVectors.scan(spark, dir).count() == 996)
   }
 
+  test("deleteWhere prunes through an equality prefix on a " +
+      "two-column index, like the read path") {
+    val dir = tempDir("dv-where-prefix") + "/t"
+    // 20 files indexed on (grp, k): per grp value, TWO files covering
+    // k [0,100) and [100,200) — the first index column alone cannot
+    // separate them
+    val rows = spark.range(0, 2000).select(
+      (col("id") / 200).cast("long").as("grp"),
+      (col("id") % 200).as("k"),
+      concat(lit("p"), col("id")).as("payload"))
+    val parts = for (g <- 0 until 10; half <- 0 until 2) yield
+      PDataset.fromDataFrame(
+        rows.filter(col("grp") === g &&
+          col("k") >= half * 100 && col("k") < (half + 1) * 100),
+        Seq("grp", "k"))
+    PDataset.concat(parts).writeParquet(dir)
+    var read = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        read += e.taskMetrics.inputMetrics.recordsRead
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val rep = try {
+      // grp = 7 keeps two files; the k-range keeps only the upper
+      // half — the equality-prefix lex walk must combine both
+      val r = DeletionVectors.deleteWhere(spark, dir,
+        col("grp") === 7 && col("k") >= 120 && col("k") < 140)
+      org.apache.spark.GraftTestBridge.drainListeners(spark.sparkContext)
+      r
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(rep.marked == 20 && rep.affectedFiles == 1, s"$rep")
+    // one 100-row file + the small DV read-back — first-column-only
+    // pruning would have scanned both grp-7 files (200+)
+    assert(read < 180, s"expected a prefix-pruned scan, read $read records")
+    assert(DeletionVectors.scan(spark, dir).count() == 1980)
+  }
+
   test("deleteWhere marks by predicate; scan and materialize agree") {
     val dir = tempDir("dv-where") + "/t"
     writeSrc(dir, 500)
@@ -276,6 +314,58 @@ class DeletionVectorsSpec extends AnyFunSuite {
       .groupBy("grp").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == want)
+  }
+
+  test("pending-vector format(\"graft\") read plans the native anti " +
+      "join — columnar parquet scan, no RDD exit") {
+    val dir = tempDir("dv-nativeplan") + "/t"
+    writeSrc(dir, 500)
+    DeletionVectors.deleteKeys(spark, dir, Seq(3L, 7L).toDF("k"))
+    val df = spark.read.format("graft").load(dir)
+      .filter(col("k") < 100).select("k", "payload")
+    assert(df.count() == 98)
+    val plan = df.queryExecution.executedPlan.toString
+    // The extensions rule spliced the merge-on-read plan in during
+    // analysis: the physical plan is the broadcast anti join over the
+    // VECTORIZED parquet scan — the pre-round-12 V1 path surfaced as
+    // an opaque row-converting "Scan graft" RDD node instead.
+    assert(plan.contains("Scan parquet"),
+      s"expected the columnar parquet scan in the plan:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"expected the DV broadcast anti join in the plan:\n$plan")
+    assert(!plan.contains("ExistingRDD") && !plan.contains("Scan graft") &&
+      !plan.contains("DeserializeToObject"),
+      s"the native DV read must not exit through an RDD boundary:\n$plan")
+  }
+
+  test("self-join over one DV-pending DataFrame deduplicates the " +
+      "spliced subplans") {
+    val dir = tempDir("dv-selfjoin") + "/t"
+    writeSrc(dir, 300)
+    DeletionVectors.deleteKeys(spark, dir, Seq(5L).toDF("k"))
+    val df = spark.read.format("graft").load(dir)
+    // the SAME DataFrame on both sides: the substituted native plan
+    // appears twice with identical exprIds until the analyzer's
+    // DeduplicateRelations re-keys one side
+    val joined = df.as("a").join(df.as("b"), "k")
+    assert(joined.count() == 299)
+  }
+
+  test("the extension-less V1 fallback crosses the source boundary " +
+      "as InternalRows (no row-conversion tax)") {
+    val dir = tempDir("dv-fallback") + "/t"
+    writeSrc(dir, 200)
+    DeletionVectors.deleteKeys(spark, dir, Seq(1L, 2L).toDF("k"))
+    val rel = new graft.sources.DvPendingRelation(spark, dir,
+      graft.core.Sidecar.load(spark, dir).schema, spark.sqlContext)
+    assert(!rel.needConversion,
+      "the fallback must declare its rows pre-converted")
+    val rdd = rel.buildScan(Array("k"), Array.empty)
+      .asInstanceOf[org.apache.spark.rdd.RDD[Any]]
+    assert(rdd.count() == 198)
+    assert(rdd.first().isInstanceOf[
+      org.apache.spark.sql.catalyst.InternalRow],
+      "buildScan must emit InternalRows for the needConversion=false exit")
   }
 
   test("a fully-marked file is dropped by materialize") {

@@ -256,4 +256,81 @@ class StreamingSpec extends AnyFunSuite {
         s"emitted $emitted of $batchSessions sessions ($users users)")
     } finally q.stop()
   }
+
+  test("readStream format(\"graft\") streams the change feed; replay " +
+      "from offset 0 reconstructs the batch feed exactly") {
+    import graft.core.PDataset
+    import graft.operators.Maintenance
+
+    val dir = Files.createTempDirectory("graft-cdc-stream").toString + "/t"
+    val rows = spark.range(0, 300).select(
+      col("id").as("k"), (col("id") % 7).as("grp"),
+      concat(lit("p"), col("id")).as("payload"))
+    PDataset.fromDataFrame(rows, Seq("k")).repartition(100).writeParquet(dir)
+
+    def feedSorted(name: String) = spark.table(name)
+      .orderBy("k", "change_type").collect().toIndexedSeq
+    def batchFeed(from: Int) = Maintenance.changes(spark, dir, from)
+      .orderBy("k", "change_type").collect().toIndexedSeq
+
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt").toString
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", 0).load(dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cdc").option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdc").isEmpty,
+        "no retained mutation yet: the stream must emit nothing")
+
+      // retained mutation #1: upsert 5 updates + 2 inserts
+      Maintenance.upsert(spark, dir,
+        rows.filter(col("k") < 5)
+          .withColumn("payload", lit("UPDATED"))
+          .unionByName(rows.filter(col("k") < 2)
+            .withColumn("k", col("k") + 1000L)),
+        retain = true)
+      q.processAllAvailable()
+      // 5 updates = 5 deletes + 5 inserts; plus 2 pure inserts
+      assert(spark.table("cdc").count() == 12)
+      assert(feedSorted("cdc") == batchFeed(0),
+        "the stream must equal the batch change feed")
+
+      // retained mutation #2: delete 3 keys — the stream appends
+      // exactly that generation's delta
+      Maintenance.deleteKeys(spark, dir,
+        spark.range(10, 13).select(col("id").as("k")), retain = true)
+      q.processAllAvailable()
+      assert(spark.table("cdc").count() == 12 + 3)
+      assert(feedSorted("cdc") == batchFeed(0))
+    } finally q.stop()
+
+    // replay: a FRESH query from offset 0 (new checkpoint) emits the
+    // identical cumulative feed — generation offsets are idempotent
+    val ckpt2 = Files.createTempDirectory("graft-cdc-ckpt2").toString
+    val q2 = spark.readStream.format("graft")
+      .option("startingVersion", 0).load(dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cdc_replay").option("checkpointLocation", ckpt2).start()
+    try {
+      q2.processAllAvailable()
+      assert(feedSorted("cdc_replay") == batchFeed(0),
+        "replay from offset 0 must reconstruct the full feed")
+    } finally q2.stop()
+
+    // default start = current generation: only future changes stream
+    val q3 = spark.readStream.format("graft").load(dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cdc_tail").start()
+    try {
+      q3.processAllAvailable()
+      assert(spark.table("cdc_tail").isEmpty)
+      Maintenance.deleteKeys(spark, dir,
+        Seq(20L).toDF("k"), retain = true)
+      q3.processAllAvailable()
+      assert(spark.table("cdc_tail").count() == 1)
+      assert(spark.table("cdc_tail").head().getAs[String]("change_type")
+        == "delete")
+    } finally q3.stop()
+  }
 }

@@ -7,6 +7,7 @@ object TestSpark {
     java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     SparkSession
       .builder()
+      .withExtensions(new GraftExtensions)
       .master("local[8]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "8")
