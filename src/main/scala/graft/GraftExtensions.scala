@@ -41,6 +41,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Sessions without extensions keep the relation's own
     // InternalRow fallback (see graft.sources.DvPendingRelation).
     ext.injectResolutionRule(s => new graft.sources.DvScanSubstitution(s))
+    // Statement-level DDL for graft tables (ALTER TABLE ... ADD/DROP
+    // CONSTRAINT, SHOW CONSTRAINTS, DESCRIBE HISTORY, VACUUM),
+    // addressed Delta-style by path; everything else delegates to
+    // Spark's parser untouched.
+    ext.injectParser((_, delegate) =>
+      new graft.plans.GraftSqlParser(delegate))
     // Metadata-only count(*) is NOT injected here: it only ever
     // matches graft relations, and creating one installs it via
     // MetadataCount.ensureRule — injecting a second copy would run

@@ -447,6 +447,48 @@ class GraftSourceSpec extends AnyFunSuite {
       .load(out).count() == 0L)
   }
 
+  test("statement DDL: constraint lifecycle, DESCRIBE HISTORY and " +
+      "VACUUM purely via spark.sql") {
+    import spark.implicits._
+    val out = tempDir("graft-sql-ddl") + "/ds"
+    val g = s"graft.`$out`"
+    (1L to 50L).map(k => (k, k * 2.0)).toDF("k", "price")
+      .write.format("graft").option("index", "k").save(out)
+    // ADD CONSTRAINT validates the existing table, then records
+    spark.sql(s"ALTER TABLE $g ADD CONSTRAINT price_pos CHECK (price > 0)")
+    assert(spark.sql(s"SHOW CONSTRAINTS $g").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+      == Seq(("price_pos", "price > 0")))
+    // the recorded constraint guards writes exactly like the
+    // options-DDL path
+    intercept[graft.operators.Constraints.Violation] {
+      Seq((60L, -1.0)).toDF("k", "price").write.format("graft")
+        .mode("append").option("index", "k").save(out)
+    }
+    // a violated NEW declaration refuses through SQL and records
+    // nothing
+    intercept[graft.operators.Constraints.Violation] {
+      spark.sql(s"ALTER TABLE $g ADD CONSTRAINT cap CHECK (price < 10)")
+    }
+    // DROP CONSTRAINT with and without IF EXISTS, idempotent
+    spark.sql(s"ALTER TABLE $g DROP CONSTRAINT IF EXISTS price_pos")
+    spark.sql(s"ALTER TABLE $g DROP CONSTRAINT price_pos")
+    assert(spark.sql(s"SHOW CONSTRAINTS $g").isEmpty)
+    // retained mutations feed DESCRIBE HISTORY
+    Maintenance.deleteKeys(spark, out, Seq(1L).toDF("k"), retain = true)
+    Maintenance.deleteKeys(spark, out, Seq(2L).toDF("k"), retain = true)
+    val hist = spark.sql(s"DESCRIBE HISTORY $g").collect()
+    assert(hist.map(_.getAs[Int]("version")).toSeq == Seq(0, 1, 2))
+    assert(hist.map(_.getAs[Boolean]("is_current")).toSeq
+      == Seq(false, false, true))
+    // VACUUM (path-string address) drops generations past RETAIN LAST
+    spark.sql(s"VACUUM '$out' RETAIN LAST 1").head().getInt(0)
+    assert(spark.sql(s"DESCRIBE HISTORY $g").collect()
+      .map(_.getAs[Int]("version")).toSeq == Seq(1, 2))
+    // non-graft statements pass through untouched
+    assert(spark.sql("SELECT 1 + 1").head().getInt(0) == 2)
+  }
+
   test("timestamp options accept dates and reject junk with guidance") {
     import spark.implicits._
     val out = tempDir("graft-source-ts") + "/ds"
