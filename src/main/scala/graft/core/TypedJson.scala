@@ -155,11 +155,18 @@ object TypedJson {
     else if (n.isBoolean) n.asBoolean()
     else if (n.isIntegralNumber) n.asLong()
     else if (n.isNumber) n.asDouble()
-    else if (n.isArray) n.elements().asScala.map(fromNode).toVector
-    else if (n.isObject) {
-      val fields = n.properties().asScala.map(e => e.getKey -> e.getValue)
-      if (fields.size == 1) {
-        val (k, v) = fields.head
+    else if (n.isArray) {
+      // manual builder loop: a 10^5-file sidecar decodes millions of
+      // nodes, and the iterator/CanBuildFrom indirection showed up as
+      // the dominant large-table load cost (SidecarScaleBench)
+      val b = Vector.newBuilder[Any]
+      val it = n.elements()
+      while (it.hasNext) b += fromNode(it.next())
+      b.result()
+    } else if (n.isObject) {
+      if (n.size() == 1) {
+        val k = n.fieldNames().next()
+        val v = n.get(k)
         k match {
           case "$datetime" =>
             val ldt = LocalDateTime.parse(v.asText())
@@ -186,9 +193,20 @@ object TypedJson {
                 throw new DecodingError(
                   s"Expecting timedelta expression but got '$other'")
             }
-          case _ => fields.map { case (k2, v2) => k2 -> fromNode(v2) }.toMap
+          case _ => Map(k -> fromNode(v))
         }
-      } else fields.map { case (k, v) => k -> fromNode(v) }.toMap
+      } else {
+        // build the Map directly from the entry iterator — the old
+        // properties().asScala Set materialization hashed a tuple per
+        // field of every object in the document
+        val b = Map.newBuilder[String, Any]
+        val it = n.properties().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          b += (e.getKey -> fromNode(e.getValue))
+        }
+        b.result()
+      }
     } else throw new DecodingError(s"Unsupported JSON node: $n")
   }
 }
