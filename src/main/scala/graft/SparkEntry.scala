@@ -115,6 +115,24 @@ object SparkEntry {
     ds.repartition(math.max(50L, ds.sizes.get.sum / 20)).writeParquet(out)
   }
 
+  /** Build-once two-generation history fixture (orders indexed on
+    * o_orderkey, then one retained upsert: %701 keys updated, %997
+    * keys re-inserted under +1e9 ids) — the shared input of the batch
+    * change-feed query and its streaming twin. */
+  private def ordersFeedFixture(s: SparkSession, d: String): String =
+    fixture("ordkey20feed", d) { out =>
+      ordersByKey20(s, d)(out)
+      val orders = s.read.parquet(T(d, "orders"))
+      val upd = orders.filter(col("o_orderkey") % 701 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val ins = orders.filter(col("o_orderkey") % 997 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+        .withColumn("o_orderpriority", lit("NEW"))
+      graft.operators.Maintenance.upsert(
+        s, out, upd.unionByName(ins), retain = true)
+    }
+
   /** Orders (key, custkey, derived integral o_qty) indexed on
     * o_orderkey in ~20 files — the builder behind [[ordQtySrc]] and
     * the incremental-view query's mutable copy. */
@@ -405,20 +423,28 @@ object SparkEntry {
       // The feed is a READ: build the two-generation history once,
       // time only `changes(0)` — the signed multiset diff over the
       // files present in exactly one generation.
-      val dir = fixture("ordkey20feed", d) { out =>
-        ordersByKey20(s, d)(out)
-        val orders = s.read.parquet(T(d, "orders"))
-        val upd = orders.filter(col("o_orderkey") % 701 === 0)
-          .withColumn("o_orderstatus", lit("U"))
-          .withColumn("o_totalprice", col("o_totalprice") * 2)
-        val ins = orders.filter(col("o_orderkey") % 997 === 0)
-          .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
-          .withColumn("o_orderpriority", lit("NEW"))
-        graft.operators.Maintenance.upsert(
-          s, out, upd.unionByName(ins), retain = true)
-      }
+      val dir = ordersFeedFixture(s, d)
       graft.operators.Maintenance.changes(s, dir, 0)
         .orderBy("o_orderkey", "change_type")
+    }),
+
+    // The same change feed consumed through the STREAMING source:
+    // readStream.format("graft") from generation 0 must emit exactly
+    // the batch feed's rows (the oracle is q_changes's) — offsets are
+    // generation numbers, the batch per generation is O(delta).
+    "q_changes_stream" -> ((s, d) => {
+      val dir = ordersFeedFixture(s, d)
+      // bench repeats queries in one session: a unique memory-sink
+      // name per invocation keeps runs independent
+      val sink = "q_changes_stream_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = s.readStream.format("graft")
+        .option("startingVersion", 0).load(dir)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(sink).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.table(sink).orderBy("o_orderkey", "change_type")
     }),
 
     // Incrementally-maintained aggregate view: build once, mutate the
@@ -632,6 +658,21 @@ object SparkEntry {
       val delta = s.read.parquet(T(d, "lineitem"))
         .filter(col("l_orderkey") % 11 === 0)
       graft.operators.Constraints.audit(s, dir, delta).orderBy("name")
+    }),
+
+    // The statement-level DDL surface end-to-end: two ALTER TABLE ADD
+    // CONSTRAINT (each validating the table in one counting scan), a
+    // DROP, and the SHOW CONSTRAINTS listing — all via spark.sql
+    // against a fresh mutable copy (declares mutate the sidecar).
+    "q_sql_ddl" -> ((s, d) => {
+      val dir = mutableCopy("ordkey20", d)(ordersByKey20(s, d))
+      val g = s"graft.`$dir`"
+      s.sql(s"ALTER TABLE $g ADD CONSTRAINT price_pos " +
+        "CHECK (o_totalprice > 0)")
+      s.sql(s"ALTER TABLE $g ADD CONSTRAINT key_nn " +
+        "CHECK (o_orderkey IS NOT NULL)")
+      s.sql(s"ALTER TABLE $g DROP CONSTRAINT price_pos")
+      s.sql(s"SHOW CONSTRAINTS $g")
     }),
 
     "q_restore" -> ((s, d) => {
@@ -2243,6 +2284,25 @@ object SparkEntry {
            UNION ALL SELECT *, 'insert' FROM ins
            UNION ALL SELECT *, 'delete' FROM orders WHERE o_orderkey % 701 = 0
            ORDER BY o_orderkey, change_type""",
+      // the streaming source must reconstruct the batch feed exactly:
+      // same oracle as q_changes
+      "q_changes_stream" ->
+        """WITH upd AS (
+             SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                    o_totalprice * 2 AS o_totalprice, o_orderdate,
+                    o_orderpriority
+             FROM orders WHERE o_orderkey % 701 = 0),
+           ins AS (
+             SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+                    o_orderstatus, o_totalprice, o_orderdate,
+                    'NEW' AS o_orderpriority
+             FROM orders WHERE o_orderkey % 997 = 0)
+           SELECT *, 'insert' AS change_type FROM upd
+           UNION ALL SELECT *, 'insert' FROM ins
+           UNION ALL SELECT *, 'delete' FROM orders WHERE o_orderkey % 701 = 0
+           ORDER BY o_orderkey, change_type""",
+      "q_sql_ddl" ->
+        "SELECT 'key_nn' AS name, 'o_orderkey IS NOT NULL' AS expression",
       "q_graft_source" ->
         """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
