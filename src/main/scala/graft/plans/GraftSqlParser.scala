@@ -81,6 +81,14 @@ object GraftSqlParser {
   private val Vacuum =
     ("""(?is)\s*VACUUM\s+""" + T +
       """(?:\s+RETAIN\s+LAST\s+(\d+))?\s*;?\s*""").r
+  private val Restore =
+    ("""(?is)\s*RESTORE\s+(?:TABLE\s+)?""" + T +
+      """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
+  private val Optimize =
+    ("""(?is)\s*OPTIMIZE\s+""" + T +
+      """\s+TARGET\s+(\d+)\s+ROWS\s*;?\s*""").r
+  private val DescDetail =
+    ("""(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+""" + T + """\s*;?\s*""").r
 
   private[plans] def parseGraft(sql: String): Option[LogicalPlan] =
     sql match {
@@ -92,9 +100,15 @@ object GraftSqlParser {
         Some(GraftShowConstraintsCommand(path(a, b)))
       case DescHistory(a, b) =>
         Some(GraftDescribeHistoryCommand(path(a, b)))
+      case DescDetail(a, b) =>
+        Some(GraftDescribeDetailCommand(path(a, b)))
       case Vacuum(a, b, n) =>
         Some(GraftVacuumCommand(path(a, b),
           Option(n).map(_.toInt).getOrElse(0)))
+      case Restore(a, b, v) =>
+        Some(GraftRestoreCommand(path(a, b), v.toInt))
+      case Optimize(a, b, rows) =>
+        Some(GraftOptimizeCommand(path(a, b), rows.toLong))
       case _ => None
     }
 }
@@ -147,6 +161,67 @@ final case class GraftDescribeHistoryCommand(path: String)
       StructField("index_columns", StringType, nullable = false))))
   override def run(sparkSession: SparkSession): Seq[Row] =
     Maintenance.history(sparkSession, path).collect().toIndexedSeq
+}
+
+/** `RESTORE [TABLE] g TO VERSION AS OF n` — metadata-only roll-back
+  * to a retained generation ([[Maintenance.restore]]; the outgoing
+  * generation is archived first, so a restore is itself undoable). */
+final case class GraftRestoreCommand(path: String, version: Int)
+    extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    Maintenance.restore(sparkSession, path, version)
+    Seq.empty
+  }
+}
+
+/** `OPTIMIZE g TARGET n ROWS` — bin-pack small files up to the
+  * target ([[Maintenance.compact]]: reads only sub-target files).
+  * Returns the rewrite report counts. */
+final case class GraftOptimizeCommand(path: String, targetRows: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = DataTypeUtils.toAttributes(
+    StructType(Seq(
+      StructField("rewritten", IntegerType, nullable = false),
+      StructField("dropped", IntegerType, nullable = false),
+      StructField("merged", IntegerType, nullable = false),
+      StructField("created", IntegerType, nullable = false),
+      StructField("untouched", IntegerType, nullable = false))))
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val r = Maintenance.compact(sparkSession, path, targetRows)
+    Seq(Row(r.rewritten, r.dropped, r.merged, r.created, r.untouched))
+  }
+}
+
+/** `DESCRIBE DETAIL g` — one driver-side row summarizing the table:
+  * listing size, row count, index columns, constraint count, pending
+  * deletion vectors, retained generations. Zero data files read. */
+final case class GraftDescribeDetailCommand(path: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = DataTypeUtils.toAttributes(
+    StructType(Seq(
+      StructField("location", StringType, nullable = false),
+      StructField("index_columns", StringType, nullable = false),
+      StructField("n_files", IntegerType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("size_bytes", LongType, nullable = false),
+      StructField("n_constraints", IntegerType, nullable = false),
+      StructField("pending_deletion_vectors", BooleanType,
+        nullable = false),
+      StructField("retained_versions", IntegerType, nullable = false))))
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val m = graft.core.Sidecar.load(sparkSession, path)
+    val (_, dirPath) = graft.core.GraftFs.resolve(sparkSession, path)
+    val bytes = graft.core.GraftFs.fileSizes(
+      sparkSession.sparkContext.hadoopConfiguration,
+      m.files.map(f =>
+        new org.apache.hadoop.fs.Path(dirPath, f).toString))
+      .map(_._2).sum
+    Seq(Row(path, m.indexColumns.mkString(","), m.files.length,
+      m.sizes.sum, bytes,
+      Constraints.list(sparkSession, path).size,
+      graft.operators.DeletionVectors.exists(sparkSession, path),
+      Maintenance.versions(sparkSession, path).length))
+  }
 }
 
 /** `VACUUM g [RETAIN LAST n]` — deletes unreferenced archived

@@ -74,7 +74,8 @@ final class GraftSource extends RelationProvider
       schema.getOrElse(graft.streaming.ChangeFeedSource.feedSchema(
         Sidecar.load(spark, path).schema)),
       graft.streaming.ChangeFeedSource.resolveStart(
-        spark, path, parameters))
+        spark, path, parameters),
+      parameters.get("maxGenerationsPerBatch").map(_.toInt))
   }
 
   override def createRelation(

@@ -35,6 +35,10 @@ import graft.operators.Maintenance
   *   - `option("startingVersion", n | "earliest")` seeds the first
   *     batch; default = the current generation at stream start
   *     (changes from now on only).
+  *   - `option("maxGenerationsPerBatch", n)` rate-limits catch-up:
+  *     each micro-batch advances at most n generations, so replaying
+  *     a long retained history produces bounded batches instead of
+  *     one diff over the whole span.
   *
   * Schema is fixed at stream start (table schema + `change_type`).
   * If the table's schema evolves mid-stream the next batch refuses
@@ -44,7 +48,8 @@ final class ChangeFeedSource(
     spark: SparkSession,
     path: String,
     declaredSchema: StructType,
-    startVersion: Int) extends Source {
+    startVersion: Int,
+    maxGensPerBatch: Option[Int] = None) extends Source {
 
   override def schema: StructType = declaredSchema
 
@@ -54,9 +59,30 @@ final class ChangeFeedSource(
   private def currentVersion: Int =
     Maintenance.versions(spark, path).lastOption.map(_ + 1).getOrElse(0)
 
+  /** Highest end offset handed out (or recovered via getBatch) in
+    * this process — the floor `maxGenerationsPerBatch` throttles
+    * from. Purely a pacing aid: correctness comes from the engine's
+    * checkpointed offsets. */
+  private var lastEmitted: Option[Int] = None
+
   override def getOffset: Option[OffsetV1] = {
-    val v = math.max(currentVersion, startVersion)
-    if (v <= startVersion) None else Some(LongOffset(v.toLong))
+    val cur = currentVersion
+    val floor = math.max(startVersion,
+      lastEmitted.getOrElse(startVersion))
+    // Rate limiting (the Delta maxFilesPerTrigger analogue at
+    // generation granularity): a stream catching up over a long
+    // retained history advances at most maxGensPerBatch generations
+    // per micro-batch, bounding each batch's delta volume, instead
+    // of diffing the full span in one shot.
+    val target = maxGensPerBatch match {
+      case Some(mx) => math.min(cur, floor + mx)
+      case None => cur
+    }
+    if (target <= startVersion) None
+    else {
+      lastEmitted = Some(math.max(floor, target))
+      Some(LongOffset(target.toLong))
+    }
   }
 
   private def ver(o: OffsetV1): Int = o match {
@@ -90,6 +116,9 @@ final class ChangeFeedSource(
       start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val from = start.map(ver).getOrElse(startVersion)
     val to = ver(end)
+    // checkpoint recovery lands here before any getOffset: seed the
+    // pacing floor so the next batch continues from the recovered end
+    if (lastEmitted.forall(_ < to)) lastEmitted = Some(to)
     val batch: DataFrame =
       if (from >= to)
         spark.createDataFrame(

@@ -485,6 +485,19 @@ class GraftSourceSpec extends AnyFunSuite {
     spark.sql(s"VACUUM '$out' RETAIN LAST 1").head().getInt(0)
     assert(spark.sql(s"DESCRIBE HISTORY $g").collect()
       .map(_.getAs[Int]("version")).toSeq == Seq(1, 2))
+    // DESCRIBE DETAIL: one driver-side summary row, no data read
+    val det = spark.sql(s"DESCRIBE DETAIL $g").head()
+    assert(det.getAs[Long]("n_rows") == 48)
+    assert(det.getAs[String]("index_columns") == "k")
+    assert(!det.getAs[Boolean]("pending_deletion_vectors"))
+    assert(det.getAs[Int]("retained_versions") == 1)
+    // OPTIMIZE bin-packs via SQL; rows unchanged
+    spark.sql(s"OPTIMIZE $g TARGET 1000 ROWS").head()
+    assert(spark.read.format("graft").load(out).count() == 48)
+    // RESTORE rolls back to the retained generation (49 rows: only
+    // the first delete applied)
+    spark.sql(s"RESTORE TABLE $g TO VERSION AS OF 1")
+    assert(spark.read.format("graft").load(out).count() == 49)
     // non-graft statements pass through untouched
     assert(spark.sql("SELECT 1 + 1").head().getInt(0) == 2)
   }

@@ -333,4 +333,31 @@ class StreamingSpec extends AnyFunSuite {
         == "delete")
     } finally q3.stop()
   }
+
+  test("maxGenerationsPerBatch paces catch-up one generation per " +
+      "micro-batch") {
+    import graft.core.PDataset
+    import graft.operators.Maintenance
+    val dir = Files.createTempDirectory("graft-cdc-pace").toString + "/t"
+    val rows = spark.range(0, 200).select(
+      col("id").as("k"), concat(lit("p"), col("id")).as("payload"))
+    PDataset.fromDataFrame(rows, Seq("k")).repartition(100).writeParquet(dir)
+    // three retained mutations BEFORE the stream starts
+    (1L to 3L).foreach(k => Maintenance.deleteKeys(
+      spark, dir, Seq(k).toDF("k"), retain = true))
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "earliest")
+      .option("maxGenerationsPerBatch", 1).load(dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cdc_paced").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdc_paced").count() == 3)
+      // the catch-up must have advanced one generation per batch —
+      // three data-carrying batches, not one 0->3 diff
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches == 3,
+        s"expected 3 paced batches, got $dataBatches")
+    } finally q.stop()
+  }
 }
