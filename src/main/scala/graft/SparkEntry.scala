@@ -634,6 +634,30 @@ object SparkEntry {
         count(col("o_totalprice")).as("price_n"),
         count(lit(1)).as("n"))),
 
+    // Metadata-only GROUPED aggregates: the table is bucket-clustered
+    // (every file constant in the leading index column), so GROUP BY
+    // bucket answers count/min/max/sum per group purely from sidecar
+    // row counts + column stats — zero files read at any table size
+    // (the date-partitioned `GROUP BY event_date` shape).
+    // MetadataCountSpec pins the LocalTableScan plan; this query pins
+    // the VALUES against DuckDB.
+    "q_metadata_groupby" -> ((s, d) => {
+      val dir = fixture("metagroupby", d) { out =>
+        val orders = s.read.parquet(T(d, "orders")).select(
+          (col("o_orderkey") % 4).as("bucket"),
+          col("o_orderkey"), col("o_custkey"))
+        val parts = (0 until 4).map(b => PDataset.fromDataFrame(
+          orders.filter(col("bucket") === b), Seq("bucket", "o_orderkey")))
+        PDataset.concat(parts).writeParquet(out)
+        graft.core.ColumnStats.build(s, out, Seq("o_custkey"))
+      }
+      s.read.format("graft").load(dir)
+        .groupBy("bucket").agg(count(lit(1)).as("n"),
+          min("o_custkey").as("min_ck"), max("o_custkey").as("max_ck"),
+          sum("o_custkey").as("sum_ck"))
+        .orderBy("bucket")
+    }),
+
     // CHECK constraints: the write-path guard run as a dry-run —
     // per-constraint violation counts of a candidate delta, all
     // constraints in ONE aggregate job (Constraints.audit). The
@@ -2217,6 +2241,11 @@ object SparkEntry {
                   count(o_totalprice) AS price_n,
                   count(*) AS n
            FROM orders""",
+      "q_metadata_groupby" ->
+        """SELECT o_orderkey % 4 AS bucket, count(*) AS n,
+                  min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
+                  CAST(sum(o_custkey) AS BIGINT) AS sum_ck
+           FROM orders GROUP BY 1 ORDER BY bucket""",
       "q_constraint" ->
         """WITH delta AS (
              SELECT * FROM lineitem WHERE l_orderkey % 11 = 0)

@@ -47,11 +47,23 @@ import graft.core.Lex
   * stats coverage, or float/double `min`/`max` (count/sum need no
   * ordering and fold fine) declines. Installed lazily
   * whenever a graft relation is created (idempotent), and via
-  * `GraftExtensions` for extension-built sessions. */
+  * `GraftExtensions` for extension-built sessions.
+  *
+  * GROUPED aggregates fold too when the single grouping column is
+  * provably CONSTANT within every file — the date/bucket-clustered
+  * layout (leading index column with lb == ub per file, or a stats
+  * column with min == max and zero nulls): each group's answer folds
+  * over exactly its files, so `GROUP BY event_date` over a
+  * date-clustered 100 TB table reads nothing. All-null files form
+  * the SQL NULL group, zero-row files belong to no group, any file
+  * straddling two group values declines, and group-key types are
+  * restricted to those whose driver equality is SQL grouping
+  * equality (float/double/decimal decline). */
 object MetadataCount extends Rule[LogicalPlan] {
 
   private sealed trait MetaAgg
   private case object CountStar extends MetaAgg
+  private case object GroupKey extends MetaAgg
   private final case class CountCol(a: AttributeReference) extends MetaAgg
   private final case class MinCol(a: AttributeReference) extends MetaAgg
   private final case class MaxCol(a: AttributeReference) extends MetaAgg
@@ -64,12 +76,95 @@ object MetadataCount extends Rule[LogicalPlan] {
       if (classified.exists(_.isEmpty)) agg
       else graftIndex(child) match {
         case Some((g, names)) =>
-          val answers = classified.map(_.get).map(answer(g, names, _))
+          val all = g.headBounds.indices
+          val answers = classified.map(_.get).map(answer(g, names, _, all))
           if (answers.exists(_.isEmpty)) agg
           else LocalRelation(agg.output,
             Seq(InternalRow.fromSeq(answers.map(_.get))))
         case None => agg
       }
+    // Grouped fold: GROUP BY one column that is CONSTANT within every
+    // file — the date/bucket-clustered layout where each file belongs
+    // to exactly one group (leading index column with lb == ub, or a
+    // stats column with min == max and no nulls). Each group's
+    // aggregates then fold over just its files: a 100 TB
+    // `GROUP BY event_date` over a date-clustered table answers with
+    // zero files read. Any file straddling two group values declines.
+    case agg @ Aggregate(
+        Seq(gk: AttributeReference), aggExprs, child, _)
+        if aggExprs.nonEmpty =>
+      val classified = aggExprs.map {
+        case a: AttributeReference if a.exprId == gk.exprId =>
+          Some(GroupKey)
+        case Alias(a: AttributeReference, _) if a.exprId == gk.exprId =>
+          Some(GroupKey)
+        case e => classify(e)
+      }
+      if (classified.exists(_.isEmpty)) agg
+      else graftIndex(child) match {
+        case Some((g, names)) =>
+          groupValues(g, names, gk) match {
+            case Some(perFile) =>
+              // zero-row files belong to no group (the engine emits
+              // no row for them); rowCounts gate the whole fold
+              g.rowCounts match {
+                case Some(rc) =>
+                  val keyed = perFile.indices.filter(rc(_) > 0L)
+                    .groupBy(perFile).toIndexedSeq
+                  val toKey = CatalystTypeConverters
+                    .createToCatalystConverter(gk.dataType)
+                  val rows = keyed.map { case (gv, idxs) =>
+                    val answers = classified.map(_.get).map {
+                      case GroupKey => Some(toKey(gv.orNull))
+                      case m => answer(g, names, m, idxs)
+                    }
+                    if (answers.exists(_.isEmpty)) None
+                    else Some(InternalRow.fromSeq(answers.map(_.get)))
+                  }
+                  if (rows.exists(_.isEmpty)) agg
+                  else LocalRelation(agg.output, rows.map(_.get))
+                case None => agg
+              }
+            case None => agg
+          }
+        case None => agg
+      }
+  }
+
+  /** Per-file group value of `gk` (inner None = the NULL group), when
+    * EVERY file is provably single-valued in it; None = not derivable
+    * (decline). Sources: the leading index column's scalar head
+    * bounds, else complete column stats. Group-key types are
+    * restricted to those whose driver-side equality matches SQL
+    * grouping exactly (float/double NaN/-0.0 normalization and
+    * decimal scale-equality make those decline). */
+  private def groupValues(
+      g: GraftFileIndex, names: Map[ExprId, String],
+      gk: AttributeReference): Option[IndexedSeq[Option[Any]]] = {
+    import org.apache.spark.sql.types._
+    val groupable = gk.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | BooleanType |
+          StringType | DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    if (!groupable) return None
+    names.get(gk.exprId).flatMap { col =>
+      def fromBounds(per: IndexedSeq[(Option[Any], Option[Any])]):
+          Option[IndexedSeq[Option[Any]]] = {
+        val vals = per.map {
+          case (Some(lo), Some(hi)) if Lex.valueCmp(lo, hi) == 0 =>
+            Some(Some(lo))
+          case (None, None) => Some(None) // all-null: the NULL group
+          case _ => None // straddles values or mixes nulls: decline
+        }
+        if (vals.exists(_.isEmpty)) None else Some(vals.map(_.get))
+      }
+      if (g.leadingColumn.contains(col)) fromBounds(g.headBounds)
+      else completeStats(g, names, gk).flatMap { per =>
+        fromBounds(per.map(s =>
+          (if (s.nulls == 0L) s.min else None, s.max)))
+      }
+    }
   }
 
   private def classify(e: NamedExpression): Option[MetaAgg] = e match {
@@ -98,24 +193,30 @@ object MetadataCount extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** The metadata answer as an INTERNAL value (None = not answerable
-    * from metadata; the aggregate stays). `names` maps each attribute
-    * the aggregate may reference (possibly through alias-only
-    * projections) to its underlying relation column name. */
+  /** The metadata answer over the files in `idxs` as an INTERNAL
+    * value (None = not answerable from metadata; the aggregate
+    * stays). The ungrouped fold passes every file; the grouped fold
+    * passes one group's files. `names` maps each attribute the
+    * aggregate may reference (possibly through alias-only
+    * projections) to its underlying relation column name. Coverage
+    * requirements (complete stats, recorded sums) stay TABLE-wide —
+    * every file belongs to some group, so subsetting never weakens
+    * them. */
   private def answer(
       g: GraftFileIndex, names: Map[ExprId, String],
-      m: MetaAgg): Option[Any] = m match {
-    case CountStar => g.rowCounts.map(_.sum)
+      m: MetaAgg, idxs: IndexedSeq[Int]): Option[Any] = m match {
+    case CountStar => g.rowCounts.map(rc => idxs.map(rc).sum)
     // count ignores ordering entirely (it needs only null counts), so
     // float/double columns fold here even though min/max decline
     case CountCol(a) => completeStats(g, names, a).flatMap { per =>
-      g.rowCounts.map(_.sum - per.map(_.nulls).sum)
+      g.rowCounts.map(rc => idxs.map(rc).sum - idxs.map(per(_).nulls).sum)
     }
     case MinCol(a) if exactlyOrdered(a.dataType) =>
-      completeStats(g, names, a).map(per => fold(per.flatMap(_.min), a))
+      completeStats(g, names, a).map(per =>
+        fold(idxs.flatMap(per(_).min), a))
     case MaxCol(a) if exactlyOrdered(a.dataType) =>
       completeStats(g, names, a).map(per =>
-        fold(per.flatMap(_.max), a, max = true))
+        fold(idxs.flatMap(per(_).max), a, max = true))
     case SumCol(a, ansi) => completeStats(g, names, a)
       // every file must carry a RECORDED sum (integral column, stats
       // built by a sum-aware version); all-null files contribute no
@@ -127,12 +228,14 @@ object MetadataCount extends Rule[LogicalPlan] {
       .filter(per => per.forall(_.sum.isDefined) &&
         (!ansi || per.forall(_.sumExact)))
       .flatMap { per =>
-        val terms = per.flatMap(_.sum.get)
+        val terms = idxs.flatMap(per(_).sum.get)
         if (terms.isEmpty) Some(null)
         else if (!ansi) Some(Long.box(terms.sum))
         else scala.util.Try(
           Long.box(terms.reduce(Math.addExact(_, _)))).toOption
       }
+    // GroupKey (answered by the grouped fold directly) and
+    // guard-failing min/max (float/double ordering) decline here
     case _ => None
   }
 

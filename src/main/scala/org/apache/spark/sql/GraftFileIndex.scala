@@ -355,6 +355,21 @@ final class GraftFileIndex(
       case _ => None
     }
 
+  /** The leading clustered column (head of the lex index; in
+    * independent-stats mode, the first stats column) — the one column
+    * whose per-file scalar bounds are always derivable. */
+  def leadingColumn: Option[String] = indexCols.headOption
+
+  /** Per-file scalar bounds of the leading column, in the sidecar's
+    * null-first encoding: lb None = the file may contain nulls in it
+    * (least non-null unknown), ub None = every row is null.
+    * `graft.plans.MetadataCount` derives file-constant GROUP BY
+    * values from these (lb == ub non-null → constant; both None →
+    * the NULL group). */
+  def headBounds: IndexedSeq[(Option[Any], Option[Any])] =
+    files.indices.map(i =>
+      (lbs(i).headOption.flatten, ubs(i).headOption.flatten))
+
   override def inputFiles: Array[String] =
     statuses.map(_.getPath.toString).toArray
   override def refresh(): Unit = ()

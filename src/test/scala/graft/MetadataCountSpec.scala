@@ -179,6 +179,81 @@ class MetadataCountSpec extends AnyFunSuite {
       rr.getLong(2) == 200L)
   }
 
+  test("GROUP BY a file-constant leading index column folds per " +
+      "group with zero reads") {
+    val d = tempDir("metagroup") + "/ds"
+    // 8 files indexed on (bucket, k): TWO files per bucket value, so
+    // the group spans files but every file sits in exactly one group
+    val parts = for (b <- 0 until 4; half <- 0 until 2) yield
+      PDataset.fromDataFrame(
+        spark.range(0L, 50L).select(
+          lit(b.toLong).as("bucket"),
+          (col("id") + half * 50 + b * 1000).as("k"),
+          (col("id") * 2 + b).as("v")),
+        Seq("bucket", "k"))
+    PDataset.concat(parts).writeParquet(d)
+    graft.core.ColumnStats.build(spark, d, Seq("v"))
+    val rel = spark.read.format("graft").load(d)
+    val q = rel.groupBy("bucket").agg(count(lit(1)).as("n"),
+      min("v").as("mn"), max("v").as("mx"), sum("v").as("sm"))
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    val want = (0 until 4).map { b =>
+      val vs = (0 until 100).map(i => (i % 50) * 2L + b)
+      (b.toLong, 100L, vs.min, vs.max, vs.sum)
+    }
+    assert(got == want, s"got $got")
+    assert(planOf(q).contains("LocalTableScan") &&
+      !planOf(q).contains("FileScan"),
+      s"expected a metadata-only grouped fold:\n${planOf(q)}")
+    // through an alias-only projection too
+    val aliased = rel.select(col("bucket").as("bk"), col("v"))
+      .groupBy("bk").agg(sum("v").as("sm"))
+    assert(planOf(aliased).contains("LocalTableScan"), planOf(aliased))
+    assert(aliased.collect().map(_.getLong(1)).sum == want.map(_._5).sum)
+    // a grouping column files STRADDLE takes the normal path
+    val q2 = rel.groupBy("k").agg(count(lit(1)))
+    assert(!planOf(q2).contains("LocalTableScan"), planOf(q2))
+  }
+
+  test("grouped fold: stats-column grouping and the NULL group") {
+    val d = tempDir("metagroupnull") + "/ds"
+    val parts = Seq(
+      PDataset.fromDataFrame(spark.range(0L, 100L).select(
+        col("id").as("k"), lit("a").as("src"), col("id").as("v")),
+        Seq("k")),
+      PDataset.fromDataFrame(spark.range(100L, 200L).select(
+        col("id").as("k"), lit("b").as("src"), col("id").as("v")),
+        Seq("k")),
+      PDataset.fromDataFrame(spark.range(200L, 260L).select(
+        col("id").as("k"), lit(null).cast("string").as("src"),
+        col("id").as("v")), Seq("k")))
+    PDataset.concat(parts).writeParquet(d)
+    graft.core.ColumnStats.build(spark, d, Seq("src", "v"))
+    val rel = spark.read.format("graft").load(d)
+    val q = rel.groupBy("src").agg(count(lit(1)).as("n"),
+      sum("v").as("sm"))
+    val got = q.collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1.getOrElse("")).toSet
+    assert(got == Set(
+      (None, 60L, (200L until 260L).sum),
+      (Some("a"), 100L, (0L until 100L).sum),
+      (Some("b"), 100L, (100L until 200L).sum)))
+    assert(planOf(q).contains("LocalTableScan"), planOf(q))
+    // a file MIXING nulls and values in the group column declines
+    val d2 = tempDir("metagroupmix") + "/ds"
+    PDataset.fromDataFrame(spark.range(0L, 50L).select(
+      col("id").as("k"),
+      when(col("id") % 2 === 0, lit("a")).as("src"),
+      col("id").as("v")), Seq("k")).writeParquet(d2)
+    graft.core.ColumnStats.build(spark, d2, Seq("src"))
+    val q2 = spark.read.format("graft").load(d2)
+      .groupBy("src").agg(count(lit(1)).as("n"))
+    assert(!planOf(q2).contains("LocalTableScan"), planOf(q2))
+    assert(q2.collect().map(_.getLong(1)).sum == 50L)
+  }
+
   test("high-precision decimal min/max fold to the exact engine value") {
     val d = tempDir("metadec") + "/ds"
     val df = spark.range(0L, 120L).select(

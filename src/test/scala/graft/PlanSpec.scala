@@ -23,6 +23,15 @@ class PlanSpec extends AnyFunSuite {
       .writeParquet(out)
   }
 
+  test("q_metadata_groupby's declared query really folds — " +
+      "LocalTableScan, no file scan") {
+    val df = SparkEntry.queries("q_metadata_groupby")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("FileScan"),
+      s"the grouped fold must answer from metadata:\n$plan")
+  }
+
   test("quotaCap plans a map-side group limit before the shuffle") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = graft.operators.Sampling.quotaCap(docs, "source", "doc_id", 5)
