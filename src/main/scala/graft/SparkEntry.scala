@@ -115,6 +115,20 @@ object SparkEntry {
     ds.repartition(math.max(50L, ds.sizes.get.sum / 20)).writeParquet(out)
   }
 
+  /** Bucket-clustered orders (leading index column `bucket` constant
+    * per file, o_custkey column stats) — the metadata-only
+    * grouped/filtered aggregate fixtures. */
+  private def bucketedOrdersFixture(s: SparkSession, d: String): String =
+    fixture("metagroupby", d) { out =>
+      val orders = s.read.parquet(T(d, "orders")).select(
+        (col("o_orderkey") % 4).as("bucket"),
+        col("o_orderkey"), col("o_custkey"))
+      val parts = (0 until 4).map(b => PDataset.fromDataFrame(
+        orders.filter(col("bucket") === b), Seq("bucket", "o_orderkey")))
+      PDataset.concat(parts).writeParquet(out)
+      graft.core.ColumnStats.build(s, out, Seq("o_custkey"))
+    }
+
   /** Build-once two-generation history fixture (orders indexed on
     * o_orderkey, then one retained upsert: %701 keys updated, %997
     * keys re-inserted under +1e9 ids) — the shared input of the batch
@@ -642,15 +656,7 @@ object SparkEntry {
     // MetadataCountSpec pins the LocalTableScan plan; this query pins
     // the VALUES against DuckDB.
     "q_metadata_groupby" -> ((s, d) => {
-      val dir = fixture("metagroupby", d) { out =>
-        val orders = s.read.parquet(T(d, "orders")).select(
-          (col("o_orderkey") % 4).as("bucket"),
-          col("o_orderkey"), col("o_custkey"))
-        val parts = (0 until 4).map(b => PDataset.fromDataFrame(
-          orders.filter(col("bucket") === b), Seq("bucket", "o_orderkey")))
-        PDataset.concat(parts).writeParquet(out)
-        graft.core.ColumnStats.build(s, out, Seq("o_custkey"))
-      }
+      val dir = bucketedOrdersFixture(s, d)
       s.read.format("graft").load(dir)
         .groupBy("bucket").agg(count(lit(1)).as("n"),
           min("o_custkey").as("min_ck"), max("o_custkey").as("max_ck"),
@@ -682,6 +688,18 @@ object SparkEntry {
       val delta = s.read.parquet(T(d, "lineitem"))
         .filter(col("l_orderkey") % 11 === 0)
       graft.operators.Constraints.audit(s, dir, delta).orderBy("name")
+    }),
+
+    // File-aligned WHERE + metadata fold: the predicate provably
+    // keeps whole files (bucket-clustered fixture), so the filtered
+    // count/min/max/sum still answers driver-side with zero files
+    // read — the "count rows in a date range" interactive shape.
+    "q_metadata_filtered" -> ((s, d) => {
+      val dir = bucketedOrdersFixture(s, d)
+      s.read.format("graft").load(dir)
+        .filter(col("bucket") >= 2)
+        .agg(count(lit(1)).as("n"), min("o_custkey").as("min_ck"),
+          max("o_custkey").as("max_ck"), sum("o_custkey").as("sum_ck"))
     }),
 
     // The statement-level DDL surface end-to-end: two ALTER TABLE ADD
@@ -2246,6 +2264,11 @@ object SparkEntry {
                   min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
                   CAST(sum(o_custkey) AS BIGINT) AS sum_ck
            FROM orders GROUP BY 1 ORDER BY bucket""",
+      "q_metadata_filtered" ->
+        """SELECT count(*) AS n, min(o_custkey) AS min_ck,
+                  max(o_custkey) AS max_ck,
+                  CAST(sum(o_custkey) AS BIGINT) AS sum_ck
+           FROM orders WHERE o_orderkey % 4 >= 2""",
       "q_constraint" ->
         """WITH delta AS (
              SELECT * FROM lineitem WHERE l_orderkey % 11 = 0)

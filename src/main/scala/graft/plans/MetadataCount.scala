@@ -42,12 +42,21 @@ import graft.core.Lex
   * contributes nothing, an all-null table yields NULL), `count(col)`
   * is rows minus recorded nulls. Fires only on `Aggregate(no
   * grouping, only those shapes, scan below column-forwarding
-  * projections)`: any Filter between aggregate and scan, DISTINCT, a
-  * FILTER clause, a computed projection, a column without complete
-  * stats coverage, or float/double `min`/`max` (count/sum need no
-  * ordering and fold fine) declines. Installed lazily
-  * whenever a graft relation is created (idempotent), and via
-  * `GraftExtensions` for extension-built sessions.
+  * projections)`: DISTINCT, a FILTER clause, a computed projection,
+  * a column without complete stats coverage, or float/double
+  * `min`/`max` (count/sum need no ordering and fold fine) declines.
+  * Installed lazily whenever a graft relation is created
+  * (idempotent), and via `GraftExtensions` for extension-built
+  * sessions.
+  *
+  * A WHERE clause between aggregate and scan folds too when it is
+  * FILE-ALIGNED: every file provably either fully satisfies the
+  * predicate or is fully excluded by it (tri-state evaluation of
+  * comparisons / IS [NOT] NULL / AND / OR against the leading index
+  * column's head bounds and the column-stats ranges) — the
+  * `count(*) WHERE event_date >= X` shape on a date-clustered table.
+  * One partially-overlapping file, a NOT, or any unsupported
+  * predicate shape declines to the normal scan.
   *
   * GROUPED aggregates fold too when the single grouping column is
   * provably CONSTANT within every file — the date/bucket-clustered
@@ -74,20 +83,19 @@ object MetadataCount extends Rule[LogicalPlan] {
     case agg @ Aggregate(Nil, aggExprs, child, _) if aggExprs.nonEmpty =>
       val classified = aggExprs.map(classify)
       if (classified.exists(_.isEmpty)) agg
-      else graftIndex(child) match {
-        case Some((g, names)) =>
-          val all = g.headBounds.indices
-          val answers = classified.map(_.get).map(answer(g, names, _, all))
+      else childInfo(child) match {
+        case Some((g, names, kept)) =>
+          val answers = classified.map(_.get).map(answer(g, names, _, kept))
           if (answers.exists(_.isEmpty)) agg
           else LocalRelation(agg.output,
             Seq(InternalRow.fromSeq(answers.map(_.get))))
         case None => agg
       }
     // Grouped fold: GROUP BY one column that is CONSTANT within every
-    // file — the date/bucket-clustered layout where each file belongs
-    // to exactly one group (leading index column with lb == ub, or a
-    // stats column with min == max and no nulls). Each group's
-    // aggregates then fold over just its files: a 100 TB
+    // (kept) file — the date/bucket-clustered layout where each file
+    // belongs to exactly one group (leading index column with lb ==
+    // ub, or a stats column with min == max and no nulls). Each
+    // group's aggregates then fold over just its files: a 100 TB
     // `GROUP BY event_date` over a date-clustered table answers with
     // zero files read. Any file straddling two group values declines.
     case agg @ Aggregate(
@@ -101,15 +109,15 @@ object MetadataCount extends Rule[LogicalPlan] {
         case e => classify(e)
       }
       if (classified.exists(_.isEmpty)) agg
-      else graftIndex(child) match {
-        case Some((g, names)) =>
-          groupValues(g, names, gk) match {
+      else childInfo(child) match {
+        case Some((g, names, kept)) =>
+          groupValues(g, names, gk, kept) match {
             case Some(perFile) =>
               // zero-row files belong to no group (the engine emits
               // no row for them); rowCounts gate the whole fold
               g.rowCounts match {
                 case Some(rc) =>
-                  val keyed = perFile.indices.filter(rc(_) > 0L)
+                  val keyed = kept.filter(rc(_) > 0L)
                     .groupBy(perFile).toIndexedSeq
                   val toKey = CatalystTypeConverters
                     .createToCatalystConverter(gk.dataType)
@@ -131,16 +139,203 @@ object MetadataCount extends Rule[LogicalPlan] {
       }
   }
 
+  /** The scan's index, attribute-name map, and the file indices the
+    * child plan provably keeps WHOLLY: column-forwarding projections
+    * pass through, and a Filter folds in when every file is either
+    * fully satisfied or fully excluded by it ([[alignedKeep]]) — the
+    * file-aligned `count(*) WHERE event_date >= X` shape. Any
+    * partially-overlapping file, unsupported predicate, or other
+    * node declines. */
+  private def childInfo(p: LogicalPlan):
+      Option[(GraftFileIndex, Map[ExprId, String], IndexedSeq[Int])] =
+    p match {
+      case Project(projs, child) =>
+        childInfo(child).flatMap { case (g, below, kept) =>
+          val mapped = projs.map {
+            case a: AttributeReference =>
+              below.get(a.exprId).map(a.exprId -> _)
+            case al @ Alias(a: AttributeReference, _) =>
+              below.get(a.exprId).map(al.exprId -> _)
+            case _ => None
+          }
+          if (mapped.exists(_.isEmpty)) None
+          else Some((g, mapped.flatten.toMap, kept))
+        }
+      case org.apache.spark.sql.catalyst.plans.logical
+          .Filter(cond, child) =>
+        childInfo(child).flatMap { case (g, names, kept) =>
+          // file-aligned filters need exact per-file row counts to
+          // drop zero-row files from the kept set
+          g.rowCounts.flatMap { rc =>
+            alignedKeep(g, names, cond).map { keepsAll =>
+              (g, names, kept.filter(i => rc(i) > 0L && keepsAll(i)))
+            }
+          }
+        }
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location match {
+              case g: GraftFileIndex =>
+                Some((g, lr.output.map(a => a.exprId -> a.name).toMap,
+                  g.headBounds.indices))
+              case _ => None
+            }
+          case _ => None
+        }
+      case _ => None
+    }
+
+  /** Per-file known column facts for tri-state predicate evaluation:
+    * non-null extrema (None = unknown / all-null), whether nulls MAY
+    * be present, and whether every row is provably null. */
+  private final case class ColFacts(
+      min: Option[Any], max: Option[Any],
+      mayNull: Boolean, allNull: Boolean)
+
+  private def colFacts(
+      g: GraftFileIndex, col: String): Option[Int => ColFacts] =
+    if (g.leadingColumn.contains(col)) {
+      val hb = g.headBounds
+      // null-first head bounds: lb None = nulls possible; both None =
+      // every row null
+      Some(i => {
+        val (lb, ub) = hb(i)
+        ColFacts(lb, ub, mayNull = lb.isEmpty,
+          allNull = lb.isEmpty && ub.isEmpty)
+      })
+    } else g.rawColStats.get(col)
+      .filter(per => per.nonEmpty && per.forall(_.isDefined))
+      .map(per => (i: Int) => {
+        val s = per(i).get
+        ColFacts(s.min, s.max, mayNull = s.nulls > 0L,
+          allNull = s.min.isEmpty && s.max.isEmpty)
+      })
+
+  /** TRUE-semantics tri-state per file: Full = every row satisfies
+    * the predicate, Empty = no row does (rows evaluating NULL count
+    * as not satisfying — Filter drops them), Partial = can't prove
+    * either. */
+  private sealed trait Tri
+  private case object Full extends Tri
+  private case object Empty extends Tri
+  private case object Partial extends Tri
+
+  /** Per-file whole-file keep classification of `cond`; None = some
+    * file is Partial or the predicate has an unsupported shape
+    * (decline the fold). NOT is unsupported: `NOT p` is true only
+    * where p is FALSE, and these facts track only where p is TRUE —
+    * null rows would flip unsoundly. */
+  private def alignedKeep(
+      g: GraftFileIndex, names: Map[ExprId, String],
+      cond: org.apache.spark.sql.catalyst.expressions.Expression):
+      Option[Int => Boolean] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val n = g.headBounds.length
+    def litVal(l: Literal): Option[Any] =
+      Option(l.value).flatMap(v => scala.util.Try(
+        CatalystTypeConverters.convertToScala(v, l.dataType)).toOption)
+    def comparableType(
+        dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      // float/double decline: NaN ordering in SQL comparisons differs
+      // from a naive driver compare
+      case org.apache.spark.sql.types.FloatType |
+          org.apache.spark.sql.types.DoubleType => false
+      case _ => true
+    }
+    def facts(a: AttributeReference): Option[Int => ColFacts] =
+      if (!comparableType(a.dataType)) None
+      else names.get(a.exprId).flatMap(colFacts(g, _))
+    def cmpTri(a: AttributeReference, l: Literal, op: String):
+        Option[Int => Tri] =
+      for { f <- facts(a); x <- litVal(l) } yield (i: Int) => {
+        val c = f(i)
+        def cmp(v: Any): Option[Int] =
+          scala.util.Try(Lex.valueCmp(v, x)).toOption
+        def all(p: Int => Boolean, edge: Option[Any]): Boolean =
+          !c.mayNull && !c.allNull && edge.flatMap(cmp).exists(p)
+        def none(p: Int => Boolean, edge: Option[Any]): Boolean =
+          c.allNull || edge.flatMap(cmp).exists(p)
+        val (isAll, isNone) = op match {
+          // ALL compares the adverse extreme; NONE the favorable one
+          case ">=" => (all(_ >= 0, c.min), none(_ < 0, c.max))
+          case ">"  => (all(_ > 0, c.min), none(_ <= 0, c.max))
+          case "<=" => (all(_ <= 0, c.max), none(_ > 0, c.min))
+          case "<"  => (all(_ < 0, c.max), none(_ >= 0, c.min))
+          case "=" =>
+            (!c.mayNull && !c.allNull &&
+              c.min.flatMap(cmp).contains(0) &&
+              c.max.flatMap(cmp).contains(0),
+              c.allNull || c.max.flatMap(cmp).exists(_ < 0) ||
+                c.min.flatMap(cmp).exists(_ > 0))
+        }
+        if (isAll) Full else if (isNone) Empty else Partial
+      }
+    def tri(e: Expression): Option[Int => Tri] = e match {
+      case And(l, r) => for { a <- tri(l); b <- tri(r) } yield
+        (i: Int) => (a(i), b(i)) match {
+          case (Full, Full) => Full
+          case (Empty, _) | (_, Empty) => Empty
+          case _ => Partial
+        }
+      case Or(l, r) => for { a <- tri(l); b <- tri(r) } yield
+        (i: Int) => (a(i), b(i)) match {
+          case (Full, _) | (_, Full) => Full
+          case (Empty, Empty) => Empty
+          case _ => Partial
+        }
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        cmpTri(a, l, ">=")
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        cmpTri(a, l, "<=")
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        cmpTri(a, l, ">")
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        cmpTri(a, l, "<")
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        cmpTri(a, l, "<=")
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        cmpTri(a, l, ">=")
+      case LessThan(a: AttributeReference, l: Literal) =>
+        cmpTri(a, l, "<")
+      case LessThan(l: Literal, a: AttributeReference) =>
+        cmpTri(a, l, ">")
+      case EqualTo(a: AttributeReference, l: Literal) => cmpTri(a, l, "=")
+      case EqualTo(l: Literal, a: AttributeReference) => cmpTri(a, l, "=")
+      case IsNotNull(a: AttributeReference) => facts(a).map(f =>
+        (i: Int) => {
+          val c = f(i)
+          if (!c.mayNull && !c.allNull) Full
+          else if (c.allNull) Empty else Partial
+        })
+      case IsNull(a: AttributeReference) => facts(a).map(f =>
+        (i: Int) => {
+          val c = f(i)
+          if (c.allNull) Full
+          else if (!c.mayNull) Empty else Partial
+        })
+      case _ => None
+    }
+    tri(cond).flatMap { f =>
+      val per = (0 until n).map(f)
+      if (per.contains(Partial)) None
+      else Some((i: Int) => per(i) == Full)
+    }
+  }
+
   /** Per-file group value of `gk` (inner None = the NULL group), when
-    * EVERY file is provably single-valued in it; None = not derivable
-    * (decline). Sources: the leading index column's scalar head
-    * bounds, else complete column stats. Group-key types are
+    * every KEPT file is provably single-valued in it; None = not
+    * derivable (decline). Sources: the leading index column's scalar
+    * head bounds, else complete column stats. Group-key types are
     * restricted to those whose driver-side equality matches SQL
     * grouping exactly (float/double NaN/-0.0 normalization and
-    * decimal scale-equality make those decline). */
+    * decimal scale-equality make those decline). Returns a TOTAL
+    * per-file map (indexed like the sidecar); callers index it by
+    * their kept set. */
   private def groupValues(
       g: GraftFileIndex, names: Map[ExprId, String],
-      gk: AttributeReference): Option[IndexedSeq[Option[Any]]] = {
+      gk: AttributeReference,
+      kept: IndexedSeq[Int]): Option[IndexedSeq[Option[Any]]] = {
     import org.apache.spark.sql.types._
     val groupable = gk.dataType match {
       case ByteType | ShortType | IntegerType | LongType | BooleanType |
@@ -151,11 +346,16 @@ object MetadataCount extends Rule[LogicalPlan] {
     names.get(gk.exprId).flatMap { col =>
       def fromBounds(per: IndexedSeq[(Option[Any], Option[Any])]):
           Option[IndexedSeq[Option[Any]]] = {
-        val vals = per.map {
-          case (Some(lo), Some(hi)) if Lex.valueCmp(lo, hi) == 0 =>
-            Some(Some(lo))
-          case (None, None) => Some(None) // all-null: the NULL group
-          case _ => None // straddles values or mixes nulls: decline
+        val keptSet = kept.toSet
+        val vals = per.indices.map { i =>
+          per(i) match {
+            case (Some(lo), Some(hi)) if Lex.valueCmp(lo, hi) == 0 =>
+              Some(Some(lo))
+            case (None, None) => Some(None) // all-null: the NULL group
+            // straddling values / mixed nulls decline — unless the
+            // file was already filtered out (its value is never read)
+            case _ => if (keptSet(i)) None else Some(None)
+          }
         }
         if (vals.exists(_.isEmpty)) None else Some(vals.map(_.get))
       }
@@ -270,39 +470,6 @@ object MetadataCount extends Rule[LogicalPlan] {
         if ((c <= 0) != max) x else y
       }
       CatalystTypeConverters.createToCatalystConverter(a.dataType)(ext)
-    }
-
-  /** The scan's [[GraftFileIndex]] plus a map from each visible
-    * attribute to its underlying relation column name — walking
-    * through projections that only FORWARD columns (bare attributes
-    * or aliases of attributes, e.g. `select($"v".as("x"))`). Any
-    * computed projection, or any other node, declines. */
-  private def graftIndex(
-      p: LogicalPlan): Option[(GraftFileIndex, Map[ExprId, String])] =
-    p match {
-      case Project(projs, child) =>
-        graftIndex(child).flatMap { case (g, below) =>
-          val mapped = projs.map {
-            case a: AttributeReference =>
-              below.get(a.exprId).map(a.exprId -> _)
-            case al @ Alias(a: AttributeReference, _) =>
-              below.get(a.exprId).map(al.exprId -> _)
-            case _ => None
-          }
-          if (mapped.exists(_.isEmpty)) None
-          else Some((g, mapped.flatten.toMap))
-        }
-      case lr: LogicalRelation =>
-        lr.relation match {
-          case fs: HadoopFsRelation =>
-            fs.location match {
-              case g: GraftFileIndex =>
-                Some((g, lr.output.map(a => a.exprId -> a.name).toMap))
-              case _ => None
-            }
-          case _ => None
-        }
-      case _ => None
     }
 
   /** Install on the session's optimizer (idempotent). */

@@ -64,9 +64,11 @@ class MetadataCountSpec extends AnyFunSuite {
 
   test("filtered, grouped, and stats-less count(col) take the normal path") {
     val rel = spark.read.format("graft").load(dir)
-    val filtered = rel.filter(col("k") < 100).agg(count(lit(1)))
+    // k < 50 splits the first file — NOT file-aligned, so the
+    // filtered count must scan (k < 100 would fold: file-aligned)
+    val filtered = rel.filter(col("k") < 50).agg(count(lit(1)))
     assert(!planOf(filtered).contains("LocalTableScan"))
-    assert(filtered.collect().head.getLong(0) == 97L) // 3 keys deleted
+    assert(filtered.collect().head.getLong(0) == 47L) // 3 keys deleted
     val grouped = rel.groupBy("grp").agg(count(lit(1)))
     assert(!planOf(grouped).contains("LocalTableScan"))
     // grp carries no column stats here, so count(col) must scan
@@ -252,6 +254,50 @@ class MetadataCountSpec extends AnyFunSuite {
       .groupBy("src").agg(count(lit(1)).as("n"))
     assert(!planOf(q2).contains("LocalTableScan"), planOf(q2))
     assert(q2.collect().map(_.getLong(1)).sum == 50L)
+  }
+
+  test("file-aligned WHERE folds from metadata; straddling " +
+      "predicates scan") {
+    val d = tempDir("metafiltered") + "/ds"
+    val parts = (0 until 600 by 100).map(lo =>
+      PDataset.fromDataFrame(
+        spark.range(lo.toLong, lo + 100L).select(
+          col("id").as("k"), (col("id") * 3).as("v")), Seq("k")))
+    PDataset.concat(parts).writeParquet(d)
+    graft.core.ColumnStats.build(spark, d, Seq("v"))
+    val rel = spark.read.format("graft").load(d)
+    // range aligned to file boundaries: two files wholly in
+    val q = rel.filter(col("k") >= 200 && col("k") < 400)
+      .agg(count(lit(1)).as("n"), min("v").as("mn"),
+        max("v").as("mx"), sum("v").as("sm"))
+    val r = q.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((200L, 600L, 1197L, 3L * (200L until 400L).sum)))
+    assert(planOf(q).contains("LocalTableScan") &&
+      !planOf(q).contains("FileScan"),
+      s"expected a filter-aligned fold:\n${planOf(q)}")
+    // a provably-empty range folds to the empty aggregate
+    val q0 = rel.filter(col("k") >= 1000)
+      .agg(count(lit(1)).as("n"), min("v").as("mn"))
+    val r0 = q0.collect().head
+    assert(r0.getLong(0) == 0L && r0.isNullAt(1))
+    assert(planOf(q0).contains("LocalTableScan"), planOf(q0))
+    // disjunction of aligned ranges folds
+    val qor = rel.filter(col("k") < 100 || col("k") >= 500)
+      .agg(count(lit(1)).as("n"))
+    assert(qor.collect().head.getLong(0) == 200L)
+    assert(planOf(qor).contains("LocalTableScan"), planOf(qor))
+    // a stats-column predicate aligns too (v = 3k: v < 300 ≡ k < 100)
+    val qv = rel.filter(col("v") < 300).agg(count(lit(1)).as("n"))
+    assert(qv.collect().head.getLong(0) == 100L)
+    assert(planOf(qv).contains("LocalTableScan"), planOf(qv))
+    // a predicate splitting a file takes the normal path
+    val qs = rel.filter(col("k") >= 250).agg(count(lit(1)).as("n"))
+    assert(qs.collect().head.getLong(0) == 350L)
+    assert(!planOf(qs).contains("LocalTableScan"), planOf(qs))
+    // NOT is unsupported (null-flip unsound): normal path
+    val qn = rel.filter(!(col("k") < 200)).agg(count(lit(1)).as("n"))
+    assert(qn.collect().head.getLong(0) == 400L)
   }
 
   test("high-precision decimal min/max fold to the exact engine value") {

@@ -32,6 +32,14 @@ class PlanSpec extends AnyFunSuite {
       s"the grouped fold must answer from metadata:\n$plan")
   }
 
+  test("q_metadata_filtered's file-aligned WHERE really folds") {
+    val df = SparkEntry.queries("q_metadata_filtered")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("FileScan"),
+      s"the filter-aligned fold must answer from metadata:\n$plan")
+  }
+
   test("quotaCap plans a map-side group limit before the shuffle") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = graft.operators.Sampling.quotaCap(docs, "source", "doc_id", 5)
