@@ -334,6 +334,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q3.stop()
   }
 
+  test("change-feed replication keeps a replica converged with its " +
+      "source across upsert, delete and merge") {
+    import graft.core.PDataset
+    import graft.operators.Maintenance
+    import Fixtures.assertSameRows
+    val root = Files.createTempDirectory("graft-replica").toString
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    val rows = spark.range(0, 400).select(
+      col("id").as("k"), (col("id") % 5).as("grp"),
+      concat(lit("p"), col("id")).as("payload"))
+    PDataset.fromDataFrame(rows, Seq("k")).repartition(100).writeParquet(src)
+    // seed the replica from a snapshot
+    PDataset.fromDataFrame(
+      PDataset.scanParquet(spark, src).toDF, Seq("k"))
+      .repartition(100).writeParquet(dst)
+
+    def srcDf = PDataset.scanParquet(spark, src).toDF
+    def dstDf = PDataset.scanParquet(spark, dst).toDF
+    val q = graft.streaming.Replication.replicaSink(spark, src, dst,
+      Files.createTempDirectory("graft-replica-ckpt").toString)
+    try {
+      // update 10 rows + insert 3 fresh ones, one retained commit
+      Maintenance.upsert(spark, src,
+        rows.filter(col("k") < 10)
+          .withColumn("payload", lit("UPDATED"))
+          .unionByName(rows.filter(col("k") < 3)
+            .withColumn("k", col("k") + 9000L)),
+        retain = true)
+      q.processAllAvailable()
+      assertSameRows(dstDf, srcDf)
+      assert(dstDf.count() == 403)
+      // pure deletes
+      Maintenance.deleteKeys(spark, src,
+        spark.range(20, 30).select(col("id").as("k")), retain = true)
+      q.processAllAvailable()
+      assertSameRows(dstDf, srcDf)
+      // a combined update + delete commit
+      Maintenance.merge(spark, src,
+        rows.filter(col("k").between(50, 54))
+          .withColumn("payload", lit("MERGED")),
+        spark.range(60, 63).select(col("id").as("k")),
+        retain = true)
+      q.processAllAvailable()
+      assertSameRows(dstDf, srcDf)
+      assert(dstDf.filter(col("payload") === "MERGED").count() == 5)
+    } finally q.stop()
+  }
+
   test("maxGenerationsPerBatch paces catch-up one generation per " +
       "micro-batch") {
     import graft.core.PDataset
