@@ -72,7 +72,7 @@ object MetadataCount extends Rule[LogicalPlan] {
 
   private sealed trait MetaAgg
   private case object CountStar extends MetaAgg
-  private case object GroupKey extends MetaAgg
+  private final case class GroupKey(a: AttributeReference) extends MetaAgg
   private final case class CountCol(a: AttributeReference) extends MetaAgg
   private final case class MinCol(a: AttributeReference) extends MetaAgg
   private final case class MaxCol(a: AttributeReference) extends MetaAgg
@@ -91,49 +91,60 @@ object MetadataCount extends Rule[LogicalPlan] {
             Seq(InternalRow.fromSeq(answers.map(_.get))))
         case None => agg
       }
-    // Grouped fold: GROUP BY one column that is CONSTANT within every
-    // (kept) file — the date/bucket-clustered layout where each file
-    // belongs to exactly one group (leading index column with lb ==
-    // ub, or a stats column with min == max and no nulls). Each
+    // Grouped fold: GROUP BY columns that are each CONSTANT within
+    // every (kept) file — the date/bucket-clustered layout where each
+    // file belongs to exactly one group (leading index column with
+    // lb == ub, or a stats column with min == max and no nulls). Each
     // group's aggregates then fold over just its files: a 100 TB
-    // `GROUP BY event_date` over a date-clustered table answers with
-    // zero files read. Any file straddling two group values declines.
-    case agg @ Aggregate(
-        Seq(gk: AttributeReference), aggExprs, child, _)
-        if aggExprs.nonEmpty =>
+    // `GROUP BY event_date, source` over a clustered table answers
+    // with zero files read; `SELECT DISTINCT event_date` is the
+    // aggregate-free case. A file straddling two group values
+    // declines.
+    case agg @ Aggregate(gks, aggExprs, child, _)
+        if gks.nonEmpty && aggExprs.nonEmpty &&
+          gks.forall(_.isInstanceOf[AttributeReference]) =>
+      val gkAttrs = gks.map(_.asInstanceOf[AttributeReference])
+        .toIndexedSeq
+      val gkIds = gkAttrs.map(_.exprId).toSet
       val classified = aggExprs.map {
-        case a: AttributeReference if a.exprId == gk.exprId =>
-          Some(GroupKey)
-        case Alias(a: AttributeReference, _) if a.exprId == gk.exprId =>
-          Some(GroupKey)
+        case a: AttributeReference if gkIds(a.exprId) =>
+          Some(GroupKey(a))
+        case Alias(a: AttributeReference, _) if gkIds(a.exprId) =>
+          Some(GroupKey(a))
         case e => classify(e)
       }
       if (classified.exists(_.isEmpty)) agg
       else childInfo(child) match {
         case Some((g, names, kept)) =>
-          groupValues(g, names, gk, kept) match {
-            case Some(perFile) =>
+          val valsPerKey = {
+            val each = gkAttrs.map(a =>
+              groupValues(g, names, a, kept).map(a.exprId -> _))
+            if (each.exists(_.isEmpty)) None
+            else Some(each.flatten.toMap)
+          }
+          (valsPerKey, g.rowCounts) match {
+            case (Some(vals), Some(rc)) =>
               // zero-row files belong to no group (the engine emits
               // no row for them); rowCounts gate the whole fold
-              g.rowCounts match {
-                case Some(rc) =>
-                  val keyed = kept.filter(rc(_) > 0L)
-                    .groupBy(perFile).toIndexedSeq
-                  val toKey = CatalystTypeConverters
-                    .createToCatalystConverter(gk.dataType)
-                  val rows = keyed.map { case (gv, idxs) =>
-                    val answers = classified.map(_.get).map {
-                      case GroupKey => Some(toKey(gv.orNull))
-                      case m => answer(g, names, m, idxs)
-                    }
-                    if (answers.exists(_.isEmpty)) None
-                    else Some(InternalRow.fromSeq(answers.map(_.get)))
-                  }
-                  if (rows.exists(_.isEmpty)) agg
-                  else LocalRelation(agg.output, rows.map(_.get))
-                case None => agg
+              val keyed = kept.filter(rc(_) > 0L)
+                .groupBy(i => gkAttrs.map(a => vals(a.exprId)(i)))
+                .toIndexedSeq
+              val toKey = gkAttrs.map(a => a.exprId ->
+                CatalystTypeConverters
+                  .createToCatalystConverter(a.dataType)).toMap
+              val rows = keyed.map { case (tuple, idxs) =>
+                val byId = gkAttrs.map(_.exprId).zip(tuple).toMap
+                val answers = classified.map(_.get).map {
+                  case GroupKey(a) =>
+                    Some(toKey(a.exprId)(byId(a.exprId).orNull))
+                  case m => answer(g, names, m, idxs)
+                }
+                if (answers.exists(_.isEmpty)) None
+                else Some(InternalRow.fromSeq(answers.map(_.get)))
               }
-            case None => agg
+              if (rows.exists(_.isEmpty)) agg
+              else LocalRelation(agg.output, rows.map(_.get))
+            case _ => agg
           }
         case None => agg
       }

@@ -191,10 +191,11 @@ class MetadataCountSpec extends AnyFunSuite {
         spark.range(0L, 50L).select(
           lit(b.toLong).as("bucket"),
           (col("id") + half * 50 + b * 1000).as("k"),
+          lit(half.toLong).as("half"),
           (col("id") * 2 + b).as("v")),
         Seq("bucket", "k"))
     PDataset.concat(parts).writeParquet(d)
-    graft.core.ColumnStats.build(spark, d, Seq("v"))
+    graft.core.ColumnStats.build(spark, d, Seq("v", "half"))
     val rel = spark.read.format("graft").load(d)
     val q = rel.groupBy("bucket").agg(count(lit(1)).as("n"),
       min("v").as("mn"), max("v").as("mx"), sum("v").as("sm"))
@@ -213,6 +214,21 @@ class MetadataCountSpec extends AnyFunSuite {
       .groupBy("bk").agg(sum("v").as("sm"))
     assert(planOf(aliased).contains("LocalTableScan"), planOf(aliased))
     assert(aliased.collect().map(_.getLong(1)).sum == want.map(_._5).sum)
+    // MULTI-column grouping: index-head bucket × stats-constant half
+    val qmc = rel.groupBy("bucket", "half")
+      .agg(count(lit(1)).as("n"), sum("v").as("sm"))
+    val gotMc = qmc.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(gotMc.size == 8 && gotMc((2L, 1L)) ==
+      ((50L, (0 until 50).map(i => i * 2L + 2).sum)))
+    assert(planOf(qmc).contains("LocalTableScan"), planOf(qmc))
+    // SELECT DISTINCT of a file-constant column is the aggregate-free
+    // grouped fold
+    val qd = rel.select("bucket").distinct()
+    assert(qd.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(0L, 1L, 2L, 3L))
+    assert(planOf(qd).contains("LocalTableScan"), planOf(qd))
     // a grouping column files STRADDLE takes the normal path
     val q2 = rel.groupBy("k").agg(count(lit(1)))
     assert(!planOf(q2).contains("LocalTableScan"), planOf(q2))
