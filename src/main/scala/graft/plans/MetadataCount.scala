@@ -282,6 +282,16 @@ object MetadataCount extends Rule[LogicalPlan] {
         }
         if (isAll) Full else if (isNone) Empty else Partial
       }
+    def orAll(fs: Seq[Int => Tri]): Int => Tri = (i: Int) => {
+      var anyFull = false
+      var allEmpty = true
+      fs.foreach(f => f(i) match {
+        case Full => anyFull = true; allEmpty = false
+        case Partial => allEmpty = false
+        case Empty => ()
+      })
+      if (anyFull) Full else if (allEmpty) Empty else Partial
+    }
     def tri(e: Expression): Option[Int => Tri] = e match {
       case And(l, r) => for { a <- tri(l); b <- tri(r) } yield
         (i: Int) => (a(i), b(i)) match {
@@ -313,6 +323,18 @@ object MetadataCount extends Rule[LogicalPlan] {
         cmpTri(a, l, ">")
       case EqualTo(a: AttributeReference, l: Literal) => cmpTri(a, l, "=")
       case EqualTo(l: Literal, a: AttributeReference) => cmpTri(a, l, "=")
+      // IN = OR of equalities under TRUE-semantics (a null element is
+      // never TRUE and litVal declines it conservatively)
+      case In(a: AttributeReference, vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        val each = vs.map(v => cmpTri(a, v.asInstanceOf[Literal], "="))
+        if (each.exists(_.isEmpty)) None
+        else Some(orAll(each.map(_.get)))
+      case InSet(a: AttributeReference, hset) if hset.nonEmpty =>
+        val each = hset.toSeq.map(v =>
+          cmpTri(a, Literal(v, a.dataType), "="))
+        if (each.exists(_.isEmpty)) None
+        else Some(orAll(each.map(_.get)))
       case IsNotNull(a: AttributeReference) => facts(a).map(f =>
         (i: Int) => {
           val c = f(i)

@@ -223,6 +223,12 @@ class MetadataCountSpec extends AnyFunSuite {
     assert(gotMc.size == 8 && gotMc((2L, 1L)) ==
       ((50L, (0 until 50).map(i => i * 2L + 2).sum)))
     assert(planOf(qmc).contains("LocalTableScan"), planOf(qmc))
+    // IN over a file-CONSTANT column folds (per-value equality
+    // OR-fold: each file is wholly one bucket)
+    val qin = rel.filter(col("bucket").isin(1L, 3L))
+      .agg(count(lit(1)).as("n"))
+    assert(qin.collect().head.getLong(0) == 200L)
+    assert(planOf(qin).contains("LocalTableScan"), planOf(qin))
     // SELECT DISTINCT of a file-constant column is the aggregate-free
     // grouped fold
     val qd = rel.select("bucket").distinct()
