@@ -702,6 +702,38 @@ object SparkEntry {
           max("o_custkey").as("max_ck"), sum("o_custkey").as("sum_ck"))
     }),
 
+    // Continuous replication end-to-end: a replica seeded from the
+    // same snapshot, converged through the source's CDC stream across
+    // a retained upsert (updates + inserts) and a retained key
+    // delete. The returned rows are the REPLICA's — the oracle is the
+    // mutated source recomputed in SQL, so a replication bug (missed
+    // delta, double apply, key mix-up) breaks the hash.
+    "q_replica" -> ((s, d) => {
+      val src = mutableCopy("ordkey20", d)(ordersByKey20(s, d))
+      val dst = mutableCopy("ordkey20", d)(ordersByKey20(s, d))
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-replica-ckpt").toString
+      val orders = s.read.parquet(T(d, "orders"))
+      val q = graft.streaming.Replication.replicaSink(s, src, dst, ckpt)
+      try {
+        val upd = orders.filter(col("o_orderkey") % 701 === 0)
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+        val ins = orders.filter(col("o_orderkey") % 997 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+          .withColumn("o_orderpriority", lit("NEW"))
+        graft.operators.Maintenance.upsert(s, src,
+          upd.unionByName(ins), retain = true)
+        q.processAllAvailable()
+        graft.operators.Maintenance.deleteKeys(s, src,
+          orders.filter(col("o_orderkey") % 401 === 0 &&
+            col("o_orderkey") =!= 0).select("o_orderkey"),
+          retain = true)
+        q.processAllAvailable()
+      } finally q.stop()
+      PDataset.scanParquet(s, dst).toDF.orderBy("o_orderkey")
+    }),
+
     // The statement-level DDL surface end-to-end: two ALTER TABLE ADD
     // CONSTRAINT (each validating the table in one counting scan), a
     // DROP, and the SHOW CONSTRAINTS listing — all via spark.sql
@@ -2355,6 +2387,21 @@ object SparkEntry {
            ORDER BY o_orderkey, change_type""",
       "q_sql_ddl" ->
         "SELECT 'key_nn' AS name, 'o_orderkey IS NOT NULL' AS expression",
+      "q_replica" ->
+        """WITH final AS (
+             SELECT o_orderkey, o_custkey,
+                    CASE WHEN o_orderkey % 701 = 0 THEN 'U'
+                         ELSE o_orderstatus END AS o_orderstatus,
+                    CASE WHEN o_orderkey % 701 = 0 THEN o_totalprice * 2
+                         ELSE o_totalprice END AS o_totalprice,
+                    o_orderdate, o_orderpriority
+             FROM orders
+             WHERE o_orderkey % 401 <> 0 OR o_orderkey = 0
+             UNION ALL
+             SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus,
+                    o_totalprice, o_orderdate, 'NEW'
+             FROM orders WHERE o_orderkey % 997 = 0)
+           SELECT * FROM final ORDER BY o_orderkey""",
       "q_graft_source" ->
         """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
