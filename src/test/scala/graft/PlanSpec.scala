@@ -32,6 +32,15 @@ class PlanSpec extends AnyFunSuite {
       s"the grouped fold must answer from metadata:\n$plan")
   }
 
+  test("q_metadata_minmax's declared query folds — including the " +
+      "count over a DOUBLE column") {
+    val df = SparkEntry.queries("q_metadata_minmax")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("FileScan"),
+      s"the mixed metadata aggregate must fold:\n$plan")
+  }
+
   test("q_metadata_filtered's file-aligned WHERE really folds") {
     val df = SparkEntry.queries("q_metadata_filtered")(spark, sf)
     df.collect()
