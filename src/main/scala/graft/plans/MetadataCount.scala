@@ -42,9 +42,11 @@ import graft.core.Lex
   * contributes nothing, an all-null table yields NULL), `count(col)`
   * is rows minus recorded nulls. Fires only on `Aggregate(no
   * grouping, only those shapes, scan below column-forwarding
-  * projections)`: DISTINCT, a FILTER clause, a computed projection,
-  * a column without complete stats coverage, or float/double
-  * `min`/`max` (count/sum need no ordering and fold fine) declines.
+  * projections)`: a FILTER clause, a computed projection, a column
+  * without complete stats coverage, or float/double `min`/`max`
+  * (count/sum need no ordering and fold fine) declines. DISTINCT
+  * declines too, except `count(DISTINCT c)` over a FILE-CONSTANT
+  * column — the number of distinct non-null per-file constants.
   * Installed lazily whenever a graft relation is created
   * (idempotent), and via `GraftExtensions` for extension-built
   * sessions.
@@ -78,6 +80,8 @@ object MetadataCount extends Rule[LogicalPlan] {
   private final case class MaxCol(a: AttributeReference) extends MetaAgg
   private final case class SumCol(
       a: AttributeReference, ansi: Boolean) extends MetaAgg
+  private final case class DistinctCountCol(
+      a: AttributeReference) extends MetaAgg
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(Nil, aggExprs, child, _) if aggExprs.nonEmpty =>
@@ -407,6 +411,12 @@ object MetadataCount extends Rule[LogicalPlan] {
     case Alias(AggregateExpression(
       Count(Seq(a: AttributeReference)), Complete, false, None, _), _) =>
       Some(CountCol(a))
+    // count(DISTINCT c) folds when c is file-constant (the number of
+    // distinct non-null per-file constants); groupValues supplies the
+    // same soundness proof the grouped fold uses
+    case Alias(AggregateExpression(
+      Count(Seq(a: AttributeReference)), Complete, true, None, _), _) =>
+      Some(DistinctCountCol(a))
     case Alias(AggregateExpression(
       Min(a: AttributeReference), Complete, false, None, _), _) =>
       Some(MinCol(a))
@@ -467,6 +477,12 @@ object MetadataCount extends Rule[LogicalPlan] {
         else scala.util.Try(
           Long.box(terms.reduce(Math.addExact(_, _)))).toOption
       }
+    case DistinctCountCol(a) =>
+      for {
+        vals <- groupValues(g, names, a, idxs)
+        rc <- g.rowCounts
+      } yield Long.box(idxs.filter(rc(_) > 0L).map(vals(_))
+        .filter(_.isDefined).distinct.size.toLong)
     // GroupKey (answered by the grouped fold directly) and
     // guard-failing min/max (float/double ordering) decline here
     case _ => None

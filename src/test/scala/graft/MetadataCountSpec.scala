@@ -229,6 +229,16 @@ class MetadataCountSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"))
     assert(qin.collect().head.getLong(0) == 200L)
     assert(planOf(qin).contains("LocalTableScan"), planOf(qin))
+    // count(DISTINCT c) over a file-constant column folds to the
+    // number of distinct per-file constants; over a straddling
+    // column it declines
+    val qcd = rel.agg(count_distinct(col("bucket")).as("nb"),
+      count(lit(1)).as("n"))
+    val rcd = qcd.collect().head
+    assert(rcd.getLong(0) == 4L && rcd.getLong(1) == 400L)
+    assert(planOf(qcd).contains("LocalTableScan"), planOf(qcd))
+    assert(!planOf(rel.agg(count_distinct(col("k"))))
+      .contains("LocalTableScan"))
     // SELECT DISTINCT of a file-constant column is the aggregate-free
     // grouped fold
     val qd = rel.select("bucket").distinct()
