@@ -245,6 +245,13 @@ class MetadataCountSpec extends AnyFunSuite {
     assert(qd.collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(0L, 1L, 2L, 3L))
     assert(planOf(qd).contains("LocalTableScan"), planOf(qd))
+    // the grouped fold composes with a file-aligned WHERE: only the
+    // kept buckets' groups fold
+    val qgf = rel.filter(col("bucket") >= 1 && col("bucket") < 3)
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    assert(qgf.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      .toSeq == Seq((1L, 100L), (2L, 100L)))
+    assert(planOf(qgf).contains("LocalTableScan"), planOf(qgf))
     // a grouping column files STRADDLE takes the normal path
     val q2 = rel.groupBy("k").agg(count(lit(1)))
     assert(!planOf(q2).contains("LocalTableScan"), planOf(q2))
