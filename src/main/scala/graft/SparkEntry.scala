@@ -2353,6 +2353,10 @@ object SparkEntry {
            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
            UNION ALL SELECT * FROM upd
            ORDER BY o_orderkey""",
+      // CDF classification: an updated key (one row lost, one row
+      // gained) emits its update_preimage/update_postimage pair; a
+      // brand-new key emits insert — the same per-key arithmetic the
+      // engine's one-window pass over the delta derives.
       "q_changes" ->
         """WITH upd AS (
              SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
@@ -2364,9 +2368,10 @@ object SparkEntry {
                     o_orderstatus, o_totalprice, o_orderdate,
                     'NEW' AS o_orderpriority
              FROM orders WHERE o_orderkey % 997 = 0)
-           SELECT *, 'insert' AS change_type FROM upd
+           SELECT *, 'update_postimage' AS change_type FROM upd
            UNION ALL SELECT *, 'insert' FROM ins
-           UNION ALL SELECT *, 'delete' FROM orders WHERE o_orderkey % 701 = 0
+           UNION ALL SELECT *, 'update_preimage'
+           FROM orders WHERE o_orderkey % 701 = 0
            ORDER BY o_orderkey, change_type""",
       // the streaming source must reconstruct the batch feed exactly:
       // same oracle as q_changes
@@ -2381,9 +2386,10 @@ object SparkEntry {
                     o_orderstatus, o_totalprice, o_orderdate,
                     'NEW' AS o_orderpriority
              FROM orders WHERE o_orderkey % 997 = 0)
-           SELECT *, 'insert' AS change_type FROM upd
+           SELECT *, 'update_postimage' AS change_type FROM upd
            UNION ALL SELECT *, 'insert' FROM ins
-           UNION ALL SELECT *, 'delete' FROM orders WHERE o_orderkey % 701 = 0
+           UNION ALL SELECT *, 'update_preimage'
+           FROM orders WHERE o_orderkey % 701 = 0
            ORDER BY o_orderkey, change_type""",
       "q_sql_ddl" ->
         "SELECT 'key_nn' AS name, 'o_orderkey IS NOT NULL' AS expression",

@@ -60,16 +60,67 @@ object GraftFs {
     try fs.listStatus(dir).toVector
     catch { case _: FileNotFoundException => Vector.empty }
 
-  def readString(fs: FileSystem, p: Path): String = {
+  def readString(fs: FileSystem, p: Path): String = retryChecksum {
     val in = fs.open(p)
     try new String(in.readAllBytes(), StandardCharsets.UTF_8)
     finally in.close()
   }
 
+  /** Retry a small read briefly on transient checksum errors: an
+    * atomic replace renames the data file and its `.crc` separately
+    * on checksummed local filesystems, so a concurrent reader landing
+    * between the two renames sees a mismatch that clears on the next
+    * attempt. Persistent corruption still surfaces after the bound. */
+  def retryChecksum[A](f: => A): A = {
+    var attempts = 0
+    while (true) {
+      try return f
+      catch {
+        case e: org.apache.hadoop.fs.ChecksumException =>
+          attempts += 1
+          if (attempts >= 20) throw e
+          Thread.sleep(25)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Retry a sidecar read briefly when the file is mid-REPLACE: a
+    * filesystem whose overwrite-rename degrades to delete-then-rename
+    * exposes a moment with no file at the target; the replacement
+    * lands immediately after, so a short bounded retry distinguishes
+    * that window from a genuinely missing sidecar (which still throws
+    * after the bound). */
+  def retryReplaced[A](f: => A): A = {
+    var attempts = 0
+    while (true) {
+      try return retryChecksum(f)
+      catch {
+        case e: java.io.FileNotFoundException =>
+          attempts += 1
+          if (attempts >= 20) throw e
+          Thread.sleep(25)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Write a small text file ATOMICALLY: stage under a hidden
+    * same-directory temp name, then rename into place. Readers never
+    * observe a partially-written file — load-bearing for the ledger
+    * files concurrent readers poll (`_graft_history/vN.json`, which
+    * the change-feed stream reads WHILE a maintenance commit writes
+    * it; a partial read there would defeat the stream's mid-commit
+    * detection). */
   def writeString(fs: FileSystem, p: Path, s: String): Unit = {
-    val out = fs.create(p, true)
+    val parent = Option(p.getParent).getOrElse(new Path("."))
+    val tmp = new Path(parent,
+      s".${p.getName}.tmp-${java.util.UUID.randomUUID().toString}")
+    val out = fs.create(tmp, true)
     try out.write(s.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    try moveOverwrite(fs, tmp, p)
+    finally { if (fs.exists(tmp)) fs.delete(tmp, false); () }
   }
 
   def deleteRecursive(fs: FileSystem, p: Path): Unit =

@@ -104,9 +104,12 @@ object Sidecar {
     val tmp = java.nio.file.Files.createTempDirectory("graft-schema-")
     try {
       val copy = tmp.resolve("schema.parquet")
-      val in = fs.open(file)
-      try java.nio.file.Files.copy(in, copy)
-      finally in.close()
+      GraftFs.retryReplaced {
+        java.nio.file.Files.deleteIfExists(copy)
+        val in = fs.open(file)
+        try java.nio.file.Files.copy(in, copy)
+        finally in.close()
+      }
       spark.read.parquet(copy.toString).schema
     } finally deleteRecursively(tmp)
   }

@@ -284,8 +284,10 @@ object IncrementalAgg {
           "is missing and no archived generation matches what the " +
             "view summarized"))
     val groupCols = m.groupCols
-    val sign = when(col("change_type") === "insert", lit(1L))
-      .otherwise(lit(-1L))
+    // CDF vocabulary: gains (insert / update_postimage) add, losses
+    // (delete / update_preimage) retract
+    val gain = col("change_type").isin("insert", "update_postimage")
+    val sign = when(gain, lit(1L)).otherwise(lit(-1L))
     val feed = Maintenance.changesBetween(spark, m.srcDir,
       Maintenance.versionMeta(spark, m.srcDir, baseV), curMeta)
     // Columns whose per-group state cannot RETRACT a deleted value:
@@ -299,7 +301,7 @@ object IncrementalAgg {
         sum(when(col(c).isNotNull, sign).otherwise(lit(0L)))
           .as(s"__dnn_${c}"))) ++
         (if (nonRetractable.isEmpty) Nil
-         else Seq(sum(when(col("change_type") === "delete", 1L)
+         else Seq(sum(when(!gain, 1L)
            .otherwise(0L)).as("__dels"))) ++
         m.minMaxCols.flatMap(c => Seq(
           min(col(c)).as(s"__dmin_${c}"),
@@ -307,7 +309,7 @@ object IncrementalAgg {
         // Sketch of the INSERTED values only: deletes contribute
         // nothing here (they trigger repair instead).
         m.distinctCols.map(c => hll_sketch_agg(
-          when(col("change_type") === "insert", col(c)))
+          when(gain, col(c)))
           .as(s"__dhll_${c}")): _*)
       .persist()
     try {

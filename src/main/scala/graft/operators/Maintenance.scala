@@ -212,11 +212,30 @@ object Maintenance {
     refreshBloom(spark, dir)
   }
 
+  /** [[restore]] with the target resolved by TIMESTAMP through the
+    * retained history's mtimes ([[metaAsOf]] semantics): roll back to
+    * the generation that was current at `tsMillis`. An instant at or
+    * after the newest archive resolves to the current generation —
+    * nothing to do, so the call is a no-op (no spurious archive
+    * commit). */
+  def restoreAsOf(spark: SparkSession, dir: String, tsMillis: Long): Unit = {
+    val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    archivedWithMtimes(fs, dirPath).find(_._2 > tsMillis) match {
+      case Some((v, _)) => restore(spark, dir, v)
+      case None => ()
+    }
+  }
+
   /** Change-data feed between two retained generations: every row
-    * inserted or deleted going from `fromVersion` to `toVersion`
-    * (`None` = the current generation), tagged with a `change_type`
-    * column (`"insert"` / `"delete"`; an update surfaces as the
-    * delete of its old row plus the insert of its new one).
+    * inserted, deleted or updated going from `fromVersion` to
+    * `toVersion` (`None` = the current generation), tagged with a
+    * `change_type` column in the Delta-CDF vocabulary: `"insert"`,
+    * `"delete"`, and — when an index key lost exactly one row and
+    * gained exactly one row across the span — the pair
+    * `"update_preimage"` (the old row) / `"update_postimage"` (the
+    * new row). Keys with any other delta multiplicity (possible only
+    * when the table holds duplicate index keys) keep plain
+    * insert/delete tags; so does a keyless (no index) table.
     *
     * Maintenance ops never modify a data file in place — new content
     * always lands under fresh names — so a file shared by both
@@ -278,14 +297,38 @@ object Maintenance {
     // row, grouped null-safe on every column (the same equality
     // EXCEPT ALL uses); a nonzero count is |count| inserts or
     // deletes, a zero count is a row the rewrite carried over.
-    newDf.withColumn("__delta", lit(1L))
+    val net = newDf.withColumn("__delta", lit(1L))
       .unionByName(oldDf.withColumn("__delta", lit(-1L)))
       .groupBy(dataCols: _*)
       .agg(sum("__delta").as("__delta"))
       .filter(col("__delta") =!= 0L)
-      .select(dataCols
-        :+ when(col("__delta") > 0, lit("insert")).otherwise(lit("delete"))
-          .as("change_type")
+    // Update pairing (Delta-CDF): per index key, one window pass over
+    // the DELTA rows only counts rows gained and rows lost across the
+    // span; a key with exactly one of each is an update — the lost
+    // row becomes its preimage, the gained row its postimage. Any
+    // other multiplicity (duplicate-key tables) and keyless tables
+    // keep the plain insert/delete tags.
+    val keyCols = toMeta.indexColumns.toIndexedSeq
+    val tagged =
+      if (keyCols.isEmpty) net.withColumn("change_type",
+        when(col("__delta") > 0, lit("insert")).otherwise(lit("delete")))
+      else {
+        val w = Window.partitionBy(keyCols.map(col): _*)
+        net
+          .withColumn("__ins",
+            sum(greatest(col("__delta"), lit(0L))).over(w))
+          .withColumn("__del",
+            sum(greatest(-col("__delta"), lit(0L))).over(w))
+          .withColumn("change_type",
+            when(col("__ins") === 1L && col("__del") === 1L,
+              when(col("__delta") > 0, lit("update_postimage"))
+                .otherwise(lit("update_preimage")))
+              .otherwise(when(col("__delta") > 0, lit("insert"))
+                .otherwise(lit("delete"))))
+          .drop("__ins", "__del")
+      }
+    tagged
+      .select(dataCols :+ col("change_type")
         :+ explode(sequence(lit(1L), abs(col("__delta")))).as("__i"): _*)
       .drop("__i")
   }

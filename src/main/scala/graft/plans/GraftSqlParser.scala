@@ -22,7 +22,13 @@ import graft.operators.{Constraints, Maintenance}
   *   ALTER TABLE graft.`/p` DROP CONSTRAINT [IF EXISTS] positive
   *   SHOW CONSTRAINTS [ON] graft.`/p`
   *   DESCRIBE HISTORY graft.`/p`
-  *   VACUUM graft.`/p` [RETAIN LAST 3]
+  *   DESCRIBE DETAIL graft.`/p`
+  *   VACUUM graft.`/p` RETAIN LAST 3
+  *   VACUUM graft.`/p` OLDER THAN INTERVAL 7 DAYS   -- or '<timestamp>'
+  *   RESTORE [TABLE] graft.`/p` TO VERSION AS OF 2
+  *   RESTORE [TABLE] graft.`/p` TO TIMESTAMP AS OF '2026-08-01'
+  *   OPTIMIZE graft.`/p` TARGET 1000000 ROWS
+  *   OPTIMIZE graft.`/p` ZORDER BY (a, b) [TARGET 8 FILES] [INTO '/q']
   *
   * Every statement maps onto the corresponding engine op
   * ([[Constraints]] / [[Maintenance]]) — semantics, validation scans
@@ -80,13 +86,24 @@ object GraftSqlParser {
     ("""(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+""" + T + """\s*;?\s*""").r
   private val Vacuum =
     ("""(?is)\s*VACUUM\s+""" + T +
-      """(?:\s+RETAIN\s+LAST\s+(\d+))?\s*;?\s*""").r
+      """(?:\s+RETAIN\s+LAST\s+(\d+))?""" +
+      """(?:\s+OLDER\s+THAN\s+(?:'([^']+)'""" +
+      """|(?:INTERVAL\s+)?(\d+)\s+(HOURS?|DAYS?|MINUTES?)))?""" +
+      """\s*;?\s*""").r
   private val Restore =
     ("""(?is)\s*RESTORE\s+(?:TABLE\s+)?""" + T +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
+  private val RestoreTs =
+    ("""(?is)\s*RESTORE\s+(?:TABLE\s+)?""" + T +
+      """\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""").r
   private val Optimize =
     ("""(?is)\s*OPTIMIZE\s+""" + T +
       """\s+TARGET\s+(\d+)\s+ROWS\s*;?\s*""").r
+  private val ZOrder =
+    ("""(?is)\s*OPTIMIZE\s+""" + T +
+      """\s+ZORDER\s+BY\s*\(([^)]*)\)""" +
+      """(?:\s+TARGET\s+(\d+)\s+FILES)?""" +
+      """(?:\s+INTO\s+""" + T + """)?\s*;?\s*""").r
   private val DescDetail =
     ("""(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+""" + T + """\s*;?\s*""").r
 
@@ -102,14 +119,33 @@ object GraftSqlParser {
         Some(GraftDescribeHistoryCommand(path(a, b)))
       case DescDetail(a, b) =>
         Some(GraftDescribeDetailCommand(path(a, b)))
-      case Vacuum(a, b, n) =>
+      case Vacuum(a, b, n, ts, iv, unit) =>
         Some(GraftVacuumCommand(path(a, b),
-          Option(n).map(_.toInt).getOrElse(0)))
+          Option(n).map(_.toInt),
+          Option(ts).map(graft.sources.GraftSource.parseTs),
+          for { v <- Option(iv); u <- Option(unit) }
+            yield intervalMillis(v.toLong, u)))
       case Restore(a, b, v) =>
         Some(GraftRestoreCommand(path(a, b), v.toInt))
+      case RestoreTs(a, b, ts) =>
+        Some(GraftRestoreTimestampCommand(path(a, b),
+          graft.sources.GraftSource.parseTs(ts)))
       case Optimize(a, b, rows) =>
         Some(GraftOptimizeCommand(path(a, b), rows.toLong))
+      case ZOrder(a, b, cols, files, a2, b2) =>
+        val cs = cols.split(",").map(_.trim.stripPrefix("`")
+          .stripSuffix("`")).filter(_.nonEmpty).toSeq
+        Some(GraftZOrderCommand(path(a, b), cs,
+          Option(files).map(_.toInt),
+          if (a2 == null && b2 == null) None else Some(path(a2, b2))))
       case _ => None
+    }
+
+  private def intervalMillis(n: Long, unit: String): Long =
+    unit.toUpperCase.stripSuffix("S") match {
+      case "MINUTE" => n * 60L * 1000L
+      case "HOUR" => n * 3600L * 1000L
+      case "DAY" => n * 24L * 3600L * 1000L
     }
 }
 
@@ -224,14 +260,117 @@ final case class GraftDescribeDetailCommand(path: String)
   }
 }
 
-/** `VACUUM g [RETAIN LAST n]` — deletes unreferenced archived
-  * generations ([[Maintenance.vacuum]]); returns the number of data
-  * files deleted. */
-final case class GraftVacuumCommand(path: String, retainLast: Int)
+/** `VACUUM g RETAIN LAST n [OLDER THAN ...]` / `VACUUM g OLDER THAN
+  * ('<ts>' | [INTERVAL] n HOURS|DAYS|MINUTES)` — deletes unreferenced
+  * archived generations ([[Maintenance.vacuum]]); returns the number
+  * of data files deleted. Kept = the union of both clauses. The BARE
+  * form refuses: dropping ALL retained history (destroying time
+  * travel and change-feed checkpoint recovery) must be opt-in via an
+  * explicit `RETAIN LAST 0` — the retention-safe default Delta's
+  * VACUUM has, expressed as a required clause. */
+final case class GraftVacuumCommand(
+    path: String,
+    retainLast: Option[Int],
+    olderThanTs: Option[Long],
+    olderThanInterval: Option[Long])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = DataTypeUtils.toAttributes(
     StructType(Seq(
       StructField("deleted_files", IntegerType, nullable = false))))
-  override def run(sparkSession: SparkSession): Seq[Row] =
-    Seq(Row(Maintenance.vacuum(sparkSession, path, retainLast)))
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    require(retainLast.isDefined || olderThanTs.isDefined ||
+      olderThanInterval.isDefined,
+      s"bare VACUUM would delete ALL retained generations of $path, " +
+        "destroying time travel and change-feed checkpoint recovery; " +
+        "say what to keep: VACUUM ... RETAIN LAST n (n may be 0 to " +
+        "opt into the full clean) and/or VACUUM ... OLDER THAN " +
+        "'<timestamp>' | [INTERVAL] n HOURS|DAYS|MINUTES")
+    // the interval form resolves against the wall clock at RUN time
+    val cutoff: Option[Long] = (olderThanTs.toSeq ++ olderThanInterval
+      .map(System.currentTimeMillis() - _).toSeq)
+      .reduceOption(math.min(_: Long, _: Long))
+    Seq(Row(Maintenance.vacuum(sparkSession, path,
+      retainLast.getOrElse(0), cutoff)))
+  }
+}
+
+/** `RESTORE [TABLE] g TO TIMESTAMP AS OF '<ts>'` — roll back to the
+  * generation that was current at the instant ([[Maintenance
+  * .restoreAsOf]]; a timestamp at/after the newest archive is the
+  * current generation, a no-op). */
+final case class GraftRestoreTimestampCommand(path: String, ts: Long)
+    extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    Maintenance.restoreAsOf(sparkSession, path, ts)
+    Seq.empty
+  }
+}
+
+/** `OPTIMIZE g ZORDER BY (c1, c2) [TARGET n FILES] [INTO g2]` —
+  * multi-dimensional re-clustering via [[graft.operators.Layout]]:
+  * one quantile job, one range shuffle on the interleaved z-value,
+  * one narrow stats pass; the destination reopens through
+  * [[graft.operators.Layout.zorderRead]] with plan-time pruning on
+  * EVERY clustered column.
+  *
+  * `INTO g2` writes a clustered COPY (any source kind: graft
+  * dataset, z-order dir, plain parquet). WITHOUT it the directory is
+  * re-clustered in place — allowed for z-order dirs (re-tighten after
+  * appends) and plain parquet; refused for a graft dataset, whose
+  * lex index, history and constraints a z-order rewrite would
+  * destroy (write INTO a new directory instead). In-place snapshots
+  * the rows to a sibling staging dir first, so the overwrite never
+  * reads the files it replaces. */
+final case class GraftZOrderCommand(
+    path: String,
+    cols: Seq[String],
+    targetFiles: Option[Int],
+    into: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = DataTypeUtils.toAttributes(
+    StructType(Seq(
+      StructField("files_written", IntegerType, nullable = false))))
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    import graft.core.{GraftFs, Sidecar}
+    import graft.operators.Layout
+    require(cols.nonEmpty, "ZORDER BY needs at least one column")
+    val (fs, srcPath) = GraftFs.resolve(sparkSession, path)
+    val isGraft = Sidecar.exists(sparkSession, path)
+    val isZorder = GraftFs.isFile(fs,
+      new org.apache.hadoop.fs.Path(srcPath, Layout.MetaFile))
+    def readSource(): org.apache.spark.sql.DataFrame =
+      if (isGraft) graft.core.PDataset.scanParquet(sparkSession, path).toDF
+      else if (isZorder) Layout.zorderRead(sparkSession, path)
+      else sparkSession.read.parquet(path)
+    def dataFileCount(dir: String): Int = {
+      val (f, p) = GraftFs.resolve(sparkSession, dir)
+      GraftFs.listStatuses(f, p).count { st =>
+        val n = st.getPath.getName
+        st.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+          !n.startsWith(".")
+      }
+    }
+    val target = targetFiles.getOrElse(math.max(1, dataFileCount(path)))
+    into match {
+      case Some(dst) =>
+        Layout.zorderWrite(readSource(), dst, cols, target)
+        Seq(Row(dataFileCount(dst)))
+      case None =>
+        require(!isGraft,
+          s"in-place OPTIMIZE ZORDER would destroy the graft sidecar " +
+            s"(lex index, history, constraints) of $path; write a " +
+            "clustered copy with INTO '<new dir>' instead")
+        // snapshot rows out of the way, then overwrite the dir from
+        // the snapshot — the rewrite never reads what it replaces
+        val parent = Option(srcPath.getParent).getOrElse(srcPath)
+        val stage = GraftFs.mkStageDir(fs, parent, ".graft-zorder-")
+        try {
+          val snap = new org.apache.hadoop.fs.Path(stage, "snap").toString
+          readSource().write.parquet(snap)
+          Layout.zorderWrite(
+            sparkSession.read.parquet(snap), path, cols, target)
+        } finally GraftFs.deleteRecursive(fs, stage)
+        Seq(Row(dataFileCount(path)))
+    }
+  }
 }

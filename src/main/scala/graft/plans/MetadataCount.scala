@@ -180,9 +180,12 @@ object MetadataCount extends Rule[LogicalPlan] {
           .Filter(cond, child) =>
         childInfo(child).flatMap { case (g, names, kept) =>
           // file-aligned filters need exact per-file row counts to
-          // drop zero-row files from the kept set
+          // drop zero-row files from the kept set; only files a LOWER
+          // stacked filter still keeps need a non-Partial
+          // classification (an excluded file's rows are never read, so
+          // its Partial verdict cannot affect the fold)
           g.rowCounts.flatMap { rc =>
-            alignedKeep(g, names, cond).map { keepsAll =>
+            alignedKeep(g, names, cond, kept).map { keepsAll =>
               (g, names, kept.filter(i => rc(i) > 0L && keepsAll(i)))
             }
           }
@@ -236,17 +239,19 @@ object MetadataCount extends Rule[LogicalPlan] {
   private case object Empty extends Tri
   private case object Partial extends Tri
 
-  /** Per-file whole-file keep classification of `cond`; None = some
-    * file is Partial or the predicate has an unsupported shape
-    * (decline the fold). NOT is unsupported: `NOT p` is true only
-    * where p is FALSE, and these facts track only where p is TRUE —
-    * null rows would flip unsoundly. */
+  /** Per-file whole-file keep classification of `cond` over the files
+    * in `kept`; None = some KEPT file is Partial or the predicate has
+    * an unsupported shape (decline the fold) — files a lower stacked
+    * filter already excluded need no classification. NOT is
+    * unsupported: `NOT p` is true only where p is FALSE, and these
+    * facts track only where p is TRUE — null rows would flip
+    * unsoundly. */
   private def alignedKeep(
       g: GraftFileIndex, names: Map[ExprId, String],
-      cond: org.apache.spark.sql.catalyst.expressions.Expression):
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      kept: IndexedSeq[Int]):
       Option[Int => Boolean] = {
     import org.apache.spark.sql.catalyst.expressions._
-    val n = g.headBounds.length
     def litVal(l: Literal): Option[Any] =
       Option(l.value).flatMap(v => scala.util.Try(
         CatalystTypeConverters.convertToScala(v, l.dataType)).toOption)
@@ -354,9 +359,9 @@ object MetadataCount extends Rule[LogicalPlan] {
       case _ => None
     }
     tri(cond).flatMap { f =>
-      val per = (0 until n).map(f)
-      if (per.contains(Partial)) None
-      else Some((i: Int) => per(i) == Full)
+      val per: Map[Int, Tri] = kept.map(i => i -> f(i)).toMap
+      if (per.valuesIterator.contains(Partial)) None
+      else Some((i: Int) => per.get(i).contains(Full))
     }
   }
 

@@ -91,8 +91,9 @@ final class GraftSource extends RelationProvider
     // the generation that was current at that instant (time travel
     // over retained maintenance history);
     // option("changesFrom", n) [+ option("changesTo", m)]: the
-    // row-level change feed between two retained generations
-    // (insert/delete rows tagged by `change_type`; to = current when
+    // row-level change feed between two retained generations (rows
+    // tagged by `change_type` in the Delta-CDF vocabulary — insert /
+    // delete / update_preimage / update_postimage; to = current when
     // omitted) — Maintenance.changes for plain-SQL users.
     // option("history", true): one row per readable generation
     // (DESCRIBE HISTORY) — Maintenance.history for plain-SQL users.
@@ -179,33 +180,7 @@ final class GraftSource extends RelationProvider
       Sidecar.load(spark, path).schema, sqlContext)
   }
 
-  /** Epoch millis, or an ISO-8601 instant / local datetime / date
-    * (local forms read as UTC). Anything else names the accepted
-    * forms instead of escaping as a bare parse exception. */
-  private def parseTs(t: String): Long =
-    t.toLongOption.getOrElse {
-      try java.time.Instant.parse(t).toEpochMilli
-      catch {
-        case _: java.time.format.DateTimeParseException =>
-          try java.time.LocalDateTime.parse(t)
-            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-          catch {
-            case _: java.time.format.DateTimeParseException =>
-              try java.time.LocalDate.parse(t).atStartOfDay()
-                .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-              catch {
-                case _: java.time.format.DateTimeParseException =>
-                  throw new IllegalArgumentException(
-                    s"cannot parse timestamp option value '$t'; accepted " +
-                      "forms: epoch millis (1723500000000), ISO-8601 " +
-                      "instant (2026-08-13T00:00:00Z), ISO local " +
-                      "datetime read as UTC (2026-08-13T00:00:00), or " +
-                      "ISO date read as UTC midnight (2026-08-13)")
-              }
-          }
-      }
-    }
-
+  private def parseTs(t: String): Long = GraftSource.parseTs(t)
 
   override def createRelation(
       sqlContext: SQLContext,
@@ -445,6 +420,35 @@ final class GraftSource extends RelationProvider
 }
 
 object GraftSource {
+  /** Epoch millis, or an ISO-8601 instant / local datetime / date
+    * (local forms read as UTC). Anything else names the accepted
+    * forms instead of escaping as a bare parse exception. Shared by
+    * the source's time-travel options and the statement-level SQL
+    * (`RESTORE ... TO TIMESTAMP AS OF`, `VACUUM ... OLDER THAN`). */
+  private[graft] def parseTs(t: String): Long =
+    t.toLongOption.getOrElse {
+      try java.time.Instant.parse(t).toEpochMilli
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          try java.time.LocalDateTime.parse(t)
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              try java.time.LocalDate.parse(t).atStartOfDay()
+                .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+              catch {
+                case _: java.time.format.DateTimeParseException =>
+                  throw new IllegalArgumentException(
+                    s"cannot parse timestamp value '$t'; accepted " +
+                      "forms: epoch millis (1723500000000), ISO-8601 " +
+                      "instant (2026-08-13T00:00:00Z), ISO local " +
+                      "datetime read as UTC (2026-08-13T00:00:00), or " +
+                      "ISO date read as UTC midnight (2026-08-13)")
+              }
+          }
+      }
+    }
+
   /** Strict translation (both sides of And/Or, full Not operand, or
     * nothing) keeps every emitted Column row-equivalent to its source
     * Filter — required because a Not over a weakened conjunct would

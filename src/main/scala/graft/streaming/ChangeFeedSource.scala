@@ -11,11 +11,11 @@ import graft.operators.Maintenance
 /** Structured-Streaming source over a graft table's change feed:
   * `spark.readStream.format("graft").load(dir)` emits each RETAINED
   * generation's row-level delta (the [[Maintenance.changes]] feed —
-  * table columns + `change_type` insert/delete) as micro-batches,
-  * with offsets = generation numbers from the `_graft_history`
-  * ledger. The Delta-CDF streaming pattern for graft tables:
-  * downstream pipelines incrementally consume mutations without
-  * polling `changesAsOf` in batch.
+  * table columns + `change_type`) as micro-batches, with offsets =
+  * generation numbers from the `_graft_history` ledger. The
+  * Delta-CDF streaming pattern for graft tables: downstream
+  * pipelines incrementally consume mutations without polling
+  * `changesAsOf` in batch.
   *
   * Contract and scale:
   *   - A batch from generation A to B costs O(delta): only files
@@ -23,15 +23,24 @@ import graft.operators.Maintenance
   *     .changesBetween]]), so a 0.1% upsert on a 100 TB table streams
   *     a ~0.1%-sized batch however big the table is.
   *   - The stream ticks on RETAINED mutations (`retain = true`).
-  *     A `retain = false` mutation archives nothing — its rows
-  *     coalesce into the next retained generation's delta (the diff
-  *     endpoints are generation snapshots, so nothing is lost, and a
-  *     row inserted then deleted between ticks cancels out — exactly
-  *     the batch feed's semantics).
+  *     A `retain = false` mutation archives nothing: while the stream
+  *     is CATCHING UP (its consumed offsets are archived snapshots)
+  *     its rows coalesce into the next retained generation's delta —
+  *     the diff endpoints are immutable archived snapshots, nothing
+  *     is lost. But once the stream is CAUGHT UP, its last offset
+  *     names the current (mutable) generation; a retain=false
+  *     mutation then changes that offset's content, and the delta
+  *     between consumed content and mutated content can no longer be
+  *     reconstructed. Offsets therefore carry a CONTENT HASH of the
+  *     metadata they named, and the source refuses LOUDLY (instead
+  *     of silently dropping the delta) when an endpoint's resolved
+  *     content no longer matches — mutate streamed tables with
+  *     `retain = true`.
   *   - Replay (checkpoint recovery) re-reads `[from, to]` from the
   *     archived metadata — deterministic while those generations
-  *     remain un-[[Maintenance.vacuum]]ed. Vacuuming a generation a
-  *     checkpoint still references makes recovery fail loudly.
+  *     remain un-[[Maintenance.vacuum]]ed, verified by the offsets'
+  *     content hashes. Vacuuming a generation a checkpoint still
+  *     references makes recovery fail loudly.
   *   - `option("startingVersion", n | "earliest")` seeds the first
   *     batch; default = the current generation at stream start
   *     (changes from now on only).
@@ -50,6 +59,7 @@ final class ChangeFeedSource(
     declaredSchema: StructType,
     startVersion: Int,
     maxGensPerBatch: Option[Int] = None) extends Source {
+  import ChangeFeedSource.{ChangeFeedOffset, contentHash, parseOffset}
 
   override def schema: StructType = declaredSchema
 
@@ -65,8 +75,69 @@ final class ChangeFeedSource(
     * checkpointed offsets. */
   private var lastEmitted: Option[Int] = None
 
+  /** The raw metadata text of generation `v` — the archived snapshot
+    * when retained, else the current sidecar (v must then BE the
+    * current generation). None when neither resolves.
+    *
+    * Race-safe against an in-flight maintenance commit (which
+    * archives the outgoing metadata BEFORE swapping the new one in):
+    * after reading the current sidecar the archive is RE-checked —
+    * if generation v got archived while we read, the read may have
+    * caught the already-swapped successor, so the immutable archived
+    * copy (exactly v's content) is preferred. If the re-check still
+    * finds no archive, the swap had not happened either, so the read
+    * current text IS v's content. */
+  private def metaTextFor(v: Int): Option[String] = {
+    val (fs, dirPath) = GraftFs.resolve(spark, path)
+    val f = Maintenance.versionFile(dirPath, v)
+    if (GraftFs.statusOf(fs, f).isDefined)
+      Some(GraftFs.readString(fs, f))
+    else if (v == currentVersion) {
+      val text = GraftFs.readString(fs, Sidecar.metadataPath(path))
+      if (GraftFs.statusOf(fs, f).isDefined)
+        Some(GraftFs.readString(fs, f))
+      else Some(text)
+    } else None
+  }
+
+  /** A CONSISTENT (generation, current-metadata-text) snapshot for
+    * offset emission. Two hazards of reading the ledger and the
+    * sidecar as separate files:
+    *   - a commit completing between the two reads pairs the old
+    *     generation number with the new content (or vice versa) —
+    *     detected by re-reading the generation after the text;
+    *   - a commit CAUGHT MID-FLIGHT (outgoing metadata archived, new
+    *     metadata not yet swapped in) pairs the NEW generation number
+    *     with the OLD content — detected because the current text
+    *     then still equals the newest archive's.
+    * Both retry; a window that never clears (a writer crashed between
+    * archive and swap, or a restore to a content-identical
+    * generation) fails OPEN after a bound: the offset goes out
+    * without a hash, degrading to the unverified pre-hash behavior
+    * instead of stalling the stream. */
+  private def stableSnapshot(): (Int, Option[String]) = {
+    val (fs, dirPath) = GraftFs.resolve(spark, path)
+    def tryRead(p: org.apache.hadoop.fs.Path): Option[String] =
+      try Some(GraftFs.readString(fs, p))
+      catch { case _: java.io.IOException => None }
+    var attempts = 0
+    while (attempts < 50) {
+      val v0 = currentVersion
+      val text = tryRead(Sidecar.metadataPath(path))
+      if (text.isDefined && currentVersion == v0) {
+        val lastArchived =
+          if (v0 == 0) None
+          else tryRead(Maintenance.versionFile(dirPath, v0 - 1))
+        if (lastArchived != text) return (v0, text)
+      }
+      attempts += 1
+      Thread.sleep(10)
+    }
+    (currentVersion, None)
+  }
+
   override def getOffset: Option[OffsetV1] = {
-    val cur = currentVersion
+    val (cur, curText) = stableSnapshot()
     val floor = math.max(startVersion,
       lastEmitted.getOrElse(startVersion))
     // Rate limiting (the Delta maxFilesPerTrigger analogue at
@@ -81,52 +152,73 @@ final class ChangeFeedSource(
     if (target <= startVersion) None
     else {
       lastEmitted = Some(math.max(floor, target))
-      Some(LongOffset(target.toLong))
+      // Stamp the offset with the hash of the metadata content it
+      // names: an archived endpoint's immutability — and a current-
+      // generation endpoint's stability — become verifiable at
+      // getBatch time instead of assumed. A rate-limited target below
+      // the current generation reads its immutable archive.
+      val text = if (target == cur) curText else metaTextFor(target)
+      Some(ChangeFeedOffset(target, text.map(contentHash)))
     }
   }
 
-  private def ver(o: OffsetV1): Int = o match {
-    case l: LongOffset => l.offset.toInt
-    // checkpoint-recovered offsets arrive serialized; LongOffset's
-    // json is the bare number
-    case other => other.json.trim.toInt
-  }
-
-  /** Generation `v` as metadata: the archived snapshot when retained,
-    * else the current generation (checked — a vacuumed or
-    * never-retained generation refuses instead of silently diffing
-    * against the wrong snapshot). */
-  private def metaFor(v: Int): Sidecar.Meta = {
-    val (fs, dirPath) = GraftFs.resolve(spark, path)
-    val f = Maintenance.versionFile(dirPath, v)
-    if (GraftFs.statusOf(fs, f).isDefined)
-      Sidecar.loadFile(spark, path, f)
-    else {
-      val cur = currentVersion
-      require(v == cur,
-        s"generation $v of $path is not retained (vacuumed, or " +
-          s"mutated with retain=false past it; current is $cur) — " +
-          "the change-feed stream cannot reconstruct its delta. " +
-          "Restart the stream from a retained generation.")
-      Sidecar.load(spark, path)
+  /** Generation `v` as metadata — the archived snapshot when
+    * retained, else the current generation — VERIFIED against the
+    * offset's recorded content hash when it carries one. A vacuumed
+    * generation, or an endpoint whose content a retain=false
+    * mutation changed since the offset was emitted, refuses instead
+    * of silently diffing against the wrong snapshot. */
+  private def metaFor(v: Int, expected: Option[String]): Sidecar.Meta = {
+    val text = metaTextFor(v).getOrElse(throw new IllegalStateException(
+      s"generation $v of $path is not retained (vacuumed, or mutated " +
+        s"with retain=false past it; current is $currentVersion) — " +
+        "the change-feed stream cannot reconstruct its delta. " +
+        "Restart the stream from a retained generation."))
+    expected.foreach { h =>
+      val got = contentHash(text)
+      require(got == h,
+        s"generation $v of $path no longer holds the content this " +
+          s"stream's offset recorded (hash $got != $h): a " +
+          "retain=false mutation rewrote it after the offset was " +
+          "emitted, so the consumed-to-now delta cannot be " +
+          "reconstructed. Mutate streamed tables with retain=true; " +
+          "restart the stream to resume from the current state.")
     }
+    Sidecar.parseMeta(spark, path, text)
   }
 
   override def getBatch(
       start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val from = start.map(ver).getOrElse(startVersion)
-    val to = ver(end)
+    val endOff = parseOffset(end)
+    val startOff = start.map(parseOffset)
+    val from = startOff.map(_.v).getOrElse(startVersion)
+    val to = endOff.v
     // checkpoint recovery lands here before any getOffset: seed the
     // pacing floor so the next batch continues from the recovered end
     if (lastEmitted.forall(_ < to)) lastEmitted = Some(to)
     val batch: DataFrame =
-      if (from >= to)
+      if (from >= to) {
+        // Same generation number at both endpoints: the batch is
+        // empty ONLY if the content did not move underneath —
+        // differing hashes mean a retain=false mutation landed
+        // between the two offsets and its delta would silently
+        // vanish into this empty batch.
+        for {
+          s <- startOff; sh <- s.hash; eh <- endOff.hash
+          if s.v == to && sh != eh
+        } throw new IllegalStateException(
+          s"generation $to of $path was mutated with retain=false " +
+            "between consumed offsets; its delta cannot be streamed. " +
+            "Mutate streamed tables with retain=true; restart the " +
+            "stream to resume from the current state.")
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           declaredSchema)
-      else {
+      } else {
         val df = Maintenance.changesBetween(
-          spark, path, metaFor(from), metaFor(to))
+          spark, path,
+          metaFor(from, startOff.flatMap(_.hash)),
+          metaFor(to, endOff.hash))
         val missing = declaredSchema.fieldNames
           .filterNot(df.columns.contains)
         require(missing.isEmpty,
@@ -150,6 +242,37 @@ final class ChangeFeedSource(
 }
 
 object ChangeFeedSource {
+  /** A change-feed offset: the generation number plus the SHA-1 of
+    * the metadata content it named at emission time (absent on
+    * offsets recovered from pre-hash checkpoints, which then skip
+    * verification — the old behavior). */
+  final case class ChangeFeedOffset(v: Int, hash: Option[String])
+      extends OffsetV1 {
+    override def json: String = hash match {
+      case Some(h) => s"""{"v":$v,"hash":"$h"}"""
+      case None => v.toString
+    }
+  }
+
+  private[streaming] def parseOffset(o: OffsetV1): ChangeFeedOffset =
+    o match {
+      case c: ChangeFeedOffset => c
+      case l: LongOffset => ChangeFeedOffset(l.offset.toInt, None)
+      case other =>
+        val s = other.json.trim
+        if (s.startsWith("{")) {
+          val m = graft.core.TypedJson.parse(s)
+            .asInstanceOf[Map[String, Any]]
+          ChangeFeedOffset(m("v").asInstanceOf[Long].toInt,
+            m.get("hash").map(_.toString))
+        } else ChangeFeedOffset(s.toInt, None)
+    }
+
+  private[streaming] def contentHash(text: String): String =
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
   /** The stream's row shape: the table's columns plus the feed tag. */
   def feedSchema(table: StructType): StructType =
     StructType(table.fields :+

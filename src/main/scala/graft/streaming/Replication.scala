@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.core.Sidecar
@@ -13,11 +13,11 @@ import graft.operators.Maintenance
   * source flow to it incrementally.
   *
   * Each micro-batch (one or more retained generations' deltas from
-  * [[ChangeFeedSource]]) applies as ONE [[Maintenance.merge]] commit:
-  * `insert` rows upsert, `delete` rows remove by index key, and a
-  * delete whose key also inserts in the same batch is an UPDATE —
-  * subsumed by the upsert (the feed's delete carries the OLD row, the
-  * insert the new one). Per-batch cost is O(delta + affected replica
+  * [[ChangeFeedSource]]) applies as ONE [[Maintenance.merge]] commit,
+  * consuming the feed's CDF vocabulary directly: `insert` and
+  * `update_postimage` rows upsert, `delete` rows remove by index key,
+  * `update_preimage` rows are informational (the new state is the
+  * postimage). Per-batch cost is O(delta + affected replica
   * partitions); the replica is never rescanned.
   *
   * Delivery is at-least-once (foreachBatch may re-run a batch after a
@@ -28,9 +28,12 @@ import graft.operators.Maintenance
   * Contract: `dstDir` must exist with the SAME index columns as the
   * source (seed it by writing a snapshot — e.g.
   * `PDataset.scanParquet(spark, src)` re-written at the replica — at
-  * or before the stream's starting generation). Mutations must be
-  * retained (`retain = true`) on the source, like every change-feed
-  * consumer.
+  * or before the stream's starting generation), mutations must be
+  * retained (`retain = true`) on the source like every change-feed
+  * consumer, and the source's index keys must be UNIQUE: applying by
+  * key cannot represent two rows sharing one. A batch whose delta
+  * reveals duplicate source keys (two gains on one key, or a gain
+  * and an unpaired loss) fails loudly instead of silently diverging.
   */
 object Replication {
 
@@ -60,16 +63,36 @@ object Replication {
         val s = batch.sparkSession
         val keys = Sidecar.load(s, dstDir).indexColumns.toSeq
         // the batch plan re-executes per action (it wraps the delta
-        // computation): materialize once for the three reads below
+        // computation): materialize once for the reads below
         val b = batch.persist()
         try {
           if (!b.isEmpty) {
-            val inserts = b.filter(col("change_type") === "insert")
-              .drop("change_type").dropDuplicates(keys)
+            val upserts = b.filter(
+              col("change_type").isin("insert", "update_postimage"))
+              .drop("change_type")
             val deletes = b.filter(col("change_type") === "delete")
               .select(keys.map(col): _*).distinct()
-              .join(inserts.select(keys.map(col): _*), keys, "left_anti")
-            Maintenance.merge(s, dstDir, inserts.toDF(), deletes.toDF())
+            // Unique-key contract check, one small aggregate over the
+            // delta: two upserts on one key means the source holds
+            // duplicate index keys (the feed pairs a 1-loss/1-gain
+            // key as an update, so surviving multiplicities are real
+            // duplicates); an upsert AND a delete on one key means a
+            // duplicate-keyed row set lost some but not all copies.
+            // Either way a by-key apply would diverge — fail loudly.
+            val dup = upserts.select(keys.map(col): _*)
+              .unionByName(deletes)
+              .groupBy(keys.map(col): _*)
+              .agg(count(lit(1)).as("__n"))
+              .filter(col("__n") > 1L)
+              .limit(1).collect()
+            if (dup.nonEmpty) throw new IllegalStateException(
+              s"replication of $srcDir requires unique index keys: " +
+                s"the change feed carries conflicting operations for " +
+                s"key (${keys.mkString(", ")}) = " +
+                s"(${keys.map(dup.head.getAs[Any](_)).mkString(", ")})" +
+                " — the source holds duplicate rows per key, which a " +
+                "by-key apply cannot represent")
+            Maintenance.merge(s, dstDir, upserts.toDF(), deletes.toDF())
             ()
           }
         } finally { b.unpersist(); () }

@@ -277,13 +277,13 @@ class GraftSourceSpec extends AnyFunSuite {
     val feed = spark.read.format("graft").option("changesFrom", "0").load(out)
     val got = feed.select("k", "payload", "change_type").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
-    assert(got == Set((42L, "v42", "delete"), (42L, "NEW", "insert"),
-      (9000L, "INS", "insert")))
+    assert(got == Set((42L, "v42", "update_preimage"),
+      (42L, "NEW", "update_postimage"), (9000L, "INS", "insert")))
     // plain SQL over a temp view works too
     feed.createOrReplaceTempView("cdc_feed")
     assert(spark.sql(
       "SELECT count(*) FROM cdc_feed WHERE change_type = 'insert'")
-      .head().getLong(0) == 2L)
+      .head().getLong(0) == 1L)
     // exclusive with time travel options
     assertThrows[IllegalArgumentException] {
       spark.read.format("graft").option("changesFrom", "0")
@@ -500,6 +500,60 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(spark.read.format("graft").load(out).count() == 49)
     // non-graft statements pass through untouched
     assert(spark.sql("SELECT 1 + 1").head().getInt(0) == 2)
+  }
+
+  test("statement DDL: bare VACUUM refuses, OLDER THAN retention, " +
+      "RESTORE TO TIMESTAMP and OPTIMIZE ZORDER BY via spark.sql") {
+    import spark.implicits._
+    val out = tempDir("graft-sql-ddl2") + "/ds"
+    val g = s"graft.`$out`"
+    (1L to 60L).map(k => (k, k * 2.0)).toDF("k", "price")
+      .write.format("graft").option("index", "k")
+      .option("files", "6").save(out)
+    Maintenance.deleteKeys(spark, out, Seq(1L).toDF("k"), retain = true)
+    Thread.sleep(20)
+    val midTs = System.currentTimeMillis()
+    Thread.sleep(20)
+    Maintenance.deleteKeys(spark, out, Seq(2L).toDF("k"), retain = true)
+    // bare VACUUM would silently destroy ALL retained history —
+    // retention must be explicit (RETAIN LAST 0 opts into the clean)
+    val bare = intercept[Exception] {
+      spark.sql(s"VACUUM $g").collect()
+    }
+    assert(bare.getMessage.contains("RETAIN LAST"), bare.getMessage)
+    assert(Maintenance.versions(spark, out) == Seq(0, 1))
+    // RESTORE ... TO TIMESTAMP AS OF: the generation current at the
+    // instant between the two deletes had 59 rows
+    spark.sql(s"RESTORE TABLE $g TO TIMESTAMP AS OF " +
+      s"'${java.time.Instant.ofEpochMilli(midTs)}'")
+    assert(spark.read.format("graft").load(out).count() == 59)
+    // OLDER THAN an ancient cutoff keeps every (younger) generation
+    spark.sql(s"VACUUM $g OLDER THAN '1970-01-02'").collect()
+    assert(Maintenance.versions(spark, out).nonEmpty)
+    // OPTIMIZE ZORDER BY ... INTO clusters a COPY; both clustered
+    // columns then prune planned files through the stats sidecar
+    val zdir = tempDir("graft-sql-zorder") + "/z"
+    val written = spark.sql(s"OPTIMIZE $g ZORDER BY (k, price) " +
+      s"TARGET 4 FILES INTO '$zdir'").head().getInt(0)
+    assert(written == 4)
+    val zr = graft.operators.Layout.zorderRead(spark, zdir)
+    assert(zr.count() == 59)
+    val pruned = zr.filter(col("price") <= 20.0)
+    assert(pruned.count() == 9) // k in 2..10 (k=1 deleted), price = 2k
+    assert(scannedFiles(pruned) < 4,
+      "z-order stats must prune on the second clustered column")
+    // in-place on a graft dataset refuses (would destroy the sidecar)
+    val ip = intercept[Exception] {
+      spark.sql(s"OPTIMIZE $g ZORDER BY (k)").collect()
+    }
+    assert(ip.getMessage.contains("INTO"), ip.getMessage)
+    // in-place re-cluster of a z-order dir is allowed
+    spark.sql(s"OPTIMIZE '$zdir' ZORDER BY (price) TARGET 2 FILES")
+    assert(graft.operators.Layout.zorderRead(spark, zdir).count() == 59)
+    // OLDER THAN INTERVAL resolving to "now" clears the whole history
+    Thread.sleep(20)
+    spark.sql(s"VACUUM $g OLDER THAN INTERVAL 0 MINUTES").collect()
+    assert(Maintenance.versions(spark, out).isEmpty)
   }
 
   test("timestamp options accept dates and reject junk with guidance") {

@@ -65,11 +65,18 @@ class MaintenanceFuzzSpec extends AnyFunSuite {
         .select("k", "payload", "change_type").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
       val after = model.toMap
+      // CDF classification: a key losing one row AND gaining one row
+      // is an update (keys are unique in the model, so any key on
+      // both sides of the diff pairs)
+      val lost = before.toSet.diff(after.toSet)
+      val gained = after.toSet.diff(before.toSet)
+      val lostK = lost.map(_._1)
+      val gainedK = gained.map(_._1)
       val want =
-        before.toSet.diff(after.toSet)
-          .map { case (k, p) => (k, p, "delete") } ++
-        after.toSet.diff(before.toSet)
-          .map { case (k, p) => (k, p, "insert") }
+        lost.map { case (k, p) =>
+          (k, p, if (gainedK(k)) "update_preimage" else "delete") } ++
+        gained.map { case (k, p) =>
+          (k, p, if (lostK(k)) "update_postimage" else "insert") }
       assert(feed == want,
         s"$step: feed diff; extra=${feed.diff(want)} missing=${want.diff(feed)}")
     }

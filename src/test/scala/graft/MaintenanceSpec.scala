@@ -664,7 +664,7 @@ class MaintenanceSpec extends AnyFunSuite {
     val feed = Maintenance.changes(spark, dir, v)
       .select("k", "change_type").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
-    assert(feed == Set(50L -> "delete", 50L -> "insert",
+    assert(feed == Set(50L -> "update_preimage", 50L -> "update_postimage",
       51L -> "delete", 250L -> "delete", 900L -> "insert"))
   }
 
@@ -757,14 +757,15 @@ class MaintenanceSpec extends AnyFunSuite {
         rows
       } finally spark.sparkContext.removeSparkListener(l)
 
-    // Two updated keys: each surfaces as its old row's delete plus its
-    // new row's insert; the 98 carried-over neighbors cancel.
+    // Two updated keys: each surfaces as its CDF pre/postimage pair
+    // (old row lost, new row gained); the 98 carried-over neighbors
+    // cancel.
     assert(ch.length == 4, ch.mkString("\n"))
     val byType = ch.groupBy(_.getAs[String]("change_type"))
-    assert(byType("delete").map(r => (r.getAs[Long]("k"),
+    assert(byType("update_preimage").map(r => (r.getAs[Long]("k"),
       r.getAs[String]("payload"))).sorted.toSeq ==
       Seq(250L -> "v250", 251L -> "v251"))
-    assert(byType("insert").map(r => (r.getAs[Long]("k"),
+    assert(byType("update_postimage").map(r => (r.getAs[Long]("k"),
       r.getAs[String]("payload"))).sorted.toSeq ==
       Seq(250L -> "NEW", 251L -> "NEW"))
     // Only the one rewritten 100-row file and its replacement are
@@ -784,7 +785,8 @@ class MaintenanceSpec extends AnyFunSuite {
     val ch01 = Maintenance.changes(spark, dir, 0, Some(1)).collect()
     assert(ch01.map(r => (r.getAs[String]("change_type"),
       r.getAs[Long]("k"), r.getAs[String]("payload"))).sorted.toSeq ==
-      Seq(("delete", 10L, "v10"), ("insert", 10L, "first")))
+      Seq(("update_postimage", 10L, "first"),
+        ("update_preimage", 10L, "v10")))
     // v0 -> current sees both.
     assert(Maintenance.changes(spark, dir, 0).count() == 4)
     // A pure rewrite (compaction) changes no rows: empty feed.
@@ -806,7 +808,8 @@ class MaintenanceSpec extends AnyFunSuite {
       Seq("k", "grp", "payload", "flag", "change_type"))
     assert(ch.collect().map(r => (r.getAs[String]("change_type"),
       r.getAs[String]("payload"), r.getAs[String]("flag"))).sorted.toSeq ==
-      Seq(("delete", "pre", null), ("insert", "post", "F")))
+      Seq(("update_postimage", "post", "F"),
+        ("update_preimage", "pre", null)))
   }
 
   test("upsert rejects duplicate and null keys") {

@@ -339,6 +339,46 @@ class MetadataCountSpec extends AnyFunSuite {
     assert(qn.collect().head.getLong(0) == 400L)
   }
 
+  test("stacked file-aligned filters fold when the only Partial file " +
+      "is already excluded below") {
+    val d = tempDir("metastacked") + "/ds"
+    val parts = (0 until 600 by 100).map(lo =>
+      PDataset.fromDataFrame(
+        spark.range(lo.toLong, lo + 100L).select(
+          col("id").as("k"), (col("id") * 3).as("v")), Seq("k")))
+    PDataset.concat(parts).writeParquet(d)
+    graft.core.ColumnStats.build(spark, d, Seq("v"))
+    val rel = spark.read.format("graft").load(d)
+    // v >= 450 (≡ k >= 150) is PARTIAL on file [100,200) — but that
+    // file is already excluded by the lower k >= 200 filter, so the
+    // upper filter only needs to classify the surviving files (all
+    // Full). The optimizer combines adjacent Filters, so pin the
+    // completeness on the rule applied to the ANALYZED plan, where
+    // the two Filter nodes are still stacked.
+    // typed Long literals: the ANALYZED plan (pre constant-folding)
+    // would otherwise wrap int literals in casts the classifier
+    // rightly declines
+    val q = rel.filter(col("k") >= lit(200L)).filter(col("v") >= lit(450L))
+      .agg(count(lit(1)).as("n"))
+    val folded = graft.plans.MetadataCount(q.queryExecution.analyzed)
+    val local = folded.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }
+    assert(local.isDefined,
+      s"stacked aligned filters must fold:\n$folded")
+    assert(local.get.data.head.getLong(0) == 400L)
+    assert(q.collect().head.getLong(0) == 400L)
+    // control: the same Partial file NOT excluded below declines
+    val qDecline =
+      rel.filter(col("v") >= lit(450L)).agg(count(lit(1)).as("n"))
+    val unfolded =
+      graft.plans.MetadataCount(qDecline.queryExecution.analyzed)
+    assert(unfolded.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.isEmpty, s"a kept Partial file must decline:\n$unfolded")
+    assert(qDecline.collect().head.getLong(0) == 450L)
+  }
+
   test("high-precision decimal min/max fold to the exact engine value") {
     val d = tempDir("metadec") + "/ds"
     val df = spark.range(0L, 120L).select(

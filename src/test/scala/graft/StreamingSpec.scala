@@ -291,7 +291,7 @@ class StreamingSpec extends AnyFunSuite {
             .withColumn("k", col("k") + 1000L)),
         retain = true)
       q.processAllAvailable()
-      // 5 updates = 5 deletes + 5 inserts; plus 2 pure inserts
+      // 5 updates = 5 pre/postimage pairs; plus 2 pure inserts
       assert(spark.table("cdc").count() == 12)
       assert(feedSorted("cdc") == batchFeed(0),
         "the stream must equal the batch change feed")
@@ -380,6 +380,67 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       assertSameRows(dstDf, srcDf)
       assert(dstDf.filter(col("payload") === "MERGED").count() == 5)
+    } finally q.stop()
+  }
+
+  test("caught-up stream refuses a retain=false mutation loudly " +
+      "instead of silently losing its delta") {
+    import graft.core.PDataset
+    import graft.operators.Maintenance
+    val dir = Files.createTempDirectory("graft-cdc-unret").toString + "/t"
+    val rows = spark.range(0, 200).select(
+      col("id").as("k"), concat(lit("p"), col("id")).as("payload"))
+    PDataset.fromDataFrame(rows, Seq("k")).repartition(100).writeParquet(dir)
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", 0).load(dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cdc_unret").start()
+    try {
+      Maintenance.deleteKeys(spark, dir, Seq(1L).toDF("k"), retain = true)
+      q.processAllAvailable() // consumed offset = the CURRENT generation
+      assert(spark.table("cdc_unret").count() == 1)
+      // a retain=false mutation rewrites the consumed generation's
+      // content in place: the offset's content hash no longer
+      // matches, so the stream fails LOUDLY (the old behavior was to
+      // silently drop this delta once the next retained tick landed)
+      Maintenance.deleteKeys(spark, dir, Seq(2L).toDF("k"), retain = false)
+      val e = intercept[org.apache.spark.sql.streaming
+          .StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("retain"),
+        s"expected the retain=false refusal, got: ${e.getMessage}")
+    } finally q.stop()
+  }
+
+  test("replication refuses a delta revealing duplicate source index " +
+      "keys instead of silently diverging") {
+    import graft.core.PDataset
+    import graft.operators.Maintenance
+    val root = Files.createTempDirectory("graft-replica-dup").toString
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    // key 50 is DUPLICATED in the seed (two rows, one key) — legal to
+    // write, but outside replication's unique-key contract
+    val rows = spark.range(0, 100).select(
+      col("id").as("k"), concat(lit("p"), col("id")).as("payload"))
+      .unionByName(Seq((50L, "copy")).toDF("k", "payload"))
+    PDataset.fromDataFrame(rows, Seq("k")).repartition(50).writeParquet(src)
+    PDataset.fromDataFrame(rows, Seq("k")).repartition(50).writeParquet(dst)
+    val q = graft.streaming.Replication.replicaSink(spark, src, dst,
+      Files.createTempDirectory("graft-replica-dup-ckpt").toString)
+    try {
+      // upserting the duplicated key replaces BOTH stored copies with
+      // one: the feed carries 2 losses + 1 gain on key 50 — a by-key
+      // apply cannot represent that, so the batch must fail loudly
+      Maintenance.upsert(spark, src,
+        Seq((50L, "X")).toDF("k", "payload"), retain = true)
+      val e = intercept[org.apache.spark.sql.streaming
+          .StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("unique index keys"),
+        s"expected the duplicate-key refusal, got: ${e.getMessage}")
     } finally q.stop()
   }
 
