@@ -734,6 +734,40 @@ object SparkEntry {
       PDataset.scanParquet(s, dst).toDF.orderBy("o_orderkey")
     }),
 
+    // The V2 TableCatalog end-to-end: CREATE TABLE / INSERT INTO by
+    // NAME (the graft sink's one-shuffle append under the V1 write
+    // fallback), one retained mutation, then Spark's native
+    // `VERSION AS OF 0` SQL resolved through the retained-generation
+    // ledger — the timed body is the time-travel read over the
+    // sidecar-served DSv2 scan; the oracle is the pristine table.
+    "q_catalog" -> ((s, d) => {
+      val wh = fixture("catalogwh", d) { out =>
+        s.conf.set("spark.sql.catalog.gcat",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gcat.warehouse", out)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+        s.sql("CREATE TABLE gcat.db.orders_cat (o_orderkey BIGINT, " +
+          "o_custkey BIGINT, o_totalprice DOUBLE) USING graft " +
+          "TBLPROPERTIES('index'='o_orderkey')")
+        s.read.parquet(T(d, "orders"))
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .createOrReplaceTempView("cat_orders_src")
+        s.sql("INSERT INTO gcat.db.orders_cat " +
+          "SELECT * FROM cat_orders_src")
+        graft.operators.Maintenance.deleteKeys(s,
+          out + "/db/orders_cat",
+          s.read.parquet(T(d, "orders"))
+            .filter(col("o_orderkey") % 401 === 0 &&
+              col("o_orderkey") =!= 0)
+            .select("o_orderkey"),
+          retain = true)
+      }
+      s.conf.set("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+      s.sql("SELECT * FROM gcat.db.orders_cat VERSION AS OF 0 " +
+        "ORDER BY o_orderkey")
+    }),
+
     // The statement-level DDL surface end-to-end: two ALTER TABLE ADD
     // CONSTRAINT (each validating the table in one counting scan), a
     // DROP, and the SHOW CONSTRAINTS listing — all via spark.sql
@@ -2393,6 +2427,10 @@ object SparkEntry {
            ORDER BY o_orderkey, change_type""",
       "q_sql_ddl" ->
         "SELECT 'key_nn' AS name, 'o_orderkey IS NOT NULL' AS expression",
+      // VERSION AS OF 0 = the table before the retained delete
+      "q_catalog" ->
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+           ORDER BY o_orderkey""",
       "q_replica" ->
         """WITH final AS (
              SELECT o_orderkey, o_custkey,

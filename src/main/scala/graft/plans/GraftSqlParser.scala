@@ -68,10 +68,29 @@ final class GraftSqlParser(delegate: ParserInterface)
 
 object GraftSqlParser {
 
-  // graft.`/path` (Delta-style) or a bare '/path' string literal
-  private val T = """(?:graft\s*\.\s*`([^`]+)`|'([^']+)')"""
-  private def path(a: String, b: String): String =
-    Option(a).getOrElse(b)
+  // graft.`/path` (Delta-style), a bare '/path' string literal, or a
+  // catalog-qualified NAME (cat.db.t) resolved through a registered
+  // graft.sources.GraftCatalog — a name whose catalog is NOT a graft
+  // catalog makes the whole statement fall through to the delegate
+  // parser, so these statements never shadow other formats' DDL.
+  private val T = """(?:graft\s*\.\s*`([^`]+)`|'([^']+)'|([\w.]+))"""
+  private def path(a: String, b: String, c: String): String =
+    tbl(a, b, c).getOrElse(
+      throw new IllegalArgumentException(s"'$c' does not resolve"))
+  private def tbl(a: String, b: String, c: String): Option[String] =
+    Option(a).orElse(Option(b)).orElse(Option(c).flatMap(resolveNamed))
+  private def resolveNamed(name: String): Option[String] = {
+    val parts = name.split("\\.").toSeq
+    if (parts.length < 2 || parts.exists(_.isEmpty)) return None
+    try {
+      val spark = org.apache.spark.sql.classic.SparkSession.active
+      spark.sessionState.catalogManager.catalog(parts.head) match {
+        case g: graft.sources.GraftCatalog =>
+          Some(g.tablePath(parts.tail.dropRight(1), parts.last))
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   private val AddConstraint =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + T +
@@ -109,35 +128,36 @@ object GraftSqlParser {
 
   private[plans] def parseGraft(sql: String): Option[LogicalPlan] =
     sql match {
-      case AddConstraint(a, b, name, expr) =>
-        Some(GraftAddConstraintCommand(path(a, b), name, expr.trim))
-      case DropConstraint(a, b, name) =>
-        Some(GraftDropConstraintCommand(path(a, b), name))
-      case ShowConstraints(a, b) =>
-        Some(GraftShowConstraintsCommand(path(a, b)))
-      case DescHistory(a, b) =>
-        Some(GraftDescribeHistoryCommand(path(a, b)))
-      case DescDetail(a, b) =>
-        Some(GraftDescribeDetailCommand(path(a, b)))
-      case Vacuum(a, b, n, ts, iv, unit) =>
-        Some(GraftVacuumCommand(path(a, b),
+      case AddConstraint(a, b, c, name, expr) =>
+        tbl(a, b, c).map(GraftAddConstraintCommand(_, name, expr.trim))
+      case DropConstraint(a, b, c, name) =>
+        tbl(a, b, c).map(GraftDropConstraintCommand(_, name))
+      case ShowConstraints(a, b, c) =>
+        tbl(a, b, c).map(GraftShowConstraintsCommand(_))
+      case DescHistory(a, b, c) =>
+        tbl(a, b, c).map(GraftDescribeHistoryCommand(_))
+      case DescDetail(a, b, c) =>
+        tbl(a, b, c).map(GraftDescribeDetailCommand(_))
+      case Vacuum(a, b, c, n, ts, iv, unit) =>
+        tbl(a, b, c).map(GraftVacuumCommand(_,
           Option(n).map(_.toInt),
           Option(ts).map(graft.sources.GraftSource.parseTs),
           for { v <- Option(iv); u <- Option(unit) }
             yield intervalMillis(v.toLong, u)))
-      case Restore(a, b, v) =>
-        Some(GraftRestoreCommand(path(a, b), v.toInt))
-      case RestoreTs(a, b, ts) =>
-        Some(GraftRestoreTimestampCommand(path(a, b),
+      case Restore(a, b, c, v) =>
+        tbl(a, b, c).map(GraftRestoreCommand(_, v.toInt))
+      case RestoreTs(a, b, c, ts) =>
+        tbl(a, b, c).map(GraftRestoreTimestampCommand(_,
           graft.sources.GraftSource.parseTs(ts)))
-      case Optimize(a, b, rows) =>
-        Some(GraftOptimizeCommand(path(a, b), rows.toLong))
-      case ZOrder(a, b, cols, files, a2, b2) =>
+      case Optimize(a, b, c, rows) =>
+        tbl(a, b, c).map(GraftOptimizeCommand(_, rows.toLong))
+      case ZOrder(a, b, c, cols, files, a2, b2, c2) =>
         val cs = cols.split(",").map(_.trim.stripPrefix("`")
           .stripSuffix("`")).filter(_.nonEmpty).toSeq
-        Some(GraftZOrderCommand(path(a, b), cs,
+        tbl(a, b, c).map(GraftZOrderCommand(_, cs,
           Option(files).map(_.toInt),
-          if (a2 == null && b2 == null) None else Some(path(a2, b2))))
+          if (a2 == null && b2 == null && c2 == null) None
+          else Some(path(a2, b2, c2))))
       case _ => None
     }
 

@@ -1,0 +1,347 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{Path => HPath}
+
+import org.apache.spark.sql.{DataFrame, GraftRelations, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException,
+  NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write,
+  Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.{GraftFs, Sidecar}
+import graft.operators.Maintenance
+
+/** V2 `TableCatalog` for graft tables — NAME-based access to the
+  * engine's sidecar datasets through plain Spark SQL:
+  *
+  * {{{
+  *   spark.sql.catalog.graft           = graft.sources.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = s3://bucket/warehouse
+  *
+  *   CREATE NAMESPACE graft.db
+  *   CREATE TABLE graft.db.events (k BIGINT, v STRING) USING graft
+  *     TBLPROPERTIES ('index' = 'k')          -- or PARTITIONED BY (k)
+  *   INSERT INTO graft.db.events SELECT ...   -- the sink's one-shuffle
+  *                                            -- append, O(delta) stats
+  *   SELECT * FROM graft.db.events WHERE k > 5  -- sidecar file pruning
+  *   SELECT * FROM graft.db.events VERSION AS OF 3      -- time travel
+  *   SELECT * FROM graft.db.events TIMESTAMP AS OF '...'
+  *   ALTER TABLE graft.db.events ADD COLUMNS (w DOUBLE) -- metadata-only
+  * }}}
+  *
+  * Identifier → path is a pure warehouse-directory mapping
+  * (`<warehouse>/<namespace...>/<name>`), so every path-based tool —
+  * the engine API, `format("graft")`, the statement DDL — addresses
+  * the SAME table; the catalog adds name resolution and Spark's
+  * native `VERSION AS OF` / `TIMESTAMP AS OF` SQL, resolved through
+  * the retained-generation ledger ([[Maintenance.versionMeta]] /
+  * [[Maintenance.metaAsOf]]).
+  *
+  * Reads plan through Spark's vectorized DSv2 parquet scan over the
+  * sidecar-served file index (zero listings, zero footer reads,
+  * pushed filters prune whole files). Writes go through the V1
+  * fallback (`V1Write`) onto the graft sink's append/overwrite path —
+  * one shuffle, delta-only stats, OCC self-healing — so INSERT INTO
+  * at 100 TB has exactly the same cost shape as the path API.
+  */
+final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(
+      name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"the graft catalog needs a warehouse directory: set " +
+          s"spark.sql.catalog.$name.warehouse=<dir>"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def pathOf(ident: Identifier): String =
+    (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+
+  /** The warehouse directory a (namespace, name) identifier maps to —
+    * lets the statement DDL ([[graft.plans.GraftSqlParser]]) accept
+    * catalog names alongside paths. */
+  def tablePath(namespace: Seq[String], name: String): String =
+    pathOf(Identifier.of(namespace.toArray, name))
+
+  private def pathOf(namespace: Seq[String]): String =
+    (warehouse +: namespace).mkString("/")
+
+  // ---- tables ----
+
+  override def tableExists(ident: Identifier): Boolean =
+    Sidecar.exists(spark, pathOf(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = pathOf(ident)
+    if (!Sidecar.exists(spark, p)) throw new NoSuchTableException(ident)
+    new GraftTable(p, fullName(ident), Sidecar.load(spark, p),
+      snapshot = false)
+  }
+
+  /** `VERSION AS OF n` — the archived generation, read-only. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = pathOf(ident)
+    if (!Sidecar.exists(spark, p)) throw new NoSuchTableException(ident)
+    new GraftTable(p, s"${fullName(ident)}@v$version",
+      Maintenance.versionMeta(spark, p, version.toInt), snapshot = true)
+  }
+
+  /** `TIMESTAMP AS OF t` — `timestamp` arrives in MICROseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val p = pathOf(ident)
+    if (!Sidecar.exists(spark, p)) throw new NoSuchTableException(ident)
+    new GraftTable(p, s"${fullName(ident)}@ts$timestamp",
+      Maintenance.metaAsOf(spark, p, timestamp / 1000L), snapshot = true)
+  }
+
+  private def fullName(ident: Identifier): String =
+    (catalogName +: ident.namespace().toSeq :+ ident.name()).mkString(".")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = pathOf(namespace.toSeq)
+    val (fs, p) = GraftFs.resolve(spark, dir)
+    if (!GraftFs.isDir(fs, p))
+      throw new NoSuchNamespaceException(namespace)
+    GraftFs.listStatuses(fs, p)
+      .filter(st => st.isDirectory &&
+        Sidecar.exists(spark, st.getPath.toString))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+      .toArray
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val p = pathOf(ident)
+    if (Sidecar.exists(spark, p))
+      throw new TableAlreadyExistsException(ident)
+    // Index columns: TBLPROPERTIES('index'='c1,c2') / OPTIONS, or the
+    // PARTITIONED BY (c1, c2) clause (identity transforms name the
+    // range-clustering columns — graft has no hive-style partition
+    // dirs, clustering IS its partitioning).
+    val props = properties.asScala
+    val fromProps = (props.get("index").toSeq ++
+      props.get(TableCatalog.OPTION_PREFIX + "index").toSeq)
+      .headOption.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val fromPartitions = partitions.toSeq.collect {
+      case t if t.name == "identity" =>
+        t.references().head.fieldNames.mkString(".")
+    } match { case Nil => None; case cols => Some(cols) }
+    val index = fromProps.orElse(fromPartitions).getOrElse(
+      throw new IllegalArgumentException(
+        "a graft table needs its clustering columns: declare " +
+          "PARTITIONED BY (c1, c2) or TBLPROPERTIES('index'='c1,c2')"))
+    index.foreach(c => require(schema.fieldNames.contains(c),
+      s"index column $c is not in the table schema"))
+    val (fs, dirPath) = GraftFs.resolve(spark, p)
+    GraftFs.mkdirs(fs, dirPath)
+    Sidecar.write(spark, p, index, Seq.empty, Seq.empty, Seq.empty,
+      Seq.empty, maxPartitionIndex = -1L, schema)
+    new GraftTable(p, fullName(ident), Sidecar.load(spark, p),
+      snapshot = false)
+  }
+
+  override def alterTable(
+      ident: Identifier, changes: TableChange*): Table = {
+    val p = pathOf(ident)
+    if (!Sidecar.exists(spark, p)) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "graft tables have no nested columns to add into")
+        Maintenance.addColumns(spark, p,
+          org.apache.spark.sql.types.StructField(
+            add.fieldNames.head, add.dataType, nullable = true))
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          "graft tables have no nested columns to drop from")
+        Maintenance.dropColumns(spark, p, del.fieldNames.head)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE change ${other.getClass.getSimpleName} is not " +
+            "supported on graft tables (supported: ADD COLUMNS, " +
+            "DROP COLUMN)")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = pathOf(ident)
+    if (!Sidecar.exists(spark, p)) false
+    else {
+      val (fs, dirPath) = GraftFs.resolve(spark, p)
+      GraftFs.deleteRecursive(fs, dirPath)
+      true
+    }
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    val (fs, src) = GraftFs.resolve(spark, pathOf(from))
+    if (!Sidecar.exists(spark, pathOf(from)))
+      throw new NoSuchTableException(from)
+    if (Sidecar.exists(spark, pathOf(to)))
+      throw new TableAlreadyExistsException(to)
+    val (_, dst) = GraftFs.resolve(spark, pathOf(to))
+    GraftFs.mkdirs(fs, dst.getParent)
+    if (!fs.rename(src, dst)) throw new java.io.IOException(
+      s"rename $src -> $dst failed")
+  }
+
+  // ---- namespaces (plain warehouse subdirectories) ----
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val (fs, p) = GraftFs.resolve(spark, warehouse)
+    if (!GraftFs.isDir(fs, p)) Array.empty
+    else GraftFs.listStatuses(fs, p)
+      .filter(st => st.isDirectory &&
+        !Sidecar.exists(spark, st.getPath.toString))
+      .map(st => Array(st.getPath.getName))
+      .toArray
+  }
+
+  override def listNamespaces(
+      namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || {
+      val (fs, p) = GraftFs.resolve(spark, pathOf(namespace.toSeq))
+      GraftFs.isDir(fs, p)
+    }
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace)) new util.HashMap[String, String]()
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(
+      namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    val (fs, p) = GraftFs.resolve(spark, pathOf(namespace.toSeq))
+    GraftFs.mkdirs(fs, p)
+  }
+
+  override def alterNamespace(
+      namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces are plain directories and carry no metadata")
+
+  override def dropNamespace(
+      namespace: Array[String], cascade: Boolean): Boolean = {
+    val (fs, p) = GraftFs.resolve(spark, pathOf(namespace.toSeq))
+    if (!GraftFs.isDir(fs, p)) false
+    else {
+      if (!cascade)
+        require(GraftFs.listStatuses(fs, p).isEmpty,
+          s"namespace ${namespace.mkString(".")} is not empty")
+      GraftFs.deleteRecursive(fs, p)
+      true
+    }
+  }
+}
+
+/** One graft table (or one archived generation of it) through the V2
+  * `Table` interface: vectorized DSv2 parquet reads over the
+  * sidecar-served listing, V1-fallback writes through the graft
+  * sink. Snapshot tables (VERSION/TIMESTAMP AS OF) are read-only. */
+final class GraftTable(
+    path: String,
+    tableName: String,
+    meta: Sidecar.Meta,
+    snapshot: Boolean)
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = tableName
+  override def schema(): StructType = meta.schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put(TableCatalog.PROP_LOCATION, path)
+    m.put(TableCatalog.PROP_PROVIDER, "graft")
+    m.put("index", meta.indexColumns.mkString(","))
+    m
+  }
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    val spark = SparkSession.active
+    // Pending deletion vectors are current-table state the raw V2
+    // scan would ignore; refuse loudly rather than resurrect deleted
+    // rows. (Snapshot reads address committed generations, which
+    // vectors never cover — they stay readable.)
+    if (!snapshot &&
+        graft.operators.DeletionVectors.exists(spark, path))
+      throw new IllegalStateException(
+        s"table $tableName has pending deletion vectors; materialize " +
+          "them (DeletionVectors.apply) or read through " +
+          "spark.read.format(\"graft\"), which merges on read")
+    GraftRelations.v2ScanBuilder(spark, path, meta, options)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(!snapshot,
+      s"$tableName is a read-only snapshot (VERSION/TIMESTAMP AS OF); " +
+        "write to the current table instead")
+    new GraftWriteBuilder(path, meta.indexColumns.toSeq)
+  }
+
+  override def toString: String = s"GraftTable($tableName)"
+}
+
+/** INSERT INTO / INSERT OVERWRITE via the V1 write fallback: the
+  * engine's sink already implements the scalable append (one
+  * range-partitioned shuffle, stats over only the delta, OCC
+  * self-healing install) — `V1Write` hands the V2 planner exactly
+  * that path instead of duplicating it. */
+private[sources] final class GraftWriteBuilder(
+    path: String, index: Seq[String])
+    extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, over: Boolean): Unit = {
+          val mode =
+            if (overwrite || over) SaveMode.Overwrite else SaveMode.Append
+          val sqlc = data.sparkSession
+            .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+            .sqlContext
+          new GraftSource().createRelation(sqlc, mode,
+            Map("path" -> path, "index" -> index.mkString(",")), data)
+          ()
+        }
+      }
+  }
+}

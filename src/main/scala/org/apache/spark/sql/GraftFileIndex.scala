@@ -374,6 +374,51 @@ final class GraftFileIndex(
     statuses.map(_.getPath.toString).toArray
   override def refresh(): Unit = ()
   override def sizeInBytes: Long = statuses.map(_.getLen).sum
+
+  /** The sidecar-derived file statuses (no directory listing) — the
+    * [[GraftPartitioningIndex]] V2 adapter serves its leaf listing
+    * from these. */
+  private[sql] def fileStatuses: IndexedSeq[FileStatus] = statuses
+}
+
+/** [[GraftFileIndex]] adapted to the [[execution.datasources
+  * .PartitioningAwareFileIndex]] shape the DSv2 file scans
+  * (`ParquetScanBuilder`) require: the leaf listing comes from the
+  * sidecar (zero directory listings), `listFiles` delegates to the
+  * inner index so pushed data filters prune whole files through the
+  * lex bounds / Bloom / column-stats sidecars exactly like the V1
+  * relation — the scan behind the `graft` [[org.apache.spark.sql
+  * .connector.catalog.TableCatalog]]. */
+final class GraftPartitioningIndex(
+    spark: classic.SparkSession,
+    inner: GraftFileIndex,
+    schema: StructType)
+    extends execution.datasources.PartitioningAwareFileIndex(
+      spark, Map.empty, Some(schema)) {
+  import org.apache.hadoop.fs.FileStatus
+
+  override def partitionSpec(): execution.datasources.PartitionSpec =
+    execution.datasources.PartitionSpec.emptySpec
+  override def partitionSchema: StructType = StructType(Nil)
+  override protected def leafFiles:
+      scala.collection.mutable.LinkedHashMap[Path, FileStatus] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[Path, FileStatus]
+    inner.fileStatuses.foreach(st => m += (st.getPath -> st))
+    m
+  }
+  override protected def leafDirToChildrenFiles:
+      Map[Path, Array[FileStatus]] =
+    inner.fileStatuses.groupBy(_.getPath.getParent)
+      .map { case (d, sts) => d -> sts.toArray }
+  override def listFiles(
+      partitionFilters: Seq[catalyst.expressions.Expression],
+      dataFilters: Seq[catalyst.expressions.Expression]):
+      Seq[execution.datasources.PartitionDirectory] =
+    inner.listFiles(partitionFilters, dataFilters)
+  override def rootPaths: Seq[Path] = inner.rootPaths
+  override def refresh(): Unit = ()
+  override def inputFiles: Array[String] = inner.inputFiles
+  override def sizeInBytes: Long = inner.sizeInBytes
 }
 
 object GraftRelations {
@@ -444,6 +489,22 @@ object GraftRelations {
   def sidecarRelationFor(
       spark: SparkSession, dir: String,
       m: graft.core.Sidecar.Meta): HadoopFsRelation = {
+    HadoopFsRelation(
+      fileIndexFor(spark, dir, m),
+      partitionSchema = StructType(Nil),
+      dataSchema = m.schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat(),
+      options = Map.empty)(spark.asInstanceOf[classic.SparkSession])
+  }
+
+  /** The [[GraftFileIndex]] for one metadata generation: listing,
+    * sizes and lex bounds from the sidecar, Bloom/column-stats
+    * sidecars armed when present — shared by the V1 relation above
+    * and the V2 catalog scan. */
+  def fileIndexFor(
+      spark: SparkSession, dir: String,
+      m: graft.core.Sidecar.Meta): GraftFileIndex = {
     // Creating a graft relation arms the metadata-only count(*) rule
     // and the conf-driven view rewrite (`SET spark.graft.views=...`)
     // for this session (both idempotent).
@@ -454,19 +515,29 @@ object GraftRelations {
     val withSizes = graft.core.GraftFs.fileSizes(
       spark.sparkContext.hadoopConfiguration, files)
     val raw = graft.core.ColumnStats.rawForFiles(spark, files, m.schema)
-    val index = new GraftFileIndex(
+    new GraftFileIndex(
       withSizes, m.indexColumns, m.lowerBounds, m.upperBounds,
       blooms = graft.core.BloomIndex.forFiles(spark, files),
       rowCounts = Some(m.sizes),
       extraStats = graft.core.ColumnStats.pruning(raw),
       rawColStats = raw)
-    HadoopFsRelation(
-      index,
-      partitionSchema = StructType(Nil),
-      dataSchema = m.schema,
-      bucketSpec = None,
-      fileFormat = new ParquetFileFormat(),
-      options = Map.empty)(spark.asInstanceOf[classic.SparkSession])
+  }
+
+  /** DSv2 scan builder over one metadata generation: Spark's own
+    * vectorized parquet scan ([[org.apache.spark.sql.execution
+    * .datasources.v2.parquet.ParquetScanBuilder]]) planned over the
+    * sidecar-served file index — pushed filters reach BOTH the
+    * file-pruning index and the parquet row-group reader. */
+  def v2ScanBuilder(
+      spark: SparkSession, dir: String, m: graft.core.Sidecar.Meta,
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap):
+      org.apache.spark.sql.connector.read.ScanBuilder = {
+    val ss = spark.asInstanceOf[classic.SparkSession]
+    org.apache.spark.sql.execution.datasources.v2.parquet
+      .ParquetScanBuilder(ss,
+        new GraftPartitioningIndex(ss, fileIndexFor(spark, dir, m),
+          m.schema),
+        m.schema, m.schema, options)
   }
 
   private def relationDF(

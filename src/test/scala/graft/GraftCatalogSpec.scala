@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.PDataset
+import graft.operators.Maintenance
+import Fixtures._
+
+/** The V2 `TableCatalog` (`graft.sources.GraftCatalog`): name-based
+  * CREATE / INSERT / SELECT, Spark-native VERSION AS OF / TIMESTAMP
+  * AS OF time travel resolved through the retained-generation
+  * ledger, sidecar file pruning through the DSv2 scan, and schema
+  * evolution via ALTER TABLE — all against the same directories the
+  * path API addresses. */
+class GraftCatalogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val wh = tempDir("graft-catalog-wh")
+    spark.conf.set("spark.sql.catalog.gcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    wh
+  }
+
+  /** Files planned by the DSv2 scan of `df` (BatchScanExec). */
+  private def v2ScannedFiles(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case b: BatchScanExec => Seq(b)
+      case other => other.children.flatMap(scans)
+    }
+    scans(df.queryExecution.executedPlan).flatMap(_.inputPartitions)
+      .flatMap { case fp: FilePartition => fp.files.map(_.urlEncodedPath) }
+      .distinct.length
+  }
+
+  test("CREATE TABLE + INSERT INTO + SELECT by name round-trip, and " +
+      "the directory stays path-API-compatible") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.kv (k BIGINT, grp BIGINT, " +
+      "payload STRING) USING graft TBLPROPERTIES('index'='k')")
+    assert(spark.sql("SHOW TABLES IN gcat.db").collect()
+      .map(_.getString(1)).contains("kv"))
+    spark.range(0, 300).select(col("id").as("k"), (col("id") % 7).as("grp"),
+      concat(lit("p"), col("id")).as("payload"))
+      .createOrReplaceTempView("kv_src")
+    spark.sql("INSERT INTO gcat.db.kv SELECT * FROM kv_src")
+    assert(spark.sql("SELECT count(*) AS n FROM gcat.db.kv")
+      .head().getLong(0) == 300L)
+    // the same directory opens through the path API — one table,
+    // two addressings
+    val byPath = PDataset.scanParquet(spark, s"$warehouse/db/kv")
+    assert(byPath.toDF.count() == 300L)
+    assert(byPath.indexColumns == Seq("k"))
+    // a second INSERT INTO appends (the sink's O(delta) append)
+    spark.sql("INSERT INTO gcat.db.kv " +
+      "SELECT k + 1000, grp, payload FROM kv_src WHERE k < 10")
+    assert(spark.table("gcat.db.kv").count() == 310L)
+    // INSERT OVERWRITE replaces the content, keeping the table
+    spark.sql("INSERT OVERWRITE gcat.db.kv " +
+      "SELECT * FROM kv_src WHERE k < 100")
+    assert(spark.table("gcat.db.kv").count() == 100L)
+  }
+
+  test("pushed filters prune planned files through the sidecar in the " +
+      "DSv2 scan") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS gcat.db.pruned")
+    spark.sql("CREATE TABLE gcat.db.pruned (k BIGINT, v STRING) " +
+      "USING graft PARTITIONED BY (k)")
+    spark.range(0, 1000).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v"))
+      .createOrReplaceTempView("pruned_src")
+    // chunked inserts: each append lands its own disjoint-range file
+    (0 until 1000 by 200).foreach(lo => spark.sql(
+      s"INSERT INTO gcat.db.pruned SELECT * FROM pruned_src " +
+        s"WHERE k >= $lo AND k < ${lo + 200}"))
+    val total = v2ScannedFiles(spark.table("gcat.db.pruned"))
+    assert(total >= 4, s"fixture should span several files, got $total")
+    val narrow = v2ScannedFiles(
+      spark.sql("SELECT * FROM gcat.db.pruned WHERE k >= 990"))
+    assert(narrow <= 1,
+      s"a point-range read must prune to ~1 file, planned $narrow/$total")
+  }
+
+  test("VERSION AS OF resolves through the ledger, equal to " +
+      "Maintenance.scanVersion; TIMESTAMP AS OF too; snapshots are " +
+      "read-only") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS gcat.db.tt")
+    spark.sql("CREATE TABLE gcat.db.tt (k BIGINT, payload STRING) " +
+      "USING graft TBLPROPERTIES('index'='k')")
+    spark.range(0, 200).select(col("id").as("k"),
+      concat(lit("p"), col("id")).as("payload"))
+      .createOrReplaceTempView("tt_src")
+    spark.sql("INSERT INTO gcat.db.tt SELECT * FROM tt_src")
+    val dir = s"$warehouse/db/tt"
+    Thread.sleep(20)
+    val midTs = System.currentTimeMillis()
+    Thread.sleep(20)
+    Maintenance.deleteKeys(spark, dir, Seq(5L, 6L).toDF("k"),
+      retain = true)
+    // VERSION AS OF 0 = the archived pre-delete generation,
+    // bit-for-bit what scanVersion serves
+    val v0 = spark.sql("SELECT * FROM gcat.db.tt VERSION AS OF 0")
+    assert(v0.count() == 200L)
+    assertSameRows(v0, Maintenance.scanVersion(spark, dir, 0).toDF)
+    assert(spark.table("gcat.db.tt").count() == 198L)
+    // TIMESTAMP AS OF an instant before the delete resolves to the
+    // same snapshot (micros per the TableCatalog contract)
+    val ts = java.time.Instant.ofEpochMilli(midTs).toString
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM gcat.db.tt TIMESTAMP AS OF '$ts'")
+      .head().getLong(0) == 200L)
+    // a snapshot refuses writes (Spark's grammar already rejects
+    // INSERT INTO ... VERSION AS OF; the table guards directly too)
+    import org.apache.spark.sql.connector.catalog.{Identifier,
+      SupportsWrite, TableCatalog}
+    val cat = org.apache.spark.sql.classic.SparkSession.active
+      .sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[TableCatalog]
+    val snap = cat.loadTable(Identifier.of(Array("db"), "tt"), "0")
+    val e = intercept[IllegalArgumentException] {
+      snap.asInstanceOf[SupportsWrite].newWriteBuilder(null)
+    }
+    assert(e.getMessage.contains("read-only"), e.getMessage)
+  }
+
+  test("ALTER TABLE ADD/DROP COLUMNS map onto metadata-only schema " +
+      "evolution; rename and drop manage the directory") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS gcat.db.evo")
+    spark.sql("DROP TABLE IF EXISTS gcat.db.evo2")
+    spark.sql("CREATE TABLE gcat.db.evo (k BIGINT, v DOUBLE) " +
+      "USING graft TBLPROPERTIES('index'='k')")
+    spark.range(0, 50).select(col("id").as("k"),
+      (col("id") * 1.5).as("v")).createOrReplaceTempView("evo_src")
+    spark.sql("INSERT INTO gcat.db.evo SELECT * FROM evo_src")
+    spark.sql("ALTER TABLE gcat.db.evo ADD COLUMNS (tag STRING)")
+    val widened = spark.table("gcat.db.evo")
+    assert(widened.columns.toSeq == Seq("k", "v", "tag"))
+    assert(widened.filter(col("tag").isNull).count() == 50L)
+    spark.sql("ALTER TABLE gcat.db.evo DROP COLUMN tag")
+    assert(spark.table("gcat.db.evo").columns.toSeq == Seq("k", "v"))
+    // rename moves the directory; the old name is gone
+    spark.sql("ALTER TABLE gcat.db.evo RENAME TO db.evo2")
+    assert(spark.table("gcat.db.evo2").count() == 50L)
+    assert(!spark.catalog.tableExists("gcat.db.evo"))
+    // the statement DDL addresses the SAME table by path AND by name
+    spark.sql(s"ALTER TABLE graft.`$warehouse/db/evo2` " +
+      "ADD CONSTRAINT v_pos CHECK (v >= 0)")
+    assert(spark.sql(s"SHOW CONSTRAINTS graft.`$warehouse/db/evo2`")
+      .head().getString(0) == "v_pos")
+    assert(spark.sql("SHOW CONSTRAINTS gcat.db.evo2")
+      .head().getString(0) == "v_pos")
+    spark.sql("ALTER TABLE gcat.db.evo2 DROP CONSTRAINT v_pos")
+    assert(spark.sql("SHOW CONSTRAINTS gcat.db.evo2").isEmpty)
+    assert(spark.sql("DESCRIBE HISTORY gcat.db.evo2").count() >= 1L)
+    spark.sql("DROP TABLE gcat.db.evo2")
+    assert(!spark.catalog.tableExists("gcat.db.evo2"))
+  }
+
+  test("CREATE TABLE without clustering columns refuses with guidance") {
+    warehouse
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.db.noidx (k BIGINT) USING graft")
+    }
+    assert(e.getMessage.contains("index") ||
+      e.getMessage.contains("PARTITIONED"), e.getMessage)
+  }
+}
