@@ -709,28 +709,34 @@ object SparkEntry {
     // mutated source recomputed in SQL, so a replication bug (missed
     // delta, double apply, key mix-up) breaks the hash.
     "q_replica" -> ((s, d) => {
-      val src = mutableCopy("ordkey20", d)(ordersByKey20(s, d))
-      val dst = mutableCopy("ordkey20", d)(ordersByKey20(s, d))
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft-replica-ckpt").toString
-      val orders = s.read.parquet(T(d, "orders"))
-      val q = graft.streaming.Replication.replicaSink(s, src, dst, ckpt)
-      try {
+      // The source history (one retained upsert + one retained key
+      // delete) builds ONCE and is only read here; each run seeds a
+      // fresh replica from the pristine snapshot and times the
+      // operator under test — the change-feed stream catching up
+      // from generation 0 and applying the deltas as merge commits —
+      // not the five commits of source mutation.
+      val src = fixture("ordkey20replsrc", d) { out =>
+        ordersByKey20(s, d)(out)
+        val orders = s.read.parquet(T(d, "orders"))
         val upd = orders.filter(col("o_orderkey") % 701 === 0)
           .withColumn("o_orderstatus", lit("U"))
           .withColumn("o_totalprice", col("o_totalprice") * 2)
         val ins = orders.filter(col("o_orderkey") % 997 === 0)
           .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
           .withColumn("o_orderpriority", lit("NEW"))
-        graft.operators.Maintenance.upsert(s, src,
+        graft.operators.Maintenance.upsert(s, out,
           upd.unionByName(ins), retain = true)
-        q.processAllAvailable()
-        graft.operators.Maintenance.deleteKeys(s, src,
+        graft.operators.Maintenance.deleteKeys(s, out,
           orders.filter(col("o_orderkey") % 401 === 0 &&
             col("o_orderkey") =!= 0).select("o_orderkey"),
           retain = true)
-        q.processAllAvailable()
-      } finally q.stop()
+      }
+      val dst = mutableCopy("ordkey20", d)(ordersByKey20(s, d))
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-replica-ckpt").toString
+      val q = graft.streaming.Replication.replicaSink(s, src, dst, ckpt,
+        startingVersion = Some("0"))
+      try q.processAllAvailable() finally q.stop()
       PDataset.scanParquet(s, dst).toDF.orderBy("o_orderkey")
     }),
 

@@ -83,8 +83,15 @@ object Sidecar {
     val maxIdx = obj("max_partition_index").asInstanceOf[Long]
     require(files.length == sizes.length && files.length == lbs.length &&
       files.length == ubs.length, s"inconsistent sidecar metadata in $dir")
-    Meta(files, indexColumns, sizes, lbs, ubs, maxIdx, schema)
+    Meta(files, indexColumns, sizes, lbs, ubs, maxIdx, schema,
+      extras = obj -- KnownMetaKeys)
   }
+
+  /** The core sidecar fields; anything else in the document is an
+    * EXTRA that load-modify-write maintenance must carry through
+    * (e.g. the `txn` streaming-commit ledger). */
+  private val KnownMetaKeys = Set("index_columns", "files", "sizes",
+    "lower_bounds", "upper_bounds", "max_partition_index")
 
   final case class Meta(
       files: IndexedSeq[String],
@@ -93,7 +100,17 @@ object Sidecar {
       lowerBounds: IndexedSeq[Bound],
       upperBounds: IndexedSeq[Bound],
       maxPartitionIndex: Long,
-      schema: StructType)
+      schema: StructType,
+      extras: Map[String, Any] = Map.empty) {
+
+    /** The `txn` streaming-commit ledger: highest committed version
+      * per writer app id (exactly-once idempotent appends — the
+      * public Delta `txnAppId`/`txnVersion` pattern). */
+    def txnVersions: Map[String, Long] =
+      extras.get("txn").map(_.asInstanceOf[Map[String, Any]]
+        .map { case (k, v) => k -> v.asInstanceOf[Long] })
+        .getOrElse(Map.empty)
+  }
 
   /** Spark's file listing hides `_`-prefixed files (Hadoop metadata
     * convention), so the `_padawan_schema` sidecar can't be read in
@@ -145,7 +162,8 @@ object Sidecar {
       lowerBounds: Seq[Bound],
       upperBounds: Seq[Bound],
       maxPartitionIndex: Long,
-      schema: StructType): Unit = {
+      schema: StructType,
+      extras: Map[String, Any] = Map.empty): Unit = {
     val meta = scala.collection.immutable.ListMap(
       "index_columns" -> indexColumns,
       "files" -> files,
@@ -153,7 +171,7 @@ object Sidecar {
       "lower_bounds" -> lowerBounds.map(_.map(_.orNull)),
       "upper_bounds" -> upperBounds.map(_.map(_.orNull)),
       "max_partition_index" -> maxPartitionIndex
-    )
+    ) ++ (extras -- KnownMetaKeys)
     val (fs, _) = GraftFs.resolve(spark, dir)
     // Write-to-temp-then-rename: an existing dataset's metadata is
     // never truncated in place — a crash mid-write leaves the old

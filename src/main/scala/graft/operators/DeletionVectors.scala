@@ -279,7 +279,8 @@ object DeletionVectors {
       if (retain) Maintenance.archiveCurrent(spark, fs, dirPath)
       Sidecar.write(spark, dir, m.indexColumns, entries.map(_._1),
         entries.map(_._2), entries.map(_._3), entries.map(_._4),
-        m.maxPartitionIndex + affected.length, m.schema)
+        m.maxPartitionIndex + affected.length, m.schema,
+        extras = m.extras)
       if (!retain)
         affected.foreach(p => fs.delete(new HPath(dirPath, m.files(p)), false))
       GraftFs.deleteRecursive(fs, dvDir(dirPath))

@@ -208,7 +208,7 @@ object Maintenance {
     Sidecar.write(spark, dir, target.indexColumns, target.files,
       target.sizes, target.lowerBounds, target.upperBounds,
       math.max(target.maxPartitionIndex, cur.maxPartitionIndex),
-      target.schema)
+      target.schema, extras = cur.extras)
     refreshBloom(spark, dir)
   }
 
@@ -511,7 +511,8 @@ object Maintenance {
       m.schema.fields ++ columns.map(_.copy(nullable = true)))
     guardUnchanged(spark, dirPath, loadedFp)
     Sidecar.write(spark, dir, m.indexColumns, m.files, m.sizes,
-      m.lowerBounds, m.upperBounds, m.maxPartitionIndex, widened)
+      m.lowerBounds, m.upperBounds, m.maxPartitionIndex, widened,
+      extras = m.extras)
   }
 
   /** Drop non-index columns — also metadata-only: the narrowed
@@ -538,7 +539,8 @@ object Maintenance {
       m.schema.fields.filterNot(f => dropped.contains(f.name)))
     guardUnchanged(spark, dirPath, loadedFp)
     Sidecar.write(spark, dir, m.indexColumns, m.files, m.sizes,
-      m.lowerBounds, m.upperBounds, m.maxPartitionIndex, narrowed)
+      m.lowerBounds, m.upperBounds, m.maxPartitionIndex, narrowed,
+      extras = m.extras)
     // a bloom index or column stats on a dropped column must go with
     // it: later maintenance refreshes would fail on the ghost column,
     // and stale stats would mis-describe a re-added namesake
@@ -701,7 +703,7 @@ object Maintenance {
     if (retain) archiveCurrent(spark, fs, dirPath)
     Sidecar.write(spark, dir, m.indexColumns, entries.map(_._1),
       entries.map(_._2), entries.map(_._3), entries.map(_._4),
-      m.maxPartitionIndex + merges.length, m.schema)
+      m.maxPartitionIndex + merges.length, m.schema, extras = m.extras)
     if (!retain)
       merges.flatten.foreach(p =>
         fs.delete(new HPath(dirPath, m.files(p)), false))
@@ -844,7 +846,8 @@ object Maintenance {
     if (retain) archiveCurrent(spark, fs, dirPath)
     Sidecar.write(spark, dir, m.indexColumns, entries.map(_._1),
       entries.map(_._2), entries.map(_._3), entries.map(_._4),
-      m.maxPartitionIndex + rewritePos.length, m.schema)
+      m.maxPartitionIndex + rewritePos.length, m.schema,
+      extras = m.extras)
     if (!retain) {
       dropPos.foreach(p => fs.delete(new HPath(dirPath, m.files(p)), false))
       rewritePos.foreach(p => fs.delete(new HPath(dirPath, m.files(p)), false))
@@ -1085,7 +1088,8 @@ object Maintenance {
     if (retain) archiveCurrent(spark, fs, dirPath)
     Sidecar.write(spark, dir, m.indexColumns, entries.map(_._1),
       entries.map(_._2), entries.map(_._3), entries.map(_._4),
-      m.maxPartitionIndex + affected.length, m.schema)
+      m.maxPartitionIndex + affected.length, m.schema,
+      extras = m.extras)
     if (!retain)
       affected.foreach(p => fs.delete(new HPath(dirPath, m.files(p)), false))
     refreshBloom(spark, dir)

@@ -36,9 +36,29 @@ import graft.core.{BloomIndex, GraftFs, PDataset, Sidecar, Stats}
   */
 final class GraftSource extends RelationProvider
     with CreatableRelationProvider with StreamSourceProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  // ---- streaming sink: exactly-once appends via the txn ledger ----
+  // `df.writeStream.format("graft").option("checkpointLocation", c)
+  //   [.option("index", "k")].start(dir)` — each micro-batch appends
+  // through the transactional write path (txnAppId = the query id,
+  // txnVersion = the batch id, committed in the same atomic sidecar
+  // swap that registers the batch's files), so a crash-replayed batch
+  // is a no-op: exactly-once table contents under at-least-once batch
+  // delivery, with the sink's usual one-shuffle O(delta) append cost.
+
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode):
+      org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"the graft streaming sink appends; got output mode $outputMode")
+    new GraftStreamSink(streamPath(parameters), parameters)
+  }
 
   // ---- streaming: the change feed as a micro-batch source ----
   // `spark.readStream.format("graft").load(dir)` emits each retained
@@ -251,6 +271,24 @@ final class GraftSource extends RelationProvider
       }
     }
 
+    // Exactly-once idempotent appends (the public Delta txnAppId/
+    // txnVersion pattern, and the contract behind the graft streaming
+    // sink): a write stamped with a (writer id, version) pair is
+    // SKIPPED when the target sidecar's `txn` ledger already records
+    // that version or a later one — a crash-replayed micro-batch
+    // becomes a no-op — and otherwise commits its ledger update in
+    // the SAME atomic sidecar swap that registers its files.
+    val txn: Option[(String, Long)] =
+      (parameters.get("txnAppId"), parameters.get("txnVersion")) match {
+        case (Some(a), Some(v)) => Some(a -> v.toLong)
+        case (None, None) => None
+        case _ => throw new IllegalArgumentException(
+          "txnAppId and txnVersion must be set together")
+      }
+    txn.foreach { _ => require(mode == SaveMode.Append,
+      "txnAppId/txnVersion idempotence applies to append writes " +
+        s"(got mode $mode)") }
+
     // An append onto an existing sidecar dataset validates against —
     // and then merges into — that sidecar, instead of re-deriving
     // metadata over the whole table.
@@ -268,6 +306,11 @@ final class GraftSource extends RelationProvider
         validateAppendCompat(m)
         Some((m, fp))
       } else None
+
+    // Replayed transactional batch: nothing to do, nothing written.
+    if (txn.exists { case (app, v) =>
+        appendTo.exists(_._1.txnVersions.get(app).exists(_ >= v)) })
+      return createRelation(sqlContext, Map("path" -> path))
 
     // option("dropConstraint", "name1,name2") — the DROP CONSTRAINT
     // analogue; idempotent like Constraints.drop. Applied BEFORE the
@@ -339,12 +382,18 @@ final class GraftSource extends RelationProvider
           // never move it backwards (see PDataset.writeMetadata).
           val maxIdx = math.max(m.maxPartitionIndex,
             m.files.length + names.length - 1L)
+          val newExtras = txn match {
+            case Some((app, v)) =>
+              m.extras + ("txn" -> (m.txnVersions + (app -> v)))
+            case None => m.extras
+          }
           try {
             graft.operators.Maintenance.guardUnchanged(spark, p, fp)
             Sidecar.write(spark, path, index,
               m.files ++ names, m.sizes ++ stats.map(_.size),
               m.lowerBounds ++ stats.map(_.lb),
-              m.upperBounds ++ stats.map(_.ub), maxIdx, m.schema)
+              m.upperBounds ++ stats.map(_.ub), maxIdx, m.schema,
+              extras = newExtras)
             installed = true
           } catch {
             case e: java.util.ConcurrentModificationException =>
@@ -376,6 +425,15 @@ final class GraftSource extends RelationProvider
         shaped.sortWithinPartitions(keys: _*)
           .write.mode(mode).parquet(path)
         PDataset.writeMetadata(spark, path, index)
+        // first transactional write onto a fresh target: seed the
+        // ledger (no concurrent readers yet — the table just appeared)
+        txn.foreach { case (app, v) =>
+          val m2 = Sidecar.load(spark, path)
+          Sidecar.write(spark, path, m2.indexColumns, m2.files,
+            m2.sizes, m2.lowerBounds, m2.upperBounds,
+            m2.maxPartitionIndex, m2.schema,
+            extras = m2.extras + ("txn" -> Map(app -> v)))
+        }
         // option("bloom", "c1,c2"): per-file point-lookup filters for
         // non-index columns, built right after the sidecar (one job).
         if (bloomCols.nonEmpty)
@@ -417,6 +475,55 @@ final class GraftSource extends RelationProvider
     }
     createRelation(sqlContext, parameters)
   }
+}
+
+/** The V1 streaming sink behind `writeStream.format("graft")`:
+  * each micro-batch goes through the batch sink's transactional
+  * append (`txnAppId` = this query's id, `txnVersion` = the batch
+  * id), so the ledger check-and-commit rides the same atomic sidecar
+  * swap that registers the files — a replayed batch after a crash
+  * changes nothing. Write options (`bloom`, `stats`,
+  * `constraint.<n>`, `files`) pass through to every batch; `index`
+  * is required only when the first batch must CREATE the target
+  * (an existing target's sidecar is authoritative). */
+final class GraftStreamSink(
+    path: String,
+    parameters: Map[String, String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(
+      batchId: Long,
+      data: org.apache.spark.sql.DataFrame): Unit = {
+    val spark = data.sparkSession
+    val batch = org.apache.spark.sql.GraftBridge.asBatchDataFrame(data)
+    // the engine stamps the stream thread with the query id; fall
+    // back to the checkpoint location (also query-stable) off-thread
+    val appId = Option(spark.sparkContext
+      .getLocalProperty("sql.streaming.queryId"))
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(path)
+    val index = parameters.get("index").orElse {
+      if (Sidecar.exists(spark, path))
+        Some(Sidecar.load(spark, path).indexColumns.mkString(","))
+      else None
+    }.getOrElse(throw new IllegalArgumentException(
+      s"the graft streaming sink needs clustering columns to CREATE " +
+        s"$path: pass option(\"index\", \"c1,c2\") (an existing " +
+        "target's sidecar supplies them)"))
+    val passThrough = parameters.filter { case (k, _) =>
+      val lk = k.toLowerCase
+      lk == "bloom" || lk == "stats" || lk == "files" ||
+        lk.startsWith("constraint.")
+    }
+    val w = batch.write.format("graft").mode(SaveMode.Append)
+      .option("index", index)
+      .option("txnAppId", s"graft-stream-$appId")
+      .option("txnVersion", batchId.toString)
+    passThrough.foreach { case (k, v) => w.option(k, v) }
+    w.save(path)
+  }
+
+  override def toString: String = s"GraftStreamSink[$path]"
 }
 
 object GraftSource {

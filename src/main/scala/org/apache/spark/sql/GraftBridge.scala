@@ -74,6 +74,16 @@ object GraftBridge {
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
 
+  /** Re-wrap a STREAMING micro-batch DataFrame as a batch one (same
+    * InternalRow plan, `isStreaming = false`) so a V1 `Sink.addBatch`
+    * can hand it to a batch writer — the standard sink-side twin of
+    * [[streamingDataFrame]]. */
+  def asBatchDataFrame(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = false)
+  }
+
   /** Type equality modulo nullability at every nesting level (the
     * `private[sql]` `DataType.sameType`): schema compatibility checks
     * must not reject `array<int>` against `array<int>` over an

@@ -383,6 +383,71 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transactional appends are idempotent per (txnAppId, " +
+      "txnVersion), and the ledger survives maintenance") {
+    import graft.operators.Maintenance
+    val t1 = Files.createTempDirectory("graft-sink-txn").toString + "/t"
+    val rows = spark.range(0, 100).select(
+      col("id").as("k"), concat(lit("p"), col("id")).as("payload"))
+    def stamped(v: Int, df: org.apache.spark.sql.DataFrame = rows): Unit =
+      df.write.format("graft").mode("append").option("index", "k")
+        .option("txnAppId", "app1").option("txnVersion", v.toString)
+        .save(t1)
+    def n(): Long = spark.read.format("graft").load(t1).count()
+    stamped(7)
+    assert(n() == 100)
+    stamped(7) // replayed batch: a no-op
+    assert(n() == 100)
+    stamped(5) // an OLDER version is also a no-op
+    assert(n() == 100)
+    stamped(8, rows.filter(col("k") < 10)
+      .withColumn("k", col("k") + 1000L)) // the next version lands
+    assert(n() == 110)
+    // a DIFFERENT writer id has its own ledger entry
+    rows.filter(col("k") < 5).withColumn("k", col("k") + 2000L)
+      .write.format("graft").mode("append").option("index", "k")
+      .option("txnAppId", "app2").option("txnVersion", "1").save(t1)
+    assert(n() == 115)
+    // the ledger survives load-modify-write maintenance commits
+    Maintenance.compact(spark, t1, targetRows = 1000)
+    stamped(8)
+    assert(n() == 115, "the txn ledger must survive compaction")
+  }
+
+  test("native writeStream format(\"graft\") sink: exactly-once " +
+      "appends across batches and checkpoint restarts") {
+    import graft.core.PDataset
+    val root = Files.createTempDirectory("graft-native-sink").toString
+    val srcDir = s"$root/src"
+    val target = s"$root/t"
+    val ckpt = s"$root/ckpt"
+    val rows = spark.range(0, 200).select(
+      col("id").as("k"), concat(lit("p"), col("id")).as("payload"))
+    rows.coalesce(1).write.parquet(srcDir)
+    def start() = spark.readStream.schema(rows.schema).parquet(srcDir)
+      .writeStream.format("graft").option("index", "k")
+      .option("checkpointLocation", ckpt).start(target)
+    val q = start()
+    try {
+      q.processAllAvailable()
+      assert(PDataset.scanParquet(spark, target).toDF.count() == 200)
+      // a second source file arrives -> one more appended batch
+      rows.filter(col("k") < 50).withColumn("k", col("k") + 10000L)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      assert(PDataset.scanParquet(spark, target).toDF.count() == 250)
+    } finally q.stop()
+    // restart on the same checkpoint: committed batches do not replay
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(PDataset.scanParquet(spark, target).toDF.count() == 250)
+    } finally q2.stop()
+    val ds = PDataset.scanParquet(spark, target)
+    checkBoundsAndSizes(ds)
+    assert(ds.toDF.select("k").distinct().count() == 250)
+  }
+
   test("caught-up stream refuses a retain=false mutation loudly " +
       "instead of silently losing its delta") {
     import graft.core.PDataset
