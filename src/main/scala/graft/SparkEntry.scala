@@ -789,6 +789,29 @@ object SparkEntry {
       s.sql(s"SHOW CONSTRAINTS $g")
     }),
 
+    // The maintenance STATEMENT surface under the hard correctness
+    // signal: OPTIMIZE (bin-pack rewrite), RESTORE TO VERSION AS OF
+    // (metadata-only rollback — safe because non-retained rewrites
+    // never delete files an archived generation references), and
+    // DESCRIBE DETAIL, all via spark.sql; the deterministic detail
+    // columns are pinned against plain SQL over the source table.
+    "q_sql_maintenance" -> ((s, d) => {
+      val dir = mutableCopy("ordkey20hist", d) { out =>
+        ordersByKey20(s, d)(out)
+        val upd = s.read.parquet(T(d, "orders"))
+          .filter(col("o_orderkey") % 701 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 5)
+        graft.operators.Maintenance.upsert(s, out, upd, retain = true)
+      }
+      val g = s"graft.`$dir`"
+      s.sql(s"OPTIMIZE $g TARGET 100000 ROWS")
+      s.sql(s"RESTORE TABLE $g TO VERSION AS OF 0")
+      s.sql(s"DESCRIBE DETAIL $g")
+        .select(col("index_columns"), col("n_rows"),
+          col("n_constraints"), col("pending_deletion_vectors"),
+          col("retained_versions"))
+    }),
+
     "q_restore" -> ((s, d) => {
       // The history builds once; each run copies it and times the
       // operator under test — RESTORE (a metadata-only generation
@@ -2437,6 +2460,14 @@ object SparkEntry {
       "q_catalog" ->
         """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
            ORDER BY o_orderkey""",
+      // after RESTORE TO VERSION AS OF 0 the table is the pristine
+      // orders copy; the restore itself archived one more generation
+      "q_sql_maintenance" ->
+        """SELECT 'o_orderkey' AS index_columns, count(*) AS n_rows,
+                  0 AS n_constraints,
+                  false AS pending_deletion_vectors,
+                  2 AS retained_versions
+           FROM orders""",
       "q_replica" ->
         """WITH final AS (
              SELECT o_orderkey, o_custkey,

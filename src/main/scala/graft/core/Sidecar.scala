@@ -29,6 +29,34 @@ object Sidecar {
   val MetadataFile = "_padawan_metadata.json"
   val SchemaFile = "_padawan_schema"
 
+  /** Measured driver-cost ceiling of the single-document sidecar
+    * design (see README "Sidecar scale ceiling" and
+    * [[graft.examples.SidecarScaleBench]]): up to a few ×10^5 file
+    * entries every per-commit / per-open cost stays ~1 s; at 10^6 the
+    * first open reaches tens of seconds. Rather than silently decay,
+    * tables past the ceiling refuse LOUDLY at write and open with a
+    * `compact()` pointer — a 100 TB table at the ~1 GB files
+    * `compact`/`compactBytes` maintain is ~10^5 entries, well inside.
+    * `spark.graft.maxSidecarFiles` raises (or lowers) the ceiling. */
+  val MaxSidecarFilesConf = "spark.graft.maxSidecarFiles"
+  val MaxSidecarFilesDefault = 500000
+
+  private def maxFiles(spark: SparkSession): Int =
+    spark.conf.get(MaxSidecarFilesConf, MaxSidecarFilesDefault.toString)
+      .toInt
+
+  private def guardCeiling(
+      spark: SparkSession, dir: String, n: Int, verb: String): Unit = {
+    val mx = maxFiles(spark)
+    require(n <= mx,
+      s"refusing to $verb the dataset at $dir with $n partition files: " +
+        s"past ~$mx entries the single-document sidecar costs tens of " +
+        "seconds per open (measured — see README 'Sidecar scale " +
+        "ceiling'). Run Maintenance.compact/compactBytes to restore a " +
+        "~1 GB-file layout (a 100 TB table is then ~1e5 entries), or " +
+        s"raise $MaxSidecarFilesConf to accept the cost.")
+  }
+
   def partitionFileName(i: Long): String =
     s"part%0${PartitionNumberDigits}d.parquet".format(i)
 
@@ -83,6 +111,7 @@ object Sidecar {
     val maxIdx = obj("max_partition_index").asInstanceOf[Long]
     require(files.length == sizes.length && files.length == lbs.length &&
       files.length == ubs.length, s"inconsistent sidecar metadata in $dir")
+    guardCeiling(spark, dir, files.length, "open")
     Meta(files, indexColumns, sizes, lbs, ubs, maxIdx, schema,
       extras = obj -- KnownMetaKeys)
   }
@@ -172,6 +201,7 @@ object Sidecar {
       "upper_bounds" -> upperBounds.map(_.map(_.orNull)),
       "max_partition_index" -> maxPartitionIndex
     ) ++ (extras -- KnownMetaKeys)
+    guardCeiling(spark, dir, files.length, "commit")
     val (fs, _) = GraftFs.resolve(spark, dir)
     // Write-to-temp-then-rename: an existing dataset's metadata is
     // never truncated in place — a crash mid-write leaves the old

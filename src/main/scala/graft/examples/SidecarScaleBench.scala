@@ -42,6 +42,8 @@ object SidecarScaleBench {
     val spark = SparkSession.builder()
       .master("local[2]")
       .config("spark.ui.enabled", "false")
+      // the bench MEASURES costs past the enforced ceiling
+      .config(Sidecar.MaxSidecarFilesConf, Int.MaxValue.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val root = java.nio.file.Files

@@ -282,7 +282,8 @@ object DeletionVectors {
         m.maxPartitionIndex + affected.length, m.schema,
         extras = m.extras)
       if (!retain)
-        affected.foreach(p => fs.delete(new HPath(dirPath, m.files(p)), false))
+        Maintenance.deletableNow(spark, dir, affected.map(m.files).toSeq)
+          .foreach(f => fs.delete(new HPath(dirPath, f), false))
       GraftFs.deleteRecursive(fs, dvDir(dirPath))
       // the rewritten files got fresh names: extend the Bloom /
       // column-stats sidecars to them like every maintenance op

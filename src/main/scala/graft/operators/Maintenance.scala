@@ -396,6 +396,26 @@ object Maintenance {
       graft.core.ColumnStats.update(spark, dir)
   }
 
+  /** Of `candidates` (file NAMES a non-retained op just replaced),
+    * the ones NO archived generation references — the only ones safe
+    * to delete immediately. A retained generation's files must stay
+    * on disk for [[scanVersion]]/[[changes]] even when a later
+    * NON-retained op replaces them in the current listing; [[vacuum]]
+    * reclaims them when the history goes. Driver-side only: reads the
+    * KB-scale archived metadata, never a data file. */
+  private[operators] def deletableNow(
+      spark: SparkSession,
+      dir: String,
+      candidates: Seq[String]): Seq[String] = {
+    val vs = versions(spark, dir)
+    if (vs.isEmpty) candidates
+    else {
+      val referenced = vs.iterator
+        .flatMap(v => versionMeta(spark, dir, v).files).toSet
+      candidates.filterNot(referenced)
+    }
+  }
+
   /** Copy the CURRENT metadata into the history before a swap;
     * returns the archived version number. */
   private[operators] def archiveCurrent(
@@ -705,8 +725,8 @@ object Maintenance {
       entries.map(_._2), entries.map(_._3), entries.map(_._4),
       m.maxPartitionIndex + merges.length, m.schema, extras = m.extras)
     if (!retain)
-      merges.flatten.foreach(p =>
-        fs.delete(new HPath(dirPath, m.files(p)), false))
+      deletableNow(spark, dir, merges.flatten.map(m.files))
+        .foreach(f => fs.delete(new HPath(dirPath, f), false))
     refreshBloom(spark, dir)
     Report(rewritten = 0, dropped = 0, merged = merges.map(_.length).sum,
       created = merges.length, untouched = groups.count(_.length == 1))
@@ -848,10 +868,9 @@ object Maintenance {
       entries.map(_._2), entries.map(_._3), entries.map(_._4),
       m.maxPartitionIndex + rewritePos.length, m.schema,
       extras = m.extras)
-    if (!retain) {
-      dropPos.foreach(p => fs.delete(new HPath(dirPath, m.files(p)), false))
-      rewritePos.foreach(p => fs.delete(new HPath(dirPath, m.files(p)), false))
-    }
+    if (!retain)
+      deletableNow(spark, dir, (dropPos ++ rewritePos).map(m.files))
+        .foreach(f => fs.delete(new HPath(dirPath, f), false))
     // An emptied rewrite is referenced by NO generation — always clean.
     emptied.foreach(p => fs.delete(new HPath(dirPath, newNameOf(p)), false))
     refreshBloom(spark, dir)
@@ -1091,7 +1110,8 @@ object Maintenance {
       m.maxPartitionIndex + affected.length, m.schema,
       extras = m.extras)
     if (!retain)
-      affected.foreach(p => fs.delete(new HPath(dirPath, m.files(p)), false))
+      deletableNow(spark, dir, affected.map(m.files).toSeq)
+        .foreach(f => fs.delete(new HPath(dirPath, f), false))
     refreshBloom(spark, dir)
     Report(rewritten = written.length, dropped = droppedPos.length,
       merged = 0, created = written.length,

@@ -105,4 +105,30 @@ class IoSpec extends AnyFunSuite {
     assert(text.contains("$date") && text.contains("$timedelta") &&
       text.contains("$datetime"))
   }
+
+  test("sidecars past the file-count ceiling refuse at commit and " +
+      "open with a compact() pointer") {
+    val out = tempDir("graft-io-ceiling") + "/ds.parquet"
+    PDataset.scanParquet(spark, srcDir).reindex(Seq("a"))
+      .repartition(5).writeParquet(out)
+    val m = Sidecar.load(spark, out)
+    assert(m.files.length > 2)
+    spark.conf.set(Sidecar.MaxSidecarFilesConf, "2")
+    try {
+      // open refuses
+      val eOpen = intercept[IllegalArgumentException] {
+        Sidecar.load(spark, out)
+      }
+      assert(eOpen.getMessage.contains("compact"), eOpen.getMessage)
+      assert(eOpen.getMessage.contains(Sidecar.MaxSidecarFilesConf))
+      // commit refuses (the ceiling guards growth, not just reads)
+      val eWrite = intercept[IllegalArgumentException] {
+        Sidecar.write(spark, out, m.indexColumns, m.files, m.sizes,
+          m.lowerBounds, m.upperBounds, m.maxPartitionIndex, m.schema)
+      }
+      assert(eWrite.getMessage.contains("compact"), eWrite.getMessage)
+    } finally spark.conf.unset(Sidecar.MaxSidecarFilesConf)
+    // back under the (default) ceiling, the table opens again
+    assert(Sidecar.load(spark, out).files.length == m.files.length)
+  }
 }

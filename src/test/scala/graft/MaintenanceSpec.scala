@@ -812,6 +812,28 @@ class MaintenanceSpec extends AnyFunSuite {
         ("update_preimage", "pre", null)))
   }
 
+  test("non-retained ops never delete files an archived generation " +
+      "still references — time travel survives later maintenance") {
+    val dir = tempDir("maint-histsafe") + "/ds"
+    writeKeyed(dir, 300, 100) // 3 files
+    // retain=true archives v0, which references the ORIGINAL 3 files
+    Maintenance.upsert(spark, dir,
+      keyedDF(50, 1).withColumn("payload", lit("MUT")), retain = true)
+    // a later NON-retained compaction merges (and would previously
+    // delete) files v0 still references
+    Maintenance.compact(spark, dir, targetRows = 1000)
+    val v0 = Maintenance.scanVersion(spark, dir, 0)
+    assertSameRows(v0.toDF, keyedDF(0, 300))
+    // same through a non-retained keyed delete
+    Maintenance.deleteKeys(spark, dir, Seq(10L).toDF("k"))
+    assertSameRows(
+      Maintenance.scanVersion(spark, dir, 0).toDF, keyedDF(0, 300))
+    // vacuum with no retention now reclaims everything unreferenced
+    val deleted = Maintenance.vacuum(spark, dir, retainLast = 0)
+    assert(deleted > 0, "vacuum must reclaim the history-held files")
+    assert(PDataset.scanParquet(spark, dir).toDF.count() == 299)
+  }
+
   test("upsert rejects duplicate and null keys") {
     val dir = tempDir("maint-upsert-bad") + "/ds"
     writeKeyed(dir, 100, 50)
