@@ -41,6 +41,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Sessions without extensions keep the relation's own
     // InternalRow fallback (see graft.sources.DvPendingRelation).
     ext.injectResolutionRule(s => new graft.sources.DvScanSubstitution(s))
+    // Catalog (name-based) reads splice down to the V1 graft relation
+    // too: metadata-only folds, view rewrites and DV merge-on-read
+    // apply to `SELECT ... FROM graft.db.t` exactly as to
+    // `format("graft")` path reads; V2 write targets stay untouched.
+    ext.injectResolutionRule(s =>
+      new graft.sources.GraftV2ScanSubstitution(s))
     // Statement-level DDL for graft tables (ALTER TABLE ... ADD/DROP
     // CONSTRAINT, SHOW CONSTRAINTS, DESCRIBE HISTORY, VACUUM),
     // addressed Delta-style by path; everything else delegates to

@@ -116,11 +116,18 @@ object GraftFs {
     val parent = Option(p.getParent).getOrElse(new Path("."))
     val tmp = new Path(parent,
       s".${p.getName}.tmp-${java.util.UUID.randomUUID().toString}")
-    val out = fs.create(tmp, true)
-    try out.write(s.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    writeStringDirect(fs, tmp, s)
     try moveOverwrite(fs, tmp, p)
     finally { if (fs.exists(tmp)) fs.delete(tmp, false); () }
+  }
+
+  /** Direct, NON-atomic write — for callers that stage and rename
+    * themselves (e.g. [[Sidecar.write]]'s own temp protocol); plain
+    * callers use the atomic [[writeString]]. */
+  def writeStringDirect(fs: FileSystem, p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   def deleteRecursive(fs: FileSystem, p: Path): Unit =

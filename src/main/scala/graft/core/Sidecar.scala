@@ -210,7 +210,7 @@ object Sidecar {
     val tmp = new Path(dir,
       s".$MetadataFile.tmp-${java.util.UUID.randomUUID().toString}")
     try {
-      GraftFs.writeString(fs, tmp, TypedJson.write(meta))
+      GraftFs.writeStringDirect(fs, tmp, TypedJson.write(meta))
       GraftFs.moveOverwrite(fs, tmp, metadataPath(dir))
     } finally {
       // Clean a leftover temp ONLY while a metadata file exists at the

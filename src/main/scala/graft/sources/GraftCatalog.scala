@@ -268,10 +268,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * sidecar-served listing, V1-fallback writes through the graft
   * sink. Snapshot tables (VERSION/TIMESTAMP AS OF) are read-only. */
 final class GraftTable(
-    path: String,
+    val path: String,
     tableName: String,
-    meta: Sidecar.Meta,
-    snapshot: Boolean)
+    val meta: Sidecar.Meta,
+    val snapshot: Boolean)
     extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = tableName
@@ -313,6 +313,51 @@ final class GraftTable(
   }
 
   override def toString: String = s"GraftTable($tableName)"
+}
+
+/** Extension-session unification of catalog reads with the V1 graft
+  * relation: a [[GraftTable]]'s `DataSourceV2Relation` is spliced
+  * out during analysis for the V1 `LogicalRelation` over the same
+  * metadata generation — so name-based SQL gains everything the
+  * path-based read has: the metadata-only aggregate folds
+  * ([[graft.plans.MetadataCount]]), the conf-driven view rewrites,
+  * and merge-on-read over pending deletion vectors (which the raw
+  * V2 scan refuses). Write-command targets are left alone (the V2
+  * write path owns them); sessions without
+  * [[graft.GraftExtensions]] keep the plain V2 vectorized scan. */
+final class GraftV2ScanSubstitution(session: SparkSession)
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan,
+    Project, V2WriteCommand}
+  import org.apache.spark.sql.catalyst.expressions.Alias
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val writeTargets = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    plan.foreach {
+      case w: V2WriteCommand => writeTargets.add(w.table); ()
+      case _ => ()
+    }
+    plan.resolveOperatorsUp {
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[GraftTable] &&
+            !writeTargets.contains(r) =>
+        val t = r.table.asInstanceOf[GraftTable]
+        val native: LogicalPlan =
+          if (!t.snapshot &&
+              graft.operators.DeletionVectors.exists(session, t.path))
+            org.apache.spark.sql.GraftBridge.planOf(
+              graft.operators.DeletionVectors.scan(session, t.path))
+          else org.apache.spark.sql.execution.datasources.LogicalRelation(
+            org.apache.spark.sql.GraftRelations.sidecarRelationFor(
+              session, t.path, t.meta))
+        Project(r.output.zip(native.output).map { case (o, a) =>
+          Alias(a, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+        }, native)
+    }
+  }
 }
 
 /** INSERT INTO / INSERT OVERWRITE via the V1 write fallback: the

@@ -27,21 +27,25 @@ class GraftCatalogSpec extends AnyFunSuite {
     wh
   }
 
-  /** Files planned by the DSv2 scan of `df` (BatchScanExec). */
+  /** Files planned by `df`'s scan — V2 `BatchScanExec` (extension-less
+    * catalog reads) AND V1 `FileSourceScanExec` (extension sessions,
+    * where [[graft.sources.GraftV2ScanSubstitution]] splices catalog
+    * reads down to the V1 graft relation). */
   private def v2ScannedFiles(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.datasources.FilePartition
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     df.collect()
-    def scans(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[BatchScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case b: BatchScanExec => Seq(b)
-      case other => other.children.flatMap(scans)
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case b: BatchScanExec => b.inputPartitions.flatMap {
+        case fp: FilePartition => fp.files.map(_.urlEncodedPath)
+      }.distinct.length
+      case f: FileSourceScanExec => f.metrics("numFiles").value.toInt
+      case other => other.children.map(walk).sum
     }
-    scans(df.queryExecution.executedPlan).flatMap(_.inputPartitions)
-      .flatMap { case fp: FilePartition => fp.files.map(_.urlEncodedPath) }
-      .distinct.length
+    walk(df.queryExecution.executedPlan)
   }
 
   test("CREATE TABLE + INSERT INTO + SELECT by name round-trip, and " +
@@ -168,6 +172,44 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("DESCRIBE HISTORY gcat.db.evo2").count() >= 1L)
     spark.sql("DROP TABLE gcat.db.evo2")
     assert(!spark.catalog.tableExists("gcat.db.evo2"))
+  }
+
+  test("extension sessions splice catalog reads to the V1 relation: " +
+      "metadata-only count(*) folds and DV-pending tables read " +
+      "merge-on-read") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS gcat.db.spliced")
+    spark.sql("CREATE TABLE gcat.db.spliced (k BIGINT, v STRING) " +
+      "USING graft TBLPROPERTIES('index'='k')")
+    spark.range(0, 400).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v"))
+      .createOrReplaceTempView("spliced_src")
+    spark.sql("INSERT INTO gcat.db.spliced SELECT * FROM spliced_src")
+    // name-based count(*) answers from sidecar row counts: a
+    // LocalTableScan, zero files read — the V1 relation's
+    // MetadataCount rule firing through the splice
+    val cnt = spark.sql("SELECT count(*) AS n FROM gcat.db.spliced")
+    assert(cnt.head().getLong(0) == 400L)
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = (cnt.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    assert(plan.contains("LocalTableScan") &&
+      !plan.contains("BatchScan") && !plan.contains("FileScan"),
+      s"catalog count(*) must fold from metadata:\n$plan")
+    // pending deletion vectors: the raw V2 scan refuses, the spliced
+    // read serves merge-on-read — deleted rows invisible by name
+    graft.operators.DeletionVectors.deleteKeys(spark,
+      s"$warehouse/db/spliced", Seq(1L, 2L, 3L).toDF("k"))
+    assert(spark.table("gcat.db.spliced").count() == 397L)
+    // writes still route through the V2 write path (target untouched
+    // by the splice) and land on the merged state
+    graft.operators.DeletionVectors.materialize(spark,
+      s"$warehouse/db/spliced")
+    spark.sql("INSERT INTO gcat.db.spliced " +
+      "SELECT k + 9000, v FROM spliced_src WHERE k < 3")
+    assert(spark.table("gcat.db.spliced").count() == 400L)
   }
 
   test("CREATE TABLE without clustering columns refuses with guidance") {
