@@ -212,6 +212,26 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.table("gcat.db.spliced").count() == 400L)
   }
 
+  test("CTAS and the DataFrameWriterV2 API land through the graft sink") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS gcat.db.ctas")
+    spark.range(0, 100).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v"))
+      .createOrReplaceTempView("ctas_src")
+    // CREATE TABLE ... AS SELECT: createTable + the V1Write append
+    spark.sql("CREATE TABLE gcat.db.ctas USING graft " +
+      "TBLPROPERTIES('index'='k') AS SELECT * FROM ctas_src")
+    assert(spark.table("gcat.db.ctas").count() == 100L)
+    // df.writeTo(...).append() — the V2 writer API
+    spark.range(100, 120).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v"))
+      .writeTo("gcat.db.ctas").append()
+    assert(spark.table("gcat.db.ctas").count() == 120L)
+    // the result is a real graft dataset with the declared clustering
+    val ds = PDataset.scanParquet(spark, s"$warehouse/db/ctas")
+    assert(ds.indexColumns == Seq("k") && ds.toDF.count() == 120L)
+  }
+
   test("CREATE TABLE without clustering columns refuses with guidance") {
     warehouse
     val e = intercept[Exception] {
