@@ -460,7 +460,8 @@ object Maintenance {
       spark: SparkSession,
       dir: String,
       retainLast: Int = 0,
-      olderThan: Option[Long] = None): Int = {
+      olderThan: Option[Long] = None,
+      dryRun: Boolean = false): Int = {
     require(retainLast >= 0, s"retainLast must be >= 0, got $retainLast")
     val (fs, dirPath) = GraftFs.resolve(spark, dir)
     val loadedFp = metaFingerprint(spark, dirPath)
@@ -485,6 +486,9 @@ object Maintenance {
           st.getModificationTime < metaMtime
       }
       .map(_.getPath)
+    // DRY RUN: report what a real vacuum under this policy would
+    // delete, touching nothing (the Delta `VACUUM ... DRY RUN` shape).
+    if (dryRun) return stale.length
     guardUnchanged(spark, dirPath, loadedFp)
     stale.foreach(fs.delete(_, false))
     if (keepVersions.isEmpty)

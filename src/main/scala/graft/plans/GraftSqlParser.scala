@@ -108,7 +108,7 @@ object GraftSqlParser {
       """(?:\s+RETAIN\s+LAST\s+(\d+))?""" +
       """(?:\s+OLDER\s+THAN\s+(?:'([^']+)'""" +
       """|(?:INTERVAL\s+)?(\d+)\s+(HOURS?|DAYS?|MINUTES?)))?""" +
-      """\s*;?\s*""").r
+      """(?:\s+(DRY\s+RUN))?\s*;?\s*""").r
   private val Restore =
     ("""(?is)\s*RESTORE\s+(?:TABLE\s+)?""" + T +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
@@ -138,12 +138,13 @@ object GraftSqlParser {
         tbl(a, b, c).map(GraftDescribeHistoryCommand(_))
       case DescDetail(a, b, c) =>
         tbl(a, b, c).map(GraftDescribeDetailCommand(_))
-      case Vacuum(a, b, c, n, ts, iv, unit) =>
+      case Vacuum(a, b, c, n, ts, iv, unit, dry) =>
         tbl(a, b, c).map(GraftVacuumCommand(_,
           Option(n).map(_.toInt),
           Option(ts).map(graft.sources.GraftSource.parseTs),
           for { v <- Option(iv); u <- Option(unit) }
-            yield intervalMillis(v.toLong, u)))
+            yield intervalMillis(v.toLong, u),
+          dryRun = dry != null))
       case Restore(a, b, c, v) =>
         tbl(a, b, c).map(GraftRestoreCommand(_, v.toInt))
       case RestoreTs(a, b, c, ts) =>
@@ -292,25 +293,29 @@ final case class GraftVacuumCommand(
     path: String,
     retainLast: Option[Int],
     olderThanTs: Option[Long],
-    olderThanInterval: Option[Long])
+    olderThanInterval: Option[Long],
+    dryRun: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = DataTypeUtils.toAttributes(
     StructType(Seq(
       StructField("deleted_files", IntegerType, nullable = false))))
   override def run(sparkSession: SparkSession): Seq[Row] = {
-    require(retainLast.isDefined || olderThanTs.isDefined ||
+    // DRY RUN touches nothing, so the bare form is allowed there —
+    // "what would a full vacuum reclaim" is a legitimate question.
+    require(dryRun || retainLast.isDefined || olderThanTs.isDefined ||
       olderThanInterval.isDefined,
       s"bare VACUUM would delete ALL retained generations of $path, " +
         "destroying time travel and change-feed checkpoint recovery; " +
         "say what to keep: VACUUM ... RETAIN LAST n (n may be 0 to " +
         "opt into the full clean) and/or VACUUM ... OLDER THAN " +
-        "'<timestamp>' | [INTERVAL] n HOURS|DAYS|MINUTES")
+        "'<timestamp>' | [INTERVAL] n HOURS|DAYS|MINUTES " +
+        "(append DRY RUN to preview without deleting)")
     // the interval form resolves against the wall clock at RUN time
     val cutoff: Option[Long] = (olderThanTs.toSeq ++ olderThanInterval
       .map(System.currentTimeMillis() - _).toSeq)
       .reduceOption(math.min(_: Long, _: Long))
     Seq(Row(Maintenance.vacuum(sparkSession, path,
-      retainLast.getOrElse(0), cutoff)))
+      retainLast.getOrElse(0), cutoff, dryRun = dryRun)))
   }
 }
 

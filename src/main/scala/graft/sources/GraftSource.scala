@@ -473,6 +473,19 @@ final class GraftSource extends RelationProvider
         }
       }
     }
+    // option("autoCompact", "<targetRows>"): bin-pack sub-target files
+    // right after the write lands — the knob a continuously-appending
+    // pipeline (and the streaming sink per micro-batch) uses to keep
+    // file counts healthy instead of dribbling toward the sidecar
+    // ceiling. compact() plans from driver metadata and no-ops when
+    // nothing merges, so the steady-state cost is one metadata read;
+    // skipped while deletion vectors pend (compact refuses then).
+    parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("autoCompact") => v
+    }.foreach { t =>
+      if (!graft.operators.DeletionVectors.exists(spark, path))
+        graft.operators.Maintenance.compact(spark, path, t.toLong)
+    }
     createRelation(sqlContext, parameters)
   }
 }
@@ -513,7 +526,7 @@ final class GraftStreamSink(
     val passThrough = parameters.filter { case (k, _) =>
       val lk = k.toLowerCase
       lk == "bloom" || lk == "stats" || lk == "files" ||
-        lk.startsWith("constraint.")
+        lk == "autocompact" || lk.startsWith("constraint.")
     }
     val w = batch.write.format("graft").mode(SaveMode.Append)
       .option("index", index)

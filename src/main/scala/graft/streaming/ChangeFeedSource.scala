@@ -254,7 +254,7 @@ object ChangeFeedSource {
     }
   }
 
-  private[streaming] def parseOffset(o: OffsetV1): ChangeFeedOffset =
+  private[graft] def parseOffset(o: OffsetV1): ChangeFeedOffset =
     o match {
       case c: ChangeFeedOffset => c
       case l: LongOffset => ChangeFeedOffset(l.offset.toInt, None)

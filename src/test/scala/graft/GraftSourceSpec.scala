@@ -550,9 +550,19 @@ class GraftSourceSpec extends AnyFunSuite {
     // in-place re-cluster of a z-order dir is allowed
     spark.sql(s"OPTIMIZE '$zdir' ZORDER BY (price) TARGET 2 FILES")
     assert(graft.operators.Layout.zorderRead(spark, zdir).count() == 59)
+    // DRY RUN previews the reclaim without touching anything — and
+    // the bare form is allowed there (it deletes nothing)
+    val preview = spark.sql(s"VACUUM $g DRY RUN").head().getInt(0)
+    assert(preview > 0, "the restore left unreferenced files to report")
+    assert(Maintenance.versions(spark, out).nonEmpty,
+      "DRY RUN must not delete the history")
     // OLDER THAN INTERVAL resolving to "now" clears the whole history
     Thread.sleep(20)
-    spark.sql(s"VACUUM $g OLDER THAN INTERVAL 0 MINUTES").collect()
+    val reclaimed =
+      spark.sql(s"VACUUM $g OLDER THAN INTERVAL 0 MINUTES").head().getInt(0)
+    assert(reclaimed == preview,
+      s"the real vacuum must reclaim what DRY RUN previewed " +
+        s"($reclaimed != $preview)")
     assert(Maintenance.versions(spark, out).isEmpty)
   }
 

@@ -448,6 +448,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(ds.toDF.select("k").distinct().count() == 250)
   }
 
+  test("change-feed offsets parse bare pre-hash checkpoint values " +
+      "and round-trip their JSON") {
+    import graft.streaming.ChangeFeedSource.{ChangeFeedOffset, parseOffset}
+    // a pre-hash checkpoint recovers as a bare number: no hash, no
+    // verification — the old behavior, not a parse failure
+    val legacy = parseOffset(
+      org.apache.spark.sql.execution.streaming.runtime.LongOffset(7L))
+    assert(legacy == ChangeFeedOffset(7, None))
+    // hashed offsets survive the JSON round trip the checkpoint does
+    val h = ChangeFeedOffset(3, Some("abc123"))
+    val recovered = parseOffset(
+      org.apache.spark.sql.execution.streaming.runtime
+        .SerializedOffset(h.json))
+    assert(recovered == h)
+    assert(parseOffset(org.apache.spark.sql.execution.streaming.runtime
+      .SerializedOffset("11")) == ChangeFeedOffset(11, None))
+  }
+
+  test("streaming sink autoCompact keeps per-batch files bin-packed") {
+    import graft.core.{PDataset, Sidecar}
+    val root = Files.createTempDirectory("graft-sink-compact").toString
+    val srcDir = s"$root/src"
+    val target = s"$root/t"
+    val rows = spark.range(0, 100).select(
+      col("id").as("k"), concat(lit("p"), col("id")).as("payload"))
+    rows.coalesce(1).write.parquet(srcDir)
+    val q = spark.readStream.schema(rows.schema).parquet(srcDir)
+      .writeStream.format("graft").option("index", "k")
+      .option("autoCompact", "100000")
+      .option("checkpointLocation", s"$root/ckpt").start(target)
+    try {
+      q.processAllAvailable()
+      // several more micro-batches, each a small append
+      (1 to 3).foreach { i =>
+        rows.withColumn("k", col("k") + lit(i * 1000L))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val m = Sidecar.load(spark, target)
+    assert(m.sizes.sum == 400L)
+    assert(m.files.length <= 2,
+      s"autoCompact must keep the dribble bin-packed, got " +
+        s"${m.files.length} files")
+    assert(PDataset.scanParquet(spark, target).toDF
+      .select("k").distinct().count() == 400L)
+  }
+
   test("caught-up stream refuses a retain=false mutation loudly " +
       "instead of silently losing its delta") {
     import graft.core.PDataset
