@@ -79,18 +79,8 @@ object GraftSqlParser {
       throw new IllegalArgumentException(s"'$c' does not resolve"))
   private def tbl(a: String, b: String, c: String): Option[String] =
     Option(a).orElse(Option(b)).orElse(Option(c).flatMap(resolveNamed))
-  private def resolveNamed(name: String): Option[String] = {
-    val parts = name.split("\\.").toSeq
-    if (parts.length < 2 || parts.exists(_.isEmpty)) return None
-    try {
-      val spark = org.apache.spark.sql.classic.SparkSession.active
-      spark.sessionState.catalogManager.catalog(parts.head) match {
-        case g: graft.sources.GraftCatalog =>
-          Some(g.tablePath(parts.tail.dropRight(1), parts.last))
-        case _ => None
-      }
-    } catch { case scala.util.control.NonFatal(_) => None }
-  }
+  private def resolveNamed(name: String): Option[String] =
+    graft.sources.GraftCatalog.resolveName(name)
 
   private val AddConstraint =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + T +

@@ -263,6 +263,26 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 }
 
+object GraftCatalog {
+  /** Resolve a catalog-qualified `cat.ns....name` through the active
+    * session's registered catalogs: Some(warehouse path) when the
+    * named catalog is a [[GraftCatalog]], None otherwise (including
+    * parse/lookup failures) — shared by the statement DDL and the
+    * streaming source/sink's `option("table", ...)`. */
+  def resolveName(name: String): Option[String] = {
+    val parts = name.split("\\.").toSeq
+    if (parts.length < 2 || parts.exists(_.isEmpty)) return None
+    try {
+      val spark = org.apache.spark.sql.classic.SparkSession.active
+      spark.sessionState.catalogManager.catalog(parts.head) match {
+        case g: GraftCatalog =>
+          Some(g.tablePath(parts.tail.dropRight(1), parts.last))
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+}
+
 /** One graft table (or one archived generation of it) through the V2
   * `Table` interface: vectorized DSv2 parquet reads over the
   * sidecar-served listing, V1-fallback writes through the graft

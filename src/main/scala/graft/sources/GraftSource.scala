@@ -65,10 +65,22 @@ final class GraftSource extends RelationProvider
   // generation's insert/delete delta (offsets = generation numbers);
   // see graft.streaming.ChangeFeedSource for the contract.
 
+  /** The dataset directory any graft entry point addresses: the
+    * load/save/start path, or `option("table", "cat.db.t")` resolved
+    * through a registered [[GraftCatalog]] — name-based batch AND
+    * streaming access over the same warehouse mapping. */
   private def streamPath(parameters: Map[String, String]): String =
-    parameters.getOrElse("path", throw new IllegalArgumentException(
-      "the graft streaming source requires a path: " +
-        "spark.readStream.format(\"graft\").load(<dataset dir>)"))
+    parameters.get("table")
+      .map(t => GraftCatalog.resolveName(t).getOrElse(
+        throw new IllegalArgumentException(
+          s"option(\"table\", \"$t\") does not resolve through a " +
+            "registered graft catalog (set spark.sql.catalog.<cat>=" +
+            "graft.sources.GraftCatalog and its .warehouse)")))
+      .orElse(parameters.get("path"))
+      .getOrElse(throw new IllegalArgumentException(
+        "the graft source requires a path or a table name: " +
+          ".load/.save/.start(<dataset dir>) or " +
+          "option(\"table\", \"cat.db.t\")"))
 
   override def sourceSchema(
       sqlContext: SQLContext,
@@ -101,10 +113,7 @@ final class GraftSource extends RelationProvider
   override def createRelation(
       sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
-    val path = parameters.getOrElse("path",
-      throw new IllegalArgumentException(
-        "the graft source requires a path: " +
-          "spark.read.format(\"graft\").load(<dataset dir>)"))
+    val path = streamPath(parameters)
     val spark = sqlContext.sparkSession
     // option("version", n): read an archived generation;
     // option("asOfTimestamp", <epoch millis | ISO-8601 instant>):
@@ -207,10 +216,7 @@ final class GraftSource extends RelationProvider
       mode: SaveMode,
       parameters: Map[String, String],
       data: DataFrame): BaseRelation = {
-    val path = parameters.getOrElse("path",
-      throw new IllegalArgumentException(
-        "the graft source requires a path: " +
-          "df.write.format(\"graft\").option(\"index\", \"c1,c2\").save(<dir>)"))
+    val path = streamPath(parameters)
     val index = parameters.get("index")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(throw new IllegalArgumentException(

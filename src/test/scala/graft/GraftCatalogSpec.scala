@@ -232,6 +232,50 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(ds.indexColumns == Seq("k") && ds.toDF.count() == 120L)
   }
 
+  test("option(\"table\", ...) addresses catalog tables from the " +
+      "path-based entry points — batch read/write and the CDC stream") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS gcat.db.named")
+    spark.sql("CREATE TABLE gcat.db.named (k BIGINT, v STRING) " +
+      "USING graft TBLPROPERTIES('index'='k')")
+    spark.range(0, 100).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v"))
+      .createOrReplaceTempView("named_src")
+    spark.sql("INSERT INTO gcat.db.named SELECT * FROM named_src")
+    // batch read by name, composing with time travel options
+    assert(spark.read.format("graft")
+      .option("table", "gcat.db.named").load().count() == 100L)
+    Maintenance.deleteKeys(spark, s"$warehouse/db/named",
+      Seq(7L).toDF("k"), retain = true)
+    assert(spark.read.format("graft").option("table", "gcat.db.named")
+      .option("version", "0").load().count() == 100L)
+    // batch write by name
+    spark.range(100, 110).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v"))
+      .write.format("graft").mode("append")
+      .option("table", "gcat.db.named").option("index", "k").save()
+    assert(spark.table("gcat.db.named").count() == 109L)
+    // the change-feed stream by name
+    val sink = "named_cdc_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream.format("graft")
+      .option("table", "gcat.db.named")
+      .option("startingVersion", "0").load()
+      .writeStream.outputMode("append").format("memory")
+      .queryName(sink).start()
+    try {
+      q.processAllAvailable()
+      // the feed since v0: one delete (k=7) + ten appended inserts
+      assert(spark.table(sink).count() == 11L)
+    } finally q.stop()
+    // an unresolvable name refuses with guidance
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft")
+        .option("table", "nosuch.db.t").load().collect()
+    }
+    assert(e.getMessage.contains("graft catalog"), e.getMessage)
+  }
+
   test("CREATE TABLE without clustering columns refuses with guidance") {
     warehouse
     val e = intercept[Exception] {
