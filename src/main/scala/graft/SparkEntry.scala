@@ -147,6 +147,22 @@ object SparkEntry {
         s, out, upd.unionByName(ins), retain = true)
     }
 
+  /** Build-once three-generation history (pristine → +%997 inserts
+    * retained → -%401 deletes retained) — shared by the history
+    * ledger query and the per-commit CDF query. */
+  private def ordersHist3Fixture(s: SparkSession, d: String): String =
+    fixture("ordkey20hist3", d) { out =>
+      ordersByKey20(s, d)(out)
+      val orders = s.read.parquet(T(d, "orders"))
+      val ins = orders.filter(col("o_orderkey") % 997 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+      graft.operators.Maintenance.upsert(s, out, ins, retain = true)
+      val dels = orders
+        .filter(col("o_orderkey") % 401 === 0 && col("o_orderkey") =!= 0)
+        .select("o_orderkey")
+      graft.operators.Maintenance.deleteKeys(s, out, dels, retain = true)
+    }
+
   /** Orders (key, custkey, derived integral o_qty) indexed on
     * o_orderkey in ~20 files — the builder behind [[ordQtySrc]] and
     * the incremental-view query's mutable copy. */
@@ -604,19 +620,23 @@ object SparkEntry {
       // nothing, so the mutated three-generation table is a
       // build-once fixture — the timed body is the driver-side
       // history read, not five commits of fixture construction.
-      val dir = fixture("ordkey20hist3", d) { out =>
-        ordersByKey20(s, d)(out)
-        val orders = s.read.parquet(T(d, "orders"))
-        val ins = orders.filter(col("o_orderkey") % 997 === 0)
-          .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
-        graft.operators.Maintenance.upsert(s, out, ins, retain = true)
-        val dels = orders
-          .filter(col("o_orderkey") % 401 === 0 && col("o_orderkey") =!= 0)
-          .select("o_orderkey")
-        graft.operators.Maintenance.deleteKeys(s, out, dels, retain = true)
-      }
+      val dir = ordersHist3Fixture(s, d)
       s.read.format("graft").option("history", "true").load(dir)
         .select("version", "is_current", "n_rows").orderBy("version")
+    }),
+
+    // Per-commit change-data feed (the full Delta-CDF shape): each
+    // generation step's delta tagged with _commit_version — WHICH
+    // commit changed a row, at the cost of per-step diffs instead of
+    // one endpoint diff. The wall-clock _commit_timestamp is dropped
+    // for determinism; the oracle rederives each step's rows and its
+    // version tag from the fixture's mutation arithmetic.
+    "q_changes_cdf" -> ((s, d) => {
+      val dir = ordersHist3Fixture(s, d)
+      s.read.format("graft").option("changesFrom", "0")
+        .option("commitInfo", "true").load(dir)
+        .drop("_commit_timestamp")
+        .orderBy("o_orderkey", "change_type")
     }),
 
     // Column-stats data skipping: per-file min/max on a NON-index
@@ -2435,6 +2455,20 @@ object SparkEntry {
            UNION ALL SELECT *, 'insert' FROM ins
            UNION ALL SELECT *, 'update_preimage'
            FROM orders WHERE o_orderkey % 701 = 0
+           ORDER BY o_orderkey, change_type""",
+      // per-commit attribution: the retained upsert (generation 1)
+      // inserted the +1e9 keys, the retained delete (generation 2)
+      // removed the %401 originals
+      "q_changes_cdf" ->
+        """SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+                  o_orderstatus, o_totalprice, o_orderdate,
+                  o_orderpriority, 'insert' AS change_type,
+                  1 AS _commit_version
+           FROM orders WHERE o_orderkey % 997 = 0
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, o_orderpriority, 'delete', 2
+           FROM orders WHERE o_orderkey % 401 = 0 AND o_orderkey <> 0
            ORDER BY o_orderkey, change_type""",
       // the streaming source must reconstruct the batch feed exactly:
       // same oracle as q_changes

@@ -282,6 +282,57 @@ object Maintenance {
         case None => Sidecar.load(spark, dir)
       })
 
+  /** [[changes]] with PER-COMMIT attribution — the full Delta-CDF
+    * shape: one row per change per GENERATION STEP, tagged
+    * `_commit_version` (the generation number the step produced; the
+    * current generation is one past the newest archive) and
+    * `_commit_timestamp` (the instant the step's outgoing metadata
+    * was archived — the commit instant, the same mtime semantics
+    * [[metaAsOf]] resolves by). Each step diffs consecutive retained
+    * generations, so the total cost is O(sum of per-step deltas) —
+    * the price of attribution over the endpoint-diff [[changes]],
+    * which cancels churn across the span but cannot say WHICH commit
+    * changed a row. Every generation in `[fromVersion, to)` must be
+    * retained (a vacuumed intermediate refuses loudly). */
+  def changesWithCommitInfo(
+      spark: SparkSession,
+      dir: String,
+      fromVersion: Int,
+      toVersion: Option[Int] = None): DataFrame = {
+    val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    val mtimes = archivedWithMtimes(fs, dirPath).toMap
+    val vs = versions(spark, dir).toSet
+    val hi = toVersion.getOrElse(
+      versions(spark, dir).lastOption.map(_ + 1).getOrElse(0))
+    require(fromVersion <= hi,
+      s"changesWithCommitInfo: fromVersion $fromVersion > $hi")
+    (fromVersion until hi).foreach(v => require(vs.contains(v),
+      s"generation $v of $dir is not retained (vacuumed?); " +
+        "per-commit attribution needs every generation in the span — " +
+        "use changes() for the endpoint diff"))
+    val steps = (fromVersion until hi).map { v =>
+      val toMeta =
+        if (vs.contains(v + 1)) versionMeta(spark, dir, v + 1)
+        else Sidecar.load(spark, dir)
+      changesBetween(spark, dir, versionMeta(spark, dir, v), toMeta)
+        .withColumn("_commit_version", lit(v + 1))
+        .withColumn("_commit_timestamp",
+          lit(new java.sql.Timestamp(mtimes(v))))
+    }
+    steps.reduceOption(_.unionByName(_)).getOrElse {
+      val base = Sidecar.load(spark, dir).schema
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(base.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("change_type",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("_commit_timestamp",
+            org.apache.spark.sql.types.TimestampType, nullable = false))))
+    }
+  }
+
   private[graft] def changesBetween(
       spark: SparkSession,
       dir: String,

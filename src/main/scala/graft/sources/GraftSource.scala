@@ -165,9 +165,17 @@ final class GraftSource extends RelationProvider
           graft.operators.Maintenance.metaAsOf(spark, path,
             parseTs(parameters("asOfTimestamp"))))
       case Some("changesFrom") =>
-        feedRelation(graft.operators.Maintenance.changes(spark, path,
-          parameters("changesFrom").toInt,
-          parameters.get("changesTo").map(_.toInt)))
+        // option("commitInfo", true): per-commit attribution — one
+        // row per change per generation step, plus _commit_version /
+        // _commit_timestamp (the full Delta-CDF shape; costs the sum
+        // of per-step deltas instead of one endpoint diff)
+        val from = parameters("changesFrom").toInt
+        val to = parameters.get("changesTo").map(_.toInt)
+        feedRelation(
+          if (parameters.get("commitInfo").exists(_.toBoolean))
+            graft.operators.Maintenance.changesWithCommitInfo(
+              spark, path, from, to)
+          else graft.operators.Maintenance.changes(spark, path, from, to))
       case Some("history") if parameters("history").toBoolean =>
         feedRelation(graft.operators.Maintenance.history(spark, path))
       case Some("constraints") if parameters("constraints").toBoolean =>

@@ -792,6 +792,24 @@ class MaintenanceSpec extends AnyFunSuite {
     // A pure rewrite (compaction) changes no rows: empty feed.
     Maintenance.compact(spark, dir, targetRows = 1000, retain = true)
     assert(Maintenance.changes(spark, dir, 2).count() == 0)
+    // Per-commit attribution: each step's delta tagged with the
+    // generation it produced; the pure-rewrite step contributes
+    // nothing. Both update pairs attribute to their own commit.
+    val cdf = Maintenance.changesWithCommitInfo(spark, dir, 0)
+    assert(!cdf.columns.contains("__delta"))
+    assert(cdf.select("k", "payload", "change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getInt(3))).toSet ==
+      Set((10L, "v10", "update_preimage", 1),
+        (10L, "first", "update_postimage", 1),
+        (210L, "v210", "update_preimage", 2),
+        (210L, "second", "update_postimage", 2)))
+    // a vacuumed intermediate refuses attribution loudly
+    Maintenance.vacuum(spark, dir, retainLast = 1)
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.changesWithCommitInfo(spark, dir, 0)
+    }
+    assert(e.getMessage.contains("not retained"), e.getMessage)
   }
 
   test("changes null-fills columns added since the older generation") {
