@@ -79,6 +79,15 @@ class MaintenanceFuzzSpec extends AnyFunSuite {
           (k, p, if (lostK(k)) "update_postimage" else "insert") }
       assert(feed == want,
         s"$step: feed diff; extra=${feed.diff(want)} missing=${want.diff(feed)}")
+      // per-commit attribution over the single step: same rows, each
+      // tagged with the generation this mutation produced
+      val cdf = Maintenance.changesWithCommitInfo(spark, dir, v)
+        .select("k", "payload", "change_type", "_commit_version")
+        .collect()
+        .map(r => ((r.getLong(0), r.getString(1), r.getString(2)),
+          r.getInt(3))).toSet
+      assert(cdf == want.map(_ -> (v + 1)),
+        s"$step: commit-info feed diverges from the endpoint feed")
     }
 
     (0 until 22).foreach { step =>
