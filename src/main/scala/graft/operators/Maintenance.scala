@@ -1026,82 +1026,84 @@ object Maintenance {
           s"(violated between partitions $i and ${i + 1}); repartition first")
     }
 
-    // Persisted: each input plan is evaluated by the validation
-    // aggregate, the routing distinct AND the final scatter —
-    // caching pins one evaluation (and one result for
-    // non-deterministic inputs like samples).
-    val upd = updatesOpt.map(_.select(dataCols.map(col): _*).persist())
-    val del = deletesOpt.map(_.select(keyCols.map(col): _*).persist())
-    try mergePersisted(spark, dir, m, upd, del, retain, fs, dirPath, loadedFp)
-    finally { upd.foreach(_.unpersist()); del.foreach(_.unpersist()); () }
+    // Route each input row to its partition FIRST: first lower bound
+    // the key is lex-below, over the interior cut points (= partition
+    // lower bounds past the first) — O(log n) per row, codegen; the
+    // router is null-safe (null keys sort first), so validation can
+    // run over the ROUTED union. Update rows carry __op = 1, delete
+    // markers __op = 2 (data columns null-filled so the union lines
+    // up), old rows __op = 0. A single-partition dataset has no
+    // interior cut points — every key routes to partition 0.
+    def route(df: DataFrame): DataFrame = df.withColumn("__part",
+      if (m.files.length == 1) lit(0)
+      else DivisionRouter.route(keyCols.map(col), m.lowerBounds.drop(1)))
+    val updRouted = updatesOpt.map(u =>
+      route(u.select(dataCols.map(col): _*)).withColumn("__op", lit(1)))
+    val delRouted = deletesOpt.map { dk =>
+      val filled = dk.select(dataCols.map { c =>
+        if (keyCols.contains(c)) col(c)
+        else lit(null).cast(m.schema(c).dataType).as(c)
+      }: _*)
+      route(filled).withColumn("__op", lit(2))
+    }
+    // Persisted: the routed delta is evaluated by the fused
+    // validation/discovery aggregate AND the final scatter — caching
+    // pins one evaluation (and one result for non-deterministic
+    // inputs like samples).
+    val incoming =
+      (updRouted.toSeq ++ delRouted.toSeq).reduce(_ unionByName _).persist()
+    try mergePersisted(spark, dir, m, incoming, retain, fs, dirPath, loadedFp)
+    finally { incoming.unpersist(); () }
   }
 
   private def mergePersisted(
       spark: SparkSession,
       dir: String,
       m: Sidecar.Meta,
-      updOpt: Option[DataFrame],
-      delOpt: Option[DataFrame],
+      incoming: DataFrame,
       retain: Boolean,
       fs: org.apache.hadoop.fs.FileSystem,
       dirPath: HPath,
       loadedFp: (Long, Long)): Report = {
     val keyCols = m.indexColumns.toSeq
-    val dataCols = m.schema.fieldNames.toSeq
     val keyIsNull = keyCols.map(col(_).isNull).reduce(_ || _)
-    // One validation pass per input: unique, non-null update keys;
+    // ONE pass over the routed delta fuses what used to be four jobs
+    // (per-input validation aggregates, the key-overlap semi join,
+    // the affected-partition distinct): unique non-null update keys,
     // non-null delete keys (duplicates are harmless — deleting twice
-    // is deleting once). n is checked first — the null-count
-    // aggregate is NULL over zero rows.
-    val nUpd = updOpt.map { upd =>
-      val v = upd.agg(
-        count(lit(1)).as("n"),
-        count_distinct(struct(keyCols.map(col): _*)).as("d"),
-        sum(when(keyIsNull, 1L).otherwise(0L)).as("nulls")).head()
-      if (v.getLong(0) > 0L) {
-        require(v.getLong(2) == 0L, "update keys must be non-null")
-        require(v.getLong(0) == v.getLong(1),
-          s"update keys must be unique (${v.getLong(0)} rows, " +
-            s"${v.getLong(1)} distinct keys)")
-      }
-      v.getLong(0)
-    }.getOrElse(0L)
-    val nDel = delOpt.map { dk =>
-      val v = dk.agg(count(lit(1)).as("n"),
-        sum(when(keyIsNull, 1L).otherwise(0L)).as("nulls")).head()
-      if (v.getLong(0) > 0L)
-        require(v.getLong(1) == 0L, "delete keys must be non-null")
-      v.getLong(0)
-    }.getOrElse(0L)
+    // is deleting once), update∩delete key overlap via inclusion-
+    // exclusion on distinct counts, and the affected partition set as
+    // a collect_set (bounded by the file count, the same driver cost
+    // the old distinct().collect() paid). At 100 TB that is one fewer
+    // full pass over the delta per mutation commit.
+    val opIsUpd = col("__op") === 1
+    val opIsDel = col("__op") === 2
+    val keyStruct = struct(keyCols.map(col): _*)
+    val v = incoming.agg(
+      count(when(opIsUpd, lit(1))).as("n1"),
+      count(when(opIsDel, lit(1))).as("n2"),
+      count(when(opIsUpd && keyIsNull, lit(1))).as("nulls1"),
+      count(when(opIsDel && keyIsNull, lit(1))).as("nulls2"),
+      count_distinct(when(opIsUpd, keyStruct)).as("d1"),
+      count_distinct(when(opIsDel, keyStruct)).as("d2"),
+      count_distinct(keyStruct).as("dAll"),
+      collect_set(col("__part")).as("parts")).head()
+    val nUpd = v.getLong(0)
+    val nDel = v.getLong(1)
     if (nUpd == 0L && nDel == 0L)
       return Report(0, 0, 0, 0, m.files.length)
+    if (nUpd > 0L) {
+      require(v.getLong(2) == 0L, "update keys must be non-null")
+      require(nUpd == v.getLong(4),
+        s"update keys must be unique ($nUpd rows, " +
+          s"${v.getLong(4)} distinct keys)")
+    }
+    if (nDel > 0L)
+      require(v.getLong(3) == 0L, "delete keys must be non-null")
     if (nUpd > 0L && nDel > 0L)
-      require(updOpt.get.join(delOpt.get, keyCols, "left_semi").count() == 0L,
+      require(v.getLong(4) + v.getLong(5) == v.getLong(6),
         "a key may not appear in both updates and deletes")
-
-    // Route each input row to its partition: first lower bound the
-    // key is lex-below, over the interior cut points (= partition
-    // lower bounds past the first) — O(log n) per row, codegen.
-    // Update rows carry __op = 1, delete markers __op = 2 (data
-    // columns null-filled so the union lines up), old rows __op = 0.
-    // A single-partition dataset has no interior cut points — every
-    // key routes to partition 0 (the router requires >= 1 bound).
-    def route(df: DataFrame): DataFrame = df.withColumn("__part",
-      if (m.files.length == 1) lit(0)
-      else DivisionRouter.route(keyCols.map(col), m.lowerBounds.drop(1)))
-    val updRouted = updOpt.filter(_ => nUpd > 0)
-      .map(u => route(u).withColumn("__op", lit(1)))
-    val delRouted = delOpt.filter(_ => nDel > 0)
-      .map { dk =>
-        val filled = dk.select(dataCols.map { c =>
-          if (keyCols.contains(c)) col(c)
-          else lit(null).cast(m.schema(c).dataType).as(c)
-        }: _*)
-        route(filled).withColumn("__op", lit(2))
-      }
-    val incoming = (updRouted.toSeq ++ delRouted.toSeq).reduce(_ unionByName _)
-    val affected = incoming.select("__part").distinct()
-      .collect().map(_.getInt(0)).sorted
+    val affected = v.getSeq[Int](7).sorted.toArray
     val affectedSet = affected.toSet
     def pathOf(p: Int): String = new HPath(dirPath, m.files(p)).toString
     val newNameOf: Map[Int, String] = affected.zipWithIndex.map {
