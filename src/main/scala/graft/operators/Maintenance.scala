@@ -212,6 +212,29 @@ object Maintenance {
     refreshBloom(spark, dir)
   }
 
+  /** TRUNCATE: drop every row, keeping the schema, index columns and
+    * the sidecar extras (txn ledger) — a metadata-only swap plus the
+    * file deletes; files an archived generation still references stay
+    * on disk for time travel, and `retain = true` archives the
+    * outgoing listing so the truncate itself is undoable. Zero data
+    * I/O at any table size. */
+  def truncate(
+      spark: SparkSession, dir: String, retain: Boolean = false): Unit = {
+    DeletionVectors.requireNone(spark, dir, "truncate")
+    val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    val loadedFp = metaFingerprint(spark, dirPath)
+    val m = Sidecar.load(spark, dir)
+    guardUnchanged(spark, dirPath, loadedFp)
+    if (retain) archiveCurrent(spark, fs, dirPath)
+    Sidecar.write(spark, dir, m.indexColumns, Seq.empty, Seq.empty,
+      Seq.empty, Seq.empty, m.maxPartitionIndex, m.schema,
+      extras = m.extras)
+    if (!retain)
+      deletableNow(spark, dir, m.files.toSeq)
+        .foreach(f => fs.delete(new HPath(dirPath, f), false))
+    refreshBloom(spark, dir)
+  }
+
   /** [[restore]] with the target resolved by TIMESTAMP through the
     * retained history's mtimes ([[metaAsOf]] semantics): roll back to
     * the generation that was current at `tsMillis`. An instant at or

@@ -292,7 +292,57 @@ final class GraftTable(
     tableName: String,
     val meta: Sidecar.Meta,
     val snapshot: Boolean)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsDeleteV2 {
+
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  /** The conjunction of translatable V2 predicates as a Column; None
+    * when any predicate has no strict translation (decline the
+    * delete rather than drop the wrong rows). An EMPTY predicate
+    * array is DELETE-everything (`lit(true)`). */
+  private def translate(
+      predicates: Array[Predicate]): Option[org.apache.spark.sql.Column] = {
+    val v1 = predicates.toSeq.map(
+      org.apache.spark.sql.GraftBridge.predicateToV1Filter)
+    if (v1.exists(_.isEmpty)) None
+    else {
+      val cols = v1.flatten.map(GraftSource.translateFilter)
+      if (cols.exists(_.isEmpty)) None
+      else cols.flatten.reduceOption(_ && _)
+        .orElse(Some(org.apache.spark.sql.functions.lit(true)))
+    }
+  }
+
+  /** `DELETE FROM graft.db.t WHERE p` — served MERGE-ON-READ: the
+    * matching row positions are marked in the KB-scale deletion-
+    * vector overlay ([[graft.operators.DeletionVectors.deleteWhere]]),
+    * zero data files rewritten at any table size; reads apply the
+    * vectors transparently and `materialize` folds them in by
+    * rewriting only the marked files. */
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    !snapshot && translate(predicates).isDefined
+
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    require(!snapshot,
+      s"$tableName is a read-only snapshot; DELETE from the current table")
+    val cond = translate(predicates).getOrElse(
+      throw new UnsupportedOperationException(
+        s"DELETE predicate has no exact pushdown translation for " +
+          s"$tableName: ${predicates.mkString(", ")}"))
+    graft.operators.DeletionVectors.deleteWhere(
+      SparkSession.active, path, cond)
+  }
+
+  /** `TRUNCATE TABLE graft.db.t` — metadata-only
+    * ([[Maintenance.truncate]]): schema, clustering and the txn
+    * ledger survive; zero data I/O at any table size. */
+  override def truncateTable(): Boolean = {
+    require(!snapshot,
+      s"$tableName is a read-only snapshot; TRUNCATE the current table")
+    Maintenance.truncate(SparkSession.active, path)
+    true
+  }
 
   override def name(): String = tableName
   override def schema(): StructType = meta.schema
@@ -348,16 +398,27 @@ final class GraftTable(
 final class GraftV2ScanSubstitution(session: SparkSession)
     extends org.apache.spark.sql.catalyst.rules.Rule[
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
-  import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan,
-    Project, V2WriteCommand}
+  import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable,
+    LogicalPlan, MergeIntoTable, Project, UpdateTable, V2WriteCommand}
   import org.apache.spark.sql.catalyst.expressions.Alias
   import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    // Write and row-level commands own their target relation — the V2
+    // planner must see the DataSourceV2Relation there (DELETE FROM
+    // routes through SupportsDeleteV2, INSERT through the V1Write
+    // fallback); only pure READ occurrences splice.
     val writeTargets = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    def mark(target: LogicalPlan): Unit = target.foreach {
+      case r: DataSourceV2Relation => writeTargets.add(r); ()
+      case _ => ()
+    }
     plan.foreach {
-      case w: V2WriteCommand => writeTargets.add(w.table); ()
+      case w: V2WriteCommand => mark(w.table)
+      case d: DeleteFromTable => mark(d.table)
+      case u: UpdateTable => mark(u.table)
+      case mi: MergeIntoTable => mark(mi.targetTable)
       case _ => ()
     }
     plan.resolveOperatorsUp {

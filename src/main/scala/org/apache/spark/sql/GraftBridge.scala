@@ -84,6 +84,15 @@ object GraftBridge {
       ds.queryExecution.toRdd, ds.schema, isStreaming = false)
   }
 
+  /** V2 `Predicate` → V1 `sources.Filter` (the `private[sql]`
+    * `PredicateUtils.toV1`): the strict-translation entry the
+    * catalog's `SupportsDeleteV2` uses before mapping filters onto
+    * deletion-vector predicates. */
+  def predicateToV1Filter(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate):
+      Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(p)
+
   /** Type equality modulo nullability at every nesting level (the
     * `private[sql]` `DataType.sameType`): schema compatibility checks
     * must not reject `array<int>` against `array<int>` over an

@@ -276,6 +276,37 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("graft catalog"), e.getMessage)
   }
 
+  test("DELETE FROM marks deletion vectors (zero rewrites); TRUNCATE " +
+      "TABLE is metadata-only and keeps the table") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS gcat.db.del")
+    spark.sql("CREATE TABLE gcat.db.del (k BIGINT, v STRING) " +
+      "USING graft TBLPROPERTIES('index'='k')")
+    spark.range(0, 100).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v"))
+      .createOrReplaceTempView("del_src")
+    spark.sql("INSERT INTO gcat.db.del SELECT * FROM del_src")
+    val dir = s"$warehouse/db/del"
+    val mtimes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    spark.sql("DELETE FROM gcat.db.del WHERE k < 10 OR v = 'v50'")
+    // merge-on-read: rows invisible, vectors pending, no file touched
+    assert(spark.table("gcat.db.del").count() == 89L)
+    assert(graft.operators.DeletionVectors.exists(spark, dir))
+    new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && mtimes.contains(f.getName))
+      .foreach(f => assert(f.lastModified() == mtimes(f.getName),
+        s"${f.getName} was rewritten by DELETE FROM"))
+    // fold the vectors in, then TRUNCATE: schema + clustering survive
+    graft.operators.DeletionVectors.materialize(spark, dir)
+    spark.sql("TRUNCATE TABLE gcat.db.del")
+    assert(spark.table("gcat.db.del").count() == 0L)
+    spark.sql("INSERT INTO gcat.db.del SELECT * FROM del_src WHERE k < 5")
+    assert(spark.table("gcat.db.del").count() == 5L)
+    assert(graft.core.Sidecar.load(spark, dir).indexColumns == Seq("k"))
+  }
+
   test("CREATE TABLE without clustering columns refuses with guidance") {
     warehouse
     val e = intercept[Exception] {
