@@ -832,6 +832,24 @@ object SparkEntry {
           col("retained_versions"))
     }),
 
+    // SQL DELETE FROM through the V2 catalog: the pushed range
+    // predicate routes through SupportsDeleteV2 onto the deletion-
+    // vector overlay (a KB-scale commit, zero files rewritten), and
+    // the read back serves merge-on-read — deleted rows invisible.
+    // A fresh catalog name per run pins the warehouse to this run's
+    // mutable copy (CatalogManager caches instances by name).
+    "q_sql_delete" -> ((s, d) => {
+      val dir = mutableCopy("ordkey20", d)(ordersByKey20(s, d))
+      val wh = java.nio.file.Paths.get(dir).getParent.toString
+      val cat = "gdel" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"DELETE FROM $cat.out " +
+        "WHERE o_orderkey >= 1000 AND o_orderkey < 2000")
+      s.sql(s"SELECT * FROM $cat.out ORDER BY o_orderkey")
+    }),
+
     "q_restore" -> ((s, d) => {
       // The history builds once; each run copies it and times the
       // operator under test — RESTORE (a metadata-only generation
@@ -2493,6 +2511,10 @@ object SparkEntry {
       // VERSION AS OF 0 = the table before the retained delete
       "q_catalog" ->
         """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+           ORDER BY o_orderkey""",
+      "q_sql_delete" ->
+        """SELECT * FROM orders
+           WHERE o_orderkey < 1000 OR o_orderkey >= 2000
            ORDER BY o_orderkey""",
       // after RESTORE TO VERSION AS OF 0 the table is the pristine
       // orders copy; the restore itself archived one more generation
