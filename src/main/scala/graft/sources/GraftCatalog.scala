@@ -399,7 +399,8 @@ final class GraftV2ScanSubstitution(session: SparkSession)
     extends org.apache.spark.sql.catalyst.rules.Rule[
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
   import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable,
-    LogicalPlan, MergeIntoTable, Project, UpdateTable, V2WriteCommand}
+    InsertIntoStatement, LogicalPlan, MergeIntoTable, Project,
+    UpdateTable, V2WriteCommand}
   import org.apache.spark.sql.catalyst.expressions.Alias
   import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
@@ -419,6 +420,13 @@ final class GraftV2ScanSubstitution(session: SparkSession)
       case d: DeleteFromTable => mark(d.table)
       case u: UpdateTable => mark(u.table)
       case mi: MergeIntoTable => mark(mi.targetTable)
+      // An INSERT whose query side needs >1 resolution iteration is
+      // still an InsertIntoStatement when this rule fires (Spark's
+      // ResolveInsertInto converts it to AppendData only once the
+      // query resolves) — splicing its target mid-flight would break
+      // the later conversion, so the not-yet-converted shape marks
+      // its target too.
+      case i: InsertIntoStatement => mark(i.table)
       case _ => ()
     }
     plan.resolveOperatorsUp {
