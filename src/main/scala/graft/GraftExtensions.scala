@@ -47,6 +47,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // `format("graft")` path reads; V2 write targets stay untouched.
     ext.injectResolutionRule(s =>
       new graft.sources.GraftV2ScanSubstitution(s))
+    // SQL UPDATE / MERGE INTO on graft catalog tables: once resolved,
+    // the statement rewrites onto the engine's keyed/copy-on-write
+    // primitives (Maintenance.updateWhere/merge) — O(affected files),
+    // one commit — instead of Spark's SupportsRowLevelOperations
+    // group-based plan.
+    ext.injectResolutionRule(s => new graft.plans.GraftRowLevelRewrite(s))
     // Statement-level DDL for graft tables (ALTER TABLE ... ADD/DROP
     // CONSTRAINT, SHOW CONSTRAINTS, DESCRIBE HISTORY, VACUUM),
     // addressed Delta-style by path; everything else delegates to

@@ -96,6 +96,44 @@ object SparkEntry {
     dst.toString
   }
 
+  /** Mutable catalog-table copy of a build-once fixture: ONE
+    * GraftCatalog named `gmut` is registered per process against a
+    * stable warehouse (CatalogManager caches instances by name, so a
+    * per-run catalog would leak an instance per bench run); each call
+    * copies the fixture into the warehouse under a fresh TABLE name —
+    * name resolution is a pure warehouse-directory mapping, so unique
+    * names cost nothing. Returns the qualified `gmut.<table>` name. */
+  private lazy val mutWarehouse: String = {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-mutwh").toString
+    val s = org.apache.spark.sql.SparkSession.active
+    s.conf.set("spark.sql.catalog.gmut", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gmut.warehouse", wh)
+    wh
+  }
+  private def mutableCatalogTable(
+      s: SparkSession, name: String, d: String)(
+      build: String => Unit): String = {
+    val src = fixture(name, d)(build)
+    s.conf.set("spark.sql.catalog.gmut", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gmut.warehouse", mutWarehouse)
+    val tname = name + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(12)
+    val dst = java.nio.file.Paths.get(mutWarehouse, tname)
+    val s0 = java.nio.file.Paths.get(src)
+    val walk = java.nio.file.Files.walk(s0)
+    try walk.forEach { p =>
+      val t = dst.resolve(s0.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else {
+        java.nio.file.Files.createDirectories(t.getParent)
+        java.nio.file.Files.copy(p, t)
+      }
+    } finally walk.close()
+    s"gmut.$tname"
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the M1
     * end-to-end slice — scan, reindex, range-repartition, pruned slice. */
   def entry(spark: SparkSession): DataFrame = {
@@ -836,18 +874,63 @@ object SparkEntry {
     // predicate routes through SupportsDeleteV2 onto the deletion-
     // vector overlay (a KB-scale commit, zero files rewritten), and
     // the read back serves merge-on-read — deleted rows invisible.
-    // A fresh catalog name per run pins the warehouse to this run's
-    // mutable copy (CatalogManager caches instances by name).
+    // One process-wide catalog (stable warehouse), fresh TABLE name
+    // per run: CatalogManager caches catalog instances by name.
     "q_sql_delete" -> ((s, d) => {
-      val dir = mutableCopy("ordkey20", d)(ordersByKey20(s, d))
-      val wh = java.nio.file.Paths.get(dir).getParent.toString
-      val cat = "gdel" + java.util.UUID.randomUUID().toString
-        .replace("-", "").take(12)
-      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
-      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
-      s.sql(s"DELETE FROM $cat.out " +
+      val t = mutableCatalogTable(s, "ordkey20", d)(ordersByKey20(s, d))
+      s.sql(s"DELETE FROM $t " +
         "WHERE o_orderkey >= 1000 AND o_orderkey < 2000")
-      s.sql(s"SELECT * FROM $cat.out ORDER BY o_orderkey")
+      s.sql(s"SELECT * FROM $t ORDER BY o_orderkey")
+    }),
+
+    // SQL UPDATE through the analyzer rewrite onto the copy-on-write
+    // updateWhere: the sidecar pruning walk + one pushed-down
+    // discovery scan find the files with hits, and ONLY those are
+    // rewritten (a clustered key band touches 1-2 of the 20 files at
+    // this layout — and the same fraction at 100 TB).
+    "q_sql_update" -> ((s, d) => {
+      val t = mutableCatalogTable(s, "ordkey20", d)(ordersByKey20(s, d))
+      s.sql(s"UPDATE $t SET o_totalprice = o_totalprice * 2, " +
+        "o_orderstatus = 'U' " +
+        "WHERE o_orderkey >= 1000 AND o_orderkey < 2000")
+      s.sql(s"SELECT * FROM $t ORDER BY o_orderkey")
+    }),
+
+    // SQL MERGE INTO: matched deletes, matched updates and unmatched
+    // inserts classified with one join per side, then applied as ONE
+    // Maintenance.merge commit rewriting only affected partitions.
+    "q_sql_merge" -> ((s, d) => {
+      val t = mutableCatalogTable(s, "ordkey20", d)(ordersByKey20(s, d))
+      val orders = s.read.parquet(T(d, "orders"))
+      // deletes: existing %401 keys; updates: existing %701 keys (not
+      // also %401 — a source key may carry only one action); inserts:
+      // shifted %997 keys that match nothing
+      val dels = orders
+        .filter(col("o_orderkey") % 401 === 0 && col("o_orderkey") =!= 0)
+        .select(col("o_orderkey").as("k"), lit(true).as("drop_it"),
+          lit(null).cast("double").as("np"),
+          col("o_orderdate").as("od"))
+      val upds = orders
+        .filter(col("o_orderkey") % 701 === 0 &&
+          col("o_orderkey") % 401 =!= 0)
+        .select(col("o_orderkey").as("k"), lit(false).as("drop_it"),
+          (col("o_totalprice") * 2).as("np"),
+          col("o_orderdate").as("od"))
+      val ins = orders.filter(col("o_orderkey") % 997 === 0)
+        .select((col("o_orderkey") + 2000000000L).as("k"),
+          lit(false).as("drop_it"),
+          (col("o_totalprice") * 3).as("np"),
+          col("o_orderdate").as("od"))
+      dels.unionByName(upds).unionByName(ins)
+        .createOrReplaceTempView("merge_src")
+      s.sql(s"""MERGE INTO $t USING merge_src s ON $t.o_orderkey = s.k
+        WHEN MATCHED AND s.drop_it THEN DELETE
+        WHEN MATCHED THEN UPDATE SET o_totalprice = s.np,
+          o_orderpriority = 'MERGED'
+        WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey,
+          o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
+          VALUES (s.k, 0, 'N', s.np, s.od, 'NEW')""")
+      s.sql(s"SELECT * FROM $t ORDER BY o_orderkey")
     }),
 
     "q_restore" -> ((s, d) => {
@@ -2515,6 +2598,32 @@ object SparkEntry {
       "q_sql_delete" ->
         """SELECT * FROM orders
            WHERE o_orderkey < 1000 OR o_orderkey >= 2000
+           ORDER BY o_orderkey""",
+      "q_sql_update" ->
+        """SELECT o_orderkey, o_custkey,
+                  CASE WHEN o_orderkey >= 1000 AND o_orderkey < 2000
+                       THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+                  CASE WHEN o_orderkey >= 1000 AND o_orderkey < 2000
+                       THEN o_totalprice * 2
+                       ELSE o_totalprice END AS o_totalprice,
+                  o_orderdate, o_orderpriority
+           FROM orders ORDER BY o_orderkey""",
+      // matched %401 keys deleted, matched %701 (non-%401) keys
+      // updated, shifted %997 keys inserted
+      "q_sql_merge" ->
+        """SELECT o_orderkey, o_custkey, o_orderstatus,
+                  CASE WHEN o_orderkey % 701 = 0 AND o_orderkey % 401 <> 0
+                       THEN o_totalprice * 2
+                       ELSE o_totalprice END AS o_totalprice,
+                  o_orderdate,
+                  CASE WHEN o_orderkey % 701 = 0 AND o_orderkey % 401 <> 0
+                       THEN 'MERGED'
+                       ELSE o_orderpriority END AS o_orderpriority
+           FROM orders WHERE o_orderkey % 401 <> 0 OR o_orderkey = 0
+           UNION ALL
+           SELECT o_orderkey + 2000000000, 0, 'N', o_totalprice * 3,
+                  o_orderdate, 'NEW'
+           FROM orders WHERE o_orderkey % 997 = 0
            ORDER BY o_orderkey""",
       // after RESTORE TO VERSION AS OF 0 the table is the pristine
       // orders copy; the restore itself archived one more generation

@@ -957,6 +957,127 @@ object Maintenance {
       untouched = m.files.length - dropPos.length - rewritePos.length)
   }
 
+  // ---- predicate update (SQL UPDATE) ----
+
+  /** Update every stored row matching `cond`: each assigned column
+    * takes its assignment expression's value (cast to the column
+    * type), every other column passes through — `UPDATE t SET c = e
+    * WHERE p` semantics, served COPY-ON-WRITE at file granularity. A
+    * row where `cond` is NULL is NOT updated (three-valued SQL
+    * WHERE).
+    *
+    * Scale shape: candidate files come from the read path's own
+    * sidecar pruning walk ([[DeletionVectors.pruneByPredicate]] —
+    * lex bounds on every index column, per-file column stats, Bloom
+    * filters; zero data read), ONE pushed-down discovery scan over
+    * just the candidates finds the files with actual hits (driver
+    * collect bounded by #files), and only those files are rewritten —
+    * per-file, in parallel, with exact stats recomputed in one job.
+    * A point update on a clustered key rewrites one file at any
+    * table size. Assignments MAY target index columns (per-file
+    * bounds are recomputed and the file re-sorted); note such an
+    * update can make partition bounds overlap, which keyed
+    * maintenance will refuse until a `repartition` restores
+    * disjointness. CHECK constraints validate the post-update rows
+    * in one aggregate over the hit files only.
+    */
+  def updateWhere(
+      spark: SparkSession,
+      dir: String,
+      cond: Column,
+      assignments: Seq[(String, Column)],
+      retain: Boolean = false): Report = {
+    DeletionVectors.requireNone(spark, dir, "updateWhere")
+    val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    val loadedFp = metaFingerprint(spark, dirPath)
+    val m = Sidecar.load(spark, dir)
+    require(assignments.nonEmpty,
+      "updateWhere needs at least one assignment")
+    val assignMap = assignments.toMap
+    require(assignMap.size == assignments.length,
+      "a column may be assigned only once")
+    assignments.foreach { case (c, _) =>
+      require(m.schema.fieldNames.contains(c),
+        s"assigned column $c is not in the table schema") }
+    if (m.files.isEmpty) return Report(0, 0, 0, 0, 0)
+
+    // Metadata-only pruning, then one pushed-down scan over the
+    // candidates for the files with actual hits.
+    val candidates = DeletionVectors.pruneByPredicate(spark, dirPath, m, cond)
+    if (candidates.isEmpty) return Report(0, 0, 0, 0, m.files.length)
+    def pathOf(p: Int): String = new HPath(dirPath, m.files(p)).toString
+    val hitNames = spark.read.schema(m.schema)
+      .parquet(candidates.map(pathOf): _*)
+      .filter(cond)
+      .select(element_at(split(col("_metadata.file_path"), "/"), -1).as("f"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val affected = m.files.indices.filter(i => hitNames(m.files(i)))
+    if (affected.isEmpty) return Report(0, 0, 0, 0, m.files.length)
+
+    val hit = coalesce(cond, lit(false))
+    val updatedCols: Seq[Column] = m.schema.fields.toSeq.map { f =>
+      assignMap.get(f.name)
+        .map(e => when(hit, e.cast(f.dataType)).otherwise(col(f.name))
+          .as(f.name))
+        .getOrElse(col(f.name))
+    }
+    Constraints.enforce(spark, dir,
+      spark.read.schema(m.schema).parquet(affected.map(pathOf): _*)
+        .filter(hit).select(updatedCols: _*),
+      "updateWhere")
+
+    val touchesIndex = m.indexColumns.exists(assignMap.contains)
+    val newNameOf: Map[Int, String] = affected.zipWithIndex.map {
+      case (p, j) =>
+        p -> Sidecar.partitionFileName(m.maxPartitionIndex + 1 + j)
+    }.toMap
+    implicit val ec: ExecutionContext = PDataset.writeEc
+    val writes = affected.map { p =>
+      Future {
+        val updated = spark.read.schema(m.schema).parquet(pathOf(p))
+          .select(updatedCols: _*)
+        // file content stays index-sorted; an index-column assignment
+        // may reorder rows, so re-sort within the (single-file) scope
+        val out =
+          if (touchesIndex)
+            updated.coalesce(1)
+              .sortWithinPartitions(m.indexColumns.map(col): _*)
+          else updated
+        Sidecar.writeSingleParquet(out,
+          new HPath(dirPath, newNameOf(p)).toString)
+      }
+    }
+    writes.foreach(Await.result(_, SDuration.Inf))
+
+    // Exact stats for just the rewritten files (one job).
+    val statsByPath = Stats.forFiles(spark,
+      affected.map(p => new HPath(dirPath, newNameOf(p)).toString),
+      m.indexColumns, Some(m.schema))
+    val affectedSet = affected.toSet
+    val entries = m.files.indices.map { p =>
+      if (!affectedSet(p))
+        (m.files(p), m.sizes(p), m.lowerBounds(p), m.upperBounds(p))
+      else {
+        val st = statsByPath(Stats.normalizePath(
+          new HPath(dirPath, newNameOf(p)).toString))
+        (newNameOf(p), st.size, st.lb, st.ub)
+      }
+    }
+    guardUnchanged(spark, dirPath, loadedFp)
+    if (retain) archiveCurrent(spark, fs, dirPath)
+    Sidecar.write(spark, dir, m.indexColumns, entries.map(_._1),
+      entries.map(_._2), entries.map(_._3), entries.map(_._4),
+      m.maxPartitionIndex + affected.length, m.schema,
+      extras = m.extras)
+    if (!retain)
+      deletableNow(spark, dir, affected.map(m.files))
+        .foreach(f => fs.delete(new HPath(dirPath, f), false))
+    refreshBloom(spark, dir)
+    Report(rewritten = affected.length, dropped = 0, merged = 0,
+      created = affected.length,
+      untouched = m.files.length - affected.length)
+  }
+
   // ---- upsert ----
 
   /** Merge `updates` into the dataset by exact index-tuple key: a row

@@ -1,0 +1,244 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{PDataset, Sidecar}
+import Fixtures._
+
+/** SQL `UPDATE` / `MERGE INTO` on graft catalog tables
+  * ([[graft.plans.GraftRowLevelRewrite]] →
+  * [[graft.operators.Maintenance.updateWhere]] / `merge`): statement
+  * semantics, O(affected files) rewrite scope, and the loud
+  * boundaries (non-key ON, key reassignment, snapshots). */
+class RowLevelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val wh = tempDir("graft-rowlevel-wh")
+    spark.conf.set("spark.sql.catalog.grl",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grl.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS grl.db")
+    wh
+  }
+
+  private var n = 0
+  /** Fresh table `grl.db.<name>` of 120 rows in ~6 files, indexed on
+    * k; returns (qualified name, directory). */
+  private def freshTable(): (String, String) = {
+    warehouse
+    n += 1
+    val name = s"t$n"
+    val dir = s"$warehouse/db/$name"
+    def part(lo: Long): PDataset =
+      PDataset.fromDataFrame(
+        spark.range(lo, lo + 20).select(col("id").as("k"),
+          (col("id") % 7).as("grp"),
+          (col("id") * 10).cast("double").as("v"),
+          concat(lit("p"), col("id")).as("payload")), Seq("k"))
+    PDataset.concat((0L until 120L by 20L).map(part)).writeParquet(dir)
+    (s"grl.db.$name", dir)
+  }
+
+  private def rows(q: String): Seq[Row] = spark.sql(q).collect().toSeq
+
+  test("UPDATE ... WHERE updates matching rows, leaves the rest, and " +
+      "rewrites only the files with hits") {
+    val (t, dir) = freshTable()
+    val before = Sidecar.load(spark, dir).files.toSet
+    spark.sql(s"UPDATE $t SET v = v * 2, payload = 'upd' " +
+      "WHERE k >= 40 AND k < 60")
+    val got = rows(s"SELECT k, v, payload FROM $t ORDER BY k")
+    assert(got.size == 120)
+    got.foreach { r =>
+      val k = r.getLong(0)
+      if (k >= 40 && k < 60) {
+        assert(r.getDouble(1) == k * 20.0, s"k=$k")
+        assert(r.getString(2) == "upd")
+      } else {
+        assert(r.getDouble(1) == k * 10.0, s"k=$k")
+        assert(r.getString(2) == s"p$k")
+      }
+    }
+    // contiguous key band over 6 range files: only the overlapping
+    // files were replaced
+    val after = Sidecar.load(spark, dir).files.toSet
+    val replaced = (before -- after).size
+    assert(replaced >= 1 && replaced <= 2,
+      s"expected 1-2 files rewritten for a 20-key band, got $replaced")
+  }
+
+  test("UPDATE without WHERE updates every row; arithmetic on the " +
+      "updated column uses the OLD value") {
+    val (t, _) = freshTable()
+    spark.sql(s"UPDATE $t SET v = v + 1")
+    val got = rows(s"SELECT k, v FROM $t ORDER BY k")
+    got.foreach(r => assert(r.getDouble(1) == r.getLong(0) * 10.0 + 1))
+  }
+
+  test("UPDATE may assign the index column: files re-sort, bounds " +
+      "recompute, reads stay correct") {
+    val (t, dir) = freshTable()
+    spark.sql(s"UPDATE $t SET k = k + 1000 WHERE k < 10")
+    val got = rows(s"SELECT k FROM $t ORDER BY k").map(_.getLong(0))
+    assert(got == ((10L until 120L) ++ (1000L until 1010L)).toSeq)
+    // the rewritten file's recomputed bounds serve pruning correctly
+    assert(rows(s"SELECT count(*) AS c FROM $t WHERE k >= 1000")
+      .head.getLong(0) == 10L)
+    checkBoundsAndSizes(PDataset.scanParquet(spark, dir))
+  }
+
+  test("UPDATE enforces CHECK constraints on the post-update rows") {
+    val (t, dir) = freshTable()
+    graft.operators.Constraints.add(spark, dir, "v_pos", "v >= 0")
+    intercept[graft.operators.Constraints.Violation] {
+      spark.sql(s"UPDATE $t SET v = -1 WHERE k = 5")
+    }
+    // nothing changed
+    assert(rows(s"SELECT v FROM $t WHERE k = 5").head.getDouble(0) == 50.0)
+  }
+
+  test("UPDATE on a snapshot relation refuses") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
+      UpdateTable}
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    val (_, dir) = freshTable()
+    graft.operators.Maintenance.upsert(spark, dir,
+      spark.range(0, 1).select(lit(5L).as("k"), lit(0L).as("grp"),
+        lit(1.0).as("v"), lit("x").as("payload")),
+      retain = true)
+    val gt = new graft.sources.GraftTable(dir, "t@v0",
+      graft.operators.Maintenance.versionMeta(spark, dir, 0),
+      snapshot = true)
+    val rel = DataSourceV2Relation.create(gt, None, None)
+    val plan = UpdateTable(rel,
+      Seq(Assignment(rel.output.head, Literal(1L))), None)
+    val e = intercept[UnsupportedOperationException] {
+      new graft.plans.GraftRowLevelRewrite(spark).apply(plan)
+    }
+    assert(e.getMessage.contains("snapshot"))
+  }
+
+  test("MERGE INTO: matched-and update, matched-and delete, not " +
+      "matched insert — one commit, first clause wins") {
+    val (t, _) = freshTable()
+    // source: keys 100..139 — 100..119 exist (update or delete),
+    // 120..139 are new (insert)
+    spark.range(100, 140).select(col("id").as("k"),
+      (col("id") % 2 === 0).as("drop_it"),
+      (col("id") * 100).cast("double").as("nv"))
+      .createOrReplaceTempView("merge_src")
+    spark.sql(s"""MERGE INTO $t USING merge_src s ON $t.k = s.k
+      WHEN MATCHED AND s.drop_it THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.nv
+      WHEN NOT MATCHED AND NOT s.drop_it THEN
+        INSERT (k, grp, v) VALUES (s.k, -1, s.nv)""")
+    val got = rows(s"SELECT k, grp, v, payload FROM $t ORDER BY k")
+    val byK = got.map(r => r.getLong(0) -> r).toMap
+    // matched evens deleted
+    (100L until 120L by 2).foreach(k => assert(!byK.contains(k), s"k=$k"))
+    // matched odds updated in place (payload survives)
+    (101L until 120L by 2).foreach { k =>
+      assert(byK(k).getDouble(2) == k * 100.0)
+      assert(byK(k).getString(3) == s"p$k")
+      assert(byK(k).getLong(1) == k % 7)
+    }
+    // unmatched odds inserted with nulls for unassigned columns
+    (121L until 140L by 2).foreach { k =>
+      assert(byK(k).getLong(1) == -1L)
+      assert(byK(k).getDouble(2) == k * 100.0)
+      assert(byK(k).isNullAt(3))
+    }
+    // unmatched evens skipped by the insert condition
+    (120L until 140L by 2).foreach(k => assert(!byK.contains(k)))
+    // untouched rows intact
+    assert(byK(50L).getDouble(2) == 500.0)
+    assert(got.size == 120 - 10 + 10)
+  }
+
+  test("MERGE INTO: WHEN NOT MATCHED BY SOURCE THEN DELETE gives " +
+      "sync-to-source") {
+    val (t, _) = freshTable()
+    spark.range(0, 130).filter(col("id") % 3 === 0)
+      .select(col("id").as("k"), (col("id") * 5).cast("double").as("nv"))
+      .createOrReplaceTempView("sync_src")
+    spark.sql(s"""MERGE INTO $t USING sync_src s ON $t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.nv
+      WHEN NOT MATCHED THEN INSERT (k, grp, v) VALUES (s.k, 0, s.nv)
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    val got = rows(s"SELECT k, v FROM $t ORDER BY k")
+    assert(got.map(_.getLong(0)) == (0L until 130L by 3).toSeq)
+    got.foreach(r => assert(r.getDouble(1) == r.getLong(0) * 5.0))
+  }
+
+  test("MERGE INTO an empty table is an initial load through the " +
+      "insert clauses") {
+    warehouse
+    spark.sql("CREATE TABLE grl.db.fresh (k BIGINT, grp BIGINT, " +
+      "v DOUBLE, payload STRING) USING graft " +
+      "TBLPROPERTIES('index'='k')")
+    spark.range(0, 25).select(col("id").as("k"), lit(1L).as("grp"),
+      (col("id") * 2).cast("double").as("nv"))
+      .createOrReplaceTempView("fresh_src")
+    spark.sql("""MERGE INTO grl.db.fresh USING fresh_src s
+      ON grl.db.fresh.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.nv
+      WHEN NOT MATCHED THEN INSERT (k, grp, v) VALUES (s.k, s.grp, s.nv)""")
+    val got = rows("SELECT k, grp, v, payload FROM grl.db.fresh ORDER BY k")
+    assert(got.size == 25)
+    got.foreach { r =>
+      assert(r.getLong(1) == 1L)
+      assert(r.getDouble(2) == r.getLong(0) * 2.0)
+      assert(r.isNullAt(3))
+    }
+    // and a second MERGE now takes the keyed path
+    spark.sql("""MERGE INTO grl.db.fresh USING fresh_src s
+      ON grl.db.fresh.k = s.k
+      WHEN MATCHED AND s.k < 5 THEN DELETE""")
+    assert(spark.table("grl.db.fresh").count() == 20L)
+  }
+
+  test("MERGE ON clause must be index-key equality covering every " +
+      "index column") {
+    val (t, _) = freshTable()
+    spark.range(0, 5).select(col("id").as("k"),
+      (col("id") * 1.0).as("nv")).createOrReplaceTempView("bad_src")
+    val e1 = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $t USING bad_src s ON $t.grp = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.nv""")
+    }
+    assert(e1.getMessage.contains("index column"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $t USING bad_src s
+        ON $t.k = s.k AND $t.v > 10
+        WHEN MATCHED THEN UPDATE SET v = s.nv""")
+    }
+    assert(e2.getMessage.contains("equalit") ||
+      e2.getMessage.contains("mixes") ||
+      e2.getMessage.contains("index column"))
+  }
+
+  test("MERGE UPDATE may not reassign an index column") {
+    val (t, _) = freshTable()
+    spark.range(0, 5).select(col("id").as("k"),
+      (col("id") * 1.0).as("nv")).createOrReplaceTempView("key_src")
+    val e = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $t USING key_src s ON $t.k = s.k
+        WHEN MATCHED THEN UPDATE SET k = s.k + 1""")
+    }
+    assert(e.getMessage.contains("index column"))
+  }
+
+  test("UPDATE with a subquery condition refuses loudly") {
+    val (t, _) = freshTable()
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $t SET v = 0 WHERE k IN " +
+        s"(SELECT k FROM $t WHERE grp = 0)")
+    }
+    assert(e.getMessage.contains("subquer"))
+  }
+}
