@@ -1527,7 +1527,8 @@ object PDataset {
   def writeMetadata(
       spark: SparkSession,
       path: String,
-      indexColumns: Seq[String]): Unit = {
+      indexColumns: Seq[String],
+      extras: Map[String, Any] = Map.empty): Unit = {
     val (fs, p) = GraftFs.resolve(spark, path)
     val files = GraftFs.listFiles(fs, p)(_.endsWith(".parquet"))
     if (files.isEmpty)
@@ -1557,8 +1558,13 @@ object PDataset {
     val maxIdx = math.max(
       prior.map(_.maxPartitionIndex).getOrElse(-1L),
       math.max(maxNamed, kept.length - 1L))
+    // A prior sidecar's extras (txn ledger, ...) survive a metadata
+    // rebuild; caller-supplied extras win per key (the streaming
+    // sink seeds its ledger through here so the first transactional
+    // batch commits data + ledger in ONE atomic swap).
     Sidecar.write(spark, path, indexColumns, kept, stats.map(_.size),
-      stats.map(_.lb), stats.map(_.ub), maxIdx, schema)
+      stats.map(_.lb), stats.map(_.ub), maxIdx, schema,
+      extras = prior.map(_.extras).getOrElse(Map.empty) ++ extras)
   }
 
   private val PartNamePattern = """part(\d+)\.parquet""".r

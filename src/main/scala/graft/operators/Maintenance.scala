@@ -342,7 +342,19 @@ object Maintenance {
         .withColumn("_commit_timestamp",
           lit(new java.sql.Timestamp(mtimes(v))))
     }
-    steps.reduceOption(_.unionByName(_)).getOrElse {
+    // Balanced-tree union: a left-deep reduce over a span of
+    // thousands of retained commits builds a thousand-deep logical
+    // plan — driver analysis blows up long before any data cost.
+    // Pairwise folding keeps the plan O(log steps) deep.
+    @annotation.tailrec
+    def balanced(xs: IndexedSeq[DataFrame]): DataFrame =
+      if (xs.length == 1) xs.head
+      else balanced(xs.grouped(2).map {
+        case Seq(a, b) => a.unionByName(b)
+        case Seq(a) => a
+      }.toIndexedSeq)
+    (if (steps.isEmpty) None else Some(balanced(steps.toIndexedSeq)))
+      .getOrElse {
       val base = Sidecar.load(spark, dir).schema
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -140,6 +140,32 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // range-clustering columns — graft has no hive-style partition
     // dirs, clustering IS its partitioning).
     val props = properties.asScala
+    // Identifier→path is a PURE warehouse mapping: a user-supplied
+    // LOCATION (or EXTERNAL) cannot be honored, and silently dropping
+    // it would land the data somewhere other than the declared path —
+    // refuse loudly. Unknown TBLPROPERTIES are refused too (there is
+    // no property store to persist them into); Spark's own
+    // bookkeeping props (provider/owner/comment) pass through.
+    val knownProps = Set("index", TableCatalog.PROP_PROVIDER,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_COMMENT,
+      TableCatalog.PROP_TABLE_TYPE)
+    props.keys.foreach { k =>
+      if (k == TableCatalog.PROP_LOCATION ||
+          k == TableCatalog.PROP_EXTERNAL ||
+          k == TableCatalog.PROP_IS_MANAGED_LOCATION)
+        throw new UnsupportedOperationException(
+          s"graft tables live at <warehouse>/<namespace>/<name> by " +
+            s"construction; CREATE TABLE ... LOCATION/EXTERNAL is not " +
+            s"supported (got $k for ${ident.name()}) — point the " +
+            "catalog's warehouse at the right root, or use the " +
+            "path-based API")
+      else if (!knownProps.contains(k) &&
+          !k.startsWith(TableCatalog.OPTION_PREFIX))
+        throw new UnsupportedOperationException(
+          s"unsupported table property '$k' for graft table " +
+            s"${ident.name()} (supported: 'index'; graft tables have " +
+            "no property store)")
+    }
     val fromProps = (props.get("index").toSeq ++
       props.get(TableCatalog.OPTION_PREFIX + "index").toSeq)
       .headOption.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

@@ -436,17 +436,54 @@ final class GraftSource extends RelationProvider
         else if (statsCols.nonEmpty)
           graft.core.ColumnStats.build(spark, path, statsCols)
       case None =>
-        shaped.sortWithinPartitions(keys: _*)
-          .write.mode(mode).parquet(path)
-        PDataset.writeMetadata(spark, path, index)
-        // first transactional write onto a fresh target: seed the
-        // ledger (no concurrent readers yet — the table just appeared)
-        txn.foreach { case (app, v) =>
-          val m2 = Sidecar.load(spark, path)
-          Sidecar.write(spark, path, m2.indexColumns, m2.files,
-            m2.sizes, m2.lowerBounds, m2.upperBounds,
-            m2.maxPartitionIndex, m2.schema,
-            extras = m2.extras + ("txn" -> Map(app -> v)))
+        val seedExtras: Map[String, Any] = txn.map { case (app, v) =>
+          "txn" -> (Map(app -> v): Any)
+        }.toMap
+        val targetIsBareData = GraftFs.isDir(fs, p) &&
+          dataFileNames().nonEmpty
+        if (txn.isDefined && !targetIsBareData) {
+          // First transactional write onto a fresh target: stage the
+          // WHOLE commit (data files + sidecar + ledger) in a sibling
+          // directory, then ONE rename installs it — a crash at any
+          // point leaves either no table or the complete batch, so a
+          // replayed batch 0 can never re-append already-committed
+          // files or find data without its ledger entry.
+          val parent = Option(p.getParent).getOrElse(p)
+          GraftFs.mkdirs(fs, parent)
+          val stage = GraftFs.mkStageDir(fs, parent, ".graft-txn-seed-")
+          val stagedOut = new HPath(stage, "out")
+          try {
+            shaped.sortWithinPartitions(keys: _*)
+              .write.mode(mode).parquet(stagedOut.toString)
+            PDataset.writeMetadata(spark, stagedOut.toString, index,
+              extras = seedExtras)
+            // an existing EMPTY directory would swallow the rename
+            // (posix moves src under an existing dst dir)
+            if (GraftFs.isDir(fs, p) &&
+                GraftFs.listStatuses(fs, p).isEmpty)
+              fs.delete(p, true)
+            if (!fs.rename(stagedOut, p)) {
+              // lost an install race; if the winner's ledger already
+              // records this batch the exactly-once contract holds
+              val winner =
+                if (Sidecar.exists(spark, path))
+                  Some(Sidecar.load(spark, path))
+                else None
+              if (!winner.exists(_.txnVersions.get(txn.get._1)
+                  .exists(_ >= txn.get._2)))
+                throw new java.util.ConcurrentModificationException(
+                  s"first transactional write to $path lost the " +
+                    "install race to a conflicting writer")
+            }
+          } finally GraftFs.deleteRecursive(fs, stage)
+        } else {
+          // Non-transactional first write, or adopting a bare parquet
+          // directory (pre-existing files become table data): write in
+          // place; the ledger (if any) still seeds INSIDE the single
+          // sidecar commit rather than a second swap.
+          shaped.sortWithinPartitions(keys: _*)
+            .write.mode(mode).parquet(path)
+          PDataset.writeMetadata(spark, path, index, extras = seedExtras)
         }
         // option("bloom", "c1,c2"): per-file point-lookup filters for
         // non-index columns, built right after the sidecar (one job).

@@ -852,6 +852,37 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(PDataset.scanParquet(spark, dir).toDF.count() == 299)
   }
 
+  test("changesWithCommitInfo over a ~100-commit span: every step " +
+      "attributed, and the union plans as a balanced tree, not a " +
+      "100-deep chain") {
+    val dir = tempDir("maint-cdf-deep") + "/ds"
+    writeKeyed(dir, 200, 100) // 2 files
+    // v0 = pristine; each metadata-only restore archives the outgoing
+    // generation, so adjacent generations alternate A <-> B and every
+    // step's delta is the single rewritten partition (one key pair)
+    Maintenance.upsert(spark, dir,
+      keyedDF(10, 1).withColumn("payload", lit("mut")), retain = true)
+    (1 to 99).foreach(i => Maintenance.restore(spark, dir, i - 1))
+    val cdf = Maintenance.changesWithCommitInfo(spark, dir, 0)
+    def depth(p: org.apache.spark.sql.catalyst.plans.logical
+        .LogicalPlan): Int =
+      1 + (if (p.children.isEmpty) 0 else p.children.map(depth).max)
+    val d = depth(org.apache.spark.sql.GraftBridge.planOf(cdf))
+    assert(d < 60, s"100-step CDF plan depth $d — the per-step union " +
+      "must fold as a balanced tree (left-deep would be >100)")
+    val rows = cdf.select("k", "payload", "change_type",
+      "_commit_version").collect()
+    assert(rows.length == 200) // one update pair per step
+    val byCommit = rows.groupBy(_.getInt(3))
+    assert(byCommit.keySet == (1 to 100).toSet)
+    byCommit.foreach { case (v, rs) =>
+      assert(rs.map(_.getString(2)).sorted.toSeq ==
+        Seq("update_postimage", "update_preimage"), s"commit $v")
+      assert(rs.forall(_.getLong(0) == 10L))
+      assert(rs.map(_.getString(1)).toSet == Set("v10", "mut"))
+    }
+  }
+
   test("upsert rejects duplicate and null keys") {
     val dir = tempDir("maint-upsert-bad") + "/ds"
     writeKeyed(dir, 100, 50)
