@@ -496,6 +496,29 @@ object SparkEntry {
         .orderBy("o_orderkey", "change_type")
     }),
 
+    // Duplicate-key CDF pairing: the table holds TWO bit-identical
+    // copies of every %701 row; a retained upsert replaces all copies
+    // of each such key with one new row. Per key the feed pairs
+    // min(losses=2, gains=1)=1 loss with the gain (update pre/post)
+    // and tags the surplus copy a plain delete — identical copies
+    // make the deterministic hash-ordered pairing oracle-checkable.
+    "q_changes_dupkey" -> ((s, d) => {
+      val dir = fixture("dupkeyfeed", d) { out =>
+        val orders = s.read.parquet(T(d, "orders"))
+        val dup = orders.filter(col("o_orderkey") % 701 === 0)
+        PDataset.fromDataFrame(
+          orders.unionByName(dup).repartition(1)
+            .sortWithinPartitions("o_orderkey"),
+          Seq("o_orderkey")).writeParquet(out)
+        val upd = orders.filter(col("o_orderkey") % 701 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .withColumn("o_orderpriority", lit("UPD"))
+        graft.operators.Maintenance.upsert(s, out, upd, retain = true)
+      }
+      graft.operators.Maintenance.changes(s, dir, 0)
+        .orderBy("o_orderkey", "change_type")
+    }),
+
     // The same change feed consumed through the STREAMING source:
     // readStream.format("graft") from generation 0 must emit exactly
     // the batch feed's rows (the oracle is q_changes's) — offsets are
@@ -2556,6 +2579,24 @@ object SparkEntry {
            UNION ALL SELECT *, 'insert' FROM ins
            UNION ALL SELECT *, 'update_preimage'
            FROM orders WHERE o_orderkey % 701 = 0
+           ORDER BY o_orderkey, change_type""",
+      // per %701 key: the gain pairs with ONE of the two identical
+      // lost copies (update pre/post), the other copy is a delete
+      "q_changes_dupkey" ->
+        """WITH k AS (SELECT * FROM orders WHERE o_orderkey % 701 = 0)
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+                  o_totalprice * 2 AS o_totalprice, o_orderdate,
+                  'UPD' AS o_orderpriority,
+                  'update_postimage' AS change_type
+           FROM k
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, o_orderpriority, 'update_preimage'
+           FROM k
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, o_orderpriority, 'delete'
+           FROM k
            ORDER BY o_orderkey, change_type""",
       // per-commit attribution: the retained upsert (generation 1)
       // inserted the +1e9 keys, the retained delete (generation 2)

@@ -275,7 +275,16 @@ object Maintenance {
     * Columns follow the NEWER generation's schema; rows read from the
     * older one null-fill columns added since (mirroring read-time
     * null-fill of schema evolution), and columns dropped since are
-    * dropped from the old rows before diffing. */
+    * dropped from the old rows before diffing.
+    *
+    * Naming note: the tag VALUES are Delta-CDF's, but the tag COLUMN
+    * is `change_type` — intentionally unprefixed, unlike Delta's
+    * `_change_type`, because here the feed is an ordinary DataFrame
+    * (not a reserved read-option view) and the engine reserves the
+    * `_`-prefix for commit attribution columns that are NOT row data
+    * (`_commit_version` / `_commit_timestamp`, which DO keep Delta's
+    * names — see [[changesWithCommitInfo]]). A drop-in Delta consumer
+    * should `.withColumnRenamed("change_type", "_change_type")`. */
   def changes(
       spark: SparkSession,
       dir: String,
@@ -388,35 +397,59 @@ object Maintenance {
       .groupBy(dataCols: _*)
       .agg(sum("__delta").as("__delta"))
       .filter(col("__delta") =!= 0L)
-    // Update pairing (Delta-CDF): per index key, one window pass over
-    // the DELTA rows only counts rows gained and rows lost across the
-    // span; a key with exactly one of each is an update — the lost
-    // row becomes its preimage, the gained row its postimage. Any
-    // other multiplicity (duplicate-key tables) and keyless tables
-    // keep the plain insert/delete tags.
+    // Update pairing (Delta-CDF): per index key, ONE ordered window
+    // pass over the DELTA rows pairs min(rows lost, rows gained)
+    // losses with gains — the paired loss is an `update_preimage`,
+    // the paired gain its `update_postimage`, the remainder keeps
+    // plain delete/insert tags. A unique-key table reduces to the
+    // classic (1 loss, 1 gain) = one update pair; duplicate-key
+    // tables still get update semantics for the paired portion.
+    // Pairing WHICH loss with WHICH gain is unknowable from a
+    // multiset diff, so the choice is made deterministic by ordering
+    // each side on a content hash (ties are bit-identical rows, for
+    // which the choice is immaterial). Keyless (no index) tables keep
+    // plain insert/delete tags.
     val keyCols = toMeta.indexColumns.toIndexedSeq
-    val tagged =
-      if (keyCols.isEmpty) net.withColumn("change_type",
+    if (keyCols.isEmpty)
+      net.withColumn("change_type",
         when(col("__delta") > 0, lit("insert")).otherwise(lit("delete")))
-      else {
-        val w = Window.partitionBy(keyCols.map(col): _*)
-        net
-          .withColumn("__ins",
-            sum(greatest(col("__delta"), lit(0L))).over(w))
-          .withColumn("__del",
-            sum(greatest(-col("__delta"), lit(0L))).over(w))
-          .withColumn("change_type",
-            when(col("__ins") === 1L && col("__del") === 1L,
-              when(col("__delta") > 0, lit("update_postimage"))
-                .otherwise(lit("update_preimage")))
-              .otherwise(when(col("__delta") > 0, lit("insert"))
-                .otherwise(lit("delete"))))
-          .drop("__ins", "__del")
-      }
-    tagged
-      .select(dataCols :+ col("change_type")
+        .select(dataCols :+ col("change_type")
+          :+ explode(sequence(lit(1L), abs(col("__delta")))).as("__i"): _*)
+        .drop("__i")
+    else {
+      // explode duplicates to row instances FIRST so each instance
+      // ranks separately; one window shuffle (losses order before
+      // gains, content hash within a side) serves the per-key counts
+      // and both side ranks.
+      val exploded = net.select(dataCols
+        :+ when(col("__delta") > 0, lit(1)).otherwise(lit(-1)).as("__sign")
         :+ explode(sequence(lit(1L), abs(col("__delta")))).as("__i"): _*)
-      .drop("__i")
+        .drop("__i")
+      val wOrd = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(col("__sign"), xxhash64(struct(dataCols: _*)))
+      val wFull = wOrd.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      exploded
+        .withColumn("__del",
+          sum(when(col("__sign") === -1, 1L).otherwise(0L)).over(wFull))
+        .withColumn("__ins",
+          sum(when(col("__sign") === 1, 1L).otherwise(0L)).over(wFull))
+        .withColumn("__rn", row_number().over(wOrd))
+        .withColumn("__pairs", least(col("__ins"), col("__del")))
+        // losses sort first, so a loss's side rank is __rn and a
+        // gain's is __rn - #losses
+        .withColumn("__siderk",
+          when(col("__sign") === -1, col("__rn"))
+            .otherwise(col("__rn") - col("__del")))
+        .withColumn("change_type",
+          when(col("__sign") === -1,
+            when(col("__siderk") <= col("__pairs"),
+              lit("update_preimage")).otherwise(lit("delete")))
+            .otherwise(
+              when(col("__siderk") <= col("__pairs"),
+                lit("update_postimage")).otherwise(lit("insert"))))
+        .select(dataCols :+ col("change_type"): _*)
+    }
   }
 
   /** The rows of `m`'s files selected by `keep`, as one DataFrame

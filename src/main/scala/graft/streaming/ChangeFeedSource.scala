@@ -58,8 +58,14 @@ final class ChangeFeedSource(
     path: String,
     declaredSchema: StructType,
     startVersion: Int,
-    maxGensPerBatch: Option[Int] = None) extends Source {
+    maxGensPerBatch: Option[Int] = None)
+    extends Source with org.apache.spark.internal.Logging {
   import ChangeFeedSource.{ChangeFeedOffset, contentHash, parseOffset}
+
+  /** How many times [[stableSnapshot]] failed OPEN (offset emitted
+    * without a content hash) — observability for the softened
+    * guarantee; each occurrence also logs a WARN. */
+  private[graft] var unverifiedSnapshots: Long = 0L
 
   override def schema: StructType = declaredSchema
 
@@ -133,6 +139,15 @@ final class ChangeFeedSource(
       attempts += 1
       Thread.sleep(10)
     }
+    // Failing open softens the hash guarantee in exactly the window
+    // it was built for — make each occurrence observable.
+    unverifiedSnapshots += 1
+    logWarning(s"change-feed source on $path could not take a " +
+      s"consistent (generation, metadata) snapshot after $attempts " +
+      "attempts (a writer may have crashed between archive and swap, " +
+      "or a restore produced a content-identical generation); " +
+      "emitting the offset WITHOUT a content hash — a retain=false " +
+      "mutation of this endpoint would no longer be detected")
     (currentVersion, None)
   }
 

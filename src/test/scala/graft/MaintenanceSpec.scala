@@ -883,6 +883,32 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("changes pairs min(losses, gains) per key on duplicate-key " +
+      "tables; the surplus keeps plain tags") {
+    val dir = tempDir("maint-cdf-dup") + "/ds"
+    val base = keyedDF(0, 30)
+    val dups = base.filter(col("k").isin(10L, 20L)) // identical copies
+    PDataset.fromDataFrame(
+      base.unionByName(dups).repartition(1).sortWithinPartitions("k"),
+      Seq("k")).writeParquet(dir)
+    // one commit: key 10 (2 identical copies) replaced by one new
+    // row, key 20 (2 identical copies) deleted outright
+    Maintenance.merge(spark, dir,
+      keyedDF(10, 1).withColumn("payload", lit("NEW")),
+      keyedDF(20, 1).select("k"), retain = true)
+    val got = Maintenance.changes(spark, dir, 0)
+      .select("k", "payload", "change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sorted.toSeq)
+      .toMap
+    // key 10: one loss pairs with the gain, the surplus copy deletes
+    assert(got(10L) == Seq(("NEW", "update_postimage"),
+      ("v10", "delete"), ("v10", "update_preimage")), got(10L).toString)
+    // key 20: two losses, zero gains — no pairing, two deletes
+    assert(got(20L) == Seq(("v20", "delete"), ("v20", "delete")))
+    assert(got.keySet == Set(10L, 20L))
+  }
+
   test("upsert rejects duplicate and null keys") {
     val dir = tempDir("maint-upsert-bad") + "/ds"
     writeKeyed(dir, 100, 50)

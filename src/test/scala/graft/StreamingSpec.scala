@@ -583,4 +583,32 @@ class StreamingSpec extends AnyFunSuite {
         s"expected 3 paced batches, got $dataBatches")
     } finally q.stop()
   }
+
+  test("a wedged mid-commit window (archive == current metadata) " +
+      "fails OPEN: unverified offset, counted and WARNed") {
+    import graft.core.{GraftFs, PDataset, Sidecar}
+    val dir = Fixtures.tempDir("stream-failopen") + "/ds"
+    PDataset.fromDataFrame(
+      spark.range(0, 50).selectExpr("id AS k", "id * 2 AS v"),
+      Seq("k")).writeParquet(dir)
+    graft.operators.Maintenance.upsert(spark, dir,
+      spark.range(0, 1).selectExpr("5L AS k", "99L AS v"),
+      retain = true)
+    // Simulate a writer crashed between archive and swap: the newest
+    // archive holds exactly the current metadata's content, so no
+    // consistent (generation, text) pairing ever resolves.
+    val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    val cur = GraftFs.readString(fs, Sidecar.metadataPath(dir))
+    GraftFs.writeString(fs,
+      graft.operators.Maintenance.versionFile(dirPath, 0), cur)
+    val src = new graft.streaming.ChangeFeedSource(spark, dir,
+      Sidecar.load(spark, dir).schema, startVersion = 0)
+    val off = src.getOffset
+    assert(src.unverifiedSnapshots == 1L,
+      "the fail-open must be counted (and WARN-logged)")
+    assert(off.isDefined)
+    val parsed = graft.streaming.ChangeFeedSource.parseOffset(off.get)
+    assert(parsed.hash.isEmpty,
+      "a fail-open offset must carry no content hash")
+  }
 }
