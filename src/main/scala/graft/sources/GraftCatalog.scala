@@ -169,10 +169,29 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val fromProps = (props.get("index").toSeq ++
       props.get(TableCatalog.OPTION_PREFIX + "index").toSeq)
       .headOption.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    val fromPartitions = partitions.toSeq.collect {
-      case t if t.name == "identity" =>
-        t.references().head.fieldNames.mkString(".")
-    } match { case Nil => None; case cols => Some(cols) }
+    // Transforms map onto the engine's ONE physical layout — range
+    // clustering by lex key: `identity(c)` clusters on c;
+    // `years/months/days/hours(ts)` cluster on ts itself, which
+    // DOMINATES the truncation (any `days(ts)` range is a ts range,
+    // and finer predicates prune further — hive-style truncated
+    // partition dirs would only coarsen the file bounds);
+    // `bucket(n, c)` clusters on c — range clustering is this
+    // engine's co-location (the shuffle-free division join aligns on
+    // range bounds, not hashes), point lookups prune by the same
+    // per-file bounds hash buckets would, and the declared width n is
+    // advisory (file sizing is the writer's `files` option /
+    // compaction target).
+    val fromPartitions = partitions.toSeq.map { t =>
+      t.name match {
+        case "identity" | "years" | "months" | "days" | "hours" |
+            "bucket" =>
+          t.references().head.fieldNames.mkString(".")
+        case other => throw new UnsupportedOperationException(
+          s"unsupported partition transform $other(...) for graft " +
+            s"table ${ident.name()} (supported: identity, " +
+            "years/months/days/hours, bucket)")
+      }
+    }.distinct match { case Nil => None; case cols => Some(cols) }
     val index = fromProps.orElse(fromPartitions).getOrElse(
       throw new IllegalArgumentException(
         "a graft table needs its clustering columns: declare " +
@@ -319,7 +338,43 @@ final class GraftTable(
     val meta: Sidecar.Meta,
     val snapshot: Boolean)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsDeleteV2 {
+    with SupportsDeleteV2 with org.apache.spark.sql.GraftV1FallbackTable {
+
+  /** `writeStream.toTable("cat.db.t")` / `readStream.table(...)`:
+    * Spark's streaming writer takes the V1-fallback route for tables
+    * that expose one — this synthetic descriptor points it at the
+    * graft V1 source, so toTable lands on the SAME transactional
+    * streaming sink (`txnAppId`/`txnVersion` ledger, exactly-once
+    * batch replay) as `.start(dir)` / `option("table", ...)`. */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    require(!snapshot,
+      s"$tableName is a read-only snapshot (VERSION/TIMESTAMP AS OF); " +
+        "stream to/from the current table instead")
+    catalogDescriptor
+  }
+
+  /** The same descriptor without the snapshot guard — the analysis
+    * splice stamps it onto spliced V1 relations so name-based cache
+    * invalidation (`Catalog.refreshTable` does `catalogTable.get` on
+    * every LogicalRelation it finds, e.g. after every streaming
+    * toTable batch) has an identifier to invalidate by. */
+  private[graft] def catalogDescriptor:
+      org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat,
+      CatalogTable, CatalogTableType, CatalogUtils}
+    val parts = tableName.split("\\.")
+    CatalogTable(
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+        parts.last,
+        if (parts.length >= 2) Some(parts(parts.length - 2)) else None,
+        parts.headOption.filter(_ => parts.length >= 3)),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(CatalogUtils.stringToURI(path)),
+        properties = Map("index" -> meta.indexColumns.mkString(","))),
+      schema = meta.schema,
+      provider = Some("graft"))
+  }
 
   import org.apache.spark.sql.connector.expressions.filter.Predicate
 
@@ -468,9 +523,19 @@ final class GraftV2ScanSubstitution(session: SparkSession)
           else org.apache.spark.sql.execution.datasources.LogicalRelation(
             org.apache.spark.sql.GraftRelations.sidecarRelationFor(
               session, t.path, t.meta))
-        Project(r.output.zip(native.output).map { case (o, a) =>
+        // Catalog.refreshTable (run e.g. after every streaming
+        // toTable batch) calls `catalogTable.get` on each
+        // LogicalRelation it walks — stamp the table's descriptor on
+        // every spliced relation so name-based invalidation works.
+        val desc = t.catalogDescriptor
+        val withDesc = native.transform {
+          case lr: org.apache.spark.sql.execution.datasources
+              .LogicalRelation if lr.catalogTable.isEmpty =>
+            lr.copy(catalogTable = Some(desc))
+        }
+        Project(r.output.zip(withDesc.output).map { case (o, a) =>
           Alias(a, o.name)(exprId = o.exprId, qualifier = o.qualifier)
-        }, native)
+        }, withDesc)
     }
   }
 }

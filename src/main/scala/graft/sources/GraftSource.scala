@@ -102,9 +102,18 @@ final class GraftSource extends RelationProvider
       org.apache.spark.sql.execution.streaming.Source = {
     val spark = sqlContext.sparkSession
     val path = streamPath(parameters)
-    new graft.streaming.ChangeFeedSource(spark, path,
-      schema.getOrElse(graft.streaming.ChangeFeedSource.feedSchema(
-        Sidecar.load(spark, path).schema)),
+    // A caller-supplied schema names the TABLE columns (Spark's
+    // streaming-table V1 fallback passes the catalog table's schema
+    // here); the stream's schema is the FEED over it — normalize
+    // unless the caller already passed a feed-shaped schema.
+    val declared = schema match {
+      case Some(s) if !s.fieldNames.contains("change_type") =>
+        graft.streaming.ChangeFeedSource.feedSchema(s)
+      case Some(s) => s
+      case None => graft.streaming.ChangeFeedSource.feedSchema(
+        Sidecar.load(spark, path).schema)
+    }
+    new graft.streaming.ChangeFeedSource(spark, path, declared,
       graft.streaming.ChangeFeedSource.resolveStart(
         spark, path, parameters),
       parameters.get("maxGenerationsPerBatch").map(_.toInt))

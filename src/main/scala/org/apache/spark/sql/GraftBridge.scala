@@ -7,6 +7,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * expressions (the public `Column(expr)` constructor was removed when
   * Column moved to the connect-agnostic api module).
   */
+/** Public bridge to the `private[sql]` V1-fallback table trait:
+  * Spark's streaming writer/reader take the V1 route
+  * (`DataSource.createSink`/`createSource`) for catalog tables that
+  * expose a `v1Table` descriptor — the supported pattern pre-DSv2
+  * sinks (Delta's included) use for `writeStream.toTable`. */
+trait GraftV1FallbackTable
+    extends connector.catalog.V2TableWithV1Fallback
+
 object GraftBridge {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)

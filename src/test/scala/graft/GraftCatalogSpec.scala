@@ -315,4 +315,49 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("index") ||
       e.getMessage.contains("PARTITIONED"), e.getMessage)
   }
+
+  test("PARTITIONED BY transforms map onto range clustering: days(d) " +
+      "clusters on d, bucket(n, k) on k — and pruning fires") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.ev (d DATE, k BIGINT, v DOUBLE) " +
+      "USING graft PARTITIONED BY (days(d))")
+    assert(graft.core.Sidecar.load(spark, s"$warehouse/db/ev")
+      .indexColumns == Seq("d"))
+    spark.range(0, 400).selectExpr(
+      "date_add(DATE'2026-01-01', CAST(id / 10 AS INT)) AS d",
+      "id AS k", "id * 1.0 AS v").createOrReplaceTempView("ev_src")
+    // four appends of disjoint day ranges -> at least four files
+    // (AQE coalesces one small insert's shuffle to a single file)
+    (0 until 4).foreach(i => spark.sql("INSERT INTO gcat.db.ev " +
+      s"SELECT * FROM ev_src WHERE k >= ${i * 100} AND k < ${i * 100 + 100}"))
+    val evFiles =
+      graft.core.Sidecar.load(spark, s"$warehouse/db/ev").files.length
+    assert(evFiles > 1)
+    val dayQ = spark.sql(
+      "SELECT * FROM gcat.db.ev WHERE d = DATE'2026-01-05'")
+    assert(dayQ.count() == 10)
+    assert(v2ScannedFiles(dayQ) < evFiles,
+      "a one-day predicate must prune files via the d bounds")
+
+    spark.sql("CREATE TABLE gcat.db.bk (k BIGINT, v DOUBLE) " +
+      "USING graft PARTITIONED BY (bucket(8, k))")
+    assert(graft.core.Sidecar.load(spark, s"$warehouse/db/bk")
+      .indexColumns == Seq("k"))
+    (0 until 4).foreach(i => spark.sql("INSERT INTO gcat.db.bk " +
+      s"SELECT id AS k, id * 1.0 AS v FROM range(${i * 100}, ${i * 100 + 100})"))
+    val bkFiles =
+      graft.core.Sidecar.load(spark, s"$warehouse/db/bk").files.length
+    assert(bkFiles > 1)
+    val pointQ = spark.sql("SELECT * FROM gcat.db.bk WHERE k = 37")
+    assert(pointQ.count() == 1)
+    assert(v2ScannedFiles(pointQ) == 1,
+      "a point lookup must prune to the one file its range covers")
+
+    // unknown transforms refuse loudly
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.db.badp (k BIGINT) USING graft " +
+        "PARTITIONED BY (truncate(4, k))")
+    }
+    assert(e.getMessage.contains("transform"))
+  }
 }

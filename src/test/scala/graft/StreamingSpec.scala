@@ -611,4 +611,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(parsed.hash.isEmpty,
       "a fail-open offset must carry no content hash")
   }
+
+  test("writeStream.toTable(name) lands on the transactional graft " +
+      "sink via the V1 fallback — exactly-once across restarts") {
+    import graft.core.PDataset
+    val root = Files.createTempDirectory("graft-totable").toString
+    val wh = s"$root/wh"
+    spark.conf.set("spark.sql.catalog.gstrm",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gstrm.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gstrm.db")
+    spark.sql("CREATE TABLE gstrm.db.sunk (k BIGINT, payload STRING) " +
+      "USING graft TBLPROPERTIES('index'='k')")
+    val srcDir = s"$root/src"
+    val ckpt = s"$root/ckpt"
+    val rows = spark.range(0, 200).select(
+      col("id").as("k"), concat(lit("p"), col("id")).as("payload"))
+    rows.coalesce(1).write.parquet(srcDir)
+    def start() = spark.readStream.schema(rows.schema).parquet(srcDir)
+      .writeStream.format("graft").option("checkpointLocation", ckpt)
+      .toTable("gstrm.db.sunk")
+    val q = start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gstrm.db.sunk").count() == 200)
+      rows.filter(col("k") < 50).withColumn("k", col("k") + 10000L)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      assert(spark.table("gstrm.db.sunk").count() == 250)
+    } finally q.stop()
+    // restart on the same checkpoint: committed batches do not replay
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("gstrm.db.sunk").count() == 250)
+    } finally q2.stop()
+    val ds = PDataset.scanParquet(spark, s"$wh/db/sunk")
+    checkBoundsAndSizes(ds)
+    assert(ds.toDF.select("k").distinct().count() == 250)
+  }
+
+  test("readStream.table(name) streams the change feed through the " +
+      "same V1 fallback") {
+    import graft.core.PDataset
+    import graft.operators.Maintenance
+    val root = Files.createTempDirectory("graft-readtable").toString
+    val wh = s"$root/wh"
+    spark.conf.set("spark.sql.catalog.grt",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grt.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS grt.db")
+    val dir = s"$wh/db/feed"
+    val rows = spark.range(0, 100).select(
+      col("id").as("k"), concat(lit("p"), col("id")).as("payload"))
+    PDataset.fromDataFrame(rows, Seq("k")).writeParquet(dir)
+    Maintenance.upsert(spark, dir,
+      spark.range(0, 5).select(col("id").as("k"), lit("NEW").as("payload")),
+      retain = true)
+    val q = spark.readStream.option("startingVersion", 0)
+      .table("grt.db.feed")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("read_table_feed").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("read_table_feed")
+        .select("k", "payload", "change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(got == (0L until 5L).flatMap(k => Seq(
+        (k, "NEW", "update_postimage"),
+        (k, s"p$k", "update_preimage"))).toSet)
+    } finally q.stop()
+  }
 }
