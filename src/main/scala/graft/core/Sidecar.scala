@@ -37,7 +37,12 @@ object Sidecar {
     * tables past the ceiling refuse LOUDLY at write and open with a
     * `compact()` pointer — a 100 TB table at the ~1 GB files
     * `compact`/`compactBytes` maintain is ~10^5 entries, well inside.
-    * `spark.graft.maxSidecarFiles` raises (or lowers) the ceiling. */
+    * `spark.graft.maxSidecarFiles` raises (or lowers) the ceiling.
+    * The boundary is FINAL by design (no sharded-sidecar fallback):
+    * single-document commits are what make every maintenance op's
+    * metadata swap atomic, and the >5×10^5-entry regime is served by
+    * splitting tables or compacting — see README "Sidecar scale
+    * ceiling" for the full argument. */
   val MaxSidecarFilesConf = "spark.graft.maxSidecarFiles"
   val MaxSidecarFilesDefault = 500000
 

@@ -54,7 +54,8 @@ import graft.operators.Maintenance
   * one shuffle, delta-only stats, OCC self-healing — so INSERT INTO
   * at 100 TB has exactly the same cost shape as the path API.
   */
-final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -122,6 +123,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new NoSuchNamespaceException(namespace)
     GraftFs.listStatuses(fs, p)
       .filter(st => st.isDirectory &&
+        !st.getPath.getName.startsWith(".") && // in-flight staged dirs
         Sidecar.exists(spark, st.getPath.toString))
       .map(st => Identifier.of(namespace, st.getPath.getName))
       .toArray
@@ -135,6 +137,21 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val p = pathOf(ident)
     if (Sidecar.exists(spark, p))
       throw new TableAlreadyExistsException(ident)
+    initTableAt(p, ident, schema, partitions, properties)
+    new GraftTable(p, fullName(ident), Sidecar.load(spark, p),
+      snapshot = false)
+  }
+
+  /** Validate properties/transforms and write the empty sidecar at
+    * `p` — shared by [[createTable]] and the staged (atomic CTAS /
+    * REPLACE TABLE) path, which initializes a SIBLING directory and
+    * renames it in at commit. */
+  private def initTableAt(
+      p: String,
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Unit = {
     // Index columns: TBLPROPERTIES('index'='c1,c2') / OPTIONS, or the
     // PARTITIONED BY (c1, c2) clause (identity transforms name the
     // range-clustering columns — graft has no hive-style partition
@@ -202,9 +219,63 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     GraftFs.mkdirs(fs, dirPath)
     Sidecar.write(spark, p, index, Seq.empty, Seq.empty, Seq.empty,
       Seq.empty, maxPartitionIndex = -1L, schema)
-    new GraftTable(p, fullName(ident), Sidecar.load(spark, p),
-      snapshot = false)
   }
+
+  // ---- staged (atomic) CTAS / REPLACE TABLE ----
+  //
+  // `CREATE OR REPLACE TABLE ... AS SELECT` and `REPLACE TABLE`
+  // require a StagingTableCatalog: the query writes into a HIDDEN
+  // sibling directory (`.staging-<name>-<uuid>`, invisible to
+  // listTables), and only commitStagedChanges installs it at the
+  // table path — a failed query never leaves a half-replaced table,
+  // and the replaced content is moved aside before the install so no
+  // window exists where the path holds partial data.
+
+  private def stagedPathFor(ident: Identifier): String =
+    (warehouse +: ident.namespace().toSeq :+
+      s".staging-${ident.name()}-${java.util.UUID.randomUUID()}")
+      .mkString("/")
+
+  private def stage(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String],
+      replace: Boolean,
+      orCreate: Boolean): StagedTable = {
+    val finalPath = pathOf(ident)
+    if (!replace && Sidecar.exists(spark, finalPath))
+      throw new TableAlreadyExistsException(ident)
+    if (replace && !orCreate && !Sidecar.exists(spark, finalPath))
+      throw new NoSuchTableException(ident)
+    val staged = stagedPathFor(ident)
+    initTableAt(staged, ident, schema, partitions, properties)
+    new GraftStagedTable(spark, staged, finalPath,
+      new GraftTable(staged, fullName(ident),
+        Sidecar.load(spark, staged), snapshot = false),
+      replace = replace)
+  }
+
+  override def stageCreate(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties,
+      replace = false, orCreate = false)
+
+  override def stageReplace(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties,
+      replace = true, orCreate = false)
+
+  override def stageCreateOrReplace(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties,
+      replace = true, orCreate = true)
 
   override def alterTable(
       ident: Identifier, changes: TableChange*): Table = {
@@ -569,4 +640,66 @@ private[sources] final class GraftWriteBuilder(
         }
       }
   }
+}
+
+/** One staged table for atomic CTAS / REPLACE TABLE: the CTAS query
+  * writes into a hidden `.staging-*` sibling through the same
+  * V1-fallback sink as any graft write; [[commitStagedChanges]]
+  * installs it at the table path with renames (replaced content is
+  * moved aside FIRST, so the path never holds partial data, and is
+  * deleted only after the install succeeds); [[abortStagedChanges]]
+  * just deletes the staging directory — a failed or cancelled query
+  * leaves the original table untouched. */
+private[sources] final class GraftStagedTable(
+    spark: SparkSession,
+    stagedPath: String,
+    finalPath: String,
+    inner: GraftTable,
+    replace: Boolean)
+    extends StagedTable with SupportsRead with SupportsWrite {
+
+  override def name(): String = inner.name()
+  override def schema(): StructType = inner.schema()
+  override def capabilities(): util.Set[TableCapability] =
+    inner.capabilities()
+  override def properties(): util.Map[String, String] =
+    inner.properties()
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    inner.newScanBuilder(options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    inner.newWriteBuilder(info)
+
+  override def commitStagedChanges(): Unit = {
+    val (fs, staged) = GraftFs.resolve(spark, stagedPath)
+    val (_, dest) = GraftFs.resolve(spark, finalPath)
+    val existing = Sidecar.exists(spark, finalPath)
+    if (existing && !replace)
+      throw new IllegalStateException(
+        s"$finalPath appeared while the CTAS was staging; " +
+          "use CREATE OR REPLACE TABLE to overwrite it")
+    val trash =
+      if (existing) {
+        val t = new HPath(Option(dest.getParent).getOrElse(dest),
+          s".replaced-${dest.getName}-${java.util.UUID.randomUUID()}")
+        if (!fs.rename(dest, t)) throw new java.io.IOException(
+          s"could not move the replaced table $dest aside to $t")
+        Some(t)
+      } else None
+    if (!fs.rename(staged, dest)) {
+      // put the old content back before failing — the table must
+      // never be lost to a failed install
+      trash.foreach(t => fs.rename(t, dest))
+      throw new java.io.IOException(
+        s"could not install staged table $staged at $dest")
+    }
+    trash.foreach(GraftFs.deleteRecursive(fs, _))
+  }
+
+  override def abortStagedChanges(): Unit = {
+    val (fs, staged) = GraftFs.resolve(spark, stagedPath)
+    GraftFs.deleteRecursive(fs, staged)
+  }
+
+  override def toString: String = s"GraftStagedTable(${inner.name()})"
 }
