@@ -73,8 +73,20 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def spark: SparkSession = SparkSession.active
 
+  /** Delta-style path identifiers: `cat.`/abs/path`` (a one-part
+    * identifier whose name is an absolute path or a URI) addresses
+    * the dataset AT that path directly, bypassing the warehouse
+    * mapping — so `SELECT * FROM graft.`/data/events``, `UPDATE` /
+    * `DELETE FROM` / `MERGE INTO` by path, and time travel all work
+    * on tables that were never registered under the warehouse. */
+  private def isPathIdent(ident: Identifier): Boolean =
+    ident.namespace().isEmpty &&
+      (ident.name().startsWith("/") || ident.name().contains("://"))
+
   private def pathOf(ident: Identifier): String =
-    (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+    if (isPathIdent(ident)) ident.name()
+    else (warehouse +: ident.namespace().toSeq :+ ident.name())
+      .mkString("/")
 
   /** The warehouse directory a (namespace, name) identifier maps to —
     * lets the statement DDL ([[graft.plans.GraftSqlParser]]) accept
@@ -231,10 +243,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   // and the replaced content is moved aside before the install so no
   // window exists where the path holds partial data.
 
-  private def stagedPathFor(ident: Identifier): String =
-    (warehouse +: ident.namespace().toSeq :+
-      s".staging-${ident.name()}-${java.util.UUID.randomUUID()}")
-      .mkString("/")
+  private def stagedPathFor(ident: Identifier): String = {
+    val p = pathOf(ident)
+    val cut = p.lastIndexOf('/')
+    p.take(cut + 1) +
+      s".staging-${p.drop(cut + 1)}-${java.util.UUID.randomUUID()}"
+  }
 
   private def stage(
       ident: Identifier,

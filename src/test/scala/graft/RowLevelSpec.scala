@@ -241,4 +241,30 @@ class RowLevelSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("subquer"))
   }
+
+  test("path identifiers: UPDATE / DELETE / MERGE / SELECT on " +
+      "grl.`/abs/path` bypass the warehouse mapping") {
+    warehouse // registers the grl catalog
+    val dir = tempDir("graft-rl-pathident") + "/ds"
+    def part(lo: Long): PDataset =
+      PDataset.fromDataFrame(
+        spark.range(lo, lo + 20).select(col("id").as("k"),
+          (col("id") * 10).cast("double").as("v")), Seq("k"))
+    PDataset.concat((0L until 60L by 20L).map(part)).writeParquet(dir)
+    val t = s"grl.`$dir`"
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").head.getLong(0)
+      == 60L)
+    spark.sql(s"UPDATE $t SET v = 0 WHERE k < 10")
+    assert(spark.sql(s"SELECT sum(v) AS s FROM $t WHERE k < 10")
+      .head.getDouble(0) == 0.0)
+    spark.range(0, 5).selectExpr("id + 100 AS k", "id * 1.0 AS nv")
+      .createOrReplaceTempView("path_src")
+    spark.sql(s"""MERGE INTO $t USING path_src s ON $t.k = s.k
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)""")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").head.getLong(0)
+      == 65L)
+    spark.sql(s"DELETE FROM $t WHERE k >= 100")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").head.getLong(0)
+      == 60L)
+  }
 }
