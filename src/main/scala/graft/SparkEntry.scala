@@ -922,6 +922,23 @@ object SparkEntry {
     // SQL MERGE INTO: matched deletes, matched updates and unmatched
     // inserts classified with one join per side, then applied as ONE
     // Maintenance.merge commit rewriting only affected partitions.
+    // Delta-style scoped overwrite: INSERT INTO ... REPLACE WHERE
+    // replaces a clustered key band in ONE commit — only the band's
+    // files are rewritten (survivors keep their rows), the incoming
+    // rows land index-sorted beside them, out-of-scope rows refuse.
+    "q_replace_where" -> ((s, d) => {
+      val t = mutableCatalogTable(s, "ordkey20", d)(ordersByKey20(s, d))
+      s.read.parquet(T(d, "orders"))
+        .filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 2000 &&
+          col("o_orderkey") % 2 === 0)
+        .withColumn("o_orderpriority", lit("REPLACED"))
+        .createOrReplaceTempView("rw_src")
+      s.sql(s"INSERT INTO $t " +
+        "REPLACE WHERE o_orderkey >= 1000 AND o_orderkey < 2000 " +
+        "SELECT * FROM rw_src")
+      s.sql(s"SELECT * FROM $t ORDER BY o_orderkey")
+    }),
+
     "q_sql_merge" -> ((s, d) => {
       val t = mutableCatalogTable(s, "ordkey20", d)(ordersByKey20(s, d))
       val orders = s.read.parquet(T(d, "orders"))
@@ -2639,6 +2656,17 @@ object SparkEntry {
       "q_sql_delete" ->
         """SELECT * FROM orders
            WHERE o_orderkey < 1000 OR o_orderkey >= 2000
+           ORDER BY o_orderkey""",
+      // the band's even keys come back tagged, its odd keys are gone
+      "q_replace_where" ->
+        """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate,
+                  CASE WHEN o_orderkey >= 1000 AND o_orderkey < 2000
+                       THEN 'REPLACED'
+                       ELSE o_orderpriority END AS o_orderpriority
+           FROM orders
+           WHERE o_orderkey < 1000 OR o_orderkey >= 2000
+              OR o_orderkey % 2 = 0
            ORDER BY o_orderkey""",
       "q_sql_update" ->
         """SELECT o_orderkey, o_custkey,

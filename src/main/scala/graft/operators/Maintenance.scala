@@ -1123,6 +1123,146 @@ object Maintenance {
       untouched = m.files.length - affected.length)
   }
 
+  /** Delta-style `replaceWhere`: atomically replace the rows
+    * matching `cond` with `data` — `INSERT INTO t REPLACE WHERE p`
+    * / `df.writeTo(t).overwrite(p)` semantics, ONE sidecar commit.
+    * Every incoming row must itself satisfy `cond` (the Delta
+    * contract: an overwrite scoped to p may not smuggle rows outside
+    * p — refused in one aggregate over the delta).
+    *
+    * Scale shape: the files holding matching rows come from the read
+    * path's sidecar pruning + one pushed-down discovery scan (as
+    * [[updateWhere]]); those files are rewritten WITHOUT their
+    * matching rows (a file emptied entirely is dropped), the new
+    * data lands as index-sorted range-partitioned files beside them,
+    * and one metadata swap installs both — untouched files are never
+    * read. Replacing one day of a date-clustered 100 TB table costs
+    * O(that day), and a crash at any point leaves the previous
+    * generation readable. */
+  def replaceWhere(
+      spark: SparkSession,
+      dir: String,
+      cond: Column,
+      data: DataFrame,
+      retain: Boolean = false): Report = {
+    DeletionVectors.requireNone(spark, dir, "replaceWhere")
+    val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    val loadedFp = metaFingerprint(spark, dirPath)
+    val m = Sidecar.load(spark, dir)
+    require(m.indexColumns.nonEmpty,
+      "replaceWhere needs index columns; write the dataset reindexed first")
+    val dataCols = m.schema.fieldNames.toSeq
+    require(dataCols.forall(data.columns.contains),
+      s"replaceWhere data must carry every dataset column " +
+        s"${dataCols.mkString(", ")}")
+    val aligned = data.select(dataCols.map(c =>
+      col(c).cast(m.schema(c).dataType).as(c)): _*)
+    val outside = aligned.filter(!coalesce(cond, lit(false))).count()
+    require(outside == 0L,
+      s"replaceWhere: $outside incoming row(s) do not satisfy the " +
+        "REPLACE WHERE condition — an overwrite scoped to a predicate " +
+        "may only write rows inside it (write the rest with a plain " +
+        "append)")
+    Constraints.enforce(spark, dir, aligned, "replaceWhere")
+
+    // Files holding matching rows: metadata pruning, then one
+    // pushed-down discovery scan over the candidates.
+    def pathOf(p: Int): String = new HPath(dirPath, m.files(p)).toString
+    val candidates =
+      DeletionVectors.pruneByPredicate(spark, dirPath, m, cond)
+    val hitNames: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else spark.read.schema(m.schema)
+        .parquet(candidates.map(pathOf): _*)
+        .filter(cond)
+        .select(element_at(split(col("_metadata.file_path"), "/"), -1)
+          .as("f"))
+        .distinct().collect().map(_.getString(0)).toSet
+    val affected = m.files.indices.filter(i => hitNames(m.files(i)))
+
+    // Survivors of affected files rewrite under fresh names; the new
+    // data lands as index-sorted range-partitioned files after them.
+    val survives = !coalesce(cond, lit(false))
+    val newNameOf: Map[Int, String] = affected.zipWithIndex.map {
+      case (p, j) =>
+        p -> Sidecar.partitionFileName(m.maxPartitionIndex + 1 + j)
+    }.toMap
+    implicit val ec: ExecutionContext = PDataset.writeEc
+    val writes = affected.map { p =>
+      Future {
+        Sidecar.writeSingleParquet(
+          spark.read.schema(m.schema).parquet(pathOf(p)).filter(survives),
+          new HPath(dirPath, newNameOf(p)).toString)
+      }
+    }
+    // New data files: write to a stage dir, then move in under fresh
+    // partNNNN names (numbered after the survivor rewrites).
+    val stage = GraftFs.mkStageDir(fs,
+      Option(dirPath.getParent).getOrElse(dirPath), ".graft-replace-")
+    val newNames: IndexedSeq[String] =
+      try {
+        val keys = m.indexColumns.map(col)
+        val stagedOut = new HPath(stage, "out").toString
+        aligned.repartitionByRange(keys: _*)
+          .sortWithinPartitions(keys: _*)
+          .write.option("compression", "zstd").parquet(stagedOut)
+        val parts = GraftFs.listFiles(fs, new HPath(stagedOut))(
+          _.endsWith(".parquet")).sorted
+        writes.foreach(Await.result(_, SDuration.Inf))
+        parts.zipWithIndex.map { case (f, j) =>
+          val name = Sidecar.partitionFileName(
+            m.maxPartitionIndex + 1 + affected.length + j)
+          GraftFs.moveOverwrite(fs, new HPath(f),
+            new HPath(dirPath, name))
+          name
+        }.toIndexedSeq
+      } finally GraftFs.deleteRecursive(fs, stage)
+
+    // Exact stats for every file this commit adds, in ONE job; a
+    // survivor rewrite that emptied out (or a zero-row new part) is
+    // dropped like deleteRange's.
+    val addedPaths = (affected.map(newNameOf) ++ newNames)
+      .map(n => new HPath(dirPath, n).toString)
+    val statsByPath =
+      if (addedPaths.isEmpty) Map.empty[String, Stats.PartStats]
+      else Stats.forFiles(spark, addedPaths, m.indexColumns,
+        Some(m.schema))
+    def statOf(name: String): Option[Stats.PartStats] =
+      statsByPath.get(Stats.normalizePath(
+        new HPath(dirPath, name).toString))
+    val affectedSet = affected.toSet
+    val emptied = scala.collection.mutable.Buffer.empty[String]
+    val entries = m.files.indices.flatMap { p =>
+      if (!affectedSet(p))
+        Some((m.files(p), m.sizes(p), m.lowerBounds(p), m.upperBounds(p)))
+      else statOf(newNameOf(p)) match {
+        case Some(st) => Some((newNameOf(p), st.size, st.lb, st.ub))
+        case None => emptied += newNameOf(p); None
+      }
+    } ++ newNames.flatMap { n =>
+      statOf(n) match {
+        case Some(st) => Some((n, st.size, st.lb, st.ub))
+        case None => emptied += n; None
+      }
+    }
+    guardUnchanged(spark, dirPath, loadedFp)
+    if (retain) archiveCurrent(spark, fs, dirPath)
+    Sidecar.write(spark, dir, m.indexColumns, entries.map(_._1),
+      entries.map(_._2), entries.map(_._3), entries.map(_._4),
+      m.maxPartitionIndex + affected.length + newNames.length,
+      m.schema, extras = m.extras)
+    if (!retain)
+      deletableNow(spark, dir, affected.map(m.files))
+        .foreach(f => fs.delete(new HPath(dirPath, f), false))
+    // files referenced by NO generation — always clean
+    emptied.foreach(n => fs.delete(new HPath(dirPath, n), false))
+    refreshBloom(spark, dir)
+    Report(rewritten = affected.length, dropped = 0, merged = 0,
+      created = entries.length -
+        (m.files.length - affected.length),
+      untouched = m.files.length - affected.length)
+  }
+
   // ---- upsert ----
 
   /** Merge `updates` into the dataset by exact index-tuple key: a row

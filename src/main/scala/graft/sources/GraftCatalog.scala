@@ -515,7 +515,8 @@ final class GraftTable(
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
 
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
@@ -629,27 +630,56 @@ final class GraftV2ScanSubstitution(session: SparkSession)
   * engine's sink already implements the scalable append (one
   * range-partitioned shuffle, stats over only the delta, OCC
   * self-healing install) — `V1Write` hands the V2 planner exactly
-  * that path instead of duplicating it. */
+  * that path instead of duplicating it. A scoped overwrite
+  * (`INSERT INTO t REPLACE WHERE p` / `df.writeTo(t).overwrite(p)`)
+  * lands on [[Maintenance.replaceWhere]]: ONE commit that rewrites
+  * only the files holding matching rows and refuses incoming rows
+  * outside the predicate (the Delta contract). */
 private[sources] final class GraftWriteBuilder(
     path: String, index: Seq[String])
     extends WriteBuilder
-    with org.apache.spark.sql.connector.write.SupportsTruncate {
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
-  private var overwrite = false
+  private var overwriteAll = false
+  private var replaceCond: Option[org.apache.spark.sql.Column] = None
 
-  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def truncate(): WriteBuilder = { overwriteAll = true; this }
+
+  override def overwrite(
+      filters: Array[org.apache.spark.sql.sources.Filter]):
+      WriteBuilder = {
+    if (filters.isEmpty ||
+        filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue))
+      overwriteAll = true
+    else {
+      val cols = filters.toSeq.map(GraftSource.translateFilter)
+      if (cols.exists(_.isEmpty))
+        throw new UnsupportedOperationException(
+          "REPLACE WHERE condition has no exact translation for a " +
+            s"graft table: ${filters.mkString(", ")}")
+      replaceCond = Some(cols.flatten.reduce(_ && _))
+    }
+    this
+  }
 
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, over: Boolean): Unit = {
-          val mode =
-            if (overwrite || over) SaveMode.Overwrite else SaveMode.Append
-          val sqlc = data.sparkSession
-            .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-            .sqlContext
-          new GraftSource().createRelation(sqlc, mode,
-            Map("path" -> path, "index" -> index.mkString(",")), data)
+          replaceCond match {
+            case Some(cond) =>
+              Maintenance.replaceWhere(
+                data.sparkSession, path, cond, data)
+            case None =>
+              val mode =
+                if (overwriteAll || over) SaveMode.Overwrite
+                else SaveMode.Append
+              val sqlc = data.sparkSession
+                .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+                .sqlContext
+              new GraftSource().createRelation(sqlc, mode,
+                Map("path" -> path, "index" -> index.mkString(",")), data)
+          }
           ()
         }
       }

@@ -267,4 +267,51 @@ class RowLevelSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) AS n FROM $t").head.getLong(0)
       == 60L)
   }
+
+  test("REPLACE WHERE: scoped overwrite in one commit — only the " +
+      "files with matching rows move; out-of-scope rows refuse") {
+    val (t, dir) = freshTable()
+    val before = Sidecar.load(spark, dir).files.toSet
+    spark.range(45, 55).selectExpr("id AS k", "CAST(0 AS BIGINT) AS grp",
+      "CAST(-1.0 AS DOUBLE) AS v", "'replaced' AS payload")
+      .createOrReplaceTempView("rw_src")
+    // SQL form: INSERT INTO ... REPLACE WHERE
+    spark.sql(s"INSERT INTO $t REPLACE WHERE k >= 40 AND k < 60 " +
+      "SELECT * FROM rw_src")
+    val got = rows(s"SELECT k, v, payload FROM $t ORDER BY k")
+    assert(got.map(_.getLong(0)) ==
+      ((0L until 40L) ++ (45L until 55L) ++ (60L until 120L)).toSeq)
+    got.foreach { r =>
+      val k = r.getLong(0)
+      if (k >= 45 && k < 55) assert(r.getString(2) == "replaced")
+      else assert(r.getString(2) == s"p$k")
+    }
+    // only the 40..60 band's files were replaced
+    val after = Sidecar.load(spark, dir).files.toSet
+    assert((before intersect after).size >= 4,
+      "files outside the replaced band must not move")
+    // rows outside the predicate refuse the whole commit
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $t REPLACE WHERE k < 10 " +
+        "SELECT 500 AS k, CAST(0 AS BIGINT) AS grp, " +
+        "CAST(1.0 AS DOUBLE) AS v, 'x' AS payload")
+    }
+    assert(e.getMessage.contains("REPLACE WHERE") ||
+      e.getCause != null &&
+        e.getCause.getMessage.contains("REPLACE WHERE"))
+    assert(spark.table(t).count() == got.size.toLong)
+  }
+
+  test("writeTo(...).overwrite(cond) takes the same replaceWhere path") {
+    val (t, _) = freshTable()
+    spark.range(100, 120).selectExpr("id AS k", "CAST(1 AS BIGINT) AS grp",
+      "CAST(7.0 AS DOUBLE) AS v", "'ow' AS payload")
+      .writeTo(t).overwrite(col("k") >= 100)
+    val got = rows(s"SELECT k, payload FROM $t ORDER BY k")
+    assert(got.size == 120)
+    got.foreach { r =>
+      if (r.getLong(0) >= 100) assert(r.getString(1) == "ow")
+      else assert(r.getString(1) == s"p${r.getLong(0)}")
+    }
+  }
 }
