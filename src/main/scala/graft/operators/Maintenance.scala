@@ -1165,6 +1165,23 @@ object Maintenance {
         "append)")
     Constraints.enforce(spark, dir, aligned, "replaceWhere")
 
+    // An empty table takes a plain first write.
+    if (m.files.isEmpty) {
+      val keys = m.indexColumns.map(col)
+      aligned.repartitionByRange(keys: _*)
+        .sortWithinPartitions(keys: _*)
+        .write.option("compression", "zstd")
+        .mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+      PDataset.writeMetadata(spark, dir, m.indexColumns, m.extras)
+      return Report(0, 0, 0, 0, 0)
+    }
+    (0 until m.files.length - 1).foreach { i =>
+      require(Lex.lexCmp(m.upperBounds(i), m.lowerBounds(i + 1)) < 0,
+        "replaceWhere requires sorted, disjoint partition bounds " +
+          s"(violated between partitions $i and ${i + 1}); " +
+          "repartition first")
+    }
+
     // Files holding matching rows: metadata pruning, then one
     // pushed-down discovery scan over the candidates.
     def pathOf(p: Int): String = new HPath(dirPath, m.files(p)).toString
@@ -1178,89 +1195,87 @@ object Maintenance {
         .select(element_at(split(col("_metadata.file_path"), "/"), -1)
           .as("f"))
         .distinct().collect().map(_.getString(0)).toSet
-    val affected = m.files.indices.filter(i => hitNames(m.files(i)))
 
-    // Survivors of affected files rewrite under fresh names; the new
-    // data lands as index-sorted range-partitioned files after them.
-    val survives = !coalesce(cond, lit(false))
-    val newNameOf: Map[Int, String] = affected.zipWithIndex.map {
-      case (p, j) =>
-        p -> Sidecar.partitionFileName(m.maxPartitionIndex + 1 + j)
-    }.toMap
-    implicit val ec: ExecutionContext = PDataset.writeEc
-    val writes = affected.map { p =>
-      Future {
-        Sidecar.writeSingleParquet(
-          spark.read.schema(m.schema).parquet(pathOf(p)).filter(survives),
-          new HPath(dirPath, newNameOf(p)).toString)
-      }
-    }
-    // New data files: write to a stage dir, then move in under fresh
-    // partNNNN names (numbered after the survivor rewrites).
-    val stage = GraftFs.mkStageDir(fs,
-      Option(dirPath.getParent).getOrElse(dirPath), ".graft-replace-")
-    val newNames: IndexedSeq[String] =
-      try {
-        val keys = m.indexColumns.map(col)
-        val stagedOut = new HPath(stage, "out").toString
-        aligned.repartitionByRange(keys: _*)
-          .sortWithinPartitions(keys: _*)
-          .write.option("compression", "zstd").parquet(stagedOut)
-        val parts = GraftFs.listFiles(fs, new HPath(stagedOut))(
-          _.endsWith(".parquet")).sorted
-        writes.foreach(Await.result(_, SDuration.Inf))
-        parts.zipWithIndex.map { case (f, j) =>
-          val name = Sidecar.partitionFileName(
-            m.maxPartitionIndex + 1 + affected.length + j)
-          GraftFs.moveOverwrite(fs, new HPath(f),
-            new HPath(dirPath, name))
-          name
-        }.toIndexedSeq
-      } finally GraftFs.deleteRecursive(fs, stage)
+    // Incoming rows route to their partition by the division bounds
+    // (upsert's router) so every replaced partition keeps its key
+    // range — bounds stay disjoint and keyed maintenance keeps
+    // working afterwards. Affected = files with deletions ∪ files
+    // receiving rows; each is rewritten ONCE as survivors ∪ routed
+    // incoming, index-sorted, through the shared one-shuffle scatter.
+    val keyCols = m.indexColumns.toSeq
+    val routed = aligned.withColumn("__part",
+      if (m.files.length == 1) lit(0)
+      else DivisionRouter.route(keyCols.map(col), m.lowerBounds.drop(1)))
+      .persist()
+    try {
+      val insertParts = routed.select("__part").distinct()
+        .collect().map(_.getInt(0))
+      val affected = (m.files.indices.filter(i => hitNames(m.files(i)))
+        ++ insertParts).distinct.sorted.toArray
+      if (affected.isEmpty)
+        return Report(0, 0, 0, 0, m.files.length)
+      val affectedSet = affected.toSet
+      val newNameOf: Map[Int, String] = affected.zipWithIndex.map {
+        case (p, j) =>
+          p -> Sidecar.partitionFileName(m.maxPartitionIndex + 1 + j)
+      }.toMap
 
-    // Exact stats for every file this commit adds, in ONE job; a
-    // survivor rewrite that emptied out (or a zero-row new part) is
-    // dropped like deleteRange's.
-    val addedPaths = (affected.map(newNameOf) ++ newNames)
-      .map(n => new HPath(dirPath, n).toString)
-    val statsByPath =
-      if (addedPaths.isEmpty) Map.empty[String, Stats.PartStats]
-      else Stats.forFiles(spark, addedPaths, m.indexColumns,
-        Some(m.schema))
-    def statOf(name: String): Option[Stats.PartStats] =
-      statsByPath.get(Stats.normalizePath(
-        new HPath(dirPath, name).toString))
-    val affectedSet = affected.toSet
-    val emptied = scala.collection.mutable.Buffer.empty[String]
-    val entries = m.files.indices.flatMap { p =>
-      if (!affectedSet(p))
-        Some((m.files(p), m.sizes(p), m.lowerBounds(p), m.upperBounds(p)))
-      else statOf(newNameOf(p)) match {
-        case Some(st) => Some((newNameOf(p), st.size, st.lb, st.ub))
-        case None => emptied += newNameOf(p); None
+      val survives = !coalesce(cond, lit(false))
+      val partOf = new FileOrdinal(affected.map(p =>
+        Stats.normalizePath(pathOf(p)) -> p).toMap)
+      val survivors = spark.read.schema(m.schema)
+        .parquet(affected.map(pathOf).toIndexedSeq: _*)
+        .filter(survives)
+        .withColumn("__part",
+          FileOrdinalExpr.ordinal(input_file_name(), partOf))
+      val combined = survivors.unionByName(routed)
+
+      val stage = GraftFs.mkStageDir(fs,
+        Option(dirPath.getParent).getOrElse(dirPath), ".graft-replace-")
+      val written =
+        try ScatterWrite.partFiles(spark, combined, m.files.length, fs,
+          dirPath, stage, i => newNameOf(i),
+          orderCols = keyCols, dropOrderCols = false)
+        finally GraftFs.deleteRecursive(fs, stage)
+      val writtenSet = written.map(_._1).toSet
+      require(writtenSet.subsetOf(affectedSet),
+        s"replaceWhere scatter wrote unexpected partitions " +
+          s"${writtenSet -- affectedSet}")
+
+      // Exact stats for just the rewritten files (one job); a
+      // partition the replace emptied entirely drops from the sidecar.
+      val statsByPath =
+        if (writtenSet.isEmpty) Map.empty[String, Stats.PartStats]
+        else Stats.forFiles(spark,
+          affected.filter(writtenSet)
+            .map(p => new HPath(dirPath, newNameOf(p)).toString)
+            .toIndexedSeq,
+          m.indexColumns, Some(m.schema))
+      val entries = m.files.indices.flatMap { p =>
+        if (!affectedSet(p))
+          Some((m.files(p), m.sizes(p), m.lowerBounds(p),
+            m.upperBounds(p)))
+        else if (writtenSet(p)) {
+          val st = statsByPath(Stats.normalizePath(
+            new HPath(dirPath, newNameOf(p)).toString))
+          Some((newNameOf(p), st.size, st.lb, st.ub))
+        } else None
       }
-    } ++ newNames.flatMap { n =>
-      statOf(n) match {
-        case Some(st) => Some((n, st.size, st.lb, st.ub))
-        case None => emptied += n; None
-      }
-    }
-    guardUnchanged(spark, dirPath, loadedFp)
-    if (retain) archiveCurrent(spark, fs, dirPath)
-    Sidecar.write(spark, dir, m.indexColumns, entries.map(_._1),
-      entries.map(_._2), entries.map(_._3), entries.map(_._4),
-      m.maxPartitionIndex + affected.length + newNames.length,
-      m.schema, extras = m.extras)
-    if (!retain)
-      deletableNow(spark, dir, affected.map(m.files))
-        .foreach(f => fs.delete(new HPath(dirPath, f), false))
-    // files referenced by NO generation — always clean
-    emptied.foreach(n => fs.delete(new HPath(dirPath, n), false))
-    refreshBloom(spark, dir)
-    Report(rewritten = affected.length, dropped = 0, merged = 0,
-      created = entries.length -
-        (m.files.length - affected.length),
-      untouched = m.files.length - affected.length)
+      guardUnchanged(spark, dirPath, loadedFp)
+      if (retain) archiveCurrent(spark, fs, dirPath)
+      Sidecar.write(spark, dir, m.indexColumns, entries.map(_._1),
+        entries.map(_._2), entries.map(_._3), entries.map(_._4),
+        m.maxPartitionIndex + affected.length, m.schema,
+        extras = m.extras)
+      if (!retain)
+        deletableNow(spark, dir, affected.map(m.files).toSeq)
+          .foreach(f => fs.delete(new HPath(dirPath, f), false))
+      refreshBloom(spark, dir)
+      Report(rewritten = written.length,
+        dropped = affected.length - written.length, merged = 0,
+        created = written.length,
+        untouched = m.files.length - affected.length)
+    } finally { routed.unpersist(); () }
   }
 
   // ---- upsert ----

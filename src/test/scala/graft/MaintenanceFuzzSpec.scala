@@ -90,10 +90,48 @@ class MaintenanceFuzzSpec extends AnyFunSuite {
         s"$step: commit-info feed diverges from the endpoint feed")
     }
 
-    (0 until 22).foreach { step =>
-      val op = rnd.nextInt(12)
+    (0 until 26).foreach { step =>
+      val op = rnd.nextInt(14)
       val label =
-        if (op == 10) { // point-delete scattered keys
+        if (op == 12) { // predicate update (SQL UPDATE) over a range
+          val keys = model.keys.toVector
+          if (keys.length < 300) "skip"
+          else {
+            val a = keys(rnd.nextInt(keys.length))
+            val b = a + 1 + rnd.nextInt(150)
+            val retain = rnd.nextBoolean()
+            val before = model.toMap
+            model.rangeImpl(Some(a), Some(b)).keys.toVector
+              .foreach(k => model(k) = s"w$step-$k")
+            Maintenance.updateWhere(spark, dir,
+              col("k") >= a && col("k") < b,
+              Seq("payload" -> concat(lit(s"w$step-"), col("k"))),
+              retain = retain)
+            if (retain) checkFeed(before, s"update-feed($step)")
+            s"updateWhere($step, [$a,$b))"
+          }
+        } else if (op == 13) { // scoped overwrite (REPLACE WHERE)
+          val keys = model.keys.toVector
+          if (keys.length < 300) "skip"
+          else {
+            val a = keys(rnd.nextInt(keys.length))
+            val b = a + 1 + rnd.nextInt(150)
+            val retain = rnd.nextBoolean()
+            val before = model.toMap
+            model.rangeImpl(Some(a), Some(b)).keys.toVector
+              .foreach(model.remove)
+            // incoming rows: a mix of keys inside the band (some that
+            // existed, some fresh odd offsets), all satisfying cond
+            val incoming = (a until b by (1 + rnd.nextInt(3)).toLong)
+              .take(40).toVector
+            incoming.foreach(k => model(k) = s"r$step-$k")
+            Maintenance.replaceWhere(spark, dir,
+              col("k") >= a && col("k") < b,
+              rowsOf(incoming, s"r$step"), retain = retain)
+            if (retain) checkFeed(before, s"replace-feed($step)")
+            s"replaceWhere($step, [$a,$b))"
+          }
+        } else if (op == 10) { // point-delete scattered keys
           val keys = model.keys.toVector
           if (keys.length < 300) "skip"
           else {
