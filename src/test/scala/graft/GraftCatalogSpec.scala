@@ -365,30 +365,30 @@ class GraftCatalogSpec extends AnyFunSuite {
       "write, commit installs, failure leaves the old table intact") {
     warehouse
     spark.range(0, 50).selectExpr("id AS k", "CAST(id * 2 AS DOUBLE) AS v")
-      .createOrReplaceTempView("ctas_src")
+      .createOrReplaceTempView("ctas2_src")
     // plain CTAS through the staging path
-    spark.sql("CREATE TABLE gcat.db.ctas USING graft " +
-      "TBLPROPERTIES('index'='k') AS SELECT * FROM ctas_src")
-    assert(spark.table("gcat.db.ctas").count() == 50)
+    spark.sql("CREATE TABLE gcat.db.ctas2 USING graft " +
+      "TBLPROPERTIES('index'='k') AS SELECT * FROM ctas2_src")
+    assert(spark.table("gcat.db.ctas2").count() == 50)
     // REPLACE swaps wholesale — new content, new schema allowed
-    spark.sql("CREATE OR REPLACE TABLE gcat.db.ctas USING graft " +
+    spark.sql("CREATE OR REPLACE TABLE gcat.db.ctas2 USING graft " +
       "TBLPROPERTIES('index'='k') " +
-      "AS SELECT k, v * 10 AS v FROM ctas_src WHERE k < 20")
-    val got = spark.table("gcat.db.ctas").orderBy("k").collect()
+      "AS SELECT k, v * 10 AS v FROM ctas2_src WHERE k < 20")
+    val got = spark.table("gcat.db.ctas2").orderBy("k").collect()
     assert(got.length == 20)
     assert(got(3).getDouble(1) == 30.0 * 2)
     // REPLACE TABLE (no OR CREATE) on a missing table refuses
     intercept[Exception] {
       spark.sql("REPLACE TABLE gcat.db.nope USING graft " +
-        "TBLPROPERTIES('index'='k') AS SELECT * FROM ctas_src")
+        "TBLPROPERTIES('index'='k') AS SELECT * FROM ctas2_src")
     }
     // a FAILING replace leaves the existing table untouched
     intercept[Exception] {
-      spark.sql("CREATE OR REPLACE TABLE gcat.db.ctas USING graft " +
+      spark.sql("CREATE OR REPLACE TABLE gcat.db.ctas2 USING graft " +
         "TBLPROPERTIES('index'='k') " +
-        "AS SELECT k, assert_true(k < 5) AS v FROM ctas_src")
+        "AS SELECT k, assert_true(k < 5) AS v FROM ctas2_src")
     }
-    assert(spark.table("gcat.db.ctas").count() == 20,
+    assert(spark.table("gcat.db.ctas2").count() == 20,
       "failed staged replace must leave the previous table")
     // no staged debris is listed as a table
     assert(!spark.sql("SHOW TABLES IN gcat.db").collect()
