@@ -71,6 +71,14 @@ final class GraftRowLevelRewrite(session: SparkSession)
           s"$stmt on graft tables does not support subqueries in " +
             "conditions or assignments; materialize the subquery as a " +
             "source table and use MERGE INTO")
+      // the rewrite evaluates conditions in more than one pass
+      // (discovery + rewrite / classification + apply): a
+      // non-deterministic expression would select different rows in
+      // each and corrupt the commit
+      if (!e.deterministic)
+        throw new UnsupportedOperationException(
+          s"$stmt on graft tables requires deterministic conditions " +
+            s"and assignments; `${e.sql}` is non-deterministic")
     }
 
   private def requireCurrent(gt: GraftTable, stmt: String): Unit =

@@ -314,4 +314,13 @@ class RowLevelSpec extends AnyFunSuite {
       else assert(r.getString(1) == s"p${r.getLong(0)}")
     }
   }
+
+  test("non-deterministic UPDATE conditions refuse (the rewrite " +
+      "evaluates them in more than one pass)") {
+    val (t, _) = freshTable()
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $t SET v = 0 WHERE rand() < 0.5")
+    }
+    assert(e.getMessage.contains("deterministic"), e.getMessage)
+  }
 }
