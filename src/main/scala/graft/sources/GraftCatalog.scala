@@ -722,6 +722,17 @@ private[sources] final class GraftStagedTable(
       throw new IllegalStateException(
         s"$finalPath appeared while the CTAS was staging; " +
           "use CREATE OR REPLACE TABLE to overwrite it")
+    if (!existing && GraftFs.isDir(fs, dest)) {
+      // dest exists as a BARE directory (no sidecar): empty debris is
+      // removed (a posix rename onto an existing dir would NEST the
+      // staged dir inside it); foreign content refuses — committing
+      // over it would adopt or shadow files this CTAS never wrote
+      if (GraftFs.listStatuses(fs, dest).isEmpty) fs.delete(dest, true)
+      else throw new IllegalStateException(
+        s"cannot install staged table at $dest: the directory exists " +
+          "with content but no graft sidecar (not a table this commit " +
+          "may replace) — clean it or choose another name")
+    }
     val trash =
       if (existing) {
         val t = new HPath(Option(dest.getParent).getOrElse(dest),
