@@ -63,11 +63,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def initialize(
       name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
-    warehouse = Option(options.get("warehouse")).getOrElse(
-      throw new IllegalArgumentException(
-        s"the graft catalog needs a warehouse directory: set " +
-          s"spark.sql.catalog.$name.warehouse=<dir>"))
+    // Optional: without it, NAME-based tables map under the session
+    // warehouse (`spark.sql.warehouse.dir`/<catalog>), and path
+    // identifiers (`cat.`/abs/path``) need no warehouse at all — so
+    // `spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog]
+    // .getName)` alone is a working Delta-style setup.
+    warehouse = options.get("warehouse") // may be null; resolved lazily
   }
+
+  private def warehouseDir: String =
+    Option(warehouse).getOrElse {
+      val base = spark.conf.get("spark.sql.warehouse.dir")
+      s"${base.stripSuffix("/")}/$catalogName"
+    }
 
   override def name(): String = catalogName
 
@@ -85,7 +93,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def pathOf(ident: Identifier): String =
     if (isPathIdent(ident)) ident.name()
-    else (warehouse +: ident.namespace().toSeq :+ ident.name())
+    else (warehouseDir +: ident.namespace().toSeq :+ ident.name())
       .mkString("/")
 
   /** The warehouse directory a (namespace, name) identifier maps to —
@@ -95,7 +103,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     pathOf(Identifier.of(namespace.toArray, name))
 
   private def pathOf(namespace: Seq[String]): String =
-    (warehouse +: namespace).mkString("/")
+    (warehouseDir +: namespace).mkString("/")
 
   // ---- tables ----
 
@@ -340,7 +348,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   // ---- namespaces (plain warehouse subdirectories) ----
 
   override def listNamespaces(): Array[Array[String]] = {
-    val (fs, p) = GraftFs.resolve(spark, warehouse)
+    val (fs, p) = GraftFs.resolve(spark, warehouseDir)
     if (!GraftFs.isDir(fs, p)) Array.empty
     else GraftFs.listStatuses(fs, p)
       .filter(st => st.isDirectory &&

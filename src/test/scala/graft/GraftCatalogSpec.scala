@@ -394,4 +394,29 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(!spark.sql("SHOW TABLES IN gcat.db").collect()
       .map(_.getString(1)).exists(_.startsWith(".")))
   }
+
+  test("zero-config catalog: no warehouse option needed — names map " +
+      "under the session warehouse, path identifiers just work") {
+    spark.conf.set("spark.sql.catalog.gzero",
+      classOf[graft.sources.GraftCatalog].getName)
+    // name-based table lands under spark.sql.warehouse.dir/gzero
+    spark.sql("CREATE TABLE gzero.zt USING graft " +
+      "TBLPROPERTIES('index'='k') AS " +
+      "SELECT id AS k, CAST(id AS DOUBLE) AS v FROM range(0, 30)")
+    assert(spark.table("gzero.zt").count() == 30L)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    assert(graft.core.Sidecar.exists(spark,
+      wh.stripSuffix("/") + "/gzero/zt"))
+    // path identifier through the same zero-config catalog
+    val dir = Fixtures.tempDir("graft-zeroconf") + "/ds"
+    PDataset.fromDataFrame(
+      spark.range(0, 40).selectExpr("id AS k", "id * 2.0 AS v"),
+      Seq("k")).writeParquet(dir)
+    assert(spark.sql(s"SELECT count(*) AS n FROM gzero.`$dir`")
+      .head.getLong(0) == 40L)
+    spark.sql(s"DELETE FROM gzero.`$dir` WHERE k < 10")
+    assert(spark.sql(s"SELECT count(*) AS n FROM gzero.`$dir`")
+      .head.getLong(0) == 30L)
+    spark.sql("DROP TABLE gzero.zt")
+  }
 }
