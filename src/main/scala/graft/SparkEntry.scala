@@ -922,6 +922,25 @@ object SparkEntry {
     // SQL MERGE INTO: matched deletes, matched updates and unmatched
     // inserts classified with one join per side, then applied as ONE
     // Maintenance.merge commit rewriting only affected partitions.
+    // Atomic CTAS through the staging catalog: the query writes a
+    // hidden staged sibling, ONE rename installs it — then CREATE OR
+    // REPLACE re-stages and swaps wholesale (replaced content moved
+    // aside first). The read back is the hard signal.
+    "q_sql_ctas" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.gmut", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gmut.warehouse", mutWarehouse)
+      val t = "gmut.ctas" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(12)
+      s.read.parquet(T(d, "orders")).createOrReplaceTempView("ctas_orders")
+      s.sql(s"CREATE TABLE $t USING graft " +
+        "TBLPROPERTIES('index'='o_orderkey') AS " +
+        "SELECT * FROM ctas_orders WHERE o_orderkey % 3 = 0")
+      s.sql(s"CREATE OR REPLACE TABLE $t USING graft " +
+        "TBLPROPERTIES('index'='o_orderkey') AS " +
+        "SELECT * FROM ctas_orders WHERE o_orderkey % 2 = 0")
+      s.sql(s"SELECT * FROM $t ORDER BY o_orderkey")
+    }),
+
     // Delta-style scoped overwrite: INSERT INTO ... REPLACE WHERE
     // replaces a clustered key band in ONE commit — only the band's
     // files are rewritten (survivors keep their rows), the incoming
@@ -2656,6 +2675,10 @@ object SparkEntry {
       "q_sql_delete" ->
         """SELECT * FROM orders
            WHERE o_orderkey < 1000 OR o_orderkey >= 2000
+           ORDER BY o_orderkey""",
+      // the REPLACE swapped the %3 table for the %2 table wholesale
+      "q_sql_ctas" ->
+        """SELECT * FROM orders WHERE o_orderkey % 2 = 0
            ORDER BY o_orderkey""",
       // the band's even keys come back tagged, its odd keys are gone
       "q_replace_where" ->
