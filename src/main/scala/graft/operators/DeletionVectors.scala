@@ -68,7 +68,8 @@ object DeletionVectors {
       s"$op would rewrite files that carry pending deletion vectors " +
         s"(positions bind to file content, so the rewrite would " +
         s"resurrect deleted rows): run DeletionVectors.materialize on " +
-        s"$dir first")
+        s"$dir first — in SQL, `OPTIMIZE <table> TARGET <n> ROWS` " +
+        "materializes pending deletes before compacting")
 
   private def loadDv(
       spark: SparkSession, dirPath: HPath): Option[DataFrame] = {

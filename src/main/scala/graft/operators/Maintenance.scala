@@ -1017,7 +1017,8 @@ object Maintenance {
     * filters; zero data read), ONE pushed-down discovery scan over
     * just the candidates finds the files with actual hits (driver
     * collect bounded by #files), and only those files are rewritten —
-    * per-file, in parallel, with exact stats recomputed in one job.
+    * ONE scatter job over the affected partitions, exact stats
+    * recomputed in one more job.
     * A point update on a clustered key rewrites one file at any
     * table size. Assignments MAY target index columns (per-file
     * bounds are recomputed and the file re-sorted); note such an
@@ -1026,6 +1027,29 @@ object Maintenance {
     * disjointness. CHECK constraints validate the post-update rows
     * in one aggregate over the hit files only.
     */
+  /** Names of the files that actually hold rows matching `cond`:
+    * the read path's sidecar pruning walk narrows to candidates
+    * (lex bounds, column stats, Blooms — zero data read), then ONE
+    * pushed-down scan over the candidates collects the real hit
+    * files (driver result bounded by #files). Shared by
+    * [[updateWhere]] and [[replaceWhere]]. */
+  private def filesWithHits(
+      spark: SparkSession,
+      dirPath: HPath,
+      m: Sidecar.Meta,
+      cond: Column): Set[String] = {
+    val candidates =
+      DeletionVectors.pruneByPredicate(spark, dirPath, m, cond)
+    if (candidates.isEmpty) Set.empty
+    else spark.read.schema(m.schema)
+      .parquet(candidates.map(p =>
+        new HPath(dirPath, m.files(p)).toString): _*)
+      .filter(cond)
+      .select(element_at(split(col("_metadata.file_path"), "/"), -1)
+        .as("f"))
+      .distinct().collect().map(_.getString(0)).toSet
+  }
+
   def updateWhere(
       spark: SparkSession,
       dir: String,
@@ -1048,14 +1072,8 @@ object Maintenance {
 
     // Metadata-only pruning, then one pushed-down scan over the
     // candidates for the files with actual hits.
-    val candidates = DeletionVectors.pruneByPredicate(spark, dirPath, m, cond)
-    if (candidates.isEmpty) return Report(0, 0, 0, 0, m.files.length)
     def pathOf(p: Int): String = new HPath(dirPath, m.files(p)).toString
-    val hitNames = spark.read.schema(m.schema)
-      .parquet(candidates.map(pathOf): _*)
-      .filter(cond)
-      .select(element_at(split(col("_metadata.file_path"), "/"), -1).as("f"))
-      .distinct().collect().map(_.getString(0)).toSet
+    val hitNames = filesWithHits(spark, dirPath, m, cond)
     val affected = m.files.indices.filter(i => hitNames(m.files(i)))
     if (affected.isEmpty) return Report(0, 0, 0, 0, m.files.length)
 
@@ -1071,28 +1089,31 @@ object Maintenance {
         .filter(hit).select(updatedCols: _*),
       "updateWhere")
 
-    val touchesIndex = m.indexColumns.exists(assignMap.contains)
     val newNameOf: Map[Int, String] = affected.zipWithIndex.map {
       case (p, j) =>
         p -> Sidecar.partitionFileName(m.maxPartitionIndex + 1 + j)
     }.toMap
-    implicit val ec: ExecutionContext = PDataset.writeEc
-    val writes = affected.map { p =>
-      Future {
-        val updated = spark.read.schema(m.schema).parquet(pathOf(p))
-          .select(updatedCols: _*)
-        // file content stays index-sorted; an index-column assignment
-        // may reorder rows, so re-sort within the (single-file) scope
-        val out =
-          if (touchesIndex)
-            updated.coalesce(1)
-              .sortWithinPartitions(m.indexColumns.map(col): _*)
-          else updated
-        Sidecar.writeSingleParquet(out,
-          new HPath(dirPath, newNameOf(p)).toString)
-      }
-    }
-    writes.foreach(Await.result(_, SDuration.Inf))
+    // ONE scatter job rewrites every affected partition (the shared
+    // mechanism merge/replaceWhere use — a wide UPDATE over 10^4
+    // files is one Spark job, not 10^4), each partition re-sorted on
+    // the index (an index-column assignment may reorder rows).
+    val partOf = new FileOrdinal(affected.map(p =>
+      Stats.normalizePath(pathOf(p)) -> p).toMap)
+    val updated = spark.read.schema(m.schema)
+      .parquet(affected.map(pathOf).toIndexedSeq: _*)
+      .withColumn("__part",
+        FileOrdinalExpr.ordinal(input_file_name(), partOf))
+      .select(updatedCols :+ col("__part"): _*)
+    val stage = GraftFs.mkStageDir(fs,
+      Option(dirPath.getParent).getOrElse(dirPath), ".graft-update-")
+    val written =
+      try ScatterWrite.partFiles(spark, updated, m.files.length, fs,
+        dirPath, stage, i => newNameOf(i),
+        orderCols = m.indexColumns.toSeq, dropOrderCols = false)
+      finally GraftFs.deleteRecursive(fs, stage)
+    require(written.map(_._1).toSet == affected.toSet,
+      s"updateWhere scatter wrote ${written.length} partitions, " +
+        s"expected ${affected.length}")
 
     // Exact stats for just the rewritten files (one job).
     val statsByPath = Stats.forFiles(spark,
@@ -1155,8 +1176,14 @@ object Maintenance {
     require(dataCols.forall(data.columns.contains),
       s"replaceWhere data must carry every dataset column " +
         s"${dataCols.mkString(", ")}")
+    // PERSIST the incoming data before anything reads it: the
+    // out-of-scope guard, the CHECK aggregate and the final scatter
+    // must all see the SAME rows — re-evaluating a non-deterministic
+    // source (sample, limit) per pass could validate one draw and
+    // commit another.
     val aligned = data.select(dataCols.map(c =>
-      col(c).cast(m.schema(c).dataType).as(c)): _*)
+      col(c).cast(m.schema(c).dataType).as(c)): _*).persist()
+    try {
     val outside = aligned.filter(!coalesce(cond, lit(false))).count()
     require(outside == 0L,
       s"replaceWhere: $outside incoming row(s) do not satisfy the " +
@@ -1185,16 +1212,7 @@ object Maintenance {
     // Files holding matching rows: metadata pruning, then one
     // pushed-down discovery scan over the candidates.
     def pathOf(p: Int): String = new HPath(dirPath, m.files(p)).toString
-    val candidates =
-      DeletionVectors.pruneByPredicate(spark, dirPath, m, cond)
-    val hitNames: Set[String] =
-      if (candidates.isEmpty) Set.empty
-      else spark.read.schema(m.schema)
-        .parquet(candidates.map(pathOf): _*)
-        .filter(cond)
-        .select(element_at(split(col("_metadata.file_path"), "/"), -1)
-          .as("f"))
-        .distinct().collect().map(_.getString(0)).toSet
+    val hitNames = filesWithHits(spark, dirPath, m, cond)
 
     // Incoming rows route to their partition by the division bounds
     // (upsert's router) so every replaced partition keeps its key
@@ -1206,8 +1224,6 @@ object Maintenance {
     val routed = aligned.withColumn("__part",
       if (m.files.length == 1) lit(0)
       else DivisionRouter.route(keyCols.map(col), m.lowerBounds.drop(1)))
-      .persist()
-    try {
       val insertParts = routed.select("__part").distinct()
         .collect().map(_.getInt(0))
       val affected = (m.files.indices.filter(i => hitNames(m.files(i)))
@@ -1275,7 +1291,7 @@ object Maintenance {
         dropped = affected.length - written.length, merged = 0,
         created = written.length,
         untouched = m.files.length - affected.length)
-    } finally { routed.unpersist(); () }
+    } finally { aligned.unpersist(); () }
   }
 
   // ---- upsert ----

@@ -234,6 +234,12 @@ final case class GraftOptimizeCommand(path: String, targetRows: Long)
       StructField("created", IntegerType, nullable = false),
       StructField("untouched", IntegerType, nullable = false))))
   override def run(sparkSession: SparkSession): Seq[Row] = {
+    // Delta's OPTIMIZE applies pending deletion vectors while it
+    // rewrites — same here, and it is the SQL-level remedy that
+    // un-wedges UPDATE/MERGE after a DELETE FROM (which serves
+    // merge-on-read and leaves vectors pending).
+    if (graft.operators.DeletionVectors.exists(sparkSession, path))
+      graft.operators.DeletionVectors.materialize(sparkSession, path)
     val r = Maintenance.compact(sparkSession, path, targetRows)
     Seq(Row(r.rewritten, r.dropped, r.merged, r.created, r.untouched))
   }

@@ -291,7 +291,13 @@ final case class GraftMergeCommand(
       tgtPlan.output.map(a => a.name -> GraftBridge.toColumn(a)).toMap
     val fieldType: Map[String, org.apache.spark.sql.types.DataType] =
       m.schema.fields.map(f => f.name -> f.dataType).toMap
-    val src = GraftBridge.ofRows(spark, srcPlan)
+    // PERSIST the source before classification: the inner join and
+    // the two anti joins each re-evaluate it, and a non-deterministic
+    // source (sample, limit) drawing different rows per pass would
+    // drop a row from both sides or land it in both — the same
+    // reason Delta materializes its MERGE source.
+    val src = GraftBridge.ofRows(spark, srcPlan).persist()
+    try {
 
     // Empty target: nothing can match — the insert clauses are an
     // initial load through the sink's append (one shuffle, delta
@@ -306,7 +312,10 @@ final case class GraftMergeCommand(
           org.apache.spark.sql.SaveMode.Append,
           Map("path" -> path, "index" -> keyCols.mkString(",")), rows)
       }
-      return reportRow(Maintenance.Report(0, 0, 0, 0, 0))
+      // report the initial load honestly: every file now in the
+      // sidecar was created by this MERGE
+      return reportRow(Maintenance.Report(0, 0, 0,
+        Sidecar.load(spark, path).files.length, 0))
     }
 
     val tgt = GraftBridge.ofRows(spark, tgtPlan)
@@ -364,6 +373,7 @@ final case class GraftMergeCommand(
       case (None, None) => Maintenance.Report(0, 0, 0, 0, m.files.length)
     }
     reportRow(report)
+    } finally { src.unpersist(); () }
   }
 
   /** Insert rows for the not-matched source side: each clause's

@@ -455,12 +455,21 @@ final class GraftTable(
       org.apache.spark.sql.catalyst.catalog.CatalogTable = {
     import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat,
       CatalogTable, CatalogTableType, CatalogUtils}
-    val parts = tableName.split("\\.")
+    // A path identifier (`cat.`/data/events.v2``) must NOT be split
+    // on dots — the path IS the identity; only warehouse-mapped
+    // names carry catalog/namespace parts.
+    val ident =
+      if (tableName.contains("/"))
+        org.apache.spark.sql.catalyst.TableIdentifier(tableName)
+      else {
+        val parts = tableName.split("\\.")
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          parts.last,
+          if (parts.length >= 2) Some(parts(parts.length - 2)) else None,
+          parts.headOption.filter(_ => parts.length >= 3))
+      }
     CatalogTable(
-      identifier = org.apache.spark.sql.catalyst.TableIdentifier(
-        parts.last,
-        if (parts.length >= 2) Some(parts(parts.length - 2)) else None,
-        parts.headOption.filter(_ => parts.length >= 3)),
+      identifier = ident,
       tableType = CatalogTableType.EXTERNAL,
       storage = CatalogStorageFormat.empty.copy(
         locationUri = Some(CatalogUtils.stringToURI(path)),
@@ -755,6 +764,20 @@ private[sources] final class GraftStagedTable(
       trash.foreach(t => fs.rename(t, dest))
       throw new java.io.IOException(
         s"could not install staged table $staged at $dest")
+    }
+    // A dest that (re)appeared between the checks and the rename
+    // SWALLOWS it (Hadoop moves src inside an existing dir and
+    // returns true): detect the nesting, withdraw our copy, and
+    // surface the conflict instead of reporting a success that
+    // installed nothing.
+    val nested = new HPath(dest, staged.getName)
+    if (GraftFs.isDir(fs, nested)) {
+      GraftFs.deleteRecursive(fs, nested)
+      trash.foreach(t => GraftFs.deleteRecursive(fs, t))
+      throw new java.util.ConcurrentModificationException(
+        s"staged table install at $dest lost a race to a concurrent " +
+          "writer (the destination appeared mid-commit); this CTAS " +
+          "was rolled back — retry against the current table")
     }
     trash.foreach(GraftFs.deleteRecursive(fs, _))
   }

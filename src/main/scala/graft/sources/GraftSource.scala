@@ -466,14 +466,32 @@ final class GraftSource extends RelationProvider
               .write.mode(mode).parquet(stagedOut.toString)
             PDataset.writeMetadata(spark, stagedOut.toString, index,
               extras = seedExtras)
-            // an existing EMPTY directory would swallow the rename
-            // (posix moves src under an existing dst dir)
-            if (GraftFs.isDir(fs, p) &&
-                GraftFs.listStatuses(fs, p).isEmpty)
-              fs.delete(p, true)
-            if (!fs.rename(stagedOut, p)) {
-              // lost an install race; if the winner's ledger already
-              // records this batch the exactly-once contract holds
+            // an existing directory would SWALLOW the rename (Hadoop
+            // moves src INSIDE an existing dst dir and returns true):
+            // empty debris is removed; non-empty non-table content
+            // (e.g. a crashed job's _temporary dir) refuses loudly —
+            // installing next to it could not be atomic
+            if (GraftFs.isDir(fs, p)) {
+              if (GraftFs.listStatuses(fs, p).isEmpty) fs.delete(p, true)
+              else if (!Sidecar.exists(spark, path))
+                throw new IllegalStateException(
+                  s"cannot install the first transactional batch at " +
+                    s"$path: the directory exists with non-table " +
+                    "content — clean it (or writeMetadata to adopt " +
+                    "bare parquet files) and retry")
+            }
+            val renamed = fs.rename(stagedOut, p)
+            // the rename can ALSO "succeed" by nesting into a table a
+            // concurrent writer installed first — verify, and settle
+            // races through the winner's ledger
+            val nested = new HPath(p, stagedOut.getName)
+            if (renamed && GraftFs.isDir(fs, nested) &&
+                Sidecar.exists(spark, nested.toString)) {
+              GraftFs.deleteRecursive(fs, nested)
+            }
+            if (!renamed || !Sidecar.exists(spark, path) ||
+                !Sidecar.load(spark, path).txnVersions.get(txn.get._1)
+                  .exists(_ >= txn.get._2)) {
               val winner =
                 if (Sidecar.exists(spark, path))
                   Some(Sidecar.load(spark, path))

@@ -323,4 +323,22 @@ class RowLevelSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("deterministic"), e.getMessage)
   }
+
+  test("SQL flow: DELETE FROM leaves deletion vectors; OPTIMIZE " +
+      "materializes them so UPDATE works again") {
+    val (t, _) = freshTable()
+    spark.sql(s"DELETE FROM $t WHERE k < 10")
+    assert(spark.table(t).count() == 110)
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $t SET v = 0 WHERE k = 50")
+    }
+    assert(e.getMessage.contains("OPTIMIZE"), e.getMessage)
+    spark.sql(s"OPTIMIZE $t TARGET 100000 ROWS")
+    spark.sql(s"UPDATE $t SET v = -5 WHERE k = 50")
+    assert(spark.table(t).count() == 110)
+    assert(rows(s"SELECT v FROM $t WHERE k = 50").head.getDouble(0)
+      == -5.0)
+    assert(rows(s"SELECT count(*) AS n FROM $t WHERE k < 10")
+      .head.getLong(0) == 0L)
+  }
 }
