@@ -100,7 +100,13 @@ object Bench {
     // log (or the last JSON-looking line) always see it whole.
     val detail =
       s"""{"metric":"runs_detail","runs":$rs,"mins":$qmins,"total_min":${f(totalMin)},"wall_sec":${f(wallSec)},"proc_cpu_sec":${f(cpuSec)}}"""
-    val medians = s"""{"metric":"queries","queries":$qs}"""
+    // The tail per-query dict carries the MINS — the same estimator as
+    // the canonical {"metric":"total"} min-sum, so a round-over-round
+    // per-query diff against the tail never mixes estimators (the r14
+    // phantom "q22 3x regression" was a median diffed against a
+    // min-sum). Medians ride along under their own key for contention
+    // diagnosis.
+    val medians = s"""{"metric":"queries","queries":$qmins,"medians":$qs}"""
     val runsFile = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_RUNS_FILE", "target/bench_runs.json"))
     try {

@@ -60,6 +60,18 @@ object GraftFs {
     try fs.listStatus(dir).toVector
     catch { case _: FileNotFoundException => Vector.empty }
 
+  /** Every FILE under `dir`, recursively — on object stores one flat
+    * paginated LIST (S3A serves `listFiles(recursive)` without
+    * per-directory round trips) instead of a probe per subdirectory;
+    * empty if `dir` is absent. */
+  def listAllFiles(fs: FileSystem, dir: Path): IndexedSeq[FileStatus] =
+    try {
+      val out = Vector.newBuilder[FileStatus]
+      val it = fs.listFiles(dir, true)
+      while (it.hasNext) out += it.next()
+      out.result()
+    } catch { case _: FileNotFoundException => Vector.empty }
+
   def readString(fs: FileSystem, p: Path): String = retryChecksum {
     val in = fs.open(p)
     try new String(in.readAllBytes(), StandardCharsets.UTF_8)

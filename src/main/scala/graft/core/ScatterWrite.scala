@@ -46,23 +46,30 @@ private[graft] object ScatterWrite {
       .option("compression", "zstd")
       .mode("overwrite")
       .parquet(stage.toString)
-    val written = ArrayBuffer.empty[(Int, String)]
-    (0 until nparts).foreach { i =>
-      val sub = new HPath(stage, s"__part=$i")
-      val partFiles = GraftFs.listStatuses(fs, sub)
-        .filter(_.getPath.getName.endsWith(".parquet"))
-      if (partFiles.nonEmpty) {
-        val name = nameOf(i)
-        if (partFiles.length == 1)
-          GraftFs.moveOverwrite(fs, partFiles(0).getPath, new HPath(dir, name))
-        else {
-          // >1 file can only happen under speculative/retried tasks;
-          // merge by reading back (rare, small).
-          val merged = spark.read.parquet(partFiles.map(_.getPath.toString): _*)
-          Sidecar.writeSingleParquet(merged, new HPath(dir, name).toString)
-        }
-        written += ((i, name))
+    // ONE recursive listing of the stage (a flat paginated LIST on
+    // object stores) finds every written partition — never a probe
+    // per slot, so a rewrite of k files pays O(k) driver RPCs
+    // regardless of the tag-space width.
+    val byPart = GraftFs.listAllFiles(fs, stage)
+      .filter { st =>
+        val parent = st.getPath.getParent
+        st.getPath.getName.endsWith(".parquet") &&
+          parent != null && parent.getName.startsWith("__part=")
       }
+      .groupBy(_.getPath.getParent.getName.stripPrefix("__part=").toInt)
+    val written = ArrayBuffer.empty[(Int, String)]
+    byPart.keys.toVector.sorted.foreach { i =>
+      val partFiles = byPart(i)
+      val name = nameOf(i)
+      if (partFiles.length == 1)
+        GraftFs.moveOverwrite(fs, partFiles(0).getPath, new HPath(dir, name))
+      else {
+        // >1 file can only happen under speculative/retried tasks;
+        // merge by reading back (rare, small).
+        val merged = spark.read.parquet(partFiles.map(_.getPath.toString): _*)
+        Sidecar.writeSingleParquet(merged, new HPath(dir, name).toString)
+      }
+      written += ((i, name))
     }
     written.toVector
   }

@@ -1097,8 +1097,11 @@ object Maintenance {
     // mechanism merge/replaceWhere use — a wide UPDATE over 10^4
     // files is one Spark job, not 10^4), each partition re-sorted on
     // the index (an index-column assignment may reorder rows).
-    val partOf = new FileOrdinal(affected.map(p =>
-      Stats.normalizePath(pathOf(p)) -> p).toMap)
+    // __part carries the DENSE ordinal within `affected` (compact's
+    // pattern), so the shuffle width is affected.length — a 2-file
+    // UPDATE on a 10^5-file table pays 2 write tasks, not 10^5.
+    val partOf = new FileOrdinal(affected.zipWithIndex.map {
+      case (p, j) => Stats.normalizePath(pathOf(p)) -> j }.toMap)
     val updated = spark.read.schema(m.schema)
       .parquet(affected.map(pathOf).toIndexedSeq: _*)
       .withColumn("__part",
@@ -1107,11 +1110,11 @@ object Maintenance {
     val stage = GraftFs.mkStageDir(fs,
       Option(dirPath.getParent).getOrElse(dirPath), ".graft-update-")
     val written =
-      try ScatterWrite.partFiles(spark, updated, m.files.length, fs,
-        dirPath, stage, i => newNameOf(i),
+      try ScatterWrite.partFiles(spark, updated, affected.length, fs,
+        dirPath, stage, j => newNameOf(affected(j)),
         orderCols = m.indexColumns.toSeq, dropOrderCols = false)
       finally GraftFs.deleteRecursive(fs, stage)
-    require(written.map(_._1).toSet == affected.toSet,
+    require(written.map(_._1).toSet == affected.indices.toSet,
       s"updateWhere scatter wrote ${written.length} partitions, " +
         s"expected ${affected.length}")
 
@@ -1237,26 +1240,35 @@ object Maintenance {
       }.toMap
 
       val survives = !coalesce(cond, lit(false))
-      val partOf = new FileOrdinal(affected.map(p =>
-        Stats.normalizePath(pathOf(p)) -> p).toMap)
+      // Dense scatter tags (ordinal within `affected`, compact's
+      // pattern): the rewrite shuffles at width affected.length, not
+      // m.files.length — replacing one day of a 10^5-file table pays
+      // O(that day's files) tasks. The router emits ORIGINAL
+      // partition positions; remap them through a (bounded, one per
+      // affected file) map literal.
+      val denseOf: Map[Int, Int] = affected.zipWithIndex.toMap
+      val partOf = new FileOrdinal(affected.zipWithIndex.map {
+        case (p, j) => Stats.normalizePath(pathOf(p)) -> j }.toMap)
       val survivors = spark.read.schema(m.schema)
         .parquet(affected.map(pathOf).toIndexedSeq: _*)
         .filter(survives)
         .withColumn("__part",
           FileOrdinalExpr.ordinal(input_file_name(), partOf))
-      val combined = survivors.unionByName(routed)
+      val combined = survivors.unionByName(routed.withColumn("__part",
+        element_at(typedLit(denseOf), col("__part"))))
 
       val stage = GraftFs.mkStageDir(fs,
         Option(dirPath.getParent).getOrElse(dirPath), ".graft-replace-")
-      val written =
-        try ScatterWrite.partFiles(spark, combined, m.files.length, fs,
-          dirPath, stage, i => newNameOf(i),
+      val writtenDense =
+        try ScatterWrite.partFiles(spark, combined, affected.length, fs,
+          dirPath, stage, j => newNameOf(affected(j)),
           orderCols = keyCols, dropOrderCols = false)
         finally GraftFs.deleteRecursive(fs, stage)
-      val writtenSet = written.map(_._1).toSet
-      require(writtenSet.subsetOf(affectedSet),
+      require(writtenDense.forall(w => w._1 >= 0 && w._1 < affected.length),
         s"replaceWhere scatter wrote unexpected partitions " +
-          s"${writtenSet -- affectedSet}")
+          s"${writtenDense.map(_._1).filterNot(affected.indices.contains)}")
+      val written = writtenDense.map { case (j, n) => (affected(j), n) }
+      val writtenSet = written.map(_._1).toSet
 
       // Exact stats for just the rewritten files (one job); a
       // partition the replace emptied entirely drops from the sidecar.
@@ -1470,9 +1482,15 @@ object Maintenance {
       case (p, j) => p -> Sidecar.partitionFileName(m.maxPartitionIndex + 1 + j)
     }.toMap
 
-    // Old rows of affected partitions, tagged with their position.
-    val partOf = new FileOrdinal(affected.map(p =>
-      Stats.normalizePath(pathOf(p)) -> p).toMap)
+    // Old rows of affected partitions, tagged with the DENSE ordinal
+    // of their file within `affected` (compact's pattern): the
+    // scatter shuffles at width affected.length, not m.files.length —
+    // a point upsert on a 10^5-file table pays one write task. The
+    // routed delta carries ORIGINAL positions; remap through a
+    // (bounded, one entry per affected file) map literal.
+    val denseOf: Map[Int, Int] = affected.zipWithIndex.toMap
+    val partOf = new FileOrdinal(affected.zipWithIndex.map {
+      case (p, j) => Stats.normalizePath(pathOf(p)) -> j }.toMap)
     val old = spark.read.schema(m.schema)
       .parquet(affected.map(pathOf).toIndexedSeq: _*)
       .withColumn("__part", FileOrdinalExpr.ordinal(input_file_name(), partOf))
@@ -1480,7 +1498,9 @@ object Maintenance {
     // Per key (one window shuffle): an update replaces ALL stored
     // duplicates of its key, a delete marker removes them, untouched
     // keys pass through; markers themselves never land.
-    val both = old.withColumn("__op", lit(0)).unionByName(incoming)
+    val both = old.withColumn("__op", lit(0)).unionByName(
+      incoming.withColumn("__part",
+        element_at(typedLit(denseOf), col("__part"))))
     val w = Window.partitionBy(keyCols.map(col): _*)
     val resolved = both
       .withColumn("__max", max(col("__op")).over(w))
@@ -1489,14 +1509,16 @@ object Maintenance {
 
     val stage = GraftFs.mkStageDir(fs,
       Option(dirPath.getParent).getOrElse(dirPath), ".graft-upsert-")
-    val written =
-      try ScatterWrite.partFiles(spark, resolved, m.files.length, fs,
-        dirPath, stage, i => newNameOf(i),
+    val writtenDense =
+      try ScatterWrite.partFiles(spark, resolved, affected.length, fs,
+        dirPath, stage, j => newNameOf(affected(j)),
         orderCols = keyCols, dropOrderCols = false)
       finally GraftFs.deleteRecursive(fs, stage)
+    require(writtenDense.forall(x => x._1 >= 0 && x._1 < affected.length),
+      s"merge scatter wrote unexpected partitions " +
+        s"${writtenDense.map(_._1).filterNot(affected.indices.contains)}")
+    val written = writtenDense.map { case (j, n) => (affected(j), n) }
     val writtenSet = written.map(_._1).toSet
-    require(writtenSet.subsetOf(affectedSet),
-      s"merge scatter wrote unexpected partitions ${writtenSet -- affectedSet}")
     // A partition every row of which was deleted writes nothing and
     // drops from the sidecar (possible only when deletes are present).
     require(nDel > 0 || writtenSet == affectedSet,

@@ -922,4 +922,75 @@ class MaintenanceSpec extends AnyFunSuite {
       Maintenance.upsert(spark, dir, withNull)
     }
   }
+
+  test("updateWhere scatter runs at the affected width, not the file count") {
+    val dir = tempDir("maint-update-dense") + "/ds"
+    writeKeyed(dir, 600, 25) // 24 files of consecutive 25-key ranges
+    assert(Sidecar.load(spark, dir).files.length == 24)
+
+    // Stage widths observed during the commit: with the dense scatter
+    // every stage of a 2-file update is O(affected) tasks; a scatter
+    // shuffling at m.files.length would surface a 24-task stage here.
+    val widths = scala.collection.concurrent.TrieMap.empty[Int, Int]
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        widths.put(sc.stageInfo.stageId, sc.stageInfo.numTasks)
+    }
+    spark.sparkContext.addSparkListener(l)
+    val report = try {
+      val r = Maintenance.updateWhere(spark, dir,
+        col("k") === 100L || col("k") === 401L,
+        Seq("payload" -> lit("HIT")))
+      org.apache.spark.GraftTestBridge.drainListeners(spark.sparkContext)
+      r
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(report.rewritten == 2, report.toString)
+    // ≤ 8 = spark.sql.shuffle.partitions (an agg stage AQE declines
+    // to coalesce); the sparse-scatter regression this pins against
+    // is a 24-task stage.
+    val maxWidth = widths.values.max
+    assert(maxWidth <= 8,
+      s"a 2-file update on a 24-file table ran a $maxWidth-task stage " +
+        s"(stage widths ${widths.values.toVector.sorted}); the scatter " +
+        "must shuffle at the affected width")
+
+    val after = PDataset.scanParquet(spark, dir).toDF
+    assert(after.filter(col("payload") === "HIT")
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(100L, 401L))
+    assert(after.count() == 600)
+    assert(PDataset.scanParquet(spark, dir).isDisjoint)
+  }
+
+  test("point upsert on a many-file table runs at the affected width") {
+    val dir = tempDir("maint-upsert-dense") + "/ds"
+    writeKeyed(dir, 600, 25) // 24 files
+    val widths = scala.collection.concurrent.TrieMap.empty[Int, Int]
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        widths.put(sc.stageInfo.stageId, sc.stageInfo.numTasks)
+    }
+    spark.sparkContext.addSparkListener(l)
+    val report = try {
+      // coalesce(1): the delta's own scan parallelism (spark.range
+      // slices) isn't what this test measures — the scatter width is.
+      val r = Maintenance.upsert(spark, dir,
+        keyedDF(130, 1).withColumn("payload", lit("NEW")).coalesce(1))
+      org.apache.spark.GraftTestBridge.drainListeners(spark.sparkContext)
+      r
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(report.rewritten == 1, report.toString)
+    // The window shuffle may still fan to spark.sql.shuffle.partitions
+    // map-side, but no stage may approach the 24-file width purely
+    // from the scatter tag space.
+    val maxWidth = widths.values.max
+    assert(maxWidth <= 8,
+      s"a 1-file upsert on a 24-file table ran a $maxWidth-task stage " +
+        s"(stage widths ${widths.values.toVector.sorted})")
+    val after = PDataset.scanParquet(spark, dir).toDF
+    assert(after.filter(col("k") === 130L).head().getString(2) == "NEW")
+    assert(after.count() == 600)
+  }
 }
