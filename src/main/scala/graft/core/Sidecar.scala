@@ -140,6 +140,16 @@ object Sidecar {
     /** The `txn` streaming-commit ledger: highest committed version
       * per writer app id (exactly-once idempotent appends — the
       * public Delta `txnAppId`/`txnVersion` pattern). */
+    /** Table-level write options declared at CREATE TABLE
+      * (`OPTIONS (bloom 'c1', stats 'c2', constraint.nn 'v > 0',
+      * autoCompact '…', files '…')`): persisted in the sidecar and
+      * forwarded into every catalog insert's sink options, so the
+      * declared indexes/constraints apply to all writes through the
+      * table name — never silently dropped. */
+    def tableOptions: Map[String, String] =
+      extras.get("tableOptions").map(_.asInstanceOf[Map[String, Any]]
+        .map { case (k, v) => k -> v.toString }).getOrElse(Map.empty)
+
     def txnVersions: Map[String, Long] =
       extras.get("txn").map(_.asInstanceOf[Map[String, Any]]
         .map { case (k, v) => k -> v.asInstanceOf[Long] })

@@ -1050,6 +1050,34 @@ object Maintenance {
       .distinct().collect().map(_.getString(0)).toSet
   }
 
+  /** Condition guard shared by the copy-on-write rewrites: the
+    * discovery scan and the rewrite evaluate `cond` independently, so
+    * a non-deterministic predicate could match rows in files the
+    * discovery never selected — silently leaving them unchanged. The
+    * SQL analyzer rewrite refuses these on the analyzed statement;
+    * this covers the programmatic entry points. The Column is
+    * analyzed against the table schema first — an unresolved
+    * function node (`functions.rand()`) reports deterministic until
+    * resolution replaces it with the real expression. */
+  private def requireDeterministicCond(
+      spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      cond: Column,
+      op: String): Unit = {
+    val probe = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      .filter(cond)
+    val bad = probe.queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.exists(!_.deterministic) => f.condition
+    }
+    require(bad.isEmpty,
+      s"$op requires a deterministic condition; `${bad.get.sql}` is " +
+        "non-deterministic (it is evaluated once to discover affected " +
+        "files and again during the rewrite, and the two draws could " +
+        "disagree)")
+  }
+
   def updateWhere(
       spark: SparkSession,
       dir: String,
@@ -1060,6 +1088,7 @@ object Maintenance {
     val (fs, dirPath) = GraftFs.resolve(spark, dir)
     val loadedFp = metaFingerprint(spark, dirPath)
     val m = Sidecar.load(spark, dir)
+    requireDeterministicCond(spark, m.schema, cond, "updateWhere")
     require(assignments.nonEmpty,
       "updateWhere needs at least one assignment")
     val assignMap = assignments.toMap
@@ -1173,6 +1202,7 @@ object Maintenance {
     val (fs, dirPath) = GraftFs.resolve(spark, dir)
     val loadedFp = metaFingerprint(spark, dirPath)
     val m = Sidecar.load(spark, dir)
+    requireDeterministicCond(spark, m.schema, cond, "replaceWhere")
     require(m.indexColumns.nonEmpty,
       "replaceWhere needs index columns; write the dataset reindexed first")
     val dataCols = m.schema.fieldNames.toSeq

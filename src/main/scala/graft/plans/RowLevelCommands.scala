@@ -177,6 +177,17 @@ object GraftRowLevel {
       cond: Option[ExprBox], assigns: Seq[(String, ExprBox)])
       extends MergeClause
 
+  /** SQL row-level mutations default to non-retained commits (the
+    * programmatic defaults) — fast, but they leave no time-travel
+    * point and a caught-up change-feed stream cannot cross them.
+    * `SET spark.graft.sql.retain=true` makes every SQL UPDATE /
+    * MERGE / REPLACE WHERE a retained generation (Delta's behavior:
+    * versioned commits that feed CDF), at the cost of keeping the
+    * replaced files until VACUUM. */
+  val SqlRetainKey = "spark.graft.sql.retain"
+  def sqlRetain(spark: SparkSession): Boolean =
+    spark.conf.getOption(SqlRetainKey).exists(_.trim.equalsIgnoreCase("true"))
+
   val reportSchema: StructType = StructType(Seq(
     StructField("rewritten", IntegerType, nullable = false),
     StructField("dropped", IntegerType, nullable = false),
@@ -203,7 +214,8 @@ final case class GraftUpdateCommand(
   override def run(sparkSession: SparkSession): Seq[Row] =
     reportRow(Maintenance.updateWhere(sparkSession, path,
       condition.map(b => GraftBridge.toColumn(b.e)).getOrElse(lit(true)),
-      assignments.map { case (n, b) => n -> GraftBridge.toColumn(b.e) }))
+      assignments.map { case (n, b) => n -> GraftBridge.toColumn(b.e) },
+      retain = sqlRetain(sparkSession)))
 }
 
 /** `MERGE INTO graft.db.t USING src ON ...` → ONE inner join
@@ -366,14 +378,70 @@ final case class GraftMergeCommand(
     val updates = (matchedUpd ++ inserts ++ nmsUpd)
       .reduceOption(_ unionByName _)
     val deletes = (matchedDel ++ nmsDel).reduceOption(_ unionByName _)
-    val report = (updates, deletes) match {
-      case (Some(u), Some(dk)) => Maintenance.merge(spark, path, u, dk)
-      case (Some(u), None) => Maintenance.upsert(spark, path, u)
-      case (None, Some(dk)) => Maintenance.deleteKeys(spark, path, dk)
-      case (None, None) => Maintenance.Report(0, 0, 0, 0, m.files.length)
-    }
+    val retain = sqlRetain(spark)
+    // The keyed primitives validate the applied delta in one fused
+    // aggregate and refuse duplicate update keys / update∩delete
+    // overlap with a generic message. Those requirements are exactly
+    // SQL MERGE's multiple-rows-matched cardinality rule (Delta's
+    // DELTA_MULTIPLE_SOURCE_ROW_MATCHING error), so on that failure —
+    // never in the happy path, which pays zero extra jobs — diagnose
+    // which keys were ambiguous and raise the MERGE-specific error.
+    val report =
+      try (updates, deletes) match {
+        case (Some(u), Some(dk)) =>
+          Maintenance.merge(spark, path, u, dk, retain)
+        case (Some(u), None) => Maintenance.upsert(spark, path, u, retain)
+        case (None, Some(dk)) =>
+          Maintenance.deleteKeys(spark, path, dk, retain)
+        case (None, None) => Maintenance.Report(0, 0, 0, 0, m.files.length)
+      } catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null &&
+              (e.getMessage.contains("update keys must be unique") ||
+                e.getMessage.contains("both updates and deletes")) =>
+          throw mergeCardinalityError(updates, deletes, keyCols, e)
+      }
     reportRow(report)
     } finally { src.unpersist(); () }
+  }
+
+  /** Name the keys that made the merge ambiguous: either one target
+    * key matched (or was inserted by) more than one source row, or a
+    * key landed in both an UPDATE/INSERT and a DELETE clause. Runs
+    * ONLY after the fused validation aggregate has already refused —
+    * a diagnostic pass over the delta, not a tax on every MERGE. */
+  private def mergeCardinalityError(
+      updates: Option[org.apache.spark.sql.DataFrame],
+      deletes: Option[org.apache.spark.sql.DataFrame],
+      keyCols: Seq[String],
+      cause: IllegalArgumentException): UnsupportedOperationException = {
+    def fmt(rows: Array[Row]): String =
+      rows.map(r => keyCols.zipWithIndex.map { case (k, i) =>
+        s"$k=${r.get(i)}" }.mkString("(", ", ", ")")).mkString(", ")
+    val kc = keyCols.map(col)
+    val dupUpd = updates.map(u => u.select(kc: _*)
+      .groupBy(kc: _*).count().filter(col("count") > 1)
+      .select(kc: _*).limit(5).collect()).getOrElse(Array.empty[Row])
+    val both = (updates, deletes) match {
+      case (Some(u), Some(dk)) => u.select(kc: _*)
+        .join(dk.select(kc: _*), keyCols, "left_semi")
+        .distinct().limit(5).collect()
+      case _ => Array.empty[Row]
+    }
+    val detail =
+      (if (dupUpd.nonEmpty)
+        Seq(s"key(s) ${fmt(dupUpd)} receive more than one UPDATE/INSERT " +
+          "row") else Seq.empty) ++
+      (if (both.nonEmpty)
+        Seq(s"key(s) ${fmt(both)} land in both an UPDATE/INSERT and a " +
+          "DELETE clause") else Seq.empty)
+    new UnsupportedOperationException(
+      "MERGE INTO cannot apply: multiple source rows matched the same " +
+        "target key (SQL MERGE requires each target row to match at " +
+        "most one source row — the same cardinality rule Delta " +
+        s"enforces); ${detail.mkString("; ")}. Deduplicate the source " +
+        "on the index key (e.g. keep the latest row per key) and retry.",
+      cause)
   }
 
   /** Insert rows for the not-matched source side: each clause's

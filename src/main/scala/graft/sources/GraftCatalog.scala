@@ -186,6 +186,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val knownProps = Set("index", TableCatalog.PROP_PROVIDER,
       TableCatalog.PROP_OWNER, TableCatalog.PROP_COMMENT,
       TableCatalog.PROP_TABLE_TYPE)
+    // Spark duplicates each OPTIONS entry into properties both bare
+    // and `option.`-prefixed — a bare key with a prefixed sibling is
+    // an option, not an unknown table property.
+    val optionKeys = props.keys.collect {
+      case k if k.startsWith(TableCatalog.OPTION_PREFIX) =>
+        k.stripPrefix(TableCatalog.OPTION_PREFIX)
+    }.toSet
     props.keys.foreach { k =>
       if (k == TableCatalog.PROP_LOCATION ||
           k == TableCatalog.PROP_EXTERNAL ||
@@ -197,11 +204,50 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             "catalog's warehouse at the right root, or use the " +
             "path-based API")
       else if (!knownProps.contains(k) &&
-          !k.startsWith(TableCatalog.OPTION_PREFIX))
+          !k.startsWith(TableCatalog.OPTION_PREFIX) &&
+          !optionKeys.contains(k))
         throw new UnsupportedOperationException(
           s"unsupported table property '$k' for graft table " +
             s"${ident.name()} (supported: 'index'; graft tables have " +
             "no property store)")
+    }
+    // OPTIONS (...) are the sink's write options, declared once at
+    // CREATE TABLE: validated here (fail fast, not at first insert),
+    // persisted in the sidecar, and forwarded into every catalog
+    // write — never silently dropped. Anything the sink wouldn't
+    // honor refuses loudly.
+    val tableOptions: Map[String, String] = props.toMap.collect {
+      case (k, v) if k.startsWith(TableCatalog.OPTION_PREFIX) &&
+          k.stripPrefix(TableCatalog.OPTION_PREFIX) != "index" =>
+        k.stripPrefix(TableCatalog.OPTION_PREFIX) -> v
+    }
+    tableOptions.keys.foreach { k =>
+      val known = Set("bloom", "stats", "autocompact", "files")
+      if (!known.contains(k.toLowerCase) &&
+          !(k.toLowerCase.startsWith("constraint.") &&
+            k.length > "constraint.".length))
+        throw new UnsupportedOperationException(
+          s"unsupported OPTION '$k' for graft table ${ident.name()} " +
+            "(supported: index, bloom, stats, autoCompact, files, " +
+            "constraint.<name>)")
+    }
+    def optCols(name: String): Seq[String] = tableOptions
+      .collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    optCols("bloom").foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"OPTION bloom: no such column $c")
+      require(graft.core.BloomIndex.supported(schema(c).dataType),
+        "OPTION bloom: supports integral and string columns; " +
+          s"$c is ${schema(c).dataType.simpleString}")
+    }
+    optCols("stats").foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"OPTION stats: no such column $c")
+      require(graft.core.ColumnStats.supported(schema(c).dataType),
+        "OPTION stats: supports numeric, string, date and timestamp " +
+          s"columns; $c is ${schema(c).dataType.simpleString}")
     }
     val fromProps = (props.get("index").toSeq ++
       props.get(TableCatalog.OPTION_PREFIX + "index").toSeq)
@@ -238,7 +284,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val (fs, dirPath) = GraftFs.resolve(spark, p)
     GraftFs.mkdirs(fs, dirPath)
     Sidecar.write(spark, p, index, Seq.empty, Seq.empty, Seq.empty,
-      Seq.empty, maxPartitionIndex = -1L, schema)
+      Seq.empty, maxPartitionIndex = -1L, schema,
+      extras = if (tableOptions.isEmpty) Map.empty
+        else Map("tableOptions" -> tableOptions))
+    // CHECK constraints declared at CREATE TABLE install immediately
+    // (the table is empty — trivially valid), so the very first
+    // insert is already guarded up front.
+    tableOptions.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      if (k.toLowerCase.startsWith("constraint."))
+        graft.operators.Constraints.add(spark, p,
+          k.substring("constraint.".length), v)
+    }
   }
 
   // ---- staged (atomic) CTAS / REPLACE TABLE ----
@@ -563,7 +619,8 @@ final class GraftTable(
     require(!snapshot,
       s"$tableName is a read-only snapshot (VERSION/TIMESTAMP AS OF); " +
         "write to the current table instead")
-    new GraftWriteBuilder(path, meta.indexColumns.toSeq)
+    new GraftWriteBuilder(path, meta.indexColumns.toSeq,
+      meta.tableOptions)
   }
 
   override def toString: String = s"GraftTable($tableName)"
@@ -653,7 +710,7 @@ final class GraftV2ScanSubstitution(session: SparkSession)
   * only the files holding matching rows and refuses incoming rows
   * outside the predicate (the Delta contract). */
 private[sources] final class GraftWriteBuilder(
-    path: String, index: Seq[String])
+    path: String, index: Seq[String], tableOpts: Map[String, String])
     extends WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
@@ -686,7 +743,9 @@ private[sources] final class GraftWriteBuilder(
           replaceCond match {
             case Some(cond) =>
               Maintenance.replaceWhere(
-                data.sparkSession, path, cond, data)
+                data.sparkSession, path, cond, data,
+                retain = graft.plans.GraftRowLevel.sqlRetain(
+                  data.sparkSession))
             case None =>
               val mode =
                 if (overwriteAll || over) SaveMode.Overwrite
@@ -694,8 +753,11 @@ private[sources] final class GraftWriteBuilder(
               val sqlc = data.sparkSession
                 .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
                 .sqlContext
+              // table-level OPTIONS declared at CREATE TABLE ride
+              // along on every name-based write (path/index win)
               new GraftSource().createRelation(sqlc, mode,
-                Map("path" -> path, "index" -> index.mkString(",")), data)
+                tableOpts ++ Map(
+                  "path" -> path, "index" -> index.mkString(",")), data)
           }
           ()
         }
@@ -758,6 +820,7 @@ private[sources] final class GraftStagedTable(
           s"could not move the replaced table $dest aside to $t")
         Some(t)
       } else None
+    GraftStagedTable.betweenRenames()
     if (!fs.rename(staged, dest)) {
       // put the old content back before failing — the table must
       // never be lost to a failed install
@@ -773,11 +836,26 @@ private[sources] final class GraftStagedTable(
     val nested = new HPath(dest, staged.getName)
     if (GraftFs.isDir(fs, nested)) {
       GraftFs.deleteRecursive(fs, nested)
-      trash.foreach(t => GraftFs.deleteRecursive(fs, t))
+      // The pre-replace content is NOT deleted on this path — the
+      // commit is failing, and the move-aside copy is the only
+      // surviving version of the replaced table. If the concurrent
+      // winner vanished again (or left only empty debris), restore
+      // the replaced table outright; otherwise leave the copy in
+      // place and name it so the operator can recover.
+      val destFree = !Sidecar.exists(spark, finalPath) &&
+        (!GraftFs.isDir(fs, dest) ||
+          (GraftFs.listStatuses(fs, dest).isEmpty && fs.delete(dest, true)))
+      val restored = destFree && trash.exists(t => fs.rename(t, dest))
       throw new java.util.ConcurrentModificationException(
         s"staged table install at $dest lost a race to a concurrent " +
           "writer (the destination appeared mid-commit); this CTAS " +
-          "was rolled back — retry against the current table")
+          "was rolled back" + (trash match {
+            case Some(_) if restored =>
+              s" and the replaced table was restored at $dest"
+            case Some(t) =>
+              s"; the replaced table's content is preserved at $t"
+            case None => ""
+          }) + " — retry against the current table")
     }
     trash.foreach(GraftFs.deleteRecursive(fs, _))
   }
@@ -788,4 +866,12 @@ private[sources] final class GraftStagedTable(
   }
 
   override def toString: String = s"GraftStagedTable(${inner.name()})"
+}
+
+private[graft] object GraftStagedTable {
+  /** Test seam: runs between the move-aside rename and the install
+    * rename — the window where a concurrent writer can recreate the
+    * destination (the lost-race rollback GraftCatalogSpec pins).
+    * No-op in production. */
+  private[graft] var betweenRenames: () => Unit = () => ()
 }

@@ -419,4 +419,124 @@ class GraftCatalogSpec extends AnyFunSuite {
       .head.getLong(0) == 30L)
     spark.sql("DROP TABLE gzero.zt")
   }
+
+  test("CREATE TABLE OPTIONS are honored, not dropped: bloom/stats " +
+      "sidecars build on insert, constraints guard from row one, " +
+      "unknown options refuse") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.opts (k BIGINT, tag STRING, " +
+      "v DOUBLE) USING graft TBLPROPERTIES('index'='k') " +
+      "OPTIONS (bloom 'tag', stats 'v', `constraint.v_pos` 'v >= 0')")
+    val dir = s"$warehouse/db/opts"
+    // the constraint is recorded at CREATE (empty table) and guards
+    // the very first insert up front
+    assert(graft.operators.Constraints.list(spark, dir) ==
+      Map("v_pos" -> "v >= 0"))
+    intercept[Exception] {
+      spark.sql("INSERT INTO gcat.db.opts " +
+        "SELECT id, CONCAT('t', id), CAST(id AS DOUBLE) - 5 " +
+        "FROM range(0, 10)")
+    }
+    assert(spark.table("gcat.db.opts").count() == 0,
+      "a violating first insert must not land")
+    // a clean insert lands AND builds the declared bloom + colstats
+    // sidecars — the options were persisted, not dropped
+    spark.sql("INSERT INTO gcat.db.opts " +
+      "SELECT id, CONCAT('t', id), CAST(id AS DOUBLE) FROM range(0, 50)")
+    assert(spark.table("gcat.db.opts").count() == 50)
+    val (fs, destP) = graft.core.GraftFs.resolve(spark, dir)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(destP,
+      graft.core.BloomIndex.BloomFile)),
+      "OPTION bloom must build the _graft_bloom sidecar on insert")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(destP,
+      graft.core.ColumnStats.FileName)),
+      "OPTION stats must build the _graft_colstats sidecar on insert")
+    // unknown OPTIONS refuse loudly at CREATE — nothing silent
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.db.badopt (k BIGINT) USING graft " +
+        "TBLPROPERTIES('index'='k') OPTIONS (compression 'lz4')")
+    }
+    assert(messagesOf(e).mkString.contains("unsupported OPTION"),
+      messagesOf(e).mkString("\n"))
+    // a bad bloom column refuses at CREATE, not at first insert
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.db.badopt2 (k BIGINT, v DOUBLE) " +
+        "USING graft TBLPROPERTIES('index'='k') OPTIONS (bloom 'v')")
+    }
+    assert(messagesOf(e2).mkString.contains("bloom"),
+      messagesOf(e2).mkString("\n"))
+  }
+
+  private def messagesOf(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .flatMap(e => Option(e.getMessage)).toSeq
+
+  test("a staged replace that loses the destination race preserves " +
+      "the replaced table and names the copy") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.race USING graft " +
+      "TBLPROPERTIES('index'='k') AS " +
+      "SELECT id AS k, CAST(id AS DOUBLE) AS v FROM range(0, 30)")
+    val dir = s"$warehouse/db/race"
+    val (fs, destP) = graft.core.GraftFs.resolve(spark, dir)
+    // a concurrent writer recreates the destination with its own
+    // content inside the move-aside → install window
+    graft.sources.GraftStagedTable.betweenRenames = () => {
+      fs.mkdirs(destP)
+      graft.core.GraftFs.writeString(fs,
+        new org.apache.hadoop.fs.Path(destP, "foreign.txt"), "winner")
+    }
+    try {
+      val e = intercept[Exception] {
+        spark.sql("CREATE OR REPLACE TABLE gcat.db.race USING graft " +
+          "TBLPROPERTIES('index'='k') AS " +
+          "SELECT id AS k, CAST(id * 2 AS DOUBLE) AS v FROM range(0, 5)")
+      }
+      val msg = messagesOf(e).mkString("\n")
+      assert(msg.contains("lost a race"), msg)
+      assert(msg.contains(".replaced-race"),
+        s"the rollback must name the preserved copy: $msg")
+      // the move-aside copy still holds the full original table
+      val trash = fs.listStatus(destP.getParent).map(_.getPath)
+        .filter(_.getName.startsWith(".replaced-race"))
+      assert(trash.length == 1, trash.mkString(", "))
+      assert(PDataset.scanParquet(spark, trash(0).toString)
+        .toDF.count() == 30,
+        "the preserved copy must be the complete pre-replace table")
+      // our staged copy was withdrawn from the squatted destination
+      assert(!fs.listStatus(destP)
+        .exists(_.getPath.getName.startsWith(".staging")),
+        "the nested staged copy must be withdrawn")
+      fs.delete(destP, true); trash.foreach(fs.delete(_, true))
+      spark.sql("DROP TABLE IF EXISTS gcat.db.race")
+    } finally
+      graft.sources.GraftStagedTable.betweenRenames = () => ()
+  }
+
+  test("empty-dir debris appearing mid-commit does not derail the " +
+      "install: POSIX rename replaces an empty directory atomically") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.race2 USING graft " +
+      "TBLPROPERTIES('index'='k') AS " +
+      "SELECT id AS k, CAST(id AS DOUBLE) AS v FROM range(0, 30)")
+    val dir = s"$warehouse/db/race2"
+    val (fs, destP) = graft.core.GraftFs.resolve(spark, dir)
+    graft.sources.GraftStagedTable.betweenRenames =
+      () => { fs.mkdirs(destP); () }
+    try {
+      spark.sql("CREATE OR REPLACE TABLE gcat.db.race2 USING graft " +
+        "TBLPROPERTIES('index'='k') AS " +
+        "SELECT id AS k, CAST(id * 2 AS DOUBLE) AS v FROM range(0, 5)")
+      // the replace won: new content installed, no nesting, no
+      // move-aside debris left behind
+      val got = spark.table("gcat.db.race2").orderBy("k").collect()
+      assert(got.length == 5)
+      assert(got(3).getDouble(1) == 6.0)
+      assert(!fs.listStatus(destP.getParent)
+        .exists(_.getPath.getName.startsWith(".replaced-race2")))
+      assert(!fs.listStatus(destP)
+        .exists(_.getPath.getName.startsWith(".staging")))
+    } finally
+      graft.sources.GraftStagedTable.betweenRenames = () => ()
+  }
 }

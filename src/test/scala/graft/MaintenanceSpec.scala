@@ -923,6 +923,22 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("programmatic updateWhere/replaceWhere refuse non-deterministic " +
+      "conditions (discovery and rewrite evaluate them independently)") {
+    val dir = tempDir("maint-nondet") + "/ds"
+    writeKeyed(dir, 100, 50)
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.updateWhere(spark, dir, rand() < 0.5,
+        Seq("payload" -> lit("X")))
+    }
+    assert(e.getMessage.contains("deterministic"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Maintenance.replaceWhere(spark, dir, rand() < 0.5,
+        keyedDF(0, 10))
+    }
+    assert(e2.getMessage.contains("deterministic"), e2.getMessage)
+  }
+
   test("updateWhere scatter runs at the affected width, not the file count") {
     val dir = tempDir("maint-update-dense") + "/ds"
     writeKeyed(dir, 600, 25) // 24 files of consecutive 25-key ranges

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.{PDataset, Sidecar}
+import graft.operators.Maintenance
 import Fixtures._
 
 /** SQL `UPDATE` / `MERGE INTO` on graft catalog tables
@@ -313,6 +314,67 @@ class RowLevelSpec extends AnyFunSuite {
       if (r.getLong(0) >= 100) assert(r.getString(1) == "ow")
       else assert(r.getString(1) == s"p${r.getLong(0)}")
     }
+  }
+
+  test("spark.graft.sql.retain=true makes SQL UPDATE and MERGE " +
+      "retained commits: time travel and the change feed cross them") {
+    val (t, dir) = freshTable()
+    spark.conf.set(graft.plans.GraftRowLevel.SqlRetainKey, "true")
+    try {
+      spark.sql(s"UPDATE $t SET v = 0 WHERE k < 20")
+      val h1 = Maintenance.history(spark, dir).collect()
+      assert(h1.length == 2, "the SQL UPDATE must retain a generation")
+      // time travel still sees the pre-update values
+      assert(rows(s"SELECT v FROM $t VERSION AS OF 0 WHERE k = 5")
+        .head.getDouble(0) == 50.0)
+      // the change feed crosses the SQL mutation (a caught-up CDF
+      // consumer survives it — Delta semantics)
+      val ch = Maintenance.changes(spark, dir, 0).collect()
+      assert(ch.nonEmpty)
+      spark.range(0, 3).selectExpr("id AS k", "CAST(-1 AS DOUBLE) AS nv")
+        .createOrReplaceTempView("retain_src")
+      spark.sql(s"MERGE INTO $t USING retain_src s ON $t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET v = s.nv")
+      assert(Maintenance.history(spark, dir).collect().length == 3,
+        "the SQL MERGE must retain a generation")
+      assert(rows(s"SELECT v FROM $t VERSION AS OF 1 WHERE k = 1")
+        .head.getDouble(0) == 0.0)
+    } finally spark.conf.unset(graft.plans.GraftRowLevel.SqlRetainKey)
+    // without the conf the commit is non-retained (the default)
+    val (t2, dir2) = freshTable()
+    spark.sql(s"UPDATE $t2 SET v = 0 WHERE k < 20")
+    assert(Maintenance.history(spark, dir2).collect().length == 1)
+  }
+
+  test("MERGE with multiple source rows per target key raises the " +
+      "cardinality error naming the duplicated keys") {
+    val (t, _) = freshTable()
+    // key 10 appears twice in the source
+    spark.createDataFrame(Seq((10L, 1.0), (10L, 2.0), (11L, 3.0)))
+      .toDF("k", "nv").createOrReplaceTempView("dup_src")
+    val e = intercept[Exception] {
+      spark.sql(s"MERGE INTO $t USING dup_src s ON $t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET v = s.nv")
+    }
+    val msg = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).flatMap(x => Option(x.getMessage))
+      .mkString("\n")
+    assert(msg.contains("multiple source rows matched"), msg)
+    assert(msg.contains("k=10"), s"the error must name the key: $msg")
+    assert(!msg.contains("k=11"), s"unique keys are not ambiguous: $msg")
+    // an UPDATE + DELETE landing on the same key is named too
+    spark.createDataFrame(Seq((20L, 1.0, false), (20L, 0.0, true)))
+      .toDF("k", "nv", "del").createOrReplaceTempView("dup_src2")
+    val e2 = intercept[Exception] {
+      spark.sql(s"MERGE INTO $t USING dup_src2 s ON $t.k = s.k " +
+        "WHEN MATCHED AND s.del THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET v = s.nv")
+    }
+    val msg2 = Iterator.iterate(e2: Throwable)(_.getCause)
+      .takeWhile(_ != null).flatMap(x => Option(x.getMessage))
+      .mkString("\n")
+    assert(msg2.contains("multiple source rows matched"), msg2)
+    assert(msg2.contains("k=20"), msg2)
   }
 
   test("non-deterministic UPDATE conditions refuse (the rewrite " +
