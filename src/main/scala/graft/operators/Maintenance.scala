@@ -1118,6 +1118,17 @@ object Maintenance {
         .filter(hit).select(updatedCols: _*),
       "updateWhere")
 
+    // An assignment targeting an index column can move a row's key
+    // OUT of its file's division — rewriting in place would leave
+    // overlapping bounds and every later keyed op would refuse.
+    // Route the movers instead (the same division router keyed
+    // merges use): in-division rows stay, movers land in the file
+    // whose key range holds their NEW key, and the destination files
+    // join the rewrite — bounds stay disjoint by construction.
+    if (m.indexColumns.exists(assignMap.contains))
+      return rekeyUpdate(spark, dir, m, hit, updatedCols,
+        affected.toIndexedSeq, retain, fs, dirPath, loadedFp)
+
     val newNameOf: Map[Int, String] = affected.zipWithIndex.map {
       case (p, j) =>
         p -> Sidecar.partitionFileName(m.maxPartitionIndex + 1 + j)
@@ -1174,6 +1185,136 @@ object Maintenance {
     Report(rewritten = affected.length, dropped = 0, merged = 0,
       created = affected.length,
       untouched = m.files.length - affected.length)
+  }
+
+  /** [[updateWhere]] when an assignment targets an index column:
+    * rows whose NEW key leaves their file's division are re-routed
+    * through the division router (O(log d) per row, codegen) to the
+    * file whose key range holds the new key; those destination files
+    * join the rewrite. ONE commit, bounds disjoint by construction —
+    * a later keyed upsert/merge never refuses. Cost is
+    * O(files with hits + files receiving movers), not O(table). */
+  private def rekeyUpdate(
+      spark: SparkSession,
+      dir: String,
+      m: Sidecar.Meta,
+      hit: Column,
+      updatedCols: Seq[Column],
+      srcAffected: IndexedSeq[Int],
+      retain: Boolean,
+      fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: HPath,
+      loadedFp: (Long, Long)): Report = {
+    val keyCols = m.indexColumns.toSeq
+    def pathOf(p: Int): String = new HPath(dirPath, m.files(p)).toString
+    // Router precondition — the same global invariant replaceWhere
+    // and the keyed merges demand.
+    (0 until m.files.length - 1).foreach { i =>
+      require(Lex.lexCmp(m.upperBounds(i), m.lowerBounds(i + 1)) < 0,
+        "updateWhere assigning an index column requires sorted, " +
+          s"disjoint partition bounds (violated between partitions $i " +
+          s"and ${i + 1}); repartition first")
+    }
+
+    // Rewritten rows of the hit files, tagged with their ORIGINAL
+    // partition position and the hit flag (both evaluated on the
+    // pre-assignment row), then routed: a hit row goes to the file
+    // whose division holds its NEW key (an unchanged key routes back
+    // to its own file), a non-hit row stays put.
+    val srcPartOf = new FileOrdinal(srcAffected.map(p =>
+      Stats.normalizePath(pathOf(p)) -> p).toMap)
+    val destCol =
+      if (m.files.length == 1) lit(0)
+      else DivisionRouter.route(keyCols.map(col), m.lowerBounds.drop(1))
+    val routed = spark.read.schema(m.schema)
+      .parquet(srcAffected.map(pathOf): _*)
+      .withColumn("__orig",
+        FileOrdinalExpr.ordinal(input_file_name(), srcPartOf))
+      .select(updatedCols ++ Seq(col("__orig"), hit.as("__hit")): _*)
+      .withColumn("__dest",
+        when(col("__hit"), destCol).otherwise(col("__orig")))
+      .persist()
+    try {
+      // Files receiving movers (one small aggregate over the hit
+      // rows; bounded by the file count like every affected-set
+      // collect) join the rewrite set.
+      val destSet = routed.filter(col("__hit"))
+        .agg(collect_set(col("__dest"))).head().getSeq[Int](0)
+      val affected =
+        (srcAffected ++ destSet).distinct.sorted.toIndexedSeq
+      val affectedSet = affected.toSet
+      val srcSet = srcAffected.toSet
+      val destOnly = affected.filterNot(srcSet)
+
+      val dataCols = m.schema.fieldNames.toSeq.map(col)
+      val moved = routed.select(dataCols :+ col("__dest"): _*)
+      val combined = destOnly match {
+        case ds if ds.isEmpty => moved
+        case ds =>
+          val destPartOf = new FileOrdinal(ds.map(p =>
+            Stats.normalizePath(pathOf(p)) -> p).toMap)
+          moved.unionByName(spark.read.schema(m.schema)
+            .parquet(ds.map(pathOf): _*)
+            .withColumn("__dest",
+              FileOrdinalExpr.ordinal(input_file_name(), destPartOf))
+            .select(dataCols :+ col("__dest"): _*))
+      }
+      // Dense scatter tags (ordinal within `affected`, the shared
+      // pattern): shuffle width = affected file count.
+      val denseOf: Map[Int, Int] = affected.zipWithIndex.toMap
+      val newNameOf: Map[Int, String] = affected.zipWithIndex.map {
+        case (p, j) =>
+          p -> Sidecar.partitionFileName(m.maxPartitionIndex + 1 + j)
+      }.toMap
+      val tagged = combined.withColumn("__part",
+        element_at(typedLit(denseOf), col("__dest"))).drop("__dest")
+
+      val stage = GraftFs.mkStageDir(fs,
+        Option(dirPath.getParent).getOrElse(dirPath), ".graft-update-")
+      val writtenDense =
+        try ScatterWrite.partFiles(spark, tagged, affected.length, fs,
+          dirPath, stage, j => newNameOf(affected(j)),
+          orderCols = keyCols, dropOrderCols = false)
+        finally GraftFs.deleteRecursive(fs, stage)
+      require(writtenDense.forall(w =>
+        w._1 >= 0 && w._1 < affected.length),
+        s"rekey update scatter wrote unexpected partitions " +
+          s"${writtenDense.map(_._1).filterNot(affected.indices.contains)}")
+      val writtenSet = writtenDense.map(w => affected(w._1)).toSet
+      // A source file whose every row moved away writes nothing and
+      // drops from the sidecar.
+      val droppedPos = affected.filterNot(writtenSet)
+
+      val statsByPath =
+        if (writtenSet.isEmpty) Map.empty[String, Stats.PartStats]
+        else Stats.forFiles(spark,
+          affected.filter(writtenSet)
+            .map(p => new HPath(dirPath, newNameOf(p)).toString),
+          m.indexColumns, Some(m.schema))
+      val entries = m.files.indices.flatMap { p =>
+        if (!affectedSet(p))
+          Some((m.files(p), m.sizes(p), m.lowerBounds(p),
+            m.upperBounds(p)))
+        else if (writtenSet(p)) {
+          val st = statsByPath(Stats.normalizePath(
+            new HPath(dirPath, newNameOf(p)).toString))
+          Some((newNameOf(p), st.size, st.lb, st.ub))
+        } else None
+      }
+      guardUnchanged(spark, dirPath, loadedFp)
+      if (retain) archiveCurrent(spark, fs, dirPath)
+      Sidecar.write(spark, dir, m.indexColumns, entries.map(_._1),
+        entries.map(_._2), entries.map(_._3), entries.map(_._4),
+        m.maxPartitionIndex + affected.length, m.schema,
+        extras = m.extras)
+      if (!retain)
+        deletableNow(spark, dir, affected.map(m.files))
+          .foreach(f => fs.delete(new HPath(dirPath, f), false))
+      refreshBloom(spark, dir)
+      Report(rewritten = writtenSet.size, dropped = droppedPos.length,
+        merged = 0, created = writtenSet.size,
+        untouched = m.files.length - affected.length)
+    } finally { routed.unpersist(); () }
   }
 
   /** Delta-style `replaceWhere`: atomically replace the rows

@@ -91,9 +91,32 @@ class MaintenanceFuzzSpec extends AnyFunSuite {
     }
 
     (0 until 26).foreach { step =>
-      val op = rnd.nextInt(14)
+      val op = rnd.nextInt(15)
       val label =
-        if (op == 12) { // predicate update (SQL UPDATE) over a range
+        if (op == 14) { // index-assignment update: movers re-route
+          val keys = model.keys.toVector
+          if (keys.length < 300) "skip"
+          else {
+            val a = keys(rnd.nextInt(keys.length))
+            val b = a + 1 + rnd.nextInt(100)
+            // shift the band into fresh key territory STRICTLY past
+            // the band itself (a destination overlapping [a,b) would
+            // collide moved keys with keys still moving) so the
+            // model's unique-key map stays faithful
+            val off = nextFresh.max(b) - a
+            val moved = model.rangeImpl(Some(a), Some(b)).toVector
+            nextFresh = a + off + (b - a) + 1
+            val retain = rnd.nextBoolean()
+            val before = model.toMap
+            moved.foreach { case (k, _) => model.remove(k) }
+            moved.foreach { case (k, p) => model(k + off) = p }
+            Maintenance.updateWhere(spark, dir,
+              col("k") >= a && col("k") < b,
+              Seq("k" -> (col("k") + off)), retain = retain)
+            if (retain) checkFeed(before, s"rekey-feed($step)")
+            s"rekeyUpdate($step, [$a,$b)+$off)"
+          }
+        } else if (op == 12) { // predicate update (SQL UPDATE) over a range
           val keys = model.keys.toVector
           if (keys.length < 300) "skip"
           else {

@@ -92,6 +92,62 @@ class RowLevelSpec extends AnyFunSuite {
     checkBoundsAndSizes(PDataset.scanParquet(spark, dir))
   }
 
+  test("UPDATE moving keys across divisions routes the movers: bounds " +
+      "stay disjoint and a following keyed upsert succeeds") {
+    val (t, dir) = freshTable() // 6 files of 20 consecutive keys
+    val before = Sidecar.load(spark, dir)
+    assert(before.files.length == 6)
+    // keys 100..104 (last file) move to 5..9 (first file's range);
+    // key 57 (file 2) moves to 117 (last file's range)
+    spark.sql(s"UPDATE $t SET k = k - 95 WHERE k >= 100 AND k < 105")
+    spark.sql(s"UPDATE $t SET k = 117, payload = 'moved' WHERE k = 57")
+    val after = Sidecar.load(spark, dir)
+    // disjoint sorted bounds survive the cross-division moves
+    (0 until after.files.length - 1).foreach { i =>
+      assert(graft.core.Lex.lexCmp(
+        after.upperBounds(i), after.lowerBounds(i + 1)) < 0,
+        s"bounds overlap between ${after.files(i)} and " +
+          s"${after.files(i + 1)}")
+    }
+    assert(PDataset.scanParquet(spark, dir).isDisjoint)
+    // duplicates by design: 5..9 now appear twice, 117 twice with the
+    // mover carrying 'moved'
+    val ks = rows(s"SELECT k FROM $t").map(_.getLong(0))
+    assert(ks.size == 120)
+    (5L to 9L).foreach(k => assert(ks.count(_ == k) == 2, s"k=$k"))
+    assert(ks.count(_ == 117L) == 2)
+    assert(!ks.contains(57L) && !ks.contains(100L))
+    // an immediately-following keyed upsert (which requires disjoint
+    // bounds and refuses on overlap) succeeds
+    val r = Maintenance.upsert(spark, dir,
+      spark.range(30, 33).selectExpr("id AS k", "id % 7 AS grp",
+        "CAST(0 AS DOUBLE) AS v", "'ups' AS payload"))
+    assert(r.rewritten >= 1)
+    assert(rows(s"SELECT payload FROM $t WHERE k = 31")
+      .head.getString(0) == "ups")
+    checkBoundsAndSizes(PDataset.scanParquet(spark, dir))
+  }
+
+  test("UPDATE that empties a file of all its rows drops it from the " +
+      "sidecar; untouched files keep their bytes") {
+    val (t, dir) = freshTable()
+    val beforeFiles = Sidecar.load(spark, dir).files.toSet
+    // every row of the first file (k 0..19) moves into the 40..59
+    // division
+    spark.sql(s"UPDATE $t SET k = k + 45 WHERE k < 20")
+    val after = Sidecar.load(spark, dir)
+    assert(after.files.length == 5,
+      s"the emptied source file must drop (got ${after.files.length})")
+    assert(rows(s"SELECT count(*) AS c FROM $t").head.getLong(0) == 120)
+    assert(rows(s"SELECT count(*) AS c FROM $t WHERE k >= 45 AND k < 65")
+      .head.getLong(0) == 40)
+    // only the source file and the two receiving files (45..59 land
+    // in the 40-59 division, 60..64 in 60-79) were rewritten
+    assert((beforeFiles intersect after.files.toSet).size == 3,
+      "untouched files must keep their names (zero data I/O)")
+    assert(PDataset.scanParquet(spark, dir).isDisjoint)
+  }
+
   test("UPDATE enforces CHECK constraints on the post-update rows") {
     val (t, dir) = freshTable()
     graft.operators.Constraints.add(spark, dir, "v_pos", "v >= 0")
