@@ -449,6 +449,26 @@ object SparkEntry {
     // Metadata-only schema evolution: addColumns rewrites ONLY the
     // schema sidecar (old files null-fill at read), then an upsert
     // lands values for the new column in just its routed partitions.
+    // Metadata-only RENAME COLUMN (Delta column-mapping): the sidecar
+    // maps logical -> physical (on-disk) names; reads translate at the
+    // parquet reader boundary (GraftRenameParquetFileFormat), writes
+    // map back, zero data files touched by the rename itself. The
+    // upsert under the NEW names proves old and new files mix.
+    "q_rename_column" -> ((s, d) => {
+      val dir = mutableCopy("ordkey20ren", d)(ordersByKey20(s, d))
+      graft.operators.Maintenance.renameColumns(s, dir,
+        "o_orderkey" -> "order_id", "o_totalprice" -> "price")
+      val upd = s.read.parquet(T(d, "orders"))
+        .filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 1400)
+        .select(col("o_orderkey").as("order_id"), col("o_custkey"),
+          col("o_orderstatus"), (col("o_totalprice") * 2).as("price"),
+          col("o_orderdate"), col("o_orderpriority"))
+      graft.operators.Maintenance.upsert(s, dir, upd)
+      PDataset.scanParquet(s, dir).toDF
+        .filter(col("order_id") < 2000) // pruned read through the rename
+        .orderBy("order_id")
+    }),
+
     "q_schema_evolution" -> ((s, d) => {
       val dir = mutableCopy("ordkey20", d)(ordersByKey20(s, d))
       graft.operators.Maintenance.addColumns(s, dir,
@@ -2471,6 +2491,13 @@ object SparkEntry {
       "q_bloom_lookup" ->
         "SELECT * FROM orders WHERE o_custkey = 42 ORDER BY o_orderkey",
       "q_time_travel" -> "SELECT * FROM orders ORDER BY o_orderkey",
+      "q_rename_column" ->
+        """SELECT o_orderkey AS order_id, o_custkey, o_orderstatus,
+                  CASE WHEN o_orderkey >= 1000 AND o_orderkey < 1400
+                       THEN o_totalprice * 2 ELSE o_totalprice
+                  END AS price,
+                  o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey < 2000 ORDER BY order_id""",
       "q_schema_evolution" ->
         """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                   o_orderdate, o_orderpriority,

@@ -145,7 +145,7 @@ object BloomIndex {
     val colNames = cols.toIndexedSeq
     val theFpp = fpp
 
-    val rows = spark.read.schema(m.schema).parquet(paths: _*)
+    val rows = m.readData(spark, paths)
       .select((input_file_name().as("__file") +: colNames.map(col)): _*)
       .rdd
       .mapPartitions { it =>
@@ -195,6 +195,20 @@ object BloomIndex {
     * Called by schema evolution so dropping a bloom-indexed column
     * doesn't leave the index referencing a ghost column (which would
     * fail every later maintenance refresh). */
+  /** Re-key entries for a metadata-only column rename — driver-side
+    * sidecar rewrite, no filter is rebuilt. */
+  private[graft] def renameColumnEntries(
+      spark: SparkSession, dir: String,
+      renames: Map[String, String]): Unit = {
+    val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    if (!GraftFs.isFile(fs, new HPath(dirPath, BloomFile))) return
+    val existing = readEntries(spark, fs, dirPath)
+    val rekeyed = existing.map { case ((f, c), v) =>
+      (f, renames.getOrElse(c, c)) -> v }
+    if (rekeyed.keySet != existing.keySet)
+      writeEntries(spark, dirPath, rekeyed)
+  }
+
   private[graft] def dropColumnEntries(
       spark: SparkSession, dir: String, names: Set[String]): Unit = {
     val (fs, dirPath) = GraftFs.resolve(spark, dir)

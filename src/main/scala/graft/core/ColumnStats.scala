@@ -91,7 +91,7 @@ object ColumnStats {
     }
     val (_, dirPath) = GraftFs.resolve(spark, dir)
     val entries = fileEntries(spark,
-      m.files.map(f => new HPath(dirPath, f).toString), cols, m.schema)
+      m.files.map(f => new HPath(dirPath, f).toString), cols, m)
     save(spark, dir, cols, entries)
   }
 
@@ -116,7 +116,7 @@ object ColumnStats {
     val missing = m.files.filterNot(have)
     val (_, dirPath) = GraftFs.resolve(spark, dir)
     val fresh = fileEntries(spark,
-      missing.map(f => new HPath(dirPath, f).toString), cols, m.schema)
+      missing.map(f => new HPath(dirPath, f).toString), cols, m)
     save(spark, dir, cols, (kept ++ fresh).sortBy(_("name").toString))
   }
 
@@ -126,6 +126,17 @@ object ColumnStats {
     * files whose re-added column is all null — and a later [[update]]
     * would fail statting a ghost column. Deletes the sidecar when no
     * recorded column survives. */
+  /** Re-key the recorded column list for a metadata-only column
+    * rename — driver-side sidecar rewrite, stats untouched. */
+  def renameColumnEntries(
+      spark: SparkSession, dir: String,
+      renames: Map[String, String]): Unit = {
+    if (!exists(spark, dir)) return
+    val (_, recorded, entries) = loadSafe(spark, dir).getOrElse(return)
+    val rekeyed = recorded.map(c => renames.getOrElse(c, c))
+    if (rekeyed != recorded) save(spark, dir, rekeyed, entries)
+  }
+
   def dropColumnEntries(
       spark: SparkSession, dir: String, cols: Set[String]): Unit = {
     if (!exists(spark, dir)) return
@@ -256,8 +267,9 @@ object ColumnStats {
     * killing the whole build under ANSI. */
   private[graft] def fileEntries(
       spark: SparkSession, files: Seq[String], cols: Seq[String],
-      schema: StructType): Seq[Map[String, Any]] = {
+      m: Sidecar.Meta): Seq[Map[String, Any]] = {
     if (files.isEmpty) return Seq.empty
+    val schema = m.schema
     val summed = cols.map(c =>
       schema.fields.find(_.name == c).exists(f => integral(f.dataType)))
     val aggs = cols.zip(summed).flatMap { case (c, withSum) =>
@@ -266,7 +278,7 @@ object ColumnStats {
         (if (withSum) try_sum(col(c).cast("long")) else lit(null))
           .as(s"__sum_$c"))
     }
-    val statted = spark.read.schema(schema).parquet(files: _*)
+    val statted = m.readData(spark, files)
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()

@@ -107,11 +107,18 @@ final class PDataset private[core] (
   }
 
   private def partDF(p: Part): DataFrame = p match {
-    case FilePart(file, filters, fmt) =>
+    case FilePart(file, filters, fmt, renames) =>
       var reader = spark.read.format(fmt)
-      schemaOpt.foreach(s => reader = reader.schema(s))
+      val toPhys = renames.map(_.swap)
+      schemaOpt.foreach(s => reader = reader.schema(
+        if (renames.isEmpty) s
+        else StructType(s.fields.map(f =>
+          f.copy(name = toPhys.getOrElse(f.name, f.name))))))
       if (fmt == "csv") reader = reader.option("header", "true")
-      filters.foldLeft(reader.load(file))((df, f) => df.filter(f.toColumn))
+      val base =
+        if (renames.isEmpty) reader.load(file)
+        else reader.load(file).withColumnsRenamed(renames)
+      filters.foldLeft(base)((df, f) => df.filter(f.toColumn))
     case LazyPart(thunk) => thunk()
     case SlicePart(src, lo, hi) =>
       src.slice(lo.orNull, hi.orNull, inclusive = "lower").toDF
@@ -185,8 +192,15 @@ final class PDataset private[core] (
     // GraftFileIndex, so pushed data filters on the leading index
     // column prune FILES inside Catalyst too.
     val fps = parts.collect { case fp: FilePart => fp }
-    if (fps.length == parts.length && fps.map(_.fmt).distinct.length == 1) {
+    if (fps.length == parts.length && fps.map(_.fmt).distinct.length == 1 &&
+        fps.map(_.renames).distinct.length == 1) {
       val fmt = fps.head.fmt
+      val renames = fps.head.renames // physical → logical
+      val toPhys = renames.map(_.swap)
+      def physSchema(s: StructType): StructType =
+        if (renames.isEmpty) s
+        else StructType(s.fields.map(f =>
+          f.copy(name = toPhys.getOrElse(f.name, f.name))))
       val allFilters = fps.flatMap(_.filters).distinctBy(_.signature)
       val globallySafe =
         allFilters.isEmpty || (knownBounds && fps.indices.forall { i =>
@@ -203,14 +217,21 @@ final class PDataset private[core] (
             // count(*)/min/max over the bare toDF then fold from
             // metadata; residual filters sit ABOVE the relation, so
             // the metadata rule declines those plans by shape.
+            // Renamed columns translate to on-disk names at the
+            // parquet reader boundary (GraftRenameParquetFileFormat):
+            // relation, pruning index and pushed filters all stay
+            // logical, so the plan SHAPE is identical to an unrenamed
+            // table (metadata-only folds keep matching).
             org.apache.spark.sql.GraftRelations.sidecarParquetDF(
               spark, fps.map(_.file), schemaOpt.get, indexColumns,
-              lbsOpt.get, ubsOpt.get, rowCounts = sizesOpt)
+              lbsOpt.get, ubsOpt.get, rowCounts = sizesOpt,
+              renames = renames.map(_.swap))
           else {
             var reader = spark.read.format(fmt)
-            schemaOpt.foreach(s => reader = reader.schema(s))
+            schemaOpt.foreach(s => reader = reader.schema(physSchema(s)))
             if (fmt == "csv") reader = reader.option("header", "true")
-            reader.load(fps.map(_.file): _*)
+            val ld = reader.load(fps.map(_.file): _*)
+            if (renames.isEmpty) ld else ld.withColumnsRenamed(renames)
           }
         return allFilters.foldLeft(base)((df, f) => df.filter(f.toColumn))
       }
@@ -219,17 +240,26 @@ final class PDataset private[core] (
     val pieces = ArrayBuffer.empty[DataFrame]
     val run = ArrayBuffer.empty[String]
     var runFmt = "parquet"
+    var runRenames: Map[String, String] = Map.empty
     def flushRun(): Unit = if (run.nonEmpty) {
       var reader = spark.read.format(runFmt)
-      schemaOpt.foreach(s => reader = reader.schema(s))
+      val toPhys = runRenames.map(_.swap)
+      schemaOpt.foreach(s => reader = reader.schema(
+        if (runRenames.isEmpty) s
+        else StructType(s.fields.map(f =>
+          f.copy(name = toPhys.getOrElse(f.name, f.name))))))
       if (runFmt == "csv") reader = reader.option("header", "true")
-      pieces += reader.load(run.toSeq: _*)
+      val df = reader.load(run.toSeq: _*)
+      pieces += (if (runRenames.isEmpty) df
+        else df.withColumnsRenamed(runRenames))
       run.clear()
     }
     parts.foreach {
-      case FilePart(f, Nil, fmt) =>
-        if (run.nonEmpty && fmt != runFmt) flushRun()
+      case FilePart(f, Nil, fmt, renames) =>
+        if (run.nonEmpty && (fmt != runFmt || renames != runRenames))
+          flushRun()
         runFmt = fmt
+        runRenames = renames
         run += f
       case p => flushRun(); pieces += partDF(p)
     }
@@ -292,8 +322,16 @@ final class PDataset private[core] (
       return new PDataset(spark, parts, newCols, sizesOpt, None, None, schemaOpt)
 
     val stats: IndexedSeq[PartStats] = allPlainFiles match {
-      case Some((files, fmt)) =>
-        val byFile = Stats.forFiles(spark, files, newCols, schemaOpt, fmt)
+      case Some((files, fmt, renames)) =>
+        // renamed files are statted under their on-disk names; the
+        // returned values are name-agnostic
+        val toPhys = renames.map(_.swap)
+        val byFile = Stats.forFiles(spark, files,
+          newCols.map(c => toPhys.getOrElse(c, c)),
+          schemaOpt.map(sch =>
+            if (renames.isEmpty) sch
+            else StructType(sch.fields.map(f =>
+              f.copy(name = toPhys.getOrElse(f.name, f.name))))), fmt)
         files.map { f =>
           byFile.getOrElse(Stats.normalizePath(f), PartStats(0L, null, null))
         }.toVector
@@ -314,10 +352,14 @@ final class PDataset private[core] (
 
   /** All partitions that are plain single-file reads (no residual
     * filters) — enables single-job stats and merged scans. */
-  private def allPlainFiles: Option[(IndexedSeq[String], String)] = {
-    val fs = parts.collect { case FilePart(f, Nil, fmt) => (f, fmt) }
-    if (fs.length == parts.length && fs.map(_._2).distinct.length <= 1)
-      Some((fs.map(_._1).toVector, fs.headOption.map(_._2).getOrElse("parquet")))
+  private def allPlainFiles
+      : Option[(IndexedSeq[String], String, Map[String, String])] = {
+    val fs = parts.collect { case FilePart(f, Nil, fmt, rn) => (f, fmt, rn) }
+    if (fs.length == parts.length && fs.map(_._2).distinct.length <= 1 &&
+        fs.map(_._3).distinct.length <= 1)
+      Some((fs.map(_._1).toVector,
+        fs.headOption.map(_._2).getOrElse("parquet"),
+        fs.headOption.map(_._3).getOrElse(Map.empty)))
     else None
   }
 
@@ -437,7 +479,8 @@ final class PDataset private[core] (
         }
       }
       parts(p) match {
-        case FilePart(f, fs, fmt) => FilePart(f, fs ++ filters.toList, fmt)
+        case FilePart(f, fs, fmt, rn) =>
+          FilePart(f, fs ++ filters.toList, fmt, rn)
         case sp: SlicePart =>
           // A lower-inclusive range filter intersects a SlicePart's
           // [lo, hi) range directly (geq b tightens lo to b — attach
@@ -567,7 +610,8 @@ final class PDataset private[core] (
     val newParts: IndexedSeq[Part] = batches.map { batch =>
       val members = batch.map(parts)
       val slices = members.collect { case sp: SlicePart => sp }
-      val plainFiles = members.collect { case FilePart(f, Nil, "parquet") => f }
+      val plainFiles = members.collect {
+        case FilePart(f, Nil, "parquet", rn) if rn.isEmpty => f }
       if (slices.length == members.length && slices.nonEmpty &&
           slices.forall(_.src eq slices.head.src) &&
           (0 until slices.length - 1).forall(i =>
@@ -950,6 +994,12 @@ final class PDataset private[core] (
       if (!Sidecar.exists(spark, path))
         throw new AppendError(s"Could not load metadata in '$path'.")
       val m = Sidecar.load(spark, path)
+      if (m.columnRenames.nonEmpty)
+        throw new AppendError(
+          s"'$path' has metadata-only renamed columns; append through " +
+            "the graft sink (df.write.format(\"graft\") / INSERT " +
+            "INTO), which maps logical names to the on-disk physical " +
+            "names")
       if (m.indexColumns != this.indexColumns)
         throw new AppendError(
           s"Cannot append dataset with index columns ${this.indexColumns} " +
@@ -1008,16 +1058,23 @@ final class PDataset private[core] (
     //    storm at 10^4-10^5 partitions); otherwise concurrent driver
     //    threads issue the per-partition jobs in parallel.
     val written: IndexedSeq[(Int, String)] = scatterSourceFiles match {
-      case Some(srcFiles) =>
+      case Some((srcFiles, renames)) =>
         val stageParent = Option(dir.getParent).getOrElse(dir)
         val stage = GraftFs.mkStageDir(fs, stageParent, ".graft-scatter-")
         try {
           var reader = spark.read.format("parquet")
-          schemaOpt.foreach(s => reader = reader.schema(s))
+          val toPhys = renames.map(_.swap)
+          schemaOpt.foreach(s => reader = reader.schema(
+            if (renames.isEmpty) s
+            else StructType(s.fields.map(f =>
+              f.copy(name = toPhys.getOrElse(f.name, f.name))))))
           val ord = new FileOrdinal(srcFiles.zipWithIndex.map {
             case (f, i) => Stats.normalizePath(f) -> i
           }.toMap)
-          val tagged = reader.load(srcFiles: _*).withColumn("__part",
+          val loaded = reader.load(srcFiles: _*)
+          val logical = if (renames.isEmpty) loaded
+            else loaded.withColumnsRenamed(renames)
+          val tagged = logical.withColumn("__part",
             FileOrdinalExpr.ordinal(input_file_name(), ord))
           scatterPartFiles(tagged, parts.length, fs, dir, stage, fileNames)
         } finally GraftFs.deleteRecursive(fs, stage)
@@ -1085,15 +1142,19 @@ final class PDataset private[core] (
     * lands in its target reduce partition in file order, while a
     * multi-split file's blocks would interleave nondeterministically —
     * the per-partition fallback keeps exact order for those. */
-  private def scatterSourceFiles: Option[IndexedSeq[String]] = {
+  private def scatterSourceFiles
+      : Option[(IndexedSeq[String], Map[String, String])] = {
     if (parts.length < PDataset.scatterWriteThreshold) return None
-    val files = parts.collect { case FilePart(f, Nil, "parquet") => f }
-    if (files.length != parts.length ||
-        files.distinct.length != files.length) return None
+    val fps = parts.collect { case FilePart(f, Nil, "parquet", rn) => (f, rn) }
+    if (fps.length != parts.length ||
+        fps.map(_._2).distinct.length > 1) return None
+    val files = fps.map(_._1)
+    if (files.distinct.length != files.length) return None
+    val renames = fps.head._2
     val maxSplit =
       org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
     val sizes = GraftFs.fileSizes(GraftFs.conf(spark), files)
-    if (sizes.forall(_._2 <= maxSplit)) Some(files) else None
+    if (sizes.forall(_._2 <= maxSplit)) Some((files, renames)) else None
   }
 
   private def emptyIdxBound: Bound = Vector.fill(indexColumns.length)(None)
@@ -1321,8 +1382,14 @@ object PDataset {
   private[graft] var maxHistogramEntries: Long = 1L << 20
 
   private[core] sealed trait Part
+  /** `renames` (physical→logical, from metadata-only RENAME COLUMN)
+    * makes the file readable under the dataset's LOGICAL schema: the
+    * relation is built over the on-disk names and a rename Project —
+    * which Catalyst collapses into the scan for pushdown and
+    * pruning — restores the declared names. */
   private[core] final case class FilePart(file: String,
-      filters: List[SliceFilter], fmt: String = "parquet") extends Part
+      filters: List[SliceFilter], fmt: String = "parquet",
+      renames: Map[String, String] = Map.empty) extends Part
   private[core] final case class LazyPart(thunk: () => DataFrame) extends Part
   /** A partition that is a lower-inclusive index range [lo, hi) of a
     * SOURCE dataset (None = unbounded). Unlike an opaque [[LazyPart]]
@@ -1405,7 +1472,8 @@ object PDataset {
     val (_, p) = GraftFs.resolve(spark, dir)
     new PDataset(
       spark,
-      m.files.map(f => FilePart(new HPath(p, f).toString, Nil): Part),
+      m.files.map(f => FilePart(new HPath(p, f).toString, Nil,
+        "parquet", m.physToLogical): Part),
       m.indexColumns,
       Some(m.sizes),
       Some(m.lowerBounds),

@@ -21,7 +21,9 @@ private[graft] object ScatterWrite {
     * With `orderCols` set, rows are restored to that ordering within
     * each target partition before the sink; `dropOrderCols` controls
     * whether those columns are synthetic (dropped from the output) or
-    * data columns (kept).
+    * data columns (kept). `renames` (logical → PHYSICAL, from
+    * metadata-only RENAME COLUMN) applies last, so rewritten files
+    * carry the same on-disk names as the files they replace.
     */
   def partFiles(
       spark: SparkSession,
@@ -32,14 +34,18 @@ private[graft] object ScatterWrite {
       stage: HPath,
       nameOf: Int => String,
       orderCols: Seq[String] = Nil,
-      dropOrderCols: Boolean = true): IndexedSeq[(Int, String)] = {
+      dropOrderCols: Boolean = true,
+      renames: Map[String, String] = Map.empty):
+      IndexedSeq[(Int, String)] = {
     val shuffled = tagged.repartition(nparts, col("__part"))
-    val ordered =
+    val sorted =
       if (orderCols.isEmpty) shuffled
       else {
         val s = shuffled.sortWithinPartitions(orderCols.map(col): _*)
         if (dropOrderCols) s.drop(orderCols: _*) else s
       }
+    val ordered =
+      if (renames.isEmpty) sorted else sorted.withColumnsRenamed(renames)
     ordered
       .write
       .partitionBy("__part")

@@ -140,6 +140,46 @@ object Sidecar {
     /** The `txn` streaming-commit ledger: highest committed version
       * per writer app id (exactly-once idempotent appends — the
       * public Delta `txnAppId`/`txnVersion` pattern). */
+    /** Metadata-only column renames (`ALTER TABLE … RENAME COLUMN` /
+      * [[graft.operators.Maintenance.renameColumns]]), the Delta
+      * column-mapping idea: LOGICAL (declared) name → PHYSICAL name
+      * as written inside existing parquet files. Empty for a table
+      * never renamed; reads project physical back to logical (one
+      * alias Project Catalyst collapses into the scan), writes map
+      * logical to physical so files stay uniform. */
+    def columnRenames: Map[String, String] =
+      extras.get("columnRenames").map(_.asInstanceOf[Map[String, Any]]
+        .map { case (k, v) => k -> v.toString }).getOrElse(Map.empty)
+
+    def physicalName(c: String): String = columnRenames.getOrElse(c, c)
+
+    /** The schema as stored inside the data files. */
+    def physicalSchema: StructType =
+      if (columnRenames.isEmpty) schema
+      else StructType(schema.fields.map(f =>
+        f.copy(name = physicalName(f.name))))
+
+    def physToLogical: Map[String, String] =
+      columnRenames.map(_.swap)
+
+    /** Read table DATA files under this metadata: the physical
+      * (on-disk) schema, with renamed columns projected back to
+      * their logical names — internal maintenance/CDC scans use
+      * this instead of `spark.read.schema(schema)` so metadata-only
+      * renames never mis-read old files as null columns. */
+    def readData(spark: SparkSession, paths: Seq[String]): DataFrame = {
+      val df = spark.read.schema(physicalSchema)
+        .parquet(paths.toIndexedSeq: _*)
+      if (columnRenames.isEmpty) df
+      else df.withColumnsRenamed(physToLogical)
+    }
+
+    /** Rename a logical-named frame to the physical on-disk names
+      * before writing it into this table's directory. */
+    def toPhysical(df: DataFrame): DataFrame =
+      if (columnRenames.isEmpty) df
+      else df.withColumnsRenamed(columnRenames)
+
     /** Table-level write options declared at CREATE TABLE
       * (`OPTIONS (bloom 'c1', stats 'c2', constraint.nn 'v > 0',
       * autoCompact '…', files '…')`): persisted in the sidecar and

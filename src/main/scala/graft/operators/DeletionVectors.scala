@@ -146,8 +146,7 @@ object DeletionVectors {
       if (affected.isEmpty) return Report(0L, 0)
       val paths = affected.map(p => new HPath(dirPath, m.files(p)).toString)
       // Row positions of the hits, from ONLY the affected files.
-      val hits = spark.read.schema(m.schema)
-        .parquet(paths.toIndexedSeq: _*)
+      val hits = m.readData(spark, paths.toIndexedSeq)
         .select((keyCols.map(col) :+
           fileNameOf(col("_metadata.file_path")).as("file") :+
           col("_metadata.row_index").as("pos")): _*)
@@ -180,8 +179,7 @@ object DeletionVectors {
     val kept = pruneByPredicate(spark, dirPath, m, predicate)
     if (kept.isEmpty) return Report(0L, 0)
     val paths = kept.map(p => new HPath(dirPath, m.files(p)).toString)
-    val hits = spark.read.schema(m.schema)
-      .parquet(paths.toIndexedSeq: _*)
+    val hits = m.readData(spark, paths.toIndexedSeq)
       .withColumn("__file", fileNameOf(col("_metadata.file_path")))
       .withColumn("__pos", col("_metadata.row_index"))
       .filter(predicate)
@@ -241,8 +239,7 @@ object DeletionVectors {
       // source); the carried full metadata path routes instead.
       val partOf = new FileOrdinal(affected.map(p =>
         Stats.normalizePath(pathOf(p)) -> p).toMap)
-      val kept = spark.read.schema(m.schema)
-        .parquet(affected.map(pathOf).toIndexedSeq: _*)
+      val kept = m.readData(spark, affected.map(pathOf).toIndexedSeq)
         .withColumn("__path", col("_metadata.file_path"))
         .withColumn("__file", fileNameOf(col("__path")))
         .withColumn("__pos", col("_metadata.row_index"))
@@ -256,7 +253,8 @@ object DeletionVectors {
       val written =
         try ScatterWrite.partFiles(spark, kept, m.files.length, fs,
           dirPath, stage, i => newNameOf(i),
-          orderCols = m.indexColumns.toSeq, dropOrderCols = false)
+          orderCols = m.indexColumns.toSeq, dropOrderCols = false,
+          renames = m.columnRenames)
         finally GraftFs.deleteRecursive(fs, stage)
       val writtenSet = written.map(_._1).toSet
       val statsByPath =
@@ -265,7 +263,7 @@ object DeletionVectors {
           affected.filter(writtenSet)
             .map(p => new HPath(dirPath, newNameOf(p)).toString)
             .toIndexedSeq,
-          m.indexColumns, Some(m.schema))
+          m.indexColumns.map(m.physicalName), Some(m.physicalSchema))
       val affectedSet = affected.toSet
       val entries = m.files.indices.flatMap { p =>
         if (!affectedSet(p))

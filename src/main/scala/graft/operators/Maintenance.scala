@@ -382,6 +382,14 @@ object Maintenance {
       dir: String,
       fromMeta: Sidecar.Meta,
       toMeta: Sidecar.Meta): DataFrame = {
+    // A column rename between the endpoints would make the two sides
+    // of the diff disagree on names (null-filled ghost columns, every
+    // row a spurious change). Delta blocks CDF across column-mapping
+    // changes the same way.
+    require(fromMeta.columnRenames == toMeta.columnRenames,
+      s"change feed across a column rename is not supported for $dir; " +
+        "read changes from the renamed generation onward (or diff the " +
+        "endpoints manually)")
     val fromSet = fromMeta.files.toSet
     val toSet = toMeta.files.toSet
     val oldDf = alignTo(
@@ -467,7 +475,10 @@ object Maintenance {
       PDataset.fromSidecarMeta(spark, dir, Sidecar.Meta(
         idx.map(m.files), m.indexColumns, idx.map(m.sizes),
         idx.map(m.lowerBounds), idx.map(m.upperBounds),
-        m.maxPartitionIndex, m.schema)).toDF
+        m.maxPartitionIndex, m.schema,
+        // extras carry the column-rename mapping: the CDC diff must
+        // read renamed generations under their logical names
+        extras = m.extras)).toDF
   }
 
   /** Project `df` onto exactly `schema`'s columns: missing ones
@@ -650,6 +661,14 @@ object Maintenance {
     columns.foreach(f => require(
       !m.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
       s"column ${f.name} already exists"))
+    // a new column's on-disk name is itself: it may not collide with
+    // the PHYSICAL name a renamed column still occupies inside
+    // existing files (the reads would be ambiguous)
+    columns.foreach(f => require(
+      !m.physicalSchema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+      s"column ${f.name} collides with the on-disk (physical) name " +
+        "of a renamed column; pick another name or compact away the " +
+        "rename first"))
     val widened = org.apache.spark.sql.types.StructType(
       m.schema.fields ++ columns.map(_.copy(nullable = true)))
     guardUnchanged(spark, dirPath, loadedFp)
@@ -680,15 +699,104 @@ object Maintenance {
     val dropped = names.toSet
     val narrowed = org.apache.spark.sql.types.StructType(
       m.schema.fields.filterNot(f => dropped.contains(f.name)))
+    // a dropped renamed column takes its mapping entry with it
+    val newRenames = m.columnRenames -- dropped
+    val newExtras =
+      if (newRenames == m.columnRenames) m.extras
+      else if (newRenames.isEmpty) m.extras - "columnRenames"
+      else m.extras + ("columnRenames" -> newRenames)
     guardUnchanged(spark, dirPath, loadedFp)
     Sidecar.write(spark, dir, m.indexColumns, m.files, m.sizes,
       m.lowerBounds, m.upperBounds, m.maxPartitionIndex, narrowed,
-      extras = m.extras)
+      extras = newExtras)
     // a bloom index or column stats on a dropped column must go with
     // it: later maintenance refreshes would fail on the ghost column,
     // and stale stats would mis-describe a re-added namesake
     graft.core.BloomIndex.dropColumnEntries(spark, dir, dropped)
     graft.core.ColumnStats.dropColumnEntries(spark, dir, dropped)
+  }
+
+  /** `ALTER TABLE … RENAME COLUMN` — METADATA-ONLY, the Delta
+    * column-mapping idea: the sidecar records logical → physical
+    * (on-disk) name, reads project physical back to logical (one
+    * alias Project Catalyst collapses into the scan — file pruning,
+    * pushdown and bloom/colstats lookups all run in physical space,
+    * which a rename never changes), and every write maps logical back
+    * to physical so files stay uniform. Zero data I/O at any table
+    * size; index columns rename freely (bounds are value-based).
+    * CHECK constraints referencing the column refuse (their stored
+    * SQL text cannot be rewritten safely) — drop and re-add them. */
+  def renameColumns(
+      spark: SparkSession,
+      dir: String,
+      renames: (String, String)*): Unit = {
+    require(renames.nonEmpty, "at least one column to rename")
+    val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    val loadedFp = metaFingerprint(spark, dirPath)
+    val m = Sidecar.load(spark, dir)
+    Constraints.requireUnreferenced(spark, dir, renames.map(_._1))
+    val froms = renames.map(_._1)
+    require(froms.distinct.length == froms.length,
+      "a column may be renamed only once per call")
+    renames.foreach { case (from, to) =>
+      require(m.schema.fieldNames.contains(from), s"no such column: $from")
+      require(from != to, s"rename $from -> $to is a no-op")
+    }
+    val fromSet = froms.toSet
+    val remaining = m.schema.fieldNames.filterNot(fromSet).toSeq
+    val targets = renames.map(_._2)
+    require(targets.distinct.length == targets.length,
+      "two columns may not rename to the same name")
+    targets.foreach { to =>
+      require(!remaining.exists(_.equalsIgnoreCase(to)),
+        s"column $to already exists")
+      // the new logical name may not shadow a DIFFERENT column's
+      // on-disk name (reads would be ambiguous in physical space)
+      val physInUse = m.schema.fieldNames.filterNot(fromSet)
+        .map(m.physicalName).toSet
+      require(!physInUse.exists(_.equalsIgnoreCase(to)) ||
+        renames.exists { case (f, t) => t == to && m.physicalName(f)
+          .equalsIgnoreCase(to) },
+        s"column $to collides with the on-disk (physical) name of " +
+          "another column; pick another name")
+    }
+    val renameMap = renames.toMap
+    val newSchema = org.apache.spark.sql.types.StructType(
+      m.schema.fields.map(f =>
+        f.copy(name = renameMap.getOrElse(f.name, f.name))))
+    val newIndex = m.indexColumns.map(c => renameMap.getOrElse(c, c))
+    // compose with any earlier rename: the physical name is wherever
+    // the column ALREADY lives on disk; an entry that lands back on
+    // its own physical name cancels out. An empty table needs no
+    // mapping at all — its first files will carry the new names.
+    val composed =
+      if (m.files.isEmpty) Map.empty[String, String]
+      else m.schema.fieldNames.map { old =>
+        renameMap.getOrElse(old, old) -> m.physicalName(old)
+      }.filter { case (l, p) => l != p }.toMap
+    // CREATE TABLE OPTIONS name columns too (bloom/stats lists):
+    // follow the rename so later inserts keep honoring them
+    val opts = m.tableOptions
+    val newOpts: Map[String, String] = opts.map { case (k, v) =>
+      if (k.equalsIgnoreCase("bloom") || k.equalsIgnoreCase("stats"))
+        k -> v.split(",").map(_.trim).filter(_.nonEmpty)
+          .map(c => renameMap.getOrElse(c, c)).mkString(",")
+      else k -> v
+    }
+    val withOpts =
+      if (newOpts == opts) m.extras
+      else m.extras + ("tableOptions" -> newOpts)
+    val newExtras =
+      if (composed.isEmpty) withOpts - "columnRenames"
+      else withOpts + ("columnRenames" -> composed)
+    guardUnchanged(spark, dirPath, loadedFp)
+    Sidecar.write(spark, dir, newIndex, m.files, m.sizes,
+      m.lowerBounds, m.upperBounds, m.maxPartitionIndex, newSchema,
+      extras = newExtras)
+    // derived sidecars are keyed by LOGICAL name: re-key their
+    // entries (driver-side rewrite, no filter or stat recomputes)
+    graft.core.BloomIndex.renameColumnEntries(spark, dir, renameMap)
+    graft.core.ColumnStats.renameColumnEntries(spark, dir, renameMap)
   }
 
   // ---- compact ----
@@ -804,7 +912,7 @@ object Maintenance {
       val stage = GraftFs.mkStageDir(fs,
         Option(dirPath.getParent).getOrElse(dirPath), ".graft-compact-")
       try {
-        val tagged = spark.read.schema(m.schema).parquet(memberFiles: _*)
+        val tagged = m.readData(spark, memberFiles)
           .withColumn("__part",
             FileOrdinalExpr.ordinal(input_file_name(), groupOf))
           .withColumn("__ord",
@@ -812,16 +920,17 @@ object Maintenance {
               .cast("long"), 33) +
               monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
         ScatterWrite.partFiles(spark, tagged, merges.length, fs, dirPath,
-          stage, i => newNameOfGroup(i), orderCols = Seq("__ord"))
+          stage, i => newNameOfGroup(i), orderCols = Seq("__ord"),
+          renames = m.columnRenames)
       } finally GraftFs.deleteRecursive(fs, stage)
     } else {
       implicit val ec: ExecutionContext = PDataset.writeEc
       val writes = merges.zipWithIndex.map { case (g, gi) =>
         Future {
-          val df = g.map(p => spark.read.schema(m.schema).parquet(pathOf(p)))
+          val df = g.map(p => m.readData(spark, Seq(pathOf(p))))
             .reduceLeft(_.union(_))
-          Sidecar.writeSingleParquet(
-            df, new HPath(dirPath, newNameOfGroup(gi)).toString)
+          Sidecar.writeSingleParquet(m.toPhysical(df),
+            new HPath(dirPath, newNameOfGroup(gi)).toString)
         }
       }
       writes.foreach(Await.result(_, SDuration.Inf))
@@ -958,9 +1067,9 @@ object Maintenance {
     val writes = rewritePos.map { p =>
       Future {
         Sidecar.writeSingleParquet(
-          spark.read.schema(m.schema)
-            .parquet(new HPath(dirPath, m.files(p)).toString)
-            .filter(survives),
+          m.toPhysical(m.readData(spark,
+            Seq(new HPath(dirPath, m.files(p)).toString))
+            .filter(survives)),
           new HPath(dirPath, newNameOf(p)).toString)
       }
     }
@@ -971,7 +1080,7 @@ object Maintenance {
     // is dropped like a fully-covered file.
     val statsByPath = Stats.forFiles(spark,
       rewritePos.map(p => new HPath(dirPath, newNameOf(p)).toString),
-      m.indexColumns, Some(m.schema))
+      m.indexColumns.map(m.physicalName), Some(m.physicalSchema))
     val dropSet = dropPos.toSet
     val emptied = scala.collection.mutable.Set.empty[Int]
     val entries = m.files.indices.flatMap { p =>
@@ -1041,9 +1150,8 @@ object Maintenance {
     val candidates =
       DeletionVectors.pruneByPredicate(spark, dirPath, m, cond)
     if (candidates.isEmpty) Set.empty
-    else spark.read.schema(m.schema)
-      .parquet(candidates.map(p =>
-        new HPath(dirPath, m.files(p)).toString): _*)
+    else m.readData(spark, candidates.map(p =>
+        new HPath(dirPath, m.files(p)).toString))
       .filter(cond)
       .select(element_at(split(col("_metadata.file_path"), "/"), -1)
         .as("f"))
@@ -1114,7 +1222,7 @@ object Maintenance {
         .getOrElse(col(f.name))
     }
     Constraints.enforce(spark, dir,
-      spark.read.schema(m.schema).parquet(affected.map(pathOf): _*)
+      m.readData(spark, affected.map(pathOf))
         .filter(hit).select(updatedCols: _*),
       "updateWhere")
 
@@ -1142,8 +1250,7 @@ object Maintenance {
     // UPDATE on a 10^5-file table pays 2 write tasks, not 10^5.
     val partOf = new FileOrdinal(affected.zipWithIndex.map {
       case (p, j) => Stats.normalizePath(pathOf(p)) -> j }.toMap)
-    val updated = spark.read.schema(m.schema)
-      .parquet(affected.map(pathOf).toIndexedSeq: _*)
+    val updated = m.readData(spark, affected.map(pathOf))
       .withColumn("__part",
         FileOrdinalExpr.ordinal(input_file_name(), partOf))
       .select(updatedCols :+ col("__part"): _*)
@@ -1152,7 +1259,8 @@ object Maintenance {
     val written =
       try ScatterWrite.partFiles(spark, updated, affected.length, fs,
         dirPath, stage, j => newNameOf(affected(j)),
-        orderCols = m.indexColumns.toSeq, dropOrderCols = false)
+        orderCols = m.indexColumns.toSeq, dropOrderCols = false,
+        renames = m.columnRenames)
       finally GraftFs.deleteRecursive(fs, stage)
     require(written.map(_._1).toSet == affected.indices.toSet,
       s"updateWhere scatter wrote ${written.length} partitions, " +
@@ -1161,7 +1269,7 @@ object Maintenance {
     // Exact stats for just the rewritten files (one job).
     val statsByPath = Stats.forFiles(spark,
       affected.map(p => new HPath(dirPath, newNameOf(p)).toString),
-      m.indexColumns, Some(m.schema))
+      m.indexColumns.map(m.physicalName), Some(m.physicalSchema))
     val affectedSet = affected.toSet
     val entries = m.files.indices.map { p =>
       if (!affectedSet(p))
@@ -1226,8 +1334,7 @@ object Maintenance {
     val destCol =
       if (m.files.length == 1) lit(0)
       else DivisionRouter.route(keyCols.map(col), m.lowerBounds.drop(1))
-    val routed = spark.read.schema(m.schema)
-      .parquet(srcAffected.map(pathOf): _*)
+    val routed = m.readData(spark, srcAffected.map(pathOf))
       .withColumn("__orig",
         FileOrdinalExpr.ordinal(input_file_name(), srcPartOf))
       .select(updatedCols ++ Seq(col("__orig"), hit.as("__hit")): _*)
@@ -1253,8 +1360,7 @@ object Maintenance {
         case ds =>
           val destPartOf = new FileOrdinal(ds.map(p =>
             Stats.normalizePath(pathOf(p)) -> p).toMap)
-          moved.unionByName(spark.read.schema(m.schema)
-            .parquet(ds.map(pathOf): _*)
+          moved.unionByName(m.readData(spark, ds.map(pathOf))
             .withColumn("__dest",
               FileOrdinalExpr.ordinal(input_file_name(), destPartOf))
             .select(dataCols :+ col("__dest"): _*))
@@ -1274,7 +1380,8 @@ object Maintenance {
       val writtenDense =
         try ScatterWrite.partFiles(spark, tagged, affected.length, fs,
           dirPath, stage, j => newNameOf(affected(j)),
-          orderCols = keyCols, dropOrderCols = false)
+          orderCols = keyCols, dropOrderCols = false,
+          renames = m.columnRenames)
         finally GraftFs.deleteRecursive(fs, stage)
       require(writtenDense.forall(w =>
         w._1 >= 0 && w._1 < affected.length),
@@ -1290,7 +1397,7 @@ object Maintenance {
         else Stats.forFiles(spark,
           affected.filter(writtenSet)
             .map(p => new HPath(dirPath, newNameOf(p)).toString),
-          m.indexColumns, Some(m.schema))
+          m.indexColumns.map(m.physicalName), Some(m.physicalSchema))
       val entries = m.files.indices.flatMap { p =>
         if (!affectedSet(p))
           Some((m.files(p), m.sizes(p), m.lowerBounds(p),
@@ -1373,7 +1480,10 @@ object Maintenance {
         .sortWithinPartitions(keys: _*)
         .write.option("compression", "zstd")
         .mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
-      PDataset.writeMetadata(spark, dir, m.indexColumns, m.extras)
+      // fresh files carry the LOGICAL names; a mapping left over from
+      // a rename on the (since-emptied) table no longer applies
+      PDataset.writeMetadata(spark, dir, m.indexColumns,
+        m.extras - "columnRenames")
       return Report(0, 0, 0, 0, 0)
     }
     (0 until m.files.length - 1).foreach { i =>
@@ -1420,8 +1530,7 @@ object Maintenance {
       val denseOf: Map[Int, Int] = affected.zipWithIndex.toMap
       val partOf = new FileOrdinal(affected.zipWithIndex.map {
         case (p, j) => Stats.normalizePath(pathOf(p)) -> j }.toMap)
-      val survivors = spark.read.schema(m.schema)
-        .parquet(affected.map(pathOf).toIndexedSeq: _*)
+      val survivors = m.readData(spark, affected.map(pathOf))
         .filter(survives)
         .withColumn("__part",
           FileOrdinalExpr.ordinal(input_file_name(), partOf))
@@ -1433,7 +1542,8 @@ object Maintenance {
       val writtenDense =
         try ScatterWrite.partFiles(spark, combined, affected.length, fs,
           dirPath, stage, j => newNameOf(affected(j)),
-          orderCols = keyCols, dropOrderCols = false)
+          orderCols = keyCols, dropOrderCols = false,
+          renames = m.columnRenames)
         finally GraftFs.deleteRecursive(fs, stage)
       require(writtenDense.forall(w => w._1 >= 0 && w._1 < affected.length),
         s"replaceWhere scatter wrote unexpected partitions " +
@@ -1449,7 +1559,7 @@ object Maintenance {
           affected.filter(writtenSet)
             .map(p => new HPath(dirPath, newNameOf(p)).toString)
             .toIndexedSeq,
-          m.indexColumns, Some(m.schema))
+          m.indexColumns.map(m.physicalName), Some(m.physicalSchema))
       val entries = m.files.indices.flatMap { p =>
         if (!affectedSet(p))
           Some((m.files(p), m.sizes(p), m.lowerBounds(p),
@@ -1662,8 +1772,7 @@ object Maintenance {
     val denseOf: Map[Int, Int] = affected.zipWithIndex.toMap
     val partOf = new FileOrdinal(affected.zipWithIndex.map {
       case (p, j) => Stats.normalizePath(pathOf(p)) -> j }.toMap)
-    val old = spark.read.schema(m.schema)
-      .parquet(affected.map(pathOf).toIndexedSeq: _*)
+    val old = m.readData(spark, affected.map(pathOf).toIndexedSeq)
       .withColumn("__part", FileOrdinalExpr.ordinal(input_file_name(), partOf))
 
     // Per key (one window shuffle): an update replaces ALL stored
@@ -1683,7 +1792,8 @@ object Maintenance {
     val writtenDense =
       try ScatterWrite.partFiles(spark, resolved, affected.length, fs,
         dirPath, stage, j => newNameOf(affected(j)),
-        orderCols = keyCols, dropOrderCols = false)
+        orderCols = keyCols, dropOrderCols = false,
+        renames = m.columnRenames)
       finally GraftFs.deleteRecursive(fs, stage)
     require(writtenDense.forall(x => x._1 >= 0 && x._1 < affected.length),
       s"merge scatter wrote unexpected partitions " +
@@ -1703,7 +1813,7 @@ object Maintenance {
       else Stats.forFiles(spark,
         affected.filter(writtenSet)
           .map(p => new HPath(dirPath, newNameOf(p)).toString).toIndexedSeq,
-        m.indexColumns, Some(m.schema))
+        m.indexColumns.map(m.physicalName), Some(m.physicalSchema))
     val entries = m.files.indices.flatMap { p =>
       if (!affectedSet(p))
         Some((m.files(p), m.sizes(p), m.lowerBounds(p), m.upperBounds(p)))

@@ -370,11 +370,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(del.fieldNames.length == 1,
           "graft tables have no nested columns to drop from")
         Maintenance.dropColumns(spark, p, del.fieldNames.head)
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames.length == 1,
+          "graft tables have no nested columns to rename")
+        Maintenance.renameColumns(spark, p,
+          rn.fieldNames.head -> rn.newName)
       case other =>
         throw new UnsupportedOperationException(
           s"ALTER TABLE change ${other.getClass.getSimpleName} is not " +
             "supported on graft tables (supported: ADD COLUMNS, " +
-            "DROP COLUMN)")
+            "DROP COLUMN, RENAME COLUMN)")
     }
     loadTable(ident)
   }
@@ -612,6 +617,31 @@ final class GraftTable(
         s"table $tableName has pending deletion vectors; materialize " +
           "them (DeletionVectors.apply) or read through " +
           "spark.read.format(\"graft\"), which merges on read")
+    // The raw V2 parquet scan reads by on-disk name and cannot carry
+    // the physical→logical rename translation. Extension sessions
+    // splice catalog READS to the rename-aware V1 relation before any
+    // scan builds; write/row-level commands still instantiate a scan
+    // builder on their target during pushdown without ever running
+    // it — so refuse lazily, at the point the scan would execute.
+    if (meta.columnRenames.nonEmpty) {
+      val logical = meta.schema
+      val who = tableName
+      return new ScanBuilder {
+        override def build(): org.apache.spark.sql.connector.read.Scan =
+          new org.apache.spark.sql.connector.read.Scan {
+            override def readSchema(): StructType = logical
+            override def description(): String =
+              s"graft renamed-column scan (V1 only) for $who"
+            override def toBatch
+                : org.apache.spark.sql.connector.read.Batch =
+              throw new IllegalStateException(
+                s"table $who has metadata-only renamed columns; read " +
+                  "it in a session with graft.GraftExtensions (which " +
+                  "serves catalog reads through the rename-aware " +
+                  "relation) or through spark.read.format(\"graft\")")
+          }
+      }
+    }
     GraftRelations.v2ScanBuilder(spark, path, meta, options)
   }
 

@@ -371,8 +371,10 @@ final class GraftSource extends RelationProvider
       case Some((m0, fp0)) =>
         // Incremental append: diff the listing around the write, stat
         // ONLY the new files (one job over the delta), merge entries.
+        // Appended files carry the target's PHYSICAL column names
+        // (metadata-only renames map logical back to on-disk names).
         val before = dataFileNames()
-        shaped.sortWithinPartitions(keys: _*)
+        m0.toPhysical(shaped.sortWithinPartitions(keys: _*))
           .write.mode(SaveMode.Append).parquet(path)
         val added = (dataFileNames() -- before).toIndexedSeq.sorted
         // Bounded OCC retry: a maintenance commit (compact, upsert,
@@ -395,8 +397,8 @@ final class GraftSource extends RelationProvider
         while (!installed) {
           val addedPaths = added.filterNot(m.files.contains)
             .map(n => new HPath(p, n).toString)
-          val byFile =
-            Stats.forFiles(spark, addedPaths, index, Some(m.schema))
+          val byFile = Stats.forFiles(spark, addedPaths,
+            index.map(m.physicalName), Some(m.physicalSchema))
           val kept = addedPaths.filter(f =>
             byFile.contains(Stats.normalizePath(f)))
           val names = kept.map(f => new HPath(f).getName)

@@ -433,7 +433,8 @@ object GraftRelations {
       indexCols: Seq[String],
       lbs: IndexedSeq[Bound],
       ubs: IndexedSeq[Bound],
-      rowCounts: Option[IndexedSeq[Long]] = None): DataFrame = {
+      rowCounts: Option[IndexedSeq[Long]] = None,
+      renames: Map[String, String] = Map.empty): DataFrame = {
     val ss = spark.asInstanceOf[classic.SparkSession]
     // Byte lengths via Hadoop FileSystem, one listing per parent dir —
     // works for local, HDFS and object-store datasets alike.
@@ -449,7 +450,7 @@ object GraftRelations {
       rowCounts = rowCounts,
       extraStats = graft.core.ColumnStats.pruning(raw),
       rawColStats = raw)
-    relationDF(ss, index, schema)
+    relationDF(ss, index, schema, renames)
   }
 
   /** Relation over files carrying INDEPENDENT per-column min/max
@@ -494,7 +495,9 @@ object GraftRelations {
       partitionSchema = StructType(Nil),
       dataSchema = m.schema,
       bucketSpec = None,
-      fileFormat = new ParquetFileFormat(),
+      fileFormat =
+        if (m.columnRenames.isEmpty) new ParquetFileFormat()
+        else new GraftRenameParquetFileFormat(m.columnRenames),
       options = Map.empty)(spark.asInstanceOf[classic.SparkSession])
   }
 
@@ -543,13 +546,18 @@ object GraftRelations {
   private def relationDF(
       ss: classic.SparkSession,
       index: GraftFileIndex,
-      schema: StructType): DataFrame = {
+      schema: StructType,
+      renames: Map[String, String] = Map.empty): DataFrame = {
     val rel = HadoopFsRelation(
       index,
       partitionSchema = StructType(Nil),
       dataSchema = schema,
       bucketSpec = None,
-      fileFormat = new ParquetFileFormat(),
+      // metadata-only renamed columns translate to on-disk names at
+      // the parquet reader boundary; the relation stays logical-facing
+      fileFormat =
+        if (renames.isEmpty) new ParquetFileFormat()
+        else new GraftRenameParquetFileFormat(renames),
       options = Map.empty)(ss)
     classic.Dataset.ofRows(ss, LogicalRelation(rel))
   }

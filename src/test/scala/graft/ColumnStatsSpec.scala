@@ -267,7 +267,9 @@ class ColumnStatsSpec extends AnyFunSuite {
       dir.listFiles().map(_.toString).filter(_.endsWith(".parquet")).head
     }
     val entries = ColumnStats.fileEntries(
-      spark, Seq(one("full"), one("empty")), Seq("v"), schema)
+      spark, Seq(one("full"), one("empty")), Seq("v"),
+      graft.core.Sidecar.Meta(Vector.empty, Seq("k"), Vector.empty,
+        Vector.empty, Vector.empty, -1L, schema))
     assert(entries.length == 2,
       "the zero-row file must get an explicit entry, not vanish")
     val empty = entries.find(

@@ -467,6 +467,58 @@ class GraftCatalogSpec extends AnyFunSuite {
       messagesOf(e2).mkString("\n"))
   }
 
+  test("ALTER TABLE RENAME COLUMN is metadata-only: old files " +
+      "readable under new names, inserts and row-level SQL follow") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.ren (k BIGINT, tag STRING, " +
+      "v DOUBLE) USING graft TBLPROPERTIES('index'='k') " +
+      "OPTIONS (bloom 'tag', stats 'v')")
+    spark.sql("INSERT INTO gcat.db.ren " +
+      "SELECT id, CONCAT('t', id), CAST(id AS DOUBLE) FROM range(0, 50)")
+    val dir = s"$warehouse/db/ren"
+    val filesBefore = graft.core.Sidecar.load(spark, dir).files.toSet
+
+    spark.sql("ALTER TABLE gcat.db.ren RENAME COLUMN v TO value")
+    spark.sql("ALTER TABLE gcat.db.ren RENAME COLUMN k TO key") // index
+    assert(graft.core.Sidecar.load(spark, dir).files.toSet == filesBefore,
+      "rename must rewrite zero data files")
+
+    // old files read correctly under the new names, with pruning
+    assert(spark.sql("SELECT sum(value) AS s FROM gcat.db.ren " +
+      "WHERE key < 10").head.getDouble(0) == 45.0)
+    assert(spark.table("gcat.db.ren").columns.toSeq ==
+      Seq("key", "tag", "value"))
+    // a bloom lookup on the untouched column still serves
+    assert(spark.sql("SELECT count(*) AS n FROM gcat.db.ren " +
+      "WHERE tag = 't7'").head.getLong(0) == 1L)
+
+    // inserts under the new names land beside the old files (the sink
+    // maps logical to physical; the stats sidecar updates on 'value')
+    spark.sql("INSERT INTO gcat.db.ren " +
+      "SELECT id, CONCAT('t', id), CAST(id AS DOUBLE) " +
+      "FROM range(50, 80)")
+    assert(spark.table("gcat.db.ren").count() == 80)
+    assert(spark.sql("SELECT value FROM gcat.db.ren WHERE key = 70")
+      .head.getDouble(0) == 70.0)
+
+    // row-level SQL under the renamed schema
+    spark.sql("UPDATE gcat.db.ren SET value = -1 WHERE key < 3")
+    assert(spark.sql("SELECT sum(value) AS s FROM gcat.db.ren " +
+      "WHERE key < 3").head.getDouble(0) == -3.0)
+    spark.sql("DELETE FROM gcat.db.ren WHERE key >= 78")
+    assert(spark.table("gcat.db.ren").count() == 78)
+
+    // renaming a constraint-referenced column refuses loudly
+    spark.sql("CREATE TABLE gcat.db.ren2 (k BIGINT, v DOUBLE) " +
+      "USING graft TBLPROPERTIES('index'='k') " +
+      "OPTIONS (`constraint.pos` 'v >= 0')")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.db.ren2 RENAME COLUMN v TO w")
+    }
+    assert(messagesOf(e).mkString.toLowerCase.contains("constraint"),
+      messagesOf(e).mkString("\n"))
+  }
+
   private def messagesOf(t: Throwable): Seq[String] =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
       .flatMap(e => Option(e.getMessage)).toSeq

@@ -923,6 +923,79 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("renameColumns is metadata-only: bytes untouched, reads and " +
+      "keyed writes work under the new names, physical names persist") {
+    val dir = tempDir("maint-rename") + "/ds"
+    writeKeyed(dir, 200, 50) // 4 files: k (index), grp, payload
+    graft.core.ColumnStats.build(spark, dir, Seq("grp"))
+    graft.core.BloomIndex.build(spark, dir, Seq("payload"))
+    val before = fileState(dir)
+
+    Maintenance.renameColumns(spark, dir,
+      "k" -> "key", "payload" -> "text")
+    assert(fileState(dir) == before,
+      "rename must not touch a single data file")
+    val ds = PDataset.scanParquet(spark, dir)
+    assert(ds.toDF.columns.toSeq == Seq("key", "grp", "text"))
+    assert(Sidecar.load(spark, dir).indexColumns == Seq("key"))
+    // old files read correctly under the new names, with pruning
+    assert(ds.toDF.filter(col("key") === 123L).head().getString(2)
+      == "v123")
+    assert(ds.slice(Vector(Some(50L)), Vector(Some(100L)),
+      inclusive = "lower").toDF.count() == 50)
+    // derived sidecars re-keyed, still armed: a bloom point lookup on
+    // the renamed column and a colstats prune both still plan
+    assert(ds.toDF.filter(col("text") === "v60").count() == 1)
+
+    // a keyed write under the NEW names rewrites one file; the new
+    // file carries the PHYSICAL (old) column names like its siblings
+    val r = Maintenance.upsert(spark, dir,
+      Seq((60L, 4, "NEW")).toDF("key", "grp", "text"))
+    assert(r.rewritten == 1, r.toString)
+    val after = PDataset.scanParquet(spark, dir).toDF
+    assert(after.count() == 200)
+    assert(after.filter(col("key") === 60L).head().getString(2) == "NEW")
+    val m = Sidecar.load(spark, dir)
+    m.files.foreach { f =>
+      val raw = spark.read.parquet(s"$dir/$f")
+      assert(raw.columns.toSeq == Seq("k", "grp", "payload"),
+        s"$f must keep the physical names, got ${raw.columns.toSeq}")
+    }
+    // a second rename composes: logical key -> id, physical stays k
+    Maintenance.renameColumns(spark, dir, "key" -> "id")
+    assert(Sidecar.load(spark, dir).columnRenames ==
+      Map("id" -> "k", "text" -> "payload"))
+    assert(PDataset.scanParquet(spark, dir).toDF
+      .filter(col("id") === 60L).head().getString(2) == "NEW")
+    // updateWhere under the renamed schema
+    val r2 = Maintenance.updateWhere(spark, dir,
+      col("id") === 61L, Seq("text" -> lit("UPD")))
+    assert(r2.rewritten == 1)
+    assert(PDataset.scanParquet(spark, dir).toDF
+      .filter(col("id") === 61L).head().getString(2) == "UPD")
+  }
+
+  test("change feed refuses to cross a column rename; renamed " +
+      "generations feed CDF among themselves") {
+    val dir = tempDir("maint-rename-cdf") + "/ds"
+    writeKeyed(dir, 100, 50)
+    Maintenance.upsert(spark, dir,
+      keyedDF(5, 1).withColumn("payload", lit("X")), retain = true)
+    Maintenance.renameColumns(spark, dir, "payload" -> "text")
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.changes(spark, dir, 0).collect()
+    }
+    assert(e.getMessage.contains("column rename"), e.getMessage)
+    // after the rename, retained mutations diff cleanly again
+    Maintenance.upsert(spark, dir,
+      Seq((7L, 0, "Y")).toDF("k", "grp", "text"), retain = true)
+    val feed = Maintenance.changes(spark, dir, 1)
+      .select("k", "text", "change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(feed == Set((7L, "v7", "update_preimage"),
+      (7L, "Y", "update_postimage")), feed.toString)
+  }
+
   test("programmatic updateWhere/replaceWhere refuse non-deterministic " +
       "conditions (discovery and rewrite evaluate them independently)") {
     val dir = tempDir("maint-nondet") + "/ds"
