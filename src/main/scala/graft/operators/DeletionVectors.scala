@@ -71,6 +71,58 @@ object DeletionVectors {
         s"$dir first — in SQL, `OPTIMIZE <table> TARGET <n> ROWS` " +
         "materializes pending deletes before compacting")
 
+  /** The pending overlay rows `(file, pos)` for rewriting ops that
+    * FOLD affected files' vectors into their rewrite instead of
+    * refusing ([[Maintenance.updateWhere]] / `replaceWhere` / keyed
+    * merges) — the scan drops the marked rows, the commit clears
+    * exactly those files' entries via [[dropEntriesForFiles]]. */
+  private[operators] def pending(
+      spark: SparkSession, dir: String): Option[DataFrame] = {
+    val (_, dirPath) = GraftFs.resolve(spark, dir)
+    loadDv(spark, dirPath)
+  }
+
+  /** Drop `df`'s rows that the overlay marks deleted; `df` must still
+    * expose the file `_metadata` (read the files directly, before any
+    * projection that hides it). Broadcast ∝ pending marks. */
+  private[operators] def minus(df: DataFrame, dv: DataFrame): DataFrame =
+    df.withColumn("__dvf", fileNameOf(col("_metadata.file_path")))
+      .withColumn("__dvp", col("_metadata.row_index"))
+      .join(broadcast(dv),
+        col("__dvf") === dv("file") && col("__dvp") === dv("pos"),
+        "left_anti")
+      .drop("__dvf", "__dvp")
+
+  /** Remove the overlay entries of `files` (names a rewrite just
+    * replaced — their marks are now folded into the new files): the
+    * surviving entries land as ONE fresh commit, then the old commit
+    * dirs delete. A crash between the steps only duplicates surviving
+    * entries (the scan distincts) or leaves entries naming dead files
+    * (which never match a scan again) — never resurrects a row. */
+  private[operators] def dropEntriesForFiles(
+      spark: SparkSession, dir: String, files: Set[String]): Unit = {
+    if (files.isEmpty) return
+    val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    val commits = GraftFs.listStatuses(fs, dvDir(dirPath))
+      .filter(_.isDirectory).map(_.getPath)
+    if (commits.isEmpty) return
+    // anti-join, not an IN literal: a wide rewrite can clear 10^4+
+    // files' entries in one commit
+    import spark.implicits._
+    val dv = spark.read.parquet(commits.map(_.toString): _*)
+      .join(files.toSeq.toDF("file"), Seq("file"), "left_anti")
+      .distinct().persist()
+    try {
+      if (dv.isEmpty) { GraftFs.deleteRecursive(fs, dvDir(dirPath)); () }
+      else {
+        val commit = new HPath(dvDir(dirPath),
+          s"dv-${System.currentTimeMillis()}-${java.util.UUID.randomUUID()}")
+        dv.write.option("compression", "zstd").parquet(commit.toString)
+        commits.foreach(c => GraftFs.deleteRecursive(fs, c))
+      }
+    } finally { dv.unpersist(); () }
+  }
+
   private def loadDv(
       spark: SparkSession, dirPath: HPath): Option[DataFrame] = {
     val (fs, _) = GraftFs.resolve(spark, dirPath.toString)

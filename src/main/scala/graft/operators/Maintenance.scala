@@ -1146,16 +1146,26 @@ object Maintenance {
       spark: SparkSession,
       dirPath: HPath,
       m: Sidecar.Meta,
-      cond: Column): Set[String] = {
+      cond: Column,
+      dvOpt: Option[DataFrame] = None): Set[String] = {
     val candidates =
       DeletionVectors.pruneByPredicate(spark, dirPath, m, cond)
     if (candidates.isEmpty) Set.empty
-    else m.readData(spark, candidates.map(p =>
+    else {
+      // file identity is derived BEFORE the overlay anti-join
+      // (input_file_name/_metadata cannot sit above a multi-source
+      // plan); only LIVE rows count as hits — a match on a row a
+      // pending deletion vector already removed must not force a
+      // rewrite
+      val base = m.readData(spark, candidates.map(p =>
         new HPath(dirPath, m.files(p)).toString))
-      .filter(cond)
-      .select(element_at(split(col("_metadata.file_path"), "/"), -1)
-        .as("f"))
-      .distinct().collect().map(_.getString(0)).toSet
+        .withColumn("__f",
+          element_at(split(col("_metadata.file_path"), "/"), -1))
+      dvOpt.fold(base)(DeletionVectors.minus(base, _))
+        .filter(cond)
+        .select(col("__f").as("f"))
+        .distinct().collect().map(_.getString(0)).toSet
+    }
   }
 
   /** Condition guard shared by the copy-on-write rewrites: the
@@ -1192,10 +1202,15 @@ object Maintenance {
       cond: Column,
       assignments: Seq[(String, Column)],
       retain: Boolean = false): Report = {
-    DeletionVectors.requireNone(spark, dir, "updateWhere")
     val (fs, dirPath) = GraftFs.resolve(spark, dir)
     val loadedFp = metaFingerprint(spark, dirPath)
     val m = Sidecar.load(spark, dir)
+    // Pending deletion vectors FOLD into the rewrite: affected
+    // files' marked rows drop from the copy-on-write scan, and the
+    // commit clears exactly those files' overlay entries — a SQL
+    // DELETE (DV overlay) followed by UPDATE on the same band works
+    // in place, no materialize step required.
+    val dvOpt = DeletionVectors.pending(spark, dir)
     requireDeterministicCond(spark, m.schema, cond, "updateWhere")
     require(assignments.nonEmpty,
       "updateWhere needs at least one assignment")
@@ -1210,7 +1225,7 @@ object Maintenance {
     // Metadata-only pruning, then one pushed-down scan over the
     // candidates for the files with actual hits.
     def pathOf(p: Int): String = new HPath(dirPath, m.files(p)).toString
-    val hitNames = filesWithHits(spark, dirPath, m, cond)
+    val hitNames = filesWithHits(spark, dirPath, m, cond, dvOpt)
     val affected = m.files.indices.filter(i => hitNames(m.files(i)))
     if (affected.isEmpty) return Report(0, 0, 0, 0, m.files.length)
 
@@ -1221,8 +1236,12 @@ object Maintenance {
           .as(f.name))
         .getOrElse(col(f.name))
     }
+    def readAffectedLive(paths: Seq[String]): DataFrame = {
+      val base = m.readData(spark, paths)
+      dvOpt.fold(base)(DeletionVectors.minus(base, _))
+    }
     Constraints.enforce(spark, dir,
-      m.readData(spark, affected.map(pathOf))
+      readAffectedLive(affected.map(pathOf))
         .filter(hit).select(updatedCols: _*),
       "updateWhere")
 
@@ -1235,7 +1254,7 @@ object Maintenance {
     // join the rewrite — bounds stay disjoint by construction.
     if (m.indexColumns.exists(assignMap.contains))
       return rekeyUpdate(spark, dir, m, hit, updatedCols,
-        affected.toIndexedSeq, retain, fs, dirPath, loadedFp)
+        affected.toIndexedSeq, retain, fs, dirPath, loadedFp, dvOpt)
 
     val newNameOf: Map[Int, String] = affected.zipWithIndex.map {
       case (p, j) =>
@@ -1250,9 +1269,10 @@ object Maintenance {
     // UPDATE on a 10^5-file table pays 2 write tasks, not 10^5.
     val partOf = new FileOrdinal(affected.zipWithIndex.map {
       case (p, j) => Stats.normalizePath(pathOf(p)) -> j }.toMap)
-    val updated = m.readData(spark, affected.map(pathOf))
+    val updated0 = m.readData(spark, affected.map(pathOf))
       .withColumn("__part",
         FileOrdinalExpr.ordinal(input_file_name(), partOf))
+    val updated = dvOpt.fold(updated0)(DeletionVectors.minus(updated0, _))
       .select(updatedCols :+ col("__part"): _*)
     val stage = GraftFs.mkStageDir(fs,
       Option(dirPath.getParent).getOrElse(dirPath), ".graft-update-")
@@ -1262,23 +1282,35 @@ object Maintenance {
         orderCols = m.indexColumns.toSeq, dropOrderCols = false,
         renames = m.columnRenames)
       finally GraftFs.deleteRecursive(fs, stage)
-    require(written.map(_._1).toSet == affected.indices.toSet,
+    require(written.map(_._1).forall(affected.indices.contains),
+      s"updateWhere scatter wrote unexpected partitions " +
+        s"${written.map(_._1).filterNot(affected.indices.contains)}")
+    val writtenSet = written.map(w => affected(w._1)).toSet
+    // a file whose every live row was already DV-deleted writes
+    // nothing and drops from the sidecar (possible only with a
+    // folded overlay — plain updates keep every row)
+    require(dvOpt.isDefined || writtenSet.size == affected.length,
       s"updateWhere scatter wrote ${written.length} partitions, " +
         s"expected ${affected.length}")
+    val droppedPos = affected.filterNot(writtenSet)
 
     // Exact stats for just the rewritten files (one job).
-    val statsByPath = Stats.forFiles(spark,
-      affected.map(p => new HPath(dirPath, newNameOf(p)).toString),
-      m.indexColumns.map(m.physicalName), Some(m.physicalSchema))
+    val statsByPath =
+      if (writtenSet.isEmpty) Map.empty[String, Stats.PartStats]
+      else Stats.forFiles(spark,
+        affected.filter(writtenSet)
+          .map(p => new HPath(dirPath, newNameOf(p)).toString),
+        m.indexColumns.map(m.physicalName), Some(m.physicalSchema))
     val affectedSet = affected.toSet
-    val entries = m.files.indices.map { p =>
+    val entries = m.files.indices.flatMap { p =>
       if (!affectedSet(p))
-        (m.files(p), m.sizes(p), m.lowerBounds(p), m.upperBounds(p))
-      else {
+        Some((m.files(p), m.sizes(p), m.lowerBounds(p),
+          m.upperBounds(p)))
+      else if (writtenSet(p)) {
         val st = statsByPath(Stats.normalizePath(
           new HPath(dirPath, newNameOf(p)).toString))
-        (newNameOf(p), st.size, st.lb, st.ub)
-      }
+        Some((newNameOf(p), st.size, st.lb, st.ub))
+      } else None
     }
     guardUnchanged(spark, dirPath, loadedFp)
     if (retain) archiveCurrent(spark, fs, dirPath)
@@ -1289,9 +1321,11 @@ object Maintenance {
     if (!retain)
       deletableNow(spark, dir, affected.map(m.files))
         .foreach(f => fs.delete(new HPath(dirPath, f), false))
+    DeletionVectors.dropEntriesForFiles(spark, dir,
+      affected.map(m.files).toSet)
     refreshBloom(spark, dir)
-    Report(rewritten = affected.length, dropped = 0, merged = 0,
-      created = affected.length,
+    Report(rewritten = writtenSet.size, dropped = droppedPos.length,
+      merged = 0, created = writtenSet.size,
       untouched = m.files.length - affected.length)
   }
 
@@ -1312,7 +1346,8 @@ object Maintenance {
       retain: Boolean,
       fs: org.apache.hadoop.fs.FileSystem,
       dirPath: HPath,
-      loadedFp: (Long, Long)): Report = {
+      loadedFp: (Long, Long),
+      dvOpt: Option[DataFrame]): Report = {
     val keyCols = m.indexColumns.toSeq
     def pathOf(p: Int): String = new HPath(dirPath, m.files(p)).toString
     // Router precondition — the same global invariant replaceWhere
@@ -1334,9 +1369,10 @@ object Maintenance {
     val destCol =
       if (m.files.length == 1) lit(0)
       else DivisionRouter.route(keyCols.map(col), m.lowerBounds.drop(1))
-    val routed = m.readData(spark, srcAffected.map(pathOf))
+    val routed0 = m.readData(spark, srcAffected.map(pathOf))
       .withColumn("__orig",
         FileOrdinalExpr.ordinal(input_file_name(), srcPartOf))
+    val routed = dvOpt.fold(routed0)(DeletionVectors.minus(routed0, _))
       .select(updatedCols ++ Seq(col("__orig"), hit.as("__hit")): _*)
       .withColumn("__dest",
         when(col("__hit"), destCol).otherwise(col("__orig")))
@@ -1360,9 +1396,11 @@ object Maintenance {
         case ds =>
           val destPartOf = new FileOrdinal(ds.map(p =>
             Stats.normalizePath(pathOf(p)) -> p).toMap)
-          moved.unionByName(m.readData(spark, ds.map(pathOf))
+          val destBase = m.readData(spark, ds.map(pathOf))
             .withColumn("__dest",
               FileOrdinalExpr.ordinal(input_file_name(), destPartOf))
+          moved.unionByName(
+            dvOpt.fold(destBase)(DeletionVectors.minus(destBase, _))
             .select(dataCols :+ col("__dest"): _*))
       }
       // Dense scatter tags (ordinal within `affected`, the shared
@@ -1417,6 +1455,8 @@ object Maintenance {
       if (!retain)
         deletableNow(spark, dir, affected.map(m.files))
           .foreach(f => fs.delete(new HPath(dirPath, f), false))
+      DeletionVectors.dropEntriesForFiles(spark, dir,
+        affected.map(m.files).toSet)
       refreshBloom(spark, dir)
       Report(rewritten = writtenSet.size, dropped = droppedPos.length,
         merged = 0, created = writtenSet.size,
@@ -1446,10 +1486,11 @@ object Maintenance {
       cond: Column,
       data: DataFrame,
       retain: Boolean = false): Report = {
-    DeletionVectors.requireNone(spark, dir, "replaceWhere")
     val (fs, dirPath) = GraftFs.resolve(spark, dir)
     val loadedFp = metaFingerprint(spark, dirPath)
     val m = Sidecar.load(spark, dir)
+    // pending deletion vectors fold into the rewrite (see updateWhere)
+    val dvOpt = DeletionVectors.pending(spark, dir)
     requireDeterministicCond(spark, m.schema, cond, "replaceWhere")
     require(m.indexColumns.nonEmpty,
       "replaceWhere needs index columns; write the dataset reindexed first")
@@ -1496,7 +1537,7 @@ object Maintenance {
     // Files holding matching rows: metadata pruning, then one
     // pushed-down discovery scan over the candidates.
     def pathOf(p: Int): String = new HPath(dirPath, m.files(p)).toString
-    val hitNames = filesWithHits(spark, dirPath, m, cond)
+    val hitNames = filesWithHits(spark, dirPath, m, cond, dvOpt)
 
     // Incoming rows route to their partition by the division bounds
     // (upsert's router) so every replaced partition keeps its key
@@ -1530,10 +1571,12 @@ object Maintenance {
       val denseOf: Map[Int, Int] = affected.zipWithIndex.toMap
       val partOf = new FileOrdinal(affected.zipWithIndex.map {
         case (p, j) => Stats.normalizePath(pathOf(p)) -> j }.toMap)
-      val survivors = m.readData(spark, affected.map(pathOf))
-        .filter(survives)
+      val survivorsBase = m.readData(spark, affected.map(pathOf))
         .withColumn("__part",
           FileOrdinalExpr.ordinal(input_file_name(), partOf))
+      val survivors =
+        dvOpt.fold(survivorsBase)(DeletionVectors.minus(survivorsBase, _))
+          .filter(survives)
       val combined = survivors.unionByName(routed.withColumn("__part",
         element_at(typedLit(denseOf), col("__part"))))
 
@@ -1579,6 +1622,8 @@ object Maintenance {
       if (!retain)
         deletableNow(spark, dir, affected.map(m.files).toSeq)
           .foreach(f => fs.delete(new HPath(dirPath, f), false))
+      DeletionVectors.dropEntriesForFiles(spark, dir,
+        affected.map(m.files).toSet)
       refreshBloom(spark, dir)
       Report(rewritten = written.length,
         dropped = affected.length - written.length, merged = 0,
@@ -1650,7 +1695,10 @@ object Maintenance {
       updatesOpt: Option[DataFrame],
       deletesOpt: Option[DataFrame],
       retain: Boolean): Report = {
-    DeletionVectors.requireNone(spark, dir, "keyed maintenance")
+    // pending deletion vectors fold into the keyed rewrite: affected
+    // files' marked rows drop from the old-rows scan and the commit
+    // clears exactly those files' overlay entries (see updateWhere)
+    val dvOpt = DeletionVectors.pending(spark, dir)
     val m = Sidecar.load(spark, dir)
     // Fingerprint immediately after load: every Spark job below gives
     // a concurrent writer time to commit, and the guard before the
@@ -1705,7 +1753,8 @@ object Maintenance {
     // inputs like samples).
     val incoming =
       (updRouted.toSeq ++ delRouted.toSeq).reduce(_ unionByName _).persist()
-    try mergePersisted(spark, dir, m, incoming, retain, fs, dirPath, loadedFp)
+    try mergePersisted(spark, dir, m, incoming, retain, fs, dirPath,
+      loadedFp, dvOpt)
     finally { incoming.unpersist(); () }
   }
 
@@ -1717,7 +1766,8 @@ object Maintenance {
       retain: Boolean,
       fs: org.apache.hadoop.fs.FileSystem,
       dirPath: HPath,
-      loadedFp: (Long, Long)): Report = {
+      loadedFp: (Long, Long),
+      dvOpt: Option[DataFrame]): Report = {
     val keyCols = m.indexColumns.toSeq
     val keyIsNull = keyCols.map(col(_).isNull).reduce(_ || _)
     // ONE pass over the routed delta fuses what used to be four jobs
@@ -1772,8 +1822,10 @@ object Maintenance {
     val denseOf: Map[Int, Int] = affected.zipWithIndex.toMap
     val partOf = new FileOrdinal(affected.zipWithIndex.map {
       case (p, j) => Stats.normalizePath(pathOf(p)) -> j }.toMap)
-    val old = m.readData(spark, affected.map(pathOf).toIndexedSeq)
-      .withColumn("__part", FileOrdinalExpr.ordinal(input_file_name(), partOf))
+    val oldBase = m.readData(spark, affected.map(pathOf).toIndexedSeq)
+      .withColumn("__part",
+        FileOrdinalExpr.ordinal(input_file_name(), partOf))
+    val old = dvOpt.fold(oldBase)(DeletionVectors.minus(oldBase, _))
 
     // Per key (one window shuffle): an update replaces ALL stored
     // duplicates of its key, a delete marker removes them, untouched
@@ -1832,6 +1884,8 @@ object Maintenance {
     if (!retain)
       deletableNow(spark, dir, affected.map(m.files).toSeq)
         .foreach(f => fs.delete(new HPath(dirPath, f), false))
+    DeletionVectors.dropEntriesForFiles(spark, dir,
+      affected.map(m.files).toSet)
     refreshBloom(spark, dir)
     Report(rewritten = written.length, dropped = droppedPos.length,
       merged = 0, created = written.length,

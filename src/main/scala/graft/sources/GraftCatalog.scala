@@ -607,42 +607,45 @@ final class GraftTable(
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = {
     val spark = SparkSession.active
-    // Pending deletion vectors are current-table state the raw V2
-    // scan would ignore; refuse loudly rather than resurrect deleted
-    // rows. (Snapshot reads address committed generations, which
-    // vectors never cover — they stay readable.)
-    if (!snapshot &&
-        graft.operators.DeletionVectors.exists(spark, path))
-      throw new IllegalStateException(
-        s"table $tableName has pending deletion vectors; materialize " +
-          "them (DeletionVectors.apply) or read through " +
-          "spark.read.format(\"graft\"), which merges on read")
-    // The raw V2 parquet scan reads by on-disk name and cannot carry
-    // the physical→logical rename translation. Extension sessions
-    // splice catalog READS to the rename-aware V1 relation before any
-    // scan builds; write/row-level commands still instantiate a scan
+    // Two table states the RAW V2 parquet scan cannot serve: pending
+    // deletion vectors (it would resurrect deleted rows) and
+    // metadata-only renamed columns (it reads by on-disk name).
+    // Extension sessions splice catalog READS to the DV-merging /
+    // rename-aware V1 relation before any scan builds, and write /
+    // row-level commands (DELETE, UPDATE, MERGE) instantiate a scan
     // builder on their target during pushdown without ever running
-    // it — so refuse lazily, at the point the scan would execute.
-    if (meta.columnRenames.nonEmpty) {
-      val logical = meta.schema
-      val who = tableName
-      return new ScanBuilder {
-        override def build(): org.apache.spark.sql.connector.read.Scan =
-          new org.apache.spark.sql.connector.read.Scan {
-            override def readSchema(): StructType = logical
-            override def description(): String =
-              s"graft renamed-column scan (V1 only) for $who"
-            override def toBatch
-                : org.apache.spark.sql.connector.read.Batch =
-              throw new IllegalStateException(
-                s"table $who has metadata-only renamed columns; read " +
-                  "it in a session with graft.GraftExtensions (which " +
-                  "serves catalog reads through the rename-aware " +
-                  "relation) or through spark.read.format(\"graft\")")
-          }
-      }
+    // it — so refuse LAZILY, at the point the scan would execute,
+    // never during planning. (Snapshot reads address committed
+    // generations, which vectors never cover — they stay readable.)
+    val refusal: Option[String] =
+      if (!snapshot &&
+          graft.operators.DeletionVectors.exists(spark, path))
+        Some(s"table $tableName has pending deletion vectors; " +
+          "materialize them (DeletionVectors.apply), use a session " +
+          "with graft.GraftExtensions, or read through " +
+          "spark.read.format(\"graft\") — both merge on read")
+      else if (meta.columnRenames.nonEmpty)
+        Some(s"table $tableName has metadata-only renamed columns; " +
+          "read it in a session with graft.GraftExtensions (which " +
+          "serves catalog reads through the rename-aware relation) " +
+          "or through spark.read.format(\"graft\")")
+      else None
+    refusal match {
+      case None => GraftRelations.v2ScanBuilder(spark, path, meta, options)
+      case Some(msg) =>
+        val logical = meta.schema
+        new ScanBuilder {
+          override def build(): org.apache.spark.sql.connector.read.Scan =
+            new org.apache.spark.sql.connector.read.Scan {
+              override def readSchema(): StructType = logical
+              override def description(): String =
+                s"graft V1-only scan for $tableName"
+              override def toBatch
+                  : org.apache.spark.sql.connector.read.Batch =
+                throw new IllegalStateException(msg)
+            }
+        }
     }
-    GraftRelations.v2ScanBuilder(spark, path, meta, options)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

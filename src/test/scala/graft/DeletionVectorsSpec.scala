@@ -243,15 +243,14 @@ class DeletionVectorsSpec extends AnyFunSuite {
     assert(read < 300, s"expected a pruned scan, read $read records")
   }
 
-  test("rewriting maintenance ops refuse while vectors are pending") {
+  test("non-folding rewrite ops refuse while vectors are pending; " +
+      "row-level ops fold them instead") {
     val dir = tempDir("dv-guard") + "/t"
     writeSrc(dir, 300)
     DeletionVectors.deleteKeys(spark, dir, Seq(5L).toDF("k"))
+    // deleteRange/compact/dropColumns still refuse (they rewrite or
+    // re-describe files without folding the overlay)
     val ops: Seq[(String, () => Any)] = Seq(
-      "upsert" -> (() => Maintenance.upsert(spark, dir,
-        srcDF(1).withColumn("k", lit(9999L)))),
-      "deleteKeys" -> (() => Maintenance.deleteKeys(spark, dir,
-        Seq(6L).toDF("k"))),
       "deleteRange" -> (() => Maintenance.deleteRange(spark, dir,
         Seq(Some(0L)), Seq(Some(10L)))),
       "compact" -> (() => Maintenance.compact(spark, dir, 1000)),
@@ -265,6 +264,65 @@ class DeletionVectorsSpec extends AnyFunSuite {
     Maintenance.addColumns(spark, dir,
       org.apache.spark.sql.types.StructField("extra",
         org.apache.spark.sql.types.StringType))
+  }
+
+  test("keyed upsert folds pending vectors of affected files and " +
+      "clears exactly their overlay entries") {
+    val dir = tempDir("dv-fold-upsert") + "/t"
+    writeSrc(dir, 300) // 3 files of 100 consecutive keys
+    // marks in two different files: key 5 (file 0) and key 250 (file 2)
+    DeletionVectors.deleteKeys(spark, dir, Seq(5L, 250L).toDF("k"))
+    assert(DeletionVectors.exists(spark, dir))
+    // upsert touching ONLY file 0: folds key 5's mark into the
+    // rewrite, leaves file 2's mark pending
+    val r = Maintenance.upsert(spark, dir,
+      srcDF(1).withColumn("k", lit(7L)).withColumn("payload", lit("U")))
+    assert(r.rewritten == 1, r.toString)
+    assert(DeletionVectors.exists(spark, dir),
+      "the untouched file's mark must stay pending")
+    val scanned = DeletionVectors.scan(spark, dir)
+    assert(scanned.count() == 298) // 300 - deleted 5 - deleted 250
+    assert(scanned.filter(col("k") === 5L).isEmpty,
+      "the folded mark must not resurrect")
+    assert(scanned.filter(col("k") === 7L).head().getString(2) == "U")
+    // the plain (overlay-blind) scan of the rewritten table shows the
+    // folded delete baked into file 0's replacement
+    assert(PDataset.scanParquet(spark, dir).toDF
+      .filter(col("k") === 5L).isEmpty)
+    // materialize the remainder: everything agrees
+    DeletionVectors.materialize(spark, dir)
+    assert(!DeletionVectors.exists(spark, dir))
+    assert(PDataset.scanParquet(spark, dir).toDF.count() == 298)
+  }
+
+  test("updateWhere folds pending vectors: deleted rows neither " +
+      "update nor resurrect, and a fully-deleted file drops") {
+    val dir = tempDir("dv-fold-update") + "/t"
+    writeSrc(dir, 300)
+    DeletionVectors.deleteWhere(spark, dir, col("k") >= 10 && col("k") < 20)
+    val r = Maintenance.updateWhere(spark, dir,
+      col("k") < 30, Seq("payload" -> lit("X")))
+    assert(r.rewritten == 1)
+    assert(!DeletionVectors.exists(spark, dir),
+      "the only marked file was rewritten; its entries must clear")
+    val got = PDataset.scanParquet(spark, dir).toDF
+    assert(got.count() == 290)
+    assert(got.filter(col("k") >= 10 && col("k") < 20).isEmpty)
+    assert(got.filter(col("payload") === "X").count() == 20) // 0-9,20-29
+    // a file whose every row is already marked has no LIVE hits: the
+    // update skips it entirely and its marks stay pending
+    val dir2 = tempDir("dv-fold-drop") + "/t"
+    writeSrc(dir2, 300)
+    DeletionVectors.deleteWhere(spark, dir2, col("k") < 100) // all of file 0
+    val r2 = Maintenance.updateWhere(spark, dir2,
+      col("k") < 150, Seq("payload" -> lit("Y")))
+    assert(r2.rewritten == 1, r2.toString) // only the second file
+    assert(DeletionVectors.exists(spark, dir2),
+      "the all-marked file was not rewritten; its marks must survive")
+    val got2 = DeletionVectors.scan(spark, dir2)
+    assert(got2.count() == 200)
+    assert(got2.filter(col("payload") === "Y").count() == 50)
+    assert(PDataset.scanParquet(spark, dir2).isDisjoint)
   }
 
   test("materialize folds the vectors in and re-enables maintenance") {

@@ -433,6 +433,41 @@ class RowLevelSpec extends AnyFunSuite {
     assert(msg2.contains("k=20"), msg2)
   }
 
+  test("SQL DELETE (DV overlay) then SQL UPDATE on the same band: " +
+      "both effects land, the folded marks clear") {
+    val (t, dir) = freshTable() // 120 rows, 6 files of 20
+    spark.sql(s"DELETE FROM $t WHERE k >= 45 AND k < 50")
+    assert(graft.operators.DeletionVectors.exists(spark, dir))
+    // the UPDATE band overlaps the deleted band's file (40-59)
+    spark.sql(s"UPDATE $t SET payload = 'upd' WHERE k >= 40 AND k < 55")
+    assert(!graft.operators.DeletionVectors.exists(spark, dir),
+      "the update rewrote the only marked file; its marks must fold")
+    val got = rows(s"SELECT k, payload FROM $t ORDER BY k")
+    assert(got.size == 115)
+    assert(!got.exists(r => r.getLong(0) >= 45 && r.getLong(0) < 50),
+      "folded deletes must not resurrect")
+    got.foreach { r =>
+      val k = r.getLong(0)
+      if (k >= 40 && k < 55) assert(r.getString(1) == "upd", s"k=$k")
+      else assert(r.getString(1) == s"p$k", s"k=$k")
+    }
+    // MERGE over a band with pending marks folds the same way
+    spark.sql(s"DELETE FROM $t WHERE k = 100")
+    spark.range(100, 103).selectExpr("id AS k", "CAST(9 AS DOUBLE) AS nv")
+      .createOrReplaceTempView("dvfold_src")
+    spark.sql(s"MERGE INTO $t USING dvfold_src s ON $t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET v = s.nv " +
+      "WHEN NOT MATCHED THEN INSERT (k, grp, v) VALUES (s.k, -1, s.nv)")
+    assert(!graft.operators.DeletionVectors.exists(spark, dir))
+    val after = rows(s"SELECT k, grp, v FROM $t WHERE k >= 100 AND " +
+      "k < 103 ORDER BY k")
+    // k=100 was DV-deleted, so the MERGE sees it as NOT MATCHED and
+    // re-inserts it with grp = -1; 101/102 update in place
+    assert(after.map(_.getLong(0)) == Seq(100L, 101L, 102L))
+    assert(after.head.getLong(1) == -1L)
+    assert(after.map(_.getDouble(2)) == Seq(9.0, 9.0, 9.0))
+  }
+
   test("non-deterministic UPDATE conditions refuse (the rewrite " +
       "evaluates them in more than one pass)") {
     val (t, _) = freshTable()
@@ -442,21 +477,26 @@ class RowLevelSpec extends AnyFunSuite {
     assert(e.getMessage.contains("deterministic"), e.getMessage)
   }
 
-  test("SQL flow: DELETE FROM leaves deletion vectors; OPTIMIZE " +
-      "materializes them so UPDATE works again") {
-    val (t, _) = freshTable()
+  test("SQL flow: DELETE FROM leaves deletion vectors; UPDATE folds " +
+      "the affected files' marks; OPTIMIZE materializes the rest") {
+    val (t, dir) = freshTable()
     spark.sql(s"DELETE FROM $t WHERE k < 10")
     assert(spark.table(t).count() == 110)
-    val e = intercept[Exception] {
-      spark.sql(s"UPDATE $t SET v = 0 WHERE k = 50")
-    }
-    assert(e.getMessage.contains("OPTIMIZE"), e.getMessage)
-    spark.sql(s"OPTIMIZE $t TARGET 100000 ROWS")
+    // UPDATE on the marked file folds its marks in place (no
+    // materialize step needed); marks elsewhere stay pending
+    spark.sql(s"DELETE FROM $t WHERE k = 115")
     spark.sql(s"UPDATE $t SET v = -5 WHERE k = 50")
-    assert(spark.table(t).count() == 110)
     assert(rows(s"SELECT v FROM $t WHERE k = 50").head.getDouble(0)
       == -5.0)
+    assert(graft.operators.DeletionVectors.exists(spark, dir),
+      "marks in files the UPDATE never touched must stay pending")
+    // OPTIMIZE materializes whatever is still pending, then compacts
+    spark.sql(s"OPTIMIZE $t TARGET 100000 ROWS")
+    assert(!graft.operators.DeletionVectors.exists(spark, dir))
+    assert(spark.table(t).count() == 109)
     assert(rows(s"SELECT count(*) AS n FROM $t WHERE k < 10")
       .head.getLong(0) == 0L)
+    assert(rows(s"SELECT v FROM $t WHERE k = 50").head.getDouble(0)
+      == -5.0)
   }
 }
