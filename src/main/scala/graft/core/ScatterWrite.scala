@@ -24,6 +24,11 @@ private[graft] object ScatterWrite {
     * data columns (kept). `renames` (logical → PHYSICAL, from
     * metadata-only RENAME COLUMN) applies last, so rewritten files
     * carry the same on-disk names as the files they replace.
+    * `noClobber = true` never overwrites an existing file at a target
+    * name: a concurrent committer that allocated the same name slot
+    * (both planned from the same maxPartitionIndex) keeps its file,
+    * and this write lands under a disambiguated name — the returned
+    * (index, ACTUAL name) pairs are what callers must register.
     */
   def partFiles(
       spark: SparkSession,
@@ -35,7 +40,8 @@ private[graft] object ScatterWrite {
       nameOf: Int => String,
       orderCols: Seq[String] = Nil,
       dropOrderCols: Boolean = true,
-      renames: Map[String, String] = Map.empty):
+      renames: Map[String, String] = Map.empty,
+      noClobber: Boolean = false):
       IndexedSeq[(Int, String)] = {
     val shuffled = tagged.repartition(nparts, col("__part"))
     val sorted =
@@ -66,7 +72,15 @@ private[graft] object ScatterWrite {
     val written = ArrayBuffer.empty[(Int, String)]
     byPart.keys.toVector.sorted.foreach { i =>
       val partFiles = byPart(i)
-      val name = nameOf(i)
+      val name =
+        if (!noClobber || !fs.exists(new HPath(dir, nameOf(i)))) nameOf(i)
+        else {
+          // name slot already taken by a concurrent committer: land
+          // under a disambiguated name (the sidecar lists file names
+          // explicitly, so any name is valid)
+          val base = nameOf(i).stripSuffix(".parquet")
+          s"$base-${java.util.UUID.randomUUID().toString.take(8)}.parquet"
+        }
       if (partFiles.length == 1)
         GraftFs.moveOverwrite(fs, partFiles(0).getPath, new HPath(dir, name))
       else {

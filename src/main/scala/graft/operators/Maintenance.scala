@@ -512,6 +512,100 @@ object Maintenance {
           "no changes were installed — reload and re-run")
   }
 
+  /** Install a row-level rewrite's sidecar with bounded OCC
+    * rebase-and-retry: the expensive part — the data rewrite — is
+    * already durable, and a concurrent commit that touched neither
+    * this op's INPUT files nor its allocated OUTPUT names (a sink
+    * append, a keyed op on disjoint files) is merged instead of
+    * aborting the whole UPDATE/MERGE. `replacement` maps each
+    * consumed input file name to its replacement entry (None = the
+    * rewrite emptied it); untouched files keep the LATEST
+    * generation's entries, so the concurrent commit's work survives.
+    * Aborts loudly when the concurrent commit rewrote an input file
+    * (the Delta concurrent-delete-read case), collided on an output
+    * name, or changed the schema/index/rename mapping this rewrite
+    * was planned against. */
+  /** Test seam: runs after a row-level op's data rewrite is durable
+    * but before its sidecar install — the window a concurrent commit
+    * can land in. No-op in production. */
+  private[graft] var beforeRowLevelInstall: () => Unit = () => ()
+
+  private def installRowLevelCommit(
+      spark: SparkSession,
+      dir: String,
+      fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: HPath,
+      m0: Sidecar.Meta,
+      loadedFp0: (Long, Long),
+      replacement: Map[String, Option[(String, Long, Bound, Bound)]],
+      retain: Boolean,
+      op: String): Unit = {
+    beforeRowLevelInstall()
+    val newNames = replacement.values.flatten.map(_._1).toSet
+    // on a terminal abort, this op's written-but-never-registered
+    // files are orphans: remove them so the loser leaves no debris
+    def abortCleanup(): Unit = newNames.foreach { n =>
+      try { fs.delete(new HPath(dirPath, n), false); () }
+      catch { case _: java.io.IOException => () }
+    }
+    var fp = loadedFp0
+    var cur = m0
+    var attempts = 0
+    while (true) {
+      val entries = cur.files.indices.flatMap { p =>
+        val name = cur.files(p)
+        replacement.get(name) match {
+          case None => Some((name, cur.sizes(p),
+            cur.lowerBounds(p), cur.upperBounds(p)))
+          case Some(repl) => repl
+        }
+      }
+      try {
+        guardUnchanged(spark, dirPath, fp)
+        if (retain) archiveCurrent(spark, fs, dirPath)
+        Sidecar.write(spark, dir, cur.indexColumns,
+          entries.map(_._1), entries.map(_._2),
+          entries.map(_._3), entries.map(_._4),
+          math.max(cur.maxPartitionIndex,
+            m0.maxPartitionIndex + replacement.size),
+          cur.schema, extras = cur.extras)
+        return
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts >= 5) {
+            abortCleanup()
+            throw new java.util.ConcurrentModificationException(
+              s"$op on $dir lost the sidecar-install race $attempts " +
+                s"times; nothing was installed — re-run " +
+                s"(${e.getMessage})")
+          }
+          fp = metaFingerprint(spark, dirPath)
+          val m2 = Sidecar.load(spark, dir)
+          def conflict(what: String): Nothing = {
+            abortCleanup()
+            throw new java.util.ConcurrentModificationException(
+              s"$op on $dir conflicts with a concurrent commit " +
+                s"($what); nothing was installed — reload and re-run")
+          }
+          if (m2.schema != m0.schema ||
+              m2.indexColumns != m0.indexColumns ||
+              m2.columnRenames != m0.columnRenames)
+            conflict("it changed the schema, index columns or " +
+              "column-rename mapping this rewrite was planned against")
+          val gone = replacement.keys.filterNot(m2.files.contains)
+          if (gone.nonEmpty)
+            conflict(s"it rewrote input file(s) ${gone.mkString(", ")} " +
+              "this op also rewrote")
+          val collide = m2.files.filter(newNames)
+          if (collide.nonEmpty)
+            conflict("it allocated the same output file name(s) " +
+              s"${collide.mkString(", ")}")
+          cur = m2
+      }
+    }
+  }
+
   /** Keep the Bloom and column-stats sidecars effective across
     * maintenance: when one exists, extend it to the files this op
     * just created (one job over ONLY those files —
@@ -1280,12 +1374,15 @@ object Maintenance {
       try ScatterWrite.partFiles(spark, updated, affected.length, fs,
         dirPath, stage, j => newNameOf(affected(j)),
         orderCols = m.indexColumns.toSeq, dropOrderCols = false,
-        renames = m.columnRenames)
+        renames = m.columnRenames, noClobber = true)
       finally GraftFs.deleteRecursive(fs, stage)
     require(written.map(_._1).forall(affected.indices.contains),
       s"updateWhere scatter wrote unexpected partitions " +
         s"${written.map(_._1).filterNot(affected.indices.contains)}")
-    val writtenSet = written.map(w => affected(w._1)).toSet
+    // ACTUAL names (collision-disambiguated under concurrency)
+    val nameByPos: Map[Int, String] =
+      written.map { case (j, n) => affected(j) -> n }.toMap
+    val writtenSet = nameByPos.keySet
     // a file whose every live row was already DV-deleted writes
     // nothing and drops from the sidecar (possible only with a
     // folded overlay — plain updates keep every row)
@@ -1299,25 +1396,18 @@ object Maintenance {
       if (writtenSet.isEmpty) Map.empty[String, Stats.PartStats]
       else Stats.forFiles(spark,
         affected.filter(writtenSet)
-          .map(p => new HPath(dirPath, newNameOf(p)).toString),
+          .map(p => new HPath(dirPath, nameByPos(p)).toString),
         m.indexColumns.map(m.physicalName), Some(m.physicalSchema))
-    val affectedSet = affected.toSet
-    val entries = m.files.indices.flatMap { p =>
-      if (!affectedSet(p))
-        Some((m.files(p), m.sizes(p), m.lowerBounds(p),
-          m.upperBounds(p)))
-      else if (writtenSet(p)) {
-        val st = statsByPath(Stats.normalizePath(
-          new HPath(dirPath, newNameOf(p)).toString))
-        Some((newNameOf(p), st.size, st.lb, st.ub))
-      } else None
-    }
-    guardUnchanged(spark, dirPath, loadedFp)
-    if (retain) archiveCurrent(spark, fs, dirPath)
-    Sidecar.write(spark, dir, m.indexColumns, entries.map(_._1),
-      entries.map(_._2), entries.map(_._3), entries.map(_._4),
-      m.maxPartitionIndex + affected.length, m.schema,
-      extras = m.extras)
+    val replacement: Map[String, Option[(String, Long, Bound, Bound)]] =
+      affected.map { p =>
+        m.files(p) -> nameByPos.get(p).map { n =>
+          val st = statsByPath(Stats.normalizePath(
+            new HPath(dirPath, n).toString))
+          (n, st.size, st.lb, st.ub)
+        }
+      }.toMap
+    installRowLevelCommit(spark, dir, fs, dirPath, m, loadedFp,
+      replacement, retain, "updateWhere")
     if (!retain)
       deletableNow(spark, dir, affected.map(m.files))
         .foreach(f => fs.delete(new HPath(dirPath, f), false))
@@ -1419,13 +1509,15 @@ object Maintenance {
         try ScatterWrite.partFiles(spark, tagged, affected.length, fs,
           dirPath, stage, j => newNameOf(affected(j)),
           orderCols = keyCols, dropOrderCols = false,
-          renames = m.columnRenames)
+          renames = m.columnRenames, noClobber = true)
         finally GraftFs.deleteRecursive(fs, stage)
       require(writtenDense.forall(w =>
         w._1 >= 0 && w._1 < affected.length),
         s"rekey update scatter wrote unexpected partitions " +
           s"${writtenDense.map(_._1).filterNot(affected.indices.contains)}")
-      val writtenSet = writtenDense.map(w => affected(w._1)).toSet
+      val nameByPos: Map[Int, String] =
+        writtenDense.map { case (j, n) => affected(j) -> n }.toMap
+      val writtenSet = nameByPos.keySet
       // A source file whose every row moved away writes nothing and
       // drops from the sidecar.
       val droppedPos = affected.filterNot(writtenSet)
@@ -1434,24 +1526,19 @@ object Maintenance {
         if (writtenSet.isEmpty) Map.empty[String, Stats.PartStats]
         else Stats.forFiles(spark,
           affected.filter(writtenSet)
-            .map(p => new HPath(dirPath, newNameOf(p)).toString),
+            .map(p => new HPath(dirPath, nameByPos(p)).toString),
           m.indexColumns.map(m.physicalName), Some(m.physicalSchema))
-      val entries = m.files.indices.flatMap { p =>
-        if (!affectedSet(p))
-          Some((m.files(p), m.sizes(p), m.lowerBounds(p),
-            m.upperBounds(p)))
-        else if (writtenSet(p)) {
-          val st = statsByPath(Stats.normalizePath(
-            new HPath(dirPath, newNameOf(p)).toString))
-          Some((newNameOf(p), st.size, st.lb, st.ub))
-        } else None
-      }
-      guardUnchanged(spark, dirPath, loadedFp)
-      if (retain) archiveCurrent(spark, fs, dirPath)
-      Sidecar.write(spark, dir, m.indexColumns, entries.map(_._1),
-        entries.map(_._2), entries.map(_._3), entries.map(_._4),
-        m.maxPartitionIndex + affected.length, m.schema,
-        extras = m.extras)
+      val replacement
+          : Map[String, Option[(String, Long, Bound, Bound)]] =
+        affected.map { p =>
+          m.files(p) -> nameByPos.get(p).map { n =>
+            val st = statsByPath(Stats.normalizePath(
+              new HPath(dirPath, n).toString))
+            (n, st.size, st.lb, st.ub)
+          }
+        }.toMap
+      installRowLevelCommit(spark, dir, fs, dirPath, m, loadedFp,
+        replacement, retain, "updateWhere (index assignment)")
       if (!retain)
         deletableNow(spark, dir, affected.map(m.files))
           .foreach(f => fs.delete(new HPath(dirPath, f), false))
@@ -1586,13 +1673,14 @@ object Maintenance {
         try ScatterWrite.partFiles(spark, combined, affected.length, fs,
           dirPath, stage, j => newNameOf(affected(j)),
           orderCols = keyCols, dropOrderCols = false,
-          renames = m.columnRenames)
+          renames = m.columnRenames, noClobber = true)
         finally GraftFs.deleteRecursive(fs, stage)
       require(writtenDense.forall(w => w._1 >= 0 && w._1 < affected.length),
         s"replaceWhere scatter wrote unexpected partitions " +
           s"${writtenDense.map(_._1).filterNot(affected.indices.contains)}")
       val written = writtenDense.map { case (j, n) => (affected(j), n) }
-      val writtenSet = written.map(_._1).toSet
+      val nameByPos: Map[Int, String] = written.toMap
+      val writtenSet = nameByPos.keySet
 
       // Exact stats for just the rewritten files (one job); a
       // partition the replace emptied entirely drops from the sidecar.
@@ -1600,25 +1688,20 @@ object Maintenance {
         if (writtenSet.isEmpty) Map.empty[String, Stats.PartStats]
         else Stats.forFiles(spark,
           affected.filter(writtenSet)
-            .map(p => new HPath(dirPath, newNameOf(p)).toString)
+            .map(p => new HPath(dirPath, nameByPos(p)).toString)
             .toIndexedSeq,
           m.indexColumns.map(m.physicalName), Some(m.physicalSchema))
-      val entries = m.files.indices.flatMap { p =>
-        if (!affectedSet(p))
-          Some((m.files(p), m.sizes(p), m.lowerBounds(p),
-            m.upperBounds(p)))
-        else if (writtenSet(p)) {
-          val st = statsByPath(Stats.normalizePath(
-            new HPath(dirPath, newNameOf(p)).toString))
-          Some((newNameOf(p), st.size, st.lb, st.ub))
-        } else None
-      }
-      guardUnchanged(spark, dirPath, loadedFp)
-      if (retain) archiveCurrent(spark, fs, dirPath)
-      Sidecar.write(spark, dir, m.indexColumns, entries.map(_._1),
-        entries.map(_._2), entries.map(_._3), entries.map(_._4),
-        m.maxPartitionIndex + affected.length, m.schema,
-        extras = m.extras)
+      val replacement
+          : Map[String, Option[(String, Long, Bound, Bound)]] =
+        affected.map { p =>
+          m.files(p) -> nameByPos.get(p).map { n =>
+            val st = statsByPath(Stats.normalizePath(
+              new HPath(dirPath, n).toString))
+            (n, st.size, st.lb, st.ub)
+          }
+        }.toMap
+      installRowLevelCommit(spark, dir, fs, dirPath, m, loadedFp,
+        replacement, retain, "replaceWhere")
       if (!retain)
         deletableNow(spark, dir, affected.map(m.files).toSeq)
           .foreach(f => fs.delete(new HPath(dirPath, f), false))
@@ -1845,13 +1928,14 @@ object Maintenance {
       try ScatterWrite.partFiles(spark, resolved, affected.length, fs,
         dirPath, stage, j => newNameOf(affected(j)),
         orderCols = keyCols, dropOrderCols = false,
-        renames = m.columnRenames)
+        renames = m.columnRenames, noClobber = true)
       finally GraftFs.deleteRecursive(fs, stage)
     require(writtenDense.forall(x => x._1 >= 0 && x._1 < affected.length),
       s"merge scatter wrote unexpected partitions " +
         s"${writtenDense.map(_._1).filterNot(affected.indices.contains)}")
     val written = writtenDense.map { case (j, n) => (affected(j), n) }
-    val writtenSet = written.map(_._1).toSet
+    val nameByPos: Map[Int, String] = written.toMap
+    val writtenSet = nameByPos.keySet
     // A partition every row of which was deleted writes nothing and
     // drops from the sidecar (possible only when deletes are present).
     require(nDel > 0 || writtenSet == affectedSet,
@@ -1864,23 +1948,19 @@ object Maintenance {
       if (writtenSet.isEmpty) Map.empty[String, Stats.PartStats]
       else Stats.forFiles(spark,
         affected.filter(writtenSet)
-          .map(p => new HPath(dirPath, newNameOf(p)).toString).toIndexedSeq,
+          .map(p => new HPath(dirPath, nameByPos(p)).toString).toIndexedSeq,
         m.indexColumns.map(m.physicalName), Some(m.physicalSchema))
-    val entries = m.files.indices.flatMap { p =>
-      if (!affectedSet(p))
-        Some((m.files(p), m.sizes(p), m.lowerBounds(p), m.upperBounds(p)))
-      else if (writtenSet(p)) {
-        val st = statsByPath(Stats.normalizePath(
-          new HPath(dirPath, newNameOf(p)).toString))
-        Some((newNameOf(p), st.size, st.lb, st.ub))
-      } else None
-    }
-    guardUnchanged(spark, dirPath, loadedFp)
-    if (retain) archiveCurrent(spark, fs, dirPath)
-    Sidecar.write(spark, dir, m.indexColumns, entries.map(_._1),
-      entries.map(_._2), entries.map(_._3), entries.map(_._4),
-      m.maxPartitionIndex + affected.length, m.schema,
-      extras = m.extras)
+    val replacement
+        : Map[String, Option[(String, Long, Bound, Bound)]] =
+      affected.map { p =>
+        m.files(p) -> nameByPos.get(p).map { n =>
+          val st = statsByPath(Stats.normalizePath(
+            new HPath(dirPath, n).toString))
+          (n, st.size, st.lb, st.ub)
+        }
+      }.toMap
+    installRowLevelCommit(spark, dir, fs, dirPath, m, loadedFp,
+      replacement, retain, "keyed maintenance")
     if (!retain)
       deletableNow(spark, dir, affected.map(m.files).toSeq)
         .foreach(f => fs.delete(new HPath(dirPath, f), false))

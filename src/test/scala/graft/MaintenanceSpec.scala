@@ -491,28 +491,60 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(PDataset.scanParquet(spark, dir).toDF.count() == 75)
   }
 
-  test("a concurrent sidecar swap aborts the op before installing anything") {
+  test("a concurrent swap of the SAME input file aborts the op; a " +
+      "content-identical touch merges through the rebase") {
     val dir = tempDir("maint-conflict") + "/ds"
     writeKeyed(dir, 100, 25)
-    // Sneak a competing writer in between load and swap: upsert's
+    // Sneak a competing commit in between load and swap: upsert's
     // validation aggregate evaluates the updates DataFrame, so a
-    // mapPartitions hook running inside it touches the sidecar
-    // behind the op's back (what a concurrent commit would do).
+    // mapPartitions hook running inside it rewrites the sidecar
+    // behind the op's back. The competitor replaces the very file
+    // key 10 routes to — a true write-write conflict the rebase
+    // must refuse.
+    val oldName = Sidecar.load(spark, dir).files.head
+    val altName = "part0000000099.parquet"
     val updates = Seq((10L, 3, "UPDATED-10")).toDF("k", "grp", "payload")
     val hooked = updates.mapPartitions { it =>
+      val meta = Paths.get(dir, "_padawan_metadata.json")
+      Files.copy(Paths.get(dir, oldName), Paths.get(dir, altName))
+      val txt = new String(Files.readAllBytes(meta),
+        java.nio.charset.StandardCharsets.UTF_8)
+      Files.write(meta,
+        txt.replace(oldName, altName).getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      // the raw rewrite bypasses Hadoop's checksummed stream: drop
+      // the stale sibling .crc so readers don't trip on it
+      Files.deleteIfExists(
+        Paths.get(dir, "._padawan_metadata.json.crc"))
+      it
+    }(updates.encoder)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Maintenance.upsert(spark, dir, hooked)
+    }
+    assert(e.getMessage.contains("input file"), e.getMessage)
+    // the op installed nothing and left no orphan output files
+    val after = PDataset.scanParquet(spark, dir)
+    assert(after.toDF.count() == 100)
+    assert(after.toDF.filter(col("payload") === "UPDATED-10").count() == 0)
+    val m = Sidecar.load(spark, dir)
+    val onDisk = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(n => n.endsWith(".parquet") &&
+        !n.startsWith("_") && !n.startsWith(".")).toSet
+    assert(onDisk == m.files.toSet + oldName,
+      s"only the competitor's leftover copy may remain: $onDisk")
+    // A content-identical mtime touch (no real commit) is absorbed by
+    // the rebase instead of aborting.
+    val touched = updates.mapPartitions { it =>
       val meta = Paths.get(dir, "_padawan_metadata.json")
       Files.setLastModifiedTime(meta,
         java.nio.file.attribute.FileTime.fromMillis(
           Files.getLastModifiedTime(meta).toMillis + 60000))
       it
     }(updates.encoder)
-    assertThrows[java.util.ConcurrentModificationException] {
-      Maintenance.upsert(spark, dir, hooked)
-    }
-    // the op installed nothing
-    val after = PDataset.scanParquet(spark, dir)
-    assert(after.toDF.count() == 100)
-    assert(after.toDF.filter(col("payload") === "UPDATED-10").count() == 0)
+    val r = Maintenance.upsert(spark, dir, touched)
+    assert(r.rewritten == 1)
+    assert(PDataset.scanParquet(spark, dir).toDF
+      .filter(col("payload") === "UPDATED-10").count() == 1)
   }
 
   test("vacuum retention keeps generations readable; asOf resolves by time") {
@@ -921,6 +953,73 @@ class MaintenanceSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       Maintenance.upsert(spark, dir, withNull)
     }
+  }
+
+  test("row-level commits rebase over concurrent disjoint commits: " +
+      "append and update both land; same-file conflicts abort loudly") {
+    val dir = tempDir("maint-occ-rebase") + "/ds"
+    writeKeyed(dir, 200, 50) // 4 files: keys 0-49, 50-99, 100-149, 150-199
+
+    // 1. a sink APPEND lands between the UPDATE's rewrite and its
+    //    install: the rebase merges — both commits survive
+    Maintenance.beforeRowLevelInstall = () => {
+      Maintenance.beforeRowLevelInstall = () => ()
+      keyedDF(10000, 5).write.format("graft").option("index", "k")
+        .mode("append").save(dir)
+    }
+    try {
+      val r = Maintenance.updateWhere(spark, dir,
+        col("k") === 25L, Seq("payload" -> lit("UPD")))
+      assert(r.rewritten == 1, r.toString)
+    } finally Maintenance.beforeRowLevelInstall = () => ()
+    val after1 = PDataset.scanParquet(spark, dir).toDF
+    assert(after1.count() == 205,
+      "the concurrent append's rows must survive the rebase")
+    assert(after1.filter(col("k") === 25L).head().getString(2) == "UPD")
+    assert(after1.filter(col("k") === 10002L).count() == 1)
+    // no orphans: every data file on disk is referenced
+    val m1 = Sidecar.load(spark, dir)
+    val onDisk = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(n => n.endsWith(".parquet") &&
+        !n.startsWith("_") && !n.startsWith(".")).toSet
+    assert(onDisk == m1.files.toSet,
+      s"orphans or missing files: disk=$onDisk sidecar=${m1.files.toSet}")
+
+    // 2. a concurrent UPSERT on a DISJOINT file during an upsert:
+    //    both land (the second rebases over the first)
+    Maintenance.beforeRowLevelInstall = () => {
+      Maintenance.beforeRowLevelInstall = () => ()
+      Maintenance.upsert(spark, dir,
+        Seq((150L, 3, "other")).toDF("k", "grp", "payload"))
+    }
+    try {
+      val r2 = Maintenance.upsert(spark, dir,
+        Seq((60L, 4, "mine")).toDF("k", "grp", "payload"))
+      assert(r2.rewritten == 1)
+    } finally Maintenance.beforeRowLevelInstall = () => ()
+    val after2 = PDataset.scanParquet(spark, dir).toDF
+    assert(after2.filter(col("k") === 60L).head().getString(2) == "mine")
+    assert(after2.filter(col("k") === 150L).head().getString(2)
+      == "other")
+    assert(after2.count() == 205)
+    assert(PDataset.scanParquet(spark, dir).isDisjoint)
+
+    // 3. a concurrent rewrite of the SAME file conflicts loudly
+    Maintenance.beforeRowLevelInstall = () => {
+      Maintenance.beforeRowLevelInstall = () => ()
+      Maintenance.upsert(spark, dir,
+        Seq((26L, 5, "racer")).toDF("k", "grp", "payload"))
+    }
+    val e = try intercept[java.util.ConcurrentModificationException] {
+      Maintenance.updateWhere(spark, dir,
+        col("k") === 27L, Seq("payload" -> lit("LOSER")))
+    } finally Maintenance.beforeRowLevelInstall = () => ()
+    assert(e.getMessage.contains("input file"), e.getMessage)
+    // the racer's commit stands; the aborted update changed nothing
+    val after3 = PDataset.scanParquet(spark, dir).toDF
+    assert(after3.filter(col("k") === 26L).head().getString(2)
+      == "racer")
+    assert(after3.filter(col("k") === 27L).head().getString(2) == "v27")
   }
 
   test("renameColumns is metadata-only: bytes untouched, reads and " +
