@@ -958,7 +958,16 @@ object SparkEntry {
       s.sql(s"CREATE OR REPLACE TABLE $t USING graft " +
         "TBLPROPERTIES('index'='o_orderkey') AS " +
         "SELECT * FROM ctas_orders WHERE o_orderkey % 2 = 0")
-      s.sql(s"SELECT * FROM $t ORDER BY o_orderkey")
+      val out = s.sql(s"SELECT * FROM $t ORDER BY o_orderkey")
+      // materialize, then DROP: the fixture leaves no per-run table
+      // behind and the drop path itself runs under the bench. The
+      // result is a bench-scale slice (half of orders), so the local
+      // relation is driver-safe; the distributed work (CTAS ×2 +
+      // ordered read) already happened above.
+      val collected = out.collect()
+      s.sql(s"DROP TABLE $t")
+      s.createDataFrame(
+        java.util.Arrays.asList(collected: _*), out.schema)
     }),
 
     // Delta-style scoped overwrite: INSERT INTO ... REPLACE WHERE

@@ -43,10 +43,15 @@ import graft.sources.{GraftSource, GraftTable}
   * shape of the programmatic API at any table size.
   *
   * Boundaries (all loud errors, never wrong rows): the MERGE ON
-  * clause must be a conjunction of `target.indexCol = <source
-  * expression>` equalities covering every index column (the keyed
-  * primitives key on the clustering index — fold any extra predicate
-  * into the WHEN clause conditions); UPDATE/MERGE assignments to
+  * clause must contain a `target.indexCol = <source expression>`
+  * equality for every index column (the keyed primitives key on the
+  * clustering index); any FURTHER deterministic conjunct (`AND
+  * t.region = s.region`, `AND s.op <> 'noop'`, …) is honored with
+  * full SQL MERGE semantics by the classification joins, refusing
+  * only the two shapes the keyed apply cannot express — an insert
+  * whose key already exists in the target, and a duplicate-key
+  * target whose rows the residual tells apart; UPDATE/MERGE
+  * assignments to
   * index columns are allowed for UPDATE (files re-sort, bounds
   * recompute) but refused for MERGE (a key change inside a keyed
   * merge would strand the old key); subqueries inside conditions or
@@ -241,10 +246,10 @@ final case class GraftMergeCommand(
 
   private def unsupportedOn(detail: String): Nothing =
     throw new UnsupportedOperationException(
-      "MERGE INTO a graft table needs an ON clause that is a " +
-        "conjunction of `target.<indexCol> = <source expression>` " +
-        "equalities covering every index column (fold any extra " +
-        s"predicate into the WHEN clause conditions); $detail")
+      "MERGE INTO a graft table needs an ON clause containing a " +
+        "`target.<indexCol> = <source expression>` equality for " +
+        "every index column (extra deterministic conjuncts are " +
+        s"honored as residual match conditions); $detail")
 
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val spark = sparkSession
@@ -258,29 +263,32 @@ final case class GraftMergeCommand(
     val tgtSet = AttributeSet(tgtPlan.output)
     val srcSet = AttributeSet(srcPlan.output)
 
-    // ON must be exactly key-equality: the keyed primitives replace /
-    // delete by index tuple, so a narrower match set (extra
-    // conjuncts) would silently re-key matched-elsewhere rows.
+    // Split ON into bare index-key equalities — they drive the keyed
+    // apply (replace/delete by index tuple) — and RESIDUAL conjuncts,
+    // which narrow the match set below "same key". Residuals are
+    // evaluated exactly by the classification joins below (full SQL
+    // MERGE semantics); every index column must still carry a key
+    // equality so the apply stays O(affected partitions).
     def split(e: Expression): Seq[Expression] = e match {
       case And(l, r) => split(l) ++ split(r)
       case x => Seq(x)
     }
-    val covered = split(mergeCond.e).map {
+    def asKeyEq(e: Expression): Option[String] = e match {
       case EqualTo(l, r) =>
         val t =
           if (l.references.subsetOf(tgtSet) &&
-            r.references.subsetOf(srcSet)) l
+            r.references.subsetOf(srcSet)) Some(l)
           else if (r.references.subsetOf(tgtSet) &&
-            l.references.subsetOf(srcSet)) r
-          else unsupportedOn(s"`${l.sql} = ${r.sql}` mixes sides")
-        t match {
+            l.references.subsetOf(srcSet)) Some(r)
+          else None
+        t.collect {
           case a: AttributeReference if keyCols.contains(a.name) => a.name
-          case other => unsupportedOn(
-            s"`${other.sql}` is not a bare index column " +
-              s"(index: ${keyCols.mkString(", ")})")
         }
-      case other => unsupportedOn(s"`${other.sql}` is not an equality")
+      case _ => None
     }
+    val conjuncts = split(mergeCond.e)
+    val covered = conjuncts.flatMap(asKeyEq)
+    val residual = conjuncts.filter(c => asKeyEq(c).isEmpty)
     val missing = keyCols.filterNot(covered.contains)
     if (missing.nonEmpty)
       unsupportedOn(s"index column(s) ${missing.mkString(", ")} are " +
@@ -374,6 +382,56 @@ final case class GraftMergeCommand(
       fieldType, c)
     val (nmsUpd, nmsDel) =
       frames(tgt.join(src, onCol, "left_anti"), notMatchedBySource)
+
+    // Residual ON conjuncts: the joins above already honored them
+    // exactly, but the keyed apply replaces/deletes WHOLE index keys.
+    // Two shapes it cannot express are refused loudly here, never
+    // silently misapplied. Each guard is one narrow key-column job
+    // and runs ONLY when residuals are present.
+    if (residual.nonEmpty) {
+      val keyC = keyCols.map(col)
+      def fmtKeys(rows: Array[Row]): String =
+        rows.map(r => keyCols.zipWithIndex.map { case (k, i) =>
+          s"$k=${r.get(i)}" }.mkString("(", ", ", ")")).mkString(", ")
+      // 1. a WHEN NOT MATCHED insert whose key already exists in the
+      //    target (its pair failed a residual conjunct): the keyed
+      //    apply would silently turn that insert into an update.
+      inserts.reduceOption(_ unionByName _).foreach { ins =>
+        val collide = ins.select(keyC: _*)
+          .join(tgt.select(keyC: _*), keyCols, "left_semi")
+          .distinct().limit(5).collect()
+        if (collide.nonEmpty) throw new UnsupportedOperationException(
+          "MERGE INTO: the residual ON condition(s) `" +
+            residual.map(_.sql).mkString(" AND ") + "` left source " +
+            "row(s) unmatched whose key(s) already exist in the " +
+            s"target (${fmtKeys(collide)}), so the WHEN NOT MATCHED " +
+            "insert would duplicate those keys; narrow the source, " +
+            "or move the residual condition into the WHEN clauses " +
+            "so those rows classify as MATCHED")
+      }
+      // 2. a residual that reads target non-key columns can tell
+      //    ROWS OF ONE KEY apart on a duplicate-key target — a
+      //    partially-matched key would lose its unmatched siblings
+      //    to the whole-key replace/delete.
+      val readsTargetData = residual.exists(_.references.exists(a =>
+        tgtSet.contains(a) && !keyCols.contains(a.name)))
+      val touchedKeys = (matchedUpd ++ matchedDel ++ nmsUpd ++ nmsDel)
+        .map(_.select(keyC: _*)).reduceOption(_ unionByName _)
+      if (readsTargetData) touchedKeys.foreach { ks =>
+        val dup = tgt.select(keyC: _*)
+          .join(ks.distinct(), keyCols, "left_semi")
+          .groupBy(keyC: _*).count().filter(col("count") > 1)
+          .select(keyC: _*).limit(5).collect()
+        if (dup.nonEmpty) throw new UnsupportedOperationException(
+          "MERGE INTO: the residual ON condition(s) `" +
+            residual.map(_.sql).mkString(" AND ") + "` read target " +
+            "non-index columns while the target holds duplicate " +
+            s"index keys (${fmtKeys(dup)}); the keyed apply acts on " +
+            "whole keys and would drop the key's unmatched rows — " +
+            "deduplicate the target or key the ON on index " +
+            "equalities only")
+      }
+    }
 
     val updates = (matchedUpd ++ inserts ++ nmsUpd)
       .reduceOption(_ unionByName _)

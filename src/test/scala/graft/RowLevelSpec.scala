@@ -259,8 +259,8 @@ class RowLevelSpec extends AnyFunSuite {
     assert(spark.table("grl.db.fresh").count() == 20L)
   }
 
-  test("MERGE ON clause must be index-key equality covering every " +
-      "index column") {
+  test("MERGE ON clause must cover every index column with a key " +
+      "equality; residual conjuncts alone do not count") {
     val (t, _) = freshTable()
     spark.range(0, 5).select(col("id").as("k"),
       (col("id") * 1.0).as("nv")).createOrReplaceTempView("bad_src")
@@ -269,14 +269,81 @@ class RowLevelSpec extends AnyFunSuite {
         WHEN MATCHED THEN UPDATE SET v = s.nv""")
     }
     assert(e1.getMessage.contains("index column"))
+    // a residual-shaped conjunct on the index column (not a bare
+    // equality) leaves it uncovered — still refused
     val e2 = intercept[Exception] {
       spark.sql(s"""MERGE INTO $t USING bad_src s
-        ON $t.k = s.k AND $t.v > 10
+        ON $t.k > s.k AND $t.grp = 0
         WHEN MATCHED THEN UPDATE SET v = s.nv""")
     }
-    assert(e2.getMessage.contains("equalit") ||
-      e2.getMessage.contains("mixes") ||
-      e2.getMessage.contains("index column"))
+    assert(e2.getMessage.contains("index column"))
+  }
+
+  test("MERGE residual ON conjuncts get full SQL semantics: " +
+      "key-matched rows failing the residual are NOT MATCHED") {
+    val (t, _) = freshTable()
+    // target grp = k % 7; source says grp for half its rows matches
+    spark.range(0, 10).select(col("id").as("k"),
+      (col("id") % 7).as("sgrp"), (col("id") * 1.0).as("nv"))
+      .createOrReplaceTempView("res_src")
+    // residual `t.grp = s.sgrp` holds for all; `AND s.k < 5` (a
+    // source-only residual) narrows the matched set to k 0-4
+    spark.sql(s"""MERGE INTO $t USING res_src s
+      ON $t.k = s.k AND $t.grp = s.sgrp AND s.k < 5
+      WHEN MATCHED THEN UPDATE SET v = s.nv
+      WHEN NOT MATCHED BY SOURCE AND $t.k < 12 THEN DELETE""")
+    // k 0-4 updated; k 5-9 key-matched but residual-failed => NOT
+    // MATCHED BY SOURCE, but they fail the `< 12` guard except 5-9
+    // ... all of 5-9 >= 12 is false, so 5-9 ARE < 12 => deleted; 10,
+    // 11 deleted too; k >= 12 untouched
+    val out = rows(s"SELECT k, v FROM $t ORDER BY k").map(r =>
+      (r.getLong(0), r.getDouble(1)))
+    assert(out.take(5) == Seq((0L, 0.0), (1L, 1.0), (2L, 2.0),
+      (3L, 3.0), (4L, 4.0)))
+    assert(!out.map(_._1).exists(k => k >= 5 && k < 12))
+    assert(out.count(_._1 >= 12) == 108)
+  }
+
+  test("MERGE residual refusals: insert-key collision and " +
+      "duplicate-key targets read by the residual") {
+    val (t, _) = freshTable()
+    // source row k=3 exists in the target but fails the residual
+    // (grp mismatch): a WHEN NOT MATCHED insert would duplicate k=3
+    spark.sql("SELECT 3L AS k, 99L AS sgrp, 1.0 AS nv")
+      .createOrReplaceTempView("coll_src")
+    val e1 = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $t USING coll_src s
+        ON $t.k = s.k AND $t.grp = s.sgrp
+        WHEN MATCHED THEN UPDATE SET v = s.nv
+        WHEN NOT MATCHED THEN INSERT (k, grp, v, payload)
+          VALUES (s.k, s.sgrp, s.nv, 'new')""")
+    }
+    assert(e1.getMessage.contains("duplicate those keys"),
+      e1.getMessage)
+    // without the insert clause the same residual MERGE is fine
+    spark.sql(s"""MERGE INTO $t USING coll_src s
+      ON $t.k = s.k AND $t.grp = s.sgrp
+      WHEN MATCHED THEN UPDATE SET v = s.nv""")
+    assert(rows(s"SELECT v FROM $t WHERE k = 3").head.getDouble(0)
+      == 30.0, "residual-failed pair must stay un-updated")
+
+    // duplicate-key target + residual reading target non-key data:
+    // a partially-matched key would lose its sibling => refused
+    val dupDir = tempDir("rowlevel-dup") + "/ds"
+    PDataset.fromDataFrame(
+      Seq((1L, "a", 1.0), (1L, "b", 2.0), (2L, "a", 3.0))
+        .toDF("k", "tag", "v"), Seq("k")).writeParquet(dupDir)
+    val src2 = Seq((1L, "a", 9.0)).toDF("k", "tag", "nv")
+    src2.createOrReplaceTempView("dup_src")
+    val td = s"grl.`$dupDir`"
+    val e2 = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $td t USING dup_src s
+        ON t.k = s.k AND t.tag = s.tag
+        WHEN MATCHED THEN UPDATE SET v = s.nv""")
+    }
+    assert(e2.getMessage.contains("duplicate"), e2.getMessage)
+    assert(rows(s"SELECT v FROM $td WHERE k = 1 ORDER BY v")
+      .map(_.getDouble(0)) == Seq(1.0, 2.0), "nothing applied")
   }
 
   test("MERGE UPDATE may not reassign an index column") {
