@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // also installs it lazily via experimental.extraStrategies for
     // sessions built without extensions).
     ext.injectPlannerStrategy(_ => graft.plans.DivisionJoinStrategy)
+    // SQL inner joins between two graft tables co-clustered on the
+    // join keys rewrite to the zero-Exchange division join
+    // automatically (disable: SET spark.graft.sql.divisionJoin=false).
+    ext.injectOptimizerRule(s => new graft.plans.SqlDivisionJoin(s))
     // DV-pending `format("graft")` reads: splice the native
     // merge-on-read plan (broadcast anti join over the vectorized
     // sidecar scan) in place of the V1 relation during analysis, so

@@ -153,6 +153,24 @@ object SparkEntry {
     ds.repartition(math.max(50L, ds.sizes.get.sum / 20)).writeParquet(out)
   }
 
+  /** ~24-division orders/customer pair co-clustered on the customer
+    * key — the shared input of the division-join queries (enough
+    * divisions to clear the parallelism gate at any SF). */
+  private def jdOrdersFixture(s: SparkSession, d: String): String =
+    fixture("jd-orders", d) { out =>
+      val o0 = scan(s, d, "orders").rename(Map("o_custkey" -> "ckey"))
+        .reindex(Seq("ckey"))
+      o0.repartition(math.max(1L, o0.sizes.get.sum / 24))
+        .writeParquet(out)
+    }
+  private def jdCustomerFixture(s: SparkSession, d: String): String =
+    fixture("jd-customer", d) { out =>
+      val c0 = scan(s, d, "customer").rename(Map("c_custkey" -> "ckey"))
+        .reindex(Seq("ckey"))
+      c0.repartition(math.max(1L, c0.sizes.get.sum / 24))
+        .writeParquet(out)
+    }
+
   /** Bucket-clustered orders (leading index column `bucket` constant
     * per file, o_custkey column stats) — the metadata-only
     * grouped/filtered aggregate fixtures. */
@@ -1073,25 +1091,36 @@ object SparkEntry {
     // the parallelism gate at any scale factor and the custom
     // co-partitioned path is what the oracle checks.
     "q_join_division" -> ((s, d) => {
-      val oDir = fixture("jd-orders", d) { out =>
-        val o0 = scan(s, d, "orders").rename(Map("o_custkey" -> "ckey"))
-          .reindex(Seq("ckey"))
-        o0.repartition(math.max(1L, o0.sizes.get.sum / 24))
-          .writeParquet(out)
-      }
-      val cDir = fixture("jd-customer", d) { out =>
-        val c0 = scan(s, d, "customer").rename(Map("c_custkey" -> "ckey"))
-          .reindex(Seq("ckey"))
-        c0.repartition(math.max(1L, c0.sizes.get.sum / 24))
-          .writeParquet(out)
-      }
-      val o = PDataset.scanParquet(s, oDir)
-      val c = PDataset.scanParquet(s, cDir)
+      val o = PDataset.scanParquet(s, jdOrdersFixture(s, d))
+      val c = PDataset.scanParquet(s, jdCustomerFixture(s, d))
       o.join(c, "inner").toDF
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"),
           round(sum(col("o_totalprice")), 2).as("sum_price"))
         .orderBy("c_mktsegment")
+    }),
+
+    // The SAME co-clustered datasets joined in plain SQL: the
+    // SqlDivisionJoin optimizer rule detects two graft reads
+    // range-clustered on the join key and plans the zero-Exchange
+    // division join for spark.sql() — no PDataset API in sight. A
+    // child session (shared SparkContext, own conf) pins
+    // autoBroadcastJoinThreshold=-1 so the rule's broadcast gate
+    // exercises the division path at every SF without touching the
+    // parent session's planning confs. At 100 TB per side this is
+    // the difference between two full Exchanges of globally-sorted
+    // data and none.
+    "q_sql_division_join" -> ((s, d) => {
+      val oDir = jdOrdersFixture(s, d)
+      val cDir = jdCustomerFixture(s, d)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.read.format("graft").load(oDir).createOrReplaceTempView("sdj_o")
+      s2.read.format("graft").load(cDir).createOrReplaceTempView("sdj_c")
+      s2.sql("""SELECT c_mktsegment, count(*) AS n,
+                       round(sum(o_totalprice), 2) AS sum_price
+                FROM sdj_o JOIN sdj_c ON sdj_o.ckey = sdj_c.ckey
+                GROUP BY c_mktsegment ORDER BY c_mktsegment""")
     }),
 
     "q_join_left" -> ((s, d) => {
@@ -2788,6 +2817,11 @@ object SparkEntry {
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            GROUP BY o_orderstatus ORDER BY o_orderstatus""",
       "q_join_division" ->
+        """SELECT c_mktsegment, count(*) AS n,
+                  round(sum(o_totalprice), 2) AS sum_price
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+      "q_sql_division_join" ->
         """SELECT c_mktsegment, count(*) AS n,
                   round(sum(o_totalprice), 2) AS sum_price
            FROM orders JOIN customer ON o_custkey = c_custkey

@@ -72,6 +72,22 @@ object Maintenance {
 
   val HistoryDir = "_graft_history"
 
+  /** Dot-prefixed crash debris [[vacuum]] may reclaim: scatter /
+    * fast-write / z-order / txn-seed stage directories and
+    * metadata-swap temp files a crashed op never cleaned up. An
+    * explicit allowlist — vacuum never touches an unknown dot entry
+    * (checkpoints, OS droppings), and `_graft_*` / `_padawan_*`
+    * sidecars don't match any prefix here. */
+  private[graft] val DebrisPrefixes: Seq[String] = Seq(
+    ".graft-scatter-", ".graft-rowscatter-", ".graft-fastwrite-",
+    ".graft-zorder-", ".graft-txn-seed-", ".spark-stage-",
+    "._padawan_metadata.json.tmp-")
+
+  /** Default age before stage debris is considered abandoned (an
+    * in-flight op's stage receives writes, keeping its mtime fresh;
+    * a crashed op's stage only ever gets older). */
+  val DefaultDebrisGraceMs: Long = 24L * 3600 * 1000
+
   private[graft] def versionFile(dirPath: HPath, n: Int): HPath =
     new HPath(new HPath(dirPath, HistoryDir), f"v$n%010d.json")
 
@@ -656,7 +672,11 @@ object Maintenance {
 
   /** Drop archived generations and delete every data file no kept
     * generation references. Driver-side metadata diff only — no Spark
-    * job. Returns the number of data files deleted.
+    * job. Returns the number of data files deleted. Also sweeps
+    * crash DEBRIS — [[DebrisPrefixes]] stage directories / metadata
+    * temp files older than `debrisGraceMs` (default 24 h; a crashed
+    * scatter's stage would otherwise linger forever) — not counted
+    * in the returned total and skipped under `dryRun`.
     *
     * Retention policy (union of both knobs; the defaults drop ALL
     * history, the original full vacuum):
@@ -685,7 +705,8 @@ object Maintenance {
       dir: String,
       retainLast: Int = 0,
       olderThan: Option[Long] = None,
-      dryRun: Boolean = false): Int = {
+      dryRun: Boolean = false,
+      debrisGraceMs: Long = DefaultDebrisGraceMs): Int = {
     require(retainLast >= 0, s"retainLast must be >= 0, got $retainLast")
     val (fs, dirPath) = GraftFs.resolve(spark, dir)
     val loadedFp = metaFingerprint(spark, dirPath)
@@ -710,11 +731,23 @@ object Maintenance {
           st.getModificationTime < metaMtime
       }
       .map(_.getPath)
+    // Crash debris: stage directories and metadata-swap temp files a
+    // crashed op left behind. Allowlisted PREFIXES only (never a
+    // generic dot-glob), and only entries past the grace period — an
+    // IN-FLIGHT op's stage keeps receiving writes, so its mtime stays
+    // fresh; the grace must exceed the longest plausible single-op
+    // stall (same discipline as Delta's retention check).
+    val debris = GraftFs.listStatuses(fs, dirPath).filter { st =>
+      val n = st.getPath.getName
+      DebrisPrefixes.exists(n.startsWith) &&
+        st.getModificationTime < System.currentTimeMillis() - debrisGraceMs
+    }.map(_.getPath)
     // DRY RUN: report what a real vacuum under this policy would
     // delete, touching nothing (the Delta `VACUUM ... DRY RUN` shape).
     if (dryRun) return stale.length
     guardUnchanged(spark, dirPath, loadedFp)
     stale.foreach(fs.delete(_, false))
+    debris.foreach(GraftFs.deleteRecursive(fs, _))
     if (keepVersions.isEmpty)
       GraftFs.deleteRecursive(fs, h)
     else

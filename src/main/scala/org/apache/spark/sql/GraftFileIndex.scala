@@ -67,6 +67,15 @@ final class GraftFileIndex(
   private val extraCols: IndexedSeq[String] =
     extraStats.keys.toIndexedSeq.sorted.filterNot(indexCols.contains)
 
+  /** Lex-clustering metadata for `graft.plans.SqlDivisionJoin`:
+    * the index columns the files are range-clustered on (empty in
+    * independent-stats mode — those bounds carry no lex structure)
+    * and each file's lex lower bound. */
+  def lexIndexColumns: Seq[String] =
+    if (independentStats) Nil else indexCols
+  def lexLowerBounds: IndexedSeq[Bound] =
+    if (independentStats) IndexedSeq.empty else lbs
+
   /** Single-column convenience form (scalar bounds on the leading
     * index column only). */
   def this(

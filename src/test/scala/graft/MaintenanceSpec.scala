@@ -446,6 +446,40 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(scannedFiles(q2) <= 2, "untouched filters must keep working")
   }
 
+  test("vacuum sweeps abandoned stage debris past the grace period, " +
+      "spares fresh stages and unknown dot entries") {
+    val dir = tempDir("maint-vacuum-debris") + "/ds"
+    writeKeyed(dir, 100, 50)
+    def mk(name: String, ageMs: Long): java.nio.file.Path = {
+      val p = Paths.get(dir, name)
+      Files.createDirectories(p)
+      Files.write(p.resolve("leftover.parquet"), Array[Byte](1, 2, 3))
+      val t = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - ageMs)
+      Files.setLastModifiedTime(p.resolve("leftover.parquet"), t)
+      Files.setLastModifiedTime(p, t)
+      p
+    }
+    val dead = mk(".graft-scatter-deadbeef", 48L * 3600 * 1000)
+    val fresh = mk(".graft-scatter-inflight", 0L)
+    val unknown = mk(".some-checkpoint", 48L * 3600 * 1000)
+    val tmpMeta = Paths.get(dir, "._padawan_metadata.json.tmp-x")
+    Files.write(tmpMeta, Array[Byte](1))
+    Files.setLastModifiedTime(tmpMeta,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 48L * 3600 * 1000))
+    // dry run touches nothing
+    Maintenance.vacuum(spark, dir, dryRun = true)
+    assert(Files.exists(dead) && Files.exists(tmpMeta))
+    val removed = Maintenance.vacuum(spark, dir)
+    assert(removed == 0, "debris is swept but not counted as data files")
+    assert(!Files.exists(dead), "abandoned stage must be reclaimed")
+    assert(!Files.exists(tmpMeta), "metadata temp must be reclaimed")
+    assert(Files.exists(fresh), "an in-flight stage must survive")
+    assert(Files.exists(unknown), "unknown dot entries are never touched")
+    assert(PDataset.scanParquet(spark, dir).toDF.count() == 100)
+  }
+
   test("vacuum spares unreferenced files newer than the metadata commit") {
     val dir = tempDir("maint-vacuum-mtime") + "/ds"
     writeKeyed(dir, 100, 50)

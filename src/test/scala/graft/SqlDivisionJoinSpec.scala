@@ -1,0 +1,135 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+import graft.core.PDataset
+import Fixtures._
+
+/** The automatic zero-Exchange SQL division join
+  * (`graft.plans.SqlDivisionJoin`): an inner join between two graft
+  * reads co-clustered on the join key rewrites to the engine's
+  * division join — no shuffle on either side — while every
+  * non-eligible shape (outer joins, broadcastable sides, aliased
+  * keys, rule disabled) keeps Spark's plan. */
+class SqlDivisionJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def writeSide(dir: String, n: Long, payload: String): Unit = {
+    def part(lo: Long): PDataset =
+      PDataset.fromDataFrame(
+        spark.range(lo, lo + 20).select(col("id").as("k"),
+          (col("id") % 5).as("g"),
+          concat(lit(payload), col("id")).as(s"p_$payload")), Seq("k"))
+    PDataset.concat((0L until n by 20L).map(part)).writeParquet(dir)
+  }
+
+  private def plans(df: DataFrame): (String, String) =
+    (df.queryExecution.optimizedPlan.toString,
+      df.queryExecution.executedPlan.toString)
+
+  test("co-clustered inner SQL join plans shuffle-free and matches " +
+      "the Catalyst join; ineligible shapes keep Spark's plan") {
+    PDataset.divisionJoinMinOverride = Some(2)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val dirA = tempDir("sqldivjoin-a") + "/ds"
+      val dirB = tempDir("sqldivjoin-b") + "/ds"
+      writeSide(dirA, 160, "a") // 8 files
+      writeSide(dirB, 120, "b") // 6 files, keys 0-119
+      spark.read.format("graft").load(dirA).createOrReplaceTempView("dja")
+      spark.read.format("graft").load(dirB).createOrReplaceTempView("djb")
+
+      // small fixtures: disable broadcast so the size gate passes
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = "SELECT dja.k, dja.p_a, djb.p_b, djb.k AS k2 " +
+        "FROM dja JOIN djb ON dja.k = djb.k"
+      val df = spark.sql(q)
+      val (opt, exec) = plans(df)
+      assert(opt.contains("DivisionJoin"), opt)
+      assert(!exec.contains("Exchange"), exec)
+      val got = df.orderBy("k").collect().toSeq
+      spark.conf.set("spark.graft.sql.divisionJoin", "false")
+      val want = spark.sql(q).orderBy("k").collect().toSeq
+      spark.conf.set("spark.graft.sql.divisionJoin", "true")
+      assert(got == want)
+      assert(got.length == 120)
+      assert(got.forall(r => r.getLong(0) == r.getLong(3)),
+        "re-materialized right key must equal the left key")
+
+      // filters above the scans survive (slices keep them), extra
+      // ON conjuncts become a post-join filter — results identical
+      val q2 = "SELECT dja.k, djb.p_b FROM dja JOIN djb " +
+        "ON dja.k = djb.k AND dja.g <> djb.k % 7 " +
+        "WHERE dja.k >= 40 AND djb.k < 100"
+      val df2 = spark.sql(q2)
+      assert(plans(df2)._1.contains("DivisionJoin"), plans(df2)._1)
+      spark.conf.set("spark.graft.sql.divisionJoin", "false")
+      val want2 = spark.sql(q2).orderBy("k").collect().toSeq
+      spark.conf.set("spark.graft.sql.divisionJoin", "true")
+      assert(df2.orderBy("k").collect().toSeq == want2)
+
+      // outer joins keep Spark's plan (the SQL rewrite is inner-only:
+      // the USING-shaped node cannot emit the null right key)
+      val dfL = spark.sql(
+        "SELECT * FROM dja LEFT JOIN djb ON dja.k = djb.k")
+      assert(!plans(dfL)._1.contains("DivisionJoin"), plans(dfL)._1)
+
+      // a broadcastable side keeps Spark's broadcast join
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      val dfB = spark.sql(
+        "SELECT dja.k FROM dja JOIN djb ON dja.k = djb.k")
+      assert(!plans(dfB)._1.contains("DivisionJoin"), plans(dfB)._1)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+      // disabled by conf
+      spark.conf.set("spark.graft.sql.divisionJoin", "false")
+      val dfOff = spark.sql(q)
+      assert(!plans(dfOff)._1.contains("DivisionJoin"), plans(dfOff)._1)
+      spark.conf.set("spark.graft.sql.divisionJoin", "true")
+    } finally {
+      PDataset.divisionJoinMinOverride = None
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.graft.sql.divisionJoin", "true")
+    }
+  }
+
+  test("the q_sql_division_join entry query really plans the " +
+      "zero-Exchange division join") {
+    val df = SparkEntry.queries("q_sql_division_join")(
+      spark, "/root/testdata/sf0.001")
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("DivisionJoin"), opt)
+    assert(!df.queryExecution.executedPlan.toString
+      .contains("ShuffleExchange") ||
+      // the final ORDER BY/aggregate may shuffle; the JOIN itself
+      // must not — no hashpartitioning exchange on the join keys
+      !df.queryExecution.executedPlan.toString
+        .contains("hashpartitioning(ckey"),
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("self-join and three-way chains stay correct under the rewrite") {
+    PDataset.divisionJoinMinOverride = Some(2)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val dirA = tempDir("sqldivjoin-self") + "/ds"
+      writeSide(dirA, 100, "s") // 5 files
+      spark.read.format("graft").load(dirA).createOrReplaceTempView("djs")
+      val q = "SELECT x.k, x.p_s, y.p_s AS q_s FROM djs x " +
+        "JOIN djs y ON x.k = y.k"
+      val df = spark.sql(q)
+      assert(plans(df)._1.contains("DivisionJoin"), plans(df)._1)
+      val got = df.orderBy("k").collect().toSeq
+      spark.conf.set("spark.graft.sql.divisionJoin", "false")
+      val want = spark.sql(q).orderBy("k").collect().toSeq
+      spark.conf.set("spark.graft.sql.divisionJoin", "true")
+      assert(got == want && got.length == 100)
+    } finally {
+      PDataset.divisionJoinMinOverride = None
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.graft.sql.divisionJoin", "true")
+    }
+  }
+}
