@@ -923,6 +923,9 @@ object SparkEntry {
         graft.operators.Maintenance.upsert(s, out, upd, retain = true)
       }
       val g = s"graft.`$dir`"
+      // scoped pass first (one key band, only contiguous in-scope
+      // runs merge — O(band) at any table size), then the full pass
+      s.sql(s"OPTIMIZE $g WHERE o_orderkey < 5000 TARGET 100000 ROWS")
       s.sql(s"OPTIMIZE $g TARGET 100000 ROWS")
       s.sql(s"RESTORE TABLE $g TO VERSION AS OF 0")
       s.sql(s"DESCRIBE DETAIL $g")

@@ -80,7 +80,9 @@ object Maintenance {
     * sidecars don't match any prefix here. */
   private[graft] val DebrisPrefixes: Seq[String] = Seq(
     ".graft-scatter-", ".graft-rowscatter-", ".graft-fastwrite-",
-    ".graft-zorder-", ".graft-txn-seed-", ".spark-stage-",
+    ".graft-zorder-", ".graft-txn-seed-", ".graft-compact-",
+    ".graft-dvmat-", ".graft-replace-", ".graft-update-",
+    ".graft-upsert-", ".spark-stage-",
     "._padawan_metadata.json.tmp-")
 
   /** Default age before stage debris is considered abandoned (an
@@ -732,16 +734,21 @@ object Maintenance {
       }
       .map(_.getPath)
     // Crash debris: stage directories and metadata-swap temp files a
-    // crashed op left behind. Allowlisted PREFIXES only (never a
+    // crashed op left behind. Ops stage in the dataset dir's PARENT
+    // (so scans never see half-written files), metadata temps inside
+    // the dir — sweep both. Allowlisted PREFIXES only (never a
     // generic dot-glob), and only entries past the grace period — an
     // IN-FLIGHT op's stage keeps receiving writes, so its mtime stays
     // fresh; the grace must exceed the longest plausible single-op
     // stall (same discipline as Delta's retention check).
-    val debris = GraftFs.listStatuses(fs, dirPath).filter { st =>
-      val n = st.getPath.getName
-      DebrisPrefixes.exists(n.startsWith) &&
-        st.getModificationTime < System.currentTimeMillis() - debrisGraceMs
-    }.map(_.getPath)
+    val debrisRoots =
+      dirPath +: Option(dirPath.getParent).toSeq
+    val debris = debrisRoots.flatMap(GraftFs.listStatuses(fs, _))
+      .filter { st =>
+        val n = st.getPath.getName
+        DebrisPrefixes.exists(n.startsWith) &&
+          st.getModificationTime < System.currentTimeMillis() - debrisGraceMs
+      }.map(_.getPath)
     // DRY RUN: report what a real vacuum under this policy would
     // delete, touching nothing (the Delta `VACUUM ... DRY RUN` shape).
     if (dryRun) return stale.length
@@ -959,6 +966,30 @@ object Maintenance {
       fs, dirPath, loadedFp)
   }
 
+  /** Scoped [[compact]] — Delta's `OPTIMIZE ... WHERE`: only files
+    * that MAY hold rows matching `cond` (the read path's sidecar
+    * pruning walk — lex bounds, Bloom, column stats) are considered,
+    * and only CONTIGUOUS runs of them merge, so the sorted layout
+    * survives. Compacting one hot key band of a 100 TB table costs
+    * O(that band); everything out of scope is untouched bytes. */
+  def compactWhere(
+      spark: SparkSession,
+      dir: String,
+      cond: org.apache.spark.sql.Column,
+      targetRows: Long,
+      retain: Boolean = false): Report = {
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    DeletionVectors.requireNone(spark, dir, "compactWhere")
+    val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    val loadedFp = metaFingerprint(spark, dirPath)
+    val m = Sidecar.load(spark, dir)
+    val selected =
+      DeletionVectors.pruneByPredicate(spark, dirPath, m, cond).toSet
+    if (selected.isEmpty) return Report(0, 0, 0, 0, m.files.length)
+    compactGroups(spark, dir, m, m.sizes, targetRows, retain,
+      fs, dirPath, loadedFp, eligible = selected)
+  }
+
   /** [[compact]] targeting FILE BYTES instead of rows — the measure
     * that actually governs scan-task sizing (a 128 MB–1 GB target per
     * file at warehouse scale). Weights come from one driver-side FS
@@ -994,18 +1025,29 @@ object Maintenance {
       retain: Boolean,
       fs: org.apache.hadoop.fs.FileSystem,
       dirPath: HPath,
-      loadedFp: (Long, Long)): Report = {
+      loadedFp: (Long, Long),
+      eligible: Int => Boolean = _ => true): Report = {
+    // Only CONTIGUOUS runs of eligible files merge — a gap (an
+    // out-of-scope file under compactWhere) breaks the run, so merged
+    // files keep the sidecar's sorted, range-ordered layout.
     val groups: Vector[Vector[Int]] = {
       val out = Vector.newBuilder[Vector[Int]]
       var run = Vector.empty[Int]
       var sum = 0L
       m.files.indices.foreach { i =>
-        val s = weights(i)
-        if (run.nonEmpty && sum + s > target) {
-          out += run; run = Vector.empty; sum = 0L
+        if (!eligible(i)) {
+          // flush the current run and keep the out-of-scope file as
+          // its own singleton (it must stay in the rebuilt sidecar)
+          if (run.nonEmpty) { out += run; run = Vector.empty; sum = 0L }
+          out += Vector(i)
+        } else {
+          val s = weights(i)
+          if (run.nonEmpty && sum + s > target) {
+            out += run; run = Vector.empty; sum = 0L
+          }
+          run = run :+ i
+          sum += s
         }
-        run = run :+ i
-        sum += s
       }
       if (run.nonEmpty) out += run
       out.result()

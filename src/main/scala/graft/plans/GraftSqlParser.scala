@@ -27,7 +27,7 @@ import graft.operators.{Constraints, Maintenance}
   *   VACUUM graft.`/p` OLDER THAN INTERVAL 7 DAYS   -- or '<timestamp>'
   *   RESTORE [TABLE] graft.`/p` TO VERSION AS OF 2
   *   RESTORE [TABLE] graft.`/p` TO TIMESTAMP AS OF '2026-08-01'
-  *   OPTIMIZE graft.`/p` TARGET 1000000 ROWS
+  *   OPTIMIZE graft.`/p` [WHERE k BETWEEN 10 AND 20] TARGET 1000000 ROWS
   *   OPTIMIZE graft.`/p` ZORDER BY (a, b) [TARGET 8 FILES] [INTO '/q']
   *
   * Every statement maps onto the corresponding engine op
@@ -107,6 +107,7 @@ object GraftSqlParser {
       """\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""").r
   private val Optimize =
     ("""(?is)\s*OPTIMIZE\s+""" + T +
+      """(?:\s+WHERE\s+(.+?))?""" +
       """\s+TARGET\s+(\d+)\s+ROWS\s*;?\s*""").r
   private val ZOrder =
     ("""(?is)\s*OPTIMIZE\s+""" + T +
@@ -140,8 +141,9 @@ object GraftSqlParser {
       case RestoreTs(a, b, c, ts) =>
         tbl(a, b, c).map(GraftRestoreTimestampCommand(_,
           graft.sources.GraftSource.parseTs(ts)))
-      case Optimize(a, b, c, rows) =>
-        tbl(a, b, c).map(GraftOptimizeCommand(_, rows.toLong))
+      case Optimize(a, b, c, where, rows) =>
+        tbl(a, b, c).map(GraftOptimizeCommand(_, rows.toLong,
+          Option(where).map(_.trim)))
       case ZOrder(a, b, c, cols, files, a2, b2, c2) =>
         val cs = cols.split(",").map(_.trim.stripPrefix("`")
           .stripSuffix("`")).filter(_.nonEmpty).toSeq
@@ -221,10 +223,14 @@ final case class GraftRestoreCommand(path: String, version: Int)
   }
 }
 
-/** `OPTIMIZE g TARGET n ROWS` — bin-pack small files up to the
-  * target ([[Maintenance.compact]]: reads only sub-target files).
-  * Returns the rewrite report counts. */
-final case class GraftOptimizeCommand(path: String, targetRows: Long)
+/** `OPTIMIZE g [WHERE p] TARGET n ROWS` — bin-pack small files up to
+  * the target ([[Maintenance.compact]]: reads only sub-target files).
+  * With WHERE, only the files the sidecar pruning walk keeps for `p`
+  * are considered and only contiguous runs of them merge
+  * ([[Maintenance.compactWhere]] — compacting one hot key band of a
+  * 100 TB table costs O(that band)). Returns the report counts. */
+final case class GraftOptimizeCommand(path: String, targetRows: Long,
+    where: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = DataTypeUtils.toAttributes(
     StructType(Seq(
@@ -240,7 +246,13 @@ final case class GraftOptimizeCommand(path: String, targetRows: Long)
     // merge-on-read and leaves vectors pending).
     if (graft.operators.DeletionVectors.exists(sparkSession, path))
       graft.operators.DeletionVectors.materialize(sparkSession, path)
-    val r = Maintenance.compact(sparkSession, path, targetRows)
+    val r = where match {
+      case Some(w) => Maintenance.compactWhere(sparkSession, path,
+        org.apache.spark.sql.GraftBridge.toColumn(
+          sparkSession.sessionState.sqlParser.parseExpression(w)),
+        targetRows)
+      case None => Maintenance.compact(sparkSession, path, targetRows)
+    }
     Seq(Row(r.rewritten, r.dropped, r.merged, r.created, r.untouched))
   }
 }

@@ -64,11 +64,22 @@ object GraftBridge {
       org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema))
     val analyzed = ofRows(spark, empty).filter(predicate)
       .asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
-    analyzed.collectFirst {
+    val cond = analyzed.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
         f.condition
     }.getOrElse(throw new IllegalStateException(
       s"no filter condition in analyzed plan:\n$analyzed"))
+    // Fold constant subtrees (type coercion wraps SQL literals in
+    // casts — `k < 180` against a BIGINT column analyzes to
+    // `k < cast(180 as bigint)`): the pruning matchers compare
+    // against bare literals, exactly what they'd see from the read
+    // path where the optimizer folds before pushdown.
+    cond.transformUp {
+      case e: org.apache.spark.sql.catalyst.expressions.Literal => e
+      case e if e.foldable =>
+        org.apache.spark.sql.catalyst.expressions.Literal
+          .create(e.eval(), e.dataType)
+    }
   }
 
   /** A DataFrame over pre-computed InternalRows marked

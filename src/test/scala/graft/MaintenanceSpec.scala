@@ -67,6 +67,38 @@ class MaintenanceSpec extends AnyFunSuite {
     assertSameRows(after.toDF, keyedDF(0, 600))
   }
 
+  test("compactWhere merges only the pruned key band and keeps " +
+      "out-of-scope files byte-identical; SQL OPTIMIZE WHERE matches") {
+    val dir = tempDir("maint-compactwhere") + "/ds"
+    writeKeyed(dir, 600, 30) // 20 files of 30 rows, keys 0-599
+    val stateBefore = fileState(dir)
+    // band 180-360 covers files 6..11 (6 files); target packs 3 each
+    val report = Maintenance.compactWhere(spark, dir,
+      col("k") >= 180L && col("k") < 360L, targetRows = 100)
+    assert(report.created == 2 && report.merged == 6, report.toString)
+    assert(report.untouched == 14, report.toString)
+    val stateAfter = fileState(dir)
+    stateBefore.keySet.intersect(stateAfter.keySet).foreach { f =>
+      assert(stateAfter(f) == stateBefore(f),
+        s"out-of-scope file $f was rewritten")
+    }
+    assert(stateBefore.keySet.intersect(stateAfter.keySet).size == 14)
+    val after = PDataset.scanParquet(spark, dir)
+    checkBoundsAndSizes(after)
+    assert(after.isDisjoint)
+    assertSameRows(after.toDF, keyedDF(0, 600))
+    // a no-hit predicate touches nothing
+    val none = Maintenance.compactWhere(spark, dir,
+      col("k") >= 10000L, targetRows = 100)
+    assert(none.created == 0 && none.untouched == after.npartitions)
+    // SQL surface: OPTIMIZE ... WHERE ... TARGET n ROWS on the rest
+    val row = spark.sql(
+      s"OPTIMIZE graft.`$dir` WHERE k < 180 TARGET 100 ROWS")
+      .head()
+    assert(row.getInt(3) == 2 && row.getInt(2) == 6, row.toString)
+    assertSameRows(PDataset.scanParquet(spark, dir).toDF, keyedDF(0, 600))
+  }
+
   test("compact leaves files at or above target untouched on disk") {
     val dir = tempDir("maint-compact-mixed") + "/ds"
     // 4 files of 100 rows, then append dribble: 5 files of 10 rows.
@@ -463,6 +495,15 @@ class MaintenanceSpec extends AnyFunSuite {
     val dead = mk(".graft-scatter-deadbeef", 48L * 3600 * 1000)
     val fresh = mk(".graft-scatter-inflight", 0L)
     val unknown = mk(".some-checkpoint", 48L * 3600 * 1000)
+    // real ops stage in the dataset dir's PARENT — swept there too
+    val parentDead = {
+      val p = Paths.get(dir).getParent.resolve(".graft-compact-crashed")
+      Files.createDirectories(p)
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 48L * 3600 * 1000))
+      p
+    }
     val tmpMeta = Paths.get(dir, "._padawan_metadata.json.tmp-x")
     Files.write(tmpMeta, Array[Byte](1))
     Files.setLastModifiedTime(tmpMeta,
@@ -474,6 +515,8 @@ class MaintenanceSpec extends AnyFunSuite {
     val removed = Maintenance.vacuum(spark, dir)
     assert(removed == 0, "debris is swept but not counted as data files")
     assert(!Files.exists(dead), "abandoned stage must be reclaimed")
+    assert(!Files.exists(parentDead),
+      "abandoned parent-level stage must be reclaimed")
     assert(!Files.exists(tmpMeta), "metadata temp must be reclaimed")
     assert(Files.exists(fresh), "an in-flight stage must survive")
     assert(Files.exists(unknown), "unknown dot entries are never touched")
