@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // join keys rewrite to the zero-Exchange division join
     // automatically (disable: SET spark.graft.sql.divisionJoin=false).
     ext.injectOptimizerRule(s => new graft.plans.SqlDivisionJoin(s))
+    // SQL GROUP BY on a prefix of a graft table's index columns
+    // rewrites to a union of per-division complete aggregates — no
+    // Exchange (disable: SET spark.graft.sql.divisionAgg=false).
+    ext.injectOptimizerRule(s => new graft.plans.SqlDivisionAgg(s))
     // DV-pending `format("graft")` reads: splice the native
     // merge-on-read plan (broadcast anti join over the vectorized
     // sidecar scan) in place of the V1 relation during analysis, so

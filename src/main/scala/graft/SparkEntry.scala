@@ -1126,6 +1126,31 @@ object SparkEntry {
                 GROUP BY c_mktsegment ORDER BY c_mktsegment""")
     }),
 
+    // Plain-SQL GROUP BY on the clustering key through the
+    // SqlDivisionAgg rule: the partial→Exchange→final aggregation a
+    // high-cardinality clustered key would pay — at 100 TB the
+    // shuffle is sized by the group count, i.e. nearly the whole
+    // table — becomes a union of per-division complete aggregates
+    // with ZERO Exchange, one task per contiguous key range. The
+    // exact median shows why division-complete groups matter: any
+    // aggregate function is eligible, not just the algebraic ones a
+    // partial/final split supports.
+    "q_sql_division_agg" -> ((s, d) => {
+      val oDir = jdOrdersFixture(s, d)
+      val s2 = s.newSession()
+      s2.read.format("graft").load(oDir).createOrReplaceTempView("sda_o")
+      // the median runs over integer CENTS: interpolating two
+      // integers < 2^53 is exact in double, so Spark's percentile and
+      // the oracle's quantile_cont agree bit-for-bit (raw doubles
+      // disagree in the last ulp and can round to different cents)
+      s2.sql("""SELECT ckey, count(*) AS n,
+                       round(sum(o_totalprice), 2) AS sum_price,
+                       percentile(CAST(round(o_totalprice * 100) AS BIGINT),
+                                  0.5) AS med_cents
+                FROM sda_o GROUP BY ckey
+                ORDER BY ckey LIMIT 2000""")
+    }),
+
     "q_join_left" -> ((s, d) => {
       val o = scan(s, d, "orders").rename(Map("o_orderkey" -> "okey"))
         .reindex(Seq("okey"))
@@ -2829,6 +2854,13 @@ object SparkEntry {
                   round(sum(o_totalprice), 2) AS sum_price
            FROM orders JOIN customer ON o_custkey = c_custkey
            GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+      "q_sql_division_agg" ->
+        """SELECT o_custkey AS ckey, count(*) AS n,
+                  round(sum(o_totalprice), 2) AS sum_price,
+                  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT),
+                                0.5) AS med_cents
+           FROM orders GROUP BY o_custkey
+           ORDER BY ckey LIMIT 2000""",
       "q_join_left" ->
         """SELECT o_orderpriority, count(*) AS n,
                   CAST(count(l_quantity) AS BIGINT) AS n_matched

@@ -1,0 +1,140 @@
+package graft.plans
+
+import org.apache.spark.sql.{GraftFileIndex, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Cast, EqualTo, Expression, ExprId, GreaterThan, GreaterThanOrEqual, IsNull, LessThan, Literal, NamedExpression, Not, Or}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+import graft.core.Lex.Bound
+
+/** Shared machinery for the optimizer rules that rewrite SQL plans
+  * onto the engine's range-division structure ([[SqlDivisionJoin]],
+  * [[SqlDivisionAgg]]): recognizing a graft read under deterministic
+  * Project/Filter chains, fresh-ExprId plan copies for the per-
+  * division children, and resolved-catalyst lex range predicates.
+  *
+  * The rules run POST-analysis, so the predicates are built as
+  * already-resolved catalyst trees — same recursion and null-first
+  * semantics as [[graft.core.LexColumns]]' Column builders (padawan
+  * ordering.py:5-66), with literals cast to the key's type (the
+  * analyzer's coercion won't run over them).
+  */
+private[plans] trait DivisionRewriteSupport {
+
+  protected def session: SparkSession
+
+  /** The graft relation (and its file index) under a chain of
+    * deterministic Project/Filter nodes — None for any other shape. */
+  protected def graftLeaf(
+      p: LogicalPlan): Option[(LogicalRelation, GraftFileIndex)] =
+    p match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location match {
+          case g: GraftFileIndex => Some((lr, g))
+          case _ => None
+        }
+        case _ => None
+      }
+      case f: Filter if f.condition.deterministic => graftLeaf(f.child)
+      case pr: Project if pr.projectList.forall(_.deterministic) =>
+        graftLeaf(pr.child)
+      case _ => None
+    }
+
+  /** Fresh-ExprId copy of a Project/Filter/LogicalRelation chain (the
+    * only shapes [[graftLeaf]] admits); returns the copy plus the
+    * old→new attribute mapping for rewriting references above it. */
+  protected def freshCopy(
+      p: LogicalPlan): (LogicalPlan, Map[ExprId, Attribute]) = p match {
+    case lr: LogicalRelation =>
+      val fresh = lr.newInstance()
+      (fresh, lr.output.map(_.exprId).zip(fresh.output).toMap)
+    case f: Filter =>
+      val (ch, m) = freshCopy(f.child)
+      (Filter(remap(f.condition, m), ch), m)
+    case pr: Project =>
+      val (ch, m0) = freshCopy(pr.child)
+      var m = m0
+      val list: Seq[NamedExpression] = pr.projectList.map {
+        case al: Alias =>
+          val na = Alias(remap(al.child, m0), al.name)()
+          m += (al.exprId -> na.toAttribute)
+          na
+        case a: Attribute =>
+          m0.get(a.exprId).getOrElse(a)
+        case other => // unreachable given graftLeaf's admission
+          remap(other, m0).asInstanceOf[NamedExpression]
+      }
+      (Project(list, ch), m)
+    case other =>
+      throw new IllegalStateException(
+        s"freshCopy over unexpected node ${other.nodeName}")
+  }
+
+  protected def remap(
+      e: Expression, m: Map[ExprId, Attribute]): Expression =
+    e.transform {
+      case a: Attribute => m.getOrElse(a.exprId, a)
+    }
+
+  // ---- resolved-catalyst lex range predicates ----
+
+  private def litFor(a: Attribute, v: Any): Expression = {
+    val l = Literal(v)
+    if (l.dataType == a.dataType) l
+    else Cast(l, a.dataType,
+      Some(session.sessionState.conf.sessionLocalTimeZone))
+  }
+  private def nullLt(c: Attribute, v: Option[Any]): Expression = v match {
+    case None => Literal.FalseLiteral
+    case Some(x) => Or(IsNull(c), LessThan(c, litFor(c, x)))
+  }
+  private def nullGt(c: Attribute, v: Option[Any]): Expression = v match {
+    case None => Not(IsNull(c))
+    case Some(x) => GreaterThan(c, litFor(c, x))
+  }
+  private def nullGeq(c: Attribute, v: Option[Any]): Expression = v match {
+    case None => Literal.TrueLiteral
+    case Some(x) => GreaterThanOrEqual(c, litFor(c, x))
+  }
+  private def eqBranch(c: Attribute, v: Option[Any]): Expression = v match {
+    case None => Literal(null, org.apache.spark.sql.types.BooleanType)
+    case Some(x) => EqualTo(c, litFor(c, x))
+  }
+  private def lexRecurse(
+      cols: Seq[Attribute], bound: Seq[Option[Any]],
+      leaf: (Attribute, Option[Any]) => Expression,
+      step: (Attribute, Option[Any]) => Expression): Expression =
+    if (cols.length == 1) leaf(cols.head, bound.head)
+    else Or(step(cols.head, bound.head),
+      And(eqBranch(cols.head, bound.head),
+        lexRecurse(cols.tail, bound.tail, leaf, step)))
+
+  /** `lo <= lex(keys) < hi` (None sentinel = unbounded side). A bound
+    * SHORTER than `keys` compares on its own prefix only — rows equal
+    * on the prefix compare equal, so a prefix boundary never splits a
+    * prefix-value group. */
+  protected def rangePred(
+      keys: Seq[Attribute],
+      lo: Option[Bound],
+      hi: Option[Bound]): Expression = {
+    val conds =
+      lo.map(b => lexRecurse(keys.take(b.length), b, nullGeq, nullGt))
+        .toSeq ++
+        hi.map(b => lexRecurse(keys.take(b.length), b, nullLt, nullLt))
+          .toSeq
+    conds.reduceOption(And(_, _)).getOrElse(Literal.TrueLiteral)
+  }
+
+  /** Merge `bounds` (sorted, distinct interior division boundaries)
+    * down to at most `maxD` ranges, tiled with unbounded sentinels:
+    * returns `g+1` edges for `g` divisions. */
+  protected def mergedEdges(
+      bounds: IndexedSeq[Bound], maxD: Int): IndexedSeq[Option[Bound]] = {
+    val nDiv = bounds.length + 1
+    val g = math.min(nDiv, maxD)
+    if (g == nDiv) (None +: bounds.map(Some(_))) :+ None
+    else (None +: (1 until g).map(j =>
+      Some(bounds((j.toLong * nDiv / g).toInt - 1)))) :+ None
+  }
+}

@@ -1,0 +1,162 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+import graft.core.PDataset
+import Fixtures._
+
+/** The automatic zero-Exchange SQL division aggregate
+  * (`graft.plans.SqlDivisionAgg`): a GROUP BY on a prefix of a graft
+  * table's index columns rewrites to a union of per-division complete
+  * aggregates — no shuffle, any aggregate function — while every
+  * non-eligible shape (non-index grouping, global aggregates,
+  * metadata-foldable plans, too few divisions, rule disabled) keeps
+  * Spark's plan. */
+class SqlDivisionAggSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** n rows in files of 20, index (k) with k = id/3 — every third key
+    * value STRADDLES a file boundary (20 % 3 != 0), so the rewrite
+    * must route groups by value, not by file. */
+  private def writeClustered(dir: String, n: Long): Unit = {
+    def part(lo: Long): PDataset =
+      PDataset.fromDataFrame(
+        spark.range(lo, math.min(lo + 20, n)).select(
+          (col("id") / 3).cast("long").as("k"),
+          col("id").as("v"),
+          (col("id") % 7).as("w")), Seq("k"))
+    PDataset.concat((0L until n by 20L).map(part)).writeParquet(dir)
+  }
+
+  private def plans(df: DataFrame): (String, String) =
+    (df.queryExecution.optimizedPlan.toString,
+      df.queryExecution.executedPlan.toString)
+
+  private def withRuleOff[A](body: => A): A = {
+    spark.conf.set("spark.graft.sql.divisionAgg", "false")
+    try body
+    finally spark.conf.set("spark.graft.sql.divisionAgg", "true")
+  }
+
+  test("GROUP BY on the clustered key plans Exchange-free and matches " +
+      "Spark's plan, including non-algebraic aggregates") {
+    PDataset.divisionJoinMinOverride = Some(2)
+    try {
+      val dir = tempDir("sqldivagg") + "/ds"
+      writeClustered(dir, 160) // 8 files
+      spark.read.format("graft").load(dir).createOrReplaceTempView("dva")
+
+      // exact median and a collected list — aggregates a partial/final
+      // split can't always express; division-complete groups can
+      val q = """SELECT k, count(*) AS n, sum(v) AS sv,
+                        percentile(v, 0.5) AS med,
+                        sort_array(collect_list(w)) AS ws
+                 FROM dva GROUP BY k"""
+      val df = spark.sql(q)
+      val (opt, exec) = plans(df)
+      assert(opt.contains("Union"), opt)
+      assert(!exec.contains("Exchange"), exec)
+      val got = df.orderBy("k").collect().toSeq
+      val want = withRuleOff(spark.sql(q).orderBy("k").collect().toSeq)
+      assert(got == want)
+      assert(got.length == 54, s"${got.length} groups") // ceil(160/3)
+
+      // extra grouping expressions make groups FINER — still contained
+      val q2 = "SELECT k, v % 2 AS par, count(*) AS n FROM dva " +
+        "GROUP BY k, v % 2"
+      val df2 = spark.sql(q2)
+      assert(plans(df2)._1.contains("Union"), plans(df2)._1)
+      val exec2 = plans(df2)._2
+      assert(!exec2.contains("Exchange"), exec2)
+      // column pruning reaches the scan through the coalesce: the
+      // unused w column must not be read
+      assert(exec2.contains("ReadSchema") && !exec2.contains("w:bigint"),
+        exec2)
+      assert(df2.orderBy("k", "par").collect().toSeq ==
+        withRuleOff(spark.sql(q2).orderBy("k", "par").collect().toSeq))
+
+      // filters above the scan survive; DISTINCT aggregates work
+      val q3 = "SELECT k, count(DISTINCT w) AS dw FROM dva " +
+        "WHERE v >= 30 GROUP BY k"
+      val df3 = spark.sql(q3)
+      assert(plans(df3)._1.contains("Union"), plans(df3)._1)
+      assert(!plans(df3)._2.contains("Exchange"), plans(df3)._2)
+      assert(df3.orderBy("k").collect().toSeq ==
+        withRuleOff(spark.sql(q3).orderBy("k").collect().toSeq))
+
+      // ineligible: grouping on a non-index column keeps Spark's plan
+      val dfN = spark.sql("SELECT w, count(*) AS n FROM dva GROUP BY w")
+      assert(!plans(dfN)._1.contains("Union"), plans(dfN)._1)
+
+      // ineligible: a global aggregate keeps Spark's plan
+      // (count(*) folds metadata-only to a LocalRelation)
+      val dfG = spark.sql("SELECT sum(v) AS sv FROM dva")
+      assert(!plans(dfG)._1.contains("Union"), plans(dfG)._1)
+
+      // disabled by conf (plan forced while the conf is off — the
+      // optimized plan is computed lazily)
+      val offOpt = withRuleOff(plans(spark.sql(q))._1)
+      assert(!offOpt.contains("Union"), offOpt)
+    } finally {
+      PDataset.divisionJoinMinOverride = None
+    }
+  }
+
+  test("utilization gate: too few divisions for the cluster keeps " +
+      "Spark's full-parallelism plan") {
+    // minimum pinned above the fixture's 9 distinct prefix divisions
+    PDataset.divisionJoinMinOverride = Some(10)
+    try {
+      val dir = tempDir("sqldivagg-min") + "/ds"
+      writeClustered(dir, 160)
+      spark.read.format("graft").load(dir)
+        .createOrReplaceTempView("dva_min")
+      val df = spark.sql(
+        "SELECT k, count(*) AS n FROM dva_min GROUP BY k")
+      assert(!plans(df)._1.contains("Union"), plans(df)._1)
+    } finally {
+      PDataset.divisionJoinMinOverride = None
+    }
+  }
+
+  test("the q_sql_division_agg entry query really plans the " +
+      "zero-Exchange division aggregate") {
+    val df = SparkEntry.queries("q_sql_division_agg")(
+      spark, "/root/testdata/sf0.001")
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("Union"), opt)
+    // the GROUP BY itself must not shuffle — no hashpartitioning
+    // exchange on the group key (the final ORDER BY ... LIMIT plans
+    // as TakeOrdered, also exchange-free)
+    assert(!df.queryExecution.executedPlan.toString
+      .contains("hashpartitioning(ckey"),
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("a metadata-foldable grouped aggregate is left for the " +
+      "sidecar-stats fold, not rewritten to a scan") {
+    PDataset.divisionJoinMinOverride = Some(2)
+    try {
+      val dir = tempDir("sqldivagg-meta") + "/ds"
+      // k CONSTANT per file (lb == ub): the grouped count(*) answers
+      // from the sidecar alone
+      def part(k: Long): PDataset =
+        PDataset.fromDataFrame(
+          spark.range(k * 20, k * 20 + 20).select(
+            lit(k).as("k"), col("id").as("v")), Seq("k"))
+      PDataset.concat((0L until 6L).map(part)).writeParquet(dir)
+      spark.read.format("graft").load(dir)
+        .createOrReplaceTempView("dva_meta")
+      val df = spark.sql(
+        "SELECT k, count(*) AS n FROM dva_meta GROUP BY k")
+      val opt = plans(df)._1
+      assert(opt.contains("LocalRelation"), opt)
+      assert(!opt.contains("Union"), opt)
+      assert(df.orderBy("k").collect().map(_.getLong(1)).toSeq ==
+        Seq.fill(6)(20L))
+    } finally {
+      PDataset.divisionJoinMinOverride = None
+    }
+  }
+}
