@@ -41,6 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // rewrites to a union of per-division complete aggregates — no
     // Exchange (disable: SET spark.graft.sql.divisionAgg=false).
     ext.injectOptimizerRule(s => new graft.plans.SqlDivisionAgg(s))
+    // ... and window functions PARTITION BY'd on such a prefix
+    // (disable: SET spark.graft.sql.divisionWindow=false).
+    ext.injectOptimizerRule(s => new graft.plans.SqlDivisionWindow(s))
     // DV-pending `format("graft")` reads: splice the native
     // merge-on-read plan (broadcast anti join over the vectorized
     // sidecar scan) in place of the V1 relation during analysis, so

@@ -1151,6 +1151,26 @@ object SparkEntry {
                 ORDER BY ckey LIMIT 2000""")
     }),
 
+    // Plain-SQL window functions PARTITION BY'd on the clustering key
+    // through the SqlDivisionWindow rule: window functions keep every
+    // row, so Spark's hashpartitioning Exchange moves the WHOLE input
+    // — at 100 TB the shuffle IS the query. Here each contiguous key
+    // range sorts and evaluates its own partitions in one task, zero
+    // Exchange (top-2 orders per customer, the classic dedup/top-k
+    // pipeline shape).
+    "q_sql_division_window" -> ((s, d) => {
+      val oDir = jdOrdersFixture(s, d)
+      val s2 = s.newSession()
+      s2.read.format("graft").load(oDir).createOrReplaceTempView("sdw_o")
+      s2.sql("""SELECT ckey, okey, rk FROM (
+                  SELECT ckey, o_orderkey AS okey,
+                         row_number() OVER (PARTITION BY ckey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rk
+                  FROM sdw_o)
+                WHERE rk <= 2
+                ORDER BY ckey, rk LIMIT 2000""")
+    }),
+
     "q_join_left" -> ((s, d) => {
       val o = scan(s, d, "orders").rename(Map("o_orderkey" -> "okey"))
         .reindex(Seq("okey"))
@@ -2861,6 +2881,14 @@ object SparkEntry {
                                 0.5) AS med_cents
            FROM orders GROUP BY o_custkey
            ORDER BY ckey LIMIT 2000""",
+      "q_sql_division_window" ->
+        """SELECT ckey, okey, CAST(rk AS INTEGER) AS rk FROM (
+             SELECT o_custkey AS ckey, o_orderkey AS okey,
+                    row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+             FROM orders)
+           WHERE rk <= 2
+           ORDER BY ckey, rk LIMIT 2000""",
       "q_join_left" ->
         """SELECT o_orderpriority, count(*) AS n,
                   CAST(count(l_quantity) AS BIGINT) AS n_matched
