@@ -934,6 +934,34 @@ object SparkEntry {
           col("retained_versions"))
     }),
 
+    // COPY INTO under the hard correctness signal: idempotent
+    // incremental file ingestion — drop 1 lands and loads, the
+    // re-run loads NOTHING (a double-load would break the oracle's
+    // row count), drop 2 lands later and loads alone, and the final
+    // table equals the full source. The ledger rides each append's
+    // atomic sidecar commit, so a scheduled COPY INTO over a 100 TB
+    // landing zone re-reads only the new drops.
+    "q_copy_into" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-copyin")
+      val table = root.resolve("t").toString
+      val landing = root.resolve("landing")
+      java.nio.file.Files.createDirectories(landing)
+      val orders = s.read.parquet(T(d, "orders"))
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .write.format("graft").option("index", "o_orderkey").save(table)
+      val g = s"graft.`$table`"
+      graft.core.Sidecar.writeSingleParquet(
+        orders.filter(col("o_orderkey") % 3 === 1),
+        landing.resolve("drop1.parquet").toString)
+      s.sql(s"COPY INTO $g FROM '$landing' FILEFORMAT = PARQUET")
+      s.sql(s"COPY INTO $g FROM '$landing' FILEFORMAT = PARQUET")
+      graft.core.Sidecar.writeSingleParquet(
+        orders.filter(col("o_orderkey") % 3 === 2),
+        landing.resolve("drop2.parquet").toString)
+      s.sql(s"COPY INTO $g FROM '$landing' FILEFORMAT = PARQUET")
+      s.read.format("graft").load(table).orderBy("o_orderkey")
+    }),
+
     // SQL DELETE FROM through the V2 catalog: the pushed range
     // predicate routes through SupportsDeleteV2 onto the deletion-
     // vector overlay (a KB-scale commit, zero files rewritten), and
@@ -2789,6 +2817,10 @@ object SparkEntry {
         """SELECT * FROM orders
            WHERE o_orderkey < 1000 OR o_orderkey >= 2000
            ORDER BY o_orderkey""",
+      // base (%3=0) + drop1 (%3=1, loaded once despite the re-run) +
+      // drop2 (%3=2) = the whole source table
+      "q_copy_into" ->
+        """SELECT * FROM orders ORDER BY o_orderkey""",
       // the REPLACE swapped the %3 table for the %2 table wholesale
       "q_sql_ctas" ->
         """SELECT * FROM orders WHERE o_orderkey % 2 = 0

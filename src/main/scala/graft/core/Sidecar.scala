@@ -194,6 +194,16 @@ object Sidecar {
       extras.get("txn").map(_.asInstanceOf[Map[String, Any]]
         .map { case (k, v) => k -> v.asInstanceOf[Long] })
         .getOrElse(Map.empty)
+
+    /** `COPY INTO`'s source-file ledger: absolute source path →
+      * `size:mtime` fingerprint at load time. Files in the ledger are
+      * never loaded again (idempotent re-runs); a fingerprint change
+      * on a loaded path refuses loudly. Updated in the SAME atomic
+      * sidecar swap as the appended data (see
+      * [[graft.operators.CopyInto]]). */
+    def copyLedger: Map[String, String] =
+      extras.get("copyInto").map(_.asInstanceOf[Map[String, Any]]
+        .map { case (k, v) => k -> v.toString }).getOrElse(Map.empty)
   }
 
   /** Spark's file listing hides `_`-prefixed files (Hadoop metadata

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.core.{GraftFs, Sidecar}
+
+/** `COPY INTO` — idempotent incremental file ingestion (the Delta
+  * ingest surface): load raw parquet/ORC/JSON/CSV files from a
+  * landing directory into a graft table, EXACTLY ONCE per source
+  * file.
+  *
+  * A per-table ledger in the sidecar extras (source path →
+  * `size:mtime` fingerprint, [[Sidecar.Meta.copyLedger]]) records
+  * every file ever loaded; re-running the same statement loads only
+  * files the ledger doesn't hold, so a scheduled `COPY INTO` over a
+  * growing landing zone ingests each drop exactly once — the 100 TB
+  * pattern where reprocessing even one day of raw files is hours of
+  * wasted cluster time. The ledger update rides the SAME atomic
+  * sidecar swap that registers the appended data
+  * ([[graft.sources.GraftSource]]): a crash leaves either nothing or
+  * the batch WITH its ledger entries — never data without the ledger
+  * (double-load on retry) or the ledger without data (silent loss).
+  *
+  * Loud boundaries:
+  *   - a ledger-recorded file whose size/mtime CHANGED refuses
+  *     (the already-loaded rows are stale; `force = true` re-loads
+  *     everything, duplicates by intent);
+  *   - source columns must match the table's columns by name
+  *     (case-insensitive, any order); values cast to the table's
+  *     types — a missing or extra column refuses;
+  *   - a concurrent `COPY INTO` that loaded any of this batch's files
+  *     first aborts the install (see the sink's conflict check);
+  *   - the ledger shares the sidecar's enforced 5×10⁵-entry ceiling.
+  *
+  * SQL: `COPY INTO graft.`/t` FROM '/landing' FILEFORMAT = PARQUET
+  * [PATTERN = '*.parquet'] [FORMAT_OPTIONS('header'='true')] [FORCE]`
+  * (see [[graft.plans.GraftSqlParser]]).
+  */
+object CopyInto {
+
+  /** Per-statement outcome: every listed source file is either
+    * skipped (already in the ledger) or loaded this run. */
+  final case class Report(
+      filesListed: Int, filesSkipped: Int, filesLoaded: Int,
+      rowsLoaded: Long)
+
+  private val Formats = Set("parquet", "orc", "json", "csv")
+
+  /** The sidecar's enforced file ceiling, shared by the ledger: past
+    * it, per-statement driver work stops being O(new files). */
+  private val LedgerCeiling = 500000
+
+  def copyInto(
+      spark: SparkSession,
+      dir: String,
+      source: String,
+      format: String,
+      pattern: String = "*",
+      formatOptions: Map[String, String] = Map.empty,
+      force: Boolean = false): Report = {
+    val fmt = format.toLowerCase
+    require(Formats.contains(fmt),
+      s"COPY INTO supports FILEFORMAT ${Formats.mkString(", ")}; " +
+        s"got '$format'")
+    val m = Sidecar.load(spark, dir) // refuses on a non-table target
+
+    // One glob against the SOURCE filesystem lists the landing zone;
+    // `_`/`.`-prefixed entries (Hadoop metadata, in-flight uploads by
+    // convention) are never candidates.
+    val (srcFs, srcPath) = GraftFs.resolve(spark, source)
+    val listed = Option(srcFs.globStatus(new HPath(srcPath, pattern)))
+      .getOrElse(Array.empty)
+      .filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      .map(st => st.getPath.toString ->
+        s"${st.getLen}:${st.getModificationTime}")
+      .toIndexedSeq.sortBy(_._1)
+
+    val ledger = m.copyLedger
+    val changed = listed.filter { case (p, fp) =>
+      ledger.get(p).exists(_ != fp)
+    }
+    if (changed.nonEmpty && !force)
+      throw new IllegalStateException(
+        s"COPY INTO $dir: ${changed.length} already-loaded source " +
+          s"file(s) changed since they were ingested (first: " +
+          s"${changed.head._1}) — the loaded rows are stale, and " +
+          "re-loading would duplicate the unchanged ones. Land new " +
+          "data as NEW files; COPY INTO ... FORCE re-loads every " +
+          "listed file (duplicates by intent).")
+    val fresh =
+      if (force) listed else listed.filterNot(e => ledger.contains(e._1))
+    require(ledger.size + fresh.length <= LedgerCeiling,
+      s"COPY INTO $dir: the source-file ledger would grow to " +
+        s"${ledger.size + fresh.length} entries (ceiling " +
+        s"$LedgerCeiling, the sidecar's file-count discipline) — " +
+        "compact the landing zone or start a new table epoch")
+    if (fresh.isEmpty)
+      return Report(listed.length, listed.length, 0, 0L)
+
+    // Read ONLY the fresh files. Self-describing formats read
+    // natively; text formats take the table's logical schema (COPY
+    // INTO never infers — inference over a huge landing zone is a
+    // full extra pass, and drifting inferred types would poison the
+    // table).
+    val reader = spark.read.options(formatOptions)
+    val raw = (fmt match {
+      case "parquet" | "orc" => reader.format(fmt)
+      case _ => reader.schema(m.schema).format(fmt)
+    }).load(fresh.map(_._1): _*)
+
+    // Columns match by NAME, any order, missing/extra refuse; values
+    // cast to the table's declared types (same dialect as the V2
+    // catalog's insert splice).
+    val resolver = spark.sessionState.conf.resolver
+    val missing = m.schema.fields.filterNot(tf =>
+      raw.schema.fieldNames.exists(resolver(_, tf.name)))
+    val extra = raw.schema.fieldNames.filterNot(n =>
+      m.schema.fields.exists(tf => resolver(tf.name, n)))
+    require(missing.isEmpty && extra.isEmpty,
+      s"COPY INTO $dir: source columns must match the table's " +
+        s"columns by name; missing ${missing.map(_.name).toSeq}, " +
+        s"extra ${extra.toSeq}")
+    val aligned = raw.select(m.schema.fields.toIndexedSeq.map { tf =>
+      val src = raw.schema.fieldNames.find(resolver(_, tf.name)).get
+      col(s"`$src`").cast(tf.dataType).as(tf.name)
+    }: _*)
+
+    // One sink append: clustered on the table's index, O(delta)
+    // stats, ledger entries in the same commit.
+    val entries = fresh.map { case (p, fp) => p + "\u0001" + fp }
+      .mkString("\u0000")
+    aligned.write.format("graft").mode("append")
+      .option("index", m.indexColumns.mkString(","))
+      .option("copyIntoFiles", entries)
+      .option("copyIntoForce", force.toString)
+      .save(dir)
+
+    // Rows loaded = the sidecar's row-count delta attributable to
+    // this commit (exact: the append registered only this batch's
+    // files; concurrent writers would have failed the conflict check
+    // or count separately on their own reload).
+    val after = Sidecar.load(spark, dir)
+    val rows = after.sizes.sum - m.sizes.sum
+    Report(listed.length, listed.length - fresh.length,
+      fresh.length, rows)
+  }
+}

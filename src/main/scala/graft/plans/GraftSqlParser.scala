@@ -116,6 +116,13 @@ object GraftSqlParser {
       """(?:\s+INTO\s+""" + T + """)?\s*;?\s*""").r
   private val DescDetail =
     ("""(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+""" + T + """\s*;?\s*""").r
+  private val CopyInto =
+    ("""(?is)\s*COPY\s+INTO\s+""" + T +
+      """\s+FROM\s+'([^']+)'""" +
+      """\s+FILEFORMAT\s*=\s*(\w+)""" +
+      """(?:\s+PATTERN\s*=\s*'([^']+)')?""" +
+      """(?:\s+FORMAT_OPTIONS\s*\(([^)]*)\))?""" +
+      """(?:\s+(FORCE))?\s*;?\s*""").r
 
   private[plans] def parseGraft(sql: String): Option[LogicalPlan] =
     sql match {
@@ -144,6 +151,20 @@ object GraftSqlParser {
       case Optimize(a, b, c, where, rows) =>
         tbl(a, b, c).map(GraftOptimizeCommand(_, rows.toLong,
           Option(where).map(_.trim)))
+      case CopyInto(a, b, c, src, fmt, pattern, opts, force) =>
+        // FORMAT_OPTIONS('k'='v', ...) — quoted pairs only
+        val parsed = Option(opts).map(_.trim).filter(_.nonEmpty)
+          .map(_.split(",").map { kv =>
+            val m = """\s*'([^']*)'\s*=\s*'([^']*)'\s*""".r
+            kv match {
+              case m(k, v) => k -> v
+              case other => throw new IllegalArgumentException(
+                s"FORMAT_OPTIONS entries are 'key'='value' pairs; " +
+                  s"got '$other'")
+            }
+          }.toMap).getOrElse(Map.empty[String, String])
+        tbl(a, b, c).map(GraftCopyIntoCommand(_, src, fmt,
+          Option(pattern).getOrElse("*"), parsed, force != null))
       case ZOrder(a, b, c, cols, files, a2, b2, c2) =>
         val cs = cols.split(",").map(_.trim.stripPrefix("`")
           .stripSuffix("`")).filter(_.nonEmpty).toSeq
@@ -254,6 +275,28 @@ final case class GraftOptimizeCommand(path: String, targetRows: Long,
       case None => Maintenance.compact(sparkSession, path, targetRows)
     }
     Seq(Row(r.rewritten, r.dropped, r.merged, r.created, r.untouched))
+  }
+}
+
+/** `COPY INTO g FROM '/landing' FILEFORMAT = PARQUET [PATTERN = p]
+  * [FORMAT_OPTIONS('k'='v',...)] [FORCE]` — idempotent incremental
+  * file ingestion: each source file loads exactly once across
+  * re-runs ([[graft.operators.CopyInto]]; the ledger rides the data
+  * commit). Returns the per-statement load report. */
+final case class GraftCopyIntoCommand(path: String, source: String,
+    format: String, pattern: String,
+    formatOptions: Map[String, String], force: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = DataTypeUtils.toAttributes(
+    StructType(Seq(
+      StructField("files_listed", IntegerType, nullable = false),
+      StructField("files_skipped", IntegerType, nullable = false),
+      StructField("files_loaded", IntegerType, nullable = false),
+      StructField("rows_loaded", LongType, nullable = false))))
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val r = graft.operators.CopyInto.copyInto(sparkSession, path,
+      source, format, pattern, formatOptions, force)
+    Seq(Row(r.filesListed, r.filesSkipped, r.filesLoaded, r.rowsLoaded))
   }
 }
 

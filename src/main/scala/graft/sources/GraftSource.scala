@@ -312,6 +312,23 @@ final class GraftSource extends RelationProvider
       "txnAppId/txnVersion idempotence applies to append writes " +
         s"(got mode $mode)") }
 
+    // COPY INTO's source-file ledger entries (path -> fingerprint),
+    // committed in the SAME atomic sidecar swap as the appended data
+    // — a crash leaves either nothing or the batch WITH its ledger,
+    // so a re-run can never double-load a file. Internal option set
+    // by graft.operators.CopyInto; NUL/SOH-separated (control chars
+    // cannot appear in paths).
+    val copyEntries: Option[Map[String, String]] =
+      parameters.get("copyIntoFiles").map(_.split('\u0000')
+        .filter(_.nonEmpty).map { e =>
+          val i = e.indexOf('\u0001')
+          e.substring(0, i) -> e.substring(i + 1)
+        }.toMap)
+    val copyForce =
+      parameters.get("copyIntoForce").exists(_.equalsIgnoreCase("true"))
+    copyEntries.foreach { _ => require(mode == SaveMode.Append,
+      s"COPY INTO appends (got mode $mode)") }
+
     // An append onto an existing sidecar dataset validates against —
     // and then merges into — that sidecar, instead of re-deriving
     // metadata over the whole table.
@@ -407,10 +424,29 @@ final class GraftSource extends RelationProvider
           // never move it backwards (see PDataset.writeMetadata).
           val maxIdx = math.max(m.maxPartitionIndex,
             m.files.length + names.length - 1L)
-          val newExtras = txn match {
+          var newExtras = txn match {
             case Some((app, v)) =>
               m.extras + ("txn" -> (m.txnVersions + (app -> v)))
             case None => m.extras
+          }
+          copyEntries.foreach { entries =>
+            // A concurrent COPY INTO that committed any of this
+            // batch's files between discovery and install would make
+            // this append a double-load: refuse (not a retryable
+            // CME — the data rows themselves are the conflict). The
+            // just-written files are unregistered; vacuum reclaims
+            // them. FORCE re-loads are duplicate-by-intent.
+            val clash = entries.keySet.intersect(m.copyLedger.keySet)
+            if (clash.nonEmpty && !copyForce)
+              throw new IllegalStateException(
+                s"COPY INTO $path: ${clash.size} source file(s) were " +
+                  s"loaded by a concurrent COPY INTO (first: " +
+                  s"${clash.head}); this batch aborts before " +
+                  "registering its rows — its data files are " +
+                  "unregistered and vacuum reclaims them. Re-run to " +
+                  "load the remaining files.")
+            newExtras += ("copyInto" ->
+              ((m.copyLedger ++ entries): Any))
           }
           try {
             graft.operators.Maintenance.guardUnchanged(spark, p, fp)
@@ -447,6 +483,10 @@ final class GraftSource extends RelationProvider
         else if (statsCols.nonEmpty)
           graft.core.ColumnStats.build(spark, path, statsCols)
       case None =>
+        require(copyEntries.isEmpty,
+          s"COPY INTO requires an existing graft table at $path " +
+            "(CREATE it first — the ledger must ride the table's " +
+            "sidecar commits)")
         val seedExtras: Map[String, Any] = txn.map { case (app, v) =>
           "txn" -> (Map(app -> v): Any)
         }.toMap

@@ -1,0 +1,159 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{PDataset, Sidecar}
+import graft.operators.CopyInto
+import Fixtures._
+
+/** COPY INTO — idempotent incremental file ingestion: each landing
+  * file loads exactly once across re-runs (ledger in the sidecar,
+  * committed WITH the data), changed source files refuse, FORCE
+  * re-loads by intent, columns align by name with casts, and the SQL
+  * statement reports the load counts. */
+class CopyIntoSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def keyedDF(lo: Long, n: Long): DataFrame =
+    spark.range(lo, lo + n).select(
+      col("id").as("k"),
+      (col("id") % 7).cast("int").as("grp"),
+      concat(lit("v"), col("id")).as("payload"))
+
+  private def mkTable(dir: String): Unit =
+    PDataset.fromDataFrame(keyedDF(0, 100), Seq("k")).writeParquet(dir)
+
+  private def land(dir: String, name: String, df: DataFrame): Unit =
+    graft.core.Sidecar.writeSingleParquet(
+      df, Paths.get(dir, name).toString)
+
+  test("re-runs load each landing file exactly once; new drops load " +
+      "incrementally; the SQL statement reports counts") {
+    val root = tempDir("copyinto")
+    val table = root + "/t"
+    val landing = root + "/landing"
+    Files.createDirectories(Paths.get(landing))
+    mkTable(table)
+    land(landing, "a.parquet", keyedDF(100, 50))
+    land(landing, "b.parquet", keyedDF(150, 50))
+
+    val r1 = CopyInto.copyInto(spark, table, landing, "parquet")
+    assert(r1 == CopyInto.Report(2, 0, 2, 100L), r1.toString)
+    assert(PDataset.scanParquet(spark, table).toDF.count() == 200)
+
+    // idempotent re-run: nothing loads
+    val r2 = CopyInto.copyInto(spark, table, landing, "parquet")
+    assert(r2 == CopyInto.Report(2, 2, 0, 0L), r2.toString)
+    assert(PDataset.scanParquet(spark, table).toDF.count() == 200)
+
+    // a new drop loads alone — O(new files), not O(landing zone)
+    land(landing, "c.parquet", keyedDF(200, 25))
+    val row = spark.sql(s"COPY INTO graft.`$table` FROM '$landing' " +
+      "FILEFORMAT = PARQUET").head()
+    assert(row.getInt(0) == 3 && row.getInt(1) == 2 &&
+      row.getInt(2) == 1 && row.getLong(3) == 25L, row.toString)
+    val after = PDataset.scanParquet(spark, table).toDF
+    assert(after.count() == 225)
+    assert(after.agg(countDistinct(col("k"))).head().getLong(0) == 225)
+
+    // `_`/`.`-prefixed and non-matching-pattern files never load
+    land(landing, "_inflight.parquet", keyedDF(900, 5))
+    land(landing, "notes.txt.parquet", keyedDF(900, 5))
+    val r3 = CopyInto.copyInto(spark, table, landing, "parquet",
+      pattern = "[abc].parquet")
+    assert(r3 == CopyInto.Report(3, 3, 0, 0L), r3.toString)
+  }
+
+  test("a changed already-loaded file refuses; FORCE re-loads " +
+      "everything (duplicates by intent)") {
+    val root = tempDir("copyinto-changed")
+    val table = root + "/t"
+    val landing = root + "/landing"
+    Files.createDirectories(Paths.get(landing))
+    mkTable(table)
+    land(landing, "a.parquet", keyedDF(100, 40))
+    assert(CopyInto.copyInto(spark, table, landing, "parquet")
+      .filesLoaded == 1)
+
+    // rewrite the landed file with different CONTENT (size changes)
+    land(landing, "a.parquet", keyedDF(100, 60))
+    val e = intercept[IllegalStateException] {
+      CopyInto.copyInto(spark, table, landing, "parquet")
+    }
+    assert(e.getMessage.contains("changed since they were ingested"),
+      e.getMessage)
+
+    val rf = CopyInto.copyInto(spark, table, landing, "parquet",
+      force = true)
+    assert(rf.filesLoaded == 1 && rf.rowsLoaded == 60L, rf.toString)
+    // 100 base + 40 first load + 60 forced re-load
+    assert(PDataset.scanParquet(spark, table).toDF.count() == 200)
+  }
+
+  test("columns align by NAME with casts; missing or extra columns " +
+      "refuse; CSV takes the table schema with FORMAT_OPTIONS") {
+    val root = tempDir("copyinto-schema")
+    val table = root + "/t"
+    val landing = root + "/landing"
+    val landingCsv = root + "/landing-csv"
+    Files.createDirectories(Paths.get(landing))
+    mkTable(table)
+
+    // reordered + re-cased + int-typed key: aligns and casts
+    land(landing, "re.parquet", keyedDF(100, 10).select(
+      col("payload"), col("grp").cast("long").as("GRP"),
+      col("k").cast("int").as("K")))
+    val r = CopyInto.copyInto(spark, table, landing, "parquet")
+    assert(r.filesLoaded == 1 && r.rowsLoaded == 10L)
+    val got = PDataset.scanParquet(spark, table).toDF
+      .filter(col("k") >= 100).orderBy("k").collect()
+    assert(got.length == 10 && got.head.getLong(0) == 100L &&
+      got.head.getString(2) == "v100")
+
+    // an extra source column refuses
+    land(landing, "extra.parquet",
+      keyedDF(200, 5).withColumn("junk", lit(1)))
+    val e = intercept[IllegalArgumentException] {
+      CopyInto.copyInto(spark, table, landing, "parquet")
+    }
+    assert(e.getMessage.contains("match the table's columns"),
+      e.getMessage)
+
+    // CSV: no inference — the table's schema applies, options pass
+    Files.createDirectories(Paths.get(landingCsv))
+    Files.write(Paths.get(landingCsv, "d.csv"),
+      "k;grp;payload\n300;2;v300\n301;3;v301\n"
+        .getBytes("UTF-8"))
+    val rc = spark.sql(s"COPY INTO graft.`$table` FROM '$landingCsv' " +
+      "FILEFORMAT = CSV PATTERN = '*.csv' " +
+      "FORMAT_OPTIONS('header'='true', 'sep'=';')").head()
+    assert(rc.getInt(2) == 1 && rc.getLong(3) == 2L, rc.toString)
+    assert(PDataset.scanParquet(spark, table).toDF
+      .filter(col("k") === 301).head().getString(2) == "v301")
+  }
+
+  test("COPY INTO a non-table target refuses; ledger survives " +
+      "unrelated maintenance commits") {
+    val root = tempDir("copyinto-guards")
+    val table = root + "/t"
+    val landing = root + "/landing"
+    Files.createDirectories(Paths.get(landing))
+    intercept[Exception] {
+      CopyInto.copyInto(spark, root + "/nope", landing, "parquet")
+    }
+    mkTable(table)
+    land(landing, "a.parquet", keyedDF(100, 20))
+    assert(CopyInto.copyInto(spark, table, landing, "parquet")
+      .filesLoaded == 1)
+    // a compact rewrites the sidecar — the ledger must ride along
+    graft.operators.Maintenance.compact(spark, table, targetRows = 1000)
+    val r = CopyInto.copyInto(spark, table, landing, "parquet")
+    assert(r.filesSkipped == 1 && r.filesLoaded == 0, r.toString)
+    assert(Sidecar.load(spark, table).copyLedger.size == 1)
+  }
+}
