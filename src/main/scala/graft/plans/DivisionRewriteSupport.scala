@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{GraftFileIndex, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Cast, EqualTo, Expression, ExprId, GreaterThan, GreaterThanOrEqual, IsNull, LessThan, Literal, NamedExpression, Not, Or}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Cast, EqualTo, Expression, ExprId, GreaterThan, GreaterThanOrEqual, IsNull, LessThan, Literal, NamedExpression, Not, Or, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -35,8 +35,15 @@ private[plans] trait DivisionRewriteSupport {
         }
         case _ => None
       }
-      case f: Filter if f.condition.deterministic => graftLeaf(f.child)
-      case pr: Project if pr.projectList.forall(_.deterministic) =>
+      // a chain node holding a subquery is inadmissible: freshCopy
+      // would duplicate the subquery's PLAN across division children
+      // with its internal ExprIds shared
+      case f: Filter if f.condition.deterministic &&
+          !f.condition.exists(_.isInstanceOf[SubqueryExpression]) =>
+        graftLeaf(f.child)
+      case pr: Project if pr.projectList.forall(e =>
+          e.deterministic &&
+            !e.exists(_.isInstanceOf[SubqueryExpression])) =>
         graftLeaf(pr.child)
       case _ => None
     }

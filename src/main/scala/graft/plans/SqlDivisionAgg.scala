@@ -74,6 +74,12 @@ final class SqlDivisionAgg(protected val session: SparkSession)
     if (a.groupingExpressions.isEmpty) return None
     if (a.groupingExpressions.exists(!_.deterministic)) return None
     if (a.aggregateExpressions.exists(!_.deterministic)) return None
+    // a subquery's plan must not be duplicated per division (its
+    // internal ExprIds would be shared across Union branches)
+    if ((a.groupingExpressions ++ a.aggregateExpressions).exists(
+      _.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.SubqueryExpression])))
+      return None
     val (rel, idx) = graftLeaf(a.child).getOrElse(return None)
     val keyNames = idx.lexIndexColumns
     if (keyNames.isEmpty) return None

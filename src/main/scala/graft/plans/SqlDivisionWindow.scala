@@ -59,6 +59,11 @@ final class SqlDivisionWindow(protected val session: SparkSession)
     if (w.partitionSpec.exists(!_.deterministic)) return None
     if (w.orderSpec.exists(!_.deterministic)) return None
     if (w.windowExpressions.exists(!_.deterministic)) return None
+    // a subquery's plan must not be duplicated per division (its
+    // internal ExprIds would be shared across Union branches)
+    if (w.windowExpressions.exists(_.exists(_.isInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.SubqueryExpression])))
+      return None
     val (rel, idx) = graftLeaf(w.child).getOrElse(return None)
     val keyNames = idx.lexIndexColumns
     if (keyNames.isEmpty) return None
