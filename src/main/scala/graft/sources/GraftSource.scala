@@ -234,12 +234,21 @@ final class GraftSource extends RelationProvider
       parameters: Map[String, String],
       data: DataFrame): BaseRelation = {
     val path = streamPath(parameters)
+    val spark = sqlContext.sparkSession
+    // An append to an existing table defaults to the target's own
+    // clustering — re-declaring the index on every append is noise
+    // (and a TYPO there turned an append into a refusal). A fresh
+    // write still requires the explicit declaration.
     val index = parameters.get("index")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .orElse(
+        if (mode == SaveMode.Append && Sidecar.exists(spark, path))
+          Some(Sidecar.load(spark, path).indexColumns)
+        else None)
       .getOrElse(throw new IllegalArgumentException(
         "the graft sink requires option 'index': comma-separated " +
-          "columns the dataset is range-clustered and pruned on"))
-    val spark = sqlContext.sparkSession
+          "columns the dataset is range-clustered and pruned on " +
+          "(only appends to an existing table may omit it)"))
     val (fs, p) = GraftFs.resolve(spark, path)
     val exists = GraftFs.statusOf(fs, p).isDefined
     if (mode == SaveMode.Ignore && exists)
@@ -334,6 +343,21 @@ final class GraftSource extends RelationProvider
     // metadata over the whole table.
     val appendTo: Option[(Sidecar.Meta, (Long, Long))] =
       if (mode == SaveMode.Append && Sidecar.exists(spark, path)) {
+        // option("mergeSchema", "true") — Delta-style append
+        // evolution: incoming columns the target lacks are added
+        // first (nullable, a metadata-only commit; existing files
+        // serve them as null), so a widening pipeline appends without
+        // a manual ALTER. Type CONFLICTS on existing columns still
+        // refuse below — evolution adds, it never rewrites.
+        if (parameters.get("mergeSchema").exists(
+            _.equalsIgnoreCase("true"))) {
+          val m0 = Sidecar.load(spark, path)
+          val fresh = data.schema.fields.filterNot(f =>
+            m0.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+          if (fresh.nonEmpty)
+            graft.operators.Maintenance.addColumns(
+              spark, path, fresh.toIndexedSeq: _*)
+        }
         val m = Sidecar.load(spark, path)
         // Fingerprint the sidecar the moment it is loaded: the append
         // re-checks it right before installing the merged listing, so

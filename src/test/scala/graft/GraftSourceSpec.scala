@@ -228,6 +228,43 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(spark.read.format("graft").load(out).count() == 500)
   }
 
+  test("option(\"mergeSchema\") evolves the target on append; plain " +
+      "appends may omit the index option") {
+    val out = tempDir("graft-source-evolve") + "/o.parquet"
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    orders.limit(500).write.format("graft")
+      .option("index", "o_orderdate").option("files", "2").save(out)
+
+    // append WITHOUT option("index"): the target's clustering applies
+    orders.limit(10).write.format("graft").mode("append").save(out)
+    assert(spark.read.format("graft").load(out).count() == 510)
+
+    // mergeSchema adds the new column; old files serve it as null
+    val widened = orders.limit(10).withColumn("bonus", lit(7))
+    widened.write.format("graft").mode("append")
+      .option("mergeSchema", "true").save(out)
+    val back = spark.read.format("graft").load(out)
+    assert(back.count() == 520)
+    assert(back.schema.fieldNames.contains("bonus"))
+    assert(back.filter(col("bonus").isNull).count() == 510)
+    assert(back.filter(col("bonus") === 7).count() == 10)
+
+    // evolution adds columns — a type CONFLICT still refuses
+    val bad = orders.limit(5)
+      .withColumn("o_orderkey", col("o_orderkey").cast("string"))
+    val e = intercept[IllegalArgumentException] {
+      bad.write.format("graft").mode("append")
+        .option("mergeSchema", "true").save(out)
+    }
+    assert(e.getMessage.contains("conflicts"), e.getMessage)
+    // without the option, a new column still refuses with guidance
+    val e2 = intercept[IllegalArgumentException] {
+      orders.limit(5).withColumn("extra2", lit(1))
+        .write.format("graft").mode("append").save(out)
+    }
+    assert(e2.getMessage.contains("does not exist"), e2.getMessage)
+  }
+
   test("bloom option rejects unsupported column types before the write") {
     val out = tempDir("graft-source-badbloom") + "/o.parquet"
     val orders = spark.read.parquet(s"$sf/orders.parquet")
