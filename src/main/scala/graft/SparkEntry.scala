@@ -947,8 +947,13 @@ object SparkEntry {
       val landing = root.resolve("landing")
       java.nio.file.Files.createDirectories(landing)
       val orders = s.read.parquet(T(d, "orders"))
+      // the base table starts life as BARE parquet and is adopted in
+      // place: CONVERT TO GRAFT = one stats job, zero data rewritten
       orders.filter(col("o_orderkey") % 3 === 0)
-        .write.format("graft").option("index", "o_orderkey").save(table)
+        .repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.parquet(table)
+      s.sql(s"CONVERT TO GRAFT '$table' INDEX (o_orderkey)")
       val g = s"graft.`$table`"
       graft.core.Sidecar.writeSingleParquet(
         orders.filter(col("o_orderkey") % 3 === 1),

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{GraftFileIndex, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Cast, EqualTo, Expression, ExprId, GreaterThan, GreaterThanOrEqual, IsNull, LessThan, Literal, NamedExpression, Not, Or, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Cast, EqualNullSafe, Expression, ExprId, GreaterThan, GreaterThanOrEqual, IsNull, LessThan, Literal, NamedExpression, Not, Or, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -14,10 +14,12 @@ import graft.core.Lex.Bound
   * division children, and resolved-catalyst lex range predicates.
   *
   * The rules run POST-analysis, so the predicates are built as
-  * already-resolved catalyst trees — same recursion and null-first
-  * semantics as [[graft.core.LexColumns]]' Column builders (padawan
-  * ordering.py:5-66), with literals cast to the key's type (the
-  * analyzer's coercion won't run over them).
+  * already-resolved catalyst trees — same null-first lex recursion as
+  * [[graft.core.LexColumns]]' Column builders (padawan
+  * ordering.py:5-66) but with TOTAL-ORDER null handling in the
+  * equality branch (see [[eqBranch]] — the ranges must tile), and
+  * literals cast to the key's type (the analyzer's coercion won't
+  * run over them).
   */
 private[plans] trait DivisionRewriteSupport {
 
@@ -104,9 +106,19 @@ private[plans] trait DivisionRewriteSupport {
     case None => Literal.TrueLiteral
     case Some(x) => GreaterThanOrEqual(c, litFor(c, x))
   }
+  // The equal-at-this-position branch uses TOTAL-ORDER null
+  // semantics (`IsNull` / null-safe equality), NOT the reference's
+  // null-propagating `===` that [[graft.core.LexColumns]] keeps for
+  // slice parity: the division ranges must TILE — every row,
+  // null-keyed or not, falls in exactly one range. Null-propagating
+  // equality made a row null at a position where the bound holds a
+  // null fall in NO range (the equal-branch evaluated to null on both
+  // sides of the boundary), silently dropping it from a division
+  // aggregate/window — masked in the inner join, where null keys
+  // never match anyway.
   private def eqBranch(c: Attribute, v: Option[Any]): Expression = v match {
-    case None => Literal(null, org.apache.spark.sql.types.BooleanType)
-    case Some(x) => EqualTo(c, litFor(c, x))
+    case None => IsNull(c)
+    case Some(x) => EqualNullSafe(c, litFor(c, x))
   }
   private def lexRecurse(
       cols: Seq[Attribute], bound: Seq[Option[Any]],

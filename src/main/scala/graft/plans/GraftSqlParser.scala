@@ -116,6 +116,9 @@ object GraftSqlParser {
       """(?:\s+INTO\s+""" + T + """)?\s*;?\s*""").r
   private val DescDetail =
     ("""(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+""" + T + """\s*;?\s*""").r
+  private val ConvertTo =
+    ("""(?is)\s*CONVERT\s+TO\s+GRAFT\s+""" + T +
+      """\s+INDEX\s*\(([^)]*)\)\s*;?\s*""").r
   private val CopyInto =
     ("""(?is)\s*COPY\s+INTO\s+""" + T +
       """\s+FROM\s+'([^']+)'""" +
@@ -151,6 +154,10 @@ object GraftSqlParser {
       case Optimize(a, b, c, where, rows) =>
         tbl(a, b, c).map(GraftOptimizeCommand(_, rows.toLong,
           Option(where).map(_.trim)))
+      case ConvertTo(a, b, c, cols) =>
+        val cs = cols.split(",").map(_.trim.stripPrefix("`")
+          .stripSuffix("`")).filter(_.nonEmpty).toSeq
+        tbl(a, b, c).map(GraftConvertCommand(_, cs))
       case CopyInto(a, b, c, src, fmt, pattern, opts, force) =>
         // FORMAT_OPTIONS('k'='v', ...) — quoted pairs only
         val parsed = Option(opts).map(_.trim).filter(_.nonEmpty)
@@ -278,6 +285,32 @@ final case class GraftOptimizeCommand(path: String, targetRows: Long,
   }
 }
 
+/** `CONVERT TO GRAFT '/dir' INDEX (c1, c2)` — adopt a bare parquet
+  * directory in place as a graft table (the Delta CONVERT shape):
+  * one stats job over the existing files builds the sidecar, zero
+  * data rewritten; every engine surface (pruned scans, maintenance,
+  * SQL row-level ops, COPY INTO) then applies. Converting an
+  * existing graft table is a no-op reporting the current state. */
+final case class GraftConvertCommand(path: String, index: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = DataTypeUtils.toAttributes(
+    StructType(Seq(
+      StructField("files", IntegerType, nullable = false),
+      StructField("rows", LongType, nullable = false),
+      StructField("already_graft", BooleanType, nullable = false))))
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val already = graft.core.Sidecar.exists(sparkSession, path)
+    if (!already) {
+      require(index.nonEmpty,
+        "CONVERT TO GRAFT requires INDEX (c1[, c2...]): the columns " +
+          "the table is range-clustered and pruned on")
+      graft.core.PDataset.writeMetadata(sparkSession, path, index)
+    }
+    val m = graft.core.Sidecar.load(sparkSession, path)
+    Seq(Row(m.files.length, m.sizes.sum, already))
+  }
+}
+
 /** `COPY INTO g FROM '/landing' FILEFORMAT = PARQUET [PATTERN = p]
   * [FORMAT_OPTIONS('k'='v',...)] [FORCE]` — idempotent incremental
   * file ingestion: each source file loads exactly once across
@@ -315,7 +348,9 @@ final case class GraftDescribeDetailCommand(path: String)
       StructField("n_constraints", IntegerType, nullable = false),
       StructField("pending_deletion_vectors", BooleanType,
         nullable = false),
-      StructField("retained_versions", IntegerType, nullable = false))))
+      StructField("retained_versions", IntegerType, nullable = false),
+      StructField("copy_ledger_entries", IntegerType,
+        nullable = false))))
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val m = graft.core.Sidecar.load(sparkSession, path)
     val (_, dirPath) = graft.core.GraftFs.resolve(sparkSession, path)
@@ -328,7 +363,8 @@ final case class GraftDescribeDetailCommand(path: String)
       m.sizes.sum, bytes,
       Constraints.list(sparkSession, path).size,
       graft.operators.DeletionVectors.exists(sparkSession, path),
-      Maintenance.versions(sparkSession, path).length))
+      Maintenance.versions(sparkSession, path).length,
+      m.copyLedger.size))
   }
 }
 

@@ -42,9 +42,10 @@ import graft.core.Lex
   * Correctness does not depend on the pruning: each division child is
   * `Filter(lo <= lex(keys) < hi, side)` over the FULL relation, the
   * ranges tile (-inf, +inf), and rows fall in exactly one range
-  * (null-first lex order, same [[LexColumns]] predicates `slice`
-  * uses) — file skipping through [[GraftFileIndex]] is what makes
-  * each child O(its own files) instead of O(all files).
+  * (null-first lex order with total-order equality — see
+  * [[DivisionRewriteSupport]]) — file skipping through
+  * [[GraftFileIndex]] is what makes each child O(its own files)
+  * instead of O(all files).
   *
   * Disable with `SET spark.graft.sql.divisionJoin=false`.
   */

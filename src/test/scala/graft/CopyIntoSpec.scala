@@ -137,6 +137,34 @@ class CopyIntoSpec extends AnyFunSuite {
       .filter(col("k") === 301).head().getString(2) == "v301")
   }
 
+  test("CONVERT TO GRAFT adopts a bare parquet directory in place; " +
+      "re-converting is a no-op; COPY INTO then applies") {
+    val root = tempDir("convert")
+    val bare = root + "/bare"
+    keyedDF(0, 100).repartition(2).write.parquet(bare)
+    assert(!Sidecar.exists(spark, bare))
+
+    val row = spark.sql(
+      s"CONVERT TO GRAFT '$bare' INDEX (k)").head()
+    assert(row.getLong(1) == 100L && !row.getBoolean(2), row.toString)
+    assert(Sidecar.load(spark, bare).indexColumns == Seq("k"))
+    // a second CONVERT is a no-op report, not a re-stat
+    val again = spark.sql(
+      s"CONVERT TO GRAFT '$bare' INDEX (k)").head()
+    assert(again.getBoolean(2) && again.getLong(1) == 100L)
+
+    // the converted table is a full citizen: COPY INTO ingests
+    val landing = root + "/landing"
+    Files.createDirectories(Paths.get(landing))
+    land(landing, "a.parquet", keyedDF(100, 10))
+    val r = CopyInto.copyInto(spark, bare, landing, "parquet")
+    assert(r.filesLoaded == 1)
+    assert(PDataset.scanParquet(spark, bare).toDF.count() == 110)
+    // DESCRIBE DETAIL surfaces the ledger
+    val det = spark.sql(s"DESCRIBE DETAIL graft.`$bare`").head()
+    assert(det.getAs[Int]("copy_ledger_entries") == 1, det.toString)
+  }
+
   test("COPY INTO a non-table target refuses; ledger survives " +
       "unrelated maintenance commits") {
     val root = tempDir("copyinto-guards")

@@ -85,6 +85,16 @@ class SqlDivisionAggSpec extends AnyFunSuite {
       assert(df3.orderBy("k").collect().toSeq ==
         withRuleOff(spark.sql(q3).orderBy("k").collect().toSeq))
 
+      // SELECT DISTINCT on the key is an Aggregate by the time the
+      // rule runs (ReplaceDistinctWithAggregate) — dedup on the
+      // clustered key is shuffle-free too
+      val qd = "SELECT DISTINCT k, v % 3 AS m3 FROM dva"
+      val dfd = spark.sql(qd)
+      assert(plans(dfd)._1.contains("Union"), plans(dfd)._1)
+      assert(!plans(dfd)._2.contains("Exchange"), plans(dfd)._2)
+      assert(dfd.orderBy("k", "m3").collect().toSeq ==
+        withRuleOff(spark.sql(qd).orderBy("k", "m3").collect().toSeq))
+
       // ineligible: grouping on a non-index column keeps Spark's plan
       val dfN = spark.sql("SELECT w, count(*) AS n FROM dva GROUP BY w")
       assert(!plans(dfN)._1.contains("Union"), plans(dfN)._1)
@@ -115,6 +125,42 @@ class SqlDivisionAggSpec extends AnyFunSuite {
       val df = spark.sql(
         "SELECT k, count(*) AS n FROM dva_min GROUP BY k")
       assert(!plans(df)._1.contains("Union"), plans(df)._1)
+    } finally {
+      PDataset.divisionJoinMinOverride = None
+    }
+  }
+
+  test("null-bearing index tuples tile: rows null at a position " +
+      "where a division bound holds a null are never dropped") {
+    PDataset.divisionJoinMinOverride = Some(2)
+    try {
+      val dir = tempDir("sqldivagg-nulls") + "/ds"
+      // composite index (k, v); the first files hold NULL k, so the
+      // interior division bounds carry a null element at position 0 —
+      // the shape that made null-propagating equality drop rows from
+      // every range (caught by DivisionRouterSpec via the internal
+      // repartition histogram)
+      import spark.implicits._
+      def part(rows: Seq[(java.lang.Long, Long)]): PDataset =
+        PDataset.fromDataFrame(rows.toDF("k", "v"), Seq("k", "v"))
+      PDataset.concat(Seq(
+        part(Seq((null, 1L), (null, 2L), (null, 3L))),
+        part(Seq((null, 4L), (null, 5L), (0L: java.lang.Long, 1L))),
+        part(Seq((0L: java.lang.Long, 2L), (1L: java.lang.Long, 1L))),
+        part(Seq((2L: java.lang.Long, 1L), (2L: java.lang.Long, 2L)))
+      )).writeParquet(dir)
+      spark.read.format("graft").load(dir)
+        .createOrReplaceTempView("dva_null")
+      val q = "SELECT k, count(*) AS n, sum(v) AS sv FROM dva_null " +
+        "GROUP BY k"
+      val df = spark.sql(q)
+      assert(plans(df)._1.contains("Union"), plans(df)._1)
+      val got = df.orderBy(col("k").asc_nulls_first).collect().toSeq
+      val want = withRuleOff(spark.sql(q)
+        .orderBy(col("k").asc_nulls_first).collect().toSeq)
+      assert(got == want, s"got $got\nwant $want")
+      assert(got.head.isNullAt(0) && got.head.getLong(1) == 5L,
+        s"the null group must hold all 5 null-keyed rows: $got")
     } finally {
       PDataset.divisionJoinMinOverride = None
     }
