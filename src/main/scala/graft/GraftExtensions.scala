@@ -44,6 +44,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // ... and window functions PARTITION BY'd on such a prefix
     // (disable: SET spark.graft.sql.divisionWindow=false).
     ext.injectOptimizerRule(s => new graft.plans.SqlDivisionWindow(s))
+    // ... and global ORDER BY in the clustering order: locally sorted
+    // range slices concatenate into the global order with no
+    // RangePartitioning Exchange and no sampling pass
+    // (disable: SET spark.graft.sql.divisionSort=false).
+    ext.injectOptimizerRule(s => new graft.plans.SqlDivisionSort(s))
     // DV-pending `format("graft")` reads: splice the native
     // merge-on-read plan (broadcast anti join over the vectorized
     // sidecar scan) in place of the V1 relation during analysis, so

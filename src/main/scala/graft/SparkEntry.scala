@@ -1204,6 +1204,20 @@ object SparkEntry {
                 ORDER BY ckey, rk LIMIT 2000""")
     }),
 
+    // Plain-SQL global ORDER BY in the clustering order through the
+    // SqlDivisionSort rule: the RangePartitioning Exchange plus its
+    // sampling pass — two passes over a 100 TB table to recreate an
+    // order the sidecar already guarantees — become locally sorted
+    // range slices concatenated in range order; with LIMIT the plan
+    // reads only the FIRST key band's files and stops.
+    "q_sql_division_sort" -> ((s, d) => {
+      val oDir = jdOrdersFixture(s, d)
+      val s2 = s.newSession()
+      s2.read.format("graft").load(oDir).createOrReplaceTempView("sds_o")
+      s2.sql("""SELECT ckey, o_orderkey, o_totalprice
+                FROM sds_o ORDER BY ckey, o_orderkey LIMIT 5000""")
+    }),
+
     "q_join_left" -> ((s, d) => {
       val o = scan(s, d, "orders").rename(Map("o_orderkey" -> "okey"))
         .reindex(Seq("okey"))
@@ -2926,6 +2940,9 @@ object SparkEntry {
              FROM orders)
            WHERE rk <= 2
            ORDER BY ckey, rk LIMIT 2000""",
+      "q_sql_division_sort" ->
+        """SELECT o_custkey AS ckey, o_orderkey, o_totalprice
+           FROM orders ORDER BY ckey, o_orderkey LIMIT 5000""",
       "q_join_left" ->
         """SELECT o_orderpriority, count(*) AS n,
                   CAST(count(l_quantity) AS BIGINT) AS n_matched

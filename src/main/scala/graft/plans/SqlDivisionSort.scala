@@ -1,0 +1,108 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, ExprId, NullsFirst, SortOrder, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Repartition, Sort, Union}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+import graft.core.Lex
+
+/** Automatic SHUFFLE-FREE SQL global sorts on clustered keys.
+  *
+  * `SELECT ... FROM graft.db.t ORDER BY k, ...` where the leading
+  * ORDER BY entries are the table's index-column prefix (ascending,
+  * nulls first — the lex clustering order) re-sorts data that is
+  * ALREADY globally range-clustered: Spark plans a RangePartitioning
+  * Exchange (with its sampling pass) plus a full sort — at 100 TB,
+  * two passes over the table to recreate an order the sidecar already
+  * guarantees. This rule replaces the global Sort with a union of
+  * LOCALLY sorted single-partition range slices in ascending range
+  * order:
+  *
+  *   Union_{i<g} ( Sort(order, global = false, Coalesce(1,
+  *     Filter(lo_i <= lex(prefix) < hi_i, scan))) )
+  *
+  * Union concatenates child partitions in order, divisions tile the
+  * key space ascending, and each division sorts its own rows by the
+  * FULL requested order — so the concatenation IS the global order
+  * (entries beyond the prefix only break ties within a prefix value,
+  * which never crosses a division). No Exchange, no sampling pass,
+  * one task per division; `ORDER BY k LIMIT n` degenerates further —
+  * CollectLimit pulls from the FIRST divisions only, so a top-n on
+  * the clustering key reads the first key band's files and stops.
+  *
+  * Eligibility (anything else keeps Spark's plan): a global Sort over
+  * a graft relation under deterministic Project/Filter nodes; the
+  * ORDER BY's leading entries are bare index-prefix attributes,
+  * ascending nulls-first (the clustering order — DESC would need
+  * reversed tiling, not worth the asymmetry); later entries are any
+  * deterministic expressions (sorted locally); division count clears
+  * the utilization minimum.
+  *
+  * Disable with `SET spark.graft.sql.divisionSort=false`.
+  */
+final class SqlDivisionSort(protected val session: SparkSession)
+    extends Rule[LogicalPlan] with DivisionRewriteSupport {
+
+  private def enabled: Boolean =
+    session.sessionState.conf
+      .getConfString("spark.graft.sql.divisionSort", "true")
+      .equalsIgnoreCase("true")
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transformUp {
+      case s: Sort if s.global => rewrite(s).getOrElse(s)
+    }
+  }
+
+  private def rewrite(s: Sort): Option[LogicalPlan] = {
+    if (s.order.exists(!_.deterministic)) return None
+    if (s.order.exists(_.exists(_.isInstanceOf[SubqueryExpression])))
+      return None
+    val (rel, idx) = graftLeaf(s.child).getOrElse(return None)
+    val keyNames = idx.lexIndexColumns
+    if (keyNames.isEmpty) return None
+
+    // The longest index prefix the ORDER BY leads with, position by
+    // position, in the clustering direction (asc nulls first).
+    val resolver = session.sessionState.conf.resolver
+    val childOut = s.child.outputSet
+    val k = keyNames.iterator.zipWithIndex.takeWhile { case (n, i) =>
+      i < s.order.length && (s.order(i) match {
+        case SortOrder(a: Attribute, Ascending, NullsFirst, _) =>
+          resolver(a.name, n) && childOut.contains(a) &&
+            rel.output.exists(ra =>
+              ra.exprId == a.exprId && resolver(ra.name, n))
+        case _ => false
+      })
+    }.length
+    if (k == 0) return None
+    val prefixAttrs: Seq[Attribute] =
+      s.order.take(k).map(_.child.asInstanceOf[Attribute])
+
+    val bounds = idx.lexLowerBounds.map(_.take(k))
+      .distinct.sorted(Lex.boundOrdering)
+    val nDiv = bounds.length + 1
+    val maxD = graft.core.PDataset.divisionJoinMaxDivisions
+    val minD = graft.core.PDataset.divisionJoinMinDivisions(session)
+    if (nDiv < minD || maxD < minD) return None
+
+    val edges = mergedEdges(bounds, maxD)
+    val g = edges.length - 1
+    val branches: Seq[LogicalPlan] = (0 until g).map { i =>
+      val (sub, m) =
+        if (i == 0) (s.child, Map.empty[ExprId, Attribute])
+        else freshCopy(s.child)
+      val keysI = prefixAttrs.map(at => m.getOrElse(at.exprId, at))
+      val one = Repartition(1, shuffle = false,
+        Filter(rangePred(keysI, edges(i), edges(i + 1)), sub))
+      Sort(s.order.map(o =>
+        remap(o, m).asInstanceOf[SortOrder]), global = false, one)
+    }
+    logInfo(s"graft: rewrote global ORDER BY on clustered prefix " +
+      s"${keyNames.take(k).mkString(",")} to a zero-Exchange " +
+      s"division sort ($g ranges)")
+    Some(Union(branches))
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+import graft.core.PDataset
+import Fixtures._
+
+/** The automatic zero-Exchange SQL division sort
+  * (`graft.plans.SqlDivisionSort`): a global ORDER BY leading with
+  * the clustering order replaces Spark's RangePartitioning Exchange +
+  * full sort with locally sorted range slices concatenated in range
+  * order; ORDER BY ... LIMIT reads only the first key band. */
+class SqlDivisionSortSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Files of 20, index (k), k = id/3 — duplicate keys straddling
+    * file boundaries, plus a nulls-first file. */
+  private def writeClustered(dir: String, n: Long): Unit = {
+    def part(lo: Long): PDataset =
+      PDataset.fromDataFrame(
+        spark.range(lo, math.min(lo + 20, n)).select(
+          when(col("id") < 2, lit(null)).otherwise(col("id") / 3)
+            .cast("long").as("k"),
+          col("id").as("v")), Seq("k"))
+    PDataset.concat((0L until n by 20L).map(part)).writeParquet(dir)
+  }
+
+  private def plans(df: DataFrame): (String, String) =
+    (df.queryExecution.optimizedPlan.toString,
+      df.queryExecution.executedPlan.toString)
+
+  private def withRuleOff[A](body: => A): A = {
+    spark.conf.set("spark.graft.sql.divisionSort", "false")
+    try body
+    finally spark.conf.set("spark.graft.sql.divisionSort", "true")
+  }
+
+  test("ORDER BY the clustering prefix plans Exchange-free and " +
+      "returns the exact global order; LIMIT reads the first band") {
+    PDataset.divisionJoinMinOverride = Some(2)
+    try {
+      val dir = tempDir("sqldivsort") + "/ds"
+      writeClustered(dir, 160)
+      spark.read.format("graft").load(dir).createOrReplaceTempView("dvs")
+
+      // extra entries beyond the prefix sort locally (tie-break by v)
+      val q = "SELECT k, v FROM dvs ORDER BY k, v DESC"
+      val df = spark.sql(q)
+      val (opt, exec) = plans(df)
+      assert(opt.contains("Union"), opt)
+      assert(!exec.contains("Exchange"), exec)
+      val got = df.collect().toSeq
+      val want = withRuleOff(spark.sql(q).collect().toSeq)
+      assert(got == want) // EXACT row order, nulls first
+      assert(got.length == 160 && got.head.isNullAt(0))
+
+      // ORDER BY ... LIMIT: no Exchange, correct top-n
+      val ql = "SELECT k, v FROM dvs ORDER BY k, v LIMIT 7"
+      val dfl = spark.sql(ql)
+      assert(plans(dfl)._1.contains("Union"), plans(dfl)._1)
+      assert(!plans(dfl)._2.contains("Exchange"), plans(dfl)._2)
+      assert(dfl.collect().toSeq ==
+        withRuleOff(spark.sql(ql).collect().toSeq))
+
+      // ineligible: DESC on the prefix, non-index leading entry,
+      // rule off — all keep Spark's plan
+      val offShapes = Seq(
+        "SELECT k, v FROM dvs ORDER BY k DESC",
+        "SELECT k, v FROM dvs ORDER BY v")
+      offShapes.foreach { shape =>
+        assert(!plans(spark.sql(shape))._1.contains("Union"),
+          shape + "\n" + plans(spark.sql(shape))._1)
+      }
+      val offOpt = withRuleOff(plans(spark.sql(q))._1)
+      assert(!offOpt.contains("Union"), offOpt)
+    } finally {
+      PDataset.divisionJoinMinOverride = None
+    }
+  }
+
+  test("the q_sql_division_sort entry query really plans the " +
+      "zero-Exchange division sort") {
+    val df = SparkEntry.queries("q_sql_division_sort")(
+      spark, "/root/testdata/sf0.001")
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("Union"), opt)
+    assert(!df.queryExecution.executedPlan.toString
+      .contains("rangepartitioning(ckey"),
+      df.queryExecution.executedPlan.toString)
+  }
+}
