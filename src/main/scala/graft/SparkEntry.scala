@@ -1171,6 +1171,10 @@ object SparkEntry {
     "q_sql_division_agg" -> ((s, d) => {
       val oDir = jdOrdersFixture(s, d)
       val s2 = s.newSession()
+      // bench-scale fixtures sit under the rewrite's cost-model byte
+      // floor (default 256 MB — always clear at warehouse scale);
+      // pin it down so the oracle exercises the division plan
+      s2.conf.set("spark.graft.sql.divisionMinBytes", "0")
       s2.read.format("graft").load(oDir).createOrReplaceTempView("sda_o")
       // the median runs over integer CENTS: interpolating two
       // integers < 2^53 is exact in double, so Spark's percentile and
@@ -1194,6 +1198,10 @@ object SparkEntry {
     "q_sql_division_window" -> ((s, d) => {
       val oDir = jdOrdersFixture(s, d)
       val s2 = s.newSession()
+      // bench-scale fixtures sit under the rewrite's cost-model byte
+      // floor (default 256 MB — always clear at warehouse scale);
+      // pin it down so the oracle exercises the division plan
+      s2.conf.set("spark.graft.sql.divisionMinBytes", "0")
       s2.read.format("graft").load(oDir).createOrReplaceTempView("sdw_o")
       s2.sql("""SELECT ckey, okey, rk FROM (
                   SELECT ckey, o_orderkey AS okey,
@@ -1213,6 +1221,10 @@ object SparkEntry {
     "q_sql_division_sort" -> ((s, d) => {
       val oDir = jdOrdersFixture(s, d)
       val s2 = s.newSession()
+      // bench-scale fixtures sit under the rewrite's cost-model byte
+      // floor (default 256 MB — always clear at warehouse scale);
+      // pin it down so the oracle exercises the division plan
+      s2.conf.set("spark.graft.sql.divisionMinBytes", "0")
       s2.read.format("graft").load(oDir).createOrReplaceTempView("sds_o")
       s2.sql("""SELECT ckey, o_orderkey, o_totalprice
                 FROM sds_o ORDER BY ckey, o_orderkey LIMIT 5000""")

@@ -145,6 +145,20 @@ private[plans] trait DivisionRewriteSupport {
     conds.reduceOption(And(_, _)).getOrElse(Literal.TrueLiteral)
   }
 
+  /** Cost-model floor for the single-relation division rewrites
+    * (aggregate/window/sort): below this many relation bytes the
+    * Exchange being elided is cheaper than the rewrite's g-way plan
+    * copy + per-branch codegen — compile time, not data movement,
+    * dominates small plans (measured: the engine's own internal
+    * maintenance queries at bench scale regressed 2-7× under an
+    * ungated rewrite). At warehouse scale the gate is always clear;
+    * `SET spark.graft.sql.divisionMinBytes=0` pins the rewrite on
+    * for tests and small-data demos. */
+  protected def divisionMinBytes: Long =
+    session.sessionState.conf
+      .getConfString("spark.graft.sql.divisionMinBytes",
+        (256L << 20).toString).toLong
+
   /** Merge `bounds` (sorted, distinct interior division boundaries)
     * down to at most `maxD` ranges, tiled with unbounded sentinels:
     * returns `g+1` edges for `g` divisions. */

@@ -81,6 +81,7 @@ final class SqlDivisionAgg(protected val session: SparkSession)
         org.apache.spark.sql.catalyst.expressions.SubqueryExpression])))
       return None
     val (rel, idx) = graftLeaf(a.child).getOrElse(return None)
+    if (rel.stats.sizeInBytes < divisionMinBytes) return None
     val keyNames = idx.lexIndexColumns
     if (keyNames.isEmpty) return None
 

@@ -61,6 +61,7 @@ final class SqlDivisionSort(protected val session: SparkSession)
     if (s.order.exists(_.exists(_.isInstanceOf[SubqueryExpression])))
       return None
     val (rel, idx) = graftLeaf(s.child).getOrElse(return None)
+    if (rel.stats.sizeInBytes < divisionMinBytes) return None
     val keyNames = idx.lexIndexColumns
     if (keyNames.isEmpty) return None
 

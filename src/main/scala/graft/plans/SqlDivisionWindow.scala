@@ -65,6 +65,7 @@ final class SqlDivisionWindow(protected val session: SparkSession)
       org.apache.spark.sql.catalyst.expressions.SubqueryExpression])))
       return None
     val (rel, idx) = graftLeaf(w.child).getOrElse(return None)
+    if (rel.stats.sizeInBytes < divisionMinBytes) return None
     val keyNames = idx.lexIndexColumns
     if (keyNames.isEmpty) return None
 

@@ -90,10 +90,30 @@ class MaintenanceFuzzSpec extends AnyFunSuite {
         s"$step: commit-info feed diverges from the endpoint feed")
     }
 
+    val landing = tempDir("maint-fuzz-landing")
+
     (0 until 26).foreach { step =>
-      val op = rnd.nextInt(15)
+      val op = rnd.nextInt(16)
       val label =
-        if (op == 14) { // index-assignment update: movers re-route
+        if (op == 15) { // COPY INTO: idempotent landing-zone ingest
+          val base = (model.keys.lastOption.getOrElse(0L) + 1)
+            .max(nextFresh)
+          val n = 10 + rnd.nextInt(30)
+          (base until base + n).foreach(k => model(k) = s"c$step-$k")
+          nextFresh = base + n
+          graft.core.Sidecar.writeSingleParquet(
+            rowsOf((base until base + n), s"c$step"),
+            s"$landing/drop$step.parquet")
+          val r = graft.operators.CopyInto.copyInto(
+            spark, dir, landing, "parquet")
+          assert(r.filesLoaded == 1 && r.rowsLoaded == n, r.toString)
+          // the whole landing zone re-lists every time; only the new
+          // drop loads, and an immediate re-run loads nothing
+          val r2 = graft.operators.CopyInto.copyInto(
+            spark, dir, landing, "parquet")
+          assert(r2.filesLoaded == 0, s"re-run loaded: $r2")
+          s"copyInto($step, $n rows)"
+        } else if (op == 14) { // index-assignment update: movers re-route
           val keys = model.keys.toVector
           if (keys.length < 300) "skip"
           else {
@@ -217,14 +237,25 @@ class MaintenanceFuzzSpec extends AnyFunSuite {
             if (retain) checkFeed(before, s"delete-feed($step)")
             s"delete($step, [$a,$b))"
           }
-        } else if (op < 8) { // compact (rows or bytes)
+        } else if (op < 8) { // compact (rows, bytes, or a scoped band)
           val retain = rnd.nextBoolean()
-          if (rnd.nextBoolean())
-            Maintenance.compact(spark, dir, 150L + rnd.nextInt(400),
-              retain = retain)
-          else
-            Maintenance.compactBytes(spark, dir, 4096L * (1 + rnd.nextInt(8)),
-              retain = retain)
+          rnd.nextInt(3) match {
+            case 0 =>
+              Maintenance.compact(spark, dir, 150L + rnd.nextInt(400),
+                retain = retain)
+            case 1 =>
+              Maintenance.compactBytes(spark, dir,
+                4096L * (1 + rnd.nextInt(8)), retain = retain)
+            case _ =>
+              val keys = model.keys.toVector
+              if (keys.nonEmpty) {
+                val a = keys(rnd.nextInt(keys.length))
+                Maintenance.compactWhere(spark, dir,
+                  col("k") >= a && col("k") < a + 300,
+                  150L + rnd.nextInt(400), retain = retain)
+              } else Maintenance.compact(spark, dir, 200L,
+                retain = retain)
+          }
           // a compaction changes no rows: the feed must be empty
           if (retain) checkFeed(model.toMap, s"compact-feed($step)")
           s"compact($step)"

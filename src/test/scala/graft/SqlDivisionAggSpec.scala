@@ -42,6 +42,7 @@ class SqlDivisionAggSpec extends AnyFunSuite {
   test("GROUP BY on the clustered key plans Exchange-free and matches " +
       "Spark's plan, including non-algebraic aggregates") {
     PDataset.divisionJoinMinOverride = Some(2)
+    spark.conf.set("spark.graft.sql.divisionMinBytes", "0")
     try {
       val dir = tempDir("sqldivagg") + "/ds"
       writeClustered(dir, 160) // 8 files
@@ -110,13 +111,16 @@ class SqlDivisionAggSpec extends AnyFunSuite {
       assert(!offOpt.contains("Union"), offOpt)
     } finally {
       PDataset.divisionJoinMinOverride = None
+      spark.conf.unset("spark.graft.sql.divisionMinBytes")
     }
   }
 
   test("utilization gate: too few divisions for the cluster keeps " +
       "Spark's full-parallelism plan") {
     // minimum pinned above the fixture's 9 distinct prefix divisions
+    // (byte floor pinned down so THIS gate is the one deciding)
     PDataset.divisionJoinMinOverride = Some(10)
+    spark.conf.set("spark.graft.sql.divisionMinBytes", "0")
     try {
       val dir = tempDir("sqldivagg-min") + "/ds"
       writeClustered(dir, 160)
@@ -127,12 +131,14 @@ class SqlDivisionAggSpec extends AnyFunSuite {
       assert(!plans(df)._1.contains("Union"), plans(df)._1)
     } finally {
       PDataset.divisionJoinMinOverride = None
+      spark.conf.unset("spark.graft.sql.divisionMinBytes")
     }
   }
 
   test("null-bearing index tuples tile: rows null at a position " +
       "where a division bound holds a null are never dropped") {
     PDataset.divisionJoinMinOverride = Some(2)
+    spark.conf.set("spark.graft.sql.divisionMinBytes", "0")
     try {
       val dir = tempDir("sqldivagg-nulls") + "/ds"
       // composite index (k, v); the first files hold NULL k, so the
@@ -163,6 +169,7 @@ class SqlDivisionAggSpec extends AnyFunSuite {
         s"the null group must hold all 5 null-keyed rows: $got")
     } finally {
       PDataset.divisionJoinMinOverride = None
+      spark.conf.unset("spark.graft.sql.divisionMinBytes")
     }
   }
 
@@ -183,6 +190,7 @@ class SqlDivisionAggSpec extends AnyFunSuite {
   test("a metadata-foldable grouped aggregate is left for the " +
       "sidecar-stats fold, not rewritten to a scan") {
     PDataset.divisionJoinMinOverride = Some(2)
+    spark.conf.set("spark.graft.sql.divisionMinBytes", "0")
     try {
       val dir = tempDir("sqldivagg-meta") + "/ds"
       // k CONSTANT per file (lb == ub): the grouped count(*) answers
@@ -203,6 +211,7 @@ class SqlDivisionAggSpec extends AnyFunSuite {
         Seq.fill(6)(20L))
     } finally {
       PDataset.divisionJoinMinOverride = None
+      spark.conf.unset("spark.graft.sql.divisionMinBytes")
     }
   }
 }

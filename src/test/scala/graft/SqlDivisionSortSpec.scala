@@ -39,6 +39,7 @@ class SqlDivisionSortSpec extends AnyFunSuite {
   test("ORDER BY the clustering prefix plans Exchange-free and " +
       "returns the exact global order; LIMIT reads the first band") {
     PDataset.divisionJoinMinOverride = Some(2)
+    spark.conf.set("spark.graft.sql.divisionMinBytes", "0")
     try {
       val dir = tempDir("sqldivsort") + "/ds"
       writeClustered(dir, 160)
@@ -76,6 +77,7 @@ class SqlDivisionSortSpec extends AnyFunSuite {
       assert(!offOpt.contains("Union"), offOpt)
     } finally {
       PDataset.divisionJoinMinOverride = None
+      spark.conf.unset("spark.graft.sql.divisionMinBytes")
     }
   }
 

@@ -41,6 +41,7 @@ class SqlDivisionWindowSpec extends AnyFunSuite {
   test("PARTITION BY the clustered key plans Exchange-free and " +
       "matches Spark's plan across functions and frames") {
     PDataset.divisionJoinMinOverride = Some(2)
+    spark.conf.set("spark.graft.sql.divisionMinBytes", "0")
     try {
       val dir = tempDir("sqldivwin") + "/ds"
       writeClustered(dir, 160) // 8 files
@@ -89,6 +90,7 @@ class SqlDivisionWindowSpec extends AnyFunSuite {
       assert(!offOpt.contains("Union"), offOpt)
     } finally {
       PDataset.divisionJoinMinOverride = None
+      spark.conf.unset("spark.graft.sql.divisionMinBytes")
     }
   }
 
