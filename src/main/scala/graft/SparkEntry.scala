@@ -1041,6 +1041,29 @@ object SparkEntry {
       s.sql(s"SELECT * FROM $t ORDER BY o_orderkey")
     }),
 
+    // MERGE WITH SCHEMA EVOLUTION: a source-only column widens the
+    // target through the V2 catalog's alterTable (a metadata-only
+    // commit — old files serve the new column as null) BEFORE the
+    // clauses resolve, so a CDC stream that grew a field lands
+    // without a manual ALTER — Delta's autoMerge contract, expressed
+    // through Spark 4's native AUTOMATIC_SCHEMA_EVOLUTION capability.
+    "q_sql_merge_evolve" -> ((s, d) => {
+      val t = mutableCatalogTable(s, "ordkey20", d)(ordersByKey20(s, d))
+      val orders = s.read.parquet(T(d, "orders"))
+      orders.filter(col("o_orderkey") % 501 === 0)
+        .select(col("o_orderkey").as("k"),
+          (col("o_totalprice") * 2).as("np"),
+          concat(lit("n"), col("o_orderkey")).as("note"))
+        .createOrReplaceTempView("evo_merge_src")
+      s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $t
+        USING evo_merge_src s ON $t.o_orderkey = s.k
+        WHEN MATCHED THEN UPDATE SET o_totalprice = s.np,
+          note = s.note""")
+      s.sql(s"""SELECT o_orderkey, round(o_totalprice, 2) AS price,
+                       note
+                FROM $t ORDER BY o_orderkey""")
+    }),
+
     "q_sql_merge" -> ((s, d) => {
       val t = mutableCatalogTable(s, "ordkey20", d)(ordersByKey20(s, d))
       val orders = s.read.parquet(T(d, "orders"))
@@ -2878,6 +2901,15 @@ object SparkEntry {
            FROM orders ORDER BY o_orderkey""",
       // matched %401 keys deleted, matched %701 (non-%401) keys
       // updated, shifted %997 keys inserted
+      "q_sql_merge_evolve" ->
+        """SELECT o_orderkey,
+                  round(CASE WHEN o_orderkey % 501 = 0
+                             THEN o_totalprice * 2
+                             ELSE o_totalprice END, 2) AS price,
+                  CASE WHEN o_orderkey % 501 = 0
+                       THEN 'n' || CAST(o_orderkey AS VARCHAR)
+                       ELSE NULL END AS note
+           FROM orders ORDER BY o_orderkey""",
       "q_sql_merge" ->
         """SELECT o_orderkey, o_custkey, o_orderstatus,
                   CASE WHEN o_orderkey % 701 = 0 AND o_orderkey % 401 <> 0

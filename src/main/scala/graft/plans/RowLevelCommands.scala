@@ -141,11 +141,14 @@ final class GraftRowLevelRewrite(session: SparkSession)
           case None => mi
           case Some(gt) =>
             requireCurrent(gt, "MERGE INTO")
-            if (withSchemaEvolution)
-              throw new UnsupportedOperationException(
-                "MERGE ... WITH SCHEMA EVOLUTION is not supported on " +
-                  "graft tables; ALTER TABLE ... ADD COLUMNS first " +
-                  "(metadata-only), then MERGE")
+            // WITH SCHEMA EVOLUTION needs no work here: Spark's
+            // ResolveMergeIntoSchemaEvolution already widened the
+            // table through GraftCatalog.alterTable (AddColumn →
+            // Maintenance.addColumns, a metadata-only commit) and
+            // re-resolved the statement against the evolved schema
+            // before this rewrite fires on the RESOLVED node;
+            // unsupported change kinds (type widening) refuse loudly
+            // in alterTable.
             val exprs = cond +:
               (matched ++ notMatched ++ notMatchedBySource).flatMap(a =>
                 a.condition.toSeq ++ (a match {

@@ -594,7 +594,11 @@ final class GraftTable(
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.OVERWRITE_BY_FILTER,
+      // MERGE ... WITH SCHEMA EVOLUTION: the analyzer widens the
+      // table through alterTable (AddColumn -> metadata-only
+      // Maintenance.addColumns) before resolving the clauses
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()

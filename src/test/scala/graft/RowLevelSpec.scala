@@ -46,6 +46,43 @@ class RowLevelSpec extends AnyFunSuite {
 
   private def rows(q: String): Seq[Row] = spark.sql(q).collect().toSeq
 
+  test("MERGE WITH SCHEMA EVOLUTION: source-only columns widen the " +
+      "table (metadata-only) before the clauses apply") {
+    val (t, dir) = freshTable()
+    spark.range(100, 130).select(col("id").as("k"),
+      (col("id") * 100).cast("double").as("v"),
+      concat(lit("tag"), col("id")).as("tag")) // NOT in the target
+      .createOrReplaceTempView("evo_src")
+    spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $t
+      USING evo_src s ON $t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v, tag = s.tag
+      WHEN NOT MATCHED THEN INSERT (k, v, tag) VALUES (s.k, s.v, s.tag)""")
+    // the widened column exists, nullable, null on untouched rows
+    val m = Sidecar.load(spark, dir)
+    assert(m.schema.fieldNames.contains("tag"), m.schema.treeString)
+    val got = rows(s"SELECT k, v, tag, payload FROM $t ORDER BY k")
+    assert(got.size == 130)
+    got.foreach { r =>
+      val k = r.getLong(0)
+      if (k < 100) {
+        assert(r.isNullAt(2), s"k=$k")
+        assert(r.getString(3) == s"p$k")
+      } else {
+        assert(r.getString(2) == s"tag$k", s"k=$k")
+        assert(r.getDouble(1) == k * 100.0)
+        if (k < 120) assert(r.getString(3) == s"p$k") // updated row
+        else assert(r.isNullAt(3)) // inserted row
+      }
+    }
+    // WITHOUT the clause, an unknown assignment column still refuses
+    val (t2, _) = freshTable()
+    val e = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $t2 USING evo_src s ON $t2.k = s.k
+        WHEN MATCHED THEN UPDATE SET tag = s.tag""")
+    }
+    assert(e.getMessage.toLowerCase.contains("tag"), e.getMessage)
+  }
+
   test("UPDATE ... WHERE updates matching rows, leaves the rest, and " +
       "rewrites only the files with hits") {
     val (t, dir) = freshTable()
