@@ -40,15 +40,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL GROUP BY on a prefix of a graft table's index columns
     // rewrites to a union of per-division complete aggregates — no
     // Exchange (disable: SET spark.graft.sql.divisionAgg=false).
-    ext.injectOptimizerRule(s => new graft.plans.SqlDivisionAgg(s))
+    // These three run as ONE-SHOT pre-CBO rules, after the fixed-point
+    // operator batch: expanding to a g-branch Union inside the
+    // fixed point made every later rule iteration walk a g× tree
+    // (measured ~150 ms of driver time per branch per query); V1
+    // physical planning (PhysicalOperation) still pushes the range
+    // filters and pruned columns into each branch's scan, which the
+    // specs pin.
+    ext.injectPreCBORule(s => new graft.plans.SqlDivisionAgg(s))
     // ... and window functions PARTITION BY'd on such a prefix
     // (disable: SET spark.graft.sql.divisionWindow=false).
-    ext.injectOptimizerRule(s => new graft.plans.SqlDivisionWindow(s))
+    ext.injectPreCBORule(s => new graft.plans.SqlDivisionWindow(s))
     // ... and global ORDER BY in the clustering order: locally sorted
     // range slices concatenate into the global order with no
     // RangePartitioning Exchange and no sampling pass
     // (disable: SET spark.graft.sql.divisionSort=false).
-    ext.injectOptimizerRule(s => new graft.plans.SqlDivisionSort(s))
+    ext.injectPreCBORule(s => new graft.plans.SqlDivisionSort(s))
     // DV-pending `format("graft")` reads: splice the native
     // merge-on-read plan (broadcast anti join over the vectorized
     // sidecar scan) in place of the V1 relation during analysis, so

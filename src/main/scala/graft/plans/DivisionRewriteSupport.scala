@@ -147,17 +147,23 @@ private[plans] trait DivisionRewriteSupport {
 
   /** Cost-model floor for the single-relation division rewrites
     * (aggregate/window/sort): below this many relation bytes the
-    * Exchange being elided is cheaper than the rewrite's g-way plan
-    * copy + per-branch codegen — compile time, not data movement,
-    * dominates small plans (measured: the engine's own internal
-    * maintenance queries at bench scale regressed 2-7× under an
-    * ungated rewrite). At warehouse scale the gate is always clear;
+    * Exchange being elided is cheaper than the rewrite's fixed cost —
+    * a g-branch Union pays ~90 ms of SERIAL driver-side whole-stage
+    * codegen per branch while the union RDD is built (each branch's
+    * range literals make a distinct codegen unit; measured in
+    * `examples/DivisionSqlBench`: ~6 s fixed at g=64,
+    * data-independent), and the engine's own internal maintenance
+    * queries regressed 2-7× under an ungated rewrite. The crossover
+    * is where shuffle cost beats g×90 ms: local memory-speed shuffles
+    * need tens of GB, a real cluster's network fabric far less, and
+    * at the 100 TB design point (g capped at 256 → ~23 s of driver
+    * work vs hours of Exchange) the gate is always clear.
     * `SET spark.graft.sql.divisionMinBytes=0` pins the rewrite on
     * for tests and small-data demos. */
   protected def divisionMinBytes: Long =
     session.sessionState.conf
       .getConfString("spark.graft.sql.divisionMinBytes",
-        (256L << 20).toString).toLong
+        (1L << 30).toString).toLong
 
   /** Merge `bounds` (sorted, distinct interior division boundaries)
     * down to at most `maxD` ranges, tiled with unbounded sentinels:
