@@ -135,6 +135,39 @@ class SqlDivisionAggSpec extends AnyFunSuite {
     }
   }
 
+  test("each division branch's scan prunes to its own files — the " +
+      "property that makes a branch O(its band), not O(table)") {
+    PDataset.divisionJoinMinOverride = Some(2)
+    spark.conf.set("spark.graft.sql.divisionMinBytes", "0")
+    try {
+      val dir = tempDir("sqldivagg-prune") + "/ds"
+      writeClustered(dir, 160) // 8 files
+      spark.read.format("graft").load(dir)
+        .createOrReplaceTempView("dva_prune")
+      val df = spark.sql(
+        "SELECT k, count(*) AS n FROM dva_prune GROUP BY k")
+      df.collect()
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scans = plan.collect { case f: FileSourceScanExec => f }
+      assert(scans.length >= 8, s"${scans.length} branches\n$plan")
+      val perScan = scans.map(f =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+          .map(_.files.length).sum)
+      // ~1 file per branch; a file whose ub touches the next lower
+      // bound is kept by both neighbors, never more
+      assert(perScan.max <= 2, s"per-branch files: $perScan")
+      assert(perScan.sum <= 2 * 8, s"total listed: ${perScan.sum}")
+    } finally {
+      PDataset.divisionJoinMinOverride = None
+      spark.conf.unset("spark.graft.sql.divisionMinBytes")
+    }
+  }
+
   test("null-bearing index tuples tile: rows null at a position " +
       "where a division bound holds a null are never dropped") {
     PDataset.divisionJoinMinOverride = Some(2)
