@@ -152,20 +152,32 @@ object Fixtures {
     ()
   }
 
+  /** Every FileSourceScanExec in an executed plan. AQE buries scans
+    * inside LEAF wrapper nodes a plain `plan.collect` cannot descend:
+    * `AdaptiveSparkPlanExec` (the root) and `QueryStageExec`
+    * (Shuffle/Broadcast/Result stages — Spark 4 wraps even the final
+    * stage in a ResultQueryStage). Recurse through both. */
+  def collectScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    p match {
+      case a: AdaptiveSparkPlanExec => collectScans(a.executedPlan)
+      case s: QueryStageExec => collectScans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other =>
+        other.children.flatMap(collectScans) ++
+          other.subqueries.flatMap(collectScans)
+    }
+  }
+
   /** Files actually planned by `df`'s scan(s) — the numFiles metric
     * summed over every FileSourceScanExec (AQE unwrapped). Runs the
     * query; use to assert plan-time file pruning. */
   def scannedFiles(df: DataFrame): Long = {
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     df.collect()
-    def scans(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(scans)
-    }
-    scans(df.queryExecution.executedPlan)
+    collectScans(df.queryExecution.executedPlan)
       .map(_.metrics("numFiles").value).sum
   }
 

@@ -33,12 +33,14 @@ class GraftCatalogSpec extends AnyFunSuite {
     * reads down to the V1 graft relation). */
   private def v2ScannedFiles(df: DataFrame): Int = {
     import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.datasources.FilePartition
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     df.collect()
     def walk(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: QueryStageExec => walk(s.plan)
       case b: BatchScanExec => b.inputPartitions.flatMap {
         case fp: FilePartition => fp.files.map(_.urlEncodedPath)
       }.distinct.length

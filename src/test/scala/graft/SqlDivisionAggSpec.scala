@@ -147,14 +147,12 @@ class SqlDivisionAggSpec extends AnyFunSuite {
       val df = spark.sql(
         "SELECT k, count(*) AS n FROM dva_prune GROUP BY k")
       df.collect()
-      import org.apache.spark.sql.execution.FileSourceScanExec
-      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-      val plan = df.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.executedPlan
-        case p => p
-      }
-      val scans = plan.collect { case f: FileSourceScanExec => f }
-      assert(scans.length >= 8, s"${scans.length} branches\n$plan")
+      // Fixtures.collectScans descends AQE QueryStageExec LEAF
+      // wrappers (incl. Spark 4's ResultQueryStage) that a plain
+      // plan.collect cannot — without it this finds 0 scans.
+      val scans = Fixtures.collectScans(df.queryExecution.executedPlan)
+      assert(scans.length >= 8,
+        s"${scans.length} branches\n${df.queryExecution.executedPlan}")
       val perScan = scans.map(f =>
         f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
           .map(_.files.length).sum)
