@@ -1195,7 +1195,7 @@ object SparkEntry {
       val oDir = jdOrdersFixture(s, d)
       val s2 = s.newSession()
       // bench-scale fixtures sit under the rewrite's cost-model byte
-      // floor (default 256 MB — always clear at warehouse scale);
+      // floor (default DivisionRewriteSupport.divisionMinBytes, 1 GiB — always clear at warehouse scale);
       // pin it down so the oracle exercises the division plan
       s2.conf.set("spark.graft.sql.divisionMinBytes", "0")
       s2.read.format("graft").load(oDir).createOrReplaceTempView("sda_o")
@@ -1222,7 +1222,7 @@ object SparkEntry {
       val oDir = jdOrdersFixture(s, d)
       val s2 = s.newSession()
       // bench-scale fixtures sit under the rewrite's cost-model byte
-      // floor (default 256 MB — always clear at warehouse scale);
+      // floor (default DivisionRewriteSupport.divisionMinBytes, 1 GiB — always clear at warehouse scale);
       // pin it down so the oracle exercises the division plan
       s2.conf.set("spark.graft.sql.divisionMinBytes", "0")
       s2.read.format("graft").load(oDir).createOrReplaceTempView("sdw_o")
@@ -1245,7 +1245,7 @@ object SparkEntry {
       val oDir = jdOrdersFixture(s, d)
       val s2 = s.newSession()
       // bench-scale fixtures sit under the rewrite's cost-model byte
-      // floor (default 256 MB — always clear at warehouse scale);
+      // floor (default DivisionRewriteSupport.divisionMinBytes, 1 GiB — always clear at warehouse scale);
       // pin it down so the oracle exercises the division plan
       s2.conf.set("spark.graft.sql.divisionMinBytes", "0")
       s2.read.format("graft").load(oDir).createOrReplaceTempView("sds_o")

@@ -55,10 +55,24 @@ object DeletionVectors {
 
   private def dvDir(dirPath: HPath): HPath = new HPath(dirPath, DvDirName)
 
+  /** Committed overlay dirs: `dv-*` directories under `_graft_dv/`.
+    * A `stage-*` sibling is an in-flight (or crashed) DV write that
+    * has not passed its OCC guard — never readable (only `dv-*`
+    * matches here; the stage prefix is deliberately NOT dot-hidden,
+    * since Spark's hidden-path filter can drop a dot-prefixed dir
+    * from an explicit read). */
+  private def commitDirs(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: HPath): Seq[HPath] =
+    GraftFs.listStatuses(fs, dvDir(dirPath))
+      .filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("dv-"))
+      .map(_.getPath)
+
   /** Whether any deletion vectors are pending. */
   def exists(spark: SparkSession, dir: String): Boolean = {
     val (fs, dirPath) = GraftFs.resolve(spark, dir)
-    GraftFs.listStatuses(fs, dvDir(dirPath)).nonEmpty
+    commitDirs(fs, dirPath).nonEmpty
   }
 
   /** Guard for rewriting maintenance ops. */
@@ -77,9 +91,51 @@ object DeletionVectors {
     * merges) — the scan drops the marked rows, the commit clears
     * exactly those files' entries via [[dropEntriesForFiles]]. */
   private[operators] def pending(
-      spark: SparkSession, dir: String): Option[DataFrame] = {
-    val (_, dirPath) = GraftFs.resolve(spark, dir)
-    loadDv(spark, dirPath)
+      spark: SparkSession, dir: String): Option[DataFrame] =
+    pendingWithSnapshot(spark, dir)._1
+
+  /** [[pending]] plus the commit-dir names it was built from — ONE
+    * listing, so the snapshot names exactly the marks the caller
+    * folds. Rewriters pass the snapshot to their install step, which
+    * re-lists and aborts if a concurrent DV DELETE added marks to a
+    * file the rewrite replaces (DV commits never touch the sidecar,
+    * so `guardUnchanged` alone cannot see them; without this check
+    * the rewrite would copy the freshly-marked rows into new files
+    * and `dropEntriesForFiles` would discard the marks — deleted
+    * rows silently resurrecting). */
+  private[operators] def pendingWithSnapshot(
+      spark: SparkSession, dir: String): (Option[DataFrame], Set[String]) = {
+    val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    val commits = commitDirs(fs, dirPath)
+    val names = commits.map(_.getName).toSet
+    if (commits.isEmpty) (None, names)
+    else (Some(spark.read.parquet(commits.map(_.toString): _*).distinct()),
+      names)
+  }
+
+  /** Rewriter-side OCC check: abort if any DV commit not in
+    * `snapshot` holds marks on a file in `replacedFiles`. New marks
+    * on UNTOUCHED files are fine — the rewrite's commit only clears
+    * replaced files' entries. Driver reads only the fresh (KB-scale)
+    * commits. */
+  private[operators] def requireNoNewMarks(
+      spark: SparkSession,
+      dir: String,
+      snapshot: Set[String],
+      replacedFiles: Set[String],
+      op: String): Unit = {
+    val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    val fresh = commitDirs(fs, dirPath)
+      .filterNot(p => snapshot(p.getName))
+    if (fresh.isEmpty || replacedFiles.isEmpty) return
+    import spark.implicits._
+    val conflicted = !spark.read.parquet(fresh.map(_.toString): _*)
+      .join(replacedFiles.toSeq.toDF("file"), Seq("file"), "left_semi")
+      .isEmpty
+    if (conflicted) throw new java.util.ConcurrentModificationException(
+      s"$op on $dir conflicts with a concurrent deletion-vector " +
+        "DELETE that marked rows in a file this op rewrote; nothing " +
+        "was installed — reload and re-run")
   }
 
   /** Drop `df`'s rows that the overlay marks deleted; `df` must still
@@ -103,8 +159,7 @@ object DeletionVectors {
       spark: SparkSession, dir: String, files: Set[String]): Unit = {
     if (files.isEmpty) return
     val (fs, dirPath) = GraftFs.resolve(spark, dir)
-    val commits = GraftFs.listStatuses(fs, dvDir(dirPath))
-      .filter(_.isDirectory).map(_.getPath)
+    val commits = commitDirs(fs, dirPath)
     if (commits.isEmpty) return
     // anti-join, not an IN literal: a wide rewrite can clear 10^4+
     // files' entries in one commit
@@ -126,8 +181,7 @@ object DeletionVectors {
   private def loadDv(
       spark: SparkSession, dirPath: HPath): Option[DataFrame] = {
     val (fs, _) = GraftFs.resolve(spark, dirPath.toString)
-    val commits = GraftFs.listStatuses(fs, dvDir(dirPath))
-      .filter(_.isDirectory).map(_.getPath.toString)
+    val commits = commitDirs(fs, dirPath).map(_.toString)
     if (commits.isEmpty) None
     // duplicates across commits are harmless for the anti join;
     // distinct keeps the broadcast minimal
@@ -172,13 +226,50 @@ object DeletionVectors {
     m.files.indices.filter(i => kept(m.files(i)))
   }
 
+  /** Writer-side OCC: scan `hits` into a `stage-*` dir (never
+    * readable), then publish by rename ONLY if the sidecar still
+    * matches `loadedFp`. Marks bind (file, pos) to the generation the
+    * scan read; a rewrite landing mid-scan would leave them naming
+    * replaced files — entries that never match a scan again, i.e. a
+    * silently LOST delete. Together with [[requireNoNewMarks]] on the
+    * rewriter side this closes the DV/rewrite races down to the
+    * check-to-publish instant on each side. */
+  private def publishMarks(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: HPath,
+      hits: DataFrame,
+      loadedFp: (Long, Long)): Report = {
+    val stage = new HPath(dvDir(dirPath),
+      s"stage-${System.currentTimeMillis()}-${java.util.UUID.randomUUID()}")
+    try {
+      hits.write.option("compression", "zstd").parquet(stage.toString)
+      val agg = spark.read.parquet(stage.toString)
+        .agg(count(lit(1)).as("n"), count_distinct(col("file")).as("f"))
+        .head()
+      Maintenance.guardUnchanged(spark, dirPath, loadedFp)
+      val commit = new HPath(dvDir(dirPath),
+        s"dv-${System.currentTimeMillis()}-${java.util.UUID.randomUUID()}")
+      if (!fs.rename(stage, commit))
+        throw new java.io.IOException(
+          s"could not publish deletion-vector commit $commit")
+      Report(agg.getLong(0), agg.getLong(1).toInt)
+    } catch {
+      case e: Throwable =>
+        try GraftFs.deleteRecursive(fs, stage)
+        catch { case _: java.io.IOException => () }
+        throw e
+    }
+  }
+
   /** Mark every stored row whose index-tuple key appears in `keys` as
     * deleted — no data file is rewritten. Returns the number of
     * marked row positions and how many files they live in. */
   def deleteKeys(
       spark: SparkSession, dir: String, keys: DataFrame): Report = {
-    val m = Sidecar.load(spark, dir)
     val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    val loadedFp = Maintenance.metaFingerprint(spark, dirPath)
+    val m = Sidecar.load(spark, dir)
     require(m.indexColumns.nonEmpty,
       "deletion vectors need index columns; reindex first")
     val keyCols = m.indexColumns.toSeq
@@ -204,14 +295,7 @@ object DeletionVectors {
           col("_metadata.row_index").as("pos")): _*)
         .join(k, keyCols, "left_semi")
         .select("file", "pos")
-      val commit = new HPath(dvDir(dirPath),
-        s"dv-${System.currentTimeMillis()}-${java.util.UUID.randomUUID()}")
-      hits.write.option("compression", "zstd").parquet(commit.toString)
-      val written = spark.read.parquet(commit.toString)
-      val agg = written
-        .agg(count(lit(1)).as("n"), count_distinct(col("file")).as("f"))
-        .head()
-      Report(agg.getLong(0), agg.getLong(1).toInt)
+      publishMarks(spark, fs, dirPath, hits, loadedFp)
     } finally { k.unpersist(); () }
   }
 
@@ -226,8 +310,9 @@ object DeletionVectors {
   def deleteWhere(
       spark: SparkSession, dir: String,
       predicate: org.apache.spark.sql.Column): Report = {
+    val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    val loadedFp = Maintenance.metaFingerprint(spark, dirPath)
     val m = Sidecar.load(spark, dir)
-    val (_, dirPath) = GraftFs.resolve(spark, dir)
     val kept = pruneByPredicate(spark, dirPath, m, predicate)
     if (kept.isEmpty) return Report(0L, 0)
     val paths = kept.map(p => new HPath(dirPath, m.files(p)).toString)
@@ -236,13 +321,7 @@ object DeletionVectors {
       .withColumn("__pos", col("_metadata.row_index"))
       .filter(predicate)
       .select(col("__file").as("file"), col("__pos").as("pos"))
-    val commit = new HPath(dvDir(dirPath),
-      s"dv-${System.currentTimeMillis()}-${java.util.UUID.randomUUID()}")
-    hits.write.option("compression", "zstd").parquet(commit.toString)
-    val agg = spark.read.parquet(commit.toString)
-      .agg(count(lit(1)).as("n"), count_distinct(col("file")).as("f"))
-      .head()
-    Report(agg.getLong(0), agg.getLong(1).toInt)
+    publishMarks(spark, fs, dirPath, hits, loadedFp)
   }
 
   /** The merge-on-read scan: dataset rows minus every marked
@@ -273,10 +352,14 @@ object DeletionVectors {
     val m = Sidecar.load(spark, dir)
     val (fs, dirPath) = GraftFs.resolve(spark, dir)
     val loadedFp = Maintenance.metaFingerprint(spark, dirPath)
-    val dv = loadDv(spark, dirPath) match {
-      case None => return Maintenance.Report(0, 0, 0, 0, m.files.length)
-      case Some(d) => d.persist()
-    }
+    // pin the commit dirs this fold covers: the final cleanup deletes
+    // ONLY these, so a DV commit landing mid-materialize (on an
+    // untouched file) survives instead of being wiped with the dir
+    val commitsAtLoad = commitDirs(fs, dirPath)
+    if (commitsAtLoad.isEmpty)
+      return Maintenance.Report(0, 0, 0, 0, m.files.length)
+    val dv = spark.read
+      .parquet(commitsAtLoad.map(_.toString): _*).distinct().persist()
     try {
       val affectedNames = dv.select("file").distinct()
         .collect().map(_.getString(0)).toSet
@@ -289,8 +372,12 @@ object DeletionVectors {
       }.toMap
       // input_file_name() cannot sit above the anti join (multi
       // source); the carried full metadata path routes instead.
-      val partOf = new FileOrdinal(affected.map(p =>
-        Stats.normalizePath(pathOf(p)) -> p).toMap)
+      // __part carries the DENSE ordinal within `affected` (the
+      // updateWhere/merge pattern), so the scatter shuffles at
+      // affected.length — materializing DVs that touch 2 files of a
+      // 10^5-file table pays 2 write tasks, not 10^5.
+      val partOf = new FileOrdinal(affected.zipWithIndex.map {
+        case (p, j) => Stats.normalizePath(pathOf(p)) -> j }.toMap)
       val kept = m.readData(spark, affected.map(pathOf).toIndexedSeq)
         .withColumn("__path", col("_metadata.file_path"))
         .withColumn("__file", fileNameOf(col("__path")))
@@ -303,12 +390,13 @@ object DeletionVectors {
       val stage = GraftFs.mkStageDir(fs,
         Option(dirPath.getParent).getOrElse(dirPath), ".graft-dvmat-")
       val written =
-        try ScatterWrite.partFiles(spark, kept, m.files.length, fs,
-          dirPath, stage, i => newNameOf(i),
+        try ScatterWrite.partFiles(spark, kept, affected.length, fs,
+          dirPath, stage, j => newNameOf(affected(j)),
           orderCols = m.indexColumns.toSeq, dropOrderCols = false,
           renames = m.columnRenames)
         finally GraftFs.deleteRecursive(fs, stage)
-      val writtenSet = written.map(_._1).toSet
+      // dense ordinals back to original partition positions
+      val writtenSet = written.map { case (j, _) => affected(j) }.toSet
       val statsByPath =
         if (writtenSet.isEmpty) Map.empty[String, Stats.PartStats]
         else Stats.forFiles(spark,
@@ -326,7 +414,22 @@ object DeletionVectors {
           Some((newNameOf(p), st.size, st.lb, st.ub))
         } else None // every row of the file was marked: drop it
       }
-      Maintenance.guardUnchanged(spark, dirPath, loadedFp)
+      // abort (deleting this op's orphan files) if a concurrent DV
+      // DELETE marked rows in a file this fold rewrote — the rewrite
+      // copied those rows, so committing would resurrect them
+      try {
+        requireNoNewMarks(spark, dir,
+          commitsAtLoad.map(_.getName).toSet, affectedNames,
+          "materialize")
+        Maintenance.guardUnchanged(spark, dirPath, loadedFp)
+      } catch {
+        case e: Throwable =>
+          affected.foreach { p =>
+            try { fs.delete(new HPath(dirPath, newNameOf(p)), false); () }
+            catch { case _: java.io.IOException => () }
+          }
+          throw e
+      }
       if (retain) Maintenance.archiveCurrent(spark, fs, dirPath)
       Sidecar.write(spark, dir, m.indexColumns, entries.map(_._1),
         entries.map(_._2), entries.map(_._3), entries.map(_._4),
@@ -335,7 +438,12 @@ object DeletionVectors {
       if (!retain)
         Maintenance.deletableNow(spark, dir, affected.map(m.files).toSeq)
           .foreach(f => fs.delete(new HPath(dirPath, f), false))
-      GraftFs.deleteRecursive(fs, dvDir(dirPath))
+      // delete only the commits this fold covered; drop the dir
+      // itself only when nothing new landed meanwhile
+      commitsAtLoad.foreach(c => GraftFs.deleteRecursive(fs, c))
+      if (commitDirs(fs, dirPath).isEmpty) {
+        GraftFs.deleteRecursive(fs, dvDir(dirPath)); ()
+      }
       // the rewritten files got fresh names: extend the Bloom /
       // column-stats sidecars to them like every maintenance op
       Maintenance.refreshBloom(spark, dir)

@@ -557,19 +557,44 @@ object Maintenance {
       loadedFp0: (Long, Long),
       replacement: Map[String, Option[(String, Long, Bound, Bound)]],
       retain: Boolean,
-      op: String): Unit = {
+      op: String,
+      dvSnapshot: Set[String]): Unit = {
     beforeRowLevelInstall()
     val newNames = replacement.values.flatten.map(_._1).toSet
-    // on a terminal abort, this op's written-but-never-registered
-    // files are orphans: remove them so the loser leaves no debris
-    def abortCleanup(): Unit = newNames.foreach { n =>
-      try { fs.delete(new HPath(dirPath, n), false); () }
-      catch { case _: java.io.IOException => () }
-    }
+    // On a terminal abort, this op's written-but-never-registered
+    // files are orphans: remove them so the loser leaves no debris.
+    // NEVER delete a name the COMMITTED generation references — on an
+    // output-name collision (both writers passed the noClobber exists
+    // probe before either moved) the winner's registered file carries
+    // that name, and deleting it would turn the race into data loss.
+    // Collided orphan bytes (if this op's move lost) are left for
+    // vacuum/operator recovery.
+    def abortCleanup(preserve: Set[String]): Unit =
+      (newNames -- preserve).foreach { n =>
+        try { fs.delete(new HPath(dirPath, n), false); () }
+        catch { case _: java.io.IOException => () }
+      }
+    def committedNames(): Set[String] =
+      try Sidecar.load(spark, dir).files.toSet
+      catch { case _: Exception => newNames } // unreadable: delete nothing
     var fp = loadedFp0
     var cur = m0
     var attempts = 0
     while (true) {
+      // DV commits never touch the sidecar, so guardUnchanged below
+      // cannot see a concurrent DV DELETE that marked rows in a file
+      // this op rewrote mid-rewrite (the rewrite copied those rows
+      // into the new files; dropEntriesForFiles would then discard
+      // the marks — deleted rows resurrecting). Re-list the overlay
+      // and abort terminally on new marks over replaced files; a
+      // rebase cannot fold them post-hoc.
+      try DeletionVectors.requireNoNewMarks(
+        spark, dir, dvSnapshot, replacement.keySet, op)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          abortCleanup(committedNames())
+          throw e
+      }
       val entries = cur.files.indices.flatMap { p =>
         val name = cur.files(p)
         replacement.get(name) match {
@@ -592,7 +617,7 @@ object Maintenance {
         case e: java.util.ConcurrentModificationException =>
           attempts += 1
           if (attempts >= 5) {
-            abortCleanup()
+            abortCleanup(committedNames())
             throw new java.util.ConcurrentModificationException(
               s"$op on $dir lost the sidecar-install race $attempts " +
                 s"times; nothing was installed — re-run " +
@@ -601,7 +626,7 @@ object Maintenance {
           fp = metaFingerprint(spark, dirPath)
           val m2 = Sidecar.load(spark, dir)
           def conflict(what: String): Nothing = {
-            abortCleanup()
+            abortCleanup(m2.files.toSet)
             throw new java.util.ConcurrentModificationException(
               s"$op on $dir conflicts with a concurrent commit " +
                 s"($what); nothing was installed — reload and re-run")
@@ -1378,8 +1403,9 @@ object Maintenance {
     // files' marked rows drop from the copy-on-write scan, and the
     // commit clears exactly those files' overlay entries — a SQL
     // DELETE (DV overlay) followed by UPDATE on the same band works
-    // in place, no materialize step required.
-    val dvOpt = DeletionVectors.pending(spark, dir)
+    // in place, no materialize step required. The snapshot feeds the
+    // install-time OCC check against concurrent DV DELETEs.
+    val (dvOpt, dvSnap) = DeletionVectors.pendingWithSnapshot(spark, dir)
     requireDeterministicCond(spark, m.schema, cond, "updateWhere")
     require(assignments.nonEmpty,
       "updateWhere needs at least one assignment")
@@ -1423,7 +1449,8 @@ object Maintenance {
     // join the rewrite — bounds stay disjoint by construction.
     if (m.indexColumns.exists(assignMap.contains))
       return rekeyUpdate(spark, dir, m, hit, updatedCols,
-        affected.toIndexedSeq, retain, fs, dirPath, loadedFp, dvOpt)
+        affected.toIndexedSeq, retain, fs, dirPath, loadedFp, dvOpt,
+        dvSnap)
 
     val newNameOf: Map[Int, String] = affected.zipWithIndex.map {
       case (p, j) =>
@@ -1482,7 +1509,7 @@ object Maintenance {
         }
       }.toMap
     installRowLevelCommit(spark, dir, fs, dirPath, m, loadedFp,
-      replacement, retain, "updateWhere")
+      replacement, retain, "updateWhere", dvSnap)
     if (!retain)
       deletableNow(spark, dir, affected.map(m.files))
         .foreach(f => fs.delete(new HPath(dirPath, f), false))
@@ -1512,7 +1539,8 @@ object Maintenance {
       fs: org.apache.hadoop.fs.FileSystem,
       dirPath: HPath,
       loadedFp: (Long, Long),
-      dvOpt: Option[DataFrame]): Report = {
+      dvOpt: Option[DataFrame],
+      dvSnap: Set[String]): Report = {
     val keyCols = m.indexColumns.toSeq
     def pathOf(p: Int): String = new HPath(dirPath, m.files(p)).toString
     // Router precondition — the same global invariant replaceWhere
@@ -1613,7 +1641,7 @@ object Maintenance {
           }
         }.toMap
       installRowLevelCommit(spark, dir, fs, dirPath, m, loadedFp,
-        replacement, retain, "updateWhere (index assignment)")
+        replacement, retain, "updateWhere (index assignment)", dvSnap)
       if (!retain)
         deletableNow(spark, dir, affected.map(m.files))
           .foreach(f => fs.delete(new HPath(dirPath, f), false))
@@ -1652,7 +1680,7 @@ object Maintenance {
     val loadedFp = metaFingerprint(spark, dirPath)
     val m = Sidecar.load(spark, dir)
     // pending deletion vectors fold into the rewrite (see updateWhere)
-    val dvOpt = DeletionVectors.pending(spark, dir)
+    val (dvOpt, dvSnap) = DeletionVectors.pendingWithSnapshot(spark, dir)
     requireDeterministicCond(spark, m.schema, cond, "replaceWhere")
     require(m.indexColumns.nonEmpty,
       "replaceWhere needs index columns; write the dataset reindexed first")
@@ -1776,7 +1804,7 @@ object Maintenance {
           }
         }.toMap
       installRowLevelCommit(spark, dir, fs, dirPath, m, loadedFp,
-        replacement, retain, "replaceWhere")
+        replacement, retain, "replaceWhere", dvSnap)
       if (!retain)
         deletableNow(spark, dir, affected.map(m.files).toSeq)
           .foreach(f => fs.delete(new HPath(dirPath, f), false))
@@ -1856,7 +1884,7 @@ object Maintenance {
     // pending deletion vectors fold into the keyed rewrite: affected
     // files' marked rows drop from the old-rows scan and the commit
     // clears exactly those files' overlay entries (see updateWhere)
-    val dvOpt = DeletionVectors.pending(spark, dir)
+    val (dvOpt, dvSnap) = DeletionVectors.pendingWithSnapshot(spark, dir)
     val m = Sidecar.load(spark, dir)
     // Fingerprint immediately after load: every Spark job below gives
     // a concurrent writer time to commit, and the guard before the
@@ -1912,7 +1940,7 @@ object Maintenance {
     val incoming =
       (updRouted.toSeq ++ delRouted.toSeq).reduce(_ unionByName _).persist()
     try mergePersisted(spark, dir, m, incoming, retain, fs, dirPath,
-      loadedFp, dvOpt)
+      loadedFp, dvOpt, dvSnap)
     finally { incoming.unpersist(); () }
   }
 
@@ -1925,7 +1953,8 @@ object Maintenance {
       fs: org.apache.hadoop.fs.FileSystem,
       dirPath: HPath,
       loadedFp: (Long, Long),
-      dvOpt: Option[DataFrame]): Report = {
+      dvOpt: Option[DataFrame],
+      dvSnap: Set[String]): Report = {
     val keyCols = m.indexColumns.toSeq
     val keyIsNull = keyCols.map(col(_).isNull).reduce(_ || _)
     // ONE pass over the routed delta fuses what used to be four jobs
@@ -2035,7 +2064,7 @@ object Maintenance {
         }
       }.toMap
     installRowLevelCommit(spark, dir, fs, dirPath, m, loadedFp,
-      replacement, retain, "keyed maintenance")
+      replacement, retain, "keyed maintenance", dvSnap)
     if (!retain)
       deletableNow(spark, dir, affected.map(m.files).toSeq)
         .foreach(f => fs.delete(new HPath(dirPath, f), false))

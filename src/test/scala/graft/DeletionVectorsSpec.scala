@@ -349,6 +349,38 @@ class DeletionVectorsSpec extends AnyFunSuite {
     assert(PDataset.scanParquet(spark, dir).toDF.count() == 571)
   }
 
+  test("materialize scatter runs at the affected width, not the file count") {
+    val dir = tempDir("dv-mat-dense") + "/t"
+    writeSrc(dir, 2400) // 24 files of 100 consecutive keys
+    assert(graft.core.Sidecar.load(spark, dir).files.length == 24)
+    // marks land in exactly 2 files (k∈[100,106) → file 1, [2000,2006) → file 20)
+    DeletionVectors.deleteKeys(spark, dir,
+      (Seq(100L, 101L, 102L, 2000L, 2001L, 2002L)).toDF("k"))
+    val widths = scala.collection.concurrent.TrieMap.empty[Int, Int]
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        widths.put(sc.stageInfo.stageId, sc.stageInfo.numTasks)
+    }
+    spark.sparkContext.addSparkListener(l)
+    val rep = try {
+      val r = DeletionVectors.materialize(spark, dir)
+      org.apache.spark.GraftTestBridge.drainListeners(spark.sparkContext)
+      r
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(rep.rewritten == 2 && rep.untouched == 22, s"$rep")
+    // The scatter must shuffle at affected.length (2): a sparse
+    // scatter at m.files.length would surface a 24-task stage here
+    // (and a 5×10^5-task one at the file ceiling).
+    val maxWidth = widths.values.max
+    assert(maxWidth <= 8,
+      s"a 2-file materialize on a 24-file table ran a $maxWidth-task " +
+        s"stage (widths ${widths.values.toVector.sorted})")
+    assert(PDataset.scanParquet(spark, dir).toDF.count() == 2394)
+    assert(PDataset.scanParquet(spark, dir).isDisjoint)
+    assert(!DeletionVectors.exists(spark, dir))
+  }
+
   test("materialize(retain) feeds DV deletes to an incremental view") {
     val root = tempDir("dv-view")
     val src = root + "/src"

@@ -1099,6 +1099,59 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(after3.filter(col("k") === 27L).head().getString(2) == "v27")
   }
 
+  test("a concurrent DV DELETE on an affected file aborts the rewrite " +
+      "instead of resurrecting the deleted rows") {
+    import graft.operators.DeletionVectors
+    val dir = tempDir("maint-occ-dv") + "/ds"
+    writeKeyed(dir, 200, 50) // 4 files: 0-49, 50-99, 100-149, 150-199
+    // racer marks k=30 (file 0) while the UPDATE (also file 0) sits
+    // between its durable rewrite and its sidecar install — the
+    // window guardUnchanged cannot see (DV commits don't touch the
+    // sidecar). Without the DV OCC check the UPDATE's copy-on-write
+    // output would carry k=30 and dropEntriesForFiles would discard
+    // the racer's mark: a silently resurrected row.
+    Maintenance.beforeRowLevelInstall = () => {
+      Maintenance.beforeRowLevelInstall = () => ()
+      DeletionVectors.deleteKeys(spark, dir, Seq(30L).toDF("k"))
+      ()
+    }
+    val e = try intercept[java.util.ConcurrentModificationException] {
+      Maintenance.updateWhere(spark, dir,
+        col("k") === 25L, Seq("payload" -> lit("UPD")))
+    } finally Maintenance.beforeRowLevelInstall = () => ()
+    assert(e.getMessage.contains("deletion-vector"), e.getMessage)
+    // the racer's delete stands; the aborted update changed nothing
+    val live = DeletionVectors.scan(spark, dir)
+    assert(live.count() == 199)
+    assert(live.filter(col("k") === 30L).isEmpty)
+    assert(live.filter(col("k") === 25L).head().getString(2) == "v25")
+    // the loser left no orphan data files
+    val m = Sidecar.load(spark, dir)
+    val onDisk = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(n => n.endsWith(".parquet") &&
+        !n.startsWith("_") && !n.startsWith(".")).toSet
+    assert(onDisk == m.files.toSet,
+      s"orphans or missing: disk=$onDisk sidecar=${m.files.toSet}")
+
+    // a concurrent DV DELETE on an UNTOUCHED file does NOT block,
+    // and its mark survives the winner's overlay compaction
+    Maintenance.beforeRowLevelInstall = () => {
+      Maintenance.beforeRowLevelInstall = () => ()
+      DeletionVectors.deleteKeys(spark, dir, Seq(150L).toDF("k"))
+      ()
+    }
+    try {
+      val r = Maintenance.updateWhere(spark, dir,
+        col("k") === 25L, Seq("payload" -> lit("UPD")))
+      assert(r.rewritten == 1, r.toString)
+    } finally Maintenance.beforeRowLevelInstall = () => ()
+    val live2 = DeletionVectors.scan(spark, dir)
+    assert(live2.count() == 198) // k=30 folded away, k=150 still marked
+    assert(live2.filter(col("k") === 150L).isEmpty,
+      "the untouched-file mark must survive the rewrite's compaction")
+    assert(live2.filter(col("k") === 25L).head().getString(2) == "UPD")
+  }
+
   test("renameColumns is metadata-only: bytes untouched, reads and " +
       "keyed writes work under the new names, physical names persist") {
     val dir = tempDir("maint-rename") + "/ds"
