@@ -173,9 +173,20 @@ object GraftFs {
 
   /** A fresh uniquely-named staging dir under `parent` (same FS as the
     * final destination so the finishing `rename` is atomic-ish and never
-    * a cross-FS copy). Caller deletes it recursively when done. */
-  def mkStageDir(fs: FileSystem, parent: Path, prefix: String): Path = {
-    val p = new Path(parent, prefix + java.util.UUID.randomUUID().toString)
+    * a cross-FS copy). Caller deletes it recursively when done.
+    *
+    * `owner` (the DATASET dir's name) scopes stages created in the
+    * dataset's PARENT: the name becomes `<prefix><owner>.<uuid>`, so
+    * one table's vacuum debris sweep can tell its own crashed stages
+    * from a sibling table's IN-FLIGHT ones sharing that parent —
+    * without the tag, table A's vacuum could delete table B's live
+    * stage mid-op. */
+  def mkStageDir(
+      fs: FileSystem, parent: Path, prefix: String,
+      owner: String = ""): Path = {
+    val tag = if (owner.isEmpty) "" else owner + "."
+    val p = new Path(parent,
+      prefix + tag + java.util.UUID.randomUUID().toString)
     fs.mkdirs(p)
     p
   }

@@ -1060,7 +1060,8 @@ final class PDataset private[core] (
     val written: IndexedSeq[(Int, String)] = scatterSourceFiles match {
       case Some((srcFiles, renames)) =>
         val stageParent = Option(dir.getParent).getOrElse(dir)
-        val stage = GraftFs.mkStageDir(fs, stageParent, ".graft-scatter-")
+        val stage = GraftFs.mkStageDir(fs, stageParent, ".graft-scatter-",
+          dir.getName)
         try {
           var reader = spark.read.format("parquet")
           val toPhys = renames.map(_.swap)
@@ -1171,7 +1172,8 @@ final class PDataset private[core] (
     val prior = prepareWriteTarget(fs, dir, path, append)
     val offset = prior.map(_.maxPartitionIndex + 1).getOrElse(0L)
     val stageParent = Option(dir.getParent).getOrElse(dir)
-    val stage = GraftFs.mkStageDir(fs, stageParent, ".graft-fastwrite-")
+    val stage = GraftFs.mkStageDir(fs, stageParent, ".graft-fastwrite-",
+      dir.getName)
     try {
       val idx = plan.cols.map(col)
       val tagged = plan.source.toDF.withColumn(
@@ -1229,7 +1231,8 @@ final class PDataset private[core] (
     val prior = prepareWriteTarget(fs, dir, path, append)
     val offset = prior.map(_.maxPartitionIndex + 1).getOrElse(0L)
     val stageParent = Option(dir.getParent).getOrElse(dir)
-    val stage = GraftFs.mkStageDir(fs, stageParent, ".graft-rowscatter-")
+    val stage = GraftFs.mkStageDir(fs, stageParent, ".graft-rowscatter-",
+      dir.getName)
     try {
       val base = plan.base
       val u = base.parts.indices.map(i => base(i)).reduceLeft(_.union(_))

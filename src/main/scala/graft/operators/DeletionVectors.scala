@@ -388,7 +388,8 @@ object DeletionVectors {
         .withColumn("__part", FileOrdinalExpr.ordinal(col("__path"), partOf))
         .drop("__path", "__file", "__pos")
       val stage = GraftFs.mkStageDir(fs,
-        Option(dirPath.getParent).getOrElse(dirPath), ".graft-dvmat-")
+        Option(dirPath.getParent).getOrElse(dirPath), ".graft-dvmat-",
+        dirPath.getName)
       val written =
         try ScatterWrite.partFiles(spark, kept, affected.length, fs,
           dirPath, stage, j => newNameOf(affected(j)),

@@ -766,14 +766,37 @@ object Maintenance {
     // IN-FLIGHT op's stage keeps receiving writes, so its mtime stays
     // fresh; the grace must exceed the longest plausible single-op
     // stall (same discipline as Delta's retention check).
-    val debrisRoots =
-      dirPath +: Option(dirPath.getParent).toSeq
-    val debris = debrisRoots.flatMap(GraftFs.listStatuses(fs, _))
-      .filter { st =>
-        val n = st.getPath.getName
-        DebrisPrefixes.exists(n.startsWith) &&
-          st.getModificationTime < System.currentTimeMillis() - debrisGraceMs
-      }.map(_.getPath)
+    // PARENT-dir stages are shared territory — sibling graft tables
+    // stage there too — so only entries carrying THIS dataset's
+    // owner tag (`<prefix><dsName>.<uuid>`, from GraftFs.mkStageDir)
+    // are this table's to sweep; untagged parent entries (legacy or
+    // foreign) are left alone. Entries inside the dataset dir itself
+    // are unambiguous and match by prefix. A directory's age is the
+    // max over its root AND direct children mtimes: a long-running
+    // scatter stops bumping the stage ROOT once every __part=N
+    // subdir exists (nested file writes don't touch the root), and
+    // root-mtime aging would let another vacuum kill an in-flight op.
+    def age(st: org.apache.hadoop.fs.FileStatus): Long =
+      if (!st.isDirectory) st.getModificationTime
+      else (st.getModificationTime +:
+        GraftFs.listStatuses(fs, st.getPath).map(_.getModificationTime))
+        .max
+    val dsTag = dirPath.getName + "."
+    def ownDebris(st: org.apache.hadoop.fs.FileStatus,
+        inDatasetDir: Boolean): Boolean = {
+      val n = st.getPath.getName
+      DebrisPrefixes.exists(pfx => n.startsWith(pfx) &&
+        (inDatasetDir || n.startsWith(pfx + dsTag)))
+    }
+    val cutoff = System.currentTimeMillis() - debrisGraceMs
+    val debris =
+      (GraftFs.listStatuses(fs, dirPath)
+        .filter(ownDebris(_, inDatasetDir = true)) ++
+       Option(dirPath.getParent).toSeq
+         .flatMap(GraftFs.listStatuses(fs, _))
+         .filter(ownDebris(_, inDatasetDir = false)))
+        .filter(age(_) < cutoff)
+        .map(_.getPath)
     // DRY RUN: report what a real vacuum under this policy would
     // delete, touching nothing (the Delta `VACUUM ... DRY RUN` shape).
     if (dryRun) return stale.length
@@ -1104,7 +1127,8 @@ object Maintenance {
         case (p, r) => Stats.normalizePath(pathOf(p)) -> r
       }.toMap)
       val stage = GraftFs.mkStageDir(fs,
-        Option(dirPath.getParent).getOrElse(dirPath), ".graft-compact-")
+        Option(dirPath.getParent).getOrElse(dirPath), ".graft-compact-",
+        dirPath.getName)
       try {
         val tagged = m.readData(spark, memberFiles)
           .withColumn("__part",
@@ -1471,7 +1495,8 @@ object Maintenance {
     val updated = dvOpt.fold(updated0)(DeletionVectors.minus(updated0, _))
       .select(updatedCols :+ col("__part"): _*)
     val stage = GraftFs.mkStageDir(fs,
-      Option(dirPath.getParent).getOrElse(dirPath), ".graft-update-")
+      Option(dirPath.getParent).getOrElse(dirPath), ".graft-update-",
+        dirPath.getName)
     val written =
       try ScatterWrite.partFiles(spark, updated, affected.length, fs,
         dirPath, stage, j => newNameOf(affected(j)),
@@ -1607,7 +1632,8 @@ object Maintenance {
         element_at(typedLit(denseOf), col("__dest"))).drop("__dest")
 
       val stage = GraftFs.mkStageDir(fs,
-        Option(dirPath.getParent).getOrElse(dirPath), ".graft-update-")
+        Option(dirPath.getParent).getOrElse(dirPath), ".graft-update-",
+        dirPath.getName)
       val writtenDense =
         try ScatterWrite.partFiles(spark, tagged, affected.length, fs,
           dirPath, stage, j => newNameOf(affected(j)),
@@ -1771,7 +1797,8 @@ object Maintenance {
         element_at(typedLit(denseOf), col("__part"))))
 
       val stage = GraftFs.mkStageDir(fs,
-        Option(dirPath.getParent).getOrElse(dirPath), ".graft-replace-")
+        Option(dirPath.getParent).getOrElse(dirPath), ".graft-replace-",
+        dirPath.getName)
       val writtenDense =
         try ScatterWrite.partFiles(spark, combined, affected.length, fs,
           dirPath, stage, j => newNameOf(affected(j)),
@@ -2027,7 +2054,8 @@ object Maintenance {
       .drop("__op", "__max")
 
     val stage = GraftFs.mkStageDir(fs,
-      Option(dirPath.getParent).getOrElse(dirPath), ".graft-upsert-")
+      Option(dirPath.getParent).getOrElse(dirPath), ".graft-upsert-",
+        dirPath.getName)
     val writtenDense =
       try ScatterWrite.partFiles(spark, resolved, affected.length, fs,
         dirPath, stage, j => newNameOf(affected(j)),

@@ -475,7 +475,8 @@ final case class GraftZOrderCommand(
         // snapshot rows out of the way, then overwrite the dir from
         // the snapshot — the rewrite never reads what it replaces
         val parent = Option(srcPath.getParent).getOrElse(srcPath)
-        val stage = GraftFs.mkStageDir(fs, parent, ".graft-zorder-")
+        val stage = GraftFs.mkStageDir(fs, parent, ".graft-zorder-",
+          srcPath.getName)
         try {
           val snap = new org.apache.hadoop.fs.Path(stage, "snap").toString
           readSource().write.parquet(snap)

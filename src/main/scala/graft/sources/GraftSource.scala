@@ -525,7 +525,8 @@ final class GraftSource extends RelationProvider
           // files or find data without its ledger entry.
           val parent = Option(p.getParent).getOrElse(p)
           GraftFs.mkdirs(fs, parent)
-          val stage = GraftFs.mkStageDir(fs, parent, ".graft-txn-seed-")
+          val stage = GraftFs.mkStageDir(fs, parent, ".graft-txn-seed-",
+            p.getName)
           val stagedOut = new HPath(stage, "out")
           try {
             shaped.sortWithinPartitions(keys: _*)

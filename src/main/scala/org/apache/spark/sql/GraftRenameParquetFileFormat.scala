@@ -37,7 +37,8 @@ final class GraftRenameParquetFileFormat(
     * shape we don't recognize — parquet pushdown is advisory (Spark
     * keeps the residual Filter above the scan), so dropping one is
     * only ever a row-group-pruning loss, never wrong rows. */
-  private def physFilter(f: sources.Filter): Option[sources.Filter] =
+  private def physFilter(
+      f: sources.Filter, neg: Boolean = false): Option[sources.Filter] =
     f match {
       case sources.EqualTo(a, v) => Some(sources.EqualTo(phys(a), v))
       case sources.EqualNullSafe(a, v) =>
@@ -59,15 +60,21 @@ final class GraftRenameParquetFileFormat(
       case sources.StringContains(a, v) =>
         Some(sources.StringContains(phys(a), v))
       case sources.And(l, r) =>
-        (physFilter(l), physFilter(r)) match {
+        (physFilter(l, neg), physFilter(r, neg)) match {
           case (Some(pl), Some(pr)) => Some(sources.And(pl, pr))
-          // one leg of a conjunction still prunes on its own
-          case (one, other) => one.orElse(other)
+          // One leg of a conjunction still prunes on its own — but
+          // ONLY at positive polarity. Under a Not, the weakened And
+          // becomes a STRONGER pushed predicate (Not(a) can skip row
+          // groups Not(And(a, b)) keeps), and rows a scan skips are
+          // gone for good — the residual Filter above cannot recover
+          // them. Negative polarity translates strictly or not at all.
+          case (one, other) if !neg => one.orElse(other)
+          case _ => None
         }
       case sources.Or(l, r) =>
-        for { pl <- physFilter(l); pr <- physFilter(r) }
+        for { pl <- physFilter(l, neg); pr <- physFilter(r, neg) }
           yield sources.Or(pl, pr)
-      case sources.Not(c) => physFilter(c).map(sources.Not(_))
+      case sources.Not(c) => physFilter(c, !neg).map(sources.Not(_))
       case sources.AlwaysTrue() => Some(f)
       case sources.AlwaysFalse() => Some(f)
       case _ => None
@@ -86,7 +93,7 @@ final class GraftRenameParquetFileFormat(
       physSchema(dataSchema),
       partitionSchema,
       physSchema(requiredSchema),
-      filters.flatMap(physFilter),
+      filters.flatMap(physFilter(_)),
       options,
       hadoopConf)
 

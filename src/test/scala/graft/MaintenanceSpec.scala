@@ -495,15 +495,26 @@ class MaintenanceSpec extends AnyFunSuite {
     val dead = mk(".graft-scatter-deadbeef", 48L * 3600 * 1000)
     val fresh = mk(".graft-scatter-inflight", 0L)
     val unknown = mk(".some-checkpoint", 48L * 3600 * 1000)
-    // real ops stage in the dataset dir's PARENT — swept there too
-    val parentDead = {
-      val p = Paths.get(dir).getParent.resolve(".graft-compact-crashed")
+    // a stale ROOT mtime alone must not age a stage whose children
+    // are still being written (nested writes don't bump the root)
+    val activeChild = mk(".graft-scatter-rootstale", 48L * 3600 * 1000)
+    Files.setLastModifiedTime(activeChild.resolve("leftover.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis()))
+    def mkParent(name: String): java.nio.file.Path = {
+      val p = Paths.get(dir).getParent.resolve(name)
       Files.createDirectories(p)
       Files.setLastModifiedTime(p,
         java.nio.file.attribute.FileTime.fromMillis(
           System.currentTimeMillis() - 48L * 3600 * 1000))
       p
     }
+    // real ops stage in the dataset dir's PARENT — swept there too,
+    // but ONLY entries tagged with THIS dataset's name: the parent
+    // is shared with sibling tables whose stages are not ours to kill
+    val parentDead = mkParent(".graft-compact-ds.crashed")
+    val siblingStage = mkParent(".graft-compact-other.crashed")
+    val untagged = mkParent(".graft-compact-legacy")
     val tmpMeta = Paths.get(dir, "._padawan_metadata.json.tmp-x")
     Files.write(tmpMeta, Array[Byte](1))
     Files.setLastModifiedTime(tmpMeta,
@@ -520,6 +531,12 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(!Files.exists(tmpMeta), "metadata temp must be reclaimed")
     assert(Files.exists(fresh), "an in-flight stage must survive")
     assert(Files.exists(unknown), "unknown dot entries are never touched")
+    assert(Files.exists(activeChild),
+      "a stage with a fresh child write must survive root-mtime staleness")
+    assert(Files.exists(siblingStage),
+      "a sibling table's parent-level stage is not ours to sweep")
+    assert(Files.exists(untagged),
+      "untagged parent-level entries are never swept")
     assert(PDataset.scanParquet(spark, dir).toDF.count() == 100)
   }
 
