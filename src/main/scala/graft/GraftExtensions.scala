@@ -47,7 +47,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // physical planning (PhysicalOperation) still pushes the range
     // filters and pruned columns into each branch's scan, which the
     // specs pin.
-    ext.injectPreCBORule(s => new graft.plans.SqlDivisionAgg(s))
+    ext.injectPreCBORule { s =>
+      // The division rewrites expand to g-branch Unions whose
+      // branches generate BYTE-IDENTICAL codegen source (range bounds
+      // ride the references array — see DivisionBoundValue), so the
+      // source-keyed compile cache JIT-compiles one unit for any g.
+      // Spark's stage-id-in-class-name cosmetic defeats that cache
+      // (every branch's generated class gets a unique name), turning
+      // one compile into g serial driver compiles (~90 ms each) —
+      // disable it for graft sessions. Opt out with
+      // SET spark.graft.sql.codegenSharedClassNames=false.
+      if (s.conf.getOption("spark.graft.sql.codegenSharedClassNames")
+          .forall(_.equalsIgnoreCase("true")))
+        s.conf.set("spark.sql.codegen.useIdInClassName", "false")
+      new graft.plans.SqlDivisionAgg(s)
+    }
     // ... and window functions PARTITION BY'd on such a prefix
     // (disable: SET spark.graft.sql.divisionWindow=false).
     ext.injectPreCBORule(s => new graft.plans.SqlDivisionWindow(s))

@@ -908,7 +908,10 @@ final class PDataset private[core] (
     // spill path.
     val whole = () => {
       val nDiv = divisions.length + 1
-      val maxD = PDataset.divisionJoinMaxDivisions
+      val totalBytes = for {
+        ls <- left.sizesOpt; rs <- other.sizesOpt
+      } yield ls.sum + rs.sum
+      val maxD = PDataset.divisionJoinMaxDivisions(spark, totalBytes)
       val minD = PDataset.divisionJoinMinDivisions(spark)
       val custom =
         if (nDiv >= minD && maxD >= minD) {
@@ -1414,13 +1417,47 @@ object PDataset {
       base: PDataset,
       rowsPerPartition: Long)
 
-  /** Task cap for [[join]]'s shuffle-free division-join plan: above
-    * this many divisions, adjacent divisions merge into this many
-    * contiguous range slices (one task each), so plan size stays
-    * bounded at any division count. Setting it below the minimum
-    * divisions disables the custom node entirely (Catalyst fallback).
-    * Var so specs can force either path. */
-  private[graft] var divisionJoinMaxDivisions: Int = 256
+  /** Task cap for the shuffle-free division plans (the [[join]] node
+    * and the SQL division rewrites): above this many divisions,
+    * adjacent divisions merge into contiguous range slices (one task
+    * each), so plan size stays bounded at any division count. Each
+    * slice runs as ONE task, so the cap IS the plan's parallelism —
+    * a fixed cap is a cliff at scale (256 slices of a 100 TB table =
+    * 390 GB scanned serially per task). The default scales with the
+    * cluster AND the data: enough slices to keep every core busy
+    * twice over, more when slices would otherwise exceed the
+    * per-task byte target, bounded by a hard plan-size ceiling.
+    *
+    *   - `spark.graft.division.maxDivisions` pins the cap outright;
+    *   - `spark.graft.division.targetBytes` (default 2 GiB) is the
+    *     per-slice byte target when total bytes are known;
+    *   - `spark.graft.division.hardMaxDivisions` (default 4096)
+    *     bounds driver plan size (branches beyond this merge).
+    *
+    * Setting the cap below the minimum divisions disables the custom
+    * plans entirely (Catalyst fallback). Override so specs can force
+    * either path. */
+  private[graft] var divisionJoinMaxOverride: Option[Int] = None
+  private[graft] def divisionJoinMaxDivisions(
+      spark: SparkSession, totalBytes: Option[Long] = None): Int =
+    divisionJoinMaxOverride.getOrElse {
+      val conf = spark.conf
+      conf.getOption("spark.graft.division.maxDivisions").map(_.toInt)
+        .getOrElse {
+          val hard = conf.getOption("spark.graft.division.hardMaxDivisions")
+            .map(_.toInt).getOrElse(4096)
+          val target = conf.getOption("spark.graft.division.targetBytes")
+            .map(_.toLong).getOrElse(2L << 30)
+          val byBytes = totalBytes
+            .map(b => math.min(b / math.max(1L, target) + 1, hard.toLong)
+              .toInt)
+            .getOrElse(0)
+          val byCluster = 2 * spark.sparkContext.defaultParallelism
+          math.min(hard,
+            math.max(divisionJoinMinDivisions(spark),
+              math.max(byCluster, byBytes)))
+        }
+    }
 
   /** Minimum division count for the division join: one task per
     * division means fewer divisions than ~half the cluster's slots

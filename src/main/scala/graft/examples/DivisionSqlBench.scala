@@ -27,12 +27,31 @@ import graft.core.PDataset
   * wins — which is why the floor defaults to 1 GiB instead of trying
   * to win benchmarks this size.
   *
-  * Usage: sbt "runMain graft.examples.DivisionSqlBench [rows] [reps]"
+  * Round 16: branch range bounds became codegen REFERENCES
+  * (DivisionBoundValue) and graft sessions drop the stage-id class
+  * name cosmetic, so every branch generates byte-identical source and
+  * the source-keyed compile cache JIT-compiles ONE unit per stage
+  * shape for ANY g (compiles=0 in the audit after warmup). The
+  * remaining per-branch fixed cost, measured by the audit below, is
+  * ~16-20 ms of driver-side scan SETUP — dominated by Spark's
+  * per-FileSourceScanExec work (a fresh Hadoop conf + broadcast per
+  * scan), with ~4 ms of codegen source GENERATION (wholeStage=false
+  * removes only that slice). So cost is linear in g with a small
+  * constant, not flat: g=1024 ≈ 20 s of driver time. The byte target
+  * (spark.graft.division.targetBytes, 2 GiB) means g=1024 implies a
+  * ≥2 TB table, where 20 s displaces a multi-TB Exchange; the hard
+  * cap (spark.graft.division.hardMaxDivisions, 4096) bounds the
+  * worst case at ~80 s against hours of shuffle at 100 TB. True
+  * flatness needs a single physical scan node with per-partition
+  * bounds — the next step if driver time ever dominates.
+  *
+  * Usage: sbt "runMain graft.examples.DivisionSqlBench [rows] [reps] [files]"
   */
 object DivisionSqlBench {
   def main(args: Array[String]): Unit = {
     val rows = args.headOption.map(_.toLong).getOrElse(4000000L)
     val reps = args.lift(1).map(_.toInt).getOrElse(3)
+    val filesArg = args.lift(2).map(_.toInt)
     val spark = SparkSession.builder()
       .withExtensions(new graft.GraftExtensions)
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -46,7 +65,7 @@ object DivisionSqlBench {
 
     val dir = java.nio.file.Files.createTempDirectory("divsql")
       .resolve("t").toString
-    val files = 64
+    val files = filesArg.getOrElse(64)
     val per = rows / files
     val parts = (0 until files).map { i =>
       PDataset.fromDataFrame(
@@ -122,6 +141,25 @@ object DivisionSqlBench {
       println(f"$name%-11s $offP%8.2f $offE%8.2f $onP%8.2f $onE%8.2f " +
         f"${offB / 1048576}%7dMB ${onB / 1048576}%6dMB")
     }
+    // Codegen amortization audit: fixed driver cost vs branch count.
+    // shared=true is graft's default (reference bounds + stable class
+    // names → one compile, flat in g); shared=false restores Spark's
+    // stage-id class names (every branch compiles, and past ~50
+    // branches the 100-entry codegen cache thrashes → cost every run).
+    println(f"%namortization (agg query, min of $reps reps):")
+    Seq(16, 64, 256, files).distinct.filter(_ <= files).foreach { g =>
+      spark.conf.set("spark.graft.division.maxDivisions", g.toString)
+      val m = org.apache.spark.metrics.source.CodegenMetrics
+      val c0 = m.METRIC_COMPILATION_TIME.getCount
+      val r = (0 until reps).map(_ => run(queries.head._2))
+      val compiles = m.METRIC_COMPILATION_TIME.getCount - c0
+      val (p, e, _) = r.minBy(t => t._1 + t._2)
+      val (fp, fe, _) = r.head
+      println(f"  g=$g%-5d plan=$p%6.2f exec=$e%6.2f" +
+        f" first_plan=$fp%6.2f first_exec=$fe%6.2f compiles=$compiles")
+    }
+    spark.conf.unset("spark.graft.division.maxDivisions")
+    spark.conf.set("spark.sql.codegen.useIdInClassName", "false")
     spark.stop()
   }
 }

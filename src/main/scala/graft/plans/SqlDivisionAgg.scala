@@ -100,39 +100,36 @@ final class SqlDivisionAgg(protected val session: SparkSession)
     val k = prefixAttrs.length
     if (k == 0) return None
 
-    // Utilization gates — same knobs as the division join: one task
-    // per division means too few divisions under-utilizes the cluster
-    // vs a full-parallelism shuffle plan.
-    val bounds = idx.lexLowerBounds.map(_.take(k))
-      .distinct.sorted(Lex.boundOrdering)
-    val nDiv = bounds.length + 1
-    val maxD = graft.core.PDataset.divisionJoinMaxDivisions
-    val minD = graft.core.PDataset.divisionJoinMinDivisions(session)
-    if (nDiv < minD || maxD < minD) return None
-
     // A metadata-foldable aggregate answers from sidecar stats alone
     // in a LATER optimizer batch — don't preempt it with a plan that
     // reads data.
     if (!(MetadataCount(a) eq a)) return None
 
-    val edges = mergedEdges(bounds, maxD)
-    val g = edges.length - 1
-    val branches: Seq[LogicalPlan] = (0 until g).map { i =>
-      val (sub, m) =
-        if (i == 0) (a.child, Map.empty[ExprId, Attribute])
-        else freshCopy(a.child)
-      val keysI = prefixAttrs.map(at => m.getOrElse(at.exprId, at))
-      val one = Repartition(1, shuffle = false,
-        Filter(rangePred(keysI, edges(i), edges(i + 1)), sub))
-      if (i == 0) a.copy(child = one)
-      else {
-        val aggs: Seq[NamedExpression] = a.aggregateExpressions.map {
-          case al: Alias => Alias(remap(al.child, m), al.name)()
-          case at: Attribute => m.getOrElse(at.exprId, at)
-          case ne => remap(ne, m).asInstanceOf[NamedExpression]
+    // Utilization gates — same knobs as the division join: one task
+    // per division means too few divisions under-utilizes the cluster
+    // vs a full-parallelism shuffle plan. The cap scales with the
+    // cluster and the table's sidecar bytes; slices merge
+    // byte-weighted.
+    val maxD = graft.core.PDataset.divisionJoinMaxDivisions(
+      session, Some(idx.sizeInBytes))
+    val minD = graft.core.PDataset.divisionJoinMinDivisions(session)
+    val slices = divisionSlices(idx, k, maxD, minD).getOrElse(return None)
+    val g = slices.length
+    val branches: Seq[LogicalPlan] = slices.zipWithIndex.map {
+      case (sl, i) =>
+        val (sub, m) = sliceChain(a.child, idx, sl.files, first = i == 0)
+        val keysI = prefixAttrs.map(at => m.getOrElse(at.exprId, at))
+        val one = Repartition(1, shuffle = false,
+          Filter(rangePred(keysI, sl.lo, sl.hi), sub))
+        if (i == 0) a.copy(child = one)
+        else {
+          val aggs: Seq[NamedExpression] = a.aggregateExpressions.map {
+            case al: Alias => Alias(remap(al.child, m), al.name)()
+            case at: Attribute => m.getOrElse(at.exprId, at)
+            case ne => remap(ne, m).asInstanceOf[NamedExpression]
+          }
+          Aggregate(a.groupingExpressions.map(remap(_, m)), aggs, one)
         }
-        Aggregate(a.groupingExpressions.map(remap(_, m)), aggs, one)
-      }
     }
     logInfo(s"graft: rewrote GROUP BY on clustered prefix " +
       s"${keyNames.take(k).mkString(",")} to a zero-Exchange " +

@@ -122,30 +122,34 @@ final class SqlDivisionJoin(protected val session: SparkSession)
     val thresh = conf.autoBroadcastJoinThreshold
     if (thresh >= 0 && (l.stats.sizeInBytes <= thresh ||
         r.stats.sizeInBytes <= thresh)) return None
-    val divisions = (lIdx.lexLowerBounds ++ rIdx.lexLowerBounds)
-      .distinct.sorted(Lex.boundOrdering)
-    val nDiv = divisions.length + 1
-    val maxD = graft.core.PDataset.divisionJoinMaxDivisions
+    // Edges are byte-weighted over BOTH sides' sidecar sizes; the cap
+    // scales with the cluster and the combined bytes. Each branch's
+    // relation is pre-restricted to its slice's files (possibly
+    // empty — the sides must stay positionally aligned), since the
+    // branch bounds are codegen references invisible to pushdown.
+    val maxD = graft.core.PDataset.divisionJoinMaxDivisions(
+      session, Some(lIdx.sizeInBytes + rIdx.sizeInBytes))
     val minD = graft.core.PDataset.divisionJoinMinDivisions(session)
-    if (nDiv < minD || maxD < minD) return None
-    val merged = mergedEdges(divisions, maxD)
+    val kLen = keyNames.length
+    val merged = mergedEdgesWeighted(Seq(lIdx, rIdx), kLen, maxD, minD)
+      .getOrElse(return None)
     val g = merged.length - 1
+    val lFiles = sliceFiles(lIdx, kLen, merged)
+    val rFiles = sliceFiles(rIdx, kLen, merged)
 
-    def children(side: LogicalPlan, keys: Seq[Attribute]):
+    def children(side: LogicalPlan,
+        idx: org.apache.spark.sql.GraftFileIndex,
+        files: IndexedSeq[IndexedSeq[Int]], keys: Seq[Attribute]):
         (IndexedSeq[LogicalPlan], IndexedSeq[Seq[Attribute]]) = {
       val built = (0 until g).map { i =>
-        val (sub, keysI) =
-          if (i == 0) (side, keys)
-          else {
-            val (c, m) = freshCopy(side)
-            (c, keys.map(a => m(a.exprId)))
-          }
+        val (sub, m) = sliceChain(side, idx, files(i), first = i == 0)
+        val keysI = keys.map(a => m.getOrElse(a.exprId, a))
         (Filter(rangePred(keysI, merged(i), merged(i + 1)), sub), keysI)
       }
       (built.map(_._1), built.map(_._2))
     }
-    val (lChildren, lChildKeys) = children(l, lKeys)
-    val (rChildren, rChildKeys) = children(r, rKeys)
+    val (lChildren, lChildKeys) = children(l, lIdx, lFiles, lKeys)
+    val (rChildren, rChildKeys) = children(r, rIdx, rFiles, rKeys)
     DivisionJoin.ensureStrategy(session)
     val node = DivisionJoinPlan(Inner, keyNames.toIndexedSeq, g,
       (lChildKeys ++ rChildKeys).flatten, lChildren ++ rChildren)

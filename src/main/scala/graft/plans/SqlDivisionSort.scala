@@ -82,24 +82,19 @@ final class SqlDivisionSort(protected val session: SparkSession)
     val prefixAttrs: Seq[Attribute] =
       s.order.take(k).map(_.child.asInstanceOf[Attribute])
 
-    val bounds = idx.lexLowerBounds.map(_.take(k))
-      .distinct.sorted(Lex.boundOrdering)
-    val nDiv = bounds.length + 1
-    val maxD = graft.core.PDataset.divisionJoinMaxDivisions
+    val maxD = graft.core.PDataset.divisionJoinMaxDivisions(
+      session, Some(idx.sizeInBytes))
     val minD = graft.core.PDataset.divisionJoinMinDivisions(session)
-    if (nDiv < minD || maxD < minD) return None
-
-    val edges = mergedEdges(bounds, maxD)
-    val g = edges.length - 1
-    val branches: Seq[LogicalPlan] = (0 until g).map { i =>
-      val (sub, m) =
-        if (i == 0) (s.child, Map.empty[ExprId, Attribute])
-        else freshCopy(s.child)
-      val keysI = prefixAttrs.map(at => m.getOrElse(at.exprId, at))
-      val one = Repartition(1, shuffle = false,
-        Filter(rangePred(keysI, edges(i), edges(i + 1)), sub))
-      Sort(s.order.map(o =>
-        remap(o, m).asInstanceOf[SortOrder]), global = false, one)
+    val slices = divisionSlices(idx, k, maxD, minD).getOrElse(return None)
+    val g = slices.length
+    val branches: Seq[LogicalPlan] = slices.zipWithIndex.map {
+      case (sl, i) =>
+        val (sub, m) = sliceChain(s.child, idx, sl.files, first = i == 0)
+        val keysI = prefixAttrs.map(at => m.getOrElse(at.exprId, at))
+        val one = Repartition(1, shuffle = false,
+          Filter(rangePred(keysI, sl.lo, sl.hi), sub))
+        Sort(s.order.map(o =>
+          remap(o, m).asInstanceOf[SortOrder]), global = false, one)
     }
     logInfo(s"graft: rewrote global ORDER BY on clustered prefix " +
       s"${keyNames.take(k).mkString(",")} to a zero-Exchange " +

@@ -80,34 +80,29 @@ final class SqlDivisionWindow(protected val session: SparkSession)
     val k = prefixAttrs.length
     if (k == 0) return None
 
-    val bounds = idx.lexLowerBounds.map(_.take(k))
-      .distinct.sorted(Lex.boundOrdering)
-    val nDiv = bounds.length + 1
-    val maxD = graft.core.PDataset.divisionJoinMaxDivisions
+    val maxD = graft.core.PDataset.divisionJoinMaxDivisions(
+      session, Some(idx.sizeInBytes))
     val minD = graft.core.PDataset.divisionJoinMinDivisions(session)
-    if (nDiv < minD || maxD < minD) return None
-
-    val edges = mergedEdges(bounds, maxD)
-    val g = edges.length - 1
-    val branches: Seq[LogicalPlan] = (0 until g).map { i =>
-      val (sub, m) =
-        if (i == 0) (w.child, Map.empty[ExprId, Attribute])
-        else freshCopy(w.child)
-      val keysI = prefixAttrs.map(at => m.getOrElse(at.exprId, at))
-      val one = Repartition(1, shuffle = false,
-        Filter(rangePred(keysI, edges(i), edges(i + 1)), sub))
-      if (i == 0) w.copy(child = one)
-      else {
-        val wes: Seq[NamedExpression] = w.windowExpressions.map {
-          case al: Alias => Alias(remap(al.child, m), al.name)()
-          case at: Attribute => m.getOrElse(at.exprId, at)
-          case ne => remap(ne, m).asInstanceOf[NamedExpression]
+    val slices = divisionSlices(idx, k, maxD, minD).getOrElse(return None)
+    val g = slices.length
+    val branches: Seq[LogicalPlan] = slices.zipWithIndex.map {
+      case (sl, i) =>
+        val (sub, m) = sliceChain(w.child, idx, sl.files, first = i == 0)
+        val keysI = prefixAttrs.map(at => m.getOrElse(at.exprId, at))
+        val one = Repartition(1, shuffle = false,
+          Filter(rangePred(keysI, sl.lo, sl.hi), sub))
+        if (i == 0) w.copy(child = one)
+        else {
+          val wes: Seq[NamedExpression] = w.windowExpressions.map {
+            case al: Alias => Alias(remap(al.child, m), al.name)()
+            case at: Attribute => m.getOrElse(at.exprId, at)
+            case ne => remap(ne, m).asInstanceOf[NamedExpression]
+          }
+          Window(wes, w.partitionSpec.map(remap(_, m)),
+            w.orderSpec.map(so =>
+              remap(so, m).asInstanceOf[SortOrder]),
+            one, w.hint)
         }
-        Window(wes, w.partitionSpec.map(remap(_, m)),
-          w.orderSpec.map(so =>
-            remap(so, m).asInstanceOf[SortOrder]),
-          one, w.hint)
-      }
     }
     logInfo(s"graft: rewrote window PARTITION BY on clustered prefix " +
       s"${keyNames.take(k).mkString(",")} to a zero-Exchange " +

@@ -75,6 +75,30 @@ final class GraftFileIndex(
     if (independentStats) Nil else indexCols
   def lexLowerBounds: IndexedSeq[Bound] =
     if (independentStats) IndexedSeq.empty else lbs
+  def lexUpperBounds: IndexedSeq[Bound] =
+    if (independentStats) IndexedSeq.empty else ubs
+
+  /** Per-file byte sizes, aligned with [[lexLowerBounds]] — the
+    * division rewrites' byte-weighted range merging reads these so no
+    * merged slice concentrates a disproportionate share of the table
+    * in one task. */
+  def fileSizes: IndexedSeq[Long] = files.map(_._2)
+
+  /** This index restricted to the files at `keep` (ascending file
+    * positions): the division rewrites give each range slice its own
+    * pre-pruned relation, so per-branch file pruning never depends on
+    * pushing range literals into the scan (the branch predicates
+    * carry their bounds as codegen REFERENCES to keep all branches'
+    * generated source identical — one JIT compile for any division
+    * count — which makes them invisible to filter pushdown). */
+  def restrictTo(keep: IndexedSeq[Int]): GraftFileIndex =
+    new GraftFileIndex(
+      keep.map(files), indexCols, keep.map(lbs), keep.map(ubs),
+      independentStats,
+      blooms.map { case (c, bs) => c -> keep.map(bs) },
+      rowCounts.map(rc => keep.map(rc)),
+      extraStats.map { case (c, es) => c -> keep.map(es) },
+      rawColStats.map { case (c, rs) => c -> keep.map(rs) })
 
   /** Single-column convenience form (scalar bounds on the leading
     * index column only). */

@@ -257,9 +257,8 @@ class RepartitionJoinSpec extends AnyFunSuite {
 
   test("above the task cap adjacent divisions merge into bounded range slices") {
     import graft.plans.DivisionJoinExec
-    val oldMax = PDataset.divisionJoinMaxDivisions
     PDataset.divisionJoinMinOverride = Some(2)
-    PDataset.divisionJoinMaxDivisions = 3
+    PDataset.divisionJoinMaxOverride = Some(3)
     try {
       Seq("inner", "left", "full").foreach { how =>
         val df = leftDs.join(rightDs, how).toDF
@@ -273,20 +272,19 @@ class RepartitionJoinSpec extends AnyFunSuite {
         assertSameRows(df, oracle(how))
       }
     } finally {
-      PDataset.divisionJoinMaxDivisions = oldMax
+      PDataset.divisionJoinMaxOverride = None
       PDataset.divisionJoinMinOverride = None
     }
   }
 
   test("a task cap below the minimum disables the custom node (Catalyst join)") {
-    val old = PDataset.divisionJoinMaxDivisions
-    PDataset.divisionJoinMaxDivisions = 0
+    PDataset.divisionJoinMaxOverride = Some(0)
     try {
       val df = leftDs.join(rightDs, "inner").toDF
       val plan = df.queryExecution.optimizedPlan.toString
       assert("Join ".r.findAllIn(plan).length == 1, plan)
       assertSameRows(df, oracle("inner"))
-    } finally PDataset.divisionJoinMaxDivisions = old
+    } finally PDataset.divisionJoinMaxOverride = None
   }
 
   test("join rejects duplicate non-key columns and bad how") {

@@ -245,4 +245,71 @@ class SqlDivisionAggSpec extends AnyFunSuite {
       spark.conf.unset("spark.graft.sql.divisionMinBytes")
     }
   }
+
+  test("division count tracks spark.graft.division.maxDivisions and " +
+      "merged slices are byte-weighted, not count-weighted") {
+    PDataset.divisionJoinMinOverride = Some(2)
+    spark.conf.set("spark.graft.sql.divisionMinBytes", "0")
+    try {
+      val dir = tempDir("sqldivagg-conf") + "/ds"
+      // 16 single-key files with SKEWED sizes: keys 0-11 tiny (5 rows),
+      // keys 12-15 heavy (2000 rows with a fat payload) — ~98% of the
+      // bytes live in the top quarter of the key space.
+      def part(k: Long, rows: Long): PDataset =
+        PDataset.fromDataFrame(
+          spark.range(rows).select(
+            lit(k).as("k"), col("id").as("v"),
+            sha1(concat(lit(k), col("id").cast("string"))).as("pay")),
+          Seq("k"))
+      PDataset.concat(
+        (0L until 16L).map(k => part(k, if (k < 12) 5 else 2000)))
+        .writeParquet(dir)
+      spark.read.format("graft").load(dir)
+        .createOrReplaceTempView("dva_conf")
+      val q = "SELECT k, count(*) AS n, sum(v) AS sv " +
+        "FROM dva_conf GROUP BY k"
+
+      // a UNIFORM table for the count pin (under byte skew, quantile
+      // cuts legitimately dedupe to fewer slices — that's the point)
+      val uniDir = tempDir("sqldivagg-conf-uni") + "/ds"
+      writeClustered(uniDir, 160) // 8 equal files
+      spark.read.format("graft").load(uniDir)
+        .createOrReplaceTempView("dva_conf_uni")
+
+      def branchScans(view: String, maxD: Int) = {
+        spark.conf.set("spark.graft.division.maxDivisions",
+          maxD.toString)
+        val df = spark.sql(
+          s"SELECT k, count(*) AS n, sum(v) AS sv FROM $view GROUP BY k")
+        df.collect()
+        Fixtures.collectScans(df.queryExecution.executedPlan)
+      }
+      try {
+        // on uniform bytes the conf IS the branch count
+        assert(branchScans("dva_conf_uni", 4).length == 4)
+        assert(branchScans("dva_conf_uni", 8).length == 8)
+        // byte-weighted cuts concentrate where the bytes are: with 4
+        // slices over a table whose bytes sit in keys 12-15, at most
+        // one slice may hold more than ~1/2 of the table's bytes — a
+        // count-weighted merge (cuts at keys 4, 8, 12) puts ~all
+        // bytes in the last slice.
+        val scans = branchScans("dva_conf", 4)
+        val bytes = scans.map(
+          _.relation.location.sizeInBytes.toDouble).sorted
+        val total = bytes.sum
+        assert(bytes.last / total < 0.55,
+          s"largest slice holds ${bytes.last / total} of the bytes " +
+            s"(per-slice: ${bytes.mkString(", ")})")
+        // correctness unchanged under the conf
+        val got = spark.sql(q).orderBy("k").collect().map(_.toSeq)
+        withRuleOff {
+          val want = spark.sql(q).orderBy("k").collect().map(_.toSeq)
+          assert(got.toSeq == want.toSeq)
+        }
+      } finally spark.conf.unset("spark.graft.division.maxDivisions")
+    } finally {
+      PDataset.divisionJoinMinOverride = None
+      spark.conf.unset("spark.graft.sql.divisionMinBytes")
+    }
+  }
 }
