@@ -1182,6 +1182,29 @@ object SparkEntry {
                 GROUP BY c_mktsegment ORDER BY c_mktsegment""")
     }),
 
+    // Plain-SQL LEFT JOIN through the same rule: the commonest
+    // enrichment shape between co-clustered 100 TB tables. The node
+    // emits presence markers so unmatched customers surface NULL in
+    // the order-side columns (incl. the order-side KEY) with zero
+    // Exchange on either side; the oracle counts matched vs total
+    // per segment, which is only right if the null-extension rows
+    // survive exactly once.
+    "q_sql_division_join_left" -> ((s, d) => {
+      val oDir = jdOrdersFixture(s, d)
+      val cDir = jdCustomerFixture(s, d)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.read.format("graft").load(oDir).createOrReplaceTempView("sdjl_o")
+      s2.read.format("graft").load(cDir).createOrReplaceTempView("sdjl_c")
+      s2.sql("""SELECT c_mktsegment, count(*) AS n,
+                       count(o_orderkey) AS n_matched,
+                       round(sum(coalesce(o_totalprice, 0)), 2)
+                         AS sum_price
+                FROM sdjl_c LEFT JOIN sdjl_o
+                  ON sdjl_c.ckey = sdjl_o.ckey
+                GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    }),
+
     // Plain-SQL GROUP BY on the clustering key through the
     // SqlDivisionAgg rule: the partial→Exchange→final aggregation a
     // high-cardinality clustered key would pay — at 100 TB the
@@ -1251,6 +1274,25 @@ object SparkEntry {
       s2.read.format("graft").load(oDir).createOrReplaceTempView("sds_o")
       s2.sql("""SELECT ckey, o_orderkey, o_totalprice
                 FROM sds_o ORDER BY ckey, o_orderkey LIMIT 5000""")
+    }),
+
+    // ORDER BY ... DESC through the reversed division tiling:
+    // "latest N" on a time/key-clustered table — arguably the most
+    // common interactive query — reads the TOP key band's files and
+    // stops instead of re-sorting the world (slices union high-to-
+    // low, each locally sorted DESC NULLS LAST, Spark's DESC
+    // default = the exact reverse of the clustering order).
+    "q_sql_division_sort_desc" -> ((s, d) => {
+      val oDir = jdOrdersFixture(s, d)
+      val s2 = s.newSession()
+      // bench-scale fixtures sit under the rewrite's cost-model byte
+      // floor (default DivisionRewriteSupport.divisionMinBytes,
+      // 1 GiB); pin it down so the oracle exercises the division plan
+      s2.conf.set("spark.graft.sql.divisionMinBytes", "0")
+      s2.read.format("graft").load(oDir).createOrReplaceTempView("sdsd_o")
+      s2.sql("""SELECT ckey, o_orderkey, o_totalprice
+                FROM sdsd_o ORDER BY ckey DESC, o_orderkey DESC
+                LIMIT 5000""")
     }),
 
     "q_join_left" -> ((s, d) => {
@@ -2969,6 +3011,16 @@ object SparkEntry {
                   round(sum(o_totalprice), 2) AS sum_price
            FROM orders JOIN customer ON o_custkey = c_custkey
            GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+      "q_sql_division_join_left" ->
+        """SELECT c_mktsegment, count(*) AS n,
+                  count(o_orderkey) AS n_matched,
+                  round(sum(coalesce(o_totalprice, 0)), 2) AS sum_price
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+      "q_sql_division_sort_desc" ->
+        """SELECT o_custkey AS ckey, o_orderkey, o_totalprice
+           FROM orders ORDER BY ckey DESC, o_orderkey DESC
+           LIMIT 5000""",
       "q_sql_division_agg" ->
         """SELECT o_custkey AS ckey, count(*) AS n,
                   round(sum(o_totalprice), 2) AS sum_price,

@@ -51,12 +51,22 @@ case class DivisionJoinPlan(
       * references in lockstep; post-analysis, identity is the exprId,
       * never the name. */
     keyRefs: Seq[Attribute],
-    children: Seq[LogicalPlan]) extends LogicalPlan {
+    children: Seq[LogicalPlan],
+    /** When non-empty, exactly two PRE-ALLOCATED boolean attributes
+      * (left-present, right-present) appended to the output: each
+      * emitted row marks which sides contributed, letting an ON-join
+      * rewrite reconstruct per-side key columns from the USING-style
+      * coalesced keys (an unmatched outer row must surface NULL in
+      * the absent side's key). Allocated by the caller — not here —
+      * so plan copies keep stable ExprIds. */
+    presenceAttrs: Seq[Attribute] = Nil) extends LogicalPlan {
 
   require(children.length == 2 * nDiv && nDiv > 0,
     "need one left and one right child per division")
   require(keyNames.nonEmpty && keyRefs.length == 2 * nDiv * keyNames.length,
     "need every division child's key attributes")
+  require(presenceAttrs.isEmpty || presenceAttrs.length == 2,
+    "presenceAttrs is (left-present, right-present) or empty")
 
   private def k = keyNames.length
   private[plans] def keysOf(j: Int): Seq[Attribute] =
@@ -81,13 +91,13 @@ case class DivisionJoinPlan(
     val rightKeyIds = keysOf(nDiv).map(_.exprId).toSet
     val lRest = children.head.output.filterNot(a => leftKeyIds.contains(a.exprId))
     val rRest = children(nDiv).output.filterNot(a => rightKeyIds.contains(a.exprId))
-    joinType match {
+    (joinType match {
       case Inner => keys ++ lRest ++ rRest
       case LeftOuter => keys ++ lRest ++ rRest.map(_.withNullability(true))
       case FullOuter => (keys ++ lRest).map(_.withNullability(true)) ++
         rRest.map(_.withNullability(true))
       case other => throw new IllegalArgumentException(s"unsupported $other")
-    }
+    }) ++ presenceAttrs
   }
 
   override protected def withNewChildrenInternal(
@@ -99,7 +109,8 @@ object DivisionJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case dj: DivisionJoinPlan =>
       DivisionJoinExec(dj.joinType, dj.keyNames.length, dj.nDiv, dj.keyRefs,
-        dj.output, dj.children.map(planLater)) :: Nil
+        dj.output, dj.children.map(planLater),
+        dj.presenceAttrs.nonEmpty) :: Nil
     case _ => Nil
   }
 }
@@ -110,7 +121,8 @@ case class DivisionJoinExec(
     nDiv: Int,
     keyRefs: Seq[Attribute],
     output: Seq[Attribute],
-    children: Seq[SparkPlan]) extends SparkPlan {
+    children: Seq[SparkPlan],
+    emitPresence: Boolean = false) extends SparkPlan {
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[SparkPlan]): DivisionJoinExec =
@@ -151,15 +163,19 @@ case class DivisionJoinExec(
       lAttrs.indices.filterNot(lKeyOrds.contains(_)).toArray
     val rRestOrds =
       rAttrs.indices.filterNot(rKeyOrds.contains(_)).toArray
-    require(nKeys + lRestOrds.length + rRestOrds.length == output.length,
-      s"division $i emits ${nKeys + lRestOrds.length + rRestOrds.length} " +
-        s"columns but the declared output has ${output.length} — " +
-        s"a rule pruned division children inconsistently")
+    val markers = if (emitPresence) 2 else 0
+    require(nKeys + lRestOrds.length + rRestOrds.length + markers
+        == output.length,
+      s"division $i emits ${nKeys + lRestOrds.length + rRestOrds.length}" +
+        s"+$markers columns but the declared output has " +
+        s"${output.length} — a rule pruned division children " +
+        "inconsistently")
     val jt = joinType
+    val ep = emitPresence
     onePartition(l.execute()).zipPartitions(onePartition(r.execute())) {
       (lIt, rIt) =>
         DivisionJoinExec.joinIterators(lIt, rIt, jt, lTypes, rTypes,
-          lKeyOrds, rKeyOrds, lRestOrds, rRestOrds)
+          lKeyOrds, rKeyOrds, lRestOrds, rRestOrds, ep)
     }
   }
 }
@@ -186,7 +202,7 @@ object DivisionJoinExec {
       lKeyOrds: Array[Int], rKeyOrds: Array[Int],
       lRestOrds: Array[Int], rRestOrds: Array[Int]): Iterator[InternalRow] =
     joinIterators(lIt, rIt, joinType, lTypes, rTypes,
-      lKeyOrds, rKeyOrds, lRestOrds, rRestOrds)
+      lKeyOrds, rKeyOrds, lRestOrds, rRestOrds, emitPresence = false)
 
   /** Per-division hash join: build = right (copied into a hash table),
     * probe = streamed left. SQL equi-join null semantics: a null key
@@ -201,11 +217,15 @@ object DivisionJoinExec {
       lKeyOrds: Array[Int],
       rKeyOrds: Array[Int],
       lRestOrds: Array[Int],
-      rRestOrds: Array[Int]): Iterator[InternalRow] = {
+      rRestOrds: Array[Int],
+      emitPresence: Boolean): Iterator[InternalRow] = {
     val nKeys = lKeyOrds.length
-    val width = nKeys + lRestOrds.length + rRestOrds.length
+    val markers = if (emitPresence) 2 else 0
+    val width = nKeys + lRestOrds.length + rRestOrds.length + markers
     val outTypes: Array[DataType] =
-      lKeyOrds.map(lTypes) ++ lRestOrds.map(lTypes) ++ rRestOrds.map(rTypes)
+      lKeyOrds.map(lTypes) ++ lRestOrds.map(lTypes) ++
+        rRestOrds.map(rTypes) ++ Array.fill[DataType](markers)(
+          org.apache.spark.sql.types.BooleanType)
     val outProj = UnsafeProjection.create(outTypes)
     // Key bytes must match Catalyst's join-key semantics: -0.0 == 0.0
     // and NaN == NaN for float/double keys (the whole-frame fallback
@@ -253,6 +273,10 @@ object DivisionJoinExec {
         vals(o) =
           if (r != null) r.get(rRestOrds(i), rTypes(rRestOrds(i))) else null
         o += 1; i += 1
+      }
+      if (emitPresence) {
+        vals(o) = l != null
+        vals(o + 1) = r != null
       }
       outProj(new GenericInternalRow(vals.clone()))
     }

@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, EqualTo, Expression, ExprId, NamedExpression, PredicateHelper}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, EqualTo, Expression, ExprId, If, Literal, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -25,7 +25,17 @@ import graft.core.Lex
   * understands — each division child scans only its own files.
   *
   * Eligibility (anything else leaves the join untouched):
-  *   - INNER join, no join hints (a user's BROADCAST hint wins);
+  *   - INNER, LEFT OUTER or FULL OUTER join, no join hints (a user's
+  *     BROADCAST hint wins). Outer joins reconstruct per-side key
+  *     columns from the node's coalesced USING-style keys via two
+  *     presence markers the node emits (an unmatched row must surface
+  *     NULL in the absent side's key); residual ON conjuncts are
+  *     admitted for INNER only (a post-join Filter is inner-correct;
+  *     for outer joins a residual must participate in MATCHING, and
+  *     one-sided outer conjuncts were already pushed into the
+  *     appropriate child by Spark's optimizer before this rule runs —
+  *     what remains is the rare cross-side residual, which keeps
+  *     Spark's plan);
   *   - each side is a graft relation ([[GraftFileIndex]] listing,
   *     i.e. a `format("graft")` read or a spliced catalog read),
   *     optionally under deterministic Project/Filter nodes;
@@ -61,7 +71,8 @@ final class SqlDivisionJoin(protected val session: SparkSession)
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformUp {
-      case j @ Join(_, _, Inner, Some(_), JoinHint(None, None)) =>
+      case j @ Join(_, _, Inner | LeftOuter | FullOuter, Some(_),
+          JoinHint(None, None)) =>
         rewrite(j).getOrElse(j)
     }
   }
@@ -115,6 +126,9 @@ final class SqlDivisionJoin(protected val session: SparkSession)
     val residual = conjuncts.filterNot(c => pairs(c).exists(p =>
       keyNames.indices.exists(i =>
         p == (lKeys(i).exprId, rKeys(i).exprId))))
+    // a post-join Filter is only inner-correct: for outer joins a
+    // residual decides MATCHING (failing pairs null-extend, not drop)
+    if (residual.nonEmpty && j.joinType != Inner) return None
 
     // Cost gates: a broadcastable side beats everything; too few
     // divisions under-utilizes one-task-per-range.
@@ -151,29 +165,53 @@ final class SqlDivisionJoin(protected val session: SparkSession)
     val (lChildren, lChildKeys) = children(l, lIdx, lFiles, lKeys)
     val (rChildren, rChildKeys) = children(r, rIdx, rFiles, rKeys)
     DivisionJoin.ensureStrategy(session)
-    val node = DivisionJoinPlan(Inner, keyNames.toIndexedSeq, g,
-      (lChildKeys ++ rChildKeys).flatten, lChildren ++ rChildren)
+    // Outer joins need the presence markers to reconstruct per-side
+    // key columns; allocate the attrs HERE so plan copies keep ids.
+    val presence: Seq[Attribute] =
+      if (j.joinType == Inner) Nil
+      else Seq(
+        AttributeReference("__l_present",
+          org.apache.spark.sql.types.BooleanType, nullable = false)(),
+        AttributeReference("__r_present",
+          org.apache.spark.sql.types.BooleanType, nullable = false)())
+    val node = DivisionJoinPlan(j.joinType, keyNames.toIndexedSeq, g,
+      (lChildKeys ++ rChildKeys).flatten, lChildren ++ rChildren,
+      presence)
 
     // Restore the ON-join output shape: the node emits keys ONCE
-    // (division-0 left attrs — original ExprIds) plus both sides'
-    // non-keys; the right key columns re-materialize from the left
-    // keys (equal and non-null on every inner-matched row).
+    // (division-0 left attrs — original ExprIds, value from whichever
+    // side is present) plus both sides' non-keys. Right key columns
+    // re-materialize from the coalesced keys — unconditionally for
+    // inner (equal and non-null on every matched row), gated on the
+    // right-presence marker for outer (unmatched rows surface NULL);
+    // full-outer left keys gate on left presence the same way.
     val rKeyById: Map[ExprId, Int] =
       rKeys.map(_.exprId).zipWithIndex.toMap
+    val lKeyById: Map[ExprId, Int] =
+      lKeys.map(_.exprId).zipWithIndex.toMap
+    def gated(i: Int, marker: Attribute): Expression =
+      If(marker, lKeys(i), Literal(null, lKeys(i).dataType))
     val nodeOut = node.outputSet
     val projectList: Seq[NamedExpression] = j.output.map { a =>
       rKeyById.get(a.exprId) match {
         case Some(i) =>
-          Alias(lKeys(i), a.name)(exprId = a.exprId,
-            qualifier = a.qualifier)
-        case None =>
-          if (!nodeOut.contains(a)) return None // defensive: bail out
-          a
+          val v = if (j.joinType == Inner) lKeys(i)
+            else gated(i, presence(1))
+          Alias(v, a.name)(exprId = a.exprId, qualifier = a.qualifier)
+        case None => lKeyById.get(a.exprId) match {
+          case Some(i) if j.joinType == FullOuter =>
+            Alias(gated(i, presence(0)), a.name)(exprId = a.exprId,
+              qualifier = a.qualifier)
+          case _ =>
+            if (!nodeOut.contains(a)) return None // defensive: bail out
+            a
+        }
       }
     }
     val projected = Project(projectList, node)
-    logInfo(s"graft: rewrote inner join on ${keyNames.mkString(",")} " +
-      s"to a zero-Exchange division join ($g ranges)")
+    logInfo(s"graft: rewrote ${j.joinType} join on " +
+      s"${keyNames.mkString(",")} to a zero-Exchange division join " +
+      s"($g ranges)")
     Some(residual.reduceOption(And(_, _))
       .map(Filter(_, projected)).getOrElse(projected))
   }

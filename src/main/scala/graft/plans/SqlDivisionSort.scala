@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, ExprId, NullsFirst, SortOrder, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, ExprId, NullsFirst, NullsLast, SortOrder, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Repartition, Sort, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -34,10 +34,16 @@ import graft.core.Lex
   * Eligibility (anything else keeps Spark's plan): a global Sort over
   * a graft relation under deterministic Project/Filter nodes; the
   * ORDER BY's leading entries are bare index-prefix attributes,
-  * ascending nulls-first (the clustering order — DESC would need
-  * reversed tiling, not worth the asymmetry); later entries are any
-  * deterministic expressions (sorted locally); division count clears
-  * the utilization minimum.
+  * either ALL ascending nulls-first (the clustering order) or ALL
+  * descending nulls-last (its exact reverse — Spark's DESC default):
+  * for DESC the slices union in REVERSED range order and each sorts
+  * locally DESC, so the concatenation is the global descending order
+  * (nulls cluster in the LOWEST band, which is visited last, and the
+  * local nulls-last sort puts them after that band's values — the
+  * global NULLS LAST contract). `ORDER BY k DESC LIMIT n` — "latest
+  * N" on a time-clustered table — reads the TOP key band's files and
+  * stops. Later entries are any deterministic expressions (sorted
+  * locally); division count clears the utilization minimum.
   *
   * Disable with `SET spark.graft.sql.divisionSort=false`.
   */
@@ -66,15 +72,24 @@ final class SqlDivisionSort(protected val session: SparkSession)
     if (keyNames.isEmpty) return None
 
     // The longest index prefix the ORDER BY leads with, position by
-    // position, in the clustering direction (asc nulls first).
+    // position — uniformly in the clustering direction (asc nulls
+    // first) or uniformly in its exact reverse (desc nulls last).
     val resolver = session.sessionState.conf.resolver
     val childOut = s.child.outputSet
+    val ascending = s.order.head match {
+      case SortOrder(_, Ascending, NullsFirst, _) => true
+      case _ => false
+    }
+    def prefixAt(n: String, a: Attribute): Boolean =
+      resolver(a.name, n) && childOut.contains(a) &&
+        rel.output.exists(ra =>
+          ra.exprId == a.exprId && resolver(ra.name, n))
     val k = keyNames.iterator.zipWithIndex.takeWhile { case (n, i) =>
       i < s.order.length && (s.order(i) match {
-        case SortOrder(a: Attribute, Ascending, NullsFirst, _) =>
-          resolver(a.name, n) && childOut.contains(a) &&
-            rel.output.exists(ra =>
-              ra.exprId == a.exprId && resolver(ra.name, n))
+        case SortOrder(a: Attribute, Ascending, NullsFirst, _)
+            if ascending => prefixAt(n, a)
+        case SortOrder(a: Attribute, Descending, NullsLast, _)
+            if !ascending => prefixAt(n, a)
         case _ => false
       })
     }.length
@@ -85,7 +100,10 @@ final class SqlDivisionSort(protected val session: SparkSession)
     val maxD = graft.core.PDataset.divisionJoinMaxDivisions(
       session, Some(idx.sizeInBytes))
     val minD = graft.core.PDataset.divisionJoinMinDivisions(session)
-    val slices = divisionSlices(idx, k, maxD, minD).getOrElse(return None)
+    val slices0 = divisionSlices(idx, k, maxD, minD).getOrElse(return None)
+    // DESC: visit ranges high-to-low so the concatenation of locally
+    // descending slices is the global descending order
+    val slices = if (ascending) slices0 else slices0.reverse
     val g = slices.length
     val branches: Seq[LogicalPlan] = slices.zipWithIndex.map {
       case (sl, i) =>
@@ -96,7 +114,8 @@ final class SqlDivisionSort(protected val session: SparkSession)
         Sort(s.order.map(o =>
           remap(o, m).asInstanceOf[SortOrder]), global = false, one)
     }
-    logInfo(s"graft: rewrote global ORDER BY on clustered prefix " +
+    logInfo(s"graft: rewrote global ORDER BY " +
+      (if (ascending) "" else "DESC ") + "on clustered prefix " +
       s"${keyNames.take(k).mkString(",")} to a zero-Exchange " +
       s"division sort ($g ranges)")
     Some(Union(branches))

@@ -7,11 +7,12 @@ import graft.core.PDataset
 import Fixtures._
 
 /** The automatic zero-Exchange SQL division join
-  * (`graft.plans.SqlDivisionJoin`): an inner join between two graft
-  * reads co-clustered on the join key rewrites to the engine's
-  * division join — no shuffle on either side — while every
-  * non-eligible shape (outer joins, broadcastable sides, aliased
-  * keys, rule disabled) keeps Spark's plan. */
+  * (`graft.plans.SqlDivisionJoin`): an inner, LEFT or FULL join
+  * between two graft reads co-clustered on the join key rewrites to
+  * the engine's division join — no shuffle on either side — while
+  * every non-eligible shape (right/semi joins, cross-side residual
+  * outer conjuncts, broadcastable sides, aliased keys, rule
+  * disabled) keeps Spark's plan. */
 class SqlDivisionJoinSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
@@ -69,11 +70,10 @@ class SqlDivisionJoinSpec extends AnyFunSuite {
       spark.conf.set("spark.graft.sql.divisionJoin", "true")
       assert(df2.orderBy("k").collect().toSeq == want2)
 
-      // outer joins keep Spark's plan (the SQL rewrite is inner-only:
-      // the USING-shaped node cannot emit the null right key)
-      val dfL = spark.sql(
-        "SELECT * FROM dja LEFT JOIN djb ON dja.k = djb.k")
-      assert(!plans(dfL)._1.contains("DivisionJoin"), plans(dfL)._1)
+      // RIGHT joins keep Spark's plan (node has no RightOuter form)
+      val dfR = spark.sql(
+        "SELECT * FROM dja RIGHT JOIN djb ON dja.k = djb.k")
+      assert(!plans(dfR)._1.contains("DivisionJoin"), plans(dfR)._1)
 
       // a broadcastable side keeps Spark's broadcast join
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
@@ -94,6 +94,69 @@ class SqlDivisionJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("LEFT and FULL SQL joins rewrite with exact null-extension " +
+      "semantics; cross-side residual outer conjuncts keep Spark's plan") {
+    PDataset.divisionJoinMinOverride = Some(2)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val dirA = tempDir("sqldivjoin-la") + "/ds"
+      val dirB = tempDir("sqldivjoin-lb") + "/ds"
+      writeSide(dirA, 120, "a") // keys 0-119
+      // keys 40-159: left-only 0-39, matched 40-119, right-only 120-159
+      def partB(lo: Long): PDataset =
+        PDataset.fromDataFrame(
+          spark.range(lo, lo + 20).select(col("id").as("k"),
+            (col("id") % 5).as("g"),
+            concat(lit("b"), col("id")).as("p_b")), Seq("k"))
+      PDataset.concat((40L until 160L by 20L).map(partB))
+        .writeParquet(dirB)
+      spark.read.format("graft").load(dirA).createOrReplaceTempView("lja")
+      spark.read.format("graft").load(dirB).createOrReplaceTempView("ljb")
+
+      def compare(q: String, expectRewrite: Boolean): Seq[String] = {
+        val df = spark.sql(q)
+        val (opt, exec) = plans(df)
+        if (expectRewrite) {
+          assert(opt.contains("DivisionJoin"), opt)
+          assert(!exec.contains("Exchange"), exec)
+        } else assert(!opt.contains("DivisionJoin"), opt)
+        val got = df.collect().map(_.toString).sorted.toSeq
+        spark.conf.set("spark.graft.sql.divisionJoin", "false")
+        val want = spark.sql(q).collect().map(_.toString).sorted.toSeq
+        spark.conf.set("spark.graft.sql.divisionJoin", "true")
+        assert(got == want, s"rule-on != rule-off for: $q")
+        got
+      }
+
+      // LEFT: unmatched left rows null-extend, incl. the RIGHT KEY
+      val left = compare("SELECT lja.k, lja.p_a, ljb.k AS k2, ljb.p_b " +
+        "FROM lja LEFT JOIN ljb ON lja.k = ljb.k", expectRewrite = true)
+      assert(left.length == 120)
+      assert(left.count(_.contains("null")) == 40,
+        "keys 0-39 must null-extend")
+
+      // FULL: both sides null-extend, each side's key gated on its
+      // own presence
+      val full = compare("SELECT lja.k, lja.p_a, ljb.k AS k2, ljb.p_b " +
+        "FROM lja FULL JOIN ljb ON lja.k = ljb.k", expectRewrite = true)
+      assert(full.length == 160)
+
+      // a RIGHT-side-only ON conjunct was pushed into the right child
+      // by Spark before the rule runs -> residual empty -> rewrites
+      compare("SELECT lja.k, ljb.p_b FROM lja LEFT JOIN ljb " +
+        "ON lja.k = ljb.k AND ljb.g = 2", expectRewrite = true)
+
+      // a CROSS-SIDE residual decides matching -> keeps Spark's plan
+      compare("SELECT lja.k, ljb.p_b FROM lja LEFT JOIN ljb " +
+        "ON lja.k = ljb.k AND lja.g <> ljb.g", expectRewrite = false)
+    } finally {
+      PDataset.divisionJoinMinOverride = None
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.graft.sql.divisionJoin", "true")
+    }
+  }
+
   test("the q_sql_division_join entry query really plans the " +
       "zero-Exchange division join") {
     val df = SparkEntry.queries("q_sql_division_join")(
@@ -106,6 +169,17 @@ class SqlDivisionJoinSpec extends AnyFunSuite {
       // must not — no hashpartitioning exchange on the join keys
       !df.queryExecution.executedPlan.toString
         .contains("hashpartitioning(ckey"),
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("the q_sql_division_join_left entry query really plans the " +
+      "zero-Exchange division join") {
+    val df = SparkEntry.queries("q_sql_division_join_left")(
+      spark, "/root/testdata/sf0.001")
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("DivisionJoin"), opt)
+    assert(!df.queryExecution.executedPlan.toString
+      .contains("hashpartitioning(ckey"),
       df.queryExecution.executedPlan.toString)
   }
 
