@@ -487,6 +487,37 @@ object SparkEntry {
         .orderBy("order_id")
     }),
 
+    // ALTER COLUMN TYPE widening is METADATA-ONLY (the Delta 4 type-
+    // widening shape): the narrow int32 files stay on disk and Spark
+    // 4's parquet reader serves them as the declared wider type; an
+    // upsert then lands values only the wider type can hold next to
+    // them. At 100 TB a type migration that rewrites nothing is the
+    // difference between a DDL statement and a day of cluster time.
+    "q_widen_column" -> ((s, d) => {
+      val dir = mutableCopy("ordkey20narrow", d) { out =>
+        val base = s.read.parquet(T(d, "orders"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_orderkey") % 1000).cast("int").as("cnt"),
+            col("o_totalprice"))
+        val ds = PDataset.fromDataFrame(base, Seq("o_orderkey"))
+          .reindex(Seq("o_orderkey"))
+        ds.repartition(math.max(50L, ds.sizes.get.sum / 20))
+          .writeParquet(out)
+      }
+      graft.operators.Maintenance.widenColumns(s, dir,
+        "cnt" -> org.apache.spark.sql.types.LongType)
+      // rows in one clustered band get counts only a BIGINT holds
+      val upd = s.read.parquet(T(d, "orders"))
+        .filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 1400)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_orderkey") + 4000000000L).as("cnt"),
+          col("o_totalprice"))
+      graft.operators.Maintenance.upsert(s, dir, upd)
+      PDataset.scanParquet(s, dir).toDF
+        .filter(col("o_orderkey") < 2000) // pruned read, mixed widths
+        .orderBy("o_orderkey")
+    }),
+
     "q_schema_evolution" -> ((s, d) => {
       val dir = mutableCopy("ordkey20", d)(ordersByKey20(s, d))
       graft.operators.Maintenance.addColumns(s, dir,
@@ -2708,6 +2739,14 @@ object SparkEntry {
                   END AS price,
                   o_orderdate, o_orderpriority
            FROM orders WHERE o_orderkey < 2000 ORDER BY order_id""",
+      "q_widen_column" ->
+        """SELECT o_orderkey, o_custkey,
+                  CASE WHEN o_orderkey >= 1000 AND o_orderkey < 1400
+                       THEN o_orderkey + 4000000000
+                       ELSE o_orderkey % 1000
+                  END AS cnt,
+                  o_totalprice
+           FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""",
       "q_schema_evolution" ->
         """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                   o_orderdate, o_orderpriority,

@@ -859,6 +859,100 @@ object Maintenance {
       extras = m.extras)
   }
 
+  /** Widen column types — METADATA-ONLY, zero data I/O at any table
+    * size (the Delta 4 type-widening idea). Spark 4's parquet readers
+    * natively promote a file's narrower physical type to the declared
+    * read schema (int32→int64, float→double, decimal precision
+    * growth), so existing files need no rewrite: the sidecar schema
+    * changes, reads serve the wider type everywhere, and subsequent
+    * appends write the wider physical type (mixed file widths are
+    * fine per-file). Index-column BOUNDS re-type with the column —
+    * routing and pruning compare stored bound values against runtime
+    * values of the NEW type, and a stale Int bound against a Long
+    * probe would miscompare. Value-typed derived sidecars (bloom,
+    * column stats) drop their affected entries instead (rebuilt
+    * lazily by their update() paths). Only safe widenings qualify:
+    * integral up-casts, float→double, decimal growth that loses no
+    * digits; anything else refuses loudly. */
+  /** Whether `from -> to` is a parquet-level safe widening: Spark
+    * 4's parquet readers serve a file's narrower physical type as
+    * the declared wider read type for exactly these promotions, so
+    * the change can be metadata-only. */
+  private[graft] def safeWidening(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def rank(t: DataType): Int = t match {
+      case ByteType => 1
+      case ShortType => 2
+      case IntegerType => 3
+      case LongType => 4
+      case _ => -1
+    }
+    (from, to) match {
+      case (f, t) if rank(f) > 0 && rank(t) > 0 => rank(t) > rank(f)
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale &&
+          t.precision - t.scale >= f.precision - f.scale && t != f
+      case _ => false
+    }
+  }
+
+  def widenColumns(
+      spark: SparkSession,
+      dir: String,
+      widenings: (String, org.apache.spark.sql.types.DataType)*): Unit = {
+    import org.apache.spark.sql.types._
+    require(widenings.nonEmpty, "at least one column to widen")
+    val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    val loadedFp = metaFingerprint(spark, dirPath)
+    val m = Sidecar.load(spark, dir)
+    val byName = widenings.toMap
+    require(byName.size == widenings.length,
+      "a column may be widened only once per call")
+    widenings.foreach { case (n, to) =>
+      val f = m.schema.fields.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no such column: $n"))
+      require(safeWidening(f.dataType, to),
+        s"ALTER COLUMN $n TYPE ${to.simpleString}: only safe " +
+          s"WIDENINGS are metadata-only, and " +
+          s"${f.dataType.simpleString} -> ${to.simpleString} is not " +
+          "one (integral up-casts, float -> double and decimal " +
+          "growth that loses no digits qualify). A narrowing or " +
+          "incompatible change needs a rewrite: copy through " +
+          "CREATE TABLE ... AS SELECT with explicit casts.")
+    }
+    val widened = StructType(m.schema.fields.map(f =>
+      byName.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f)))
+    def conv(v: Any, to: DataType): Any = (v, to) match {
+      case (n: Number, ShortType) => n.shortValue
+      case (n: Number, IntegerType) => n.intValue
+      case (n: Number, LongType) => n.longValue
+      case (n: Number, DoubleType) => n.doubleValue
+      case (d: java.math.BigDecimal, t: DecimalType) =>
+        d.setScale(t.scale)
+      case (d: scala.math.BigDecimal, t: DecimalType) =>
+        d.setScale(t.scale)
+      case (other, _) => other
+    }
+    val widenedIdx: Map[Int, DataType] =
+      m.indexColumns.zipWithIndex.flatMap { case (c, i) =>
+        byName.get(c).map(i -> _)
+      }.toMap
+    def convBounds(bs: IndexedSeq[Bound]): IndexedSeq[Bound] =
+      if (widenedIdx.isEmpty) bs
+      else bs.map(b => b.zipWithIndex.map { case (ov, i) =>
+        widenedIdx.get(i).fold(ov)(t => ov.map(conv(_, t)))
+      }.toVector)
+    guardUnchanged(spark, dirPath, loadedFp)
+    Sidecar.write(spark, dir, m.indexColumns, m.files, m.sizes,
+      convBounds(m.lowerBounds), convBounds(m.upperBounds),
+      m.maxPartitionIndex, widened, extras = m.extras)
+    graft.core.BloomIndex.dropColumnEntries(spark, dir, byName.keySet)
+    graft.core.ColumnStats.dropColumnEntries(spark, dir, byName.keySet)
+  }
+
   /** Drop non-index columns — also metadata-only: the narrowed
     * sidecar schema hides the columns from every reader; the bytes
     * in existing files are reclaimed lazily as maintenance rewrites

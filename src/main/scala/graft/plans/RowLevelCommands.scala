@@ -162,7 +162,8 @@ final class GraftRowLevelRewrite(session: SparkSession)
               ExprBox(cond),
               matched.map(clauseOf(_, "MERGE INTO")),
               notMatched.map(clauseOf(_, "MERGE INTO")),
-              notMatchedBySource.map(clauseOf(_, "MERGE INTO")))
+              notMatchedBySource.map(clauseOf(_, "MERGE INTO")),
+              evolve = withSchemaEvolution)
         }
     }
 }
@@ -240,7 +241,8 @@ final case class GraftMergeCommand(
     mergeCond: GraftRowLevel.ExprBox,
     matched: Seq[GraftRowLevel.MergeClause],
     notMatched: Seq[GraftRowLevel.MergeClause],
-    notMatchedBySource: Seq[GraftRowLevel.MergeClause])
+    notMatchedBySource: Seq[GraftRowLevel.MergeClause],
+    evolve: Boolean = false)
     extends LeafRunnableCommand {
   import GraftRowLevel._
 
@@ -256,6 +258,28 @@ final case class GraftMergeCommand(
 
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val spark = sparkSession
+    // WITH SCHEMA EVOLUTION, part 2: Spark's own evolution rule adds
+    // MISSING columns (alterTable AddColumn) before this command is
+    // built, but it does not widen an existing column's type for a
+    // wider source — and this command casts every assignment to the
+    // SIDECAR schema at run time, so a bigint source landing in an
+    // int column would overflow. Widen the sidecar first (metadata-
+    // only, Maintenance.widenColumns) for every common column whose
+    // source type is a safe parquet-level widening of the target's;
+    // everything below then casts to the widened type.
+    if (evolve) {
+      val cur = Sidecar.load(spark, path).schema
+      val srcType = source.plan.output.map(a => a.name -> a.dataType).toMap
+      val resolver = spark.sessionState.conf.resolver
+      val widenings = cur.fields.toSeq.flatMap { f =>
+        srcType.collectFirst {
+          case (n, t) if resolver(n, f.name) &&
+              Maintenance.safeWidening(f.dataType, t) => f.name -> t
+        }
+      }
+      if (widenings.nonEmpty)
+        Maintenance.widenColumns(spark, path, widenings: _*)
+    }
     val m = Sidecar.load(spark, path)
     val keyCols = m.indexColumns.toSeq
     require(keyCols.nonEmpty,

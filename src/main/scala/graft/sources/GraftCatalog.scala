@@ -375,11 +375,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           "graft tables have no nested columns to rename")
         Maintenance.renameColumns(spark, p,
           rn.fieldNames.head -> rn.newName)
+      case ut: TableChange.UpdateColumnType =>
+        // metadata-only for safe widenings (Maintenance.widenColumns
+        // refuses narrowings loudly); also reached by MERGE WITH
+        // SCHEMA EVOLUTION when the source carries a wider type
+        require(ut.fieldNames.length == 1,
+          "graft tables have no nested columns to alter")
+        Maintenance.widenColumns(spark, p,
+          ut.fieldNames.head -> ut.newDataType)
       case other =>
         throw new UnsupportedOperationException(
           s"ALTER TABLE change ${other.getClass.getSimpleName} is not " +
             "supported on graft tables (supported: ADD COLUMNS, " +
-            "DROP COLUMN, RENAME COLUMN)")
+            "DROP COLUMN, RENAME COLUMN, ALTER COLUMN TYPE widening)")
     }
     loadTable(ident)
   }

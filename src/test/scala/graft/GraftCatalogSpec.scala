@@ -521,6 +521,85 @@ class GraftCatalogSpec extends AnyFunSuite {
       messagesOf(e).mkString("\n"))
   }
 
+  test("ALTER COLUMN TYPE widens metadata-only: old files readable " +
+      "as the wider type, bounds re-typed, narrowing refuses") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.widen (k INT, v FLOAT, " +
+      "price DECIMAL(7,2), tag STRING) USING graft " +
+      "TBLPROPERTIES('index'='k')")
+    (0 until 200 by 50).foreach { lo => // 4 appends -> 4 files
+      spark.sql("INSERT INTO gcat.db.widen " +
+        "SELECT CAST(id AS INT), CAST(id AS FLOAT), " +
+        s"CAST(id AS DECIMAL(7,2)), CONCAT('t', id) " +
+        s"FROM range($lo, ${lo + 50})")
+    }
+    val dir = s"$warehouse/db/widen"
+    val filesBefore = graft.core.Sidecar.load(spark, dir).files.toSet
+
+    spark.sql("ALTER TABLE gcat.db.widen ALTER COLUMN k TYPE BIGINT")
+    spark.sql("ALTER TABLE gcat.db.widen ALTER COLUMN v TYPE DOUBLE")
+    spark.sql(
+      "ALTER TABLE gcat.db.widen ALTER COLUMN price TYPE DECIMAL(12,2)")
+    val m = graft.core.Sidecar.load(spark, dir)
+    assert(m.files.toSet == filesBefore,
+      "widening must rewrite zero data files")
+    assert(m.schema.fields.map(f => f.name -> f.dataType.simpleString)
+      .toMap == Map("k" -> "bigint", "v" -> "double",
+        "price" -> "decimal(12,2)", "tag" -> "string"))
+    // index bounds re-typed with the column: a Long probe against a
+    // stale Int bound would miscompare in routing and pruning
+    assert(m.lowerBounds.forall(_.forall(
+      _.forall(_.isInstanceOf[java.lang.Long]))),
+      s"bounds must re-type to Long, got ${m.lowerBounds.head}")
+
+    // old (int32/float/decimal(7,2)) files read as the wider type
+    val row = spark.sql("SELECT k, v, price FROM gcat.db.widen " +
+      "WHERE k = 7").head
+    assert(row.getLong(0) == 7L && row.getDouble(1) == 7.0 &&
+      row.getDecimal(2).compareTo(new java.math.BigDecimal("7.00")) == 0)
+    // pruning still fires on the widened index column
+    assert(v2ScannedFiles(spark.sql(
+      "SELECT k FROM gcat.db.widen WHERE k = 7")) <
+      filesBefore.size)
+
+    // values only the wider type can hold land beside the old files
+    spark.sql("INSERT INTO gcat.db.widen VALUES " +
+      "(5000000000, 1e300, 9999999999.99, 'big')")
+    val big = spark.sql("SELECT k, v, price FROM gcat.db.widen " +
+      "WHERE k = 5000000000").head
+    assert(big.getLong(0) == 5000000000L && big.getDouble(1) == 1e300)
+    assert(spark.table("gcat.db.widen").count() == 201)
+    // keyed maintenance still routes across mixed-width files
+    spark.sql("UPDATE gcat.db.widen SET tag = 'U' WHERE k = 7")
+    assert(spark.sql("SELECT tag FROM gcat.db.widen WHERE k = 7")
+      .head.getString(0) == "U")
+
+    // a NARROWING refuses loudly (Spark's analyzer catches the
+    // downcast before the catalog; either refusal leaves metadata
+    // untouched), and an up-CAST that is not a parquet-level WIDENING
+    // (bigint -> decimal would need a physical rewrite) hits OUR gate
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.db.widen ALTER COLUMN k TYPE INT")
+    }
+    assert(messagesOf(e).mkString.contains("NOT_SUPPORTED_CHANGE_COLUMN"),
+      messagesOf(e).mkString("\n"))
+    val e2 = intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE gcat.db.widen ALTER COLUMN k TYPE DECIMAL(20,0)")
+    }
+    assert(messagesOf(e2).mkString.contains("WIDENINGS"),
+      messagesOf(e2).mkString("\n"))
+    // the programmatic path refuses a narrowing itself (no analyzer
+    // in front of it)
+    val e3 = intercept[IllegalArgumentException] {
+      graft.operators.Maintenance.widenColumns(spark, dir,
+        "price" -> org.apache.spark.sql.types.DecimalType(8, 4))
+    }
+    assert(e3.getMessage.contains("WIDENINGS"), e3.getMessage)
+    assert(graft.core.Sidecar.load(spark, dir).schema("k")
+      .dataType.simpleString == "bigint")
+  }
+
   private def messagesOf(t: Throwable): Seq[String] =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
       .flatMap(e => Option(e.getMessage)).toSeq

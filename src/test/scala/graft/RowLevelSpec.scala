@@ -83,6 +83,45 @@ class RowLevelSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("tag"), e.getMessage)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: a WIDER source type widens the " +
+      "target column metadata-only before the clauses apply") {
+    warehouse
+    spark.sql("CREATE TABLE grl.db.wevo (k BIGINT, cnt INT, " +
+      "tag STRING) USING graft TBLPROPERTIES('index'='k')")
+    (0 until 60 by 20).foreach { lo => // 3 appends -> 3 int32 files
+      spark.sql("INSERT INTO grl.db.wevo " +
+        s"SELECT id, CAST(id AS INT), CONCAT('t', id) " +
+        s"FROM range($lo, ${lo + 20})")
+    }
+    val dir = s"$warehouse/db/wevo"
+    val filesBefore = Sidecar.load(spark, dir).files.toSet
+    // source cnt is BIGINT with a value an INT cannot hold
+    spark.range(50, 70).select(col("id").as("k"),
+      (col("id") + 4000000000L).as("cnt"),
+      concat(lit("s"), col("id")).as("tag"))
+      .createOrReplaceTempView("wevo_src")
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO grl.db.wevo t
+      USING wevo_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET cnt = s.cnt, tag = s.tag
+      WHEN NOT MATCHED THEN INSERT *""")
+    val m = Sidecar.load(spark, dir)
+    assert(m.schema("cnt").dataType.simpleString == "bigint",
+      m.schema.treeString)
+    // only the merge's affected band rewrote; the widen itself
+    // touched no data file — untouched int32 files survive and read
+    // back as bigint
+    assert(filesBefore.intersect(m.files.toSet).nonEmpty,
+      s"untouched narrow files must survive: before=$filesBefore " +
+        s"after=${m.files.toSet}")
+    val got = rows("SELECT k, cnt FROM grl.db.wevo ORDER BY k")
+    assert(got.size == 70)
+    got.foreach { r =>
+      val k = r.getLong(0)
+      if (k < 50) assert(r.getLong(1) == k, s"k=$k")
+      else assert(r.getLong(1) == k + 4000000000L, s"k=$k")
+    }
+  }
+
   test("UPDATE ... WHERE updates matching rows, leaves the rest, and " +
       "rewrites only the files with hits") {
     val (t, dir) = freshTable()
