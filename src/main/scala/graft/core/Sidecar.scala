@@ -87,17 +87,62 @@ object Sidecar {
     * and hide dropped ones, the same as in the current generation. */
   def loadFile(spark: SparkSession, dir: String, metaFile: Path): Meta = {
     val (fs, _) = GraftFs.resolve(spark, dir)
-    parseMeta(spark, dir, GraftFs.readString(fs, metaFile))
+    // An ARCHIVED document speaks the logical names of ITS time; the
+    // shared schema sidecar speaks the CURRENT ones. Hand the parse
+    // the current rename mapping so it can translate the archived
+    // names through their stable PHYSICAL identity — time travel and
+    // the change feed then cross RENAME COLUMN instead of refusing
+    // (Delta's column mapping behaves the same way).
+    val curRenames: Map[String, String] =
+      try {
+        val cur = TypedJson.parse(GraftFs.readString(fs,
+          metadataPath(dir))).asInstanceOf[Map[String, Any]]
+        cur.get("columnRenames")
+          .map(_.asInstanceOf[Map[String, Any]]
+            .map { case (k, v) => k -> v.toString })
+          .getOrElse(Map.empty)
+      } catch { case _: java.io.IOException => Map.empty }
+    parseMeta(spark, dir, GraftFs.readString(fs, metaFile),
+      Some(curRenames))
   }
 
   /** Parse a metadata document already read from disk — callers that
     * need the Meta AND the exact bytes it came from (content-hash
     * snapshots) read once and parse here, leaving no window for a
     * concurrent swap between read and parse. */
-  def parseMeta(spark: SparkSession, dir: String, text: String): Meta = {
+  def parseMeta(
+      spark: SparkSession, dir: String, text: String,
+      currentRenames: Option[Map[String, String]] = None): Meta = {
     val (fs, _) = GraftFs.resolve(spark, dir)
-    val obj = TypedJson.parse(text).asInstanceOf[Map[String, Any]]
+    val obj0 = TypedJson.parse(text).asInstanceOf[Map[String, Any]]
     val schema = readSchemaFile(spark, fs, new Path(dir, SchemaFile))
+
+    // Archived-document name translation (currentRenames = Some):
+    // the doc's logical names map to their stable physical names via
+    // the doc's OWN rename mapping, and back to current logical via
+    // the CURRENT one — so an archived generation reads under
+    // today's names, consistent with the retroactive add/drop
+    // semantics above. The current document parses unchanged (its
+    // names ARE current).
+    val obj = currentRenames match {
+      case None => obj0
+      case Some(cur) =>
+        val docRenames = obj0.get("columnRenames")
+          .map(_.asInstanceOf[Map[String, Any]]
+            .map { case (k, v) => k -> v.toString })
+          .getOrElse(Map.empty[String, String])
+        val physToCur = cur.map(_.swap)
+        def toCurrent(c: String): String = {
+          val phys = docRenames.getOrElse(c, c)
+          physToCur.getOrElse(phys, phys)
+        }
+        val idx = obj0("index_columns").asInstanceOf[Vector[Any]]
+          .map(v => toCurrent(v.toString): Any)
+        val base = obj0 + ("index_columns" -> idx) - "columnRenames"
+        if (cur.isEmpty) base
+        else base + ("columnRenames" ->
+          cur.map { case (k, v) => k -> (v: Any) })
+    }
 
     val indexColumns =
       obj("index_columns").asInstanceOf[Vector[Any]].map(_.toString)

@@ -400,14 +400,12 @@ object Maintenance {
       dir: String,
       fromMeta: Sidecar.Meta,
       toMeta: Sidecar.Meta): DataFrame = {
-    // A column rename between the endpoints would make the two sides
-    // of the diff disagree on names (null-filled ghost columns, every
-    // row a spurious change). Delta blocks CDF across column-mapping
-    // changes the same way.
-    require(fromMeta.columnRenames == toMeta.columnRenames,
-      s"change feed across a column rename is not supported for $dir; " +
-        "read changes from the renamed generation onward (or diff the " +
-        "endpoints manually)")
+    // A column rename between the endpoints needs no special-casing
+    // here: archived metadata loads TRANSLATED to the current logical
+    // names through the columns' stable physical identity
+    // (Sidecar.loadFile), so both sides of the diff — and time travel
+    // — already speak today's names, the way Delta's column mapping
+    // keeps CDF flowing across renames.
     val fromSet = fromMeta.files.toSet
     val toSet = toMeta.files.toSet
     val oldDf = alignTo(
@@ -500,12 +498,19 @@ object Maintenance {
   }
 
   /** Project `df` onto exactly `schema`'s columns: missing ones
-    * null-fill at their declared type, extra ones drop. */
-  private def alignTo(df: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    * null-fill at their declared type, extra ones drop, and a column
+    * present under a NARROWER type (a widen between CDF endpoints)
+    * up-casts so the diff compares equal values as equal. */
+  private def alignTo(df: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val dfType = df.schema.fields.map(f => f.name -> f.dataType).toMap
     df.select(schema.fields.map { f =>
-      if (df.columns.contains(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      dfType.get(f.name) match {
+        case Some(t) if t == f.dataType => col(f.name)
+        case Some(_) => col(f.name).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
     }.toIndexedSeq: _*)
+  }
 
   /** Fingerprint of the metadata file (mtime, length) taken right
     * after an op loads it; [[guardUnchanged]] re-checks it

@@ -956,6 +956,63 @@ class MaintenanceSpec extends AnyFunSuite {
         ("update_preimage", "pre", null)))
   }
 
+  test("changes crosses a RENAME COLUMN: old-generation columns " +
+      "translate to the current logical names by physical identity") {
+    import graft.operators.DeletionVectors
+    val dir = tempDir("maint-changes-ren") + "/ds"
+    writeKeyed(dir, 200, 100)
+    // v0 -> [upsert] -> v1 -> [RENAME payload->note, k->key] ->
+    // v2 -> [upsert under the NEW names]
+    Maintenance.upsert(spark, dir,
+      keyedDF(20, 1).withColumn("payload", lit("pre")), retain = true)
+    Maintenance.renameColumns(spark, dir,
+      "payload" -> "note", "k" -> "key")
+    val after = spark.range(0, 1).select(lit(130L).as("key"),
+      lit(4).cast("int").as("grp"), lit("post").as("note"))
+    Maintenance.upsert(spark, dir, after, retain = true)
+
+    // the endpoint diff spans the rename: old rows surface under the
+    // CURRENT names, and ONLY the genuinely changed rows appear —
+    // a mistranslation would null-fill whole columns and emit every
+    // carried-over row as a change
+    val ch = Maintenance.changes(spark, dir, 0)
+    assert(ch.columns.toSeq ==
+      Seq("key", "grp", "note", "change_type"))
+    assert(ch.collect().map(r => (r.getAs[String]("change_type"),
+      r.getAs[Long]("key"), r.getAs[String]("note"))).sorted.toSeq ==
+      Seq(("update_postimage", 20L, "pre"),
+        ("update_postimage", 130L, "post"),
+        ("update_preimage", 20L, "v20"),
+        ("update_preimage", 130L, "v130")))
+    // per-commit attribution crosses the rename too (the rename is
+    // metadata-only and folds into its neighboring step — it emits
+    // no rows of its own): step 1 = the pre-rename upsert, step 2 =
+    // the post-rename upsert, both under the CURRENT names
+    val cdf = Maintenance.changesWithCommitInfo(spark, dir, 0)
+    assert(cdf.filter(col("_commit_version") === 1)
+      .select("key", "note", "change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet ==
+      Set((20L, "v20", "update_preimage"),
+        (20L, "pre", "update_postimage")))
+    assert(cdf.filter(col("_commit_version") === 2)
+      .select("key", "note", "change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet ==
+      Set((130L, "v130", "update_preimage"),
+        (130L, "post", "update_postimage")))
+    // time travel crosses the rename the same way: the archived
+    // generation serves under TODAY's names, rows intact
+    val v0 = Maintenance.scanVersion(spark, dir, 0).toDF
+    assert(v0.columns.toSeq == Seq("key", "grp", "note"))
+    assert(v0.count() == 200 &&
+      v0.filter(col("key") === 20L).head.getString(2) == "v20")
+    // a DV delete's retained materialize also feeds across the rename
+    DeletionVectors.deleteKeys(spark, dir, Seq(20L).toDF("key"))
+    DeletionVectors.materialize(spark, dir, retain = true)
+    val del = Maintenance.changes(spark, dir, 2).collect()
+    assert(del.map(r => (r.getAs[String]("change_type"),
+      r.getAs[Long]("key"))).toSeq == Seq(("delete", 20L)))
+  }
+
   test("non-retained ops never delete files an archived generation " +
       "still references — time travel survives later maintenance") {
     val dir = tempDir("maint-histsafe") + "/ds"
@@ -1221,18 +1278,22 @@ class MaintenanceSpec extends AnyFunSuite {
       .filter(col("id") === 61L).head().getString(2) == "UPD")
   }
 
-  test("change feed refuses to cross a column rename; renamed " +
-      "generations feed CDF among themselves") {
+  test("change feed spans a column rename: pre-rename generations " +
+      "diff under the current names (no spurious changes)") {
     val dir = tempDir("maint-rename-cdf") + "/ds"
     writeKeyed(dir, 100, 50)
     Maintenance.upsert(spark, dir,
       keyedDF(5, 1).withColumn("payload", lit("X")), retain = true)
     Maintenance.renameColumns(spark, dir, "payload" -> "text")
-    val e = intercept[IllegalArgumentException] {
-      Maintenance.changes(spark, dir, 0).collect()
-    }
-    assert(e.getMessage.contains("column rename"), e.getMessage)
-    // after the rename, retained mutations diff cleanly again
+    // the pre-rename endpoint serves under the CURRENT name: only
+    // the genuinely changed row appears (a name mismatch would emit
+    // every carried-over row as a change)
+    val crossing = Maintenance.changes(spark, dir, 0)
+      .select("k", "text", "change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(crossing == Set((5L, "v5", "update_preimage"),
+      (5L, "X", "update_postimage")), crossing.toString)
+    // after the rename, retained mutations keep diffing cleanly
     Maintenance.upsert(spark, dir,
       Seq((7L, 0, "Y")).toDF("k", "grp", "text"), retain = true)
     val feed = Maintenance.changes(spark, dir, 1)
