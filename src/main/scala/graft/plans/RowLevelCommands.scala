@@ -192,10 +192,18 @@ object GraftRowLevel {
     * `SET spark.graft.sql.retain=true` makes every SQL UPDATE /
     * MERGE / REPLACE WHERE a retained generation (Delta's behavior:
     * versioned commits that feed CDF), at the cost of keeping the
-    * replaced files until VACUUM. */
+    * replaced files until VACUUM. A table that FEEDS a change
+    * stream should not depend on every writer's session conf:
+    * `TBLPROPERTIES('graft.retain'='true')` pins the behavior on
+    * the TABLE (stored in the sidecar), and either switch retains. */
   val SqlRetainKey = "spark.graft.sql.retain"
-  def sqlRetain(spark: SparkSession): Boolean =
-    spark.conf.getOption(SqlRetainKey).exists(_.trim.equalsIgnoreCase("true"))
+  def sqlRetain(spark: SparkSession, dir: String): Boolean =
+    spark.conf.getOption(SqlRetainKey)
+      .exists(_.trim.equalsIgnoreCase("true")) ||
+      (try graft.core.Sidecar.load(spark, dir).tableOptions.exists {
+        case (k, v) => k.equalsIgnoreCase("retain") &&
+          v.trim.equalsIgnoreCase("true")
+      } catch { case _: Exception => false })
 
   val reportSchema: StructType = StructType(Seq(
     StructField("rewritten", IntegerType, nullable = false),
@@ -224,7 +232,7 @@ final case class GraftUpdateCommand(
     reportRow(Maintenance.updateWhere(sparkSession, path,
       condition.map(b => GraftBridge.toColumn(b.e)).getOrElse(lit(true)),
       assignments.map { case (n, b) => n -> GraftBridge.toColumn(b.e) },
-      retain = sqlRetain(sparkSession)))
+      retain = sqlRetain(sparkSession, path)))
 }
 
 /** `MERGE INTO graft.db.t USING src ON ...` → ONE inner join
@@ -463,7 +471,7 @@ final case class GraftMergeCommand(
     val updates = (matchedUpd ++ inserts ++ nmsUpd)
       .reduceOption(_ unionByName _)
     val deletes = (matchedDel ++ nmsDel).reduceOption(_ unionByName _)
-    val retain = sqlRetain(spark)
+    val retain = sqlRetain(spark, path)
     // The keyed primitives validate the applied delta in one fused
     // aggregate and refuse duplicate update keys / update∩delete
     // overlap with a generic message. Those requirements are exactly

@@ -183,7 +183,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     // refuse loudly. Unknown TBLPROPERTIES are refused too (there is
     // no property store to persist them into); Spark's own
     // bookkeeping props (provider/owner/comment) pass through.
-    val knownProps = Set("index", TableCatalog.PROP_PROVIDER,
+    val knownProps = Set("index", "graft.retain",
+      TableCatalog.PROP_PROVIDER,
       TableCatalog.PROP_OWNER, TableCatalog.PROP_COMMENT,
       TableCatalog.PROP_TABLE_TYPE)
     // Spark duplicates each OPTIONS entry into properties both bare
@@ -220,9 +221,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case (k, v) if k.startsWith(TableCatalog.OPTION_PREFIX) &&
           k.stripPrefix(TableCatalog.OPTION_PREFIX) != "index" =>
         k.stripPrefix(TableCatalog.OPTION_PREFIX) -> v
+    } ++ props.toMap.get("graft.retain").map { v =>
+      // TBLPROPERTIES('graft.retain'='true'): this table's row-level
+      // SQL ops always archive the outgoing generation, so change
+      // streams never depend on each writer's session conf
+      require(v.trim.equalsIgnoreCase("true") ||
+        v.trim.equalsIgnoreCase("false"),
+        s"graft.retain must be true or false, got '$v'")
+      "retain" -> v.trim.toLowerCase
     }
     tableOptions.keys.foreach { k =>
-      val known = Set("bloom", "stats", "autocompact", "files")
+      val known = Set("bloom", "stats", "autocompact", "files",
+        "retain")
       if (!known.contains(k.toLowerCase) &&
           !(k.toLowerCase.startsWith("constraint.") &&
             k.length > "constraint.".length))
@@ -790,7 +800,7 @@ private[sources] final class GraftWriteBuilder(
               Maintenance.replaceWhere(
                 data.sparkSession, path, cond, data,
                 retain = graft.plans.GraftRowLevel.sqlRetain(
-                  data.sparkSession))
+                  data.sparkSession, path))
             case None =>
               val mode =
                 if (overwriteAll || over) SaveMode.Overwrite

@@ -600,6 +600,44 @@ class GraftCatalogSpec extends AnyFunSuite {
       .dataType.simpleString == "bigint")
   }
 
+  test("TBLPROPERTIES('graft.retain'='true') pins retained row-level " +
+      "SQL on the table — change streams survive any writer's conf") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.retained (k BIGINT, v STRING) " +
+      "USING graft TBLPROPERTIES('index'='k', 'graft.retain'='true')")
+    val dir = s"$warehouse/db/retained"
+    spark.sql("INSERT INTO gcat.db.retained " +
+      "SELECT id, CONCAT('v', id) FROM range(0, 40)")
+    // a writer session that never set spark.graft.sql.retain
+    assert(spark.conf.getOption("spark.graft.sql.retain")
+      .forall(!_.equalsIgnoreCase("true")))
+    spark.sql("UPDATE gcat.db.retained SET v = 'U' WHERE k = 7")
+    // the outgoing generation was archived: the change feed crosses
+    // the UPDATE instead of dying on an unretained commit
+    assert(graft.operators.Maintenance.versions(spark, dir).nonEmpty,
+      "the table property must retain the replaced generation")
+    val feed = graft.operators.Maintenance.changes(spark, dir, 0)
+      .select("k", "v", "change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(feed == Set((7L, "v7", "update_preimage"),
+      (7L, "U", "update_postimage")), feed.toString)
+    // a table WITHOUT the property keeps the fast unretained default
+    spark.sql("CREATE TABLE gcat.db.unretained (k BIGINT, v STRING) " +
+      "USING graft TBLPROPERTIES('index'='k')")
+    spark.sql("INSERT INTO gcat.db.unretained " +
+      "SELECT id, CONCAT('v', id) FROM range(0, 40)")
+    spark.sql("UPDATE gcat.db.unretained SET v = 'U' WHERE k = 7")
+    assert(graft.operators.Maintenance.versions(spark,
+      s"$warehouse/db/unretained").isEmpty)
+    // a bad value refuses at CREATE
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.db.badretain (k BIGINT) USING " +
+        "graft TBLPROPERTIES('index'='k', 'graft.retain'='maybe')")
+    }
+    assert(messagesOf(e).mkString.contains("graft.retain"),
+      messagesOf(e).mkString("\n"))
+  }
+
   private def messagesOf(t: Throwable): Seq[String] =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
       .flatMap(e => Option(e.getMessage)).toSeq
