@@ -29,6 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", null, name, usage, ""),
         builder))
     }
+    // SQL table-valued change feed: SELECT * FROM graft_changes(t, 2)
+    graft.plans.GraftTableFunctions.register(ext)
     // The shuffle-free division join's planner strategy (PDataset.join
     // also installs it lazily via experimental.extraStrategies for
     // sessions built without extensions).

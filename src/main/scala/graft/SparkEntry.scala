@@ -565,6 +565,16 @@ object SparkEntry {
         .orderBy("o_orderkey", "change_type")
     }),
 
+    // The same feed through the SQL table-valued function: a plain
+    // spark.sql consumer composes the CDF inside any query (the Delta
+    // table_changes shape) — identical plan underneath, so this pins
+    // the TVF argument plumbing against the q_changes oracle.
+    "q_changes_tvf" -> ((s, d) => {
+      val dir = ordersFeedFixture(s, d)
+      s.sql(s"SELECT * FROM graft_changes('$dir', 0) " +
+        "ORDER BY o_orderkey, change_type")
+    }),
+
     // Duplicate-key CDF pairing: the table holds TWO bit-identical
     // copies of every %701 row; a retained upsert replaces all copies
     // of each such key with one new row. Per key the feed pairs
@@ -1051,6 +1061,31 @@ object SparkEntry {
       // ordered read) already happened above.
       val collected = out.collect()
       s.sql(s"DROP TABLE $t")
+      s.createDataFrame(
+        java.util.Arrays.asList(collected: _*), out.schema)
+    }),
+
+    // Zero-copy table branch: CREATE TABLE ... SHALLOW CLONE writes
+    // ONE KB-scale sidecar referencing the source's files by absolute
+    // path — no data job, so branching a 100 TB table costs the same
+    // as branching this one. A deleteRange on the clone then diverges
+    // copy-on-write: the band's references drop, out-of-band files
+    // keep being READ FROM THE SOURCE, and no source byte is written
+    // or deleted (asserted below, not just implied).
+    "q_shallow_clone" -> ((s, d) => {
+      val src = fixture("ordkey20", d)(ordersByKey20(s, d))
+      val dst = tmp("graft-clone")
+      s.sql(s"CREATE TABLE graft.`$dst` SHALLOW CLONE graft.`$src`")
+      graft.operators.Maintenance.deleteRange(s, dst,
+        Seq(Some(1000L)), Seq(Some(2000L)))
+      val total = s.read.parquet(T(d, "orders")).count()
+      require(PDataset.scanParquet(s, src).toDF.count() == total,
+        "shallow clone mutated its source table")
+      val out = s.read.format("graft").load(dst).orderBy("o_orderkey")
+      // materialize, then remove the per-run clone dir (CTAS pattern:
+      // no fixture leak; the distributed work already happened)
+      val collected = out.collect()
+      graft.core.Sidecar.deleteRecursively(java.nio.file.Paths.get(dst))
       s.createDataFrame(
         java.util.Arrays.asList(collected: _*), out.schema)
     }),
@@ -2892,6 +2927,23 @@ object SparkEntry {
            UNION ALL SELECT *, 'update_preimage'
            FROM orders WHERE o_orderkey % 701 = 0
            ORDER BY o_orderkey, change_type""",
+      // the TVF is the same feed — same oracle as q_changes
+      "q_changes_tvf" ->
+        """WITH upd AS (
+             SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                    o_totalprice * 2 AS o_totalprice, o_orderdate,
+                    o_orderpriority
+             FROM orders WHERE o_orderkey % 701 = 0),
+           ins AS (
+             SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+                    o_orderstatus, o_totalprice, o_orderdate,
+                    'NEW' AS o_orderpriority
+             FROM orders WHERE o_orderkey % 997 = 0)
+           SELECT *, 'update_postimage' AS change_type FROM upd
+           UNION ALL SELECT *, 'insert' FROM ins
+           UNION ALL SELECT *, 'update_preimage'
+           FROM orders WHERE o_orderkey % 701 = 0
+           ORDER BY o_orderkey, change_type""",
       // per %701 key: the gain pairs with ONE of the two identical
       // lost copies (update pre/post), the other copy is a delete
       "q_changes_dupkey" ->
@@ -2959,6 +3011,12 @@ object SparkEntry {
       // the REPLACE swapped the %3 table for the %2 table wholesale
       "q_sql_ctas" ->
         """SELECT * FROM orders WHERE o_orderkey % 2 = 0
+           ORDER BY o_orderkey""",
+      // the clone equals the source minus the band deleted ON THE
+      // CLONE (the in-closure require pins the source unchanged)
+      "q_shallow_clone" ->
+        """SELECT * FROM orders
+           WHERE o_orderkey < 1000 OR o_orderkey >= 2000
            ORDER BY o_orderkey""",
       // the band's even keys come back tagged, its odd keys are gone
       "q_replace_where" ->

@@ -145,6 +145,30 @@ object GraftFs {
   def deleteRecursive(fs: FileSystem, p: Path): Unit =
     if (fs.exists(p)) { fs.delete(p, true); () }
 
+  /** The last path segment of a sidecar file entry. Locally written
+    * entries ARE bare names (this is the identity for them); a
+    * shallow-clone entry is an absolute path into the source table,
+    * and its base name is the identity the deletion-vector overlay
+    * keys by (`_metadata.file_path`'s base name — stable across the
+    * clone because clones share the source's physical files). */
+  def baseName(entry: String): String = {
+    val i = entry.lastIndexOf('/')
+    if (i < 0) entry else entry.substring(i + 1)
+  }
+
+  /** Recursive copy `src` → `dst` (both may be on different
+    * FileSystems); `dst` is created, never overwritten. Used for the
+    * KB-scale deletion-vector overlay a shallow clone inherits —
+    * never for data files. */
+  def copyRecursive(
+      srcFs: FileSystem, src: Path,
+      dstFs: FileSystem, dst: Path,
+      cnf: Configuration): Unit = {
+    org.apache.hadoop.fs.FileUtil.copy(
+      srcFs, src, dstFs, dst, false, false, cnf)
+    ()
+  }
+
   def mkdirs(fs: FileSystem, p: Path): Unit = { fs.mkdirs(p); () }
 
   /** Move `src` onto `target`, replacing it (both are same-FS paths).

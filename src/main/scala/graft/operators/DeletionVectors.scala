@@ -75,6 +75,25 @@ object DeletionVectors {
     commitDirs(fs, dirPath).nonEmpty
   }
 
+  /** Copy the pending overlay of `srcDir` into `dstDir` — the
+    * KB-scale part of a [[Maintenance.shallowClone]]. Marks key by
+    * file BASE name and the clone shares the source's physical
+    * files, so the copied parquet bitmaps apply verbatim; from here
+    * on the two overlays evolve independently (a later DELETE on
+    * the source never reaches the clone and vice versa). */
+  private[operators] def copyOverlay(
+      spark: SparkSession, srcDir: String, dstDir: String): Unit = {
+    val (sfs, srcPath) = GraftFs.resolve(spark, srcDir)
+    val commits = commitDirs(sfs, srcPath)
+    if (commits.isEmpty) return
+    val (dfs, dstPath) = GraftFs.resolve(spark, dstDir)
+    val target = dvDir(dstPath)
+    GraftFs.mkdirs(dfs, target)
+    val cnf = GraftFs.conf(spark)
+    commits.foreach(c =>
+      GraftFs.copyRecursive(sfs, c, dfs, new HPath(target, c.getName), cnf))
+  }
+
   /** Guard for rewriting maintenance ops. */
   private[operators] def requireNone(
       spark: SparkSession, dir: String, op: String): Unit =
@@ -129,8 +148,11 @@ object DeletionVectors {
       .filterNot(p => snapshot(p.getName))
     if (fresh.isEmpty || replacedFiles.isEmpty) return
     import spark.implicits._
+    // overlay entries key by BASE name; replaced sidecar entries may
+    // be absolute shallow-clone paths — normalize before matching
     val conflicted = !spark.read.parquet(fresh.map(_.toString): _*)
-      .join(replacedFiles.toSeq.toDF("file"), Seq("file"), "left_semi")
+      .join(replacedFiles.map(GraftFs.baseName).toSeq.toDF("file"),
+        Seq("file"), "left_semi")
       .isEmpty
     if (conflicted) throw new java.util.ConcurrentModificationException(
       s"$op on $dir conflicts with a concurrent deletion-vector " +
@@ -162,10 +184,13 @@ object DeletionVectors {
     val commits = commitDirs(fs, dirPath)
     if (commits.isEmpty) return
     // anti-join, not an IN literal: a wide rewrite can clear 10^4+
-    // files' entries in one commit
+    // files' entries in one commit. Overlay entries key by BASE name;
+    // the replaced sidecar entries may be absolute shallow-clone
+    // paths — normalize before matching.
     import spark.implicits._
     val dv = spark.read.parquet(commits.map(_.toString): _*)
-      .join(files.toSeq.toDF("file"), Seq("file"), "left_anti")
+      .join(files.map(GraftFs.baseName).toSeq.toDF("file"),
+        Seq("file"), "left_anti")
       .distinct().persist()
     try {
       if (dv.isEmpty) { GraftFs.deleteRecursive(fs, dvDir(dirPath)); () }
@@ -223,7 +248,8 @@ object DeletionVectors {
       extraStats = graft.core.ColumnStats.pruning(raw))
     val kept = index.listFiles(Nil, Seq(cond))
       .flatMap(_.files.map(_.getPath.getName)).toSet
-    m.files.indices.filter(i => kept(m.files(i)))
+    // base-name identity: a shallow clone's entries are absolute paths
+    m.files.indices.filter(i => kept(GraftFs.baseName(m.files(i))))
   }
 
   /** Writer-side OCC: scan `hits` into a `stage-*` dir (never
@@ -363,8 +389,10 @@ object DeletionVectors {
     try {
       val affectedNames = dv.select("file").distinct()
         .collect().map(_.getString(0)).toSet
+      // marks key by BASE name; a shallow clone's entries are
+      // absolute paths whose base names are the shared identity
       val affected = m.files.indices
-        .filter(p => affectedNames(m.files(p))).toArray
+        .filter(p => affectedNames(GraftFs.baseName(m.files(p)))).toArray
       def pathOf(p: Int): String = new HPath(dirPath, m.files(p)).toString
       val newNameOf: Map[Int, String] = affected.zipWithIndex.map {
         case (p, j) => p -> Sidecar.partitionFileName(

@@ -267,6 +267,105 @@ object Maintenance {
     }
   }
 
+  // ---- shallow clone (zero-copy table branch) ----
+
+  /** Zero-copy clone: create a table at `dstDir` whose sidecar
+    * references the SOURCE table's data files by absolute path — no
+    * data is read or copied, so branching a 100 TB table for an
+    * experiment is one KB-scale metadata write (the Delta/Iceberg
+    * SHALLOW CLONE idea). Every read path resolves entries with
+    * `new Path(dir, entry)`, which keeps an absolute entry as-is, so
+    * scans, pruning, joins and SQL over the clone work unchanged.
+    *
+    * Divergence is copy-on-write: mutations of the clone (appends,
+    * UPDATE/DELETE/MERGE, compaction) write NEW files inside the
+    * clone's own directory and merely drop references to source
+    * files — [[deletableNow]] refuses to delete external entries, and
+    * [[vacuum]] only ever deletes files it finds by listing the
+    * clone's directory, so the source's bytes are untouchable through
+    * the clone. Cloning a clone chains naturally: already-absolute
+    * entries copy verbatim, still pointing at the original bytes.
+    *
+    * `version = Some(n)` clones a retained generation
+    * ([[scanVersion]] semantics — the snapshot exactly as archived).
+    * Cloning the CURRENT generation also inherits the source's
+    * pending deletion-vector overlay (marks key by file BASE name,
+    * which the shared physical files preserve), so a clone taken
+    * mid-merge-on-read hides exactly the rows the source hides.
+    *
+    * Like Delta: a `vacuum` of the SOURCE that drops files the clone
+    * still references breaks the clone — vacuum sources whose clones
+    * you still need with care.
+    *
+    * Returns the number of file references cloned. */
+  def shallowClone(
+      spark: SparkSession,
+      srcDir: String,
+      dstDir: String,
+      version: Option[Int] = None): Int = {
+    val (sfs, srcPath) = GraftFs.resolve(spark, srcDir)
+    val (dfs, dstPath) = GraftFs.resolve(spark, dstDir)
+    require(Sidecar.exists(spark, srcDir),
+      s"shallow clone source $srcDir is not a graft table " +
+        "(no sidecar metadata)")
+    if (Sidecar.exists(spark, dstDir))
+      throw new IllegalStateException(
+        s"shallow clone target $dstDir is already a graft table; " +
+          "clone into a fresh directory")
+    val qualifiedSrc = sfs.makeQualified(srcPath)
+    require(dfs.makeQualified(dstPath) != qualifiedSrc,
+      s"shallow clone target equals the source ($srcDir)")
+    val loadedFp = metaFingerprint(spark, srcPath)
+    val m = version match {
+      case Some(v) => versionMeta(spark, srcDir, v)
+      case None => Sidecar.load(spark, srcDir)
+    }
+    // Entries become absolute paths into the source. Qualification
+    // pins the source FILESYSTEM too (scheme + authority), so a clone
+    // on another FS still resolves to the source's bytes.
+    val entries = m.files.map(f =>
+      if (isExternalEntry(f)) f // clone-of-clone: keep the original
+      else new HPath(qualifiedSrc, f).toString)
+    GraftFs.mkdirs(dfs, dstPath)
+    // Current-generation clones inherit the pending deletion-vector
+    // overlay; an archived generation predates the overlay's marks
+    // (scanVersion does not apply them), so version clones skip it.
+    if (version.isEmpty)
+      DeletionVectors.copyOverlay(spark, srcDir, dstDir)
+    // CHECK constraints travel with the table contract.
+    val cFile = new HPath(srcPath, Constraints.FileName)
+    if (GraftFs.isFile(sfs, cFile))
+      GraftFs.writeString(dfs, new HPath(dstPath, Constraints.FileName),
+        GraftFs.readString(sfs, cFile))
+    // Writer-scoped ledgers (streaming txn, COPY INTO) do NOT travel:
+    // the clone is a new sink with its own idempotence history.
+    val extras = (m.extras -- Seq("txn", "copyInto")) +
+      ("clonedFrom" -> (qualifiedSrc.toString +
+        version.map(v => s"@v$v").getOrElse("")))
+    // The source may have committed while we copied the overlay —
+    // a half-old-half-new clone would be an inconsistent snapshot.
+    guardUnchanged(spark, srcPath, loadedFp)
+    Sidecar.write(spark, dstDir, m.indexColumns, entries,
+      m.sizes, m.lowerBounds, m.upperBounds, m.maxPartitionIndex,
+      m.schema, extras = extras)
+    entries.length
+  }
+
+  /** [[shallowClone]] with the source snapshot resolved by TIMESTAMP
+    * through the retained history's mtimes ([[metaAsOf]] semantics):
+    * an instant at or after the newest archive clones the CURRENT
+    * generation (overlay included), an earlier one the generation
+    * that was live then. */
+  def shallowCloneAsOf(
+      spark: SparkSession,
+      srcDir: String,
+      dstDir: String,
+      tsMillis: Long): Int = {
+    val (fs, srcPath) = GraftFs.resolve(spark, srcDir)
+    val v = archivedWithMtimes(fs, srcPath).find(_._2 > tsMillis).map(_._1)
+    shallowClone(spark, srcDir, dstDir, v)
+  }
+
   /** Change-data feed between two retained generations: every row
     * inserted, deleted or updated going from `fromVersion` to
     * `toVersion` (`None` = the current generation), tagged with a
@@ -674,19 +773,34 @@ object Maintenance {
     * on disk for [[scanVersion]]/[[changes]] even when a later
     * NON-retained op replaces them in the current listing; [[vacuum]]
     * reclaims them when the history goes. Driver-side only: reads the
-    * KB-scale archived metadata, never a data file. */
+    * KB-scale archived metadata, never a data file.
+    *
+    * EXTERNAL entries (absolute paths a [[shallowClone]] inherited
+    * from its source table) are never deletable through the clone,
+    * no matter what replaced them: the source table — and possibly
+    * other clones — still serves them. A copy-on-write rewrite of a
+    * cloned file drops the REFERENCE only; the bytes belong to the
+    * source. */
   private[operators] def deletableNow(
       spark: SparkSession,
       dir: String,
       candidates: Seq[String]): Seq[String] = {
+    val owned = candidates.filterNot(isExternalEntry)
     val vs = versions(spark, dir)
-    if (vs.isEmpty) candidates
+    if (vs.isEmpty) owned
     else {
       val referenced = vs.iterator
         .flatMap(v => versionMeta(spark, dir, v).files).toSet
-      candidates.filterNot(referenced)
+      owned.filterNot(referenced)
     }
   }
+
+  /** Whether a sidecar file entry references data OUTSIDE its own
+    * dataset directory — a [[shallowClone]] source file. Locally
+    * written entries are always bare generated names; only clones
+    * introduce path-shaped entries. */
+  private[graft] def isExternalEntry(entry: String): Boolean =
+    entry.contains("/")
 
   /** Copy the CURRENT metadata into the history before a swap;
     * returns the archived version number. */
@@ -1544,7 +1658,8 @@ object Maintenance {
     // candidates for the files with actual hits.
     def pathOf(p: Int): String = new HPath(dirPath, m.files(p)).toString
     val hitNames = filesWithHits(spark, dirPath, m, cond, dvOpt)
-    val affected = m.files.indices.filter(i => hitNames(m.files(i)))
+    val affected = m.files.indices
+      .filter(i => hitNames(GraftFs.baseName(m.files(i))))
     if (affected.isEmpty) return Report(0, 0, 0, 0, m.files.length)
 
     val hit = coalesce(cond, lit(false))
@@ -1866,7 +1981,8 @@ object Maintenance {
       else DivisionRouter.route(keyCols.map(col), m.lowerBounds.drop(1)))
       val insertParts = routed.select("__part").distinct()
         .collect().map(_.getInt(0))
-      val affected = (m.files.indices.filter(i => hitNames(m.files(i)))
+      val affected = (m.files.indices
+        .filter(i => hitNames(GraftFs.baseName(m.files(i))))
         ++ insertParts).distinct.sorted.toArray
       if (affected.isEmpty)
         return Report(0, 0, 0, 0, m.files.length)

@@ -29,6 +29,10 @@ import graft.operators.{Constraints, Maintenance}
   *   RESTORE [TABLE] graft.`/p` TO TIMESTAMP AS OF '2026-08-01'
   *   OPTIMIZE graft.`/p` [WHERE k BETWEEN 10 AND 20] TARGET 1000000 ROWS
   *   OPTIMIZE graft.`/p` ZORDER BY (a, b) [TARGET 8 FILES] [INTO '/q']
+  *   CREATE TABLE graft.`/q` SHALLOW CLONE graft.`/p`
+  *     [VERSION AS OF 2 | TIMESTAMP AS OF '<ts>']
+  *   ANALYZE TABLE graft.`/p` COMPUTE STATISTICS FOR COLUMNS (a, b)
+  *   ANALYZE TABLE graft.`/p` COMPUTE BLOOM [FPP 0.01] FOR COLUMNS (a)
   *
   * Every statement maps onto the corresponding engine op
   * ([[Constraints]] / [[Maintenance]]) — semantics, validation scans
@@ -126,6 +130,16 @@ object GraftSqlParser {
       """(?:\s+PATTERN\s*=\s*'([^']+)')?""" +
       """(?:\s+FORMAT_OPTIONS\s*\(([^)]*)\))?""" +
       """(?:\s+(FORCE))?\s*;?\s*""").r
+  private val CloneStmt =
+    ("""(?is)\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?""" + T +
+      """\s+SHALLOW\s+CLONE\s+""" + T +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+)""" +
+      """|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*""").r
+  private val Analyze =
+    ("""(?is)\s*ANALYZE\s+TABLE\s+""" + T +
+      """\s+COMPUTE\s+(STATISTICS|BLOOM)""" +
+      """(?:\s+FPP\s+([0-9.]+))?""" +
+      """\s+FOR\s+COLUMNS\s+\(?([\w`,\s]+?)\)?\s*;?\s*""").r
 
   private[plans] def parseGraft(sql: String): Option[LogicalPlan] =
     sql match {
@@ -172,6 +186,20 @@ object GraftSqlParser {
           }.toMap).getOrElse(Map.empty[String, String])
         tbl(a, b, c).map(GraftCopyIntoCommand(_, src, fmt,
           Option(pattern).getOrElse("*"), parsed, force != null))
+      case Analyze(a, b, c, kind, fpp, cols) =>
+        val cs = cols.split(",").map(_.trim.stripPrefix("`")
+          .stripSuffix("`")).filter(_.nonEmpty).toSeq
+        tbl(a, b, c).map(GraftAnalyzeCommand(_,
+          bloom = kind.equalsIgnoreCase("BLOOM"), cs,
+          Option(fpp).map(_.toDouble)))
+      case CloneStmt(ine, a, b, c, a2, b2, c2, v, ts) =>
+        for {
+          dst <- tbl(a, b, c)
+          src <- tbl(a2, b2, c2)
+        } yield GraftCloneCommand(dst, src,
+          Option(v).map(_.toInt),
+          Option(ts).map(graft.sources.GraftSource.parseTs),
+          ifNotExists = ine != null)
       case ZOrder(a, b, c, cols, files, a2, b2, c2) =>
         val cs = cols.split(",").map(_.trim.stripPrefix("`")
           .stripSuffix("`")).filter(_.nonEmpty).toSeq
@@ -248,6 +276,69 @@ final case class GraftRestoreCommand(path: String, version: Int)
   override def run(sparkSession: SparkSession): Seq[Row] = {
     Maintenance.restore(sparkSession, path, version)
     Seq.empty
+  }
+}
+
+/** `ANALYZE TABLE g COMPUTE STATISTICS FOR COLUMNS (c1, c2)` builds
+  * the per-file column-stats sidecar ([[graft.core.ColumnStats
+  * .build]] — min/max ranges on NON-index columns that prune scans
+  * the lex bounds can't); `ANALYZE TABLE g COMPUTE BLOOM [FPP p]
+  * FOR COLUMNS (c)` builds the Bloom sidecar ([[graft.core
+  * .BloomIndex.build]] — point-lookup file skipping). The SQL route
+  * to the same indexes the write options (`option("stats", ...)`,
+  * `option("bloom", ...)`) declare at write time — the piece an
+  * ADOPTED table (CONVERT TO GRAFT / COPY INTO / shallow clone)
+  * needs, since its files were written elsewhere. One job over the
+  * table's files; maintenance ops keep the sidecars fresh from then
+  * on ([[Maintenance.refreshBloom]]). */
+final case class GraftAnalyzeCommand(
+    path: String, bloom: Boolean, cols: Seq[String],
+    fpp: Option[Double])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = DataTypeUtils.toAttributes(
+    StructType(Seq(
+      StructField("index", StringType, nullable = false),
+      StructField("columns", StringType, nullable = false),
+      StructField("n_files", IntegerType, nullable = false))))
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    require(cols.nonEmpty, "ANALYZE TABLE needs at least one column")
+    if (bloom)
+      graft.core.BloomIndex.build(sparkSession, path, cols,
+        fpp.getOrElse(0.01))
+    else {
+      require(fpp.isEmpty, "FPP applies to COMPUTE BLOOM only")
+      graft.core.ColumnStats.build(sparkSession, path, cols)
+    }
+    val n = graft.core.Sidecar.load(sparkSession, path).files.length
+    Seq(Row(if (bloom) "bloom" else "stats", cols.mkString(","), n))
+  }
+}
+
+/** `CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF n]` — zero-copy
+  * metadata-only table branch ([[Maintenance.shallowClone]]): the new
+  * table references the source's data files by absolute path and
+  * diverges copy-on-write. Both idents accept the graft path forms
+  * and catalog names; a named target lands at its catalog's
+  * `<warehouse>/<namespace>/<name>` path and is immediately readable
+  * by name (identifier→path is a pure mapping). */
+final case class GraftCloneCommand(
+    dstPath: String, srcPath: String,
+    version: Option[Int], tsMillis: Option[Long],
+    ifNotExists: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = DataTypeUtils.toAttributes(
+    StructType(Seq(
+      StructField("cloned_files", IntegerType, nullable = false))))
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    if (ifNotExists &&
+        graft.core.Sidecar.exists(sparkSession, dstPath))
+      return Seq(Row(0))
+    Seq(Row(tsMillis match {
+      case Some(ts) =>
+        Maintenance.shallowCloneAsOf(sparkSession, srcPath, dstPath, ts)
+      case None =>
+        Maintenance.shallowClone(sparkSession, srcPath, dstPath, version)
+    }))
   }
 }
 
@@ -350,7 +441,8 @@ final case class GraftDescribeDetailCommand(path: String)
         nullable = false),
       StructField("retained_versions", IntegerType, nullable = false),
       StructField("copy_ledger_entries", IntegerType,
-        nullable = false))))
+        nullable = false),
+      StructField("cloned_from", StringType, nullable = true))))
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val m = graft.core.Sidecar.load(sparkSession, path)
     val (_, dirPath) = graft.core.GraftFs.resolve(sparkSession, path)
@@ -364,7 +456,8 @@ final case class GraftDescribeDetailCommand(path: String)
       Constraints.list(sparkSession, path).size,
       graft.operators.DeletionVectors.exists(sparkSession, path),
       Maintenance.versions(sparkSession, path).length,
-      m.copyLedger.size))
+      m.copyLedger.size,
+      m.extras.get("clonedFrom").map(_.toString).orNull))
   }
 }
 

@@ -1,0 +1,84 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+import graft.operators.Maintenance
+
+/** SQL table-valued access to the change-data feed — the Delta
+  * `table_changes` idea for graft tables, registered by
+  * [[graft.GraftExtensions]] via `injectTableFunction`:
+  *
+  *   SELECT * FROM graft_changes('/data/events', 2)       -- v2 → now
+  *   SELECT * FROM graft_changes('/data/events', 2, 5)    -- v2 → v5
+  *   SELECT * FROM graft_changes('cat.db.t', '2026-08-01')
+  *
+  * Integer endpoints are generation numbers ([[Maintenance.changes]]);
+  * string endpoints are timestamps ([[Maintenance.changesAsOf]] —
+  * "what changed since last night's run" without tracking generation
+  * numbers; epoch millis, instants, or dates, the same forms the
+  * source's time-travel options accept). The first argument is a
+  * table path or a graft-catalog name. Being a TVF, the feed composes
+  * inside any query — joins, filters, aggregation over the
+  * `change_type` column — and the plan underneath is the same
+  * O(per-generation delta) file diff the programmatic feed plans,
+  * with filters pushed into the delta-file scans by Catalyst.
+  */
+object GraftTableFunctions {
+
+  /** Install the TVFs into a session's extension points. */
+  def register(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_changes"),
+      new ExpressionInfo("graft", null, "graft_changes",
+        "graft_changes(table, from[, to]) - change-data feed of a " +
+          "graft table between two generations (ints) or instants " +
+          "(strings); `to` defaults to the current generation.", ""),
+      changesBuilder))
+
+  private def changesBuilder: Seq[Expression] => LogicalPlan = { args =>
+    require(args.length == 2 || args.length == 3,
+      s"graft_changes(table, from[, to]) takes 2 or 3 arguments; " +
+        s"got ${args.length}")
+    val spark = SparkSession.active
+    val dir = resolveTarget(strArg(args.head, "table"))
+    val df = (endpoint(args(1), "from"), args.lift(2).map(endpoint(_, "to"))) match {
+      case (Left(fromV), to) =>
+        Maintenance.changes(spark, dir, fromV, to.map(_.left.getOrElse(
+          throw new IllegalArgumentException(
+            "graft_changes: from/to endpoints must be the same kind " +
+              "(both versions or both timestamps)"))))
+      case (Right(fromTs), to) =>
+        Maintenance.changesAsOf(spark, dir, fromTs, to.map(_.getOrElse(
+          throw new IllegalArgumentException(
+            "graft_changes: from/to endpoints must be the same kind " +
+              "(both versions or both timestamps)"))))
+    }
+    df.queryExecution.logical
+  }
+
+  /** A catalog-qualified graft table name, else a literal path. */
+  private def resolveTarget(t: String): String =
+    graft.sources.GraftCatalog.resolveName(t).getOrElse(t)
+
+  private def strArg(e: Expression, what: String): String = e match {
+    case Literal(v, StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"graft_changes: $what must be a string literal; got $other")
+  }
+
+  /** Left = generation number, Right = timestamp millis. */
+  private def endpoint(e: Expression, what: String): Either[Int, Long] =
+    e match {
+      case Literal(v: Int, IntegerType) => Left(v)
+      case Literal(v: Long, LongType) => Right(v) // epoch millis
+      case Literal(v, StringType) if v != null =>
+        Right(graft.sources.GraftSource.parseTs(v.toString))
+      case other => throw new IllegalArgumentException(
+        s"graft_changes: $what must be an int generation or a string " +
+          s"timestamp literal; got $other")
+    }
+}

@@ -1,0 +1,269 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{PDataset, Sidecar}
+import graft.operators.{DeletionVectors, Maintenance}
+import Fixtures._
+
+/** Shallow clone: a zero-copy metadata-only table branch. The clone's
+  * sidecar references the source's data files by absolute path; reads
+  * are identical, mutations diverge copy-on-write, and NOTHING the
+  * clone does — update, delete, truncate, compact, vacuum,
+  * materialize — may ever delete a byte of the source table.
+  */
+class CloneSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def keyedDF(lo: Long, n: Long): DataFrame =
+    spark.range(lo, lo + n).select(
+      col("id").as("k"),
+      (col("id") % 7).cast("int").as("grp"),
+      concat(lit("v"), col("id")).as("payload"))
+
+  private def writeKeyed(dir: String, n: Int, rowsPerFile: Int): PDataset = {
+    val parts = (0 until n by rowsPerFile).map { lo =>
+      PDataset.fromDataFrame(
+        keyedDF(lo.toLong, math.min(rowsPerFile, n - lo).toLong), Seq("k"))
+    }
+    PDataset.concat(parts).writeParquet(dir)
+  }
+
+  /** name -> mtime of every data file the source references. */
+  private def srcState(dir: String): Map[String, Long] = {
+    val m = Sidecar.load(spark, dir)
+    m.files.map { f =>
+      f -> Files.getLastModifiedTime(Paths.get(dir, f)).toMillis
+    }.toMap
+  }
+
+  private def dataFilesIn(dir: String): Seq[String] =
+    Option(new java.io.File(dir).list()).map(_.toSeq).getOrElse(Nil)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+
+  test("clone reads the source exactly, holds zero data files, and " +
+      "prunes slices like the source") {
+    val base = tempDir("clone-read")
+    val src = base + "/src"
+    val dst = base + "/dst"
+    writeKeyed(src, 300, 30)
+    val n = Maintenance.shallowClone(spark, src, dst)
+    assert(n == 10)
+    // zero-copy: the clone directory holds sidecars only
+    assert(dataFilesIn(dst).isEmpty)
+    val cloned = PDataset.scanParquet(spark, dst)
+    assert(cloned.npartitions == 10)
+    checkBoundsAndSizes(cloned)
+    assertSameRows(cloned.toDF, keyedDF(0, 300))
+    // sidecar pruning works through absolute entries: a 1-file band
+    val sliced = cloned.slice(Seq(Some(30L)), Seq(Some(60L)))
+    assert(sliced.npartitions == 1)
+    assertSameRows(sliced.toDF, keyedDF(30, 30))
+  }
+
+  test("mutations on the clone are copy-on-write: the source's files " +
+      "stay byte-identical and present") {
+    val base = tempDir("clone-cow")
+    val src = base + "/src"
+    val dst = base + "/dst"
+    writeKeyed(src, 300, 30)
+    val before = srcState(src)
+    Maintenance.shallowClone(spark, src, dst)
+
+    // update one band, delete another, truncate-free mutations only
+    val ur = Maintenance.updateWhere(spark, dst, col("k") < 30L,
+      Seq("payload" -> lit("edited")))
+    assert(ur.rewritten == 1, ur.toString)
+    Maintenance.deleteRange(spark, dst, Seq(Some(60L)), Seq(Some(90L)))
+
+    assert(srcState(src) == before) // every source byte untouched
+    assertSameRows(PDataset.scanParquet(spark, src).toDF, keyedDF(0, 300))
+    val got = PDataset.scanParquet(spark, dst).toDF
+    assert(got.count() == 270)
+    assert(got.where(col("payload") === "edited").count() == 30)
+    // rewritten band landed as clone-LOCAL files
+    assert(dataFilesIn(dst).nonEmpty)
+    // untouched bands still read from the source (absolute entries)
+    val m = Sidecar.load(spark, dst)
+    assert(m.files.count(_.contains("/")) == 8)
+  }
+
+  test("truncate and vacuum on the clone never delete source bytes") {
+    val base = tempDir("clone-trunc")
+    val src = base + "/src"
+    val dst = base + "/dst"
+    writeKeyed(src, 120, 30)
+    val before = srcState(src)
+    Maintenance.shallowClone(spark, src, dst)
+    Maintenance.truncate(spark, dst) // drops every reference
+    assert(PDataset.scanParquet(spark, dst).toDF.isEmpty)
+    assert(srcState(src) == before)
+    Maintenance.vacuum(spark, dst)
+    assert(srcState(src) == before)
+    assertSameRows(PDataset.scanParquet(spark, src).toDF, keyedDF(0, 120))
+  }
+
+  test("compact on the clone rewrites into local files; source intact") {
+    val base = tempDir("clone-compact")
+    val src = base + "/src"
+    val dst = base + "/dst"
+    writeKeyed(src, 300, 30)
+    val before = srcState(src)
+    Maintenance.shallowClone(spark, src, dst)
+    val r = Maintenance.compact(spark, dst, targetRows = 100)
+    assert(r.created == 3 && r.merged == 9, r.toString)
+    assert(srcState(src) == before)
+    val m = Sidecar.load(spark, dst)
+    // merged runs localized; the lone sub-target leftover file is
+    // untouched and still reads from the source
+    assert(m.files.count(_.contains("/")) == 1, m.files.mkString(","))
+    assertSameRows(PDataset.scanParquet(spark, dst).toDF, keyedDF(0, 300))
+  }
+
+  test("clone VERSION AS OF branches a retained snapshot") {
+    val base = tempDir("clone-ver")
+    val src = base + "/src"
+    val dst = base + "/dst"
+    writeKeyed(src, 120, 30)
+    Maintenance.deleteRange(spark, src, Seq(Some(0L)), Seq(Some(30L)),
+      retain = true) // v0 archived with all 120 rows
+    Maintenance.shallowClone(spark, src, dst, version = Some(0))
+    assertSameRows(PDataset.scanParquet(spark, dst).toDF, keyedDF(0, 120))
+    assert(PDataset.scanParquet(spark, src).toDF.count() == 90)
+  }
+
+  test("clone inherits the pending deletion-vector overlay; " +
+      "materialize on the clone stays local") {
+    val base = tempDir("clone-dv")
+    val src = base + "/src"
+    val dst = base + "/dst"
+    writeKeyed(src, 120, 30)
+    val r = DeletionVectors.deleteWhere(spark, src, col("k") < 10L)
+    assert(r.marked == 10)
+    val before = srcState(src)
+    Maintenance.shallowClone(spark, src, dst)
+    // the clone hides exactly the rows the source hides
+    assertSameRows(DeletionVectors.scan(spark, dst), keyedDF(10, 110))
+    // materialize folds the clone's overlay into clone-LOCAL files
+    DeletionVectors.materialize(spark, dst)
+    assert(!DeletionVectors.exists(spark, dst))
+    assert(srcState(src) == before)
+    // the source's own overlay is independent and still pending
+    assert(DeletionVectors.exists(spark, src))
+    assertSameRows(DeletionVectors.scan(spark, src), keyedDF(10, 110))
+    assertSameRows(PDataset.scanParquet(spark, dst).toDF, keyedDF(10, 110))
+  }
+
+  test("SQL: CREATE TABLE ... SHALLOW CLONE, idempotent under " +
+      "IF NOT EXISTS, refuses an existing target without it") {
+    val base = tempDir("clone-sql")
+    val src = base + "/src"
+    val dst = base + "/dst"
+    writeKeyed(src, 120, 30)
+    val out = spark.sql(
+      s"CREATE TABLE graft.`$dst` SHALLOW CLONE graft.`$src`").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(4))
+    assertSameRows(PDataset.scanParquet(spark, dst).toDF, keyedDF(0, 120))
+    val again = spark.sql(
+      s"CREATE TABLE IF NOT EXISTS graft.`$dst` SHALLOW CLONE " +
+        s"graft.`$src`").collect()
+    assert(again.map(_.getInt(0)).toSeq == Seq(0))
+    // provenance surfaces in DESCRIBE DETAIL
+    val det = spark.sql(s"DESCRIBE DETAIL graft.`$dst`").head()
+    assert(Option(det.getAs[String]("cloned_from")).exists(_.endsWith("/src")),
+      det.toString)
+    val e = intercept[IllegalStateException] {
+      spark.sql(s"CREATE TABLE graft.`$dst` SHALLOW CLONE graft.`$src`")
+        .collect()
+    }
+    assert(e.getMessage.contains("already a graft table"))
+  }
+
+  test("SQL: VERSION AS OF clone through the parser") {
+    val base = tempDir("clone-sqlver")
+    val src = base + "/src"
+    val dst = base + "/dst"
+    writeKeyed(src, 120, 30)
+    Maintenance.deleteRange(spark, src, Seq(Some(0L)), Seq(Some(30L)),
+      retain = true)
+    spark.sql(s"CREATE TABLE graft.`$dst` SHALLOW CLONE graft.`$src` " +
+      "VERSION AS OF 0").collect()
+    assert(PDataset.scanParquet(spark, dst).toDF.count() == 120)
+  }
+
+  test("TIMESTAMP AS OF clone resolves the generation live then") {
+    val base = tempDir("clone-ts")
+    val src = base + "/src"
+    writeKeyed(src, 120, 30)
+    Maintenance.deleteRange(spark, src, Seq(Some(0L)), Seq(Some(30L)),
+      retain = true)
+    // the archive's mtime is the replacement instant: a ts before it
+    // resolves to v0 (all 120 rows), one at/after to the current 90
+    val (fs, p) = graft.core.GraftFs.resolve(spark, src)
+    val archMtime = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(p, "_graft_history/v0000000000.json"))
+      .getModificationTime
+    Maintenance.shallowCloneAsOf(spark, src, base + "/old", archMtime - 1)
+    assert(PDataset.scanParquet(spark, base + "/old").toDF.count() == 120)
+    spark.sql(s"CREATE TABLE graft.`$base/new` SHALLOW CLONE " +
+      s"graft.`$src` TIMESTAMP AS OF '${archMtime + 1}'").collect()
+    assert(PDataset.scanParquet(spark, base + "/new").toDF.count() == 90)
+  }
+
+  test("clone of a clone references the ORIGINAL files") {
+    val base = tempDir("clone-chain")
+    val src = base + "/src"
+    val mid = base + "/mid"
+    val dst = base + "/dst"
+    writeKeyed(src, 120, 30)
+    Maintenance.shallowClone(spark, src, mid)
+    Maintenance.shallowClone(spark, mid, dst)
+    val m1 = Sidecar.load(spark, mid)
+    val m2 = Sidecar.load(spark, dst)
+    assert(m2.files == m1.files) // verbatim: still the original bytes
+    assertSameRows(PDataset.scanParquet(spark, dst).toDF, keyedDF(0, 120))
+  }
+
+  test("clone by CATALOG NAME: the target lands at its warehouse " +
+      "path and is immediately readable by name") {
+    val base = tempDir("clone-cat")
+    spark.conf.set("spark.sql.catalog.gclone",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gclone.warehouse", base)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gclone.db")
+    val df = keyedDF(0, 120)
+    df.write.format("graft").option("index", "k")
+      .save(base + "/db/srct")
+    val out = spark.sql(
+      "CREATE TABLE gclone.db.dstt SHALLOW CLONE gclone.db.srct")
+      .head().getInt(0)
+    assert(out >= 1)
+    assertSameRows(spark.table("gclone.db.dstt"), df)
+    // COW by name too: DELETE on the clone, source count intact
+    spark.sql("DELETE FROM gclone.db.dstt WHERE k < 20")
+    assert(spark.table("gclone.db.dstt").count() == 100)
+    assert(spark.table("gclone.db.srct").count() == 120)
+  }
+
+  test("clone carries CHECK constraints and refuses violating writes") {
+    val base = tempDir("clone-check")
+    val src = base + "/src"
+    val dst = base + "/dst"
+    writeKeyed(src, 120, 30)
+    graft.operators.Constraints.add(spark, src, "pos", "k >= 0")
+    Maintenance.shallowClone(spark, src, dst)
+    assert(graft.operators.Constraints.list(spark, dst).contains("pos"))
+    val bad = keyedDF(0, 5).withColumn("k", col("k") - lit(100L))
+    val e = intercept[Exception] {
+      PDataset.fromDataFrame(bad, Seq("k")).writeParquet(dst,
+        append = true)
+    }
+    assert(e.getMessage.toLowerCase.contains("constraint") ||
+      e.getMessage.contains("pos"))
+  }
+}

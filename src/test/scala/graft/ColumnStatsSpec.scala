@@ -27,6 +27,35 @@ class ColumnStatsSpec extends AnyFunSuite {
     PDataset.fromDataFrame(df, Seq("k")).repartition(n / 10L).writeParquet(dir)
   }
 
+  test("ANALYZE TABLE builds the stats and Bloom sidecars via SQL " +
+      "and both prune afterwards") {
+    val dir = tempDir("colstats-analyze") + "/t"
+    writeSrc(dir, 1000)
+    val nFiles = graft.core.Sidecar.load(spark, dir).files.length
+    val st = spark.sql(s"ANALYZE TABLE graft.`$dir` COMPUTE STATISTICS " +
+      "FOR COLUMNS (v, noise)").head()
+    assert(st.getString(0) == "stats" && st.getInt(2) == nFiles)
+    assert(ColumnStats.exists(spark, dir))
+    val pruned = spark.read.format("graft").load(dir)
+      .filter(col("v") >= 2100L && col("v") < 2400L)
+    assert(scannedFiles(pruned) == 1)
+    assert(pruned.count() == 30L)
+    // the Bloom form (Spark's bare-list column syntax accepted too)
+    val bl = spark.sql(s"ANALYZE TABLE graft.`$dir` COMPUTE BLOOM " +
+      "FPP 0.01 FOR COLUMNS payload").head()
+    assert(bl.getString(0) == "bloom" && bl.getInt(2) == nFiles)
+    val point = spark.read.format("graft").load(dir)
+      .filter(col("payload") === "p555")
+    assert(scannedFiles(point) == 1)
+    assert(point.count() == 1L)
+    // FPP on the stats form refuses
+    val e = intercept[Exception] {
+      spark.sql(s"ANALYZE TABLE graft.`$dir` COMPUTE STATISTICS " +
+        "FPP 0.5 FOR COLUMNS (v)").collect()
+    }
+    assert(e.getMessage.contains("FPP"), e.getMessage)
+  }
+
   test("range filters on a stats column prune planned files") {
     val dir = tempDir("colstats-prune") + "/t"
     writeSrc(dir, 1000)

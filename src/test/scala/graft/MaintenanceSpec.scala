@@ -938,6 +938,36 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not retained"), e.getMessage)
   }
 
+  test("SQL TVF graft_changes equals the programmatic feed, " +
+      "composes inside queries, and takes timestamp endpoints") {
+    val dir = tempDir("maint-tvf") + "/ds"
+    writeKeyed(dir, 300, 100)
+    Maintenance.deleteRange(spark, dir, Seq(Some(0L)), Seq(Some(10L)),
+      retain = true)
+    Maintenance.updateWhere(spark, dir, col("k") === 100L,
+      Seq("payload" -> lit("X")), retain = true)
+    assertSameRows(
+      spark.sql(s"SELECT * FROM graft_changes('$dir', 0)"),
+      Maintenance.changes(spark, dir, 0))
+    assertSameRows(
+      spark.sql(s"SELECT * FROM graft_changes('$dir', 0, 1)"),
+      Maintenance.changes(spark, dir, 0, Some(1)))
+    // a TVF composes: plain SQL aggregation over the feed
+    val n = spark.sql(s"SELECT count(*) AS n FROM graft_changes('$dir', 0) " +
+      "WHERE change_type = 'delete'").head().getLong(0)
+    assert(n == 10)
+    // timestamp endpoints route through changesAsOf
+    assertSameRows(
+      spark.sql(s"SELECT * FROM graft_changes('$dir', '1970-01-01')"),
+      Maintenance.changesAsOf(spark, dir, 0L))
+    // non-literal / wrong-kind arguments refuse loudly
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_changes('$dir', 0, '2026-01-01')")
+        .collect()
+    }
+    assert(e.getMessage.contains("same kind"), e.getMessage)
+  }
+
   test("changes null-fills columns added since the older generation") {
     val dir = tempDir("maint-changes-evo") + "/ds"
     writeKeyed(dir, 200, 100)
