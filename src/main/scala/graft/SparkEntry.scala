@@ -2369,6 +2369,23 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.9)
         .orderBy("idA", "idB")),
 
+    // SemDeDup (cluster-then-intra-cluster near-dup, arXiv:2303.09540):
+    // duplicate the embedding table under shifted ids, dedup at
+    // cosine ~ 1.0 — every injected duplicate group collapses to its
+    // original (minimum) id and nothing else pairs (random 64-dim
+    // vectors never reach the band), so the oracle is the pristine
+    // table. The pair join is an equi-join on the trained Voronoi
+    // cell — sum of per-cell squares, never N^2/2.
+    "q_semdedup" -> ((s, d) => {
+      val base = scan(s, d, "embeddings").toDF
+        .filter(col("vec_id") < 2000)
+        .select("vec_id", "embedding", "label")
+      val dupes = base.withColumn("vec_id", col("vec_id") + lit(10000000L))
+      Dedup.semDedup(base.unionByName(dupes), "vec_id", "embedding",
+        dim = 64, threshold = 0.9999, nClusters = 8)
+        .select("vec_id", "label").orderBy("vec_id")
+    }),
+
     // -- text analysis --
     "q_text_stats" -> ((s, d) =>
       scan(s, d, "documents").toDF.select(
@@ -3895,6 +3912,12 @@ object SparkEntry {
              WHERE a.vec_id < b.vec_id AND a.vec_id < 2000 AND b.vec_id < 2000)
            SELECT "idA", "idB", cosine FROM scored
            WHERE cosine >= 0.9 ORDER BY "idA", "idB"""",
+      // every injected exact duplicate collapses to its original id;
+      // no organic pair reaches cosine 0.9999 (pinned by
+      // q_dedup_embedding returning none even at 0.9)
+      "q_semdedup" ->
+        """SELECT vec_id, label FROM embeddings
+           WHERE vec_id < 2000 ORDER BY vec_id""",
       "q_text_stats" ->
         """SELECT doc_id,
                   CAST(len(text) AS INT) AS n_chars_actual,

@@ -545,6 +545,75 @@ object Dedup {
       .select("idA", "idB", "cosine")
   }
 
+  /** SemDeDup-style semantic dedup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space
+    * ([[Similarity.trainCentroids]] — one bounded sample job +
+    * driver-side Lloyd), assign every vector to its Voronoi cell with
+    * the same codegen kernel IVF search uses, and find near-duplicate
+    * pairs (cosine >= threshold) ONLY within each cell — the pair
+    * join is an equi-join on the cell id, so the pair space is the
+    * sum of per-cell squares instead of N²/2 and the cell shuffle is
+    * the only wide stage. At 100 TB, `nClusters` scales with the
+    * corpus to bound the largest cell (the paper runs 50k clusters
+    * over LAION); near-dup pairs split across a cell boundary are
+    * missed BY DESIGN (the published method accepts this — recall is
+    * governed by nClusters), which is the trade against
+    * [[embeddingNearDupPairs]]'s multi-table LSH whose recall is
+    * tunable toward exhaustive. */
+  def semDedupPairs(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      nClusters: Int = 16,
+      iters: Int = 3,
+      seed: Long = 11L,
+      trainFraction: Double = 1.0): DataFrame = {
+    val cents = Similarity.trainCentroids(
+      embeddings, idCol, vecCol, dim, nClusters, iters, seed,
+      trainFraction)
+    // Barrier: cell assignment + norm computed once per vector.
+    val assigned = embeddings
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .select(col("__id"), col("__v"),
+        Similarity.l2norm(col("__v")).as("__n"),
+        element_at(graft.functions.VectorExpressions
+          .nearestCentroids(col("__v"), cents, 1), 1).as("__cell"))
+      .repartition(col("__id"))
+    val a = assigned.select(col("__id").as("idA"), col("__v").as("vA"),
+      col("__n").as("nA"), col("__cell"))
+    val bdf = assigned.select(col("__id").as("idB"), col("__v").as("vB"),
+      col("__n").as("nB"), col("__cell"))
+    a.join(bdf.hint("shuffle_hash"), Seq("__cell"))
+      .filter(col("idA") < col("idB"))
+      .withColumn("cosine",
+        round(Similarity.dot(col("vA"), col("vB")) / (col("nA") * col("nB")), 4))
+      .filter(col("cosine") >= threshold)
+      .select("idA", "idB", "cosine")
+  }
+
+  /** End-to-end SemDeDup: [[semDedupPairs]] → connected components →
+    * keep each duplicate group's minimum-id member ([[dedupCorpus]]
+    * semantics — deterministic keeper; the paper keeps the member
+    * farthest from its centroid, a one-line swap of the keeper rule).
+    * Unpaired rows pass through untouched: the drop list is bounded
+    * by the dup rate, so at scale the anti-join broadcasts while the
+    * corpus streams through. */
+  def semDedup(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      nClusters: Int = 16,
+      iters: Int = 3,
+      seed: Long = 11L,
+      trainFraction: Double = 1.0): DataFrame =
+    dedupCorpus(embeddings, idCol,
+      semDedupPairs(embeddings, idCol, vecCol, dim, threshold,
+        nClusters, iters, seed, trainFraction))
+
   /** Exact brute-force reference for [[embeddingNearDupPairs]] —
     * all-pairs by construction; test/oracle use only. */
   def embeddingNearDupPairsBrute(

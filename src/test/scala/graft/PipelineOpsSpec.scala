@@ -389,6 +389,27 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"missed: ${(brute -- lsh).take(5)}; extra: ${(lsh -- brute).take(5)}")
   }
 
+  test("SemDeDup: intra-cluster pairs find planted scaled near-dups " +
+      "and the corpus keeps one canonical survivor per group") {
+    // A scaled copy has cosine exactly 1 with its original AND maps to
+    // the same Voronoi cell (nearest-centroid by cosine geometry is
+    // scale-invariant up to FP noise at these magnitudes), so the
+    // published cluster-then-pair shape must find every planted group.
+    val base = emb.filter(col("vec_id") < 100).select("vec_id", "embedding")
+    val scaled = base.select((col("vec_id") + 1000).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+    val all = base.unionByName(scaled)
+    val pairs = Dedup.semDedupPairs(all, "vec_id", "embedding",
+      dim = 64, threshold = 0.9999, nClusters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (0L until 100L).map(i => (i, i + 1000)).toSet,
+      s"missed: ${((0L until 100L).map(i => (i, i + 1000)).toSet -- pairs).take(5)}")
+    val kept = Dedup.semDedup(all, "vec_id", "embedding",
+      dim = 64, threshold = 0.9999, nClusters = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (0L until 100L).toSet) // min id per group survives
+  }
+
   test("hyperplane_sigs kernel matches per-table composed signatures") {
     val sigs = emb.limit(40).select(col("vec_id"),
       Similarity.hyperplaneSigs(col("embedding"), 64, 6, 4, seed = 7L).as("ks"),
