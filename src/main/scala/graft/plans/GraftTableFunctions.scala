@@ -30,7 +30,7 @@ import graft.operators.Maintenance
 object GraftTableFunctions {
 
   /** Install the TVFs into a session's extension points. */
-  def register(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  def register(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectTableFunction((
       FunctionIdentifier("graft_changes"),
       new ExpressionInfo("graft", null, "graft_changes",
@@ -38,6 +38,22 @@ object GraftTableFunctions {
           "graft table between two generations (ints) or instants " +
           "(strings); `to` defaults to the current generation.", ""),
       changesBuilder))
+    // DESCRIBE HISTORY as a composable relation: `SELECT max(version)
+    // FROM graft_history('/p')` instead of collecting the statement.
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_history"),
+      new ExpressionInfo("graft", null, "graft_history",
+        "graft_history(table) - one row per readable generation " +
+          "(version, is_current, replaced_at, n_files, n_rows, " +
+          "index_columns); driver-side metadata only.", ""),
+      { args =>
+        require(args.length == 1,
+          s"graft_history(table) takes 1 argument; got ${args.length}")
+        Maintenance.history(SparkSession.active,
+          resolveTarget(strArg(args.head, "table")))
+          .queryExecution.logical
+      }))
+  }
 
   private def changesBuilder: Seq[Expression] => LogicalPlan = { args =>
     require(args.length == 2 || args.length == 3,

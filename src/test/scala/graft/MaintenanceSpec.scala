@@ -966,6 +966,10 @@ class MaintenanceSpec extends AnyFunSuite {
         .collect()
     }
     assert(e.getMessage.contains("same kind"), e.getMessage)
+    // graft_history composes the same way
+    assert(spark.sql(
+      s"SELECT max(version) AS v FROM graft_history('$dir')")
+      .head().getInt(0) == 2)
   }
 
   test("changes null-fills columns added since the older generation") {
