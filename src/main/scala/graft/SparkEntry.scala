@@ -2369,6 +2369,21 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.9)
         .orderBy("idA", "idB")),
 
+    // CCNet-style boilerplate removal: prepend one shared header
+    // segment to EVERY document, then drop segments appearing in more
+    // than 10 documents — the header vanishes corpus-wide (document
+    // frequency = corpus size) while each unique body (frequency 1)
+    // survives and reassembles verbatim, so the oracle is the
+    // pristine table. One exploded-segment hash aggregate + a
+    // broadcast anti-join bounded by the boilerplate rate.
+    "q_boilerplate" -> ((s, d) => {
+      val docs = scan(s, d, "documents").toDF.select(
+        col("doc_id"),
+        concat(lit("COMMON BOILERPLATE HEADER\n"), col("text")).as("text"))
+      Dedup.dedupSegments(docs, "doc_id", "text", maxDocFreq = 10)
+        .select("doc_id", "text").orderBy("doc_id")
+    }),
+
     // SemDeDup (cluster-then-intra-cluster near-dup, arXiv:2303.09540):
     // duplicate the embedding table under shifted ids, dedup at
     // cosine ~ 1.0 — every injected duplicate group collapses to its
@@ -3912,6 +3927,10 @@ object SparkEntry {
              WHERE a.vec_id < b.vec_id AND a.vec_id < 2000 AND b.vec_id < 2000)
            SELECT "idA", "idB", cosine FROM scored
            WHERE cosine >= 0.9 ORDER BY "idA", "idB"""",
+      // the injected corpus-wide header is dropped, unique bodies
+      // reassemble verbatim
+      "q_boilerplate" ->
+        """SELECT doc_id, text FROM documents ORDER BY doc_id""",
       // every injected exact duplicate collapses to its original id;
       // no organic pair reaches cosine 0.9999 (pinned by
       // q_dedup_embedding returning none even at 0.9)

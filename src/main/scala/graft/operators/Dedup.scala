@@ -545,6 +545,53 @@ object Dedup {
       .select("idA", "idB", "cosine")
   }
 
+  /** CCNet-style segment (line/paragraph) dedup (Wenzek et al. 2020,
+    * arXiv:1911.00359): split each document on `sep`, count the
+    * DISTINCT documents containing each exact segment across the
+    * corpus, drop every segment appearing in more than `maxDocFreq`
+    * documents — boilerplate (headers, navigation, license blocks)
+    * vanishes corpus-wide while unique prose stays — and reassemble
+    * the survivors in original order. Documents whose every segment
+    * was boilerplate drop entirely. CCNet hashes normalized lines;
+    * normalization composes upstream via any text transform.
+    *
+    * Scale: the heavy side is ONE hash aggregate over exploded
+    * segments (map-side partial combine applies); the drop set is
+    * bounded by the boilerplate rate — orders of magnitude below the
+    * corpus — so the removal is a broadcast anti-join the documents
+    * stream through, the [[dedupCorpus]] shape. The reassembly
+    * groups by document id: one shuffle clustered on the id.
+    *
+    * `sep` is a LITERAL separator (quoted before the split), used
+    * verbatim when rejoining; empty segments from consecutive
+    * separators count like any other segment. */
+  def dedupSegments(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDocFreq: Long,
+      sep: String = "\n"): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val segs = docs.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))).as(Seq("__pos", "__seg")))
+    val boiler = segs.groupBy("__seg")
+      .agg(count_distinct(col("__id")).as("__df"))
+      .filter(col("__df") > maxDocFreq)
+      .select("__seg")
+    val rebuilt = segs.join(broadcast(boiler), Seq("__seg"), "left_anti")
+      .groupBy("__id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__pos").as("p"),
+            col("__seg").as("s")))),
+          e => e.getField("s")),
+        sep).as(textCol))
+    // inner join: a document reduced to nothing drops entirely
+    docs.drop(textCol)
+      .join(rebuilt.withColumnRenamed("__id", idCol), Seq(idCol))
+  }
+
   /** SemDeDup-style semantic dedup pairs (Abbas et al. 2023,
     * arXiv:2303.09540): k-means-cluster the embedding space
     * ([[Similarity.trainCentroids]] — one bounded sample job +

@@ -389,6 +389,26 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"missed: ${(brute -- lsh).take(5)}; extra: ${(lsh -- brute).take(5)}")
   }
 
+  test("segment dedup drops corpus-frequent lines, preserves order, " +
+      "keeps empty segments, and drops emptied documents") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "HEADER\nalpha\nMID\nbeta\nFOOTER"),
+      (2L, "HEADER\ngamma\nMID\n\ndelta\nFOOTER"),
+      (3L, "HEADER\nepsilon\nFOOTER"),
+      (4L, "HEADER\nFOOTER"), // all boilerplate: drops entirely
+      (5L, "zeta\nHEADER")    // boilerplate not at the start
+    ).toDF("doc_id", "text")
+    // HEADER/FOOTER/MID hit 5/4/2 docs; threshold 1 drops all three
+    val out = Dedup.dedupSegments(docs, "doc_id", "text", maxDocFreq = 1)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq(
+      (1L, "alpha\nbeta"),
+      (2L, "gamma\n\ndelta"), // the unique empty segment survives
+      (3L, "epsilon"),
+      (5L, "zeta")))
+  }
+
   test("SemDeDup: intra-cluster pairs find planted scaled near-dups " +
       "and the corpus keeps one canonical survivor per group") {
     // A scaled copy has cosine exactly 1 with its original AND maps to
