@@ -617,6 +617,36 @@ object SparkEntry {
       s.table(sink).orderBy("o_orderkey", "change_type")
     }),
 
+    // Streaming exact dedup in bounded state: the documents table
+    // duplicated into a file stream, dropDuplicatesWithinWatermark on
+    // the codegen content fingerprint — the first arrival of each
+    // fingerprint survives, duplicates drop (across micro-batches
+    // too), and the seen-hash state evicts as the watermark advances,
+    // so an unbounded stream dedups in bounded state. All copies are
+    // bit-identical rows, so which copy survives is immaterial and
+    // the oracle is the pristine table.
+    "q_stream_dedup" -> ((s, d) => {
+      val src = fixture("streamdocs", d) { out =>
+        val docs = s.read.parquet(T(d, "documents")).select(
+          col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"),
+          lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+            .as("ingest_ts"))
+        docs.unionByName(docs).repartition(4).write.parquet(out)
+      }
+      val sink = "q_stream_dedup_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val stream = graft.streaming.DocumentStreams.readDocumentStream(s, src)
+      val q = graft.streaming.DocumentStreams.dedupByContent(stream)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(sink).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.table(sink)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // Incrementally-maintained aggregate view: build once, mutate the
     // source with retained ops, refresh off the change feed (O(view +
     // delta), the source is never rescanned), read the view. The
@@ -3927,6 +3957,11 @@ object SparkEntry {
              WHERE a.vec_id < b.vec_id AND a.vec_id < 2000 AND b.vec_id < 2000)
            SELECT "idA", "idB", cosine FROM scored
            WHERE cosine >= 0.9 ORDER BY "idA", "idB"""",
+      // every duplicated row collapses to one copy (bit-identical,
+      // so survivor choice is immaterial)
+      "q_stream_dedup" ->
+        """SELECT doc_id, text, lang, source, n_chars FROM documents
+           ORDER BY doc_id""",
       // the injected corpus-wide header is dropped, unique bodies
       // reassemble verbatim
       "q_boilerplate" ->
