@@ -196,6 +196,29 @@ class CloneSpec extends AnyFunSuite {
     assert(PDataset.scanParquet(spark, dst).toDF.count() == 120)
   }
 
+  test("time travel and the change feed work on a mutated clone " +
+      "(archived generations list external entries)") {
+    val base = tempDir("clone-cdf")
+    val src = base + "/src"
+    val dst = base + "/dst"
+    writeKeyed(src, 120, 30)
+    Maintenance.shallowClone(spark, src, dst)
+    Maintenance.deleteRange(spark, dst, Seq(Some(0L)), Seq(Some(30L)),
+      retain = true)
+    Maintenance.updateWhere(spark, dst, col("k") >= 90L,
+      Seq("payload" -> lit("X")), retain = true)
+    // v0 = the pristine clone: an all-external archived listing reads
+    assertSameRows(Maintenance.scanVersion(spark, dst, 0).toDF,
+      keyedDF(0, 120))
+    val feed = Maintenance.changes(spark, dst, 0)
+      .groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(feed == Map("delete" -> 30L, "update_preimage" -> 30L,
+      "update_postimage" -> 30L), feed.toString)
+    // and the source is still pristine
+    assertSameRows(PDataset.scanParquet(spark, src).toDF, keyedDF(0, 120))
+  }
+
   test("TIMESTAMP AS OF clone resolves the generation live then") {
     val base = tempDir("clone-ts")
     val src = base + "/src"
