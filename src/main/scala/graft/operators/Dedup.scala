@@ -555,12 +555,15 @@ object Dedup {
     * was boilerplate drop entirely. CCNet hashes normalized lines;
     * normalization composes upstream via any text transform.
     *
-    * Scale: the heavy side is ONE hash aggregate over exploded
-    * segments (map-side partial combine applies); the drop set is
-    * bounded by the boilerplate rate — orders of magnitude below the
-    * corpus — so the removal is a broadcast anti-join the documents
-    * stream through, the [[dedupCorpus]] shape. The reassembly
-    * groups by document id: one shuffle clustered on the id.
+    * Scale: the frequency aggregate groups on the segment's 128-bit
+    * md5 — 16 fixed bytes into the shuffle per segment instead of the
+    * segment text (the identity discipline [[exactDedup]] already
+    * uses; at 2^64 segments the collision odds are ~2^-64). The drop
+    * set is bounded by the boilerplate rate — orders of magnitude
+    * below the corpus — so the removal is a broadcast anti-join the
+    * documents stream through, the [[dedupCorpus]] shape. The
+    * reassembly groups by document id: one shuffle clustered on the
+    * id.
     *
     * `sep` is a LITERAL separator (quoted before the split), used
     * verbatim when rejoining; empty segments from consecutive
@@ -575,11 +578,12 @@ object Dedup {
     val segs = docs.select(col(idCol).as("__id"),
       posexplode(split(col(textCol),
         java.util.regex.Pattern.quote(sep))).as(Seq("__pos", "__seg")))
-    val boiler = segs.groupBy("__seg")
+      .withColumn("__h", md5(encode(col("__seg"), "UTF-8")))
+    val boiler = segs.groupBy("__h")
       .agg(count_distinct(col("__id")).as("__df"))
       .filter(col("__df") > maxDocFreq)
-      .select("__seg")
-    val rebuilt = segs.join(broadcast(boiler), Seq("__seg"), "left_anti")
+      .select("__h")
+    val rebuilt = segs.join(broadcast(boiler), Seq("__h"), "left_anti")
       .groupBy("__id")
       .agg(array_join(
         transform(
