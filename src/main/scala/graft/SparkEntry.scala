@@ -2357,6 +2357,26 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(scan(s, d, "documents").toDF, "doc_id", "text")
         .orderBy("idA", "idB")),
 
+    // Incremental near-dup against a PERSISTED MinHash band index:
+    // the corpus (doc_id % 10 != 0) indexes ONCE; the new batch
+    // (doc_id % 10 == 0) computes only its own signatures, equi-joins
+    // the index's bucket table, and exact-verifies the hits — at
+    // continuous-ingest scale no signature is ever recomputed and
+    // old-vs-old is never re-paired. Oracle: the exact-Jaccard pair
+    // set restricted to pairs touching the batch.
+    "q_dedup_minhash_inc" -> ((s, d) => {
+      val idx = fixture("mhidx", d) { out =>
+        Dedup.buildMinhashIndex(s,
+          scan(s, d, "documents").toDF.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", out)
+      }
+      val all = scan(s, d, "documents").toDF
+      Dedup.incrementalNearDupPairs(s,
+        all.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        all.filter(col("doc_id") % 10 =!= 0), idx)
+        .orderBy("idA", "idB")
+    }),
+
     // Pairwise near-dup hits become keep/drop decisions here:
     // connected components over the pair graph, canonical survivor =
     // the component's min doc id.
@@ -3766,6 +3786,12 @@ object SparkEntry {
                   count(*) AS copies
            FROM documents GROUP BY md5(text) ORDER BY doc_id""",
       "q_dedup_minhash" -> shingleCte(""),
+      // the full exact pair set, restricted to pairs touching the
+      // batch (doc_id % 10 = 0) the incremental query dedups
+      "q_dedup_minhash_inc" -> s"""
+        SELECT "idA", "idB", jaccard FROM (${shingleCte("")}) t
+        WHERE "idA" % 10 = 0 OR "idB" % 10 = 0
+        ORDER BY "idA", "idB"""",
       "q_dedup_ngram" -> shingleCte(""),
       // Word 4-gram overlap between the corpus (doc_id % 97 != 0) and
       // the held-out set (doc_id % 97 == 0); same clamped-slice

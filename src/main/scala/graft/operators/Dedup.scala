@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -112,6 +112,150 @@ object Dedup {
       .dropDuplicates("idA", "idB")
 
     verifyJaccard(rejoinShingles(candidates, withShingles), threshold)
+  }
+
+  // ---- incremental MinHash band index (continuous-ingest dedup) ----
+
+  /** The (id, band, bucket) LSH table of `docs`, under the index's
+    * fixed column names — 21 compact rows per document, the persisted
+    * currency of the incremental index. */
+  private def bandTable(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingler: Column => Column,
+      numPerms: Int, bands: Int, seed: Long): DataFrame = {
+    val rows = numPerms / bands
+    val sig = docs.select(
+      col(idCol).as("id"),
+      minhashSignature(
+        shingleHashes(shingler(col(textCol))), numPerms, seed).as("__sig"))
+      .repartition(col("id"))
+    sig.select(col("id"),
+      posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("__sig"), b * rows + 1, lit(rows)))))
+        .as(Seq("band", "bucket")))
+      .select(col("bucket"), col("band"), col("id"))
+  }
+
+  private val MinhashIndexFile = "_graft_minhash.json"
+
+  /** Build a PERSISTED MinHash band index over a corpus: the banded
+    * bucket table written as a graft table clustered on the bucket
+    * hash, plus a params sidecar pinning (numPerms, bands, seed) so
+    * later appends and queries band identically. The point is
+    * CONTINUOUS INGEST: each new batch dedups against the whole
+    * corpus without recomputing a signature for — or re-pairing —
+    * any already-indexed document ([[graft.operators.VectorIndex]]'s
+    * persisted-index discipline applied to MinHash near-dup). At
+    * 100 TB the index holds `bands` fixed-width rows per document
+    * (KB-scale per thousand docs), orders below the text it
+    * summarizes. */
+  def buildMinhashIndex(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String,
+      shingler: Column => Column = TextFunctions.wordShingles(_, 3),
+      numPerms: Int = 126,
+      bands: Int = 21,
+      seed: Long = 42L): Unit = {
+    require(numPerms % bands == 0, "numPerms must be divisible by bands")
+    graft.core.PDataset.fromDataFrame(
+      bandTable(docs, idCol, textCol, shingler, numPerms, bands, seed),
+      Seq("bucket")).writeParquet(dir)
+    val (fs, dirPath) = graft.core.GraftFs.resolve(spark, dir)
+    graft.core.GraftFs.writeString(fs,
+      new org.apache.hadoop.fs.Path(dirPath, MinhashIndexFile),
+      graft.core.TypedJson.write(scala.collection.immutable.ListMap(
+        "numPerms" -> numPerms, "bands" -> bands, "seed" -> seed)))
+  }
+
+  private def minhashIndexParams(
+      spark: SparkSession, dir: String): (Int, Int, Long) = {
+    val (fs, dirPath) = graft.core.GraftFs.resolve(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dirPath, MinhashIndexFile)
+    require(graft.core.GraftFs.isFile(fs, p),
+      s"$dir holds no MinHash index ($MinhashIndexFile missing) — " +
+        "build one with Dedup.buildMinhashIndex")
+    val m = graft.core.TypedJson.parse(graft.core.GraftFs.readString(fs, p))
+      .asInstanceOf[Map[String, Any]]
+    def int(k: String) = m(k).asInstanceOf[Number].intValue()
+    (int("numPerms"), int("bands"), m("seed").asInstanceOf[Number].longValue())
+  }
+
+  /** Extend the index to a newly ingested batch — O(batch) signature
+    * work plus one clustered append; already-indexed documents are
+    * untouched. */
+  def appendToMinhashIndex(
+      spark: SparkSession,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String,
+      shingler: Column => Column = TextFunctions.wordShingles(_, 3)): Unit = {
+    val (numPerms, bands, seed) = minhashIndexParams(spark, dir)
+    graft.core.PDataset.fromDataFrame(
+      bandTable(newDocs, idCol, textCol, shingler, numPerms, bands, seed),
+      Seq("bucket")).writeParquet(dir, append = true)
+  }
+
+  /** Near-dup pairs of a NEW batch against an indexed corpus (plus
+    * within the batch itself), exact-Jaccard-verified: the batch's
+    * band table equi-joins the persisted index — shuffle ∝ batch +
+    * matching buckets, never old-vs-old — and verification reads
+    * text for the BATCH and the HIT corpus documents only (the old
+    * side filters through a broadcast semi-join bounded by the
+    * candidate rate). Returns (idA, idB, jaccard), idA < idB, with
+    * at least one side in the batch — the exact pairs
+    * [[minhashNearDupPairs]] over (corpus ∪ batch) would emit for
+    * those ids. The caller appends the batch to the index afterwards
+    * ([[appendToMinhashIndex]]) to make ingestion cumulative. */
+  def incrementalNearDupPairs(
+      spark: SparkSession,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpus: DataFrame,
+      indexDir: String,
+      threshold: Double = 0.85,
+      shingler: Column => Column = TextFunctions.wordShingles(_, 3)): DataFrame = {
+    val (numPerms, bands, seed) = minhashIndexParams(spark, indexDir)
+    // used twice (vs-index and self-join); the repartition barrier
+    // inside bandTable keeps the signature a once-per-id computation
+    // within each use, the embeddingNearDupPairs discipline
+    val fresh = bandTable(newDocs, idCol, textCol, shingler,
+      numPerms, bands, seed)
+    locally {
+      val indexed = graft.core.PDataset.scanParquet(spark, indexDir).toDF
+      // new-vs-indexed (either orientation) + new-vs-new, normalized
+      // to idA < idB; bucket equi-joins only — no pair explosion
+      val vsOld = fresh.select(col("id").as("na"), col("band"), col("bucket"))
+        .join(indexed.select(col("id").as("oa"), col("band"), col("bucket")),
+          Seq("band", "bucket"))
+        .filter(col("na") =!= col("oa"))
+        .select(least(col("na"), col("oa")).as("idA"),
+          greatest(col("na"), col("oa")).as("idB"))
+      val vsNew = fresh.select(col("id").as("idA"), col("band"), col("bucket"))
+        .join(fresh.select(col("id").as("idB"), col("band"), col("bucket")),
+          Seq("band", "bucket"))
+        .filter(col("idA") < col("idB"))
+        .select("idA", "idB")
+      val candidates = vsOld.union(vsNew).dropDuplicates("idA", "idB")
+      // shingles: the batch contributes its own; the corpus only the
+      // hit ids (bounded by the candidate rate -> broadcast semi)
+      val hitOld = candidates
+        .select(col("idA").as("__cid")).union(candidates.select(col("idB")))
+        .distinct()
+      val newSh = newDocs.select(col(idCol).as("__id"),
+        shingler(col(textCol)).as("__sh"))
+      val oldSh = corpus
+        .join(broadcast(hitOld), corpus(idCol) === col("__cid"), "left_semi")
+        .select(col(idCol).as("__id"), shingler(col(textCol)).as("__sh"))
+      val withShingles = newSh.unionByName(oldSh)
+        .dropDuplicates("__id")
+      verifyJaccard(rejoinShingles(candidates, withShingles), threshold)
+    }
   }
 
   /** Rejoin candidate pairs with both documents' shingle arrays via

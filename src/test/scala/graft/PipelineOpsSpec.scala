@@ -389,6 +389,43 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"missed: ${(brute -- lsh).take(5)}; extra: ${(lsh -- brute).take(5)}")
   }
 
+  test("incremental MinHash index: batch-vs-corpus pairs equal the " +
+      "full pair scan restricted to the batch, and appends make " +
+      "ingestion cumulative") {
+    val dir = Fixtures.tempDir("mh-index") + "/idx"
+    val old = docs.filter(col("doc_id") < 400)
+    // the batch: exact copies of 10 corpus docs (guaranteed cross
+    // pairs at jaccard 1.0) plus genuinely new documents
+    val copies = old.filter(col("doc_id") < 10)
+      .withColumn("doc_id", col("doc_id") + 10000)
+    val batch = copies.unionByName(
+      docs.filter(col("doc_id") >= 400)
+        .withColumn("doc_id", col("doc_id") + 20000))
+    Dedup.buildMinhashIndex(spark, old, "doc_id", "text", dir)
+    def pairSet(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inc = pairSet(Dedup.incrementalNearDupPairs(
+      spark, batch, "doc_id", "text", old, dir))
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = pairSet(Dedup.minhashNearDupPairs(
+      old.unionByName(batch), "doc_id", "text"))
+      .filter(p => batchIds(p._1) || batchIds(p._2))
+    assert(inc == full,
+      s"missing=${(full -- inc).take(5)} extra=${(inc -- full).take(5)}")
+    assert((0L until 10L).forall(i => inc.contains((i, i + 10000, 1.0))))
+    // append the batch; a second batch of the same copies now pairs
+    // with BOTH the original corpus doc and the appended copy
+    Dedup.appendToMinhashIndex(spark, batch, "doc_id", "text", dir)
+    val batch2 = copies.withColumn("doc_id", col("doc_id") + 20000)
+    val inc2 = pairSet(Dedup.incrementalNearDupPairs(
+      spark, batch2, "doc_id", "text", old.unionByName(batch), dir))
+    (0L until 10L).foreach { i =>
+      assert(inc2.contains((i, i + 30000, 1.0)), s"missing old pair $i")
+      assert(inc2.contains((i + 10000, i + 30000, 1.0)),
+        s"missing appended pair $i")
+    }
+  }
+
   test("segment dedup drops corpus-frequent lines, preserves order, " +
       "keeps empty segments, and drops emptied documents") {
     import spark.implicits._
