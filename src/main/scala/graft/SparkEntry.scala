@@ -2357,6 +2357,23 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(scan(s, d, "documents").toDF, "doc_id", "text")
         .orderBy("idA", "idB")),
 
+    // The full ingestion decision on the incremental index: batch
+    // docs near-duplicating the INDEXED corpus drop (the corpus copy
+    // wins), batch-internal pairs drop their larger id, survivors
+    // stream through a broadcast anti-join bounded by the dup rate.
+    "q_dedup_batch" -> ((s, d) => {
+      val idx = fixture("mhidx", d) { out =>
+        Dedup.buildMinhashIndex(s,
+          scan(s, d, "documents").toDF.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", out)
+      }
+      val all = scan(s, d, "documents").toDF
+      Dedup.dedupBatch(s,
+        all.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        all.filter(col("doc_id") % 10 =!= 0), idx)
+        .select("doc_id", "text").orderBy("doc_id")
+    }),
+
     // Incremental near-dup against a PERSISTED MinHash band index:
     // the corpus (doc_id % 10 != 0) indexes ONCE; the new batch
     // (doc_id % 10 == 0) computes only its own signatures, equi-joins
@@ -3792,6 +3809,20 @@ object SparkEntry {
         SELECT "idA", "idB", jaccard FROM (${shingleCte("")}) t
         WHERE "idA" % 10 = 0 OR "idB" % 10 = 0
         ORDER BY "idA", "idB"""",
+      // the ingestion policy recomputed over the exact pair set:
+      // corpus-vs-batch pairs drop the batch side, batch-internal
+      // pairs drop the larger id
+      "q_dedup_batch" -> s"""
+        WITH t AS (${shingleCte("")}),
+        losers AS (
+          SELECT CASE WHEN "idA" % 10 = 0 AND "idB" % 10 = 0 THEN "idB"
+                      WHEN "idA" % 10 = 0 THEN "idA"
+                      ELSE "idB" END AS doc_id
+          FROM t WHERE "idA" % 10 = 0 OR "idB" % 10 = 0)
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % 10 = 0
+          AND doc_id NOT IN (SELECT doc_id FROM losers)
+        ORDER BY doc_id""",
       "q_dedup_ngram" -> shingleCte(""),
       // Word 4-gram overlap between the corpus (doc_id % 97 != 0) and
       // the held-out set (doc_id % 97 == 0); same clamped-slice

@@ -219,43 +219,86 @@ object Dedup {
       corpus: DataFrame,
       indexDir: String,
       threshold: Double = 0.85,
-      shingler: Column => Column = TextFunctions.wordShingles(_, 3)): DataFrame = {
+      shingler: Column => Column = TextFunctions.wordShingles(_, 3)): DataFrame =
+    incrementalPairsTagged(spark, newDocs, idCol, textCol, corpus,
+      indexDir, threshold, shingler)
+      .select("idA", "idB", "jaccard")
+
+  /** [[incrementalNearDupPairs]] plus a `__loser` column: the pair
+    * member the standard ingestion policy drops — the BATCH side of
+    * a batch-vs-corpus pair (the indexed copy wins), the larger id
+    * of a batch-internal pair. Tagged at candidate construction,
+    * where each side's provenance is structural (no corpus-scale id
+    * join needed). */
+  private def incrementalPairsTagged(
+      spark: SparkSession,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpus: DataFrame,
+      indexDir: String,
+      threshold: Double,
+      shingler: Column => Column): DataFrame = {
     val (numPerms, bands, seed) = minhashIndexParams(spark, indexDir)
     // used twice (vs-index and self-join); the repartition barrier
     // inside bandTable keeps the signature a once-per-id computation
     // within each use, the embeddingNearDupPairs discipline
     val fresh = bandTable(newDocs, idCol, textCol, shingler,
       numPerms, bands, seed)
-    locally {
-      val indexed = graft.core.PDataset.scanParquet(spark, indexDir).toDF
-      // new-vs-indexed (either orientation) + new-vs-new, normalized
-      // to idA < idB; bucket equi-joins only — no pair explosion
-      val vsOld = fresh.select(col("id").as("na"), col("band"), col("bucket"))
-        .join(indexed.select(col("id").as("oa"), col("band"), col("bucket")),
-          Seq("band", "bucket"))
-        .filter(col("na") =!= col("oa"))
-        .select(least(col("na"), col("oa")).as("idA"),
-          greatest(col("na"), col("oa")).as("idB"))
-      val vsNew = fresh.select(col("id").as("idA"), col("band"), col("bucket"))
-        .join(fresh.select(col("id").as("idB"), col("band"), col("bucket")),
-          Seq("band", "bucket"))
-        .filter(col("idA") < col("idB"))
-        .select("idA", "idB")
-      val candidates = vsOld.union(vsNew).dropDuplicates("idA", "idB")
-      // shingles: the batch contributes its own; the corpus only the
-      // hit ids (bounded by the candidate rate -> broadcast semi)
-      val hitOld = candidates
-        .select(col("idA").as("__cid")).union(candidates.select(col("idB")))
-        .distinct()
-      val newSh = newDocs.select(col(idCol).as("__id"),
-        shingler(col(textCol)).as("__sh"))
-      val oldSh = corpus
-        .join(broadcast(hitOld), corpus(idCol) === col("__cid"), "left_semi")
-        .select(col(idCol).as("__id"), shingler(col(textCol)).as("__sh"))
-      val withShingles = newSh.unionByName(oldSh)
-        .dropDuplicates("__id")
-      verifyJaccard(rejoinShingles(candidates, withShingles), threshold)
-    }
+    val indexed = graft.core.PDataset.scanParquet(spark, indexDir).toDF
+    // new-vs-indexed (either orientation) + new-vs-new, normalized
+    // to idA < idB; bucket equi-joins only — no pair explosion
+    val vsOld = fresh.select(col("id").as("na"), col("band"), col("bucket"))
+      .join(indexed.select(col("id").as("oa"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("na") =!= col("oa"))
+      .select(least(col("na"), col("oa")).as("idA"),
+        greatest(col("na"), col("oa")).as("idB"),
+        col("na").as("__loser"))
+    val vsNew = fresh.select(col("id").as("idA"), col("band"), col("bucket"))
+      .join(fresh.select(col("id").as("idB"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), col("idB").as("__loser"))
+    val candidates = vsOld.union(vsNew).dropDuplicates("idA", "idB")
+    // shingles: the batch contributes its own; the corpus only the
+    // hit ids (bounded by the candidate rate -> broadcast semi)
+    val hitOld = candidates
+      .select(col("idA").as("__cid")).union(candidates.select(col("idB")))
+      .distinct()
+    val newSh = newDocs.select(col(idCol).as("__id"),
+      shingler(col(textCol)).as("__sh"))
+    val oldSh = corpus
+      .join(broadcast(hitOld), corpus(idCol) === col("__cid"), "left_semi")
+      .select(col(idCol).as("__id"), shingler(col(textCol)).as("__sh"))
+    val withShingles = newSh.unionByName(oldSh)
+      .dropDuplicates("__id")
+    verifyJaccard(rejoinShingles(candidates, withShingles), threshold,
+      extra = Seq("__loser"))
+  }
+
+  /** The full ingestion decision for a batch against an indexed
+    * corpus: batch documents that near-duplicate an INDEXED document
+    * drop (the corpus copy wins), of batch-internal duplicate pairs
+    * the smaller id wins, and the SURVIVORS — exactly what should
+    * enter the corpus — return, ready to be appended to the corpus
+    * and to the index ([[appendToMinhashIndex]]). The drop set is
+    * bounded by the batch's dup rate, so the removal anti-join
+    * broadcasts while the batch streams through ([[dedupCorpus]]'s
+    * shape on the incremental path). */
+  def dedupBatch(
+      spark: SparkSession,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpus: DataFrame,
+      indexDir: String,
+      threshold: Double = 0.85,
+      shingler: Column => Column = TextFunctions.wordShingles(_, 3)): DataFrame = {
+    val losers = incrementalPairsTagged(spark, newDocs, idCol, textCol,
+      corpus, indexDir, threshold, shingler)
+      .select(col("__loser").as(idCol)).distinct()
+    newDocs.join(broadcast(losers), Seq(idCol), "left_anti")
   }
 
   /** Rejoin candidate pairs with both documents' shingle arrays via
@@ -274,15 +317,20 @@ object Dedup {
       .join(shB.hint("shuffle_hash"), "idB")
   }
 
-  /** Exact Jaccard over candidate pairs carrying their shingle arrays. */
-  private def verifyJaccard(candidates: DataFrame, threshold: Double): DataFrame = {
+  /** Exact Jaccard over candidate pairs carrying their shingle
+    * arrays; `extra` columns (e.g. the incremental path's loser tag)
+    * ride through. */
+  private def verifyJaccard(
+      candidates: DataFrame, threshold: Double,
+      extra: Seq[String] = Nil): DataFrame = {
     candidates
       .withColumn("__i", size(array_intersect(col("shA"), col("shB"))).cast("double"))
       .withColumn("jaccard",
         round(col("__i") /
           ((size(col("shA")) + size(col("shB"))).cast("double") - col("__i")), 4))
       .filter(col("jaccard") >= threshold)
-      .select(col("idA"), col("idB"), col("jaccard"))
+      .select(col("idA") +: col("idB") +: col("jaccard") +:
+        extra.map(col): _*)
   }
 
   /** EXACT n-gram Jaccard pairs via prefix filtering (the PPJoin

@@ -413,6 +413,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(inc == full,
       s"missing=${(full -- inc).take(5)} extra=${(inc -- full).take(5)}")
     assert((0L until 10L).forall(i => inc.contains((i, i + 10000, 1.0))))
+    // the ingestion decision: corpus copies lose to the corpus, and
+    // batch-internal pairs lose their larger id — survivors equal the
+    // policy recomputed over the verified pair set
+    val losers = inc.map { case (a, b, _) =>
+      if (batchIds(a) && batchIds(b)) b else if (batchIds(a)) a else b
+    }
+    val survivors = Dedup.dedupBatch(
+      spark, batch, "doc_id", "text", old, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == batchIds -- losers)
+    assert((0L until 10L).forall(i => !survivors(i + 10000)),
+      "an exact corpus copy survived ingestion")
     // append the batch; a second batch of the same copies now pairs
     // with BOTH the original corpus doc and the appended copy
     Dedup.appendToMinhashIndex(spark, batch, "doc_id", "text", dir)
