@@ -442,7 +442,10 @@ final case class GraftDescribeDetailCommand(path: String)
       StructField("retained_versions", IntegerType, nullable = false),
       StructField("copy_ledger_entries", IntegerType,
         nullable = false),
-      StructField("cloned_from", StringType, nullable = true))))
+      StructField("cloned_from", StringType, nullable = true),
+      // a shallow clone's divergence meter: how many listed files
+      // still read from the source (0 = fully localized)
+      StructField("external_files", IntegerType, nullable = false))))
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val m = graft.core.Sidecar.load(sparkSession, path)
     val (_, dirPath) = graft.core.GraftFs.resolve(sparkSession, path)
@@ -457,7 +460,8 @@ final case class GraftDescribeDetailCommand(path: String)
       graft.operators.DeletionVectors.exists(sparkSession, path),
       Maintenance.versions(sparkSession, path).length,
       m.copyLedger.size,
-      m.extras.get("clonedFrom").map(_.toString).orNull))
+      m.extras.get("clonedFrom").map(_.toString).orNull,
+      m.files.count(Maintenance.isExternalEntry)))
   }
 }
 

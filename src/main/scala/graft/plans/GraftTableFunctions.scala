@@ -53,6 +53,48 @@ object GraftTableFunctions {
           resolveTarget(strArg(args.head, "table")))
           .queryExecution.logical
       }))
+    // Per-file layout introspection ("which key band is hot, how much
+    // of my clone still reads from the source") as a relation —
+    // driver-side sidecar walk, no data job.
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_files"),
+      new ExpressionInfo("graft", null, "graft_files",
+        "graft_files(table) - one row per listed data file (file, " +
+          "rows, size_bytes, lower_bound, upper_bound, external); " +
+          "driver-side metadata only.", ""),
+      filesBuilder))
+  }
+
+  private def filesBuilder: Seq[Expression] => LogicalPlan = { args =>
+    require(args.length == 1,
+      s"graft_files(table) takes 1 argument; got ${args.length}")
+    val spark = SparkSession.active
+    val dir = resolveTarget(strArg(args.head, "table"))
+    val m = graft.core.Sidecar.load(spark, dir)
+    val (_, dirPath) = graft.core.GraftFs.resolve(spark, dir)
+    val bytes = graft.core.GraftFs.fileSizes(
+      graft.core.GraftFs.conf(spark),
+      m.files.map(f => new org.apache.hadoop.fs.Path(dirPath, f).toString))
+      .map(_._2)
+    def render(b: graft.core.Lex.Bound): String =
+      b.map(v => String.valueOf(v.orNull)).mkString("[", ",", "]")
+    val rows: Seq[org.apache.spark.sql.Row] = m.files.indices.map { i =>
+      org.apache.spark.sql.Row(m.files(i), m.sizes(i), bytes(i),
+        render(m.lowerBounds(i)), render(m.upperBounds(i)),
+        Maintenance.isExternalEntry(m.files(i)))
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("rows", org.apache.spark.sql.types.LongType,
+        nullable = false),
+      StructField("size_bytes", org.apache.spark.sql.types.LongType,
+        nullable = false),
+      StructField("lower_bound", StringType, nullable = false),
+      StructField("upper_bound", StringType, nullable = false),
+      StructField("external", BooleanType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema).queryExecution.logical
   }
 
   private def changesBuilder: Seq[Expression] => LogicalPlan = { args =>

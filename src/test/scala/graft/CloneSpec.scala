@@ -173,10 +173,18 @@ class CloneSpec extends AnyFunSuite {
       s"CREATE TABLE IF NOT EXISTS graft.`$dst` SHALLOW CLONE " +
         s"graft.`$src`").collect()
     assert(again.map(_.getInt(0)).toSeq == Seq(0))
-    // provenance surfaces in DESCRIBE DETAIL
+    // provenance + divergence meter surface in DESCRIBE DETAIL and
+    // the per-file TVF
     val det = spark.sql(s"DESCRIBE DETAIL graft.`$dst`").head()
     assert(Option(det.getAs[String]("cloned_from")).exists(_.endsWith("/src")),
       det.toString)
+    assert(det.getAs[Int]("external_files") == 4, det.toString)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft_files('$dst') WHERE external")
+      .head().getLong(0) == 4)
+    assert(spark.sql(
+      s"SELECT sum(rows) AS n FROM graft_files('$dst')")
+      .head().getLong(0) == 120)
     val e = intercept[IllegalStateException] {
       spark.sql(s"CREATE TABLE graft.`$dst` SHALLOW CLONE graft.`$src`")
         .collect()
