@@ -99,9 +99,14 @@ object BloomIndex {
       .filter(_.isFile).map(_.getPath.getName)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("_") &&
         !n.startsWith(".")).toSet
-    val pruned = existing.filter { case ((f, _), _) => onDisk.contains(f) }
+    // keep = on disk here (current + retained generations) OR listed
+    // by the current sidecar under an EXTERNAL absolute entry (a
+    // shallow clone's source files never appear in the clone's own
+    // listing, but their base-name-keyed entries must survive)
+    val referenced = onDisk ++ m.files.map(GraftFs.baseName)
+    val pruned = existing.filter { case ((f, _), _) => referenced(f) }
     val missing = m.files.zip(m.sizes).filter { case (f, _) =>
-      theCols.exists(c => !pruned.contains((f, c)))
+      theCols.exists(c => !pruned.contains((GraftFs.baseName(f), c)))
     }
     if (missing.isEmpty && pruned.size == existing.size) return
     val fresh =
@@ -278,12 +283,24 @@ object BloomIndex {
     * share one parent directory — a persisted dataset's file list).
     * Empty when the directory carries no `_graft_bloom` sidecar or
     * the files span multiple directories. */
-  def forFiles(spark: SparkSession, files: Seq[String]): Blooms = {
+  /** Entries are keyed by file BASE name, so when the caller knows
+    * the TABLE directory it may pass it as `sidecarDir` — required
+    * for a shallow clone, whose listed files live in the SOURCE
+    * directory (possibly several, once it diverges) while its own
+    * Bloom sidecar sits in the clone's dir. Without it the sidecar
+    * location falls back to the files' single shared parent (and
+    * mixed parents degrade to no pruning — safe, never wrong). */
+  def forFiles(
+      spark: SparkSession, files: Seq[String],
+      sidecarDir: Option[String] = None): Blooms = {
     if (files.isEmpty) return Map.empty
-    val parents = files.map(f =>
-      Option(new HPath(f).getParent).map(_.toString).getOrElse("")).distinct
-    if (parents.length != 1) return Map.empty
-    val dir = parents.head
+    val dir = sidecarDir.getOrElse {
+      val parents = files.map(f =>
+        Option(new HPath(f).getParent).map(_.toString).getOrElse(""))
+        .distinct
+      if (parents.length != 1) return Map.empty
+      parents.head
+    }
     val (fs, dirPath) = GraftFs.resolve(spark, dir)
     val status = GraftFs.statusOf(fs, new HPath(dirPath, BloomFile))
       .getOrElse(return Map.empty)

@@ -110,10 +110,12 @@ object ColumnStats {
       return
     }
     val m = Sidecar.load(spark, dir)
-    val listed = m.files.toSet
+    // base-name identity: a shallow clone's entries are absolute
+    // paths into its source, recorded stats key by base name
+    val listed = m.files.map(GraftFs.baseName).toSet
     val kept = recorded.filter(e => listed(e("name").toString))
     val have = kept.map(_("name").toString).toSet
-    val missing = m.files.filterNot(have)
+    val missing = m.files.filterNot(f => have(GraftFs.baseName(f)))
     val (_, dirPath) = GraftFs.resolve(spark, dir)
     val fresh = fileEntries(spark,
       missing.map(f => new HPath(dirPath, f).toString), cols, m)
@@ -180,12 +182,26 @@ object ColumnStats {
     * sidecar. */
   def rawForFiles(
       spark: SparkSession, files: Seq[String],
-      schema: StructType): Raw = {
+      schema: StructType): Raw = rawForFiles(spark, files, schema, None)
+
+  /** Entries are keyed by file BASE name, so when the caller knows
+    * the TABLE directory it may pass it as `sidecarDir` — required
+    * for a shallow clone, whose listed files live in the SOURCE
+    * directory (possibly several, once it diverges) while its own
+    * stats sidecar sits in the clone's dir. Without it the sidecar
+    * location falls back to the files' single shared parent (and
+    * mixed parents degrade to no pruning — safe, never wrong). */
+  def rawForFiles(
+      spark: SparkSession, files: Seq[String],
+      schema: StructType, sidecarDir: Option[String]): Raw = {
     if (files.isEmpty) return Map.empty
-    val parents = files.map(f =>
-      Option(new HPath(f).getParent).map(_.toString).getOrElse("")).distinct
-    if (parents.length != 1) return Map.empty
-    val dir = parents.head
+    val dir = sidecarDir.getOrElse {
+      val parents = files.map(f =>
+        Option(new HPath(f).getParent).map(_.toString).getOrElse(""))
+        .distinct
+      if (parents.length != 1) return Map.empty
+      parents.head
+    }
     val (fs, _) = GraftFs.resolve(spark, dir)
     val status = GraftFs.statusOf(fs, statsPath(spark, dir))
       .getOrElse(return Map.empty)

@@ -49,8 +49,8 @@ object IncrementalIngest {
       (a, (System.nanoTime() - t0) / 1e9)
     }
 
-    // round r ingests docs with doc_id % (reps+1) == r+1 against the
-    // corpus of everything ingested before it
+    // residue 0 seeds the corpus; round r (1..reps) ingests residue r
+    // against everything ingested before it
     val idx = java.nio.file.Files.createTempDirectory("graft-mh-")
       .resolve("idx").toString
     var corpusCond = col("doc_id") % (reps + 1) === 0

@@ -139,6 +139,10 @@ object Dedup {
 
   private val MinhashIndexFile = "_graft_minhash.json"
 
+  /** The default shingler's identity tag (see `shinglerTag` on
+    * [[buildMinhashIndex]]). */
+  val WordTrigramTag = "word-3"
+
   /** Build a PERSISTED MinHash band index over a corpus: the banded
     * bucket table written as a graft table clustered on the bucket
     * hash, plus a params sidecar pinning (numPerms, bands, seed) so
@@ -159,7 +163,12 @@ object Dedup {
       shingler: Column => Column = TextFunctions.wordShingles(_, 3),
       numPerms: Int = 126,
       bands: Int = 21,
-      seed: Long = 42L): Unit = {
+      seed: Long = 42L,
+      // the shingler is code and cannot persist; its TAG does, and
+      // every later append/query must present the same tag — a batch
+      // shingled differently would bucket disjointly from the index
+      // and silently find zero pairs
+      shinglerTag: String = WordTrigramTag): Unit = {
     require(numPerms % bands == 0, "numPerms must be divisible by bands")
     graft.core.PDataset.fromDataFrame(
       bandTable(docs, idCol, textCol, shingler, numPerms, bands, seed),
@@ -168,11 +177,13 @@ object Dedup {
     graft.core.GraftFs.writeString(fs,
       new org.apache.hadoop.fs.Path(dirPath, MinhashIndexFile),
       graft.core.TypedJson.write(scala.collection.immutable.ListMap(
-        "numPerms" -> numPerms, "bands" -> bands, "seed" -> seed)))
+        "numPerms" -> numPerms, "bands" -> bands, "seed" -> seed,
+        "shingler" -> shinglerTag)))
   }
 
   private def minhashIndexParams(
-      spark: SparkSession, dir: String): (Int, Int, Long) = {
+      spark: SparkSession, dir: String,
+      shinglerTag: String): (Int, Int, Long) = {
     val (fs, dirPath) = graft.core.GraftFs.resolve(spark, dir)
     val p = new org.apache.hadoop.fs.Path(dirPath, MinhashIndexFile)
     require(graft.core.GraftFs.isFile(fs, p),
@@ -180,6 +191,12 @@ object Dedup {
         "build one with Dedup.buildMinhashIndex")
     val m = graft.core.TypedJson.parse(graft.core.GraftFs.readString(fs, p))
       .asInstanceOf[Map[String, Any]]
+    val stored = m.get("shingler").map(_.toString).getOrElse(WordTrigramTag)
+    require(stored == shinglerTag,
+      s"MinHash index at $dir was built with shingler '$stored' but " +
+        s"this call presents '$shinglerTag' — differently-shingled " +
+        "signatures bucket disjointly and would silently find zero " +
+        "pairs; pass the build-time shingler (and its tag)")
     def int(k: String) = m(k).asInstanceOf[Number].intValue()
     (int("numPerms"), int("bands"), m("seed").asInstanceOf[Number].longValue())
   }
@@ -193,8 +210,9 @@ object Dedup {
       idCol: String,
       textCol: String,
       dir: String,
-      shingler: Column => Column = TextFunctions.wordShingles(_, 3)): Unit = {
-    val (numPerms, bands, seed) = minhashIndexParams(spark, dir)
+      shingler: Column => Column = TextFunctions.wordShingles(_, 3),
+      shinglerTag: String = WordTrigramTag): Unit = {
+    val (numPerms, bands, seed) = minhashIndexParams(spark, dir, shinglerTag)
     graft.core.PDataset.fromDataFrame(
       bandTable(newDocs, idCol, textCol, shingler, numPerms, bands, seed),
       Seq("bucket")).writeParquet(dir, append = true)
@@ -219,9 +237,10 @@ object Dedup {
       corpus: DataFrame,
       indexDir: String,
       threshold: Double = 0.85,
-      shingler: Column => Column = TextFunctions.wordShingles(_, 3)): DataFrame =
+      shingler: Column => Column = TextFunctions.wordShingles(_, 3),
+      shinglerTag: String = WordTrigramTag): DataFrame =
     incrementalPairsTagged(spark, newDocs, idCol, textCol, corpus,
-      indexDir, threshold, shingler)
+      indexDir, threshold, shingler, shinglerTag)
       .select("idA", "idB", "jaccard")
 
   /** [[incrementalNearDupPairs]] plus a `__loser` column: the pair
@@ -238,8 +257,10 @@ object Dedup {
       corpus: DataFrame,
       indexDir: String,
       threshold: Double,
-      shingler: Column => Column): DataFrame = {
-    val (numPerms, bands, seed) = minhashIndexParams(spark, indexDir)
+      shingler: Column => Column,
+      shinglerTag: String): DataFrame = {
+    val (numPerms, bands, seed) =
+      minhashIndexParams(spark, indexDir, shinglerTag)
     // used twice (vs-index and self-join); the repartition barrier
     // inside bandTable keeps the signature a once-per-id computation
     // within each use, the embeddingNearDupPairs discipline
@@ -294,9 +315,10 @@ object Dedup {
       corpus: DataFrame,
       indexDir: String,
       threshold: Double = 0.85,
-      shingler: Column => Column = TextFunctions.wordShingles(_, 3)): DataFrame = {
+      shingler: Column => Column = TextFunctions.wordShingles(_, 3),
+      shinglerTag: String = WordTrigramTag): DataFrame = {
     val losers = incrementalPairsTagged(spark, newDocs, idCol, textCol,
-      corpus, indexDir, threshold, shingler)
+      corpus, indexDir, threshold, shingler, shinglerTag)
       .select(col("__loser").as(idCol)).distinct()
     newDocs.join(broadcast(losers), Seq(idCol), "left_anti")
   }

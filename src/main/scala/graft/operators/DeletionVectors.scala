@@ -85,9 +85,15 @@ object DeletionVectors {
       spark: SparkSession, srcDir: String, dstDir: String): Unit = {
     val (sfs, srcPath) = GraftFs.resolve(spark, srcDir)
     val commits = commitDirs(sfs, srcPath)
-    if (commits.isEmpty) return
     val (dfs, dstPath) = GraftFs.resolve(spark, dstDir)
     val target = dvDir(dstPath)
+    // the caller guarantees dstDir is not yet a table, so any overlay
+    // there is debris from a clone that crashed mid-copy — wipe it,
+    // or FileUtil.copy(overwrite = false) would NEST the re-copied
+    // commit dirs inside the leftovers (dv-x/dv-x), a layout the
+    // overlay readers were never written for
+    GraftFs.deleteRecursive(dfs, target)
+    if (commits.isEmpty) return
     GraftFs.mkdirs(dfs, target)
     val cnf = GraftFs.conf(spark)
     commits.foreach(c =>
@@ -240,11 +246,13 @@ object DeletionVectors {
     val cond = org.apache.spark.sql.GraftBridge.analyzedCondition(
       spark, m.schema, predicate)
     val files = m.files.map(f => new HPath(dirPath, f).toString)
-    val raw = graft.core.ColumnStats.rawForFiles(spark, files, m.schema)
+    val raw = graft.core.ColumnStats.rawForFiles(
+      spark, files, m.schema, Some(dirPath.toString))
     val index = new org.apache.spark.sql.GraftFileIndex(
       files.map(f => (new HPath(f), 0L)),
       m.indexColumns, m.lowerBounds, m.upperBounds,
-      blooms = graft.core.BloomIndex.forFiles(spark, files),
+      blooms = graft.core.BloomIndex.forFiles(
+        spark, files, Some(dirPath.toString)),
       extraStats = graft.core.ColumnStats.pruning(raw))
     val kept = index.listFiles(Nil, Seq(cond))
       .flatMap(_.files.map(_.getPath.getName)).toSet

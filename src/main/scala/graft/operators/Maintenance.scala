@@ -293,9 +293,14 @@ object Maintenance {
     * which the shared physical files preserve), so a clone taken
     * mid-merge-on-read hides exactly the rows the source hides.
     *
-    * Like Delta: a `vacuum` of the SOURCE that drops files the clone
-    * still references breaks the clone — vacuum sources whose clones
-    * you still need with care.
+    * The source-side hazard is BROADER than Delta's: graft's
+    * non-retained ops delete replaced files immediately (Delta keeps
+    * them until VACUUM), so ANY non-retained rewrite of the source —
+    * updateWhere, deleteRange, compact, DV materialize — removes
+    * bytes a clone may still reference, not just an explicit vacuum.
+    * Sources that keep mutating under live clones should mutate with
+    * `retain = true` (or the `graft.retain` table property) until
+    * the clones are localized or dropped.
     *
     * Returns the number of file references cloned. */
   def shallowClone(

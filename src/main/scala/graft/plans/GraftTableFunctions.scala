@@ -50,7 +50,7 @@ object GraftTableFunctions {
         require(args.length == 1,
           s"graft_history(table) takes 1 argument; got ${args.length}")
         Maintenance.history(SparkSession.active,
-          resolveTarget(strArg(args.head, "table")))
+          resolveTarget(strArg(args.head, "table", "graft_history")))
           .queryExecution.logical
       }))
     // Per-file layout introspection ("which key band is hot, how much
@@ -69,7 +69,7 @@ object GraftTableFunctions {
     require(args.length == 1,
       s"graft_files(table) takes 1 argument; got ${args.length}")
     val spark = SparkSession.active
-    val dir = resolveTarget(strArg(args.head, "table"))
+    val dir = resolveTarget(strArg(args.head, "table", "graft_files"))
     val m = graft.core.Sidecar.load(spark, dir)
     val (_, dirPath) = graft.core.GraftFs.resolve(spark, dir)
     val bytes = graft.core.GraftFs.fileSizes(
@@ -122,10 +122,12 @@ object GraftTableFunctions {
   private def resolveTarget(t: String): String =
     graft.sources.GraftCatalog.resolveName(t).getOrElse(t)
 
-  private def strArg(e: Expression, what: String): String = e match {
+  private def strArg(
+      e: Expression, what: String,
+      fn: String = "graft_changes"): String = e match {
     case Literal(v, StringType) if v != null => v.toString
     case other => throw new IllegalArgumentException(
-      s"graft_changes: $what must be a string literal; got $other")
+      s"$fn: $what must be a string literal; got $other")
   }
 
   /** Left = generation number, Right = timestamp millis. */

@@ -550,10 +550,14 @@ object GraftRelations {
     val files = m.files.map(f => new Path(p, f).toString).toIndexedSeq
     val withSizes = graft.core.GraftFs.fileSizes(
       spark.sparkContext.hadoopConfiguration, files)
-    val raw = graft.core.ColumnStats.rawForFiles(spark, files, m.schema)
+    // sidecars resolve from the TABLE dir, not the files' parent —
+    // a shallow clone's files live in its source's directory while
+    // its (ANALYZE-built) pruning sidecars live in its own
+    val raw = graft.core.ColumnStats.rawForFiles(
+      spark, files, m.schema, Some(dir))
     new GraftFileIndex(
       withSizes, m.indexColumns, m.lowerBounds, m.upperBounds,
-      blooms = graft.core.BloomIndex.forFiles(spark, files),
+      blooms = graft.core.BloomIndex.forFiles(spark, files, Some(dir)),
       rowCounts = Some(m.sizes),
       extraStats = graft.core.ColumnStats.pruning(raw),
       rawColStats = raw)

@@ -281,6 +281,55 @@ class CloneSpec extends AnyFunSuite {
     assert(spark.table("gclone.db.srct").count() == 120)
   }
 
+  test("ANALYZE on a clone builds pruning sidecars its reads USE — " +
+      "resolved from the table dir, keyed by base name, surviving " +
+      "divergence and maintenance refresh") {
+    val base = tempDir("clone-analyze")
+    val src = base + "/src"
+    val dst = base + "/dst"
+    // v correlates with the index (v = 10k): per-file v-ranges are
+    // disjoint, so a v filter can prune to one file; explicit 30-row
+    // ranges pin the file boundaries exactly
+    val parts = (0 until 300 by 30).map { lo =>
+      PDataset.fromDataFrame(
+        spark.range(lo.toLong, lo + 30L).select(
+          col("id").as("k"), (col("id") * 10).as("v"),
+          concat(lit("p"), col("id")).as("payload")), Seq("k"))
+    }
+    PDataset.concat(parts).writeParquet(src)
+    val nFiles = Sidecar.load(spark, src).files.length
+    Maintenance.shallowClone(spark, src, dst)
+    spark.sql(s"ANALYZE TABLE graft.`$dst` COMPUTE STATISTICS " +
+      "FOR COLUMNS (v)")
+    spark.sql(s"ANALYZE TABLE graft.`$dst` COMPUTE BLOOM " +
+      "FOR COLUMNS (payload)")
+    // stats sidecars live in the CLONE dir; the files in the SOURCE —
+    // pruning must still engage on the clone's reads
+    val pruned = spark.read.format("graft").load(dst)
+      .filter(col("v") >= 900L && col("v") < 1200L)
+    assert(scannedFiles(pruned) == 1, s"of $nFiles files")
+    assert(pruned.count() == 30L)
+    val point = spark.read.format("graft").load(dst)
+      .filter(col("payload") === "p250")
+    assert(scannedFiles(point) == 1)
+    assert(point.count() == 1L)
+    // diverge (mixed source + local parents) and let maintenance
+    // refresh the sidecars: external entries keep their base-name
+    // entries, the rewritten band gets fresh ones, pruning persists
+    Maintenance.updateWhere(spark, dst, col("k") < 30L,
+      Seq("payload" -> concat(lit("q"), col("k"))))
+    val pruned2 = spark.read.format("graft").load(dst)
+      .filter(col("v") >= 900L && col("v") < 1200L)
+    assert(scannedFiles(pruned2) == 1)
+    assert(pruned2.count() == 30L)
+    val point2 = spark.read.format("graft").load(dst)
+      .filter(col("payload") === "q10")
+    assert(scannedFiles(point2) == 1)
+    assert(point2.count() == 1L)
+    // the source never grew a sidecar of its own
+    assert(!graft.core.ColumnStats.exists(spark, src))
+  }
+
   test("clone carries CHECK constraints and refuses violating writes") {
     val base = tempDir("clone-check")
     val src = base + "/src"

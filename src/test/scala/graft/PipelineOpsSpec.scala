@@ -436,6 +436,14 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(inc2.contains((i + 10000, i + 30000, 1.0)),
         s"missing appended pair $i")
     }
+    // a different shingler than the build's refuses loudly — silently
+    // disjoint buckets would find zero pairs
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDupPairs(spark, batch2, "doc_id", "text",
+        old, dir, shingler = TextFunctions.wordShingles(_, 5),
+        shinglerTag = "word-5")
+    }
+    assert(e.getMessage.contains("shingler"), e.getMessage)
   }
 
   test("segment dedup drops corpus-frequent lines, preserves order, " +
