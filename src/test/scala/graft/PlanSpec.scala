@@ -389,6 +389,44 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("ShuffledHashJoin"), plan)
   }
 
+  test("SemDeDup pairs plan cell equi-joins, never a pair nested-loop") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = graft.operators.Dedup
+      .semDedupPairs(emb, "vec_id", "embedding", dim = 64,
+        threshold = 0.99, nClusters = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("segment dedup removes boilerplate through a BROADCAST anti-join " +
+      "(documents stream through; the drop set is the broadcast side)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.operators.Dedup
+      .dedupSegments(docs, "doc_id", "text", maxDocFreq = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("incremental MinHash dedup is bucket equi-joins plus a broadcast " +
+      "semi for the hit corpus docs — no pair explosion, no corpus scan " +
+      "into the candidate shuffle") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = Fixtures.tempDir("planspec-mh") + "/idx"
+    val old = docs.filter(col("doc_id") % 10 =!= 0)
+    graft.operators.Dedup.buildMinhashIndex(
+      spark, old, "doc_id", "text", dir)
+    val plan = graft.operators.Dedup.incrementalNearDupPairs(
+      spark, docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+      old, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
   test("sliced toDF is one relation served by the sidecar file index") {
     val lo = persisted.lowerBounds.get(2)
     val plan = persisted.slice(lo, null).toDF
