@@ -279,6 +279,10 @@ class CloneSpec extends AnyFunSuite {
     spark.sql("DELETE FROM gclone.db.dstt WHERE k < 20")
     assert(spark.table("gclone.db.dstt").count() == 100)
     assert(spark.table("gclone.db.srct").count() == 120)
+    // TVFs resolve catalog names through the same pure mapping
+    assert(spark.sql(
+      "SELECT sum(rows) AS n FROM graft_files('gclone.db.srct')")
+      .head().getLong(0) == 120)
   }
 
   test("ANALYZE on a clone builds pruning sidecars its reads USE — " +
