@@ -320,7 +320,11 @@ object Dedup {
     val losers = incrementalPairsTagged(spark, newDocs, idCol, textCol,
       corpus, indexDir, threshold, shingler, shinglerTag)
       .select(col("__loser").as(idCol)).distinct()
-    newDocs.join(broadcast(losers), Seq(idCol), "left_anti")
+    // No forced broadcast: the loser set is batch-bounded, so AQE's
+    // runtime size check broadcasts it when it is genuinely small and
+    // falls back to a shuffled anti-join otherwise — a forced hint
+    // would disable that check and OOM on a pathological batch.
+    newDocs.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Rejoin candidate pairs with both documents' shingle arrays via
@@ -773,15 +777,19 @@ object Dedup {
     * md5 — 16 fixed bytes into the shuffle per segment instead of the
     * segment text (the identity discipline [[exactDedup]] already
     * uses; at 2^64 segments the collision odds are ~2^-64). The drop
-    * set is bounded by the boilerplate rate — orders of magnitude
-    * below the corpus — so the removal is a broadcast anti-join the
-    * documents stream through, the [[dedupCorpus]] shape. The
-    * reassembly groups by document id: one shuffle clustered on the
-    * id.
+    * set is UNHINTED: it is a fraction of the corpus's DISTINCT
+    * segments, which grows with the corpus — at 100 TB a forced
+    * broadcast of hundreds of millions of 16-byte hashes would OOM
+    * executors, so AQE's runtime size check decides (broadcast when
+    * genuinely small, shuffled anti-join otherwise). The reassembly
+    * groups by document id: one shuffle clustered on the id.
     *
     * `sep` is a LITERAL separator (quoted before the split), used
     * verbatim when rejoining; empty segments from consecutive
-    * separators count like any other segment. */
+    * separators count like any other segment. NULL text coalesces to
+    * the empty string (one empty segment), so a null-text document is
+    * dropped only when the empty segment itself is boilerplate —
+    * never silently. */
   def dedupSegments(
       docs: DataFrame,
       idCol: String,
@@ -790,14 +798,14 @@ object Dedup {
       sep: String = "\n"): DataFrame = {
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
     val segs = docs.select(col(idCol).as("__id"),
-      posexplode(split(col(textCol),
+      posexplode(split(coalesce(col(textCol), lit("")),
         java.util.regex.Pattern.quote(sep))).as(Seq("__pos", "__seg")))
       .withColumn("__h", md5(encode(col("__seg"), "UTF-8")))
     val boiler = segs.groupBy("__h")
       .agg(count_distinct(col("__id")).as("__df"))
       .filter(col("__df") > maxDocFreq)
       .select("__h")
-    val rebuilt = segs.join(broadcast(boiler), Seq("__h"), "left_anti")
+    val rebuilt = segs.join(boiler, Seq("__h"), "left_anti")
       .groupBy("__id")
       .agg(array_join(
         transform(
@@ -834,7 +842,25 @@ object Dedup {
       nClusters: Int = 16,
       iters: Int = 3,
       seed: Long = 11L,
-      trainFraction: Double = 1.0): DataFrame = {
+      trainFraction: Double = 1.0,
+      maxCellRows: Long = 4L << 20): DataFrame = {
+    val (assigned, _) = assignCells(embeddings, idCol, vecCol, dim,
+      nClusters, iters, seed, trainFraction)
+    pairsFromCells(assigned, threshold, maxCellRows)
+  }
+
+  /** Per-vector Voronoi cell assignment shared by the SemDeDup entry
+    * points: (__id, __v, __n, __cell) under a once-per-vector barrier,
+    * plus the trained centroids. */
+  private def assignCells(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nClusters: Int,
+      iters: Int,
+      seed: Long,
+      trainFraction: Double): (DataFrame, Array[Array[Double]]) = {
     val cents = Similarity.trainCentroids(
       embeddings, idCol, vecCol, dim, nClusters, iters, seed,
       trainFraction)
@@ -846,11 +872,36 @@ object Dedup {
         element_at(graft.functions.VectorExpressions
           .nearestCentroids(col("__v"), cents, 1), 1).as("__cell"))
       .repartition(col("__id"))
-    val a = assigned.select(col("__id").as("idA"), col("__v").as("vA"),
-      col("__n").as("nA"), col("__cell"))
-    val bdf = assigned.select(col("__id").as("idB"), col("__v").as("vB"),
-      col("__n").as("nB"), col("__cell"))
-    a.join(bdf.hint("shuffle_hash"), Seq("__cell"))
+    (assigned, cents)
+  }
+
+  /** The intra-cell pair join over an assigned frame, with HOT-CELL
+    * HARDENING: a cell holding more than `maxCellRows` vectors (a
+    * duplicate-heavy corpus clusters tightly, so one cell can
+    * dominate the Σ per-cell-squares pair space) is split by a hash
+    * of the VECTOR BYTES into ceil(n/maxCellRows) sub-cells and pairs
+    * form only within a sub-cell. Hashing the vector — not the id —
+    * keeps exact duplicates co-located (identical bytes, identical
+    * sub-cell), so only non-identical near-dups can straddle a split,
+    * the same bounded-recall trade the cell boundary itself makes.
+    * The per-cell counts frame is at most nClusters rows — AQE
+    * broadcasts it. */
+  private def pairsFromCells(
+      assigned: DataFrame,
+      threshold: Double,
+      maxCellRows: Long): DataFrame = {
+    require(maxCellRows >= 1, s"maxCellRows must be >= 1, got $maxCellRows")
+    val counts = assigned.groupBy("__cell").agg(count(lit(1)).as("__cn"))
+    val sub = assigned.join(counts, "__cell")
+      .withColumn("__sub",
+        pmod(xxhash64(col("__v")),
+          greatest(ceil(col("__cn") / lit(maxCellRows.toDouble)), lit(1L))))
+      .drop("__cn")
+    val a = sub.select(col("__id").as("idA"), col("__v").as("vA"),
+      col("__n").as("nA"), col("__cell"), col("__sub"))
+    val bdf = sub.select(col("__id").as("idB"), col("__v").as("vB"),
+      col("__n").as("nB"), col("__cell"), col("__sub"))
+    a.join(bdf.hint("shuffle_hash"), Seq("__cell", "__sub"))
       .filter(col("idA") < col("idB"))
       .withColumn("cosine",
         round(Similarity.dot(col("vA"), col("vB")) / (col("nA") * col("nB")), 4))
@@ -859,12 +910,20 @@ object Dedup {
   }
 
   /** End-to-end SemDeDup: [[semDedupPairs]] → connected components →
-    * keep each duplicate group's minimum-id member ([[dedupCorpus]]
-    * semantics — deterministic keeper; the paper keeps the member
-    * farthest from its centroid, a one-line swap of the keeper rule).
-    * Unpaired rows pass through untouched: the drop list is bounded
-    * by the dup rate, so at scale the anti-join broadcasts while the
-    * corpus streams through. */
+    * keep one member per duplicate group, drop the rest; unpaired
+    * rows pass through untouched. The drop list is bounded by the dup
+    * rate, so at scale the anti-join broadcasts while the corpus
+    * streams through.
+    *
+    * `keeper` picks the survivor per group: `"minId"` (default —
+    * deterministic, id-stable across reruns) or `"centroidFarthest"`
+    * (the published rule, arXiv:2303.09540 §3: keep the member with
+    * the LOWEST cosine to its cluster centroid — the farthest — on
+    * the argument that it is the least redundant representative; ties
+    * break to the smaller id). The farthest rule scores only the
+    * PAIRED vectors (bounded by the dup rate) against an
+    * nClusters-row centroid frame, so the extra cost is a
+    * broadcast-sized join, not a corpus pass. */
   def semDedup(
       embeddings: DataFrame,
       idCol: String,
@@ -874,10 +933,48 @@ object Dedup {
       nClusters: Int = 16,
       iters: Int = 3,
       seed: Long = 11L,
-      trainFraction: Double = 1.0): DataFrame =
-    dedupCorpus(embeddings, idCol,
-      semDedupPairs(embeddings, idCol, vecCol, dim, threshold,
-        nClusters, iters, seed, trainFraction))
+      trainFraction: Double = 1.0,
+      keeper: String = "minId",
+      maxCellRows: Long = 4L << 20): DataFrame = {
+    val (assigned, cents) = assignCells(embeddings, idCol, vecCol, dim,
+      nClusters, iters, seed, trainFraction)
+    val pairs = pairsFromCells(assigned, threshold, maxCellRows)
+    keeper match {
+      case "minId" => dedupCorpus(embeddings, idCol, pairs)
+      case "centroidFarthest" =>
+        val spark = embeddings.sparkSession
+        val centRows = cents.zipWithIndex.map { case (c, i) =>
+          org.apache.spark.sql.Row(i, c.toSeq, math.sqrt(c.map(x => x * x).sum))
+        }
+        val centsDf = spark.createDataFrame(
+          java.util.Arrays.asList(centRows: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__cell",
+              org.apache.spark.sql.types.IntegerType, nullable = false),
+            org.apache.spark.sql.types.StructField("__cvec",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType), nullable = false),
+            org.apache.spark.sql.types.StructField("__cnorm",
+              org.apache.spark.sql.types.DoubleType, nullable = false))))
+        // Score only the paired vertices: clusters is dup-rate-bounded,
+        // so both joins stay broadcast-sized under AQE.
+        val clusters = nearDupClusters(pairs)
+        val scored = assigned
+          .join(clusters, assigned("__id") === clusters("doc_id"))
+          .join(centsDf, "__cell")
+          .withColumn("__cos",
+            Similarity.dot(col("__v"), col("__cvec")) /
+              (col("__n") * col("__cnorm")))
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("__cos").asc, col("doc_id").asc)
+        val drop = scored.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") > 1)
+          .select(col("doc_id").as(idCol))
+        embeddings.join(drop, Seq(idCol), "left_anti")
+      case other => throw new IllegalArgumentException(
+        s"unknown keeper '$other' — expected 'minId' or 'centroidFarthest'")
+    }
+  }
 
   /** Exact brute-force reference for [[embeddingNearDupPairs]] —
     * all-pairs by construction; test/oracle use only. */

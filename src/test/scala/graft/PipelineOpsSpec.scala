@@ -466,6 +466,145 @@ class PipelineOpsSpec extends AnyFunSuite {
       (5L, "zeta")))
   }
 
+  test("segment dedup: NULL text coalesces to the empty string — the " +
+      "document survives (as empty) unless the empty segment itself " +
+      "is boilerplate") {
+    val docs = Seq(
+      (1L, "alpha"), (2L, null), (3L, "beta")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSegments(docs, "doc_id", "text", maxDocFreq = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "alpha"), (2L, ""), (3L, "beta")))
+    // ...and when the empty segment IS corpus-frequent, null-text docs
+    // drop by the same rule as any all-boilerplate document.
+    val many = Seq((1L, null), (2L, null), (3L, null), (4L, "solo"))
+      .map { case (i, t) => (i.toLong, t) }.toDF("doc_id", "text")
+    val kept = Dedup.dedupSegments(many, "doc_id", "text", maxDocFreq = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(4L))
+  }
+
+  test("SemDeDup keeper=centroidFarthest keeps, per duplicate group, " +
+      "the member with the LOWEST cosine to its cell centroid " +
+      "(arXiv:2303.09540's rule), matching a recomputed reference") {
+    // Planted near-dups that are DIRECTION-perturbed (one element
+    // nudged 2%), not just scaled: cosine-to-centroid is
+    // scale-invariant, so a pure scaling would make every group an FP
+    // tie and the test vacuous. A 2% single-element nudge keeps
+    // pair cosine ~0.9999+ (still pairs) while moving the member's
+    // angle to its centroid measurably.
+    val base = emb.filter(col("vec_id") < 60).select("vec_id", "embedding")
+    val perturbed = base.select((col("vec_id") + 1000).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === pmod(col("vec_id"), lit(64)).cast("int"),
+          x * lit(1.02f)).otherwise(x)).as("embedding"))
+    val all = base.unionByName(perturbed)
+    val pairRows = Dedup.semDedupPairs(all, "vec_id", "embedding",
+      dim = 64, threshold = 0.9999, nClusters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairRows.size >= 40,
+      s"fixture too weak: only ${pairRows.size} planted pairs found")
+    val paired = pairRows.flatMap(p => Seq(p._1, p._2))
+    val kept = Dedup.semDedup(all, "vec_id", "embedding",
+      dim = 64, threshold = 0.9999, nClusters = 4,
+      keeper = "centroidFarthest")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // Unpaired rows always pass through.
+    val allIds = all.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((allIds -- paired).subsetOf(kept), "unpaired rows must survive")
+    // Recompute the rule independently: same trained centroids,
+    // driver-side cosines; per group keep argmin cosine (farthest).
+    val cents = Similarity.trainCentroids(
+      all, "vec_id", "embedding", 64, 4, 3, 11L, 1.0)
+    val scored = all.select(col("vec_id"),
+      element_at(VectorExpressions.nearestCentroids(
+        col("embedding"), cents, 1), 1).as("cell"),
+      col("embedding")).collect().map { r =>
+        val v = r.getSeq[Float](2).map(_.toDouble).toArray
+        val c = cents(r.getInt(1))
+        val cos = v.zip(c).map { case (x, y) => x * y }.sum /
+          (math.sqrt(v.map(x => x * x).sum) *
+            math.sqrt(c.map(x => x * x).sum))
+        r.getLong(0) -> cos
+      }.toMap
+    var decisive = 0
+    pairRows.foreach { case (a, b) =>
+      assert(kept.contains(a) ^ kept.contains(b),
+        s"group ($a,$b) must keep exactly one member")
+      // Pin the choice only where the rule is decisive beyond FP
+      // noise; FP ties fall to the min-id tie-break either way.
+      if (scored(a) < scored(b) - 1e-9) {
+        decisive += 1
+        assert(kept.contains(a),
+          s"($a,$b): farthest is $a (cos ${scored(a)} < ${scored(b)})")
+      } else if (scored(b) < scored(a) - 1e-9) {
+        decisive += 1
+        assert(kept.contains(b),
+          s"($a,$b): farthest is $b (cos ${scored(b)} < ${scored(a)})")
+      }
+    }
+    assert(decisive >= 20,
+      s"only $decisive decisive groups — perturbation too weak to " +
+        "exercise the rule")
+    val unknownKeeper = intercept[IllegalArgumentException] {
+      Dedup.semDedup(all, "vec_id", "embedding", dim = 64,
+        threshold = 0.9999, nClusters = 4, keeper = "nope")
+    }
+    assert(unknownKeeper.getMessage.contains("keeper"))
+  }
+
+  test("SemDeDup hot-cell hardening: a cell past maxCellRows splits " +
+      "into hash sub-cells that bound the pair-join group size, and " +
+      "exact duplicates (identical vector bytes) still co-locate") {
+    // 120 vectors that all land in one Voronoi cell: copies of a
+    // single base vector with tiny jitter, plus 20 EXACT duplicate
+    // pairs (identical bytes) planted among them.
+    val baseVec = (0 until 64).map(i => 1.0f + 0.001f * i).toArray
+    val rows = (0 until 100).map { i =>
+      val v = baseVec.clone(); v(i % 64) += 0.0005f * ((i % 7) + 1)
+      (i.toLong, v.toSeq)
+    } ++ (0 until 20).map { i => // exact dups of the first 20
+      val v = baseVec.clone(); v(i % 64) += 0.0005f * ((i % 7) + 1)
+      ((i + 500).toLong, v.toSeq)
+    }
+    val skewed = rows.toDF("vec_id", "embedding")
+    // Bound 16 rows per sub-cell: the 120-row hot cell must split.
+    val pairs = Dedup.semDedupPairs(skewed, "vec_id", "embedding",
+      dim = 64, threshold = 1.0, nClusters = 2, maxCellRows = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Exact duplicates hash to the same sub-cell — every planted
+    // identical pair is found despite the split.
+    (0 until 20).foreach { i =>
+      assert(pairs.contains((i.toLong, (i + 500).toLong)),
+        s"exact dup ($i, ${i + 500}) lost to the sub-cell split")
+    }
+    // And the split actually bounds the join groups: recompute the
+    // operator's own (cell, sub) rule — assign cells with the same
+    // trained centroids, split each cell into ceil(n/16) hash
+    // sub-cells — and pin the max occupancy well below the unsplit
+    // hot cell (hash variance allows some overshoot of the 16 target,
+    // never a rejoined hot cell).
+    val cents = Similarity.trainCentroids(
+      skewed, "vec_id", "embedding", 64, 2, 3, 11L, 1.0)
+    val assigned = skewed.select(
+      element_at(VectorExpressions.nearestCentroids(
+        col("embedding"), cents, 1), 1).as("__cell"),
+      col("embedding"))
+    val cellCounts = assigned.groupBy("__cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(cellCounts.values.max > 16, "fixture must have a hot cell")
+    val occ = cellCounts.toSeq.flatMap { case (cell, cn) =>
+      val nsub = math.max(1L, math.ceil(cn / 16.0).toLong)
+      assigned.filter(col("__cell") === cell)
+        .select(pmod(xxhash64(col("embedding")), lit(nsub)).as("__sub"))
+        .groupBy("__sub").count().collect().map(_.getLong(1))
+    }
+    assert(occ.max <= 48,
+      s"sub-cell occupancy ${occ.sorted.reverse.take(5).mkString(",")} " +
+        "not bounded by the split")
+  }
+
   test("SemDeDup: intra-cluster pairs find planted scaled near-dups " +
       "and the corpus keeps one canonical survivor per group") {
     // A scaled copy has cosine exactly 1 with its original AND maps to

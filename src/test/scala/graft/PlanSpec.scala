@@ -399,15 +399,45 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("CartesianProduct"), plan)
   }
 
-  test("segment dedup removes boilerplate through a BROADCAST anti-join " +
-      "(documents stream through; the drop set is the broadcast side)") {
+  test("segment dedup's boilerplate anti-join is UNHINTED: AQE " +
+      "broadcasts a genuinely small drop set at runtime, and with " +
+      "broadcasts disabled the op degrades to a shuffled anti-join " +
+      "instead of forcing an executor-OOM broadcast") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val plan = graft.operators.Dedup
+    val q = graft.operators.Dedup
       .dedupSegments(docs, "doc_id", "text", maxDocFreq = 10)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") &&
-      plan.contains("LeftAnti"), plan)
-    assert(!plan.contains("CartesianProduct"), plan)
+    // Small drop set + default conf: AQE's runtime size check picks
+    // the broadcast — but only AFTER execution (nothing forces it).
+    q.collect()
+    val adapted = q.queryExecution.executedPlan.toString
+    assert(adapted.contains("LeftAnti"), adapted)
+    assert(!adapted.contains("CartesianProduct"), adapted)
+    // Broadcasts off entirely: the same op must complete through a
+    // non-broadcast anti-join — the 100 TB path where the drop set
+    // (a fraction of DISTINCT segments, corpus-growing) outgrows
+    // executor memory.
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q2 = graft.operators.Dedup
+        .dedupSegments(docs, "doc_id", "text", maxDocFreq = 10)
+      val n = q2.count()
+      val plan2 = q2.queryExecution.executedPlan.toString
+      assert(!plan2.contains("BroadcastHashJoin"), plan2)
+      assert(plan2.contains("LeftAnti"), plan2)
+      assert(n == q.count(), "shuffle path must match the broadcast path")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      prevA match {
+        case Some(v) =>
+          conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
   }
 
   test("incremental MinHash dedup is bucket equi-joins plus a broadcast " +
