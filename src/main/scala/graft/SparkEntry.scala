@@ -1301,6 +1301,29 @@ object SparkEntry {
                 GROUP BY c_mktsegment ORDER BY c_mktsegment""")
     }),
 
+    // RIGHT OUTER through the rule's side-swap, plus a CROSS-SIDE
+    // residual ON conjunct: the residual decides MATCHING inside each
+    // division (a customer whose every key-equal order fails
+    // o_totalprice > c_acctbal still null-extends exactly once) —
+    // post-join-filter semantics would drop those rows and miscount.
+    // Zero Exchange on either side.
+    "q_sql_division_join_right" -> ((s, d) => {
+      val oDir = jdOrdersFixture(s, d)
+      val cDir = jdCustomerFixture(s, d)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.read.format("graft").load(oDir).createOrReplaceTempView("sdjr_o")
+      s2.read.format("graft").load(cDir).createOrReplaceTempView("sdjr_c")
+      s2.sql("""SELECT c_mktsegment, count(*) AS n,
+                       count(o_orderkey) AS n_matched,
+                       round(sum(coalesce(o_totalprice, 0)), 2)
+                         AS sum_price
+                FROM sdjr_o RIGHT JOIN sdjr_c
+                  ON sdjr_o.ckey = sdjr_c.ckey
+                     AND sdjr_o.o_totalprice > sdjr_c.c_acctbal
+                GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    }),
+
     // Plain-SQL GROUP BY on the clustering key through the
     // SqlDivisionAgg rule: the partial→Exchange→final aggregation a
     // high-cardinality clustered key would pay — at 100 TB the
@@ -3212,6 +3235,13 @@ object SparkEntry {
                   count(o_orderkey) AS n_matched,
                   round(sum(coalesce(o_totalprice, 0)), 2) AS sum_price
            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+      "q_sql_division_join_right" ->
+        """SELECT c_mktsegment, count(*) AS n,
+                  count(o_orderkey) AS n_matched,
+                  round(sum(coalesce(o_totalprice, 0)), 2) AS sum_price
+           FROM orders RIGHT JOIN customer
+             ON o_custkey = c_custkey AND o_totalprice > c_acctbal
            GROUP BY c_mktsegment ORDER BY c_mktsegment""",
       "q_sql_division_sort_desc" ->
         """SELECT o_custkey AS ckey, o_orderkey, o_totalprice

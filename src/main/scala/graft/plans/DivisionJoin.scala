@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BoundReference, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BasePredicate, BindReferences, BoundReference, Expression, JoinedRow, Predicate, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, JoinType, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
@@ -59,7 +59,17 @@ case class DivisionJoinPlan(
       * coalesced keys (an unmatched outer row must surface NULL in
       * the absent side's key). Allocated by the caller — not here —
       * so plan copies keep stable ExprIds. */
-    presenceAttrs: Seq[Attribute] = Nil) extends LogicalPlan {
+    presenceAttrs: Seq[Attribute] = Nil,
+    /** Per-division RESIDUAL join condition (beyond the positional
+      * key equalities): division i's entry references division i's
+      * child attributes and is evaluated INSIDE the per-division join
+      * — a pair must satisfy it to MATCH, and outer rows whose every
+      * key-equal partner fails it null-extend (post-join Filter
+      * semantics would wrongly drop them). Empty = pure equi-join.
+      * Kept as expressions so optimizer rules rewriting child
+      * attributes rewrite these in lockstep (same discipline as
+      * [[keyRefs]]). */
+    residuals: Seq[Expression] = Nil) extends LogicalPlan {
 
   require(children.length == 2 * nDiv && nDiv > 0,
     "need one left and one right child per division")
@@ -67,6 +77,8 @@ case class DivisionJoinPlan(
     "need every division child's key attributes")
   require(presenceAttrs.isEmpty || presenceAttrs.length == 2,
     "presenceAttrs is (left-present, right-present) or empty")
+  require(residuals.isEmpty || residuals.length == nDiv,
+    "residuals is one condition per division or empty")
 
   private def k = keyNames.length
   private[plans] def keysOf(j: Int): Seq[Attribute] =
@@ -80,7 +92,8 @@ case class DivisionJoinPlan(
     * child outputs as references keeps every division full-width. */
   override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(
-      children.flatMap(_.output) ++ keyRefs)
+      children.flatMap(_.output) ++ keyRefs ++
+        residuals.flatMap(_.references))
 
   /** USING-join layout: keys once (under their public names), then
     * left non-keys, right non-keys. Nullability follows Catalyst's
@@ -110,7 +123,7 @@ object DivisionJoinStrategy extends SparkStrategy {
     case dj: DivisionJoinPlan =>
       DivisionJoinExec(dj.joinType, dj.keyNames.length, dj.nDiv, dj.keyRefs,
         dj.output, dj.children.map(planLater),
-        dj.presenceAttrs.nonEmpty) :: Nil
+        dj.presenceAttrs.nonEmpty, dj.residuals) :: Nil
     case _ => Nil
   }
 }
@@ -122,7 +135,8 @@ case class DivisionJoinExec(
     keyRefs: Seq[Attribute],
     output: Seq[Attribute],
     children: Seq[SparkPlan],
-    emitPresence: Boolean = false) extends SparkPlan {
+    emitPresence: Boolean = false,
+    residuals: Seq[Expression] = Nil) extends SparkPlan {
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[SparkPlan]): DivisionJoinExec =
@@ -172,10 +186,14 @@ case class DivisionJoinExec(
         "inconsistently")
     val jt = joinType
     val ep = emitPresence
+    // Residual bound against (left ++ right) row layout, driver-side;
+    // the predicate itself is created per-task (codegen on executor).
+    val cond: Option[Expression] = residuals.lift(i).map(e =>
+      BindReferences.bindReference(e, lAttrs ++ rAttrs))
     onePartition(l.execute()).zipPartitions(onePartition(r.execute())) {
       (lIt, rIt) =>
         DivisionJoinExec.joinIterators(lIt, rIt, jt, lTypes, rTypes,
-          lKeyOrds, rKeyOrds, lRestOrds, rRestOrds, ep)
+          lKeyOrds, rKeyOrds, lRestOrds, rRestOrds, ep, cond)
     }
   }
 }
@@ -193,6 +211,15 @@ object DivisionJoinExec {
 
   private final class Entry(val rows: scala.collection.mutable.ArrayBuffer[InternalRow]) {
     var matched: Boolean = false
+    /** Per-row matched flags — residual path only, where rows under
+      * one key can match independently; lazily allocated. */
+    private var bits: java.util.BitSet = null
+    def markRow(i: Int): Unit = {
+      if (bits == null) bits = new java.util.BitSet(rows.length)
+      bits.set(i)
+    }
+    def rowMatched(i: Int): Boolean =
+      matched || (bits != null && bits.get(i))
   }
 
   /** Test seam for [[joinIterators]]. */
@@ -207,7 +234,13 @@ object DivisionJoinExec {
   /** Per-division hash join: build = right (copied into a hash table),
     * probe = streamed left. SQL equi-join null semantics: a null key
     * component never matches; outer-side rows with null keys still
-    * emit padded with nulls. Emits UnsafeRows (parents may shuffle). */
+    * emit padded with nulls. Emits UnsafeRows (parents may shuffle).
+    *
+    * `cond` is a residual join condition (bound against left ++ right)
+    * evaluated on key-equal candidate pairs: a pair MATCHES only when
+    * it passes, so an outer row whose every key partner fails it
+    * null-extends and a full-outer build row no probe passes against
+    * emits in the tail — ON-clause semantics, not a post-join filter. */
   private[plans] def joinIterators(
       lIt: Iterator[InternalRow],
       rIt: Iterator[InternalRow],
@@ -218,8 +251,14 @@ object DivisionJoinExec {
       rKeyOrds: Array[Int],
       lRestOrds: Array[Int],
       rRestOrds: Array[Int],
-      emitPresence: Boolean): Iterator[InternalRow] = {
+      emitPresence: Boolean,
+      cond: Option[Expression] = None): Iterator[InternalRow] = {
     val nKeys = lKeyOrds.length
+    val pred: Option[BasePredicate] = cond.map(Predicate.create)
+    pred.foreach(_.initialize(
+      Option(org.apache.spark.TaskContext.get()).map(_.partitionId())
+        .getOrElse(0)))
+    val joined = new JoinedRow
     val markers = if (emitPresence) 2 else 0
     val width = nKeys + lRestOrds.length + rRestOrds.length + markers
     val outTypes: Array[DataType] =
@@ -297,9 +336,30 @@ object DivisionJoinExec {
           if (e == null) {
             if (joinType == Inner) Iterator.empty
             else Iterator.single(emit(l, null))
-          } else {
-            e.matched = true
-            e.rows.iterator.map(r => emit(l, r))
+          } else pred match {
+            case None =>
+              e.matched = true
+              e.rows.iterator.map(r => emit(l, r))
+            case Some(p) =>
+              // key-equal candidates must also pass the residual to
+              // MATCH; per-row flags (rows under one key match
+              // independently), null-extend when none pass. Buffer
+              // INDICES and emit lazily: emit()'s UnsafeProjection
+              // reuses one row buffer, so buffering emitted rows
+              // would alias every entry to the last match.
+              val hits = scala.collection.mutable.ArrayBuffer.empty[Int]
+              var i = 0
+              while (i < e.rows.length) {
+                if (p.eval(joined.withLeft(l).withRight(e.rows(i)))) {
+                  e.markRow(i)
+                  hits += i
+                }
+                i += 1
+              }
+              if (hits.isEmpty) {
+                if (joinType == Inner) Iterator.empty
+                else Iterator.single(emit(l, null))
+              } else hits.iterator.map(i2 => emit(l, e.rows(i2)))
           }
         }
       }
@@ -307,9 +367,14 @@ object DivisionJoinExec {
         if (joinType != FullOuter) Iterator.empty
         else Iterator.single(()).flatMap { _ =>
           import scala.jdk.CollectionConverters._
-          m.values.iterator.asScala.filterNot(_.matched)
-            .flatMap(_.rows.iterator.map(r => emit(null, r))) ++
-            nullRight.iterator.map(r => emit(null, r))
+          m.values.iterator.asScala.flatMap { e =>
+            if (pred.isEmpty) {
+              if (e.matched) Iterator.empty
+              else e.rows.iterator.map(r => emit(null, r))
+            } else e.rows.iterator.zipWithIndex.collect {
+              case (r, i) if !e.rowMatched(i) => emit(null, r)
+            }
+          } ++ nullRight.iterator.map(r => emit(null, r))
         }
       probed ++ tail
     }

@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, EqualTo, Expression, ExprId, If, Literal, NamedExpression, PredicateHelper}
-import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, EqualTo, Expression, ExprId, If, Literal, NamedExpression, PredicateHelper, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -25,17 +25,20 @@ import graft.core.Lex
   * understands — each division child scans only its own files.
   *
   * Eligibility (anything else leaves the join untouched):
-  *   - INNER, LEFT OUTER or FULL OUTER join, no join hints (a user's
-  *     BROADCAST hint wins). Outer joins reconstruct per-side key
-  *     columns from the node's coalesced USING-style keys via two
-  *     presence markers the node emits (an unmatched row must surface
-  *     NULL in the absent side's key); residual ON conjuncts are
-  *     admitted for INNER only (a post-join Filter is inner-correct;
-  *     for outer joins a residual must participate in MATCHING, and
-  *     one-sided outer conjuncts were already pushed into the
-  *     appropriate child by Spark's optimizer before this rule runs —
-  *     what remains is the rare cross-side residual, which keeps
-  *     Spark's plan);
+  *   - INNER, LEFT, RIGHT or FULL OUTER join, no join hints (a user's
+  *     BROADCAST hint wins). RIGHT OUTER rewrites as the side-swapped
+  *     LEFT OUTER under an order-restoring Project. Outer joins
+  *     reconstruct per-side key columns from the node's coalesced
+  *     USING-style keys via two presence markers the node emits (an
+  *     unmatched row must surface NULL in the absent side's key).
+  *     Residual ON conjuncts are admitted everywhere: a post-join
+  *     Filter for INNER (equivalent there), and INSIDE the node for
+  *     outer types — the residual participates in MATCHING (a
+  *     key-equal pair failing it null-extends rather than drops), so
+  *     each division evaluates it on its candidate pairs
+  *     ([[DivisionJoinPlan.residuals]]); only a subquery-bearing
+  *     residual keeps Spark's plan (its internal plan can't be
+  *     duplicated across division branches);
   *   - each side is a graft relation ([[GraftFileIndex]] listing,
   *     i.e. a `format("graft")` read or a spliced catalog read),
   *     optionally under deterministic Project/Filter nodes;
@@ -74,6 +77,13 @@ final class SqlDivisionJoin(protected val session: SparkSession)
       case j @ Join(_, _, Inner | LeftOuter | FullOuter, Some(_),
           JoinHint(None, None)) =>
         rewrite(j).getOrElse(j)
+      case j @ Join(l, r, RightOuter, Some(c), JoinHint(None, None)) =>
+        // RIGHT OUTER is LEFT OUTER with the sides exchanged: rewrite
+        // the swapped join (same condition — pairs() is orientation-
+        // agnostic, and all original ExprIds survive the rewrite), then
+        // restore the original column order with a Project.
+        rewrite(Join(r, l, LeftOuter, Some(c), JoinHint(None, None)))
+          .map(p => Project(j.output, p)).getOrElse(j)
     }
   }
 
@@ -126,9 +136,15 @@ final class SqlDivisionJoin(protected val session: SparkSession)
     val residual = conjuncts.filterNot(c => pairs(c).exists(p =>
       keyNames.indices.exists(i =>
         p == (lKeys(i).exprId, rKeys(i).exprId))))
-    // a post-join Filter is only inner-correct: for outer joins a
-    // residual decides MATCHING (failing pairs null-extend, not drop)
-    if (residual.nonEmpty && j.joinType != Inner) return None
+    // Inner residuals become a post-join Filter (equivalent there);
+    // outer residuals decide MATCHING (failing pairs null-extend, not
+    // drop) and are carried INSIDE the node, remapped per division
+    // below. A subquery in a residual would share its internal plan
+    // (and ExprIds) across division branches — keep Spark's plan.
+    val residExpr = residual.reduceOption(And(_, _))
+    if (j.joinType != Inner &&
+        residExpr.exists(_.exists(_.isInstanceOf[SubqueryExpression])))
+      return None
 
     // Cost gates: a broadcastable side beats everything; too few
     // divisions under-utilizes one-task-per-range.
@@ -154,16 +170,27 @@ final class SqlDivisionJoin(protected val session: SparkSession)
     def children(side: LogicalPlan,
         idx: org.apache.spark.sql.GraftFileIndex,
         files: IndexedSeq[IndexedSeq[Int]], keys: Seq[Attribute]):
-        (IndexedSeq[LogicalPlan], IndexedSeq[Seq[Attribute]]) = {
+        (IndexedSeq[LogicalPlan], IndexedSeq[Seq[Attribute]],
+          IndexedSeq[Map[ExprId, Attribute]]) = {
       val built = (0 until g).map { i =>
         val (sub, m) = sliceChain(side, idx, files(i), first = i == 0)
         val keysI = keys.map(a => m.getOrElse(a.exprId, a))
-        (Filter(rangePred(keysI, merged(i), merged(i + 1)), sub), keysI)
+        (Filter(rangePred(keysI, merged(i), merged(i + 1)), sub), keysI, m)
       }
-      (built.map(_._1), built.map(_._2))
+      (built.map(_._1), built.map(_._2), built.map(_._3))
     }
-    val (lChildren, lChildKeys) = children(l, lIdx, lFiles, lKeys)
-    val (rChildren, rChildKeys) = children(r, rIdx, rFiles, rKeys)
+    val (lChildren, lChildKeys, lMaps) = children(l, lIdx, lFiles, lKeys)
+    val (rChildren, rChildKeys, rMaps) = children(r, rIdx, rFiles, rKeys)
+    // Outer residuals ride inside the node, one per division with its
+    // references remapped onto that division's fresh child attributes.
+    val nodeResiduals: Seq[Expression] =
+      if (j.joinType == Inner) Nil
+      else residExpr.toSeq.flatMap(e => (0 until g).map { i =>
+        e.transform {
+          case a: Attribute => lMaps(i).getOrElse(a.exprId,
+            rMaps(i).getOrElse(a.exprId, a))
+        }
+      })
     DivisionJoin.ensureStrategy(session)
     // Outer joins need the presence markers to reconstruct per-side
     // key columns; allocate the attrs HERE so plan copies keep ids.
@@ -176,7 +203,7 @@ final class SqlDivisionJoin(protected val session: SparkSession)
           org.apache.spark.sql.types.BooleanType, nullable = false)())
     val node = DivisionJoinPlan(j.joinType, keyNames.toIndexedSeq, g,
       (lChildKeys ++ rChildKeys).flatten, lChildren ++ rChildren,
-      presence)
+      presence, nodeResiduals)
 
     // Restore the ON-join output shape: the node emits keys ONCE
     // (division-0 left attrs — original ExprIds, value from whichever
@@ -212,7 +239,9 @@ final class SqlDivisionJoin(protected val session: SparkSession)
     logInfo(s"graft: rewrote ${j.joinType} join on " +
       s"${keyNames.mkString(",")} to a zero-Exchange division join " +
       s"($g ranges)")
-    Some(residual.reduceOption(And(_, _))
-      .map(Filter(_, projected)).getOrElse(projected))
+    Some(
+      if (j.joinType == Inner)
+        residExpr.map(Filter(_, projected)).getOrElse(projected)
+      else projected)
   }
 }

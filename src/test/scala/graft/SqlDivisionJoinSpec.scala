@@ -7,12 +7,13 @@ import graft.core.PDataset
 import Fixtures._
 
 /** The automatic zero-Exchange SQL division join
-  * (`graft.plans.SqlDivisionJoin`): an inner, LEFT or FULL join
-  * between two graft reads co-clustered on the join key rewrites to
-  * the engine's division join — no shuffle on either side — while
-  * every non-eligible shape (right/semi joins, cross-side residual
-  * outer conjuncts, broadcastable sides, aliased keys, rule
-  * disabled) keeps Spark's plan. */
+  * (`graft.plans.SqlDivisionJoin`): an inner, LEFT, RIGHT or FULL
+  * join between two graft reads co-clustered on the join key rewrites
+  * to the engine's division join — no shuffle on either side, with
+  * cross-side residual ON conjuncts evaluated INSIDE the per-division
+  * join for outer types — while every non-eligible shape (semi/anti
+  * joins, broadcastable sides, aliased keys, rule disabled) keeps
+  * Spark's plan. */
 class SqlDivisionJoinSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
@@ -70,10 +71,10 @@ class SqlDivisionJoinSpec extends AnyFunSuite {
       spark.conf.set("spark.graft.sql.divisionJoin", "true")
       assert(df2.orderBy("k").collect().toSeq == want2)
 
-      // RIGHT joins keep Spark's plan (node has no RightOuter form)
-      val dfR = spark.sql(
-        "SELECT * FROM dja RIGHT JOIN djb ON dja.k = djb.k")
-      assert(!plans(dfR)._1.contains("DivisionJoin"), plans(dfR)._1)
+      // SEMI joins keep Spark's plan (node has no semi form)
+      val dfS = spark.sql(
+        "SELECT * FROM dja WHERE k IN (SELECT k FROM djb)")
+      assert(!plans(dfS)._1.contains("DivisionJoin"), plans(dfS)._1)
 
       // a broadcastable side keeps Spark's broadcast join
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
@@ -94,8 +95,9 @@ class SqlDivisionJoinSpec extends AnyFunSuite {
     }
   }
 
-  test("LEFT and FULL SQL joins rewrite with exact null-extension " +
-      "semantics; cross-side residual outer conjuncts keep Spark's plan") {
+  test("LEFT, RIGHT and FULL SQL joins rewrite with exact " +
+      "null-extension semantics; cross-side residual ON conjuncts are " +
+      "evaluated inside the node (ON semantics, not a post-filter)") {
     PDataset.divisionJoinMinOverride = Some(2)
     val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
@@ -147,9 +149,73 @@ class SqlDivisionJoinSpec extends AnyFunSuite {
       compare("SELECT lja.k, ljb.p_b FROM lja LEFT JOIN ljb " +
         "ON lja.k = ljb.k AND ljb.g = 2", expectRewrite = true)
 
-      // a CROSS-SIDE residual decides matching -> keeps Spark's plan
+      // RIGHT OUTER rewrites via the side-swap: unmatched RIGHT rows
+      // (keys 120-159) null-extend on the left side, incl. lja.k
+      val right = compare("SELECT lja.k, lja.p_a, ljb.k AS k2, ljb.p_b " +
+        "FROM lja RIGHT JOIN ljb ON lja.k = ljb.k", expectRewrite = true)
+      assert(right.length == 120) // 80 matched + 40 right-only
+      assert(right.count(_.startsWith("[null")) == 40,
+        "keys 120-159 must null-extend the left side")
+
+      // a CROSS-SIDE residual decides MATCHING: key-equal pairs that
+      // fail it null-extend instead of dropping — carried inside the
+      // node, exact parity with Spark's outer join
+      val res = compare("SELECT lja.k, lja.g, ljb.g AS g2, ljb.p_b " +
+        "FROM lja LEFT JOIN ljb " +
+        "ON lja.k = ljb.k AND lja.g <> ljb.g", expectRewrite = true)
+      // co-clustered equal keys share k%5 so g always equals g2:
+      // EVERY left row must survive null-extended
+      assert(res.length == 120 && res.forall(_.contains("null")),
+        s"every key-equal pair fails g<>g -> all 120 rows null-extend")
+      // ...and a residual some pairs PASS: parity is the whole check
       compare("SELECT lja.k, ljb.p_b FROM lja LEFT JOIN ljb " +
-        "ON lja.k = ljb.k AND lja.g <> ljb.g", expectRewrite = false)
+        "ON lja.k = ljb.k AND lja.g + ljb.g < 6", expectRewrite = true)
+      compare("SELECT lja.k, lja.p_a, ljb.k AS k2, ljb.p_b " +
+        "FROM lja FULL JOIN ljb " +
+        "ON lja.k = ljb.k AND lja.g + ljb.g < 6", expectRewrite = true)
+      compare("SELECT lja.k, lja.p_a, ljb.k AS k2, ljb.p_b " +
+        "FROM lja RIGHT JOIN ljb " +
+        "ON lja.k = ljb.k AND lja.g + ljb.g < 6", expectRewrite = true)
+
+      // multiple build rows per key under a residual: every key-equal
+      // candidate matches INDEPENDENTLY (regression pin: buffering
+      // emit()'s reused UnsafeRow once collapsed all of a key's
+      // matches onto the last one — counts right, values wrong)
+      val dirD = tempDir("sqldivjoin-dup") + "/ds"
+      def partD(lo: Long): PDataset =
+        PDataset.fromDataFrame(
+          spark.range(lo, lo + 20).select(
+            (col("id") - col("id") % 2).as("k"),
+            (col("id") % 5).as("g"),
+            concat(lit("d"), col("id")).as("p_d")), Seq("k"))
+      PDataset.concat((40L until 160L by 20L).map(partD))
+        .writeParquet(dirD)
+      spark.read.format("graft").load(dirD).createOrReplaceTempView("ljd")
+      compare("SELECT lja.k, lja.g, ljd.g AS g2, ljd.p_d " +
+        "FROM lja LEFT JOIN ljd " +
+        "ON lja.k = ljd.k AND lja.g + ljd.g < 6", expectRewrite = true)
+      // ...and per-row matched flags in the FULL tail: of two build
+      // rows under one key, the residual-failing one must null-extend
+      compare("SELECT lja.k, lja.p_a, ljd.k AS k2, ljd.p_d " +
+        "FROM lja FULL JOIN ljd ON lja.k = ljd.k AND lja.g + ljd.g < 6",
+        expectRewrite = true)
+
+      // residual matching survives the Grace spill fallback: per-row
+      // matched flags work bucket-by-bucket too
+      val oldThreshold =
+        graft.plans.DivisionJoinExec.buildSpillThresholdBytes
+      graft.plans.DivisionJoinExec.buildSpillThresholdBytes = 300L
+      try {
+        graft.plans.DivisionJoinExec.spillCount.set(0L)
+        compare("SELECT lja.k, lja.p_a, ljb.k AS k2, ljb.p_b " +
+          "FROM lja FULL JOIN ljb " +
+          "ON lja.k = ljb.k AND lja.g + ljb.g < 6", expectRewrite = true)
+        assert(graft.plans.DivisionJoinExec.spillCount.get > 0,
+          "fixture did not exercise the spill path")
+      } finally {
+        graft.plans.DivisionJoinExec.buildSpillThresholdBytes =
+          oldThreshold
+      }
     } finally {
       PDataset.divisionJoinMinOverride = None
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
@@ -178,6 +244,19 @@ class SqlDivisionJoinSpec extends AnyFunSuite {
       spark, "/root/testdata/sf0.001")
     val opt = df.queryExecution.optimizedPlan.toString
     assert(opt.contains("DivisionJoin"), opt)
+    assert(!df.queryExecution.executedPlan.toString
+      .contains("hashpartitioning(ckey"),
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("the q_sql_division_join_right entry query really plans the " +
+      "zero-Exchange division join with its residual inside the node") {
+    val df = SparkEntry.queries("q_sql_division_join_right")(
+      spark, "/root/testdata/sf0.001")
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("DivisionJoin"), opt)
+    // the residual rides INSIDE the node, not as a post-join Filter
+    // above it (which would drop null-extended rows)
     assert(!df.queryExecution.executedPlan.toString
       .contains("hashpartitioning(ckey"),
       df.queryExecution.executedPlan.toString)
