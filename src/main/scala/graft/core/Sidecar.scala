@@ -303,6 +303,18 @@ object Sidecar {
       maxPartitionIndex: Long,
       schema: StructType,
       extras: Map[String, Any] = Map.empty): Unit = {
+    // Entry-shape invariant the maintenance layer's external-entry
+    // classification rests on: locally written entries are BARE
+    // generated names; only shallow clones introduce path-shaped
+    // entries, and those are always ABSOLUTE qualified paths. A
+    // relative subdirectory entry would be classified as neither —
+    // fail loudly at the commit that tries to create one.
+    files.foreach { f =>
+      require(!f.contains("/") || new Path(f).isAbsolute,
+        s"sidecar entry '$f' is neither a bare file name nor an " +
+          "absolute external path; relative subdirectory entries are " +
+          "unsupported (they would evade the external-entry guard)")
+    }
     val meta = scala.collection.immutable.ListMap(
       "index_columns" -> indexColumns,
       "files" -> files,

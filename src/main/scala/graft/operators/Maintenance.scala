@@ -296,11 +296,18 @@ object Maintenance {
     * The source-side hazard is BROADER than Delta's: graft's
     * non-retained ops delete replaced files immediately (Delta keeps
     * them until VACUUM), so ANY non-retained rewrite of the source —
-    * updateWhere, deleteRange, compact, DV materialize — removes
+    * updateWhere, deleteRange, compact, DV materialize — would remove
     * bytes a clone may still reference, not just an explicit vacuum.
-    * Sources that keep mutating under live clones should mutate with
-    * `retain = true` (or the `graft.retain` table property) until
-    * the clones are localized or dropped.
+    * The clone therefore registers a BACKLINK marker in every
+    * directory whose bytes it references (`_graft_clones/`), and the
+    * owners' [[deletableNow]] and [[vacuum]] keep any file a live
+    * registered clone still references; a marker whose clone is
+    * dropped or fully localized self-cleans on the next maintenance
+    * pass. The guard is best-effort (a read-only source filesystem
+    * cannot carry markers; a clone mid-commit can race a source
+    * rewrite) — sources mutating heavily under live clones should
+    * still prefer `retain = true` (or the `graft.retain` table
+    * property), which keeps full history instead.
     *
     * Returns the number of file references cloned. */
   def shallowClone(
@@ -353,6 +360,13 @@ object Maintenance {
     Sidecar.write(spark, dstDir, m.indexColumns, entries,
       m.sizes, m.lowerBounds, m.upperBounds, m.maxPartitionIndex,
       m.schema, extras = extras)
+    // Best-effort source-side protection: register this clone in
+    // every directory whose bytes it references, so the owners'
+    // non-retained rewrites and vacuums keep clone-referenced files
+    // ([[deletableNow]] / [[vacuum]] consult the backlinks; stale
+    // markers self-clean there).
+    registerCloneBacklinks(spark, entries, qualifiedSrc,
+      dfs.makeQualified(dstPath).toString)
     entries.length
   }
 
@@ -790,7 +804,15 @@ object Maintenance {
       spark: SparkSession,
       dir: String,
       candidates: Seq[String]): Seq[String] = {
-    val owned = candidates.filterNot(isExternalEntry)
+    val owned0 = candidates.filterNot(isExternalEntry)
+    // Source-side clone protection: a file a LIVE registered clone
+    // still references survives a non-retained rewrite — without
+    // this, one routine compact() on the source would silently break
+    // every clone (graft deletes replaced files immediately; Delta's
+    // equivalent hazard is narrowed to vacuum-with-retention).
+    val cloneRefs = cloneReferencedNames(spark, dir)
+    val owned =
+      if (cloneRefs.isEmpty) owned0 else owned0.filterNot(cloneRefs)
     val vs = versions(spark, dir)
     if (vs.isEmpty) owned
     else {
@@ -800,12 +822,107 @@ object Maintenance {
     }
   }
 
+  // ---- source-side clone backlinks (best-effort clone protection) --
+
+  /** Directory (under a table dir) holding one marker per registered
+    * clone that references this table's bytes; `_`-prefixed so scans
+    * never see it. */
+  private[graft] val ClonesDir = "_graft_clones"
+
+  private def cloneMarkerName(dstQualified: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(dstQualified.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString + ".json"
+  }
+
+  /** Record `dstQualified` as a live clone in every directory whose
+    * bytes it references (the immediate source for bare entries; the
+    * ORIGINAL owner for clone-of-clone chains, whose entries stay
+    * absolute into the first table). BEST-EFFORT by design: a
+    * read-only source filesystem can't carry markers — the clone
+    * still works, the source just loses the delete guard (the
+    * documented `retain = true` discipline then applies). */
+  private def registerCloneBacklinks(
+      spark: SparkSession,
+      entries: Seq[String],
+      qualifiedSrc: HPath,
+      dstQualified: String): Unit = {
+    val owners = entries.map { e =>
+      if (isExternalEntry(e)) new HPath(e).getParent.toString
+      else qualifiedSrc.toString
+    }.distinct
+    val marker = cloneMarkerName(dstQualified)
+    owners.foreach { o =>
+      try {
+        val (ofs, oPath) = GraftFs.resolve(spark, o)
+        val cdir = new HPath(oPath, ClonesDir)
+        GraftFs.mkdirs(ofs, cdir)
+        GraftFs.writeString(ofs, new HPath(cdir, marker),
+          graft.core.TypedJson.write(scala.collection.immutable.ListMap(
+            "clone" -> dstQualified,
+            "ts" -> System.currentTimeMillis())))
+      } catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** This table's file NAMES still referenced by live registered
+    * clones (current generation or any retained one), pruning stale
+    * markers as it goes — a marker whose clone is gone, or no longer
+    * references any of this table's bytes (fully localized by
+    * copy-on-write), deletes itself. Driver-side KB-scale sidecar
+    * reads; zero cost when no clone was ever registered (one
+    * directory probe). */
+  private[operators] def cloneReferencedNames(
+      spark: SparkSession, dir: String): Set[String] = {
+    val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    val cdir = new HPath(dirPath, ClonesDir)
+    if (!GraftFs.isDir(fs, cdir)) return Set.empty
+    val qualified = fs.makeQualified(dirPath)
+    GraftFs.listStatuses(fs, cdir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".json") &&
+        !st.getPath.getName.startsWith("."))
+      .flatMap { st =>
+      def namesOf(m: Sidecar.Meta): Iterator[String] =
+        m.files.iterator.filter(isExternalEntry).flatMap { e =>
+          val p = new HPath(e)
+          if (p.getParent == qualified) Some(p.getName) else None
+        }
+      // (refs, definitely-stale): a TRANSIENT read failure keeps the
+      // marker (deleting it would permanently drop the guard) and
+      // protects nothing this round; only a clone that is verifiably
+      // gone or fully localized (COW rewrote every source reference)
+      // is stale.
+      val (refs, stale): (Set[String], Boolean) =
+        try {
+          val dst = graft.core.TypedJson
+            .parse(GraftFs.readString(fs, st.getPath))
+            .asInstanceOf[Map[String, Any]]("clone").toString
+          if (!Sidecar.exists(spark, dst)) (Set.empty, true)
+          else {
+            val r = (namesOf(Sidecar.load(spark, dst)) ++
+              versions(spark, dst).iterator.flatMap(v =>
+                namesOf(versionMeta(spark, dst, v)))).toSet
+            (r, r.isEmpty)
+          }
+        } catch { case _: Exception => (Set.empty[String], false) }
+      if (stale) {
+        try { fs.delete(st.getPath, false); () }
+        catch { case _: java.io.IOException => () }
+      }
+      refs
+    }.toSet
+  }
+
   /** Whether a sidecar file entry references data OUTSIDE its own
     * dataset directory — a [[shallowClone]] source file. Locally
-    * written entries are always bare generated names; only clones
-    * introduce path-shaped entries. */
+    * written entries are always bare generated names (an invariant
+    * [[graft.core.Sidecar.write]] asserts at every commit); external
+    * entries are always ABSOLUTE qualified paths, so the test is
+    * path absoluteness — a relative subdirectory entry (which would
+    * be neither) fails loudly at write time instead of being silently
+    * misclassified here. */
   private[graft] def isExternalEntry(entry: String): Boolean =
-    entry.contains("/")
+    entry.contains("/") && new HPath(entry).isAbsolute
 
   /** Copy the CURRENT metadata into the history before a swap;
     * returns the archived version number. */
@@ -870,9 +987,15 @@ object Maintenance {
       (archived.takeRight(retainLast).map(_._1) ++
         olderThan.toSeq.flatMap(ts =>
           archived.filter(_._2 >= ts).map(_._1))).toSet
-    // Every file any KEPT generation still references survives.
+    // Every file any KEPT generation still references survives — and
+    // so does every file a LIVE registered clone references (the
+    // clone's bytes live HERE; deleting them through the source's
+    // vacuum would corrupt the clone). Stale backlinks self-clean
+    // inside cloneReferencedNames, which is the "vacuum removes
+    // stale markers" path.
     val referenced = m.files.toSet ++ keepVersions.iterator
-      .flatMap(v => versionMeta(spark, dir, v).files)
+      .flatMap(v => versionMeta(spark, dir, v).files) ++
+      cloneReferencedNames(spark, dir)
     val stale = GraftFs.listStatuses(fs, dirPath)
       .filter(_.isFile)
       .filter { st =>

@@ -334,6 +334,101 @@ class CloneSpec extends AnyFunSuite {
     assert(!graft.core.ColumnStats.exists(spark, src))
   }
 
+  test("source-side protection: a NON-retained source compact keeps " +
+      "every byte a live clone references — the clone stays readable") {
+    val base = tempDir("clone-protect")
+    val src = base + "/src"
+    val dst = base + "/dst"
+    writeKeyed(src, 300, 30)
+    Maintenance.shallowClone(spark, src, dst)
+    // the clone registered a backlink marker in the source
+    val markers = new java.io.File(src, "_graft_clones")
+    assert(markers.isDirectory && markers.list().nonEmpty)
+    val before = srcState(src)
+    // a routine non-retained compact rewrites every source file; the
+    // replaced originals were deleted immediately before the guard
+    val r = Maintenance.compact(spark, src, targetRows = 300)
+    assert(r.merged > 0, r.toString)
+    before.keys.foreach { f =>
+      assert(Files.exists(Paths.get(src, f)),
+        s"clone-referenced $f deleted by the source compact")
+    }
+    assertSameRows(PDataset.scanParquet(spark, dst).toDF, keyedDF(0, 300))
+    assertSameRows(PDataset.scanParquet(spark, src).toDF, keyedDF(0, 300))
+    // ...and a source VACUUM (which deletes by directory listing, not
+    // by replaced-candidate names) also keeps clone-referenced bytes
+    Maintenance.vacuum(spark, src)
+    before.keys.foreach { f =>
+      assert(Files.exists(Paths.get(src, f)),
+        s"clone-referenced $f deleted by the source vacuum")
+    }
+    assertSameRows(PDataset.scanParquet(spark, dst).toDF, keyedDF(0, 300))
+  }
+
+  test("stale backlinks self-clean: dropping the clone frees the " +
+      "source's replaced files on its next maintenance pass") {
+    val base = tempDir("clone-stale")
+    val src = base + "/src"
+    val dst = base + "/dst"
+    writeKeyed(src, 120, 30)
+    Maintenance.shallowClone(spark, src, dst)
+    val before = srcState(src)
+    // drop the clone wholesale (the operator has no deregister hook)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(dst))
+    // next non-retained rewrite: the marker is verifiably stale, so
+    // the replaced originals delete immediately and the marker goes
+    Maintenance.compact(spark, src, targetRows = 120)
+    assert(before.keys.forall(f => !Files.exists(Paths.get(src, f))),
+      "replaced files must delete once no live clone references them")
+    val markers = new java.io.File(src, "_graft_clones")
+    assert(!markers.isDirectory || markers.list().isEmpty,
+      "stale marker must self-clean")
+    assertSameRows(PDataset.scanParquet(spark, src).toDF, keyedDF(0, 120))
+  }
+
+  test("a fully LOCALIZED clone (copy-on-write rewrote every source " +
+      "reference) releases its backlink; clone-of-clone registers " +
+      "against the ORIGINAL owner of the bytes") {
+    val base = tempDir("clone-localize")
+    val src = base + "/src"
+    val dst = base + "/dst"
+    val dst2 = base + "/dst2"
+    writeKeyed(src, 120, 30)
+    Maintenance.shallowClone(spark, src, dst)
+    // clone-of-clone: entries stay absolute into SRC, so the backlink
+    // lands in SRC (the owner of the bytes), not in dst
+    Maintenance.shallowClone(spark, dst, dst2)
+    assert(!new java.io.File(dst, "_graft_clones").isDirectory ||
+      new java.io.File(dst, "_graft_clones").list().isEmpty,
+      "clone-of-clone must not register against the intermediate clone")
+    assert(new java.io.File(src, "_graft_clones").list()
+      .count(n => n.endsWith(".json") && !n.startsWith(".")) == 2,
+      "both clones must register against the byte owner")
+    // drop the second clone, then localize the first completely: every
+    // band rewritten -> no external references remain
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(dst2))
+    Maintenance.updateWhere(spark, dst, col("k") >= 0L,
+      Seq("payload" -> concat(lit("x"), col("k"))))
+    assert(Sidecar.load(spark, dst).files.forall(!_.contains("/")),
+      "localization fixture must rewrite every band")
+    val before = srcState(src)
+    // source maintenance now sees both markers stale -> originals free
+    Maintenance.compact(spark, src, targetRows = 120)
+    assert(before.keys.forall(f => !Files.exists(Paths.get(src, f))),
+      "files must free once every clone is localized or dropped")
+    val markers = new java.io.File(src, "_graft_clones")
+    assert(!markers.isDirectory || markers.list().isEmpty)
+    // and the localized clone still reads its own bytes
+    assert(PDataset.scanParquet(spark, dst).toDF
+      .where(col("payload") === "x5").count() == 1L)
+  }
+
   test("clone carries CHECK constraints and refuses violating writes") {
     val base = tempDir("clone-check")
     val src = base + "/src"
