@@ -647,6 +647,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Streaming NEAR-DUP ingestion: the batch (doc_id % 10 == 0)
+    // streams through DocumentStreams.dedupSink, which dedups each
+    // micro-batch against the persisted MinHash index and appends
+    // survivors to the corpus + their bands to the index, exactly-once
+    // via txn-stamped appends. One micro-batch here, so the final
+    // corpus = corpus ∪ dedupBatch survivors — the same policy the
+    // q_dedup_batch oracle recomputes over the exact pair set.
+    "q_stream_ingest" -> ((s, d) => {
+      val root = mutableCopy("ingestpair", d) { out =>
+        val corpus = scan(s, d, "documents").toDF
+          .filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
+        PDataset.fromDataFrame(corpus, Seq("doc_id"))
+          .writeParquet(out + "/corpus")
+        Dedup.buildMinhashIndex(s, corpus, "doc_id", "text",
+          out + "/idx")
+      }
+      val src = fixture("ingestbatch", d) { out =>
+        s.read.parquet(T(d, "documents"))
+          .filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+          .coalesce(1).write.parquet(out)
+      }
+      val stream = s.readStream.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+        .parquet(src)
+      val q = graft.streaming.DocumentStreams.dedupSink(stream,
+        "doc_id", "text", root + "/corpus", root + "/idx",
+        tmp("q-stream-ingest-ck"))
+      try q.processAllAvailable()
+      finally q.stop()
+      PDataset.scanParquet(s, root + "/corpus").toDF
+        .select("doc_id", "text").orderBy("doc_id")
+    }),
+
     // Incrementally-maintained aggregate view: build once, mutate the
     // source with retained ops, refresh off the change feed (O(view +
     // delta), the source is never rescanned), read the view. The
@@ -3852,6 +3885,18 @@ object SparkEntry {
         SELECT doc_id, text FROM documents
         WHERE doc_id % 10 = 0
           AND doc_id NOT IN (SELECT doc_id FROM losers)
+        ORDER BY doc_id""",
+      // the streamed single-batch ingestion: corpus ∪ the batch
+      // survivors under the same loser policy as q_dedup_batch
+      "q_stream_ingest" -> s"""
+        WITH t AS (${shingleCte("")}),
+        losers AS (
+          SELECT CASE WHEN "idA" % 10 = 0 AND "idB" % 10 = 0 THEN "idB"
+                      WHEN "idA" % 10 = 0 THEN "idA"
+                      ELSE "idB" END AS doc_id
+          FROM t WHERE "idA" % 10 = 0 OR "idB" % 10 = 0)
+        SELECT doc_id, text FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         ORDER BY doc_id""",
       "q_dedup_ngram" -> shingleCte(""),
       // Word 4-gram overlap between the corpus (doc_id % 97 != 0) and

@@ -203,7 +203,12 @@ object Dedup {
 
   /** Extend the index to a newly ingested batch — O(batch) signature
     * work plus one clustered append; already-indexed documents are
-    * untouched. */
+    * untouched. `txn = Some((appId, version))` routes the append
+    * through the exactly-once transactional write path (the Delta
+    * txnAppId/txnVersion pattern): a version the index's ledger
+    * already records is a no-op, so a crash-replayed streaming batch
+    * ([[graft.streaming.DocumentStreams.dedupSink]]) never
+    * double-appends bands. */
   def appendToMinhashIndex(
       spark: SparkSession,
       newDocs: DataFrame,
@@ -211,11 +216,20 @@ object Dedup {
       textCol: String,
       dir: String,
       shingler: Column => Column = TextFunctions.wordShingles(_, 3),
-      shinglerTag: String = WordTrigramTag): Unit = {
+      shinglerTag: String = WordTrigramTag,
+      txn: Option[(String, Long)] = None): Unit = {
     val (numPerms, bands, seed) = minhashIndexParams(spark, dir, shinglerTag)
-    graft.core.PDataset.fromDataFrame(
-      bandTable(newDocs, idCol, textCol, shingler, numPerms, bands, seed),
-      Seq("bucket")).writeParquet(dir, append = true)
+    val bt = bandTable(newDocs, idCol, textCol, shingler,
+      numPerms, bands, seed)
+    txn match {
+      case None =>
+        graft.core.PDataset.fromDataFrame(bt, Seq("bucket"))
+          .writeParquet(dir, append = true)
+      case Some((app, v)) =>
+        bt.write.format("graft").mode("append")
+          .option("txnAppId", app).option("txnVersion", v.toString)
+          .save(dir)
+    }
   }
 
   /** Near-dup pairs of a NEW batch against an indexed corpus (plus

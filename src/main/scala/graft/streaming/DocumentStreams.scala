@@ -54,6 +54,63 @@ object DocumentStreams {
       .withColumn("lang_pred", TextFunctions.langId(col("text")))
       .filter(col("quality") >= minQuality)
 
+  /** Continuous NEAR-DUP-gated ingestion — the persisted MinHash band
+    * index as the spine of a continuously ingesting corpus: each
+    * micro-batch runs [[graft.operators.Dedup.dedupBatch]] against
+    * the index (O(batch) signature work + bucket equi-joins; no
+    * corpus document is ever re-signed, old-vs-old is never
+    * re-paired), appends the SURVIVORS to the corpus table and their
+    * band rows to the index, so the next batch dedups against
+    * everything ingested before it.
+    *
+    * Exactly-once across BOTH tables: each append is stamped with an
+    * (appId, batchId) txn pair committed in the same atomic sidecar
+    * swap as its files, so a crash-replayed micro-batch no-ops on
+    * whichever table already committed it. The corpus commits FIRST —
+    * a replay after corpus-commit/index-crash recomputes the SAME
+    * survivor set (candidates come from the index, which does not yet
+    * hold the batch) and completes the index append; committing the
+    * index first would poison the replay (the batch's own bands would
+    * pair it against itself and drop both members). `appId` defaults
+    * to a checkpoint-derived id — stable across restarts, distinct
+    * across sinks. */
+  def dedupSink(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpusDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      threshold: Double = 0.85,
+      shingler: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        TextFunctions.wordShingles(_, 3),
+      shinglerTag: String = graft.operators.Dedup.WordTrigramTag,
+      appId: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val app = appId.getOrElse(s"graft-dedup-sink:$checkpointDir")
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val corpus = graft.core.PDataset.scanParquet(spark, corpusDir).toDF
+        val survivors = graft.operators.Dedup.dedupBatch(spark,
+          batch.toDF(), idCol, textCol, corpus, indexDir, threshold,
+          shingler, shinglerTag).persist()
+        try {
+          if (!survivors.isEmpty) {
+            survivors.write.format("graft").mode("append")
+              .option("txnAppId", app)
+              .option("txnVersion", batchId.toString)
+              .save(corpusDir)
+            graft.operators.Dedup.appendToMinhashIndex(spark, survivors,
+              idCol, textCol, indexDir, shingler, shinglerTag,
+              txn = Some((app, batchId)))
+          }
+        } finally { survivors.unpersist(); () }
+      }
+      .start()
+  }
+
   /** Continuously apply a keyed stream to a persisted dataset: each
     * micro-batch [[graft.operators.Maintenance.upsert]]s by the
     * dataset's own index key, so only the partitions that receive

@@ -155,6 +155,89 @@ class StreamingSpec extends AnyFunSuite {
     assert(Maintenance.versions(spark, target).isEmpty)
   }
 
+  test("near-dup ingestion sink: micro-batches dedup sequentially " +
+      "against the persisted MinHash index, a restart resumes without " +
+      "reprocessing, and a checkpoint-less replay is a txn no-op") {
+    import graft.core.PDataset
+    import graft.operators.Dedup
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def seedTables(corpusDir: String, idxDir: String): Unit = {
+      val seed = docs.filter(col("doc_id") % 3 === 0)
+      PDataset.fromDataFrame(seed, Seq("doc_id")).writeParquet(corpusDir)
+      Dedup.buildMinhashIndex(spark, seed, "doc_id", "text", idxDir)
+    }
+    // batch 1: residue 1 + exact copies of 5 CORPUS docs (must drop:
+    // the indexed corpus copy wins); batch 2: residue 2 + exact
+    // copies of 5 BATCH-1 docs (drop ONLY if batch 1's survivors
+    // really entered the index — the sequentiality under test).
+    val b1 = docs.filter(col("doc_id") % 3 === 1).unionByName(
+      docs.filter(col("doc_id") % 3 === 0).orderBy("doc_id").limit(5)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val b2 = docs.filter(col("doc_id") % 3 === 2).unionByName(
+      docs.filter(col("doc_id") % 3 === 1).orderBy("doc_id").limit(5)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+
+    // Reference: the same two batches through the BATCH operator.
+    val refRoot = Files.createTempDirectory("graft-ingest-ref").toString
+    seedTables(refRoot + "/corpus", refRoot + "/idx")
+    Seq(b1, b2).foreach { b =>
+      val surv = Dedup.dedupBatch(spark, b, "doc_id", "text",
+        PDataset.scanParquet(spark, refRoot + "/corpus").toDF,
+        refRoot + "/idx").persist()
+      PDataset.fromDataFrame(surv, Seq("doc_id"))
+        .writeParquet(refRoot + "/corpus", append = true)
+      Dedup.appendToMinhashIndex(spark, surv, "doc_id", "text",
+        refRoot + "/idx")
+      surv.unpersist()
+    }
+    val expected = PDataset.scanParquet(spark, refRoot + "/corpus").toDF
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+
+    // Streamed: file 1 -> process -> STOP -> file 2 -> restart with
+    // the same checkpoint (resume, not reprocess) -> process.
+    val root = Files.createTempDirectory("graft-ingest").toString
+    seedTables(root + "/corpus", root + "/idx")
+    val srcDir = Files.createTempDirectory("graft-ingest-src").toString
+    val ck = Files.createTempDirectory("graft-ingest-ck").toString
+    def startSink() = graft.streaming.DocumentStreams.dedupSink(
+      spark.readStream.schema(schema).parquet(srcDir),
+      "doc_id", "text", root + "/corpus", root + "/idx", ck,
+      appId = Some("ingest-spec"))
+    b1.coalesce(1).write.mode("append").parquet(srcDir)
+    val q1 = startSink()
+    try q1.processAllAvailable() finally q1.stop()
+    b2.coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = startSink()
+    try q2.processAllAvailable() finally q2.stop()
+
+    def corpusRows() = PDataset.scanParquet(spark, root + "/corpus").toDF
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val got = corpusRows()
+    assert(got == expected, "streamed corpus != batch-operator corpus")
+    // the planted duplicates really dropped, their originals survived
+    val ids = PDataset.scanParquet(spark, root + "/corpus").toDF
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.exists(_ >= 1000000L),
+      "planted exact dups must drop (corpus/batch-1 copies win)")
+    assert(ids.size == got.length, "no duplicate ids after restart")
+
+    // Checkpoint-less replay with the SAME appId: every batch
+    // re-delivers, but both tables' txn ledgers already record the
+    // versions — the whole replay must be a no-op.
+    val ck2 = Files.createTempDirectory("graft-ingest-ck2").toString
+    val q3 = graft.streaming.DocumentStreams.dedupSink(
+      spark.readStream.schema(schema).parquet(srcDir),
+      "doc_id", "text", root + "/corpus", root + "/idx", ck2,
+      appId = Some("ingest-spec"))
+    try q3.processAllAvailable() finally q3.stop()
+    assert(corpusRows() == got, "replayed batches must be txn no-ops")
+  }
+
   test("view-maintaining sink keeps the aggregate synced per batch") {
     import graft.core.PDataset
     import graft.operators.{IncrementalAgg, Maintenance}
