@@ -169,8 +169,16 @@ object Maintenance {
     * hook behind `spark.read.format("graft").option("version", n)`). */
   def versionMeta(
       spark: SparkSession, dir: String, version: Int): Sidecar.Meta = {
-    val (_, dirPath) = GraftFs.resolve(spark, dir)
-    Sidecar.loadFile(spark, dir, versionFile(dirPath, version))
+    val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    val vf = versionFile(dirPath, version)
+    if (!GraftFs.isFile(fs, vf))
+      throw new IllegalArgumentException(
+        s"generation $version of $dir is not retained (never archived, " +
+          "or vacuumed). A table's history starts at ITS OWN first " +
+          "retained commit — a shallow clone does not inherit its " +
+          "source's generations; time-travel or feed the SOURCE for " +
+          "pre-clone history.")
+    Sidecar.loadFile(spark, dir, vf)
   }
 
   /** Open archived generation `version` of the dataset at `dir` —

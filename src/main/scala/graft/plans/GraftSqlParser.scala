@@ -139,7 +139,8 @@ object GraftSqlParser {
     ("""(?is)\s*ANALYZE\s+TABLE\s+""" + T +
       """\s+COMPUTE\s+(STATISTICS|BLOOM)""" +
       """(?:\s+FPP\s+([0-9.]+))?""" +
-      """\s+FOR\s+COLUMNS\s+\(?([\w`,\s]+?)\)?\s*;?\s*""").r
+      """\s+FOR\s+(?:(ALL)\s+COLUMNS|COLUMNS\s+\(?([\w`,\s]+?)\)?)""" +
+      """\s*;?\s*""").r
 
   private[plans] def parseGraft(sql: String): Option[LogicalPlan] =
     sql match {
@@ -186,20 +187,36 @@ object GraftSqlParser {
           }.toMap).getOrElse(Map.empty[String, String])
         tbl(a, b, c).map(GraftCopyIntoCommand(_, src, fmt,
           Option(pattern).getOrElse("*"), parsed, force != null))
-      case Analyze(a, b, c, kind, fpp, cols) =>
-        val cs = cols.split(",").map(_.trim.stripPrefix("`")
-          .stripSuffix("`")).filter(_.nonEmpty).toSeq
+      case Analyze(a, b, c, kind, fpp, all, cols) =>
+        val cs =
+          if (all != null) Nil // FOR ALL COLUMNS: resolved at run time
+          else cols.split(",").map(_.trim.stripPrefix("`")
+            .stripSuffix("`")).filter(_.nonEmpty).toSeq
         tbl(a, b, c).map(GraftAnalyzeCommand(_,
           bloom = kind.equalsIgnoreCase("BLOOM"), cs,
-          Option(fpp).map(_.toDouble)))
+          Option(fpp).map(_.toDouble), allColumns = all != null))
       case CloneStmt(ine, a, b, c, a2, b2, c2, v, ts) =>
-        for {
-          dst <- tbl(a, b, c)
-          src <- tbl(a2, b2, c2)
-        } yield GraftCloneCommand(dst, src,
-          Option(v).map(_.toInt),
-          Option(ts).map(graft.sources.GraftSource.parseTs),
-          ifNotExists = ine != null)
+        // The statement SHAPE matched, so a half-resolved pair must
+        // refuse with the failing identifier named — falling through
+        // to Spark's parser (which has no SHALLOW CLONE syntax) would
+        // surface an unrelated syntax error instead.
+        (tbl(a, b, c), tbl(a2, b2, c2)) match {
+          case (Some(dst), Some(src)) =>
+            Some(GraftCloneCommand(dst, src,
+              Option(v).map(_.toInt),
+              Option(ts).map(graft.sources.GraftSource.parseTs),
+              ifNotExists = ine != null))
+          case (dst, src) =>
+            val bad = Seq(
+              if (dst.isEmpty) Option(c) else None,
+              if (src.isEmpty) Option(c2) else None)
+              .flatten.map(n => s"'$n'")
+            throw new IllegalArgumentException(
+              s"SHALLOW CLONE: cannot resolve ${bad.mkString(" and ")} " +
+                "to a graft table — no registered graft catalog " +
+                "(spark.sql.catalog.<name>) serves that identifier; " +
+                "use a quoted path or register the catalog")
+        }
       case ZOrder(a, b, c, cols, files, a2, b2, c2) =>
         val cs = cols.split(",").map(_.trim.stripPrefix("`")
           .stripSuffix("`")).filter(_.nonEmpty).toSeq
@@ -293,7 +310,7 @@ final case class GraftRestoreCommand(path: String, version: Int)
   * on ([[Maintenance.refreshBloom]]). */
 final case class GraftAnalyzeCommand(
     path: String, bloom: Boolean, cols: Seq[String],
-    fpp: Option[Double])
+    fpp: Option[Double], allColumns: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = DataTypeUtils.toAttributes(
     StructType(Seq(
@@ -301,16 +318,37 @@ final case class GraftAnalyzeCommand(
       StructField("columns", StringType, nullable = false),
       StructField("n_files", IntegerType, nullable = false))))
   override def run(sparkSession: SparkSession): Seq[Row] = {
-    require(cols.nonEmpty, "ANALYZE TABLE needs at least one column")
+    // FOR ALL COLUMNS: every NON-INDEX column of a type the target
+    // sidecar supports (index columns already prune through the lex
+    // bounds — a stats/bloom entry for them is redundant bytes), so
+    // an adopted table gets full pruning in one statement.
+    val effective =
+      if (!allColumns) cols
+      else {
+        val m = graft.core.Sidecar.load(sparkSession, path)
+        val idx = m.indexColumns.toSet
+        m.schema.fields.iterator
+          .filterNot(f => idx.contains(f.name))
+          .filter(f =>
+            if (bloom) graft.core.BloomIndex.supported(f.dataType)
+            else graft.core.ColumnStats.supported(f.dataType))
+          .map(_.name).toSeq
+      }
+    require(effective.nonEmpty,
+      if (allColumns)
+        "ANALYZE TABLE ... FOR ALL COLUMNS: no non-index column of a " +
+          "supported type to analyze"
+      else "ANALYZE TABLE needs at least one column")
     if (bloom)
-      graft.core.BloomIndex.build(sparkSession, path, cols,
+      graft.core.BloomIndex.build(sparkSession, path, effective,
         fpp.getOrElse(0.01))
     else {
       require(fpp.isEmpty, "FPP applies to COMPUTE BLOOM only")
-      graft.core.ColumnStats.build(sparkSession, path, cols)
+      graft.core.ColumnStats.build(sparkSession, path, effective)
     }
     val n = graft.core.Sidecar.load(sparkSession, path).files.length
-    Seq(Row(if (bloom) "bloom" else "stats", cols.mkString(","), n))
+    Seq(Row(if (bloom) "bloom" else "stats",
+      effective.mkString(","), n))
   }
 }
 

@@ -16,7 +16,8 @@ import graft.operators.Maintenance
   *   SELECT * FROM graft_changes('/data/events', 2, 5)    -- v2 → v5
   *   SELECT * FROM graft_changes('cat.db.t', '2026-08-01')
   *
-  * Integer endpoints are generation numbers ([[Maintenance.changes]]);
+  * NUMERIC endpoints (int or bigint) are generation numbers
+  * ([[Maintenance.changes]] — Delta's `table_changes` contract);
   * string endpoints are timestamps ([[Maintenance.changesAsOf]] —
   * "what changed since last night's run" without tracking generation
   * numbers; epoch millis, instants, or dates, the same forms the
@@ -130,15 +131,34 @@ object GraftTableFunctions {
       s"$fn: $what must be a string literal; got $other")
   }
 
-  /** Left = generation number, Right = timestamp millis. */
-  private def endpoint(e: Expression, what: String): Either[Int, Long] =
+  /** Left = generation number, Right = timestamp millis. The
+    * contract is Delta's `table_changes`: NUMERIC endpoints are
+    * generations (an Int or a BIGINT literal — a CAST(2 AS BIGINT)
+    * must not silently time-travel to 1970 as epoch millis), STRING
+    * endpoints are timestamps. */
+  private def endpoint(e0: Expression, what: String): Either[Int, Long] = {
+    // TVF builders run pre-analysis: a CAST(0 AS BIGINT) arrives as an
+    // unfolded Cast over a literal — fold foldable endpoints here.
+    val e: Expression = e0 match {
+      case l: Literal => l
+      case f if f.foldable && f.deterministic =>
+        try Literal.create(f.eval(null), f.dataType)
+        catch { case _: Exception => f }
+      case other => other
+    }
     e match {
       case Literal(v: Int, IntegerType) => Left(v)
-      case Literal(v: Long, LongType) => Right(v) // epoch millis
+      case Literal(v: Long, LongType) =>
+        require(v >= 0 && v <= Int.MaxValue,
+          s"graft_changes: $what generation $v out of range; pass " +
+            "timestamps as string literals (numeric endpoints are " +
+            "generations)")
+        Left(v.toInt)
       case Literal(v, StringType) if v != null =>
         Right(graft.sources.GraftSource.parseTs(v.toString))
       case other => throw new IllegalArgumentException(
-        s"graft_changes: $what must be an int generation or a string " +
-          s"timestamp literal; got $other")
+        s"graft_changes: $what must be a numeric generation or a " +
+          s"string timestamp literal; got $other")
     }
+  }
 }

@@ -429,6 +429,65 @@ class CloneSpec extends AnyFunSuite {
       .where(col("payload") === "x5").count() == 1L)
   }
 
+  test("SHALLOW CLONE with an unresolvable identifier refuses with a " +
+      "targeted error naming it, instead of falling through to " +
+      "Spark's parser (whose unrelated syntax error hides the cause)") {
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("CREATE TABLE nosuchcat.db.t SHALLOW CLONE graft.`/tmp/x`")
+    }
+    assert(e.getMessage.contains("nosuchcat.db.t") &&
+      e.getMessage.contains("SHALLOW CLONE"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql("CREATE TABLE graft.`/tmp/y` SHALLOW CLONE nosuchcat.db.s")
+    }
+    assert(e2.getMessage.contains("nosuchcat.db.s"), e2.getMessage)
+  }
+
+  test("a clone's change feed starts at ITS OWN generation 0: " +
+      "pre-clone source history is unreachable through the clone " +
+      "(loud refusal), post-clone mutations feed normally") {
+    val base = tempDir("clone-feed")
+    val src = base + "/src"
+    val dst = base + "/dst"
+    writeKeyed(src, 120, 30)
+    // give the SOURCE retained history (gens 0,1) before cloning
+    Maintenance.updateWhere(spark, src, col("k") < 30L,
+      Seq("payload" -> lit("s-edit1")), retain = true)
+    Maintenance.updateWhere(spark, src, col("k") < 30L,
+      Seq("payload" -> lit("s-edit2")), retain = true)
+    assert(Maintenance.versions(spark, src) == Seq(0, 1))
+    Maintenance.shallowClone(spark, src, dst)
+    // generation 0 belongs to the SOURCE; the clone's history is empty
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.changes(spark, dst, 0).collect()
+    }
+    assert(e.getMessage.contains("not retained") &&
+      e.getMessage.contains("clone"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_changes('$dst', 0)").collect()
+    }
+    assert(e2.getMessage.contains("not retained"), e2.getMessage)
+    // a retained clone mutation opens the clone's OWN feed: v0 = the
+    // clone point, and the feed shows only the clone's delta — none
+    // of the source's pre-clone churn
+    Maintenance.updateWhere(spark, dst, col("k") < 30L,
+      Seq("payload" -> lit("c-edit")), retain = true)
+    val feed = Maintenance.changes(spark, dst, 0)
+    val byType = feed.groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("update_preimage" -> 30L,
+      "update_postimage" -> 30L), byType.toString)
+    assert(feed.where(col("payload") === "s-edit1").count() == 0,
+      "pre-clone source history must never surface in the clone's feed")
+    // the preimages are the CLONE POINT's rows (the source's last
+    // pre-clone content), read through the inherited external entries
+    assert(feed.where(col("change_type") === "update_preimage" &&
+      col("payload") === "s-edit2").count() == 30)
+    // ...and the TVF agrees
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_changes('$dst', 0)")
+      .head().getLong(0) == 60L)
+  }
+
   test("clone carries CHECK constraints and refuses violating writes") {
     val base = tempDir("clone-check")
     val src = base + "/src"

@@ -56,6 +56,33 @@ class ColumnStatsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("FPP"), e.getMessage)
   }
 
+  test("ANALYZE TABLE ... FOR ALL COLUMNS covers every non-index " +
+      "column of a supported type in one statement") {
+    val dir = tempDir("colstats-analyze-all") + "/t"
+    writeSrc(dir, 1000)
+    // STATISTICS: v, noise AND payload are all stats-supported;
+    // the index column k is excluded (lex bounds already prune it)
+    val st = spark.sql(s"ANALYZE TABLE graft.`$dir` COMPUTE STATISTICS " +
+      "FOR ALL COLUMNS").head()
+    assert(st.getString(0) == "stats")
+    assert(st.getString(1).split(",").toSet == Set("v", "noise", "payload"),
+      st.getString(1))
+    val pruned = spark.read.format("graft").load(dir)
+      .filter(col("v") >= 2100L && col("v") < 2400L)
+    assert(scannedFiles(pruned) == 1)
+    // BLOOM: only the bloom-supported subset (payload is string ✓,
+    // noise is double ✗)
+    val bl = spark.sql(s"ANALYZE TABLE graft.`$dir` COMPUTE BLOOM " +
+      "FOR ALL COLUMNS").head()
+    assert(bl.getString(0) == "bloom")
+    assert(bl.getString(1).split(",").toSet == Set("v", "payload"),
+      bl.getString(1))
+    val point = spark.read.format("graft").load(dir)
+      .filter(col("payload") === "p555")
+    assert(scannedFiles(point) == 1)
+    assert(point.count() == 1L)
+  }
+
   test("range filters on a stats column prune planned files") {
     val dir = tempDir("colstats-prune") + "/t"
     writeSrc(dir, 1000)

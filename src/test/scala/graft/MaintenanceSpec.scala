@@ -966,6 +966,16 @@ class MaintenanceSpec extends AnyFunSuite {
         .collect()
     }
     assert(e.getMessage.contains("same kind"), e.getMessage)
+    // a BIGINT literal is a GENERATION (Delta's table_changes
+    // contract), never a silent epoch-millis time-travel to 1970
+    assertSameRows(
+      spark.sql(s"SELECT * FROM graft_changes('$dir', CAST(0 AS BIGINT))"),
+      Maintenance.changes(spark, dir, 0))
+    val eb = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_changes('$dir', " +
+        s"${Long.MaxValue}L)").collect()
+    }
+    assert(eb.getMessage.contains("generation"), eb.getMessage)
     // graft_history composes the same way
     assert(spark.sql(
       s"SELECT max(version) AS v FROM graft_history('$dir')")
