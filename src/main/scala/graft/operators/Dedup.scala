@@ -898,24 +898,36 @@ object Dedup {
     * keeps exact duplicates co-located (identical bytes, identical
     * sub-cell), so only non-identical near-dups can straddle a split,
     * the same bounded-recall trade the cell boundary itself makes.
-    * The per-cell counts frame is at most nClusters rows — AQE
-    * broadcasts it. */
+    *
+    * The occupancy precheck is one bounded driver aggregate
+    * (nClusters rows); when NO cell is hot the pair plan stays the
+    * pure cell equi-join — the split machinery costs nothing unless
+    * it is needed. Hot cells get their sub-cell count from a literal
+    * map lookup (nClusters entries, no join in the pair plan). */
   private def pairsFromCells(
       assigned: DataFrame,
       threshold: Double,
       maxCellRows: Long): DataFrame = {
     require(maxCellRows >= 1, s"maxCellRows must be >= 1, got $maxCellRows")
-    val counts = assigned.groupBy("__cell").agg(count(lit(1)).as("__cn"))
-    val sub = assigned.join(counts, "__cell")
-      .withColumn("__sub",
+    val hot: Map[Int, Long] = assigned.groupBy("__cell")
+      .agg(count(lit(1)).as("__cn")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .filter(_._2 > maxCellRows)
+      .map { case (c, n) =>
+        c -> math.max(1L, math.ceil(n.toDouble / maxCellRows).toLong)
+      }.toMap
+    val (sub, keys) =
+      if (hot.isEmpty) (assigned, Seq("__cell"))
+      else (assigned.withColumn("__sub",
         pmod(xxhash64(col("__v")),
-          greatest(ceil(col("__cn") / lit(maxCellRows.toDouble)), lit(1L))))
-      .drop("__cn")
-    val a = sub.select(col("__id").as("idA"), col("__v").as("vA"),
-      col("__n").as("nA"), col("__cell"), col("__sub"))
-    val bdf = sub.select(col("__id").as("idB"), col("__v").as("vB"),
-      col("__n").as("nB"), col("__cell"), col("__sub"))
-    a.join(bdf.hint("shuffle_hash"), Seq("__cell", "__sub"))
+          coalesce(element_at(typedLit(hot), col("__cell")), lit(1L)))),
+        Seq("__cell", "__sub"))
+    val extra = keys.drop(1).map(col)
+    val a = sub.select(col("__id").as("idA") +: col("__v").as("vA") +:
+      col("__n").as("nA") +: col("__cell") +: extra: _*)
+    val bdf = sub.select(col("__id").as("idB") +: col("__v").as("vB") +:
+      col("__n").as("nB") +: col("__cell") +: extra: _*)
+    a.join(bdf.hint("shuffle_hash"), keys)
       .filter(col("idA") < col("idB"))
       .withColumn("cosine",
         round(Similarity.dot(col("vA"), col("vB")) / (col("nA") * col("nB")), 4))
