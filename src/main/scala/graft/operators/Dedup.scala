@@ -879,6 +879,12 @@ object Dedup {
       embeddings, idCol, vecCol, dim, nClusters, iters, seed,
       trainFraction)
     // Barrier: cell assignment + norm computed once per vector.
+    // CACHED (MEMORY_AND_DISK default): the hot-cell occupancy
+    // precheck, the pair join's two sides, and the centroidFarthest
+    // keeper's scoring all read this frame — without the cache each
+    // consumer re-runs the assignment kernel over the corpus (the
+    // SemDeDup paper's pipeline persists assignments for the same
+    // reason). Evicted LRU; oversized corpora spill to disk.
     val assigned = embeddings
       .select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .select(col("__id"), col("__v"),
@@ -886,6 +892,7 @@ object Dedup {
         element_at(graft.functions.VectorExpressions
           .nearestCentroids(col("__v"), cents, 1), 1).as("__cell"))
       .repartition(col("__id"))
+      .cache()
     (assigned, cents)
   }
 

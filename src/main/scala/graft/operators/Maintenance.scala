@@ -364,17 +364,18 @@ object Maintenance {
         version.map(v => s"@v$v").getOrElse("")))
     // The source may have committed while we copied the overlay —
     // a half-old-half-new clone would be an inconsistent snapshot.
+    // Best-effort source-side protection: register this clone in
+    // every directory whose bytes it references BEFORE installing the
+    // clone's sidecar — a crash in between leaves a marker for a
+    // missing clone (grace-protected, then swept as stale), never a
+    // live clone without its guard ([[deletableNow]] / [[vacuum]]
+    // consult the backlinks; stale markers self-clean there).
+    registerCloneBacklinks(spark, entries, qualifiedSrc,
+      dfs.makeQualified(dstPath).toString)
     guardUnchanged(spark, srcPath, loadedFp)
     Sidecar.write(spark, dstDir, m.indexColumns, entries,
       m.sizes, m.lowerBounds, m.upperBounds, m.maxPartitionIndex,
       m.schema, extras = extras)
-    // Best-effort source-side protection: register this clone in
-    // every directory whose bytes it references, so the owners'
-    // non-retained rewrites and vacuums keep clone-referenced files
-    // ([[deletableNow]] / [[vacuum]] consult the backlinks; stale
-    // markers self-clean there).
-    registerCloneBacklinks(spark, entries, qualifiedSrc,
-      dfs.makeQualified(dstPath).toString)
     entries.length
   }
 
@@ -817,8 +818,12 @@ object Maintenance {
     // still references survives a non-retained rewrite — without
     // this, one routine compact() on the source would silently break
     // every clone (graft deletes replaced files immediately; Delta's
-    // equivalent hazard is narrowed to vacuum-with-retention).
-    val cloneRefs = cloneReferencedNames(spark, dir)
+    // equivalent hazard is narrowed to vacuum-with-retention). An
+    // UNVERIFIABLE marker fails safe: delete nothing now — the files
+    // linger unreferenced and a later vacuum (which verifies or
+    // refuses) reclaims them.
+    val (cloneRefs, verified) = cloneReferencedNames(spark, dir)
+    if (!verified) return Seq.empty
     val owned =
       if (cloneRefs.isEmpty) owned0 else owned0.filterNot(cloneRefs)
     val vs = versions(spark, dir)
@@ -873,52 +878,81 @@ object Maintenance {
     }
   }
 
-  /** This table's file NAMES still referenced by live registered
-    * clones (current generation or any retained one), pruning stale
-    * markers as it goes — a marker whose clone is gone, or no longer
-    * references any of this table's bytes (fully localized by
-    * copy-on-write), deletes itself. Driver-side KB-scale sidecar
-    * reads; zero cost when no clone was ever registered (one
-    * directory probe). */
+  /** Grace before a marker whose clone directory is MISSING may be
+    * swept as stale: markers register BEFORE the clone's sidecar
+    * installs (so no live clone is ever unprotected), which makes a
+    * mid-creation clone indistinguishable from a dropped one — age is
+    * the tiebreak. Var: specs pin it to 0 to exercise the sweep. */
+  private[graft] var cloneMarkerGraceMs: Long = 60L * 60L * 1000L
+
+  /** This table's file NAMES still referenced by registered clones
+    * (current generation or any retained one), plus a VERIFIED flag.
+    * Stale markers prune as discovered: a clone directory that is
+    * verifiably gone (and past [[cloneMarkerGraceMs]]) or a clone
+    * that no longer references any of this table's bytes (fully
+    * localized by copy-on-write) deletes its marker.
+    *
+    * FAIL-SAFE contract: a marker this pass cannot verify — unreadable
+    * marker, unreadable clone metadata, or a missing clone still
+    * inside the creation grace — contributes no names but flips
+    * `verified` to false, and callers must then KEEP everything
+    * rather than delete blind ([[deletableNow]] returns nothing,
+    * [[vacuum]] refuses loudly). Entry matching ignores the URI
+    * AUTHORITY (a source addressed as hdfs://nn:8020/t and hdfs://nn/t
+    * is the same bytes; over-matching merely keeps a file longer).
+    * Driver-side KB-scale sidecar reads; zero cost when no clone was
+    * ever registered (one directory probe). */
   private[operators] def cloneReferencedNames(
-      spark: SparkSession, dir: String): Set[String] = {
+      spark: SparkSession, dir: String): (Set[String], Boolean) = {
     val (fs, dirPath) = GraftFs.resolve(spark, dir)
     val cdir = new HPath(dirPath, ClonesDir)
-    if (!GraftFs.isDir(fs, cdir)) return Set.empty
-    val qualified = fs.makeQualified(dirPath)
-    GraftFs.listStatuses(fs, cdir)
+    if (!GraftFs.isDir(fs, cdir)) return (Set.empty, true)
+    val qualified = fs.makeQualified(dirPath).toUri
+    def isOurs(parent: HPath): Boolean = {
+      val u = parent.toUri
+      u.getPath == qualified.getPath &&
+        (u.getScheme == null || qualified.getScheme == null ||
+          u.getScheme.equalsIgnoreCase(qualified.getScheme))
+    }
+    val now = System.currentTimeMillis()
+    var verified = true
+    val refs = GraftFs.listStatuses(fs, cdir)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".json") &&
         !st.getPath.getName.startsWith("."))
       .flatMap { st =>
-      def namesOf(m: Sidecar.Meta): Iterator[String] =
-        m.files.iterator.filter(isExternalEntry).flatMap { e =>
-          val p = new HPath(e)
-          if (p.getParent == qualified) Some(p.getName) else None
-        }
-      // (refs, definitely-stale): a TRANSIENT read failure keeps the
-      // marker (deleting it would permanently drop the guard) and
-      // protects nothing this round; only a clone that is verifiably
-      // gone or fully localized (COW rewrote every source reference)
-      // is stale.
-      val (refs, stale): (Set[String], Boolean) =
-        try {
-          val dst = graft.core.TypedJson
-            .parse(GraftFs.readString(fs, st.getPath))
-            .asInstanceOf[Map[String, Any]]("clone").toString
-          if (!Sidecar.exists(spark, dst)) (Set.empty, true)
-          else {
-            val r = (namesOf(Sidecar.load(spark, dst)) ++
-              versions(spark, dst).iterator.flatMap(v =>
-                namesOf(versionMeta(spark, dst, v)))).toSet
-            (r, r.isEmpty)
+        def namesOf(m: Sidecar.Meta): Iterator[String] =
+          m.files.iterator.filter(isExternalEntry).flatMap { e =>
+            val p = new HPath(e)
+            if (p.getParent != null && isOurs(p.getParent)) Some(p.getName)
+            else None
           }
-        } catch { case _: Exception => (Set.empty[String], false) }
-      if (stale) {
-        try { fs.delete(st.getPath, false); () }
-        catch { case _: java.io.IOException => () }
-      }
-      refs
-    }.toSet
+        val (r, stale): (Set[String], Boolean) =
+          try {
+            val dst = graft.core.TypedJson
+              .parse(GraftFs.readString(fs, st.getPath))
+              .asInstanceOf[Map[String, Any]]("clone").toString
+            if (!Sidecar.exists(spark, dst)) {
+              if (now - st.getModificationTime > cloneMarkerGraceMs)
+                (Set.empty[String], true) // verifiably dropped
+              else { verified = false; (Set.empty[String], false) }
+            } else {
+              val got = (namesOf(Sidecar.load(spark, dst)) ++
+                versions(spark, dst).iterator.flatMap(v =>
+                  namesOf(versionMeta(spark, dst, v)))).toSet
+              (got, got.isEmpty) // exists + zero refs = fully localized
+            }
+          } catch {
+            case _: Exception =>
+              verified = false // transient: keep marker, fail safe
+              (Set.empty[String], false)
+          }
+        if (stale) {
+          try { fs.delete(st.getPath, false); () }
+          catch { case _: java.io.IOException => () }
+        }
+        r
+      }.toSet
+    (refs, verified)
   }
 
   /** Whether a sidecar file entry references data OUTSIDE its own
@@ -1000,10 +1034,16 @@ object Maintenance {
     // clone's bytes live HERE; deleting them through the source's
     // vacuum would corrupt the clone). Stale backlinks self-clean
     // inside cloneReferencedNames, which is the "vacuum removes
-    // stale markers" path.
+    // stale markers" path; an UNVERIFIABLE marker refuses the whole
+    // vacuum rather than deleting blind.
+    val (cloneRefs, cloneVerified) = cloneReferencedNames(spark, dir)
+    require(cloneVerified,
+      s"vacuum on $dir: a registered clone backlink could not be " +
+        "verified (clone metadata unreadable, or a clone mid-creation) " +
+        "— refusing to delete data files blind; re-run once the " +
+        "clone's metadata is readable or the creation grace passes")
     val referenced = m.files.toSet ++ keepVersions.iterator
-      .flatMap(v => versionMeta(spark, dir, v).files) ++
-      cloneReferencedNames(spark, dir)
+      .flatMap(v => versionMeta(spark, dir, v).files) ++ cloneRefs
     val stale = GraftFs.listStatuses(fs, dirPath)
       .filter(_.isFile)
       .filter { st =>

@@ -196,16 +196,19 @@ object GraftSqlParser {
           bloom = kind.equalsIgnoreCase("BLOOM"), cs,
           Option(fpp).map(_.toDouble), allColumns = all != null))
       case CloneStmt(ine, a, b, c, a2, b2, c2, v, ts) =>
-        // The statement SHAPE matched, so a half-resolved pair must
-        // refuse with the failing identifier named — falling through
-        // to Spark's parser (which has no SHALLOW CLONE syntax) would
-        // surface an unrelated syntax error instead.
+        // HALF-resolved pairs refuse with the failing identifier
+        // named — falling through to Spark's parser (which has no
+        // SHALLOW CLONE syntax) would surface an unrelated syntax
+        // error. A pair where NEITHER ident touches graft still
+        // delegates: another extension's parser may own the statement
+        // (e.g. a co-installed lakehouse format's own CLONE).
         (tbl(a, b, c), tbl(a2, b2, c2)) match {
           case (Some(dst), Some(src)) =>
             Some(GraftCloneCommand(dst, src,
               Option(v).map(_.toInt),
               Option(ts).map(graft.sources.GraftSource.parseTs),
               ifNotExists = ine != null))
+          case (None, None) => None
           case (dst, src) =>
             val bad = Seq(
               if (dst.isEmpty) Option(c) else None,

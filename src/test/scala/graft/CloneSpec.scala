@@ -366,7 +366,8 @@ class CloneSpec extends AnyFunSuite {
   }
 
   test("stale backlinks self-clean: dropping the clone frees the " +
-      "source's replaced files on its next maintenance pass") {
+      "source's replaced files after the creation grace; inside the " +
+      "grace (or on an unverifiable marker) maintenance FAILS SAFE") {
     val base = tempDir("clone-stale")
     val src = base + "/src"
     val dst = base + "/dst"
@@ -378,14 +379,28 @@ class CloneSpec extends AnyFunSuite {
       Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
     }
     rm(new java.io.File(dst))
-    // next non-retained rewrite: the marker is verifiably stale, so
-    // the replaced originals delete immediately and the marker goes
+    // INSIDE the grace a missing clone is indistinguishable from one
+    // mid-creation: a non-retained rewrite keeps everything (fail
+    // safe) and vacuum refuses loudly rather than deleting blind.
     Maintenance.compact(spark, src, targetRows = 120)
-    assert(before.keys.forall(f => !Files.exists(Paths.get(src, f))),
-      "replaced files must delete once no live clone references them")
-    val markers = new java.io.File(src, "_graft_clones")
-    assert(!markers.isDirectory || markers.list().isEmpty,
-      "stale marker must self-clean")
+    assert(before.keys.forall(f => Files.exists(Paths.get(src, f))),
+      "inside the grace, replaced files must be kept")
+    val ev = intercept[IllegalArgumentException] {
+      Maintenance.vacuum(spark, src)
+    }
+    assert(ev.getMessage.contains("clone backlink"), ev.getMessage)
+    // past the grace the marker is verifiably stale: the sweep frees
+    // the replaced originals and removes the marker
+    val prevGrace = Maintenance.cloneMarkerGraceMs
+    Maintenance.cloneMarkerGraceMs = 0L
+    try {
+      Maintenance.vacuum(spark, src)
+      assert(before.keys.forall(f => !Files.exists(Paths.get(src, f))),
+        "replaced files must free once no live clone references them")
+      val markers = new java.io.File(src, "_graft_clones")
+      assert(!markers.isDirectory || markers.list().isEmpty,
+        "stale marker must self-clean")
+    } finally Maintenance.cloneMarkerGraceMs = prevGrace
     assertSameRows(PDataset.scanParquet(spark, src).toDF, keyedDF(0, 120))
   }
 
@@ -418,8 +433,13 @@ class CloneSpec extends AnyFunSuite {
     assert(Sidecar.load(spark, dst).files.forall(!_.contains("/")),
       "localization fixture must rewrite every band")
     val before = srcState(src)
-    // source maintenance now sees both markers stale -> originals free
-    Maintenance.compact(spark, src, targetRows = 120)
+    // source maintenance now sees both markers stale (the dropped
+    // clone past the grace, the localized one immediately) ->
+    // originals free
+    val prevGrace = Maintenance.cloneMarkerGraceMs
+    Maintenance.cloneMarkerGraceMs = 0L
+    try Maintenance.compact(spark, src, targetRows = 120)
+    finally Maintenance.cloneMarkerGraceMs = prevGrace
     assert(before.keys.forall(f => !Files.exists(Paths.get(src, f))),
       "files must free once every clone is localized or dropped")
     val markers = new java.io.File(src, "_graft_clones")
@@ -441,6 +461,13 @@ class CloneSpec extends AnyFunSuite {
       spark.sql("CREATE TABLE graft.`/tmp/y` SHALLOW CLONE nosuchcat.db.s")
     }
     assert(e2.getMessage.contains("nosuchcat.db.s"), e2.getMessage)
+    // NEITHER side touching graft delegates to the next parser (a
+    // co-installed extension may own the statement) — Spark's own
+    // parse error, not graft's targeted one
+    val e3 = intercept[Exception] {
+      spark.sql("CREATE TABLE other.db.t SHALLOW CLONE other.db.s")
+    }
+    assert(!e3.getMessage.contains("graft table"), e3.getMessage)
   }
 
   test("a clone's change feed starts at ITS OWN generation 0: " +
