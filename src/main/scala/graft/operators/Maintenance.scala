@@ -885,6 +885,100 @@ object Maintenance {
     * the tiebreak. Var: specs pin it to 0 to exercise the sweep. */
   private[graft] var cloneMarkerGraceMs: Long = 60L * 60L * 1000L
 
+  /** Whether `parent` addresses the directory `qualified` (URI
+    * authority ignored — a source addressed as hdfs://nn:8020/t and
+    * hdfs://nn/t is the same bytes; over-matching merely keeps a
+    * file longer). */
+  private def entryParentIsOurs(
+      qualified: java.net.URI, parent: HPath): Boolean = {
+    val u = parent.toUri
+    u.getPath == qualified.getPath &&
+      (u.getScheme == null || qualified.getScheme == null ||
+        u.getScheme.equalsIgnoreCase(qualified.getScheme))
+  }
+
+  /** The backlink markers registered under `dir`'s `_graft_clones`,
+    * READ-ONLY (no stale pruning): one row per marker as
+    * (clone path, registered-at millis, live, n_external_refs) —
+    * the observability behind the `graft_clones` TVF. An unreadable
+    * marker surfaces as (`<unreadable>`, mtime, false, 0) rather
+    * than vanishing. */
+  private[graft] def registeredClones(
+      spark: SparkSession,
+      dir: String): Seq[(String, Long, Boolean, Long)] = {
+    val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    val cdir = new HPath(dirPath, ClonesDir)
+    if (!GraftFs.isDir(fs, cdir)) return Seq.empty
+    val qualified = fs.makeQualified(dirPath).toUri
+    GraftFs.listStatuses(fs, cdir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".json") &&
+        !st.getPath.getName.startsWith("."))
+      .map { st =>
+        try {
+          val dst = graft.core.TypedJson
+            .parse(GraftFs.readString(fs, st.getPath))
+            .asInstanceOf[Map[String, Any]]("clone").toString
+          val live = Sidecar.exists(spark, dst)
+          val refs =
+            if (!live) 0L
+            else {
+              val m = Sidecar.load(spark, dst)
+              (m.files.iterator ++ versions(spark, dst).iterator
+                .flatMap(v => versionMeta(spark, dst, v).files))
+                .filter(isExternalEntry)
+                .map(e => new HPath(e))
+                .filter(p => p.getParent != null &&
+                  entryParentIsOurs(qualified, p.getParent))
+                .map(_.getName).toSet.size.toLong
+            }
+          (dst, st.getModificationTime, live, refs)
+        } catch {
+          case _: Exception =>
+            ("<unreadable>", st.getModificationTime, false, 0L)
+        }
+      }.toSeq
+  }
+
+  /** The registration inverse: remove `cloneDir`'s backlink markers
+    * from every owner directory its entries (current or retained)
+    * reference, plus its recorded `clonedFrom` origin — so the
+    * owners' replaced files free IMMEDIATELY instead of waiting out
+    * the stale-marker grace. Safe on any table: one with no external
+    * entries and no clone provenance deregisters nothing. */
+  private[graft] def deregisterCloneBacklinks(
+      spark: SparkSession, cloneDir: String): Unit = {
+    if (!Sidecar.exists(spark, cloneDir)) return
+    val (dfs, dstPath) = GraftFs.resolve(spark, cloneDir)
+    val marker = cloneMarkerName(dfs.makeQualified(dstPath).toString)
+    val m =
+      try Sidecar.load(spark, cloneDir)
+      catch { case _: Exception => return }
+    val owners = (m.files.iterator ++ versions(spark, cloneDir).iterator
+        .flatMap(v => versionMeta(spark, cloneDir, v).files))
+      .filter(isExternalEntry)
+      .flatMap(e => Option(new HPath(e).getParent).map(_.toString))
+      .toSet ++
+      m.extras.get("clonedFrom").map(_.toString
+        .replaceAll("@v\\d+$", "")).toSet
+    owners.foreach { o =>
+      try {
+        val (ofs, oPath) = GraftFs.resolve(spark, o)
+        ofs.delete(new HPath(new HPath(oPath, ClonesDir), marker), false)
+        ()
+      } catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** Drop a table, deregistering its clone backlinks first: the drop
+    * analogue of [[shallowClone]] — owners' replaced files free
+    * immediately (no grace wait), then the directory goes. On a
+    * non-clone table this is just the directory drop. */
+  def dropClone(spark: SparkSession, cloneDir: String): Unit = {
+    deregisterCloneBacklinks(spark, cloneDir)
+    val (fs, p) = GraftFs.resolve(spark, cloneDir)
+    GraftFs.deleteRecursive(fs, p)
+  }
+
   /** This table's file NAMES still referenced by registered clones
     * (current generation or any retained one), plus a VERIFIED flag.
     * Stale markers prune as discovered: a clone directory that is
@@ -908,12 +1002,8 @@ object Maintenance {
     val cdir = new HPath(dirPath, ClonesDir)
     if (!GraftFs.isDir(fs, cdir)) return (Set.empty, true)
     val qualified = fs.makeQualified(dirPath).toUri
-    def isOurs(parent: HPath): Boolean = {
-      val u = parent.toUri
-      u.getPath == qualified.getPath &&
-        (u.getScheme == null || qualified.getScheme == null ||
-          u.getScheme.equalsIgnoreCase(qualified.getScheme))
-    }
+    def isOurs(parent: HPath): Boolean =
+      entryParentIsOurs(qualified, parent)
     val now = System.currentTimeMillis()
     var verified = true
     val refs = GraftFs.listStatuses(fs, cdir)

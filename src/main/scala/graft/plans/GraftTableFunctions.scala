@@ -57,6 +57,37 @@ object GraftTableFunctions {
     // Per-file layout introspection ("which key band is hot, how much
     // of my clone still reads from the source") as a relation —
     // driver-side sidecar walk, no data job.
+    // Backlink observability for the clone-protection surface: which
+    // clones were registered against this table, are they live, and
+    // how many of THIS table's files does each still reference —
+    // read-only (no stale pruning), driver-side marker walk.
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_clones"),
+      new ExpressionInfo("graft", null, "graft_clones",
+        "graft_clones(table) - one row per registered clone backlink " +
+          "(clone, registered_at, live, external_refs); driver-side " +
+          "metadata only.", ""),
+      { args =>
+        require(args.length == 1,
+          s"graft_clones(table) takes 1 argument; got ${args.length}")
+        val spark = SparkSession.active
+        val dir = resolveTarget(strArg(args.head, "table", "graft_clones"))
+        import org.apache.spark.sql.types._
+        val rows: Seq[org.apache.spark.sql.Row] =
+          Maintenance.registeredClones(spark, dir).map {
+            case (clone, at, live, refs) =>
+              org.apache.spark.sql.Row(clone,
+                new java.sql.Timestamp(at), live, refs)
+          }
+        val schema = StructType(Seq(
+          StructField("clone", StringType, nullable = false),
+          StructField("registered_at", TimestampType, nullable = false),
+          StructField("live", BooleanType, nullable = false),
+          StructField("external_refs", org.apache.spark.sql.types.LongType,
+            nullable = false)))
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(rows.asJava, schema).queryExecution.logical
+      }))
     ext.injectTableFunction((
       FunctionIdentifier("graft_files"),
       new ExpressionInfo("graft", null, "graft_files",

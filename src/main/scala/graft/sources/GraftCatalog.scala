@@ -406,6 +406,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val p = pathOf(ident)
     if (!Sidecar.exists(spark, p)) false
     else {
+      // A dropped CLONE deregisters its source-side backlinks first,
+      // so the owners' replaced files free immediately instead of
+      // waiting out the stale-marker grace. No-op for non-clones.
+      graft.operators.Maintenance.deregisterCloneBacklinks(spark, p)
       val (fs, dirPath) = GraftFs.resolve(spark, p)
       GraftFs.deleteRecursive(fs, dirPath)
       true

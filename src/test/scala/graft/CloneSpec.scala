@@ -515,6 +515,37 @@ class CloneSpec extends AnyFunSuite {
       .head().getLong(0) == 60L)
   }
 
+  test("clone lifecycle closes: graft_clones lists registered " +
+      "backlinks with live/ref counts, and dropClone deregisters — " +
+      "the source's files free immediately, no grace wait") {
+    val base = tempDir("clone-lifecycle")
+    val src = base + "/src"
+    val dst = base + "/dst"
+    writeKeyed(src, 120, 30)
+    Maintenance.shallowClone(spark, src, dst)
+    // observability: one live backlink, all 4 bands still referenced
+    val listed = spark.sql(s"SELECT * FROM graft_clones('$src')")
+      .collect()
+    assert(listed.length == 1, listed.mkString(","))
+    assert(listed.head.getBoolean(2), "clone must list as live")
+    assert(listed.head.getLong(3) == 4L,
+      s"expected 4 external refs, got ${listed.head.getLong(3)}")
+    // partial divergence shows up in the ref count
+    Maintenance.updateWhere(spark, dst, col("k") < 30L,
+      Seq("payload" -> lit("e")))
+    assert(spark.sql(s"SELECT external_refs FROM graft_clones('$src')")
+      .head().getLong(0) == 3L)
+    // dropClone: backlink deregisters, so the next non-retained
+    // source rewrite frees replaced files with NO grace override
+    val before = srcState(src)
+    Maintenance.dropClone(spark, dst)
+    assert(spark.sql(s"SELECT * FROM graft_clones('$src')").count() == 0)
+    Maintenance.compact(spark, src, targetRows = 120)
+    assert(before.keys.forall(f => !Files.exists(Paths.get(src, f))),
+      "replaced files must free immediately after dropClone")
+    assertSameRows(PDataset.scanParquet(spark, src).toDF, keyedDF(0, 120))
+  }
+
   test("clone carries CHECK constraints and refuses violating writes") {
     val base = tempDir("clone-check")
     val src = base + "/src"
