@@ -2524,6 +2524,35 @@ object SparkEntry {
         .select("vec_id", "label").orderBy("vec_id")
     }),
 
+    // Deletion propagation + re-ingestion: forget every doc_id % 50
+    // == 0 document (corpus keyed delete + DV-hidden index bands),
+    // then re-ingest exact copies under shifted ids through
+    // dedupBatch. Without the forget every copy would match its own
+    // ghost bands and drop; with it, copies survive except where they
+    // near-dup a LIVE corpus doc or each other — the same loser
+    // policy the q_dedup_batch oracle recomputes, shifted.
+    "q_forget_reingest" -> ((s, d) => {
+      val root = mutableCopy("forgetpair", d) { out =>
+        val all = scan(s, d, "documents").toDF.select("doc_id", "text")
+        PDataset.fromDataFrame(all, Seq("doc_id"))
+          .writeParquet(out + "/corpus")
+        Dedup.buildMinhashIndex(s, all, "doc_id", "text", out + "/idx")
+      }
+      val forgotten = scan(s, d, "documents").toDF
+        .filter(col("doc_id") % 50 === 0)
+      val ids = forgotten.select("doc_id").collect()
+        .map(_.getLong(0)).toSeq
+      Dedup.forgetDocuments(s, root + "/corpus", root + "/idx", ids)
+      val copies = forgotten
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val survivors = Dedup.dedupBatch(s, copies, "doc_id", "text",
+        PDataset.scanParquet(s, root + "/corpus").toDF, root + "/idx")
+      PDataset.fromDataFrame(survivors, Seq("doc_id"))
+        .writeParquet(root + "/corpus", append = true)
+      PDataset.scanParquet(s, root + "/corpus").toDF
+        .select("doc_id", "text").orderBy("doc_id")
+    }),
+
     // -- text analysis --
     "q_text_stats" -> ((s, d) =>
       scan(s, d, "documents").toDF.select(
@@ -3885,6 +3914,25 @@ object SparkEntry {
         SELECT doc_id, text FROM documents
         WHERE doc_id % 10 = 0
           AND doc_id NOT IN (SELECT doc_id FROM losers)
+        ORDER BY doc_id""",
+      // forget %50==0, re-ingest exact copies under shifted ids:
+      // the non-forgotten docs keep their rows, and a shifted copy
+      // survives unless its ORIGINAL near-dups a live (%50<>0) doc
+      // or a smaller forgotten one — the batch loser policy in the
+      // original id space (the shift preserves order)
+      "q_forget_reingest" -> s"""
+        WITH t AS (${shingleCte("")}),
+        losers AS (
+          SELECT CASE WHEN "idA" % 50 = 0 AND "idB" % 50 = 0 THEN "idB"
+                      WHEN "idA" % 50 = 0 THEN "idA"
+                      ELSE "idB" END AS doc_id
+          FROM t WHERE "idA" % 50 = 0 OR "idB" % 50 = 0)
+        SELECT doc_id, text FROM (
+          SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          WHERE doc_id % 50 = 0
+            AND doc_id NOT IN (SELECT doc_id FROM losers))
         ORDER BY doc_id""",
       // the streamed single-batch ingestion: corpus ∪ the batch
       // survivors under the same loser policy as q_dedup_batch

@@ -280,7 +280,11 @@ object Dedup {
     // within each use, the embeddingNearDupPairs discipline
     val fresh = bandTable(newDocs, idCol, textCol, shingler,
       numPerms, bands, seed)
-    val indexed = graft.core.PDataset.scanParquet(spark, indexDir).toDF
+    // DV-aware read: [[forgetDocuments]] hides forgotten documents'
+    // band rows with a merge-on-read deletion vector; a plain scan
+    // would match new batches against ghost bands. With no overlay
+    // pending this IS the plain scan.
+    val indexed = DeletionVectors.scan(spark, indexDir)
     // new-vs-indexed (either orientation) + new-vs-new, normalized
     // to idA < idB; bucket equi-joins only — no pair explosion
     val vsOld = fresh.select(col("id").as("na"), col("band"), col("bucket"))
@@ -339,6 +343,50 @@ object Dedup {
     // falls back to a shuffled anti-join otherwise — a forced hint
     // would disable that check and OOM on a pathological batch.
     newDocs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Deletion propagation across the ingestion spine — the
+    * "right to be forgotten" primitive of a continuously ingesting
+    * pipeline: remove `docIds` from the corpus table AND hide their
+    * band rows in the persisted MinHash index, in one call. After it,
+    * index queries ([[incrementalNearDupPairs]], [[dedupBatch]], the
+    * streaming [[graft.streaming.DocumentStreams.dedupSink]]) no
+    * longer match against the forgotten documents — re-ingesting
+    * equivalent content is possible again.
+    *
+    * Corpus side: a keyed point-delete ([[Maintenance.deleteKeys]] —
+    * only the partitions the ids route to are rewritten). Index side:
+    * the index clusters on BUCKET (its query key), so an id delete
+    * cannot prune by key range — instead the rows get a merge-on-read
+    * DELETION-VECTOR mark ([[DeletionVectors.deleteWhere]]): one scan
+    * of the index (orders smaller than the text it summarizes), zero
+    * rewrite, hidden from every index read immediately; the marks
+    * fold into the next `DeletionVectors.materialize`. `docIds` is a
+    * driver-side list (an erasure request, not a corpus-scale set) —
+    * chunk a huge list across calls. Returns (corpus report, index
+    * DV report). */
+  def forgetDocuments(
+      spark: SparkSession,
+      corpusDir: String,
+      indexDir: String,
+      docIds: Seq[Any]): (Maintenance.Report, DeletionVectors.Report) = {
+    require(docIds.nonEmpty, "forgetDocuments needs at least one id")
+    val m = graft.core.Sidecar.load(spark, corpusDir)
+    require(m.indexColumns.length == 1,
+      "forgetDocuments expects a corpus clustered on its document id " +
+        s"column; $corpusDir is clustered on " +
+        s"(${m.indexColumns.mkString(",")})")
+    val idCol = m.indexColumns.head
+    val idType = m.schema(idCol).dataType
+    val keys = spark.createDataFrame(
+      java.util.Arrays.asList(
+        docIds.map(org.apache.spark.sql.Row(_)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol, idType))))
+    val corpusReport = Maintenance.deleteKeys(spark, corpusDir, keys)
+    val indexReport = DeletionVectors.deleteWhere(spark, indexDir,
+      col("id").isInCollection(docIds))
+    (corpusReport, indexReport)
   }
 
   /** Rejoin candidate pairs with both documents' shingle arrays via

@@ -485,6 +485,57 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(kept == Set(4L))
   }
 
+  test("forgetDocuments propagates deletion through the ingestion " +
+      "spine: corpus rows go, index bands hide (ghost bands match " +
+      "nothing), and equivalent content can re-ingest") {
+    import graft.core.PDataset
+    val base = Fixtures.tempDir("forget")
+    val corpusDir = base + "/corpus"
+    val idxDir = base + "/idx"
+    val all = docs.select("doc_id", "text")
+    PDataset.fromDataFrame(all, Seq("doc_id")).writeParquet(corpusDir)
+    Dedup.buildMinhashIndex(spark, all, "doc_id", "text", idxDir)
+    // re-ingest EXACT copies under shifted ids: WITHOUT forgetting,
+    // every copy matches its indexed original and drops
+    val copies = all.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val nCopies = copies.count()
+    val blocked = Dedup.dedupBatch(spark, copies, "doc_id", "text",
+      PDataset.scanParquet(spark, corpusDir).toDF, idxDir)
+    assert(blocked.count() < nCopies,
+      "fixture must have copies blocked by their indexed originals")
+    // forget the originals -> their rows AND bands go
+    val ids = all.filter(col("doc_id") % 10 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val (cRep, iRep) = Dedup.forgetDocuments(
+      spark, corpusDir, idxDir, ids)
+    assert(cRep.dropped + cRep.rewritten > 0, cRep.toString)
+    assert(iRep.marked == ids.length * 21L, // 21 bands per document
+      s"expected ${ids.length * 21} marked band rows, got ${iRep.marked}")
+    assert(PDataset.scanParquet(spark, corpusDir).toDF
+      .filter(col("doc_id") % 10 === 0).count() == 0)
+    // the same copies now pass the gate except where they match LIVE
+    // corpus docs or each other — exactly the batch policy with the
+    // originals absent
+    val after = Dedup.dedupBatch(spark, copies, "doc_id", "text",
+      PDataset.scanParquet(spark, corpusDir).toDF, idxDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expectBlockedStill = Dedup.minhashNearDupPairs(
+      PDataset.scanParquet(spark, corpusDir).toDF.unionByName(copies),
+      "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a >= 1000000L || b >= 1000000L }
+      .map { case (a, b) =>
+        if (a >= 1000000L && b >= 1000000L) b
+        else if (a >= 1000000L) a else b
+      }.toSet
+    val expected = copies.select("doc_id").collect()
+      .map(_.getLong(0)).toSet -- expectBlockedStill
+    assert(after == expected,
+      s"missing ${(expected -- after).take(5)}, " +
+        s"ghost-blocked ${(after -- expected).take(5)}")
+  }
+
   test("SemDeDup keeper=centroidFarthest keeps, per duplicate group, " +
       "the member with the LOWEST cosine to its cell centroid " +
       "(arXiv:2303.09540's rule), matching a recomputed reference") {
