@@ -175,6 +175,26 @@ object VectorIndex {
   /** Content identity of a corpus directory: the sidecar's bytes when
     * it is a graft dataset (exact — every commit rewrites them), else
     * the sorted (name, length, mtime) listing of its files. */
+  /** Deletion propagation for the ANN index — the vector analogue of
+    * [[Dedup.forgetDocuments]]: hide `ids`' rows with a merge-on-read
+    * deletion-vector mark. The index clusters on CELL (its query
+    * key), so an id delete cannot range-prune — marking costs one
+    * scan of the index and zero rewrite, and every query path
+    * ([[topK]]/[[pqTopK]] read `format("graft")`, which serves
+    * DV-pending tables merge-on-read) stops returning the removed
+    * vectors immediately. The inverse of [[addVectors]]: zero
+    * retraining, cell geometry untouched; the marks fold into the
+    * next [[DeletionVectors.materialize]]. `ids` is a driver-side
+    * erasure list — chunk a huge one across calls. */
+  def removeVectors(
+      spark: SparkSession,
+      dir: String,
+      ids: Seq[Any]): DeletionVectors.Report = {
+    require(ids.nonEmpty, "removeVectors needs at least one id")
+    DeletionVectors.deleteWhere(spark, dir,
+      col("id").isInCollection(ids))
+  }
+
   def corpusFingerprint(spark: SparkSession, dir: String): String = {
     val text =
       if (graft.core.Sidecar.exists(spark, dir))

@@ -153,6 +153,40 @@ class VectorIndexSpec extends AnyFunSuite {
       pqHit.head.getAs[Long]("neighbor_id") == 450L)
   }
 
+  test("removeVectors hides ids from every query path immediately — " +
+      "zero retraining, zero rewrite, addVectors still works after") {
+    val dir = tempDir("vecidx-remove") + "/idx"
+    VectorIndex.build(spark,
+      emb.filter(col("vec_id") < 500), "vec_id", "embedding", dir,
+      dim = 64, nlist = 8, pq = Some((16, 32)))
+    val qs = emb.filter(col("vec_id") < 5)
+    val beforeIds = VectorIndex.topK(spark, qs, dir,
+      "vec_id", "embedding", 5)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(beforeIds.nonEmpty)
+    val victims = beforeIds.take(3).toSeq
+    val rep = VectorIndex.removeVectors(spark, dir, victims)
+    assert(rep.marked == victims.length, rep.toString)
+    val after = VectorIndex.topK(spark, qs, dir,
+      "vec_id", "embedding", 5)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(victims.forall(v => !after.contains(v)),
+      s"removed ids still returned: ${victims.filter(after.contains)}")
+    val afterPq = VectorIndex.pqTopK(spark, qs, dir,
+      "vec_id", "embedding", 5)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(victims.forall(v => !afterPq.contains(v)),
+      "PQ path must hide removed ids too")
+    // the index keeps absorbing new vectors around the pending marks
+    VectorIndex.addVectors(spark,
+      emb.filter(col("vec_id") >= 500 && col("vec_id") < 520),
+      "vec_id", "embedding", dir)
+    val grown = VectorIndex.topK(spark, qs, dir,
+      "vec_id", "embedding", 50)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(victims.forall(v => !grown.contains(v)))
+  }
+
   test("corpus identity: queries can detect an index missing vectors") {
     val root = tempDir("vecidx-drift")
     val corpus = root + "/corpus"
