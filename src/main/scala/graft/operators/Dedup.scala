@@ -364,7 +364,14 @@ object Dedup {
     * fold into the next `DeletionVectors.materialize`. `docIds` is a
     * driver-side list (an erasure request, not a corpus-scale set) —
     * chunk a huge list across calls. Returns (corpus report, index
-    * DV report). */
+    * DV report).
+    *
+    * HARD-erasure note: this removes the documents from every LIVE
+    * read path. Rows remain reachable through RETAINED corpus
+    * generations (time travel) and inside still-referenced physical
+    * files until `Maintenance.vacuum` drops that history and
+    * `DeletionVectors.materialize` folds the index marks — run both
+    * when the erasure must also purge history. */
   def forgetDocuments(
       spark: SparkSession,
       corpusDir: String,

@@ -327,4 +327,87 @@ class MaintenanceFuzzSpec extends AnyFunSuite {
     checkBoundsAndSizes(srcDs)
     assert(srcDs.toDF.count() == 1000)
   }
+
+  test("source-side guard fuzz: random NON-RETAINED source " +
+      "maintenance under a live clone never breaks the clone, and " +
+      "dropClone releases the storage") {
+    val rnd = new scala.util.Random(20260815L)
+    val root = tempDir("maint-fuzz-srcguard")
+    val srcDir = root + "/src"
+    val cloneDir = root + "/clone"
+    val model = scala.collection.mutable.TreeMap.empty[Long, String]
+    (0L until 1000L).foreach(k => model(k) = s"v$k")
+    val parts = (0 until 1000 by 100).map { lo =>
+      PDataset.fromDataFrame(
+        spark.range(lo.toLong, lo + 100L).select(
+          col("id").as("k"), (col("id") % 7).cast("int").as("grp"),
+          concat(lit("v"), col("id")).as("payload")), Seq("k"))
+    }
+    PDataset.concat(parts).writeParquet(srcDir)
+    Maintenance.shallowClone(spark, srcDir, cloneDir)
+    def content(dir: String): Seq[(Long, String)] =
+      PDataset.scanParquet(spark, dir).toDF.select("k", "payload")
+        .collect().map(r => r.getLong(0) -> r.getString(1))
+        .sortBy(_._1).toSeq
+    val snapshot = content(cloneDir)
+    def rowsOf(keys: Seq[Long], tag: String) =
+      keys.map(k => (k, (k % 7).toInt, s"$tag-$k")).toDF("k", "grp", "payload")
+    var nextFresh = 1000000L
+    (0 until 12).foreach { step =>
+      val keys = model.keys.toVector
+      val label = rnd.nextInt(5) match {
+        case 0 => // non-retained upsert
+          val upd = Seq.fill(1 + rnd.nextInt(25))(
+            keys(rnd.nextInt(keys.length))).distinct
+          val fresh = (0 until rnd.nextInt(4)).map { _ =>
+            nextFresh += 1; nextFresh
+          }
+          (upd ++ fresh).foreach(k => model(k) = s"u$step-$k")
+          Maintenance.upsert(spark, srcDir, rowsOf(upd ++ fresh, s"u$step"))
+          s"upsert($step)"
+        case 1 if keys.length >= 300 => // non-retained range delete
+          val a = keys(rnd.nextInt(keys.length))
+          val b = a + 1 + rnd.nextInt(150)
+          model.rangeImpl(Some(a), Some(b)).keys.toVector
+            .foreach(model.remove)
+          Maintenance.deleteRange(spark, srcDir,
+            lb = Vector(Some(a)), ub = Vector(Some(b)))
+          s"delete($step)"
+        case 2 => // non-retained compact
+          Maintenance.compact(spark, srcDir, targetRows = 250)
+          s"compact($step)"
+        case 3 if keys.length >= 300 => // non-retained update
+          val a = keys(rnd.nextInt(keys.length))
+          val b = a + 1 + rnd.nextInt(120)
+          model.rangeImpl(Some(a), Some(b)).keys.toVector
+            .foreach(k => model(k) = s"w$step-$k")
+          Maintenance.updateWhere(spark, srcDir,
+            col("k") >= a && col("k") < b,
+            Seq("payload" -> concat(lit(s"w$step-"), col("k"))))
+          s"update($step)"
+        case 4 => // vacuum with the live clone registered
+          Maintenance.vacuum(spark, srcDir)
+          s"vacuum($step)"
+        case _ => "skip"
+      }
+      if (label != "skip") {
+        assert(content(srcDir) == model.toSeq,
+          s"$label: source diverged from the model")
+        assert(content(cloneDir) == snapshot,
+          s"$label: a non-retained source op broke the live clone")
+      }
+    }
+    // lifecycle close: dropClone deregisters; compact + vacuum then
+    // reclaim every byte no longer referenced — and the source still
+    // matches the model
+    Maintenance.dropClone(spark, cloneDir)
+    Maintenance.compact(spark, srcDir, targetRows = 250)
+    Maintenance.vacuum(spark, srcDir)
+    assert(content(srcDir) == model.toSeq)
+    val m = graft.core.Sidecar.load(spark, srcDir)
+    val onDisk = Option(new java.io.File(srcDir).list()).get
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_")).toSet
+    assert(onDisk == m.files.toSet,
+      s"unreclaimed debris after dropClone+vacuum: ${onDisk -- m.files}")
+  }
 }
