@@ -38,7 +38,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL inner joins between two graft tables co-clustered on the
     // join keys rewrite to the zero-Exchange division join
     // automatically (disable: SET spark.graft.sql.divisionJoin=false).
-    ext.injectOptimizerRule(s => new graft.plans.SqlDivisionJoin(s))
+    // The builder ALSO registers the rule in the "User Provided
+    // Optimizers" batch (experimental.extraOptimizations) — the only
+    // extension point that runs AFTER RewriteSubquery: an EXISTS / IN
+    // predicate only BECOMES a LeftSemi/LeftAnti join there, so the
+    // decontamination shape (`WHERE NOT EXISTS` between co-clustered
+    // corpora) is invisible to the operator-batch injection alone.
+    // The builder runs once per session at optimizer construction —
+    // before the first query reads extraOptimizations — and the rule
+    // is idempotent (an already-rewritten plan has no Join to match),
+    // so the double appearance is harmless.
+    ext.injectOptimizerRule { s =>
+      val rule = new graft.plans.SqlDivisionJoin(s)
+      if (!s.experimental.extraOptimizations
+          .exists(_.isInstanceOf[graft.plans.SqlDivisionJoin]))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ rule
+      rule
+    }
     // SQL GROUP BY on a prefix of a graft table's index columns
     // rewrites to a union of per-division complete aggregates — no
     // Exchange (disable: SET spark.graft.sql.divisionAgg=false).

@@ -414,6 +414,31 @@ object SparkEntry {
       PDataset.scanParquet(s, dir).toDF.orderBy("o_orderkey")
     }),
 
+    // Layout maintenance for continuously appended tables: each
+    // append lands files whose key ranges overlap everything already
+    // there, so range pruning (slices, division joins/aggs, index
+    // bucket joins) degrades toward full scans. recluster re-sorts
+    // the live rows into disjoint files in ONE ranged shuffle and one
+    // atomic metadata swap — riding the replaceWhere commit path, so
+    // constraints, txn ledgers, history and CDF all survive.
+    "q_recluster" -> ((s, d) => {
+      val dir = mutableCopy("ordoverlap", d) { out =>
+        val o = s.read.parquet(T(d, "orders"))
+        PDataset.fromDataFrame(
+          o.filter(col("o_orderkey") % 2 === 0), Seq("o_orderkey"))
+          .writeParquet(out)
+        PDataset.fromDataFrame(
+          o.filter(col("o_orderkey") % 2 === 1), Seq("o_orderkey"))
+          .writeParquet(out, append = true)
+      }
+      require(!PDataset.scanParquet(s, dir).isDisjoint,
+        "fixture must start overlapping")
+      graft.operators.Maintenance.recluster(s, dir)
+      val ds = PDataset.scanParquet(s, dir)
+      ds.assertDisjoint()
+      ds.toDF.orderBy("o_orderkey")
+    }),
+
     "q_delete_range" -> ((s, d) => {
       val dir = mutableCopy("ordkey20", d)(ordersByKey20(s, d))
       graft.operators.Maintenance.deleteRange(s, dir,
@@ -1355,6 +1380,67 @@ object SparkEntry {
                   ON sdjr_o.ckey = sdjr_c.ckey
                      AND sdjr_o.o_totalprice > sdjr_c.c_acctbal
                 GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    }),
+
+    // Plain-SQL LEFT SEMI between co-clustered tables — the
+    // containment shape ("customers that ordered") that at corpus
+    // scale is decontamination. The node emits the LEFT side only,
+    // claims just the KEYS of its right children (the order scan
+    // narrows to its key column), and with no residual builds each
+    // division's key SET rather than its rows — zero Exchange on
+    // either side.
+    "q_sql_division_semi" -> ((s, d) => {
+      val oDir = jdOrdersFixture(s, d)
+      val cDir = jdCustomerFixture(s, d)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.read.format("graft").load(oDir).createOrReplaceTempView("sdjs_o")
+      s2.read.format("graft").load(cDir).createOrReplaceTempView("sdjs_c")
+      s2.sql("""SELECT c_mktsegment, count(*) AS n
+                FROM sdjs_c LEFT SEMI JOIN sdjs_o
+                  ON sdjs_c.ckey = sdjs_o.ckey
+                GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    }),
+
+    // NOT EXISTS with a CROSS-SIDE residual through the same node as
+    // a LEFT ANTI: a customer survives only when NO key-equal order
+    // passes o_totalprice < c_acctbal — the residual decides MATCHING
+    // inside each division (post-filter semantics would be wrong).
+    // Zero Exchange on either side.
+    "q_sql_division_anti" -> ((s, d) => {
+      val oDir = jdOrdersFixture(s, d)
+      val cDir = jdCustomerFixture(s, d)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.read.format("graft").load(oDir).createOrReplaceTempView("sdjna_o")
+      s2.read.format("graft").load(cDir).createOrReplaceTempView("sdjna_c")
+      s2.sql("""SELECT c_mktsegment, count(*) AS n,
+                       round(sum(c_acctbal), 2) AS sum_bal
+                FROM sdjna_c c WHERE NOT EXISTS
+                  (SELECT 1 FROM sdjna_o o
+                   WHERE o.ckey = c.ckey
+                     AND o.o_totalprice < c.c_acctbal)
+                GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    }),
+
+    // Join + GROUP BY the JOIN KEY, Exchange-free END TO END: the
+    // division join node DECLARES its range partitioning (each key
+    // group lives wholly inside one division partition), so the
+    // aggregation that would otherwise shuffle the ENTIRE join output
+    // — at 100 TB the dominant cost of a fact-to-fact rollup — runs
+    // in the same stage; the trailing ORDER BY + LIMIT plans as
+    // TakeOrderedAndProject, also shuffle-free.
+    "q_sql_division_join_agg" -> ((s, d) => {
+      val oDir = jdOrdersFixture(s, d)
+      val cDir = jdCustomerFixture(s, d)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.read.format("graft").load(oDir).createOrReplaceTempView("sdja_o")
+      s2.read.format("graft").load(cDir).createOrReplaceTempView("sdja_c")
+      s2.sql("""SELECT sdja_o.ckey, count(*) AS n,
+                       round(sum(o_totalprice), 2) AS sum_price
+                FROM sdja_o JOIN sdja_c ON sdja_o.ckey = sdja_c.ckey
+                GROUP BY sdja_o.ckey ORDER BY ckey LIMIT 2000""")
     }),
 
     // Plain-SQL GROUP BY on the clustering key through the
@@ -2604,6 +2690,20 @@ object SparkEntry {
         .select("doc_id", "source", "lang")
         .orderBy("doc_id")),
 
+    // Per-source TOKEN-budget sampling (the way training mixtures
+    // are actually specified): every source contributes ~7500 chars,
+    // filled in deterministic md5 order. Under-budget sources pass
+    // through with NO shuffle; over-budget sources window only a
+    // hash-prefiltered candidate set bounded by the BUDGET (not the
+    // corpus) — the shape that survives a 50 TB source with a 10 GB
+    // quota.
+    "q_token_budget" -> ((s, d) =>
+      graft.operators.Sampling.sampleByTokenBudget(
+        scan(s, d, "documents").toDF, "source", "doc_id", "n_chars",
+        budget = 7500L)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")),
+
     // Deterministic shard assignment: reproducible corpus shuffle
     // into 8 training shards (shard + in-shard position are a pure
     // function of the seed and the doc id).
@@ -2678,6 +2778,19 @@ object SparkEntry {
       scan(s, d, "documents").toDF.select(
         col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // Unicode-canonical fingerprints (the dedup pre-pass) through the
+    // single-pass canon_text codegen kernel: NFC + lowercase + accent
+    // strip + non-alphanumeric folding in ONE string walk per row —
+    // Spark has no built-in Unicode normalization, and the regex
+    // composition walks the string four times. On the (ASCII) fixture
+    // the oracle's regexp form is byte-identical; the Unicode steps
+    // are pinned in PipelineOpsSpec.
+    "q_canon_fp" -> ((s, d) =>
+      scan(s, d, "documents").toDF.select(
+        col("doc_id"),
+        md5(TextFunctions.canonText(col("text"))).as("canon_fp"))
         .orderBy("doc_id")),
 
     "q_fingerprint_winnow" -> ((s, d) =>
@@ -2944,6 +3057,7 @@ object SparkEntry {
         "SELECT count(*) AS n_rows, min(o_orderdate) AS lb, max(o_orderdate) AS ub FROM orders",
       "q_write_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
       "q_compact" -> "SELECT * FROM orders ORDER BY o_orderkey",
+      "q_recluster" -> "SELECT * FROM orders ORDER BY o_orderkey",
       "q_scan_orc" ->
         """SELECT * FROM orders
            WHERE o_orderkey >= 1000 AND o_orderkey < 5000
@@ -3305,6 +3419,24 @@ object SparkEntry {
            FROM orders RIGHT JOIN customer
              ON o_custkey = c_custkey AND o_totalprice > c_acctbal
            GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+      "q_sql_division_semi" ->
+        """SELECT c_mktsegment, count(*) AS n
+           FROM customer WHERE c_custkey IN
+             (SELECT o_custkey FROM orders)
+           GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+      "q_sql_division_anti" ->
+        """SELECT c_mktsegment, count(*) AS n,
+                  round(sum(c_acctbal), 2) AS sum_bal
+           FROM customer c WHERE NOT EXISTS
+             (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice < c.c_acctbal)
+           GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+      "q_sql_division_join_agg" ->
+        """SELECT o_custkey AS ckey, count(*) AS n,
+                  round(sum(o_totalprice), 2) AS sum_price
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY o_custkey ORDER BY ckey LIMIT 2000""",
       "q_sql_division_sort_desc" ->
         """SELECT o_custkey AS ckey, o_orderkey, o_totalprice
            FROM orders ORDER BY ckey DESC, o_orderkey DESC
@@ -4107,6 +4239,30 @@ object SparkEntry {
                    / 4294967296.0
                  < sqrt(CAST(nmin AS DOUBLE) / n)
            ORDER BY doc_id""",
+      "q_token_budget" ->
+        """WITH tot AS (SELECT source, sum(n_chars) AS t
+                        FROM documents GROUP BY source),
+           cand AS (
+             SELECT d.doc_id, d.source, d.n_chars, t.t
+             FROM documents d JOIN tot t USING (source)
+             WHERE t.t > 7500
+               AND ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                     / 4294967296.0
+                   < least(1.0, 2.0 * 7500 / t.t)),
+           filled AS (
+             SELECT doc_id, source, n_chars,
+                    sum(n_chars) OVER (PARTITION BY source
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS cum
+             FROM cand)
+           SELECT * FROM (
+             SELECT d.doc_id, d.source, d.n_chars
+             FROM documents d JOIN tot t USING (source) WHERE t.t <= 7500
+             UNION ALL
+             SELECT doc_id, source, n_chars FROM filled
+             WHERE cum - n_chars < 7500)
+           ORDER BY doc_id""",
       "q_shard_assign" ->
         """WITH h AS (
              SELECT doc_id,
@@ -4194,6 +4350,11 @@ object SparkEntry {
       "q_fingerprint" ->
         s"""SELECT doc_id, md5($normT) AS fp
             FROM documents ORDER BY doc_id""",
+      "q_canon_fp" ->
+        """SELECT doc_id,
+                  md5(trim(regexp_replace(lower(text),
+                      '[^a-z0-9]+', ' ', 'g'))) AS canon_fp
+           FROM documents ORDER BY doc_id""",
       // Packing rederivation: the distributed two-pass prefix sum
       // must equal the plain global running total.
       "q_pack_sequences" ->

@@ -18,6 +18,11 @@ object TextFunctions {
   def normText(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
+  /** Unicode-canonical text (NFC, lowercase, accents stripped,
+    * non-alphanumerics folded to single spaces) — the dedup pre-pass,
+    * as one codegen'd kernel; see [[CanonTextExpr]]. */
+  def canonText(c: Column): Column = CanonText.canonText(c)
+
   /** Whitespace tokens of trimmed text (empty text -> [""], like the
     * SQL split contract — callers filter if needed). */
   def tokens(c: Column): Column = split(trim(c), "\\s+")

@@ -396,6 +396,39 @@ object Dedup {
     (corpusReport, indexReport)
   }
 
+  /** Re-cluster the persisted MinHash index. Every
+    * [[appendToMinhashIndex]] lands the batch's bands as files whose
+    * BUCKET ranges overlap the whole existing index, so after enough
+    * batches the bucket equi-join's file pruning degrades toward a
+    * full index scan per lookup, and [[forgetDocuments]]' deletion
+    * marks accumulate as merge-on-read overlays. One call re-sorts
+    * the LIVE band rows into disjoint bucket ranges and folds the
+    * deletion vectors away ([[Maintenance.recluster]] — atomic swap,
+    * txn ledger and params sidecar survive, so exactly-once streaming
+    * ingestion and shingler-tag checks continue unaffected). Results
+    * of every index query are unchanged — this is layout maintenance,
+    * the OPTIMIZE step of the continuous-ingest loop. */
+  def compactMinhashIndex(
+      spark: SparkSession,
+      dir: String,
+      retain: Boolean = false): Maintenance.Report = {
+    // touching the params file first makes "not an index" fail fast
+    minhashIndexParams(spark, dir,
+      shinglerTag = storedShinglerTag(spark, dir))
+    Maintenance.recluster(spark, dir, retain)
+  }
+
+  /** The shingler tag recorded in the index's params sidecar. */
+  def storedShinglerTag(spark: SparkSession, dir: String): String = {
+    val (fs, dirPath) = graft.core.GraftFs.resolve(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dirPath, MinhashIndexFile)
+    require(graft.core.GraftFs.isFile(fs, p),
+      s"$dir holds no MinHash index ($MinhashIndexFile missing)")
+    graft.core.TypedJson.parse(graft.core.GraftFs.readString(fs, p))
+      .asInstanceOf[Map[String, Any]]
+      .get("shingler").map(_.toString).getOrElse(WordTrigramTag)
+  }
+
   /** Rejoin candidate pairs with both documents' shingle arrays via
     * shuffle-hash joins keyed on id. The hint keeps the array payloads
     * out of an SMJ sort (the point of the join strategy) WITHOUT

@@ -2176,6 +2176,91 @@ object Maintenance {
     * read. Replacing one day of a date-clustered 100 TB table costs
     * O(that day), and a crash at any point leaves the previous
     * generation readable. */
+  /** RESTORE the clustered layout: appends land as their own files
+    * whose index ranges overlap the existing ones, so after enough of
+    * them every range slice (division joins, SQL division rewrites,
+    * bucket equi-joins on a MinHash index) matches most of the table
+    * and pruning degrades to a full scan. One ranged shuffle re-sorts
+    * the LIVE rows (pending deletion vectors fold in) into disjoint
+    * range-partitioned files staged beside the table, and one atomic
+    * sidecar swap installs them — extras (constraints, txn ledgers,
+    * rename map) survive verbatim, history archives under `retain`,
+    * and the same OCC guards as the row-level ops abort on a
+    * concurrent commit or fresh DV mark. On a SHALLOW CLONE this
+    * LOCALIZES it: the rewrite writes clone-local files and only
+    * drops the external references — the source's bytes are never
+    * deleted. O(table) by definition — schedule it like OPTIMIZE,
+    * when OVERLAP (not file count, [[compact]]'s trigger) is the
+    * problem; file granularity is preserved (one output file per
+    * current file), so follow with [[compact]] if small files are
+    * also a problem. */
+  def recluster(
+      spark: SparkSession,
+      dir: String,
+      retain: Boolean = false): Report = {
+    val (fs, dirPath) = GraftFs.resolve(spark, dir)
+    val loadedFp = metaFingerprint(spark, dirPath)
+    val m = Sidecar.load(spark, dir)
+    require(m.indexColumns.nonEmpty,
+      "recluster needs index columns; write the dataset reindexed first")
+    if (m.files.isEmpty) return Report(0, 0, 0, 0, 0)
+    val (dvOpt, dvSnap) = DeletionVectors.pendingWithSnapshot(spark, dir)
+    def pathOf(p: Int): String = new HPath(dirPath, m.files(p)).toString
+    val base = m.readData(spark, m.files.indices.map(pathOf))
+    val live = dvOpt.fold(base)(DeletionVectors.minus(base, _))
+    val physKeys = m.indexColumns.map(c => col(m.physicalName(c)))
+    val g = m.files.length
+    val stage = GraftFs.mkStageDir(fs,
+      Option(dirPath.getParent).getOrElse(dirPath), ".graft-recluster-",
+      dirPath.getName)
+    try {
+      val stageData = new HPath(stage, "data")
+      m.toPhysical(live)
+        .repartitionByRange(g, physKeys: _*)
+        .sortWithinPartitions(physKeys: _*)
+        .write.option("compression", "zstd").parquet(stageData.toString)
+      // range partitions land as part-%05d-* — name order IS range
+      // order; empty partitions write no file
+      val staged = fs.listStatus(stageData).map(_.getPath)
+        .filter(p => p.getName.startsWith("part-") &&
+          !p.getName.endsWith(".crc"))
+        .sortBy(_.getName)
+      val newNames = staged.indices.map(i =>
+        Sidecar.partitionFileName(m.maxPartitionIndex + 1 + i))
+      staged.zip(newNames).foreach { case (src, n) =>
+        require(fs.rename(src, new HPath(dirPath, n)),
+          s"recluster: failed to move staged file $src into $dir")
+      }
+      val statsByPath = Stats.forFiles(spark,
+        newNames.map(n => new HPath(dirPath, n).toString),
+        m.indexColumns.map(m.physicalName), Some(m.physicalSchema))
+      val entries = newNames.map { n =>
+        val st = statsByPath(Stats.normalizePath(
+          new HPath(dirPath, n).toString))
+        (n, st.size, st.lb, st.ub)
+      }.sortBy(e => (e._3, e._4))(
+        Ordering.Tuple2(Lex.boundOrdering, Lex.boundOrdering))
+      // OCC: abort if a commit or a fresh DV mark landed since load —
+      // the moved files become debris for the sweep, nothing installs
+      guardUnchanged(spark, dirPath, loadedFp)
+      DeletionVectors.requireNoNewMarks(spark, dir, dvSnap,
+        m.files.map(GraftFs.baseName).toSet, "recluster")
+      if (retain) archiveCurrent(spark, fs, dirPath)
+      Sidecar.write(spark, dir, m.indexColumns, entries.map(_._1),
+        entries.map(_._2), entries.map(_._3), entries.map(_._4),
+        m.maxPartitionIndex + entries.length, m.schema,
+        extras = m.extras)
+      // folded marks referenced only replaced files — clear them
+      DeletionVectors.dropEntriesForFiles(spark, dir, m.files.toSet)
+      if (!retain)
+        deletableNow(spark, dir, m.files)
+          .foreach(f => fs.delete(new HPath(dirPath, f), false))
+      refreshBloom(spark, dir)
+      Report(rewritten = m.files.length, dropped = 0, merged = 0,
+        created = entries.length, untouched = 0)
+    } finally GraftFs.deleteRecursive(fs, stage)
+  }
+
   def replaceWhere(
       spark: SparkSession,
       dir: String,

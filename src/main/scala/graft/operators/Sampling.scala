@@ -161,6 +161,64 @@ object Sampling {
       .sortWithinPartitions(col("shard"), col("shard_pos"))
       .write.partitionBy("shard").mode("overwrite").parquet(dir)
 
+  /** Per-source TOKEN-budget sampling: keep, for every source,
+    * documents in deterministic md5 order until the source has
+    * contributed `budget` weight (tokens, chars, bytes — whatever
+    * `weightCol` counts) — the standard way a training mixture is
+    * specified ("100B tokens of web, 20B of code"), where a row-count
+    * quota would over-represent short documents.
+    *
+    * Fill semantics: a source's documents are ordered by
+    * `(md5(id), id)` and kept while the budget was not yet exhausted
+    * when the document STARTS (`cumsum - weight < budget`), so the
+    * boundary-crossing document is included and a positive budget
+    * always yields at least one document per source. Membership is a
+    * pure function of the ids — reproducible across runs, engines and
+    * partitionings.
+    *
+    * Scale shape: one small per-source total aggregate (broadcast
+    * back), then
+    *   - sources whose total fits the budget pass through WHOLE with
+    *     no shuffle at all (the common long tail);
+    *   - over-budget sources first drop to a deterministic
+    *     hash-fraction candidate set of ~`oversample × budget`
+    *     expected weight, and only the candidates shuffle into the
+    *     per-source cumulative-sum window. The windowed volume per
+    *     source is bounded by the BUDGET, not the corpus — a 50 TB
+    *     source with a 10 GB budget windows ~20 GB — which is what
+    *     makes the sequential-by-nature prefix sum survive 100 TB.
+    * The prefilter is part of the operator's definition (the fill
+    * runs over the candidate set), so the oracle rederives it
+    * exactly; expected candidate weight `oversample × budget` makes
+    * under-fill vanishingly unlikely for `oversample ≥ 2`. Rows with
+    * NULL weight in an over-budget source drop (their cumulative sum
+    * is undefined — SQL three-valued logic, identical in any engine). */
+  def sampleByTokenBudget(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      weightCol: String,
+      budget: Long,
+      oversample: Double = 2.0): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(oversample >= 1.0, s"oversample must be >= 1, got $oversample")
+    val totals = df.groupBy(col(sourceCol))
+      .agg(sum(col(weightCol)).cast("long").as("__tot"))
+    val joined = df.join(broadcast(totals), Seq(sourceCol))
+    val under = joined.filter(col("__tot") <= lit(budget)).drop("__tot")
+    val keepRate = least(lit(1.0),
+      lit(oversample * budget) / col("__tot").cast("double"))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val over = joined.filter(col("__tot") > lit(budget))
+      .filter(hashFraction(col(idCol)) < keepRate)
+      .withColumn("__cum", sum(col(weightCol)).over(w))
+      .filter(col("__cum") - col(weightCol) < lit(budget))
+      .drop("__cum", "__tot")
+    under.unionByName(over)
+  }
+
   /** Stratified deterministic sample: each stratum keeps its own
     * fraction (e.g. per-language quotas when balancing a multilingual
     * corpus); strata not listed keep `defaultFraction`. */

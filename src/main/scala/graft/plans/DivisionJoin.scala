@@ -3,10 +3,11 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BasePredicate, BindReferences, BoundReference, Expression, JoinedRow, Predicate, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BasePredicate, BindReferences, BoundReference, Expression, JoinedRow, Predicate, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, JoinType, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, JoinType, LeftAnti, LeftOuter, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, RangePartitioning, UnknownPartitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.DataType
 
@@ -84,20 +85,31 @@ case class DivisionJoinPlan(
   private[plans] def keysOf(j: Int): Seq[Attribute] =
     keyRefs.slice(j * k, (j + 1) * k)
 
-  /** Every child column is consumed: rows from division j are emitted
-    * under division 0's attribute ids, so a column-pruning rule that
-    * only sees keyRefs + division 0's attrs in the output would prune
-    * divisions 1..n-1 down to their keys and misalign the emitted row
-    * layout (observed: garbage non-key values). Claiming the full
-    * child outputs as references keeps every division full-width. */
+  /** Every EMITTED child column is consumed: rows from division j are
+    * emitted under division 0's attribute ids, so a column-pruning
+    * rule that only sees keyRefs + division 0's attrs in the output
+    * would prune divisions 1..n-1 down to their keys and misalign the
+    * emitted row layout (observed: garbage non-key values). Claiming
+    * the full child outputs as references keeps every division
+    * full-width. Semi/anti joins emit NO right columns, so the right
+    * children claim only their keys (+ residual references) — a
+    * pruning rule may then narrow the right-side scans to the join
+    * keys, which at decontamination scale is the difference between
+    * reading a table and reading one column of it. */
   override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(
-      children.flatMap(_.output) ++ keyRefs ++
-        residuals.flatMap(_.references))
+      (joinType match {
+        case org.apache.spark.sql.catalyst.plans.LeftSemi |
+             org.apache.spark.sql.catalyst.plans.LeftAnti =>
+          children.take(nDiv).flatMap(_.output)
+        case _ => children.flatMap(_.output)
+      }) ++ keyRefs ++ residuals.flatMap(_.references))
 
   /** USING-join layout: keys once (under their public names), then
     * left non-keys, right non-keys. Nullability follows Catalyst's
-    * join semantics per side. */
+    * join semantics per side. Semi/anti joins emit the LEFT side only
+    * (keys + left non-keys) — the right participates in matching, not
+    * in the output. */
   override def output: Seq[Attribute] = {
     val keys = keysOf(0).zip(keyNames).map { case (a, n) => a.withName(n) }
     val leftKeyIds = keysOf(0).map(_.exprId).toSet
@@ -109,6 +121,7 @@ case class DivisionJoinPlan(
       case LeftOuter => keys ++ lRest ++ rRest.map(_.withNullability(true))
       case FullOuter => (keys ++ lRest).map(_.withNullability(true)) ++
         rRest.map(_.withNullability(true))
+      case LeftSemi | LeftAnti => keys ++ lRest
       case other => throw new IllegalArgumentException(s"unsupported $other")
     }) ++ presenceAttrs
   }
@@ -141,6 +154,31 @@ case class DivisionJoinExec(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[SparkPlan]): DivisionJoinExec =
     copy(children = newChildren)
+
+  /** Each division executes as exactly ONE output partition holding a
+    * contiguous, DISJOINT key range: rows are routed by their own key
+    * value under null-first lex order (outer null-extensions keep the
+    * present side's in-range key; null-key rows all land in the range
+    * covering the lex minimum), so every key value lives in exactly
+    * one partition and partitions are range-ordered ascending /
+    * nulls-first. Declaring that as [[RangePartitioning]] lets
+    * EnsureRequirements elide the Exchange a downstream groupBy /
+    * orderBy / distinct ON THE JOIN KEYS would otherwise insert over
+    * the full join output — `a JOIN b USING (k) GROUP BY k` between
+    * two 100 TB co-clustered tables runs Exchange-free end to end.
+    * (Partitioning claims co-location only; no intra-partition order
+    * is declared — a global sort still gets its local SortExec. Note
+    * that upstream OrderedDistribution satisfaction is LITERAL
+    * SortOrder equality — qualifier-sensitive — so ORDER BY composes
+    * through an unqualified output alias, while ClusteredDistribution
+    * uses semanticEquals and groupBy / distinct compose regardless of
+    * how the key is spelled.) */
+  override def outputPartitioning: Partitioning = {
+    val keys = output.take(nKeys)
+    if (keys.forall(a => RowOrdering.isOrderable(a.dataType)))
+      RangePartitioning(keys.map(SortOrder(_, Ascending)), nDiv)
+    else UnknownPartitioning(nDiv)
+  }
 
   override protected def doExecute(): RDD[InternalRow] = {
     val perDivision = (0 until nDiv).map { i =>
@@ -175,8 +213,10 @@ case class DivisionJoinExec(
     val rKeyOrds = ordinalsOf(keysOf(nDiv + i), rAttrs)
     val lRestOrds =
       lAttrs.indices.filterNot(lKeyOrds.contains(_)).toArray
+    // Semi/anti emit the left side only; right columns never surface.
     val rRestOrds =
-      rAttrs.indices.filterNot(rKeyOrds.contains(_)).toArray
+      if (joinType == LeftSemi || joinType == LeftAnti) Array.empty[Int]
+      else rAttrs.indices.filterNot(rKeyOrds.contains(_)).toArray
     val markers = if (emitPresence) 2 else 0
     require(nKeys + lRestOrds.length + rRestOrds.length + markers
         == output.length,
@@ -254,6 +294,13 @@ object DivisionJoinExec {
       emitPresence: Boolean,
       cond: Option[Expression] = None): Iterator[InternalRow] = {
     val nKeys = lKeyOrds.length
+    // Whether a left row with no (passing) key partner is dropped
+    // (inner, semi) or emitted (outer rows null-extend, anti rows ARE
+    // the result). Null key components never match in SQL, so a
+    // null-key left row counts as unmatched — kept by anti, as SQL's
+    // NOT-EXISTS (not the null-aware NOT-IN) semantics require.
+    val dropUnmatchedLeft = joinType == Inner || joinType == LeftSemi
+    val existence = joinType == LeftSemi || joinType == LeftAnti
     val pred: Option[BasePredicate] = cond.map(Predicate.create)
     pred.foreach(_.initialize(
       Option(org.apache.spark.TaskContext.get()).map(_.partitionId())
@@ -329,13 +376,25 @@ object DivisionJoinExec {
         probe: Iterator[InternalRow]): Iterator[InternalRow] = {
       val probed: Iterator[InternalRow] = probe.flatMap { l =>
         if (hasNullKey(l, lKeyOrds)) {
-          if (joinType == Inner) Iterator.empty
+          if (dropUnmatchedLeft) Iterator.empty
           else Iterator.single(emit(l, null))
         } else {
           val e = m.get(lKeyProj(l))
           if (e == null) {
-            if (joinType == Inner) Iterator.empty
+            if (dropUnmatchedLeft) Iterator.empty
             else Iterator.single(emit(l, null))
+          } else if (existence) {
+            // semi/anti: existence of one passing partner decides the
+            // row; short-circuit instead of enumerating pairs.
+            var found = pred.isEmpty
+            var i = 0
+            while (!found && i < e.rows.length) {
+              if (pred.get.eval(joined.withLeft(l).withRight(e.rows(i))))
+                found = true
+              i += 1
+            }
+            if (found == (joinType == LeftSemi)) Iterator.single(emit(l, null))
+            else Iterator.empty
           } else pred match {
             case None =>
               e.matched = true
@@ -400,6 +459,11 @@ object DivisionJoinExec {
     // falls back to the Grace-style disk join below instead of OOMing
     // the executor.
     val maxBytes = buildSpillThresholdBytes
+    // Existence joins with no residual only ever test key MEMBERSHIP:
+    // build the key set alone (an Entry with no rows), not the right
+    // rows — at corpus-vs-corpus decontamination scale the build side
+    // shrinks from the table to its distinct keys.
+    val keysOnly = existence && cond.isEmpty
     val map = new java.util.HashMap[UnsafeRow, Entry]()
     val nullKeyRight = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
     var buildBytes = 0L
@@ -411,6 +475,13 @@ object DivisionJoinExec {
           val rc = r.copy()
           nullKeyRight += rc
           buildBytes += rowBytes(rc)
+        }
+      } else if (keysOnly) {
+        val k = rKeyProj(r)
+        if (!map.containsKey(k)) {
+          val kc = k.copy()
+          map.put(kc, new Entry(scala.collection.mutable.ArrayBuffer.empty))
+          buildBytes += kc.getSizeInBytes.toLong
         }
       } else {
         val k = rKeyProj(r).copy()
@@ -460,9 +531,12 @@ object DivisionJoinExec {
     // 1. drain the partial build + the rest of the right side to disk
     val bOut = Array.tabulate(nPart)(p => open(s"b$p"))
     val nullROut = if (joinType == FullOuter) open("nullr") else null
+    // keysOnly buckets hold KEY-layout rows (nKeys fields); full
+    // buckets hold right-layout rows.
     map.forEach { (k, e) =>
       val p = bucketOf(k)
-      e.rows.foreach(writeRow(bOut(p), _, rRowProj))
+      if (keysOnly) writeRow(bOut(p), k, rRowProj)
+      else e.rows.foreach(writeRow(bOut(p), _, rRowProj))
     }
     map.clear()
     nullKeyRight.foreach(writeRow(nullROut, _, rRowProj))
@@ -471,6 +545,9 @@ object DivisionJoinExec {
       val r = rIt.next()
       if (hasNullKey(r, rKeyOrds)) {
         if (joinType == FullOuter) writeRow(nullROut, r, rRowProj)
+      } else if (keysOnly) {
+        val k = rKeyProj(r)
+        writeRow(bOut(bucketOf(k)), k, rRowProj)
       } else writeRow(bOut(bucketOf(rKeyProj(r))), r, rRowProj)
     }
     bOut.foreach(_.close())
@@ -478,11 +555,11 @@ object DivisionJoinExec {
 
     // 2. spill the probe side by bucket (null keys to their own file)
     val pOut = Array.tabulate(nPart)(p => open(s"p$p"))
-    val nullLOut = if (joinType != Inner) open("nulll") else null
+    val nullLOut = if (!dropUnmatchedLeft) open("nulll") else null
     while (lIt.hasNext) {
       val l = lIt.next()
       if (hasNullKey(l, lKeyOrds)) {
-        if (joinType != Inner) writeRow(nullLOut, l, lRowProj)
+        if (!dropUnmatchedLeft) writeRow(nullLOut, l, lRowProj)
       } else writeRow(pOut(bucketOf(lKeyProj(l))), l, lRowProj)
     }
     pOut.foreach(_.close())
@@ -516,13 +593,18 @@ object DivisionJoinExec {
     // a time, each bucket's full-outer tail emitted via memJoin.
     val buckets = (0 until nPart).iterator.flatMap { p =>
       val m = new java.util.HashMap[UnsafeRow, Entry]()
-      readRows(s"b$p", rTypes.length).foreach { r =>
+      if (keysOnly)
+        readRows(s"b$p", nKeys).foreach { k =>
+          if (!m.containsKey(k))
+            m.put(k, new Entry(scala.collection.mutable.ArrayBuffer.empty))
+        }
+      else readRows(s"b$p", rTypes.length).foreach { r =>
         putBuild(m, rKeyProj(r).copy(), r)
       }
       memJoin(m, Nil, readRows(s"p$p", lTypes.length))
     }
     val nullLeftEmits =
-      if (joinType == Inner) Iterator.empty
+      if (dropUnmatchedLeft) Iterator.empty
       else readRows("nulll", lTypes.length).map(l => emit(l, null))
     val nullRightEmits =
       if (joinType != FullOuter) Iterator.empty
@@ -556,6 +638,8 @@ object DivisionJoin {
       case "inner" => Inner
       case "left" => LeftOuter
       case "full" => FullOuter
+      case "semi" => LeftSemi
+      case "anti" => LeftAnti
       case _ => return None
     }
     val lPlans = lefts.map(_.queryExecution.analyzed)

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, EqualTo, Expression, ExprId, If, Literal, NamedExpression, PredicateHelper, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -25,9 +25,15 @@ import graft.core.Lex
   * understands — each division child scans only its own files.
   *
   * Eligibility (anything else leaves the join untouched):
-  *   - INNER, LEFT, RIGHT or FULL OUTER join, no join hints (a user's
-  *     BROADCAST hint wins). RIGHT OUTER rewrites as the side-swapped
-  *     LEFT OUTER under an order-restoring Project. Outer joins
+  *   - INNER, LEFT, RIGHT, FULL OUTER, LEFT SEMI or LEFT ANTI join,
+  *     no join hints (a user's BROADCAST hint wins). Semi/anti is the
+  *     decontamination shape — `WHERE (NOT) EXISTS` between two
+  *     co-clustered corpora — and emits the left side only, so the
+  *     node claims just the keys of its right children (scans narrow
+  *     to the key columns) and, with no residual, builds each
+  *     division's key SET rather than its rows. RIGHT OUTER rewrites
+  *     as the side-swapped LEFT OUTER under an order-restoring
+  *     Project. Outer joins
   *     reconstruct per-side key columns from the node's coalesced
   *     USING-style keys via two presence markers the node emits (an
   *     unmatched row must surface NULL in the absent side's key).
@@ -74,8 +80,8 @@ final class SqlDivisionJoin(protected val session: SparkSession)
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformUp {
-      case j @ Join(_, _, Inner | LeftOuter | FullOuter, Some(_),
-          JoinHint(None, None)) =>
+      case j @ Join(_, _, Inner | LeftOuter | FullOuter | LeftSemi | LeftAnti,
+          Some(_), JoinHint(None, None)) =>
         rewrite(j).getOrElse(j)
       case j @ Join(l, r, RightOuter, Some(c), JoinHint(None, None)) =>
         // RIGHT OUTER is LEFT OUTER with the sides exchanged: rewrite
@@ -195,7 +201,8 @@ final class SqlDivisionJoin(protected val session: SparkSession)
     // Outer joins need the presence markers to reconstruct per-side
     // key columns; allocate the attrs HERE so plan copies keep ids.
     val presence: Seq[Attribute] =
-      if (j.joinType == Inner) Nil
+      if (j.joinType == Inner || j.joinType == LeftSemi ||
+          j.joinType == LeftAnti) Nil
       else Seq(
         AttributeReference("__l_present",
           org.apache.spark.sql.types.BooleanType, nullable = false)(),

@@ -48,6 +48,52 @@ class MaintenanceSpec extends AnyFunSuite {
     }.toMap
   }
 
+  // ---- recluster ----
+
+  test("recluster re-sorts overlapping appends into disjoint files, " +
+      "folds pending deletion vectors, and keeps the txn ledger") {
+    val dir = tempDir("maint-recluster") + "/ds"
+    // evens as 3 disjoint files, then odds appended as ONE file whose
+    // range overlaps all of them
+    val evens = (0 until 600 by 200).map { lo =>
+      PDataset.fromDataFrame(
+        keyedDF(0, 600).filter(col("k") % 2 === 0 &&
+          col("k") >= lo && col("k") < lo + 200), Seq("k"))
+    }
+    PDataset.concat(evens).writeParquet(dir)
+    PDataset.fromDataFrame(
+      keyedDF(0, 600).filter(col("k") % 2 === 1), Seq("k"))
+      .writeParquet(dir, append = true)
+    assert(!PDataset.scanParquet(spark, dir).isDisjoint,
+      "fixture must start overlapping")
+
+    // an exactly-once transactional append and a pending DV overlay
+    // must both survive the rewrite
+    keyedDF(600, 10).write.format("graft").mode("append")
+      .option("txnAppId", "reclust-app").option("txnVersion", "7")
+      .save(dir)
+    graft.operators.DeletionVectors.deleteWhere(spark, dir,
+      col("k") < 10)
+
+    val report = Maintenance.recluster(spark, dir)
+    assert(report.created > 0)
+
+    val after = PDataset.scanParquet(spark, dir)
+    assert(after.isDisjoint, "recluster must restore disjoint ranges")
+    val got = after.toDF.orderBy("k").collect()
+    assert(got.length == 600, s"610 rows minus 10 DV-deleted")
+    assert(got.head.getLong(0) == 10L && got.last.getLong(0) == 609L)
+    // DV overlay folded away
+    assert(!graft.operators.DeletionVectors.exists(spark, dir),
+      "recluster must fold the deletion-vector overlay")
+    // ledger survived: replaying the same (appId, version) is a no-op
+    keyedDF(700, 10).write.format("graft").mode("append")
+      .option("txnAppId", "reclust-app").option("txnVersion", "7")
+      .save(dir)
+    assert(PDataset.scanParquet(spark, dir).toDF.count() == 600,
+      "replayed txn version must not append")
+  }
+
   // ---- compact ----
 
   test("compact bin-packs adjacent small files, preserving content and bounds") {

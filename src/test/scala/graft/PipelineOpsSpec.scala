@@ -85,6 +85,50 @@ class PipelineOpsSpec extends AnyFunSuite {
       again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("sampleByTokenBudget fills each source in md5 order up to the " +
+      "budget; under-budget sources pass whole; deterministic") {
+    val B = 7000L // straddles the sf0.001 per-source totals
+    val out = Sampling.sampleByTokenBudget(
+      docs.select("doc_id", "source", "n_chars"),
+      "source", "doc_id", "n_chars", budget = B)
+    val got = out.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // driver-side re-derivation of the operator's exact rule
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def frac(id: Long): Double =
+      java.lang.Long.parseLong(md5hex(id.toString).substring(0, 8), 16)
+        .toDouble / 4294967296.0
+    val rows = docs.select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val expected = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      val tot = rs.map(_._3).sum
+      if (tot <= B) rs
+      else {
+        val rate = math.min(1.0, 2.0 * B / tot)
+        val cands = rs.filter(r => frac(r._1) < rate)
+          .sortBy(r => (md5hex(r._1.toString), r._1))
+        var cum = 0L
+        cands.takeWhile { r =>
+          val start = cum; cum += r._3; start < B
+        }
+      }
+    }.map(_._1).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    // both branches exercised by the fixture
+    val totals = rows.groupBy(_._2).map { case (_, rs) => rs.map(_._3).sum }
+    assert(totals.exists(_ <= B) && totals.exists(_ > B),
+      s"fixture must exercise both branches, totals=$totals")
+    // deterministic across partitionings
+    val again = Sampling.sampleByTokenBudget(
+      docs.select("doc_id", "source", "n_chars").repartition(13),
+      "source", "doc_id", "n_chars", budget = B)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == got)
+  }
+
   test("mixtureByTemperature flattens toward the smallest source") {
     val natural = docs.groupBy("source").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -444,6 +488,44 @@ class PipelineOpsSpec extends AnyFunSuite {
         shinglerTag = "word-5")
     }
     assert(e.getMessage.contains("shingler"), e.getMessage)
+  }
+
+  test("compactMinhashIndex: query results unchanged, layout back to " +
+      "disjoint bucket ranges, params sidecar survives") {
+    val dir = Fixtures.tempDir("mh-compact") + "/idx"
+    val old = docs.filter(col("doc_id") < 300)
+    Dedup.buildMinhashIndex(spark, old, "doc_id", "text", dir)
+    // two overlapping appends (each batch's bucket range spans the
+    // whole hash space, so the index layout degrades)
+    val b1 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+      .withColumn("doc_id", col("doc_id") + 10000)
+    val b2 = docs.filter(col("doc_id") >= 400)
+      .withColumn("doc_id", col("doc_id") + 20000)
+    Dedup.appendToMinhashIndex(spark, b1, "doc_id", "text", dir)
+    Dedup.appendToMinhashIndex(spark, b2, "doc_id", "text", dir)
+    assert(!graft.core.PDataset.scanParquet(spark, dir).isDisjoint,
+      "appends must overlap for the fixture to mean anything")
+    val corpus = old.unionByName(b1).unionByName(b2)
+    val probe = old.filter(col("doc_id") < 10)
+      .withColumn("doc_id", col("doc_id") + 90000)
+    def pairs() = Dedup.incrementalNearDupPairs(
+      spark, probe, "doc_id", "text", corpus, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = pairs()
+    assert(before.nonEmpty)
+    Dedup.compactMinhashIndex(spark, dir)
+    assert(graft.core.PDataset.scanParquet(spark, dir).isDisjoint,
+      "compaction must restore disjoint bucket ranges")
+    assert(pairs() == before, "compaction changed query results")
+    assert(Dedup.storedShinglerTag(spark, dir) == Dedup.WordTrigramTag)
+    // a non-index table refuses
+    val plain = Fixtures.tempDir("mh-compact-plain") + "/t"
+    graft.core.PDataset.fromDataFrame(
+      docs.limit(5), Seq("doc_id")).writeParquet(plain)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.compactMinhashIndex(spark, plain)
+    }
+    assert(e.getMessage.contains("MinHash"), e.getMessage)
   }
 
   test("segment dedup drops corpus-frequent lines, preserves order, " +
@@ -899,6 +981,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(2).getInt(0) == 2)
     assert(out.forall(_.getString(2).length == 32))
     assert(out.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
+
+  test("canon_text: Unicode canonicalization matches the ASCII SQL " +
+      "form, strips accents, composes NFC, and compiles under codegen") {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // codegen path (compileAndEval throws on invalid generated Java)
+    def canon(s: String): String =
+      GraftBridge.compileAndEval(graft.functions.CanonTextExpr(
+        Literal.create(s))).toString
+    // ASCII: byte-identical to
+    // trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+    assert(canon("  Hello,   WORLD!! 42 ") == "hello world 42")
+    assert(canon("...") == "")
+    assert(canon("") == "")
+    assert(canon("a") == "a")
+    // NFC: decomposed e+combining-acute equals precomposed é, and
+    // both strip to plain e
+    assert(canon("Café Noir") == "cafe noir")
+    assert(canon("Café Noir") == "cafe noir")
+    // standalone non-mark letters survive accent stripping (DuckDB
+    // strip_accents agrees: 'ø' is not a combining mark)
+    assert(canon("Søren") == "søren")
+    // Turkish dotted capital İ: lowercases to i + combining dot,
+    // which the NFD pass strips
+    assert(canon("İstanbul") == "istanbul")
+    // punctuation-only separators between words fold to one space
+    assert(canon("a--b__c\t\nd") == "a b c d")
+    // interpreted path agrees with codegen
+    val expr = graft.functions.CanonTextExpr(
+      Literal.create("Café -- NOIR  42"))
+    assert(expr.eval(null).toString == canon("Café -- NOIR  42"))
+    // null propagates
+    assert(graft.functions.CanonTextExpr(
+      Literal.create(null, org.apache.spark.sql.types.StringType))
+      .eval(null) == null)
+    // frame-level: canonical fingerprints unify trivially-different
+    // duplicates that raw hashing misses
+    val df = Seq("The Cat!", "the   cat", "EL GATO").toDF("text")
+    val n = df.select(md5(TextFunctions.canonText(col("text"))).as("fp"))
+      .distinct().count()
+    assert(n == 2, "two canonical groups")
   }
 
   test("word shingles respect boundaries") {

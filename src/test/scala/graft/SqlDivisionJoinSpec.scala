@@ -7,13 +7,15 @@ import graft.core.PDataset
 import Fixtures._
 
 /** The automatic zero-Exchange SQL division join
-  * (`graft.plans.SqlDivisionJoin`): an inner, LEFT, RIGHT or FULL
-  * join between two graft reads co-clustered on the join key rewrites
-  * to the engine's division join — no shuffle on either side, with
-  * cross-side residual ON conjuncts evaluated INSIDE the per-division
-  * join for outer types — while every non-eligible shape (semi/anti
-  * joins, broadcastable sides, aliased keys, rule disabled) keeps
-  * Spark's plan. */
+  * (`graft.plans.SqlDivisionJoin`): an inner, LEFT, RIGHT, FULL,
+  * SEMI or ANTI join between two graft reads co-clustered on the
+  * join key rewrites to the engine's division join — no shuffle on
+  * either side, with cross-side residual ON conjuncts evaluated
+  * INSIDE the per-division join for outer/semi/anti types — while
+  * every non-eligible shape (broadcastable sides, aliased keys, rule
+  * disabled) keeps Spark's plan. The node also DECLARES its range
+  * partitioning, so a groupBy/orderBy on the join keys above it adds
+  * no Exchange either. */
 class SqlDivisionJoinSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
@@ -71,10 +73,16 @@ class SqlDivisionJoinSpec extends AnyFunSuite {
       spark.conf.set("spark.graft.sql.divisionJoin", "true")
       assert(df2.orderBy("k").collect().toSeq == want2)
 
-      // SEMI joins keep Spark's plan (node has no semi form)
-      val dfS = spark.sql(
-        "SELECT * FROM dja WHERE k IN (SELECT k FROM djb)")
-      assert(!plans(dfS)._1.contains("DivisionJoin"), plans(dfS)._1)
+      // SEMI joins (IN-subquery shape) rewrite too — zero Exchange
+      val qS = "SELECT * FROM dja WHERE k IN (SELECT k FROM djb)"
+      val dfS = spark.sql(qS)
+      assert(plans(dfS)._1.contains("DivisionJoin"), plans(dfS)._1)
+      assert(!plans(dfS)._2.contains("Exchange"), plans(dfS)._2)
+      val gotS = dfS.collect().map(_.toString).sorted.toSeq
+      spark.conf.set("spark.graft.sql.divisionJoin", "false")
+      val wantS = spark.sql(qS).collect().map(_.toString).sorted.toSeq
+      spark.conf.set("spark.graft.sql.divisionJoin", "true")
+      assert(gotS == wantS && gotS.length == 120)
 
       // a broadcastable side keeps Spark's broadcast join
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
@@ -260,6 +268,182 @@ class SqlDivisionJoinSpec extends AnyFunSuite {
     assert(!df.queryExecution.executedPlan.toString
       .contains("hashpartitioning(ckey"),
       df.queryExecution.executedPlan.toString)
+  }
+
+  test("LEFT SEMI and LEFT ANTI joins rewrite — decontamination " +
+      "shape: zero Exchange, left-only output, residuals inside the " +
+      "node, parity through the spill fallback") {
+    PDataset.divisionJoinMinOverride = Some(2)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val dirA = tempDir("sqldivjoin-sa") + "/ds"
+      val dirB = tempDir("sqldivjoin-sb") + "/ds"
+      writeSide(dirA, 120, "a") // keys 0-119
+      def partB(lo: Long): PDataset =
+        PDataset.fromDataFrame(
+          spark.range(lo, lo + 20).select(col("id").as("k"),
+            (col("id") % 5).as("g"),
+            concat(lit("b"), col("id")).as("p_b")), Seq("k"))
+      PDataset.concat((40L until 160L by 20L).map(partB))
+        .writeParquet(dirB) // keys 40-159
+      spark.read.format("graft").load(dirA).createOrReplaceTempView("sja")
+      spark.read.format("graft").load(dirB).createOrReplaceTempView("sjb")
+
+      def compare(q: String): Seq[String] = {
+        val df = spark.sql(q)
+        val (opt, exec) = plans(df)
+        assert(opt.contains("DivisionJoin"), opt)
+        assert(!exec.contains("Exchange"), exec)
+        val got = df.collect().map(_.toString).sorted.toSeq
+        spark.conf.set("spark.graft.sql.divisionJoin", "false")
+        val want = spark.sql(q).collect().map(_.toString).sorted.toSeq
+        spark.conf.set("spark.graft.sql.divisionJoin", "true")
+        assert(got == want, s"rule-on != rule-off for: $q")
+        got
+      }
+
+      // SEMI via explicit syntax and via EXISTS: matched keys only
+      val semi = compare("SELECT sja.k, sja.p_a FROM sja " +
+        "LEFT SEMI JOIN sjb ON sja.k = sjb.k")
+      assert(semi.length == 80, s"keys 40-119 survive, got ${semi.length}")
+      val exists = compare("SELECT k, p_a FROM sja WHERE EXISTS " +
+        "(SELECT 1 FROM sjb WHERE sja.k = sjb.k)")
+      assert(exists == semi)
+
+      // ANTI via NOT EXISTS: unmatched keys only
+      val anti = compare("SELECT k, p_a FROM sja WHERE NOT EXISTS " +
+        "(SELECT 1 FROM sjb WHERE sja.k = sjb.k)")
+      assert(anti.length == 40, s"keys 0-39 survive, got ${anti.length}")
+
+      // residual conjunct decides MATCHING inside the node
+      compare("SELECT k, p_a FROM sja WHERE EXISTS " +
+        "(SELECT 1 FROM sjb WHERE sja.k = sjb.k AND sja.g + sjb.g < 6)")
+      compare("SELECT k, p_a FROM sja WHERE NOT EXISTS " +
+        "(SELECT 1 FROM sjb WHERE sja.k = sjb.k AND sja.g + sjb.g < 6)")
+
+      // null-key left rows never match: SEMI drops them, ANTI keeps
+      // them (NOT-EXISTS semantics, not null-aware NOT-IN)
+      val dirN = tempDir("sqldivjoin-sn") + "/ds"
+      val pN1 = PDataset.fromDataFrame(
+        spark.range(0, 20).select(
+          when(col("id") < 3, lit(null).cast("long"))
+            .otherwise(col("id")).as("k"),
+          (col("id") % 5).as("g"),
+          concat(lit("n"), col("id")).as("p_n")), Seq("k"))
+      val pN2 = PDataset.fromDataFrame(
+        spark.range(20, 40).select(col("id").as("k"),
+          (col("id") % 5).as("g"),
+          concat(lit("n"), col("id")).as("p_n")), Seq("k"))
+      PDataset.concat(Seq(pN1, pN2)).writeParquet(dirN)
+      spark.read.format("graft").load(dirN).createOrReplaceTempView("sjn")
+      val semiN = compare("SELECT sjn.k, sjn.p_n FROM sjn " +
+        "LEFT SEMI JOIN sja ON sjn.k = sja.k")
+      assert(semiN.length == 37 && !semiN.exists(_.contains("null")),
+        s"null keys never match a SEMI, got $semiN")
+      val antiN = compare("SELECT k, p_n FROM sjn WHERE NOT EXISTS " +
+        "(SELECT 1 FROM sja WHERE sjn.k = sja.k)")
+      assert(antiN.length == 3 && antiN.forall(_.startsWith("[null")),
+        s"ANTI keeps exactly the null-key rows, got $antiN")
+
+      // parity survives the Grace spill fallback (keys-only buckets)
+      val oldThreshold =
+        graft.plans.DivisionJoinExec.buildSpillThresholdBytes
+      graft.plans.DivisionJoinExec.buildSpillThresholdBytes = 100L
+      try {
+        graft.plans.DivisionJoinExec.spillCount.set(0L)
+        val semiSpill = compare("SELECT sja.k, sja.p_a FROM sja " +
+          "LEFT SEMI JOIN sjb ON sja.k = sjb.k")
+        assert(semiSpill == semi)
+        val antiSpill = compare("SELECT k, p_a FROM sja WHERE NOT " +
+          "EXISTS (SELECT 1 FROM sjb WHERE sja.k = sjb.k)")
+        assert(antiSpill == anti)
+        assert(graft.plans.DivisionJoinExec.spillCount.get > 0,
+          "fixture did not exercise the spill path")
+      } finally {
+        graft.plans.DivisionJoinExec.buildSpillThresholdBytes =
+          oldThreshold
+      }
+    } finally {
+      PDataset.divisionJoinMinOverride = None
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.graft.sql.divisionJoin", "true")
+    }
+  }
+
+  test("the division join DECLARES its range partitioning: groupBy / " +
+      "orderBy on the join keys above it adds no Exchange; grouping " +
+      "off the keys still shuffles") {
+    PDataset.divisionJoinMinOverride = Some(2)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val dirA = tempDir("sqldivjoin-pa") + "/ds"
+      val dirB = tempDir("sqldivjoin-pb") + "/ds"
+      writeSide(dirA, 160, "a")
+      writeSide(dirB, 120, "b")
+      spark.read.format("graft").load(dirA).createOrReplaceTempView("pja")
+      spark.read.format("graft").load(dirB).createOrReplaceTempView("pjb")
+
+      def check(q: String, expectExchange: Boolean): Unit = {
+        val df = spark.sql(q)
+        val (opt, exec) = plans(df)
+        assert(opt.contains("DivisionJoin"), opt)
+        if (expectExchange) assert(exec.contains("Exchange"), exec)
+        else assert(!exec.contains("Exchange"), exec)
+        val got = df.collect().map(_.toString).sorted.toSeq
+        spark.conf.set("spark.graft.sql.divisionJoin", "false")
+        val want = spark.sql(q).collect().map(_.toString).sorted.toSeq
+        spark.conf.set("spark.graft.sql.divisionJoin", "true")
+        assert(got == want, s"rule-on != rule-off for: $q")
+      }
+
+      // join + GROUP BY the join key: Exchange-free END TO END —
+      // every key group lives wholly inside one division partition
+      check("SELECT pja.k, count(*) AS c, sum(pjb.g) AS s " +
+        "FROM pja JOIN pjb ON pja.k = pjb.k GROUP BY pja.k",
+        expectExchange = false)
+      // grouping FINER than the keys (key + extra) is still contained
+      check("SELECT pja.k, pja.g, count(*) AS c " +
+        "FROM pja JOIN pjb ON pja.k = pjb.k GROUP BY pja.k, pja.g",
+        expectExchange = false)
+      // ORDER BY the join key: partitions are already range-ordered —
+      // a local sort per partition, no range Exchange. (OrderedDistribution
+      // satisfaction upstream is LITERAL SortOrder equality, so the sort
+      // reference must be qualifier-free — an output alias is; a
+      // view-qualified `ORDER BY pja.k` carries the view qualifier and
+      // misses the claim. ClusteredDistribution uses semanticEquals,
+      // so groupBy/distinct compose regardless of qualification.)
+      check("SELECT pja.k AS k2, pjb.p_b FROM pja JOIN pjb " +
+        "ON pja.k = pjb.k ORDER BY k2", expectExchange = false)
+      // grouping OFF the keys must still shuffle (the claim is not
+      // over-broad)
+      check("SELECT pja.g, count(*) AS c " +
+        "FROM pja JOIN pjb ON pja.k = pjb.k GROUP BY pja.g",
+        expectExchange = true)
+      // DISTINCT on the key: no Exchange either
+      check("SELECT DISTINCT pja.k FROM pja JOIN pjb ON pja.k = pjb.k",
+        expectExchange = false)
+    } finally {
+      PDataset.divisionJoinMinOverride = None
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.graft.sql.divisionJoin", "true")
+    }
+  }
+
+  test("the q_sql_division_semi / _anti / _join_agg entry queries " +
+      "really plan the zero-Exchange division join") {
+    for (name <- Seq("q_sql_division_semi", "q_sql_division_anti",
+        "q_sql_division_join_agg")) {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("DivisionJoin"), s"$name: $opt")
+      val exec = df.queryExecution.executedPlan.toString
+      assert(!exec.contains("hashpartitioning(ckey"), s"$name: $exec")
+      if (name == "q_sql_division_join_agg")
+        // join + groupBy-on-key + orderBy/limit: NO Exchange anywhere
+        assert(!exec.contains("Exchange"), s"$name: $exec")
+    }
   }
 
   test("self-join and three-way chains stay correct under the rewrite") {
