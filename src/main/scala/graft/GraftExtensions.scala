@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharGramHash64Expr, FloatVecDot, HyperplaneSigsExpr, MinHashSigExpr, SimHash64Expr, StringArrayHash64Expr, WinnowMinsExpr, WordShinglesExpr}
+import graft.functions.{CanonTextExpr, CharGramHash64Expr, FloatVecDot, HyperplaneSigsExpr, MinHashSigExpr, SimHash64Expr, StringArrayHash64Expr, WinnowMinsExpr, WordShinglesExpr}
 import graft.operators.{Dedup, Similarity}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
@@ -182,6 +182,11 @@ object GraftExtensions {
           Dedup.MinhashPrime)),
     ("simhash64", "simhash64(hashes) - 64-bit SimHash fingerprint",
       (args: Seq[Expression]) => SimHash64Expr(args.head)),
+    ("canon_text",
+      "canon_text(text) - Unicode-canonical text for dedup: NFC, " +
+        "lowercase, accents stripped, non-alphanumeric runs folded " +
+        "to single spaces (one codegen pass, ASCII fast path)",
+      (args: Seq[Expression]) => CanonTextExpr(args.head)),
     ("hyperplane_sigs",
       "hyperplane_sigs(vec, dim, nPlanes, tables, seed) - per-table " +
         "hyperplane-LSH bucket signatures of a numeric vector",

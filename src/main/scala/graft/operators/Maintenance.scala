@@ -2208,29 +2208,52 @@ object Maintenance {
     def pathOf(p: Int): String = new HPath(dirPath, m.files(p)).toString
     val base = m.readData(spark, m.files.indices.map(pathOf))
     val live = dvOpt.fold(base)(DeletionVectors.minus(base, _))
-    val physKeys = m.indexColumns.map(c => col(m.physicalName(c)))
+    // Target range boundaries come from the SIDECAR, not a sampling
+    // pass: Spark's repartitionByRange would scan the input once just
+    // to estimate boundaries, but the file bounds already describe
+    // the key distribution. Walk the files in lower-bound order,
+    // accumulating row weights, and cut at each ~1/g of the total —
+    // deterministic, zero extra jobs, and a heavy key simply collapses
+    // adjacent cuts (fewer, larger output files, like any ranged
+    // partitioner faced with skew).
     val g = m.files.length
+    val order = m.files.indices.sortBy(i =>
+      (m.lowerBounds(i), m.upperBounds(i)))(
+      Ordering.Tuple2(Lex.boundOrdering, Lex.boundOrdering))
+    val total = m.sizes.sum
+    val cutsBuf = scala.collection.mutable.ArrayBuffer.empty[Bound]
+    var cum = 0L
+    order.foreach { i =>
+      if (cum > 0 && cutsBuf.length < g - 1 &&
+          cum >= (cutsBuf.length + 1).toLong * total / g)
+        cutsBuf += m.lowerBounds(i)
+      cum += m.sizes(i)
+    }
+    val cuts: Seq[Bound] = {
+      // strictly increasing (the router's contract): equal adjacent
+      // bounds collapse
+      val out = scala.collection.mutable.ArrayBuffer.empty[Bound]
+      cutsBuf.foreach { b =>
+        if (out.isEmpty || Lex.lexCmp(out.last, b) < 0) out += b
+      }
+      out.toSeq
+    }
+    val gOut = cuts.length + 1
+    val keyCols = m.indexColumns.toSeq
+    val newNameOf: Int => String =
+      j => Sidecar.partitionFileName(m.maxPartitionIndex + 1 + j)
     val stage = GraftFs.mkStageDir(fs,
       Option(dirPath.getParent).getOrElse(dirPath), ".graft-recluster-",
       dirPath.getName)
     try {
-      val stageData = new HPath(stage, "data")
-      m.toPhysical(live)
-        .repartitionByRange(g, physKeys: _*)
-        .sortWithinPartitions(physKeys: _*)
-        .write.option("compression", "zstd").parquet(stageData.toString)
-      // range partitions land as part-%05d-* — name order IS range
-      // order; empty partitions write no file
-      val staged = fs.listStatus(stageData).map(_.getPath)
-        .filter(p => p.getName.startsWith("part-") &&
-          !p.getName.endsWith(".crc"))
-        .sortBy(_.getName)
-      val newNames = staged.indices.map(i =>
-        Sidecar.partitionFileName(m.maxPartitionIndex + 1 + i))
-      staged.zip(newNames).foreach { case (src, n) =>
-        require(fs.rename(src, new HPath(dirPath, n)),
-          s"recluster: failed to move staged file $src into $dir")
-      }
+      val tagged = live.withColumn("__part",
+        if (cuts.isEmpty) lit(0)
+        else DivisionRouter.route(keyCols.map(col), cuts))
+      val writtenDense = ScatterWrite.partFiles(spark, tagged, gOut, fs,
+        dirPath, stage, newNameOf, orderCols = keyCols,
+        dropOrderCols = false, renames = m.columnRenames,
+        noClobber = true)
+      val newNames = writtenDense.sortBy(_._1).map(_._2)
       val statsByPath = Stats.forFiles(spark,
         newNames.map(n => new HPath(dirPath, n).toString),
         m.indexColumns.map(m.physicalName), Some(m.physicalSchema))
@@ -2248,7 +2271,7 @@ object Maintenance {
       if (retain) archiveCurrent(spark, fs, dirPath)
       Sidecar.write(spark, dir, m.indexColumns, entries.map(_._1),
         entries.map(_._2), entries.map(_._3), entries.map(_._4),
-        m.maxPartitionIndex + entries.length, m.schema,
+        m.maxPartitionIndex + gOut, m.schema,
         extras = m.extras)
       // folded marks referenced only replaced files — clear them
       DeletionVectors.dropEntriesForFiles(spark, dir, m.files.toSet)

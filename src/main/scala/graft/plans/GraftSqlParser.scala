@@ -29,6 +29,7 @@ import graft.operators.{Constraints, Maintenance}
   *   RESTORE [TABLE] graft.`/p` TO TIMESTAMP AS OF '2026-08-01'
   *   OPTIMIZE graft.`/p` [WHERE k BETWEEN 10 AND 20] TARGET 1000000 ROWS
   *   OPTIMIZE graft.`/p` ZORDER BY (a, b) [TARGET 8 FILES] [INTO '/q']
+  *   OPTIMIZE graft.`/p` RECLUSTER [RETAIN]
   *   CREATE TABLE graft.`/q` SHALLOW CLONE graft.`/p`
   *     [VERSION AS OF 2 | TIMESTAMP AS OF '<ts>']
   *   ANALYZE TABLE graft.`/p` COMPUTE STATISTICS FOR COLUMNS (a, b)
@@ -118,6 +119,9 @@ object GraftSqlParser {
       """\s+ZORDER\s+BY\s*\(([^)]*)\)""" +
       """(?:\s+TARGET\s+(\d+)\s+FILES)?""" +
       """(?:\s+INTO\s+""" + T + """)?\s*;?\s*""").r
+  private val Recluster =
+    ("""(?is)\s*OPTIMIZE\s+""" + T +
+      """\s+RECLUSTER(?:\s+(RETAIN))?\s*;?\s*""").r
   private val DescDetail =
     ("""(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+""" + T + """\s*;?\s*""").r
   private val ConvertTo =
@@ -169,6 +173,8 @@ object GraftSqlParser {
       case Optimize(a, b, c, where, rows) =>
         tbl(a, b, c).map(GraftOptimizeCommand(_, rows.toLong,
           Option(where).map(_.trim)))
+      case Recluster(a, b, c, retain) =>
+        tbl(a, b, c).map(GraftReclusterCommand(_, retain != null))
       case ConvertTo(a, b, c, cols) =>
         val cs = cols.split(",").map(_.trim.stripPrefix("`")
           .stripSuffix("`")).filter(_.nonEmpty).toSeq
@@ -413,6 +419,28 @@ final case class GraftOptimizeCommand(path: String, targetRows: Long,
         targetRows)
       case None => Maintenance.compact(sparkSession, path, targetRows)
     }
+    Seq(Row(r.rewritten, r.dropped, r.merged, r.created, r.untouched))
+  }
+}
+
+/** `OPTIMIZE g RECLUSTER [RETAIN]` — whole-table re-sort restoring
+  * disjoint range layout after overlapping appends
+  * ([[Maintenance.recluster]]: pending deletion vectors fold in, the
+  * txn ledger / constraints / rename map survive, RETAIN archives the
+  * replaced generation). The remedy when OVERLAP, not file count, is
+  * the problem; `OPTIMIZE ... TARGET n ROWS` stays the small-file
+  * remedy. */
+final case class GraftReclusterCommand(path: String, retain: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = DataTypeUtils.toAttributes(
+    StructType(Seq(
+      StructField("rewritten", IntegerType, nullable = false),
+      StructField("dropped", IntegerType, nullable = false),
+      StructField("merged", IntegerType, nullable = false),
+      StructField("created", IntegerType, nullable = false),
+      StructField("untouched", IntegerType, nullable = false))))
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val r = Maintenance.recluster(sparkSession, path, retain)
     Seq(Row(r.rewritten, r.dropped, r.merged, r.created, r.untouched))
   }
 }

@@ -17,6 +17,13 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r == 32.0)
   }
 
+  test("canon_text is callable from SQL") {
+    val r = spark.sql(
+      "SELECT canon_text('  Café -- NOIR!! 42 ') AS c")
+      .collect()(0).getString(0)
+    assert(r == "cafe noir 42", r)
+  }
+
   test("word_shingles and minhash_sig compose in SQL") {
     val r = spark.sql(
       """SELECT minhash_sig(

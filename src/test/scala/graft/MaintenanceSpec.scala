@@ -92,6 +92,17 @@ class MaintenanceSpec extends AnyFunSuite {
       .save(dir)
     assert(PDataset.scanParquet(spark, dir).toDF.count() == 600,
       "replayed txn version must not append")
+
+    // the SQL surface: overlap again, then OPTIMIZE ... RECLUSTER
+    PDataset.fromDataFrame(keyedDF(610, 90), Seq("k"))
+      .writeParquet(dir, append = true)
+    PDataset.fromDataFrame(keyedDF(605, 5), Seq("k"))
+      .writeParquet(dir, append = true)
+    assert(!PDataset.scanParquet(spark, dir).isDisjoint)
+    val rows = spark.sql(s"OPTIMIZE graft.`$dir` RECLUSTER").collect()
+    assert(rows.head.getInt(3) > 0, rows.head.toString) // created
+    assert(PDataset.scanParquet(spark, dir).isDisjoint)
+    assert(PDataset.scanParquet(spark, dir).toDF.count() == 695)
   }
 
   // ---- compact ----
