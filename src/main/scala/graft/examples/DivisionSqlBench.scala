@@ -78,6 +78,26 @@ object DivisionSqlBench {
     PDataset.concat(parts).writeParquet(dir)
     spark.read.format("graft").load(dir).createOrReplaceTempView("t")
 
+    // a second table co-clustered on k (unique keys, same domain) for
+    // the division-join family; joins must clear the broadcast gate
+    val dirU = java.nio.file.Files.createTempDirectory("divsql")
+      .resolve("u").toString
+    val uRows = rows / 4
+    val uFiles = math.max(1, files / 4)
+    val uPer = uRows / uFiles
+    PDataset.concat((0 until uFiles).map { i =>
+      PDataset.fromDataFrame(
+        spark.range(i * uPer, (i + 1) * uPer).select(
+          // SAME TYPE as t.k (double): the rewrite requires the ON
+          // clause to pair bare attributes — a type mismatch inserts
+          // a cast and keeps Spark's plan
+          col("id").cast("double").as("k"),
+          (col("id") % 7).as("w"),
+          md5(col("id").cast("string")).as("pay3")), Seq("k"))
+    }).writeParquet(dirU)
+    spark.read.format("graft").load(dirU).createOrReplaceTempView("u")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
     val shuffled = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
@@ -94,7 +114,17 @@ object DivisionSqlBench {
       "window" -> ("SELECT max(rk) AS m FROM (SELECT row_number() " +
         "OVER (PARTITION BY k ORDER BY v DESC) AS rk FROM t)"),
       "sort" -> "SELECT k, v, pay2 FROM t ORDER BY k, v",
-      "sort_limit" -> "SELECT k, v FROM t ORDER BY k, v LIMIT 100")
+      "sort_limit" -> "SELECT k, v FROM t ORDER BY k, v LIMIT 100",
+      // the division-join family: the plain join kills BOTH side
+      // shuffles; join_agg composes through the node's declared range
+      // partitioning (join + GROUP BY key, Exchange-free end to end);
+      // anti is the decontamination shape (left-only output, right
+      // scans narrowed to the key column, keys-only builds)
+      "join" -> "SELECT t.k, t.v, u.w FROM t JOIN u ON t.k = u.k",
+      "join_agg" -> ("SELECT t.k, count(*) AS n, sum(u.w) AS sw " +
+        "FROM t JOIN u ON t.k = u.k GROUP BY t.k"),
+      "anti" -> ("SELECT k, v FROM t WHERE NOT EXISTS " +
+        "(SELECT 1 FROM u WHERE u.k = t.k)"))
 
     def run(q: String): (Double, Double, Long) = {
       shuffled.set(0L)
@@ -132,7 +162,8 @@ object DivisionSqlBench {
       f"${"on_plan"}%8s ${"on_exec"}%8s ${"off_shuf"}%9s ${"on_shuf"}%8s")
     queries.foreach { case (name, q) =>
       def best(on: Boolean): (Double, Double, Long) = {
-        Seq("divisionAgg", "divisionWindow", "divisionSort").foreach(c =>
+        Seq("divisionAgg", "divisionWindow", "divisionSort",
+          "divisionJoin").foreach(c =>
           spark.conf.set(s"spark.graft.sql.$c", on.toString))
         (0 until reps).map(_ => run(q)).minBy(t => t._1 + t._2)
       }

@@ -126,13 +126,30 @@ final class SqlDivisionJoin(protected val session: SparkSession)
     // conjuncts survive as a post-join filter.
     val conjuncts = splitConjunctivePredicates(j.condition.get)
     if (conjuncts.exists(!_.deterministic)) return None
+    // NormalizeFloatingNumbers (which runs before the late
+    // User-Provided-Optimizers pass that catches EXISTS/IN-derived
+    // semi/anti joins) wraps float/double join keys — unwrap to the
+    // bare attribute. Safe: the node's own hash normalizes NaN/-0.0
+    // identically, and division routing compares through Spark's
+    // SQL double ordering (-0.0 == 0.0, NaN greatest), so key-equal
+    // rows route to the same division.
+    def bare(e: Expression): Expression = e match {
+      case org.apache.spark.sql.catalyst.expressions
+        .KnownFloatingPointNormalized(x) => bare(x)
+      case org.apache.spark.sql.catalyst.optimizer
+        .NormalizeNaNAndZero(x) => bare(x)
+      case x => x
+    }
     def pairs(e: Expression): Option[(ExprId, ExprId)] = e match {
-      case EqualTo(a: AttributeReference, b: AttributeReference) =>
-        if (l.outputSet.contains(a) && r.outputSet.contains(b))
-          Some((a.exprId, b.exprId))
-        else if (l.outputSet.contains(b) && r.outputSet.contains(a))
-          Some((b.exprId, a.exprId))
-        else None
+      case EqualTo(a0, b0) => (bare(a0), bare(b0)) match {
+        case (a: AttributeReference, b: AttributeReference) =>
+          if (l.outputSet.contains(a) && r.outputSet.contains(b))
+            Some((a.exprId, b.exprId))
+          else if (l.outputSet.contains(b) && r.outputSet.contains(a))
+            Some((b.exprId, a.exprId))
+          else None
+        case _ => None
+      }
       case _ => None
     }
     val eqPairs = conjuncts.flatMap(pairs).toSet

@@ -111,9 +111,20 @@ class MaintenanceFuzzSpec extends AnyFunSuite {
     val landing = tempDir("maint-fuzz-landing")
 
     (0 until 26).foreach { step =>
-      val op = rnd.nextInt(16)
+      val op = rnd.nextInt(17)
       val label =
-        if (op == 15) { // COPY INTO: idempotent landing-zone ingest
+        if (op == 16) { // whole-table recluster: layout only, rows
+          // unchanged; on the clone this LOCALIZES remaining external
+          // references (the source-byte-identity check at the end
+          // proves the source untouched)
+          val retain = rnd.nextBoolean()
+          val report = Maintenance.recluster(spark, dir, retain = retain)
+          if (retain && report.created > 0)
+            checkFeed(model.toMap, s"recluster-feed($step)")
+          assert(PDataset.scanParquet(spark, dir).isDisjoint,
+            s"recluster($step) left overlapping bounds")
+          s"recluster($step)"
+        } else if (op == 15) { // COPY INTO: idempotent landing-zone ingest
           val base = (model.keys.lastOption.getOrElse(0L) + 1)
             .max(nextFresh)
           val n = 10 + rnd.nextInt(30)
@@ -140,8 +151,11 @@ class MaintenanceFuzzSpec extends AnyFunSuite {
             // shift the band into fresh key territory STRICTLY past
             // the band itself (a destination overlapping [a,b) would
             // collide moved keys with keys still moving) so the
-            // model's unique-key map stays faithful
-            val off = nextFresh.max(b) - a
+            // model's unique-key map stays faithful. nextFresh is the
+            // LAST USED fresh key — it may still be live, so start
+            // one past it (off-by-one here once landed the band on a
+            // live upsert key and duplicated it).
+            val off = (nextFresh + 1).max(b) - a
             val moved = model.rangeImpl(Some(a), Some(b)).toVector
             nextFresh = a + off + (b - a) + 1
             val retain = rnd.nextBoolean()

@@ -346,6 +346,26 @@ class SqlDivisionJoinSpec extends AnyFunSuite {
       assert(antiN.length == 3 && antiN.forall(_.startsWith("[null")),
         s"ANTI keeps exactly the null-key rows, got $antiN")
 
+      // DOUBLE keys: EXISTS/IN shapes reach the late optimizer pass
+      // AFTER NormalizeFloatingNumbers wrapped the key equality — the
+      // rewrite unwraps the normalization nodes to the bare attrs
+      val dirFa = tempDir("sqldivjoin-fa") + "/ds"
+      val dirFb = tempDir("sqldivjoin-fb") + "/ds"
+      def partF(lo: Long, p: String): PDataset =
+        PDataset.fromDataFrame(
+          spark.range(lo, lo + 20).select(
+            col("id").cast("double").as("k"),
+            concat(lit(p), col("id")).as(s"p_$p")), Seq("k"))
+      PDataset.concat((0L until 120L by 20L).map(partF(_, "fa")))
+        .writeParquet(dirFa)
+      PDataset.concat((40L until 160L by 20L).map(partF(_, "fb")))
+        .writeParquet(dirFb)
+      spark.read.format("graft").load(dirFa).createOrReplaceTempView("sfa")
+      spark.read.format("graft").load(dirFb).createOrReplaceTempView("sfb")
+      val antiF = compare("SELECT k, p_fa FROM sfa WHERE NOT EXISTS " +
+        "(SELECT 1 FROM sfb WHERE sfa.k = sfb.k)")
+      assert(antiF.length == 40, s"double-key anti, got ${antiF.length}")
+
       // parity survives the Grace spill fallback (keys-only buckets)
       val oldThreshold =
         graft.plans.DivisionJoinExec.buildSpillThresholdBytes
