@@ -1313,6 +1313,30 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    // PDataset-level LEFT ANTI through the same shuffle-free node:
+    // the decontamination shape as a library call — customers with no
+    // high-value order (every customer has SOME order in this data,
+    // so the right side is the filtered big-order table), zero
+    // Exchange on either side, left schema only.
+    "q_join_division_anti" -> ((s, d) => {
+      val oDir = fixture("jd-bigorders", d) { out =>
+        val o0 = PDataset.fromDataFrame(
+          s.read.parquet(T(d, "orders"))
+            .filter(col("o_totalprice") > 400000)
+            .withColumnRenamed("o_custkey", "ckey"), Seq("ckey"))
+          .reindex(Seq("ckey"))
+        o0.repartition(math.max(1L, o0.sizes.get.sum / 24))
+          .writeParquet(out)
+      }
+      val o = PDataset.scanParquet(s, oDir)
+      val c = PDataset.scanParquet(s, jdCustomerFixture(s, d))
+      c.join(o, "anti").toDF
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal")), 2).as("sum_bal"))
+        .orderBy("c_mktsegment")
+    }),
+
     // The SAME co-clustered datasets joined in plain SQL: the
     // SqlDivisionJoin optimizer rule detects two graft reads
     // range-clustered on the join key and plans the zero-Exchange
@@ -3418,6 +3442,13 @@ object SparkEntry {
                   round(sum(coalesce(o_totalprice, 0)), 2) AS sum_price
            FROM orders RIGHT JOIN customer
              ON o_custkey = c_custkey AND o_totalprice > c_acctbal
+           GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+      "q_join_division_anti" ->
+        """SELECT c_mktsegment, count(*) AS n,
+                  round(sum(c_acctbal), 2) AS sum_bal
+           FROM customer c WHERE NOT EXISTS
+             (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 400000)
            GROUP BY c_mktsegment ORDER BY c_mktsegment""",
       "q_sql_division_semi" ->
         """SELECT c_mktsegment, count(*) AS n

@@ -828,7 +828,11 @@ final class PDataset private[core] (
 
   /** Equi-join on the shared index columns. Both sides need known
     * bounds and identical index columns; `how` in
-    * {"inner","left","full"}. Output partition i covers the half-open
+    * {"inner","left","full","semi","anti"} (the last two extend the
+    * reference's join surface: left-semi keeps left rows WITH an
+    * index-key partner on the right, left-anti keeps those WITHOUT —
+    * the decontamination shape — and the output carries the LEFT
+    * schema only). Output partition i covers the half-open
     * division [d_i, d_{i+1}) where the divisions are the sorted union
     * of both sides' lower bounds; each side is partition-pruned to the
     * division before Catalyst joins the (small, co-ranged) slices
@@ -854,15 +858,23 @@ final class PDataset private[core] (
     if (this.indexColumns != other.indexColumns)
       throw new IllegalArgumentException(
         "Index columns of left and right dataset must be the same.")
-    if (!Seq("inner", "left", "full").contains(how))
+    if (!Seq("inner", "left", "full", "semi", "anti").contains(how))
       throw new IllegalArgumentException(
-        "Only left, inner and full joins are supported.")
+        "Only inner, left, full, semi and anti joins are supported.")
+    val existence = how == "semi" || how == "anti"
+    // DataFrame-API spelling for the per-division Catalyst joins
+    val sqlHow = how match {
+      case "semi" => "left_semi"
+      case "anti" => "left_anti"
+      case h => h
+    }
 
     val divisions = (lbsOpt.get ++ other.lbsOpt.get).distinct
       .sortBy(identity)(Lex.boundOrdering)
 
     val mergedSchema: Option[StructType] =
-      (schemaOpt, other.schemaOpt) match {
+      if (existence) schemaOpt // semi/anti emit the left side only
+      else (schemaOpt, other.schemaOpt) match {
         case (Some(l), Some(r)) =>
           val extra = r.fields.filterNot(f => this.indexColumns.contains(f.name))
           extra.foreach { f =>
@@ -891,7 +903,7 @@ final class PDataset private[core] (
       val lo = sentinels(i)
       val hi = sentinels(i + 1)
       LazyPart { () =>
-        sliceDF(left, lo, hi).join(sliceDF(other, lo, hi), idxCols, how)
+        sliceDF(left, lo, hi).join(sliceDF(other, lo, hi), idxCols, sqlHow)
       }: Part
     }.toVector
     // Whole-frame plan: the division slices are co-partitioned by
@@ -944,11 +956,20 @@ final class PDataset private[core] (
                   .filterNot(idxCols.contains)
                 df.select((idxCols ++ lRest ++ rRest).map(col): _*)
               }
+          else if (existence)
+            // the node emits keys FIRST (USING layout); Spark's
+            // semi/anti keep the LEFT's natural column order — restore
+            // it so both paths agree (needs the left schema; unknown
+            // schema falls back to the Catalyst join below)
+            left.schemaOpt.flatMap(sc =>
+              graft.plans.DivisionJoin.frame(
+                spark, slices.map(_._1), slices.map(_._2), idxCols, how)
+                .map(_.select(sc.fieldNames.toSeq.map(col): _*)))
           else
             graft.plans.DivisionJoin.frame(
               spark, slices.map(_._1), slices.map(_._2), idxCols, how)
         } else None
-      custom.getOrElse(left.toDF.join(other.toDF, idxCols, how))
+      custom.getOrElse(left.toDF.join(other.toDF, idxCols, sqlHow))
     }
     new PDataset(spark, newParts, idxCols, None, None, None, mergedSchema,
       wholeFrameOpt = Some(whole))

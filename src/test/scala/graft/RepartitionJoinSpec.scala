@@ -163,6 +163,25 @@ class RepartitionJoinSpec extends AnyFunSuite {
     assertSameRows(unionOfDivisions(j), oracle("full"))
   }
 
+  test("semi and anti joins match whole-frame joins, emit the left " +
+      "schema only, and plan the zero-Exchange division node") {
+    for (how <- Seq("semi", "anti")) {
+      val j = leftDs.join(rightDs, how)
+      val sqlHow = if (how == "semi") "left_semi" else "left_anti"
+      assert(j.toDF.columns.toSeq == leftDs.toDF.columns.toSeq,
+        s"$how join must carry the left schema")
+      assertSameRows(j.toDF, oracle(sqlHow))
+      assertSameRows(unionOfDivisions(j), oracle(sqlHow))
+    }
+    PDataset.divisionJoinMinOverride = Some(2)
+    try {
+      val df = leftDs.join(rightDs, "anti").toDF
+      val physical = df.queryExecution.executedPlan.toString
+      assert(physical.contains("DivisionJoin"), physical)
+      assert(!physical.contains("Exchange"), physical)
+    } finally PDataset.divisionJoinMinOverride = None
+  }
+
   test("joined toDF plans one shuffle-free division join, no Exchange") {
     PDataset.divisionJoinMinOverride = Some(2)
     try {
