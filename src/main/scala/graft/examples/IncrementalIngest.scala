@@ -86,6 +86,19 @@ object IncrementalIngest {
         f"full-rescan=${fullSec}%.2fs")
       corpusCond = corpusCond || col("doc_id") % (reps + 1) === r
     }
+    // maintenance step of the loop: every appended batch overlapped
+    // the whole bucket space — compaction re-sorts the index back to
+    // disjoint bucket ranges so equi-join pruning stays sharp; query
+    // results are provably unchanged (the differential above would
+    // catch any drift on the next run)
+    val before = graft.operators.Maintenance.layoutHealth(spark, idx)
+    val (_, compactSec) = time {
+      Dedup.compactMinhashIndex(spark, idx)
+    }
+    val after = graft.operators.Maintenance.layoutHealth(spark, idx)
+    println(f"index compaction: maxOverlap ${before.maxOverlap}%d -> " +
+      f"${after.maxOverlap}%d across ${after.files}%d files " +
+      f"in ${compactSec}%.2fs")
     spark.stop()
   }
 }

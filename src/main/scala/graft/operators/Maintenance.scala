@@ -2194,6 +2194,39 @@ object Maintenance {
     * problem; file granularity is preserved (one output file per
     * current file), so follow with [[compact]] if small files are
     * also a problem. */
+  /** The scheduling signal for [[recluster]]. `maxOverlap` is the
+    * deepest point of the key space — how many files a point lookup
+    * or range slice must touch there (1 = perfectly clustered; the
+    * file count = some key range hits everything, pruning is dead).
+    * Computed by one driver-side sweep over the sidecar bounds (ties
+    * count as overlap, matching the engine's strict disjointness
+    * test); zero jobs, zero file reads. Per-file bounds are also
+    * SQL-queryable through the `graft_files` TVF, and DESCRIBE DETAIL
+    * surfaces `layout_max_overlap` for monitoring. */
+  final case class LayoutHealth(
+      files: Int, maxOverlap: Int, disjoint: Boolean)
+
+  def layoutHealth(spark: SparkSession, dir: String): LayoutHealth = {
+    val m = Sidecar.load(spark, dir)
+    val n = m.files.length
+    if (n == 0) return LayoutHealth(0, 0, disjoint = true)
+    // sweep: +1 at each lower bound, -1 at each upper bound; on a tie
+    // the start sorts first (closed intervals sharing a point overlap)
+    val ev = (0 until n).flatMap(i =>
+      Seq((m.lowerBounds(i), 0), (m.upperBounds(i), 1)))
+    val sorted = ev.sortWith { case ((b1, t1), (b2, t2)) =>
+      val c = Lex.lexCmp(b1, b2)
+      if (c != 0) c < 0 else t1 < t2
+    }
+    var depth = 0
+    var maxD = 0
+    sorted.foreach { case (_, t) =>
+      if (t == 0) { depth += 1; if (depth > maxD) maxD = depth }
+      else depth -= 1
+    }
+    LayoutHealth(n, maxD, disjoint = maxD <= 1)
+  }
+
   def recluster(
       spark: SparkSession,
       dir: String,

@@ -514,7 +514,10 @@ final case class GraftDescribeDetailCommand(path: String)
       StructField("cloned_from", StringType, nullable = true),
       // a shallow clone's divergence meter: how many listed files
       // still read from the source (0 = fully localized)
-      StructField("external_files", IntegerType, nullable = false))))
+      StructField("external_files", IntegerType, nullable = false),
+      // the recluster signal: deepest file overlap of the key space
+      // (1 = perfectly clustered; -> n as appends degrade pruning)
+      StructField("layout_max_overlap", IntegerType, nullable = false))))
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val m = graft.core.Sidecar.load(sparkSession, path)
     val (_, dirPath) = graft.core.GraftFs.resolve(sparkSession, path)
@@ -530,7 +533,8 @@ final case class GraftDescribeDetailCommand(path: String)
       Maintenance.versions(sparkSession, path).length,
       m.copyLedger.size,
       m.extras.get("clonedFrom").map(_.toString).orNull,
-      m.files.count(Maintenance.isExternalEntry)))
+      m.files.count(Maintenance.isExternalEntry),
+      Maintenance.layoutHealth(sparkSession, path).maxOverlap))
   }
 }
 

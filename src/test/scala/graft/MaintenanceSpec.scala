@@ -66,6 +66,10 @@ class MaintenanceSpec extends AnyFunSuite {
       .writeParquet(dir, append = true)
     assert(!PDataset.scanParquet(spark, dir).isDisjoint,
       "fixture must start overlapping")
+    // the scheduling signal: the odd file overlaps all 3 even files
+    val sick = Maintenance.layoutHealth(spark, dir)
+    assert(sick.files == 4 && sick.maxOverlap == 2 && !sick.disjoint,
+      sick.toString)
 
     // an exactly-once transactional append and a pending DV overlay
     // must both survive the rewrite
@@ -80,6 +84,11 @@ class MaintenanceSpec extends AnyFunSuite {
 
     val after = PDataset.scanParquet(spark, dir)
     assert(after.isDisjoint, "recluster must restore disjoint ranges")
+    val healthy = Maintenance.layoutHealth(spark, dir)
+    assert(healthy.maxOverlap == 1 && healthy.disjoint, healthy.toString)
+    // ... and DESCRIBE DETAIL surfaces the signal
+    assert(spark.sql(s"DESCRIBE DETAIL graft.`$dir`").head()
+      .getAs[Int]("layout_max_overlap") == 1)
     val got = after.toDF.orderBy("k").collect()
     assert(got.length == 600, s"610 rows minus 10 DV-deleted")
     assert(got.head.getLong(0) == 10L && got.last.getLong(0) == 609L)
