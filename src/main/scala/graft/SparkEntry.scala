@@ -2728,6 +2728,23 @@ object SparkEntry {
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")),
 
+    // WebDataset-style export: the corpus written as 8 USTAR tar
+    // shards in a deterministic shuffled member order (one shuffle,
+    // each task streams its shards member-by-member), then read back
+    // through the whole-file tar walk — the layout sequential
+    // training loaders consume. The roundtrip equality IS the check.
+    "q_webdataset" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-wds")
+        .resolve("out").toString
+      val docs = s.read.parquet(T(d, "documents")).select("doc_id", "text")
+      graft.operators.Export.writeTarShards(
+        docs, "doc_id", "text", dir, numShards = 8, seed = "epoch1")
+      graft.operators.Export.readTarShards(s, dir)
+        .select(regexp_replace(col("name"), "\\.txt$", "")
+          .cast("long").as("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic shard assignment: reproducible corpus shuffle
     // into 8 training shards (shard + in-shard position are a pure
     // function of the seed and the doc id).
@@ -4294,6 +4311,8 @@ object SparkEntry {
              SELECT doc_id, source, n_chars FROM filled
              WHERE cum - n_chars < 7500)
            ORDER BY doc_id""",
+      "q_webdataset" ->
+        "SELECT doc_id, text FROM documents ORDER BY doc_id",
       "q_shard_assign" ->
         """WITH h AS (
              SELECT doc_id,
