@@ -1096,6 +1096,28 @@ object SparkEntry {
       s.read.format("graft").load(table).orderBy("o_orderkey")
     }),
 
+    // WebDataset INGESTION: tar shards in a landing zone COPY INTO a
+    // graft documents table — member stems become the index column,
+    // member bytes the text column, with the same exactly-once source
+    // ledger as every other FILEFORMAT (the immediate re-run loads
+    // nothing). The interchange loop closes: export (q_webdataset)
+    // and ingest are inverses.
+    "q_copy_into_tar" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-copytar")
+      val table = root.resolve("t").toString
+      val landing = root.resolve("landing").toString
+      val docs = s.read.parquet(T(d, "documents")).select("doc_id", "text")
+      PDataset.fromDataFrame(docs.filter(col("doc_id") < 100), Seq("doc_id"))
+        .reindex(Seq("doc_id")).writeParquet(table)
+      graft.operators.Export.writeTarShards(
+        docs.filter(col("doc_id") >= 100), "doc_id", "text", landing,
+        numShards = 4, seed = "drop1")
+      val g = s"graft.`$table`"
+      s.sql(s"COPY INTO $g FROM '$landing' FILEFORMAT = TAR")
+      s.sql(s"COPY INTO $g FROM '$landing' FILEFORMAT = TAR") // no-op
+      s.read.format("graft").load(table).orderBy("doc_id")
+    }),
+
     // SQL DELETE FROM through the V2 catalog: the pushed range
     // predicate routes through SupportsDeleteV2 onto the deletion-
     // vector overlay (a KB-scale commit, zero files rewritten), and
@@ -3347,6 +3369,8 @@ object SparkEntry {
       // drop2 (%3=2) = the whole source table
       "q_copy_into" ->
         """SELECT * FROM orders ORDER BY o_orderkey""",
+      "q_copy_into_tar" ->
+        "SELECT doc_id, text FROM documents ORDER BY doc_id",
       // the REPLACE swapped the %3 table for the %2 table wholesale
       "q_sql_ctas" ->
         """SELECT * FROM orders WHERE o_orderkey % 2 = 0

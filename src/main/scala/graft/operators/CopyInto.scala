@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions.col
 import graft.core.{GraftFs, Sidecar}
 
 /** `COPY INTO` — idempotent incremental file ingestion (the Delta
-  * ingest surface): load raw parquet/ORC/JSON/CSV files from a
+  * ingest surface): load raw parquet/ORC/JSON/CSV files — or
+  * WebDataset tar shards (FILEFORMAT = TAR: member stems onto the
+  * index column, member bytes onto the text column) — from a
   * landing directory into a graft table, EXACTLY ONCE per source
   * file.
   *
@@ -46,7 +48,7 @@ object CopyInto {
       filesListed: Int, filesSkipped: Int, filesLoaded: Int,
       rowsLoaded: Long)
 
-  private val Formats = Set("parquet", "orc", "json", "csv")
+  private val Formats = Set("parquet", "orc", "json", "csv", "tar")
 
   /** The sidecar's enforced file ceiling, shared by the ledger: past
     * it, per-statement driver work stops being O(new files). */
@@ -108,10 +110,42 @@ object CopyInto {
     // full extra pass, and drifting inferred types would poison the
     // table).
     val reader = spark.read.options(formatOptions)
-    val raw = (fmt match {
-      case "parquet" | "orc" => reader.format(fmt)
-      case _ => reader.schema(m.schema).format(fmt)
-    }).load(fresh.map(_._1): _*)
+    val raw = fmt match {
+      case "parquet" | "orc" =>
+        reader.format(fmt).load(fresh.map(_._1): _*)
+      case "tar" =>
+        // WebDataset ingestion: each member's STEM (name minus the
+        // final extension) becomes the table's single index column,
+        // its bytes (UTF-8) the text column —
+        // FORMAT_OPTIONS('text'='<col>') overrides the default of
+        // "the one non-index column". Each shard parses in one task
+        // from one whole-file read; values cast below like any other
+        // source.
+        require(m.indexColumns.length == 1,
+          "COPY INTO ... FILEFORMAT = TAR maps member names onto ONE " +
+            s"index column; $dir is clustered on " +
+            s"(${m.indexColumns.mkString(",")})")
+        val idName = m.indexColumns.head
+        val res = spark.sessionState.conf.resolver
+        val textName = formatOptions.getOrElse("text", {
+          val rest = m.schema.fieldNames.filterNot(res(_, idName))
+          require(rest.length == 1,
+            s"COPY INTO ... FILEFORMAT = TAR needs the text column " +
+              s"named explicitly (FORMAT_OPTIONS('text'='<col>')) " +
+              s"when the table has more than two columns; " +
+              s"candidates: ${rest.mkString(", ")}")
+          rest.head
+        })
+        import spark.implicits._
+        spark.read.format("binaryFile").load(fresh.map(_._1): _*)
+          .select(col("content")).as[Array[Byte]]
+          .flatMap(bytes => Export.parseTar(bytes).map { case (n, d) =>
+            (n.replaceAll("\\.[^.]*$", ""), new String(d, "UTF-8"))
+          })
+          .toDF(idName, textName)
+      case _ =>
+        reader.schema(m.schema).format(fmt).load(fresh.map(_._1): _*)
+    }
 
     // Columns match by NAME, any order, missing/extra refuse; values
     // cast to the table's declared types (same dialect as the V2

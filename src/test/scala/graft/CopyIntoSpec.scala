@@ -137,6 +137,48 @@ class CopyIntoSpec extends AnyFunSuite {
       .filter(col("k") === 301).head().getString(2) == "v301")
   }
 
+  test("FILEFORMAT = TAR ingests WebDataset shards: member stems cast " +
+      "onto the index column, exactly-once re-runs, text-column " +
+      "disambiguation required on wide tables") {
+    import spark.implicits._
+    val root = tempDir("copyinto-tar")
+    val table = root + "/t"
+    val landing = root + "/landing"
+    val docs = (0L until 50L).map(i => (i, s"doc $i body")).toDF(
+      "doc_id", "text")
+    PDataset.fromDataFrame(docs.filter(col("doc_id") < 10), Seq("doc_id"))
+      .reindex(Seq("doc_id")).writeParquet(table)
+    graft.operators.Export.writeTarShards(
+      docs.filter(col("doc_id") >= 10), "doc_id", "text", landing,
+      numShards = 3, seed = "e1")
+
+    val r1 = CopyInto.copyInto(spark, table, landing, "tar")
+    assert(r1.filesLoaded == 3 && r1.rowsLoaded == 40, r1.toString)
+    // exactly-once: the immediate re-run loads nothing
+    val r2 = CopyInto.copyInto(spark, table, landing, "tar")
+    assert(r2.filesLoaded == 0, r2.toString)
+    val got = spark.read.format("graft").load(table)
+      .as[(Long, String)].collect().toMap
+    assert(got == docs.as[(Long, String)].collect().toMap)
+
+    // a THREE-column table needs the text column named
+    val wide = root + "/wide"
+    PDataset.fromDataFrame(
+      docs.withColumn("extra", lit(1L)).filter(col("doc_id") < 5),
+      Seq("doc_id")).reindex(Seq("doc_id")).writeParquet(wide)
+    val e = intercept[IllegalArgumentException] {
+      CopyInto.copyInto(spark, wide, landing, "tar")
+    }
+    assert(e.getMessage.contains("text"), e.getMessage)
+    // ...and FORMAT_OPTIONS names it; the missing 'extra' column then
+    // refuses on the standard name-match contract
+    val e2 = intercept[IllegalArgumentException] {
+      CopyInto.copyInto(spark, wide, landing, "tar",
+        formatOptions = Map("text" -> "text"))
+    }
+    assert(e2.getMessage.contains("missing"), e2.getMessage)
+  }
+
   test("CONVERT TO GRAFT adopts a bare parquet directory in place; " +
       "re-converting is a no-op; COPY INTO then applies") {
     val root = tempDir("convert")
