@@ -205,6 +205,29 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Window"), s"expected the per-part window:\n$plan")
   }
 
+  test("q_canon_fp reads only its two columns and keeps canon_text " +
+      "inside whole-stage codegen") {
+    val df = SparkEntry.queries("q_canon_fp")(spark, sf)
+    df.collect() // AQE only inserts codegen stages as it materializes
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val inner = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val schemas = Fixtures.collectScans(inner)
+      .map(_.metadata("ReadSchema")).mkString
+    assert(schemas.contains("doc_id") && schemas.contains("text") &&
+      !schemas.contains("lang") && !schemas.contains("source"),
+      s"scan must prune to (doc_id, text): $schemas")
+    // the kernel generates code (no interpreted Expression island):
+    // the canon_text projection sits under a WholeStageCodegen node
+    // (starred) in the final adaptive plan
+    val s = inner.toString
+    val projLine = s.linesIterator.find(_.contains("canon_text"))
+    assert(projLine.exists(_.contains("*")),
+      s"canon_text must be codegen'd (starred): ${projLine.orNull}")
+  }
+
   test("TPC-H Q6 pushes every predicate to the scan") {
     val df = SparkEntry.queries("q_tpch_q6")(spark, sf)
     // Inspect BEFORE execution: AQE materializes stages into leaf
