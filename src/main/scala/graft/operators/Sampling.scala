@@ -199,23 +199,35 @@ object Sampling {
       idCol: String,
       weightCol: String,
       budget: Long,
-      oversample: Double = 2.0): DataFrame = {
+      oversample: Double = 2.0,
+      // real mixtures give each source its own quota ("100B web, 20B
+      // code"): explicit per-source budgets, `budget` the default
+      perSource: Map[String, Long] = Map.empty): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    require(perSource.values.forall(_ > 0),
+      "per-source budgets must be positive")
     require(oversample >= 1.0, s"oversample must be >= 1, got $oversample")
+    val budgetOf: Column =
+      if (perSource.isEmpty) lit(budget)
+      else coalesce(element_at(typedLit(perSource), col(sourceCol)),
+        lit(budget))
     val totals = df.groupBy(col(sourceCol))
       .agg(sum(col(weightCol)).cast("long").as("__tot"))
     val joined = df.join(broadcast(totals), Seq(sourceCol))
-    val under = joined.filter(col("__tot") <= lit(budget)).drop("__tot")
+      .withColumn("__budget", budgetOf)
+    val under = joined.filter(col("__tot") <= col("__budget"))
+      .drop("__tot", "__budget")
     val keepRate = least(lit(1.0),
-      lit(oversample * budget) / col("__tot").cast("double"))
+      lit(oversample) * col("__budget").cast("double") /
+        col("__tot").cast("double"))
     val w = Window.partitionBy(col(sourceCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val over = joined.filter(col("__tot") > lit(budget))
+    val over = joined.filter(col("__tot") > col("__budget"))
       .filter(hashFraction(col(idCol)) < keepRate)
       .withColumn("__cum", sum(col(weightCol)).over(w))
-      .filter(col("__cum") - col(weightCol) < lit(budget))
-      .drop("__cum", "__tot")
+      .filter(col("__cum") - col(weightCol) < col("__budget"))
+      .drop("__cum", "__tot", "__budget")
     under.unionByName(over)
   }
 

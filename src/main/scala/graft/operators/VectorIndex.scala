@@ -195,6 +195,25 @@ object VectorIndex {
       col("id").isInCollection(ids))
   }
 
+  /** Re-cluster the index table. Every [[addVectors]] batch lands
+    * files whose CELL ranges overlap the whole index (each batch
+    * holds vectors of many cells), so after enough batches the
+    * nprobe cell equi-join's file pruning degrades toward a full
+    * index scan per query, and [[removeVectors]] marks pile up as
+    * merge-on-read overlays. One [[Maintenance.recluster]] call
+    * re-sorts the LIVE rows into disjoint cell ranges and folds the
+    * deletion vectors; the centroids/codebooks sidecar (a separate
+    * file) survives, so queries are unchanged — zero retraining.
+    * [[Maintenance.layoutHealth]] is the scheduling signal, exactly
+    * as for [[Dedup.compactMinhashIndex]]. */
+  def compact(
+      spark: SparkSession,
+      dir: String,
+      retain: Boolean = false): Maintenance.Report = {
+    load(spark, dir) // fail fast when dir holds no ANN index
+    Maintenance.recluster(spark, dir, retain)
+  }
+
   def corpusFingerprint(spark: SparkSession, dir: String): String = {
     val text =
       if (graft.core.Sidecar.exists(spark, dir))

@@ -127,6 +127,25 @@ class PipelineOpsSpec extends AnyFunSuite {
       "source", "doc_id", "n_chars", budget = B)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == got)
+
+    // per-source budget overrides: src0 squeezed to 1000, src1 raised
+    // past its total (passes whole), everyone else at the default
+    val overrides = Map("src0" -> 1000L, "src1" -> 1000000L)
+    val mixed = Sampling.sampleByTokenBudget(
+      docs.select("doc_id", "source", "n_chars"),
+      "source", "doc_id", "n_chars", budget = B,
+      perSource = overrides)
+    val mixedW = mixed.groupBy("source").agg(sum("n_chars").as("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val srcTotals = rows.groupBy(_._2)
+      .map { case (s2, rs) => s2 -> rs.map(_._3).sum }
+    assert(mixedW("src1") == srcTotals("src1"),
+      "raised budget passes the source whole")
+    // squeezed source: fill semantics bound kept weight by
+    // budget + the boundary-crossing doc (< budget + max doc weight)
+    val maxDoc = rows.filter(_._2 == "src0").map(_._3).max
+    assert(mixedW("src0") < 1000L + maxDoc && mixedW("src0") >= 1000L,
+      s"src0 kept ${mixedW("src0")}")
   }
 
   test("mixtureByTemperature flattens toward the smallest source") {

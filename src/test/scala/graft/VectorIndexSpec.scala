@@ -153,6 +153,32 @@ class VectorIndexSpec extends AnyFunSuite {
       pqHit.head.getAs[Long]("neighbor_id") == 450L)
   }
 
+  test("compact restores disjoint cell ranges after adds; query " +
+      "results unchanged, centroids sidecar survives") {
+    val dir = tempDir("vecidx-compact") + "/idx"
+    val old = emb.filter(col("vec_id") < 300)
+    VectorIndex.build(spark, old, "vec_id", "embedding", dir,
+      dim = 64, nlist = 16)
+    // two adds, each spanning every cell -> overlapping layout
+    VectorIndex.addVectors(spark,
+      emb.filter(col("vec_id") >= 300 && col("vec_id") < 400),
+      "vec_id", "embedding", dir)
+    VectorIndex.addVectors(spark, emb.filter(col("vec_id") >= 400),
+      "vec_id", "embedding", dir)
+    assert(!graft.core.PDataset.scanParquet(spark, dir).isDisjoint,
+      "adds must overlap for the fixture to mean anything")
+    def hits() = VectorIndex.topK(spark, queries, dir, "vec_id",
+      "embedding", k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = hits()
+    val report = VectorIndex.compact(spark, dir)
+    assert(report.created > 0)
+    assert(graft.core.PDataset.scanParquet(spark, dir).isDisjoint)
+    assert(hits() == before, "compaction changed query results")
+    // the params sidecar survived: load() still resolves
+    assert(VectorIndex.load(spark, dir).nlist == 16)
+  }
+
   test("removeVectors hides ids from every query path immediately — " +
       "zero retraining, zero rewrite, addVectors still works after") {
     val dir = tempDir("vecidx-remove") + "/idx"
