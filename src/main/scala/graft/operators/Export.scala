@@ -84,8 +84,10 @@ object Export {
 
   /** Read tar shards back as `(shard, name, text)` — one row per
     * member. Each shard parses in one task from one whole-file read
-    * (shards are file-sized by construction); any USTAR/GNU tar
-    * works, not just [[writeTarShards]]' output. */
+    * (shards are file-sized by construction; Spark's binaryFile
+    * source caps a file at 2 GB — size `numShards` well below that,
+    * as WebDataset deployments do anyway); any USTAR/GNU tar works,
+    * not just [[writeTarShards]]' output. */
   def readTarShards(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(s"$dir/*.tar")
