@@ -19,10 +19,25 @@ import graft.functions.TextFunctions
 object Dedup {
 
   /** Exact dedup: keep the smallest id per distinct key (content hash).
-    * One hash-partial + final aggregate; no window, no sort. */
-  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(md5(col(textCol)).as("content_hash"))
+    * One hash-partial + final aggregate; no window, no sort.
+    * `canonical = true` hashes the Unicode-canonical form
+    * ([[graft.functions.CanonTextExpr]]: NFC, lowercase, accents
+    * stripped, punctuation/whitespace folded) so "Café  Noir!" and
+    * "cafe noir" count as one document — the standard exact-dedup
+    * pre-pass, still one aggregate (the kernel rides inside the
+    * partial's codegen stage). */
+  def exactDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      canonical: Boolean = false): DataFrame = {
+    val key =
+      if (canonical)
+        graft.functions.TextFunctions.canonText(col(textCol))
+      else col(textCol)
+    df.groupBy(md5(key).as("content_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("copies"))
+  }
 
   /** Deterministic MinHash permutation parameters, sized so that
     * a*h32 + b stays well under 2^63 (ANSI-mode safe: no overflow). */

@@ -1042,6 +1042,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     val n = df.select(md5(TextFunctions.canonText(col("text"))).as("fp"))
       .distinct().count()
     assert(n == 2, "two canonical groups")
+    // ...and the exactDedup integration: canonical=true collapses
+    // them, raw hashing does not
+    val docs3 = Seq((1L, "The Cat!"), (2L, "the   cat"), (3L, "EL GATO"))
+      .toDF("doc_id", "text")
+    assert(Dedup.exactDedup(docs3, "doc_id", "text").count() == 3)
+    val canonGroups = Dedup.exactDedup(docs3, "doc_id", "text",
+      canonical = true).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(canonGroups == Set((1L, 2L), (3L, 1L)),
+      s"min-id wins per canonical group: ${canonGroups.mkString(",")}")
   }
 
   test("word shingles respect boundaries") {
