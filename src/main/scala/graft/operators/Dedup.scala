@@ -322,8 +322,13 @@ object Dedup {
       .distinct()
     val newSh = newDocs.select(col(idCol).as("__id"),
       shingler(col(textCol)).as("__sh"))
+    // No forced broadcast: the hit set is bounded by the batch's
+    // candidate rate — small for sane batches — so AQE's runtime size
+    // check broadcasts it then; a batch landing in a hot bucket of a
+    // 100 TB index can inflate it past memory, and a forced hint
+    // would disable that check (the dedupSegments discipline).
     val oldSh = corpus
-      .join(broadcast(hitOld), corpus(idCol) === col("__cid"), "left_semi")
+      .join(hitOld, corpus(idCol) === col("__cid"), "left_semi")
       .select(col(idCol).as("__id"), shingler(col(textCol)).as("__sh"))
     val withShingles = newSh.unionByName(oldSh)
       .dropDuplicates("__id")

@@ -182,11 +182,24 @@ object Sampling {
     *     no shuffle at all (the common long tail);
     *   - over-budget sources first drop to a deterministic
     *     hash-fraction candidate set of ~`oversample × budget`
-    *     expected weight, and only the candidates shuffle into the
-    *     per-source cumulative-sum window. The windowed volume per
-    *     source is bounded by the BUDGET, not the corpus — a 50 TB
-    *     source with a 10 GB budget windows ~20 GB — which is what
-    *     makes the sequential-by-nature prefix sum survive 100 TB.
+    *     expected weight, and only the candidates enter the
+    *     cumulative-sum fill. The candidate volume per source is
+    *     bounded by the BUDGET, not the corpus — a 50 TB source with
+    *     a 10 GB budget fills over ~20 GB — and the fill itself is
+    *     BUCKETED ([[Packing.tokenOffsets]]' two-pass prefix-sum
+    *     shape): candidates bucket by the first two hex chars of
+    *     their md5 order key (256 buckets — a prefix of the order
+    *     key, so bucket order then in-bucket order IS the per-source
+    *     fill order), per-bucket weight totals cumsum into per-bucket
+    *     bases over ≤256 aggregated rows per source, whole buckets
+    *     past the budget boundary drop before any row-level work, and
+    *     the row-level window runs per (source, bucket) — ~1/256 of
+    *     the candidate set per task instead of the whole candidate
+    *     set through ONE task, which is what makes the
+    *     sequential-by-nature prefix sum survive 100 TB budgets.
+    *     Bucket composition is exact for integral weights (token /
+    *     char / byte counts — the norm); fractional weights would
+    *     re-associate the floating-point sum.
     * The prefilter is part of the operator's definition (the fill
     * runs over the candidate set), so the oracle rederives it
     * exactly; expected candidate weight `oversample × budget` makes
@@ -220,14 +233,34 @@ object Sampling {
     val keepRate = least(lit(1.0),
       lit(oversample) * col("__budget").cast("double") /
         col("__tot").cast("double"))
-    val w = Window.partitionBy(col(sourceCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val over = joined.filter(col("__tot") > col("__budget"))
+    // md5 hex is lowercase [0-9a-f]: its string order is its numeric
+    // order, so the two-char prefix buckets are contiguous runs of
+    // the (md5, id) fill order
+    val orderKey = md5(col(idCol).cast("string"))
+    val cand = joined.filter(col("__tot") > col("__budget"))
       .filter(hashFraction(col(idCol)) < keepRate)
-      .withColumn("__cum", sum(col(weightCol)).over(w))
+      .withColumn("__bkt", substring(orderKey, 1, 2))
+    // per-bucket bases: one map-side-combined aggregate (≤256 rows
+    // per over-budget source), cumsum'd by a window over those
+    // aggregated rows — never over data
+    val baseW = Window.partitionBy(col(sourceCol)).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = cand.groupBy(col(sourceCol), col("__bkt"))
+      .agg(sum(col(weightCol)).as("__bt"))
+      .withColumn("__base", coalesce(sum(col("__bt")).over(baseW), lit(0L)))
+      .drop("__bt")
+    // row-level running sum only within (source, bucket); buckets
+    // whose base already exhausts the budget never reach it (every
+    // row there starts at cum - weight >= base >= budget)
+    val w = Window.partitionBy(col(sourceCol), col("__bkt"))
+      .orderBy(orderKey, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val over = cand
+      .join(bases, Seq(sourceCol, "__bkt"))
+      .filter(col("__base") < col("__budget"))
+      .withColumn("__cum", col("__base") + sum(col(weightCol)).over(w))
       .filter(col("__cum") - col(weightCol) < col("__budget"))
-      .drop("__cum", "__tot", "__budget")
+      .drop("__cum", "__base", "__bkt", "__tot", "__budget")
     under.unionByName(over)
   }
 

@@ -148,6 +148,50 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"src0 kept ${mixedW("src0")}")
   }
 
+  test("sampleByTokenBudget buckets the over-budget fill: no task " +
+      "absorbs a source's whole candidate set") {
+    // one giant source where EVERY row is a candidate (keepRate 1):
+    // a per-source window would prefix-sum all 4096 rows in ONE
+    // task — the scale-killer at a real budget; the bucketed fill
+    // (256 md5-prefix buckets, Packing.tokenOffsets' shape) caps a
+    // task at ~1/256 of the candidate set
+    val n = 4096L
+    val df = spark.range(n).select(
+      col("id").as("doc_id"), lit("web").as("source"),
+      lit(1L).as("n_chars"))
+    val maxShuffleRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val r = te.taskMetrics.shuffleReadMetrics.recordsRead
+        maxShuffleRead.getAndUpdate(m => math.max(m, r)); ()
+      }
+    }
+    val sc = spark.sparkContext
+    // AQE coalescing legitimately fuses the tiny test buckets back
+    // into few tasks — disable it so the pin observes the declared
+    // partitioning, which is what holds at scale
+    val prev = spark.conf
+      .get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    sc.addSparkListener(l)
+    try {
+      val out = Sampling.sampleByTokenBudget(
+        df, "source", "doc_id", "n_chars", budget = 2048L)
+      // unit weights: the fill keeps exactly `budget` rows
+      assert(out.count() == 2048L)
+      org.apache.spark.GraftTestBridge.drainListeners(sc)
+      val m = maxShuffleRead.get()
+      assert(m > 0, "the fill must involve a shuffle")
+      assert(m < n / 4,
+        s"a single task absorbed $m of $n candidate rows — the " +
+          "prefix sum is not bucketed")
+    } finally {
+      sc.removeSparkListener(l)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+    }
+  }
+
   test("mixtureByTemperature flattens toward the smallest source") {
     val natural = docs.groupBy("source").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -507,6 +551,42 @@ class PipelineOpsSpec extends AnyFunSuite {
         shinglerTag = "word-5")
     }
     assert(e.getMessage.contains("shingler"), e.getMessage)
+  }
+
+  test("dedupBatch completes with broadcasts disabled — the hit-doc " +
+      "semi join is AQE-sized, not hint-forced") {
+    // the 100 TB guard: a batch landing in a hot bucket can inflate
+    // the hit set past memory; nothing in the path may FORCE a
+    // broadcast (AQE's runtime size check must stay in charge)
+    val dir = Fixtures.tempDir("mh-nobc") + "/idx"
+    val old = docs.filter(col("doc_id") < 300)
+    Dedup.buildMinhashIndex(spark, old, "doc_id", "text", dir)
+    val batch = old.filter(col("doc_id") < 10)
+      .withColumn("doc_id", col("doc_id") + 10000)
+      .unionByName(docs.filter(col("doc_id") >= 450)
+        .withColumn("doc_id", col("doc_id") + 20000))
+    val expected = Dedup.dedupBatch(spark, batch, "doc_id", "text",
+      old, dir).select("doc_id").collect().map(_.getLong(0)).toSet
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = Dedup.dedupBatch(spark, batch, "doc_id", "text", old, dir)
+      val got = q.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == expected, "shuffle path must match the broadcast path")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), plan)
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      prevA match {
+        case Some(v) =>
+          conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
   }
 
   test("compactMinhashIndex: query results unchanged, layout back to " +

@@ -463,9 +463,9 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("incremental MinHash dedup is bucket equi-joins plus a broadcast " +
-      "semi for the hit corpus docs — no pair explosion, no corpus scan " +
-      "into the candidate shuffle") {
+  test("incremental MinHash dedup is bucket equi-joins plus a semi join " +
+      "for the hit corpus docs (AQE-sized, not hint-forced) — no pair " +
+      "explosion, no corpus scan into the candidate shuffle") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val dir = Fixtures.tempDir("planspec-mh") + "/idx"
     val old = docs.filter(col("doc_id") % 10 =!= 0)
