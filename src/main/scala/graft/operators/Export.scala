@@ -1,67 +1,176 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, StringType}
 
 /** WebDataset-style corpus export: the corpus written as N tar shards
-  * (`shard-#####.tar`, one member per document), the layout
-  * sequential training loaders consume directly — members stream in
-  * a deterministic shuffled order, shards are file-sized units of
-  * work, and the whole export is reproducible bit-for-bit from
-  * `(seed, ids)`.
+  * (`shard-#####.tar`), the layout sequential training loaders consume
+  * directly — members stream in a deterministic shuffled order, shards
+  * are file-sized units of work, and the whole export is reproducible
+  * bit-for-bit from `(seed, ids)`.
+  *
+  * A document ("sample" in WebDataset terms) is one member per
+  * exported column, all sharing the id stem: `cols = Seq("text" ->
+  * "txt", "meta" -> "json")` writes `<id>.txt` and `<id>.json`
+  * back-to-back — the pairing standard loaders reassemble by stem.
+  * String columns write UTF-8 bytes, binary columns write raw bytes;
+  * a NULL value writes an empty member (the engine's NULL-text
+  * convention, see [[Dedup.dedupSegments]]); a NULL id refuses loudly.
   *
   * Scale shape: shard assignment and in-shard order are
   * [[Sampling.shardAssign]]'s pure-hash permutation (no global sort),
   * one shuffle routes documents to their shard, and each task streams
-  * its shard(s) straight to the target filesystem — no driver
-  * involvement, no whole-shard buffering (one member at a time).
-  * Pick `numShards` to make a shard file-sized: thousands of shards
-  * at corpus scale, exactly how WebDataset is deployed.
+  * its shard(s) to the target filesystem — no driver involvement, no
+  * whole-shard buffering (one member at a time). Each task writes a
+  * dot-prefixed attempt-private temp file and renames it into place on
+  * success, so a retried or speculative attempt never interleaves with
+  * the winner and a crash leaves no partial `shard-*.tar`; the export
+  * also clears matching stale shards first, so re-exporting into the
+  * same directory with a different `numShards`/seed cannot leave
+  * orphans the readers would silently ingest.
+  *
+  * The 2 GB invariant is ENFORCED: projected shard sizes (exact — tar
+  * framing is deterministic) are checked before any byte is written,
+  * and a shard that would exceed `maxShardBytes` (default: the
+  * binaryFile reader's 2 GB whole-file cap) refuses with the shard
+  * named — [[writeTarShards]] never produces an archive its own
+  * [[readTarShards]] / COPY INTO cannot load. Pick `numShards` to make
+  * a shard file-sized: thousands of shards at corpus scale, exactly
+  * how WebDataset is deployed.
   *
   * Format: plain USTAR — 512-byte headers, octal size, standard
   * checksum, `ustar` magic, two zero blocks at the end — readable by
-  * any tar implementation. Member names are `<id>.txt`, member bytes
-  * the document's UTF-8 text. All timestamps are zero so a re-export
-  * is BYTE-identical (determinism over provenance theater).
+  * any tar implementation. All timestamps are zero so a re-export is
+  * BYTE-identical (determinism over provenance theater).
   */
 object Export {
 
   private val Block = 512
 
-  /** Write `df` as `numShards` tar shards under `dir`. Returns the
-    * number of shards written (shards that received no documents
-    * write no file). */
+  /** The binaryFile source materializes a whole shard per row and
+    * refuses files over Int.MaxValue bytes — the reader-side cap the
+    * writer enforces. */
+  val MaxShardBytes: Long = Int.MaxValue.toLong
+
+  /** Single-column convenience: one `<id>.txt` member per document. */
   def writeTarShards(
       df: DataFrame,
       idCol: String,
       textCol: String,
       dir: String,
       numShards: Int,
-      seed: String): Int = {
+      seed: String): Int =
+    writeTarShards(df, idCol, Seq(textCol -> "txt"), dir, numShards, seed)
+
+  /** Write `df` as `numShards` tar shards under `dir`, one member per
+    * entry of `cols` (column name → member extension) per document,
+    * in `cols` order. Returns the number of shards written (shards
+    * that received no documents write no file). */
+  def writeTarShards(
+      df: DataFrame,
+      idCol: String,
+      cols: Seq[(String, String)],
+      dir: String,
+      numShards: Int,
+      seed: String,
+      maxShardBytes: Long = MaxShardBytes): Int = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
+    require(cols.nonEmpty, "writeTarShards needs at least one column")
+    require(cols.map(_._2).distinct.length == cols.length,
+      s"member extensions must be distinct, got ${cols.map(_._2)}")
     val spark = df.sparkSession
-    val assigned = Sampling.shardAssign(
-      df.select(col(idCol).cast("string").as("__id"),
-        col(textCol).as("__text")), "__id", numShards, seed)
+    cols.foreach { case (c, _) =>
+      df.schema(c).dataType match {
+        case StringType | BinaryType =>
+        case other => throw new IllegalArgumentException(
+          s"writeTarShards column `$c` must be string or binary " +
+            s"(strings write UTF-8, binaries raw bytes), got $other")
+      }
+    }
+    val isBinary = cols.map { case (c, _) =>
+      df.schema(c).dataType == BinaryType }
+    // NULL id cannot name a member; NULL values write empty members
+    val id = col(idCol).cast("string")
+    val selected = df.select(
+      Seq(when(id.isNull, raise_error(lit(
+        s"writeTarShards: NULL `$idCol` cannot name a tar member")))
+        .otherwise(id).as("__id")) ++
+        cols.map { case (c, _) => col(c).as(s"__m_$c") }: _*)
+    val assigned = Sampling.shardAssign(selected, "__id", numShards, seed)
+
+    // Enforce the reader cap BEFORE writing a byte: tar framing is
+    // deterministic (512-byte header + data padded to 512 per member,
+    // 1024-byte trailer), so projected shard sizes are exact. One
+    // extra aggregate pass over the export's own columns — cheap next
+    // to writing them, and the alternative is an archive this
+    // module's own reader (and COPY INTO FILEFORMAT = TAR) refuses.
+    def padded(c: Column): Column =
+      lit(Block.toLong) +
+        floor((coalesce(octet_length(c).cast("long"), lit(0L)) +
+          lit((Block - 1).toLong)) / lit(Block.toLong)) * lit(Block.toLong)
+    val perDoc = cols.map { case (c, _) => padded(col(s"__m_$c")) }
+      .reduce(_ + _)
+    val oversize = assigned
+      .groupBy(col("shard")).agg(sum(perDoc).as("__b"))
+      .filter(col("__b") + lit(2L * Block) > maxShardBytes)
+      .orderBy(col("__b").desc).limit(5)
+      .collect().map(r => (r.getInt(0), r.getLong(1) + 2L * Block))
+    if (oversize.nonEmpty)
+      throw new IllegalArgumentException(
+        s"writeTarShards: shard(s) ${oversize.map { case (s, b) =>
+          f"shard-$s%05d.tar ($b bytes)" }.mkString(", ")} would " +
+          s"exceed the $maxShardBytes-byte reader cap (binaryFile " +
+          "reads a shard whole) — raise numShards until every shard " +
+          "fits")
+
+    // Re-exports into a lived-in directory: stale shards from a prior
+    // export (different numShards/seed) would otherwise survive and
+    // be silently ingested by readTarShards / COPY INTO.
+    val (dfs, dirPath) = graft.core.GraftFs.resolve(spark, dir)
+    if (graft.core.GraftFs.isDir(dfs, dirPath))
+      graft.core.GraftFs.listStatuses(dfs, dirPath)
+        .filter { s =>
+          val n = s.getPath.getName
+          // .shard-* covers attempt temps AND the local filesystem's
+          // checksum sidecars for them — all hidden, all ours
+          s.isFile && (n.matches("shard-\\d+\\.tar") ||
+            n.startsWith(".shard-"))
+        }
+        .foreach(s => dfs.delete(s.getPath, false))
+
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val out = dir
+    val binFlags = isBinary.toArray
+    val memberExts = cols.map(_._2).toArray
     // hash-repartition on the shard id co-locates each shard's
     // members; a task may receive several whole shards (hash
     // collisions) — the sorted stream rolls to a new tar per shard
     val written = assigned
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("shard_pos"))
-      .select(col("shard"), col("__id"), col("__text"))
+      .select(Seq(col("shard"), col("__id")) ++
+        cols.map { case (c, _) => col(s"__m_$c") }: _*)
       .mapPartitions { it =>
         import org.apache.hadoop.fs.Path
+        val attempt = org.apache.spark.TaskContext.get.taskAttemptId()
+        val exts = memberExts
         var current = -1
+        var fs: org.apache.hadoop.fs.FileSystem = null
         var os: java.io.OutputStream = null
+        var tmp: Path = null
+        var dst: Path = null
         var count = 0
         def close(): Unit = if (os != null) {
           os.write(new Array[Byte](2 * Block)) // end-of-archive
           os.close()
           os = null
+          // task-commit: the attempt-private temp renames into place
+          // only on success; content is deterministic, so whichever
+          // concurrent attempt lands last wrote identical bytes
+          if (fs.exists(dst)) fs.delete(dst, false)
+          require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
           count += 1
         }
         it.foreach { row =>
@@ -69,11 +178,21 @@ object Export {
           if (shard != current) {
             close()
             current = shard
-            val p = new Path(out, f"shard-$shard%05d.tar")
-            os = p.getFileSystem(conf.value).create(p, true)
+            dst = new Path(out, f"shard-$shard%05d.tar")
+            tmp = new Path(out, f".shard-$shard%05d.tar.$attempt.tmp")
+            fs = dst.getFileSystem(conf.value)
+            os = fs.create(tmp, true)
           }
-          writeMember(os, row.getString(1) + ".txt",
-            row.getString(2).getBytes("UTF-8"))
+          val stem = row.getString(1)
+          var i = 0
+          while (i < exts.length) {
+            val data =
+              if (row.isNullAt(2 + i)) Array.emptyByteArray
+              else if (binFlags(i)) row.getAs[Array[Byte]](2 + i)
+              else row.getString(2 + i).getBytes("UTF-8")
+            writeMember(os, stem + "." + exts(i), data)
+            i += 1
+          }
         }
         close()
         Iterator.single(count)
@@ -83,12 +202,55 @@ object Export {
   }
 
   /** Read tar shards back as `(shard, name, text)` — one row per
-    * member. Each shard parses in one task from one whole-file read
-    * (shards are file-sized by construction; Spark's binaryFile
-    * source caps a file at 2 GB — size `numShards` well below that,
-    * as WebDataset deployments do anyway); any USTAR/GNU tar works,
-    * not just [[writeTarShards]]' output. */
+    * member, bytes decoded as UTF-8. Each shard parses in one task
+    * from one whole-file read (shards are file-sized by construction
+    * and [[writeTarShards]] enforces the 2 GB binaryFile cap at
+    * export); plain USTAR plus GNU long-name ('L') and PAX ('x')
+    * per-member overrides work, not just [[writeTarShards]]' output. */
   def readTarShards(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    rawMembers(spark, dir)
+      .map { case (shard, name, data) =>
+        (shard, name, new String(data, "UTF-8"))
+      }
+      .toDF("shard", "name", "text")
+  }
+
+  /** Read tar shards as raw members: `(shard, stem, ext, bytes)` —
+    * the multi-member inverse of [[writeTarShards]] before stem
+    * reassembly. */
+  def readTarMembers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    rawMembers(spark, dir)
+      .map { case (shard, name, data) =>
+        val dot = name.lastIndexOf('.')
+        val (stem, ext) =
+          if (dot < 0) (name, "") else (name.take(dot), name.drop(dot + 1))
+        (shard, stem, ext, data)
+      }
+      .toDF("shard", "stem", "ext", "data")
+  }
+
+  /** Reassemble multi-member samples by stem: one row per document
+    * with a BINARY column per extension in `exts` (named after the
+    * extension; cast string columns back with `.cast("string")`).
+    * A document missing one of `exts` surfaces NULL there. */
+  def readTarSamples(
+      spark: SparkSession, dir: String, exts: Seq[String]): DataFrame = {
+    require(exts.nonEmpty, "readTarSamples needs at least one extension")
+    val members = readTarMembers(spark, dir)
+    members.groupBy(col("shard"), col("stem"))
+      .agg(
+        first(when(col("ext") === exts.head, col("data")),
+          ignoreNulls = true).as(exts.head),
+        exts.tail.map(e =>
+          first(when(col("ext") === e, col("data")),
+            ignoreNulls = true).as(e)): _*)
+  }
+
+  private def rawMembers(
+      spark: SparkSession,
+      dir: String): org.apache.spark.sql.Dataset[(Int, String, Array[Byte])] = {
     import spark.implicits._
     spark.read.format("binaryFile").load(s"$dir/*.tar")
       .select(col("path"), col("content"))
@@ -96,11 +258,8 @@ object Export {
       .flatMap { case (path, bytes) =>
         val shard = "shard-(\\d+)\\.tar".r.findFirstMatchIn(path)
           .map(_.group(1).toInt).getOrElse(-1)
-        parseTar(bytes).map { case (name, data) =>
-          (shard, name, new String(data, "UTF-8"))
-        }
+        parseTar(bytes).map { case (name, data) => (shard, name, data) }
       }
-      .toDF("shard", "name", "text")
   }
 
   /** One USTAR member: header block + data padded to the block size. */
@@ -137,27 +296,77 @@ object Export {
     if (pad > 0) os.write(new Array[Byte](pad))
   }
 
-  /** Minimal USTAR walk: (name, bytes) per member, stops at the zero
-    * block. Tolerates GNU tar padding and either NUL- or
-    * space-terminated octal sizes. */
+  /** USTAR walk: (name, bytes) per member, stops at the zero block.
+    * Tolerates GNU tar padding and either NUL- or space-terminated
+    * octal sizes; honors GNU long-name ('L') and per-member PAX ('x')
+    * `path`/`size` overrides — external archives with >100-byte names
+    * keep their full names instead of a silently truncated key. A PAX
+    * GLOBAL header ('g') that redefines path or size refuses loudly
+    * (applying it per-member is a different format contract); other
+    * global records are irrelevant here and skip. */
   private[graft] def parseTar(
       bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
     val out = Seq.newBuilder[(String, Array[Byte])]
     var off = 0
+    var nameOverride: String = null
+    var sizeOverride: Long = -1L
     def str(o: Int, len: Int): String = {
       var end = o
       while (end < o + len && bytes(end) != 0) end += 1
       new String(bytes, o, end - o, "UTF-8")
     }
+    // PAX extended records: repeated "<len> <key>=<value>\n" where
+    // <len> counts the whole record including itself
+    def paxRecords(data: Array[Byte]): Seq[(String, String)] = {
+      val recs = Seq.newBuilder[(String, String)]
+      var p = 0
+      while (p < data.length) {
+        var sp = p
+        while (sp < data.length && data(sp) != ' ') sp += 1
+        val len = new String(data, p, sp - p, "UTF-8").trim.toInt
+        val body = new String(data, sp + 1, p + len - sp - 2, "UTF-8")
+        val eq = body.indexOf('=')
+        if (eq > 0) recs += ((body.take(eq), body.drop(eq + 1)))
+        p += len
+      }
+      recs.result()
+    }
     while (off + Block <= bytes.length && bytes(off) != 0) {
-      val name = str(off, 100)
+      val rawName = str(off, 100)
       val size = java.lang.Long.parseLong(str(off + 124, 12).trim, 8)
       val typeflag = bytes(off + 156).toChar
       val dataOff = off + Block
-      if (typeflag == '0' || typeflag == 0.toChar)
-        out += ((name,
-          java.util.Arrays.copyOfRange(bytes, dataOff,
-            dataOff + size.toInt)))
+      def data(n: Long): Array[Byte] =
+        java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + n.toInt)
+      typeflag match {
+        case '0' | '\u0000' =>
+          val n = if (sizeOverride >= 0) sizeOverride else size
+          val name = if (nameOverride != null) nameOverride else rawName
+          out += ((name, data(n)))
+          nameOverride = null; sizeOverride = -1L
+        case 'L' => // GNU long name: data names the NEXT member
+          nameOverride = {
+            val d = data(size)
+            var end = d.length
+            while (end > 0 && d(end - 1) == 0) end -= 1
+            new String(d, 0, end, "UTF-8")
+          }
+        case 'x' => // PAX per-member overrides
+          paxRecords(data(size)).foreach {
+            case ("path", v) => nameOverride = v
+            case ("size", v) => sizeOverride = v.toLong
+            case _ =>
+          }
+        case 'g' =>
+          val redefines = paxRecords(data(size))
+            .collect { case (k @ ("path" | "size"), _) => k }
+          require(redefines.isEmpty,
+            s"tar PAX global header redefines ${redefines.mkString(",")}" +
+              " — unsupported (per-member 'x' overrides are honored)")
+        case _ => // directories, links, other specials: skip data
+      }
+      // the header's size field still frames the entry's data blocks
+      // (a PAX size override applies to the FILE entry it precedes)
       val padded = ((size + Block - 1) / Block * Block).toInt
       off = dataOff + padded
     }
