@@ -232,7 +232,20 @@ object Dedup {
       dir: String,
       shingler: Column => Column = TextFunctions.wordShingles(_, 3),
       shinglerTag: String = WordTrigramTag,
-      txn: Option[(String, Long)] = None): Unit = {
+      txn: Option[(String, Long)] = None,
+      // Close the continuous-ingest maintenance loop: every append
+      // lands files whose bucket ranges overlap the whole index, so
+      // lookup pruning degrades monotonically until SOMETHING
+      // reclusters. `autoReclusterOverlap = Some(n)` runs
+      // [[compactMinhashIndex]] right after an append that leaves
+      // `layoutHealth.maxOverlap > n` (the table sink's autoCompact
+      // pattern) — results of every index query are pinned unchanged,
+      // the cost is O(index) but amortized over the n batches that
+      // grew the overlap. The health check itself is a driver-side
+      // sidecar sweep: zero jobs, zero file reads, safe per batch.
+      autoReclusterOverlap: Option[Int] = None): Unit = {
+    autoReclusterOverlap.foreach(n => require(n >= 1,
+      s"autoReclusterOverlap must be >= 1, got $n"))
     val (numPerms, bands, seed) = minhashIndexParams(spark, dir, shinglerTag)
     val bt = bandTable(newDocs, idCol, textCol, shingler,
       numPerms, bands, seed)
@@ -244,6 +257,12 @@ object Dedup {
         bt.write.format("graft").mode("append")
           .option("txnAppId", app).option("txnVersion", v.toString)
           .save(dir)
+    }
+    autoReclusterOverlap.foreach { bound =>
+      if (Maintenance.layoutHealth(spark, dir).maxOverlap > bound) {
+        compactMinhashIndex(spark, dir)
+        ()
+      }
     }
   }
 
@@ -383,8 +402,12 @@ object Dedup {
     * rewrite, hidden from every index read immediately; the marks
     * fold into the next `DeletionVectors.materialize`. `docIds` is a
     * driver-side list (an erasure request, not a corpus-scale set) —
-    * chunk a huge list across calls. Returns (corpus report, index
-    * DV report).
+    * chunk a huge list across calls. `vectorIndexDir` extends the
+    * sweep to a persisted ANN index over the same ids
+    * ([[VectorIndex.removeVectors]] — DV marks, zero rewrite, zero
+    * retraining), so a corpus with embeddings cannot silently leave
+    * the forgotten document retrievable by similarity search. Returns
+    * (corpus report, index DV report, vector-index DV report).
     *
     * HARD-erasure note: this removes the documents from every LIVE
     * read path. Rows remain reachable through RETAINED corpus
@@ -396,7 +419,10 @@ object Dedup {
       spark: SparkSession,
       corpusDir: String,
       indexDir: String,
-      docIds: Seq[Any]): (Maintenance.Report, DeletionVectors.Report) = {
+      docIds: Seq[Any],
+      vectorIndexDir: Option[String] = None)
+      : (Maintenance.Report, DeletionVectors.Report,
+         Option[DeletionVectors.Report]) = {
     require(docIds.nonEmpty, "forgetDocuments needs at least one id")
     val m = graft.core.Sidecar.load(spark, corpusDir)
     require(m.indexColumns.length == 1,
@@ -413,7 +439,9 @@ object Dedup {
     val corpusReport = Maintenance.deleteKeys(spark, corpusDir, keys)
     val indexReport = DeletionVectors.deleteWhere(spark, indexDir,
       col("id").isInCollection(docIds))
-    (corpusReport, indexReport)
+    val vecReport = vectorIndexDir.map(
+      VectorIndex.removeVectors(spark, _, docIds))
+    (corpusReport, indexReport, vecReport)
   }
 
   /** Re-cluster the persisted MinHash index. Every

@@ -73,7 +73,15 @@ object DocumentStreams {
     * index first would poison the replay (the batch's own bands would
     * pair it against itself and drop both members). `appId` defaults
     * to a checkpoint-derived id — stable across restarts, distinct
-    * across sinks. */
+    * across sinks.
+    *
+    * `autoReclusterOverlap = Some(n)`: every batch's index append
+    * lands band files overlapping the whole index, so lookup pruning
+    * degrades monotonically on a sink that runs forever; with the
+    * knob set, a batch that leaves `layoutHealth.maxOverlap > n` is
+    * followed by [[graft.operators.Dedup.compactMinhashIndex]]
+    * (results pinned unchanged — pure layout maintenance), closing
+    * the ingest → degrade → recluster loop inside the sink itself. */
   def dedupSink(
       docs: DataFrame,
       idCol: String,
@@ -85,7 +93,8 @@ object DocumentStreams {
       shingler: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         TextFunctions.wordShingles(_, 3),
       shinglerTag: String = graft.operators.Dedup.WordTrigramTag,
-      appId: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      appId: Option[String] = None,
+      autoReclusterOverlap: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val app = appId.getOrElse(s"graft-dedup-sink:$checkpointDir")
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -104,7 +113,8 @@ object DocumentStreams {
               .save(corpusDir)
             graft.operators.Dedup.appendToMinhashIndex(spark, survivors,
               idCol, textCol, indexDir, shingler, shinglerTag,
-              txn = Some((app, batchId)))
+              txn = Some((app, batchId)),
+              autoReclusterOverlap = autoReclusterOverlap)
           }
         } finally { survivors.unpersist(); () }
       }

@@ -688,7 +688,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     // forget the originals -> their rows AND bands go
     val ids = all.filter(col("doc_id") % 10 === 0)
       .select("doc_id").collect().map(_.getLong(0)).toSeq
-    val (cRep, iRep) = Dedup.forgetDocuments(
+    val (cRep, iRep, _) = Dedup.forgetDocuments(
       spark, corpusDir, idxDir, ids)
     assert(cRep.dropped + cRep.rewritten > 0, cRep.toString)
     assert(iRep.marked == ids.length * 21L, // 21 bands per document
@@ -715,6 +715,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(after == expected,
       s"missing ${(expected -- after).take(5)}, " +
         s"ghost-blocked ${(after -- expected).take(5)}")
+  }
+
+  test("forgetDocuments with vectorIndexDir sweeps the ANN index in " +
+      "the same call: forgotten ids vanish from topK AND pqTopK " +
+      "alongside corpus rows and MinHash bands") {
+    import graft.core.PDataset
+    import graft.operators.VectorIndex
+    val base = Fixtures.tempDir("forget-vec")
+    val corpusDir = base + "/corpus"
+    val idxDir = base + "/idx"
+    val vecDir = base + "/vec"
+    // corpus and vector index share the id space: doc i's embedding
+    // is embeddings row i
+    val all = docs.filter(col("doc_id") < 300).select("doc_id", "text")
+    PDataset.fromDataFrame(all, Seq("doc_id")).writeParquet(corpusDir)
+    Dedup.buildMinhashIndex(spark, all, "doc_id", "text", idxDir)
+    VectorIndex.build(spark,
+      emb.filter(col("vec_id") < 300), "vec_id", "embedding", vecDir,
+      dim = 64, nlist = 8, pq = Some((16, 32)))
+    val qs = emb.filter(col("vec_id") < 5)
+    val before = VectorIndex.topK(spark, qs, vecDir,
+      "vec_id", "embedding", 5)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(before.nonEmpty)
+    val victims = before.take(3).toSeq
+    val (cRep, iRep, vRep) = Dedup.forgetDocuments(
+      spark, corpusDir, idxDir, victims, vectorIndexDir = Some(vecDir))
+    assert(cRep.dropped + cRep.rewritten > 0, cRep.toString)
+    assert(iRep.marked == victims.length * 21L, iRep.toString)
+    assert(vRep.exists(_.marked == victims.length), vRep.toString)
+    assert(PDataset.scanParquet(spark, corpusDir).toDF
+      .filter(col("doc_id").isin(victims: _*)).count() == 0)
+    val after = VectorIndex.topK(spark, qs, vecDir,
+      "vec_id", "embedding", 5)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(victims.forall(v => !after.contains(v)),
+      s"still ANN-retrievable: ${victims.filter(after.contains)}")
+    val afterPq = VectorIndex.pqTopK(spark, qs, vecDir,
+      "vec_id", "embedding", 5)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(victims.forall(v => !afterPq.contains(v)),
+      "PQ path must hide forgotten ids too")
   }
 
   test("SemDeDup keeper=centroidFarthest keeps, per duplicate group, " +

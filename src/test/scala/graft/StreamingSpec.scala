@@ -238,6 +238,74 @@ class StreamingSpec extends AnyFunSuite {
     assert(corpusRows() == got, "replayed batches must be txn no-ops")
   }
 
+  test("dedupSink autoRecluster: overlapping batch appends trigger " +
+      "index compaction inside the sink; corpus and gate results " +
+      "match the non-compacting reference") {
+    import graft.core.PDataset
+    import graft.operators.{Dedup, Maintenance}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def seedTables(corpusDir: String, idxDir: String): Unit = {
+      val seed = docs.filter(col("doc_id") % 3 === 0)
+      PDataset.fromDataFrame(seed, Seq("doc_id")).writeParquet(corpusDir)
+      Dedup.buildMinhashIndex(spark, seed, "doc_id", "text", idxDir)
+    }
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+    val b2 = docs.filter(col("doc_id") % 3 === 2)
+
+    // reference: the batch operator, never compacted
+    val refRoot = Files.createTempDirectory("graft-autorecl-ref").toString
+    seedTables(refRoot + "/corpus", refRoot + "/idx")
+    Seq(b1, b2).foreach { b =>
+      val surv = Dedup.dedupBatch(spark, b, "doc_id", "text",
+        PDataset.scanParquet(spark, refRoot + "/corpus").toDF,
+        refRoot + "/idx").persist()
+      PDataset.fromDataFrame(surv, Seq("doc_id"))
+        .writeParquet(refRoot + "/corpus", append = true)
+      Dedup.appendToMinhashIndex(spark, surv, "doc_id", "text",
+        refRoot + "/idx")
+      surv.unpersist()
+    }
+    // the un-maintained index really does degrade (else the knob
+    // tests nothing)
+    assert(!Maintenance.layoutHealth(spark, refRoot + "/idx").disjoint)
+
+    val root = Files.createTempDirectory("graft-autorecl").toString
+    seedTables(root + "/corpus", root + "/idx")
+    val srcDir = Files.createTempDirectory("graft-autorecl-src").toString
+    val ck = Files.createTempDirectory("graft-autorecl-ck").toString
+    b1.coalesce(1).write.mode("append").parquet(srcDir)
+    val q = graft.streaming.DocumentStreams.dedupSink(
+      spark.readStream.schema(schema).parquet(srcDir),
+      "doc_id", "text", root + "/corpus", root + "/idx", ck,
+      appId = Some("autorecl-spec"), autoReclusterOverlap = Some(1))
+    try {
+      q.processAllAvailable()
+      b2.coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the sink reclustered: layout back to disjoint bucket ranges
+    assert(Maintenance.layoutHealth(spark, root + "/idx").disjoint,
+      Maintenance.layoutHealth(spark, root + "/idx").toString)
+    // pure layout maintenance: corpus and a probe batch's gate
+    // decision are identical to the never-compacted reference
+    def rows(dir: String) = PDataset.scanParquet(spark, dir).toDF
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(rows(root + "/corpus") == rows(refRoot + "/corpus"))
+    val probe = docs.limit(20)
+      .select((col("doc_id") + 7000000L).as("doc_id"), col("text"))
+    def gate(r: String) = Dedup.dedupBatch(spark, probe, "doc_id",
+      "text", PDataset.scanParquet(spark, r + "/corpus").toDF,
+      r + "/idx").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gate(root) == gate(refRoot),
+      "compaction changed an index query result")
+  }
+
   test("view-maintaining sink keeps the aggregate synced per batch") {
     import graft.core.PDataset
     import graft.operators.{IncrementalAgg, Maintenance}
