@@ -50,10 +50,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // so the double appearance is harmless.
     ext.injectOptimizerRule { s =>
       val rule = new graft.plans.SqlDivisionJoin(s)
-      if (!s.experimental.extraOptimizations
-          .exists(_.isInstanceOf[graft.plans.SqlDivisionJoin]))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ rule
+      // synchronized: two threads building this session's optimizer
+      // concurrently race the check-then-act append (a duplicate rule
+      // would be harmless — idempotent — but unbounded growth isn't)
+      s.experimental.synchronized {
+        if (!s.experimental.extraOptimizations
+            .exists(_.isInstanceOf[graft.plans.SqlDivisionJoin]))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ rule
+      }
       rule
     }
     // SQL GROUP BY on a prefix of a graft table's index columns

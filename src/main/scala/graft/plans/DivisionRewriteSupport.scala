@@ -135,7 +135,8 @@ private[plans] trait DivisionRewriteSupport {
     val internal =
       if (l.dataType == a.dataType) l.value
       else Cast(l, a.dataType,
-        Some(session.sessionState.conf.sessionLocalTimeZone)).eval(null)
+        Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+        .eval(null)
     if (internal == null) Literal(null, a.dataType) // uncastable: never matches
     else DivisionBoundValue(internal, a.dataType)
   }
@@ -206,7 +207,7 @@ private[plans] trait DivisionRewriteSupport {
     * `SET spark.graft.sql.divisionMinBytes=0` pins the rewrite on
     * for tests and small-data demos. */
   protected def divisionMinBytes: Long =
-    session.sessionState.conf
+    org.apache.spark.sql.internal.SQLConf.get
       .getConfString("spark.graft.sql.divisionMinBytes",
         (1L << 30).toString).toLong
 

@@ -58,8 +58,11 @@ import graft.core.Lex
 final class SqlDivisionAgg(protected val session: SparkSession)
     extends Rule[LogicalPlan] with DivisionRewriteSupport {
 
+  // SQLConf.get is the ACTIVE execution's conf (thread-local): a
+  // cloned session (e.g. structured streaming's stream session)
+  // inheriting this rule gates on its OWN settings, not the parent's
   private def enabled: Boolean =
-    session.sessionState.conf
+    org.apache.spark.sql.internal.SQLConf.get
       .getConfString("spark.graft.sql.divisionAgg", "true")
       .equalsIgnoreCase("true")
 

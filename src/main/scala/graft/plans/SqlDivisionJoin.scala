@@ -72,8 +72,11 @@ final class SqlDivisionJoin(protected val session: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper
     with DivisionRewriteSupport {
 
+  // SQLConf.get is the ACTIVE execution's conf (thread-local): a
+  // cloned session (e.g. structured streaming's stream session)
+  // inheriting this rule gates on its OWN settings, not the parent's
   private def enabled: Boolean =
-    session.sessionState.conf
+    org.apache.spark.sql.internal.SQLConf.get
       .getConfString("spark.graft.sql.divisionJoin", "true")
       .equalsIgnoreCase("true")
 
@@ -170,8 +173,9 @@ final class SqlDivisionJoin(protected val session: SparkSession)
       return None
 
     // Cost gates: a broadcastable side beats everything; too few
-    // divisions under-utilizes one-task-per-range.
-    val conf = session.sessionState.conf
+    // divisions under-utilizes one-task-per-range. Thread-local conf:
+    // a clone's SET of the threshold governs the clone's plans.
+    val conf = org.apache.spark.sql.internal.SQLConf.get
     val thresh = conf.autoBroadcastJoinThreshold
     if (thresh >= 0 && (l.stats.sizeInBytes <= thresh ||
         r.stats.sizeInBytes <= thresh)) return None

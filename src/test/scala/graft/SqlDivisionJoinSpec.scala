@@ -103,6 +103,37 @@ class SqlDivisionJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("a cloned session gates the rewrite on ITS OWN conf — the " +
+      "streaming-clone shape (SET in the clone must not read the " +
+      "captured parent session)") {
+    PDataset.divisionJoinMinOverride = Some(2)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val dirA = tempDir("sqldivjoin-ca") + "/ds"
+      val dirB = tempDir("sqldivjoin-cb") + "/ds"
+      writeSide(dirA, 160, "a")
+      writeSide(dirB, 120, "b")
+      spark.read.format("graft").load(dirA).createOrReplaceTempView("cja")
+      spark.read.format("graft").load(dirB).createOrReplaceTempView("cjb")
+      val q = "SELECT cja.k, cjb.p_b FROM cja JOIN cjb ON cja.k = cjb.k"
+      assert(spark.sql(q).queryExecution.optimizedPlan.toString
+        .contains("DivisionJoin"))
+      val clone = org.apache.spark.sql.GraftSqlTestBridge
+        .cloneSession(spark)
+      clone.conf.set("spark.graft.sql.divisionJoin", "false")
+      val cp = clone.sql(q).queryExecution.optimizedPlan.toString
+      assert(!cp.contains("DivisionJoin"),
+        s"clone's SET divisionJoin=false was ignored:\n$cp")
+      // the parent stays rewritten — per-session gating, not global
+      assert(spark.sql(q).queryExecution.optimizedPlan.toString
+        .contains("DivisionJoin"))
+    } finally {
+      PDataset.divisionJoinMinOverride = None
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+  }
+
   test("LEFT, RIGHT and FULL SQL joins rewrite with exact " +
       "null-extension semantics; cross-side residual ON conjuncts are " +
       "evaluated inside the node (ON semantics, not a post-filter)") {
