@@ -53,10 +53,20 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
-    val order = selected.keys.toIndexedSeq
+    // A fixed NO-OP control, timed each round like any query: its
+    // cost is the pure per-query constant (parse/analyze/optimize
+    // through the full extension stack + a one-row noop write).
+    // Round-over-round drift that shows up HERE is machine or
+    // stack-constant overhead, not a plan regression (the r17 1.28×
+    // common-subset question). q_metadata_count plays the same role
+    // for the metadata-only path. Excluded from every total.
+    val control = "control_select1" ->
+      ((s: SparkSession, _: String) => s.sql("SELECT 1 AS one"))
+    val timed = selected + control
+    val order = selected.keys.toIndexedSeq :+ control._1
     val timings = scala.collection.mutable.Map.empty[String, Vector[Double]]
     for (_ <- 0 until runs; name <- order) {
-      val fn = selected(name)
+      val fn = timed(name)
       val t0 = System.nanoTime()
       val sec =
         try { consume(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
@@ -88,8 +98,13 @@ object Bench {
     val rs = allRuns.map { case (k, ts) =>
       s"\"" + k + "\":" + ts.map(f).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val totalMin = if (mins.nonEmpty) mins.values.filter(_ >= 0).sum else 0.0
+    // totals cover the REAL queries only — the control rides along in
+    // the per-query dicts but must not shift round-over-round totals
+    def real(m: Map[String, Double]): Iterable[Double] =
+      m.collect { case (k, v) if !k.startsWith("control_") => v }
+    val total = if (results.nonEmpty) real(results).sum else 0.0
+    val totalMin =
+      if (mins.nonEmpty) real(mins).filter(_ >= 0).sum else 0.0
     // The full per-run detail goes to a FILE: log-tail truncation was
     // cutting long stdout JSON lines (round 7 lost the canonical total
     // itself once the per-query dict grew past the driver's log-tail

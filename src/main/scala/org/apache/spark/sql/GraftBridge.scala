@@ -29,6 +29,14 @@ object GraftBridge {
     proj(org.apache.spark.sql.catalyst.InternalRow.empty).get(0, e.dataType)
   }
 
+  /** A bare session (fresh extension-free state) on an existing
+    * context — measurement harnesses (graft.examples.ExtensionOverhead)
+    * compare plan time with and without the graft extension stack
+    * inside ONE JVM; the one-context-arg constructor is
+    * `private[sql]`. */
+  def bareSession(sc: org.apache.spark.SparkContext): SparkSession =
+    new classic.SparkSession(sc)
+
   /** Wrap a resolved logical plan as a DataFrame (the `Dataset.ofRows`
     * entry point is `private[sql]`). */
   def ofRows(
