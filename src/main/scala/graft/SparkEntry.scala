@@ -2767,6 +2767,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Multi-column WebDataset samples: one member per exported column
+    // per document (<id>.txt + <id>.lng back-to-back — the pairing
+    // standard loaders consume), reassembled by STEM on the way back.
+    // The lossless two-column roundtrip IS the check.
+    "q_webdataset_multi" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-wdsm")
+        .resolve("out").toString
+      val docs = s.read.parquet(T(d, "documents"))
+        .select("doc_id", "text", "lang")
+      graft.operators.Export.writeTarShards(
+        docs, "doc_id", Seq("text" -> "txt", "lang" -> "lng"),
+        dir, numShards = 8, seed = "epoch1")
+      graft.operators.Export.readTarSamples(s, dir, Seq("txt", "lng"))
+        .select(col("stem").cast("long").as("doc_id"),
+          col("txt").cast("string").as("text"),
+          col("lng").cast("string").as("lang"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic shard assignment: reproducible corpus shuffle
     // into 8 training shards (shard + in-shard position are a pure
     // function of the seed and the doc id).
@@ -4337,6 +4356,8 @@ object SparkEntry {
            ORDER BY doc_id""",
       "q_webdataset" ->
         "SELECT doc_id, text FROM documents ORDER BY doc_id",
+      "q_webdataset_multi" ->
+        "SELECT doc_id, text, lang FROM documents ORDER BY doc_id",
       "q_shard_assign" ->
         """WITH h AS (
              SELECT doc_id,
