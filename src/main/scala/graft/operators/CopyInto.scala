@@ -118,9 +118,9 @@ object CopyInto {
         // final extension) becomes the table's single index column,
         // its bytes (UTF-8) the text column —
         // FORMAT_OPTIONS('text'='<col>') overrides the default of
-        // "the one non-index column". Each shard parses in one task
-        // from one whole-file read; values cast below like any other
-        // source.
+        // "the one non-index column". Each shard streams through one
+        // sequential FS read, member-at-a-time; values cast below
+        // like any other source.
         require(m.indexColumns.length == 1,
           "COPY INTO ... FILEFORMAT = TAR maps member names onto ONE " +
             s"index column; $dir is clustered on " +
@@ -137,11 +137,12 @@ object CopyInto {
           rest.head
         })
         import spark.implicits._
-        spark.read.format("binaryFile").load(fresh.map(_._1): _*)
-          .select(col("content")).as[Array[Byte]]
-          .flatMap(bytes => Export.parseTar(bytes).map { case (n, d) =>
+        // streamed member-at-a-time (Export.tarMembers): per-task
+        // memory is one member, not one shard, and no 2 GB file cap
+        Export.tarMembers(spark, fresh.map(_._1))
+          .map { case (_, n, d) =>
             (n.replaceAll("\\.[^.]*$", ""), new String(d, "UTF-8"))
-          })
+          }
           .toDF(idName, textName)
       case _ =>
         reader.schema(m.schema).format(fmt).load(fresh.map(_._1): _*)

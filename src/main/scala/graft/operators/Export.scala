@@ -30,14 +30,16 @@ import org.apache.spark.sql.types.{BinaryType, StringType}
   * same directory with a different `numShards`/seed cannot leave
   * orphans the readers would silently ingest.
   *
-  * The 2 GB invariant is ENFORCED: projected shard sizes (exact — tar
+  * Shard sizes are ENFORCED at export: projected sizes (exact — tar
   * framing is deterministic) are checked before any byte is written,
-  * and a shard that would exceed `maxShardBytes` (default: the
-  * binaryFile reader's 2 GB whole-file cap) refuses with the shard
-  * named — [[writeTarShards]] never produces an archive its own
-  * [[readTarShards]] / COPY INTO cannot load. Pick `numShards` to make
-  * a shard file-sized: thousands of shards at corpus scale, exactly
-  * how WebDataset is deployed.
+  * and a shard that would exceed `maxShardBytes` (default 2 GB)
+  * refuses with the shard named. Graft's own readers STREAM each
+  * shard member-at-a-time (no whole-shard buffering, no file-size
+  * cap), so the default exists for external consumers that read
+  * shards whole (e.g. Spark's binaryFile) and for loader-friendly
+  * shard sizing — raise it freely when only graft reads the export.
+  * Pick `numShards` to make a shard file-sized: thousands of shards
+  * at corpus scale, exactly how WebDataset is deployed.
   *
   * Format: plain USTAR — 512-byte headers, octal size, standard
   * checksum, `ustar` magic, two zero blocks at the end — readable by
@@ -48,9 +50,10 @@ object Export {
 
   private val Block = 512
 
-  /** The binaryFile source materializes a whole shard per row and
-    * refuses files over Int.MaxValue bytes — the reader-side cap the
-    * writer enforces. */
+  /** Default export-side shard cap: whole-file readers (Spark's
+    * binaryFile and kin) refuse files over Int.MaxValue bytes, and
+    * loaders want file-sized shards anyway; graft's own streaming
+    * readers have no such limit. */
   val MaxShardBytes: Long = Int.MaxValue.toLong
 
   /** Single-column convenience: one `<id>.txt` member per document. */
@@ -99,12 +102,12 @@ object Export {
         cols.map { case (c, _) => col(c).as(s"__m_$c") }: _*)
     val assigned = Sampling.shardAssign(selected, "__id", numShards, seed)
 
-    // Enforce the reader cap BEFORE writing a byte: tar framing is
+    // Enforce the shard cap BEFORE writing a byte: tar framing is
     // deterministic (512-byte header + data padded to 512 per member,
     // 1024-byte trailer), so projected shard sizes are exact. One
     // extra aggregate pass over the export's own columns — cheap next
-    // to writing them, and the alternative is an archive this
-    // module's own reader (and COPY INTO FILEFORMAT = TAR) refuses.
+    // to writing them, and the alternative is an archive whole-file
+    // consumers silently cannot load.
     def padded(c: Column): Column =
       lit(Block.toLong) +
         floor((coalesce(octet_length(c).cast("long"), lit(0L)) +
@@ -120,9 +123,10 @@ object Export {
       throw new IllegalArgumentException(
         s"writeTarShards: shard(s) ${oversize.map { case (s, b) =>
           f"shard-$s%05d.tar ($b bytes)" }.mkString(", ")} would " +
-          s"exceed the $maxShardBytes-byte reader cap (binaryFile " +
-          "reads a shard whole) — raise numShards until every shard " +
-          "fits")
+          s"exceed the $maxShardBytes-byte shard cap (whole-file " +
+          "consumers refuse such files) — raise numShards until " +
+          "every shard fits, or raise maxShardBytes if only graft's " +
+          "streaming readers consume this export")
 
     // Re-exports into a lived-in directory: stale shards from a prior
     // export (different numShards/seed) would otherwise survive and
@@ -202,10 +206,11 @@ object Export {
   }
 
   /** Read tar shards back as `(shard, name, text)` — one row per
-    * member, bytes decoded as UTF-8. Each shard parses in one task
-    * from one whole-file read (shards are file-sized by construction
-    * and [[writeTarShards]] enforces the 2 GB binaryFile cap at
-    * export); plain USTAR plus GNU long-name ('L') and PAX ('x')
+    * member, bytes decoded as UTF-8. Each shard STREAMS through one
+    * sequential Hadoop FS read, member-at-a-time — no whole-shard
+    * buffering and no 2 GB file cap on the read side (the write-side
+    * `maxShardBytes` default remains, for consumers that read shards
+    * whole); plain USTAR plus GNU long-name ('L') and PAX ('x')
     * per-member overrides work, not just [[writeTarShards]]' output. */
   def readTarShards(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -248,18 +253,51 @@ object Export {
             ignoreNulls = true).as(e)): _*)
   }
 
+  /** Stream the members of explicit tar files: `(path, name, data)`,
+    * one row per member. Each file reads as ONE sequential Hadoop FS
+    * stream and parses member-at-a-time, so per-task memory is one
+    * MEMBER, not one shard — the shape that holds for arbitrarily
+    * large archives (COPY INTO FILEFORMAT = TAR rides this too). */
+  def tarMembers(
+      spark: SparkSession,
+      paths: Seq[String])
+      : org.apache.spark.sql.Dataset[(String, String, Array[Byte])] = {
+    import spark.implicits._
+    require(paths.nonEmpty, "tarMembers needs at least one path")
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val slots = math.min(paths.length,
+      math.max(1, spark.sparkContext.defaultParallelism * 2))
+    spark.createDataset(paths)
+      .repartition(slots) // one tiny row per path — spread the shards
+      .mapPartitions { it =>
+        it.flatMap { pathStr =>
+          val p = new org.apache.hadoop.fs.Path(pathStr)
+          val in = p.getFileSystem(conf.value).open(p)
+          // closed at task end: a limit() may abandon the iterator
+          // mid-archive, so per-file eager close is not enough
+          Option(org.apache.spark.TaskContext.get).foreach(
+            _.addTaskCompletionListener[Unit](_ => in.close()))
+          parseTarStream(new java.io.BufferedInputStream(in, 1 << 16))
+            .map { case (name, data) => (pathStr, name, data) }
+        }
+      }
+  }
+
   private def rawMembers(
       spark: SparkSession,
       dir: String): org.apache.spark.sql.Dataset[(Int, String, Array[Byte])] = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(s"$dir/*.tar")
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        val shard = "shard-(\\d+)\\.tar".r.findFirstMatchIn(path)
-          .map(_.group(1).toInt).getOrElse(-1)
-        parseTar(bytes).map { case (name, data) => (shard, name, data) }
-      }
+    val (fs, dirPath) = graft.core.GraftFs.resolve(spark, dir)
+    val tars = graft.core.GraftFs.listStatuses(fs, dirPath)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".tar"))
+      .map(_.getPath.toString)
+    require(tars.nonEmpty, s"no .tar files under $dir")
+    tarMembers(spark, tars.toSeq).map { case (path, name, data) =>
+      val shard = "shard-(\\d+)\\.tar".r.findFirstMatchIn(path)
+        .map(_.group(1).toInt).getOrElse(-1)
+      (shard, name, data)
+    }
   }
 
   /** One USTAR member: header block + data padded to the block size. */
@@ -305,71 +343,126 @@ object Export {
     * (applying it per-member is a different format contract); other
     * global records are irrelevant here and skip. */
   private[graft] def parseTar(
-      bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
-    val out = Seq.newBuilder[(String, Array[Byte])]
-    var off = 0
-    var nameOverride: String = null
-    var sizeOverride: Long = -1L
-    def str(o: Int, len: Int): String = {
-      var end = o
-      while (end < o + len && bytes(end) != 0) end += 1
-      new String(bytes, o, end - o, "UTF-8")
+      bytes: Array[Byte]): Seq[(String, Array[Byte])] =
+    parseTarStream(new java.io.ByteArrayInputStream(bytes)).toSeq
+
+  // PAX extended records: repeated "<len> <key>=<value>\n" where
+  // <len> counts the whole record including itself
+  private def paxRecords(data: Array[Byte]): Seq[(String, String)] = {
+    val recs = Seq.newBuilder[(String, String)]
+    var p = 0
+    while (p < data.length) {
+      var sp = p
+      while (sp < data.length && data(sp) != ' ') sp += 1
+      val len = new String(data, p, sp - p, "UTF-8").trim.toInt
+      val body = new String(data, sp + 1, p + len - sp - 2, "UTF-8")
+      val eq = body.indexOf('=')
+      if (eq > 0) recs += ((body.take(eq), body.drop(eq + 1)))
+      p += len
     }
-    // PAX extended records: repeated "<len> <key>=<value>\n" where
-    // <len> counts the whole record including itself
-    def paxRecords(data: Array[Byte]): Seq[(String, String)] = {
-      val recs = Seq.newBuilder[(String, String)]
-      var p = 0
-      while (p < data.length) {
-        var sp = p
-        while (sp < data.length && data(sp) != ' ') sp += 1
-        val len = new String(data, p, sp - p, "UTF-8").trim.toInt
-        val body = new String(data, sp + 1, p + len - sp - 2, "UTF-8")
-        val eq = body.indexOf('=')
-        if (eq > 0) recs += ((body.take(eq), body.drop(eq + 1)))
-        p += len
-      }
-      recs.result()
-    }
-    while (off + Block <= bytes.length && bytes(off) != 0) {
-      val rawName = str(off, 100)
-      val size = java.lang.Long.parseLong(str(off + 124, 12).trim, 8)
-      val typeflag = bytes(off + 156).toChar
-      val dataOff = off + Block
-      def data(n: Long): Array[Byte] =
-        java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + n.toInt)
-      typeflag match {
-        case '0' | '\u0000' =>
-          val n = if (sizeOverride >= 0) sizeOverride else size
-          val name = if (nameOverride != null) nameOverride else rawName
-          out += ((name, data(n)))
-          nameOverride = null; sizeOverride = -1L
-        case 'L' => // GNU long name: data names the NEXT member
-          nameOverride = {
-            val d = data(size)
-            var end = d.length
-            while (end > 0 && d(end - 1) == 0) end -= 1
-            new String(d, 0, end, "UTF-8")
-          }
-        case 'x' => // PAX per-member overrides
-          paxRecords(data(size)).foreach {
-            case ("path", v) => nameOverride = v
-            case ("size", v) => sizeOverride = v.toLong
-            case _ =>
-          }
-        case 'g' =>
-          val redefines = paxRecords(data(size))
-            .collect { case (k @ ("path" | "size"), _) => k }
-          require(redefines.isEmpty,
-            s"tar PAX global header redefines ${redefines.mkString(",")}" +
-              " — unsupported (per-member 'x' overrides are honored)")
-        case _ => // directories, links, other specials: skip data
-      }
-      // the header's size field still frames the entry's data blocks
-      // (a PAX size override applies to the FILE entry it precedes)
-      val padded = ((size + Block - 1) / Block * Block).toInt
-      off = dataOff + padded
-    }
-    out.result()
+    recs.result()
   }
+
+  /** Streaming USTAR walk: one member materialized at a time (the
+    * memory unit is a MEMBER, never the archive), stopping at the
+    * zero block or EOF. File entries frame by their EFFECTIVE size --
+    * the PAX `size` override when present (the >8 GB case where the
+    * octal header field cannot hold it), the header field otherwise. */
+  private[graft] def parseTarStream(
+      in: java.io.InputStream): Iterator[(String, Array[Byte])] =
+    new scala.collection.AbstractIterator[(String, Array[Byte])] {
+      private val header = new Array[Byte](Block)
+      private var nameOverride: String = null
+      private var sizeOverride: Long = -1L
+      private var pending: (String, Array[Byte]) = null
+      private var done = false
+
+      private def readFully(buf: Array[Byte], len: Int): Boolean = {
+        var off = 0
+        while (off < len) {
+          val r = in.read(buf, off, len - off)
+          if (r < 0) return false
+          off += r
+        }
+        true
+      }
+      private def skipFully(n: Long): Unit = {
+        var left = n
+        while (left > 0) {
+          val s = in.skip(left)
+          if (s > 0) left -= s
+          else if (in.read() < 0) return // EOF inside padding: tolerate
+          else left -= 1
+        }
+      }
+      private def str(o: Int, len: Int): String = {
+        var end = o
+        while (end < o + len && header(end) != 0) end += 1
+        new String(header, o, end - o, "UTF-8")
+      }
+      private def entryData(n: Long): Array[Byte] = {
+        require(n <= Int.MaxValue, s"tar member over 2 GB ($n bytes) " +
+          "cannot materialize as one row -- repack with smaller members")
+        val d = new Array[Byte](n.toInt)
+        require(readFully(d, n.toInt), "truncated tar entry")
+        d
+      }
+
+      private def advance(): Unit = {
+        while (pending == null && !done) {
+          if (!readFully(header, Block) || header(0) == 0) {
+            done = true
+            return
+          }
+          val rawName = str(0, 100)
+          val size = java.lang.Long.parseLong(str(124, 12).trim, 8)
+          val typeflag = header(156).toChar
+          typeflag match {
+            case '0' | '\u0000' =>
+              val n = if (sizeOverride >= 0) sizeOverride else size
+              val data = entryData(n)
+              skipFully((n + Block - 1) / Block * Block - n)
+              val name = if (nameOverride != null) nameOverride else rawName
+              nameOverride = null; sizeOverride = -1L
+              pending = (name, data)
+            case 'L' => // GNU long name: data names the NEXT member
+              val d = entryData(size)
+              skipFully((size + Block - 1) / Block * Block - size)
+              var end = d.length
+              while (end > 0 && d(end - 1) == 0) end -= 1
+              nameOverride = new String(d, 0, end, "UTF-8")
+            case 'x' => // PAX per-member overrides
+              val d = entryData(size)
+              skipFully((size + Block - 1) / Block * Block - size)
+              paxRecords(d).foreach {
+                case ("path", v) => nameOverride = v
+                case ("size", v) => sizeOverride = v.toLong
+                case _ =>
+              }
+            case 'g' =>
+              val d = entryData(size)
+              skipFully((size + Block - 1) / Block * Block - size)
+              val redefines = paxRecords(d)
+                .collect { case (k @ ("path" | "size"), _) => k }
+              require(redefines.isEmpty,
+                s"tar PAX global header redefines " +
+                  s"${redefines.mkString(",")} -- unsupported " +
+                  "(per-member 'x' overrides are honored)")
+            case _ => // directories, links, other specials: skip data
+              skipFully((size + Block - 1) / Block * Block)
+          }
+        }
+      }
+
+      override def hasNext: Boolean = {
+        if (pending == null && !done) advance()
+        pending != null
+      }
+      override def next(): (String, Array[Byte]) = {
+        if (!hasNext) throw new NoSuchElementException("tar exhausted")
+        val m = pending
+        pending = null
+        m
+      }
+    }
 }

@@ -191,6 +191,15 @@ class ExportSpec extends AnyFunSuite {
     assert(Export.parseTar(pax).map(p =>
       (p._1, new String(p._2, "UTF-8"))) == Seq((longName, "payload")))
 
+    // PAX 'size' override: the member frames and truncates by the
+    // effective size (the >8 GB escape hatch, exercised small)
+    val sizeRec = "10 size=3\n"
+    assert(sizeRec.length == 10)
+    val paxSize = special('x', sizeRec.getBytes("UTF-8"), "pax-hdr") ++
+      member ++ new Array[Byte](1024)
+    assert(Export.parseTar(paxSize).map(p =>
+      (p._1, new String(p._2, "UTF-8"))) == Seq(("truncated.txt", "pay")))
+
     // PAX 'g' redefining path: loud refusal, not a wrong key
     val glob = special('g', rec.getBytes("UTF-8"), "pax-global") ++
       member ++ new Array[Byte](1024)
