@@ -1118,6 +1118,30 @@ object SparkEntry {
       s.read.format("graft").load(table).orderBy("doc_id")
     }),
 
+    // Multi-member WebDataset INGESTION: paired <id>.txt + <id>.lng
+    // members reassemble by stem onto a THREE-column table via
+    // FORMAT_OPTIONS('members'='txt:text,lng:lang') — the full
+    // inverse of the multi-column export (q_webdataset_multi), same
+    // exactly-once ledger (the re-run loads nothing).
+    "q_copy_into_tar_multi" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-copytarm")
+      val table = root.resolve("t").toString
+      val landing = root.resolve("landing").toString
+      val docs = s.read.parquet(T(d, "documents"))
+        .select("doc_id", "text", "lang")
+      PDataset.fromDataFrame(docs.filter(col("doc_id") < 100), Seq("doc_id"))
+        .reindex(Seq("doc_id")).writeParquet(table)
+      graft.operators.Export.writeTarShards(
+        docs.filter(col("doc_id") >= 100), "doc_id",
+        Seq("text" -> "txt", "lang" -> "lng"), landing,
+        numShards = 4, seed = "drop1")
+      val g = s"graft.`$table`"
+      val opts = "FORMAT_OPTIONS('members'='txt:text,lng:lang')"
+      s.sql(s"COPY INTO $g FROM '$landing' FILEFORMAT = TAR $opts")
+      s.sql(s"COPY INTO $g FROM '$landing' FILEFORMAT = TAR $opts")
+      s.read.format("graft").load(table).orderBy("doc_id")
+    }),
+
     // SQL DELETE FROM through the V2 catalog: the pushed range
     // predicate routes through SupportsDeleteV2 onto the deletion-
     // vector overlay (a KB-scale commit, zero files rewritten), and
@@ -3390,6 +3414,8 @@ object SparkEntry {
         """SELECT * FROM orders ORDER BY o_orderkey""",
       "q_copy_into_tar" ->
         "SELECT doc_id, text FROM documents ORDER BY doc_id",
+      "q_copy_into_tar_multi" ->
+        "SELECT doc_id, text, lang FROM documents ORDER BY doc_id",
       // the REPLACE swapped the %3 table for the %2 table wholesale
       "q_sql_ctas" ->
         """SELECT * FROM orders WHERE o_orderkey % 2 = 0

@@ -9,7 +9,9 @@ import graft.core.{GraftFs, Sidecar}
 /** `COPY INTO` — idempotent incremental file ingestion (the Delta
   * ingest surface): load raw parquet/ORC/JSON/CSV files — or
   * WebDataset tar shards (FILEFORMAT = TAR: member stems onto the
-  * index column, member bytes onto the text column) — from a
+  * index column, member bytes onto the text column; multi-member
+  * samples onto a wide table via
+  * FORMAT_OPTIONS('members'='txt:text,json:meta')) — from a
   * landing directory into a graft table, EXACTLY ONCE per source
   * file.
   *
@@ -115,35 +117,81 @@ object CopyInto {
         reader.format(fmt).load(fresh.map(_._1): _*)
       case "tar" =>
         // WebDataset ingestion: each member's STEM (name minus the
-        // final extension) becomes the table's single index column,
-        // its bytes (UTF-8) the text column —
-        // FORMAT_OPTIONS('text'='<col>') overrides the default of
-        // "the one non-index column". Each shard streams through one
-        // sequential FS read, member-at-a-time; values cast below
-        // like any other source.
+        // final extension) becomes the table's single index column.
+        // Single-member samples map member bytes (UTF-8) onto the
+        // text column — FORMAT_OPTIONS('text'='<col>') overrides the
+        // default of "the one non-index column". MULTI-member samples
+        // (the inverse of Export.writeTarShards' cols map) reassemble
+        // by stem via FORMAT_OPTIONS('members'='txt:text,json:meta'):
+        // one shuffle keyed on the stem (O(batch)), raw bytes per
+        // member so BINARY table columns roundtrip and string columns
+        // decode through the cast below. Each shard streams through
+        // one sequential FS read, member-at-a-time.
         require(m.indexColumns.length == 1,
           "COPY INTO ... FILEFORMAT = TAR maps member names onto ONE " +
             s"index column; $dir is clustered on " +
             s"(${m.indexColumns.mkString(",")})")
         val idName = m.indexColumns.head
         val res = spark.sessionState.conf.resolver
-        val textName = formatOptions.getOrElse("text", {
-          val rest = m.schema.fieldNames.filterNot(res(_, idName))
-          require(rest.length == 1,
-            s"COPY INTO ... FILEFORMAT = TAR needs the text column " +
-              s"named explicitly (FORMAT_OPTIONS('text'='<col>')) " +
-              s"when the table has more than two columns; " +
-              s"candidates: ${rest.mkString(", ")}")
-          rest.head
-        })
         import spark.implicits._
-        // streamed member-at-a-time (Export.tarMembers): per-task
-        // memory is one member, not one shard, and no 2 GB file cap
-        Export.tarMembers(spark, fresh.map(_._1))
-          .map { case (_, n, d) =>
-            (n.replaceAll("\\.[^.]*$", ""), new String(d, "UTF-8"))
-          }
-          .toDF(idName, textName)
+        formatOptions.get("members") match {
+          case Some(spec) =>
+            val pairs = spec.split(",").toSeq.map(_.trim).map { e =>
+              val i = e.indexOf(':')
+              require(i > 0 && i < e.length - 1,
+                s"FORMAT_OPTIONS('members') entries are '<ext>:<col>'," +
+                  s" got '$e'")
+              (e.take(i).trim, e.drop(i + 1).trim)
+            }
+            require(pairs.map(_._1).distinct.length == pairs.length,
+              s"duplicate extensions in FORMAT_OPTIONS('members'): $spec")
+            pairs.foreach { case (_, c) =>
+              require(m.schema.fieldNames.exists(res(_, c)),
+                s"FORMAT_OPTIONS('members') names column `$c` which " +
+                  s"$dir does not have")
+              require(!res(c, idName),
+                s"FORMAT_OPTIONS('members') cannot target the index " +
+                  s"column `$idName` (stems fill it)")
+            }
+            val members = Export.tarMembers(spark, fresh.map(_._1))
+              .map { case (_, n, d) =>
+                val dot = n.lastIndexOf('.')
+                if (dot < 0) (n, "", d) else (n.take(dot), n.drop(dot + 1), d)
+              }
+              .toDF("__stem", "__ext", "__val")
+            members.groupBy(col("__stem"))
+              .agg(
+                org.apache.spark.sql.functions.first(
+                  org.apache.spark.sql.functions.when(
+                    col("__ext") === pairs.head._1, col("__val")),
+                  ignoreNulls = true).as(pairs.head._2),
+                pairs.tail.map { case (ext, c) =>
+                  org.apache.spark.sql.functions.first(
+                    org.apache.spark.sql.functions.when(
+                      col("__ext") === ext, col("__val")),
+                    ignoreNulls = true).as(c)
+                }: _*)
+              .withColumnRenamed("__stem", idName)
+          case None =>
+            val textName = formatOptions.getOrElse("text", {
+              val rest = m.schema.fieldNames.filterNot(res(_, idName))
+              require(rest.length == 1,
+                s"COPY INTO ... FILEFORMAT = TAR needs the text " +
+                  s"column named explicitly " +
+                  s"(FORMAT_OPTIONS('text'='<col>') or " +
+                  s"FORMAT_OPTIONS('members'='<ext>:<col>,...')) " +
+                  s"when the table has more than two columns; " +
+                  s"candidates: ${rest.mkString(", ")}")
+              rest.head
+            })
+            // streamed member-at-a-time (Export.tarMembers): per-task
+            // memory is one member, not one shard, no 2 GB file cap
+            Export.tarMembers(spark, fresh.map(_._1))
+              .map { case (_, n, d) =>
+                (n.replaceAll("\\.[^.]*$", ""), new String(d, "UTF-8"))
+              }
+              .toDF(idName, textName)
+        }
       case _ =>
         reader.schema(m.schema).format(fmt).load(fresh.map(_._1): _*)
     }

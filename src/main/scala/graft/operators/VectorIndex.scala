@@ -149,7 +149,16 @@ object VectorIndex {
     * far as the corpus distribution drifts from the trained
     * centroids — rebuild when it does. Caller contract: `newVectors`
     * ids are not already in the index (the index does not dedup).
-    * Passing `corpusDir` re-records the corpus content identity. */
+    * Passing `corpusDir` re-records the corpus content identity.
+    *
+    * `autoCompactOverlap = Some(n)`: each added batch lands files
+    * whose CELL ranges overlap the whole index, so nprobe file
+    * pruning degrades monotonically on a continuously growing index;
+    * with the knob set, an add that leaves `layout_max_overlap > n`
+    * is followed by [[compact]] (results pinned unchanged — layout
+    * maintenance only), the same closed loop as the MinHash sink's
+    * `autoReclusterOverlap`. The health check is a driver-side
+    * sidecar sweep: zero jobs, safe per batch. */
   def addVectors(
       spark: SparkSession,
       newVectors: DataFrame,
@@ -157,7 +166,10 @@ object VectorIndex {
       vecCol: String,
       dir: String,
       files: Option[Int] = None,
-      corpusDir: Option[String] = None): Meta = {
+      corpusDir: Option[String] = None,
+      autoCompactOverlap: Option[Int] = None): Meta = {
+    autoCompactOverlap.foreach(n => require(n >= 1,
+      s"autoCompactOverlap must be >= 1, got $n"))
     val meta = load(spark, dir)
     val assigned = assign(newVectors, idCol, vecCol, meta.centroids,
       meta.codebooks)
@@ -169,6 +181,12 @@ object VectorIndex {
     val updated = meta.copy(corpusDir = dirOpt,
       corpusHash = dirOpt.map(corpusFingerprint(spark, _)))
     writeIndexMeta(spark, dir, updated)
+    autoCompactOverlap.foreach { bound =>
+      if (Maintenance.layoutHealth(spark, dir).maxOverlap > bound) {
+        compact(spark, dir)
+        ()
+      }
+    }
     updated
   }
 

@@ -180,17 +180,26 @@ object GraftSqlParser {
           .stripSuffix("`")).filter(_.nonEmpty).toSeq
         tbl(a, b, c).map(GraftConvertCommand(_, cs))
       case CopyInto(a, b, c, src, fmt, pattern, opts, force) =>
-        // FORMAT_OPTIONS('k'='v', ...) — quoted pairs only
+        // FORMAT_OPTIONS('k'='v', ...) — quoted pairs consumed left
+        // to right (NOT comma-split: a quoted VALUE may itself hold
+        // commas, e.g. 'members'='txt:text,json:meta')
         val parsed = Option(opts).map(_.trim).filter(_.nonEmpty)
-          .map(_.split(",").map { kv =>
-            val m = """\s*'([^']*)'\s*=\s*'([^']*)'\s*""".r
-            kv match {
-              case m(k, v) => k -> v
-              case other => throw new IllegalArgumentException(
-                s"FORMAT_OPTIONS entries are 'key'='value' pairs; " +
-                  s"got '$other'")
+          .map { o =>
+            val pair = """\s*'([^']*)'\s*=\s*'([^']*)'\s*(?:,|$)""".r
+            var idx = 0
+            val out = Map.newBuilder[String, String]
+            while (idx < o.length) {
+              pair.findPrefixMatchOf(o.subSequence(idx, o.length)) match {
+                case Some(p) =>
+                  out += (p.group(1) -> p.group(2))
+                  idx += p.end
+                case None => throw new IllegalArgumentException(
+                  s"FORMAT_OPTIONS entries are 'key'='value' pairs; " +
+                    s"got '${o.substring(idx)}'")
+              }
             }
-          }.toMap).getOrElse(Map.empty[String, String])
+            out.result()
+          }.getOrElse(Map.empty[String, String])
         tbl(a, b, c).map(GraftCopyIntoCommand(_, src, fmt,
           Option(pattern).getOrElse("*"), parsed, force != null))
       case Analyze(a, b, c, kind, fpp, all, cols) =>

@@ -179,6 +179,56 @@ class CopyIntoSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("missing"), e2.getMessage)
   }
 
+  test("FILEFORMAT = TAR with FORMAT_OPTIONS('members') reassembles " +
+      "multi-member samples by stem into a wide table; binary columns " +
+      "roundtrip raw") {
+    import spark.implicits._
+    val root = tempDir("copyinto-tarm")
+    val table = root + "/t"
+    val landing = root + "/landing"
+    val docs = (0L until 40L).map(i =>
+      (i, s"body $i", s"""{"n":$i}""", Array[Byte](i.toByte, -1)))
+      .toDF("doc_id", "text", "meta", "payload")
+    PDataset.fromDataFrame(docs.filter(col("doc_id") < 5), Seq("doc_id"))
+      .reindex(Seq("doc_id")).writeParquet(table)
+    graft.operators.Export.writeTarShards(
+      docs.filter(col("doc_id") >= 5), "doc_id",
+      Seq("text" -> "txt", "meta" -> "json", "payload" -> "bin"),
+      landing, numShards = 3, seed = "e1")
+
+    val r1 = CopyInto.copyInto(spark, table, landing, "tar",
+      formatOptions =
+        Map("members" -> "txt:text, json:meta, bin:payload"))
+    assert(r1.filesLoaded == 3 && r1.rowsLoaded == 35, r1.toString)
+    val r2 = CopyInto.copyInto(spark, table, landing, "tar",
+      formatOptions =
+        Map("members" -> "txt:text, json:meta, bin:payload"))
+    assert(r2.filesLoaded == 0, "re-run must be exactly-once")
+    val got = spark.read.format("graft").load(table)
+      .as[(Long, String, String, Array[Byte])].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4.toSeq))).toMap
+    val want = docs.as[(Long, String, String, Array[Byte])].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4.toSeq))).toMap
+    assert(got == want)
+
+    // malformed specs refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      CopyInto.copyInto(spark, table, landing, "tar",
+        formatOptions = Map("members" -> "txt:text,oops"), force = true)
+    }
+    assert(e.getMessage.contains("<ext>:<col>"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      CopyInto.copyInto(spark, table, landing, "tar",
+        formatOptions = Map("members" -> "txt:nosuch"), force = true)
+    }
+    assert(e2.getMessage.contains("nosuch"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      CopyInto.copyInto(spark, table, landing, "tar",
+        formatOptions = Map("members" -> "txt:doc_id"), force = true)
+    }
+    assert(e3.getMessage.contains("index column"), e3.getMessage)
+  }
+
   test("CONVERT TO GRAFT adopts a bare parquet directory in place; " +
       "re-converting is a no-op; COPY INTO then applies") {
     val root = tempDir("convert")

@@ -179,6 +179,33 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(VectorIndex.load(spark, dir).nlist == 16)
   }
 
+  test("addVectors autoCompactOverlap keeps the layout disjoint across " +
+      "a sequence of adds; query results match the never-compacted " +
+      "reference") {
+    def grow(dir: String, auto: Option[Int]): Unit = {
+      VectorIndex.build(spark, emb.filter(col("vec_id") < 300),
+        "vec_id", "embedding", dir, dim = 64, nlist = 16)
+      VectorIndex.addVectors(spark,
+        emb.filter(col("vec_id") >= 300 && col("vec_id") < 400),
+        "vec_id", "embedding", dir, autoCompactOverlap = auto)
+      VectorIndex.addVectors(spark, emb.filter(col("vec_id") >= 400),
+        "vec_id", "embedding", dir, autoCompactOverlap = auto)
+    }
+    val ref = tempDir("vecidx-auto-ref") + "/idx"
+    grow(ref, None)
+    assert(!graft.core.PDataset.scanParquet(spark, ref).isDisjoint,
+      "un-maintained adds must overlap for the knob to mean anything")
+    val dir = tempDir("vecidx-auto") + "/idx"
+    grow(dir, Some(1))
+    assert(graft.core.PDataset.scanParquet(spark, dir).isDisjoint,
+      "auto-compaction must restore disjoint cell ranges")
+    def hits(d: String) = VectorIndex.topK(spark, queries, d, "vec_id",
+      "embedding", k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits(dir) == hits(ref), "compaction changed query results")
+    assert(VectorIndex.load(spark, dir).nlist == 16)
+  }
+
   test("removeVectors hides ids from every query path immediately — " +
       "zero retraining, zero rewrite, addVectors still works after") {
     val dir = tempDir("vecidx-remove") + "/idx"
