@@ -705,6 +705,43 @@ object SparkEntry {
         .select("doc_id", "text").orderBy("doc_id")
     }),
 
+    // Continuous ANN ingestion: an embedding stream grows the
+    // persisted vector index behind a near-dup gate — the vector twin
+    // of q_stream_ingest. Planted exact copies of indexed vectors
+    // drop (cosine 1.0 ≥ 0.9999; nprobe = nlist makes the gate
+    // exhaustive), organic vectors all survive (no sf0.01 pair
+    // reaches even 0.9 — pinned by q_dedup_embedding), exactly-once
+    // via the txn-stamped append.
+    "q_vector_ingest" -> ((s, d) => {
+      val root = mutableCopy("vecingest", d) { out =>
+        graft.operators.VectorIndex.build(s,
+          s.read.parquet(T(d, "embeddings"))
+            .filter(col("vec_id") < 400).select("vec_id", "embedding"),
+          "vec_id", "embedding", out + "/idx", dim = 64, nlist = 8)
+        ()
+      }
+      val src = fixture("vecingestbatch", d) { out =>
+        val e = s.read.parquet(T(d, "embeddings"))
+        e.filter(col("vec_id") >= 400 && col("vec_id") < 800)
+          .select("vec_id", "embedding")
+          .unionByName(e.filter(col("vec_id") < 10)
+            .select((col("vec_id") + 100000L).as("vec_id"),
+              col("embedding")))
+          .coalesce(1).write.parquet(out)
+      }
+      val stream = s.readStream.schema(StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+        .parquet(src)
+      val q = graft.streaming.VectorStreams.vectorSink(stream,
+        "vec_id", "embedding", root + "/idx",
+        tmp("q-vector-ingest-ck"), threshold = 0.9999, nprobe = 8)
+      try q.processAllAvailable()
+      finally q.stop()
+      s.read.format("graft").load(root + "/idx")
+        .select(col("id").as("vec_id")).orderBy("vec_id")
+    }),
+
     // Incrementally-maintained aggregate view: build once, mutate the
     // source with retained ops, refresh off the change feed (O(view +
     // delta), the source is never rescanned), read the view. The
@@ -4183,6 +4220,12 @@ object SparkEntry {
           WHERE doc_id % 50 = 0
             AND doc_id NOT IN (SELECT doc_id FROM losers))
         ORDER BY doc_id""",
+      // ANN-gated vector ingestion: every planted exact copy drops
+      // (its original is indexed — cosine 1.0), every organic vector
+      // survives (no sf pair reaches 0.9999; q_dedup_embedding pins
+      // zero pairs even at 0.9 over this id range)
+      "q_vector_ingest" ->
+        "SELECT vec_id FROM embeddings WHERE vec_id < 800 ORDER BY vec_id",
       // the streamed single-batch ingestion: corpus ∪ the batch
       // survivors under the same loser policy as q_dedup_batch
       "q_stream_ingest" -> s"""

@@ -167,16 +167,24 @@ object VectorIndex {
       dir: String,
       files: Option[Int] = None,
       corpusDir: Option[String] = None,
-      autoCompactOverlap: Option[Int] = None): Meta = {
+      autoCompactOverlap: Option[Int] = None,
+      // exactly-once for streaming ingestion: an (appId, version) the
+      // index's txn ledger already records makes the append a no-op
+      // (the same Delta-style contract as appendToMinhashIndex)
+      txn: Option[(String, Long)] = None): Meta = {
     autoCompactOverlap.foreach(n => require(n >= 1,
       s"autoCompactOverlap must be >= 1, got $n"))
     val meta = load(spark, dir)
     val assigned = assign(newVectors, idCol, vecCol, meta.centroids,
       meta.codebooks)
     val nFiles = files.getOrElse(math.max(1, meta.nlist / 8))
-    assigned.write.format("graft").mode("append")
+    val writer = assigned.write.format("graft").mode("append")
       .option("index", "cell").option("files", nFiles.toString)
-      .save(dir)
+    txn match {
+      case Some((app, v)) => writer.option("txnAppId", app)
+        .option("txnVersion", v.toString).save(dir)
+      case None => writer.save(dir)
+    }
     val dirOpt = corpusDir.orElse(meta.corpusDir)
     val updated = meta.copy(corpusDir = dirOpt,
       corpusHash = dirOpt.map(corpusFingerprint(spark, _)))
@@ -211,6 +219,56 @@ object VectorIndex {
     require(ids.nonEmpty, "removeVectors needs at least one id")
     DeletionVectors.deleteWhere(spark, dir,
       col("id").isInCollection(ids))
+  }
+
+  /** The full ingestion decision for a batch of NEW vectors against a
+    * persisted index — the vector analogue of [[Dedup.dedupBatch]]:
+    * batch vectors whose cosine to an INDEXED vector reaches
+    * `threshold` drop (the indexed copy wins), of batch-internal
+    * near-dup pairs the smaller id wins, and the SURVIVORS — exactly
+    * what should enter the index — return, ready for [[addVectors]].
+    *
+    * Batch-vs-index candidates come from the nprobe cell equi-join
+    * ([[topK]]'s scan shape: shuffle ∝ batch + probed cells, file
+    * pruning on the cell column). `nprobe = nlist` makes the gate
+    * EXACT — every indexed vector is a candidate — at the cost of
+    * scanning all cells' files; smaller nprobe trades recall for
+    * pruning exactly as in [[topK]] (an exact duplicate always lands
+    * in its original's cell, so nprobe >= 1 never misses identical
+    * copies). Batch-internal pairs ride
+    * [[Dedup.embeddingNearDupPairs]]' hyperplane LSH (identical
+    * vectors always collide; near-identical miss with p < 4e-4).
+    * Cosines round to 4 decimals before the threshold test — the
+    * engine-portable convention every embedding oracle rederives. */
+  def dedupVectorBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      threshold: Double = 0.99,
+      nprobe: Int = 4): DataFrame = {
+    val meta = load(spark, dir)
+    val (q, cells) = probed(batch, idCol, vecCol, meta, nprobe)
+    val c = spark.read.format("graft").load(dir)
+      .filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
+      .select(col("cell"), col("id").as("neighbor_id"),
+        col("vec").as("cv"), col("norm").as("cn"))
+    val vsOld = q.join(c, Seq("cell"))
+      // a replayed micro-batch sees its own already-appended copies:
+      // same id -> not a duplicate of itself
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(round(Similarity.cosine(
+        col("__v0"), col("cv"), col("__qn"), col("cn")), 4)
+        >= threshold)
+      .select(col("query_id").as("__loser"))
+    val vsNew = Dedup.embeddingNearDupPairs(
+      batch, idCol, vecCol, threshold, meta.dim)
+      .select(col("idB").as("__loser")) // idA < idB: the smaller wins
+    val losers = vsOld.union(vsNew).distinct()
+    // unhinted anti join: the loser set is batch-bounded, AQE's size
+    // check broadcasts it when genuinely small (dedupBatch discipline)
+    batch.join(losers, batch(idCol) === col("__loser"), "left_anti")
   }
 
   /** Re-cluster the index table. Every [[addVectors]] batch lands

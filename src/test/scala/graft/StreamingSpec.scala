@@ -238,6 +238,74 @@ class StreamingSpec extends AnyFunSuite {
     assert(corpusRows() == got, "replayed batches must be txn no-ops")
   }
 
+  test("vector ingestion sink: micro-batches dedup against the " +
+      "persisted ANN index sequentially, and a checkpoint-less replay " +
+      "is a txn no-op") {
+    import graft.operators.VectorIndex
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def seedIndex(dir: String): Unit =
+      VectorIndex.build(spark, emb.filter(col("vec_id") < 200),
+        "vec_id", "embedding", dir, dim = 64, nlist = 8)
+    // batch 1: fresh vectors + exact copies of 5 INDEXED vectors
+    // (must drop); batch 2: fresh + exact copies of 5 BATCH-1 vectors
+    // (drop ONLY if batch 1's survivors really entered the index)
+    val b1 = emb.filter(col("vec_id") >= 200 && col("vec_id") < 300)
+      .unionByName(emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+    val b2 = emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+      .unionByName(emb.filter(col("vec_id") >= 200 && col("vec_id") < 205)
+        .select((col("vec_id") + 200000L).as("vec_id"), col("embedding")))
+
+    // reference: the batch operator loop (exact gate: nprobe = nlist)
+    val refDir = Files.createTempDirectory("graft-vecsink-ref").toString + "/idx"
+    seedIndex(refDir)
+    Seq(b1, b2).foreach { b =>
+      val surv = VectorIndex.dedupVectorBatch(spark, b, "vec_id",
+        "embedding", refDir, threshold = 0.9999, nprobe = 8).persist()
+      VectorIndex.addVectors(spark, surv, "vec_id", "embedding", refDir)
+      surv.unpersist()
+    }
+    def ids(dir: String) = spark.read.format("graft").load(dir)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val expected = ids(refDir)
+    assert(!expected.exists(_ >= 100000L),
+      "planted copies must drop (indexed/batch-1 originals win)")
+    assert(expected.count(v => v >= 200L && v < 400L) == 200,
+      "fresh vectors must all survive")
+
+    val dir = Files.createTempDirectory("graft-vecsink").toString + "/idx"
+    seedIndex(dir)
+    val srcDir = Files.createTempDirectory("graft-vecsink-src").toString
+    val ck = Files.createTempDirectory("graft-vecsink-ck").toString
+    def start() = graft.streaming.VectorStreams.vectorSink(
+      spark.readStream.schema(schema).parquet(srcDir),
+      "vec_id", "embedding", dir, ck, threshold = 0.9999, nprobe = 8,
+      appId = Some("vecsink-spec"))
+    b1.coalesce(1).write.mode("append").parquet(srcDir)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    b2.coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(ids(dir) == expected, "streamed index != batch-operator index")
+
+    // checkpoint-less replay, same appId: both batches re-deliver but
+    // the txn ledger already records their versions — a no-op
+    val ck2 = Files.createTempDirectory("graft-vecsink-ck2").toString
+    val q3 = graft.streaming.VectorStreams.vectorSink(
+      spark.readStream.schema(schema).parquet(srcDir),
+      "vec_id", "embedding", dir, ck2, threshold = 0.9999, nprobe = 8,
+      appId = Some("vecsink-spec"))
+    try q3.processAllAvailable() finally q3.stop()
+    assert(ids(dir) == expected, "replayed batches must be txn no-ops")
+  }
+
   test("dedupSink autoRecluster: overlapping batch appends trigger " +
       "index compaction inside the sink; corpus and gate results " +
       "match the non-compacting reference") {
