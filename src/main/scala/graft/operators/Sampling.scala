@@ -83,7 +83,10 @@ object Sampling {
     val nmin = counts.agg(min(col("__n")).as("__nmin"))
     val ratio = col("__nmin").cast("double") / col("__n").cast("double")
     val frac = if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha)
-    df.join(broadcast(counts), sourceCol)
+    // counts is one row per DISTINCT source — unhinted so AQE's size
+    // check governs (a high-cardinality source column must not OOM a
+    // forced broadcast); nmin is ONE row, bounded by construction
+    df.join(counts, sourceCol)
       .crossJoin(broadcast(nmin))
       .filter(hashFraction(col(idCol)) < frac)
       .drop("__n", "__nmin")
@@ -176,8 +179,8 @@ object Sampling {
     * pure function of the ids — reproducible across runs, engines and
     * partitionings.
     *
-    * Scale shape: one small per-source total aggregate (broadcast
-    * back), then
+    * Scale shape: one small per-source total aggregate (joined back —
+    * AQE broadcasts it whenever it fits), then
     *   - sources whose total fits the budget pass through WHOLE with
     *     no shuffle at all (the common long tail);
     *   - over-budget sources first drop to a deterministic
@@ -226,7 +229,11 @@ object Sampling {
         lit(budget))
     val totals = df.groupBy(col(sourceCol))
       .agg(sum(col(weightCol)).cast("long").as("__tot"))
-    val joined = df.join(broadcast(totals), Seq(sourceCol))
+    // unhinted: one row per DISTINCT source — tiny for a mixture spec,
+    // but a caller passing a high-cardinality column (domain as
+    // source) must not OOM on a forced broadcast; AQE's runtime size
+    // check picks the broadcast whenever it genuinely fits
+    val joined = df.join(totals, Seq(sourceCol))
       .withColumn("__budget", budgetOf)
     val under = joined.filter(col("__tot") <= col("__budget"))
       .drop("__tot", "__budget")
