@@ -2765,6 +2765,17 @@ object SparkEntry {
         .withColumn("keep", col("reason") === "ok")
         .orderBy("doc_id")),
 
+    // CCNet-style LM quality signal: a char-trigram unigram model
+    // trained on the corpus itself (top-4096 gram hashes, count-desc/
+    // hash-asc truncation — deterministic), every document scored by
+    // mean -log2 smoothed trigram probability. One aggregate to
+    // train, one explode+join+mean to score; the model is bounded
+    // (KenLM-binary style), so the scoring join broadcasts under AQE.
+    "q_lm_score" -> ((s, d) =>
+      graft.operators.LanguageModel.lmScoreSelf(
+        scan(s, d, "documents").toDF, "doc_id", "text", vocab = 4096)
+        .orderBy("doc_id")),
+
     // Gopher-style repetition gates: duplicate-line char fraction,
     // top-trigram share, repeated-trigram ratio — one kernel pass,
     // aliased once so the three extractions don't re-run it.
@@ -4307,6 +4318,32 @@ object SparkEntry {
         "SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_floor_met",
       "q_ann_index_add" ->
         "SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_floor_met",
+      // the trigram LM rederived end to end: same normalization,
+      // same 62-bit md5-prefix gram hashes, same deterministic
+      // top-4096 truncation, same add-one smoothing and log2 algebra
+      "q_lm_score" ->
+        """WITH d AS (
+             SELECT doc_id,
+                    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+             FROM documents),
+           g AS (
+             SELECT doc_id,
+                    unnest(list_transform(
+                      range(1, greatest(len(t) - 2, 1) + 1),
+                      i -> (('0x' || substr(md5(substr(t, CAST(i AS INT), 3)),
+                             1, 16))::UBIGINT >> 2))) AS gram
+             FROM d),
+           cnt AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+           model AS (
+             SELECT gram, c FROM cnt ORDER BY c DESC, gram LIMIT 4096),
+           dd AS (
+             SELECT CAST(sum(c) + count(*) + 1 AS DOUBLE) AS den
+             FROM model)
+           SELECT g.doc_id,
+                  round(log2((SELECT den FROM dd))
+                        - avg(log2(coalesce(m.c, 0) + 1)), 4) AS lm_score
+           FROM g LEFT JOIN model m USING (gram)
+           GROUP BY g.doc_id ORDER BY g.doc_id""",
       // first-match quality rules, each ANSI/RE2-rederivable
       "q_quality_filter" ->
         """WITH t AS (

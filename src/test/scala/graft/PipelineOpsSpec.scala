@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{TextFunctions, VectorExpressions}
-import graft.operators.{Chunking, Dedup, Events, Multimodal, Sampling, Similarity}
+import graft.operators.{Chunking, Dedup, Events, LanguageModel, Multimodal, Sampling, Similarity}
 
 /** Training-data pipeline operators: dedup family, similarity search,
   * text analysis, events, multimodal plumbing, vec_dot expression. */
@@ -190,6 +190,35 @@ class PipelineOpsSpec extends AnyFunSuite {
       sc.removeSparkListener(l)
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
     }
+  }
+
+  test("lmScore: corpus-like text scores low, gibberish scores high; " +
+      "every doc scores; deterministic across partitionings") {
+    val base = docs.select("doc_id", "text")
+    val scored = LanguageModel.lmScoreSelf(base, "doc_id", "text",
+      vocab = 2048)
+    assert(scored.count() == base.count(),
+      "one score row per input document")
+    assert(scored.filter(col("lm_score").isNull).count() == 0)
+
+    // the trained model separates corpus-like prose from gibberish
+    val model = LanguageModel.trainTrigramModel(base, "text", 2048)
+    assert(model.count() <= 2048)
+    val probe = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs on"),
+      (2L, "zqxj vvkw qqjx xjzp wqkv zzqv xqqw jzxv")).toDF(
+      "doc_id", "text")
+    val s = LanguageModel.lmScore(probe, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(2L) > s(1L),
+      s"gibberish must score above prose: $s")
+
+    // pure function of the corpus: partitioning-independent
+    val again = LanguageModel.lmScoreSelf(base.repartition(13),
+      "doc_id", "text", vocab = 2048)
+    val a = scored.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val b = again.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(a == b)
   }
 
   test("mixtureByTemperature flattens toward the smallest source") {
