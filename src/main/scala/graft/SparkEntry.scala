@@ -2765,6 +2765,20 @@ object SparkEntry {
         .withColumn("keep", col("reason") === "ok")
         .orderBy("doc_id")),
 
+    // DSIR data selection (arXiv:2302.03169): the 100 raw documents
+    // most like the English target slice, by hashed-trigram
+    // importance weights with deterministic (id-derived) Gumbel
+    // top-k — two bounded models, one gram pass over the raw corpus,
+    // a TakeOrdered top-k. The draw is a pure function of
+    // (corpus, ids), so DuckDB rederives the exact selected set.
+    "q_dsir_select" -> ((s, d) => {
+      val docs = scan(s, d, "documents").toDF
+      graft.operators.ImportanceSampling.dsirSelect(
+        docs, docs.filter(col("lang") === "en"), "doc_id", "text",
+        k = 100, vocab = 4096)
+        .orderBy("doc_id")
+    }),
+
     // CCNet-style LM quality signal: a char-trigram unigram model
     // trained on the corpus itself (top-4096 gram hashes, count-desc/
     // hash-asc truncation — deterministic), every document scored by
@@ -4318,6 +4332,49 @@ object SparkEntry {
         "SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_floor_met",
       "q_ann_index_add" ->
         "SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_floor_met",
+      // DSIR rederived end to end: both trigram models (target =
+      // English slice, raw = corpus), the per-doc log importance
+      // weight, the id-derived Gumbel key, the top-100 selection
+      "q_dsir_select" ->
+        """WITH d AS (
+             SELECT doc_id, lang,
+                    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+             FROM documents),
+           g AS (
+             SELECT doc_id, lang,
+                    unnest(list_transform(
+                      range(1, greatest(len(t) - 2, 1) + 1),
+                      i -> (('0x' || substr(md5(substr(t, CAST(i AS INT), 3)),
+                             1, 16))::UBIGINT >> 2))) AS gram
+             FROM d),
+           tmodel AS (
+             SELECT gram, count(*) AS c FROM g WHERE lang = 'en'
+             GROUP BY gram ORDER BY c DESC, gram LIMIT 4096),
+           rmodel AS (
+             SELECT gram, count(*) AS c FROM g
+             GROUP BY gram ORDER BY c DESC, gram LIMIT 4096),
+           dt AS (SELECT CAST(sum(c) + count(*) + 1 AS DOUBLE) AS den
+                  FROM tmodel),
+           dr AS (SELECT CAST(sum(c) + count(*) + 1 AS DOUBLE) AS den
+                  FROM rmodel),
+           w AS (
+             SELECT g.doc_id,
+                    sum(log2(coalesce(t.c, 0) + 1)
+                        - log2(coalesce(r.c, 0) + 1))
+                      + count(*) * (log2((SELECT den FROM dr))
+                                    - log2((SELECT den FROM dt))) AS logw
+             FROM g LEFT JOIN tmodel t USING (gram)
+                    LEFT JOIN rmodel r USING (gram)
+             GROUP BY g.doc_id),
+           sel AS (
+             SELECT doc_id, logw
+             FROM w
+             ORDER BY logw - ln(-ln(
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                + 0.5) / 4294967296.0)) DESC, doc_id
+             LIMIT 100)
+           SELECT doc_id, round(logw, 4) AS importance
+           FROM sel ORDER BY doc_id""",
       // the trigram LM rederived end to end: same normalization,
       // same 62-bit md5-prefix gram hashes, same deterministic
       // top-4096 truncation, same add-one smoothing and log2 algebra

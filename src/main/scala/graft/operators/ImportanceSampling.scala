@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{SketchExpressions, TextFunctions}
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+  * arXiv:2302.03169): pick, from a huge RAW corpus, the documents
+  * whose hashed n-gram feature distribution looks like a small TARGET
+  * corpus (the domain you want more of), by importance resampling
+  * with Gumbel top-k. The engine-portable distributed analogue built
+  * on [[LanguageModel]]'s bounded trigram models:
+  *
+  *   - `log w(doc) = Σ_t [log2 p_target(t) − log2 p_raw(t)]` over the
+  *     document's trigrams (the paper's bag-of-hashed-ngrams
+  *     importance weight), both models add-one smoothed and truncated
+  *     to `vocab` grams with the deterministic count-desc/hash-asc
+  *     tie-break;
+  *   - resampling key = `log w + Gumbel(u)` with
+  *     `u = (md5₃₂(id) + 0.5) / 2³²` ∈ (0,1) strictly — the Gumbel
+  *     top-k trick samples WITHOUT replacement ∝ w, and deriving `u`
+  *     from the id makes the draw a pure function of (corpus, ids):
+  *     reproducible across runs, engines and partitionings;
+  *   - selection = top-`k` keys.
+  *
+  * Scale shape: two bounded-model training aggregates (one over the
+  * target — small by definition — one over the raw corpus), then ONE
+  * pass over the raw corpus's grams with two AQE-sized model joins
+  * and a per-document sum, and a TakeOrdered top-k (per-partition
+  * heaps, no global sort materialization). Nothing scales with the
+  * corpus except the unavoidable gram scan.
+  */
+object ImportanceSampling {
+
+  /** Select the `k` raw documents most target-like under DSIR.
+    * Returns (idCol, importance) — `importance` is the rounded
+    * log-weight, the selection key before Gumbel noise. */
+  def dsirSelect(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      vocab: Int = 1 << 16): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val pt = LanguageModel.trainTrigramModel(target, textCol, vocab)
+      .withColumnRenamed("cnt", "__ct")
+    val pr = LanguageModel.trainTrigramModel(raw, textCol, vocab)
+      .withColumnRenamed("cnt", "__cr")
+    def denom(m: DataFrame, c: String): Double = {
+      val r = m.agg(coalesce(sum(col(c)), lit(0L)).as("t"),
+        count(lit(1)).as("v")).collect()(0)
+      (r.getLong(0) + r.getLong(1) + 1).toDouble
+    }
+    val dT = denom(pt, "__ct")
+    val dR = denom(pr, "__cr")
+    // per-gram contribution: log2((ct+1)/dT) − log2((cr+1)/dR)
+    //   = log2(ct+1) − log2(cr+1) + [log2(dR) − log2(dT)]
+    // the constant rides per-gram (n × const overall), exactly as in
+    // the paper's sum over the document's features
+    val const = math.log(dR) / math.log(2.0) -
+      math.log(dT) / math.log(2.0)
+    val grams = raw.select(col(idCol),
+      explode(SketchExpressions.charGramHash64(
+        TextFunctions.normText(col(textCol)), 3, shift = 2)).as("gram"))
+    val logw = grams
+      .join(pt, Seq("gram"), "left")
+      .join(pr, Seq("gram"), "left")
+      .groupBy(idCol)
+      .agg((sum(log2(coalesce(col("__ct"), lit(0L)) + lit(1L)) -
+          log2(coalesce(col("__cr"), lit(0L)) + lit(1L))) +
+        count(lit(1)) * lit(const)).as("__logw"))
+    // Gumbel(u) with u strictly inside (0,1): the +0.5 keeps both
+    // log endpoints finite in every engine
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    logw
+      .withColumn("__key", col("__logw") - log(-log(u)))
+      .orderBy(col("__key").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("__logw"), 4).as("importance"))
+  }
+}

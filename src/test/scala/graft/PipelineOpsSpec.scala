@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{TextFunctions, VectorExpressions}
-import graft.operators.{Chunking, Dedup, Events, LanguageModel, Multimodal, Sampling, Similarity}
+import graft.operators.{Chunking, Dedup, Events, ImportanceSampling, LanguageModel, Multimodal, Sampling, Similarity}
 
 /** Training-data pipeline operators: dedup family, similarity search,
   * text analysis, events, multimodal plumbing, vec_dot expression. */
@@ -219,6 +219,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     val a = scored.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
     val b = again.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(a == b)
+  }
+
+  test("dsirSelect enriches the target domain and is a pure function " +
+      "of (corpus, ids)") {
+    val raw = docs.select("doc_id", "text", "lang")
+    val target = raw.filter(col("lang") === "en")
+    val sel = ImportanceSampling.dsirSelect(raw, target,
+      "doc_id", "text", k = 100, vocab = 2048)
+    val selIds = sel.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(selIds.size == 100)
+    // the selection must be strongly enriched in the target domain:
+    // non-English documents' trigrams miss the target model entirely,
+    // so their importance weights sit far below any English doc's
+    val enAll = target.count().toDouble / raw.count()
+    val enSel = raw.filter(col("lang") === "en")
+      .filter(col("doc_id").isInCollection(selIds.toSeq))
+      .count().toDouble / selIds.size
+    assert(enSel > enAll + 0.2,
+      f"selected en fraction $enSel%.2f vs corpus $enAll%.2f")
+    // deterministic: same ids on a different partitioning
+    val again = ImportanceSampling.dsirSelect(raw.repartition(13),
+      target, "doc_id", "text", k = 100, vocab = 2048)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == selIds)
+    // importance is the rounded log-weight, not the noised key:
+    // every selected doc carries a finite value
+    assert(sel.filter(col("importance").isNull).count() == 0)
   }
 
   test("mixtureByTemperature flattens toward the smallest source") {
