@@ -782,4 +782,28 @@ class PlanSpec extends AnyFunSuite {
     assert("""\*\(\d+\) Project \[vec_dot""".r.findFirstIn(plan).isDefined,
       plan)
   }
+
+  test("LM scoring joins the bounded model AQE-sized (broadcast when " +
+      "small, never a cartesian); DSIR's top-k is a TakeOrdered, not " +
+      "a global sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val model = graft.operators.LanguageModel
+      .trainTrigramModel(docs, "text", vocab = 1024)
+    val scored = graft.operators.LanguageModel
+      .lmScore(docs, "doc_id", "text", model)
+    scored.collect()
+    val p1 = scored.queryExecution.executedPlan.toString
+    assert(!p1.contains("CartesianProduct") &&
+      !p1.contains("BroadcastNestedLoopJoin"), p1)
+    // the bounded model (<= vocab aggregated rows) broadcasts under
+    // AQE's runtime size check — no corpus-side shuffle for the join
+    assert(p1.contains("BroadcastHashJoin"), p1)
+
+    val sel = graft.operators.ImportanceSampling.dsirSelect(
+      docs, docs.filter(col("lang") === "en"), "doc_id", "text",
+      k = 50, vocab = 1024)
+    val p2 = sel.queryExecution.executedPlan.toString
+    // top-k plans per-partition heaps + one merge, not a global sort
+    assert(p2.contains("TakeOrderedAndProject"), p2)
+  }
 }
