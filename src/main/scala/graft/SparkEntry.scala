@@ -2660,6 +2660,17 @@ object SparkEntry {
         .select("doc_id", "n_chars").orderBy("doc_id")
     }),
 
+    // Quality-keeper dedup: per near-dup cluster keep the HIGHEST-
+    // quality member (n_chars here; ties break on the smaller id)
+    // instead of the smallest id — "keep the best copy". The ranking
+    // window runs over cluster members only, never the whole corpus.
+    "q_dedup_quality" -> ((s, d) => {
+      val docs = scan(s, d, "documents").toDF
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      Dedup.dedupCorpusByQuality(docs, "doc_id", "n_chars", pairs)
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    }),
+
     // Benchmark decontamination: corpus docs sharing any word 4-gram
     // with the held-out set (doc_id % 97 == 0 plays the eval set).
     // The benchmark's distinct-shingle set broadcasts; the corpus is
@@ -4286,6 +4297,17 @@ object SparkEntry {
         SELECT doc_id, n_chars FROM documents
         WHERE doc_id NOT IN
           (SELECT doc_id FROM lab WHERE doc_id != cluster_id)
+        ORDER BY doc_id""",
+      // the same clusters, quality keeper: per cluster the max
+      // n_chars wins (ties -> smaller id), everyone else drops
+      "q_dedup_quality" -> s"""$clusterLabCte,
+        ranked AS (
+          SELECT l.doc_id,
+                 row_number() OVER (PARTITION BY l.cluster_id
+                   ORDER BY d.n_chars DESC, l.doc_id) AS rn
+          FROM lab l JOIN documents d USING (doc_id))
+        SELECT doc_id, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
         ORDER BY doc_id""",
       // Full SimHash rederivation: md5-prefix token hash (bit-identical
       // to Spark's Dedup.md5Hash64), per-bit majority vote, 64-bit

@@ -725,6 +725,37 @@ object Dedup {
     docs.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** [[dedupCorpus]] with a QUALITY keeper: per near-dup cluster keep
+    * the member with the HIGHEST `qualityCol` (ties break on the
+    * smaller id) instead of the smallest id — the "keep the best
+    * copy" policy when duplicates differ in extraction quality
+    * (truncation, boilerplate, encoding damage); any score works —
+    * [[graft.functions.TextFunctions.qualityScore]],
+    * [[LanguageModel.lmScore]] (negated), plain length. The ranking
+    * window runs over CLUSTER MEMBERS only — the corpus's duplicated
+    * fraction, bounded by the pair rate, never the whole table — and
+    * the final drop anti-join is unhinted, so AQE broadcasts the drop
+    * set exactly when it fits. */
+  def dedupCorpusByQuality(
+      docs: DataFrame,
+      idCol: String,
+      qualityCol: String,
+      pairs: DataFrame,
+      idACol: String = "idA",
+      idBCol: String = "idB"): DataFrame = {
+    val clusters = nearDupClusters(pairs, idACol, idBCol)
+      .withColumnRenamed("doc_id", "__member")
+    val members = docs
+      .join(clusters, docs(idCol) === col("__member"))
+      .select(col(idCol), col("cluster_id"), col(qualityCol))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col(qualityCol).desc, col(idCol))
+    val drop = members.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Benchmark decontamination: per corpus document, the number of
     * distinct word n-grams it shares with ANY benchmark/eval document
     * (only contaminated docs — hits > 0 — are returned). Standard

@@ -221,6 +221,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("dedupCorpusByQuality keeps the best-quality cluster member " +
+      "(not the smallest id); singletons untouched") {
+    val base = Seq(
+      (10L, "same text body here", 1L),
+      (11L, "same text body here", 5L),
+      (12L, "same text body here", 3L),
+      (20L, "a unique document", 9L)).toDF("doc_id", "text", "q")
+    val pairs = Seq((10L, 11L), (10L, 12L), (11L, 12L))
+      .toDF("idA", "idB")
+    val byQuality = Dedup.dedupCorpusByQuality(base, "doc_id", "q", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(byQuality == Set(11L, 20L), byQuality.toString)
+    // the min-id keeper would have chosen 10 — the policies differ
+    val byMinId = Dedup.dedupCorpus(base, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(byMinId == Set(10L, 20L), byMinId.toString)
+    // quality ties break on the smaller id
+    val tied = Dedup.dedupCorpusByQuality(
+      base.withColumn("q", lit(7L)), "doc_id", "q", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tied == Set(10L, 20L), tied.toString)
+  }
+
   test("dsirSelect enriches the target domain and is a pure function " +
       "of (corpus, ids)") {
     val raw = docs.select("doc_id", "text", "lang")
