@@ -4391,7 +4391,7 @@ object SparkEntry {
            sel AS (
              SELECT doc_id, logw
              FROM w
-             ORDER BY logw - ln(-ln(
+             ORDER BY logw * ln(2) - ln(-ln(
                (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
                 + 0.5) / 4294967296.0)) DESC, doc_id
              LIMIT 100)

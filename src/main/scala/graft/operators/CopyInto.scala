@@ -159,6 +159,10 @@ object CopyInto {
                 if (dot < 0) (n, "", d) else (n.take(dot), n.drop(dot + 1), d)
               }
               .toDF("__stem", "__ext", "__val")
+              // Only mapped extensions participate: a stem whose only
+              // members are unmapped (stray sidecars, extensionless
+              // READMEs) must not become a spurious all-NULL row
+              .filter(col("__ext").isin(pairs.map(_._1): _*))
             members.groupBy(col("__stem"))
               .agg(
                 org.apache.spark.sql.functions.first(

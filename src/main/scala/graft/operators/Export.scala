@@ -274,15 +274,38 @@ object Export {
         it.flatMap { pathStr =>
           val p = new org.apache.hadoop.fs.Path(pathStr)
           val in = p.getFileSystem(conf.value).open(p)
-          // closed at task end: a limit() may abandon the iterator
-          // mid-archive, so per-file eager close is not enough
+          // task-completion close is the backstop for a limit() that
+          // abandons the iterator mid-archive; the eager close below
+          // releases the FD as soon as the archive is exhausted, so a
+          // task over many tars holds ONE open stream, not one per
+          // processed file
           Option(org.apache.spark.TaskContext.get).foreach(
-            _.addTaskCompletionListener[Unit](_ => in.close()))
-          parseTarStream(new java.io.BufferedInputStream(in, 1 << 16))
+            _.addTaskCompletionListener[Unit](_ => closeQuietly(in)))
+          closeOnExhaust(
+            parseTarStream(new java.io.BufferedInputStream(in, 1 << 16)),
+            in)
             .map { case (name, data) => (pathStr, name, data) }
         }
       }
   }
+
+  private def closeQuietly(c: java.io.Closeable): Unit =
+    try c.close() catch { case _: java.io.IOException => }
+
+  /** Wrap `it` so `in` closes the moment the iterator reports
+    * exhaustion (idempotent -- the task-completion backstop may close
+    * again for iterators abandoned early). */
+  private[graft] def closeOnExhaust[A](
+      it: Iterator[A], in: java.io.Closeable): Iterator[A] =
+    new scala.collection.AbstractIterator[A] {
+      private var closed = false
+      def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && !closed) { closed = true; closeQuietly(in) }
+        h
+      }
+      def next(): A = it.next()
+    }
 
   private def rawMembers(
       spark: SparkSession,
@@ -355,6 +378,12 @@ object Export {
       var sp = p
       while (sp < data.length && data(sp) != ' ') sp += 1
       val len = new String(data, p, sp - p, "UTF-8").trim.toInt
+      // A zero/negative length (or one past the buffer) never advances
+      // p -- a malformed or adversarial record must fail loudly, not
+      // hang the task
+      require(len > 0 && p + len <= data.length,
+        s"malformed PAX record at offset $p: length $len " +
+          s"(extended-header data is ${data.length} bytes)")
       val body = new String(data, sp + 1, p + len - sp - 2, "UTF-8")
       val eq = body.indexOf('=')
       if (eq > 0) recs += ((body.take(eq), body.drop(eq + 1)))

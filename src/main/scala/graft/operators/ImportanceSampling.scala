@@ -17,7 +17,9 @@ import graft.functions.{SketchExpressions, TextFunctions}
   *     importance weight), both models add-one smoothed and truncated
   *     to `vocab` grams with the deterministic count-desc/hash-asc
   *     tie-break;
-  *   - resampling key = `log w + Gumbel(u)` with
+  *   - resampling key = `ln w + Gumbel(u)` (the base-2 log weight
+  *     scaled by ln 2 so weight and noise share the natural-log
+  *     base — the draw is then ∝ w exactly) with
   *     `u = (md5₃₂(id) + 0.5) / 2³²` ∈ (0,1) strictly — the Gumbel
   *     top-k trick samples WITHOUT replacement ∝ w, and deriving `u`
   *     from the id makes the draw a pure function of (corpus, ids):
@@ -75,8 +77,12 @@ object ImportanceSampling {
     // log endpoints finite in every engine
     val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("double") + lit(0.5)) / lit(4294967296.0)
+    // The Gumbel noise -ln(-ln u) is natural-log scale, so the weight
+    // must be too: __logw is base-2, scale by ln 2 before adding noise
+    // (otherwise the draw is ∝ w^(1/ln 2), not ∝ w).
     logw
-      .withColumn("__key", col("__logw") - log(-log(u)))
+      .withColumn("__key",
+        col("__logw") * lit(math.log(2.0)) - log(-log(u)))
       .orderBy(col("__key").desc, col(idCol))
       .limit(k)
       .select(col(idCol), round(col("__logw"), 4).as("importance"))

@@ -229,6 +229,38 @@ class CopyIntoSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("index column"), e3.getMessage)
   }
 
+  test("FORMAT_OPTIONS('members'): stems with ONLY unmapped members " +
+      "do not become spurious all-NULL rows; mapped members on a stem " +
+      "with unmapped siblings still load") {
+    import spark.implicits._
+    val root = tempDir("copyinto-tarstray")
+    val table = root + "/t"
+    val landing = root + "/landing"
+    PDataset.fromDataFrame(
+      Seq((-1L, "seed", "m")).toDF("doc_id", "text", "meta"),
+      Seq("doc_id")).reindex(Seq("doc_id")).writeParquet(table)
+    // hand-built shard: sample 7 (mapped members + a stray sidecar),
+    // plus README (extensionless) and notes.md (unmapped ext) strays
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+    val fos = java.nio.file.Files.newOutputStream(
+      java.nio.file.Paths.get(landing, "shard-00000.tar"))
+    graft.operators.Export.writeMember(fos, "7.txt", "b7".getBytes("UTF-8"))
+    graft.operators.Export.writeMember(fos, "7.json", "m7".getBytes("UTF-8"))
+    graft.operators.Export.writeMember(fos, "7.xyz", "x".getBytes("UTF-8"))
+    graft.operators.Export.writeMember(fos, "README", "hi".getBytes("UTF-8"))
+    graft.operators.Export.writeMember(fos, "notes.md", "n".getBytes("UTF-8"))
+    fos.write(new Array[Byte](1024))
+    fos.close()
+
+    val r = CopyInto.copyInto(spark, table, landing, "tar",
+      formatOptions = Map("members" -> "txt:text, json:meta"))
+    assert(r.filesLoaded == 1 && r.rowsLoaded == 1,
+      s"strays must not load: $r")
+    val got = spark.read.format("graft").load(table)
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set((-1L, "seed", "m"), (7L, "b7", "m7")), got.toString)
+  }
+
   test("CONVERT TO GRAFT adopts a bare parquet directory in place; " +
       "re-converting is a no-op; COPY INTO then applies") {
     val root = tempDir("convert")

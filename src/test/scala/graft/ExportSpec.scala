@@ -207,6 +207,44 @@ class ExportSpec extends AnyFunSuite {
     assert(e.getMessage.contains("global"), e.getMessage)
   }
 
+  test("malformed PAX record with a non-advancing length refuses " +
+      "loudly instead of hanging") {
+    // "0 path=x\n" parses len=0: the old loop never advanced p
+    for (bad <- Seq("0 path=x\n", "999 path=x\n")) {
+      val hdr = {
+        val bos = new java.io.ByteArrayOutputStream()
+        Export.writeMember(bos, "pax-hdr", bad.getBytes("UTF-8"))
+        val b = bos.toByteArray
+        b(156) = 'x'.toByte
+        java.util.Arrays.fill(b, 148, 156, ' '.toByte)
+        val sum = b.take(512).foldLeft(0L)((a, x) => a + (x & 0xff))
+        System.arraycopy("%06o".format(sum).getBytes("UTF-8"), 0, b, 148, 6)
+        b(154) = 0
+        b(155) = ' '
+        b
+      }
+      val member = {
+        val bos = new java.io.ByteArrayOutputStream()
+        Export.writeMember(bos, "a.txt", "x".getBytes("UTF-8"))
+        bos.toByteArray
+      }
+      val e = intercept[IllegalArgumentException](
+        Export.parseTar(hdr ++ member ++ new Array[Byte](1024)))
+      assert(e.getMessage.contains("PAX"), s"'$bad' -> ${e.getMessage}")
+    }
+  }
+
+  test("closeOnExhaust closes the stream when the member iterator " +
+      "drains, and only once") {
+    var closes = 0
+    val in = new java.io.Closeable { def close(): Unit = closes += 1 }
+    val it = Export.closeOnExhaust(Iterator(1, 2, 3), in)
+    assert(it.next() == 1 && closes == 0)
+    assert(it.toList == List(2, 3))
+    assert(closes == 1, "closed exactly when exhausted")
+    assert(!it.hasNext && closes == 1, "idempotent on re-check")
+  }
+
   test("members are USTAR-conformant (magic, checksum, padding)") {
     val bos = new java.io.ByteArrayOutputStream()
     Export.writeMember(bos, "42.txt", "hello tar".getBytes("UTF-8"))
