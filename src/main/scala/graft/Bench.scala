@@ -16,6 +16,13 @@ object Bench {
       case _ => -1.0
     }
 
+  /** 1-minute system load average (-1 if unavailable) — sampled at
+    * bench start and end so box contention reads directly off the
+    * artifact instead of being inferred from timing spreads. */
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -45,6 +52,7 @@ object Bench {
     // despite 32 local cores) is self-diagnosing from the artifact.
     val wall0 = System.nanoTime()
     val cpu0 = procCpuSec
+    val load0 = loadAvg
     // Local iteration: SPARK_GRAFT_ONLY=q_a,q_b limits the run (same
     // contract as Verify); unset = the full inventory.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -65,13 +73,32 @@ object Bench {
     val timed = selected + control
     val order = selected.keys.toIndexedSeq :+ control._1
     val timings = scala.collection.mutable.Map.empty[String, Vector[Double]]
-    for (_ <- 0 until runs; name <- order) {
+    def oneRound(): Unit = for (name <- order) {
       val fn = timed(name)
       val t0 = System.nanoTime()
       val sec =
         try { consume(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       timings(name) = timings.getOrElse(name, Vector.empty) :+ sec
+    }
+    // Contention self-defense: when the box was overtly contended
+    // during the base rounds (median/min > 3 on more than 10% of
+    // queries — the r18 signature, where interleaved round totals
+    // spread 4.2x), run extra interleaved rounds (up to 5 total) so
+    // the per-query min gets more clean shots. The spread fraction
+    // and rounds-run land in the artifact for the reader.
+    def spreadFrac(): Double = {
+      val ratios = order.filterNot(_.startsWith("control_")).flatMap { n =>
+        val ok = timings(n).filter(_ >= 0).sorted
+        if (ok.isEmpty || ok.head <= 0) None
+        else Some(ok(ok.length / 2) / ok.head)
+      }
+      if (ratios.isEmpty) 0.0 else ratios.count(_ > 3.0).toDouble / ratios.size
+    }
+    var rounds = 0
+    while (rounds < runs) { oneRound(); rounds += 1 }
+    while (rounds < math.max(runs, 5) && spreadFrac() > 0.10) {
+      oneRound(); rounds += 1
     }
     val allRuns = order.map(n => n -> timings(n))
     val wallSec = (System.nanoTime() - wall0) / 1e9
@@ -114,7 +141,7 @@ object Bench {
     // total/cpus/sf — consumers that keep just the last ~2KB of the
     // log (or the last JSON-looking line) always see it whole.
     val detail =
-      s"""{"metric":"runs_detail","runs":$rs,"mins":$qmins,"total_min":${f(totalMin)},"wall_sec":${f(wallSec)},"proc_cpu_sec":${f(cpuSec)}}"""
+      s"""{"metric":"runs_detail","runs":$rs,"mins":$qmins,"total_min":${f(totalMin)},"wall_sec":${f(wallSec)},"proc_cpu_sec":${f(cpuSec)},"rounds":$rounds,"spread_frac":${f(spreadFrac())},"load_avg_start":${f(load0)},"load_avg_end":${f(loadAvg)}}"""
     // The tail per-query dict carries the MINS — the same estimator as
     // the canonical {"metric":"total"} min-sum, so a round-over-round
     // per-query diff against the tail never mixes estimators (the r14
@@ -140,7 +167,7 @@ object Bench {
     // the only estimator of intrinsic cost that survives (round 13's
     // median-sum read as a phantom +48% regression). The median-sum
     // rides along as total_median for drift comparison.
-    println(s"""{"metric":"total","value":${f(totalMin)},"unit":"sec","total_median":${f(total)},"wall_sec":${f(wallSec)},"proc_cpu_sec":${f(cpuSec)},"cpus":$cpus,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(totalMin)},"unit":"sec","total_median":${f(total)},"wall_sec":${f(wallSec)},"proc_cpu_sec":${f(cpuSec)},"rounds":$rounds,"spread_frac":${f(spreadFrac())},"load_avg_start":${f(load0)},"load_avg_end":${f(loadAvg)},"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -247,6 +247,18 @@ object SparkEntry {
 
   private val lineitemOrderSql = "ORDER BY ALL"
 
+  /** The planted duplicated passage for the ExactSubstr queries: 12
+    * tokens, appended to every doc_id % 7 == 0 document (oracle
+    * inlines the same literal). */
+  private val SpanPassage =
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+
+  private def spanPlantedDocs(s: SparkSession, d: String): DataFrame =
+    scan(s, d, "documents").toDF.select(col("doc_id"),
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" " + SpanPassage)))
+        .otherwise(col("text")).as("text"))
+
   private def statsRow(s: SparkSession, ds: PDataset): DataFrame = {
     val n = ds.sizes.get.sum
     val lb = ds.lowerBounds.get.map(_.head).min(graft.core.Lex.boundOrdering
@@ -2671,6 +2683,24 @@ object SparkEntry {
         .select("doc_id", "n_chars").orderBy("doc_id")
     }),
 
+    // ExactSubstr span dedup (Lee et al. 2022, arXiv:2107.06499): a
+    // 12-token passage planted on every doc_id % 7 == 0 document,
+    // then k=8-token positional shingles -> cross-doc duplicated-
+    // shingle aggregate -> per-doc span merge -> cut. The globally
+    // smallest planted occurrence keeps the passage (keepFirst);
+    // every other copy is excised in place. The shuffle carries
+    // 20-byte (hash, start, end) rows, never text.
+    "q_dedup_spans" -> ((s, d) =>
+      Dedup.dedupSpans(spanPlantedDocs(s, d), "doc_id", "text", k = 8)
+        .select("doc_id", "text").orderBy("doc_id")),
+
+    // Provenance audit of the same ExactSubstr run: one row per
+    // removed span with the exact excised substring, so curators can
+    // reconstruct what dedup cut (original = cut text ∪ audit).
+    "q_span_audit" -> ((s, d) =>
+      Dedup.spanAudit(spanPlantedDocs(s, d), "doc_id", "text", k = 8)
+        .orderBy("doc_id", "span_start")),
+
     // Benchmark decontamination: corpus docs sharing any word 4-gram
     // with the held-out set (doc_id % 97 == 0 plays the eval set).
     // The benchmark's distinct-shingle set broadcasts; the corpus is
@@ -2775,6 +2805,32 @@ object SparkEntry {
           .as("reason"))
         .withColumn("keep", col("reason") === "ok")
         .orderBy("doc_id")),
+
+    // URL canonicalization for corpus curation: host extraction +
+    // canonical form (lowercase scheme/host, default ports and
+    // fragments and tracking params dropped, userinfo stripped) as
+    // pure regex algebra — the grouping key for per-domain quota
+    // caps. Fixture URLs derive from doc_id so the oracle rebuilds
+    // the identical inputs.
+    "q_url_canon" -> ((s, d) => {
+      val id = col("doc_id")
+      val url = when(id % 6 === 0, concat(
+          lit("HTTP://User:Pw@WWW.Example"), id % 5, lit(".COM:80/Path/"),
+          id, lit("?utm_source=feed&id="), id, lit("&fbclid=zz#frag")))
+        .when(id % 6 === 1, concat(lit("https://Site"), id % 5,
+          lit(".org:443/x?id="), id, lit("&utm_campaign=x")))
+        .when(id % 6 === 2, concat(lit("https://site"), id % 5,
+          lit(".org:8443/keep?gclid=1")))
+        .when(id % 6 === 3, concat(lit("ftp://Mixed.Case.Net/data/"), id))
+        .when(id % 6 === 4, concat(lit("not a url "), id))
+        .otherwise(concat(lit("http://bare"), id % 5, lit(".com")))
+      scan(s, d, "documents").toDF
+        .select(id, url.as("url"))
+        .select(id, col("url"),
+          graft.functions.UrlFunctions.urlHost(col("url")).as("host"),
+          graft.functions.UrlFunctions.urlCanon(col("url")).as("canon"))
+        .orderBy("doc_id")
+    }),
 
     // DSIR data selection (arXiv:2302.03169): the 100 raw documents
     // most like the English target slice, by hashed-trigram
@@ -3165,6 +3221,74 @@ object SparkEntry {
         SELECT c.doc_id, count(*) AS hits
         FROM csh c JOIN bsh b ON c.s = b.s
         GROUP BY c.doc_id ORDER BY c.doc_id"""
+
+    // ExactSubstr rederived end to end (shared by q_dedup_spans and
+    // q_span_audit): plant the passage, tokenize with exact char
+    // offsets via the interleaved-split trick (separator lengths +
+    // running window sums), build 8-token shingles keyed by the token
+    // STRING (the Spark side keys by a 62-bit hash of the same
+    // string; the oracle grouping on the raw string doubles as a
+    // collision check), drop the min-(doc_id, start) keeper per
+    // shingle, then gaps-and-islands merge per document. Plain (non-
+    // interpolated) literal so \t\n\r survive into the regex.
+    val spanMergedCte = """
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN text || ' alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima'
+                      ELSE text END AS t
+          FROM documents),
+        spbase AS (
+          SELECT doc_id, t,
+                 regexp_extract_all(t, '[^ \t\n\r]+') AS toks,
+                 string_split_regex(t, '[^ \t\n\r]+') AS seps
+          FROM d),
+        sptok AS (
+          SELECT doc_id,
+                 unnest(range(1, len(toks) + 1)) AS i,
+                 unnest(toks) AS tok,
+                 unnest(list_transform(range(1, len(toks) + 1),
+                                       j -> len(seps[CAST(j AS INT)]))) AS sep_len
+          FROM spbase),
+        sppos AS (
+          SELECT doc_id, i, tok,
+                 sum(sep_len + len(tok)) OVER w - len(tok) AS s0,
+                 sum(sep_len + len(tok)) OVER w AS e0
+          FROM sptok
+          WINDOW w AS (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING)),
+        spsh AS (
+          SELECT * FROM (
+            SELECT doc_id, s0 AS s,
+                   lead(e0, 7) OVER (PARTITION BY doc_id ORDER BY i) AS e,
+                   string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS shs
+            FROM sppos)
+          WHERE e IS NOT NULL),
+        spdup AS (
+          SELECT shs FROM spsh GROUP BY shs
+          HAVING count(DISTINCT doc_id) >= 2),
+        spocc AS (
+          SELECT spsh.doc_id, spsh.s, spsh.e,
+                 row_number() OVER (PARTITION BY spsh.shs
+                   ORDER BY spsh.doc_id, spsh.s) AS rn
+          FROM spsh JOIN spdup USING (shs)),
+        sphits AS (
+          SELECT doc_id, s, e FROM spocc WHERE rn > 1),
+        spflag AS (
+          SELECT doc_id, s, e,
+                 CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+                     ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                      THEN 1 ELSE 0 END AS f
+          FROM sphits),
+        spgrp AS (
+          SELECT doc_id, s, e,
+                 sum(f) OVER (PARTITION BY doc_id ORDER BY s, e
+                   ROWS UNBOUNDED PRECEDING) AS g
+          FROM spflag),
+        spmerged AS (
+          SELECT doc_id, min(s) AS s, max(e) AS e
+          FROM spgrp GROUP BY doc_id, g)"""
 
     // Connected-component labels (recursive reachability closure,
     // min-id canonical) over the 0.85-jaccard trigram pair graph —
@@ -4309,6 +4433,33 @@ object SparkEntry {
         SELECT doc_id, n_chars FROM documents
         WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
         ORDER BY doc_id""",
+      // ExactSubstr: cut the merged spans out of each text (string_agg
+      // of the kept segments + the tail past the last span); docs
+      // without spans pass through the left join untouched
+      "q_dedup_spans" -> (spanMergedCte + """,
+        spseg AS (
+          SELECT m.doc_id, m.s, m.e,
+                 coalesce(lag(m.e) OVER (PARTITION BY m.doc_id
+                   ORDER BY m.s), 0) AS pe
+          FROM spmerged m),
+        spcut AS (
+          SELECT spseg.doc_id,
+                 string_agg(substr(d.t, CAST(pe + 1 AS INT),
+                     CAST(s - pe AS INT)), '' ORDER BY s)
+                   || substr(d.t, CAST(max(e) + 1 AS INT)) AS text
+          FROM spseg JOIN d USING (doc_id)
+          GROUP BY spseg.doc_id, d.t)
+        SELECT d.doc_id, coalesce(c.text, d.t) AS text
+        FROM d LEFT JOIN spcut c USING (doc_id)
+        ORDER BY doc_id"""),
+      // the audit rows: every merged span with its exact substring
+      "q_span_audit" -> (spanMergedCte + """
+        SELECT m.doc_id, CAST(m.s AS INT) AS span_start,
+               CAST(m.e AS INT) AS span_end,
+               substr(d.t, CAST(m.s + 1 AS INT),
+                 CAST(m.e - m.s AS INT)) AS removed
+        FROM spmerged m JOIN d USING (doc_id)
+        ORDER BY doc_id, span_start"""),
       // Full SimHash rederivation: md5-prefix token hash (bit-identical
       // to Spark's Dedup.md5Hash64), per-bit majority vote, 64-bit
       // fingerprint via bit_or, exhaustive pair scan (the 4-chunk
@@ -4354,6 +4505,50 @@ object SparkEntry {
         "SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_floor_met",
       "q_ann_index_add" ->
         "SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_floor_met",
+      // URL canonicalization rederived with the same lookaround-free
+      // regex algebra (RE2-safe); coalesce() papers over DuckDB's
+      // NULL for array_to_string([]) where Spark's array_join gives ''
+      "q_url_canon" ->
+        """WITH u AS (
+             SELECT doc_id,
+               CASE doc_id % 6
+                 WHEN 0 THEN 'HTTP://User:Pw@WWW.Example' || (doc_id % 5) || '.COM:80/Path/' || doc_id || '?utm_source=feed&id=' || doc_id || '&fbclid=zz#frag'
+                 WHEN 1 THEN 'https://Site' || (doc_id % 5) || '.org:443/x?id=' || doc_id || '&utm_campaign=x'
+                 WHEN 2 THEN 'https://site' || (doc_id % 5) || '.org:8443/keep?gclid=1'
+                 WHEN 3 THEN 'ftp://Mixed.Case.Net/data/' || doc_id
+                 WHEN 4 THEN 'not a url ' || doc_id
+                 ELSE 'http://bare' || (doc_id % 5) || '.com' END AS url
+             FROM documents),
+           uparts AS (
+             SELECT doc_id, url,
+               lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+               regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) AS auth,
+               regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+             FROM u),
+           uparts2 AS (
+             SELECT doc_id, url, scheme,
+               lower(regexp_extract(auth, '^(?:[^@]*@)?([^:]*)', 1)) AS host,
+               regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+               regexp_extract(rest, '^([^?]*)', 1) AS path,
+               regexp_extract(rest, '\?(.*)$', 1) AS query
+             FROM uparts),
+           uparts3 AS (
+             SELECT doc_id, url, scheme, host, path,
+               CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                      OR (scheme = 'https' AND port = '443'))
+                    THEN ':' || port ELSE '' END AS portpart,
+               coalesce(array_to_string(list_filter(string_split(query, '&'),
+                 p -> NOT regexp_matches(p,
+                   '^(utm_[^=&]*|gclid|fbclid|msclkid|mc_cid|mc_eid)(=|$)')),
+                 '&'), '') AS q
+             FROM uparts2)
+           SELECT doc_id, url,
+             CASE WHEN host = '' THEN NULL ELSE host END AS host,
+             CASE WHEN scheme = '' THEN url
+                  ELSE scheme || '://' || host || portpart ||
+                       (CASE WHEN path = '' THEN '/' ELSE path END) ||
+                       (CASE WHEN q = '' THEN '' ELSE '?' || q END) END AS canon
+           FROM uparts3 ORDER BY doc_id""",
       // DSIR rederived end to end: both trigram models (target =
       // English slice, raw = corpus), the per-doc log importance
       // weight, the id-derived Gumbel key, the top-100 selection

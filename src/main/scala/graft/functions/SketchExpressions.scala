@@ -446,7 +446,119 @@ case class WinnowMinsExpr(child: Expression, w: Int) extends UnaryExpression {
   override def prettyName: String = "winnow_mins"
 }
 
+/** All positional k-TOKEN shingles of a string in one pass:
+  * `array<struct<h:long, s:int, e:int>>` where `h` is the 62-bit
+  * md5-prefix hash of the shingle's tokens joined by one space, `s`
+  * the 0-based code-point offset of the shingle's first token and `e`
+  * the exclusive end of its last — the ExactSubstr (Lee et al. 2022)
+  * unit: equal token runs hash equal regardless of the whitespace
+  * between them, and the offsets let the caller cut the matched span
+  * out of the ORIGINAL text. Tokens are maximal runs of characters
+  * outside {space, \t, \n, \r} (the cross-engine-safe ASCII set, so a
+  * DuckDB `[^ \t\n\r]+` rederivation tokenizes identically); texts
+  * with fewer than k tokens yield an empty array. One expression =
+  * one text evaluation (see the class note on CharGramHash64Expr's
+  * CollapseProject hazard).
+  */
+case class TokenSpanShinglesExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 1, s"shingle length must be positive, got $k")
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("h", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("e",
+        org.apache.spark.sql.types.IntegerType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"token_span_shingles needs a string, got $other")
+    }
+
+  @transient private lazy val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  private def isWs(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r'
+
+  override def nullSafeEval(input: Any): Any = {
+    val str = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString
+    // one scan: token (start, end) in CODE POINTS (SQL substr units)
+    // plus the UTF-16 bounds for extraction
+    val cpStart = new java.util.ArrayList[Int]()
+    val cpEnd = new java.util.ArrayList[Int]()
+    val ciStart = new java.util.ArrayList[Int]()
+    val ciEnd = new java.util.ArrayList[Int]()
+    var ci = 0
+    var cp = 0
+    var inTok = false
+    while (ci < str.length) {
+      val c = str.codePointAt(ci)
+      if (isWs(c)) {
+        if (inTok) { cpEnd.add(cp); ciEnd.add(ci); inTok = false }
+      } else if (!inTok) {
+        cpStart.add(cp); ciStart.add(ci); inTok = true
+      }
+      ci += Character.charCount(c)
+      cp += 1
+    }
+    if (inTok) { cpEnd.add(cp); ciEnd.add(ci) }
+    val n = cpStart.size()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val md = md5Local.get()
+    val sb = new java.lang.StringBuilder(64)
+    val out = new Array[Any](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      sb.setLength(0)
+      var j = i
+      while (j < i + k) {
+        if (j > i) sb.append(' ')
+        sb.append(str, ciStart.get(j), ciEnd.get(j))
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(
+        java.nio.ByteBuffer.wrap(d, 0, 8).getLong >>> 2,
+        cpStart.get(i), cpEnd.get(i + k - 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("spanShingler", this,
+      classOf[TokenSpanShinglesExpr].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)" +
+        s" $ref.nullSafeEval($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenSpanShinglesExpr =
+    copy(child = c)
+  override def prettyName: String = "token_span_shingles"
+}
+
 object SketchExpressions {
+  def tokenSpanShingles(text: Column, k: Int): Column =
+    GraftBridge.toColumn(
+      TokenSpanShinglesExpr(GraftBridge.toExpression(text), k))
+
   def charGramHash64(text: Column, k: Int, shift: Int): Column =
     GraftBridge.toColumn(
       CharGramHash64Expr(GraftBridge.toExpression(text), k, shift))

@@ -999,6 +999,142 @@ object Dedup {
       .join(rebuilt.withColumnRenamed("__id", idCol), Seq(idCol))
   }
 
+  /** The maximal cross-document duplicated SPANS of every document —
+    * the discovery half of ExactSubstr dedup (Lee et al. 2022,
+    * arXiv:2107.06499: "remove substrings of ≥ k tokens that repeat
+    * across the corpus"). Returns `(idCol, span_start, span_end)`:
+    * 0-based code-point offsets, end exclusive, spans disjoint and
+    * sorted per document.
+    *
+    * Distributed shape (the suffix-array analogue that scales out):
+    *   1. one codegen pass per document emits every positional
+    *      k-token shingle as `(hash, start, end)`
+    *      ([[graft.functions.TokenSpanShinglesExpr]] — 20 bytes per
+    *      shingle into the shuffle, never text);
+    *   2. one hash aggregate finds shingles present in ≥ `minDocFreq`
+    *      distinct documents, carrying the minimum `(id, start)`
+    *      occurrence as the prospective keeper;
+    *   3. occurrences of duplicated shingles rejoin on the hash (the
+    *      duplicated set is bounded by the corpus's duplication rate,
+    *      so AQE broadcasts it when small) — with `keepFirst` the
+    *      keeper occurrence is exempt, so exactly one copy of every
+    *      duplicated passage survives corpus-wide;
+    *   4. overlapping/adjacent hits merge into maximal spans with the
+    *      classic gaps-and-islands window — per-DOCUMENT partitions,
+    *      so the sort unit is one document's hit list, never a global
+    *      order.
+    *
+    * A passage of `t ≥ k` duplicated tokens yields `t−k+1` overlapping
+    * shingles that merge into one span; `keepFirst = false` cuts every
+    * occurrence instead (the masking variant). Keeper granularity is
+    * per-shingle, so when a passage ALSO partially repeats in some
+    * third document the kept copy can split across owners — the
+    * published algorithm has the same property. */
+  def duplicatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 20,
+      keepFirst: Boolean = true,
+      minDocFreq: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(minDocFreq >= 2,
+      s"minDocFreq < 2 would mark every span duplicated, got $minDocFreq")
+    val sh = docs.select(col(idCol).as("__id"),
+      explode(graft.functions.SketchExpressions.tokenSpanShingles(
+        coalesce(col(textCol), lit("")), k)).as("__t"))
+      .select(col("__id"), col("__t.h").as("__h"),
+        col("__t.s").as("__s"), col("__t.e").as("__e"))
+    val dup = sh.groupBy("__h")
+      .agg(count_distinct(col("__id")).as("__df"),
+        min(struct(col("__id").as("i"), col("__s").as("p"))).as("__keep"))
+      .filter(col("__df") >= minDocFreq)
+      .select("__h", "__keep")
+    val hits0 = sh.join(dup, Seq("__h"))
+    val hits =
+      if (keepFirst)
+        hits0.filter(!(col("__id") === col("__keep.i") &&
+          col("__s") === col("__keep.p")))
+      else hits0
+    // gaps-and-islands merge, one document per window partition
+    val w = Window.partitionBy("__id").orderBy("__s", "__e")
+    val merged = hits
+      .withColumn("__pmax",
+        max(col("__e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("__s") > col("__pmax"), 1)
+          .otherwise(0))
+      .withColumn("__grp", sum(col("__new")).over(w))
+      .groupBy(col("__id"), col("__grp"))
+      .agg(min("__s").as("span_start"), max("__e").as("span_end"))
+    merged.select(col("__id").as(idCol),
+      col("span_start"), col("span_end"))
+  }
+
+  /** ExactSubstr deduplication (Lee et al. 2022): cut every duplicated
+    * span of ≥ `k` tokens out of each document's text, keeping (with
+    * `keepFirst`) exactly one copy corpus-wide — the standard
+    * substring-level half of the two-part dedup recipe, composing with
+    * the document-level near-dup family. Every row survives (possibly
+    * with shorter text); cutting is exact code-point excision of
+    * [[duplicatedSpans]]' ranges, so the whitespace around a cut is
+    * untouched. The final assembly is one left join + a fold over the
+    * (merged, per-document-bounded) span list. */
+  def dedupSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 20,
+      keepFirst: Boolean = true,
+      minDocFreq: Int = 2): DataFrame = {
+    val spans = duplicatedSpans(docs, idCol, textCol, k, keepFirst,
+      minDocFreq)
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(
+        struct(col("span_start").as("s"), col("span_end").as("e"))))
+        .as("__sp"))
+    val cut = docs.join(spans, Seq(idCol), "left")
+    val rewritten = cut.withColumn(textCol,
+      when(col("__sp").isNull, col(textCol)).otherwise(
+        cutSpansCol(col(textCol), col("__sp"))))
+    rewritten.drop("__sp")
+  }
+
+  /** Provenance audit of [[dedupSpans]]: one row per removed span —
+    * `(idCol, span_start, span_end, removed)` with `removed` the exact
+    * excised substring — so curators can inspect (and reconstruct)
+    * what dedup cut. `original = interleave(cut_text, audit)` by
+    * offsets; see the spec for the reconstruction identity. */
+  def spanAudit(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 20,
+      keepFirst: Boolean = true,
+      minDocFreq: Int = 2): DataFrame =
+    duplicatedSpans(docs, idCol, textCol, k, keepFirst, minDocFreq)
+      .join(docs.select(col(idCol), col(textCol).as("__txt")), Seq(idCol))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        col("__txt").substr(col("span_start") + lit(1),
+          col("span_end") - col("span_start")).as("removed"))
+
+  /** Excise the sorted disjoint 0-based `[s, e)` spans from `text`:
+    * a fold that concatenates the kept segments (span lists are
+    * per-document and post-merge, so small). */
+  private def cutSpansCol(text: Column, spans: Column): Column = {
+    val folded = aggregate(spans,
+      struct(lit(0).as("p"), lit("").as("acc")),
+      (a, x) => struct(
+        x.getField("e").as("p"),
+        concat(a.getField("acc"),
+          text.substr(a.getField("p") + lit(1),
+            x.getField("s") - a.getField("p"))).as("acc")),
+      a => concat(a.getField("acc"),
+        text.substr(a.getField("p") + lit(1),
+          length(text) - a.getField("p"))))
+    folded
+  }
+
   /** SemDeDup-style semantic dedup pairs (Abbas et al. 2023,
     * arXiv:2303.09540): k-means-cluster the embedding space
     * ([[Similarity.trainCentroids]] — one bounded sample job +

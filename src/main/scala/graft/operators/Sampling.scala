@@ -41,15 +41,25 @@ object Sampling {
     * Spark plans a WindowGroupLimit that caps every group at
     * maxPerGroup rows PER MAP TASK before the exchange (PlanSpec
     * pins it), so even a mega-group ships at most maxPerGroup ×
-    * tasks rows; above that threshold the optimization doesn't fire
-    * and a mega-group sorts in full on one reducer — raise the
-    * threshold alongside very large quotas. Groups at or under quota
-    * pass through whole. */
+    * tasks rows. The operator REFUSES when that map-side cap cannot
+    * fire (quota above the threshold, or the rewrite disabled): a
+    * silently un-capped hot domain would sort in full on one reducer
+    * at corpus scale — raise the threshold alongside very large
+    * quotas instead. Groups at or under quota pass through whole. */
   def quotaCap(
       df: DataFrame,
       groupCol: String,
       idCol: String,
       maxPerGroup: Int): DataFrame = {
+    require(maxPerGroup >= 1, s"maxPerGroup must be positive, got $maxPerGroup")
+    val threshold = df.sparkSession.conf
+      .get("spark.sql.optimizer.windowGroupLimitThreshold", "1000").toInt
+    require(threshold >= 0 && maxPerGroup <= threshold,
+      s"quotaCap($maxPerGroup) exceeds " +
+        s"spark.sql.optimizer.windowGroupLimitThreshold=$threshold, so " +
+        "Spark cannot cap groups map-side and a hot group would sort " +
+        "in full on one reducer; SET the threshold to at least " +
+        s"$maxPerGroup for this session")
     val w = Window.partitionBy(col(groupCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
     df.withColumn("__rn", row_number().over(w))
@@ -110,15 +120,19 @@ object Sampling {
       numShards: Int,
       seed: String): DataFrame = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
-    val h = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
     val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
-    df.withColumn("__h", h)
-      .withColumn("shard",
-        pmod(conv(substring(col("__h"), 1, 8), 16, 10).cast("long"),
-          lit(numShards.toLong)).cast("int"))
+    df.withColumn("__h", shardHash(idCol, seed))
+      .withColumn("shard", shardOf(col("__h"), numShards))
       .withColumn("shard_pos", row_number().over(w).cast("long"))
       .drop("__h")
   }
+
+  private def shardHash(idCol: String, seed: String): Column =
+    md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+
+  private def shardOf(h: Column, numShards: Int): Column =
+    pmod(conv(substring(h, 1, 8), 16, 10).cast("long"),
+      lit(numShards.toLong)).cast("int")
 
   /** Deterministic train/validation/test split: each row lands in
     * exactly one named split, chosen by where its seeded md5 fraction
@@ -152,17 +166,55 @@ object Sampling {
     * layout a training loader consumes directly, reproducible
     * end-to-end from (seed, ids). One shuffle on the shard id; each
     * shard sorts and writes in its own task, so size `numShards` to
-    * file-sized shards. */
+    * file-sized shards.
+    *
+    * Mega-shard guard (default ON): because each shard ranks, sorts
+    * and writes on ONE task, an under-sized `numShards` on a huge
+    * corpus silently creates reducer-killing shards — before writing,
+    * one cheap count aggregate (numShards result rows) verifies no
+    * shard exceeds `maxShardRows` and fails loudly with the offending
+    * shard and a suggested `numShards` otherwise. Pass
+    * `maxShardRows = 0` to opt out. */
   def writeShards(
       df: DataFrame,
       idCol: String,
       numShards: Int,
       seed: String,
-      dir: String): Unit =
+      dir: String,
+      maxShardRows: Long = 1L << 25): Unit = {
+    if (maxShardRows > 0) assertShardBound(
+      df.select(shardOf(shardHash(idCol, seed), numShards).as("shard")),
+      maxShardRows)
     shardAssign(df, idCol, numShards, seed)
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("shard_pos"))
       .write.partitionBy("shard").mode("overwrite").parquet(dir)
+  }
+
+  /** The loud mega-shard check: hash-partitioned md5 assignment is
+    * near-uniform, so rows/numShards predicts every shard's size —
+    * the failure message solves `totalRows / numShards ≤ maxShardRows`
+    * for the numShards the caller should have used. One count
+    * aggregate over the shard column alone (a narrow scan + map-side
+    * combine); the ranking window and sort never run on an offending
+    * layout. */
+  private def assertShardBound(
+      assigned: DataFrame, maxShardRows: Long): Unit = {
+    val counts = assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("__n"))
+      .agg(sum(col("__n")).as("__total"), max(col("__n")).as("__max"),
+        max_by(col("shard"), col("__n")).as("__worst"))
+      .collect()(0)
+    if (!counts.isNullAt(1) && counts.getLong(1) > maxShardRows) {
+      val total = counts.getLong(0)
+      val suggested = ((total + maxShardRows - 1) / maxShardRows).max(1)
+      throw new IllegalArgumentException(
+        s"shard ${counts.getInt(2)} would hold ${counts.getLong(1)} rows " +
+          s"(> maxShardRows=$maxShardRows) and rank/sort/write on ONE " +
+          s"task; use numShards >= $suggested for these $total rows, " +
+          "or maxShardRows = 0 to opt out")
+    }
+  }
 
   /** Per-source TOKEN-budget sampling: keep, for every source,
     * documents in deterministic md5 order until the source has

@@ -81,7 +81,25 @@ object DocumentStreams {
     * knob set, a batch that leaves `layoutHealth.maxOverlap > n` is
     * followed by [[graft.operators.Dedup.compactMinhashIndex]]
     * (results pinned unchanged — pure layout maintenance), closing
-    * the ingest → degrade → recluster loop inside the sink itself. */
+    * the ingest → degrade → recluster loop inside the sink itself.
+    *
+    * Quality gates make this the full CCNet-shape ingest
+    * (filter → dedup → append, exactly-once) without a hand-rolled
+    * foreachBatch:
+    *   - `qualityGate = Some(predicate)`: an arbitrary boolean
+    *     Column over the batch's columns (e.g.
+    *     `TextFunctions.qualityFilterReason(col("text")) === "ok"`),
+    *     applied as a narrow filter before dedup;
+    *   - `lmGate = Some((modelDir, maxScore))`: a PERSISTED trigram
+    *     model ([[graft.operators.LanguageModel.trainTrigramModel]]
+    *     written as parquet — vocab-bounded, read once per batch,
+    *     never retrained in the loop) scores each micro-batch via
+    *     [[graft.operators.LanguageModel.lmScore]]; documents with
+    *     `lm_score > maxScore` (off-distribution / gibberish) never
+    *     reach the dedup stage, the index, or the corpus.
+    * Gating happens BEFORE the txn-stamped append, so replay
+    * determinism is untouched: the same batch re-gates to the same
+    * survivor set. */
   def dedupSink(
       docs: DataFrame,
       idCol: String,
@@ -94,7 +112,9 @@ object DocumentStreams {
         TextFunctions.wordShingles(_, 3),
       shinglerTag: String = graft.operators.Dedup.WordTrigramTag,
       appId: Option[String] = None,
-      autoReclusterOverlap: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      autoReclusterOverlap: Option[Int] = None,
+      qualityGate: Option[org.apache.spark.sql.Column] = None,
+      lmGate: Option[(String, Double)] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val app = appId.getOrElse(s"graft-dedup-sink:$checkpointDir")
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -102,8 +122,19 @@ object DocumentStreams {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val corpus = graft.core.PDataset.scanParquet(spark, corpusDir).toDF
+        val predicated = qualityGate.fold(batch.toDF())(batch.toDF().filter)
+        val gated = lmGate.fold(predicated) { case (modelDir, maxScore) =>
+          val model = spark.read.parquet(modelDir)
+          val keep = graft.operators.LanguageModel
+            .lmScore(predicated, idCol, textCol, model)
+            .filter(col("lm_score") <= maxScore)
+            .select(col(idCol))
+          // left-semi on the id: the scored projection never carries
+          // the text back; AQE broadcasts the batch-bounded keep set
+          predicated.join(keep, Seq(idCol), "left_semi")
+        }
         val survivors = graft.operators.Dedup.dedupBatch(spark,
-          batch.toDF(), idCol, textCol, corpus, indexDir, threshold,
+          gated, idCol, textCol, corpus, indexDir, threshold,
           shingler, shinglerTag).persist()
         try {
           if (!survivors.isEmpty) {

@@ -172,6 +172,25 @@ object Fixtures {
     }
   }
 
+  /** Every ShuffleExchangeExec in an executed plan (AQE unwrapped —
+    * the same recursion as [[collectScans]]). Use to assert what data
+    * actually crosses a shuffle. */
+  def collectExchanges(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec] = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    p match {
+      case a: AdaptiveSparkPlanExec => collectExchanges(a.executedPlan)
+      case s: QueryStageExec => collectExchanges(s.plan)
+      case e: ShuffleExchangeExec =>
+        Seq(e) ++ e.children.flatMap(collectExchanges)
+      case other =>
+        other.children.flatMap(collectExchanges) ++
+          other.subqueries.flatMap(collectExchanges)
+    }
+  }
+
   /** Files actually planned by `df`'s scan(s) — the numFiles metric
     * summed over every FileSourceScanExec (AQE unwrapped). Runs the
     * query; use to assert plan-time file pruning. */

@@ -387,6 +387,72 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(onDisk == assigned)
   }
 
+  test("writeShards mega-shard guard: an under-sized numShards fails " +
+      "loudly with the offending shard and a suggested numShards, " +
+      "before any data is written") {
+    val dir = Fixtures.tempDir("shards-guard") + "/shards"
+    // 500 docs into 2 shards with a 100-row bound: ~250 rows/shard
+    val e = intercept[IllegalArgumentException] {
+      Sampling.writeShards(docs, "doc_id", 2, "epoch1", dir,
+        maxShardRows = 100)
+    }
+    assert(e.getMessage.contains("maxShardRows=100"), e.getMessage)
+    // suggested numShards = ceil(500 / 100) = 5
+    assert(e.getMessage.contains("numShards >= 5"), e.getMessage)
+    assert(!new java.io.File(dir).exists(), "nothing may be written")
+    // opt-out writes the offending layout deliberately
+    Sampling.writeShards(docs, "doc_id", 2, "epoch1", dir,
+      maxShardRows = 0)
+    assert(spark.read.parquet(dir).count() == docs.count())
+  }
+
+  // ---- URL utilities ----
+
+  test("urlCanon/urlHost: the canonicalization contract on edge cases") {
+    import spark.implicits._
+    import graft.functions.UrlFunctions
+    val cases = Seq(
+      // lowercase scheme+host, userinfo+default port+fragment+tracking
+      ("HTTP://U:P@WWW.Ex.COM:80/P?utm_source=a&x=1&fbclid=2#f",
+        "www.ex.com", "http://www.ex.com/P?x=1"),
+      ("https://A.org:443/", "a.org", "https://a.org/"),
+      ("https://a.org:8443/k?gclid=1", "a.org", "https://a.org:8443/k"),
+      // empty path normalizes to /; query straight after authority
+      ("http://b.com", "b.com", "http://b.com/"),
+      ("http://b.com?a=1&utm_x&b=2", "b.com", "http://b.com/?a=1&b=2"),
+      // param ORDER and encoding preserved; names merely containing
+      // "utm_" (not as the full prefix) survive
+      ("http://c.net/p?zz=9&myutm_x=1&a=%20b", "c.net",
+        "http://c.net/p?zz=9&myutm_x=1&a=%20b"),
+      // no scheme: canon is identity, host is NULL
+      ("not a url", null, "not a url"),
+      ("", null, ""))
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), UrlFunctions.urlHost(col("url")).as("h"),
+        UrlFunctions.urlCanon(col("url")).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == cases)
+  }
+
+  test("urlHost composes with quotaCap: at most N docs per domain") {
+    import spark.implicits._
+    import graft.functions.UrlFunctions
+    val urls = (0L until 60L).map(i =>
+      (i, s"https://Host${i % 3}.com/page/$i?utm_medium=x"))
+      .toDF("doc_id", "url")
+      .withColumn("domain", UrlFunctions.urlHost(col("url")))
+    val capped = Sampling.quotaCap(urls, "domain", "doc_id", 5)
+    val byDomain = capped.groupBy("domain").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDomain.keySet == Set("host0.com", "host1.com", "host2.com"))
+    assert(byDomain.values.forall(_ == 5L), byDomain.toString)
+    // deterministic: the same cap re-run keeps the same ids
+    val a = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.quotaCap(urls, "domain", "doc_id", 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   // ---- vec_dot custom expression ----
 
   test("vec_dot matches the higher-order-function fold bit-for-bit") {
@@ -743,6 +809,227 @@ class PipelineOpsSpec extends AnyFunSuite {
     val kept = Dedup.dedupSegments(many, "doc_id", "text", maxDocFreq = 2)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(4L))
+  }
+
+  // ---- ExactSubstr span dedup ----
+
+  private val SpanPassage =
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+
+  private def plantedDocs: DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" " + SpanPassage)))
+        .otherwise(col("text")).as("text"))
+
+  /** Driver-side ExactSubstr reference: tokenize on {' ','\t','\n',
+    * '\r'}, k-token shingles keyed by the joined token string, df >= 2
+    * distinct docs, (optionally) exempt the min-(id, start) keeper,
+    * merge overlapping/adjacent hits. ASCII fixtures: char == cp. */
+  private def bruteSpans(
+      texts: Map[Long, String], k: Int, keepFirst: Boolean)
+      : Map[Long, Seq[(Int, Int)]] = {
+    val ws = " \t\n\r"
+    def toks(t: String): IndexedSeq[(String, Int, Int)] = {
+      val buf = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
+      var i = 0
+      while (i < t.length) {
+        if (!ws.contains(t(i))) {
+          val s = i
+          while (i < t.length && !ws.contains(t(i))) i += 1
+          buf += ((t.substring(s, i), s, i))
+        } else i += 1
+      }
+      buf.toIndexedSeq
+    }
+    val occ = scala.collection.mutable.Map[String,
+      scala.collection.mutable.ArrayBuffer[(Long, Int, Int)]]()
+    for ((id, t) <- texts; tk = toks(t); i <- 0 to tk.length - k) {
+      val key = (i until i + k).map(tk(_)._1).mkString(" ")
+      occ.getOrElseUpdate(key,
+        scala.collection.mutable.ArrayBuffer()) +=
+        ((id, tk(i)._2, tk(i + k - 1)._3))
+    }
+    val hits = scala.collection.mutable.Map[Long,
+      scala.collection.mutable.ArrayBuffer[(Int, Int)]]()
+    for ((_, os) <- occ if os.map(_._1).distinct.size >= 2) {
+      val keep = os.minBy(o => (o._1, o._2))
+      for (o <- os if !(keepFirst && o._1 == keep._1 && o._2 == keep._2))
+        hits.getOrElseUpdate(o._1,
+          scala.collection.mutable.ArrayBuffer()) += ((o._2, o._3))
+    }
+    hits.map { case (id, sp) =>
+      val merged = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      for ((s, e) <- sp.sorted) {
+        if (merged.nonEmpty && s <= merged.last._2)
+          merged(merged.length - 1) =
+            (merged.last._1, math.max(merged.last._2, e))
+        else merged += ((s, e))
+      }
+      id -> merged.toSeq
+    }.toMap
+  }
+
+  private def excise(t: String, spans: Seq[(Int, Int)]): String = {
+    val sb = new StringBuilder
+    var p = 0
+    for ((s, e) <- spans) { sb.append(t.substring(p, s)); p = e }
+    sb.append(t.substring(p)).toString
+  }
+
+  test("token_span_shingles kernel: code-point offsets, 4-char ws set, " +
+      "md5-prefix hashes, short-text empty array") {
+    import spark.implicits._
+    // "𝄞" is one code point, two UTF-16 chars: offsets must count
+    // code points (SQL substr units), not Java chars
+    val rows = Seq(
+      "a\tb  c\nd",        // mixed whitespace, runs collapse
+      " lead trail ",      // leading/trailing ws
+      "𝄞x yé z",           // surrogate pair + accent
+      "one two",           // exactly k tokens
+      "solo",              // fewer than k: empty
+      ""                   // empty text
+    ).toDF("t")
+    val got = rows.select(
+      graft.functions.SketchExpressions.tokenSpanShingles(col("t"), 2)
+        .as("sh"))
+      .collect()
+      .map(_.getSeq[Row](0).map(r =>
+        (r.getLong(0), r.getInt(1), r.getInt(2))))
+    def h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.nio.ByteBuffer.wrap(d, 0, 8).getLong >>> 2
+    }
+    assert(got(0) == Seq((h("a b"), 0, 3), (h("b c"), 2, 6),
+      (h("c d"), 5, 8)))
+    assert(got(1) == Seq((h("lead trail"), 1, 11)))
+    // cp offsets: 𝄞x=[0,2) yé=[3,5) z=[6,7)
+    assert(got(2) == Seq((h("𝄞x yé"), 0, 5), (h("yé z"), 3, 7)))
+    assert(got(3) == Seq((h("one two"), 0, 7)))
+    assert(got(4).isEmpty && got(5).isEmpty)
+    // the substr(s+1, e-s) extraction the cut path relies on: code-
+    // point offsets really do address the original string
+    val back = Seq(("𝄞x yé z", 0, 5), ("𝄞x yé z", 3, 7)).toDF("t", "s", "e")
+      .select(col("t").substr(col("s") + lit(1), col("e") - col("s")))
+      .collect().map(_.getString(0))
+    assert(back.toSeq == Seq("𝄞x yé", "yé z"))
+  }
+
+  test("dedupSpans matches a brute-force ExactSubstr reference on the " +
+      "planted corpus; the audit rows reconstruct what was cut") {
+    val planted = plantedDocs
+    val orig = planted.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = bruteSpans(orig, k = 8, keepFirst = true)
+    assert(want.nonEmpty, "the planted passage must duplicate")
+
+    val gotSpans = Dedup.duplicatedSpans(planted, "doc_id", "text", k = 8)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.map(r => (r.getInt(1), r.getInt(2))).sorted.toSeq
+      }
+    assert(gotSpans == want.filter(_._2.nonEmpty))
+
+    val gotCut = Dedup.dedupSpans(planted, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotCut.keySet == orig.keySet, "every row survives")
+    orig.foreach { case (id, t) =>
+      assert(gotCut(id) == excise(t, want.getOrElse(id, Nil)),
+        s"doc $id cut mismatch")
+    }
+    // exactly one copy of the passage survives corpus-wide: the
+    // smallest planted id keeps it, every other planted doc loses it
+    val plantedIds = orig.keySet.filter(_ % 7 == 0)
+    val keeper = plantedIds.min
+    assert(gotCut(keeper).contains(SpanPassage))
+    (plantedIds - keeper).foreach(id =>
+      assert(!gotCut(id).contains(SpanPassage), s"doc $id kept a copy"))
+
+    // audit: every row is the exact excised substring; cut + audit
+    // reconstruct the original text
+    val audit = Dedup.spanAudit(planted, "doc_id", "text", k = 8)
+      .collect()
+    audit.foreach { r =>
+      val (id, s, e) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      assert(r.getString(3) == orig(id).substring(s, e),
+        s"audit substring mismatch for doc $id [$s,$e)")
+    }
+    val auditByDoc = audit.groupBy(_.getLong(0))
+    orig.foreach { case (id, t) =>
+      val spans = auditByDoc.get(id).toSeq.flatten
+        .map(r => (r.getInt(1), r.getInt(2), r.getString(3))).sorted
+      // reconstruction from the CUT text: splice each removed span
+      // back in at its original offset — survivors ∪ audit rebuild
+      // the document exactly
+      val cutText = gotCut(id)
+      val rebuilt = {
+        val parts = scala.collection.mutable.ArrayBuffer[String]()
+        var origPos = 0
+        var cutPos = 0
+        for ((s, e, removed) <- spans) {
+          parts += cutText.substring(cutPos, cutPos + (s - origPos))
+          parts += removed
+          cutPos += s - origPos
+          origPos = e
+        }
+        parts += cutText.substring(cutPos)
+        parts.mkString
+      }
+      assert(rebuilt == t, s"doc $id: cut ∪ audit must rebuild original")
+    }
+  }
+
+  test("dedupSpans keepFirst=false cuts every occurrence; minDocFreq " +
+      "above the duplication degree cuts nothing") {
+    import spark.implicits._
+    val p = "p1 p2 p3 p4 p5 p6 p7 p8 p9"
+    val df = Seq(
+      (1L, s"one two $p end"),
+      (2L, s"zz $p yy"),
+      (3L, "nothing shared here at all truly unique words")
+    ).toDF("doc_id", "text")
+    val both = Dedup.dedupSpans(df, "doc_id", "text", k = 8,
+      keepFirst = false)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(both.toSeq == Seq(
+      (1L, "one two  end"),
+      (2L, "zz  yy"),
+      (3L, "nothing shared here at all truly unique words")))
+    val first = Dedup.dedupSpans(df, "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(first.toSeq == Seq(
+      (1L, s"one two $p end"), // min id keeps the only surviving copy
+      (2L, "zz  yy"),
+      (3L, "nothing shared here at all truly unique words")))
+    val none = Dedup.dedupSpans(df, "doc_id", "text", k = 8,
+      minDocFreq = 3)
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(none.toSeq == df.orderBy("doc_id").collect().map(_.getString(1)).toSeq)
+  }
+
+  test("duplicatedSpans shuffles carry hashes and positions, never " +
+      "text — the discovery pass is 20 bytes per shingle at any " +
+      "corpus size") {
+    val sp = Dedup.duplicatedSpans(plantedDocs, "doc_id", "text", k = 8)
+    sp.collect()
+    val exchanges = Fixtures.collectExchanges(sp.queryExecution.executedPlan)
+    assert(exchanges.nonEmpty, "expected shuffles in the discovery pass")
+    exchanges.foreach { e =>
+      val strs = e.output.filter(_.dataType ==
+        org.apache.spark.sql.types.StringType)
+      assert(strs.isEmpty,
+        s"string attributes crossed a shuffle: ${strs.map(_.name)}")
+    }
+  }
+
+  test("dedupSpans is independent of the input partitioning") {
+    val a = Dedup.dedupSpans(plantedDocs.repartition(13, col("doc_id")),
+      "doc_id", "text", k = 8).select("doc_id", "text")
+    val b = Dedup.dedupSpans(plantedDocs.coalesce(1),
+      "doc_id", "text", k = 8).select("doc_id", "text")
+    Fixtures.assertSameRows(a, b)
   }
 
   test("forgetDocuments propagates deletion through the ingestion " +

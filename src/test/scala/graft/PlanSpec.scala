@@ -60,6 +60,27 @@ class PlanSpec extends AnyFunSuite {
       s"expected a partial WindowGroupLimit, got:\n$plan")
   }
 
+  test("quotaCap self-protects: a quota the map-side limit cannot " +
+      "cover refuses loudly; raising the threshold re-arms the " +
+      "WindowGroupLimit at any quota") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val key = "spark.sql.optimizer.windowGroupLimitThreshold"
+    val saved = spark.conf.get(key)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Sampling.quotaCap(docs, "source", "doc_id", 2000)
+    }
+    assert(e.getMessage.contains(key), e.getMessage)
+    assert(e.getMessage.contains("2000"), e.getMessage)
+    try {
+      spark.conf.set(key, "5000")
+      val plan = graft.operators.Sampling
+        .quotaCap(docs, "source", "doc_id", 2000)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"map-side cap must fire at the raised threshold:\n$plan")
+    } finally spark.conf.set(key, saved)
+  }
+
   test("mixture sampling broadcasts counts; the corpus never shuffles") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val df = graft.operators.Sampling.mixtureByTemperature(

@@ -238,6 +238,85 @@ class StreamingSpec extends AnyFunSuite {
     assert(corpusRows() == got, "replayed batches must be txn no-ops")
   }
 
+  test("score-gated ingestion sink: predicate + persisted-LM gates " +
+      "filter before dedup, matching the batch filter ∘ dedupBatch " +
+      "composition; a checkpoint-less replay stays a txn no-op") {
+    import graft.core.PDataset
+    import graft.operators.{Dedup, LanguageModel}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val seed = docs.filter(col("doc_id") % 3 === 0)
+    def seedTables(dir: String): Unit = {
+      PDataset.fromDataFrame(seed, Seq("doc_id")).writeParquet(dir + "/corpus")
+      Dedup.buildMinhashIndex(spark, seed, "doc_id", "text", dir + "/idx")
+    }
+    // the persisted model: trained ONCE on the seed corpus, never
+    // retrained inside the loop
+    val modelDir = Files.createTempDirectory("graft-gate-model").toString + "/m"
+    LanguageModel.trainTrigramModel(seed, "text", vocab = 4096)
+      .write.parquet(modelDir)
+    val model = spark.read.parquet(modelDir)
+
+    val batch = docs.filter(col("doc_id") % 3 === 1)
+    val predicate = length(col("text")) >= 60
+    // cut at the batch's median score: a nonempty strict subset drops
+    val scores = LanguageModel
+      .lmScore(batch.filter(predicate), "doc_id", "text", model)
+      .select("lm_score").collect().map(_.getDouble(0)).sorted
+    val cut = scores(scores.length / 2)
+    assert(batch.filter(!predicate).count() > 0, "predicate gate must bite")
+
+    // Reference: batch-side filter ∘ lm-gate ∘ dedupBatch
+    val refRoot = Files.createTempDirectory("graft-gate-ref").toString
+    seedTables(refRoot)
+    val pred = batch.filter(predicate)
+    val keep = LanguageModel.lmScore(pred, "doc_id", "text", model)
+      .filter(col("lm_score") <= cut).select("doc_id")
+    val gatedRef = pred.join(keep, Seq("doc_id"), "left_semi")
+    assert(gatedRef.count() < pred.count(), "lm gate must bite")
+    val surv = Dedup.dedupBatch(spark, gatedRef, "doc_id", "text",
+      PDataset.scanParquet(spark, refRoot + "/corpus").toDF,
+      refRoot + "/idx").persist()
+    PDataset.fromDataFrame(surv, Seq("doc_id"))
+      .writeParquet(refRoot + "/corpus", append = true)
+    val expected = PDataset.scanParquet(spark, refRoot + "/corpus").toDF
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    surv.unpersist()
+
+    // Streamed: the same batch through the gated sink
+    val root = Files.createTempDirectory("graft-gate").toString
+    seedTables(root)
+    val srcDir = Files.createTempDirectory("graft-gate-src").toString
+    val ck = Files.createTempDirectory("graft-gate-ck").toString
+    batch.coalesce(1).write.mode("append").parquet(srcDir)
+    val q = graft.streaming.DocumentStreams.dedupSink(
+      spark.readStream.schema(schema).parquet(srcDir),
+      "doc_id", "text", root + "/corpus", root + "/idx", ck,
+      appId = Some("gate-spec"),
+      qualityGate = Some(predicate),
+      lmGate = Some((modelDir, cut)))
+    try q.processAllAvailable() finally q.stop()
+    def corpusRows() = PDataset.scanParquet(spark, root + "/corpus").toDF
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val got = corpusRows()
+    assert(got == expected, "gated stream != batch filter ∘ dedupBatch")
+
+    // checkpoint-less replay, same appId: txn ledger makes it a no-op
+    val ck2 = Files.createTempDirectory("graft-gate-ck2").toString
+    val q2 = graft.streaming.DocumentStreams.dedupSink(
+      spark.readStream.schema(schema).parquet(srcDir),
+      "doc_id", "text", root + "/corpus", root + "/idx", ck2,
+      appId = Some("gate-spec"),
+      qualityGate = Some(predicate),
+      lmGate = Some((modelDir, cut)))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(corpusRows() == got, "replayed gated batch must be a txn no-op")
+  }
+
   test("vector ingestion sink: micro-batches dedup against the " +
       "persisted ANN index sequentially, and a checkpoint-less replay " +
       "is a txn no-op") {
