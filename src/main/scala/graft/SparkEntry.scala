@@ -1191,6 +1191,32 @@ object SparkEntry {
       s.read.format("graft").load(table).orderBy("doc_id")
     }),
 
+    // CommonCrawl-shape INGESTION: WET shards in a landing zone COPY
+    // INTO a graft table — WARC-Target-URI becomes the index column,
+    // record bodies the text column, with the same exactly-once
+    // source ledger (the immediate re-run loads nothing). The WET
+    // export half (writeWetShards) feeds the fixture, closing the
+    // WARC interchange loop the same way q_webdataset/q_copy_into_tar
+    // close the tar loop.
+    "q_copy_into_warc" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-copywarc")
+      val table = root.resolve("t").toString
+      val landing = root.resolve("landing").toString
+      val docs = s.read.parquet(T(d, "documents"))
+        .select(concat(lit("http://example.com/doc/"), col("doc_id"))
+          .as("uri"), col("text"), col("doc_id"))
+      PDataset.fromDataFrame(
+        docs.filter(col("doc_id") < 100).select("uri", "text"), Seq("uri"))
+        .reindex(Seq("uri")).writeParquet(table)
+      graft.operators.Warc.writeWetShards(
+        docs.filter(col("doc_id") >= 100), "uri", "text", landing,
+        numShards = 4, seed = "drop1")
+      val g = s"graft.`$table`"
+      s.sql(s"COPY INTO $g FROM '$landing' FILEFORMAT = WARC")
+      s.sql(s"COPY INTO $g FROM '$landing' FILEFORMAT = WARC") // no-op
+      s.read.format("graft").load(table).orderBy("uri")
+    }),
+
     // SQL DELETE FROM through the V2 catalog: the pushed range
     // predicate routes through SupportsDeleteV2 onto the deletion-
     // vector overlay (a KB-scale commit, zero files rewritten), and
@@ -3613,6 +3639,11 @@ object SparkEntry {
         "SELECT doc_id, text FROM documents ORDER BY doc_id",
       "q_copy_into_tar_multi" ->
         "SELECT doc_id, text, lang FROM documents ORDER BY doc_id",
+      // the whole documents table keyed by its synthetic URI — base
+      // (< 100) seeded directly, the rest through the WET landing zone
+      "q_copy_into_warc" ->
+        """SELECT 'http://example.com/doc/' || doc_id AS uri, text
+           FROM documents ORDER BY uri""",
       // the REPLACE swapped the %3 table for the %2 table wholesale
       "q_sql_ctas" ->
         """SELECT * FROM orders WHERE o_orderkey % 2 = 0

@@ -11,9 +11,11 @@ import graft.core.{GraftFs, Sidecar}
   * WebDataset tar shards (FILEFORMAT = TAR: member stems onto the
   * index column, member bytes onto the text column; multi-member
   * samples onto a wide table via
-  * FORMAT_OPTIONS('members'='txt:text,json:meta')) — from a
-  * landing directory into a graft table, EXACTLY ONCE per source
-  * file.
+  * FORMAT_OPTIONS('members'='txt:text,json:meta')), or WARC/WET
+  * archives (FILEFORMAT = WARC: target URIs onto the index column,
+  * record bodies onto the text column — the CommonCrawl landing
+  * story, plain or gzip) — from a landing directory into a graft
+  * table, EXACTLY ONCE per source file.
   *
   * A per-table ledger in the sidecar extras (source path →
   * `size:mtime` fingerprint, [[Sidecar.Meta.copyLedger]]) records
@@ -50,7 +52,7 @@ object CopyInto {
       filesListed: Int, filesSkipped: Int, filesLoaded: Int,
       rowsLoaded: Long)
 
-  private val Formats = Set("parquet", "orc", "json", "csv", "tar")
+  private val Formats = Set("parquet", "orc", "json", "csv", "tar", "warc")
 
   /** The sidecar's enforced file ceiling, shared by the ledger: past
     * it, per-statement driver work stops being O(new files). */
@@ -196,6 +198,38 @@ object CopyInto {
               }
               .toDF(idName, textName)
         }
+      case "warc" =>
+        // CommonCrawl landing: WARC/WET records stream one-at-a-time
+        // per archive (plain or gzip — Warc.warcRecords), the
+        // WARC-Target-URI onto the single index column, the record
+        // body (UTF-8) onto the text column. Records without a
+        // target URI (warcinfo) skip; FORMAT_OPTIONS('types'=
+        // 'conversion') restricts the WARC-Type set (default: every
+        // record that has a URI).
+        require(m.indexColumns.length == 1,
+          "COPY INTO ... FILEFORMAT = WARC maps WARC-Target-URI onto " +
+            s"ONE index column; $dir is clustered on " +
+            s"(${m.indexColumns.mkString(",")})")
+        val idName = m.indexColumns.head
+        val res = spark.sessionState.conf.resolver
+        val textName = formatOptions.getOrElse("text", {
+          val rest = m.schema.fieldNames.filterNot(res(_, idName))
+          require(rest.length == 1,
+            s"COPY INTO ... FILEFORMAT = WARC needs the text column " +
+              "named explicitly (FORMAT_OPTIONS('text'='<col>')) when " +
+              "the table has more than two columns; candidates: " +
+              rest.mkString(", "))
+          rest.head
+        })
+        val types = formatOptions.get("types")
+          .map(_.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
+        import spark.implicits._
+        Warc.warcRecords(spark, fresh.map(_._1))
+          .filter(r => r._3.nonEmpty &&
+            types.forall(_.contains(r._2.toLowerCase)))
+          .map(r => (r._3, new String(r._4,
+            java.nio.charset.StandardCharsets.UTF_8)))
+          .toDF(idName, textName)
       case _ =>
         reader.schema(m.schema).format(fmt).load(fresh.map(_._1): _*)
     }
