@@ -1086,7 +1086,11 @@ object Dedup {
       textCol: String,
       k: Int = 20,
       keepFirst: Boolean = true,
-      minDocFreq: Int = 2): DataFrame = {
+      minDocFreq: Int = 2,
+      // Some(marker): replace each span with the marker instead of
+      // cutting — the loss-masking variant (training keeps the doc
+      // structure, the duplicated passage contributes one sentinel)
+      mask: Option[String] = None): DataFrame = {
     val spans = duplicatedSpans(docs, idCol, textCol, k, keepFirst,
       minDocFreq)
       .groupBy(idCol)
@@ -1094,9 +1098,10 @@ object Dedup {
         struct(col("span_start").as("s"), col("span_end").as("e"))))
         .as("__sp"))
     val cut = docs.join(spans, Seq(idCol), "left")
+    val marker = mask.getOrElse("")
     val rewritten = cut.withColumn(textCol,
       when(col("__sp").isNull, col(textCol)).otherwise(
-        cutSpansCol(col(textCol), col("__sp"))))
+        cutSpansCol(col(textCol), col("__sp"), marker)))
     rewritten.drop("__sp")
   }
 
@@ -1118,17 +1123,19 @@ object Dedup {
         col("__txt").substr(col("span_start") + lit(1),
           col("span_end") - col("span_start")).as("removed"))
 
-  /** Excise the sorted disjoint 0-based `[s, e)` spans from `text`:
-    * a fold that concatenates the kept segments (span lists are
-    * per-document and post-merge, so small). */
-  private def cutSpansCol(text: Column, spans: Column): Column = {
+  /** Excise the sorted disjoint 0-based `[s, e)` spans from `text`
+    * (each replaced by `marker` — empty = plain cut): a fold that
+    * concatenates the kept segments (span lists are per-document and
+    * post-merge, so small). */
+  private def cutSpansCol(
+      text: Column, spans: Column, marker: String = ""): Column = {
     val folded = aggregate(spans,
       struct(lit(0).as("p"), lit("").as("acc")),
       (a, x) => struct(
         x.getField("e").as("p"),
         concat(a.getField("acc"),
           text.substr(a.getField("p") + lit(1),
-            x.getField("s") - a.getField("p"))).as("acc")),
+            x.getField("s") - a.getField("p")), lit(marker)).as("acc")),
       a => concat(a.getField("acc"),
         text.substr(a.getField("p") + lit(1),
           length(text) - a.getField("p"))))

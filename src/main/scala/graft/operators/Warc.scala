@@ -222,7 +222,10 @@ object Warc {
       java.nio.charset.StandardCharsets.UTF_8)
   }
 
-  /** Write `df` as `numShards` WET shards (`shard-NNNNN.warc.wet`)
+  /** Write `df` as `numShards` WET shards (`shard-NNNNN.warc.wet`,
+    * or `.warc.wet.gz` with `compress = true` — the JVM's gzip with
+    * epoch header time, so compressed re-exports stay byte-identical
+    * and [[warcRecords]]' magic-sniffing reader ingests either)
     * under `dir`: one warcinfo record then one conversion record per
     * document, in the deterministic [[Sampling.shardAssign]] order.
     * Returns the number of shards written. NULL URIs refuse (a record
@@ -235,7 +238,8 @@ object Warc {
       textCol: String,
       dir: String,
       numShards: Int,
-      seed: String): Int = {
+      seed: String,
+      compress: Boolean = false): Int = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
     val spark = df.sparkSession
     val uri = col(uriCol).cast("string")
@@ -251,7 +255,7 @@ object Warc {
       graft.core.GraftFs.listStatuses(dfs, dirPath)
         .filter { s =>
           val n = s.getPath.getName
-          s.isFile && (n.matches("shard-\\d+\\.warc\\.wet") ||
+          s.isFile && (n.matches("shard-\\d+\\.warc\\.wet(\\.gz)?") ||
             n.startsWith(".shard-"))
         }
         .foreach(s => dfs.delete(s.getPath, false))
@@ -284,11 +288,15 @@ object Warc {
           if (shard != current) {
             close()
             current = shard
-            dst = new Path(out, f"shard-$shard%05d.warc.wet")
-            tmp = new Path(out, f".shard-$shard%05d.warc.wet.$attempt.tmp")
+            val ext = if (compress) ".warc.wet.gz" else ".warc.wet"
+            dst = new Path(out, f"shard-$shard%05d$ext")
+            tmp = new Path(out, f".shard-$shard%05d$ext.$attempt.tmp")
             fs = dst.getFileSystem(conf.value)
-            os = new java.io.BufferedOutputStream(
+            val base = new java.io.BufferedOutputStream(
               fs.create(tmp, true), 1 << 16)
+            os = if (compress)
+              new java.util.zip.GZIPOutputStream(base, 1 << 16)
+            else base
             os.write(warcinfoRecord(shard))
           }
           os.write(wetRecord(row.getString(1), row.getString(2)

@@ -1009,6 +1009,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(none.toSeq == df.orderBy("doc_id").collect().map(_.getString(1)).toSeq)
   }
 
+  test("dedupSpans mask variant replaces each span with the marker, " +
+      "preserving surrounding text exactly") {
+    import spark.implicits._
+    val p = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val df = Seq(
+      (1L, s"keep $p tail"),
+      (2L, s"also $p end"),
+      (3L, "unrelated text entirely here okay fine")
+    ).toDF("doc_id", "text")
+    val masked = Dedup.dedupSpans(df, "doc_id", "text", k = 8,
+      mask = Some("<|dup|>"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(masked.toSeq == Seq(
+      (1L, s"keep $p tail"), // keeper: untouched
+      (2L, "also <|dup|> end"),
+      (3L, "unrelated text entirely here okay fine")))
+  }
+
   test("duplicatedSpans shuffles carry hashes and positions, never " +
       "text — the discovery pass is 20 bytes per shingle at any " +
       "corpus size") {

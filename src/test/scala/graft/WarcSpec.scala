@@ -119,6 +119,39 @@ class WarcSpec extends AnyFunSuite {
       s"${e.getClass}: ${e.getMessage}")
   }
 
+  test("compress = true writes gzip'd WET shards that roundtrip " +
+      "through the magic-sniffing reader and COPY INTO, " +
+      "byte-identically on re-export") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(concat(lit("http://gz.com/"), col("doc_id")).as("uri"),
+        col("text"))
+    val dir = Fixtures.tempDir("wet-gz") + "/shards"
+    val n = Warc.writeWetShards(docs, "uri", "text", dir, 3, "s1",
+      compress = true)
+    assert(n == 3)
+    val files = new java.io.File(dir).listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).sorted
+    assert(files.forall(_.endsWith(".warc.wet.gz")), files.mkString(","))
+    Fixtures.assertSameRows(
+      Warc.readWetShards(spark, dir).select("uri", "text"), docs)
+    // deterministic compressed bytes (epoch gzip header)
+    def md5s() = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".gz"))
+      .map(f => f.getName -> java.util.Arrays.hashCode(
+        java.nio.file.Files.readAllBytes(f.toPath))).toMap
+    val first = md5s()
+    Warc.writeWetShards(docs, "uri", "text", dir, 3, "s1",
+      compress = true)
+    assert(md5s() == first, "compressed re-export must be byte-identical")
+    // a compressed re-export replaces a stale UNcompressed layout
+    Warc.writeWetShards(docs, "uri", "text", dir, 2, "s1")
+    val left = new java.io.File(dir).listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).sorted
+    assert(left.forall(_.endsWith(".warc.wet")) && left.length == 2,
+      left.mkString(","))
+  }
+
   test("COPY INTO FILEFORMAT = WARC: exactly-once ledger, warcinfo " +
       "skip, FORMAT_OPTIONS('types') filter, wide-table refusal") {
     val root = Fixtures.tempDir("copy-warc")
