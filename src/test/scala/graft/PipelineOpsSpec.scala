@@ -1042,6 +1042,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupSpans end to end never shuffles text either: the final " +
+      "assembly joins the doc-bounded span table INTO the corpus " +
+      "(AQE broadcast), so the corpus stays in place at any scale") {
+    val out = Dedup.dedupSpans(plantedDocs, "doc_id", "text", k = 8)
+    out.collect()
+    val plan = out.queryExecution.executedPlan
+    val exchanges = Fixtures.collectExchanges(plan)
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      val strs = e.output.filter(_.dataType ==
+        org.apache.spark.sql.types.StringType)
+      assert(strs.isEmpty,
+        s"text crossed a shuffle in the full dedupSpans: " +
+          s"${strs.map(_.name)} — the span-side join must broadcast")
+    }
+  }
+
   test("dedupSpans is independent of the input partitioning") {
     val a = Dedup.dedupSpans(plantedDocs.repartition(13, col("doc_id")),
       "doc_id", "text", k = 8).select("doc_id", "text")
