@@ -259,6 +259,14 @@ object SparkEntry {
         concat(col("text"), lit(" " + SpanPassage)))
         .otherwise(col("text")).as("text"))
 
+  /** Within-doc fixture: the same passage twice with an interlude. */
+  private def spanSelfPlantedDocs(s: SparkSession, d: String): DataFrame =
+    scan(s, d, "documents").toDF.select(col("doc_id"),
+      when(col("doc_id") % 11 === 0,
+        concat(col("text"),
+          lit(" " + SpanPassage + " interlude " + SpanPassage)))
+        .otherwise(col("text")).as("text"))
+
   private def statsRow(s: SparkSession, ds: PDataset): DataFrame = {
     val n = ds.sizes.get.sum
     val lb = ds.lowerBounds.get.map(_.head).min(graft.core.Lex.boundOrdering
@@ -2727,6 +2735,16 @@ object SparkEntry {
       Dedup.spanAudit(spanPlantedDocs(s, d), "doc_id", "text", k = 8)
         .orderBy("doc_id", "span_start")),
 
+    // WITHIN-doc span dedup (self-repetition trim — the generated-
+    // text-loop / boilerplate-echo case): a passage planted TWICE in
+    // each doc_id % 11 == 0 document keeps its first copy and loses
+    // the second; duplication is judged per document, so identical
+    // passages across documents are untouched here.
+    "q_dedup_spans_self" -> ((s, d) =>
+      Dedup.dedupSpans(spanSelfPlantedDocs(s, d), "doc_id", "text",
+        k = 8, withinDoc = true)
+        .select("doc_id", "text").orderBy("doc_id")),
+
     // Benchmark decontamination: corpus docs sharing any word 4-gram
     // with the held-out set (doc_id % 97 == 0 plays the eval set).
     // The benchmark's distinct-shingle set broadcasts; the corpus is
@@ -3257,13 +3275,10 @@ object SparkEntry {
     // collision check), drop the min-(doc_id, start) keeper per
     // shingle, then gaps-and-islands merge per document. Plain (non-
     // interpolated) literal so \t\n\r survive into the regex.
-    val spanMergedCte = """
-        WITH d AS (
-          SELECT doc_id,
-                 CASE WHEN doc_id % 7 = 0
-                      THEN text || ' alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima'
-                      ELSE text END AS t
-          FROM documents),
+    // shared tokenization/shingling stages (offset-exact interleaved
+    // split + 8-token windowed shingles) — everything between the
+    // fixture CTE `d` and the duplicated-occurrence stage `sphits`
+    val spanTokCte = """
         spbase AS (
           SELECT doc_id, t,
                  regexp_extract_all(t, '[^ \t\n\r]+') AS toks,
@@ -3289,7 +3304,11 @@ object SparkEntry {
                    string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY i
                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS shs
             FROM sppos)
-          WHERE e IS NOT NULL),
+          WHERE e IS NOT NULL)"""
+
+    // cross-doc duplication: a shingle in >= 2 distinct docs; keeper =
+    // the min-(doc_id, s) occurrence corpus-wide
+    val spanCrossDup = """
         spdup AS (
           SELECT shs FROM spsh GROUP BY shs
           HAVING count(DISTINCT doc_id) >= 2),
@@ -3299,7 +3318,22 @@ object SparkEntry {
                    ORDER BY spsh.doc_id, spsh.s) AS rn
           FROM spsh JOIN spdup USING (shs)),
         sphits AS (
-          SELECT doc_id, s, e FROM spocc WHERE rn > 1),
+          SELECT doc_id, s, e FROM spocc WHERE rn > 1)"""
+
+    // within-doc duplication: a shingle occurring >= 2 times in the
+    // SAME doc; keeper = its first occurrence there
+    val spanSelfDup = """
+        spocc AS (
+          SELECT doc_id, s, e,
+                 count(*) OVER (PARTITION BY doc_id, shs) AS n,
+                 row_number() OVER (PARTITION BY doc_id, shs
+                   ORDER BY s) AS rn
+          FROM spsh),
+        sphits AS (
+          SELECT doc_id, s, e FROM spocc WHERE n >= 2 AND rn > 1)"""
+
+    // gaps-and-islands merge into maximal disjoint spans per doc
+    val spanMergeTail = """
         spflag AS (
           SELECT doc_id, s, e,
                  CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
@@ -3315,6 +3349,49 @@ object SparkEntry {
         spmerged AS (
           SELECT doc_id, min(s) AS s, max(e) AS e
           FROM spgrp GROUP BY doc_id, g)"""
+
+    // cutting: string_agg of kept segments + the tail past the last
+    // span; docs without spans pass through the left join untouched
+    val spanCutTail = """,
+        spseg AS (
+          SELECT m.doc_id, m.s, m.e,
+                 coalesce(lag(m.e) OVER (PARTITION BY m.doc_id
+                   ORDER BY m.s), 0) AS pe
+          FROM spmerged m),
+        spcut AS (
+          SELECT spseg.doc_id,
+                 string_agg(substr(d.t, CAST(pe + 1 AS INT),
+                     CAST(s - pe AS INT)), '' ORDER BY s)
+                   || substr(d.t, CAST(max(e) + 1 AS INT)) AS text
+          FROM spseg JOIN d USING (doc_id)
+          GROUP BY spseg.doc_id, d.t)
+        SELECT d.doc_id, coalesce(c.text, d.t) AS text
+        FROM d LEFT JOIN spcut c USING (doc_id)
+        ORDER BY doc_id"""
+
+    // the cross-doc fixture: a 12-token passage planted on doc_id%7==0
+    val spanCrossFixture = """
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN text || ' alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima'
+                      ELSE text END AS t
+          FROM documents),"""
+
+    // the within-doc fixture: the SAME passage planted TWICE (with an
+    // interlude) on doc_id%11==0 — self-repetition to trim
+    val spanSelfFixture = """
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 0
+                      THEN text || ' alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima interlude alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima'
+                      ELSE text END AS t
+          FROM documents),"""
+
+    val spanMergedCte = spanCrossFixture + spanTokCte + "," +
+      spanCrossDup + "," + spanMergeTail
+    val spanSelfMergedCte = spanSelfFixture + spanTokCte + "," +
+      spanSelfDup + "," + spanMergeTail
 
     // Connected-component labels (recursive reachability closure,
     // min-id canonical) over the 0.85-jaccard trigram pair graph —
@@ -4467,22 +4544,11 @@ object SparkEntry {
       // ExactSubstr: cut the merged spans out of each text (string_agg
       // of the kept segments + the tail past the last span); docs
       // without spans pass through the left join untouched
-      "q_dedup_spans" -> (spanMergedCte + """,
-        spseg AS (
-          SELECT m.doc_id, m.s, m.e,
-                 coalesce(lag(m.e) OVER (PARTITION BY m.doc_id
-                   ORDER BY m.s), 0) AS pe
-          FROM spmerged m),
-        spcut AS (
-          SELECT spseg.doc_id,
-                 string_agg(substr(d.t, CAST(pe + 1 AS INT),
-                     CAST(s - pe AS INT)), '' ORDER BY s)
-                   || substr(d.t, CAST(max(e) + 1 AS INT)) AS text
-          FROM spseg JOIN d USING (doc_id)
-          GROUP BY spseg.doc_id, d.t)
-        SELECT d.doc_id, coalesce(c.text, d.t) AS text
-        FROM d LEFT JOIN spcut c USING (doc_id)
-        ORDER BY doc_id"""),
+      "q_dedup_spans" -> (spanMergedCte + spanCutTail),
+      // the within-doc (self-repetition) variant: the planted twice-
+      // repeated passage loses its second copy, everything else
+      // rederives identically
+      "q_dedup_spans_self" -> (spanSelfMergedCte + spanCutTail),
       // the audit rows: every merged span with its exact substring
       "q_span_audit" -> (spanMergedCte + """
         SELECT m.doc_id, CAST(m.s AS INT) AS span_start,

@@ -1036,7 +1036,14 @@ object Dedup {
       textCol: String,
       k: Int = 20,
       keepFirst: Boolean = true,
-      minDocFreq: Int = 2): DataFrame = {
+      minDocFreq: Int = 2,
+      // true: duplication WITHIN one document (self-repetition — the
+      // generated-text-loop / boilerplate-echo trim; `minDocFreq` is
+      // ignored, a shingle is duplicated when it occurs >= 2 times in
+      // the SAME doc, and the keeper is its first occurrence there).
+      // The aggregate keys on (doc, hash), so the whole discovery
+      // pass shuffles the same 20-byte rows, just co-keyed by doc.
+      withinDoc: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(minDocFreq >= 2,
       s"minDocFreq < 2 would mark every span duplicated, got $minDocFreq")
@@ -1045,17 +1052,25 @@ object Dedup {
         coalesce(col(textCol), lit("")), k)).as("__t"))
       .select(col("__id"), col("__t.h").as("__h"),
         col("__t.s").as("__s"), col("__t.e").as("__e"))
-    val dup = sh.groupBy("__h")
-      .agg(count_distinct(col("__id")).as("__df"),
-        min(struct(col("__id").as("i"), col("__s").as("p"))).as("__keep"))
-      .filter(col("__df") >= minDocFreq)
-      .select("__h", "__keep")
-    val hits0 = sh.join(dup, Seq("__h"))
-    val hits =
+    val hits = if (withinDoc) {
+      val dup = sh.groupBy("__id", "__h")
+        .agg(count(lit(1)).as("__n"), min(col("__s")).as("__keep"))
+        .filter(col("__n") >= 2)
+        .select(col("__id"), col("__h"), col("__keep"))
+      val hits0 = sh.join(dup, Seq("__id", "__h"))
+      if (keepFirst) hits0.filter(col("__s") =!= col("__keep")) else hits0
+    } else {
+      val dup = sh.groupBy("__h")
+        .agg(count_distinct(col("__id")).as("__df"),
+          min(struct(col("__id").as("i"), col("__s").as("p"))).as("__keep"))
+        .filter(col("__df") >= minDocFreq)
+        .select("__h", "__keep")
+      val hits0 = sh.join(dup, Seq("__h"))
       if (keepFirst)
         hits0.filter(!(col("__id") === col("__keep.i") &&
           col("__s") === col("__keep.p")))
       else hits0
+    }
     // gaps-and-islands merge, one document per window partition
     val w = Window.partitionBy("__id").orderBy("__s", "__e")
     val merged = hits
@@ -1090,9 +1105,10 @@ object Dedup {
       // Some(marker): replace each span with the marker instead of
       // cutting — the loss-masking variant (training keeps the doc
       // structure, the duplicated passage contributes one sentinel)
-      mask: Option[String] = None): DataFrame = {
+      mask: Option[String] = None,
+      withinDoc: Boolean = false): DataFrame = {
     val spans = duplicatedSpans(docs, idCol, textCol, k, keepFirst,
-      minDocFreq)
+      minDocFreq, withinDoc)
       .groupBy(idCol)
       .agg(sort_array(collect_list(
         struct(col("span_start").as("s"), col("span_end").as("e"))))
@@ -1116,8 +1132,10 @@ object Dedup {
       textCol: String,
       k: Int = 20,
       keepFirst: Boolean = true,
-      minDocFreq: Int = 2): DataFrame =
-    duplicatedSpans(docs, idCol, textCol, k, keepFirst, minDocFreq)
+      minDocFreq: Int = 2,
+      withinDoc: Boolean = false): DataFrame =
+    duplicatedSpans(docs, idCol, textCol, k, keepFirst, minDocFreq,
+      withinDoc)
       .join(docs.select(col(idCol), col(textCol).as("__txt")), Seq(idCol))
       .select(col(idCol), col("span_start"), col("span_end"),
         col("__txt").substr(col("span_start") + lit(1),

@@ -1009,6 +1009,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(none.toSeq == df.orderBy("doc_id").collect().map(_.getString(1)).toSeq)
   }
 
+  test("withinDoc span dedup trims self-repetition only: the second " +
+      "in-doc copy of a passage is cut, identical cross-doc passages " +
+      "are untouched") {
+    import spark.implicits._
+    val p = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val df = Seq(
+      // the passage twice in ONE doc: second copy cut
+      (1L, s"intro $p mid $p outro"),
+      // the SAME passage once here: cross-doc dup, but withinDoc
+      // ignores it — untouched
+      (2L, s"other $p tail"),
+      (3L, "no repeats at all in this one truly")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(df, "doc_id", "text", k = 8,
+      withinDoc = true)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq(
+      (1L, s"intro $p mid  outro"),
+      (2L, s"other $p tail"),
+      (3L, "no repeats at all in this one truly")))
+    // keepFirst=false cuts BOTH in-doc copies
+    val both = Dedup.dedupSpans(df, "doc_id", "text", k = 8,
+      withinDoc = true, keepFirst = false)
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(both.head == "intro  mid  outro", both.head)
+    // audit covers the removed copy exactly
+    val audit = Dedup.spanAudit(df, "doc_id", "text", k = 8,
+      withinDoc = true).collect()
+    assert(audit.length == 1 && audit(0).getLong(0) == 1L &&
+      audit(0).getString(3) == p, audit.mkString(","))
+  }
+
   test("dedupSpans mask variant replaces each span with the marker, " +
       "preserving surrounding text exactly") {
     import spark.implicits._
