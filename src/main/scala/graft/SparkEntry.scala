@@ -3094,6 +3094,22 @@ object SparkEntry {
         round(Similarity.l2norm(col("embedding")), 3).as("norm"))
         .orderBy("vec_id")),
 
+    // Chunk-to-document embedding pooling: the mean of each dimension
+    // over the group's vectors (vec_id % 50 plays the document id);
+    // the shuffle carries one per-dimension partial (sum, count) per
+    // group, never whole vectors. Output exploded to (group, dim,
+    // val) so the cross-engine compare stays scalar.
+    "q_embed_pool" -> ((s, d) =>
+      graft.operators.Similarity.meanPool(
+        scan(s, d, "embeddings").toDF
+          .withColumn("group_id", col("vec_id") % 50),
+        "group_id", "embedding")
+        .select(col("group_id"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("group_id"), col("dim"),
+          round(col("v"), 4).as("val"))
+        .orderBy("group_id", "dim")),
+
     "q_ann_brute" -> ((s, d) => {
       val emb = scan(s, d, "embeddings").toDF
       Similarity.bruteForceTopK(
@@ -5003,6 +5019,18 @@ object SparkEntry {
                   round(sqrt(list_sum(list_transform(embedding,
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 3) AS norm
            FROM embeddings ORDER BY vec_id""",
+      // per-dimension mean over each group's vectors, double-
+      // accumulated both sides (float->double casts are exact, so
+      // round(,4) absorbs summation-order ulps)
+      "q_embed_pool" ->
+        """WITH e AS (
+             SELECT vec_id % 50 AS group_id,
+                    unnest(embedding) AS v,
+                    unnest(range(len(embedding))) AS d
+             FROM embeddings)
+           SELECT group_id, CAST(d AS INT) AS dim,
+                  round(avg(CAST(v AS DOUBLE)), 4) AS val
+           FROM e GROUP BY group_id, d ORDER BY group_id, dim""",
       "q_ann_brute" ->
         """WITH scored AS (
              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -31,6 +31,42 @@ object Similarity {
   def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / (na * nb)
 
+  /** Mean-pool vectors per group — the chunk-embeddings → document-
+    * vector step of an embedding pipeline (mean of each dimension
+    * over the group's vectors, accumulated in double). Relational
+    * shape that survives any scale: posexplode to (group, dim,
+    * value), ONE map-side-combined average per (group, dim) — the
+    * shuffle carries a partial (sum, count) per dimension, never
+    * whole vectors — then reassembly by sorted dimension. Groups with
+    * vectors of inconsistent lengths refuse loudly (a silent ragged
+    * mean is always a bug upstream). */
+  def meanPool(
+      df: DataFrame,
+      groupCol: String,
+      vecCol: String,
+      out: String = "embedding"): DataFrame = {
+    val dims = df.select(col(groupCol).as("__g"),
+      posexplode(col(vecCol)).as(Seq("__d", "__v")))
+      .groupBy(col("__g"), col("__d"))
+      .agg(avg(col("__v").cast("double")).as("__m"),
+        count(lit(1)).as("__n"))
+    dims.groupBy(col("__g"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("__d"), col("__m")))),
+          e => e.getField("__m")).as("__vec"),
+        min(col("__n")).as("__nmin"), max(col("__n")).as("__nmax"))
+      .select(col("__g").as(groupCol),
+        // the ragged check rides INSIDE the output column so pruning
+        // can never elide it
+        when(col("__nmin") =!= col("__nmax"), raise_error(concat(
+          lit("meanPool: group "), col("__g").cast("string"),
+          lit(" mixes vector lengths - dimension counts range "),
+          col("__nmin").cast("string"), lit(".."),
+          col("__nmax").cast("string"))))
+          .otherwise(col("__vec")).as(out))
+  }
+
   /** Exact top-k cosine neighbors for each query vector (brute force).
     * Queries and corpus are both (id, vec) frames; output
     * (query_id, neighbor_id, cosine, rank). The query side is expected

@@ -1410,6 +1410,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(found >= 95, s"IVF found only $found/100 planted neighbors")
   }
 
+  test("meanPool averages each dimension per group and refuses " +
+      "ragged vector lengths loudly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (1L, Array(3.0f, 4.0f, 5.0f)),
+      (2L, Array(10.0f, 20.0f, 30.0f))
+    ).toDF("doc", "vec")
+    val got = Similarity.meanPool(df, "doc", "vec", out = "pooled")
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+    assert(got.toSeq == Seq(
+      (1L, Seq(2.0, 3.0, 4.0)),
+      (2L, Seq(10.0, 20.0, 30.0))))
+    // ragged group: loud refusal naming the group
+    val ragged = Seq(
+      (1L, Array(1.0f, 2.0f)),
+      (1L, Array(1.0f, 2.0f, 3.0f))
+    ).toDF("doc", "vec")
+    val e = intercept[Exception] {
+      Similarity.meanPool(ragged, "doc", "vec").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("mixes vector lengths")),
+      msgs(e).mkString(" | "))
+  }
+
   test("cosine is symmetric and self-similarity is 1") {
     val a = emb.filter(col("vec_id") === 0).select(col("embedding")).collect()(0)
       .getSeq[Float](0)
