@@ -827,8 +827,8 @@ class PipelineOpsSpec extends AnyFunSuite {
     * distinct docs, (optionally) exempt the min-(id, start) keeper,
     * merge overlapping/adjacent hits. ASCII fixtures: char == cp. */
   private def bruteSpans(
-      texts: Map[Long, String], k: Int, keepFirst: Boolean)
-      : Map[Long, Seq[(Int, Int)]] = {
+      texts: Map[Long, String], k: Int, keepFirst: Boolean,
+      withinDoc: Boolean = false): Map[Long, Seq[(Int, Int)]] = {
     val ws = " \t\n\r"
     def toks(t: String): IndexedSeq[(String, Int, Int)] = {
       val buf = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
@@ -852,11 +852,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
     val hits = scala.collection.mutable.Map[Long,
       scala.collection.mutable.ArrayBuffer[(Int, Int)]]()
-    for ((_, os) <- occ if os.map(_._1).distinct.size >= 2) {
-      val keep = os.minBy(o => (o._1, o._2))
-      for (o <- os if !(keepFirst && o._1 == keep._1 && o._2 == keep._2))
-        hits.getOrElseUpdate(o._1,
-          scala.collection.mutable.ArrayBuffer()) += ((o._2, o._3))
+    if (withinDoc) {
+      for ((_, os) <- occ; (_, docOs) <- os.groupBy(_._1)
+           if docOs.size >= 2) {
+        val keep = docOs.minBy(_._2)
+        for (o <- docOs if !(keepFirst && o._2 == keep._2))
+          hits.getOrElseUpdate(o._1,
+            scala.collection.mutable.ArrayBuffer()) += ((o._2, o._3))
+      }
+    } else {
+      for ((_, os) <- occ if os.map(_._1).distinct.size >= 2) {
+        val keep = os.minBy(o => (o._1, o._2))
+        for (o <- os if !(keepFirst && o._1 == keep._1 && o._2 == keep._2))
+          hits.getOrElseUpdate(o._1,
+            scala.collection.mutable.ArrayBuffer()) += ((o._2, o._3))
+      }
     }
     hits.map { case (id, sp) =>
       val merged = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
@@ -1007,6 +1017,41 @@ class PipelineOpsSpec extends AnyFunSuite {
       minDocFreq = 3)
       .orderBy("doc_id").collect().map(_.getString(1))
     assert(none.toSeq == df.orderBy("doc_id").collect().map(_.getString(1)).toSeq)
+  }
+
+  test("span dedup fuzz: randomized low-vocab corpora (dense shingle " +
+      "collisions, overlapping spans) match the brute-force reference " +
+      "across cross-doc/within-doc and both keep policies") {
+    import spark.implicits._
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg",
+      "hh", "ii", "jj")
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val texts = (0L until 30L).map { i =>
+        i -> (0 until (10 + rnd.nextInt(40)))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }.toMap
+      val df = texts.toSeq.toDF("doc_id", "text")
+      for (wd <- Seq(false, true); kf <- Seq(true, false)) {
+        val tag = s"seed=$seed withinDoc=$wd keepFirst=$kf"
+        val want = bruteSpans(texts, k = 3, keepFirst = kf,
+          withinDoc = wd).filter(_._2.nonEmpty)
+        val got = Dedup.duplicatedSpans(df, "doc_id", "text", k = 3,
+          keepFirst = kf, withinDoc = wd)
+          .collect().groupBy(_.getLong(0))
+          .map { case (id, rs) =>
+            id -> rs.map(r => (r.getInt(1), r.getInt(2))).sorted.toSeq
+          }
+        assert(got == want, s"$tag: spans diverge")
+        val cut = Dedup.dedupSpans(df, "doc_id", "text", k = 3,
+          keepFirst = kf, withinDoc = wd)
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        texts.foreach { case (id, t) =>
+          assert(cut(id) == excise(t, want.getOrElse(id, Nil)),
+            s"$tag: cut text diverges for doc $id")
+        }
+      }
+    }
   }
 
   test("withinDoc span dedup trims self-repetition only: the second " +
