@@ -5019,9 +5019,12 @@ object SparkEntry {
                   round(sqrt(list_sum(list_transform(embedding,
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 3) AS norm
            FROM embeddings ORDER BY vec_id""",
-      // per-dimension mean over each group's vectors, double-
-      // accumulated both sides (float->double casts are exact, so
-      // round(,4) absorbs summation-order ulps)
+      // per-dimension mean over each group's vectors. The sum runs in
+      // DECIMAL(30,15) on BOTH engines: the decimal cast is a
+      // deterministic per-value rounding and decimal addition is
+      // exact and associative, so neither engine's aggregation order
+      // can shift the mean (double summation order cost r19 its
+      // q_embed_pool hash match)
       "q_embed_pool" ->
         """WITH e AS (
              SELECT vec_id % 50 AS group_id,
@@ -5029,7 +5032,9 @@ object SparkEntry {
                     unnest(range(len(embedding))) AS d
              FROM embeddings)
            SELECT group_id, CAST(d AS INT) AS dim,
-                  round(avg(CAST(v AS DOUBLE)), 4) AS val
+                  round(CAST(sum(CAST(CAST(v AS DOUBLE)
+                          AS DECIMAL(30,15))) AS DOUBLE)
+                        / count(*), 4) AS val
            FROM e GROUP BY group_id, d ORDER BY group_id, dim""",
       "q_ann_brute" ->
         """WITH scored AS (

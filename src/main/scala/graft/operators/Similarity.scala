@@ -33,13 +33,20 @@ object Similarity {
 
   /** Mean-pool vectors per group — the chunk-embeddings → document-
     * vector step of an embedding pipeline (mean of each dimension
-    * over the group's vectors, accumulated in double). Relational
-    * shape that survives any scale: posexplode to (group, dim,
-    * value), ONE map-side-combined average per (group, dim) — the
-    * shuffle carries a partial (sum, count) per dimension, never
-    * whole vectors — then reassembly by sorted dimension. Groups with
-    * vectors of inconsistent lengths refuse loudly (a silent ragged
-    * mean is always a bug upstream). */
+    * over the group's vectors). Relational shape that survives any
+    * scale: posexplode to (group, dim, value), ONE map-side-combined
+    * sum per (group, dim) — the shuffle carries a partial (sum,
+    * count) per dimension, never whole vectors — then reassembly by
+    * sorted dimension. Groups with vectors of inconsistent lengths
+    * refuse loudly (a silent ragged mean is always a bug upstream).
+    *
+    * The per-dimension sum accumulates in `decimal(30,15)`, NOT
+    * double: double addition is non-associative, so a double mean
+    * shifts its last ulp with the partial-aggregation order (which
+    * varies with partitioning and scheduling) — the r19 q_embed_pool
+    * driver failure. The decimal cast is a deterministic PER-VALUE
+    * rounding and decimal addition is exact and associative, so the
+    * pooled vector is bit-identical under any partitioning. */
   def meanPool(
       df: DataFrame,
       groupCol: String,
@@ -48,7 +55,8 @@ object Similarity {
     val dims = df.select(col(groupCol).as("__g"),
       posexplode(col(vecCol)).as(Seq("__d", "__v")))
       .groupBy(col("__g"), col("__d"))
-      .agg(avg(col("__v").cast("double")).as("__m"),
+      .agg((sum(col("__v").cast("double").cast("decimal(30,15)"))
+        .cast("double") / count(lit(1))).as("__m"),
         count(lit(1)).as("__n"))
     dims.groupBy(col("__g"))
       .agg(

@@ -1484,6 +1484,27 @@ class PipelineOpsSpec extends AnyFunSuite {
       msgs(e).mkString(" | "))
   }
 
+  test("meanPool is bit-deterministic across shuffle partitionings") {
+    // double summation order varies with partitioning; the decimal-sum
+    // mean must not (the r19 q_embed_pool driver failure mode)
+    val base = emb.limit(200)
+      .withColumn("doc", col("vec_id") % 7)
+    val conf = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(conf)
+    try {
+      val runs = Seq("1", "7", "32").map { n =>
+        spark.conf.set(conf, n)
+        Similarity.meanPool(base, "doc", "embedding", out = "pooled")
+          .orderBy("doc").collect()
+          .map(r => (r.getLong(0),
+            r.getSeq[Double](1).map(java.lang.Double.doubleToLongBits)))
+          .toSeq
+      }
+      assert(runs(0) == runs(1) && runs(1) == runs(2),
+        "meanPool output varies with shuffle partitioning")
+    } finally spark.conf.set(conf, saved)
+  }
+
   test("cosine is symmetric and self-similarity is 1") {
     val a = emb.filter(col("vec_id") === 0).select(col("embedding")).collect()(0)
       .getSeq[Float](0)
