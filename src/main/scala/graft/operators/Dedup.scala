@@ -1029,7 +1029,18 @@ object Dedup {
     * occurrence instead (the masking variant). Keeper granularity is
     * per-shingle, so when a passage ALSO partially repeats in some
     * third document the kept copy can split across owners — the
-    * published algorithm has the same property. */
+    * published algorithm has the same property.
+    *
+    * Hash-collision tradeoff: duplication is decided on 62-bit shingle
+    * HASH equality, not token-run equality — unlike the published
+    * suffix-array method, which is exact. At ~1e11 shingles (a full
+    * pretraining corpus) the birthday bound expects on the order of a
+    * thousand colliding pairs, each of which spuriously cuts one
+    * k-token span (~1e-8 of the corpus) — the same accepted tradeoff
+    * as every hash-bucketed dedup in this family. Callers needing
+    * exactness can verify the hit set (bounded by the duplication
+    * rate) against the raw text before cutting; the operator keeps the
+    * fixed-width-shuffle discipline by design. */
   def duplicatedSpans(
       docs: DataFrame,
       idCol: String,

@@ -377,11 +377,16 @@ object Export {
     while (p < data.length) {
       var sp = p
       while (sp < data.length && data(sp) != ' ') sp += 1
+      require(sp < data.length,
+        s"malformed PAX record at offset $p: no length delimiter")
       val len = new String(data, p, sp - p, "UTF-8").trim.toInt
-      // A zero/negative length (or one past the buffer) never advances
-      // p -- a malformed or adversarial record must fail loudly, not
-      // hang the task
-      require(len > 0 && p + len <= data.length,
+      // The record must at least cover its own "NNN " prefix and
+      // trailing newline (len >= sp - p + 2, so the body substring
+      // length is non-negative), never run past the buffer, and never
+      // fail to advance p -- a malformed or adversarial record must
+      // fail loudly with THIS message, not hang the task or surface
+      // as a StringIndexOutOfBoundsException
+      require(len >= sp - p + 2 && p + len <= data.length,
         s"malformed PAX record at offset $p: length $len " +
           s"(extended-header data is ${data.length} bytes)")
       val body = new String(data, sp + 1, p + len - sp - 2, "UTF-8")

@@ -62,29 +62,172 @@ object Warc {
         it.flatMap { pathStr =>
           val p = new org.apache.hadoop.fs.Path(pathStr)
           val raw = p.getFileSystem(conf.value).open(p)
+          // backstop for a failure between open and wrapping
           Option(org.apache.spark.TaskContext.get).foreach(
             _.addTaskCompletionListener[Unit](_ =>
               try raw.close() catch { case _: java.io.IOException => }))
           val in = maybeGunzip(
-            new java.io.BufferedInputStream(raw, 1 << 16))
-          Export.closeOnExhaust(parseWarcStream(in, pathStr), raw)
+            new java.io.BufferedInputStream(raw, 1 << 16), pathStr)
+          // close the OUTERMOST stream (ends the gzip Inflater's
+          // native buffer, then the FS stream underneath) — closing
+          // only `raw` leaked one Inflater per gzip'd archive until
+          // GC finalization
+          Option(org.apache.spark.TaskContext.get).foreach(
+            _.addTaskCompletionListener[Unit](_ =>
+              try in.close() catch { case _: java.io.IOException => }))
+          Export.closeOnExhaust(parseWarcStream(in, pathStr), in)
             .map(r => (pathStr, r.warcType, r.targetUri, r.body))
         }
       }
   }
 
   /** Wrap gzip'd input transparently (magic-sniffed, not by
-    * extension): GZIPInputStream handles concatenated members, which
-    * is how CommonCrawl writes one member per record. */
-  private def maybeGunzip(in: java.io.InputStream): java.io.InputStream = {
+    * extension). Concatenated members — the CommonCrawl one-member-
+    * per-record `.warc.wet.gz` layout — inflate through an explicit
+    * member loop ([[MultiMemberGzipInputStream]]), NOT
+    * java.util.zip.GZIPInputStream: GZIPInputStream only attempts the
+    * next member when `available() > 0` on the underlying stream, and
+    * FS streams that report 0 (object stores commonly do) silently
+    * drop every member after the first — silent record loss, the
+    * opposite of this reader's refuse-loudly contract. */
+  private def maybeGunzip(
+      in: java.io.InputStream, src: String): java.io.InputStream = {
     val pb = new java.io.PushbackInputStream(in, 2)
     val b0 = pb.read()
     val b1 = pb.read()
     if (b1 >= 0) pb.unread(b1)
     if (b0 >= 0) pb.unread(b0)
     if (b0 == 0x1f && b1 == 0x8b)
-      new java.util.zip.GZIPInputStream(pb, 1 << 16)
+      new MultiMemberGzipInputStream(pb, src)
     else pb
+  }
+
+  /** RFC 1952 multi-member gzip reader. Each member parses through an
+    * explicit loop — header, raw-deflate body, CRC32 + ISIZE trailer,
+    * then re-sniff for the next member — so member advancement never
+    * depends on the underlying stream's `available()` heuristic, and
+    * every trailer is actually VERIFIED (GZIPInputStream's silent
+    * stop also skipped trailer checks on dropped members). Any
+    * malformation — a non-gzip byte between members, a truncated
+    * body, a CRC or length mismatch — refuses loudly naming the
+    * source. `close()` ends the Inflater (native buffer) and closes
+    * the underlying stream. */
+  private[graft] final class MultiMemberGzipInputStream(
+      in: java.io.InputStream, src: String) extends java.io.InputStream {
+    private val inf = new java.util.zip.Inflater(true)
+    private val crc = new java.util.zip.CRC32
+    private val buf = new Array[Byte](1 << 16)
+    private var bufLen = 0
+    private var bufPos = 0
+    private var eof = false
+    private var memberOpen = false
+    private val one = new Array[Byte](1)
+
+    /** Bytes available in `buf`, refilling if drained; -1 at raw EOF. */
+    private def fill(): Int = {
+      if (bufPos >= bufLen) {
+        bufLen = in.read(buf)
+        bufPos = 0
+        if (bufLen <= 0) { bufLen = 0; return -1 }
+      }
+      bufLen - bufPos
+    }
+
+    private def readByte(): Int =
+      if (fill() < 0) -1
+      else { val b = buf(bufPos) & 0xff; bufPos += 1; b }
+
+    private def needByte(what: String): Int = {
+      val b = readByte()
+      require(b >= 0, s"$src: truncated gzip member ($what)")
+      b
+    }
+
+    private def skipBytes(n: Int, what: String): Unit =
+      (0 until n).foreach(_ => needByte(what))
+
+    private def readLe32(what: String): Long = {
+      val b0 = needByte(what); val b1 = needByte(what)
+      val b2 = needByte(what); val b3 = needByte(what)
+      (b0.toLong | (b1.toLong << 8) | (b2.toLong << 16) | (b3.toLong << 24))
+    }
+
+    /** Parse the next member header; false at clean EOF (no members
+      * left). A non-gzip byte where a member should start refuses. */
+    private def readHeader(): Boolean = {
+      val b0 = readByte()
+      if (b0 < 0) return false
+      val b1 = readByte()
+      require(b0 == 0x1f && b1 == 0x8b,
+        f"$src: expected a gzip member header, got bytes 0x$b0%02x 0x${b1 & 0xff}%02x " +
+          "(trailing garbage after a gzip member)")
+      val cm = needByte("compression method")
+      require(cm == 8, s"$src: unsupported gzip compression method $cm")
+      val flg = needByte("flags")
+      skipBytes(6, "mtime/xfl/os") // MTIME(4) XFL OS
+      if ((flg & 0x04) != 0) { // FEXTRA
+        val xlen = needByte("xlen") | (needByte("xlen") << 8)
+        skipBytes(xlen, "extra field")
+      }
+      if ((flg & 0x08) != 0) // FNAME: zero-terminated
+        while (needByte("file name") != 0) ()
+      if ((flg & 0x10) != 0) // FCOMMENT
+        while (needByte("comment") != 0) ()
+      if ((flg & 0x02) != 0) skipBytes(2, "header crc") // FHCRC
+      inf.reset()
+      crc.reset()
+      memberOpen = true
+      true
+    }
+
+    private def readTrailer(): Unit = {
+      // bytes the inflater took but did not consume belong to the
+      // trailer / next member — return them to our buffer
+      bufPos = bufLen - inf.getRemaining
+      val storedCrc = readLe32("trailer crc32")
+      val storedLen = readLe32("trailer isize")
+      require(storedCrc == crc.getValue,
+        s"$src: gzip CRC mismatch (stored $storedCrc, computed ${crc.getValue})")
+      require(storedLen == (inf.getBytesWritten & 0xffffffffL),
+        s"$src: gzip ISIZE mismatch (stored $storedLen, " +
+          s"inflated ${inf.getBytesWritten & 0xffffffffL})")
+      memberOpen = false
+    }
+
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (len == 0) return 0
+      while (true) {
+        if (eof) return -1
+        if (!memberOpen && !readHeader()) { eof = true; return -1 }
+        if (inf.finished()) readTrailer()
+        else {
+          if (inf.needsInput()) {
+            require(fill() > 0,
+              s"$src: truncated gzip member (EOF mid-deflate stream)")
+            inf.setInput(buf, bufPos, bufLen - bufPos)
+            bufPos = bufLen
+          }
+          val n =
+            try inf.inflate(b, off, len)
+            catch { case e: java.util.zip.DataFormatException =>
+              throw new java.io.IOException(
+                s"$src: corrupt deflate data: ${e.getMessage}", e)
+            }
+          if (n > 0) { crc.update(b, off, n); return n }
+          // n == 0 with !finished && !needsInput cannot happen for
+          // gzip (no preset dictionary); loop refills or finishes
+        }
+      }
+      -1 // unreachable
+    }
+
+    override def read(): Int =
+      if (read(one, 0, 1) < 0) -1 else one(0) & 0xff
+
+    override def close(): Unit = {
+      inf.end()
+      in.close()
+    }
   }
 
   /** Streaming WARC walk: one record materialized at a time. Frames

@@ -209,8 +209,12 @@ class ExportSpec extends AnyFunSuite {
 
   test("malformed PAX record with a non-advancing length refuses " +
       "loudly instead of hanging") {
-    // "0 path=x\n" parses len=0: the old loop never advanced p
-    for (bad <- Seq("0 path=x\n", "999 path=x\n")) {
+    // "0 path=x\n" parses len=0: the old loop never advanced p.
+    // "1 "/"2 " are positive but shorter than the record's own
+    // "N " prefix + newline: they must hit the SAME named refusal,
+    // not a StringIndexOutOfBoundsException from a negative substring
+    for (bad <- Seq("0 path=x\n", "1 path=x\n", "2 path=x\n",
+        "999 path=x\n")) {
       val hdr = {
         val bos = new java.io.ByteArrayOutputStream()
         Export.writeMember(bos, "pax-hdr", bad.getBytes("UTF-8"))

@@ -77,6 +77,59 @@ class WarcSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("http://g/1", "one"), ("http://g/2", "two")))
   }
 
+  test("concatenated gzip members all inflate even when the " +
+      "underlying stream reports available() == 0") {
+    // GZIPInputStream only attempts the next member when
+    // available() > 0 — object-store FS streams commonly report 0,
+    // silently dropping every member after the first. The explicit
+    // member loop must read them all.
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close()
+      bos.toByteArray
+    }
+    val n = 50
+    val bytes = (1 to n).map(i =>
+      gz(record(s"http://m/$i", s"body-$i" * 200))).reduce(_ ++ _)
+    val zeroAvail = new java.io.ByteArrayInputStream(bytes) {
+      override def available(): Int = 0
+    }
+    val got = Warc.parseWarcStream(
+      new Warc.MultiMemberGzipInputStream(zeroAvail, "t"), "t").toSeq
+    assert(got.length == n, s"expected $n records, got ${got.length}")
+    assert(got.map(_.targetUri) == (1 to n).map(i => s"http://m/$i"))
+    assert(new String(got(n - 1).body, "UTF-8") == s"body-$n" * 200)
+  }
+
+  test("multi-member gzip refuses loudly on trailing garbage and on " +
+      "a corrupted member body (CRC)") {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close()
+      bos.toByteArray
+    }
+    def readAll(bytes: Array[Byte]): Unit = {
+      val in = new Warc.MultiMemberGzipInputStream(
+        new java.io.ByteArrayInputStream(bytes), "src.gz")
+      val buf = new Array[Byte](4096)
+      while (in.read(buf) >= 0) ()
+    }
+    // garbage between members: not silent EOF, a named refusal
+    val garbage = gz("first".getBytes("UTF-8")) ++
+      "JUNK".getBytes("UTF-8") ++ gz("second".getBytes("UTF-8"))
+    val e1 = intercept[IllegalArgumentException](readAll(garbage))
+    assert(e1.getMessage.contains("src.gz") &&
+      e1.getMessage.contains("gzip member header"), e1.getMessage)
+    // flipped byte in the deflate body (or its trailer): refuses, and
+    // names the source either way
+    val one = gz(("payload" * 100).getBytes("UTF-8"))
+    one(one.length - 10) = (one(one.length - 10) ^ 0x55).toByte
+    val e2 = intercept[Exception](readAll(one))
+    assert(e2.getMessage.contains("src.gz"), e2.getMessage)
+  }
+
   test("writeWetShards/readWetShards roundtrip; re-export is " +
       "byte-identical; stale shards from a prior layout are cleaned") {
     val docs = spark.read
