@@ -1225,6 +1225,34 @@ object SparkEntry {
       s.read.format("graft").load(table).orderBy("uri")
     }),
 
+    // JSONL INGESTION (how C4/Dolma-style dumps actually land:
+    // one JSON object per line, gzip'd): the landing files carry the
+    // dump's OWN field names (id/body/language), mapped onto the
+    // table's columns via FORMAT_OPTIONS('fields'=...), through the
+    // same exactly-once source ledger (the immediate re-run loads
+    // nothing). Malformed lines and absent mapped fields refuse
+    // loudly — CopyIntoSpec pins both.
+    "q_copy_into_jsonl" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-copyjsonl")
+      val table = root.resolve("t").toString
+      val landing = root.resolve("landing").toString
+      val docs = s.read.parquet(T(d, "documents"))
+        .select("doc_id", "text", "lang")
+      PDataset.fromDataFrame(docs.filter(col("doc_id") < 100), Seq("doc_id"))
+        .reindex(Seq("doc_id")).writeParquet(table)
+      docs.filter(col("doc_id") >= 100)
+        .select(to_json(struct(col("doc_id").as("id"),
+          col("text").as("body"), col("lang").as("language"))).as("value"))
+        .coalesce(4)
+        .write.option("compression", "gzip").text(landing)
+      val g = s"graft.`$table`"
+      val opts =
+        "FORMAT_OPTIONS('fields'='id:doc_id,body:text,language:lang')"
+      s.sql(s"COPY INTO $g FROM '$landing' FILEFORMAT = JSONL $opts")
+      s.sql(s"COPY INTO $g FROM '$landing' FILEFORMAT = JSONL $opts")
+      s.read.format("graft").load(table).orderBy("doc_id")
+    }),
+
     // SQL DELETE FROM through the V2 catalog: the pushed range
     // predicate routes through SupportsDeleteV2 onto the deletion-
     // vector overlay (a KB-scale commit, zero files rewritten), and
@@ -3737,6 +3765,10 @@ object SparkEntry {
       "q_copy_into_warc" ->
         """SELECT 'http://example.com/doc/' || doc_id AS uri, text
            FROM documents ORDER BY uri""",
+      // base (< 100) seeded directly, the rest through the gzip'd
+      // JSONL landing zone with dump-native field names
+      "q_copy_into_jsonl" ->
+        "SELECT doc_id, text, lang FROM documents ORDER BY doc_id",
       // the REPLACE swapped the %3 table for the %2 table wholesale
       "q_sql_ctas" ->
         """SELECT * FROM orders WHERE o_orderkey % 2 = 0

@@ -52,7 +52,8 @@ object CopyInto {
       filesListed: Int, filesSkipped: Int, filesLoaded: Int,
       rowsLoaded: Long)
 
-  private val Formats = Set("parquet", "orc", "json", "csv", "tar", "warc")
+  private val Formats =
+    Set("parquet", "orc", "json", "csv", "tar", "warc", "jsonl")
 
   /** The sidecar's enforced file ceiling, shared by the ledger: past
     * it, per-statement driver work stops being O(new files). */
@@ -230,6 +231,68 @@ object CopyInto {
           .map(r => (r._3, new String(r._4,
             java.nio.charset.StandardCharsets.UTF_8)))
           .toDF(idName, textName)
+      case "jsonl" =>
+        // JSONL landing (how C4/Dolma/RedPajama-style dumps ship: one
+        // JSON object per line, usually `*.jsonl.gz` — gzip inflates
+        // transparently via the Hadoop codec on the text read).
+        // Unlike FILEFORMAT = JSON (Spark's reader: malformed lines
+        // and absent fields silently null), JSONL refuses LOUDLY on a
+        // malformed line and on a mapped field that is ABSENT from a
+        // line — absence is schema drift in the landing zone, while
+        // an explicit JSON null is a value and loads as NULL.
+        // FORMAT_OPTIONS('fields'='<jsonfield>:<tablecol>,...') maps
+        // landing field names onto table columns (and projects: lines
+        // may carry extra fields); default is every table column by
+        // its own name. The refusals ride INSIDE the output columns
+        // so pruning can never elide them.
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.types.{StructField, StructType}
+        val res = spark.sessionState.conf.resolver
+        val pairs: Seq[(String, StructField)] =
+          formatOptions.get("fields") match {
+            case Some(spec) =>
+              val ps = spec.split(",").toSeq.map(_.trim).map { e =>
+                val i = e.indexOf(':')
+                require(i > 0 && i < e.length - 1,
+                  "FORMAT_OPTIONS('fields') entries are " +
+                    s"'<jsonfield>:<tablecol>', got '$e'")
+                (e.take(i).trim, e.drop(i + 1).trim)
+              }
+              require(ps.map(_._1).distinct.length == ps.length,
+                s"duplicate JSON fields in FORMAT_OPTIONS('fields'): $spec")
+              require(ps.map(_._2.toLowerCase).distinct.length == ps.length,
+                s"duplicate table columns in FORMAT_OPTIONS('fields'): $spec")
+              ps.map { case (jf, tc) =>
+                val f = m.schema.fields.find(x => res(x.name, tc))
+                  .getOrElse(throw new IllegalArgumentException(
+                    s"FORMAT_OPTIONS('fields') names column `$tc` " +
+                      s"which $dir does not have"))
+                (jf, f)
+              }
+            case None => m.schema.fields.toIndexedSeq.map(f => (f.name, f))
+          }
+        val jschema = StructType(
+          pairs.map { case (jf, f) => StructField(jf, f.dataType) })
+        spark.read.textFile(fresh.map(_._1): _*)
+          .toDF("__line")
+          .withColumn("__file", input_file_name())
+          .filter(length(trim(col("__line"))) > 0) // blank lines skip
+          .withColumn("__keys", json_object_keys(col("__line")))
+          .withColumn("__j", from_json(col("__line"), jschema))
+          .select(pairs.map { case (jf, f) =>
+            // __keys/__j NULL = the line is not a JSON object at all
+            when(col("__keys").isNull || col("__j").isNull,
+              raise_error(concat(
+                lit("COPY INTO JSONL: malformed JSON line in "),
+                col("__file"), lit(": "),
+                substring(col("__line"), 1, 80))))
+              .when(!array_contains(col("__keys"), lit(jf)),
+                raise_error(concat(
+                  lit(s"COPY INTO JSONL: field '$jf' missing in "),
+                  col("__file"), lit(" line: "),
+                  substring(col("__line"), 1, 80))))
+              .otherwise(col("__j").getField(jf)).as(f.name)
+          }: _*)
       case _ =>
         reader.schema(m.schema).format(fmt).load(fresh.map(_._1): _*)
     }

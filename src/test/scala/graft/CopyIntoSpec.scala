@@ -261,6 +261,90 @@ class CopyIntoSpec extends AnyFunSuite {
     assert(got == Set((-1L, "seed", "m"), (7L, "b7", "m7")), got.toString)
   }
 
+  test("FILEFORMAT = JSONL: gzip'd lines load once with field " +
+      "mapping; JSON null is a value, blank lines skip") {
+    import spark.implicits._
+    val root = tempDir("copyinto-jsonl")
+    val table = root + "/t"
+    val landing = root + "/landing"
+    PDataset.fromDataFrame(
+      Seq((-1L, "seed", "en")).toDF("doc_id", "text", "lang"),
+      Seq("doc_id")).reindex(Seq("doc_id")).writeParquet(table)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+    def landGz(name: String, lines: Seq[String]): Unit = {
+      val os = new java.util.zip.GZIPOutputStream(
+        java.nio.file.Files.newOutputStream(
+          java.nio.file.Paths.get(landing, name)))
+      os.write(lines.mkString("\n").getBytes("UTF-8"))
+      os.close()
+    }
+    landGz("a.jsonl.gz", Seq(
+      """{"id": 1, "body": "one", "language": "en", "extra": 9}""",
+      "", // blank line skips
+      """{"id": 2, "body": "two", "language": null}""")) // null = value
+    val opts = Map("fields" -> "id:doc_id,body:text,language:lang")
+    val r1 = CopyInto.copyInto(spark, table, landing, "jsonl",
+      formatOptions = opts)
+    assert(r1.filesLoaded == 1 && r1.rowsLoaded == 2, r1.toString)
+    // exactly-once: the re-run loads nothing
+    val r2 = CopyInto.copyInto(spark, table, landing, "jsonl",
+      formatOptions = opts)
+    assert(r2.filesLoaded == 0 && r2.filesSkipped == 1, r2.toString)
+    val got = spark.read.format("graft").load(table)
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(got == Set((-1L, "seed", Some("en")), (1L, "one", Some("en")),
+      (2L, "two", None)), got.toString)
+  }
+
+  test("FILEFORMAT = JSONL refuses loudly on a malformed line and on " +
+      "an absent mapped field") {
+    import spark.implicits._
+    def mk(tag: String): (String, String) = {
+      val root = tempDir(s"copyinto-jsonl-$tag")
+      val table = root + "/t"
+      val landing = root + "/landing"
+      PDataset.fromDataFrame(
+        Seq((-1L, "seed", "en")).toDF("doc_id", "text", "lang"),
+        Seq("doc_id")).reindex(Seq("doc_id")).writeParquet(table)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(landing))
+      (table, landing)
+    }
+    val opts = Map("fields" -> "id:doc_id,body:text,language:lang")
+    def rootMsgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ rootMsgs(t.getCause)
+
+    // not JSON at all — Spark's own reader would silently NULL it
+    val (t1, l1) = mk("bad")
+    java.nio.file.Files.write(java.nio.file.Paths.get(l1, "bad.jsonl"),
+      "{\"id\": 1, \"body\": \"ok\", \"language\": \"en\"}\nnot json\n"
+        .getBytes("UTF-8"))
+    val e1 = intercept[Exception](
+      CopyInto.copyInto(spark, t1, l1, "jsonl", formatOptions = opts))
+    assert(rootMsgs(e1).exists(m => m.contains("malformed JSON line") &&
+      m.contains("bad.jsonl")), rootMsgs(e1).mkString(" | "))
+
+    // a mapped field ABSENT from the line (schema drift), unlike an
+    // explicit null
+    val (t2, l2) = mk("miss")
+    java.nio.file.Files.write(java.nio.file.Paths.get(l2, "m.jsonl"),
+      "{\"id\": 1, \"body\": \"no language key\"}\n".getBytes("UTF-8"))
+    val e2 = intercept[Exception](
+      CopyInto.copyInto(spark, t2, l2, "jsonl", formatOptions = opts))
+    assert(rootMsgs(e2).exists(m => m.contains("'language' missing") &&
+      m.contains("m.jsonl")), rootMsgs(e2).mkString(" | "))
+
+    // a mapping naming a column the table lacks refuses up front
+    val (t3, l3) = mk("col")
+    java.nio.file.Files.write(java.nio.file.Paths.get(l3, "x.jsonl"),
+      "{\"id\": 1}\n".getBytes("UTF-8"))
+    val e3 = intercept[Exception](CopyInto.copyInto(spark, t3, l3, "jsonl",
+      formatOptions = Map("fields" -> "id:doc_id,body:nope")))
+    assert(rootMsgs(e3).exists(_.contains("`nope`")),
+      rootMsgs(e3).mkString(" | "))
+  }
+
   test("CONVERT TO GRAFT adopts a bare parquet directory in place; " +
       "re-converting is a no-op; COPY INTO then applies") {
     val root = tempDir("convert")
