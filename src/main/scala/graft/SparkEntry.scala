@@ -2773,6 +2773,27 @@ object SparkEntry {
         k = 8, withinDoc = true)
         .select("doc_id", "text").orderBy("doc_id")),
 
+    // INCREMENTAL ExactSubstr: the even documents play the already-
+    // ingested corpus (a persisted (hash, id, start) shingle index,
+    // clustered on the hash); the odd documents arrive as a new batch
+    // and have every span duplicated against the index — or repeated
+    // across the batch — cut, with the global min-(id, start) keeper
+    // exempt. The batch's cut shingles append to the index
+    // afterwards, making ingestion cumulative. Output = the cut
+    // batch, which must equal a one-shot dedupSpans over the WHOLE
+    // corpus restricted to the odd documents (the oracle reruns the
+    // one-shot recipe and filters).
+    "q_dedup_spans_inc" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-spaninc")
+      val idx = root.resolve("spanidx").toString
+      val docs = spanPlantedDocs(s, d)
+      Dedup.buildSpanIndex(s,
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx, k = 8)
+      Dedup.dedupSpansBatch(s,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", idx)
+        .select("doc_id", "text").orderBy("doc_id")
+    }),
+
     // Benchmark decontamination: corpus docs sharing any word 4-gram
     // with the held-out set (doc_id % 97 == 0 plays the eval set).
     // The benchmark's distinct-shingle set broadcasts; the corpus is
@@ -3436,6 +3457,14 @@ object SparkEntry {
       spanCrossDup + "," + spanMergeTail
     val spanSelfMergedCte = spanSelfFixture + spanTokCte + "," +
       spanSelfDup + "," + spanMergeTail
+
+    // the incremental variant (q_dedup_spans_inc) is graded against
+    // the ONE-SHOT recipe restricted to the batch half: evens are the
+    // indexed corpus, odds the batch, and incremental-vs-index must
+    // cut the odds exactly as a one-shot over the union would
+    val spanCutTailBatch = spanCutTail.replace(
+      "ORDER BY doc_id",
+      "WHERE d.doc_id % 2 = 1 ORDER BY doc_id")
 
     // Connected-component labels (recursive reachability closure,
     // min-id canonical) over the 0.85-jaccard trigram pair graph —
@@ -4593,6 +4622,8 @@ object SparkEntry {
       // of the kept segments + the tail past the last span); docs
       // without spans pass through the left join untouched
       "q_dedup_spans" -> (spanMergedCte + spanCutTail),
+      // incremental == one-shot on the batch half (see spanCutTailBatch)
+      "q_dedup_spans_inc" -> (spanMergedCte + spanCutTailBatch),
       // the within-doc (self-repetition) variant: the planted twice-
       // repeated passage loses its second copy, everything else
       // rederives identically

@@ -1082,9 +1082,16 @@ object Dedup {
           col("__s") === col("__keep.p")))
       else hits0
     }
-    // gaps-and-islands merge, one document per window partition
+    mergeSpanHits(hits).withColumnRenamed("__id", idCol)
+  }
+
+  /** Gaps-and-islands merge of `(__id, __s, __e)` hit rows into
+    * maximal disjoint spans, one DOCUMENT per window partition (the
+    * sort unit is one document's hit list, never a global order).
+    * Returns `(__id, span_start, span_end)`. */
+  private def mergeSpanHits(hits: DataFrame): DataFrame = {
     val w = Window.partitionBy("__id").orderBy("__s", "__e")
-    val merged = hits
+    hits
       .withColumn("__pmax",
         max(col("__e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("__new",
@@ -1093,8 +1100,30 @@ object Dedup {
       .withColumn("__grp", sum(col("__new")).over(w))
       .groupBy(col("__id"), col("__grp"))
       .agg(min("__s").as("span_start"), max("__e").as("span_end"))
-    merged.select(col("__id").as(idCol),
-      col("span_start"), col("span_end"))
+      .select(col("__id"), col("span_start"), col("span_end"))
+  }
+
+  /** Excise (or mask) the discovered spans from each document: group
+    * spans into a per-document sorted list (doc-bounded, post-merge —
+    * small), left-join INTO the corpus (AQE broadcasts the span side,
+    * so the corpus text never shuffles) and cut. */
+  private def applySpanCuts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spans: DataFrame, // (idCol, span_start, span_end)
+      mask: Option[String]): DataFrame = {
+    val grouped = spans
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(
+        struct(col("span_start").as("s"), col("span_end").as("e"))))
+        .as("__sp"))
+    val cut = docs.join(grouped, Seq(idCol), "left")
+    val marker = mask.getOrElse("")
+    cut.withColumn(textCol,
+      when(col("__sp").isNull, col(textCol)).otherwise(
+        cutSpansCol(col(textCol), col("__sp"), marker)))
+      .drop("__sp")
   }
 
   /** ExactSubstr deduplication (Lee et al. 2022): cut every duplicated
@@ -1118,18 +1147,10 @@ object Dedup {
       // structure, the duplicated passage contributes one sentinel)
       mask: Option[String] = None,
       withinDoc: Boolean = false): DataFrame = {
-    val spans = duplicatedSpans(docs, idCol, textCol, k, keepFirst,
-      minDocFreq, withinDoc)
-      .groupBy(idCol)
-      .agg(sort_array(collect_list(
-        struct(col("span_start").as("s"), col("span_end").as("e"))))
-        .as("__sp"))
-    val cut = docs.join(spans, Seq(idCol), "left")
-    val marker = mask.getOrElse("")
-    val rewritten = cut.withColumn(textCol,
-      when(col("__sp").isNull, col(textCol)).otherwise(
-        cutSpansCol(col(textCol), col("__sp"), marker)))
-    rewritten.drop("__sp")
+    applySpanCuts(docs, idCol, textCol,
+      duplicatedSpans(docs, idCol, textCol, k, keepFirst,
+        minDocFreq, withinDoc),
+      mask)
   }
 
   /** Provenance audit of [[dedupSpans]]: one row per removed span —
@@ -1169,6 +1190,158 @@ object Dedup {
         text.substr(a.getField("p") + lit(1),
           length(text) - a.getField("p"))))
     folded
+  }
+
+  // ---- incremental ExactSubstr: the persisted shingle index ----
+
+  private val SpanIndexFile = "_graft_span_index.json"
+
+  /** The positional k-token shingles of `docs` as index rows
+    * `(h, id, s)` — 62-bit shingle hash, document id, span start. The
+    * span END is deliberately NOT stored: indexed occurrences are
+    * already ingested and never get cut, so `(h, id, s)` is all a
+    * later batch needs for duplication (distinct-doc count) and the
+    * keeper exemption (min (id, s)). */
+  private def spanShingleTable(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(graft.functions.SketchExpressions.tokenSpanShingles(
+        coalesce(col(textCol), lit("")), k)).as("__t"))
+      .select(col("__t.h").as("h"), col("id"), col("__t.s").as("s"))
+
+  /** Build a persisted ExactSubstr shingle index over an existing
+    * corpus — the [[buildMinhashIndex]] discipline applied to span
+    * dedup: a graft table of `(h, id, s)` rows clustered on the
+    * shingle hash, plus a params sidecar pinning `k` (a batch
+    * shingled with a different k would hash disjointly and silently
+    * find zero duplicated spans — every later call must present the
+    * stored k, which it reads from the sidecar). 24 bytes per
+    * shingle; at 100 TB the index is a fraction of the corpus and
+    * every batch query touches it via one hash equi-join. */
+  def buildSpanIndex(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String,
+      k: Int = 20): Unit = {
+    require(k >= 1, s"k must be positive, got $k")
+    graft.core.PDataset.fromDataFrame(
+      spanShingleTable(docs, idCol, textCol, k), Seq("h"))
+      .writeParquet(dir)
+    val (fs, dirPath) = graft.core.GraftFs.resolve(spark, dir)
+    graft.core.GraftFs.writeString(fs,
+      new org.apache.hadoop.fs.Path(dirPath, SpanIndexFile),
+      graft.core.TypedJson.write(
+        scala.collection.immutable.ListMap("k" -> k)))
+  }
+
+  private def spanIndexK(spark: SparkSession, dir: String): Int = {
+    val (fs, dirPath) = graft.core.GraftFs.resolve(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dirPath, SpanIndexFile)
+    require(graft.core.GraftFs.isFile(fs, p),
+      s"$dir holds no ExactSubstr shingle index ($SpanIndexFile " +
+        "missing) — build one with Dedup.buildSpanIndex")
+    graft.core.TypedJson.parse(graft.core.GraftFs.readString(fs, p))
+      .asInstanceOf[Map[String, Any]]("k").asInstanceOf[Number].intValue()
+  }
+
+  /** Extend the span index with a newly ingested batch — O(batch)
+    * shingle work plus one clustered append; indexed documents are
+    * untouched. `txn = Some((appId, version))` routes the append
+    * through the exactly-once transactional write path, so a
+    * crash-replayed streaming batch never double-appends shingles. */
+  def appendToSpanIndex(
+      spark: SparkSession,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String,
+      txn: Option[(String, Long)] = None): Unit = {
+    val k = spanIndexK(spark, dir)
+    val t = spanShingleTable(newDocs, idCol, textCol, k)
+    txn match {
+      case None =>
+        graft.core.PDataset.fromDataFrame(t, Seq("h"))
+          .writeParquet(dir, append = true)
+      case Some((app, v)) =>
+        t.write.format("graft").mode("append")
+          .option("txnAppId", app).option("txnVersion", v.toString)
+          .save(dir)
+    }
+  }
+
+  /** ExactSubstr dedup of a NEW batch against an indexed corpus (plus
+    * within the batch itself) — [[dedupSpans]] for continuous
+    * ingestion: cut from each batch document every span of ≥ k tokens
+    * that already exists in the corpus (the index) or repeats across
+    * the batch, keeping (with `keepFirst`) the globally-first
+    * occurrence — exactly what a one-shot [[dedupSpans]] over
+    * (corpus ∪ batch) would produce for the batch's rows, without
+    * ever re-shingling the corpus.
+    *
+    * Scale shape: the batch shingles once (O(batch)); the index side
+    * filters to the batch's hashes through a semi-join (AQE
+    * broadcasts the batch-bounded hash set in the common
+    * batch ≪ corpus case), so the duplication aggregate and every
+    * shuffle carry fixed-width (hash, id, start) rows ∝ batch +
+    * matching index occurrences — never old-vs-old, never text.
+    * Occurrences of the batch's OWN ids already in the index are
+    * excluded (a re-ingested or crash-replayed document must not
+    * count as its own duplicate — that exclusion is what keeps a
+    * replay after an index append deterministic).
+    *
+    * With `appendToIndex` (the batch-API default) the CUT text's
+    * shingles append to the index — the index mirrors what the corpus
+    * actually holds, and the kept copy of every passage stays
+    * indexed, so the next batch cuts against everything ingested
+    * before it. [[graft.streaming.DocumentStreams.dedupSink]] passes
+    * `appendToIndex = false` and appends explicitly AFTER the corpus
+    * commit (the same crash-ordering rule as the MinHash index). */
+  def dedupSpansBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexDir: String,
+      keepFirst: Boolean = true,
+      minDocFreq: Int = 2,
+      mask: Option[String] = None,
+      appendToIndex: Boolean = true,
+      txn: Option[(String, Long)] = None): DataFrame = {
+    require(minDocFreq >= 2,
+      s"minDocFreq < 2 would mark every span duplicated, got $minDocFreq")
+    val k = spanIndexK(spark, indexDir)
+    val sh = batch.select(col(idCol).as("__id"),
+      explode(graft.functions.SketchExpressions.tokenSpanShingles(
+        coalesce(col(textCol), lit("")), k)).as("__t"))
+      .select(col("__id"), col("__t.h").as("__h"),
+        col("__t.s").as("__s"), col("__t.e").as("__e"))
+    // DV-aware read: forgotten documents' shingles stay invisible
+    val idx = DeletionVectors.scan(spark, indexDir)
+      // self-exclusion (see above): batch ids never match their own
+      // indexed occurrences; the id set is batch-bounded → broadcast
+      .join(broadcast(batch.select(col(idCol).as("id")).distinct()),
+        Seq("id"), "left_anti")
+    val idxOcc = idx
+      .join(sh.select(col("__h").as("h")).distinct(), Seq("h"), "left_semi")
+      .select(col("h").as("__h"), col("id").as("__id"), col("s").as("__s"))
+    val union = idxOcc.unionByName(sh.select("__h", "__id", "__s"))
+    val dup = union.groupBy("__h")
+      .agg(count_distinct(col("__id")).as("__df"),
+        min(struct(col("__id").as("i"), col("__s").as("p"))).as("__keep"))
+      .filter(col("__df") >= minDocFreq)
+      .select("__h", "__keep")
+    val hits0 = sh.join(dup, Seq("__h"))
+    val hits = if (keepFirst)
+      hits0.filter(!(col("__id") === col("__keep.i") &&
+        col("__s") === col("__keep.p")))
+    else hits0
+    val cut = applySpanCuts(batch, idCol, textCol,
+      mergeSpanHits(hits).withColumnRenamed("__id", idCol), mask)
+    if (appendToIndex)
+      appendToSpanIndex(spark, cut, idCol, textCol, indexDir, txn)
+    cut
   }
 
   /** SemDeDup-style semantic dedup pairs (Abbas et al. 2023,

@@ -99,7 +99,22 @@ object DocumentStreams {
     *     reach the dedup stage, the index, or the corpus.
     * Gating happens BEFORE the txn-stamped append, so replay
     * determinism is untouched: the same batch re-gates to the same
-    * survivor set. */
+    * survivor set.
+    *
+    * `spanGate = Some(spanIndexDir)` completes the published recipe
+    * (quality → ExactSubstr → near-dup → append): each micro-batch
+    * first runs [[graft.operators.Dedup.dedupSpansBatch]] against the
+    * PERSISTED shingle index ([[graft.operators.Dedup.buildSpanIndex]]
+    * — k comes from the index's params sidecar), cutting every span
+    * duplicated against everything ingested before it (or repeated
+    * across the batch) BEFORE near-dup signatures are computed; the
+    * surviving documents' cut-text shingles append to the span index
+    * AFTER the corpus commit, txn-stamped with the same (appId,
+    * batchId) pair. Ordering matters for replay: dedupSpansBatch
+    * excludes the batch's own ids from the index read, so a replay
+    * after a span-index-append crash still recomputes the identical
+    * cut, and all three appends (corpus, span index, band index)
+    * no-op individually on whichever table already committed. */
   def dedupSink(
       docs: DataFrame,
       idCol: String,
@@ -114,7 +129,8 @@ object DocumentStreams {
       appId: Option[String] = None,
       autoReclusterOverlap: Option[Int] = None,
       qualityGate: Option[org.apache.spark.sql.Column] = None,
-      lmGate: Option[(String, Double)] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      lmGate: Option[(String, Double)] = None,
+      spanGate: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val app = appId.getOrElse(s"graft-dedup-sink:$checkpointDir")
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -133,8 +149,13 @@ object DocumentStreams {
           // the text back; AQE broadcasts the batch-bounded keep set
           predicated.join(keep, Seq(idCol), "left_semi")
         }
+        // ExactSubstr BEFORE near-dup (the published order): near-dup
+        // signatures then describe the text that would actually land
+        val spanCut = spanGate.fold(gated)(spanDir =>
+          graft.operators.Dedup.dedupSpansBatch(spark, gated, idCol,
+            textCol, spanDir, appendToIndex = false))
         val survivors = graft.operators.Dedup.dedupBatch(spark,
-          gated, idCol, textCol, corpus, indexDir, threshold,
+          spanCut, idCol, textCol, corpus, indexDir, threshold,
           shingler, shinglerTag).persist()
         try {
           if (!survivors.isEmpty) {
@@ -142,6 +163,14 @@ object DocumentStreams {
               .option("txnAppId", app)
               .option("txnVersion", batchId.toString)
               .save(corpusDir)
+            // span index first or band index first is immaterial —
+            // both no-op on replay; what matters is BOTH come after
+            // the corpus commit (the batch's own ids are excluded
+            // from dedupSpansBatch's index read, so a replay between
+            // these appends recomputes the same cut and survivors)
+            spanGate.foreach(spanDir =>
+              graft.operators.Dedup.appendToSpanIndex(spark, survivors,
+                idCol, textCol, spanDir, txn = Some((app, batchId))))
             graft.operators.Dedup.appendToMinhashIndex(spark, survivors,
               idCol, textCol, indexDir, shingler, shinglerTag,
               txn = Some((app, batchId)),

@@ -1144,6 +1144,94 @@ class PipelineOpsSpec extends AnyFunSuite {
     Fixtures.assertSameRows(a, b)
   }
 
+  test("dedupSpansBatch against a persisted shingle index equals a " +
+      "one-shot dedupSpans over (corpus ∪ batch) restricted to the " +
+      "batch; the appended index makes the NEXT batch cumulative") {
+    import spark.implicits._
+    val corpusTexts = Map(
+      0L -> s"zero intro $SpanPassage trailing bits",
+      2L -> "two has nothing shared with anything else truly",
+      4L -> s"four also carries $SpanPassage at its middle okay")
+    val p2 = "n1 n2 n3 n4 n5 n6 n7 n8 n9" // batch-only passage
+    val b1Texts = Map(
+      1L -> s"one copies $SpanPassage from the corpus side",
+      3L -> s"three brings $p2 fresh to the corpus",
+      5L -> s"five repeats $p2 inside the same batch too")
+    val b2Texts = Map(
+      7L -> s"seven re-submits $p2 a batch later on",
+      9L -> "nine is entirely novel text with no duplicate runs")
+    val idx = Fixtures.tempDir("span-idx") + "/idx"
+    Dedup.buildSpanIndex(spark, corpusTexts.toSeq.toDF("doc_id", "text"),
+      "doc_id", "text", idx, k = 8)
+
+    // batch 1: the one-shot reference over corpus ∪ batch1
+    val want1 = bruteSpans(corpusTexts ++ b1Texts, k = 8, keepFirst = true)
+    val got1 = Dedup.dedupSpansBatch(spark,
+      b1Texts.toSeq.toDF("doc_id", "text"), "doc_id", "text", idx)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    b1Texts.foreach { case (id, t) =>
+      assert(got1(id) == excise(t, want1.getOrElse(id, Nil)),
+        s"batch-1 doc $id diverges from the one-shot reference")
+    }
+    // the corpus copy won: doc 1 lost the passage, doc 3 (the min-id
+    // batch occurrence of p2) kept it, doc 5 lost it
+    assert(!got1(1L).contains(SpanPassage) && got1(3L).contains(p2) &&
+      !got1(5L).contains(p2))
+
+    // batch 2: p2 is now INDEXED (batch 1's cut shingles appended) —
+    // doc 7's copy must be cut even though no corpus doc carried p2
+    // at build time; the reference is the one-shot over everything
+    // ingested so far (corpus + CUT batch 1) ∪ batch 2
+    val want2 = bruteSpans(corpusTexts ++ got1 ++ b2Texts,
+      k = 8, keepFirst = true)
+    val got2 = Dedup.dedupSpansBatch(spark,
+      b2Texts.toSeq.toDF("doc_id", "text"), "doc_id", "text", idx)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    b2Texts.foreach { case (id, t) =>
+      assert(got2(id) == excise(t, want2.getOrElse(id, Nil)),
+        s"batch-2 doc $id diverges")
+    }
+    assert(!got2(7L).contains(p2),
+      "the span index append must make ingestion cumulative")
+
+    // re-running the same batch yields the SAME cut (self-exclusion:
+    // the batch's own indexed shingles never count as duplicates —
+    // the crash-replay determinism guarantee)
+    val replay = Dedup.dedupSpansBatch(spark,
+      b2Texts.toSeq.toDF("doc_id", "text"), "doc_id", "text", idx,
+      appendToIndex = false)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(replay == got2, "a replayed batch must recompute identically")
+
+    // an unindexed dir refuses loudly
+    val e = intercept[IllegalArgumentException](
+      Dedup.dedupSpansBatch(spark, b2Texts.toSeq.toDF("doc_id", "text"),
+        "doc_id", "text", Fixtures.tempDir("span-noidx")))
+    assert(e.getMessage.contains("buildSpanIndex"), e.getMessage)
+  }
+
+  test("dedupSpansBatch never shuffles text either: discovery rides " +
+      "(hash, id, start) rows, assembly broadcasts the span side") {
+    import spark.implicits._
+    val idx = Fixtures.tempDir("span-idx-plan") + "/idx"
+    Dedup.buildSpanIndex(spark,
+      plantedDocs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      idx, k = 8)
+    val out = Dedup.dedupSpansBatch(spark,
+      plantedDocs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+      idx, appendToIndex = false)
+    out.collect()
+    val exchanges =
+      Fixtures.collectExchanges(out.queryExecution.executedPlan)
+    assert(exchanges.nonEmpty, "expected shuffles in the discovery pass")
+    exchanges.foreach { e =>
+      val strs = e.output.filter(_.dataType ==
+        org.apache.spark.sql.types.StringType)
+      assert(strs.isEmpty,
+        s"string attributes crossed a shuffle: ${strs.map(_.name)}")
+    }
+  }
+
   test("forgetDocuments propagates deletion through the ingestion " +
       "spine: corpus rows go, index bands hide (ghost bands match " +
       "nothing), and equivalent content can re-ingest") {

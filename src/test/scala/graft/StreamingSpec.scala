@@ -317,6 +317,108 @@ class StreamingSpec extends AnyFunSuite {
     assert(corpusRows() == got, "replayed gated batch must be a txn no-op")
   }
 
+  test("span-gated ingestion sink: each micro-batch cuts spans " +
+      "duplicated against everything ingested before it (ExactSubstr " +
+      "before near-dup), matching the batch composition; a " +
+      "checkpoint-less replay stays a txn no-op") {
+    import graft.core.PDataset
+    import graft.operators.Dedup
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // planted passages: P1 lives in the seed corpus; P2 first appears
+    // in batch 1 and re-appears in batch 2 — batch 2 only loses it if
+    // batch 1's cut shingles REALLY entered the span index
+    val P1 = "c1 c2 c3 c4 c5 c6 c7 c8 c9"
+    val P2 = "f1 f2 f3 f4 f5 f6 f7 f8 f9"
+    val seed = base.filter(col("doc_id") % 3 === 0).select(col("doc_id"),
+      when(col("doc_id") % 9 === 0, concat(col("text"), lit(" " + P1)))
+        .otherwise(col("text")).as("text"))
+    def seedTables(dir: String): Unit = {
+      PDataset.fromDataFrame(seed, Seq("doc_id"))
+        .writeParquet(dir + "/corpus")
+      Dedup.buildMinhashIndex(spark, seed, "doc_id", "text", dir + "/idx")
+      Dedup.buildSpanIndex(spark, seed, "doc_id", "text",
+        dir + "/spanidx", k = 8)
+    }
+    val b1 = base.filter(col("doc_id") % 3 === 1).select(col("doc_id"),
+      when(col("doc_id") % 7 === 1, concat(col("text"), lit(" " + P1)))
+        .when(col("doc_id") % 7 === 2, concat(col("text"), lit(" " + P2)))
+        .otherwise(col("text")).as("text"))
+    val b2 = base.filter(col("doc_id") % 3 === 2).select(col("doc_id"),
+      when(col("doc_id") % 7 === 3, concat(col("text"), lit(" " + P2)))
+        .otherwise(col("text")).as("text"))
+
+    // Reference: dedupSpansBatch ∘ dedupBatch ∘ appends, per batch
+    val refRoot = Files.createTempDirectory("graft-spangate-ref").toString
+    seedTables(refRoot)
+    Seq(b1, b2).foreach { b =>
+      val cut = Dedup.dedupSpansBatch(spark, b, "doc_id", "text",
+        refRoot + "/spanidx", appendToIndex = false)
+      val surv = Dedup.dedupBatch(spark, cut, "doc_id", "text",
+        PDataset.scanParquet(spark, refRoot + "/corpus").toDF,
+        refRoot + "/idx").persist()
+      PDataset.fromDataFrame(surv, Seq("doc_id"))
+        .writeParquet(refRoot + "/corpus", append = true)
+      Dedup.appendToSpanIndex(spark, surv, "doc_id", "text",
+        refRoot + "/spanidx")
+      Dedup.appendToMinhashIndex(spark, surv, "doc_id", "text",
+        refRoot + "/idx")
+      surv.unpersist()
+    }
+    val expected = PDataset.scanParquet(spark, refRoot + "/corpus").toDF
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+
+    // Streamed: file 1 -> process -> file 2 -> process, spanGate on
+    val root = Files.createTempDirectory("graft-spangate").toString
+    seedTables(root)
+    val srcDir = Files.createTempDirectory("graft-spangate-src").toString
+    val ck = Files.createTempDirectory("graft-spangate-ck").toString
+    def startSink() = graft.streaming.DocumentStreams.dedupSink(
+      spark.readStream.schema(schema).parquet(srcDir),
+      "doc_id", "text", root + "/corpus", root + "/idx", ck,
+      appId = Some("spangate-spec"),
+      spanGate = Some(root + "/spanidx"))
+    b1.coalesce(1).write.mode("append").parquet(srcDir)
+    val q1 = startSink()
+    try q1.processAllAvailable() finally q1.stop()
+    b2.coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = startSink()
+    try q2.processAllAvailable() finally q2.stop()
+
+    def corpusRows() = PDataset.scanParquet(spark, root + "/corpus").toDF
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val got = corpusRows()
+    assert(got == expected,
+      "span-gated stream != dedupSpansBatch ∘ dedupBatch composition")
+    // the sequencing really happened: P1's batch copies lost it to
+    // the corpus keeper, P2 survives exactly once (its batch-1
+    // keeper), and batch 2's re-submission was cut against the index
+    val texts = PDataset.scanParquet(spark, root + "/corpus").toDF
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val p1Carriers = texts.filter(_._2.contains(P1)).map(_._1)
+    assert(p1Carriers.forall(_ % 3 == 0),
+      s"batch copies of the corpus passage must be cut: " +
+        s"${p1Carriers.toSeq}")
+    val p2Carriers = texts.filter(_._2.contains(P2)).map(_._1)
+    assert(p2Carriers.length == 1 && p2Carriers.head % 3 == 1,
+      s"exactly batch 1's keeper may carry P2, got ${p2Carriers.toSeq}")
+
+    // checkpoint-less replay, same appId: all three tables' txn
+    // ledgers already record both batches — a full no-op
+    val ck2 = Files.createTempDirectory("graft-spangate-ck2").toString
+    val q3 = graft.streaming.DocumentStreams.dedupSink(
+      spark.readStream.schema(schema).parquet(srcDir),
+      "doc_id", "text", root + "/corpus", root + "/idx", ck2,
+      appId = Some("spangate-spec"),
+      spanGate = Some(root + "/spanidx"))
+    try q3.processAllAvailable() finally q3.stop()
+    assert(corpusRows() == got, "replayed batches must be txn no-ops")
+  }
+
   test("vector ingestion sink: micro-batches dedup against the " +
       "persisted ANN index sequentially, and a checkpoint-less replay " +
       "is a txn no-op") {
