@@ -2996,6 +2996,29 @@ object SparkEntry {
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")),
 
+    // Byte-level BPE token counts under a PERSISTED model dir
+    // (merges.txt + vocab.json — the public interchange format every
+    // GPT-2-family tokenizer ships). The fixture model holds ONE
+    // merge ("a","b"), under which the published pipeline (byte map →
+    // GPT-2 pre-tokenizer → merge loop) reduces to a closed form the
+    // oracle rederives exactly: the pre-tokenizer never splits
+    // adjacent letters and only raw bytes 0x61 0x62 map to the
+    // mergeable pair, so count = utf8_bytes − occurrences("ab").
+    // Spark runs the REAL loaded-model expression; the multi-merge
+    // cascade is pinned against a driver-side reference and the
+    // published GPT-2 examples in PipelineOpsSpec.
+    "q_bpe_count" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-bpe")
+        .resolve("model").toString
+      graft.functions.Bpe.writeModel(s, dir, Seq(("a", "b")),
+        Map("a" -> 0, "b" -> 1, "ab" -> 2))
+      val model = graft.functions.Bpe.loadModel(s, dir)
+      scan(s, d, "documents").toDF.select(col("doc_id"),
+        graft.functions.Bpe.bpeCount(coalesce(col("text"), lit("")), model)
+          .cast("long").as("n_bpe"))
+        .orderBy("doc_id")
+    }),
+
     // WebDataset-style export: the corpus written as 8 USTAR tar
     // shards in a deterministic shuffled member order (one shuffle,
     // each task streams its shards member-by-member), then read back
@@ -4886,6 +4909,16 @@ object SparkEntry {
                    / 4294967296.0
                  < sqrt(CAST(nmin AS DOUBLE) / n)
            ORDER BY doc_id""",
+      // single-merge BPE closed form (see the query comment):
+      // count = utf8 bytes - non-overlapping "ab" occurrences
+      "q_bpe_count" ->
+        """SELECT doc_id,
+                  octet_length(encode(coalesce(text, '')))
+                  - (octet_length(encode(coalesce(text, '')))
+                     - octet_length(encode(
+                         replace(coalesce(text, ''), 'ab', ''))))
+                    // 2 AS n_bpe
+           FROM documents ORDER BY doc_id""",
       "q_token_budget" ->
         """WITH tot AS (SELECT source, sum(n_chars) AS t
                         FROM documents GROUP BY source),

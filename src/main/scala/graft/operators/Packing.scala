@@ -100,10 +100,23 @@ object Packing {
       idCol: String,
       nTokCol: String,
       seqLen: Int,
-      buckets: Int = 1 << 10): DataFrame = {
+      buckets: Int = 1 << 10,
+      // Some((textCol, model)): derive `nTokCol` as the REAL BPE
+      // token count of `textCol` under a persisted tokenizer
+      // ([[graft.functions.Bpe.loadModel]]) — sequences pack by
+      // production token accounting instead of a whitespace proxy
+      tokenizer: Option[(String, graft.functions.Bpe.BpeModel)] = None)
+      : DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val base = tokenizer.fold(df) { case (textCol, model) =>
+      df.withColumn(nTokCol,
+        graft.functions.Bpe.bpeCount(
+          org.apache.spark.sql.functions.coalesce(
+            col(textCol), org.apache.spark.sql.functions.lit("")),
+          model).cast("long"))
+    }
     val withOff =
-      tokenOffsets(df, idCol, nTokCol, buckets = buckets)
+      tokenOffsets(base, idCol, nTokCol, buckets = buckets)
     val nt = col(nTokCol).cast("long")
     withOff
       .withColumn("__end", col("tok_offset") + greatest(nt, lit(1L)) - 1)

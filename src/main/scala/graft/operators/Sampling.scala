@@ -270,11 +270,28 @@ object Sampling {
       oversample: Double = 2.0,
       // real mixtures give each source its own quota ("100B web, 20B
       // code"): explicit per-source budgets, `budget` the default
-      perSource: Map[String, Long] = Map.empty): DataFrame = {
+      perSource: Map[String, Long] = Map.empty,
+      // Some((textCol, model)): derive `weightCol` as the REAL BPE
+      // token count of `textCol` under a persisted tokenizer
+      // ([[graft.functions.Bpe.loadModel]]) instead of expecting a
+      // precomputed count — production token accounting without a
+      // separate pass. The expression is narrow (per-row kernel);
+      // callers re-sampling many budgets should still materialize
+      // the count once.
+      tokenizer: Option[(String, graft.functions.Bpe.BpeModel)] = None)
+      : DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(perSource.values.forall(_ > 0),
       "per-source budgets must be positive")
     require(oversample >= 1.0, s"oversample must be >= 1, got $oversample")
+    if (tokenizer.isDefined) {
+      val (textCol, model) = tokenizer.get
+      return sampleByTokenBudget(
+        df.withColumn(weightCol,
+          graft.functions.Bpe.bpeCount(
+            coalesce(col(textCol), lit("")), model).cast("long")),
+        sourceCol, idCol, weightCol, budget, oversample, perSource)
+    }
     val budgetOf: Column =
       if (perSource.isEmpty) lit(budget)
       else coalesce(element_at(typedLit(perSource), col(sourceCol)),

@@ -1232,6 +1232,174 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- byte-level BPE ----
+
+  /** Independent BPE reference: a functional merge loop over the
+    * published algorithm, sharing NO code with the expression. */
+  private def refBpePieces(
+      text: String, merges: Seq[(String, String)]): Seq[String] = {
+    val ranks = merges.zipWithIndex.toMap
+    val pat = java.util.regex.Pattern.compile(
+      "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+" +
+        "|\\s+(?!\\S)|\\s+",
+      java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+    // the published bytes_to_unicode, derived independently
+    val printable =
+      ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val byteMap: Map[Int, Char] = {
+      var next = 256
+      (0 until 256).map { b =>
+        if (printable(b)) b -> b.toChar
+        else { val c = next.toChar; next += 1; b -> c }
+      }.toMap
+    }
+    def encode(piece: String): List[String] = {
+      var word = piece.map(_.toString).toList
+      var done = false
+      while (!done && word.length > 1) {
+        val present = word.zip(word.tail).filter(ranks.contains)
+        if (present.isEmpty) done = true
+        else {
+          val (a, b) = present.minBy(ranks)
+          val out = scala.collection.mutable.ListBuffer[String]()
+          var rest = word
+          while (rest.nonEmpty) rest match {
+            case x :: y :: t if x == a && y == b =>
+              out += x + y; rest = t
+            case x :: t => out += x; rest = t
+            case Nil =>
+          }
+          word = out.toList
+        }
+      }
+      word
+    }
+    val m = pat.matcher(text)
+    val out = scala.collection.mutable.ListBuffer[String]()
+    while (m.find()) {
+      val mapped = m.group().getBytes("UTF-8").map(b =>
+        byteMap(b & 0xff)).mkString
+      out ++= encode(mapped)
+    }
+    out.toSeq
+  }
+
+  test("BPE: the persisted-model expression runs the published " +
+      "cascade (hand-worked hello-model), ids resolve through the " +
+      "vocab, and an inconsistent vocab refuses loudly") {
+    import spark.implicits._
+    import graft.functions.Bpe
+    val dir = Fixtures.tempDir("bpe-hello") + "/model"
+    val merges = Seq(("h", "e"), ("l", "l"), ("he", "ll"),
+      ("hell", "o"), ("Ġ", "h"))
+    Bpe.writeModel(spark, dir, merges,
+      Map("hello" -> 5, "Ġ" -> 6, "w" -> 7, "o" -> 8, "r" -> 9,
+        "l" -> 10, "d" -> 11, "Ġh" -> 12))
+    val m = Bpe.loadModel(spark, dir)
+    assert(m.merges == merges, "merges.txt must roundtrip in order")
+    val got = Seq("hello hello").toDF("t")
+      .select(Bpe.bpeCount(col("t"), m).as("n"),
+        Bpe.bpeTokens(col("t"), m).as("ids"))
+      .collect().head
+    // "hello" -> [hello]; " hello" -> [Ġ,he,l,l,o] ... wait: Ġh rank
+    // 4 beats nothing until h merges away: (h,e) fires first, leaving
+    // Ġ,he,ll,o -> hell -> hello -> (Ġ,hello) unranked = 2 pieces
+    assert(got.getInt(0) == 3, s"count ${got.getInt(0)}")
+    assert(got.getSeq[Int](1) == Seq(5, 6, 5), got.getSeq[Int](1))
+    // reference agreement on the same model
+    assert(refBpePieces("hello hello", merges) ==
+      Seq("hello", "Ġ", "hello"))
+    // a piece the vocab lacks refuses with its name
+    val e = intercept[Exception] {
+      Seq("zz").toDF("t")
+        .select(Bpe.bpeTokens(col("t"), m)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("vocab does not hold piece")),
+      msgs(e).mkString(" | "))
+  }
+
+  test("BPE fuzz: random low-alphabet corpora match the independent " +
+      "reference across a random merge table; counts are " +
+      "partitioning-independent") {
+    import spark.implicits._
+    import graft.functions.Bpe
+    val letters = "abcd"
+    val rnd = new scala.util.Random(7)
+    // a merge table that cascades: letter pairs, then pair+letter
+    val merges = Seq(("a", "b"), ("c", "d"), ("ab", "cd"), ("b", "c"),
+      ("abcd", "abcd"), ("Ġ", "a"), ("d", "a"), ("Ġa", "b"))
+    val dir = Fixtures.tempDir("bpe-fuzz") + "/model"
+    Bpe.writeModel(spark, dir, merges, Map.empty)
+    val m = Bpe.loadModel(spark, dir)
+    val texts = (0 until 60).map { i =>
+      i.toLong -> (0 until rnd.nextInt(30)).map(_ =>
+        if (rnd.nextInt(5) == 0) ' '
+        else letters(rnd.nextInt(letters.length))).mkString
+    }
+    val got = texts.toDF("id", "t")
+      .select(col("id"), Bpe.bpeCount(col("t"), m).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    texts.foreach { case (id, t) =>
+      assert(got(id) == refBpePieces(t, merges).length,
+        s"doc $id '$t' diverges from the reference")
+    }
+    // partitioning independence (trivial for a per-row kernel, pinned
+    // anyway: the count feeds budget fills that assume it)
+    val a = texts.toDF("id", "t").repartition(7)
+      .select(col("id"), Bpe.bpeCount(col("t"), m).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    val b = texts.toDF("id", "t").coalesce(1)
+      .select(col("id"), Bpe.bpeCount(col("t"), m).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
+  test("BPE model loading refuses loudly: missing files, malformed " +
+      "merge line; tokenizer= threads real counts into packSequences " +
+      "and sampleByTokenBudget") {
+    import spark.implicits._
+    import graft.functions.Bpe
+    val e1 = intercept[IllegalArgumentException](
+      Bpe.loadModel(spark, Fixtures.tempDir("bpe-empty")))
+    assert(e1.getMessage.contains("merges.txt"), e1.getMessage)
+    val bad = Fixtures.tempDir("bpe-bad") + "/model"
+    val (fs, p) = graft.core.GraftFs.resolve(spark, bad)
+    graft.core.GraftFs.writeString(fs,
+      new org.apache.hadoop.fs.Path(p, "merges.txt"), "a b c\n")
+    graft.core.GraftFs.writeString(fs,
+      new org.apache.hadoop.fs.Path(p, "vocab.json"), "{}")
+    val e2 = intercept[IllegalArgumentException](Bpe.loadModel(spark, bad))
+    assert(e2.getMessage.contains("merge line"), e2.getMessage)
+
+    // tokenizer threading == explicit precomputed column
+    val dir = Fixtures.tempDir("bpe-thread") + "/model"
+    Bpe.writeModel(spark, dir, Seq(("a", "b")), Map.empty)
+    val m = Bpe.loadModel(spark, dir)
+    val df = docs.limit(100).select(col("doc_id"),
+      col("text"), col("source"))
+    val pre = df.withColumn("n_tok",
+      Bpe.bpeCount(coalesce(col("text"), lit("")), m).cast("long"))
+    val viaTok = graft.operators.Packing.packSequences(
+      df, "doc_id", "n_tok", seqLen = 512,
+      tokenizer = Some(("text", m)))
+      .select("doc_id", "n_tok", "tok_offset", "seq_first", "n_seqs")
+    val viaCol = graft.operators.Packing.packSequences(
+      pre, "doc_id", "n_tok", seqLen = 512)
+      .select("doc_id", "n_tok", "tok_offset", "seq_first", "n_seqs")
+    Fixtures.assertSameRows(viaTok, viaCol)
+    val sTok = graft.operators.Sampling.sampleByTokenBudget(
+      df, "source", "doc_id", "n_tok", budget = 2000L,
+      tokenizer = Some(("text", m)))
+      .select("doc_id", "n_tok").orderBy("doc_id")
+    val sCol = graft.operators.Sampling.sampleByTokenBudget(
+      pre, "source", "doc_id", "n_tok", budget = 2000L)
+      .select("doc_id", "n_tok").orderBy("doc_id")
+    Fixtures.assertSameRows(sTok, sCol)
+  }
+
   test("forgetDocuments propagates deletion through the ingestion " +
       "spine: corpus rows go, index bands hide (ghost bands match " +
       "nothing), and equivalent content can re-ingest") {
