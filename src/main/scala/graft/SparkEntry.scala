@@ -267,6 +267,17 @@ object SparkEntry {
           lit(" " + SpanPassage + " interlude " + SpanPassage)))
         .otherwise(col("text")).as("text"))
 
+  /** Composed fixture: %11 docs self-repeat the passage, (other) %7
+    * docs carry one cross-doc copy — both dedup passes have work. */
+  private def spanBothPlantedDocs(s: SparkSession, d: String): DataFrame =
+    scan(s, d, "documents").toDF.select(col("doc_id"),
+      when(col("doc_id") % 11 === 0,
+        concat(col("text"),
+          lit(" " + SpanPassage + " interlude " + SpanPassage)))
+        .when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" " + SpanPassage)))
+        .otherwise(col("text")).as("text"))
+
   private def statsRow(s: SparkSession, ds: PDataset): DataFrame = {
     val n = ds.sizes.get.sum
     val lb = ds.lowerBounds.get.map(_.head).min(graft.core.Lex.boundOrdering
@@ -2773,6 +2784,18 @@ object SparkEntry {
         k = 8, withinDoc = true)
         .select("doc_id", "text").orderBy("doc_id")),
 
+    // COMPOSED span dedup (the pass a real pipeline runs): self-trim
+    // within each document, then cross-doc dedup over the surviving
+    // shingles — one operator call, ONE tokenization of the corpus
+    // (the plan pin in PipelineOpsSpec counts a single shingle
+    // Generate node). %11 docs lose their second in-doc copy of the
+    // passage; of every remaining copy corpus-wide exactly the
+    // min-(id, start) keeper survives.
+    "q_dedup_spans_both" -> ((s, d) =>
+      Dedup.dedupSpans(spanBothPlantedDocs(s, d), "doc_id", "text",
+        k = 8, alsoWithinDoc = true)
+        .select("doc_id", "text").orderBy("doc_id")),
+
     // INCREMENTAL ExactSubstr: the even documents play the already-
     // ingested corpus (a persisted (hash, id, start) shingle index,
     // clustered on the hash); the odd documents arrive as a new batch
@@ -3420,23 +3443,26 @@ object SparkEntry {
         sphits AS (
           SELECT doc_id, s, e FROM spocc WHERE n >= 2 AND rn > 1)"""
 
-    // gaps-and-islands merge into maximal disjoint spans per doc
-    val spanMergeTail = """
-        spflag AS (
+    // gaps-and-islands merge into maximal disjoint spans per doc —
+    // prefix-parameterized so the composed oracle can merge twice
+    // (the self stage's spans, then the union)
+    def spanMergeCtes(pfx: String, src: String): String = s"""
+        ${pfx}flag AS (
           SELECT doc_id, s, e,
                  CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
                      ORDER BY s, e
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
                       THEN 1 ELSE 0 END AS f
-          FROM sphits),
-        spgrp AS (
+          FROM $src),
+        ${pfx}grp AS (
           SELECT doc_id, s, e,
                  sum(f) OVER (PARTITION BY doc_id ORDER BY s, e
                    ROWS UNBOUNDED PRECEDING) AS g
-          FROM spflag),
-        spmerged AS (
+          FROM ${pfx}flag),
+        ${pfx}merged AS (
           SELECT doc_id, min(s) AS s, max(e) AS e
-          FROM spgrp GROUP BY doc_id, g)"""
+          FROM ${pfx}grp GROUP BY doc_id, g)"""
+    val spanMergeTail = spanMergeCtes("sp", "sphits")
 
     // cutting: string_agg of kept segments + the tail past the last
     // span; docs without spans pass through the left join untouched
@@ -3488,6 +3514,52 @@ object SparkEntry {
     val spanCutTailBatch = spanCutTail.replace(
       "ORDER BY doc_id",
       "WHERE d.doc_id % 2 = 1 ORDER BY doc_id")
+
+    // the composed fixture: %11 docs self-repeat the passage, other
+    // %7 docs carry one cross-doc copy
+    val spanBothFixture = """
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 0
+                      THEN text || ' alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima interlude alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima'
+                      WHEN doc_id % 7 = 0
+                      THEN text || ' alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima'
+                      ELSE text END AS t
+          FROM documents),"""
+
+    // the composed recipe from ONE tokenization (mirrors
+    // duplicatedSpans alsoWithinDoc): self hits, their merged spans,
+    // cross-doc duplication over the SURVIVING shingles, then one
+    // merge of the union
+    val spanBothMergedCte = spanBothFixture + spanTokCte + "," + """
+        sbocc AS (
+          SELECT doc_id, s, e,
+                 count(*) OVER (PARTITION BY doc_id, shs) AS n,
+                 row_number() OVER (PARTITION BY doc_id, shs
+                   ORDER BY s) AS rn
+          FROM spsh),
+        sbhits AS (
+          SELECT doc_id, s, e FROM sbocc WHERE n >= 2 AND rn > 1),""" +
+      spanMergeCtes("sb", "sbhits") + "," + """
+        surv AS (
+          SELECT spsh.* FROM spsh
+          WHERE NOT EXISTS (
+            SELECT 1 FROM sbmerged m
+            WHERE m.doc_id = spsh.doc_id
+              AND spsh.s < m.e AND spsh.e > m.s)),
+        xdup AS (
+          SELECT shs FROM surv GROUP BY shs
+          HAVING count(DISTINCT doc_id) >= 2),
+        xocc AS (
+          SELECT surv.doc_id, surv.s, surv.e,
+                 row_number() OVER (PARTITION BY surv.shs
+                   ORDER BY surv.doc_id, surv.s) AS rn
+          FROM surv JOIN xdup USING (shs)),
+        sphits AS (
+          SELECT doc_id, s, e FROM sbhits
+          UNION ALL
+          SELECT doc_id, s, e FROM xocc WHERE rn > 1),""" +
+      spanMergeTail
 
     // Connected-component labels (recursive reachability closure,
     // min-id canonical) over the 0.85-jaccard trigram pair graph —
@@ -4647,6 +4719,8 @@ object SparkEntry {
       "q_dedup_spans" -> (spanMergedCte + spanCutTail),
       // incremental == one-shot on the batch half (see spanCutTailBatch)
       "q_dedup_spans_inc" -> (spanMergedCte + spanCutTailBatch),
+      // composed self-trim + cross-doc from one tokenization
+      "q_dedup_spans_both" -> (spanBothMergedCte + spanCutTail),
       // the within-doc (self-repetition) variant: the planted twice-
       // repeated passage loses its second copy, everything else
       // rederives identically

@@ -1054,33 +1054,78 @@ object Dedup {
       // the SAME doc, and the keeper is its first occurrence there).
       // The aggregate keys on (doc, hash), so the whole discovery
       // pass shuffles the same 20-byte rows, just co-keyed by doc.
-      withinDoc: Boolean = false): DataFrame = {
+      withinDoc: Boolean = false,
+      // true: the COMPOSED pass a real pipeline runs — self-trim then
+      // cross-doc — from ONE tokenization. Stage 1 finds within-doc
+      // hits; stage 2 judges cross-doc duplication over the shingles
+      // SURVIVING stage 1's merged spans (so a self-repeated passage
+      // counts once per document, like the sequential recipe), and
+      // the union of both hit sets merges per document. Equal to
+      // running the two passes sequentially except that the re-
+      // tokenization a sequential run would do can see NEW shingles
+      // spanning stage-1 cut seams — those (vanishingly rare) seam
+      // windows are invisible to the single-pass composition by
+      // construction; the spec pins equality on seam-free corpora.
+      // The shingle table sits behind a repartition barrier, so every
+      // stage reuses ONE shuffle of one tokenization — the corpus is
+      // never re-shingled.
+      alsoWithinDoc: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(minDocFreq >= 2,
       s"minDocFreq < 2 would mark every span duplicated, got $minDocFreq")
-    val sh = docs.select(col(idCol).as("__id"),
+    require(!(withinDoc && alsoWithinDoc),
+      "withinDoc and alsoWithinDoc are exclusive: alsoWithinDoc IS " +
+        "the within-doc pass composed with the cross-doc pass")
+    val sh0 = docs.select(col(idCol).as("__id"),
       explode(graft.functions.SketchExpressions.tokenSpanShingles(
         coalesce(col(textCol), lit("")), k)).as("__t"))
       .select(col("__id"), col("__t.h").as("__h"),
         col("__t.s").as("__s"), col("__t.e").as("__e"))
-    val hits = if (withinDoc) {
-      val dup = sh.groupBy("__id", "__h")
+
+    def selfHitsOf(occ: DataFrame): DataFrame = {
+      val dup = occ.groupBy("__id", "__h")
         .agg(count(lit(1)).as("__n"), min(col("__s")).as("__keep"))
         .filter(col("__n") >= 2)
         .select(col("__id"), col("__h"), col("__keep"))
-      val hits0 = sh.join(dup, Seq("__id", "__h"))
-      if (keepFirst) hits0.filter(col("__s") =!= col("__keep")) else hits0
-    } else {
-      val dup = sh.groupBy("__h")
+      val hits0 = occ.join(dup, Seq("__id", "__h"))
+      (if (keepFirst) hits0.filter(col("__s") =!= col("__keep"))
+      else hits0).select("__id", "__s", "__e")
+    }
+    def crossHitsOf(occ: DataFrame): DataFrame = {
+      val dup = occ.groupBy("__h")
         .agg(count_distinct(col("__id")).as("__df"),
           min(struct(col("__id").as("i"), col("__s").as("p"))).as("__keep"))
         .filter(col("__df") >= minDocFreq)
         .select("__h", "__keep")
-      val hits0 = sh.join(dup, Seq("__h"))
-      if (keepFirst)
+      val hits0 = occ.join(dup, Seq("__h"))
+      (if (keepFirst)
         hits0.filter(!(col("__id") === col("__keep.i") &&
           col("__s") === col("__keep.p")))
-      else hits0
+      else hits0).select("__id", "__s", "__e")
+    }
+
+    val hits = if (withinDoc) selfHitsOf(sh0)
+    else if (!alsoWithinDoc) crossHitsOf(sh0)
+    else {
+      // ONE tokenization: the repartition barrier makes every stage a
+      // consumer of the same reused shuffle (the bandTable
+      // discipline), so the Generate node evaluates once — the plan
+      // pin in PipelineOpsSpec counts it
+      val sh = sh0.repartition(col("__h"))
+      val selfHits = selfHitsOf(sh)
+      // a shingle overlapping any merged self span is consumed by
+      // stage 1 (merged spans have no holes: gaps-and-islands unions
+      // overlapping-or-touching intervals), so stage 2 sees exactly
+      // the shingles a sequential run would re-derive — minus cut
+      // seams (see the parameter note)
+      val selfSpans = mergeSpanHits(selfHits).select(
+        col("__id").as("__sid"), col("span_start").as("__ss"),
+        col("span_end").as("__se"))
+      val surviving = sh.join(selfSpans,
+        col("__id") === col("__sid") &&
+          col("__s") < col("__se") && col("__e") > col("__ss"),
+        "left_anti")
+      selfHits.unionByName(crossHitsOf(surviving))
     }
     mergeSpanHits(hits).withColumnRenamed("__id", idCol)
   }
@@ -1146,10 +1191,11 @@ object Dedup {
       // cutting — the loss-masking variant (training keeps the doc
       // structure, the duplicated passage contributes one sentinel)
       mask: Option[String] = None,
-      withinDoc: Boolean = false): DataFrame = {
+      withinDoc: Boolean = false,
+      alsoWithinDoc: Boolean = false): DataFrame = {
     applySpanCuts(docs, idCol, textCol,
       duplicatedSpans(docs, idCol, textCol, k, keepFirst,
-        minDocFreq, withinDoc),
+        minDocFreq, withinDoc, alsoWithinDoc),
       mask)
   }
 
@@ -1165,9 +1211,10 @@ object Dedup {
       k: Int = 20,
       keepFirst: Boolean = true,
       minDocFreq: Int = 2,
-      withinDoc: Boolean = false): DataFrame =
+      withinDoc: Boolean = false,
+      alsoWithinDoc: Boolean = false): DataFrame =
     duplicatedSpans(docs, idCol, textCol, k, keepFirst, minDocFreq,
-      withinDoc)
+      withinDoc, alsoWithinDoc)
       .join(docs.select(col(idCol), col(textCol).as("__txt")), Seq(idCol))
       .select(col(idCol), col("span_start"), col("span_end"),
         col("__txt").substr(col("span_start") + lit(1),

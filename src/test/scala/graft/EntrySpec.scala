@@ -19,7 +19,7 @@ class EntrySpec extends AnyFunSuite {
   test("declared query count is pinned (update deliberately)") {
     // Deliberate pin: adding a query means bumping this number in the
     // same commit, so prose references never silently drift again.
-    assert(SparkEntry.queries.size == 182,
+    assert(SparkEntry.queries.size == 183,
       s"declared queries: ${SparkEntry.queries.size}; update this pin " +
         "alongside any inventory change")
   }

@@ -1144,6 +1144,149 @@ class PipelineOpsSpec extends AnyFunSuite {
     Fixtures.assertSameRows(a, b)
   }
 
+  /** Composed-pass reference: self hits from the original shingles,
+    * cross-doc duplication over the shingles surviving the merged
+    * self spans, union merged — the alsoWithinDoc definition. */
+  private def bruteComposed(
+      texts: Map[Long, String], k: Int): Map[Long, Seq[(Int, Int)]] = {
+    val ws = " \t\n\r"
+    def toks(t: String): IndexedSeq[(String, Int, Int)] = {
+      val buf = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
+      var i = 0
+      while (i < t.length) {
+        if (!ws.contains(t(i))) {
+          val s = i
+          while (i < t.length && !ws.contains(t(i))) i += 1
+          buf += ((t.substring(s, i), s, i))
+        } else i += 1
+      }
+      buf.toIndexedSeq
+    }
+    def merge(sp: Seq[(Int, Int)]): Seq[(Int, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      for ((s, e) <- sp.sorted) {
+        if (out.nonEmpty && s <= out.last._2)
+          out(out.length - 1) = (out.last._1, math.max(out.last._2, e))
+        else out += ((s, e))
+      }
+      out.toSeq
+    }
+    val sh = texts.toSeq.flatMap { case (id, t) =>
+      val tk = toks(t)
+      (0 to tk.length - k).map { i =>
+        val key = (i until i + k).map(tk(_)._1).mkString(" ")
+        (id, key, tk(i)._2, tk(i + k - 1)._3)
+      }
+    }
+    // stage 1: within-doc, keepFirst
+    val selfHits = sh.groupBy(x => (x._1, x._2)).toSeq
+      .filter(_._2.size >= 2)
+      .flatMap { case (_, os) => os.sortBy(_._3).tail }
+      .map(o => (o._1, o._3, o._4))
+    val selfMerged = selfHits.groupBy(_._1)
+      .map { case (id, hs) => id -> merge(hs.map(h => (h._2, h._3))) }
+    // stage 2: cross-doc over shingles not overlapping a self span
+    val surv = sh.filterNot { case (id, _, s, e) =>
+      selfMerged.getOrElse(id, Nil).exists(m => s < m._2 && e > m._1)
+    }
+    val crossHits = surv.groupBy(_._2).toSeq
+      .filter(_._2.map(_._1).distinct.size >= 2)
+      .flatMap { case (_, os) => os.sortBy(o => (o._1, o._3)).tail }
+      .map(o => (o._1, o._3, o._4))
+    (selfHits ++ crossHits).groupBy(_._1)
+      .map { case (id, hs) => id -> merge(hs.map(h => (h._2, h._3))) }
+      .filter(_._2.nonEmpty)
+  }
+
+  test("alsoWithinDoc composes self-trim with cross-doc dedup in one " +
+      "call, equal to running the two passes sequentially on a " +
+      "seam-free corpus") {
+    import spark.implicits._
+    val p = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val df = Seq(
+      (1L, s"base one text here is quite long truly $p mid $p"),
+      (2L, s"another document entirely different words $p"),
+      (3L, "no duplicate anything at all here honestly truly")
+    ).toDF("doc_id", "text")
+    val sequential = Dedup.dedupSpans(
+      Dedup.dedupSpans(df, "doc_id", "text", k = 8, withinDoc = true),
+      "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val composed = Dedup.dedupSpans(df, "doc_id", "text", k = 8,
+      alsoWithinDoc = true)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(composed.toSeq == sequential.toSeq,
+      "one-call composition must equal sequential application")
+    // the work really happened in both dimensions: doc 1 lost its
+    // second in-doc copy but kept the corpus keeper; doc 2 lost its
+    // cross-doc copy
+    val byId = composed.toMap
+    assert(byId(1L) == s"base one text here is quite long truly $p mid ")
+    assert(byId(2L) == "another document entirely different words ")
+    assert(byId(3L) == "no duplicate anything at all here honestly truly")
+  }
+
+  test("alsoWithinDoc fuzz: low-vocab corpora match the composed " +
+      "reference (self hits + cross-doc over surviving shingles)") {
+    import spark.implicits._
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(100 + seed)
+      val texts = (0L until 25L).map { i =>
+        i -> (0 until (8 + rnd.nextInt(30)))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }.toMap
+      val df = texts.toSeq.toDF("doc_id", "text")
+      val want = bruteComposed(texts, k = 3)
+      val got = Dedup.duplicatedSpans(df, "doc_id", "text", k = 3,
+        alsoWithinDoc = true)
+        .collect().groupBy(_.getLong(0))
+        .map { case (id, rs) =>
+          id -> rs.map(r => (r.getInt(1), r.getInt(2))).sorted.toSeq
+        }
+      assert(got == want, s"seed=$seed: composed spans diverge")
+      val cut = Dedup.dedupSpans(df, "doc_id", "text", k = 3,
+        alsoWithinDoc = true)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      texts.foreach { case (id, t) =>
+        assert(cut(id) == excise(t, want.getOrElse(id, Nil)),
+          s"seed=$seed: cut text diverges for doc $id")
+      }
+    }
+  }
+
+  test("alsoWithinDoc tokenizes the corpus ONCE: a single shingle " +
+      "Generate node (behind a reused shuffle), and no text in any " +
+      "exchange") {
+    val out = Dedup.dedupSpans(plantedDocs, "doc_id", "text", k = 8,
+      alsoWithinDoc = true)
+    out.collect()
+    val plan = out.queryExecution.executedPlan
+    def countShingleGen(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      import org.apache.spark.sql.execution.adaptive.{
+        AdaptiveSparkPlanExec, QueryStageExec}
+      p match {
+        case a: AdaptiveSparkPlanExec => countShingleGen(a.executedPlan)
+        case s: QueryStageExec => countShingleGen(s.plan)
+        case g: org.apache.spark.sql.execution.GenerateExec =>
+          (if (g.generator.exists(
+            _.isInstanceOf[graft.functions.TokenSpanShinglesExpr])) 1
+          else 0) + g.children.map(countShingleGen).sum
+        case other =>
+          other.children.map(countShingleGen).sum +
+            other.subqueries.map(countShingleGen).sum
+      }
+    }
+    val n = countShingleGen(plan)
+    assert(n == 1, s"expected ONE shingle tokenization, found $n")
+    Fixtures.collectExchanges(plan).foreach { e =>
+      val strs = e.output.filter(_.dataType ==
+        org.apache.spark.sql.types.StringType)
+      assert(strs.isEmpty,
+        s"text crossed a shuffle: ${strs.map(_.name)}")
+    }
+  }
+
   test("dedupSpansBatch against a persisted shingle index equals a " +
       "one-shot dedupSpans over (corpus ∪ batch) restricted to the " +
       "batch; the appended index makes the NEXT batch cumulative") {
