@@ -44,12 +44,28 @@ object ImportanceSampling {
       idCol: String,
       textCol: String,
       k: Int,
-      vocab: Int = 1 << 16): DataFrame = {
+      vocab: Int = 1 << 16): DataFrame =
+    dsirSelectWithModels(raw,
+      LanguageModel.trainTrigramModel(target, textCol, vocab),
+      LanguageModel.trainTrigramModel(raw, textCol, vocab),
+      idCol, textCol, k)
+
+  /** [[dsirSelect]] with PRETRAINED trigram models (the
+    * [[LanguageModel.trainTrigramModel]] output, typically persisted
+    * as parquet) — the production shape: models are deterministic,
+    * bounded, read-only artifacts trained once per (corpus, target)
+    * pair and reused across every selection run, so re-selection
+    * pays one gram scan, never re-training. */
+  def dsirSelectWithModels(
+      raw: DataFrame,
+      targetModel: DataFrame,
+      rawModel: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
-    val pt = LanguageModel.trainTrigramModel(target, textCol, vocab)
-      .withColumnRenamed("cnt", "__ct")
-    val pr = LanguageModel.trainTrigramModel(raw, textCol, vocab)
-      .withColumnRenamed("cnt", "__cr")
+    val pt = targetModel.withColumnRenamed("cnt", "__ct")
+    val pr = rawModel.withColumnRenamed("cnt", "__cr")
     def denom(m: DataFrame, c: String): Double = {
       val r = m.agg(coalesce(sum(col(c)), lit(0L)).as("t"),
         count(lit(1)).as("v")).collect()(0)
