@@ -262,6 +262,68 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(VectorIndex.corpusDrift(spark, ivfDir).isEmpty)
   }
 
+  test("churn fuzz: interleaved addVectors/removeVectors/compact " +
+      "never drop recall@5 below the contract floor, and removed ids " +
+      "never surface") {
+    // The index-maintenance analogue of MaintenanceFuzzSpec: a seeded
+    // schedule of adds (frozen geometry), keyed removes (DV overlay)
+    // and compactions (layout-only) against a live brute-force truth
+    // — the floor is q_ann_ivf's 0.4 contract, probed wider (nprobe 8)
+    // so maintenance noise cannot straddle the training variance.
+    val dir = tempDir("vecidx-churn") + "/idx"
+    val all = emb.filter(col("vec_id") < 500)
+      .select("vec_id", "embedding")
+    val rows = all.collect()
+    val vecOf = rows.map(r => r.getLong(0) -> r).toMap
+    val initial = rows.map(_.getLong(0)).filter(_ % 2 == 0).toSet
+    def df(ids: Set[Long]) = spark.createDataFrame(
+      java.util.Arrays.asList(ids.toSeq.sorted.map(vecOf): _*),
+      all.schema)
+    VectorIndex.build(spark, df(initial), "vec_id", "embedding", dir,
+      dim = 64, nlist = 16)
+
+    val rnd = new scala.util.Random(11)
+    var live = initial
+    var pendingAdd = rows.map(_.getLong(0)).filterNot(initial).toVector
+    val qids = (0L until 10L).toSet
+    for (round <- 1 to 6) {
+      rnd.nextInt(3) match {
+        case 0 if pendingAdd.nonEmpty => // add a batch
+          val n = 1 + rnd.nextInt(math.min(60, pendingAdd.size))
+          val batch = pendingAdd.take(n)
+          pendingAdd = pendingAdd.drop(n)
+          VectorIndex.addVectors(spark, df(batch.toSet), "vec_id",
+            "embedding", dir)
+          live ++= batch
+        case 1 if (live -- qids).size > 40 => // remove a batch
+          val victims = rnd.shuffle((live -- qids).toSeq).take(
+            1 + rnd.nextInt(30))
+          VectorIndex.removeVectors(spark, dir, victims)
+          live --= victims
+        case _ =>
+          VectorIndex.compact(spark, dir)
+      }
+      val queries = df(qids.filter(live))
+      val got = VectorIndex.topK(spark, queries, dir, "vec_id",
+        "embedding", k = 5, nprobe = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // removed ids must never surface, from any query path
+      val ghosts = got.map(_._2).toSet -- live
+      assert(ghosts.isEmpty, s"round $round: removed ids returned $ghosts")
+      val truth = Similarity.bruteForceTopK(queries, df(live),
+        "vec_id", "embedding", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val byQ = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      val hits = truth.count { case (q, n) =>
+        byQ.getOrElse(q, Set.empty).contains(n)
+      }
+      val recall = hits.toDouble / truth.length
+      assert(recall >= 0.4,
+        s"round $round: recall@5 $recall fell below the 0.4 floor " +
+          s"(live=${live.size})")
+    }
+  }
+
   test("pqTopK demands a PQ-built index") {
     val dir = tempDir("vecidx-nopq") + "/idx"
     VectorIndex.build(spark, emb, "vec_id", "embedding", dir,
