@@ -24,14 +24,44 @@ object PlanDump {
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Collect EVERY plan executed while a query's body runs (the
+    // maintenance/streaming queries run their interesting plans
+    // eagerly inside the body; the returned DataFrame is often just
+    // the final scan): a QueryExecutionListener appends each
+    // successful execution's formatted plan, drained per query.
+    val execPlans = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        val txt = try qe.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          catch { case e: Throwable => s"<explain failed: ${e.getMessage}>" }
+        execPlans.add(s"==== action: $funcName ====\n$txt")
+        ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val execMode = sys.env.get("SPARK_GRAFT_PLANDUMP_EXEC").contains("1")
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
         try {
+          execPlans.clear()
           val df = fn(spark, sfDir)
           val txt = df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
           Files.writeString(Paths.get(s"$outDir/$name.txt"), txt)
+          if (execMode) {
+            org.apache.spark.sql.GraftListenerFlush.drain(spark)
+            val all = new StringBuilder
+            execPlans.forEach(p => { all.append(p).append('\n'); () })
+            Files.writeString(Paths.get(s"$outDir/${name}_exec.txt"),
+              all.toString)
+          }
         } catch {
           case e: Throwable =>
             System.err.println(s"[plandump] $name failed: ${e.getMessage}")

@@ -293,12 +293,20 @@ case class StringArrayHash64Expr(child: Expression, algo: String)
 
   /** The shared kernel: called once per row from both interpreted eval
     * and generated code (one virtual call, loop in compiled Scala). */
+  // reused digest sink: md.digest(buf) instead of a fresh 16-byte
+  // array per element (this kernel runs per token/shingle)
+  @transient private lazy val digestBuf =
+    new ThreadLocal[Array[Byte]] {
+      override def initialValue(): Array[Byte] = new Array[Byte](16)
+    }
+
   def hashArray(input: ArrayData): ArrayData = {
     val n = input.numElements()
     val out = new Array[Long](n)
     val xx = algo == "xxh64_32"
     val shift = if (algo == "md5_62") 2 else 0
     val md = if (xx) null else md5Local.get()
+    val buf = if (xx) null else digestBuf.get()
     var i = 0
     while (i < n) {
       out(i) =
@@ -308,8 +316,12 @@ case class StringArrayHash64Expr(child: Expression, algo: String)
             .hashUTF8String(input.getUTF8String(i), 42L) & 0xFFFFFFFFL
         else {
           md.reset()
-          val d = md.digest(input.getUTF8String(i).getBytes)
-          java.nio.ByteBuffer.wrap(d, 0, 8).getLong >>> shift
+          md.update(input.getUTF8String(i).getBytes)
+          md.digest(buf, 0, 16)
+          (((buf(0) & 0xffL) << 56) | ((buf(1) & 0xffL) << 48) |
+            ((buf(2) & 0xffL) << 40) | ((buf(3) & 0xffL) << 32) |
+            ((buf(4) & 0xffL) << 24) | ((buf(5) & 0xffL) << 16) |
+            ((buf(6) & 0xffL) << 8) | (buf(7) & 0xffL)) >>> shift
         }
       i += 1
     }
@@ -363,19 +375,47 @@ case class CharGramHash64Expr(child: Expression, k: Int, shift: Int)
       override def initialValue(): java.security.MessageDigest =
         java.security.MessageDigest.getInstance("MD5")
     }
+  // reused digest sink: md.digest(buf) instead of a fresh 16-byte
+  // array per gram (this kernel runs per character of the corpus)
+  @transient private lazy val digestBuf =
+    new ThreadLocal[Array[Byte]] {
+      override def initialValue(): Array[Byte] = new Array[Byte](16)
+    }
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    // ONE pass over the UTF-8 bytes with two sliding code-point
+    // cursors (gram start, gram end): each gram hashes the byte slice
+    // [startB, endB) directly — md5 over exactly the bytes
+    // substringSQL(i+1, k).getBytes produced, without materializing a
+    // UTF8String slice + byte copy + fresh digest array per gram
+    // (those allocations dominated the winnowing/LM/DSIR scans; the
+    // hash value is bit-identical).
+    val bytes = s.getBytes
+    val total = bytes.length
     val n = s.numChars()
     val count = math.max(n - k + 1, 1)
     val md = md5Local.get()
+    val buf = digestBuf.get()
     val out = new Array[Long](count)
+    def step(off: Int): Int = off +
+      org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(bytes(off))
+    // endB starts at the byte offset of code point min(k, n)
+    var endB = 0
+    var c = 0
+    while (c < k && endB < total) { endB = step(endB); c += 1 }
+    var startB = 0
     var i = 0
     while (i < count) {
-      val gram = s.substringSQL(i + 1, k)
       md.reset()
-      val d = md.digest(gram.getBytes)
-      out(i) = java.nio.ByteBuffer.wrap(d, 0, 8).getLong >>> shift
+      md.update(bytes, startB, endB - startB)
+      md.digest(buf, 0, 16)
+      out(i) = (((buf(0) & 0xffL) << 56) | ((buf(1) & 0xffL) << 48) |
+        ((buf(2) & 0xffL) << 40) | ((buf(3) & 0xffL) << 32) |
+        ((buf(4) & 0xffL) << 24) | ((buf(5) & 0xffL) << 16) |
+        ((buf(6) & 0xffL) << 8) | (buf(7) & 0xffL)) >>> shift
+      if (startB < total) startB = step(startB)
+      if (endB < total) endB = step(endB)
       i += 1
     }
     new GenericArrayData(out)
@@ -490,52 +530,68 @@ case class TokenSpanShinglesExpr(child: Expression, k: Int)
         java.security.MessageDigest.getInstance("MD5")
     }
 
-  private def isWs(cp: Int): Boolean =
-    cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r'
+  // reused digest sink: md.digest(buf) instead of a fresh 16-byte
+  // array per shingle (this kernel runs per token of the corpus)
+  @transient private lazy val digestBuf =
+    new ThreadLocal[Array[Byte]] {
+      override def initialValue(): Array[Byte] = new Array[Byte](16)
+    }
 
   override def nullSafeEval(input: Any): Any = {
-    val str = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      .toString
-    // one scan: token (start, end) in CODE POINTS (SQL substr units)
-    // plus the UTF-16 bounds for extraction
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    // ONE byte-level scan: token (start, end) in CODE POINTS (SQL
+    // substr units, carried in the output) plus UTF-8 BYTE bounds for
+    // hashing. The whitespace set {space, \t, \n, \r} is single-byte
+    // UTF-8 and can never occur inside a multi-byte sequence, so
+    // byte-wise detection tokenizes identically to the code-point
+    // walk. Each shingle then md5-updates its token byte slices with
+    // single-space separators — the exact bytes of
+    // (tokens mkString " ").getBytes(UTF_8) — without materializing a
+    // StringBuilder + String + byte copy per shingle (those
+    // allocations dominated the span-dedup scans; hash bit-identical).
+    val bytes = s.getBytes
+    val total = bytes.length
     val cpStart = new java.util.ArrayList[Int]()
     val cpEnd = new java.util.ArrayList[Int]()
-    val ciStart = new java.util.ArrayList[Int]()
-    val ciEnd = new java.util.ArrayList[Int]()
-    var ci = 0
+    val bStart = new java.util.ArrayList[Int]()
+    val bEnd = new java.util.ArrayList[Int]()
+    var off = 0
     var cp = 0
     var inTok = false
-    while (ci < str.length) {
-      val c = str.codePointAt(ci)
-      if (isWs(c)) {
-        if (inTok) { cpEnd.add(cp); ciEnd.add(ci); inTok = false }
+    while (off < total) {
+      val b = bytes(off)
+      val ws = b == ' '.toByte || b == '\t'.toByte ||
+        b == '\n'.toByte || b == '\r'.toByte
+      if (ws) {
+        if (inTok) { cpEnd.add(cp); bEnd.add(off); inTok = false }
       } else if (!inTok) {
-        cpStart.add(cp); ciStart.add(ci); inTok = true
+        cpStart.add(cp); bStart.add(off); inTok = true
       }
-      ci += Character.charCount(c)
+      off += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(b)
       cp += 1
     }
-    if (inTok) { cpEnd.add(cp); ciEnd.add(ci) }
+    if (inTok) { cpEnd.add(cp); bEnd.add(total) }
     val n = cpStart.size()
     if (n < k) return new GenericArrayData(Array.empty[Any])
     val md = md5Local.get()
-    val sb = new java.lang.StringBuilder(64)
+    val buf = digestBuf.get()
     val out = new Array[Any](n - k + 1)
     var i = 0
     while (i <= n - k) {
-      sb.setLength(0)
+      md.reset()
       var j = i
       while (j < i + k) {
-        if (j > i) sb.append(' ')
-        sb.append(str, ciStart.get(j), ciEnd.get(j))
+        if (j > i) md.update(' '.toByte)
+        md.update(bytes, bStart.get(j), bEnd.get(j) - bStart.get(j))
         j += 1
       }
-      md.reset()
-      val d = md.digest(sb.toString.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
+      md.digest(buf, 0, 16)
+      val h = (((buf(0) & 0xffL) << 56) | ((buf(1) & 0xffL) << 48) |
+        ((buf(2) & 0xffL) << 40) | ((buf(3) & 0xffL) << 32) |
+        ((buf(4) & 0xffL) << 24) | ((buf(5) & 0xffL) << 16) |
+        ((buf(6) & 0xffL) << 8) | (buf(7) & 0xffL)) >>> 2
       out(i) = org.apache.spark.sql.catalyst.InternalRow(
-        java.nio.ByteBuffer.wrap(d, 0, 8).getLong >>> 2,
-        cpStart.get(i), cpEnd.get(i + k - 1))
+        h, cpStart.get(i), cpEnd.get(i + k - 1))
       i += 1
     }
     new GenericArrayData(out)

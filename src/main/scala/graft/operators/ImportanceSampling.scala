@@ -64,15 +64,28 @@ object ImportanceSampling {
       textCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
-    val pt = targetModel.withColumnRenamed("cnt", "__ct")
-    val pr = rawModel.withColumnRenamed("cnt", "__cr")
-    def denom(m: DataFrame, c: String): Double = {
-      val r = m.agg(coalesce(sum(col(c)), lit(0L)).as("t"),
-        count(lit(1)).as("v")).collect()(0)
-      (r.getLong(0) + r.getLong(1) + 1).toDouble
+    // Materialize each bounded model ONCE (the [[LanguageModel.lmScore]]
+    // discipline): one collect feeds both the driver-side denominator
+    // and an unconditionally-broadcast local join relation, instead of
+    // re-executing the model plan for the aggregate and again for the
+    // join and leaving the broadcast to AQE's estimate.
+    val spark = raw.sparkSession
+    def localize(m: DataFrame, cntName: String): (DataFrame, Double) = {
+      val rows = m.select(col("gram").cast("long"),
+        col("cnt").cast("long")).collect()
+      var t = 0L
+      rows.foreach(r => t += r.getLong(1))
+      val df = broadcast(spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("gram",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField(cntName,
+            org.apache.spark.sql.types.LongType)))))
+      (df, (t + rows.length + 1).toDouble)
     }
-    val dT = denom(pt, "__ct")
-    val dR = denom(pr, "__cr")
+    val (pt, dT) = localize(targetModel, "__ct")
+    val (pr, dR) = localize(rawModel, "__cr")
     // per-gram contribution: log2((ct+1)/dT) − log2((cr+1)/dR)
     //   = log2(ct+1) − log2(cr+1) + [log2(dR) − log2(dT)]
     // the constant rides per-gram (n × const overall), exactly as in

@@ -63,14 +63,32 @@ object LanguageModel {
       textCol: String,
       model: DataFrame,
       scoreCol: String = "lm_score"): DataFrame = {
-    val Array(totalRow) = model.agg(
-      coalesce(sum(col("cnt")), lit(0L)).as("t"),
-      count(lit(1)).as("v")).collect()
-    val d = (totalRow.getLong(0) + totalRow.getLong(1) + 1).toDouble
+    // Materialize the model ONCE: it is vocab-bounded by contract
+    // (KB-to-MB, like the fixed KenLM binary), so collect it and
+    // re-plan it as a local relation. Passing `model` through twice —
+    // the denominator aggregate and the scoring join — re-executed
+    // the whole model plan per consumer (for [[lmScoreSelf]] that
+    // re-ran training, a full gram aggregate over the corpus), and
+    // left the join's broadcast to AQE's estimate. The local relation
+    // computes the denominator driver-side for free and broadcasts
+    // unconditionally.
+    val spark = docs.sparkSession
+    val rows = model.select(col("gram").cast("long"),
+      col("cnt").cast("long")).collect()
+    var t = 0L
+    rows.foreach(r => t += r.getLong(1))
+    val d = (t + rows.length + 1).toDouble
+    val localModel = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("gram",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType)))))
     docs.select(col(idCol),
         explode(SketchExpressions.charGramHash64(
           TextFunctions.normText(col(textCol)), 3, shift = 2)).as("gram"))
-      .join(model, Seq("gram"), "left")
+      .join(localModel, Seq("gram"), "left")
       .groupBy(idCol)
       .agg(round(
         log2(lit(d)) - avg(log2(coalesce(col("cnt"), lit(0L)) + lit(1L))),

@@ -2663,17 +2663,23 @@ object Maintenance {
         FileOrdinalExpr.ordinal(input_file_name(), partOf))
     val old = dvOpt.fold(oldBase)(DeletionVectors.minus(oldBase, _))
 
-    // Per key (one window shuffle): an update replaces ALL stored
-    // duplicates of its key, a delete marker removes them, untouched
-    // keys pass through; markers themselves never land.
-    val both = old.withColumn("__op", lit(0)).unionByName(
-      incoming.withColumn("__part",
-        element_at(typedLit(denseOf), col("__part"))))
-    val w = Window.partitionBy(keyCols.map(col): _*)
-    val resolved = both
-      .withColumn("__max", max(col("__op")).over(w))
-      .filter(col("__op") === 1 || (col("__op") === 0 && col("__max") === 0))
-      .drop("__op", "__max")
+    // Per key: an update replaces ALL stored duplicates of its key, a
+    // delete marker removes them, untouched keys pass through; markers
+    // themselves never land. Resolved as an ANTI JOIN of the old rows
+    // against the delta's keys — the delta is persisted (stats known)
+    // and usually key-set-sized, so the join broadcasts and the old
+    // rows flow shuffle-free into the scatter's single __part
+    // exchange. The previous window formulation
+    // (max(__op) over partitionBy(keys)) hash-exchanged EVERY affected
+    // row by key first: 2 exchanges of the rewritten data where 1 is
+    // needed. Incoming keys are validated non-null above; old rows
+    // with null keys never equal any delta key, so they pass through —
+    // exactly the window's null-group behavior.
+    val incomingDense = incoming.withColumn("__part",
+      element_at(typedLit(denseOf), col("__part")))
+    val resolved = old
+      .join(incomingDense.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(incomingDense.filter(col("__op") === 1).drop("__op"))
 
     val stage = GraftFs.mkStageDir(fs,
       Option(dirPath.getParent).getOrElse(dirPath), ".graft-upsert-",
