@@ -37,7 +37,7 @@ object PlanDump {
         val txt = try qe.explainString(
             org.apache.spark.sql.execution.FormattedMode)
           catch { case e: Throwable => s"<explain failed: ${e.getMessage}>" }
-        execPlans.add(s"==== action: $funcName ====\n$txt")
+        execPlans.add(f"==== action: $funcName (${durationNs / 1e9}%.3f s) ====\n$txt")
         ()
       }
       override def onFailure(funcName: String,
