@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.core.Sidecar
@@ -72,27 +72,31 @@ object Replication {
               .drop("change_type")
             val deletes = b.filter(col("change_type") === "delete")
               .select(keys.map(col): _*).distinct()
-            // Unique-key contract check, one small aggregate over the
-            // delta: two upserts on one key means the source holds
-            // duplicate index keys (the feed pairs a 1-loss/1-gain
-            // key as an update, so surviving multiplicities are real
-            // duplicates); an upsert AND a delete on one key means a
-            // duplicate-keyed row set lost some but not all copies.
-            // Either way a by-key apply would diverge — fail loudly.
-            val dup = upserts.select(keys.map(col): _*)
-              .unionByName(deletes)
-              .groupBy(keys.map(col): _*)
-              .agg(count(lit(1)).as("__n"))
-              .filter(col("__n") > 1L)
-              .limit(1).collect()
-            if (dup.nonEmpty) throw new IllegalStateException(
-              s"replication of $srcDir requires unique index keys: " +
-                s"the change feed carries conflicting operations for " +
-                s"key (${keys.mkString(", ")}) = " +
-                s"(${keys.map(dup.head.getAs[Any](_)).mkString(", ")})" +
-                " — the source holds duplicate rows per key, which a " +
-                "by-key apply cannot represent")
-            Maintenance.merge(s, dstDir, upserts.toDF(), deletes.toDF())
+            // Unique-key contract: two upserts on one key means the
+            // source holds duplicate index keys (the feed pairs a
+            // 1-loss/1-gain key as an update, so surviving
+            // multiplicities are real duplicates); an upsert AND a
+            // delete on one key means a duplicate-keyed row set lost
+            // some but not all copies. Either way a by-key apply
+            // would diverge. merge's OWN fused validation aggregate
+            // checks exactly these two conditions (update keys
+            // unique; update∩delete empty), so no separate pre-check
+            // aggregate runs per micro-batch — its refusal is
+            // translated into the replication contract's terms.
+            try Maintenance.merge(s, dstDir, upserts.toDF(), deletes.toDF())
+            catch {
+              case e: IllegalArgumentException
+                  if e.getMessage != null &&
+                    (e.getMessage.contains("update keys must be unique") ||
+                      e.getMessage.contains(
+                        "may not appear in both updates and deletes")) =>
+                throw new IllegalStateException(
+                  s"replication of $srcDir requires unique index keys: " +
+                    "the change feed carries conflicting operations " +
+                    s"for some key of (${keys.mkString(", ")}) — the " +
+                    "source holds duplicate rows per key, which a " +
+                    s"by-key apply cannot represent (${e.getMessage})")
+            }
             ()
           }
         } finally { b.unpersist(); () }
