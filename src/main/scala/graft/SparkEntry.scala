@@ -670,7 +670,13 @@ object SparkEntry {
         .queryName(sink).start()
       try q.processAllAvailable()
       finally q.stop()
-      s.table(sink).orderBy("o_orderkey", "change_type")
+      // materialize + drop the per-run memory sink (the q_sql_ctas
+      // pattern): repeated bench rounds must not accumulate UUID-named
+      // sink tables in the session
+      val out = s.table(sink).orderBy("o_orderkey", "change_type")
+      val collected = out.collect()
+      s.catalog.dropTempView(sink)
+      s.createDataFrame(java.util.Arrays.asList(collected: _*), out.schema)
     }),
 
     // Streaming exact dedup in bounded state: the documents table
@@ -698,9 +704,13 @@ object SparkEntry {
         .queryName(sink).start()
       try q.processAllAvailable()
       finally q.stop()
-      s.table(sink)
+      // materialize + drop the per-run memory sink (see q_changes_stream)
+      val out = s.table(sink)
         .select("doc_id", "text", "lang", "source", "n_chars")
         .orderBy("doc_id")
+      val collected = out.collect()
+      s.catalog.dropTempView(sink)
+      s.createDataFrame(java.util.Arrays.asList(collected: _*), out.schema)
     }),
 
     // Streaming NEAR-DUP ingestion: the batch (doc_id % 10 == 0)

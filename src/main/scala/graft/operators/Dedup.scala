@@ -244,11 +244,23 @@ object Dedup {
       // grew the overlap. The health check itself is a driver-side
       // sidecar sweep: zero jobs, zero file reads, safe per batch.
       autoReclusterOverlap: Option[Int] = None): Unit = {
-    autoReclusterOverlap.foreach(n => require(n >= 1,
-      s"autoReclusterOverlap must be >= 1, got $n"))
     val (numPerms, bands, seed) = minhashIndexParams(spark, dir, shinglerTag)
     val bt = bandTable(newDocs, idCol, textCol, shingler,
       numPerms, bands, seed)
+    appendBandsToMinhashIndex(spark, bt, dir, txn, autoReclusterOverlap)
+  }
+
+  /** Append PRECOMPUTED band rows (the [[dedupBatchWithBands]] slice —
+    * schema (id, band, bucket)) to the index: the write half of
+    * [[appendToMinhashIndex]] without the second signature pass. */
+  private[graft] def appendBandsToMinhashIndex(
+      spark: SparkSession,
+      bt: DataFrame,
+      dir: String,
+      txn: Option[(String, Long)] = None,
+      autoReclusterOverlap: Option[Int] = None): Unit = {
+    autoReclusterOverlap.foreach(n => require(n >= 1,
+      s"autoReclusterOverlap must be >= 1, got $n"))
     txn match {
       case None =>
         graft.core.PDataset.fromDataFrame(bt, Seq("bucket"))
@@ -314,6 +326,24 @@ object Dedup {
     // within each use, the embeddingNearDupPairs discipline
     val fresh = bandTable(newDocs, idCol, textCol, shingler,
       numPerms, bands, seed)
+    incrementalPairsFromBands(spark, fresh, newDocs, idCol, textCol,
+      corpus, indexDir, threshold, shingler)
+  }
+
+  /** [[incrementalPairsTagged]] over a PRECOMPUTED (possibly cached)
+    * band table of the batch — the reuse point that lets the
+    * streaming sink sign each batch ONCE for both the dedup decision
+    * and the index append. */
+  private def incrementalPairsFromBands(
+      spark: SparkSession,
+      fresh: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpus: DataFrame,
+      indexDir: String,
+      threshold: Double,
+      shingler: Column => Column): DataFrame = {
     // DV-aware read: [[forgetDocuments]] hides forgotten documents'
     // band rows with a merge-on-read deletion vector; a plain scan
     // would match new batches against ghost bands. With no overlay
@@ -383,6 +413,7 @@ object Dedup {
     // would disable that check and OOM on a pathological batch.
     newDocs.join(losers, Seq(idCol), "left_anti")
   }
+
 
   /** Deletion propagation across the ingestion spine — the
     * "right to be forgotten" primitive of a continuously ingesting
