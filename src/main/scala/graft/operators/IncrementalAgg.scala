@@ -335,15 +335,18 @@ object IncrementalAgg {
           // group tuples (it decomposes a tuple set column-wise); the
           // broadcast semi join after it stays authoritative. Bounded:
           // only inlined when the delta touches few groups.
-          val prefiltered =
-            if (delta.count() > MaxInlineRepairGroups) src
-            else try {
-              val rows = groupsDf.collect()
-              groupCols.zipWithIndex.foldLeft(src) { case (d, (g, i)) =>
-                val vals = rows.map(_.get(i)).distinct.toSeq
-                d.filter(col(g).isin(vals: _*))
-              }
-            } catch { case scala.util.control.NonFatal(_) => src }
+          // ONE bounded action decides inlining AND fetches the
+          // groups: limit(N+1) returning ≤ N rows proves the delta
+          // touches ≤ N groups (no separate count job).
+          val prefiltered = try {
+            val rows = groupsDf
+              .limit(MaxInlineRepairGroups.toInt + 1).collect()
+            if (rows.length > MaxInlineRepairGroups) src
+            else groupCols.zipWithIndex.foldLeft(src) { case (d, (g, i)) =>
+              val vals = rows.map(_.get(i)).distinct.toSeq
+              d.filter(col(g).isin(vals: _*))
+            }
+          } catch { case scala.util.control.NonFatal(_) => src }
           val repairExprs =
             m.minMaxCols.flatMap(c => Seq(
               min(col(c)).as(s"__rmin_${c}"),
@@ -408,11 +411,12 @@ object IncrementalAgg {
         val updates = merged.filter(col("n") > 0L)
         val deletes = merged.filter(col("n") === 0L)
           .select(groupCols.map(col): _*)
-        val touched = merged.count()
-        Maintenance.merge(spark, viewDir, updates, deletes)
+        // touched = updates + deletes, which merge's fused validation
+        // aggregate already counted — no separate count job
+        val report = Maintenance.merge(spark, viewDir, updates, deletes)
         writeMeta(spark, viewDir,
           m.copy(baseVersion = cur, baseMetaHash = curHash))
-        touched
+        report.upsertRows + report.deleteRows
       } finally { merged.unpersist(); () }
     } finally { delta.unpersist(); () }
   }

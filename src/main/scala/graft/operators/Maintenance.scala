@@ -47,13 +47,20 @@ import graft.core.Lex.Bound
 object Maintenance {
 
   /** What a maintenance pass did, for observability and specs.
-    * `untouched` files were neither read nor rewritten. */
+    * `untouched` files were neither read nor rewritten. The keyed
+    * paths (upsert/deleteKeys/merge) also report the delta's row
+    * counts (`upsertRows`/`deleteRows`) — already computed by their
+    * fused validation aggregate, so callers that need "how many keys
+    * did I touch" ([[IncrementalAgg.refresh]]) read it here instead
+    * of paying another count job. */
   final case class Report(
       rewritten: Int,
       dropped: Int,
       merged: Int,
       created: Int,
-      untouched: Int)
+      untouched: Int,
+      upsertRows: Long = 0L,
+      deleteRows: Long = 0L)
 
   // ---- versioning (time travel) ----
   //
@@ -2729,6 +2736,7 @@ object Maintenance {
     refreshBloom(spark, dir)
     Report(rewritten = written.length, dropped = droppedPos.length,
       merged = 0, created = written.length,
-      untouched = m.files.length - affected.length)
+      untouched = m.files.length - affected.length,
+      upsertRows = nUpd, deleteRows = nDel)
   }
 }
