@@ -2654,10 +2654,20 @@ object SparkEntry {
           array(lit(0.5), lit(0.95)), lit(10000)).as("ap"))
       val exact = li.groupBy("l_returnflag")
         .agg(expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("ex"))
+      // Portable cent rounding: floor(x*100 + 0.5)/100 is pure IEEE
+      // arithmetic, identical in any engine given the same double —
+      // round(x, 2) is NOT (Spark rounds the exact binary expansion
+      // via BigDecimal HALF_UP; DuckDB rounds through a multiply),
+      // and the two disagree exactly at cent boundaries, which the
+      // regenerated testdata occasionally hits (the meanPool lesson).
+      // The oracle mirrors this formula and re-derives the exact
+      // percentile with Spark's own interpolation arithmetic.
+      def cents(c: org.apache.spark.sql.Column) =
+        floor(c * 100 + lit(0.5)) / 100
       approx.join(exact, Seq("l_returnflag"))
         .select(col("l_returnflag"),
-          round(element_at(col("ex"), 1), 2).as("p50_exact"),
-          round(element_at(col("ex"), 2), 2).as("p95_exact"),
+          cents(element_at(col("ex"), 1)).as("p50_exact"),
+          cents(element_at(col("ex"), 2)).as("p95_exact"),
           (abs(element_at(col("ap"), 1) - element_at(col("ex"), 1)) <=
             element_at(col("ex"), 1) * 0.01 &&
            abs(element_at(col("ap"), 2) - element_at(col("ex"), 2)) <=
@@ -4605,12 +4615,44 @@ object SparkEntry {
              GROUP BY ft.doc_id)
            SELECT doc_id, round(score, 4) AS bm25 FROM scored
            ORDER BY bm25 DESC, doc_id LIMIT 100""",
+      // Exact percentile re-derived with Spark's interpolation
+      // arithmetic — (hi - p)*v_lo + (p - lo)*v_hi over the sorted
+      // expansion, p = (n-1)*q — instead of quantile_cont's
+      // lo + (hi - lo)*frac, whose different double rounding lands on
+      // the other side of a cent boundary for some generated data;
+      // final rounding is the portable floor(x*100 + 0.5)/100 on both
+      // sides (see the Spark-side comment).
       "q_sketch_percentile" ->
-        """SELECT l_returnflag,
-                  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact,
-                  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_exact,
+        """WITH s AS (
+             SELECT l_returnflag, l_extendedprice AS v,
+                    row_number() OVER (PARTITION BY l_returnflag
+                                       ORDER BY l_extendedprice) - 1 AS i,
+                    count(*) OVER (PARTITION BY l_returnflag) AS n
+             FROM lineitem),
+           q AS (
+             SELECT l_returnflag,
+                    sum(CASE WHEN floor((n-1) * 0.5) = ceil((n-1) * 0.5)
+                                  AND i = CAST(floor((n-1) * 0.5) AS BIGINT)
+                             THEN v
+                             WHEN i = CAST(floor((n-1) * 0.5) AS BIGINT)
+                             THEN (ceil((n-1) * 0.5) - (n-1) * 0.5) * v
+                             WHEN i = CAST(ceil((n-1) * 0.5) AS BIGINT)
+                             THEN ((n-1) * 0.5 - floor((n-1) * 0.5)) * v
+                        END) AS p50,
+                    sum(CASE WHEN floor((n-1) * 0.95) = ceil((n-1) * 0.95)
+                                  AND i = CAST(floor((n-1) * 0.95) AS BIGINT)
+                             THEN v
+                             WHEN i = CAST(floor((n-1) * 0.95) AS BIGINT)
+                             THEN (ceil((n-1) * 0.95) - (n-1) * 0.95) * v
+                             WHEN i = CAST(ceil((n-1) * 0.95) AS BIGINT)
+                             THEN ((n-1) * 0.95 - floor((n-1) * 0.95)) * v
+                        END) AS p95
+             FROM s GROUP BY l_returnflag)
+           SELECT l_returnflag,
+                  floor(p50 * 100 + 0.5) / 100 AS p50_exact,
+                  floor(p95 * 100 + 0.5) / 100 AS p95_exact,
                   true AS within_1pct
-           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+           FROM q ORDER BY l_returnflag""",
       "q_asof_join" ->
         """SELECT e.event_id, e.user_id, e.event_type,
                   p.value AS last_purchase_value,
