@@ -67,6 +67,14 @@ def main():
             a, b = g[c].reset_index(drop=True), w[c].reset_index(drop=True)
             try:
                 eq = (a == b) | (a.isna() & b.isna())
+                # The driver compares a hash of FORMATTED values, so
+                # -0.0 vs 0.0 (equal as doubles) is a failure there;
+                # reproduce that strictness here (q_embed_pool lesson).
+                if str(a.dtype).startswith("float") and \
+                        str(b.dtype).startswith("float"):
+                    import numpy as np
+                    eq &= ~(np.signbit(a.fillna(0.0).to_numpy()) ^
+                            np.signbit(b.fillna(0.0).to_numpy()))
             except Exception:
                 eq = a.astype(str) == b.astype(str)
             if not eq.all():

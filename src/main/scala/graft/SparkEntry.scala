@@ -3259,7 +3259,14 @@ object SparkEntry {
     // over the group's vectors (vec_id % 50 plays the document id);
     // the shuffle carries one per-dimension partial (sum, count) per
     // group, never whole vectors. Output exploded to (group, dim,
-    // val) so the cross-engine compare stays scalar.
+    // val) so the cross-engine compare stays scalar. Final rounding is
+    // the portable floor(x*1e4 + 0.5)/1e4 (pure IEEE arithmetic,
+    // identical in any engine) rather than round(v, 4): for means in
+    // (-5e-5, 0) DuckDB's round returns -0.0 while Spark's
+    // BigDecimal-based Round returns +0.0 — equal as doubles but not
+    // as formatted text, which is exactly what a hash compare sees.
+    // The floor form can never yield -0.0 (adding +0.5 before floor
+    // kills the sign of an underflowed negative).
     "q_embed_pool" -> ((s, d) =>
       graft.operators.Similarity.meanPool(
         scan(s, d, "embeddings").toDF
@@ -3268,7 +3275,7 @@ object SparkEntry {
         .select(col("group_id"),
           posexplode(col("embedding")).as(Seq("dim", "v")))
         .select(col("group_id"), col("dim"),
-          round(col("v"), 4).as("val"))
+          (floor(col("v") * 10000 + lit(0.5)) / 10000).as("val"))
         .orderBy("group_id", "dim")),
 
     "q_ann_brute" -> ((s, d) => {
@@ -5292,7 +5299,12 @@ object SparkEntry {
       // deterministic per-value rounding and decimal addition is
       // exact and associative, so neither engine's aggregation order
       // can shift the mean (double summation order cost r19 its
-      // q_embed_pool hash match)
+      // q_embed_pool hash match). Final rounding is the portable
+      // floor(x*1e4 + 0.5)/1e4 on both sides: DuckDB's round(v, 4)
+      // returns -0.0 for means in (-5e-5, 0) where Spark returns
+      // +0.0 — equal as doubles (so a value compare passes) but not
+      // as text (so a hash compare fails); the floor form cannot
+      // produce -0.0 in either engine.
       "q_embed_pool" ->
         """WITH e AS (
              SELECT vec_id % 50 AS group_id,
@@ -5300,9 +5312,9 @@ object SparkEntry {
                     unnest(range(len(embedding))) AS d
              FROM embeddings)
            SELECT group_id, CAST(d AS INT) AS dim,
-                  round(CAST(sum(CAST(CAST(v AS DOUBLE)
-                          AS DECIMAL(30,15))) AS DOUBLE)
-                        / count(*), 4) AS val
+                  floor((CAST(sum(CAST(CAST(v AS DOUBLE)
+                            AS DECIMAL(30,15))) AS DOUBLE)
+                         / count(*)) * 10000 + 0.5) / 10000 AS val
            FROM e GROUP BY group_id, d ORDER BY group_id, dim""",
       "q_ann_brute" ->
         """WITH scored AS (
